@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{haversineSql, haversine_km}
+import graft.operators.{RideCounts, StationDistances, TotalDistance}
+
+/** One engine query: a Spark implementation + (when SQL-expressible) the
+  * equivalent ANSI SQL a DuckDB oracle runs over the same parquet tables.
+  *
+  * Determinism contract (BASELINE.md): every query's output is a
+  * deterministic row SET — totally ordered where a LIMIT makes order part
+  * of the semantics, tie-broken on all key columns; float outputs either
+  * derive from order-independent exact arithmetic (decimal-summed, then
+  * cast) or are rounded to a grain ≫ cross-engine libm jitter.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The query catalog — every SURVEY §2 operator plus the LLM-pipeline
+  * extensions surfaces here as at least one entry. */
+object Catalog {
+
+  /** DuckDB CTE defining the rides analog — must stay in lockstep with
+    * [[Tables.rides]]. */
+  val ridesSql: String =
+    """rides AS (
+      |  SELECT l_suppkey AS start_station_id,
+      |         l_partkey % (SELECT count(*) FROM supplier) AS end_station_id
+      |  FROM lineitem
+      |)""".stripMargin
+
+  /** DuckDB CTE defining the id-keyed stations analog — lockstep with
+    * [[Tables.stationsById]]. */
+  val stationsSql: String =
+    """stations AS (
+      |  SELECT s_suppkey AS id,
+      |         51.0 + CAST((s_suppkey * 7) % 100 AS DOUBLE) / 200.0 AS latitude,
+      |         -0.5 + CAST((s_suppkey * 13) % 100 AS DOUBLE) / 100.0 AS longitude
+      |  FROM supplier
+      |)""".stripMargin
+
+  /** Register file-backed temp views for the named tables. (The events
+    * table carries TIMESTAMP(NANOS) parquet, which Spark only reads with
+    * the nanosAsLong legacy flag — so views are registered per-query, not
+    * eagerly for all tables.) */
+  private def registerViews(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
+
+  // ---------------------------------------------------------------------
+  // Reference workloads (SURVEY §0: Q-easy, Q-hard-1, Q-dist, Q-total)
+  // ---------------------------------------------------------------------
+
+  /** Q-easy (`/root/reference/pipelines/sql_cycle_rides.py:35-41`): the
+    * whole query as one SQL statement. The SAME text runs on Spark and
+    * DuckDB. */
+  val easySql: String =
+    s"""WITH $ridesSql
+       |SELECT start_station_id, end_station_id,
+       |       count(*) AS amount_of_rides
+       |FROM rides
+       |GROUP BY start_station_id, end_station_id
+       |ORDER BY amount_of_rides DESC, start_station_id, end_station_id
+       |LIMIT 100""".stripMargin
+
+  val qEasy = QueryDef("q_easy_top_routes_sql",
+    (spark, dir) => {
+      registerViews(spark, dir, "lineitem", "supplier")
+      spark.sql(easySql)
+    },
+    Some(easySql))
+
+  /** Q-hard-1 (`/root/reference/pipelines/cycle_rides.py:42-57`): the same
+    * top-N computed with engine operators (groupBy.count →
+    * TakeOrderedAndProject), not source-side SQL. */
+  val qHard = QueryDef("q_hard_top_routes",
+    (spark, dir) => RideCounts.topRoutes(
+      Tables.rides(spark, dir), "start_station_id", "end_station_id", 100),
+    Some(easySql))
+
+  /** Full count-per-pair (A1 without the top-N): deterministic full set. */
+  val qRideCounts = QueryDef("q_ride_counts",
+    (spark, dir) => RideCounts.countPerPair(
+      Tables.rides(spark, dir), "start_station_id", "end_station_id")
+      .orderBy(desc("amount_of_rides"), col("start_station_id"), col("end_station_id")),
+    Some(s"""WITH $ridesSql
+            |SELECT start_station_id, end_station_id,
+            |       count(*) AS amount_of_rides
+            |FROM rides
+            |GROUP BY start_station_id, end_station_id
+            |ORDER BY amount_of_rides DESC, start_station_id, end_station_id""".stripMargin))
+
+  /** Q-dist (`/root/reference/pipelines/stations.py:62-77`) with the
+    * SQL-expressible haversine metric, meter-rounded for the oracle. */
+  val qDistHaversine = QueryDef("q_dist_pairs_haversine",
+    (spark, dir) => {
+      val s = Tables.stationsById(spark, dir)
+      val a = s.select(col("id").as("station_1"),
+        col("latitude").as("lat1"), col("longitude").as("lon1"))
+      val b = s.select(col("id").as("station_2"),
+        col("latitude").as("lat2"), col("longitude").as("lon2"))
+      a.crossJoin(broadcast(b))
+        .select(col("station_1"), col("station_2"),
+          round(haversine_km(col("lat1"), col("lon1"), col("lat2"), col("lon2")), 3)
+            .as("distance_km"))
+        .orderBy("station_1", "station_2")
+    },
+    Some(s"""WITH $stationsSql
+            |SELECT a.id AS station_1, b.id AS station_2,
+            |       ROUND(${haversineSql("a.latitude", "a.longitude", "b.latitude", "b.longitude")}, 3) AS distance_km
+            |FROM stations a CROSS JOIN stations b
+            |ORDER BY station_1, station_2""".stripMargin))
+
+  /** Q-dist with the reference-parity WGS-84 geodesic (Karney-grade; geopy
+    * equivalent). Not ANSI-SQL-expressible → rows-only driver check; exact
+    * numerics pinned by unit tests against published geodesic values. */
+  val qDistGeodesic = QueryDef("q_dist_pairs_geodesic",
+    (spark, dir) => StationDistances.pairwise(Tables.stationsById(spark, dir), "id")
+      .orderBy("station_1", "station_2"),
+    None)
+
+  /** Q-total (`/root/reference/pipelines/total_distance.py:85-133`):
+    * ride counts ⋈ pair distances, FULL OUTER with zero-fill (J2).
+    * The distance side drops the two highest station ids so both
+    * unmatched-key directions genuinely occur in the data. */
+  val qTotal = QueryDef("q_total_distance",
+    (spark, dir) => {
+      val rides = Tables.rides(spark, dir)
+      val counts = RideCounts.countPerPair(rides, "start_station_id", "end_station_id", "cnt")
+      val nSt = Tables.supplier(spark, dir).agg(count(lit(1)).as("n"))
+      val st = Tables.stationsById(spark, dir)
+        .crossJoin(broadcast(nSt)).filter(col("id") < col("n") - 2).drop("n")
+      val a = st.select(col("id").as("station_1"),
+        col("latitude").as("lat1"), col("longitude").as("lon1"))
+      val b = st.select(col("id").as("station_2"),
+        col("latitude").as("lat2"), col("longitude").as("lon2"))
+      val dists = a.crossJoin(broadcast(b))
+        .select(col("station_1"), col("station_2"),
+          round(haversine_km(col("lat1"), col("lon1"), col("lat2"), col("lon2")), 3)
+            .as("distance_km"))
+      TotalDistance.totalKm(counts, dists, "start_station_id", "end_station_id", "cnt")
+        .orderBy("start", "end")
+    },
+    Some(s"""WITH $ridesSql, $stationsSql,
+            |counts AS (
+            |  SELECT start_station_id AS start, end_station_id AS "end",
+            |         count(*) AS cnt
+            |  FROM rides GROUP BY 1, 2
+            |),
+            |dists AS (
+            |  SELECT a.id AS start, b.id AS "end",
+            |         ROUND(${haversineSql("a.latitude", "a.longitude", "b.latitude", "b.longitude")}, 3) AS distance_km
+            |  FROM stations a CROSS JOIN stations b
+            |  WHERE a.id < (SELECT count(*) FROM supplier) - 2
+            |    AND b.id < (SELECT count(*) FROM supplier) - 2
+            |),
+            |joined AS (
+            |  SELECT COALESCE(c.start, d.start) AS start,
+            |         COALESCE(c."end", d."end") AS "end",
+            |         COALESCE(c.cnt, 0) AS amount_of_rides,
+            |         COALESCE(d.distance_km, 0.0) AS distance_km
+            |  FROM counts c FULL OUTER JOIN dists d
+            |    ON c.start = d.start AND c."end" = d."end"
+            |)
+            |SELECT start, "end", amount_of_rides, distance_km,
+            |       CAST(amount_of_rides AS DOUBLE) * distance_km AS total_distance_km
+            |FROM joined
+            |ORDER BY start, "end"""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Core relational operator coverage (scan/filter/agg/join/sort/window…)
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary: partial+final hash agg, exact
+    * decimal-summed doubles (order-independent → oracle-hashable). */
+  val q1Agg = QueryDef("q1_pricing_summary",
+    (spark, dir) => {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(disc.cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
+          sum((disc * (lit(1.0) + col("l_tax"))).cast("decimal(28,6)")).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |       SUM(l_quantity) AS sum_qty,
+           |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           |       COUNT(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** All catalog entries, in declaration order. */
+  def all: Seq[QueryDef] = Seq(
+    qEasy, qHard, qRideCounts, qDistHaversine, qDistGeodesic, qTotal, q1Agg)
+}

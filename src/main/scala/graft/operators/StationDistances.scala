@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.expr.GeodesicKm
+
+/** Pairwise station distances — the reference's Q-dist
+  * (`/root/reference/pipelines/stations.py:62-77`).
+  *
+  * The reference builds the self cross join by keying EVERY row with the
+  * constant `'key'`, CoGroupByKey, and a nested loop in one DoFn
+  * (`pipelines/stations.py:24-33,68-71`) — all pairs generated on a single
+  * reducer. We do NOT copy that: `broadcast(right)` + `crossJoin` plans a
+  * BroadcastNestedLoopJoin — zero shuffles, pair generation distributed
+  * across all partitions of the left side. At 100 TB the station dimension
+  * stays small (thousands of rows), so the broadcast always holds; if the
+  * right side ever grows past broadcast size the similarity-join path
+  * (graft.dedup / graft.similarity LSH) is the scale-out alternative.
+  *
+  * Live reference semantics: self-pairs ARE kept (no `a != b` filter — that
+  * exists only commented out, notebook cell 5); distance is WGS-84 geodesic
+  * km (geopy parity, see [[graft.expr.Geodesic]]).
+  */
+object StationDistances {
+
+  /** All station pairs (including self-pairs) with geodesic km. */
+  def pairwise(stations: DataFrame, keyCol: String): DataFrame = {
+    val a = stations.na.drop("any")
+      .select(col(keyCol).as("station_1"),
+        col("latitude").as("lat1"), col("longitude").as("lon1"))
+    val b = stations.na.drop("any")
+      .select(col(keyCol).as("station_2"),
+        col("latitude").as("lat2"), col("longitude").as("lon2"))
+    a.crossJoin(broadcast(b))
+      .select(col("station_1"), col("station_2"),
+        GeodesicKm(col("lat1"), col("lon1"), col("lat2"), col("lon2"))
+          .as("distance_km"))
+  }
+
+  /** The notebook's commented-out theta variant (`a.name != b.name`). */
+  def pairwiseDistinct(stations: DataFrame, keyCol: String): DataFrame =
+    pairwise(stations, keyCol).filter(col("station_1") =!= col("station_2"))
+}

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink surface (SURVEY §2.2, K1–K3).
+  *
+  * The reference writes str()-formatted text shards via `WriteToText`
+  * (`/root/reference/pipelines/cycle_rides.py:61-70`), optionally forcing a
+  * single shard (`total_distance.py:130-133`, num_shards=0). Spark-native:
+  * the csv writer subsumes the manual `format_csv` join
+  * (`total_distance.py:50-52`), and `coalesce(1)` reproduces single-file
+  * output without a full shuffle (vs `repartition(1)`).
+  */
+object Sinks {
+
+  /** K1: sharded CSV with header. */
+  def csvWithHeader(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** K2: plain sharded CSV, no header. */
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").csv(path)
+
+  /** K3: single-file CSV (reference num_shards=0). `coalesce(1)` narrows
+    * the final stage to one task without inserting an exchange; only use
+    * on small (post-agg / post-limit) results — by design, same as the
+    * reference's single-shard sink. */
+  def csvSingleFile(df: DataFrame, path: String, header: Boolean = false): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** Parquet sink — the engine-native interchange format. */
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
