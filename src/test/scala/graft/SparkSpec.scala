@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local SparkSession for all specs (one JVM-wide session — Spark
+  * sessions are expensive; getOrCreate dedupes across suites). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.session
+
+  /** sf0.001 testdata — smallest scale, fast specs. */
+  val sfDir = "/root/testdata/sf0.001"
+
+  def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.core.GraftExtensions.registerFunctions(s)
+    s
+  }
+}
