@@ -201,7 +201,10 @@ object Catalog {
            |GROUP BY l_returnflag, l_linestatus
            |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
-  /** All catalog entries, in declaration order. */
-  def all: Seq[QueryDef] = Seq(
-    qEasy, qHard, qRideCounts, qDistHaversine, qDistGeodesic, qTotal, q1Agg)
+  /** All catalog entries, in declaration order: reference workloads, then
+    * relational breadth, text/dedup, vectors, events. */
+  def all: Seq[QueryDef] =
+    Seq(qEasy, qHard, qRideCounts, qDistHaversine, qDistGeodesic, qTotal, q1Agg) ++
+      RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+      EventQueries.all
 }

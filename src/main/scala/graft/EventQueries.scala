@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Event-stream analytics catalog entries over the `events` table
+  * (`event_id, ts, user_id, event_type, value, props`): sessionization,
+  * windowed ranking, pivot, and JSON extraction — the batch faces of the
+  * streaming surface in [[graft.streaming.StreamingRoutes]].
+  *
+  * The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+  * reader only admits as INT64 via the nanosAsLong legacy flag — so `ts`
+  * is handled as epoch-nanos BIGINT end to end (the DuckDB oracle mirrors
+  * with `epoch_ns(ts)`). */
+object EventQueries {
+
+  /** Session gap: 30 minutes, in nanoseconds. */
+  val SessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000
+
+  /** Events with `ts` as epoch-nano BIGINT. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(spark, dir)
+  }
+
+  /** Gap-based sessionization per user (classic lag → flag → running-sum
+    * pattern; the streaming equivalent is `session_window`). One shuffle:
+    * everything runs in a single window partition pass over user_id. */
+  val qSessions = QueryDef("q_events_sessions",
+    (spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(spark, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > SessionGapNs, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum("new_sess").as("n_sessions"),
+          // decimal-summed -> order-independent exact, then one cast:
+          // identical bits in both engines without rounding
+          sum(col("value").cast("decimal(28,10)")).cast("double").as("total_value"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH flagged AS (
+            |  SELECT user_id, value,
+            |         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+            |                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > $SessionGapNs
+            |              THEN 1 ELSE 0 END AS new_sess
+            |  FROM events
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+            |)
+            |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            |       CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+            |       CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+            |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** Top-3 events by value within each event type — per-group top-N via
+    * row_number (T1's grouped generalization). */
+  val qTop3PerType = QueryDef("q_events_top3_per_type",
+    (spark, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(desc("value"), col("event_id"))
+      events(spark, dir)
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("event_type"), col("rank"), col("event_id"), col("value"))
+        .orderBy("event_type", "rank")
+    },
+    Some("""SELECT event_type, CAST(rank AS INT) AS rank, event_id, value
+           |FROM (
+           |  SELECT event_type, event_id, value,
+           |         row_number() OVER (PARTITION BY event_type
+           |           ORDER BY value DESC, event_id) AS rank
+           |  FROM events
+           |) WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin))
+
+  /** Event-type counts pivoted to columns per user (explicit value list —
+    * the scalable form: no second pass to discover distinct values). */
+  val qUserPivot = QueryDef("q_events_user_pivot",
+    (spark, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(spark, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select(col("user_id") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id,
+           |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** Semi-structured extraction: pull `k` out of the JSON `props` column
+    * and aggregate — scan-side projection keeps only the parsed value. */
+  val qJsonExtract = QueryDef("q_events_json_extract",
+    (spark, dir) => events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        avg("k").as("avg_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(k) AS BIGINT) AS sum_k, avg(k) AS avg_k
+           |FROM (SELECT event_type,
+           |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           |      FROM events)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(qSessions, qTop3PerType, qUserPivot, qJsonExtract)
+}

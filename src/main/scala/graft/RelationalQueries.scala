@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Relational-breadth catalog entries over the TPC-H-ish tables: semi/anti
+  * joins, multi-way join + agg + top-N, and set operations — the operator
+  * families a user of a general-purpose engine reaches for beyond the
+  * reference's four workloads. */
+object RelationalQueries {
+
+  /** Customers without orders, per nation — anti join (plus the count of
+    * those with orders — semi join) in one result. Anti/semi never
+    * materialize the probe side's payload: at scale the orders side is
+    * reduced to its distinct custkeys before the join. */
+  val qSemiAnti = QueryDef("q_cust_order_presence",
+    (spark, dir) => {
+      val cust = Tables.customer(spark, dir)
+      val orders = Tables.orders(spark, dir).select(col("o_custkey")).distinct()
+      val nation = Tables.nation(spark, dir)
+      val withO = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("with_orders"))
+      val withoutO = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("without_orders"))
+      nation.select(col("n_nationkey"), col("n_name"))
+        .join(withO, col("n_nationkey") === withO("c_nationkey"), "left")
+        .drop("c_nationkey")
+        .join(withoutO, col("n_nationkey") === withoutO("c_nationkey"), "left")
+        .drop("c_nationkey")
+        .select(col("n_name"),
+          coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+          coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+           |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+           |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           |      THEN 0 ELSE 1 END) AS BIGINT) AS without_orders
+           |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+           |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  /** Revenue top-10 customers: lineitem ⋈ orders ⋈ customer, exact
+    * decimal-summed revenue (TPC-H Q3/Q10 family). Join order matters at
+    * scale: lineitem→orders first (both huge, co-partitioned on orderkey),
+    * then the customer dimension — which AQE turns into a broadcast. */
+  val qTopCustomers = QueryDef("q_top_customers_revenue",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,6)").as("rev"))
+      val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("revenue"), 4).as("revenue"), col("n_items"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(10)
+    },
+    Some("""SELECT c_custkey, c_name,
+           |  ROUND(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_custkey, c_name
+           |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin))
+
+  /** Set operations: countries appearing as customer nations UNION/
+    * INTERSECT/EXCEPT supplier nations (SURVEY §2.9 notes the reference
+    * has none — this is engine-breadth coverage). */
+  val qSetOps = QueryDef("q_nation_set_ops",
+    (spark, dir) => {
+      val custN = Tables.customer(spark, dir).select(col("c_nationkey").as("nk")).distinct()
+      val suppN = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")).distinct()
+      // scalar count per branch (not groupBy) so an EMPTY set still
+      // yields its zero row — groupBy would silently drop it
+      def counted(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("set_op"), col("n"))
+      counted("union", custN.union(suppN).distinct())
+        .union(counted("intersect", custN.intersect(suppN)))
+        .union(counted("except", custN.except(suppN)))
+        .orderBy("set_op")
+    },
+    Some("""WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+           |     s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+           |     u AS (SELECT 'union' AS set_op, count(*) AS n
+           |           FROM (SELECT nk FROM c UNION SELECT nk FROM s)),
+           |     i AS (SELECT 'intersect' AS set_op, count(*) AS n
+           |           FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)),
+           |     e AS (SELECT 'except' AS set_op, count(*) AS n
+           |           FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s))
+           |SELECT set_op, CAST(n AS BIGINT) AS n FROM (
+           |  SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e
+           |) ORDER BY set_op""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(qSemiAnti, qTopCustomers, qSetOps)
+}

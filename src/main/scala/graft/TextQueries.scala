@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Dedup
+import graft.text.TextAnalysis._
+
+/** Text-analysis + deduplication catalog entries over the `documents`
+  * table (LLM-pipeline extension surface; no reference counterpart —
+  * SURVEY §2.7 note). Oracle SQL is generated from the same constants as
+  * the Spark plans (see [[graft.text.TextAnalysis]]), so both engines
+  * compute identical doubles and the driver's hash compare is exact. */
+object TextQueries {
+
+  /** Shingle size for near-dup detection (word trigrams). */
+  val ShingleN = 3
+
+  /** Near-dup Jaccard threshold. The synthetic corpus separates cleanly
+    * (planted pairs ≥ 0.8, background ≤ 0.14), and 0.5 keeps the LSH
+    * band-miss probability negligible (k=128, b=32: P[miss|s=0.8] ≈ 5e-8). */
+  val MinJaccard = 0.5
+
+  /** Per-document token/quality statistics — P1/P2-style projection with
+    * pure scalar text functions, no shuffle at all (scan → project).
+    * Doubles are emitted UNROUNDED: every value is rational arithmetic on
+    * small integers evaluated in the same operation order in both engines,
+    * so the bits agree exactly — whereas rounding would sit on .5 decimal
+    * boundaries (e.g. 0.59625) where Spark's HALF_UP and C-style rounding
+    * disagree. */
+  val qTextStats = QueryDef("q_text_stats",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        avgTokenLen(col("text")).as("avg_token_len"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        distinctRatio(col("text")).as("distinct_ratio"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+            |  CAST(${tokenCountSql("text")} AS BIGINT) AS n_tokens,
+            |  ${avgTokenLenSql("text")} AS avg_token_len,
+            |  ${stopwordRatioSql("text")} AS stopword_ratio,
+            |  ${distinctRatioSql("text")} AS distinct_ratio,
+            |  ${qualityScoreSql("text")} AS quality
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Language-ID heuristic per document + corpus rollup: predicted code
+    * from marker-word argmax (deterministic tie-break). */
+  val qLangId = QueryDef("q_lang_id",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(col("doc_id"), langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, ${langIdSql("text")} AS pred_lang
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Corpus token frequencies, top 50 — the canonical explode → groupBy
+    * word-count (the generic 1→n FlatMap shape of SURVEY §2.8, T2). */
+  val qTokenFreq = QueryDef("q_token_freq",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("word"))
+      .limit(50),
+    Some("""SELECT word, CAST(count(*) AS BIGINT) AS freq
+           |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |GROUP BY word ORDER BY freq DESC, word LIMIT 50""".stripMargin))
+
+  /** Exact dedup groups: our side groups by the 64-bit content
+    * fingerprint; the oracle groups by the raw text — results agree iff
+    * the fingerprint is collision-free and content-faithful, so this
+    * doubles as a fingerprint correctness check. */
+  val qDedupExact = QueryDef("q_dedup_exact",
+    (spark, dir) => Dedup.exactGroups(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("keeper_id"),
+    Some("""SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+           |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin))
+
+  /** The DuckDB mirror of token-trigram Jaccard pairs ≥ [[MinJaccard]] —
+    * shared by the exact and the LSH entries (the LSH path verifies
+    * candidates with exact Jaccard, so its confirmed output is identical
+    * up to band-miss probability ≈ 5e-8). */
+  private val jaccardOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${shinglesOverWsSql(ShingleN)}) AS shingle
+       |  FROM toks
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= $MinJaccard
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs (inverted-index self-join). */
+  val qDedupJaccard = QueryDef("q_dedup_jaccard",
+    (spark, dir) => Dedup.jaccardPairs(
+      Tables.documents(spark, dir), "doc_id", "text", ShingleN, MinJaccard)
+      .orderBy("doc_a", "doc_b"),
+    Some(jaccardOracle))
+
+  /** MinHash+LSH near-dup pairs, exact-verified — the 100 TB scale path.
+    * Same oracle as [[qDedupJaccard]]: banding (k=128, b=32) recalls every
+    * pair ≥ 0.8 with probability 1 − 5e-8 and verification removes all
+    * false positives, so outputs match exactly on this corpus. */
+  val qDedupMinhash = QueryDef("q_dedup_minhash_lsh",
+    (spark, dir) => Dedup.minhashLshPairs(
+      Tables.documents(spark, dir), "doc_id", "text", ShingleN, MinJaccard)
+      .orderBy("doc_a", "doc_b"),
+    Some(jaccardOracle))
+
+  /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit token-multiset
+    * SimHash). Not SQL-expressible → rows-only driver check; the spec
+    * cross-validates against the Jaccard ground truth. */
+  val qDedupSimhash = QueryDef("q_dedup_simhash",
+    (spark, dir) => Dedup.simhashPairs(
+      Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("doc_a", "doc_b"),
+    None)
+
+  def all: Seq[QueryDef] = Seq(
+    qTextStats, qLangId, qTokenFreq,
+    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Similarity-search catalog entries over the `embeddings` table
+  * (`vec_id`, `embedding: array<float>`, `label`). Oracles use DuckDB's
+  * `list_cosine_similarity` over the embedding cast to DOUBLE[] — the same
+  * index-order double accumulation as [[graft.expr.CosineSim]]; both sides
+  * round to 1e-6 before ranking so rank ties are cross-engine stable. */
+object VectorQueries {
+
+  /** Number of query vectors (the `vec_id < N` prefix — a stand-in for a
+    * user-supplied query set). */
+  val NQueries = 10
+  val TopK = 10
+  val TopPairs = 50
+
+  /** Brute-force exact cosine top-k per query vector — the ANN baseline.
+    * Plan shape: corpus scan → broadcast nested-loop with the tiny query
+    * side → codegen'd cosine → per-query TopK (one shuffle keyed by
+    * query_id for the window). */
+  val qAnnTopK = QueryDef("q_ann_topk_bruteforce",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", TopK)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |), scored AS (
+            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine
+            |  FROM e q JOIN e c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+            |), ranked AS (
+            |  SELECT query_id, neighbor_id, cosine,
+            |         CAST(row_number() OVER (PARTITION BY query_id
+            |           ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+            |  FROM scored
+            |)
+            |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+            |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
+  /** Global top-50 most-similar embedding pairs — the embedding-cosine
+    * near-dup surface (exact, all-pairs). */
+  val qEmbedTopPairs = QueryDef("q_embed_top_pairs",
+    (spark, dir) => Similarity.topPairs(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", TopPairs),
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |)
+            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            |FROM e a JOIN e b ON a.vec_id < b.vec_id
+            |ORDER BY cosine DESC, vec_a, vec_b LIMIT $TopPairs""".stripMargin))
+
+  /** Approximate top pairs via random-hyperplane LSH, exact-cosine
+    * verified. Not SQL-expressible (signature kernel) → rows-only driver
+    * check; the spec measures recall against [[qEmbedTopPairs]]. */
+  val qAnnLsh = QueryDef("q_ann_lsh_pairs",
+    (spark, dir) => Similarity.lshTopKPairs(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", TopPairs),
+    None)
+
+  def all: Seq[QueryDef] = Seq(qAnnTopK, qEmbedTopPairs, qAnnLsh)
+}

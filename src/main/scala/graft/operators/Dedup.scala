@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expr.{Fingerprint64, LshBands, MinHashSig, SimHash64}
+import graft.text.TextAnalysis
+
+/** Deduplication operators for LLM-training-data pipelines: exact
+  * (content-hash groupBy), n-gram Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale design (100 TB): every path below shuffles *hashes or pairs*,
+  * never document bodies —
+  *   - exact: 8-byte fingerprint per row through one hash-agg shuffle;
+  *   - jaccard: explode to (shingle, doc_id) — the inverted index — and
+  *     self-join on shingle. Exact but quadratic in per-shingle doc
+  *     frequency, so it's the verify/oracle path, not the scale path;
+  *   - minhash LSH: constant-size signature (k longs) per doc, candidates
+  *     from band-bucket equi-joins (shuffle keyed by 8-byte bucket), then
+  *     exact-Jaccard verification ONLY on candidates. This is the path
+  *     whose cost stays linear-ish as the corpus grows; stop-shingle
+  *     skew (a shingle appearing in millions of docs) never explodes it
+  *     because bucket width is governed by band hashes, not shingle DF.
+  *   - simhash: one long per doc; near-dups differ in ≤ maxHamming bits,
+  *     candidates from chunk-equality buckets (pigeonhole over
+  *     maxHamming+1 chunks), verified with bit_count(xor).
+  *
+  * No counterpart exists in the reference (its only join is the station
+  * cross join, `/root/reference/pipelines/stations.py:62-77`); this is
+  * graft's LLM-pipeline extension surface.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by 64-bit content fingerprint: one row
+    * per distinct content with the keeper (min id) and the copy count.
+    * `groupBy(fingerprint)` shuffles 16 bytes/row regardless of document
+    * size; collision probability at 10^10 docs is ~3e-3 (birthday, 64-bit)
+    * — acceptable for training-data dedup where a false merge loses one
+    * document; use a 128-bit pair of fingerprints where it is not. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), Fingerprint64(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+
+  /** Rows surviving exact dedup (the keeper of every duplicate group).
+    * Two-phase: tiny (fp → keeper) map, then a semi-join back — so full
+    * rows travel once, in the final join, not through the agg shuffle. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = docs
+      .select(col(idCol), Fingerprint64(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** Exploded inverted index: one (id, shingle) row per distinct shingle
+    * per doc. */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+
+  /** All document pairs (a < b) with shingle-Jaccard ≥ minJaccard, exact.
+    * Output: (doc_a, doc_b, jaccard). The join explodes per-shingle doc
+    * lists — exact ground truth for tests/oracles; prefer
+    * [[minhashLshPairs]] beyond ~10^6 docs. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n)
+    val sizes = idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = idx.as("a")
+      .join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Candidate pairs from MinHash banding: docs sharing ≥1 of `bands`
+    * band-bucket keys. k = hashes in the signature (bands must divide k).
+    * P[candidate | jaccard=s] = 1 − (1 − s^(k/bands))^bands. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, seed: Long): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      LshBands(MinHashSig(TextAnalysis.shingles(col(textCol), n), k, seed), bands)
+        .as("bandkeys"))
+    val buckets = sigs.select(col("id"),
+      posexplode(col("bandkeys")).as(Seq("band", "key")))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs via MinHash LSH, verified: candidates from banding,
+    * then EXACT Jaccard (array_intersect over the two shingle sets) —
+    * so false positives are eliminated and the only approximation is
+    * band-miss probability (e.g. k=128, bands=32: P[miss | s=0.8] ≈ 5e-8).
+    * Output identical in shape/semantics to [[jaccardPairs]]. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, k: Int = 128, bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, n, k, bands, seed)
+    val sets = docs.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), n).as("sh"))
+    cands
+      .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Per-doc 64-bit SimHash (token multiset, occurrence-weighted). */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      SimHash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+
+  /** Near-dup pairs with hamming(simhash_a, simhash_b) ≤ maxHamming.
+    * Pigeonhole blocking: split the 64-bit hash into maxHamming+1 chunks —
+    * any pair within the radius agrees on ≥1 whole chunk, so candidates
+    * come from chunk-equality buckets, then exact bit_count verification. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val hashes = simhashes(docs, idCol, textCol)
+    val chunkCols: Column = array((0 until chunks).map { c =>
+      // chunk c = bits [c*width, (c+1)*width) (last chunk takes the rest)
+      val w = if (c == chunks - 1) 64 - c * width else width
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask))
+    }: _*)
+    val buckets = hashes.select(col("id"), col("simhash"),
+      posexplode(chunkCols).as(Seq("chunk", "key")))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM-training-data pipelines:
+  * tokenization, quality scoring, language ID, shingling.
+  *
+  * Every scalar here is a composition of built-in (whole-stage-codegen'd)
+  * Spark functions — no UDF closures — and each has an exact SQL mirror
+  * (the `*Sql` methods, DuckDB dialect) built from the SAME constants, so
+  * an oracle engine reproduces the values bit-for-bit (doubles: identical
+  * operation order; callers round outputs to a 1e-4 grain ≫ libm jitter
+  * before hash-compare).
+  *
+  * The reference engine has no text surface (SURVEY §2.7: its only scalar
+  * UDFs are geodesic distance and csv formatting —
+  * `/root/reference/pipelines/stations.py:18-22`,
+  * `/root/reference/pipelines/total_distance.py:50-52`); this module is
+  * part of graft's LLM-pipeline extension surface.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. One definition used by every operator below. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokensSql(text: String): String = s"string_split($text, ' ')"
+
+  /** English-ish stopword list used for quality scoring. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Per-language marker (stopword) lists for the language-ID heuristic.
+    * Deterministic argmax, ties broken by list order below; score 0 → "und".
+    * (A real deployment would use char-n-gram profiles; the marker-word
+    * heuristic is the classic cheap variant and is exactly SQL-mirrorable.) */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pas"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "you", "zai"))
+
+  private def inList(w: Column, words: Seq[String]): Column =
+    w.isin(words.map(_.asInstanceOf[Any]): _*)
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Number of whitespace tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def tokenCountSql(text: String): String = s"len(${tokensSql(text)})"
+
+  /** Mean token length in characters, exactly: (chars − spaces) / tokens.
+    * Integer arithmetic then ONE division — identical across engines. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - lit(1))).cast("double") /
+      tokenCount(text).cast("double")
+
+  def avgTokenLenSql(text: String): String =
+    s"CAST(length($text) - (${tokenCountSql(text)} - 1) AS DOUBLE) / " +
+      s"CAST(${tokenCountSql(text)} AS DOUBLE)"
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column =
+    size(filter(tokens(text), w => inList(w, stopwords))).cast("double") /
+      tokenCount(text).cast("double")
+
+  def stopwordRatioSql(text: String): String =
+    s"CAST(len(list_filter(${tokensSql(text)}, w -> w IN ${sqlList(stopwords)})) AS DOUBLE) / " +
+      s"CAST(${tokenCountSql(text)} AS DOUBLE)"
+
+  /** Fraction of distinct tokens (type/token ratio — lexical diversity). */
+  def distinctRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") /
+      tokenCount(text).cast("double")
+
+  def distinctRatioSql(text: String): String =
+    s"CAST(len(list_distinct(${tokensSql(text)})) AS DOUBLE) / " +
+      s"CAST(${tokenCountSql(text)} AS DOUBLE)"
+
+  /** Document quality score in [0,1]: length balance + non-stopword mass +
+    * word-length balance + lexical diversity. Fixed weights; operation
+    * order identical in the SQL mirror. */
+  def qualityScore(text: Column): Column =
+    lit(0.3) * least(lit(1.0), tokenCount(text).cast("double") / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - stopwordRatio(text)) +
+      lit(0.2) * least(lit(1.0), avgTokenLen(text) / lit(8.0)) +
+      lit(0.2) * distinctRatio(text)
+
+  def qualityScoreSql(text: String): String =
+    s"0.3 * LEAST(1.0, CAST(${tokenCountSql(text)} AS DOUBLE) / 100.0) + " +
+      s"0.3 * (1.0 - ${stopwordRatioSql(text)}) + " +
+      s"0.2 * LEAST(1.0, ${avgTokenLenSql(text)} / 8.0) + " +
+      s"0.2 * ${distinctRatioSql(text)}"
+
+  /** Marker-count score for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => inList(w, markers)))
+
+  /** Predicted language code: argmax marker count, ties → [[langMarkers]]
+    * order, all-zero → "und". */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (code, markers) =>
+      code -> langScore(text, markers)
+    }
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // Fold from the end so the FIRST language in list order wins ties.
+    val firstMax = scores.reverse.foldLeft(lit("und")) {
+      case (acc, (code, s)) => when(s === maxScore, lit(code)).otherwise(acc)
+    }
+    when(maxScore === 0, lit("und")).otherwise(firstMax)
+  }
+
+  def langIdSql(text: String): String = {
+    val scoreSqls = langMarkers.map { case (code, markers) =>
+      code -> s"len(list_filter(${tokensSql(text)}, w -> w IN ${sqlList(markers)}))"
+    }
+    val maxSql = scoreSqls.map(_._2).mkString("GREATEST(", ", ", ")")
+    // CASE walks langMarkers order → first max wins, same as the fold.
+    val whens = scoreSqls
+      .map { case (code, s) => s"WHEN $s = $maxSql THEN '$code'" }
+      .mkString(" ")
+    s"CASE WHEN $maxSql = 0 THEN 'und' $whens ELSE 'und' END"
+  }
+
+  /** Distinct word n-gram shingles (the unit of Jaccard similarity for
+    * near-dup detection). Documents shorter than n yield one short shingle
+    * (concat_ws skips the missing positions) so they can still match. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    val ngrams = transform(
+      sequence(lit(0), greatest(size(ws) - lit(n), lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => try_element_at(ws, i + lit(j + 1))): _*))
+    array_distinct(ngrams)
+  }
+
+  /** The DuckDB shingle expression over a token-list column `ws` (1-indexed
+    * lists; concat_ws skips out-of-range NULLs, same as the Column form). */
+  def shinglesOverWsSql(n: Int): String = {
+    val parts = (0 until n).map(j => s"ws[i + $j]").mkString(", ")
+    s"list_distinct([concat_ws(' ', $parts) " +
+      s"for i in generate_series(1, GREATEST(len(ws) - ${n - 1}, 1))])"
+  }
+}

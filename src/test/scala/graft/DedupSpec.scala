@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Sources
+
+/** Dedup + similarity operator specs: micro-fixtures with known answers,
+  * plus cross-validation of the approximate paths (MinHash-LSH, SimHash,
+  * vector LSH) against their exact counterparts on the sf0.001 corpus. */
+class DedupSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  private def docs(rows: (Long, String)*) =
+    Sources.inMemory(spark, rows.map(r => Row(r._1, r._2)), docSchema)
+
+  test("exactGroups: duplicate texts collapse to keeper with copy count") {
+    val d = docs(
+      (1L, "aa bb cc"), (2L, "dd ee ff"), (3L, "aa bb cc"),
+      (4L, "aa bb cc"), (5L, "gg hh"))
+    val out = rows(Dedup.exactGroups(d, "doc_id", "text"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 5L -> 1L))
+  }
+
+  test("exactDedup keeps exactly the keeper rows") {
+    val d = docs((1L, "x"), (2L, "x"), (3L, "y"))
+    val kept = rows(Dedup.exactDedup(d, "doc_id", "text")).map(_.getLong(0)).sorted
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("jaccardPairs: hand-computable trigram overlap") {
+    // a: tokens 1..5 -> shingles {1 2 3, 2 3 4, 3 4 5} (3)
+    // b: tokens 2..6 -> shingles {2 3 4, 3 4 5, 4 5 6} (3); inter=2, union=4
+    val d = docs((1L, "t1 t2 t3 t4 t5"), (2L, "t2 t3 t4 t5 t6"))
+    val out = rows(Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.4))
+    assert(out.size == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-12)
+  }
+
+  test("minhashLshPairs reproduces exact jaccardPairs on the sf0.001 corpus") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = rows(Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.5))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = rows(Dedup.minhashLshPairs(d, "doc_id", "text", 3, 0.5))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty) // the corpus plants near-dup pairs
+    assert(lsh == exact)
+  }
+
+  test("simhashPairs finds the planted near-dups (recall vs jaccard truth)") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val truth = rows(Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = rows(Dedup.simhashPairs(d, "doc_id", "text", 3))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    // SimHash(hamming≤3) is a different similarity surface than Jaccard —
+    // demand substantial-but-not-total agreement on ~99%-similar pairs.
+    val recall = (truth & sim).size.toDouble / truth.size
+    assert(recall >= 0.5, s"simhash recall $recall over ${truth.size} truth pairs")
+  }
+
+  test("vector LSH candidates recall the exact top pairs") {
+    // This corpus's top pairs sit at moderate cosine (~0.5, θ≈60°) — far
+    // below the near-dup regime the 8-bit defaults target — so probe with
+    // wider buckets (6 bits) and more tables (24): per-pair collision
+    // ≈ 1−(1−(1/3)^6·…)^24 ≈ 0.7 at cos 0.5, ~1.0 in the ≥0.9 regime.
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = rows(Similarity.topPairs(e, "vec_id", "embedding", 20))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows(Similarity.lshTopKPairs(
+      e, "vec_id", "embedding", 20, nBits = 6, tables = 24))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.55, s"lsh recall $recall")
+  }
+
+  test("bruteForceTopK: ranks are 1..k, ordered by cosine desc") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = rows(Similarity.bruteForceTopK(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "vec_id", "embedding", 5))
+    assert(out.size == 15)
+    out.groupBy(_.getLong(0)).foreach { case (_, gs) =>
+      val byRank = gs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)) == Seq(1, 2, 3, 4, 5))
+      val cosines = byRank.map(_.getDouble(3))
+      assert(cosines == cosines.sorted.reverse)
+    }
+  }
+}
