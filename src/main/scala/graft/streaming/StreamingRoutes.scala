@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming faces of the engine's transforms.
+  *
+  * The reference flips `streaming = True` on its pipeline options but never
+  * consumes an unbounded source (SURVEY §2.10 — the flag is vestigial,
+  * `notebooks/development.ipynb` cell 2). The capability the reference
+  * *gestures at* is the Beam unified model: the same transform graph on
+  * bounded and unbounded data. Structured Streaming gives graft exactly
+  * that — these builders take any DataFrame (batch or `readStream`-backed)
+  * and return the same logical plan, so each is spec-tested for
+  * batch/stream parity.
+  *
+  * Scale notes: state stores are keyed by the same columns the batch
+  * aggregation shuffles on — watermarks bound state size (late data beyond
+  * the watermark is dropped, documented per-operator); sliding windows
+  * multiply state by (window/slide), so default to tumbling.
+  */
+object StreamingRoutes {
+
+  /** Windowed route counts — the streaming face of
+    * [[graft.operators.RideCounts.countPerPair]]: COUNT(*) per
+    * (time window, start, end). Tumbling when `slide` == `windowDur`.
+    *
+    * @param tsCol      event-time column (TimestampType)
+    * @param watermark  max event-time lateness before state is finalized
+    */
+  def windowedRouteCounts(rides: DataFrame, tsCol: String,
+      startCol: String, endCol: String,
+      windowDur: String, watermark: String): DataFrame =
+    rides
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(startCol), col(endCol))
+      .agg(count(lit(1)).as("amount_of_rides"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(startCol), col(endCol), col("amount_of_rides"))
+
+  /** Per-user session aggregation — the streaming face of
+    * [[graft.EventQueries.qSessions]]'s gap sessionization, via the native
+    * `session_window` (state closes `gap` after the last event). */
+  def sessionStats(events: DataFrame, tsCol: String, userCol: String,
+      gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(userCol), col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup: drop any row whose content fingerprint was
+    * already seen within the watermark horizon — `dropDuplicates` backed
+    * by a keyed state store holding only the 8-byte fingerprint. */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("fp", graft.expr.Fingerprint64(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+}

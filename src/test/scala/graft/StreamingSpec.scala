@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingRoutes
+
+/** Batch/stream parity specs: the same StreamingRoutes plan over a
+  * MemoryStream must reproduce the batch answer on the same data —
+  * the unified-model capability SURVEY §2.10 calls for. */
+// Top-level so Spark can synthesize encoders without an outer scope.
+case class Ride(ts: Timestamp, start: String, end: String)
+case class Ev(ts: Timestamp, user_id: Long, value: Double)
+case class Doc(ts: Timestamp, text: String)
+
+class StreamingSpec extends SparkSpec {
+
+  private def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val rides = Seq(
+    Ride(t(1), "A", "B"), Ride(t(2), "A", "B"), Ride(t(3), "C", "D"),
+    Ride(t(11), "A", "B"), Ride(t(12), "C", "D"), Ride(t(13), "C", "D"))
+
+  test("windowedRouteCounts: stream result equals batch result") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val stream = MemoryStream[Ride]
+    stream.addData(rides: _*)
+    val q = StreamingRoutes
+      .windowedRouteCounts(stream.toDF(), "ts", "start", "end",
+        windowDur = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("routes")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("routes")
+      .select("window_start", "start", "end", "amount_of_rides")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+    val batch = StreamingRoutes
+      .windowedRouteCounts(rides.toDF(), "ts", "start", "end",
+        windowDur = "10 minutes", watermark = "5 minutes")
+      .select("window_start", "start", "end", "amount_of_rides")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+    assert(streamed == batch)
+    assert(batch == Set(
+      (t(0), "A", "B", 2L), (t(0), "C", "D", 1L),
+      (t(10), "A", "B", 1L), (t(10), "C", "D", 2L)))
+  }
+
+  test("sessionStats: session_window closes after the gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val stream = MemoryStream[Ev]
+    // user 1: events at 10:01, 10:03 (one session), 10:30 (a second)
+    stream.addData(Ev(t(1), 1L, 1.0), Ev(t(3), 1L, 2.0), Ev(t(30), 1L, 4.0))
+    val q = StreamingRoutes
+      .sessionStats(stream.toDF(), "ts", "user_id",
+        gap = "10 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("sessions")
+      .select("user_id", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0)))
+  }
+
+  test("streamingDedup drops repeated content within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val stream = MemoryStream[Doc]
+    stream.addData(Doc(t(1), "same text"), Doc(t(2), "same text"),
+      Doc(t(3), "other text"))
+    val q = StreamingRoutes
+      .streamingDedup(stream.toDF(), "ts", "text", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val texts = spark.table("deduped").select("text")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(texts == Seq("other text", "same text"))
+  }
+}
