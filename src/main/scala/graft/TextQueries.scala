@@ -30,11 +30,12 @@ object TextQueries {
   val qTextStats = QueryDef("q_text_stats",
     (spark, dir) => Tables.documents(spark, dir)
       .select(col("doc_id"),
-        tokenCount(col("text")).cast("long").as("n_tokens"),
-        avgTokenLen(col("text")).as("avg_token_len"),
-        stopwordRatio(col("text")).as("stopword_ratio"),
-        distinctRatio(col("text")).as("distinct_ratio"),
-        qualityScore(col("text")).as("quality"))
+        graft.expr.TextStats(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
+        col("s.avg_token_len").as("avg_token_len"),
+        col("s.stopword_ratio").as("stopword_ratio"),
+        col("s.distinct_ratio").as("distinct_ratio"),
+        col("s.quality").as("quality"))
       .orderBy("doc_id"),
     Some(s"""SELECT doc_id,
             |  CAST(${tokenCountSql("text")} AS BIGINT) AS n_tokens,

@@ -97,11 +97,22 @@ object Dedup {
         .as("bandkeys"))
     val buckets = sigs.select(col("id"),
       posexplode(col("bandkeys")).as(Seq("band", "key")))
-    buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    // group each band bucket and emit its member pairs — signatures are
+    // computed ONCE (a self-join would re-derive them on both sides) and
+    // the only shuffle moves (band, key, id) triples. Bucket width is
+    // governed by the band hash, so a stop-shingle never floods a bucket;
+    // a bucket of near-identical content is quadratic by NATURE of the
+    // problem (they are all true pairs) — cap/sample upstream if a corpus
+    // can contain millions of byte-identical docs (exact-dedup first).
+    val grouped = buckets.groupBy("band", "key")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    grouped
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("i"), col("a"), posexplode(col("ids")).as(Seq("j", "b")))
+      .filter(col("i") < col("j"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"))
       .distinct()
   }
 

@@ -69,28 +69,34 @@ object Similarity {
     * keyed on (table, sig) — an 8-byte shuffle key, never the vectors. */
   def lshCandidates(vectors: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 8, tables: Int = 16, seed: Long = 7L): DataFrame = {
-    val sigs = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val sigs = vectors.select(col(idCol).as("id"),
       array((0 until tables).map(t =>
         RandomProjectionSig(col(vecCol), nBits, seed + t * 1000003L)): _*)
         .as("sigs"))
-    val buckets = sigs.select(col("id"), col("v"),
+    val buckets = sigs.select(col("id"),
       posexplode(col("sigs")).as(Seq("table", "sig")))
+    // candidates carry ONLY the 8-byte ids through join + distinct; the
+    // vectors are re-joined by the verifier — at scale this keeps the
+    // bucket shuffle and dedup shuffle payload-free
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_a"), col("a.v").as("va"),
-        col("b.id").as("vec_b"), col("b.v").as("vb"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
       .distinct()
   }
 
   /** Approximate global top-N pairs: LSH candidates verified with exact
     * cosine. Same output shape as [[topPairs]]; recall measured in specs. */
   def lshTopKPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      topN: Int, nBits: Int = 8, tables: Int = 16, seed: Long = 7L): DataFrame =
+      topN: Int, nBits: Int = 8, tables: Int = 16, seed: Long = 7L): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     lshCandidates(vectors, idCol, vecCol, nBits, tables, seed)
+      .join(v.select(col("id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(v.select(col("id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(CosineSim(col("va"), col("vb")), 6).as("cosine"))
       .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
       .limit(topN)
+  }
 }

@@ -31,8 +31,11 @@ object TotalDistance {
       col(startCol).as("start"), col(endCol).as("end"), col(countName).as("cnt"))
     val dists = pairDistances.select(
       col("station_1").as("start"), col("station_2").as("end"), col("distance_km"))
+    // full_outer cannot build a broadcast side in Spark; hint SHUFFLE_HASH
+    // so the join hashes instead of sorting both sides (saves two sorts —
+    // the pair-distance side is n² rows at scale)
     counts
-      .join(broadcast(dists), Seq("start", "end"), "full_outer")
+      .join(dists.hint("shuffle_hash"), Seq("start", "end"), "full_outer")
       .select(
         col("start"), col("end"),
         coalesce(col("cnt"), lit(0L)).as("amount_of_rides"),

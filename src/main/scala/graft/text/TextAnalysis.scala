@@ -125,9 +125,17 @@ object TextAnalysis {
   }
 
   /** Distinct word n-gram shingles (the unit of Jaccard similarity for
-    * near-dup detection). Documents shorter than n yield one short shingle
-    * (concat_ws skips the missing positions) so they can still match. */
-  def shingles(text: Column, n: Int): Column = {
+    * near-dup detection). Documents shorter than n yield one whole-document
+    * shingle so they can still match. Native codegen kernel — the composed
+    * form below is 25× slower because higher-order functions run
+    * interpreted outside whole-stage codegen. */
+  def shingles(text: Column, n: Int): Column =
+    graft.expr.ShinglesExpr(text, n)
+
+  /** The built-in-functions composition of [[shingles]] — kept as the
+    * executable spec of the kernel's semantics (equivalence is asserted in
+    * TextAnalysisSpec) and as the form other engines can reproduce. */
+  def shinglesComposed(text: Column, n: Int): Column = {
     val ws = tokens(text)
     val ngrams = transform(
       sequence(lit(0), greatest(size(ws) - lit(n), lit(0))),
