@@ -1,0 +1,90 @@
+package graft.cli
+
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, Tables}
+import graft.operators.{RideCounts, StationDistances, TotalDistance}
+import graft.sources.Sinks
+
+/** Command-line entry points mirroring the reference's four pipeline mains
+  * and their flags (`--output`, `--top_n`, `--input_col` —
+  * `/root/reference/pipelines/cycle_rides.py:17-24`,
+  * `/root/reference/pipelines/total_distance.py:62-67`), so a user of the
+  * reference can run the same jobs against the same kind of arguments:
+  *
+  * {{{
+  * runMain graft.cli.Main sql-top-routes --input DIR --output PATH [--limit N]
+  * runMain graft.cli.Main top-routes --input DIR --output PATH [--top-n N]
+  * runMain graft.cli.Main station-distances --input DIR --output PATH
+  *         [--input-col id|name] [--distinct]
+  * runMain graft.cli.Main total-distance --input DIR --output PATH
+  * }}}
+  *
+  * Sinks reproduce the reference's WriteToText shapes (SURVEY §2.2):
+  * headered CSV (K1), plain CSV (K2), single-file CSV (K3).
+  */
+object Main {
+
+  private def parseFlags(args: Array[String]): Map[String, String] = {
+    @annotation.tailrec
+    def go(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case k :: v :: tail if k.startsWith("--") && !v.startsWith("--") =>
+          go(tail, acc + (k.stripPrefix("--") -> v))
+        case k :: tail if k.startsWith("--") => // boolean flag (--distinct)
+          go(tail, acc + (k.stripPrefix("--") -> "true"))
+        case other :: _ => sys.error(s"unexpected argument: $other")
+        case Nil => acc
+      }
+    go(args.toList, Map.empty)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: <command> --input DIR --output PATH [flags]")
+    val cmd = args.head
+    val flags = parseFlags(args.tail)
+    val input = flags.getOrElse("input",
+      sys.error("--input <testdata sf dir> is required"))
+    val output = flags.getOrElse("output", sys.error("--output <path> is required"))
+    val spark = GraftSession.getOrCreate(s"graft-$cmd")
+
+    cmd match {
+      case "sql-top-routes" => // Q-easy (sql_cycle_rides.py) — SQL, K2 sink
+        Tables.lineitem(spark, input).createOrReplaceTempView("lineitem")
+        Tables.supplier(spark, input).createOrReplaceTempView("supplier")
+        val limit = flags.getOrElse("limit", "100").toInt
+        Sinks.csv(spark.sql(graft.Catalog.easySql.replace("LIMIT 100", s"LIMIT $limit")),
+          output)
+
+      case "top-routes" => // Q-hard-1 (cycle_rides.py) — engine ops, K1 sink
+        val topN = flags.getOrElse("top-n", "100000").toInt
+        Sinks.csvWithHeader(
+          RideCounts.topRoutes(Tables.rides(spark, input),
+            "start_station_id", "end_station_id", topN),
+          output)
+
+      case "station-distances" => // Q-dist (stations.py) — K2 sink
+        val stations = flags.getOrElse("input-col", "id") match {
+          case "name" => Tables.stationsByName(spark, input) -> "name"
+          case _ => Tables.stationsById(spark, input) -> "id"
+        }
+        val pairs =
+          if (flags.contains("distinct"))
+            StationDistances.pairwiseDistinct(stations._1, stations._2)
+          else StationDistances.pairwise(stations._1, stations._2)
+        Sinks.csv(pairs, output)
+
+      case "total-distance" => // Q-total (total_distance.py) — K3 single file
+        val rides = Tables.rides(spark, input)
+        val counts = RideCounts.countPerPair(
+          rides, "start_station_id", "end_station_id", "cnt")
+        val dists = StationDistances.pairwise(Tables.stationsById(spark, input), "id")
+        Sinks.csvSingleFile(
+          TotalDistance.totalKm(counts, dists,
+            "start_station_id", "end_station_id", "cnt"),
+          output)
+
+      case other => sys.error(s"unknown command: $other")
+    }
+    spark.stop()
+  }
+}

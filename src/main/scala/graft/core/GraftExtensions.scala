@@ -22,10 +22,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
     e.injectFunction((FunctionIdentifier("l2_distance"), info("l2_distance"),
       (args: Seq[Expression]) => L2Distance(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("fingerprint64"), info("fingerprint64"),
+      (args: Seq[Expression]) => Fingerprint64(args(0))))
+    e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+    e.injectFunction((FunctionIdentifier("shingles"), info("shingles"),
+      (args: Seq[Expression]) => ShinglesExpr(args(0), GraftExtensions.intLit(args(1)))))
+    e.injectFunction((FunctionIdentifier("minhash"), info("minhash"),
+      (args: Seq[Expression]) => MinHashSig(args(0),
+        GraftExtensions.intLit(args(1)), GraftExtensions.longLit(args(2)))))
+    e.injectFunction((FunctionIdentifier("lsh_bands"), info("lsh_bands"),
+      (args: Seq[Expression]) => LshBands(args(0), GraftExtensions.intLit(args(1)))))
+    e.injectFunction((FunctionIdentifier("text_stats"), info("text_stats"),
+      (args: Seq[Expression]) => TextStats(args(0))))
+    e.injectFunction((FunctionIdentifier("rp_sig"), info("rp_sig"),
+      (args: Seq[Expression]) => RandomProjectionSig(args(0),
+        GraftExtensions.intLit(args(1)), GraftExtensions.longLit(args(2)))))
   }
 }
 
 object GraftExtensions {
+  /** Evaluate a foldable int argument (e.g. `shingles(text, 3)`). */
+  def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    require(e.foldable, s"argument must be a literal, got $e")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  /** Evaluate a foldable long argument (seeds). */
+  def longLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    require(e.foldable, s"argument must be a literal, got $e")
+    e.eval().asInstanceOf[Number].longValue()
+  }
+
   /** Imperative registration for an already-created session. Idempotent. */
   def registerFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -37,5 +65,19 @@ object GraftExtensions {
       args => DotProduct(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("l2_distance",
       args => L2Distance(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("fingerprint64",
+      args => Fingerprint64(args(0)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      args => SimHash64(args(0)), "built-in")
+    reg.createOrReplaceTempFunction("shingles",
+      args => ShinglesExpr(args(0), intLit(args(1))), "built-in")
+    reg.createOrReplaceTempFunction("minhash",
+      args => MinHashSig(args(0), intLit(args(1)), longLit(args(2))), "built-in")
+    reg.createOrReplaceTempFunction("lsh_bands",
+      args => LshBands(args(0), intLit(args(1))), "built-in")
+    reg.createOrReplaceTempFunction("text_stats",
+      args => TextStats(args(0)), "built-in")
+    reg.createOrReplaceTempFunction("rp_sig",
+      args => RandomProjectionSig(args(0), intLit(args(1)), longLit(args(2))), "built-in")
   }
 }
