@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.expr.{MinHashAgg, MinHashSig, TopKAgg}
+import graft.text.TextAnalysis
+
+/** Training-data pipeline catalog entries: deterministic sampling /
+  * train-test split, token-budget sequence packing, bounded top-k as a
+  * true aggregate, and corpus-level similarity via aggregated MinHash. */
+object PipelineQueries {
+
+  /** Knuth's multiplicative hash constant (2^32 / φ) — both engines
+    * compute the bucket with exact BIGINT arithmetic, so the "random"
+    * split is reproducible anywhere, forever (the property a training
+    * pipeline needs: re-runs must select the same split). */
+  val KnuthMul = 2654435761L
+  val SplitBuckets = 100
+
+  /** Deterministic train/valid/test split (80/10/10 by hashed id) with
+    * per-split stats. */
+  val qSampleSplit = QueryDef("q_sample_split",
+    (spark, dir) => {
+      val bucket = pmod(col("doc_id") * KnuthMul, lit(4294967296L)) % SplitBuckets
+      Tables.documents(spark, dir)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("split")
+    },
+    Some(s"""SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+            |FROM (
+            |  SELECT n_chars,
+            |         CASE WHEN ((doc_id * $KnuthMul) % 4294967296) % $SplitBuckets < 80 THEN 'train'
+            |              WHEN ((doc_id * $KnuthMul) % 4294967296) % $SplitBuckets < 90 THEN 'valid'
+            |              ELSE 'test' END AS split
+            |  FROM documents)
+            |GROUP BY split ORDER BY split""".stripMargin))
+
+  /** Token budget per packed sequence. */
+  val PackBudget = 4096
+
+  /** Token-budget sequence packing (contiguous, id-ordered): assign docs
+    * to sequences by running token count — the deterministic chunking a
+    * pretraining tokenizer shard step performs. Window cumsum; one
+    * shuffle. Output: per-sequence doc count and token totals. */
+  val qPackSequences = QueryDef("q_pack_sequences",
+    (spark, dir) => {
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / PackBudget))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+        .orderBy("seq_id")
+    },
+    Some(s"""SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+            |FROM (
+            |  SELECT CAST(FLOOR((sum(n_tokens) OVER w - n_tokens) / $PackBudget) AS BIGINT) AS seq_id,
+            |         n_tokens
+            |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+            |  WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            |GROUP BY seq_id ORDER BY seq_id""".stripMargin))
+
+  /** Top-3 events per type via the bounded-heap AGGREGATE (TopKAgg) —
+    * identical semantics and oracle as the window-function form
+    * (`q_events_top3_per_type`), but with partial aggregation: the
+    * shuffle carries ≤ k rows per (group × map task) instead of every
+    * row, and nothing is globally sorted. */
+  val qTop3Agg = QueryDef("q_events_top3_agg",
+    (spark, dir) => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(TopKAgg(col("value"), col("event_id"), 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("event_type"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("entry.payload").as("event_id"),
+          col("entry.sort_key").as("value"))
+        .orderBy("event_type", "rank")
+    },
+    // the window form's oracle — the two implementations must agree
+    Some("""SELECT event_type, CAST(rank AS INT) AS rank, event_id, value
+           |FROM (
+           |  SELECT event_type, event_id, value,
+           |         row_number() OVER (PARTITION BY event_type
+           |           ORDER BY value DESC, event_id) AS rank
+           |  FROM events
+           |) WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin))
+
+  /** Cross-language corpus similarity from aggregated MinHash signatures:
+    * one k-long signature per language (elementwise-min merge — partial
+    * agg friendly), then a tiny 5×5 cross join of signatures. Estimates
+    * Jaccard of the langs' shingle-set UNIONS without materializing any
+    * document pair. Deterministic (integer agreement fraction) →
+    * rows-only driver check + spec against exact set Jaccard. */
+  val qLangSimilarity = QueryDef("q_lang_minhash_similarity",
+    (spark, dir) => {
+      val sigs = Tables.documents(spark, dir)
+        .select(col("lang"),
+          MinHashSig(TextAnalysis.shingles(col("text"), 3), 256, 42L).as("sig"))
+        .groupBy("lang")
+        .agg(MinHashAgg(col("sig")).as("sig"))
+      val a = sigs.select(col("lang").as("lang_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("lang").as("lang_b"), col("sig").as("sig_b"))
+      a.join(broadcast(b), col("lang_a") < col("lang_b"))
+        .select(col("lang_a"), col("lang_b"),
+          MinHashAgg.estimateJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .orderBy("lang_a", "lang_b")
+    },
+    None)
+
+  def all: Seq[QueryDef] = Seq(
+    qSampleSplit, qPackSequences, qTop3Agg, qLangSimilarity)
+}

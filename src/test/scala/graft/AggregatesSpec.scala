@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expr.{MinHashAgg, MinHashSig, TopKAgg}
+import graft.text.TextAnalysis
+
+/** Specs for the custom TypedImperativeAggregates. */
+class AggregatesSpec extends SparkSpec {
+
+  test("TopKAgg equals window row_number top-k on the events table") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val viaAgg = events.groupBy("event_type")
+      .agg(TopKAgg(col("value"), col("event_id"), 5).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("event_type"), col("e.payload").as("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(desc("value"), col("event_id"))
+    val viaWindow = events
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("TopKAgg: heap handles k larger than group, ties, and merge") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0, 1L), ("a", 1.0, 2L), ("a", 2.0, 3L),
+      ("b", 5.0, 4L)).toDF("g", "v", "id")
+      .repartition(4) // force partial heaps + merge
+    val out = df.groupBy("g").agg(TopKAgg(col("v"), col("id"), 10).as("top"))
+      .select(col("g"), col("top"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1))))
+      .toMap
+    assert(out("a") == Seq((2.0, 3L), (1.0, 2L), (1.0, 1L))) // desc, tie by id desc
+    assert(out("b") == Seq((5.0, 4L)))
+  }
+
+  test("MinHashAgg(group) equals MinHash of the union of shingle sets") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val agged = docs
+      .select(col("lang"), MinHashSig(TextAnalysis.shingles(col("text"), 3), 64, 7L).as("sig"))
+      .groupBy("lang").agg(MinHashAgg(col("sig")).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // union semantics: minhash over the concatenated shingle arrays per lang
+    val unioned = docs
+      .groupBy("lang")
+      .agg(flatten(collect_list(TextAnalysis.shingles(col("text"), 3))).as("all_sh"))
+      .select(col("lang"), MinHashSig(col("all_sh"), 64, 7L).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(agged.keySet == unioned.keySet)
+    agged.foreach { case (lang, sig) => assert(sig == unioned(lang), lang) }
+  }
+
+  test("minhash similarity estimate tracks exact set Jaccard across langs") {
+    val exact = {
+      val sh = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("lang"), explode(TextAnalysis.shingles(col("text"), 3)).as("s"))
+        .distinct()
+      val sets = sh.collect().groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getString(1)).toSet).toMap
+      for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+      } yield (a, b) -> (sa & sb).size.toDouble / (sa | sb).size
+    }
+    val est = PipelineQueries.qLangSimilarity
+      .run(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    exact.foreach { case (pair, j) =>
+      assert(math.abs(est(pair) - j) < 0.15, s"$pair est=${est(pair)} exact=$j")
+    }
+  }
+}
