@@ -206,5 +206,6 @@ object Catalog {
   def all: Seq[QueryDef] =
     Seq(qEasy, qHard, qRideCounts, qDistHaversine, qDistGeodesic, qTotal, q1Agg) ++
       RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      EventQueries.all ++ MultimodalQueries.all ++ PipelineQueries.all
+      EventQueries.all ++ MultimodalQueries.all ++ PipelineQueries.all ++
+      JoinQueries.all
 }

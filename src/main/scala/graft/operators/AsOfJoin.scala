@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the most recent right row with
+  * right.time ≤ left.time, per key — the canonical event-enrichment join
+  * (trades⋈quotes, event⋈latest-state) that Spark lacks as a primitive.
+  *
+  * Implementation is the union-merge composition (preference (a) of the
+  * engine's extension ladder): tag both sides, union, and run ONE window
+  * pass per key ordered by (time, side) carrying the last right payload
+  * forward. Cost: a single shuffle on the key — same as any keyed window —
+  * versus the naive time-range join (quadratic per key) or a
+  * sort-merge-interval join. Skewed keys behave like any window partition
+  * (salt upstream if one key dominates).
+  *
+  * Ordering inside a timestamp tie: the right row sorts BEFORE the left
+  * row (side 0 < side 1), so a right event at exactly t is visible to a
+  * left event at t ("≤" semantics, matching DuckDB's ASOF JOIN).
+  */
+object AsOfJoin {
+
+  /** @param left      probe side; columns kept
+    * @param right     reference side; `valueCols` are attached
+    * @param keyCols   equi-key columns present on both sides
+    * @param timeCol   ordering column name (both sides, same type)
+    * @param valueCols right columns to carry (null when no right row ≤ t)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("_side", lit(1))
+      .select(
+        (keyCols.map(col) :+ col(timeCol) :+ col("_side")) ++
+          leftCols.filterNot(c => keyCols.contains(c) || c == timeCol).map(col) ++
+          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")): _*)
+    val rTagged = right
+      .withColumn("_side", lit(0))
+      .select(
+        (keyCols.map(col) :+ col(timeCol) :+ col("_side")) ++
+          leftCols.filterNot(c => keyCols.contains(c) || c == timeCol)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          valueCols.map(c => col(c).as(s"_v_$c")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .select(col("*") +: valueCols.map(c =>
+        last(col(s"_v_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .filter(col("_side") === 1)
+      .drop("_side")
+      .drop(valueCols.map(c => s"_v_$c"): _*)
+  }
+}

@@ -31,4 +31,16 @@ object Sinks {
   /** Parquet sink — the engine-native interchange format. */
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Bucketed parquet table (requires a table name — bucketing metadata
+    * lives in the catalog). Two tables bucketed on their join key with the
+    * same bucket count join WITHOUT any Exchange: at 100 TB this turns the
+    * repeated fact⋈fact shuffle into a co-located merge, paid once at
+    * write time. Asserted in BucketingSpec (plan shows no Exchange). */
+  def parquetBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{AsOfJoin, Joins}
+import graft.sources.{Sinks, Sources}
+
+/** Specs for as-of join, salted join, bucketed co-located join, and the
+  * approximate-distinct tolerance. */
+class JoinsSpec extends SparkSpec {
+
+  test("asOf: picks the latest right row at-or-before each left time") {
+    val lSchema = StructType(Seq(StructField("k", LongType, false),
+      StructField("t", LongType, false), StructField("lid", LongType, false)))
+    val rSchema = StructType(Seq(StructField("k", LongType, false),
+      StructField("t", LongType, false), StructField("v", DoubleType, false)))
+    val left = Sources.inMemory(spark, Seq(
+      Row(1L, 10L, 100L), Row(1L, 20L, 101L), Row(1L, 5L, 102L),
+      Row(2L, 10L, 103L)), lSchema)
+    val right = Sources.inMemory(spark, Seq(
+      Row(1L, 10L, 1.0), Row(1L, 15L, 2.0), Row(9L, 1L, 9.9)), rSchema)
+    val out = rows(AsOfJoin.asOf(left, right, Seq("k"), "t", Seq("v")))
+      .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("asof_v"))).toMap
+    assert(out(100L) == Some(1.0)) // right at exactly t=10 visible (<=)
+    assert(out(101L) == Some(2.0)) // latest of {10, 15}
+    assert(out(102L) == None)      // nothing at or before t=5
+    assert(out(103L) == None)      // no right rows for key 2
+  }
+
+  test("saltedJoin equals plain join, and spreads the hot key") {
+    val skewSchema = StructType(Seq(StructField("k", LongType, false),
+      StructField("id", LongType, false)))
+    val dimSchema = StructType(Seq(StructField("k", LongType, false),
+      StructField("name", StringType, false)))
+    // hot key 7 with 100 rows, plus a few cold keys
+    val skewRows = (1L to 100L).map(i => Row(7L, i)) ++
+      Seq(Row(1L, 201L), Row(2L, 202L))
+    val skewed = Sources.inMemory(spark, skewRows, skewSchema)
+    val dim = Sources.inMemory(spark,
+      Seq(Row(7L, "hot"), Row(1L, "a"), Row(3L, "unmatched")), dimSchema)
+    val plain = rows(skewed.join(dim, Seq("k")))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = rows(Joins.saltedJoin(skewed, dim, Seq("k"), 8, col("id")))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+    assert(plain.size == 101)
+  }
+
+  test("bucketed tables join with no Exchange in the plan") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+      Sinks.parquetBucketed(li, "li_b", "l_orderkey", 8)
+      Sinks.parquetBucketed(ord, "ord_b", "o_orderkey", 8)
+      try {
+        val joined = spark.table("li_b")
+          .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed join should not shuffle:\n$plan")
+        assert(joined.count() > 0)
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("approx_count_distinct within 5% of exact on events") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val both = rows(events.groupBy("event_type").agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")))
+    both.foreach { r =>
+      val e = r.getLong(1).toDouble; val a = r.getLong(2).toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+}
