@@ -207,5 +207,5 @@ object Catalog {
     Seq(qEasy, qHard, qRideCounts, qDistHaversine, qDistGeodesic, qTotal, q1Agg) ++
       RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       EventQueries.all ++ MultimodalQueries.all ++ PipelineQueries.all ++
-      JoinQueries.all
+      JoinQueries.all ++ AnalyticQueries.all
 }
