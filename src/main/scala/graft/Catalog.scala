@@ -122,6 +122,16 @@ object Catalog {
       .orderBy("station_1", "station_2"),
     None)
 
+  /** Neighbor pairs within 15 km (geodesic; the synthetic station grid's
+    * minimum nonzero spacing is ~12.5 km). Rows-only driver check (the
+    * ellipsoidal metric is not SQL-expressible); the radius-rule spec
+    * proves the optimizer rewrite preserves results. */
+  val qDistRadius = QueryDef("q_dist_within_radius",
+    (spark, dir) => StationDistances.pairsWithinKm(
+      Tables.stationsById(spark, dir), "id", 15.0)
+      .orderBy("station_1", "station_2"),
+    None)
+
   /** Q-total (`/root/reference/pipelines/total_distance.py:85-133`):
     * ride counts ⋈ pair distances, FULL OUTER with zero-fill (J2).
     * The distance side drops the two highest station ids so both
@@ -204,7 +214,8 @@ object Catalog {
   /** All catalog entries, in declaration order: reference workloads, then
     * relational breadth, text/dedup, vectors, events. */
   def all: Seq[QueryDef] =
-    Seq(qEasy, qHard, qRideCounts, qDistHaversine, qDistGeodesic, qTotal, q1Agg) ++
+    Seq(qEasy, qHard, qRideCounts, qDistHaversine, qDistGeodesic, qDistRadius,
+      qTotal, q1Agg) ++
       RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       EventQueries.all ++ MultimodalQueries.all ++ PipelineQueries.all ++
       JoinQueries.all ++ AnalyticQueries.all

@@ -10,6 +10,7 @@ import graft.expr._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.GeodesicRadiusRule)
     import org.apache.spark.sql.catalyst.expressions.Expression
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -54,8 +55,12 @@ object GraftExtensions {
     e.eval().asInstanceOf[Number].longValue()
   }
 
-  /** Imperative registration for an already-created session. Idempotent. */
+  /** Imperative registration for an already-created session. Idempotent:
+    * function registry replaces; the optimizer rule dedupes by identity. */
   def registerFunctions(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.GeodesicRadiusRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.GeodesicRadiusRule
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("geodesic_km",
       args => GeodesicKm(args(0), args(1), args(2), args(3)), "built-in")

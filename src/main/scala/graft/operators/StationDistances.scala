@@ -40,4 +40,13 @@ object StationDistances {
   /** The notebook's commented-out theta variant (`a.name != b.name`). */
   def pairwiseDistinct(stations: DataFrame, keyCol: String): DataFrame =
     pairwise(stations, keyCol).filter(col("station_1") =!= col("station_2"))
+
+  /** Station pairs within `radiusKm` geodesic km. The radius predicate is
+    * rewritten by [[graft.plans.GeodesicRadiusRule]] to pre-filter on a
+    * cheap latitude bound before the iterative Vincenty kernel runs. */
+  def pairsWithinKm(stations: DataFrame, keyCol: String,
+      radiusKm: Double): DataFrame =
+    pairwise(stations, keyCol)
+      .filter(col("distance_km") <= radiusKm)
+      .filter(col("station_1") =!= col("station_2"))
 }
