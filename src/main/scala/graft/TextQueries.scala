@@ -77,28 +77,34 @@ object TextQueries {
     Some("""SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
            |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin))
 
-  /** The DuckDB mirror of token-trigram Jaccard pairs ≥ [[MinJaccard]] —
-    * shared by the exact and the LSH entries (the LSH path verifies
-    * candidates with exact Jaccard, so its confirmed output is identical
-    * up to band-miss probability ≈ 5e-8). */
-  private val jaccardOracle: String =
-    s"""WITH toks AS (
+  /** The DuckDB mirror of token-trigram Jaccard pairs ≥ [[MinJaccard]]:
+    * a shared CTE chain ending in `dup_pairs(doc_a, doc_b, jaccard)` —
+    * used by the exact entry, the LSH entry (verified candidates →
+    * identical output up to band-miss probability ≈ 5e-8), and the
+    * cluster entry's recursive closure. */
+  private val jaccardCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
        |), sh AS (
        |  SELECT DISTINCT doc_id, unnest(${shinglesOverWsSql(ShingleN)}) AS shingle
        |  FROM toks
        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |pairs AS (
+       |pre_pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
-       |)
-       |SELECT doc_a, doc_b,
-       |       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
-       |FROM pairs
-       |JOIN sizes sa ON sa.doc_id = doc_a
-       |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= $MinJaccard
+       |), dup_pairs AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+       |  FROM pre_pairs
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= $MinJaccard
+       |)""".stripMargin
+
+  private val jaccardOracle: String =
+    s"""WITH $jaccardCtes
+       |SELECT doc_a, doc_b, jaccard FROM dup_pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Exact n-gram Jaccard near-dup pairs (inverted-index self-join). */
@@ -118,6 +124,33 @@ object TextQueries {
       .orderBy("doc_a", "doc_b"),
     Some(jaccardOracle))
 
+  /** Near-dup clusters: connected components over the LSH pairs, one row
+    * per cluster with the keeper (min id) and member count. Oracle:
+    * transitive closure via recursive CTE over the same pair set. */
+  val qDedupClusters = QueryDef("q_dedup_clusters",
+    (spark, dir) => {
+      val pairs = Dedup.minhashLshPairs(
+        Tables.documents(spark, dir), "doc_id", "text", ShingleN, MinJaccard)
+      Dedup.duplicateClusters(pairs)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE $jaccardCtes,
+            |edges AS (
+            |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+            |  UNION SELECT doc_b, doc_a FROM dup_pairs
+            |), reach(src, dst) AS (
+            |  SELECT src, dst FROM edges
+            |  UNION
+            |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            |), labels AS (
+            |  SELECT src AS doc_id, LEAST(src, min(dst)) AS cluster
+            |  FROM reach GROUP BY src
+            |)
+            |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+            |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin))
+
   /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit token-multiset
     * SimHash). Not SQL-expressible → rows-only driver check; the spec
     * cross-validates against the Jaccard ground truth. */
@@ -129,5 +162,5 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qTextStats, qLangId, qTokenFreq,
-    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupSimhash)
+    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash)
 }

@@ -137,6 +137,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components over near-dup pairs: every document in any
+    * pair is labeled with the minimum doc id reachable through the pair
+    * graph — the cluster keeper. This is the step that turns pairwise
+    * near-dup evidence into "keep one per cluster" decisions.
+    *
+    * Algorithm: iterative min-label propagation (the standard large-graph
+    * CC approach — each round every vertex takes the min of its own and
+    * its neighbors' labels; rounds = component diameter). The driver loop
+    * only COORDINATES rounds (one convergence count per round); all data
+    * work is distributed joins. Near-dup components are shallow (dup
+    * clusters are cliques or short chains), so 2–3 rounds typically
+    * converge; `maxIter` bounds adversarial chains.
+    *
+    * @param pairs (doc_a, doc_b) near-dup pairs, a < b
+    * @return (doc_id, cluster) — cluster = min doc id of the component
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster", "n_cluster"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("n_cluster").as("n_cluster"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Per-doc 64-bit SimHash (token multiset, occurrence-weighted). */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
