@@ -45,6 +45,21 @@ object TextQueries {
             |  ${qualityScoreSql("text")} AS quality
             |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Token accounting both ways — whitespace words and BPE-pretokenizer
+    * subword units — rolled up per source (the budget numbers a training
+    * run plans against). */
+  val qTokenBudget = QueryDef("q_token_budget_by_source",
+    (spark, dir) => Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("ws_tokens"),
+        sum(bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"))
+      .orderBy("source"),
+    Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS ws_tokens,
+            |       CAST(sum(${bpeTokenCountSql("text")}) AS BIGINT) AS bpe_tokens
+            |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
   /** Language-ID heuristic per document + corpus rollup: predicted code
     * from marker-word argmax (deterministic tie-break). */
   val qLangId = QueryDef("q_lang_id",
@@ -161,6 +176,6 @@ object TextQueries {
     None)
 
   def all: Seq[QueryDef] = Seq(
-    qTextStats, qLangId, qTokenFreq,
+    qTextStats, qTokenBudget, qLangId, qTokenFreq,
     qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash)
 }

@@ -51,6 +51,19 @@ object TextAnalysis {
 
   def tokenCountSql(text: String): String = s"len(${tokensSql(text)})"
 
+  /** BPE-style pre-tokenizer pattern: letter runs, digit runs, then any
+    * single non-letter/digit/space symbol — the word-boundary split a
+    * byte-pair tokenizer applies before merging (simplified to an
+    * RE2/POSIX-portable core so Spark and the SQL mirror agree). */
+  val BpePattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Subword-style token count: number of BPE-pretokenizer matches. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  def bpeTokenCountSql(text: String): String =
+    s"len(regexp_extract_all($text, '$BpePattern'))"
+
   /** Mean token length in characters, exactly: (chars − spaces) / tokens.
     * Integer arithmetic then ONE division — identical across engines. */
   def avgTokenLen(text: Column): Column =
