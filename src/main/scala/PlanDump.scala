@@ -1,0 +1,32 @@
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates PLANS.md: formatted physical plans for headline queries. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.core.GraftExtensions.registerFunctions(spark)
+    val dir = "/root/testdata/sf0.01"
+    val picks = Seq(
+      "q_hard_top_routes" -> "reference Q-hard: one exchange, map-side partial agg, TakeOrderedAndProject (no second shuffle for top-N)",
+      "q_total_distance" -> "reference Q-total: broadcast cross join for pair distances, shuffle-hash full-outer (no sorts), agg exchange reused by the join",
+      "q_dedup_minhash_lsh" -> "MinHash LSH: signatures once, (band,key) grouped buckets, candidate verify joins at candidate cardinality",
+      "q_ann_topk_bruteforce" -> "ANN baseline: query side broadcast, corpus streams through codegen'd cosine, per-query window",
+      "q_dist_within_radius" -> "GeodesicRadiusRule fired: cheap |dlat|*109<=r bound evaluated before the Vincenty kernel in the join condition",
+      "q_top_customers_revenue" -> "3-way join: dimensions broadcast, single agg exchange, TakeOrderedAndProject")
+    val md = new StringBuilder
+    md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
+    md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"
+    for ((name, note) <- picks) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      md ++= s"\n## $name\n\n$note\n\n```\n$plan```\n"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), md.toString)
+    println("wrote PLANS.md")
+    spark.stop()
+  }
+}
