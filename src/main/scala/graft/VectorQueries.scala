@@ -64,5 +64,45 @@ object VectorQueries {
       Tables.embeddings(spark, dir), "vec_id", "embedding", TopPairs),
     None)
 
-  def all: Seq[QueryDef] = Seq(qAnnTopK, qEmbedTopPairs, qAnnLsh)
+  /** IVF-style search: the `label` column plays the role of the coarse
+    * quantizer's cluster assignment (in production: argmin centroid,
+    * computed once at ingest). Each query probes ONLY its own cluster —
+    * the corpus scan shrinks by the cluster count, the plan is an
+    * equi-join on (label) instead of a cross join. Exact within the
+    * probed bucket → fully SQL-mirrorable. */
+  val qAnnIvf = QueryDef("q_ann_ivf_topk",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("label"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("label"),
+        col("embedding").as("cv"))
+      val scored = c.join(broadcast(q), "label")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(graft.expr.CosineSim(col("qv"), col("cv")), 6).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            |), scored AS (
+            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine
+            |  FROM e q JOIN e c ON q.label = c.label
+            |   AND q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+            |), ranked AS (
+            |  SELECT query_id, neighbor_id, cosine,
+            |         CAST(row_number() OVER (PARTITION BY query_id
+            |           ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+            |  FROM scored
+            |)
+            |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+            |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(qAnnTopK, qEmbedTopPairs, qAnnLsh, qAnnIvf)
 }

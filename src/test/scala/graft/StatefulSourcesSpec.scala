@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.Keyed
+import graft.sources.Sources
+
+/** flatMapGroupsWithState custom-state semantics + csv/json source
+  * round-trips. */
+class StatefulSourcesSpec extends SparkSpec {
+
+  test("firstSeenWithDupCount emits once per key across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Keyed]
+    val q = StatefulOps.firstSeenWithDupCount(stream.toDS())
+      .writeStream.format("memory").queryName("first_seen")
+      .outputMode("append").start()
+    try {
+      stream.addData(Keyed(1L, "a"), Keyed(1L, "a2"), Keyed(2L, "b"))
+      q.processAllAvailable()
+      stream.addData(Keyed(1L, "a3"), Keyed(3L, "c")) // key 1 suppressed
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("first_seen")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "a", 1L), (2L, "b", 0L), (3L, "c", 0L)))
+  }
+
+  test("csv source round-trip preserves schema and rows") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "v")
+    val path = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    graft.sources.Sinks.csvWithHeader(df, path)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+    val back = Sources.csv(spark, path, schema)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet == Set((1L, "x", 1.5), (2L, "y", 2.5)))
+  }
+
+  test("json source round-trip preserves schema and rows") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+    val path = java.nio.file.Files.createTempDirectory("graft_json").toString
+    df.write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val back = Sources.json(spark, path, schema)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "x"), (2L, "y")))
+  }
+}
