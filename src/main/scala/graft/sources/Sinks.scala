@@ -32,6 +32,16 @@ object Sinks {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Hive-style partitioned parquet: one directory per partition value.
+    * Filters on the partition column prune entire directories from the
+    * scan (`PartitionFilters` in the plan, zero data files touched for
+    * excluded values) — the first-line data-skipping mechanism for a
+    * 100 TB lake (partition by date/source, NOT by high-cardinality
+    * keys — small-file explosion). Asserted in PartitioningSpec. */
+  def parquetPartitioned(df: DataFrame, path: String,
+      partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** Bucketed parquet table (requires a table name — bucketing metadata
     * lives in the catalog). Two tables bucketed on their join key with the
     * same bucket count join WITHOUT any Exchange: at 100 TB this turns the

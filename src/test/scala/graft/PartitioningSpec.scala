@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sinks
+
+/** Partitioned-write pruning: a filter on the partition column must
+  * reach the scan as a PartitionFilter and cut the files read. */
+class PartitioningSpec extends SparkSpec {
+
+  test("partition filter prunes non-matching partitions from the scan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Sinks.parquetPartitioned(docs, path, "lang")
+    val back = spark.read.parquet(path).filter(col("lang") === "fr")
+    val scan = back.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("lang"), scan)
+    // count must match the unpartitioned filter
+    val expected = docs.filter(col("lang") === "fr").count()
+    assert(back.count() == expected && expected > 0)
+    // physically: only the lang=fr directory is listed in the scanned files
+    val scannedFiles = back.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDDs().flatMap(_.partitions).collect {
+          case p: org.apache.spark.sql.execution.datasources.FilePartition =>
+            p.files.map(_.filePath.toString).toSeq
+        }.flatten
+      }.flatten
+    assert(scannedFiles.nonEmpty && scannedFiles.forall(_.contains("lang=fr")),
+      scannedFiles.mkString("\n"))
+  }
+}
