@@ -97,9 +97,9 @@ object TextQueries {
     * used by the exact entry, the LSH entry (verified candidates →
     * identical output up to band-miss probability ≈ 5e-8), and the
     * cluster entry's recursive closure. */
-  private val jaccardCtes: String =
+  private def jaccardCtesFrom(from: String): String =
     s"""toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM $from
        |), sh AS (
        |  SELECT DISTINCT doc_id, unnest(${shinglesOverWsSql(ShingleN)}) AS shingle
        |  FROM toks
@@ -116,6 +116,8 @@ object TextQueries {
        |  JOIN sizes sb ON sb.doc_id = doc_b
        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= $MinJaccard
        |)""".stripMargin
+
+  private val jaccardCtes: String = jaccardCtesFrom("documents")
 
   private val jaccardOracle: String =
     s"""WITH $jaccardCtes
@@ -166,6 +168,73 @@ object TextQueries {
             |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
             |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin))
 
+  /** Quality gate for the end-to-end prep pipeline (corpus quality spans
+    * ~0.55–0.75; 0.62 drops the low-value ~40%). */
+  val MinQuality = 0.62
+
+  /** The end-to-end training-data prep pipeline as ONE query:
+    * quality-filter → exact dedup → near-dup cluster keepers → token-
+    * budget sequence packing → per-sequence stats. Every stage is the
+    * library operator; the oracle re-derives the whole chain in SQL
+    * (quality mirror, GROUP BY text, recursive-CTE closure, window
+    * cumsum) — the strongest single correctness statement the engine
+    * makes. */
+  val qTrainingPrep = QueryDef("q_training_data_prep",
+    (spark, dir) => {
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, dir)
+      val qualityPass = docs.filter(qualityScore(col("text")) >= MinQuality)
+      val exactKeep = Dedup.exactDedup(qualityPass, "doc_id", "text")
+      val pairs = Dedup.minhashLshPairs(exactKeep, "doc_id", "text", ShingleN, MinJaccard)
+      val dupDrops = Dedup.duplicateClusters(pairs)
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      val survivors = exactKeep.join(dupDrops, Seq("doc_id"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      survivors
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("seq_id",
+          floor((col("cum") - col("n_tokens")) / PipelineQueries.PackBudget))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+        .orderBy("seq_id")
+    },
+    Some(s"""WITH RECURSIVE
+            |q_docs AS (
+            |  SELECT doc_id, text FROM documents
+            |  WHERE ${qualityScoreSql("text")} >= $MinQuality
+            |), exact_keep AS (
+            |  SELECT doc_id, text FROM q_docs
+            |  WHERE doc_id IN (SELECT min(doc_id) FROM q_docs GROUP BY text)
+            |), ${jaccardCtesFrom("exact_keep")},
+            |edges AS (
+            |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+            |  UNION SELECT doc_b, doc_a FROM dup_pairs
+            |), reach(src, dst) AS (
+            |  SELECT src, dst FROM edges
+            |  UNION
+            |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            |), labels AS (
+            |  SELECT src AS doc_id, LEAST(src, min(dst)) AS cluster
+            |  FROM reach GROUP BY src
+            |), survivors AS (
+            |  SELECT k.doc_id, len(string_split(k.text, ' ')) AS n_tokens
+            |  FROM exact_keep k
+            |  WHERE k.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster)
+            |), packed AS (
+            |  SELECT CAST(FLOOR((sum(n_tokens) OVER w - n_tokens)
+            |           / ${PipelineQueries.PackBudget}) AS BIGINT) AS seq_id,
+            |         n_tokens
+            |  FROM survivors
+            |  WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |)
+            |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+            |FROM packed GROUP BY seq_id ORDER BY seq_id""".stripMargin))
+
   /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit token-multiset
     * SimHash). Not SQL-expressible → rows-only driver check; the spec
     * cross-validates against the Jaccard ground truth. */
@@ -177,5 +246,6 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq,
-    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash)
+    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash,
+    qTrainingPrep)
 }
