@@ -154,8 +154,12 @@ object Dedup {
     * @return (doc_id, cluster) — cluster = min doc id of the component
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — every propagation round takes two
+    // passes over it, and without this the whole upstream pair derivation
+    // (shingles → minhash → buckets → verify) would re-run per round
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
     var converged = false
