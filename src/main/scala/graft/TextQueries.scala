@@ -205,7 +205,11 @@ object TextQueries {
     Some(s"""WITH RECURSIVE
             |q_docs AS (
             |  SELECT doc_id, text FROM documents
-            |  WHERE ${qualityScoreSql("text")} >= $MinQuality
+            |  -- CAST: a bare 0.62 literal is DECIMAL in DuckDB, and
+            |  -- double>=decimal comparison semantics differ from Spark's
+            |  -- double>=double exactly at boundary values (9 docs sit ON
+            |  -- the threshold at sf0.1)
+            |  WHERE ${qualityScoreSql("text")} >= CAST($MinQuality AS DOUBLE)
             |), exact_keep AS (
             |  SELECT doc_id, text FROM q_docs
             |  WHERE doc_id IN (SELECT min(doc_id) FROM q_docs GROUP BY text)

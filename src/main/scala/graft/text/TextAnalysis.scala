@@ -105,7 +105,10 @@ object TextAnalysis {
     s"0.3 * LEAST(1.0, CAST(${tokenCountSql(text)} AS DOUBLE) / 100.0) + " +
       s"0.3 * (1.0 - ${stopwordRatioSql(text)}) + " +
       s"0.2 * LEAST(1.0, ${avgTokenLenSql(text)} / 8.0) + " +
-      s"0.2 * ${distinctRatioSql(text)}"
+      // parens are load-bearing: without them SQL computes (0.2*a)/b,
+      // Spark computes 0.2*(a/b) — off by 1 ulp on some inputs, which a
+      // `quality >= threshold` comparison then resolves differently
+      s"0.2 * (${distinctRatioSql(text)})"
 
   /** Marker-count score for one language. */
   def langScore(text: Column, markers: Seq[String]): Column =
