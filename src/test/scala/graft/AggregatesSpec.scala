@@ -73,4 +73,32 @@ class AggregatesSpec extends SparkSpec {
       assert(math.abs(est(pair) - j) < 0.15, s"$pair est=${est(pair)} exact=$j")
     }
   }
+
+  test("typed Aggregator: WeightedMean via udaf matches the column formula") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val wmean = udaf(graft.expr.TypedAggregators.WeightedMean)
+    val df = Seq(("a", 2.0, 1.0), ("a", 4.0, 3.0), ("b", 10.0, 2.0))
+      .toDF("g", "v", "w")
+      .repartition(3) // exercise partial merge
+    val out = df.groupBy("g")
+      .agg(wmean(col("v"), col("w")).as("wm"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - (2.0 * 1.0 + 4.0 * 3.0) / 4.0) < 1e-12)
+    assert(out("b") == 10.0)
+  }
+
+  test("typed Aggregator: DistinctLongCount equals countDistinct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val dcount = udaf(graft.expr.TypedAggregators.DistinctLongCount)
+    val typed = events.groupBy("event_type").agg(dcount(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val builtin = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(typed == builtin)
+  }
 }
