@@ -95,6 +95,37 @@ object PipelineQueries {
            |  FROM events
            |) WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin))
 
+  /** Per-class cap for balanced sampling. */
+  val BalanceCap = 150
+
+  /** Class-balanced downsampling: cap every language at [[BalanceCap]]
+    * docs, selecting by multiplicative-hash rank — deterministic (re-runs
+    * pick the same docs), unbiased by doc_id order, and expressible as
+    * one window pass. The standard fix for a source-skewed corpus before
+    * training. */
+  val qBalanceLangs = QueryDef("q_balance_langs",
+    (spark, dir) => {
+      val h = pmod(col("doc_id") * KnuthMul, lit(4294967296L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      Tables.documents(spark, dir)
+        .withColumn("h", h)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= BalanceCap)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"))
+        .orderBy("lang")
+    },
+    Some(s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+            |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+            |FROM (
+            |  SELECT lang, n_chars,
+            |         row_number() OVER (PARTITION BY lang
+            |           ORDER BY (doc_id * $KnuthMul) % 4294967296, doc_id) AS rk
+            |  FROM documents)
+            |WHERE rk <= $BalanceCap
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** Cross-language corpus similarity from aggregated MinHash signatures:
     * one k-long signature per language (elementwise-min merge — partial
     * agg friendly), then a tiny 5×5 cross join of signatures. Estimates
@@ -118,5 +149,5 @@ object PipelineQueries {
     None)
 
   def all: Seq[QueryDef] = Seq(
-    qSampleSplit, qPackSequences, qTop3Agg, qLangSimilarity)
+    qSampleSplit, qBalanceLangs, qPackSequences, qTop3Agg, qLangSimilarity)
 }
