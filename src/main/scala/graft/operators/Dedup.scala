@@ -55,6 +55,22 @@ object Dedup {
     docs.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup: rows of `batch` whose content was NOT
+    * already seen in `corpus` (and is unique within the batch, keeping
+    * min id). The daily-ingest shape: the corpus side reduces to its
+    * distinct 8-byte fingerprints (at 100 TB: precompute/maintain that
+    * fingerprint table instead of re-scanning), the batch anti-joins
+    * against it — no corpus payload is ever read past the projection. */
+  def dedupAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val seen = corpus.select(Fingerprint64(col(textCol)).as("fp")).distinct()
+    val newKeepers = exactDedup(batch, idCol, textCol)
+    newKeepers
+      .withColumn("fp", Fingerprint64(col(textCol)))
+      .join(seen, Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
   /** Exploded inverted index: one (id, shingle) row per distinct shingle
     * per doc. */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,

@@ -32,6 +32,18 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L))
   }
 
+  test("dedupAgainst: batch rows drop if seen in corpus or duplicated in batch") {
+    val corpus = docs((1L, "old text"), (2L, "other old"))
+    val batch = docs(
+      (10L, "old text"),   // already in corpus -> dropped
+      (11L, "brand new"),  // kept
+      (12L, "brand new"),  // batch-internal dup -> dropped
+      (13L, "also new"))   // kept
+    val kept = rows(Dedup.dedupAgainst(corpus, batch, "doc_id", "text"))
+      .map(_.getLong(0)).sorted
+    assert(kept == Seq(11L, 13L))
+  }
+
   test("jaccardPairs: hand-computable trigram overlap") {
     // a: tokens 1..5 -> shingles {1 2 3, 2 3 4, 3 4 5} (3)
     // b: tokens 2..6 -> shingles {2 3 4, 3 4 5, 4 5 6} (3); inter=2, union=4
