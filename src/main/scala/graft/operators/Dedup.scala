@@ -63,12 +63,21 @@ object Dedup {
     * against it — no corpus payload is ever read past the projection. */
   def dedupAgainst(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val seen = corpus.select(Fingerprint64(col(textCol)).as("fp")).distinct()
-    val newKeepers = exactDedup(batch, idCol, textCol)
-    newKeepers
-      .withColumn("fp", Fingerprint64(col(textCol)))
-      .join(seen, Seq("fp"), "left_anti")
-      .drop("fp")
+    // internal key name — never collides with caller columns
+    val fp = "__graft_fp"
+    // null text is dropped on BOTH sides (fingerprint of nothing is
+    // meaningless, and equi-join vs groupBy null semantics would
+    // otherwise disagree)
+    val seen = corpus.select(Fingerprint64(col(textCol)).as(fp))
+      .filter(col(fp).isNotNull).distinct()
+    // (fp, keeper id) map — 16 bytes/row through every shuffle below;
+    // full batch rows travel exactly once, in the final id semi-join
+    val keepers = batch
+      .select(col(idCol), Fingerprint64(col(textCol)).as(fp))
+      .filter(col(fp).isNotNull)
+      .groupBy(col(fp)).agg(min(col(idCol)).as(idCol))
+    val freshIds = keepers.join(seen, Seq(fp), "left_anti").select(col(idCol))
+    batch.join(freshIds, Seq(idCol), "left_semi")
   }
 
   /** Exploded inverted index: one (id, shingle) row per distinct shingle

@@ -44,6 +44,22 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(11L, 13L))
   }
 
+  test("dedupAgainst: null text dropped; caller fp column untouched") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("fp", StringType, nullable = true))) // caller-owned name
+    def mk(rows: (Long, String, String)*) = Sources.inMemory(spark,
+      rows.map(r => Row(r._1, r._2, r._3)), schema)
+    val corpus = mk((1L, "seen", "c1"))
+    val batch = mk((10L, null, "keepme"), (11L, "fresh", "keepme2"),
+      (12L, "seen", "x"))
+    val out = rows(Dedup.dedupAgainst(corpus, batch, "doc_id", "text"))
+    assert(out.map(_.getLong(0)) == Seq(11L))
+    // caller's own fp column survives intact
+    assert(out.head.getAs[String]("fp") == "keepme2")
+  }
+
   test("jaccardPairs: hand-computable trigram overlap") {
     // a: tokens 1..5 -> shingles {1 2 3, 2 3 4, 3 4 5} (3)
     // b: tokens 2..6 -> shingles {2 3 4, 3 4 5, 4 5 6} (3); inter=2, union=4
