@@ -53,7 +53,10 @@ object AnalyticQueries {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val hourNs = 3600L * 1000 * 1000 * 1000
       Tables.events(spark, dir)
-        .withColumn("window_start", (col("ts") / hourNs).cast("long") * hourNs)
+        // ts - pmod(ts, w): pure LONG arithmetic. (ts / w).cast("long")
+        // would divide in DOUBLE — 53-bit mantissa vs 61-bit epoch-nanos
+        // misplaces boundary timestamps
+        .withColumn("window_start", col("ts") - pmod(col("ts"), lit(hourNs)))
         .groupBy("window_start", "event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(28,10)")).cast("double").as("total_value"))
@@ -78,13 +81,15 @@ object AnalyticQueries {
       val purchases = events.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts").as("pts"))
+      // bins via exact integer division (SQL `div`) — double division
+      // misplaces values near bin boundaries at epoch-nano magnitudes
       val errors = events.filter(col("event_type") === "error")
         .select(col("user_id"), col("ts").as("ets"),
-          (col("ts") / gapNs).cast("long").as("bin"))
+          expr(s"ts div ${gapNs}L").as("bin"))
       // each purchase probes its own bin ± 1
       val probes = purchases.withColumn("bin",
         explode(array((-1 to 1).map(d =>
-          (col("pts") / gapNs).cast("long") + d): _*)))
+          expr(s"pts div ${gapNs}L") + d): _*)))
       probes.join(errors, Seq("user_id", "bin"))
         .filter(abs(col("ets") - col("pts")) <= gapNs)
         .groupBy("purchase_id")

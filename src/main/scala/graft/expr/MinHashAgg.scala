@@ -37,7 +37,10 @@ case class MinHashAgg(
   private def mergeArrays(a: Array[Long], b: Array[Long]): Array[Long] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
-    val n = math.min(a.length, b.length)
+    require(a.length == b.length,
+      s"minhash_agg: mixed signature lengths (${a.length} vs ${b.length}) — " +
+        "signatures from different k are not mergeable")
+    val n = a.length
     val out = new Array[Long](n)
     var i = 0
     while (i < n) { out(i) = math.min(a(i), b(i)); i += 1 }

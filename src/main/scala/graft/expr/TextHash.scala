@@ -77,6 +77,10 @@ object TextHashKernels {
     * Pairs sharing ANY (band_index, band_hash) are candidate duplicates. */
   def lshBands(sig: ArrayData, bands: Int): ArrayData = {
     val n = sig.numElements()
+    require(n % bands == 0,
+      s"lsh_bands: bands ($bands) must divide the signature length ($n) — " +
+        "a remainder would silently drop hashes and r=0 would bucket " +
+        "everything together")
     val r = n / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -197,6 +201,7 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
 /** `lsh_bands(array<long>, bands) -> array<long>` — band-bucket keys from
   * a minhash signature. */
 case class LshBands(child: Expression, bands: Int) extends UnaryExpression {
+  require(bands > 0, s"lsh_bands: bands must be positive, got $bands")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess

@@ -45,8 +45,10 @@ object TextStatsKernels {
     }
     val nTokD = nTok.toDouble
     // identical op order to TextAnalysis.avgTokenLen / stopwordRatio /
-    // distinctRatio / qualityScore — do not reassociate
-    val avgLen = (s.length - (nTok - 1)).toDouble / nTokD
+    // distinctRatio / qualityScore — do not reassociate. Character count
+    // is CODE POINTS (what Spark's length() counts), not UTF-16 units —
+    // they differ on supplementary-plane characters.
+    val avgLen = (s.codePointCount(0, s.length) - (nTok - 1)).toDouble / nTokD
     val stopRatio = nStop.toDouble / nTokD
     val distinctRatio = distinct.size.toDouble / nTokD
     val quality =

@@ -22,8 +22,10 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
   * group" — and the same combiner-lifting Beam applies to its Top.Of,
   * cf. `/root/reference/pipelines/cycle_rides.py:53`.)
   *
-  * Ordering: descending (sort_key, then payload) — ties deterministic.
-  * Output array is sorted descending.
+  * Ordering: sort_key descending, ties broken by payload ASCENDING —
+  * exactly `row_number() OVER (ORDER BY key DESC, payload)` semantics,
+  * so the aggregate is drop-in for the window form. NaN sort keys are
+  * ignored (they are unrankable). Output array is in rank order.
   */
 case class TopKAgg(
     sortKey: Expression,
@@ -42,8 +44,10 @@ case class TopKAgg(
   override def update(buf: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {
     val sk = sortKey.eval(input)
     val pl = payload.eval(input)
-    if (sk != null && pl != null)
-      buf.offer(sk.asInstanceOf[Double], pl.asInstanceOf[Long])
+    if (sk != null && pl != null) {
+      val k = sk.asInstanceOf[Double]
+      if (!k.isNaN) buf.offer(k, pl.asInstanceOf[Long])
+    }
     buf
   }
 
@@ -93,15 +97,19 @@ object TopKAgg {
     StructField("sort_key", DoubleType, nullable = false),
     StructField("payload", LongType, nullable = false)))
 
-  /** k-bounded min-heap on (sort_key, payload) — the root is the SMALLEST
-    * retained entry, evicted when a larger one arrives. */
+  /** k-bounded heap ordered by rank (key DESC, payload ASC): the root is
+    * the WORST retained entry — smallest key, largest payload among
+    * equals — evicted when a better one arrives. */
   final class Heap(k: Int) {
     private val keys = new Array[Double](k)
     private val pays = new Array[Long](k)
     private var n = 0
 
+    /** "(k1,p1) ranks strictly worse than (k2,p2)" — worse = smaller
+      * key, or equal key with LARGER payload (payload breaks ties
+      * ascending, like the window form's ORDER BY key DESC, payload). */
     private def lt(k1: Double, p1: Long, k2: Double, p2: Long): Boolean =
-      k1 < k2 || (k1 == k2 && p1 < p2)
+      k1 < k2 || (k1 == k2 && p1 > p2)
 
     def offer(key: Double, pay: Long): Unit = {
       if (n < k) {
@@ -145,10 +153,10 @@ object TopKAgg {
       val tp = pays(i); pays(i) = pays(j); pays(j) = tp
     }
 
-    /** Entries sorted descending by (sort_key, payload). */
+    /** Entries in rank order: sort_key descending, payload ascending. */
     def sortedDesc: Array[(Double, Long)] =
       (0 until n).map(i => (keys(i), pays(i))).toArray
-        .sortBy { case (s, p) => (-s, -p) }
+        .sortBy { case (s, p) => (-s, p) }
   }
 
   def apply(sortKey: Column, payload: Column, k: Int): Column =

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of join: for each left row, attach the most recent right row with
   * right.time ≤ left.time, per key — the canonical event-enrichment join
@@ -19,6 +20,11 @@ import org.apache.spark.sql.functions._
   * Ordering inside a timestamp tie: the right row sorts BEFORE the left
   * row (side 0 < side 1), so a right event at exactly t is visible to a
   * left event at t ("≤" semantics, matching DuckDB's ASOF JOIN).
+  *
+  * Right rows whose value column is NULL still count as the latest match
+  * (the value carried is NULL — not an older non-null value): each value
+  * rides inside a non-null struct wrapper, so `last(..., ignoreNulls)`
+  * skips left-row placeholders but never a real right row.
   */
 object AsOfJoin {
 
@@ -31,25 +37,30 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       timeCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    def wrapType(c: String) = StructType(Seq(
+      StructField("v", right.schema(c).dataType, nullable = true)))
     val lTagged = left
       .withColumn("_side", lit(1))
       .select(
         (keyCols.map(col) :+ col(timeCol) :+ col("_side")) ++
           leftCols.filterNot(c => keyCols.contains(c) || c == timeCol).map(col) ++
-          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")): _*)
+          valueCols.map(c => lit(null).cast(wrapType(c)).as(s"_v_$c")): _*)
     val rTagged = right
       .withColumn("_side", lit(0))
       .select(
         (keyCols.map(col) :+ col(timeCol) :+ col("_side")) ++
           leftCols.filterNot(c => keyCols.contains(c) || c == timeCol)
             .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          valueCols.map(c => col(c).as(s"_v_$c")): _*)
+          // non-null struct wrapper: a right row with a NULL value is
+          // still "the latest match" and must not be skipped
+          valueCols.map(c => struct(col(c).as("v")).as(s"_v_$c")): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .select(col("*") +: valueCols.map(c =>
-        last(col(s"_v_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+        last(col(s"_v_$c"), ignoreNulls = true).over(w)
+          .getField("v").as(s"asof_$c")): _*)
       .filter(col("_side") === 1)
       .drop("_side")
       .drop(valueCols.map(c => s"_v_$c"): _*)

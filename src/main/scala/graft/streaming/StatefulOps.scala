@@ -26,15 +26,24 @@ object StatefulOps {
       .flatMapGroupsWithState[Long, FirstSeen](
         OutputMode.Append(), timeout) {
         (key: Long, rows: Iterator[Keyed], state: GroupState[Long]) =>
-          val batch = rows.toSeq
-          val seenBefore = state.getOption.getOrElse(0L)
-          val out =
-            if (seenBefore == 0L && batch.nonEmpty)
-              Iterator(FirstSeen(key, batch.head.payload,
-                (batch.size - 1).toLong))
-            else Iterator.empty
-          state.update(seenBefore + batch.size)
-          out
+          if (state.hasTimedOut) {
+            // expiry callback: drop the ledger entry — the key becomes
+            // "first seen" again after the horizon, by design
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val seenBefore = state.getOption.getOrElse(0L)
+            val out =
+              if (seenBefore == 0L && batch.nonEmpty)
+                Iterator(FirstSeen(key, batch.head.payload,
+                  (batch.size - 1).toLong))
+              else Iterator.empty
+            state.update(seenBefore + batch.size)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration("1 hour") // bounds the store
+            out
+          }
       }
   }
 }

@@ -61,7 +61,8 @@ object StreamingRoutes {
   def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
       watermark: String): DataFrame =
     docs
-      .withColumn("fp", graft.expr.Fingerprint64(col(textCol)))
+      .withColumn("__graft_fp", graft.expr.Fingerprint64(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("fp")
+      .dropDuplicatesWithinWatermark("__graft_fp")
+      .drop("__graft_fp") // output schema == input schema
 }

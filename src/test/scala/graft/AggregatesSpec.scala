@@ -35,7 +35,7 @@ class AggregatesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1))))
       .toMap
-    assert(out("a") == Seq((2.0, 3L), (1.0, 2L), (1.0, 1L))) // desc, tie by id desc
+    assert(out("a") == Seq((2.0, 3L), (1.0, 1L), (1.0, 2L))) // desc, tie by id ASC
     assert(out("b") == Seq((5.0, 4L)))
   }
 

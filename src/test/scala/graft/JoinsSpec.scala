@@ -20,12 +20,24 @@ class JoinsSpec extends SparkSpec {
       Row(2L, 10L, 103L)), lSchema)
     val right = Sources.inMemory(spark, Seq(
       Row(1L, 10L, 1.0), Row(1L, 15L, 2.0), Row(9L, 1L, 9.9)), rSchema)
+    // latest-match-is-null case needs a nullable value column
+    val rNullSchema = StructType(Seq(StructField("k", LongType, false),
+      StructField("t", LongType, false), StructField("v", DoubleType, true)))
     val out = rows(AsOfJoin.asOf(left, right, Seq("k"), "t", Seq("v")))
       .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("asof_v"))).toMap
     assert(out(100L) == Some(1.0)) // right at exactly t=10 visible (<=)
     assert(out(101L) == Some(2.0)) // latest of {10, 15}
     assert(out(102L) == None)      // nothing at or before t=5
     assert(out(103L) == None)      // no right rows for key 2
+
+    // a NULL-valued right row IS the latest match (DuckDB ASOF parity):
+    // it must yield NULL, not resurrect the older non-null value
+    val rightWithNull = Sources.inMemory(spark, Seq(
+      Row(1L, 10L, 1.0), Row(1L, 15L, null)), rNullSchema)
+    val out2 = rows(AsOfJoin.asOf(left, rightWithNull, Seq("k"), "t", Seq("v")))
+      .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("asof_v"))).toMap
+    assert(out2(100L) == Some(1.0)) // t=10: the non-null row
+    assert(out2(101L) == None)      // t=20: latest match (t=15) is null
   }
 
   test("saltedJoin equals plain join, and spreads the hot key") {
