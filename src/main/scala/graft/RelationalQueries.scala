@@ -99,5 +99,56 @@ object RelationalQueries {
            |  SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e
            |) ORDER BY set_op""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(qSemiAnti, qTopCustomers, qSetOps)
+  /** TPC-H Q5-shaped chain: 5-way join narrowed by a region filter.
+    * Catalyst pushes the region predicate through the join chain; the
+    * small dimension tables broadcast, lineitem⋈orders shuffles on
+    * orderkey. */
+  val qRegionRevenue = QueryDef("q_region_revenue",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,6)").as("rev"))
+      Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
+        .join(Tables.nation(spark, dir),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.customer(spark, dir),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("n_name")
+        .agg(sum("rev").cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+           |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_items
+           |FROM region
+           |JOIN nation ON r_regionkey = n_regionkey
+           |JOIN customer ON n_nationkey = c_nationkey
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE r_name = 'EUROPE'
+           |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  /** Correlated subquery: parts priced above their type's average —
+    * Catalyst decorrelates into an aggregate + join automatically. */
+  val qAboveAvg = QueryDef("q_parts_above_type_avg",
+    (spark, dir) => {
+      Tables.part(spark, dir).createOrReplaceTempView("part")
+      spark.sql(
+        """SELECT p_type, CAST(count(*) AS BIGINT) AS n_above
+          |FROM part p
+          |WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+          |                       WHERE p2.p_type = p.p_type)
+          |GROUP BY p_type ORDER BY p_type""".stripMargin)
+    },
+    Some("""SELECT p_type, CAST(count(*) AS BIGINT) AS n_above
+           |FROM part p
+           |WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+           |                       WHERE p2.p_type = p.p_type)
+           |GROUP BY p_type ORDER BY p_type""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(
+    qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg)
 }
