@@ -96,18 +96,10 @@ object Catalog {
   /** Q-dist (`/root/reference/pipelines/stations.py:62-77`) with the
     * SQL-expressible haversine metric, meter-rounded for the oracle. */
   val qDistHaversine = QueryDef("q_dist_pairs_haversine",
-    (spark, dir) => {
-      val s = Tables.stationsById(spark, dir)
-      val a = s.select(col("id").as("station_1"),
-        col("latitude").as("lat1"), col("longitude").as("lon1"))
-      val b = s.select(col("id").as("station_2"),
-        col("latitude").as("lat2"), col("longitude").as("lon2"))
-      a.crossJoin(broadcast(b))
-        .select(col("station_1"), col("station_2"),
-          round(haversine_km(col("lat1"), col("lon1"), col("lat2"), col("lon2")), 3)
-            .as("distance_km"))
-        .orderBy("station_1", "station_2")
-    },
+    (spark, dir) => StationDistances.pairwiseWith(
+      Tables.stationsById(spark, dir), "id",
+      (la1, lo1, la2, lo2) => round(haversine_km(la1, lo1, la2, lo2), 3))
+      .orderBy("station_1", "station_2"),
     Some(s"""WITH $stationsSql
             |SELECT a.id AS station_1, b.id AS station_2,
             |       ROUND(${haversineSql("a.latitude", "a.longitude", "b.latitude", "b.longitude")}, 3) AS distance_km
@@ -143,14 +135,8 @@ object Catalog {
       val nSt = Tables.supplier(spark, dir).agg(count(lit(1)).as("n"))
       val st = Tables.stationsById(spark, dir)
         .crossJoin(broadcast(nSt)).filter(col("id") < col("n") - 2).drop("n")
-      val a = st.select(col("id").as("station_1"),
-        col("latitude").as("lat1"), col("longitude").as("lon1"))
-      val b = st.select(col("id").as("station_2"),
-        col("latitude").as("lat2"), col("longitude").as("lon2"))
-      val dists = a.crossJoin(broadcast(b))
-        .select(col("station_1"), col("station_2"),
-          round(haversine_km(col("lat1"), col("lon1"), col("lat2"), col("lon2")), 3)
-            .as("distance_km"))
+      val dists = StationDistances.pairwiseWith(st, "id",
+        (la1, lo1, la2, lo2) => round(haversine_km(la1, lo1, la2, lo2), 3))
       TotalDistance.totalKm(counts, dists, "start_station_id", "end_station_id", "cnt")
         .orderBy("start", "end")
     },

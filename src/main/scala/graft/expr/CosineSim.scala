@@ -12,8 +12,18 @@ import org.apache.spark.sql.types._
   * order — deterministic, and exactly reproducible by an oracle engine
   * summing the same list in order. */
 object VectorKernels {
+  /** Mismatched dimensions are a data bug (corrupt row, model
+    * migration) — fail loudly rather than silently comparing a prefix
+    * and returning a plausible-but-wrong similarity. */
+  private def checkDims(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"vector dimension mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
   def cosineFF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -27,7 +37,7 @@ object VectorKernels {
   }
 
   def dotFF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var dot = 0.0
     var i = 0
     while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -35,7 +45,7 @@ object VectorKernels {
   }
 
   def l2FF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -23,19 +23,29 @@ import graft.expr.GeodesicKm
   */
 object StationDistances {
 
-  /** All station pairs (including self-pairs) with geodesic km. */
-  def pairwise(stations: DataFrame, keyCol: String): DataFrame = {
-    val a = stations.na.drop("any")
-      .select(col(keyCol).as("station_1"),
-        col("latitude").as("lat1"), col("longitude").as("lon1"))
-    val b = stations.na.drop("any")
-      .select(col(keyCol).as("station_2"),
-        col("latitude").as("lat2"), col("longitude").as("lon2"))
+  /** The (station_1, lat1, lon1) × broadcast(station_2, lat2, lon2)
+    * pair frame with a caller-chosen distance metric — the shared core
+    * of every pairwise-distance query. Null filtering covers ONLY the
+    * columns used (the reference's remove_none guards the projected
+    * fields — an unrelated null column must not drop the station). */
+  def pairwiseWith(stations: DataFrame, keyCol: String,
+      distance: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame = {
+    val clean = stations.na.drop("any", Seq(keyCol, "latitude", "longitude"))
+    val a = clean.select(col(keyCol).as("station_1"),
+      col("latitude").as("lat1"), col("longitude").as("lon1"))
+    val b = clean.select(col(keyCol).as("station_2"),
+      col("latitude").as("lat2"), col("longitude").as("lon2"))
     a.crossJoin(broadcast(b))
       .select(col("station_1"), col("station_2"),
-        GeodesicKm(col("lat1"), col("lon1"), col("lat2"), col("lon2"))
+        distance(col("lat1"), col("lon1"), col("lat2"), col("lon2"))
           .as("distance_km"))
   }
+
+  /** All station pairs (including self-pairs) with geodesic km. */
+  def pairwise(stations: DataFrame, keyCol: String): DataFrame =
+    pairwiseWith(stations, keyCol, GeodesicKm(_, _, _, _))
 
   /** The notebook's commented-out theta variant (`a.name != b.name`). */
   def pairwiseDistinct(stations: DataFrame, keyCol: String): DataFrame =

@@ -33,6 +33,7 @@ def canon(df: pd.DataFrame) -> str:
                 h.update(repr(round(v, 9)).encode())
             else:
                 h.update(repr(v).encode())
+            h.update(b"\x00")  # value delimiter: '1','23' must not hash like '12','3'
     return h.hexdigest()
 
 fails = 0
