@@ -100,11 +100,14 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hint: `sizes` is one row PER DOCUMENT — corpus
+    // cardinality, not a dimension. AQE broadcasts it when it happens to
+    // be small; at scale these are shuffle joins keyed on the doc id.
     inter
-      .join(broadcast(sizes.withColumnRenamed("id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b")), "doc_b")
+      .join(sizes.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))

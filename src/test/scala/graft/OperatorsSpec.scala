@@ -79,6 +79,16 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(d((harper, wellington)) - d((wellington, harper))) < 1e-9)
   }
 
+  test("J1 property: pair count is exactly n² of the null-clean rows") {
+    val st = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .selectExpr("s_suppkey AS id",
+        "CAST(s_suppkey AS DOUBLE) AS latitude",
+        "CAST(s_suppkey AS DOUBLE) / 10 AS longitude")
+    val n = st.count()
+    assert(StationDistances.pairwise(st, "id").count() == n * n)
+    assert(StationDistances.pairwiseDistinct(st, "id").count() == n * (n - 1))
+  }
+
   test("J1 distinct variant drops self-pairs only") {
     val pairs = rows(StationDistances.pairwiseDistinct(stationsFixture, "name"))
     assert(pairs.size == 2)
