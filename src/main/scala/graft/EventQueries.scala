@@ -10,20 +10,16 @@ import graft.core.Tables
   * windowed ranking, pivot, and JSON extraction — the batch faces of the
   * streaming surface in [[graft.streaming.StreamingRoutes]].
   *
-  * The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-  * reader only admits as INT64 via the nanosAsLong legacy flag — so `ts`
-  * is handled as epoch-nanos BIGINT end to end (the DuckDB oracle mirrors
-  * with `epoch_ns(ts)`). */
+  * Event time rides as epoch-MICROSECOND BIGINT end to end (see
+  * [[graft.core.Tables.eventsMicros]] for why; the DuckDB oracle mirrors
+  * with `epoch_us(ts)`). */
 object EventQueries {
 
-  /** Session gap: 30 minutes, in nanoseconds. */
-  val SessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000
+  /** Session gap: 30 minutes, in microseconds. */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
 
-  /** Events with `ts` as epoch-nano BIGINT. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(spark, dir)
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsMicros(spark, dir)
 
   /** Gap-based sessionization per user (classic lag → flag → running-sum
     * pattern; the streaming equivalent is `session_window`). One shuffle:
@@ -35,7 +31,7 @@ object EventQueries {
         .withColumn("prev_ts", lag("ts", 1).over(w))
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
-            col("ts") - col("prev_ts") > SessionGapNs, 1L).otherwise(0L))
+            col("ts") - col("prev_ts") > SessionGapUs, 1L).otherwise(0L))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           sum("new_sess").as("n_sessions"),
@@ -46,11 +42,11 @@ object EventQueries {
     },
     Some(s"""WITH flagged AS (
             |  SELECT user_id, value,
-            |         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-            |                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > $SessionGapNs
+            |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+            |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
             |              THEN 1 ELSE 0 END AS new_sess
             |  FROM events
-            |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
             |)
             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
             |       CAST(sum(new_sess) AS BIGINT) AS n_sessions,

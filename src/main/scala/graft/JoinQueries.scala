@@ -13,8 +13,7 @@ object JoinQueries {
     * JOIN — our union+window composition must match it exactly. */
   val qAsOf = QueryDef("q_asof_error_purchase",
     (spark, dir) => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = Tables.events(spark, dir)
+      val events = Tables.eventsMicros(spark, dir)
       val errors = events.filter(col("event_type") === "error")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = events.filter(col("event_type") === "purchase")
@@ -27,7 +26,7 @@ object JoinQueries {
     Some("""SELECT e.event_id, e.user_id, p.value AS asof_value
            |FROM (SELECT * FROM events WHERE event_type = 'error') e
            |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-           |  ON e.user_id = p.user_id AND epoch_ns(e.ts) >= epoch_ns(p.ts)
+           |  ON e.user_id = p.user_id AND epoch_us(e.ts) >= epoch_us(p.ts)
            |ORDER BY e.event_id""".stripMargin))
 
   /** Distinct users per event type — the exact form (oracle-hashed).
@@ -35,8 +34,7 @@ object JoinQueries {
     * reproducible, so it lives in the spec, asserted within 5% of exact. */
   val qDistinctUsers = QueryDef("q_events_distinct_users",
     (spark, dir) => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Tables.events(spark, dir)
+      Tables.eventsMicros(spark, dir)
         .groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))

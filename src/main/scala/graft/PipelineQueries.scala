@@ -69,14 +69,15 @@ object PipelineQueries {
             |GROUP BY seq_id ORDER BY seq_id""".stripMargin))
 
   /** Top-3 events per type via the bounded-heap AGGREGATE (TopKAgg) —
-    * identical semantics and oracle as the window-function form
-    * (`q_events_top3_per_type`), but with partial aggregation: the
-    * shuffle carries ≤ k rows per (group × map task) instead of every
-    * row, and nothing is globally sorted. */
+    * same ranking (IEEE total order, payload tie-break) and oracle as
+    * the window form (`q_events_top3_per_type`), but with partial
+    * aggregation: the shuffle carries ≤ k rows per (group × map task)
+    * instead of every row, and nothing is globally sorted. (Only
+    * divergence: null-valued rows — see TopKAgg scaladoc; none exist in
+    * this table.) */
   val qTop3Agg = QueryDef("q_events_top3_agg",
     (spark, dir) => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Tables.events(spark, dir)
+      Tables.eventsMicros(spark, dir)
         .groupBy("event_type")
         .agg(TopKAgg(col("value"), col("event_id"), 3).as("top"))
         .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "entry")))

@@ -181,7 +181,6 @@ object TextQueries {
     * makes. */
   val qTrainingPrep = QueryDef("q_training_data_prep",
     (spark, dir) => {
-      import graft.operators.Dedup
       val docs = Tables.documents(spark, dir)
       val qualityPass = docs.filter(qualityScore(col("text")) >= MinQuality)
       val exactKeep = Dedup.exactDedup(qualityPass, "doc_id", "text")

@@ -34,6 +34,20 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+
+  /** Events with `ts` as epoch-MICROSECOND BIGINT — the single reader all
+    * event-time queries share. Two things live here so no query can get
+    * them wrong: (a) the parquet carries TIMESTAMP(NANOS), which Spark
+    * admits only as INT64 via the nanosAsLong flag; (b) time arithmetic
+    * is truncated to MICROsecond resolution because the DuckDB oracle's
+    * TIMESTAMP is microsecond-resolved — comparing at nano grain would
+    * make every boundary predicate latently engine-divergent (mirror
+    * with epoch_us(ts) in oracle SQL). */
+  def eventsMicros(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events(spark, sfDir).withColumn("ts",
+      org.apache.spark.sql.functions.expr("ts div 1000L"))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 

@@ -22,10 +22,14 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
   * group" — and the same combiner-lifting Beam applies to its Top.Of,
   * cf. `/root/reference/pipelines/cycle_rides.py:53`.)
   *
-  * Ordering: sort_key descending, ties broken by payload ASCENDING —
-  * exactly `row_number() OVER (ORDER BY key DESC, payload)` semantics,
-  * so the aggregate is drop-in for the window form. NaN sort keys are
-  * ignored (they are unrankable). Output array is in rank order.
+  * Ordering: sort_key descending by IEEE total order (NaN ranks
+  * GREATEST — the same ordering Spark and DuckDB use for double sorts),
+  * ties broken by payload ASCENDING — exactly `row_number() OVER
+  * (ORDER BY key DESC, payload)` semantics, so the aggregate is drop-in
+  * for the window form. One documented divergence: rows with a NULL sort
+  * key are excluded here, while the window form ranks them after every
+  * non-null row — outputs differ only when a group has fewer than k
+  * non-null rows. Output array is in rank order.
   */
 case class TopKAgg(
     sortKey: Expression,
@@ -44,10 +48,8 @@ case class TopKAgg(
   override def update(buf: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {
     val sk = sortKey.eval(input)
     val pl = payload.eval(input)
-    if (sk != null && pl != null) {
-      val k = sk.asInstanceOf[Double]
-      if (!k.isNaN) buf.offer(k, pl.asInstanceOf[Long])
-    }
+    if (sk != null && pl != null)
+      buf.offer(sk.asInstanceOf[Double], pl.asInstanceOf[Long])
     buf
   }
 
@@ -106,10 +108,15 @@ object TopKAgg {
     private var n = 0
 
     /** "(k1,p1) ranks strictly worse than (k2,p2)" — worse = smaller
-      * key, or equal key with LARGER payload (payload breaks ties
-      * ascending, like the window form's ORDER BY key DESC, payload). */
-    private def lt(k1: Double, p1: Long, k2: Double, p2: Long): Boolean =
-      k1 < k2 || (k1 == k2 && p1 > p2)
+      * key under IEEE TOTAL order (java.lang.Double.compare: NaN sorts
+      * greatest, matching Spark/DuckDB double sort order — a bare `<`
+      * would let a NaN poison the heap root), or equal key with LARGER
+      * payload (payload breaks ties ascending, like the window form's
+      * ORDER BY key DESC, payload). */
+    private def lt(k1: Double, p1: Long, k2: Double, p2: Long): Boolean = {
+      val c = java.lang.Double.compare(k1, k2)
+      c < 0 || (c == 0 && p1 > p2)
+    }
 
     def offer(key: Double, pay: Long): Unit = {
       if (n < k) {
@@ -153,10 +160,14 @@ object TopKAgg {
       val tp = pays(i); pays(i) = pays(j); pays(j) = tp
     }
 
-    /** Entries in rank order: sort_key descending, payload ascending. */
+    /** Entries in rank order: sort_key descending (IEEE total order),
+      * payload ascending. */
     def sortedDesc: Array[(Double, Long)] =
       (0 until n).map(i => (keys(i), pays(i))).toArray
-        .sortBy { case (s, p) => (-s, p) }
+        .sortWith { case ((s1, p1), (s2, p2)) =>
+          val c = java.lang.Double.compare(s1, s2)
+          c > 0 || (c == 0 && p1 < p2)
+        }
   }
 
   def apply(sortKey: Column, payload: Column, k: Int): Column =

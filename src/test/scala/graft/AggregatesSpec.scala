@@ -39,6 +39,17 @@ class AggregatesSpec extends SparkSpec {
     assert(out("b") == Seq((5.0, 4L)))
   }
 
+  test("TopKAgg: NaN sort keys rank greatest (IEEE total order, window parity)") {
+    import spark.implicits._
+    val df = Seq(("a", Double.NaN, 1L), ("a", 100.0, 2L), ("a", 99.0, 3L),
+      ("a", 98.0, 4L)).toDF("g", "v", "id").repartition(2)
+    val out = df.groupBy("g").agg(TopKAgg(col("v"), col("id"), 3).as("top"))
+      .select(col("g"), col("top")).collect().head
+      .getSeq[org.apache.spark.sql.Row](1).map(e => e.getLong(1))
+    // same order row_number() OVER (ORDER BY v DESC, id) yields: NaN first
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
   test("MinHashAgg(group) equals MinHash of the union of shingle sets") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val agged = docs
