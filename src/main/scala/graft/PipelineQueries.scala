@@ -45,15 +45,15 @@ object PipelineQueries {
 
   /** Token-budget sequence packing (contiguous, id-ordered): assign docs
     * to sequences by running token count — the deterministic chunking a
-    * pretraining tokenizer shard step performs. Window cumsum; one
-    * shuffle. Output: per-sequence doc count and token totals. */
+    * pretraining tokenizer shard step performs. The running total is the
+    * DISTRIBUTED two-pass prefix sum ([[graft.operators.PrefixSum]]), not
+    * a global window — no single-partition stage at any scale. Output:
+    * per-sequence doc count and token totals. */
   val qPackSequences = QueryDef("q_pack_sequences",
     (spark, dir) => {
-      val w = Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(spark, dir)
+      val toks = Tables.documents(spark, dir)
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("cum", sum("n_tokens").over(w))
+      graft.operators.PrefixSum.runningTotal(toks, "doc_id", "n_tokens", "cum")
         .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / PackBudget))
         .groupBy("seq_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))

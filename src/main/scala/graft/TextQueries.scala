@@ -189,12 +189,14 @@ object TextQueries {
         .filter(col("id") =!= col("cluster"))
         .select(col("id").as("doc_id"))
       val survivors = exactKeep.join(dupDrops, Seq("doc_id"), "left_anti")
-      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      survivors
+      val toks = survivors
         .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
-        .withColumn("cum", sum("n_tokens").over(w))
+      // distributed prefix sum; bucket bounds come from the RAW table (a
+      // superset of survivor ids — correctness-neutral, see PrefixSum),
+      // so the bounds pass is a pruned parquet scan, not a re-run of the
+      // whole dedup chain
+      graft.operators.PrefixSum.runningTotal(toks, "doc_id", "n_tokens", "cum",
+        boundsFrom = Some(docs.select("doc_id")))
         .withColumn("seq_id",
           floor((col("cum") - col("n_tokens")) / PipelineQueries.PackBudget))
         .groupBy("seq_id")

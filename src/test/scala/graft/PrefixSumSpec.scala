@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PrefixSum
+
+/** Distributed prefix-sum invariants: exact agreement with the sequential
+  * running total, regardless of bucketing, bounds source, or value sign. */
+class PrefixSumSpec extends SparkSpec {
+
+  private def sequential(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    var acc = 0L
+    pairs.sortBy(_._1).map { case (k, v) => acc += v; k -> acc }.toMap
+  }
+
+  test("matches sequential running total on shuffled sparse keys") {
+    import spark.implicits._
+    val data = Seq(7L -> 3L, 100L -> 5L, 2L -> 10L, 55L -> 1L, 999L -> 2L,
+      -4L -> 6L, 0L -> 0L, 500L -> 7L)
+    val df = scala.util.Random.shuffle(data).toDF("k", "v").repartition(3)
+    val out = PrefixSum.runningTotal(df, "k", "v", "cum", nBuckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == sequential(data))
+  }
+
+  test("negative values: bucket totals are true sums, not running maxima") {
+    import spark.implicits._
+    val data = (0L until 50L).map(i => i -> (if (i % 3 == 0) -5L else 2L))
+    val df = data.toDF("k", "v").repartition(5)
+    val out = PrefixSum.runningTotal(df, "k", "v", "cum", nBuckets = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == sequential(data))
+  }
+
+  test("superset bounds frame gives identical results (empty buckets ok)") {
+    import spark.implicits._
+    val data = Seq(10L -> 1L, 11L -> 2L, 12L -> 3L)
+    val df = data.toDF("k", "v")
+    val superset = (0L until 1000L).toDF("k")
+    val out = PrefixSum.runningTotal(df, "k", "v", "cum", nBuckets = 8,
+      boundsFrom = Some(superset))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == sequential(data))
+  }
+
+  test("single row, and nBuckets larger than row count") {
+    import spark.implicits._
+    val out = PrefixSum.runningTotal(Seq(42L -> 9L).toDF("k", "v"),
+      "k", "v", "cum", nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((42L, 9L)))
+  }
+
+  test("matches the global-window form on the real documents table") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).as("v"))
+    val viaOp = PrefixSum.runningTotal(docs, "doc_id", "v", "cum")
+      .select("doc_id", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val viaWindow = docs.withColumn("cum", sum("v").over(w))
+      .select("doc_id", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaOp == viaWindow)
+  }
+
+  test("physical plan has no un-partitioned window stage") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => i -> i).toDF("k", "v")
+    val plan = PrefixSum.runningTotal(df, "k", "v", "cum", nBuckets = 4)
+      .queryExecution.executedPlan.toString
+    // every Window node must carry a partition spec (the bucket id)
+    plan.split('\n').filter(_.contains("Window")).foreach { line =>
+      assert(line.contains("__graft_bkt"), s"unpartitioned window: $line")
+    }
+  }
+}
