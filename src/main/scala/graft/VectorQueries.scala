@@ -68,8 +68,10 @@ object VectorQueries {
     * quantizer's cluster assignment (in production: argmin centroid,
     * computed once at ingest). Each query probes ONLY its own cluster —
     * the corpus scan shrinks by the cluster count, the plan is an
-    * equi-join on (label) instead of a cross join. Exact within the
-    * probed bucket → fully SQL-mirrorable. */
+    * equi-join on (label) instead of a cross join. Ranking via the
+    * bounded-heap [[graft.expr.TopKAgg]] (map-side partial agg — the
+    * shuffle carries ≤ k rows per query per task, no window sort). Exact
+    * within the probed bucket → fully SQL-mirrorable. */
   val qAnnIvf = QueryDef("q_ann_ivf_topk",
     (spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
@@ -81,11 +83,7 @@ object VectorQueries {
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           round(graft.expr.CosineSim(col("qv"), col("cv")), 6).as("cosine"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= TopK)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      Similarity.topKPerQuery(scored, TopK)
         .orderBy("query_id", "rank")
     },
     Some(s"""WITH e AS (

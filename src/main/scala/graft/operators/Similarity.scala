@@ -1,9 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.expr.{CosineSim, RandomProjectionSig}
+import graft.expr.{CosineSim, RandomProjectionSig, TopKAgg}
 
 /** Similarity search over embedding columns (`array<float>`): brute-force
   * cosine top-k as the exact baseline, random-hyperplane LSH bucketing as
@@ -11,8 +10,11 @@ import graft.expr.{CosineSim, RandomProjectionSig}
   *
   * Scale design (100 TB): brute force is a query×corpus nested-loop join —
   * correct at any scale ONLY when the query side is broadcastable; the
-  * corpus side streams through whole-stage codegen'd [[CosineSim]] with no
-  * shuffle at all (TakeOrdered collects k rows per query). The LSH path
+  * corpus side streams through whole-stage codegen'd [[CosineSim]], and
+  * ranking is the engine's bounded-heap AGGREGATE ([[TopKAgg]]) — partial
+  * aggregation keeps ≤ k rows per (query × map task), so the only shuffle
+  * moves k·|queries| rows per partition instead of the full scored
+  * corpus×queries set a `row_number` window would sort. The LSH path
   * buckets the corpus by a 16-bit signature derived from deterministic
   * pseudo-random hyperplanes (nothing broadcast, planes re-derived from the
   * seed in the kernel), so candidate generation is an equi-join keyed on
@@ -21,6 +23,21 @@ import graft.expr.{CosineSim, RandomProjectionSig}
   * No counterpart in the reference; part of graft's LLM-pipeline surface.
   */
 object Similarity {
+
+  /** Rank a scored frame (query_id, neighbor_id, cosine) down to the
+    * per-query top-k via [[TopKAgg]] — drop-in for `row_number() OVER
+    * (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)` but with
+    * map-side partial aggregation instead of a full window sort-shuffle.
+    * Output: (query_id, rank, neighbor_id, cosine), rank 1-based INT. */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(TopKAgg(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.payload").as("neighbor_id"),
+        col("e.sort_key").as("cosine"))
 
   /** Exact top-k nearest neighbors by cosine for each query vector.
     * Ranking key is (cosine rounded to 1e-6, neighbor id) — the rounding
@@ -37,12 +54,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(CosineSim(col("qv"), col("cv")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** Global top-N most-similar pairs (a < b) by cosine — the embedding

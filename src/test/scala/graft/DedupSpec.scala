@@ -122,4 +122,30 @@ class DedupSpec extends SparkSpec {
       assert(cosines == cosines.sorted.reverse)
     }
   }
+
+  test("bruteForceTopK matches the window form and plans no WindowExec") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    val viaAgg = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+    // plan: the ranking must be an aggregate, not a window sort-shuffle
+    assert(!viaAgg.queryExecution.executedPlan.toString.contains("Window"),
+      "TopKAgg path must not plan a WindowExec")
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.expr.CosineSim(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+    val a = rows(viaAgg).map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = rows(viaWindow).map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a == b)
+  }
 }
