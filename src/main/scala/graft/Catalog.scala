@@ -117,12 +117,64 @@ object Catalog {
   /** Neighbor pairs within 15 km (geodesic; the synthetic station grid's
     * minimum nonzero spacing is ~12.5 km). Rows-only driver check (the
     * ellipsoidal metric is not SQL-expressible); the radius-rule spec
-    * proves the optimizer rewrite preserves results. */
+    * proves the optimizer rewrite preserves results, and
+    * [[qDistRadiusHaversine]] hash-checks the radius/filter path itself
+    * with the SQL-expressible metric. */
   val qDistRadius = QueryDef("q_dist_within_radius",
     (spark, dir) => StationDistances.pairsWithinKm(
       Tables.stationsById(spark, dir), "id", 15.0)
       .orderBy("station_1", "station_2"),
     None)
+
+  /** The radius query with the haversine metric — SQL-expressible, so the
+    * radius semantics (rounded-distance threshold, self-pair exclusion)
+    * get a full oracle hash check; the geodesic sibling then only carries
+    * the metric delta. 15.0 km sits ≥ 0.7 km from the nearest pair
+    * distance at every SF (nearest: 13.399 below / 15.776 above), so the
+    * threshold can never flip on ≤1ulp cross-engine libm jitter. Both
+    * engines filter on the ROUNDED (3dp) distance. */
+  val qDistRadiusHaversine = QueryDef("q_dist_within_radius_haversine",
+    (spark, dir) => StationDistances.pairwiseWith(
+      Tables.stationsById(spark, dir), "id",
+      (la1, lo1, la2, lo2) => round(haversine_km(la1, lo1, la2, lo2), 3))
+      .filter(col("distance_km") <= lit(15.0))
+      .filter(col("station_1") =!= col("station_2"))
+      .orderBy("station_1", "station_2"),
+    Some {
+      val d = haversineSql("a.latitude", "a.longitude", "b.latitude", "b.longitude")
+      s"""WITH $stationsSql
+         |SELECT a.id AS station_1, b.id AS station_2,
+         |       ROUND($d, 3) AS distance_km
+         |FROM stations a CROSS JOIN stations b
+         |WHERE ROUND($d, 3) <= CAST(15.0 AS DOUBLE) AND a.id <> b.id
+         |ORDER BY station_1, station_2""".stripMargin
+    })
+
+  /** DuckDB CTE for the NAME-keyed stations analog — lockstep with
+    * [[Tables.stationsByName]] (reference `pipelines/stations.py:57-59`,
+    * the `--input_col name` dimension). */
+  val stationsByNameSql: String =
+    """stations_n AS (
+      |  SELECT n_name AS name,
+      |         51.0 + CAST((n_nationkey * 7) % 100 AS DOUBLE) / 200.0 AS latitude,
+      |         -0.5 + CAST((n_nationkey * 13) % 100 AS DOUBLE) / 100.0 AS longitude
+      |  FROM nation
+      |)""".stripMargin
+
+  /** Q-dist over the name-keyed stations variant — oracle coverage for
+    * the reference's `--input_col` dimension (previously CLI-smoke only).
+    * Haversine metric (SQL-expressible); self-pairs kept, like the
+    * reference's live code path. */
+  val qDistByName = QueryDef("q_dist_pairs_by_name",
+    (spark, dir) => StationDistances.pairwiseWith(
+      Tables.stationsByName(spark, dir), "name",
+      (la1, lo1, la2, lo2) => round(haversine_km(la1, lo1, la2, lo2), 3))
+      .orderBy("station_1", "station_2"),
+    Some(s"""WITH $stationsByNameSql
+            |SELECT a.name AS station_1, b.name AS station_2,
+            |       ROUND(${haversineSql("a.latitude", "a.longitude", "b.latitude", "b.longitude")}, 3) AS distance_km
+            |FROM stations_n a CROSS JOIN stations_n b
+            |ORDER BY station_1, station_2""".stripMargin))
 
   /** Q-total (`/root/reference/pipelines/total_distance.py:85-133`):
     * ride counts ⋈ pair distances, FULL OUTER with zero-fill (J2).
@@ -201,7 +253,7 @@ object Catalog {
     * relational breadth, text/dedup, vectors, events. */
   def all: Seq[QueryDef] =
     Seq(qEasy, qHard, qRideCounts, qDistHaversine, qDistGeodesic, qDistRadius,
-      qTotal, q1Agg) ++
+      qDistRadiusHaversine, qDistByName, qTotal, q1Agg) ++
       RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       EventQueries.all ++ MultimodalQueries.all ++ PipelineQueries.all ++
       JoinQueries.all ++ AnalyticQueries.all
