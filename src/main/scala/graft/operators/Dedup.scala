@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.expr.{Fingerprint64, LshBands, MinHashSig, SimHash64}
+import graft.expr.{Fingerprint64, LshBands, MinHashSig, SimHash64, TopKAgg}
 import graft.text.TextAnalysis
 
 /** Deduplication operators for LLM-training-data pipelines: exact
@@ -115,11 +115,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Membership cap per LSH band bucket — see [[minhashCandidates]]. */
+  val DefaultMaxBucket = 4096
+
   /** Candidate pairs from MinHash banding: docs sharing ≥1 of `bands`
     * band-bucket keys. k = hashes in the signature (bands must divide k).
-    * P[candidate | jaccard=s] = 1 − (1 − s^(k/bands))^bands. */
+    * P[candidate | jaccard=s] = 1 − (1 − s^(k/bands))^bands.
+    *
+    * Skew guard: bucket membership is collected with the k-BOUNDED heap
+    * aggregate ([[TopKAgg]] keyed on −id), NOT `collect_list` — a
+    * pathological bucket (millions of byte-identical docs that skipped
+    * exact dedup) can therefore never OOM a task; memory per bucket is
+    * O(maxBucket) at every stage, including the partial aggregates.
+    * A capped bucket keeps its `maxBucket` SMALLEST doc ids
+    * (deterministic), so pairs are lost only between docs whose EVERY
+    * shared band bucket overflowed — run exact dedup first and the cap is
+    * unreachable by honest data. Overflow is observable: the returned
+    * frame carries an `observe` metric `graft_minhash_lsh /
+    * overflowed_buckets` (collected on any action over the result). */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, seed: Long): DataFrame = {
+      n: Int, k: Int, bands: Int, seed: Long,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
       LshBands(MinHashSig(TextAnalysis.shingles(col(textCol), n), k, seed), bands)
         .as("bandkeys"))
@@ -128,13 +144,18 @@ object Dedup {
     // group each band bucket and emit its member pairs — signatures are
     // computed ONCE (a self-join would re-derive them on both sides) and
     // the only shuffle moves (band, key, id) triples. Bucket width is
-    // governed by the band hash, so a stop-shingle never floods a bucket;
-    // a bucket of near-identical content is quadratic by NATURE of the
-    // problem (they are all true pairs) — cap/sample upstream if a corpus
-    // can contain millions of byte-identical docs (exact-dedup first).
+    // governed by the band hash, so a stop-shingle never floods a bucket.
+    // TopKAgg on −id ⇒ the smallest maxBucket ids, in ascending order.
+    // (ids round-trip a double's 53-bit mantissa — fine for any realistic
+    // doc-id space; ids beyond 2^53 would need a long-keyed variant.)
     val grouped = buckets.groupBy("band", "key")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(TopKAgg(negate(col("id").cast("double")), col("id"), maxBucket).as("top"),
+        count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+      .withColumn("ids", expr("transform(top, e -> e.payload)"))
+      .observe("graft_minhash_lsh",
+        sum(when(col("n_members") > maxBucket, 1L).otherwise(0L))
+          .as("overflowed_buckets"))
     grouped
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(col("i"), col("a"), posexplode(col("ids")).as(Seq("j", "b")))
@@ -151,8 +172,8 @@ object Dedup {
     * Output identical in shape/semantics to [[jaccardPairs]]. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, k: Int = 128, bands: Int = 32,
-      seed: Long = 42L): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, n, k, bands, seed)
+      seed: Long = 42L, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, n, k, bands, seed, maxBucket)
     val sets = docs.select(col(idCol).as("id"),
       TextAnalysis.shingles(col(textCol), n).as("sh"))
     cands
@@ -173,23 +194,37 @@ object Dedup {
     * Algorithm: iterative min-label propagation (the standard large-graph
     * CC approach — each round every vertex takes the min of its own and
     * its neighbors' labels; rounds = component diameter). The driver loop
-    * only COORDINATES rounds (one convergence count per round); all data
-    * work is distributed joins. Near-dup components are shallow (dup
-    * clusters are cliques or short chains), so 2–3 rounds typically
-    * converge; `maxIter` bounds adversarial chains.
+    * only COORDINATES rounds; all data work is distributed joins.
+    * Near-dup components are shallow (dup clusters are cliques or short
+    * chains), so 2–3 rounds typically converge; `maxIter` bounds
+    * adversarial chains.
+    *
+    * Convergence detection is one AGGREGATE per round, not a join:
+    * labels only ever decrease (each is the running min over a growing
+    * neighborhood), so Σ labels is strictly monotone until fixpoint —
+    * sum unchanged ⟺ every label unchanged. Summed as decimal(38,0):
+    * overflow-proof at any vertex count.
     *
     * @param pairs (doc_a, doc_b) near-dup pairs, a < b
+    * @param reliableCheckpoint use `checkpoint()` (HDFS-durable, survives
+    *        executor loss — set `sparkContext.setCheckpointDir` first)
+    *        instead of `localCheckpoint()` (executor-local blocks; fine
+    *        single-node, fragile on a real cluster)
     * @return (doc_id, cluster) — cluster = min doc id of the component
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // materialize the edge list once — every propagation round takes two
-    // passes over it, and without this the whole upstream pair derivation
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    def persistRound(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    // materialize the edge list once — every propagation round takes a
+    // pass over it, and without this the whole upstream pair derivation
     // (shingles → minhash → buckets → verify) would re-run per round
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+    val edges = persistRound(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
+    var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -198,15 +233,17 @@ object Dedup {
           .withColumnRenamed("cluster", "n_cluster"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("n_cluster").as("n_cluster"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint() // truncate the growing iterative lineage
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
+      val next = persistRound( // truncate the growing iterative lineage
+        labels.join(viaNeighbors, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
+              .as("cluster")))
+      val curSum = next
+        .agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
       labels = next
-      converged = changed == 0
+      converged = prevSum.contains(curSum)
+      prevSum = Some(curSum)
       iter += 1
     }
     labels

@@ -81,6 +81,32 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("minhashCandidates: flood bucket is capped, bounded, and observable") {
+    // 500 docs with IDENTICAL text — every band bucket holds all 500 ids.
+    // With maxBucket=8 the bounded heap keeps the 8 smallest ids per
+    // bucket: candidate pairs are C(8,2)=28, not C(500,2)=124750, and no
+    // stage ever materializes a 500-element list.
+    val flood = docs((0L until 500L).map(i => i -> "same text every time"): _*)
+    val cands = Dedup.minhashCandidates(flood, "doc_id", "text",
+      n = 3, k = 128, bands = 32, seed = 42L, maxBucket = 8)
+    val got = rows(cands).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (for (a <- 0L until 8L; b <- a + 1 until 8L) yield (a, b)).toSet)
+    // the overflow is loud: the observe metric counts capped buckets
+    val metric = cands.queryExecution.observedMetrics("graft_minhash_lsh")
+    assert(metric.getAs[Long]("overflowed_buckets") == 32L) // one per band
+  }
+
+  test("minhashLshPairs with a tight cap still verifies planted pairs") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = rows(Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.5))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // real dup clusters are tiny — a cap of 16 must not drop any pair
+    val capped = rows(Dedup.minhashLshPairs(d, "doc_id", "text", 3, 0.5,
+      maxBucket = 16))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == exact)
+  }
+
   test("simhashPairs finds the planted near-dups (recall vs jaccard truth)") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val truth = rows(Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8))
