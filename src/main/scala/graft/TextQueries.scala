@@ -136,8 +136,12 @@ object TextQueries {
     * pair ≥ 0.8 with probability 1 − 5e-8 and verification removes all
     * false positives, so outputs match exactly on this corpus. */
   val qDedupMinhash = QueryDef("q_dedup_minhash_lsh",
+    // failOnOverflow: this path is oracle-checked and the DuckDB mirror
+    // has no bucket cap — a silently engaged cap would surface as a hash
+    // mismatch, so cap engagement fails the query loudly instead
     (spark, dir) => Dedup.minhashLshPairs(
-      Tables.documents(spark, dir), "doc_id", "text", ShingleN, MinJaccard)
+      Tables.documents(spark, dir), "doc_id", "text", ShingleN, MinJaccard,
+      failOnOverflow = true)
       .orderBy("doc_a", "doc_b"),
     Some(jaccardOracle))
 
@@ -147,7 +151,8 @@ object TextQueries {
   val qDedupClusters = QueryDef("q_dedup_clusters",
     (spark, dir) => {
       val pairs = Dedup.minhashLshPairs(
-        Tables.documents(spark, dir), "doc_id", "text", ShingleN, MinJaccard)
+        Tables.documents(spark, dir), "doc_id", "text", ShingleN, MinJaccard,
+        failOnOverflow = true)
       Dedup.duplicateClusters(pairs)
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_members"))
@@ -184,7 +189,8 @@ object TextQueries {
       val docs = Tables.documents(spark, dir)
       val qualityPass = docs.filter(qualityScore(col("text")) >= MinQuality)
       val exactKeep = Dedup.exactDedup(qualityPass, "doc_id", "text")
-      val pairs = Dedup.minhashLshPairs(exactKeep, "doc_id", "text", ShingleN, MinJaccard)
+      val pairs = Dedup.minhashLshPairs(exactKeep, "doc_id", "text", ShingleN, MinJaccard,
+        failOnOverflow = true)
       val dupDrops = Dedup.duplicateClusters(pairs)
         .filter(col("id") =!= col("cluster"))
         .select(col("id").as("doc_id"))

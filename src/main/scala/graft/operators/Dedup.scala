@@ -122,6 +122,11 @@ object Dedup {
     * band-bucket keys. k = hashes in the signature (bands must divide k).
     * P[candidate | jaccard=s] = 1 − (1 − s^(k/bands))^bands.
     *
+    * The id column must be INTEGRAL (int/long — it is cast to long here;
+    * the bounded-heap aggregate carries 8-byte payloads). A non-numeric
+    * id fails the cast loudly at runtime under ANSI mode; output
+    * `doc_a`/`doc_b` are always long.
+    *
     * Skew guard: bucket membership is collected with the k-BOUNDED heap
     * aggregate ([[TopKAgg]] keyed on −id), NOT `collect_list` — a
     * pathological bucket (millions of byte-identical docs that skipped
@@ -130,13 +135,22 @@ object Dedup {
     * A capped bucket keeps its `maxBucket` SMALLEST doc ids
     * (deterministic), so pairs are lost only between docs whose EVERY
     * shared band bucket overflowed — run exact dedup first and the cap is
-    * unreachable by honest data. Overflow is observable: the returned
-    * frame carries an `observe` metric `graft_minhash_lsh /
-    * overflowed_buckets` (collected on any action over the result). */
+    * unreachable by honest data. Overflow is observable two ways:
+    *   - the returned frame carries an `observe` metric `metricName /
+    *     overflowed_buckets` (collected on any action over the result);
+    *     pass a distinct `metricName` per call when composing this
+    *     operator twice in one plan (observed-metric names must be
+    *     unique within a query);
+    *   - with `failOnOverflow=true` a bucket past the cap FAILS the query
+    *     (in-plan assert) instead of silently dropping pairs — use this
+    *     on any oracle-checked path, where a silently engaged cap would
+    *     surface as an inscrutable hash mismatch. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, seed: Long,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"),
+      maxBucket: Int = DefaultMaxBucket,
+      metricName: String = "graft_minhash_lsh",
+      failOnOverflow: Boolean = false): DataFrame = {
+    val sigs = docs.select(col(idCol).cast("long").as("id"),
       LshBands(MinHashSig(TextAnalysis.shingles(col(textCol), n), k, seed), bands)
         .as("bandkeys"))
     val buckets = sigs.select(col("id"),
@@ -148,14 +162,23 @@ object Dedup {
     // TopKAgg on −id ⇒ the smallest maxBucket ids, in ascending order.
     // (ids round-trip a double's 53-bit mantissa — fine for any realistic
     // doc-id space; ids beyond 2^53 would need a long-keyed variant.)
-    val grouped = buckets.groupBy("band", "key")
+    val aggregated = buckets.groupBy("band", "key")
       .agg(TopKAgg(negate(col("id").cast("double")), col("id"), maxBucket).as("top"),
         count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1)
       .withColumn("ids", expr("transform(top, e -> e.payload)"))
-      .observe("graft_minhash_lsh",
+      .observe(metricName,
         sum(when(col("n_members") > maxBucket, 1L).otherwise(0L))
           .as("overflowed_buckets"))
+    // assert_true returns NULL when the predicate holds, throws otherwise:
+    // filtering on isNull keeps every row while forcing the check per row
+    val grouped =
+      if (failOnOverflow)
+        aggregated.filter(assert_true(col("n_members") <= lit(maxBucket),
+          concat(lit(s"graft: LSH band bucket exceeded maxBucket=$maxBucket" +
+            " (n_members="), col("n_members"),
+            lit("); raise maxBucket or run exact dedup first"))).isNull)
+      else aggregated
     grouped
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(col("i"), col("a"), posexplode(col("ids")).as(Seq("j", "b")))
@@ -172,9 +195,12 @@ object Dedup {
     * Output identical in shape/semantics to [[jaccardPairs]]. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, k: Int = 128, bands: Int = 32,
-      seed: Long = 42L, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, n, k, bands, seed, maxBucket)
-    val sets = docs.select(col(idCol).as("id"),
+      seed: Long = 42L, maxBucket: Int = DefaultMaxBucket,
+      metricName: String = "graft_minhash_lsh",
+      failOnOverflow: Boolean = false): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, n, k, bands, seed,
+      maxBucket, metricName, failOnOverflow)
+    val sets = docs.select(col(idCol).cast("long").as("id"),
       TextAnalysis.shingles(col(textCol), n).as("sh"))
     cands
       .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -191,19 +217,42 @@ object Dedup {
     * graph — the cluster keeper. This is the step that turns pairwise
     * near-dup evidence into "keep one per cluster" decisions.
     *
-    * Algorithm: iterative min-label propagation (the standard large-graph
-    * CC approach — each round every vertex takes the min of its own and
-    * its neighbors' labels; rounds = component diameter). The driver loop
-    * only COORDINATES rounds; all data work is distributed joins.
-    * Near-dup components are shallow (dup clusters are cliques or short
-    * chains), so 2–3 rounds typically converge; `maxIter` bounds
-    * adversarial chains.
+    * Algorithm: min-label propagation with POINTER JUMPING. Each round:
+    *   1. neighbor step — every vertex takes the min of its own and its
+    *      neighbors' labels (the classic propagation step; alone this
+    *      needs diameter-many rounds);
+    *   2. jump step — `label(v) ← min(label(v), label(label(v)))`. A
+    *      label is itself a vertex of the same component, so chasing it
+    *      one hop compounds the coverage already accumulated there:
+    *      reach roughly DOUBLES per round (d ← 2d+2), giving O(log
+    *      diameter) rounds on chains whose ids ascend away from the
+    *      keeper. (The known worst case — ids strictly DESCENDING along
+    *      a chain toward the min — degenerates to O(diameter) because
+    *      every unreached vertex is its own label and the jump is a
+    *      no-op; such adversarial orderings now fail LOUDLY, below,
+    *      instead of silently truncating.)
+    * The driver loop only COORDINATES rounds; all data work is
+    * distributed joins. Near-dup components are shallow (dup clusters are
+    * cliques or short chains), so 2–3 rounds typically converge; with
+    * jumping, `maxIter`=20 covers honest chains of depth ~2^20.
+    *
+    * The jump join keys on the label value, which concentrates onto
+    * component keepers as convergence nears — a skewed many-to-one join
+    * by design; AQE skew-join splitting handles it (the probe side is
+    * one row per vertex, the build side one row per looked-up label).
     *
     * Convergence detection is one AGGREGATE per round, not a join:
     * labels only ever decrease (each is the running min over a growing
-    * neighborhood), so Σ labels is strictly monotone until fixpoint —
+    * reachable set), so Σ labels is strictly monotone until fixpoint —
     * sum unchanged ⟺ every label unchanged. Summed as decimal(38,0):
     * overflow-proof at any vertex count.
+    *
+    * NON-CONVERGENCE IS LOUD: if the fixpoint is not confirmed within
+    * `maxIter` rounds this THROWS (`IllegalStateException`) rather than
+    * returning partially-propagated labels — truncated labels would
+    * silently split clusters and let duplicates through the downstream
+    * keeper selection. Use [[duplicateClustersDetail]] to inspect rounds
+    * and convergence without the throw.
     *
     * @param pairs (doc_a, doc_b) near-dup pairs, a < b
     * @param reliableCheckpoint use `checkpoint()` (HDFS-durable, survives
@@ -214,6 +263,22 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
       reliableCheckpoint: Boolean = false): DataFrame = {
+    val (labels, rounds, converged) =
+      duplicateClustersDetail(pairs, maxIter, reliableCheckpoint)
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters: label fixpoint not confirmed after $rounds rounds " +
+          s"(maxIter=$maxIter) — returning would silently mislabel clusters. " +
+          "Raise maxIter (rounds grow ~log2 of component depth).")
+    labels
+  }
+
+  /** [[duplicateClusters]] without the non-convergence throw: returns
+    * (labels, roundsRun, converged). `converged` is only true once a
+    * round leaves every label unchanged (fixpoint CONFIRMED — so the
+    * minimum is 2 rounds: one to propagate, one to confirm). */
+  def duplicateClustersDetail(pairs: DataFrame, maxIter: Int = 20,
+      reliableCheckpoint: Boolean = false): (DataFrame, Int, Boolean) = {
     def persistRound(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
     // materialize the edge list once — every propagation round takes a
@@ -228,15 +293,26 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // 1. neighbor step: min over the 1-hop neighborhood's labels
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("cluster", "n_cluster"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("n_cluster").as("n_cluster"))
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
+            .as("cluster"))
+      // 2. jump step: chase the label one hop — label(label(v)). Every
+      // label value is a vertex id present in `stepped` (it is a min over
+      // ids of the same edge set), so the lookup always resolves; the
+      // left join + coalesce is belt-and-braces for empty inputs.
+      val parents = stepped
+        .select(col("id").as("cluster"), col("cluster").as("p_cluster"))
       val next = persistRound( // truncate the growing iterative lineage
-        labels.join(viaNeighbors, Seq("id"), "left")
+        stepped.join(parents, Seq("cluster"), "left")
           .select(col("id"),
-            least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
+            least(col("cluster"), coalesce(col("p_cluster"), col("cluster")))
               .as("cluster")))
       val curSum = next
         .agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
@@ -246,7 +322,7 @@ object Dedup {
       prevSum = Some(curSum)
       iter += 1
     }
-    labels
+    (labels, iter, converged)
   }
 
   /** Per-doc 64-bit SimHash (token multiset, occurrence-weighted). */

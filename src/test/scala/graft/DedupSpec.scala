@@ -107,6 +107,71 @@ class DedupSpec extends SparkSpec {
     assert(capped == exact)
   }
 
+  private val pairSchema = StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false)))
+
+  private def pairDf(ps: (Long, Long)*) =
+    Sources.inMemory(spark, ps.map(p => Row(p._1, p._2)), pairSchema)
+
+  test("duplicateClusters: 50-deep chain converges in ≤7 rounds (pointer jumping)") {
+    // chain 1-2-…-50: plain neighbor propagation needs diameter (49)
+    // rounds; the jump step doubles coverage per round (2→6→14→30→62),
+    // so fixpoint lands at round 5 and is confirmed at round 6
+    val chain = pairDf((1L until 50L).map(i => (i, i + 1)): _*)
+    val (labels, rounds, converged) =
+      Dedup.duplicateClustersDetail(chain, maxIter = 10)
+    assert(converged, "deep chain did not converge in 10 rounds")
+    assert(rounds <= 7, s"took $rounds rounds for depth 50; jumping should need ≤7")
+    val out = rows(labels).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (1L to 50L).toSet)
+    assert(out.values.forall(_ == 1L), "every chain vertex must label to 1")
+  }
+
+  test("duplicateClusters: non-convergence throws instead of truncating") {
+    val chain = pairDf((1L until 50L).map(i => (i, i + 1)): _*)
+    val (_, _, converged) = Dedup.duplicateClustersDetail(chain, maxIter = 2)
+    assert(!converged)
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+  }
+
+  test("duplicateClusters: disjoint components label to their own minima") {
+    val g = pairDf((1L, 2L), (2L, 3L), (1L, 3L), // triangle
+      (10L, 11L),                                // pair
+      (20L, 21L), (21L, 22L))                    // path
+    val out = rows(Dedup.duplicateClusters(g))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("minhashCandidates: failOnOverflow makes cap engagement a loud failure") {
+    val flood = docs((0L until 100L).map(i => i -> "same text every time"): _*)
+    val cands = Dedup.minhashCandidates(flood, "doc_id", "text",
+      n = 3, k = 128, bands = 32, seed = 42L, maxBucket = 8,
+      failOnOverflow = true)
+    val e = intercept[Throwable] { rows(cands) }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxBucket")),
+      s"expected the in-plan overflow assert, got: ${messages(e)}")
+  }
+
+  test("minhashCandidates: integer ids are cast to long (no runtime CCE)") {
+    val intSchema = StructType(Seq(
+      StructField("doc_id", IntegerType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val d = Sources.inMemory(spark,
+      Seq(Row(1, "aa bb cc dd"), Row(2, "aa bb cc dd")), intSchema)
+    val out = rows(Dedup.minhashCandidates(d, "doc_id", "text",
+      n = 3, k = 128, bands = 32, seed = 42L))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+  }
+
   test("simhashPairs finds the planted near-dups (recall vs jaccard truth)") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val truth = rows(Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8))
