@@ -7,23 +7,40 @@ import graft.operators.Multimodal
   * (documents → media table → partition-wise stub decode → rollup). The
   * oracle recomputes byte_len/checksum from the text in SQL — exact
   * integers, so the compare validates the whole binary path including the
-  * UTF-8 encode. */
+  * UTF-8 encode.
+  *
+  * The mirror is BYTE-true, not character-true: `octet_length(encode())`
+  * counts UTF-8 bytes, and the checksum expands each code point to its
+  * UTF-8 byte SUM arithmetically (1–4 bytes: the continuation/lead-byte
+  * constants collapse to 320/480/624 plus the code point's base-64
+  * digits) — so the compare stays exact even for multi-byte text, where
+  * the previous `length`/`ascii` mirror would diverge. */
 object MultimodalQueries {
+
+  private val utf8ByteSum: String =
+    """CASE
+      |  WHEN ascii(c) < 128 THEN ascii(c)
+      |  WHEN ascii(c) < 2048 THEN 320 + ascii(c) // 64 + ascii(c) % 64
+      |  WHEN ascii(c) < 65536
+      |    THEN 480 + ascii(c) // 4096 + (ascii(c) // 64) % 64 + ascii(c) % 64
+      |  ELSE 624 + ascii(c) // 262144 + (ascii(c) // 4096) % 64
+      |       + (ascii(c) // 64) % 64 + ascii(c) % 64
+      |END""".stripMargin
 
   val qModalityStats = QueryDef("q_multimodal_stats",
     (spark, dir) => Multimodal.modalityStats(
       spark, Multimodal.fromDocuments(Tables.documents(spark, dir))),
-    Some("""SELECT modality, CAST(count(*) AS BIGINT) AS n,
-           |       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
-           |       CAST(sum(list_sum(list_apply(string_split_regex(text, ''),
-           |                                    c -> ascii(c)))) AS BIGINT)
-           |         AS total_checksum
-           |FROM (SELECT text,
-           |        CASE CAST(doc_id % 3 AS INT)
-           |          WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
-           |        END AS modality
-           |      FROM documents)
-           |GROUP BY modality ORDER BY modality""".stripMargin))
+    Some(s"""SELECT modality, CAST(count(*) AS BIGINT) AS n,
+            |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+            |       CAST(sum(COALESCE(list_sum(list_apply(string_split_regex(text, ''),
+            |                                             c -> $utf8ByteSum)), 0)) AS BIGINT)
+            |         AS total_checksum
+            |FROM (SELECT text,
+            |        CASE CAST(doc_id % 3 AS INT)
+            |          WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+            |        END AS modality
+            |      FROM documents)
+            |GROUP BY modality ORDER BY modality""".stripMargin))
 
   def all: Seq[QueryDef] = Seq(qModalityStats)
 }

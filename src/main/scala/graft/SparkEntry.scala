@@ -11,7 +11,7 @@ object SparkEntry {
     * Q-total — the reference's composite DAG (two sources, agg ⋈ cross
     * join, full-outer zero-fill). */
   def entry(spark: SparkSession): DataFrame = {
-    graft.core.GraftExtensions.registerFunctions(spark)
+    graft.core.GraftSession.adopt(spark)
     Catalog.qTotal.run(spark, "/root/testdata/sf0.001")
   }
 
@@ -19,7 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Catalog.all.map { q =>
       q.name -> { (spark: SparkSession, dir: String) =>
-        graft.core.GraftExtensions.registerFunctions(spark)
+        graft.core.GraftSession.adopt(spark)
         q.run(spark, dir)
       }
     }.toMap

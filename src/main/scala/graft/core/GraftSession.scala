@@ -25,6 +25,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.parquet carries TIMESTAMP(NANOS), which Spark
+      // only admits as INT64 via this flag — session-construction scope,
+      // so no loader mutates session state per call (Tables.eventsMicros)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
 
@@ -33,8 +37,19 @@ object GraftSession {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // When an outer harness (Verify/Bench/driver) already created the
-    // session, withExtensions is a no-op — register functions directly.
-    GraftExtensions.registerFunctions(spark)
+    // session, withExtensions/config are no-ops — adopt it instead
+    adopt(spark)
     spark
+  }
+
+  /** Adopt an EXTERNALLY-built session: register graft's SQL functions
+    * and set the runtime confs the engine requires (nanosAsLong for the
+    * TIMESTAMP(NANOS) testdata). This is the session-adoption boundary —
+    * called once where a foreign session enters the library (SparkEntry,
+    * getOrCreate), so no loader or operator ever mutates session state
+    * mid-pipeline. Idempotent. */
+  def adopt(spark: SparkSession): Unit = {
+    GraftExtensions.registerFunctions(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 }

@@ -42,12 +42,15 @@ object Tables {
     * is truncated to MICROsecond resolution because the DuckDB oracle's
     * TIMESTAMP is microsecond-resolved — comparing at nano grain would
     * make every boundary predicate latently engine-divergent (mirror
-    * with epoch_us(ts) in oracle SQL). */
-  def eventsMicros(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * with epoch_us(ts) in oracle SQL).
+    *
+    * The nanosAsLong conf itself is set ONCE at session construction
+    * ([[GraftSession]]) — a loader must not mutate session state on
+    * every call; a session built elsewhere without the flag fails here
+    * loudly with Spark's illegal-parquet-type AnalysisException. */
+  def eventsMicros(spark: SparkSession, sfDir: String): DataFrame =
     events(spark, sfDir).withColumn("ts",
       org.apache.spark.sql.functions.expr("ts div 1000L"))
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 

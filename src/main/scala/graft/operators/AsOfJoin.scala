@@ -25,6 +25,18 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * (the value carried is NULL — not an older non-null value): each value
   * rides inside a non-null struct wrapper, so `last(..., ignoreNulls)`
   * skips left-row placeholders but never a real right row.
+  *
+  * NULL keys follow SQL equi-join semantics: a NULL key matches NOTHING.
+  * Right rows with a NULL key are dropped; left rows with a NULL key
+  * survive with NULL `asof_*` values (they are never routed through the
+  * window, where Spark's partitionBy would otherwise group the two
+  * sides' NULLs together and "match" them).
+  *
+  * Ties WITHIN the right side (two right rows, same key and time) break
+  * deterministically: the value structs themselves are trailing sort
+  * keys, and `last` carries the sort-greatest one — so reruns and
+  * retries yield the same answer regardless of input partitioning
+  * (DuckDB's ASOF leaves this unspecified; we pin it).
   */
 object AsOfJoin {
 
@@ -39,13 +51,16 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     def wrapType(c: String) = StructType(Seq(
       StructField("v", right.schema(c).dataType, nullable = true)))
-    val lTagged = left
+    val keyIsNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val lTagged = left.filter(!keyIsNull)
       .withColumn("_side", lit(1))
       .select(
         (keyCols.map(col) :+ col(timeCol) :+ col("_side")) ++
           leftCols.filterNot(c => keyCols.contains(c) || c == timeCol).map(col) ++
           valueCols.map(c => lit(null).cast(wrapType(c)).as(s"_v_$c")): _*)
-    val rTagged = right
+    // SQL equi-join semantics: NULL keys match nothing, so null-keyed
+    // right rows are dropped outright
+    val rTagged = right.filter(!keyIsNull)
       .withColumn("_side", lit(0))
       .select(
         (keyCols.map(col) :+ col(timeCol) :+ col("_side")) ++
@@ -54,15 +69,26 @@ object AsOfJoin {
           // non-null struct wrapper: a right row with a NULL value is
           // still "the latest match" and must not be skipped
           valueCols.map(c => struct(col(c).as("v")).as(s"_v_$c")): _*)
+    // trailing _v_ sort keys: among right rows tied on (key, time), the
+    // struct-greatest value is carried by `last` — a pinned, rerun-stable
+    // choice (left rows sort via _side, so their placeholder NULL structs
+    // never interleave with real right values at a tie)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol), col("_side"))
+      .orderBy(col(timeCol) +: col("_side") +: valueCols.map(c => col(s"_v_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lTagged.unionByName(rTagged)
+    val matched = lTagged.unionByName(rTagged)
       .select(col("*") +: valueCols.map(c =>
         last(col(s"_v_$c"), ignoreNulls = true).over(w)
           .getField("v").as(s"asof_$c")): _*)
       .filter(col("_side") === 1)
       .drop("_side")
       .drop(valueCols.map(c => s"_v_$c"): _*)
+    // null-keyed left rows survive, unmatched (asof_* = NULL)
+    val lNullKeys = left.filter(keyIsNull)
+      .select(matched.columns.map(c =>
+        if (valueCols.exists(v => s"asof_$v" == c))
+          lit(null).cast(matched.schema(c).dataType).as(c)
+        else col(c)): _*)
+    matched.unionByName(lNullKeys)
   }
 }

@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   *      pass the way `repartitionByRange`'s RangePartitioner does);
   *   2. per-bucket local cumsum — a PARTITIONED window, so all buckets
   *      run in parallel after one hash shuffle;
-  *   3. per-bucket totals → exclusive per-bucket offsets via a tiny
-  *      broadcast theta-join (≤ nBuckets² rows — no global window, so
-  *      step 3 introduces no single-partition stage either);
+  *   3. per-bucket totals → exclusive per-bucket offsets: the ≤ nBuckets
+  *      totals are gathered into ONE sorted array and scanned once with
+  *      an `aggregate` higher-order function — O(nBuckets) work on
+  *      metadata-scale data, no global window, no quadratic join (at
+  *      10k+ shuffle partitions a naive b'<b theta-join would be ~10^8
+  *      comparisons);
   *   4. row result = local cumsum + bucket offset.
   *
   * Bucket boundaries are correctness-NEUTRAL: any contiguous range split
@@ -29,7 +32,10 @@ import org.apache.spark.sql.functions._
   * for bucketing may come from a cheap SUPERSET frame (e.g. the raw
   * table before expensive filtering) — empty buckets cost nothing. That
   * also means skew in the key distribution affects only balance, never
-  * results; pick `nBuckets` ≈ shuffle parallelism.
+  * results; pick `nBuckets` ≈ shuffle parallelism. For pathological key
+  * domains (99% of keys inside one closed-form range), `sampledBuckets =
+  * true` swaps step 1 for `repartitionByRange`'s sampled RangePartitioner
+  * — balanced buckets at the cost of one extra sampling pass over `df`.
   *
   * Contract: `orderCol` is numeric, non-null, and unique per row (ties
   * would make any running total order-ambiguous); `valueCol` is numeric
@@ -46,26 +52,41 @@ object PrefixSum {
     *        doesn't recompute it
     * @param nBuckets   range-bucket count; ≤ 0 → the session's
     *        `spark.sql.shuffle.partitions`
+    * @param sampledBuckets use `repartitionByRange` (sampled range
+    *        partitioning) instead of the closed-form arithmetic bucket —
+    *        balanced even on pathological key domains, at the cost of
+    *        the RangePartitioner's extra sampling pass over `df`
+    *        (`boundsFrom` is ignored on this path)
     */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
       cumCol: String, nBuckets: Int = -1,
-      boundsFrom: Option[DataFrame] = None): DataFrame = {
+      boundsFrom: Option[DataFrame] = None,
+      sampledBuckets: Boolean = false): DataFrame = {
     val n =
       if (nBuckets > 0) nBuckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val src = boundsFrom.getOrElse(df)
-    val bounds = src.agg(
-      min(col(orderCol)).as("__graft_lo"), max(col(orderCol)).as("__graft_hi"))
 
-    // closed-form contiguous range bucket: floor((k - lo) / width), width
-    // sized so n buckets cover [lo, hi]; least() guards the hi edge
-    val width = greatest(
-      ceil((col("__graft_hi") - col("__graft_lo") + 1) / lit(n)), lit(1.0))
-    val bucketed = df.crossJoin(broadcast(bounds))
-      .withColumn("__graft_bkt",
-        least(floor((col(orderCol) - col("__graft_lo")) / width),
-          lit(n - 1)).cast("int"))
-      .drop("__graft_lo", "__graft_hi")
+    val bucketed =
+      if (sampledBuckets) {
+        // sampled contiguous ranges: RangePartitioner guarantees every key
+        // in partition i sorts before every key in partition i+1, which is
+        // all the offset pass needs — the bucket id IS the partition id
+        df.repartitionByRange(n, col(orderCol))
+          .withColumn("__graft_bkt", spark_partition_id())
+      } else {
+        val src = boundsFrom.getOrElse(df)
+        val bounds = src.agg(
+          min(col(orderCol)).as("__graft_lo"), max(col(orderCol)).as("__graft_hi"))
+        // closed-form contiguous range bucket: floor((k - lo) / width), width
+        // sized so n buckets cover [lo, hi]; least() guards the hi edge
+        val width = greatest(
+          ceil((col("__graft_hi") - col("__graft_lo") + 1) / lit(n)), lit(1.0))
+        df.crossJoin(broadcast(bounds))
+          .withColumn("__graft_bkt",
+            least(floor((col(orderCol) - col("__graft_lo")) / width),
+              lit(n - 1)).cast("int"))
+          .drop("__graft_lo", "__graft_hi")
+      }
 
     // pass 1: per-bucket local running totals — partitioned window, all
     // buckets in parallel after one hash shuffle on the bucket id
@@ -81,14 +102,28 @@ object PrefixSum {
       .agg(sum(col(valueCol)).as("__graft_bsum"))
 
     // exclusive prefix of bucket totals: offset(b) = Σ totals(b' < b).
-    // A tiny broadcast theta-join (≤ n² rows), NOT a global window — the
-    // whole point is zero un-partitioned window stages anywhere.
+    // The ≤ n totals collapse into ONE sorted array (struct sort orders by
+    // the leading bucket-id field) scanned once by an `aggregate` lambda —
+    // O(n), in-plan, no driver round-trip, no global window, and no
+    // quadratic theta-join. Interpreted HOF eval is irrelevant here: it
+    // touches nBuckets elements, not data-scale rows.
+    val sumT = totals.schema("__graft_bsum").dataType.sql
     val offsets = totals
-      .join(broadcast(totals.select(col("__graft_bkt").as("__graft_b2"),
-        col("__graft_bsum").as("__graft_s2"))),
-        col("__graft_b2") < col("__graft_bkt"), "left")
-      .groupBy("__graft_bkt")
-      .agg(coalesce(sum("__graft_s2"), lit(0)).as("__graft_off"))
+      .agg(sort_array(collect_list(struct(col("__graft_bkt"), col("__graft_bsum"))))
+        .as("__graft_arr"))
+      .select(explode(expr(
+        s"""aggregate(
+           |  __graft_arr,
+           |  named_struct(
+           |    'run', CAST(0 AS $sumT),
+           |    'out', CAST(array() AS array<struct<__graft_bkt: int, __graft_off: $sumT>>)),
+           |  (acc, x) -> named_struct(
+           |    'run', acc.run + x.__graft_bsum,
+           |    'out', array_append(acc.out,
+           |      named_struct('__graft_bkt', x.__graft_bkt, '__graft_off', acc.run))),
+           |  acc -> acc.out)""".stripMargin)).as("__graft_e"))
+      .select(col("__graft_e.__graft_bkt").as("__graft_bkt"),
+        col("__graft_e.__graft_off").as("__graft_off"))
 
     local.join(broadcast(offsets), "__graft_bkt")
       .withColumn(cumCol, col("__graft_local") + col("__graft_off"))

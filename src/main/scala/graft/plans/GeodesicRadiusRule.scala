@@ -48,13 +48,17 @@ object GeodesicRadiusRule extends Rule[LogicalPlan] {
   }
 
   // transformUp: a pre-order transform would re-descend into the freshly
-  // built And(bound, orig) and wrap `orig` again, forever
+  // built And(bound, orig) and wrap `orig` again, forever.
+  // `orig.deterministic` guard: the bound DUPLICATES lat1/lat2 into a new
+  // conjunct — evaluating a nondeterministic input (rand-jittered
+  // coordinates, say) twice could pass the bound with one draw and the
+  // true predicate with another, changing results; skip those.
   private def rewriteCond(cond: Expression): Expression = cond.transformUp {
     case orig @ LessThanOrEqual(g: GeodesicKm, r) if r.foldable &&
-        !alreadyBounded(cond, g) =>
+        orig.deterministic && !alreadyBounded(cond, g) =>
       And(boundFor(g, r), orig)
     case orig @ LessThan(g: GeodesicKm, r) if r.foldable &&
-        !alreadyBounded(cond, g) =>
+        orig.deterministic && !alreadyBounded(cond, g) =>
       And(boundFor(g, r), orig)
   }
 

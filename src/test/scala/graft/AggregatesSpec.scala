@@ -8,7 +8,6 @@ import graft.text.TextAnalysis
 class AggregatesSpec extends SparkSpec {
 
   test("TopKAgg equals window row_number top-k on the events table") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val viaAgg = events.groupBy("event_type")
       .agg(TopKAgg(col("value"), col("event_id"), 5).as("top"))
@@ -102,7 +101,6 @@ class AggregatesSpec extends SparkSpec {
   test("typed Aggregator: DistinctLongCount equals countDistinct") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val dcount = udaf(graft.expr.TypedAggregators.DistinctLongCount)
     val typed = events.groupBy("event_type").agg(dcount(col("user_id")).as("n"))

@@ -40,6 +40,41 @@ class JoinsSpec extends SparkSpec {
     assert(out2(101L) == None)      // t=20: latest match (t=15) is null
   }
 
+  test("asOf: NULL keys never match (SQL equi-join semantics)") {
+    val lSchema = StructType(Seq(StructField("k", LongType, true),
+      StructField("t", LongType, false), StructField("lid", LongType, false)))
+    val rSchema = StructType(Seq(StructField("k", LongType, true),
+      StructField("t", LongType, false), StructField("v", DoubleType, false)))
+    val left = Sources.inMemory(spark, Seq(
+      Row(null, 20L, 100L),  // null-keyed left: survives, matches nothing
+      Row(1L, 20L, 101L)), lSchema)
+    val right = Sources.inMemory(spark, Seq(
+      Row(null, 10L, 666.0), // null-keyed right: matches nothing at all
+      Row(1L, 10L, 1.0)), rSchema)
+    val out = rows(AsOfJoin.asOf(left, right, Seq("k"), "t", Seq("v")))
+      .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("asof_v"))).toMap
+    assert(out.keySet == Set(100L, 101L), "every left row must survive")
+    assert(out(100L) == None, "null-keyed left must not match null-keyed right")
+    assert(out(101L) == Some(1.0))
+  }
+
+  test("asOf: right-side timestamp ties break deterministically (greatest value)") {
+    val lSchema = StructType(Seq(StructField("k", LongType, false),
+      StructField("t", LongType, false), StructField("lid", LongType, false)))
+    val rSchema = StructType(Seq(StructField("k", LongType, false),
+      StructField("t", LongType, false), StructField("v", DoubleType, false)))
+    val left = Sources.inMemory(spark, Seq(Row(1L, 10L, 100L)), lSchema)
+    // two right rows at exactly the same (key, time): the pinned winner is
+    // the sort-greatest value tuple, independent of input order/partitioning
+    for (ordering <- Seq(Seq(Row(1L, 10L, 1.0), Row(1L, 10L, 2.0)),
+                         Seq(Row(1L, 10L, 2.0), Row(1L, 10L, 1.0)))) {
+      val right = Sources.inMemory(spark, ordering, rSchema).repartition(3)
+      val out = rows(AsOfJoin.asOf(left, right, Seq("k"), "t", Seq("v")))
+        .map(r => r.getAs[Long]("lid") -> r.getAs[Double]("asof_v")).toMap
+      assert(out(100L) == 2.0, s"tie must resolve to the greatest value")
+    }
+  }
+
   test("saltedJoin equals plain join, and spreads the hot key") {
     val skewSchema = StructType(Seq(StructField("k", LongType, false),
       StructField("id", LongType, false)))
@@ -84,7 +119,6 @@ class JoinsSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within 5% of exact on events") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val both = rows(events.groupBy("event_type").agg(
       countDistinct(col("user_id")).as("exact"),

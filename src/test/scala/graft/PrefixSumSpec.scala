@@ -66,6 +66,46 @@ class PrefixSumSpec extends SparkSpec {
     assert(viaOp == viaWindow)
   }
 
+  test("pathological key skew: correct on both paths; sampled path balances") {
+    import spark.implicits._
+    // 99% of keys packed into [0, 99], one outlier at 10^9: the closed-form
+    // width ~ 10^9/4 sends every dense key to bucket 0 (balance-only skew,
+    // results exact); sampledBuckets=true range-partitions by the OBSERVED
+    // distribution instead and spreads the dense range over many buckets
+    val data = (0L until 99L).map(i => i -> (i % 7)) :+ (1000000000L -> 3L)
+    val df = scala.util.Random.shuffle(data).toDF("k", "v").repartition(5)
+    val expected = sequential(data)
+    val closedForm = PrefixSum.runningTotal(df, "k", "v", "cum", nBuckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(closedForm == expected)
+    val sampled = PrefixSum.runningTotal(df, "k", "v", "cum", nBuckets = 4,
+      sampledBuckets = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sampled == expected)
+    // balance evidence: the closed-form bucket puts the 99 dense keys in
+    // ONE bucket (width ≈ 2.5e8), while sampled range partitioning spreads
+    // them across several
+    val n = 4
+    val width = math.max(math.ceil((1000000000.0 - 0 + 1) / n), 1.0)
+    val closedFormBkts = data.map { case (k, _) =>
+      math.min(math.floor(k / width), (n - 1).toDouble).toInt }.distinct.size
+    assert(closedFormBkts == 2, "99% of keys collapse into one closed-form bucket")
+    val rangeBkts = df.repartitionByRange(n, col("k"))
+      .select(spark_partition_id()).distinct().count()
+    assert(rangeBkts >= 3, "sampled range partitioning should spread the dense keys")
+  }
+
+  test("sampledBuckets matches sequential on shuffled sparse keys") {
+    import spark.implicits._
+    val data = Seq(7L -> 3L, 100L -> 5L, 2L -> 10L, 55L -> 1L, 999L -> 2L,
+      -4L -> 6L, 0L -> 0L, 500L -> 7L)
+    val df = scala.util.Random.shuffle(data).toDF("k", "v").repartition(3)
+    val out = PrefixSum.runningTotal(df, "k", "v", "cum", nBuckets = 4,
+      sampledBuckets = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == sequential(data))
+  }
+
   test("physical plan has no un-partitioned window stage") {
     import spark.implicits._
     val df = (0L until 100L).map(i => i -> i).toDF("k", "v")

@@ -33,6 +33,18 @@ class RadiusRuleSpec extends SparkSpec {
     assert(all.nonEmpty) // the synthetic grid has close neighbors
   }
 
+  test("rule skips nondeterministic predicates (no double evaluation)") {
+    graft.core.GraftExtensions.registerFunctions(spark)
+    // jittered latitude: duplicating it into a pre-filter conjunct would
+    // draw rand() twice and let the bound and the true predicate disagree
+    val q = Tables.stationsById(spark, sfDir)
+      .filter(expr("geodesic_km(latitude + rand() * 0.001, longitude, " +
+        "CAST(51.0 AS DOUBLE), CAST(0.0 AS DOUBLE)) <= CAST(15.0 AS DOUBLE)"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("* 109.0"),
+      s"bound must not be injected for a nondeterministic predicate:\n$optimized")
+  }
+
   test("rule is idempotent (no duplicate bounds on re-optimization)") {
     graft.core.GraftExtensions.registerFunctions(spark)
     val q = StationDistances.pairsWithinKm(
