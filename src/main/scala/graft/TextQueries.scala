@@ -92,6 +92,34 @@ object TextQueries {
     Some("""SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
            |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin))
 
+  /** Incremental (daily-ingest) exact dedup: the corpus is the 80% of
+    * documents with `doc_id % 10 < 8`, the incoming batch is the other
+    * 20%; [[Dedup.dedupAgainst]] keeps batch rows whose content is new
+    * (anti-join on the 8-byte content fingerprint) and unique within the
+    * batch (min doc id per content). The oracle anti-joins on the raw
+    * text — agreement doubles as a fingerprint-faithfulness check, like
+    * [[qDedupExact]]. */
+  val qDedupIncremental = QueryDef("q_dedup_incremental",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val corpus = docs.filter(col("doc_id") % 10 < 8)
+      val batch = docs.filter(col("doc_id") % 10 >= 8)
+      Dedup.dedupAgainst(corpus, batch, "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+           |  SELECT text FROM documents WHERE doc_id % 10 < 8
+           |), batch AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+           |), keepers AS (
+           |  SELECT min(doc_id) AS doc_id, text FROM batch
+           |  WHERE text IS NOT NULL GROUP BY text
+           |)
+           |SELECT k.doc_id FROM keepers k
+           |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = k.text)
+           |ORDER BY doc_id""".stripMargin))
+
   /** The DuckDB mirror of token-trigram Jaccard pairs ≥ [[MinJaccard]]:
     * a shared CTE chain ending in `dup_pairs(doc_a, doc_b, jaccard)` —
     * used by the exact entry, the LSH entry (verified candidates →
@@ -257,6 +285,6 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq,
-    qDedupExact, qDedupJaccard, qDedupMinhash, qDedupClusters, qDedupSimhash,
-    qTrainingPrep)
+    qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
+    qDedupClusters, qDedupSimhash, qTrainingPrep)
 }
