@@ -17,10 +17,19 @@ import graft.sources.Sinks
   * runMain graft.cli.Main station-distances --input DIR --output PATH
   *         [--input-col id|name] [--distinct]
   * runMain graft.cli.Main total-distance --input DIR --output PATH
+  * runMain graft.cli.Main stream-routes --output PATH [--seconds N]
+  *         [--rows-per-second N] [--source rate|file --input DIR]
   * }}}
   *
   * Sinks reproduce the reference's WriteToText shapes (SURVEY §2.2):
   * headered CSV (K1), plain CSV (K2), single-file CSV (K3).
+  *
+  * `stream-routes` is the unified-model entry point (SURVEY §2.10): the
+  * SAME windowed-count transform the batch catalog uses, driven by an
+  * unbounded source — `rate` (synthetic route events) or `file`
+  * (streaming the lineitem parquet as a file source, event-time from
+  * l_shipdate) — with watermarked tumbling windows, drained to the CSV
+  * sink when the run window closes.
   */
 object Main {
 
@@ -42,7 +51,8 @@ object Main {
     require(args.nonEmpty, "usage: <command> --input DIR --output PATH [flags]")
     val cmd = args.head
     val flags = parseFlags(args.tail)
-    val input = flags.getOrElse("input",
+    // stream-routes with the default rate source has no --input
+    def input = flags.getOrElse("input",
       sys.error("--input <testdata sf dir> is required"))
     val output = flags.getOrElse("output", sys.error("--output <path> is required"))
     val spark = GraftSession.getOrCreate(s"graft-$cmd")
@@ -81,6 +91,56 @@ object Main {
         Sinks.csvSingleFile(
           TotalDistance.totalKm(counts, dists,
             "start_station_id", "end_station_id", "cnt"),
+          output)
+
+      case "stream-routes" => // §2.10 unified model — stream → window → sink
+        val seconds = flags.getOrElse("seconds", "8").toInt
+        val (rides, windowDur, watermark) = flags.getOrElse("source", "rate") match {
+          case "file" =>
+            // stream the bounded lineitem parquet AS an unbounded file
+            // source: schema from a static read (file sources require it),
+            // event-time from l_shipdate — monthly tumbling windows
+            val path = s"$input/lineitem.parquet"
+            val schema = spark.read.parquet(path).schema
+            // the file stream source tails a DIRECTORY (new files become
+            // new micro-batches); testdata ships single parquet files, so
+            // stage one into a temp ingest dir — exactly the landing-zone
+            // shape a production file stream watches
+            val ingestDir = java.nio.file.Files.createTempDirectory("graft_ingest")
+            java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+              ingestDir.resolve("lineitem-000.parquet"))
+            val li = spark.readStream.schema(schema).parquet(ingestDir.toString)
+              .select(
+                col("l_shipdate").cast("timestamp").as("ts"),
+                col("l_suppkey").as("start_station_id"),
+                pmod(col("l_partkey"), lit(100)).as("end_station_id"))
+            (li, "30 days", "1 day")
+          case _ =>
+            val rate = spark.readStream
+              .format("rate")
+              .option("rowsPerSecond", flags.getOrElse("rows-per-second", "500").toInt)
+              .load()
+              .select(
+                col("timestamp").as("ts"),
+                pmod(col("value"), lit(20)).as("start_station_id"),
+                pmod(col("value") * 7 + 3, lit(20)).as("end_station_id"))
+            (rate, "5 seconds", "2 seconds")
+        }
+        val counts = graft.streaming.StreamingRoutes.windowedRouteCounts(
+          rides, "ts", "start_station_id", "end_station_id", windowDur, watermark)
+        val q = counts.writeStream
+          .format("memory").queryName("graft_stream_routes")
+          .outputMode("complete")
+          .start()
+        try {
+          Thread.sleep(seconds * 1000L)
+          q.processAllAvailable()
+        } finally q.stop()
+        // drain the final windowed counts through the reference's K1 sink
+        Sinks.csvWithHeader(
+          spark.table("graft_stream_routes")
+            .orderBy(desc("amount_of_rides"), col("window_start"),
+              col("start_station_id"), col("end_station_id")),
           output)
 
       case other => sys.error(s"unknown command: $other")

@@ -94,6 +94,49 @@ class JoinsSpec extends SparkSpec {
     assert(plain.size == 101)
   }
 
+  test("AQE skew-join splits the hot key that saltedJoin handles manually") {
+    // The engine's two answers to join skew must agree: Joins.saltedJoin
+    // (explicit salting) and AQE's runtime skew split. Deliberately skew a
+    // rides-like key, force a shuffle join, and lower the skew thresholds
+    // so local-scale partitions qualify — then assert AQE actually split
+    // (skew=true in the final adaptive plan) and results match the salted
+    // path exactly.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // 50% of rows on hot key 7, each padded so the hot shuffle partition
+      // dwarfs the median AND clears the size threshold; pad stays in the
+      // join OUTPUT so column pruning can't slim the skewed partition away
+      val pad = "x" * 200
+      val skewed = spark.range(0, 20000)
+        .select(when(col("id") % 2 === 0, lit(7L)).otherwise(col("id")).as("k"),
+          col("id").as("rid"), lit(pad).as("pad"))
+      val dim = Seq(7L -> "hot", 1L -> "a", 11L -> "b").toDF("k", "name")
+      val joined = skewed.join(dim, Seq("k")).select("k", "rid", "name", "pad")
+      val viaAqe = rows(joined).map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+      val viaSalt = rows(graft.operators.Joins.saltedJoin(
+        skewed, dim, Seq("k"), 8, col("rid")).select("k", "rid", "name"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(viaAqe == viaSalt)
+      // 10000 even ids + id=7 itself on the hot key, + keys 1 and 11
+      assert(viaAqe.size == 10001 + 2)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with no Exchange in the plan") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
