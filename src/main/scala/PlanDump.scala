@@ -13,7 +13,10 @@ object PlanDump {
       "q_hard_top_routes" -> "reference Q-hard: one exchange, map-side partial agg, TakeOrderedAndProject (no second shuffle for top-N)",
       "q_total_distance" -> "reference Q-total: broadcast cross join for pair distances, shuffle-hash full-outer (no sorts), agg exchange reused by the join",
       "q_dedup_minhash_lsh" -> "MinHash LSH: signatures once, (band,key) grouped buckets, candidate verify joins at candidate cardinality",
-      "q_ann_topk_bruteforce" -> "ANN baseline: query side broadcast, corpus streams through codegen'd cosine, per-query window",
+      "q_ann_topk_bruteforce" -> "ANN baseline: query side broadcast, corpus streams through codegen'd cosine, ranking via the k-bounded topk_agg partial aggregate — NO Window/WindowGroupLimit stage; <=k rows per query reach the shuffle",
+      "q_ann_ivf_topk" -> "IVF ANN: centroid assignment, equi-join on the inverted-list label, topk_agg ranking (no Window)",
+      "q_pack_sequences" -> "distributed prefix sum: range-bucketed partitioned window + one tiny bucket-offset aggregate — every Window node carries a partition spec (zero un-partitioned windows)",
+      "q_training_data_prep" -> "end-to-end prep: quality filter -> exact dedup -> LSH pairs -> cluster keepers -> distributed packing; no single-partition stage anywhere in the composite",
       "q_dist_within_radius" -> "GeodesicRadiusRule fired: cheap |dlat|*109<=r bound evaluated before the Vincenty kernel in the join condition",
       "q_top_customers_revenue" -> "3-way join: dimensions broadcast, single agg exchange, TakeOrderedAndProject")
     val md = new StringBuilder
