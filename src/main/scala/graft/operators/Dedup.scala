@@ -221,20 +221,24 @@ object Dedup {
     *   1. neighbor step — every vertex takes the min of its own and its
     *      neighbors' labels (the classic propagation step; alone this
     *      needs diameter-many rounds);
-    *   2. jump step — `label(v) ← min(label(v), label(label(v)))`. A
-    *      label is itself a vertex of the same component, so chasing it
-    *      one hop compounds the coverage already accumulated there:
-    *      reach roughly DOUBLES per round (d ← 2d+2), giving O(log
-    *      diameter) rounds on chains whose ids ascend away from the
-    *      keeper. (The known worst case — ids strictly DESCENDING along
-    *      a chain toward the min — degenerates to O(diameter) because
-    *      every unreached vertex is its own label and the jump is a
-    *      no-op; such adversarial orderings now fail LOUDLY, below,
-    *      instead of silently truncating.)
+    *   2. jump step (rounds 3+) — `label(v) ← min(label(v),
+    *      label(label(v)))`. A label is itself a vertex of the same
+    *      component, so chasing it one hop compounds the coverage
+    *      already accumulated there: reach roughly DOUBLES per round
+    *      (d ← 2d+1), giving O(log diameter) rounds on chains whose ids
+    *      ascend away from the keeper. The jump is DEFERRED until round
+    *      3 because real near-dup graphs are shallow (cliques / short
+    *      chains reach fixpoint in ≤ 2 rounds) — those pay zero extra
+    *      join stages, while anything still unconverged by round 3 is
+    *      deep enough that doubling wins. (The known worst case — ids
+    *      strictly DESCENDING along a chain toward the min — degenerates
+    *      to O(diameter) because every unreached vertex is its own label
+    *      and the jump is a no-op; such adversarial orderings now fail
+    *      LOUDLY, below, instead of silently truncating.)
     * The driver loop only COORDINATES rounds; all data work is
-    * distributed joins. Near-dup components are shallow (dup clusters are
-    * cliques or short chains), so 2–3 rounds typically converge; with
-    * jumping, `maxIter`=20 covers honest chains of depth ~2^20.
+    * distributed joins. Near-dup components are shallow, so 2–3 rounds
+    * typically converge; with jumping, `maxIter`=20 covers honest chains
+    * of depth ~2^17.
     *
     * The jump join keys on the label value, which concentrates onto
     * component keepers as convergence nears — a skewed many-to-one join
@@ -303,17 +307,23 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
             .as("cluster"))
-      // 2. jump step: chase the label one hop — label(label(v)). Every
-      // label value is a vertex id present in `stepped` (it is a min over
-      // ids of the same edge set), so the lookup always resolves; the
-      // left join + coalesce is belt-and-braces for empty inputs.
-      val parents = stepped
-        .select(col("id").as("cluster"), col("cluster").as("p_cluster"))
-      val next = persistRound( // truncate the growing iterative lineage
-        stepped.join(parents, Seq("cluster"), "left")
-          .select(col("id"),
-            least(col("cluster"), coalesce(col("p_cluster"), col("cluster")))
-              .as("cluster")))
+      // 2. jump step (only once the graph has proven deeper than the
+      // common shallow case): chase the label one hop — label(label(v)).
+      // Every label value is a vertex id present in `stepped` (it is a
+      // min over ids of the same edge set), so the lookup always
+      // resolves; the left join + coalesce is belt-and-braces for empty
+      // inputs.
+      val jumped =
+        if (iter < 2) stepped
+        else {
+          val parents = stepped
+            .select(col("id").as("cluster"), col("cluster").as("p_cluster"))
+          stepped.join(parents, Seq("cluster"), "left")
+            .select(col("id"),
+              least(col("cluster"), coalesce(col("p_cluster"), col("cluster")))
+                .as("cluster"))
+        }
+      val next = persistRound(jumped) // truncate the growing iterative lineage
       val curSum = next
         .agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)

@@ -116,8 +116,9 @@ class DedupSpec extends SparkSpec {
 
   test("duplicateClusters: 50-deep chain converges in ≤7 rounds (pointer jumping)") {
     // chain 1-2-…-50: plain neighbor propagation needs diameter (49)
-    // rounds; the jump step doubles coverage per round (2→6→14→30→62),
-    // so fixpoint lands at round 5 and is confirmed at round 6
+    // rounds; the jump step (active from round 3) doubles coverage per
+    // round (1→2→6→14→30→62), so fixpoint lands at round 6 and is
+    // confirmed at round 7
     val chain = pairDf((1L until 50L).map(i => (i, i + 1)): _*)
     val (labels, rounds, converged) =
       Dedup.duplicateClustersDetail(chain, maxIter = 10)
