@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.expr.WinnowKernels
 import graft.operators.Dedup
 import graft.text.TextAnalysis._
 
@@ -91,6 +92,55 @@ object TextQueries {
       .orderBy("keeper_id"),
     Some("""SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
            |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin))
+
+  /** Winnowing k-gram size / window (Schleimer et al. 2003). */
+  val WinnowK = 8
+  val WinnowW = 8
+
+  /** Document fingerprinting via winnowing (rolling-hash k-gram minima):
+    * per-document sketch summarized as (count, min, max, sum) of the
+    * distinct fingerprints — order-insensitive exact integers, so the
+    * compare validates the whole kernel (code-point iteration, rolling
+    * polynomial hash, window minima, dedup) against a from-scratch
+    * DuckDB re-derivation. Unlike whole-doc [[qDedupExact]] fingerprints
+    * or bag-of-shingles Jaccard, winnowing sketches support CONTAINMENT
+    * detection: any shared run ≥ k+w−1 chars guarantees a shared
+    * fingerprint. */
+  val qDocFingerprints = QueryDef("q_doc_fingerprints",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.expr.WinnowSketch(col("text"), WinnowK, WinnowW).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fps"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"),
+        aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"))
+      .orderBy("doc_id"),
+    // INT32 gotcha: DuckDB literals are INT32 — the hash multiplier must
+    // be cast to BIGINT or the fold overflows at the third character
+    Some(s"""WITH cps AS (
+            |  SELECT doc_id,
+            |         list_apply(string_split_regex(text, ''), c -> ascii(c)) AS cs
+            |  FROM documents
+            |), hs AS (
+            |  SELECT doc_id,
+            |         [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+${WinnowK - 1}]),
+            |                      (a, x) -> (a * CAST(${WinnowKernels.Base} AS BIGINT) + x)
+            |                                % ${WinnowKernels.Mod})
+            |          for i in generate_series(1, len(cs) - ${WinnowK - 1})] AS hs
+            |  FROM cps
+            |), fps AS (
+            |  SELECT doc_id,
+            |         list_distinct([list_min(hs[j:least(j + ${WinnowW - 1}, len(hs))])
+            |           for j in generate_series(1, greatest(len(hs) - ${WinnowW - 1}, 1))]) AS fps
+            |  FROM hs WHERE len(hs) > 0
+            |)
+            |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+            |       CAST(list_min(fps) AS BIGINT) AS fp_min,
+            |       CAST(list_max(fps) AS BIGINT) AS fp_max,
+            |       CAST(list_sum(fps) AS BIGINT) AS fp_sum
+            |FROM fps ORDER BY doc_id""".stripMargin))
 
   /** Incremental (daily-ingest) exact dedup: the corpus is the 80% of
     * documents with `doc_id % 10 < 8`, the incoming batch is the other
@@ -284,7 +334,7 @@ object TextQueries {
     None)
 
   def all: Seq[QueryDef] = Seq(
-    qTextStats, qTokenBudget, qLangId, qTokenFreq,
+    qTextStats, qTokenBudget, qLangId, qTokenFreq, qDocFingerprints,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qTrainingPrep)
 }

@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("rp_sig"), info("rp_sig"),
       (args: Seq[Expression]) => { GraftExtensions.arity("rp_sig", 3, args); RandomProjectionSig(args(0),
         GraftExtensions.intLit(args(1)), GraftExtensions.longLit(args(2))) }))
+    e.injectFunction((FunctionIdentifier("winnow_sketch"), info("winnow_sketch"),
+      (args: Seq[Expression]) => { GraftExtensions.arity("winnow_sketch", 3, args); WinnowSketch(args(0),
+        GraftExtensions.intLit(args(1)), GraftExtensions.intLit(args(2))) }))
   }
 }
 
@@ -94,5 +97,7 @@ object GraftExtensions {
       args => TextStats(arity("text_stats", 1, args).head), "built-in")
     reg.createOrReplaceTempFunction("rp_sig",
       args => { arity("rp_sig", 3, args); RandomProjectionSig(args(0), intLit(args(1)), longLit(args(2))) }, "built-in")
+    reg.createOrReplaceTempFunction("winnow_sketch",
+      args => { arity("winnow_sketch", 3, args); WinnowSketch(args(0), intLit(args(1)), intLit(args(2))) }, "built-in")
   }
 }

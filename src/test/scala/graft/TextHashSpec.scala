@@ -10,6 +10,51 @@ import graft.expr.TextHashKernels._
   * re-run of a 100 TB dedup must reproduce identical signatures). */
 class TextHashSpec extends AnyFunSuite {
 
+  /** Naive winnowing reimplementation: recomputes every k-gram hash from
+    * scratch and every window min with a scan — the obviously-correct
+    * form the one-pass rolling/deque kernel must match. */
+  private def naiveWinnow(s: String, k: Int, w: Int): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    val m = cps.length - k + 1
+    if (m <= 0) return Seq.empty
+    val hs = (0 until m).map { i =>
+      (i until i + k).foldLeft(0L)((h, j) =>
+        (h * graft.expr.WinnowKernels.Base + cps(j)) % graft.expr.WinnowKernels.Mod)
+    }
+    val wins = math.max(1, m - w + 1)
+    (0 until wins).map(j => hs.slice(j, j + w).min).distinct.sorted
+  }
+
+  private def kernelWinnow(s: String, k: Int, w: Int): Seq[Long] =
+    graft.expr.WinnowKernels.sketch(UTF8String.fromString(s), k, w)
+      .toLongArray().toSeq
+
+  test("winnow sketch: one-pass kernel equals the naive form (incl. edges)") {
+    val fixed = Seq("", "a", "abcdefg", "abcdefgh", "abcdefghi",
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaa", // degenerate: all k-grams identical
+      "héllo wörld 日本語 🎉 mixed-width text")
+    val rnd = new scala.util.Random(42)
+    val random = (1 to 30).map(_ =>
+      (1 to rnd.nextInt(60)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    for (s <- fixed ++ random; (k, w) <- Seq((8, 8), (3, 4), (5, 2)))
+      assert(kernelWinnow(s, k, w) == naiveWinnow(s, k, w),
+        s"mismatch for ${s.take(30)} k=$k w=$w")
+  }
+
+  test("winnow sketch: shared substring of length >= k+w-1 shares a fingerprint") {
+    val core = "this exact passage was copied verbatim between documents"
+    val a = "prefix junk text 111 " + core + " suffix aaa"
+    val b = "totally different preamble " + core + " and another ending"
+    val (k, w) = (8, 8)
+    val shared = kernelWinnow(a, k, w).toSet & kernelWinnow(b, k, w).toSet
+    assert(shared.nonEmpty, "winnowing guarantee violated")
+    // and unrelated documents share nothing
+    val c = kernelWinnow("no overlap here at all, nothing in common with those", k, w)
+    assert((kernelWinnow(a, k, w).toSet & c.toSet).isEmpty)
+  }
+
+
   private def arr(ss: String*): GenericArrayData =
     new GenericArrayData(ss.map(s => UTF8String.fromString(s)).toArray[Any])
 
