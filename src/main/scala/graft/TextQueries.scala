@@ -106,6 +106,30 @@ object TextQueries {
     * or bag-of-shingles Jaccard, winnowing sketches support CONTAINMENT
     * detection: any shared run ≥ k+w−1 chars guarantees a shared
     * fingerprint. */
+  /** Shared DuckDB CTE chain ending in `fps(doc_id, fps)` — the winnow
+    * sketch re-derived from scratch (code points → rolling-hash fold →
+    * window minima → distinct). INT32 gotcha: DuckDB literals are INT32 —
+    * the hash multiplier must be cast to BIGINT or the fold overflows at
+    * the third character. */
+  private val winnowCtes: String =
+    s"""cps AS (
+       |  SELECT doc_id,
+       |         list_apply(string_split_regex(text, ''), c -> ascii(c)) AS cs
+       |  FROM documents
+       |), hs AS (
+       |  SELECT doc_id,
+       |         [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+${WinnowK - 1}]),
+       |                      (a, x) -> (a * CAST(${WinnowKernels.Base} AS BIGINT) + x)
+       |                                % ${WinnowKernels.Mod})
+       |          for i in generate_series(1, len(cs) - ${WinnowK - 1})] AS hs
+       |  FROM cps
+       |), fps AS (
+       |  SELECT doc_id,
+       |         list_distinct([list_min(hs[j:least(j + ${WinnowW - 1}, len(hs))])
+       |           for j in generate_series(1, greatest(len(hs) - ${WinnowW - 1}, 1))]) AS fps
+       |  FROM hs WHERE len(hs) > 0
+       |)""".stripMargin
+
   val qDocFingerprints = QueryDef("q_doc_fingerprints",
     (spark, dir) => Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -117,30 +141,44 @@ object TextQueries {
         array_max(col("fps")).as("fp_max"),
         aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"))
       .orderBy("doc_id"),
-    // INT32 gotcha: DuckDB literals are INT32 — the hash multiplier must
-    // be cast to BIGINT or the fold overflows at the third character
-    Some(s"""WITH cps AS (
-            |  SELECT doc_id,
-            |         list_apply(string_split_regex(text, ''), c -> ascii(c)) AS cs
-            |  FROM documents
-            |), hs AS (
-            |  SELECT doc_id,
-            |         [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+${WinnowK - 1}]),
-            |                      (a, x) -> (a * CAST(${WinnowKernels.Base} AS BIGINT) + x)
-            |                                % ${WinnowKernels.Mod})
-            |          for i in generate_series(1, len(cs) - ${WinnowK - 1})] AS hs
-            |  FROM cps
-            |), fps AS (
-            |  SELECT doc_id,
-            |         list_distinct([list_min(hs[j:least(j + ${WinnowW - 1}, len(hs))])
-            |           for j in generate_series(1, greatest(len(hs) - ${WinnowW - 1}, 1))]) AS fps
-            |  FROM hs WHERE len(hs) > 0
-            |)
+    Some(s"""WITH $winnowCtes
             |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
             |       CAST(list_min(fps) AS BIGINT) AS fp_min,
             |       CAST(list_max(fps) AS BIGINT) AS fp_max,
             |       CAST(list_sum(fps) AS BIGINT) AS fp_sum
             |FROM fps ORDER BY doc_id""".stripMargin))
+
+  /** Containment evidence threshold / stop-fingerprint doc-freq cap.
+    * Density 2/(w+1) ⇒ ≥ 8 shared fingerprints ≈ a shared run of ~40+
+    * characters (or several shorter ones) — enough to clear the small-
+    * vocabulary corpus's chance 8-gram collisions, which a threshold of
+    * 2 does not. */
+  val ContainMinShared = 8
+  val ContainMaxDf = 20
+
+  /** Partial-copy detection: document pairs sharing ≥ [[ContainMinShared]]
+    * winnow fingerprints after dropping boilerplate fingerprints seen in
+    * more than [[ContainMaxDf]] docs — the containment shape exact dedup
+    * and whole-doc Jaccard both miss. The planted near-dup pairs surface
+    * here too (they share nearly all fingerprints), so the result is
+    * non-trivial at every sf. */
+  val qDedupContainment = QueryDef("q_dedup_containment",
+    (spark, dir) => Dedup.containmentPairs(
+      Tables.documents(spark, dir), "doc_id", "text",
+      WinnowK, WinnowW, ContainMinShared, ContainMaxDf)
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $winnowCtes,
+            |fp AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+            |kept AS (
+            |  SELECT doc_id, fp FROM fp
+            |  WHERE fp IN (SELECT fp FROM fp GROUP BY fp
+            |               HAVING count(*) <= $ContainMaxDf)
+            |)
+            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |       CAST(count(*) AS BIGINT) AS n_shared
+            |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |GROUP BY 1, 2 HAVING count(*) >= $ContainMinShared
+            |ORDER BY doc_a, doc_b""".stripMargin))
 
   /** Incremental (daily-ingest) exact dedup: the corpus is the 80% of
     * documents with `doc_id % 10 < 8`, the incoming batch is the other
@@ -336,5 +374,5 @@ object TextQueries {
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qDocFingerprints,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
-    qDedupClusters, qDedupSimhash, qTrainingPrep)
+    qDedupClusters, qDedupSimhash, qDedupContainment, qTrainingPrep)
 }

@@ -335,6 +335,51 @@ object Dedup {
     (labels, iter, converged)
   }
 
+  /** Partial-copy (CONTAINMENT) pairs via winnowing sketches: documents
+    * sharing ≥ `minShared` winnow fingerprints. Catches what both exact
+    * dedup and whole-doc Jaccard miss — a long passage copied into an
+    * otherwise-different document (boilerplate, quoted text, template
+    * reuse): the winnowing guarantee says any shared run of ≥ k+w−1
+    * characters yields ≥ 1 shared fingerprint, so `minShared` tunes the
+    * evidence threshold, not the detectable copy length.
+    *
+    * Scale design: the inverted-index self-join on the 8-byte
+    * fingerprint (same shape as [[jaccardPairs]]); `maxDocFreq` drops
+    * STOP fingerprints (boilerplate shared by more than that many docs)
+    * before the join — the df cap bounds every fp group, so the join
+    * fans out at most maxDocFreq² per fingerprint instead of n².
+    * Dropping ubiquitous fingerprints is also semantically right: they
+    * are evidence of boilerplate, not of copying.
+    *
+    * @param k         winnow k-gram length (characters)
+    * @param w         winnow window (hashes)
+    * @param minShared min common fingerprints to emit a pair
+    * @param maxDocFreq drop fingerprints occurring in more docs than
+    *        this; ≤ 0 disables the filter
+    * @return (doc_a, doc_b, n_shared), a < b
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, maxDocFreq: Int = 0): DataFrame = {
+    val fps = docs.select(col(idCol).cast("long").as("id"),
+      explode(graft.expr.WinnowSketch(col(textCol), k, w)).as("fp"))
+    val kept =
+      if (maxDocFreq <= 0) fps
+      else {
+        // sketches are per-doc distinct, so count(*) per fp IS doc freq
+        val keep = fps.groupBy("fp")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq)
+          .select("fp")
+        fps.join(keep, Seq("fp"), "left_semi")
+      }
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-doc 64-bit SimHash (token multiset, occurrence-weighted). */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),

@@ -173,6 +173,47 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
   }
 
+  test("containmentPairs: catches a copied passage exact dedup and Jaccard miss") {
+    val passage = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew acid to empower the vexed djinn beyond measure"
+    val d = docs(
+      (1L, "completely original leading content here " + passage),
+      (2L, passage + " trailed by an unrelated essay on spark shuffles and " +
+        "partitioning strategy at terabyte scale with many extra words"),
+      (3L, "no shared material whatsoever in this third document text"))
+    val pairs = rows(Dedup.containmentPairs(d, "doc_id", "text",
+      k = 8, w = 8, minShared = 2))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // whole-doc Jaccard at the near-dup threshold does NOT flag the pair —
+    // containment is a different detection surface
+    val jac = rows(Dedup.jaccardPairs(d, "doc_id", "text", 3, TextQueries.MinJaccard))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
+  test("containmentPairs: maxDocFreq drops boilerplate fingerprints") {
+    // every doc shares the same boilerplate header; only 1-2 share real text
+    val header = "standard corporate boilerplate disclaimer header text block"
+    val body = "genuinely duplicated body paragraph content that matters here"
+    val d = docs(
+      (1L, header + " " + body),
+      (2L, header + " " + body),
+      (3L, header + " first unique content entirely its own words"),
+      (4L, header + " second unique content also completely distinct"),
+      (5L, header + " third unique content nothing shared otherwise"))
+    // df cap 2: header fps (df=5) dropped, body fps (df=2) kept
+    val capped = rows(Dedup.containmentPairs(d, "doc_id", "text",
+      k = 8, w = 8, minShared = 2, maxDocFreq = 2))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"got $capped")
+    // uncapped: the header makes every pair look like a partial copy
+    val uncapped = rows(Dedup.containmentPairs(d, "doc_id", "text",
+      k = 8, w = 8, minShared = 2))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 10, "all C(5,2) pairs share the boilerplate")
+  }
+
   test("simhashPairs finds the planted near-dups (recall vs jaccard truth)") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val truth = rows(Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8))
