@@ -55,14 +55,20 @@ object TextHashKernels {
     * (matches nothing). O(n·k) — n shingles, k hash functions. */
   def minhash(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
     val sig = Array.fill[Long](k)(Long.MaxValue)
+    // hoist the per-function seed hashes: splitmix64(seed + j) is loop-
+    // invariant in the shingle dimension — recomputing it n·k times was
+    // ~half the kernel's work (same output bits either way)
+    val seeds = new Array[Long](k)
+    var j = 0
+    while (j < k) { seeds(j) = splitmix64(seed + j); j += 1 }
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {
         val base = fnv1a64(shingles.getUTF8String(i))
-        var j = 0
+        j = 0
         while (j < k) {
-          val h = splitmix64(base ^ splitmix64(seed + j))
+          val h = splitmix64(base ^ seeds(j))
           if (h < sig(j)) sig(j) = h
           j += 1
         }
