@@ -17,6 +17,25 @@ object VectorQueries {
   val TopK = 10
   val TopPairs = 50
 
+  /** DuckDB mirror of exact per-query cosine top-k — shared by the
+    * brute-force entry and the full-probe IVF entry (probing every
+    * trained bucket must reproduce brute force bit-for-bit). */
+  private val exactTopKOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine
+       |  FROM e q JOIN e c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   /** Brute-force exact cosine top-k per query vector — the ANN baseline.
     * Plan shape: corpus scan → broadcast nested-loop with the tiny query
     * side → codegen'd cosine → per-query TopK (one shuffle keyed by
@@ -28,20 +47,28 @@ object VectorQueries {
         emb, emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", TopK)
         .orderBy("query_id", "rank")
     },
-    Some(s"""WITH e AS (
-            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            |), scored AS (
-            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            |         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine
-            |  FROM e q JOIN e c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
-            |), ranked AS (
-            |  SELECT query_id, neighbor_id, cosine,
-            |         CAST(row_number() OVER (PARTITION BY query_id
-            |           ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-            |  FROM scored
-            |)
-            |SELECT query_id, rank, neighbor_id, cosine FROM ranked
-            |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+    Some(exactTopKOracle))
+
+  /** Trained-quantizer IVF: Lloyd's k-means fits the coarse index, then
+    * multi-probe search scores only the probed buckets. This catalog
+    * entry probes ALL buckets (nprobe = k), which must reproduce brute
+    * force EXACTLY — so the whole pipeline (seeding, Lloyd updates,
+    * argmin assignment, probe ranking, bucket-join scoring) is oracle-
+    * checked against the same SQL as the baseline. The production
+    * nprobe < k configuration is spec-measured for recall instead. */
+  val IvfClusters = 8
+  val IvfIters = 3
+  val qAnnIvfKmeans = QueryDef("q_ann_ivf_kmeans",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val (cents, assigned) = graft.operators.KMeans.fit(
+        emb, "vec_id", "embedding", IvfClusters, IvfIters)
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.KMeans.ivfTopK(assigned, cents, q, TopK, nprobe = IvfClusters)
+        .orderBy("query_id", "rank")
+    },
+    Some(exactTopKOracle))
 
   /** Global top-50 most-similar embedding pairs — the embedding-cosine
     * near-dup surface (exact, all-pairs). */
@@ -102,5 +129,6 @@ object VectorQueries {
             |SELECT query_id, rank, neighbor_id, cosine FROM ranked
             |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(qAnnTopK, qEmbedTopPairs, qAnnLsh, qAnnIvf)
+  def all: Seq[QueryDef] = Seq(qAnnTopK, qEmbedTopPairs, qAnnLsh, qAnnIvf,
+    qAnnIvfKmeans)
 }
