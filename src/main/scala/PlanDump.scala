@@ -17,6 +17,8 @@ object PlanDump {
       "q_ann_ivf_topk" -> "IVF ANN: centroid assignment, equi-join on the inverted-list label, topk_agg ranking (no Window)",
       "q_pack_sequences" -> "distributed prefix sum: range-bucketed partitioned window + one tiny bucket-offset aggregate — every Window node carries a partition spec (zero un-partitioned windows)",
       "q_training_data_prep" -> "end-to-end prep: quality filter -> exact dedup -> LSH pairs -> cluster keepers -> distributed packing; no single-partition stage anywhere in the composite",
+      "q_dedup_containment" -> "winnow-sketch containment: codegen'd sketch kernel in the scan project, stop-fingerprint df cap via left-semi join, inverted-index self-join on the 8-byte fingerprint",
+      "q_ann_ivf_kmeans" -> "trained IVF (final search plan; Lloyd fit runs ahead via localCheckpoint): probes from the bounded-heap TopKAgg, bucket equi-join against checkpointed assignments, aggregate ranking — no Window",
       "q_dist_within_radius" -> "GeodesicRadiusRule fired: cheap |dlat|*109<=r bound evaluated before the Vincenty kernel in the join condition",
       "q_top_customers_revenue" -> "3-way join: dimensions broadcast, single agg exchange, TakeOrderedAndProject")
     val md = new StringBuilder
