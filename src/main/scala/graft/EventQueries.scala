@@ -111,5 +111,38 @@ object EventQueries {
            |      FROM events)
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(qSessions, qTop3PerType, qUserPivot, qJsonExtract)
+  /** Per-user inter-arrival gaps via lag(): the LAG/LEAD window surface,
+    * summarized with exact long-micros aggregates (no float drift).
+    * Ordering inside a user is (ts, event_id) — (user, ts) is unique in
+    * the testdata, but the event_id tie-break keeps the query
+    * deterministic on any data. */
+  val qInterarrival = QueryDef("q_events_interarrival",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.eventsMicros(spark, dir)
+        .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("gap").as("total_gap_us"),
+          min("gap").as("min_gap_us"),
+          max("gap").as("max_gap_us"))
+        .orderBy("user_id")
+    },
+    Some("""WITH g AS (
+           |  SELECT user_id,
+           |         epoch_us(ts) - lag(epoch_us(ts))
+           |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+           |  FROM events
+           |)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+           |       CAST(sum(gap) AS BIGINT) AS total_gap_us,
+           |       CAST(min(gap) AS BIGINT) AS min_gap_us,
+           |       CAST(max(gap) AS BIGINT) AS max_gap_us
+           |FROM g WHERE gap IS NOT NULL
+           |GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(qSessions, qTop3PerType, qUserPivot, qJsonExtract,
+    qInterarrival)
 }
