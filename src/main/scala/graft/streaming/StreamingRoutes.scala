@@ -55,6 +55,17 @@ object StreamingRoutes {
         col("session_window.end").as("session_end"),
         col(userCol), col("n_events"), col("total_value"))
 
+  /** Stream-static enrichment: left-join dimension attributes onto a
+    * stream — the canonical "events ⋈ dimension table" shape. Stateless
+    * (no watermark or state store): Spark re-resolves the static side
+    * every micro-batch, and the broadcast hint keeps the join map-side,
+    * so the stream never shuffles for the enrichment. Composes freely
+    * with the windowed aggregations above (enrich → window → agg in one
+    * streaming query). */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** Streaming exact dedup: drop any row whose content fingerprint was
     * already seen within the watermark horizon — `dropDuplicates` backed
     * by a keyed state store holding only the 8-byte fingerprint. */

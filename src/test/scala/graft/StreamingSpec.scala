@@ -52,6 +52,36 @@ class StreamingSpec extends SparkSpec {
       (t(10), "A", "B", 1L), (t(10), "C", "D", 2L)))
   }
 
+  test("enrichWithStatic: stream-dim join + windowed agg equals batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val dim = Seq(("A", "north"), ("C", "south")).toDF("start", "zone")
+    def plan(rides: org.apache.spark.sql.DataFrame) =
+      StreamingRoutes.windowedRouteCounts(
+        StreamingRoutes.enrichWithStatic(rides, dim, Seq("start")),
+        "ts", "zone", "end", windowDur = "10 minutes", watermark = "5 minutes")
+
+    val stream = MemoryStream[Ride]
+    stream.addData(rides: _*)
+    val q = plan(stream.toDF())
+      .writeStream.format("memory").queryName("enriched_routes")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select("window_start", "zone", "end", "amount_of_rides")
+      .collect().map(r =>
+        (r.getTimestamp(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+
+    val streamed = collect(spark.table("enriched_routes"))
+    val batch = collect(plan(rides.toDF()))
+    assert(streamed == batch)
+    assert(batch == Set(
+      (t(0), "north", "B", 2L), (t(0), "south", "D", 1L),
+      (t(10), "north", "B", 1L), (t(10), "south", "D", 2L)))
+  }
+
   test("sessionStats: session_window closes after the gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
