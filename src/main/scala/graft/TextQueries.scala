@@ -93,6 +93,64 @@ object TextQueries {
     Some("""SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
            |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin))
 
+  /** Repetition quality stats (the Gopher/MassiveText-style filtering
+    * rules, Rae et al. 2021 §A1.1): per document,
+    *   - `top_bigram_frac` — occurrences of the most frequent token
+    *     bigram over all bigram occurrences (templated/boilerplate text
+    *     scores high);
+    *   - `dup_trigram_frac` — fraction of trigram occurrences that are
+    *     repeats (1 − distinct/total; loops and stutter score high).
+    * Docs need ≥ 3 tokens (both denominators positive). All-integer
+    * numerators/denominators with one CAST-DOUBLE division on each
+    * side — bit-identical across engines, no rounding. */
+  val qRepetitionStats = QueryDef("q_repetition_stats",
+    (spark, dir) => {
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ws"),
+          graft.text.TextAnalysis.shingles(col("text"), 3).as("tri"))
+        .filter(size(col("ws")) >= 3)
+      val bigrams = toks.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("bg"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("bg.0"), col("bg.1")).as("bigram"))
+      val topBigram = bigrams
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+          .as("top_bigram_frac"))
+      toks
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          (lit(1.0) - size(col("tri")).cast("double") /
+            (size(col("ws")) - 2).cast("double")).as("dup_trigram_frac"))
+        .join(topBigram, "doc_id")
+        .select("doc_id", "n_tokens", "top_bigram_frac", "dup_trigram_frac")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS ws
+            |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+            |), bi AS (
+            |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+            |                         for i in generate_series(1, len(ws) - 1)]) AS bigram
+            |  FROM toks
+            |), topbi AS (
+            |  SELECT doc_id,
+            |         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+            |  FROM (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2)
+            |  GROUP BY doc_id
+            |), tri AS (
+            |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+            |         1.0 - CAST(len(list_distinct(${shinglesOverWsSql(3)})) AS DOUBLE)
+            |               / CAST(len(ws) - 2 AS DOUBLE) AS dup_trigram_frac
+            |  FROM toks
+            |)
+            |SELECT t.doc_id, t.n_tokens, b.top_bigram_frac, t.dup_trigram_frac
+            |FROM tri t JOIN topbi b ON t.doc_id = b.doc_id
+            |ORDER BY t.doc_id""".stripMargin))
+
   /** Winnowing k-gram size / window (Schleimer et al. 2003). */
   val WinnowK = 8
   val WinnowW = 8
@@ -372,7 +430,8 @@ object TextQueries {
     None)
 
   def all: Seq[QueryDef] = Seq(
-    qTextStats, qTokenBudget, qLangId, qTokenFreq, qDocFingerprints,
+    qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
+    qDocFingerprints,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qTrainingPrep)
 }
