@@ -149,6 +149,45 @@ object PipelineQueries {
     },
     None)
 
+  /** Domain-mixture sampling weights: give every source an equal share
+    * of the total token budget and emit the per-source sampling rate
+    * that achieves it (capped at 1.0 — a source can't be upsampled by
+    * subsampling). The arithmetic every training run does when turning
+    * "mix these domains equally" into per-domain rates; the division
+    * chain is parenthesized identically on both engines. */
+  val qMixWeights = QueryDef("q_mix_weights",
+    (spark, dir) => {
+      val per = graft.core.Tables.documents(spark, dir)
+        .groupBy("source")
+        .agg(sum(graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("toks"))
+      val tot = per.agg(sum("toks").as("tot"), count(lit(1)).as("ns"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("toks"),
+          (col("tot").cast("double") / col("ns").cast("double"))
+            .as("target_tokens"),
+          least(lit(1.0),
+            (col("tot").cast("double") / col("ns").cast("double"))
+              / col("toks").cast("double")).as("sample_rate"))
+        .orderBy("source")
+    },
+    Some(s"""WITH per AS (
+            |  SELECT source,
+            |         CAST(sum(${graft.text.TextAnalysis.tokenCountSql("text")}) AS BIGINT) AS toks
+            |  FROM documents GROUP BY source
+            |), tot AS (
+            |  SELECT CAST(sum(toks) AS BIGINT) AS tot,
+            |         CAST(count(*) AS BIGINT) AS ns
+            |  FROM per
+            |)
+            |SELECT source, toks,
+            |       CAST(tot AS DOUBLE) / CAST(ns AS DOUBLE) AS target_tokens,
+            |       least(CAST(1.0 AS DOUBLE),
+            |             (CAST(tot AS DOUBLE) / CAST(ns AS DOUBLE))
+            |             / CAST(toks AS DOUBLE)) AS sample_rate
+            |FROM per, tot ORDER BY source""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    qSampleSplit, qBalanceLangs, qPackSequences, qTop3Agg, qLangSimilarity)
+    qSampleSplit, qBalanceLangs, qPackSequences, qTop3Agg, qLangSimilarity,
+    qMixWeights)
 }

@@ -149,6 +149,18 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("duplicateClusters: reliableCheckpoint writes to the configured dir") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val g = pairDf((1L, 2L), (2L, 3L), (10L, 11L))
+    val out = rows(Dedup.duplicateClusters(g, reliableCheckpoint = true))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the durable path actually materialized checkpoints
+    val files = java.nio.file.Files.walk(ckpt).count()
+    assert(files > 1, "expected checkpoint data under the configured dir")
+  }
+
   test("minhashCandidates: failOnOverflow makes cap engagement a loud failure") {
     val flood = docs((0L until 100L).map(i => i -> "same text every time"): _*)
     val cands = Dedup.minhashCandidates(flood, "doc_id", "text",
