@@ -41,13 +41,18 @@ object KMeans {
     var iter = 0
     while (iter < maxIter) {
       // update: per-(cid, dim) mean, rebuilt into float arrays — the
-      // shuffle carries scalar components keyed by (cid, dim)
-      cents = assigned
+      // shuffle carries scalar components keyed by (cid, dim). A cluster
+      // that lost every point has no mean rows; it KEEPS its previous
+      // position (the standard empty-cluster rule) rather than silently
+      // shrinking k — the left join + coalesce below restores it.
+      val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim").agg(avg(col("x")).as("m"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(dim, m)))," +
-          " e -> cast(e.m as float))").as("cv"))
+          " e -> cast(e.m as float))").as("new_cv"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("new_cv"), col("cv")).as("cv"))
         .localCheckpoint()
       assigned = assign(v, cents)
       iter += 1

@@ -47,6 +47,21 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("an emptied cluster keeps its centroid instead of shrinking k") {
+    import spark.implicits._
+    // seeds are ids 0 and 1 with IDENTICAL vectors: every point is
+    // equidistant to both centroids, the (dist, cid) tie-break sends
+    // everything to cid 0, and cluster 1 is empty from round one —
+    // k must remain 2 with the empty centroid intact
+    val pts = ((0L until 2L).map(i => (i, Array(0f, 0f))) ++
+      (2L until 20L).map(i => (i, Array(i.toFloat, 50f))))
+      .toDF("vec_id", "embedding")
+    val (cents, assigned) = KMeans.fit(pts, "vec_id", "embedding", 2, 4)
+    assert(rows(cents).size == 2, "k collapsed")
+    // and the surviving assignment still covers every vector
+    assert(rows(assigned).size == 20)
+  }
+
   test("full-probe IVF equals brute force exactly on the embeddings table") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val (cents, assigned) = KMeans.fit(emb, "vec_id", "embedding", 8, 3)
