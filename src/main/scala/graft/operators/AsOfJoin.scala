@@ -51,7 +51,10 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     def wrapType(c: String) = StructType(Seq(
       StructField("v", right.schema(c).dataType, nullable = true)))
-    val keyIsNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    // keyless (global) as-of: no NULL-key handling applies
+    val keyIsNull =
+      if (keyCols.isEmpty) lit(false)
+      else keyCols.map(col(_).isNull).reduce(_ || _)
     val lTagged = left.filter(!keyIsNull)
       .withColumn("_side", lit(1))
       .select(
