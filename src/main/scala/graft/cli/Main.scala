@@ -95,6 +95,7 @@ object Main {
 
       case "stream-routes" => // §2.10 unified model — stream → window → sink
         val seconds = flags.getOrElse("seconds", "8").toInt
+        var staged: Option[java.nio.file.Path] = None
         val (rides, windowDur, watermark) = flags.getOrElse("source", "rate") match {
           case "file" =>
             // stream the bounded lineitem parquet AS an unbounded file
@@ -107,6 +108,7 @@ object Main {
             // stage one into a temp ingest dir — exactly the landing-zone
             // shape a production file stream watches
             val ingestDir = java.nio.file.Files.createTempDirectory("graft_ingest")
+            staged = Some(ingestDir)
             java.nio.file.Files.copy(java.nio.file.Paths.get(path),
               ingestDir.resolve("lineitem-000.parquet"))
             val li = spark.readStream.schema(schema).parquet(ingestDir.toString)
@@ -135,7 +137,15 @@ object Main {
         try {
           Thread.sleep(seconds * 1000L)
           q.processAllAvailable()
-        } finally q.stop()
+        } finally {
+          q.stop()
+          // remove the staged ingest copy — repeated runs must not
+          // accumulate lineitem copies in the temp dir
+          staged.foreach { dir =>
+            java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
         // drain the final windowed counts through the reference's K1 sink
         Sinks.csvWithHeader(
           spark.table("graft_stream_routes")

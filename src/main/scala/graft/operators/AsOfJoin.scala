@@ -75,9 +75,16 @@ object AsOfJoin {
     // trailing _v_ sort keys: among right rows tied on (key, time), the
     // struct-greatest value is carried by `last` — a pinned, rerun-stable
     // choice (left rows sort via _side, so their placeholder NULL structs
-    // never interleave with real right values at a tie)
+    // never interleave with real right values at a tie). Only ORDERABLE
+    // value types participate — a map-typed value column can't be a sort
+    // key, and falls back to the pre-tie-break behavior (arbitrary pick
+    // among exact ties) instead of failing analysis.
+    val orderableValues = valueCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.schema(c).dataType))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol) +: col("_side") +: valueCols.map(c => col(s"_v_$c")): _*)
+      .orderBy(col(timeCol) +: col("_side") +:
+        orderableValues.map(c => col(s"_v_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lTagged.unionByName(rTagged)
       .select(col("*") +: valueCols.map(c =>

@@ -360,8 +360,13 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Int, maxDocFreq: Int = 0): DataFrame = {
+    // persist: the (id, fp) index feeds the doc-freq aggregate, the
+    // semi-join probe, and BOTH self-join sides — without caching, the
+    // O(doc-length) sketch kernel re-runs per consumer (exchange reuse
+    // only partially dedups it). 16 bytes/row, MEMORY_AND_DISK spills.
     val fps = docs.select(col(idCol).cast("long").as("id"),
       explode(graft.expr.WinnowSketch(col(textCol), k, w)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept =
       if (maxDocFreq <= 0) fps
       else {

@@ -45,9 +45,15 @@ object KMeans {
       // that lost every point has no mean rows; it KEEPS its previous
       // position (the standard empty-cluster rule) rather than silently
       // shrinking k — the left join + coalesce below restores it.
+      // decimal accumulation: double addition is order-sensitive and a
+      // shuffled aggregate merges in nondeterministic order — decimal
+      // sums are associative, so the trained centroids really are
+      // identical across reruns/retries (same convention as the
+      // engine's other double-summing aggregates)
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cid", "dim")
+        .agg(avg(col("x").cast("decimal(38,15)")).cast("double").as("m"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(dim, m)))," +
           " e -> cast(e.m as float))").as("new_cv"))
@@ -77,7 +83,7 @@ object KMeans {
   def sse(assigned: DataFrame, cents: DataFrame): Double =
     assigned.join(broadcast(cents), "cid")
       .select(pow(L2Distance(col("v"), col("cv")), 2).as("d2"))
-      .agg(sum("d2")).collect()(0).getDouble(0)
+      .agg(coalesce(sum("d2"), lit(0.0))).collect()(0).getDouble(0)
 
   /** Multi-probe IVF top-k: each query scores ONLY the vectors assigned
     * to its `nprobe` nearest centroids. nprobe = k ⇒ every bucket is

@@ -20,7 +20,7 @@ class SqlSurfaceSpec extends SparkSpec {
         |  lsh_bands(minhash(array('x'), 4, 42L), 2) AS bands,
         |  text_stats('the cat sat') AS ts,
         |  rp_sig(array(1.0f, -1.0f), 8, 7L) AS rp,
-        |  winnow_sketch('abcdefghijklmnop', 8, 8) AS wn
+        |  winnow_sketch('abcdefghijklmno', 8, 8) AS wn
         |""".stripMargin).collect().head
     assert(math.abs(r.getAs[Double]("geo") - 3.735) < 0.01)
     assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
@@ -31,7 +31,8 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getAs[collection.Seq[Long]]("mh").size == 4)
     assert(r.getAs[collection.Seq[Long]]("bands").size == 2)
     assert(r.getAs[org.apache.spark.sql.Row]("ts").getAs[Long]("n_tokens") == 3L)
-    // 16 chars, k=8 → 9 hashes < w+1 → single window → one fingerprint
+    // 15 chars, k=8 → 8 hashes, w=8 → exactly ONE window structurally
+    // (8−8+1) → exactly one fingerprint regardless of hash constants
     assert(r.getAs[collection.Seq[Long]]("wn").size == 1)
   }
 }
