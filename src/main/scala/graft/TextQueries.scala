@@ -266,6 +266,41 @@ object TextQueries {
            |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = k.text)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Containment-aware dedup survivors: partial-copy pairs → connected
+    * components → keep the min-id doc per cluster. The full decision
+    * pipeline oracle-checked end to end (winnow re-derivation +
+    * df-capped pair join + recursive-CTE closure + anti-join). */
+  val qDedupContainmentKeep = QueryDef("q_dedup_containment_keep",
+    (spark, dir) => Dedup.containmentDedup(
+      Tables.documents(spark, dir), "doc_id", "text",
+      WinnowK, WinnowW, ContainMinShared, ContainMaxDf)
+      .select("doc_id")
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $winnowCtes,
+            |fp AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+            |kept AS (
+            |  SELECT doc_id, fp FROM fp
+            |  WHERE fp IN (SELECT fp FROM fp GROUP BY fp
+            |               HAVING count(*) <= $ContainMaxDf)
+            |), pairs AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2 HAVING count(*) >= $ContainMinShared
+            |), edges AS (
+            |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs
+            |), reach(src, dst) AS (
+            |  SELECT src, dst FROM edges
+            |  UNION
+            |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            |), labels AS (
+            |  SELECT src AS doc_id, LEAST(src, min(dst)) AS cluster
+            |  FROM reach GROUP BY src
+            |)
+            |SELECT doc_id FROM documents
+            |WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster)
+            |ORDER BY doc_id""".stripMargin))
+
   /** The DuckDB mirror of token-trigram Jaccard pairs ≥ [[MinJaccard]]:
     * a shared CTE chain ending in `dup_pairs(doc_a, doc_b, jaccard)` —
     * used by the exact entry, the LSH entry (verified candidates →
@@ -433,5 +468,6 @@ object TextQueries {
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
     qDocFingerprints,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
-    qDedupClusters, qDedupSimhash, qDedupContainment, qTrainingPrep)
+    qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
+    qTrainingPrep)
 }

@@ -385,6 +385,21 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Containment-aware dedup: rows surviving partial-copy resolution —
+    * [[containmentPairs]] evidence → [[duplicateClusters]] connected
+    * components → keep the min-id document of every cluster. The
+    * composition a pipeline actually calls ("drop partial copies, keep
+    * one"), built entirely from the operators above. */
+  def containmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, maxDocFreq: Int = 0,
+      maxIter: Int = 20): DataFrame = {
+    val pairs = containmentPairs(docs, idCol, textCol, k, w, minShared, maxDocFreq)
+    val drops = duplicateClusters(pairs, maxIter)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Per-doc 64-bit SimHash (token multiset, occurrence-weighted). */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),

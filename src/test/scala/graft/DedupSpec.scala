@@ -204,6 +204,19 @@ class DedupSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("containmentDedup keeps one doc per partial-copy cluster") {
+    val passage = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew acid to empower the vexed djinn beyond measure"
+    val d = docs(
+      (1L, "original article leading in with " + passage),
+      (2L, passage + " quoted inside an otherwise different piece of text"),
+      (3L, "standalone writing sharing no passage with anything else here"),
+      (4L, "fourth doc likewise entirely its own words and phrasing"))
+    val kept = rows(Dedup.containmentDedup(d, "doc_id", "text",
+      k = 8, w = 8, minShared = 2)).map(_.getLong(0)).sorted
+    assert(kept == Seq(1L, 3L, 4L)) // 2 drops: it contains 1's passage
+  }
+
   test("containmentPairs: maxDocFreq drops boilerplate fingerprints") {
     // every doc shares the same boilerplate header; only 1-2 share real text
     val header = "standard corporate boilerplate disclaimer header text block"
