@@ -22,11 +22,22 @@ object VectorKernels {
     n
   }
 
+  /** Null ELEMENTS are a data bug too: `UnsafeArrayData.getFloat` would
+    * silently read a null slot as 0.0 and yield a plausible-but-wrong
+    * similarity — same fail-loudly doctrine as the dimension check. The
+    * bit-test rides inside the main loop (never taken on clean data, so
+    * branch prediction makes it ~free; a separate validation pass would
+    * double the kernel's memory traffic). */
+  private def nullElement(i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"null vector element at index $i — corrupt embedding row")
+
   def cosineFF(a: ArrayData, b: ArrayData): Double = {
     val n = checkDims(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElement(i)
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -40,7 +51,10 @@ object VectorKernels {
     val n = checkDims(a, b)
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElement(i)
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+    }
     dot
   }
 
@@ -49,6 +63,7 @@ object VectorKernels {
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElement(i)
       val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
       s += d * d; i += 1
     }

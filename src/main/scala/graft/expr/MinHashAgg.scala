@@ -32,6 +32,18 @@ case class MinHashAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // toLongArray over an array<int> UnsafeArrayData would misread 4-byte
+  // slots as longs — deterministic garbage with no exception. Demand the
+  // exact input type at analysis time.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_agg requires ARRAY<BIGINT> (a minhash signature), got ${dt.sql}")
+    }
+
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
   private def mergeArrays(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -90,7 +102,15 @@ object MinHashAgg {
   /** Estimated Jaccard between two signatures: agreeing fraction. */
   def estimateJaccard(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions._
-    size(filter(zip_with(a, b, (x, y) => (x === y).cast("int")), v => v === 1))
-      .cast("double") / size(a).cast("double")
+    // mismatched k (or an empty signature) is a caller bug — zip_with
+    // would silently null-pad the shorter side and divide by size(a),
+    // returning a wrong-but-plausible estimate (or 0/0 = NaN). Mirror
+    // the aggregate's own loud mixed-k refusal with an in-plan assert.
+    val guard = assert_true(size(a) === size(b) && size(a) > 0,
+      concat(lit("estimateJaccard: signatures must be same-length and " +
+        "non-empty, got sizes "), size(a), lit(" and "), size(b)))
+    when(guard.isNull,
+      size(filter(zip_with(a, b, (x, y) => (x === y).cast("int")), v => v === 1))
+        .cast("double") / size(a).cast("double"))
   }
 }

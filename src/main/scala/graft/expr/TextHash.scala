@@ -83,6 +83,7 @@ object TextHashKernels {
     * Pairs sharing ANY (band_index, band_hash) are candidate duplicates. */
   def lshBands(sig: ArrayData, bands: Int): ArrayData = {
     val n = sig.numElements()
+    require(n > 0, "lsh_bands: empty signature (r=0 would bucket everything together)")
     require(n % bands == 0,
       s"lsh_bands: bands ($bands) must divide the signature length ($n) — " +
         "a remainder would silently drop hashes and r=0 would bucket " +
@@ -148,6 +149,10 @@ object TextHashKernels {
     * dot(v, plane_i). Cosine-similar vectors agree on most bits
     * (P[bit match] = 1 - angle/pi, Charikar 2002). nBits ≤ 64. */
   def randomProjectionSig(vec: ArrayData, nBits: Int, seed: Long): Long = {
+    // a Long holds ≤ 64 sign bits; nBits > 64 would alias shifts mod 64
+    // and silently corrupt signatures, nBits ≤ 0 would bucket everything
+    require(nBits >= 1 && nBits <= 64,
+      s"rp_sig: nBits must be in [1, 64], got $nBits")
     val d = vec.numElements()
     var out = 0L
     var bit = 0
@@ -188,6 +193,9 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
   * signature of a shingle set. k and seed must be foldable. */
 case class MinHashSig(child: Expression, k: Int, seed: Long)
     extends UnaryExpression {
+  // k = 0 would yield empty signatures that pass lsh_bands' divisibility
+  // check with r = 0 — every doc in one bucket, the silent worst case
+  require(k > 0, s"minhash: k must be positive, got $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -245,6 +253,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * from SplitMix64 on the fly: nothing to broadcast, identical everywhere. */
 case class RandomProjectionSig(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 64,
+    s"rp_sig: nBits must be in [1, 64], got $nBits")
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess

@@ -23,10 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen call per document, no intermediate arrays except the token
   * slice views. */
 object TextStatsKernels {
-  /** Must mirror [[graft.text.TextAnalysis.stopwords]]. */
+  /** CANONICAL stopword list — the single source of truth.
+    * [[graft.text.TextAnalysis.stopwords]] (and through it every SQL
+    * mirror) derives from this Seq, so the fused kernel, the composed
+    * column form, and the DuckDB oracle can never drift apart. */
+  val StopwordList: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
   val Stopwords: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
-    Seq("the", "a", "of", "and", "to", "in", "is", "it").foreach(s.add)
+    StopwordList.foreach(s.add)
     s
   }
 

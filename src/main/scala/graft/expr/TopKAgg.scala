@@ -43,6 +43,19 @@ case class TopKAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(TopKAgg.entryType, containsNull = false)
 
+  // without this, a long sort key or int payload passes analysis and
+  // dies mid-job with a ClassCastException in update() — surface the
+  // contract at analysis time instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (sortKey.dataType, payload.dataType) match {
+      case (DoubleType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (sk, pl) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk_agg requires (DOUBLE sortKey, BIGINT payload), got " +
+            s"(${sk.sql}, ${pl.sql}) — cast explicitly")
+    }
+
   override def createAggregationBuffer(): TopKAgg.Heap = new TopKAgg.Heap(k)
 
   override def update(buf: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {

@@ -30,8 +30,11 @@ object Sources {
   /** `beam.Create` analog: bounded in-memory literal source
     * (cf. `notebooks/development.ipynb` cell 3). */
   def inMemory(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    // list-based createDataFrame plans a LocalRelation — constant-foldable
+    // and locally executable by Catalyst — where parallelize would force
+    // an opaque ExistingRDD scan with per-row serialization
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq), schema)
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
 
   /** ReadFromBigQuery(query=...) analog: SQL over registered file-backed
     * views — Catalyst prunes/pushes into the scan, which is what the

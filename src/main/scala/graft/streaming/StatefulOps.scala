@@ -21,6 +21,12 @@ object StatefulOps {
   def firstSeenWithDupCount(ds: Dataset[Keyed],
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
       : Dataset[FirstSeen] = {
+    // the operator only arms processing-time timeouts; accepting
+    // EventTimeTimeout would silently behave as NoTimeout (no timestamp
+    // is ever set) and the state store would grow without bound
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "firstSeenWithDupCount supports NoTimeout or ProcessingTimeTimeout; " +
+        "EventTimeTimeout would never be armed and state would be unbounded")
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[Long, FirstSeen](

@@ -4,10 +4,17 @@ import org.apache.spark.sql.functions._
 import graft.core.GraftSession
 
 /** Runnable streaming demo: rate source → synthetic (start, end) route
-  * events → watermarked tumbling-window counts → in-memory sink, printed
-  * after a few batches. Proves the unified model end to end on an
-  * actually-unbounded source (the reference only ever SET the streaming
-  * flag — SURVEY §2.10).
+  * events → tumbling-window counts → in-memory sink, printed after a few
+  * batches. Proves the unified model end to end on an actually-unbounded
+  * source (the reference only ever SET the streaming flag — SURVEY §2.10).
+  *
+  * Honesty note on modes: this demo uses `complete` output so the final
+  * table shows every window of the short run — in complete mode Spark
+  * RETAINS all aggregation state and the watermark does not evict
+  * (that's fine for a bounded demo run, wrong for production). The
+  * watermark-actually-evicts path is exercised by the append-mode
+  * `dropDuplicatesWithinWatermark` spec and the keyed-state timeout in
+  * [[StatefulOps]].
   *
   * `runMain graft.streaming.StreamDemo [seconds]`
   */

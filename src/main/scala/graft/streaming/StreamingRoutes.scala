@@ -44,12 +44,12 @@ object StreamingRoutes {
     * [[graft.EventQueries.qSessions]]'s gap sessionization, via the native
     * `session_window` (state closes `gap` after the last event). */
   def sessionStats(events: DataFrame, tsCol: String, userCol: String,
-      gap: String, watermark: String): DataFrame =
+      gap: String, watermark: String, valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col(userCol))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(28,10)")).cast("double").as("total_value"))
+        sum(col(valueCol).cast("decimal(28,10)")).cast("double").as("total_value"))
       .select(
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),

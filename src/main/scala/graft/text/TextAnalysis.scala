@@ -27,7 +27,9 @@ object TextAnalysis {
   def tokensSql(text: String): String = s"string_split($text, ' ')"
 
   /** English-ish stopword list used for quality scoring. */
-  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  // derived from the kernel's canonical list — one source of truth for
+  // the fused kernel, the composed column form, and the SQL mirrors
+  val stopwords: Seq[String] = graft.expr.TextStatsKernels.StopwordList
 
   /** Per-language marker (stopword) lists for the language-ID heuristic.
     * Deterministic argmax, ties broken by list order below; score 0 → "und".
