@@ -91,7 +91,8 @@ object TextQueries {
     (spark, dir) => Dedup.exactGroups(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("keeper_id"),
     Some("""SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
-           |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin))
+           |FROM documents WHERE text IS NOT NULL
+           |GROUP BY text ORDER BY keeper_id""".stripMargin))
 
   /** Repetition quality stats (the Gopher/MassiveText-style filtering
     * rules, Rae et al. 2021 §A1.1): per document,
@@ -427,8 +428,11 @@ object TextQueries {
             |  -- the threshold at sf0.1)
             |  WHERE ${qualityScoreSql("text")} >= CAST($MinQuality AS DOUBLE)
             |), exact_keep AS (
+            |  -- null-text rows all survive (operator convention); min-id
+            |  -- keeper per non-null content
             |  SELECT doc_id, text FROM q_docs
-            |  WHERE doc_id IN (SELECT min(doc_id) FROM q_docs GROUP BY text)
+            |  WHERE text IS NULL OR doc_id IN
+            |    (SELECT min(doc_id) FROM q_docs WHERE text IS NOT NULL GROUP BY text)
             |), ${jaccardCtesFrom("exact_keep")},
             |edges AS (
             |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs

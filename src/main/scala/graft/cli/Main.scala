@@ -62,8 +62,12 @@ object Main {
         Tables.lineitem(spark, input).createOrReplaceTempView("lineitem")
         Tables.supplier(spark, input).createOrReplaceTempView("supplier")
         val limit = flags.getOrElse("limit", "100").toInt
-        Sinks.csv(spark.sql(graft.Catalog.easySql.replace("LIMIT 100", s"LIMIT $limit")),
-          output)
+        val limited = graft.Catalog.easySql.replace("LIMIT 100", s"LIMIT $limit")
+        // loud coupling: if the catalog SQL's literal ever changes, the
+        // user's --limit must fail rather than be silently ignored
+        require(limit == 100 || limited != graft.Catalog.easySql,
+          "--limit could not be applied: catalog SQL no longer ends in LIMIT 100")
+        Sinks.csv(spark.sql(limited), output)
 
       case "top-routes" => // Q-hard-1 (cycle_rides.py) — engine ops, K1 sink
         val topN = flags.getOrElse("top-n", "100000").toInt

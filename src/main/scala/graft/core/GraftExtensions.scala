@@ -11,37 +11,12 @@ import graft.expr._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.GeodesicRadiusRule)
-    import org.apache.spark.sql.catalyst.expressions.Expression
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     def info(name: String) = new ExpressionInfo("graft", name)
-    e.injectFunction((FunctionIdentifier("geodesic_km"), info("geodesic_km"),
-      (args: Seq[Expression]) => { GraftExtensions.arity("geodesic_km", 4, args); GeodesicKm(args(0), args(1), args(2), args(3)) }))
-    e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
-      (args: Seq[Expression]) => { GraftExtensions.arity("cosine_sim", 2, args); CosineSim(args(0), args(1)) }))
-    e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
-      (args: Seq[Expression]) => { GraftExtensions.arity("dot_product", 2, args); DotProduct(args(0), args(1)) }))
-    e.injectFunction((FunctionIdentifier("l2_distance"), info("l2_distance"),
-      (args: Seq[Expression]) => { GraftExtensions.arity("l2_distance", 2, args); L2Distance(args(0), args(1)) }))
-    e.injectFunction((FunctionIdentifier("fingerprint64"), info("fingerprint64"),
-      (args: Seq[Expression]) => Fingerprint64(GraftExtensions.arity("fingerprint64", 1, args).head)))
-    e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
-      (args: Seq[Expression]) => SimHash64(GraftExtensions.arity("simhash64", 1, args).head)))
-    e.injectFunction((FunctionIdentifier("shingles"), info("shingles"),
-      (args: Seq[Expression]) => { GraftExtensions.arity("shingles", 2, args); ShinglesExpr(args(0), GraftExtensions.intLit(args(1))) }))
-    e.injectFunction((FunctionIdentifier("minhash"), info("minhash"),
-      (args: Seq[Expression]) => { GraftExtensions.arity("minhash", 3, args); MinHashSig(args(0),
-        GraftExtensions.intLit(args(1)), GraftExtensions.longLit(args(2))) }))
-    e.injectFunction((FunctionIdentifier("lsh_bands"), info("lsh_bands"),
-      (args: Seq[Expression]) => { GraftExtensions.arity("lsh_bands", 2, args); LshBands(args(0), GraftExtensions.intLit(args(1))) }))
-    e.injectFunction((FunctionIdentifier("text_stats"), info("text_stats"),
-      (args: Seq[Expression]) => TextStats(GraftExtensions.arity("text_stats", 1, args).head)))
-    e.injectFunction((FunctionIdentifier("rp_sig"), info("rp_sig"),
-      (args: Seq[Expression]) => { GraftExtensions.arity("rp_sig", 3, args); RandomProjectionSig(args(0),
-        GraftExtensions.intLit(args(1)), GraftExtensions.longLit(args(2))) }))
-    e.injectFunction((FunctionIdentifier("winnow_sketch"), info("winnow_sketch"),
-      (args: Seq[Expression]) => { GraftExtensions.arity("winnow_sketch", 3, args); WinnowSketch(args(0),
-        GraftExtensions.intLit(args(1)), GraftExtensions.intLit(args(2))) }))
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
   }
 }
 
@@ -68,6 +43,42 @@ object GraftExtensions {
     e.eval().asInstanceOf[Number].longValue()
   }
 
+  /** THE function list — single source of truth for BOTH registration
+    * paths (extensions injection and imperative adoption). A function
+    * added here is automatically available on GraftSession-built AND
+    * adopted driver sessions; maintaining two hand-written lists let the
+    * SQL surfaces silently diverge. */
+  val functions: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "geodesic_km" -> { args =>
+      arity("geodesic_km", 4, args); GeodesicKm(args(0), args(1), args(2), args(3)) },
+    "cosine_sim" -> { args =>
+      arity("cosine_sim", 2, args); CosineSim(args(0), args(1)) },
+    "dot_product" -> { args =>
+      arity("dot_product", 2, args); DotProduct(args(0), args(1)) },
+    "l2_distance" -> { args =>
+      arity("l2_distance", 2, args); L2Distance(args(0), args(1)) },
+    "fingerprint64" -> { args =>
+      Fingerprint64(arity("fingerprint64", 1, args).head) },
+    "simhash64" -> { args =>
+      SimHash64(arity("simhash64", 1, args).head) },
+    "shingles" -> { args =>
+      arity("shingles", 2, args); ShinglesExpr(args(0), intLit(args(1))) },
+    "minhash" -> { args =>
+      arity("minhash", 3, args)
+      MinHashSig(args(0), intLit(args(1)), longLit(args(2))) },
+    "lsh_bands" -> { args =>
+      arity("lsh_bands", 2, args); LshBands(args(0), intLit(args(1))) },
+    "text_stats" -> { args =>
+      TextStats(arity("text_stats", 1, args).head) },
+    "rp_sig" -> { args =>
+      arity("rp_sig", 3, args)
+      RandomProjectionSig(args(0), intLit(args(1)), longLit(args(2))) },
+    "winnow_sketch" -> { args =>
+      arity("winnow_sketch", 3, args)
+      WinnowSketch(args(0), intLit(args(1)), intLit(args(2))) })
+
   /** Imperative registration for an already-created session. Idempotent:
     * function registry replaces; the optimizer rule dedupes by identity. */
   def registerFunctions(spark: SparkSession): Unit = {
@@ -75,29 +86,8 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.GeodesicRadiusRule
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("geodesic_km",
-      args => { arity("geodesic_km", 4, args); GeodesicKm(args(0), args(1), args(2), args(3)) }, "built-in")
-    reg.createOrReplaceTempFunction("cosine_sim",
-      args => { arity("cosine_sim", 2, args); CosineSim(args(0), args(1)) }, "built-in")
-    reg.createOrReplaceTempFunction("dot_product",
-      args => { arity("dot_product", 2, args); DotProduct(args(0), args(1)) }, "built-in")
-    reg.createOrReplaceTempFunction("l2_distance",
-      args => { arity("l2_distance", 2, args); L2Distance(args(0), args(1)) }, "built-in")
-    reg.createOrReplaceTempFunction("fingerprint64",
-      args => Fingerprint64(arity("fingerprint64", 1, args).head), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      args => SimHash64(arity("simhash64", 1, args).head), "built-in")
-    reg.createOrReplaceTempFunction("shingles",
-      args => { arity("shingles", 2, args); ShinglesExpr(args(0), intLit(args(1))) }, "built-in")
-    reg.createOrReplaceTempFunction("minhash",
-      args => { arity("minhash", 3, args); MinHashSig(args(0), intLit(args(1)), longLit(args(2))) }, "built-in")
-    reg.createOrReplaceTempFunction("lsh_bands",
-      args => { arity("lsh_bands", 2, args); LshBands(args(0), intLit(args(1))) }, "built-in")
-    reg.createOrReplaceTempFunction("text_stats",
-      args => TextStats(arity("text_stats", 1, args).head), "built-in")
-    reg.createOrReplaceTempFunction("rp_sig",
-      args => { arity("rp_sig", 3, args); RandomProjectionSig(args(0), intLit(args(1)), longLit(args(2))) }, "built-in")
-    reg.createOrReplaceTempFunction("winnow_sketch",
-      args => { arity("winnow_sketch", 3, args); WinnowSketch(args(0), intLit(args(1)), intLit(args(2))) }, "built-in")
+    functions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -32,6 +32,9 @@ object Dedup {
 
   /** Exact duplicate groups keyed by 64-bit content fingerprint: one row
     * per distinct content with the keeper (min id) and the copy count.
+    * NULL-text rows are excluded — "no content" is not "equal content",
+    * and grouping them would silently merge every null-text document
+    * into one group (same convention as [[dedupAgainst]]).
     * `groupBy(fingerprint)` shuffles 16 bytes/row regardless of document
     * size; collision probability at 10^10 docs is ~3e-3 (birthday, 64-bit)
     * — acceptable for training-data dedup where a false merge loses one
@@ -39,20 +42,26 @@ object Dedup {
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol), Fingerprint64(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
 
   /** Rows surviving exact dedup (the keeper of every duplicate group).
+    * NULL-text rows ALL survive — they carry no content to be a
+    * duplicate of (previously they silently collapsed into one
+    * "duplicate group" and all but one were dropped).
     * Two-phase: tiny (fp → keeper) map, then a semi-join back — so full
     * rows travel once, in the final join, not through the agg shuffle. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keepers = docs
       .select(col(idCol), Fingerprint64(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     docs.join(keepers, Seq(idCol), "left_semi")
+      .unionByName(docs.filter(col(textCol).isNull))
   }
 
   /** Incremental exact dedup: rows of `batch` whose content was NOT
@@ -360,13 +369,16 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Int, maxDocFreq: Int = 0): DataFrame = {
-    // persist: the (id, fp) index feeds the doc-freq aggregate, the
-    // semi-join probe, and BOTH self-join sides — without caching, the
-    // O(doc-length) sketch kernel re-runs per consumer (exchange reuse
-    // only partially dedups it). 16 bytes/row, MEMORY_AND_DISK spills.
+    // localCheckpoint: the (id, fp) index feeds the doc-freq aggregate,
+    // the semi-join probe, and BOTH self-join sides — without
+    // materialization the O(doc-length) sketch kernel re-runs per
+    // consumer (exchange reuse only partially dedups it). Checkpoint
+    // blocks are reclaimed by the ContextCleaner when the plan is
+    // GC'd, unlike `persist`, whose CacheManager entry would leak one
+    // cached copy per invocation for the session lifetime.
     val fps = docs.select(col(idCol).cast("long").as("id"),
       explode(graft.expr.WinnowSketch(col(textCol), k, w)).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val kept =
       if (maxDocFreq <= 0) fps
       else {

@@ -46,7 +46,10 @@ object Multimodal {
     val HistogramBuckets = 16
 
     def decode(row: MediaRow): MediaFeatures = {
-      val bytes = row.content
+      // a NULL payload (missing text upstream) is an empty media item,
+      // not a task-killing NPE
+      val bytes =
+        if (row.content == null) Array.emptyByteArray else row.content
       var checksum = 0L
       val counts = new Array[Long](HistogramBuckets)
       var i = 0

@@ -77,10 +77,16 @@ object PrefixSum {
         val src = boundsFrom.getOrElse(df)
         val bounds = src.agg(
           min(col(orderCol)).as("__graft_lo"), max(col(orderCol)).as("__graft_hi"))
-        // closed-form contiguous range bucket: floor((k - lo) / width), width
-        // sized so n buckets cover [lo, hi]; least() guards the hi edge
+        // closed-form contiguous range bucket: floor((k - lo) / width),
+        // width = (hi − lo)/n so FRACTIONAL key domains split across all
+        // n buckets too (a ceil-to-1 width collapsed any domain narrower
+        // than n into bucket 0 — the serial bottleneck this operator
+        // exists to remove). The epsilon floor keeps an all-equal-keys
+        // domain at bucket 0 instead of dividing by zero; least() guards
+        // the k = hi edge. Bucket boundaries stay correctness-neutral.
         val width = greatest(
-          ceil((col("__graft_hi") - col("__graft_lo") + 1) / lit(n)), lit(1.0))
+          (col("__graft_hi") - col("__graft_lo")).cast("double") / lit(n),
+          lit(1e-12))
         df.crossJoin(broadcast(bounds))
           .withColumn("__graft_bkt",
             least(floor((col(orderCol) - col("__graft_lo")) / width),

@@ -83,16 +83,33 @@ class PrefixSumSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(sampled == expected)
     // balance evidence: the closed-form bucket puts the 99 dense keys in
-    // ONE bucket (width ≈ 2.5e8), while sampled range partitioning spreads
-    // them across several
+    // ONE bucket (width = (hi−lo)/n ≈ 2.5e8), while sampled range
+    // partitioning spreads them across several
     val n = 4
-    val width = math.max(math.ceil((1000000000.0 - 0 + 1) / n), 1.0)
+    val width = math.max((1000000000.0 - 0) / n, 1e-12)
     val closedFormBkts = data.map { case (k, _) =>
       math.min(math.floor(k / width), (n - 1).toDouble).toInt }.distinct.size
     assert(closedFormBkts == 2, "99% of keys collapse into one closed-form bucket")
     val rangeBkts = df.repartitionByRange(n, col("k"))
       .select(spark_partition_id()).distinct().count()
     assert(rangeBkts >= 3, "sampled range partitioning should spread the dense keys")
+  }
+
+  test("fractional key domain narrower than nBuckets still partitions") {
+    import spark.implicits._
+    // keys in [0, 1): the old ceil-to-1 width sent ALL of these to
+    // bucket 0 (serial window); (hi−lo)/n width must split them
+    val data = (0 until 64).map(i => i / 64.0 -> i.toLong)
+    val df = scala.util.Random.shuffle(data).toDF("k", "v").repartition(3)
+    val out = PrefixSum.runningTotal(df, "k", "v", "cum", nBuckets = 8)
+      .collect().map(r => r.getDouble(0) -> r.getLong(2)).toMap
+    var acc = 0L
+    val expected = data.sortBy(_._1).map { case (k, v) => acc += v; k -> acc }.toMap
+    assert(out == expected)
+    // and the bucketing genuinely used more than one bucket
+    val width = math.max((data.map(_._1).max - 0.0) / 8, 1e-12)
+    val bkts = data.map(d => math.min(math.floor(d._1 / width), 7.0).toInt).distinct
+    assert(bkts.size >= 4, s"fractional domain should spread buckets, got $bkts")
   }
 
   test("sampledBuckets matches sequential on shuffled sparse keys") {
