@@ -32,6 +32,19 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L))
   }
 
+  test("exactDedup: null-text rows all survive (no content = no duplicate)") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    val d = Sources.inMemory(spark, Seq(
+      Row(1L, "same"), Row(2L, "same"), Row(3L, null), Row(4L, null)), schema)
+    val kept = rows(Dedup.exactDedup(d, "doc_id", "text")).map(_.getLong(0)).sorted
+    assert(kept == Seq(1L, 3L, 4L), "both null-text rows must survive")
+    val groups = rows(Dedup.exactGroups(d, "doc_id", "text"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 2L), "null texts must not form a group")
+  }
+
   test("dedupAgainst: batch rows drop if seen in corpus or duplicated in batch") {
     val corpus = docs((1L, "old text"), (2L, "other old"))
     val batch = docs(
