@@ -96,9 +96,13 @@ object EventQueries {
   /** Semi-structured extraction: pull `k` out of the JSON `props` column
     * and aggregate — scan-side projection keeps only the parsed value. */
   val qJsonExtract = QueryDef("q_events_json_extract",
+    // via DOUBLE with explicit truncation on both sides: a fractional k
+    // ('3.5') would round to 4 under DuckDB's direct string→BIGINT cast
+    // but throw (ANSI) on Spark's — truncation toward zero is the one
+    // coercion both engines express identically
     (spark, dir) => events(spark, dir)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        get_json_object(col("props"), "$.k").cast("double").cast("long").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum("k").as("sum_k"),
@@ -107,7 +111,8 @@ object EventQueries {
     Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            |       CAST(sum(k) AS BIGINT) AS sum_k, avg(k) AS avg_k
            |FROM (SELECT event_type,
-           |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           |             CAST(TRUNC(CAST(json_extract_string(props, '$.k') AS DOUBLE))
+           |                  AS BIGINT) AS k
            |      FROM events)
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 

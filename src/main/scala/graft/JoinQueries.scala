@@ -11,6 +11,11 @@ object JoinQueries {
   /** As-of enrichment: each error event gets the value of the user's most
     * recent purchase at-or-before it. Oracle: DuckDB's native ASOF LEFT
     * JOIN — our union+window composition must match it exactly. */
+  // Known latent oracle limit: two purchases tied on (user, micro-ts)
+  // resolve deterministically on the Spark side (struct-greatest value,
+  // AsOfJoin scaladoc) but DuckDB's native ASOF leaves the tied pick
+  // unspecified — the testdata has no such ties (verified), and a future
+  // corpus with ties would need the window-form mirror instead.
   val qAsOf = QueryDef("q_asof_error_purchase",
     (spark, dir) => {
       val events = Tables.eventsMicros(spark, dir)

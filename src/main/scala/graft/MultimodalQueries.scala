@@ -31,7 +31,8 @@ object MultimodalQueries {
     (spark, dir) => Multimodal.modalityStats(
       spark, Multimodal.fromDocuments(Tables.documents(spark, dir))),
     Some(s"""SELECT modality, CAST(count(*) AS BIGINT) AS n,
-            |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+            |       CAST(sum(COALESCE(octet_length(encode(text)), 0)) AS BIGINT)
+            |         AS total_bytes,
             |       CAST(sum(COALESCE(list_sum(list_apply(string_split_regex(text, ''),
             |                                             c -> $utf8ByteSum)), 0)) AS BIGINT)
             |         AS total_checksum

@@ -87,13 +87,16 @@ object PipelineQueries {
           col("entry.sort_key").as("value"))
         .orderBy("event_type", "rank")
     },
-    // the window form's oracle — the two implementations must agree
+    // the window form's oracle — the two implementations must agree.
+    // value IS NOT NULL mirrors TopKAgg's documented null-drop (the bare
+    // window form would rank null-valued rows last and emit them when a
+    // group has fewer than 3 non-null rows)
     Some("""SELECT event_type, CAST(rank AS INT) AS rank, event_id, value
            |FROM (
            |  SELECT event_type, event_id, value,
            |         row_number() OVER (PARTITION BY event_type
            |           ORDER BY value DESC, event_id) AS rank
-           |  FROM events
+           |  FROM events WHERE value IS NOT NULL
            |) WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin))
 
   /** Per-class cap for balanced sampling. */

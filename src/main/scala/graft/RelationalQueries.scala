@@ -32,12 +32,16 @@ object RelationalQueries {
           coalesce(col("without_orders"), lit(0L)).as("without_orders"))
         .orderBy("n_name")
     },
+    // LEFT JOIN from nation: the Spark side emits (name, 0, 0) for a
+    // customerless nation; an inner-join mirror would omit that row
     Some("""SELECT n_name,
-           |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           |  CAST(sum(CASE WHEN c.c_custkey IS NOT NULL AND EXISTS
+           |        (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
            |      THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
-           |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 0 WHEN EXISTS
+           |        (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
            |      THEN 0 ELSE 1 END) AS BIGINT) AS without_orders
-           |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+           |FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
            |GROUP BY n_name ORDER BY n_name""".stripMargin))
 
   /** Revenue top-10 customers: lineitem ⋈ orders ⋈ customer, exact
@@ -133,21 +137,26 @@ object RelationalQueries {
 
   /** Correlated subquery: parts priced above their type's average —
     * Catalyst decorrelates into an aggregate + join automatically. */
+  // decimal-summed average: avg() over raw doubles accumulates in
+  // partition/merge order, and a part priced within a ulp of its type's
+  // mean would flip the strict > differently per engine (or per run).
+  // Decimal sums are exact and associative; the single double division
+  // happens identically on both sides. Same SQL text runs on both.
+  private val aboveAvgSql: String =
+    """SELECT p_type, CAST(count(*) AS BIGINT) AS n_above
+      |FROM part p
+      |WHERE p_retailprice >
+      |  (SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(28,6))) AS DOUBLE)
+      |            / count(*)
+      |   FROM part p2 WHERE p2.p_type = p.p_type)
+      |GROUP BY p_type ORDER BY p_type""".stripMargin
+
   val qAboveAvg = QueryDef("q_parts_above_type_avg",
     (spark, dir) => {
       Tables.part(spark, dir).createOrReplaceTempView("part")
-      spark.sql(
-        """SELECT p_type, CAST(count(*) AS BIGINT) AS n_above
-          |FROM part p
-          |WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
-          |                       WHERE p2.p_type = p.p_type)
-          |GROUP BY p_type ORDER BY p_type""".stripMargin)
+      spark.sql(aboveAvgSql)
     },
-    Some("""SELECT p_type, CAST(count(*) AS BIGINT) AS n_above
-           |FROM part p
-           |WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
-           |                       WHERE p2.p_type = p.p_type)
-           |GROUP BY p_type ORDER BY p_type""".stripMargin))
+    Some(aboveAvgSql))
 
   def all: Seq[QueryDef] = Seq(
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg)

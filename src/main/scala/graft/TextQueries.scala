@@ -308,8 +308,12 @@ object TextQueries {
     * identical output up to band-miss probability ≈ 5e-8), and the
     * cluster entry's recursive closure. */
   private def jaccardCtesFrom(from: String): String =
+    // text IS NOT NULL: Spark's ShinglesExpr is null-safe (NULL text →
+    // no shingles), but DuckDB's string_split(NULL)+concat_ws chain
+    // would fabricate an '' shingle and pair NULL-text docs together
     s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM $from
+       |  WHERE text IS NOT NULL
        |), sh AS (
        |  SELECT DISTINCT doc_id, unnest(${shinglesOverWsSql(ShingleN)}) AS shingle
        |  FROM toks

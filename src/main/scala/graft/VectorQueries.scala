@@ -17,6 +17,17 @@ object VectorQueries {
   val TopK = 10
   val TopPairs = 50
 
+  /** Cosine mirror with the zero-vector convention pinned: the Spark
+    * kernel returns 0.0 when either norm is zero (an all-zero embedding
+    * is "similar to nothing"), while DuckDB's list_cosine_similarity
+    * returns −1.0 — guard the mirror so a padding/failed-encode row
+    * cannot silently diverge the ranking. */
+  private def cosSql(a: String, b: String): String =
+    s"""CASE WHEN list_sum(list_apply($a, x -> x * x)) = 0
+       |          OR list_sum(list_apply($b, x -> x * x)) = 0
+       |     THEN CAST(0.0 AS DOUBLE)
+       |     ELSE ROUND(list_cosine_similarity($a, $b), 6) END""".stripMargin
+
   /** DuckDB mirror of exact per-query cosine top-k — shared by the
     * brute-force entry and the full-probe IVF entry (probing every
     * trained bucket must reproduce brute force bit-for-bit). */
@@ -25,7 +36,7 @@ object VectorQueries {
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |), scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine
+       |         ${cosSql("q.v", "c.v")} AS cosine
        |  FROM e q JOIN e c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
        |), ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
@@ -79,7 +90,7 @@ object VectorQueries {
             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             |)
             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-            |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            |       ${cosSql("a.v", "b.v")} AS cosine
             |FROM e a JOIN e b ON a.vec_id < b.vec_id
             |ORDER BY cosine DESC, vec_a, vec_b LIMIT $TopPairs""".stripMargin))
 
@@ -117,7 +128,7 @@ object VectorQueries {
             |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
             |), scored AS (
             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            |         ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine
+            |         ${cosSql("q.v", "c.v")} AS cosine
             |  FROM e q JOIN e c ON q.label = c.label
             |   AND q.vec_id < $NQueries AND c.vec_id <> q.vec_id
             |), ranked AS (

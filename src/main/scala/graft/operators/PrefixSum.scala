@@ -124,7 +124,10 @@ object PrefixSum {
            |    'run', CAST(0 AS $sumT),
            |    'out', CAST(array() AS array<struct<__graft_bkt: int, __graft_off: $sumT>>)),
            |  (acc, x) -> named_struct(
-           |    'run', acc.run + x.__graft_bsum,
+           |    -- coalesce: a bucket whose rows ALL have NULL values sums
+           |    -- to NULL, which would poison the running offset for every
+           |    -- later bucket (window sums just skip NULLs)
+           |    'run', acc.run + coalesce(x.__graft_bsum, CAST(0 AS $sumT)),
            |    'out', array_append(acc.out,
            |      named_struct('__graft_bkt', x.__graft_bkt, '__graft_off', acc.run))),
            |  acc -> acc.out)""".stripMargin)).as("__graft_e"))
