@@ -2,23 +2,28 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.expr.{CosineSim, L2Distance, TopKAgg}
+import graft.expr.{CosineSim, NearestCentroidD2, NearestCentroidId, TopKAgg}
 
 /** Distributed k-means (Lloyd's algorithm) over an `array<float>` column,
   * and the multi-probe IVF search built on it — the trained counterpart
   * of [[graft.VectorQueries]]'s label-as-quantizer IVF entry.
   *
-  * Scale design (100 TB): centroids are a k-row frame BROADCAST to the
-  * corpus side each iteration — the corpus is never shuffled during
-  * assignment; the update step shuffles (cid, dim, component) triples,
-  * i.e. k·dim running means, not vectors. The driver only coordinates
-  * iterations (like [[Dedup.duplicateClusters]]); `localCheckpoint`
-  * truncates the per-iteration lineage.
+  * Scale design (100 TB): centroids live on the DRIVER as a k×dim float
+  * matrix (model-scale — the same legitimacy as the scalar convergence
+  * probes in [[Dedup.duplicateClusters]]). Assignment is a map-side
+  * codegen kernel over that matrix ([[graft.expr.NearestCentroidId]]),
+  * so NO exchange ever carries a corpus vector: the only shuffle per
+  * Lloyd iteration is the (cid, dim) partial-mean aggregate, whose
+  * map-side combine reduces each task's output to ≤ k·dim rows. This is
+  * the zero-corpus-shuffle assignment MLlib's KMeans uses, kept inside
+  * whole-stage codegen.
   *
   * Determinism: seeds are the k smallest-id vectors; the argmin
-  * tie-break is (distance, cid) lexicographic — re-runs and executor
-  * retries assign identically, so the trained index is reproducible
-  * (the same property every other graft kernel keeps).
+  * tie-break is (distance, cid) lexicographic — the kernel breaks ties
+  * by matrix position and [[fit]] keeps the matrix sorted by cid — so
+  * re-runs and executor retries assign identically and the trained
+  * index is reproducible (the same property every other graft kernel
+  * keeps).
   */
 object KMeans {
 
@@ -31,59 +36,81 @@ object KMeans {
     *        monotonically in SSE; specs assert the decrease) */
   def fit(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int): (DataFrame, DataFrame) = {
+    val spark = vectors.sparkSession
     val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     // deterministic seeding: the k smallest ids (TakeOrderedAndProject —
-    // no shuffle of the full corpus, no unpartitioned window)
-    var cents = v.orderBy("id").limit(k)
-      .select(col("id").as("cid"), col("v").as("cv"))
-      .localCheckpoint()
-    var assigned: DataFrame = assign(v, cents)
+    // no shuffle of the full corpus). k rows collected; ascending id
+    // order IS the kernel's tie-break order.
+    val seeds = v.orderBy("id").limit(k).collect()
+    val cids: Array[Long] = seeds.map(_.getLong(0))
+    var cents: Array[Array[Float]] = seeds.map(_.getSeq[Float](1).toArray)
     var iter = 0
     while (iter < maxIter) {
-      // update: per-(cid, dim) mean, rebuilt into float arrays — the
-      // shuffle carries scalar components keyed by (cid, dim). A cluster
-      // that lost every point has no mean rows; it KEEPS its previous
-      // position (the standard empty-cluster rule) rather than silently
-      // shrinking k — the left join + coalesce below restores it.
+      // update: per-(cid, dim) mean. Assignment happens inside the scan
+      // via the codegen kernel; the exchange carries only (cid, dim)
+      // partial sums, and the k·dim result rows come back to the driver
+      // to refresh the matrix (model-scale, like the matrix itself).
       // decimal accumulation: double addition is order-sensitive and a
       // shuffled aggregate merges in nondeterministic order — decimal
       // sums are associative, so the trained centroids really are
       // identical across reruns/retries (same convention as the
       // engine's other double-summing aggregates)
-      val means = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim")
-        .agg(avg(col("x").cast("decimal(38,15)")).cast("double").as("m"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, m)))," +
-          " e -> cast(e.m as float))").as("new_cv"))
-      cents = cents.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("new_cv"), col("cv")).as("cv"))
-        .localCheckpoint()
-      assigned = assign(v, cents)
+      val means = meansByDim(v, cids, cents).collect()
+      val byCid = means.groupBy(_.getLong(0)).map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+      }
+      // A cluster that lost every point has no mean rows; it KEEPS its
+      // previous position (the standard empty-cluster rule) rather than
+      // silently shrinking k.
+      cents = cids.zip(cents).map { case (cid, old) => byCid.getOrElse(cid, old) }
       iter += 1
     }
-    (cents, assigned)
+    import spark.implicits._
+    val centsDf = cids.zip(cents.map(_.toSeq)).toSeq.toDF("cid", "cv")
+    val assigned = assignWith(v, cids, cents)
+    (centsDf, assigned)
   }
 
-  /** Nearest-centroid assignment: argmin squared-L2, tie-broken by cid —
-    * `min(struct(dist, cid))` is a plain aggregate, so partial (map-side)
-    * aggregation applies and nothing but (id, v) rows reach the shuffle. */
-  def assign(v: DataFrame, cents: DataFrame): DataFrame =
-    v.crossJoin(broadcast(cents))
-      .select(col("id"), col("v"),
-        struct(L2Distance(col("v"), col("cv")).as("d"), col("cid")).as("dc"))
-      .groupBy("id")
-      .agg(min(col("dc")).as("m"), first(col("v")).as("v"))
-      .select(col("id"), col("v"), col("m.cid").as("cid"))
+  /** The per-iteration update aggregate: map-side argmin assignment, then
+    * (cid, dim) partial means. Package-visible so specs can assert the
+    * plan's exchanges carry no vector column. */
+  private[graft] def meansByDim(v: DataFrame, cids: Array[Long],
+      cents: Array[Array[Float]]): DataFrame =
+    v.select(NearestCentroidId(col("v"), cids, cents).as("cid"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg(avg(col("x").cast("decimal(38,15)")).cast("double").as("m"))
+
+  private def assignWith(v: DataFrame, cids: Array[Long],
+      cents: Array[Array[Float]]): DataFrame =
+    v.select(col("id"), col("v"), NearestCentroidId(col("v"), cids, cents).as("cid"))
+
+  /** Nearest-centroid assignment against a centroid FRAME (k rows,
+    * driver-collected into the kernel matrix) — the standalone entry for
+    * assigning a new corpus to an already-trained index. Shuffle-free:
+    * the plan is scan → project. */
+  def assign(v: DataFrame, cents: DataFrame): DataFrame = {
+    val (cids, m) = collectCentroids(cents)
+    assignWith(v, cids, m)
+  }
+
+  /** Collect a (cid, cv) frame into the kernel's sorted matrix form —
+    * k rows, model-scale. */
+  private def collectCentroids(cents: DataFrame): (Array[Long], Array[Array[Float]]) = {
+    val rows = cents.select(col("cid").cast("long"), col("cv"))
+      .collect().sortBy(_.getLong(0))
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
+  }
 
   /** Within-cluster sum of squared distances — the Lloyd objective;
     * exposed so convergence is observable (specs assert monotone
-    * decrease over iterations). */
-  def sse(assigned: DataFrame, cents: DataFrame): Double =
-    assigned.join(broadcast(cents), "cid")
-      .select(pow(L2Distance(col("v"), col("cv")), 2).as("d2"))
+    * decrease over iterations). Map-side kernel + one scalar aggregate:
+    * no join, no exchange with vectors. */
+  def sse(assigned: DataFrame, cents: DataFrame): Double = {
+    val (_, m) = collectCentroids(cents)
+    assigned.select(NearestCentroidD2(col("v"), m).as("d2"))
       .agg(coalesce(sum("d2"), lit(0.0))).collect()(0).getDouble(0)
+  }
 
   /** Multi-probe IVF top-k: each query scores ONLY the vectors assigned
     * to its `nprobe` nearest centroids. nprobe = k ⇒ every bucket is
@@ -101,7 +128,7 @@ object KMeans {
     // (k-row side; the TopKAgg keeps the plan window-free)
     val probes = queries.crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"),
-        negate(L2Distance(col("qv"), col("cv"))).as("negd"), col("cid"))
+        negate(graft.expr.L2Distance(col("qv"), col("cv"))).as("negd"), col("cid"))
       .groupBy("query_id")
       .agg(TopKAgg(col("negd"), col("cid"), nprobe).as("top"),
         first(col("qv")).as("qv"))

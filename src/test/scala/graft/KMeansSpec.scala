@@ -62,6 +62,35 @@ class KMeansSpec extends SparkSpec {
     assert(rows(assigned).size == 20)
   }
 
+  test("no exchange carries a vector column: assignment is shuffle-free, " +
+    "the update shuffle moves (cid, dim) scalars only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AQE wraps plans in AdaptiveSparkPlanExec (a leaf until executed),
+    // hiding exchanges from collect — disable it for the plan assertions
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (_, assigned) = KMeans.fit(emb, "vec_id", "embedding", 4, 2)
+    // assignment: scan → project, zero exchanges
+    val assignEx = assigned.queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(assignEx.isEmpty, s"assignment plan shuffles: $assignEx")
+    // the per-iteration update: its one exchange carries (cid, dim)
+    // partial aggregates — no array-typed attribute
+    val v = emb.select(col("vec_id").cast("long").as("id"),
+      col("embedding").as("v"))
+    val seeds = v.orderBy("id").limit(4).collect()
+    val means = KMeans.meansByDim(v, seeds.map(_.getLong(0)),
+      seeds.map(_.getSeq[Float](1).toArray))
+    val meansEx = means.queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(meansEx.nonEmpty) // the (cid, dim) aggregate does shuffle
+    for (e <- meansEx; attr <- e.output)
+      assert(!attr.dataType.typeName.startsWith("array"),
+        s"update exchange carries $attr")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("full-probe IVF equals brute force exactly on the embeddings table") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val (cents, assigned) = KMeans.fit(emb, "vec_id", "embedding", 8, 3)
