@@ -18,7 +18,15 @@ import org.apache.spark.sql.SparkSession
   *     standard de-noising estimator for lower-bounded timing noise;
   *   - the JSON line goes to stdout (un-decorated — build.sbt sets
   *     StdoutOutput) AND to bench_result.json, so the driver can parse
-  *     either.
+  *     either. The stdout line is printed LAST (after spark.stop()) and
+  *     kept short (3-decimal timings) so a bounded tail capture cannot
+  *     clip it — round 3's line outgrew the driver's tail window and
+  *     parsed as null. bench_result.json carries the full detail (raw
+  *     per-run times per query);
+  *   - noise telemetry: the 1-minute system load average at start and
+  *     end, and per-query (max-min) spread, ride along so a slow-looking
+  *     round can be attributed to host contention instead of guessed at
+  *     (this host's noisy neighbors have inflated single runs 3x).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,7 +61,10 @@ object Bench {
         .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
         .queryExecution.toRdd.count()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def loadAvg(): Double = math.rint(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100
+    val loadStart = loadAvg()
+    val allTimes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
@@ -67,7 +78,12 @@ object Bench {
         // time must never disguise a failure
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> times
+    }
+    val loadEnd = loadAvg()
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val results = allTimes.map { case (name, ts) =>
+      name -> (if (ts.contains(-1.0)) -1.0 else r3(ts.min))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -75,13 +91,26 @@ object Bench {
     // summing them would shave ~1s per failure off a plausible-looking
     // number. Total covers succeeded queries only; failures are listed.
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs}"""
-    println(line)
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    // worst per-query (max-min) spread: the one-number noise indicator
+    val maxSpread = r3(allTimes.map { case (_, ts) =>
+      if (ts.contains(-1.0)) 0.0 else ts.max - ts.min
+    }.foldLeft(0.0)(math.max))
+    val common =
+      s""""unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},""" +
+        s""""sf":"$sfDir","runs":$runs,"load":[$loadStart,$loadEnd],""" +
+        s""""max_spread":$maxSpread"""
+    val line = s"""{"metric":"total","value":$total,$common}"""
+    // full detail (raw per-run times) for post-hoc noise analysis
+    val rawTimes = allTimes.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => math.rint(t * 1e6) / 1e6).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_result.json"), line + "\n")
-    spark.stop()
+      java.nio.file.Paths.get("bench_result.json"),
+      s"""{"metric":"total","value":$total,$common,"times":$rawTimes}""" + "\n")
+    try spark.stop() catch { case _: Throwable => () }
+    // the driver parses this from a bounded tail capture: it must be the
+    // absolute LAST stdout line, with nothing after it
+    println(line)
   }
 }
