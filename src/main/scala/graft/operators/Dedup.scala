@@ -226,43 +226,44 @@ object Dedup {
     * graph — the cluster keeper. This is the step that turns pairwise
     * near-dup evidence into "keep one per cluster" decisions.
     *
-    * Algorithm: min-label propagation with POINTER JUMPING. Each round:
-    *   1. neighbor step — every vertex takes the min of its own and its
-    *      neighbors' labels (the classic propagation step; alone this
-    *      needs diameter-many rounds);
-    *   2. jump step (rounds 3+) — `label(v) ← min(label(v),
-    *      label(label(v)))`. A label is itself a vertex of the same
-    *      component, so chasing it one hop compounds the coverage
-    *      already accumulated there: reach roughly DOUBLES per round
-    *      (d ← 2d+1), giving O(log diameter) rounds on chains whose ids
-    *      ascend away from the keeper. The jump is DEFERRED until round
-    *      3 because real near-dup graphs are shallow (cliques / short
-    *      chains reach fixpoint in ≤ 2 rounds) — those pay zero extra
-    *      join stages, while anything still unconverged by round 3 is
-    *      deep enough that doubling wins. (The known worst case — ids
-    *      strictly DESCENDING along a chain toward the min — degenerates
-    *      to O(diameter) because every unreached vertex is its own label
-    *      and the jump is a no-op; such adversarial orderings now fail
-    *      LOUDLY, below, instead of silently truncating.)
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR edge contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014). Edges are kept canonical (bigger id, smaller id); one
+    * round runs both operations:
+    *   - large-star: per vertex u, every strictly LARGER neighbor is
+    *     re-pointed at m(u) = min of u's closed neighborhood;
+    *   - small-star: per vertex u over its SMALLER neighbors N, every
+    *     v ∈ N ∪ {u} is pointed at min(N).
+    * Both ops preserve connectivity exactly (every emitted edge links
+    * two vertices already in the same component) and monotonically pull
+    * edges toward component minima; the fixpoint is a star per
+    * component — every vertex directly linked to its minimum. Unlike
+    * min-label pointer jumping (the previous algorithm here), the round
+    * bound is O(log² n) REGARDLESS of how ids are ordered along paths:
+    * a chain halves in depth every round whether its ids ascend toward
+    * the keeper, descend, or zig-zag — the adversarial orderings that
+    * degenerated pointer jumping to O(diameter) contract at the same
+    * rate as friendly ones (spec'd with the keeper hung off the far end
+    * of an ascending chain). Real near-dup graphs (cliques, short
+    * chains) still fix in 1–2 rounds.
+    *
     * The driver loop only COORDINATES rounds; all data work is
-    * distributed joins. Near-dup components are shallow, so 2–3 rounds
-    * typically converge; with jumping, `maxIter`=20 covers honest chains
-    * of depth ~2^17.
+    * distributed joins/aggregates over the candidate-pair edge set
+    * (near-dup evidence — orders of magnitude below corpus scale). The
+    * re-point joins concentrate onto component minima as convergence
+    * nears — a skewed many-to-one join by design; AQE skew-join
+    * splitting handles it.
     *
-    * The jump join keys on the label value, which concentrates onto
-    * component keepers as convergence nears — a skewed many-to-one join
-    * by design; AQE skew-join splitting handles it (the probe side is
-    * one row per vertex, the build side one row per looked-up label).
-    *
-    * Convergence detection is one AGGREGATE per round, not a join:
-    * labels only ever decrease (each is the running min over a growing
-    * reachable set), so Σ labels is strictly monotone until fixpoint —
-    * sum unchanged ⟺ every label unchanged. Summed as decimal(38,0):
-    * overflow-proof at any vertex count.
+    * Convergence detection is EXACT: a round that leaves the edge set
+    * unchanged (same count and no new edges — one anti-join over the
+    * edge set, checked only when counts already match) has hit the
+    * star fixpoint. No proxy metric, so a plateau can never be mistaken
+    * for convergence; confirmation costs one extra round, same as the
+    * previous Σ-labels scheme.
     *
     * NON-CONVERGENCE IS LOUD: if the fixpoint is not confirmed within
     * `maxIter` rounds this THROWS (`IllegalStateException`) rather than
-    * returning partially-propagated labels — truncated labels would
+    * returning partially-contracted labels — truncated labels would
     * silently split clusters and let duplicates through the downstream
     * keeper selection. Use [[duplicateClustersDetail]] to inspect rounds
     * and convergence without the throw.
@@ -288,59 +289,77 @@ object Dedup {
 
   /** [[duplicateClusters]] without the non-convergence throw: returns
     * (labels, roundsRun, converged). `converged` is only true once a
-    * round leaves every label unchanged (fixpoint CONFIRMED — so the
-    * minimum is 2 rounds: one to propagate, one to confirm). */
+    * round leaves the edge set unchanged (star fixpoint CONFIRMED — so
+    * the minimum is 2 rounds for a non-trivial graph: one to contract,
+    * one to confirm; a graph that is already all stars confirms in 1). */
   def duplicateClustersDetail(pairs: DataFrame, maxIter: Int = 20,
       reliableCheckpoint: Boolean = false): (DataFrame, Int, Boolean) = {
     def persistRound(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
-    // materialize the edge list once — every propagation round takes a
-    // pass over it, and without this the whole upstream pair derivation
-    // (shingles → minhash → buckets → verify) would re-run per round
-    val edges = persistRound(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
-    var prevSum: Option[java.math.BigDecimal] = None
+    // canonical distinct edges (bigger, smaller); self-pairs carry no
+    // connectivity and are dropped here (the vertex set below still
+    // remembers their endpoints). Materialized once — every round takes
+    // passes over it, and without this the whole upstream pair
+    // derivation (shingles → minhash → buckets → verify) would re-run
+    // per round.
+    val initial = persistRound(
+      pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    // the full vertex set, kept from the ORIGINAL pairs: the final
+    // star edges label every non-isolated vertex, but self-pairs and
+    // belt-and-braces coverage come from re-joining against this
+    val vertices = persistRound(
+      pairs.select(col("doc_a").as("id"))
+        .union(pairs.select(col("doc_b").as("id"))).distinct())
+
+    // large-star: every neighbor of u LARGER than u re-points at
+    // m(u) = min(closed neighborhood). Output stays canonical: the
+    // emitted (v, m) has v > u ≥ m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    // small-star: over u's SMALLER neighbors N (edges are canonical, so
+    // that's every edge grouped by its big end), point every v ∈ N∪{u}
+    // at min(N). Output canonical: v ∈ N \ {m} has v > m, and u > m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      e.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var edges = initial
+    var prevCount = edges.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // 1. neighbor step: min over the 1-hop neighborhood's labels
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("cluster", "n_cluster"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("n_cluster").as("n_cluster"))
-      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
-            .as("cluster"))
-      // 2. jump step (only once the graph has proven deeper than the
-      // common shallow case): chase the label one hop — label(label(v)).
-      // Every label value is a vertex id present in `stepped` (it is a
-      // min over ids of the same edge set), so the lookup always
-      // resolves; the left join + coalesce is belt-and-braces for empty
-      // inputs.
-      val jumped =
-        if (iter < 2) stepped
-        else {
-          val parents = stepped
-            .select(col("id").as("cluster"), col("cluster").as("p_cluster"))
-          stepped.join(parents, Seq("cluster"), "left")
-            .select(col("id"),
-              least(col("cluster"), coalesce(col("p_cluster"), col("cluster")))
-                .as("cluster"))
-        }
-      val next = persistRound(jumped) // truncate the growing iterative lineage
-      val curSum = next
-        .agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
-        .collect()(0).getDecimal(0)
-      labels = next
-      converged = prevSum.contains(curSum)
-      prevSum = Some(curSum)
+      val next = persistRound(smallStar(largeStar(edges)))
+      val nextCount = next.count()
+      // exact fixpoint test: same cardinality and nothing new — the
+      // anti-join only runs once counts already agree
+      converged = nextCount == prevCount &&
+        next.except(edges).limit(1).count() == 0
+      edges = next
+      prevCount = nextCount
       iter += 1
     }
+    // labels from the star edges: min over the closed neighborhood is
+    // the component minimum at fixpoint (and the vertex itself for
+    // component minima / isolated self-pair vertices)
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val starLabels = sym.groupBy(col("u").as("id"))
+      .agg(min("v").as("mn"))
+    val labels = vertices.join(starLabels, Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("mn"), col("id"))).as("cluster"))
     (labels, iter, converged)
   }
 

@@ -127,19 +127,46 @@ class DedupSpec extends SparkSpec {
   private def pairDf(ps: (Long, Long)*) =
     Sources.inMemory(spark, ps.map(p => Row(p._1, p._2)), pairSchema)
 
-  test("duplicateClusters: 50-deep chain converges in ≤7 rounds (pointer jumping)") {
+  test("duplicateClusters: 50-deep chain converges in ≤7 rounds (star contraction)") {
     // chain 1-2-…-50: plain neighbor propagation needs diameter (49)
-    // rounds; the jump step (active from round 3) doubles coverage per
-    // round (1→2→6→14→30→62), so fixpoint lands at round 6 and is
-    // confirmed at round 7
+    // rounds; large-star/small-star halves chain depth per round
+    // (49→24→12→6→3→1), so fixpoint lands by round ~6 and one more
+    // round confirms it
     val chain = pairDf((1L until 50L).map(i => (i, i + 1)): _*)
     val (labels, rounds, converged) =
       Dedup.duplicateClustersDetail(chain, maxIter = 10)
     assert(converged, "deep chain did not converge in 10 rounds")
-    assert(rounds <= 7, s"took $rounds rounds for depth 50; jumping should need ≤7")
+    assert(rounds <= 7, s"took $rounds rounds for depth 50; halving should need ≤7")
     val out = rows(labels).map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.keySet == (1L to 50L).toSet)
     assert(out.values.forall(_ == 1L), "every chain vertex must label to 1")
+  }
+
+  test("duplicateClusters: adversarial id order (keeper at the FAR end of an " +
+    "ascending chain) converges just as fast") {
+    // path 2-3-…-50-1: every interior vertex's ids ascend AWAY from the
+    // keeper, which hangs off the far end — the ordering that degenerated
+    // min-label pointer jumping to O(diameter) rounds (labels collapsed
+    // to the local min 2, and 1 crept in one hop per round). Star
+    // contraction is id-order independent: same halving as the friendly
+    // chain, at most one extra round for the keeper to fold in from the
+    // far end (measured: 8 vs the friendly chain's ≤7 — vs ~50 for
+    // pointer jumping).
+    val chain = pairDf(((2L until 50L).map(i => (i, i + 1)) :+ (50L, 1L)): _*)
+    val (labels, rounds, converged) =
+      Dedup.duplicateClustersDetail(chain, maxIter = 10)
+    assert(converged, "adversarial chain did not converge in 10 rounds")
+    assert(rounds <= 8, s"took $rounds rounds; id order must not matter")
+    val out = rows(labels).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (1L to 50L).toSet)
+    assert(out.values.forall(_ == 1L), "every chain vertex must label to 1")
+  }
+
+  test("duplicateClusters: self-pairs keep their vertex with a self label") {
+    val g = pairDf((7L, 7L), (1L, 2L))
+    val out = rows(Dedup.duplicateClusters(g))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
   }
 
   test("duplicateClusters: non-convergence throws instead of truncating") {
