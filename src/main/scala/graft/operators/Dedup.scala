@@ -384,20 +384,27 @@ object Dedup {
     * @param minShared min common fingerprints to emit a pair
     * @param maxDocFreq drop fingerprints occurring in more docs than
     *        this; ≤ 0 disables the filter
+    * @param reliableCheckpoint materialize the (id, fp) index with
+    *        `checkpoint()` (HDFS-durable — survives executor loss on a
+    *        real cluster; set `sparkContext.setCheckpointDir` first)
+    *        instead of `localCheckpoint()` (executor-local blocks;
+    *        fine single-node). Same switch as [[duplicateClusters]].
     * @return (doc_a, doc_b, n_shared), a < b
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, minShared: Int, maxDocFreq: Int = 0): DataFrame = {
-    // localCheckpoint: the (id, fp) index feeds the doc-freq aggregate,
+      k: Int, w: Int, minShared: Int, maxDocFreq: Int = 0,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    // checkpoint: the (id, fp) index feeds the doc-freq aggregate,
     // the semi-join probe, and BOTH self-join sides — without
     // materialization the O(doc-length) sketch kernel re-runs per
     // consumer (exchange reuse only partially dedups it). Checkpoint
     // blocks are reclaimed by the ContextCleaner when the plan is
     // GC'd, unlike `persist`, whose CacheManager entry would leak one
     // cached copy per invocation for the session lifetime.
-    val fps = docs.select(col(idCol).cast("long").as("id"),
+    val index = docs.select(col(idCol).cast("long").as("id"),
       explode(graft.expr.WinnowSketch(col(textCol), k, w)).as("fp"))
-      .localCheckpoint()
+    val fps = if (reliableCheckpoint) index.checkpoint()
+      else index.localCheckpoint()
     val kept =
       if (maxDocFreq <= 0) fps
       else {
@@ -423,9 +430,10 @@ object Dedup {
     * one"), built entirely from the operators above. */
   def containmentDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, minShared: Int, maxDocFreq: Int = 0,
-      maxIter: Int = 20): DataFrame = {
-    val pairs = containmentPairs(docs, idCol, textCol, k, w, minShared, maxDocFreq)
-    val drops = duplicateClusters(pairs, maxIter)
+      maxIter: Int = 20, reliableCheckpoint: Boolean = false): DataFrame = {
+    val pairs = containmentPairs(docs, idCol, textCol, k, w, minShared,
+      maxDocFreq, reliableCheckpoint)
+    val drops = duplicateClusters(pairs, maxIter, reliableCheckpoint)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     docs.join(drops, Seq(idCol), "left_anti")

@@ -189,6 +189,29 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("containmentDedup: reliableCheckpoint materializes the index durably " +
+    "and preserves the default-path result") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_cont")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val base = "The quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, base + " with extra unique trailing content one"),
+      (2L, "Completely different text " + base),   // shares the passage
+      (3L, "Unrelated document about entirely other things and topics")
+    ).toDF("doc_id", "text")
+    val durable = rows(Dedup.containmentDedup(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 2, reliableCheckpoint = true))
+      .map(_.getLong(0)).toSet
+    val default = rows(Dedup.containmentDedup(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 2))
+      .map(_.getLong(0)).toSet
+    assert(durable == default, "checkpoint mode changed the result")
+    assert(durable == Set(1L, 3L), s"expected partial-copy 2 dropped, got $durable")
+    val files = java.nio.file.Files.walk(ckpt).count()
+    assert(files > 1, "expected checkpoint data under the configured dir")
+  }
+
   test("duplicateClusters: reliableCheckpoint writes to the configured dir") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
     spark.sparkContext.setCheckpointDir(ckpt.toString)
