@@ -464,13 +464,62 @@ object TextQueries {
             |FROM packed GROUP BY seq_id ORDER BY seq_id""".stripMargin))
 
   /** SimHash near-dup pairs (hamming ≤ 3 on 64-bit token-multiset
-    * SimHash). Not SQL-expressible → rows-only driver check; the spec
-    * cross-validates against the Jaccard ground truth. */
+    * SimHash). The oracle re-derives the WHOLE kernel from scratch in
+    * DuckDB — per-token FNV-1a over UTF-8 bytes (code points expanded to
+    * UTF-8 byte sequences; the 64-bit wraparound multiply runs in
+    * HUGEINT mod 2^64, since DuckDB BIGINT overflow throws rather than
+    * wraps), the per-bit ±1 majority vote, and the exact all-pairs
+    * hamming filter. The Spark side's pigeonhole chunk blocking is an
+    * exact optimization (any pair within radius h agrees on ≥1 of h+1
+    * chunks), so the oracle skips the blocking and the results must
+    * still match bit-for-bit. */
   val qDedupSimhash = QueryDef("q_dedup_simhash",
     (spark, dir) => Dedup.simhashPairs(
       Tables.documents(spark, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("doc_a", "doc_b"),
-    None)
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS ts
+            |  FROM documents WHERE text IS NOT NULL
+            |), hs AS (
+            |  SELECT doc_id, [
+            |    list_reduce(
+            |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+            |        flatten([
+            |          CASE WHEN cp <= 127 THEN [cp]
+            |               WHEN cp <= 2047 THEN [192 + cp // 64, 128 + cp % 64]
+            |               WHEN cp <= 65535 THEN [224 + cp // 4096,
+            |                 128 + (cp // 64) % 64, 128 + cp % 64]
+            |               ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+            |                 128 + (cp // 64) % 64, 128 + cp % 64]
+            |          END
+            |          for cp in list_apply(
+            |            list_filter(string_split_regex(t, ''), c -> c <> ''),
+            |            c -> ascii(c))])),
+            |      (a, x) -> ((a - a % 256 +
+            |                  CAST(xor(CAST(a % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+            |                 * CAST('1099511628211' AS HUGEINT))
+            |                % CAST('18446744073709551616' AS HUGEINT))
+            |    for t in ts] AS hus
+            |  FROM toks
+            |), sims AS (
+            |  SELECT doc_id,
+            |    CAST(list_sum([
+            |      CASE WHEN 2 * len(list_filter(hs2, h -> ((h >> j) & 1) = 1)) - len(hs2) > 0
+            |           THEN CASE WHEN j = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+            |                     ELSE (CAST(1 AS BIGINT) << j) END
+            |           ELSE CAST(0 AS BIGINT) END
+            |      for j in generate_series(0, 63)]) AS BIGINT) AS simhash
+            |  FROM (SELECT doc_id,
+            |          [CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+            |                THEN CAST(hu - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+            |                ELSE CAST(hu AS BIGINT) END for hu in hus] AS hs2
+            |        FROM hs)
+            |)
+            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            |ORDER BY doc_a, doc_b""".stripMargin))
 
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
