@@ -158,6 +158,27 @@ object RelationalQueries {
     },
     Some(aboveAvgSql))
 
+  /** Documents scanned through the graft DataSource V2 connector
+    * ([[graft.sources.GraftParquetTableProvider]]) — the engine-surface
+    * analog of the reference's query-pushdown source (S1,
+    * `/root/reference/pipelines/sql_cycle_rides.py:43-46`): the filter
+    * and the projection are honored INSIDE the connector (spec-asserted
+    * on the scan node), Spark only sees survivors of (lang, n_chars)
+    * predicates and the two aggregate inputs. */
+  val qDsv2Pushdown = QueryDef("q_dsv2_pushdown",
+    (spark, dir) => spark.read
+      .format("graft.sources.GraftParquetTableProvider")
+      .option("path", s"$dir/documents.parquet").load()
+      .filter(col("lang") === "en" && col("n_chars") > 500L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("source"),
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM documents WHERE lang = 'en' AND n_chars > 500
+           |GROUP BY source ORDER BY source""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
-    qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg)
+    qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
+    qDsv2Pushdown)
 }

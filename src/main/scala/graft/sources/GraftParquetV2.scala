@@ -1,0 +1,368 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal DataSource V2 connector with REAL pushdown — the engine-surface
+  * version of the reference's defining source, query-pushdown into an
+  * external engine (`/root/reference/pipelines/sql_cycle_rides.py:43-46`:
+  * BigQuery executes the query; Beam consumes rows). Here the "external
+  * engine" is this connector's own parquet reader: Catalyst hands it the
+  * required columns and the translatable predicates, and the connector
+  * honors both AT THE SOURCE —
+  *   - projection: the requested parquet `MessageType` contains only the
+  *     required columns plus filter references, so the parquet layer never
+  *     decodes the other columns' pages (true I/O pruning, not post-hoc
+  *     dropping);
+  *   - filters: pushed predicates are evaluated row-by-row inside the
+  *     reader under SQL three-valued logic, and only survivors cross the
+  *     connector boundary. Predicates the connector cannot evaluate
+  *     (unsupported types/shapes) are returned to Spark as residuals, so
+  *     semantics never depend on the pushdown split.
+  *
+  * Scale design: one `InputPartition` per parquet file (a directory of
+  * part files fans out across executors; the per-file reader streams —
+  * no whole-file materialization). This is deliberately the simple
+  * partitioning story: the built-in vectorized parquet source remains the
+  * scan of choice for raw throughput (row-group splitting, vectorization,
+  * nested types); this connector exists to demonstrate the V2 pushdown
+  * contract end-to-end and is correctness-first.
+  *
+  * Usage: `spark.read.format("graft.sources.GraftParquetTableProvider")
+  * .option("path", "/data/t.parquet").load()`.
+  */
+class GraftParquetTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftParquetV2.sparkSchema(
+      GraftParquetV2.footerSchema(GraftParquetV2.firstFile(GraftParquetV2.path(options))))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftParquetTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class GraftParquetTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  require(path != null, "graft parquet v2: 'path' option is required")
+  override def name(): String = s"graft_parquet($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, tableSchema)
+}
+
+class GraftScanBuilder(path: String, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept what the reader can faithfully evaluate; everything else
+    * comes back to Spark as a residual. A pushed filter is a PROMISE —
+    * Spark will not re-check it — so acceptance is driven by
+    * [[GraftFilterEval.supports]], never optimism. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) =
+      filters.partition(GraftFilterEval.supports(_, tableSchema))
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = GraftParquetScan(path, required, pushed)
+}
+
+case class GraftParquetScan(path: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  // surfaced in .explain — the same observability contract the built-in
+  // sources keep (PushedFilters / ReadSchema), spec-asserted
+  override def description(): String =
+    s"GraftParquetScan path=$path, " +
+      s"ReadSchema: ${required.catalogString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftParquetV2.listFiles(path).map(GraftInputPartition(_)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftPartitionReaderFactory(required, pushed)
+}
+
+case class GraftInputPartition(file: String) extends InputPartition
+
+case class GraftPartitionReaderFactory(required: StructType,
+    pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(
+      partition.asInstanceOf[GraftInputPartition].file, required, pushed)
+}
+
+/** Streams one parquet file: requested schema = required ∪ filter
+  * references (so a fully-pushed filter on a pruned-away column still
+  * sees its operand), three-valued filter evaluation, then the emitted
+  * `InternalRow` carries only the required columns. */
+class GraftPartitionReader(file: String, required: StructType,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+  private val conf = new Configuration()
+  private val fileSchema = GraftParquetV2.footerSchema(file)
+  private val wanted: Array[String] =
+    (required.fieldNames ++ pushed.flatMap(_.references)).distinct
+  private val projection = new MessageType(fileSchema.getName,
+    wanted.map { n =>
+      require(fileSchema.containsField(n),
+        s"graft parquet v2: column '$n' not in $file")
+      fileSchema.getType(fileSchema.getFieldIndex(n))
+    }.toSeq: _*)
+  conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf).build()
+
+  private val outIdx: Array[Int] =
+    required.fieldNames.map(n => wanted.indexOf(n))
+  private var row: Array[Any] = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      val vals = Array.tabulate[Any](wanted.length)(i =>
+        GraftParquetV2.readValue(g, i,
+          projection.getType(i).asPrimitiveType()))
+      def byName(n: String): Any = vals(wanted.indexOf(n))
+      if (pushed.forall(f => GraftFilterEval.eval(f, byName).contains(true))) {
+        row = outIdx.map(vals)
+        return true
+      }
+      g = reader.read()
+    }
+    false
+  }
+
+  override def get(): InternalRow = new GenericInternalRow(row)
+  override def close(): Unit = reader.close()
+}
+
+/** Schema/value plumbing shared by driver- and executor-side code. */
+object GraftParquetV2 {
+  def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft parquet v2: 'path' option is required")
+    p
+  }
+
+  /** A path is one parquet file or a directory of them. */
+  def listFiles(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .map(_.toString).sorted
+    else Seq(path)
+  }
+
+  def firstFile(path: String): String = {
+    val fs = listFiles(path)
+    require(fs.nonEmpty, s"graft parquet v2: no parquet files under $path")
+    fs.head
+  }
+
+  def footerSchema(file: String): MessageType = {
+    val in = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    try in.getFooter.getFileMetaData.getSchema finally in.close()
+  }
+
+  /** Flat schemas of the common primitive shapes; anything nested or
+    * exotic fails LOUDLY with a pointer at the built-in source rather
+    * than decoding wrongly. */
+  def sparkSchema(m: MessageType): StructType =
+    StructType(m.getFields.asScala.toSeq.map { f =>
+      require(f.isPrimitive,
+        s"graft parquet v2 supports flat primitive schemas; column " +
+          s"'${f.getName}' is nested — use spark.read.parquet for it")
+      StructField(f.getName, toCatalyst(f.asPrimitiveType()),
+        nullable = f.getRepetition != org.apache.parquet.schema.Type.Repetition.REQUIRED)
+    })
+
+  private def toCatalyst(p: PrimitiveType): DataType = {
+    import PrimitiveType.PrimitiveTypeName._
+    import LogicalTypeAnnotation._
+    def unsupported(): Nothing = throw new IllegalArgumentException(
+      s"graft parquet v2: unsupported column type ${p} — use spark.read.parquet")
+    p.getPrimitiveTypeName match {
+      case INT32 => p.getLogicalTypeAnnotation match {
+        case _: DateLogicalTypeAnnotation => DateType
+        case _ => IntegerType
+      }
+      case INT64 => p.getLogicalTypeAnnotation match {
+        case ts: TimestampLogicalTypeAnnotation => ts.getUnit match {
+          case TimeUnit.MILLIS | TimeUnit.MICROS => TimestampType
+          case _ => unsupported() // NANOS: see Tables.eventsMicros
+        }
+        case _ => LongType
+      }
+      case DOUBLE => DoubleType
+      case FLOAT => FloatType
+      case BOOLEAN => BooleanType
+      case BINARY => p.getLogicalTypeAnnotation match {
+        case _: StringLogicalTypeAnnotation => StringType
+        case _ => BinaryType
+      }
+      case _ => unsupported()
+    }
+  }
+
+  /** Catalyst value of field `idx` of a Group under the projection —
+    * null when absent. Timestamps normalize to micros (Catalyst's unit);
+    * dates stay epoch-day ints (same encoding both sides). */
+  def readValue(g: Group, idx: Int, p: PrimitiveType): Any = {
+    import PrimitiveType.PrimitiveTypeName._
+    if (g.getFieldRepetitionCount(idx) == 0) return null
+    p.getPrimitiveTypeName match {
+      case INT32 => g.getInteger(idx, 0)
+      case INT64 =>
+        val v = g.getLong(idx, 0)
+        p.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+          case _ => v
+        }
+      case DOUBLE => g.getDouble(idx, 0)
+      case FLOAT => g.getFloat(idx, 0)
+      case BOOLEAN => g.getBoolean(idx, 0)
+      case BINARY =>
+        if (p.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation])
+          UTF8String.fromString(g.getString(idx, 0))
+        else g.getBinary(idx, 0).getBytes
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+  }
+}
+
+/** Three-valued (Kleene) evaluation of Spark source filters against raw
+  * row values — the semantics Spark itself would apply, so pushing a
+  * filter here is behavior-preserving. NULL comparisons are UNKNOWN, not
+  * false: `Not(EqualTo(c, v))` on a null `c` must drop the row, which a
+  * naive boolean evaluator would keep. */
+object GraftFilterEval {
+  private val comparableTypes: Set[DataType] =
+    Set(IntegerType, LongType, DoubleType, FloatType, StringType, BooleanType)
+
+  /** Only filters whose every referenced column exists with a supported
+    * type, whose shape is implemented, and whose literals are non-null
+    * (Spark expresses SQL NULL tests as IsNull/IsNotNull). */
+  def supports(f: Filter, schema: StructType): Boolean = {
+    def colOk(name: String): Boolean =
+      schema.fields.exists(s => s.name == name && comparableTypes(s.dataType))
+    f match {
+      case EqualTo(a, v) => colOk(a) && v != null
+      case EqualNullSafe(a, v) => colOk(a) && v != null
+      case GreaterThan(a, v) => colOk(a) && v != null
+      case GreaterThanOrEqual(a, v) => colOk(a) && v != null
+      case LessThan(a, v) => colOk(a) && v != null
+      case LessThanOrEqual(a, v) => colOk(a) && v != null
+      case In(a, vs) => colOk(a) && vs != null && vs.forall(_ != null)
+      case IsNull(a) => schema.fieldNames.contains(a)
+      case IsNotNull(a) => schema.fieldNames.contains(a)
+      case And(l, r) => supports(l, schema) && supports(r, schema)
+      case Or(l, r) => supports(l, schema) && supports(r, schema)
+      case Not(c) => supports(c, schema)
+      case StringStartsWith(a, v) => colOk(a) && v != null
+      case StringEndsWith(a, v) => colOk(a) && v != null
+      case StringContains(a, v) => colOk(a) && v != null
+      case _ => false
+    }
+  }
+
+  /** None = UNKNOWN. The reader keeps a row iff every pushed filter
+    * evaluates to Some(true) — exactly SQL WHERE. */
+  def eval(f: Filter, get: String => Any): Option[Boolean] = f match {
+    case EqualTo(a, v) => cmp(get(a), v).map(_ == 0)
+    case EqualNullSafe(a, v) =>
+      Some(get(a) != null && cmp(get(a), v).contains(0))
+    case GreaterThan(a, v) => cmp(get(a), v).map(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v).map(_ >= 0)
+    case LessThan(a, v) => cmp(get(a), v).map(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(get(a), v).map(_ <= 0)
+    case In(a, vs) => get(a) match {
+      case null => None
+      case x => Some(vs.exists(v => cmp(x, v).contains(0)))
+    }
+    case IsNull(a) => Some(get(a) == null)
+    case IsNotNull(a) => Some(get(a) != null)
+    case And(l, r) => (eval(l, get), eval(r, get)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval(l, get), eval(r, get)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(c) => eval(c, get).map(!_)
+    case StringStartsWith(a, v) => strTest(get(a), _.startsWith(v))
+    case StringEndsWith(a, v) => strTest(get(a), _.endsWith(v))
+    case StringContains(a, v) => strTest(get(a), _.contains(v))
+    case other => throw new IllegalStateException(
+      s"graft parquet v2: unsupported pushed filter $other — supports() must gate this")
+  }
+
+  private def strTest(x: Any, p: String => Boolean): Option[Boolean] = x match {
+    case null => None
+    case u: UTF8String => Some(p(u.toString))
+    case s: String => Some(p(s))
+    case other => throw new IllegalStateException(s"string filter on $other")
+  }
+
+  /** Spark aligns pushed literal types with the column type, but be
+    * robust to Int-vs-Long and Float-vs-Double drift. */
+  private def cmp(x: Any, lit: Any): Option[Int] = {
+    if (x == null || lit == null) return None
+    def norm(v: Any): Any = v match {
+      case u: UTF8String => u.toString
+      case o => o
+    }
+    Some((norm(x), norm(lit)) match {
+      case (a: Int, b: Int) => java.lang.Integer.compare(a, b)
+      case (a: Int, b: Long) => java.lang.Long.compare(a.toLong, b)
+      case (a: Long, b: Int) => java.lang.Long.compare(a, b.toLong)
+      case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+      case (a: Number, b: Number) =>
+        java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+      case (a: String, b: String) => a.compareTo(b)
+      case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+      case (a, b) => throw new IllegalStateException(
+        s"graft parquet v2: incomparable filter operands $a (${a.getClass}) vs $b")
+    })
+  }
+}

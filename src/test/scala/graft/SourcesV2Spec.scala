@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+import graft.sources.GraftParquetScan
+
+/** The graft DataSource V2 connector: pushdown really lands in the scan
+  * (projection pruned, filters claimed by the connector), and results are
+  * bit-identical to the built-in parquet source across filter shapes —
+  * including the SQL three-valued cases a boolean evaluator gets wrong. */
+class SourcesV2Spec extends SparkSpec {
+
+  private def viaV2(path: String): DataFrame = spark.read
+    .format("graft.sources.GraftParquetTableProvider")
+    .option("path", path).load()
+
+  private def graftScan(df: DataFrame): GraftParquetScan =
+    df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b.scan }
+      .collect { case s: GraftParquetScan => s }
+      .getOrElse(fail("no GraftParquetScan in the plan"))
+
+  test("schema inference matches the built-in parquet reader") {
+    val path = s"$sfDir/documents.parquet"
+    assert(viaV2(path).schema == spark.read.parquet(path).schema)
+  }
+
+  test("filter and projection are pushed INTO the scan node") {
+    val df = viaV2(s"$sfDir/documents.parquet")
+      .filter(col("lang") === "en" && col("n_chars") > 500L)
+      .select("source", "n_chars")
+    val scan = graftScan(df)
+    // projection pruned to what the query needs downstream of the pushed
+    // filters — the filter-only column lang is NOT in the read schema
+    assert(scan.readSchema().fieldNames.toSet == Set("source", "n_chars"),
+      s"read schema not pruned: ${scan.readSchema()}")
+    // both predicates claimed by the connector
+    val pushed = scan.pushed.toSet
+    assert(pushed.contains(EqualTo("lang", "en")), s"pushed: $pushed")
+    assert(pushed.contains(GreaterThan("n_chars", 500L)), s"pushed: $pushed")
+    // and the observability contract: .explain carries both
+    assert(scan.description().contains("PushedFilters"))
+    assert(scan.description().contains("ReadSchema"))
+  }
+
+  test("pushed-filter results equal the built-in source across shapes") {
+    val path = s"$sfDir/documents.parquet"
+    val preds = Seq(
+      col("lang") === "en",
+      col("n_chars") > 500L && col("lang") =!= "de",
+      col("lang").isin("en", "fr") || col("n_chars") <= 100L,
+      col("source").startsWith("w"),
+      !(col("lang") === "en"))
+    for (p <- preds) {
+      val v2 = rows(viaV2(path).filter(p).select("doc_id")).map(_.getLong(0)).toSet
+      val ref = rows(spark.read.parquet(path).filter(p).select("doc_id"))
+        .map(_.getLong(0)).toSet
+      assert(v2 == ref, s"mismatch for $p")
+    }
+  }
+
+  test("three-valued logic on nulls: Not(EqualTo) drops null rows, like SQL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2_nulls")
+    val path = s"$dir/t.parquet"
+    Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]))
+      .toDF("id", "s").write.mode("overwrite").parquet(path)
+    val preds = Seq(
+      !(col("s") === "a"),           // null s must DROP (unknown), not keep
+      col("s") =!= "a" || col("id") === 3L,
+      col("s").isNull,
+      col("s").isNotNull && col("s") < "b")
+    for (p <- preds) {
+      val df = viaV2(path).filter(p)
+      // the predicate really is evaluated connector-side, not by Spark
+      assert(graftScan(df).pushed.nonEmpty, s"nothing pushed for $p")
+      val v2 = rows(df.select("id")).map(_.getLong(0)).toSet
+      val ref = rows(spark.read.parquet(path).filter(p).select("id"))
+        .map(_.getLong(0)).toSet
+      assert(v2 == ref, s"null semantics diverge for $p")
+    }
+  }
+
+  test("unsupported-type predicates come back as residuals, results intact") {
+    val path = s"$sfDir/orders.parquet"
+    val cutoff = "1995-06-01"
+    val df = viaV2(path).filter(col("o_orderdate") >= cutoff)
+    // timestamp comparisons are not connector-evaluable: the comparison
+    // stays with Spark (only the null-test is claimed — that IS
+    // evaluable), and the result still matches the built-in
+    assert(graftScan(df).pushed.forall(
+      _.isInstanceOf[org.apache.spark.sql.sources.IsNotNull]),
+      s"comparison wrongly claimed: ${graftScan(df).pushed.mkString(", ")}")
+    assert(df.count() ==
+      spark.read.parquet(path).filter(col("o_orderdate") >= cutoff).count())
+  }
+
+  test("count over a fully-pushed filter (empty required schema) works") {
+    val path = s"$sfDir/documents.parquet"
+    val n = viaV2(path).filter(col("lang") === "en").count()
+    val ref = spark.read.parquet(path).filter(col("lang") === "en").count()
+    assert(n == ref && n > 0)
+  }
+}
