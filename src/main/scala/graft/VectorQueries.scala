@@ -140,6 +140,67 @@ object VectorQueries {
             |SELECT query_id, rank, neighbor_id, cosine FROM ranked
             |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
+  /** Embedding near-dup threshold. This synthetic corpus has no planted
+    * high-cosine duplicates (max pair ≈ .5–.6), so the catalog entries
+    * exercise the cluster machinery in the corpus's own similarity range;
+    * the production near-dup regime (θ ≥ .9, LSH candidates) is spec'd
+    * with planted jittered duplicates instead. Chosen off any rounded
+    * pair value at sf0.01/sf0.1 so the ≥ test has no boundary tie. */
+  val MinDupCosine = 0.42
+
+  /** Shared dup-pair + connected-component closure CTEs (recursive) for
+    * the embedding-dedup oracles — the embedding-space mirror of the
+    * text queries' jaccard/closure CTEs. */
+  private val cosineClosureCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), dup_pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= $MinDupCosine
+       |), edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM dup_pairs
+       |  UNION SELECT vec_b, vec_a FROM dup_pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+       |), labels AS (
+       |  SELECT src AS vec_id, LEAST(src, min(dst)) AS cluster
+       |  FROM reach GROUP BY src
+       |)""".stripMargin
+
+  /** Embedding-cosine near-dup clusters: connected components over the
+    * exact threshold pairs, one row per cluster with keeper + size —
+    * the semantic-dedup sibling of `q_dedup_clusters` (which clusters
+    * on n-gram evidence; this clusters on embedding-space evidence). */
+  val qDedupEmbedding = QueryDef("q_dedup_embedding",
+    (spark, dir) => {
+      val pairs = Similarity.thresholdPairs(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", MinDupCosine)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      graft.operators.Dedup.duplicateClusters(pairs)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE $cosineClosureCtes
+            |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+            |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin))
+
+  /** The keeper composition: every vector surviving embedding-cosine
+    * dedup (cluster minima stay, other members drop). */
+  val qDedupEmbeddingKeep = QueryDef("q_dedup_embedding_keep",
+    (spark, dir) => Similarity.cosineDedup(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", MinDupCosine)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id"),
+    Some(s"""WITH RECURSIVE $cosineClosureCtes
+            |SELECT vec_id, label FROM embeddings
+            |WHERE vec_id NOT IN
+            |  (SELECT vec_id FROM labels WHERE cluster <> vec_id)
+            |ORDER BY vec_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(qAnnTopK, qEmbedTopPairs, qAnnLsh, qAnnIvf,
-    qAnnIvfKmeans)
+    qAnnIvfKmeans, qDedupEmbedding, qDedupEmbeddingKeep)
 }

@@ -72,6 +72,63 @@ object Similarity {
       .limit(topN)
   }
 
+  /** All pairs (a < b) with cosine ≥ `minCosine` — the evidence edges for
+    * embedding-cosine near-duplicate detection. Exact all-pairs: the
+    * oracle/verify twin of [[lshThresholdPairs]], same relationship
+    * [[graft.operators.Dedup.jaccardPairs]] has to the MinHash path.
+    * Cosine is rounded to 1e-6 BEFORE the threshold test so the
+    * keep/drop decision is cross-engine stable. */
+  def thresholdPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = vectors.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(CosineSim(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** [[thresholdPairs]] at scale: candidates from random-hyperplane LSH
+    * buckets, verified with exact cosine. Appropriate for the high-
+    * threshold regime (near-dup, minCosine ≳ 0.9) where bucket collision
+    * probability for true pairs is high and buckets stay small; recall
+    * for cosine ≥ .9 at the defaults is ≈ 99.6% (see [[lshCandidates]]).
+    * Candidate generation shuffles 8-byte ids, never vectors. */
+  def lshThresholdPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nBits: Int = 8, tables: Int = 16,
+      seed: Long = 7L): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    lshCandidates(vectors, idCol, vecCol, nBits, tables, seed)
+      .join(v.select(col("id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(v.select(col("id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(CosineSim(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Embedding-cosine near-duplicate dedup: rows surviving semantic-copy
+    * resolution — cosine-threshold evidence pairs → connected components
+    * ([[graft.operators.Dedup.duplicateClusters]]) → keep the min-id
+    * vector of every cluster. The embedding-space sibling of
+    * [[graft.operators.Dedup.containmentDedup]]: catches paraphrases and
+    * re-encodings that share no n-grams, which every text-hash dedup
+    * misses. `useLsh=true` swaps exact pair generation for the LSH path —
+    * the 100 TB configuration when the threshold is in the near-dup
+    * regime; exact is the verify/oracle twin. */
+  def cosineDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, useLsh: Boolean = false, nBits: Int = 8,
+      tables: Int = 16, seed: Long = 7L, maxIter: Int = 20,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    val pairs =
+      (if (useLsh) lshThresholdPairs(vectors, idCol, vecCol, minCosine, nBits, tables, seed)
+       else thresholdPairs(vectors, idCol, vecCol, minCosine))
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val drops = Dedup.duplicateClusters(pairs, maxIter, reliableCheckpoint)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    vectors.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** LSH-bucketed candidate pairs: vectors sharing a `nBits`-bit
     * random-hyperplane signature. P[same bucket] = (1 − θ/π)^nBits for
     * angle θ; union over `tables` independent signatures raises recall to

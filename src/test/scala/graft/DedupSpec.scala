@@ -369,4 +369,54 @@ class DedupSpec extends SparkSpec {
       (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(a == b)
   }
+
+  /** Deterministic fixture with PLANTED embedding near-dups: 40 base
+    * vectors (hash-derived pseudo-random, 16-dim) plus a jittered copy of
+    * every 4th one (cosine vs its base ≳ .99) — the high-threshold regime
+    * [[Similarity.cosineDedup]]'s LSH path is built for, which the
+    * synthetic embeddings table lacks. */
+  private def plantedVectors = {
+    import spark.implicits._
+    def vec(seed: Long): Array[Float] = Array.tabulate(16) { d =>
+      // SplitMix64-ish mix — stable across runs, no RNG state
+      var z = seed * 31L + d + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble).toFloat
+    }
+    val base = (0L until 40L).map(i => (i, vec(i)))
+    val dups = (0L until 40L by 4).map(i =>
+      (100L + i, vec(i).zipWithIndex.map { case (x, d) =>
+        x + (if (d % 2 == 0) 0.01f else -0.01f) }))
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("cosineDedup drops exactly the planted jittered copies, keeps minima") {
+    val v = plantedVectors
+    val kept = rows(Similarity.cosineDedup(v, "vec_id", "embedding", 0.98))
+      .map(_.getLong(0)).toSet
+    // every base survives (it is its cluster's min id); every 100+ dup drops
+    assert(kept == (0L until 40L).toSet, s"kept $kept")
+  }
+
+  test("LSH threshold pairs match exact threshold pairs in the near-dup regime") {
+    val v = plantedVectors
+    val exact = rows(Similarity.thresholdPairs(v, "vec_id", "embedding", 0.98))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 10, s"planted pairs: $exact")
+    val lsh = rows(Similarity.lshThresholdPairs(v, "vec_id", "embedding", 0.98))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cos ≥ .98 → collision per 8-bit table ≈ .74, miss over 16 tables
+    // ≈ 4e-10 — exact equality is the expected outcome, deterministically
+    assert(lsh == exact, s"lsh $lsh vs exact $exact")
+    val viaLsh = rows(Similarity.cosineDedup(
+      v, "vec_id", "embedding", 0.98, useLsh = true)).map(_.getLong(0)).toSet
+    assert(viaLsh == (0L until 40L).toSet)
+  }
+
+  test("cosineDedup on a corpus with no pairs above threshold keeps everything") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assert(Similarity.cosineDedup(e, "vec_id", "embedding", 0.95).count() ==
+      e.count())
+  }
 }
