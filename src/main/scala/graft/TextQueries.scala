@@ -521,9 +521,125 @@ object TextQueries {
             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** KMV sketch size. Per-source distinct word-trigram counts are ~1k at
+    * sf0.01 and ~10k at sf0.1 — above k at both scales, so the catalog
+    * entry exercises the ESTIMATOR (k-th order statistic), not the
+    * exact-count fallback. Relative error ≈ 1/√(k−2) ≈ 6%. */
+  val KmvK = 256
+
+  /** The FNV-1a 64-bit fold over a string SQL expression, as unsigned
+    * HUGEINT in [0, 2⁶⁴) — the DuckDB mirror of
+    * [[graft.expr.TextHashKernels.fnv1a64]]: code points → UTF-8 bytes →
+    * byte fold mod 2⁶⁴ (multiplier as HUGEINT — BIGINT would overflow;
+    * see the simhash oracle, which inlines the same fold). */
+  private def fnvFoldSql(s: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST('14695981039346656037' AS HUGEINT),
+       |    flatten([
+       |      CASE WHEN cp <= 127 THEN [cp]
+       |           WHEN cp <= 2047 THEN [192 + cp // 64, 128 + cp % 64]
+       |           WHEN cp <= 65535 THEN [224 + cp // 4096,
+       |             128 + (cp // 64) % 64, 128 + cp % 64]
+       |           ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+       |             128 + (cp // 64) % 64, 128 + cp % 64]
+       |      END
+       |      for cp in list_apply(
+       |        list_filter(string_split_regex($s, ''), c -> c <> ''),
+       |        c -> ascii(c))])),
+       |  (a, x) -> ((a - a % 256 +
+       |              CAST(xor(CAST(a % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+       |             * CAST('1099511628211' AS HUGEINT))
+       |            % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+
+  private val P64 = "CAST('18446744073709551616' AS HUGEINT)"
+
+  /** Unsigned HUGEINT → signed BIGINT bit pattern (two's-complement wrap). */
+  private def toSignedSql(u: String): String =
+    s"""CASE WHEN $u >= CAST('9223372036854775808' AS HUGEINT)
+       |     THEN CAST($u - $P64 AS BIGINT) ELSE CAST($u AS BIGINT) END""".stripMargin
+
+  /** xor of two unsigned-HUGEINT COLUMN references in [0,2⁶⁴), result
+    * back as unsigned HUGEINT. `v` must be < 2⁶³ (true for every shifted
+    * operand here). Operands are repeated textually — pass column names,
+    * not expressions. */
+  private def xor64Sql(u: String, v: String): String = {
+    val x = s"xor(${toSignedSql(u)}, CAST($v AS BIGINT))"
+    s"""CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $P64
+       |     ELSE CAST($x AS HUGEINT) END""".stripMargin
+  }
+
+  /** (z · M) mod 2⁶⁴ with M split into 32-bit halves — a full 64×64
+    * product overflows INT128 (DuckDB's HUGEINT), so fold the high half
+    * mod 2³² before scaling: z·M ≡ z·lo + ((z mod 2³²)·hi mod 2³²)·2³². */
+  private def mulModSql(z: String, hi: Long, lo: Long): String =
+    s"""(($z * $lo) % $P64 +
+       | ((($z % 4294967296) * $hi) % 4294967296) * 4294967296) % $P64""".stripMargin
+
+  /** Per-source distinct-shingle cardinality: KMV sketch estimate beside
+    * the exact count. The estimate is HASH-CHECKED, not "close": KMV
+    * depends only on the set of FNV hashes, so DuckDB re-deriving the
+    * same k-th order statistic from the same hashes reproduces the
+    * estimate bit-for-bit (unsigned→double conversion spelled
+    * signed-then-wrap on both sides — see [[graft.expr.KmvAgg]]). */
+  val qDistinctKmv = QueryDef("q_distinct_kmv",
+    (spark, dir) => {
+      val sh = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(graft.expr.ShinglesExpr(col("text"), ShingleN)).as("shingle"))
+      sh.groupBy("source").agg(
+        graft.expr.KmvAgg(
+          graft.expr.Fingerprint64(col("shingle")), KmvK).as("est_distinct_shingles"),
+        countDistinct(col("shingle")).as("exact_distinct_shingles"))
+        .orderBy("source")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT source, doc_id, string_split(text, ' ') AS ws
+            |  FROM documents WHERE text IS NOT NULL
+            |), sh AS (
+            |  SELECT DISTINCT source, unnest(${shinglesOverWsSql(ShingleN)}) AS shingle
+            |  FROM toks
+            |), hs AS (
+            |  SELECT source, shingle, ${fnvFoldSql("shingle")} AS h
+            |  FROM sh
+            |), s0 AS (
+            |  SELECT source, (h + CAST('11400714819323198485' AS HUGEINT)) % $P64 AS z FROM hs
+            |), s1 AS (SELECT source, ${xor64Sql("z", "z // 1073741824")} AS z FROM s0
+            |), s2 AS (
+            |  SELECT source, ${mulModSql("z", 3210233709L, 484763065L)} AS z FROM s1
+            |), s3 AS (SELECT source, ${xor64Sql("z", "z // 134217728")} AS z FROM s2
+            |), s4 AS (
+            |  SELECT source, ${mulModSql("z", 2496678331L, 321982955L)} AS z FROM s3
+            |), s5 AS (SELECT source, ${xor64Sql("z", "z // 2147483648")} AS z FROM s4
+            |), dh AS (
+            |  SELECT DISTINCT source, z AS h FROM s5
+            |), ranked AS (
+            |  SELECT source, h,
+            |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            |  FROM dh
+            |), stats AS (
+            |  SELECT source, count(*) AS ndh,
+            |         max(CASE WHEN rn = $KmvK THEN h END) AS kth
+            |  FROM ranked GROUP BY source
+            |), ex AS (
+            |  SELECT source, count(DISTINCT shingle) AS n FROM sh GROUP BY source
+            |)
+            |SELECT stats.source,
+            |  CASE WHEN kth IS NULL THEN CAST(ndh AS DOUBLE)
+            |       ELSE (CAST($KmvK AS DOUBLE) - 1.0) * 18446744073709551616.0 /
+            |            (CASE WHEN kth < CAST('9223372036854775808' AS HUGEINT)
+            |                  THEN CAST(CAST(kth AS BIGINT) AS DOUBLE)
+            |                  ELSE CAST(CAST(kth - CAST('18446744073709551616' AS HUGEINT)
+            |                                 AS BIGINT) AS DOUBLE)
+            |                       + 18446744073709551616.0 END)
+            |  END AS est_distinct_shingles,
+            |  CAST(ex.n AS BIGINT) AS exact_distinct_shingles
+            |FROM stats JOIN ex ON stats.source = ex.source
+            |ORDER BY stats.source""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
-    qDocFingerprints,
+    qDocFingerprints, qDistinctKmv,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep)

@@ -77,7 +77,10 @@ object GraftExtensions {
       RandomProjectionSig(args(0), intLit(args(1)), longLit(args(2))) },
     "winnow_sketch" -> { args =>
       arity("winnow_sketch", 3, args)
-      WinnowSketch(args(0), intLit(args(1)), intLit(args(2))) })
+      WinnowSketch(args(0), intLit(args(1)), intLit(args(2))) },
+    "kmv_distinct" -> { args =>
+      arity("kmv_distinct", 2, args)
+      KmvAgg(args(0), intLit(args(1))).toAggregateExpression() })
 
   /** Imperative registration for an already-created session. Idempotent:
     * function registry replaces; the optimizer rule dedupes by identity. */

@@ -110,4 +110,48 @@ class AggregatesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(typed == builtin)
   }
+
+  test("KmvAgg: estimate within theory error; exact below k; duplicates ignored") {
+    import spark.implicits._
+    import graft.expr.{Fingerprint64, KmvAgg}
+    val n = 20000
+    // each value appears 3× — the sketch must see the SET, not the bag
+    val df = (0 until 3).flatMap(_ => 0 until n)
+      .map(i => s"value_$i").toDF("v")
+    val k = 256
+    val est = df.agg(KmvAgg(Fingerprint64(col("v")), k).as("e"))
+      .head().getDouble(0)
+    // (k-1)/h_k estimator: σ ≈ n/√(k−2) → 5σ ≈ 31% at k=256
+    assert(math.abs(est - n) < 0.31 * n, s"estimate $est for $n distinct")
+    val small = (0 until 100).map(i => s"v$i").toDF("v")
+    val exact = small.agg(KmvAgg(Fingerprint64(col("v")), k).as("e"))
+      .head().getDouble(0)
+    assert(exact == 100.0, s"below-k must be exact, got $exact")
+  }
+
+  test("KmvAgg: partitioning and order cannot move the estimate") {
+    import spark.implicits._
+    import graft.expr.{Fingerprint64, KmvAgg}
+    val base = (0 until 5000).map(i => s"doc_$i")
+    def est(data: Seq[String], parts: Int): Double =
+      data.toDF("v").repartition(parts)
+        .agg(KmvAgg(Fingerprint64(col("v")), 128).as("e")).head().getDouble(0)
+    val a = est(base, 1)
+    val b = est(scala.util.Random.shuffle(base), 13)
+    assert(a == b, s"order/partition dependence: $a vs $b")
+  }
+
+  test("KmvAgg: non-long input fails at analysis, and SQL registration works") {
+    import spark.implicits._
+    val df = Seq("a").toDF("v")
+    val err = intercept[Exception] {
+      df.agg(graft.expr.KmvAgg(col("v"), 16)).collect()
+    }
+    assert(err.getMessage.contains("kmv_distinct"), err.getMessage)
+    df.createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+      "SELECT kmv_distinct(fingerprint64(v), 16) AS e FROM kmv_in")
+      .head().getDouble(0)
+    assert(viaSql == 1.0)
+  }
 }
