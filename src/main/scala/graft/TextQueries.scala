@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.expr.WinnowKernels
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sketches}
 import graft.text.TextAnalysis._
 
 /** Text-analysis + deduplication catalog entries over the `documents`
@@ -575,6 +575,21 @@ object TextQueries {
     s"""(($z * $lo) % $P64 +
        | ((($z % 4294967296) * $hi) % 4294967296) * 4294967296) % $P64""".stripMargin
 
+  /** The SplitMix64 finalizer over a CTE column `z` (unsigned HUGEINT in
+    * [0,2⁶⁴)), carried alongside `keys`: emits CTE stages `<p>0..<p>5`;
+    * read the mixed value as `z` from `<p>5`. Mirrors
+    * [[graft.expr.TextHashKernels.splitmix64]] stage for stage. */
+  private def splitmixCtesSql(src: String, keys: String, p: String): String =
+    s"""${p}0 AS (
+       |  SELECT $keys, (z + CAST('11400714819323198485' AS HUGEINT)) % $P64 AS z FROM $src
+       |), ${p}1 AS (SELECT $keys, ${xor64Sql("z", "z // 1073741824")} AS z FROM ${p}0
+       |), ${p}2 AS (
+       |  SELECT $keys, ${mulModSql("z", 3210233709L, 484763065L)} AS z FROM ${p}1
+       |), ${p}3 AS (SELECT $keys, ${xor64Sql("z", "z // 134217728")} AS z FROM ${p}2
+       |), ${p}4 AS (
+       |  SELECT $keys, ${mulModSql("z", 2496678331L, 321982955L)} AS z FROM ${p}3
+       |), ${p}5 AS (SELECT $keys, ${xor64Sql("z", "z // 2147483648")} AS z FROM ${p}4)""".stripMargin
+
   /** Per-source distinct-shingle cardinality: KMV sketch estimate beside
     * the exact count. The estimate is HASH-CHECKED, not "close": KMV
     * depends only on the set of FNV hashes, so DuckDB re-deriving the
@@ -600,18 +615,10 @@ object TextQueries {
             |  SELECT DISTINCT source, unnest(${shinglesOverWsSql(ShingleN)}) AS shingle
             |  FROM toks
             |), hs AS (
-            |  SELECT source, shingle, ${fnvFoldSql("shingle")} AS h
+            |  SELECT source, ${fnvFoldSql("shingle")} AS z
             |  FROM sh
-            |), s0 AS (
-            |  SELECT source, (h + CAST('11400714819323198485' AS HUGEINT)) % $P64 AS z FROM hs
-            |), s1 AS (SELECT source, ${xor64Sql("z", "z // 1073741824")} AS z FROM s0
-            |), s2 AS (
-            |  SELECT source, ${mulModSql("z", 3210233709L, 484763065L)} AS z FROM s1
-            |), s3 AS (SELECT source, ${xor64Sql("z", "z // 134217728")} AS z FROM s2
-            |), s4 AS (
-            |  SELECT source, ${mulModSql("z", 2496678331L, 321982955L)} AS z FROM s3
-            |), s5 AS (SELECT source, ${xor64Sql("z", "z // 2147483648")} AS z FROM s4
-            |), dh AS (
+            |), ${splitmixCtesSql("hs", "source", "s")},
+            |dh AS (
             |  SELECT DISTINCT source, z AS h FROM s5
             |), ranked AS (
             |  SELECT source, h,
@@ -637,9 +644,83 @@ object TextQueries {
             |FROM stats JOIN ex ON stats.source = ex.source
             |ORDER BY stats.source""".stripMargin))
 
+  /** CMS shape: d=4 rows × w=64 buckets, deliberately NARROW for this
+    * corpus (~10² distinct tokens in 64 buckets guarantees collisions),
+    * so the catalog entry exercises the interesting regime — estimates
+    * strictly above exact counts for collided keys, min-over-rows doing
+    * real work — rather than a sparse sketch that degenerates to exact
+    * counting. */
+  val CmsD = 4
+  val CmsW = 64
+  val CmsSeed = 42L
+  val CmsTopN = 20
+
+  /** Heavy-hitter estimation: the top-[[CmsTopN]] tokens by exact count,
+    * with the count-min estimate next to the truth. The estimate is
+    * HASH-CHECKED: counters are order-independent sums and the row
+    * hashes are the seeded MinHash family, so DuckDB rebuilds the exact
+    * d×w matrix from the same hash chain and reproduces every estimate
+    * bit-for-bit. (est_count ≥ exact_count is a sketch guarantee —
+    * spec-asserted too.) */
+  val qTokenCms = QueryDef("q_token_cms",
+    (spark, dir) => {
+      val toks = Tables.documents(spark, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+      val counters = Sketches.cmsCounters(toks, "tok", CmsD, CmsW, CmsSeed)
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+        .orderBy(desc("exact_count"), col("tok")).limit(CmsTopN)
+      Sketches.cmsEstimate(counters, top, "tok", CmsD, CmsW, CmsSeed)
+        .select(col("tok").as("token"), col("est_count"), col("exact_count"))
+        .orderBy(desc("exact_count"), col("token"))
+    },
+    Some {
+      // the d per-row seeds, as SIGNED 64-bit literals (DuckDB xor works
+      // on BIGINT) — same derivation as the MinHash kernel's seeds(j)
+      val seedRows = (0 until CmsD).map(j =>
+        s"($j, CAST('${graft.expr.TextHashKernels.splitmix64(CmsSeed + j)}' AS BIGINT))")
+        .mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE text IS NOT NULL
+         |), exact AS (
+         |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+         |), dt AS (
+         |  SELECT DISTINCT tok FROM toks
+         |), hs AS (
+         |  SELECT tok, ${fnvFoldSql("tok")} AS h FROM dt
+         |), sd AS (
+         |  SELECT * FROM (VALUES $seedRows) AS t(j, sdv)
+         |), hx AS (
+         |  SELECT tok, j,
+         |         CASE WHEN x < 0 THEN CAST(x AS HUGEINT) + $P64
+         |              ELSE CAST(x AS HUGEINT) END AS z
+         |  FROM (SELECT tok, j, xor(${toSignedSql("h")}, sdv) AS x
+         |        FROM hs CROSS JOIN sd)
+         |), ${splitmixCtesSql("hx", "tok, j", "m")},
+         |map AS (
+         |  SELECT tok, j, ((${toSignedSql("z")} % $CmsW) + $CmsW) % $CmsW AS bucket
+         |  FROM m5
+         |), occ AS (
+         |  SELECT m.j, m.bucket FROM toks t JOIN map m ON t.tok = m.tok
+         |), counters AS (
+         |  SELECT j, bucket, count(*) AS cnt FROM occ GROUP BY j, bucket
+         |), top AS (
+         |  SELECT tok, c FROM exact ORDER BY c DESC, tok LIMIT $CmsTopN
+         |), est AS (
+         |  SELECT top.tok, top.c, min(coalesce(counters.cnt, 0)) AS e
+         |  FROM top
+         |  JOIN map ON map.tok = top.tok
+         |  LEFT JOIN counters ON counters.j = map.j AND counters.bucket = map.bucket
+         |  GROUP BY top.tok, top.c
+         |)
+         |SELECT tok AS token, CAST(e AS BIGINT) AS est_count,
+         |       CAST(c AS BIGINT) AS exact_count
+         |FROM est ORDER BY exact_count DESC, token""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
-    qDocFingerprints, qDistinctKmv,
+    qDocFingerprints, qDistinctKmv, qTokenCms,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep)

@@ -154,4 +154,46 @@ class AggregatesSpec extends SparkSpec {
       .head().getDouble(0)
     assert(viaSql == 1.0)
   }
+
+  test("CMS: estimates never undercount; wide sketch is exact; narrow collides") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // zipf-ish bag: key_i appears (50-i) times
+    val bag = (0 until 50).flatMap(i => Seq.fill(50 - i)(s"key_$i")).toDF("k")
+    val truth = bag.groupBy("k").agg(count(lit(1)).as("exact")).cache()
+    def ests(w: Int): Map[String, (Long, Long)] = {
+      val counters = Sketches.cmsCounters(bag, "k", 4, w, 7L)
+      Sketches.cmsEstimate(counters, truth, "k", 4, w, 7L)
+        .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(1))).toMap
+    }
+    val narrow = ests(8)
+    narrow.values.foreach { case (est, exact) =>
+      assert(est >= exact, s"CMS undercounted: $est < $exact") }
+    // 50 keys in 8 buckets: some estimate MUST be inflated
+    assert(narrow.values.exists { case (est, exact) => est > exact },
+      "narrow sketch showed no collisions — hashes suspicious")
+    // 4 rows × 4096 buckets for 50 keys: collisions in all 4 rows for the
+    // same key are (50/4096)^4-grade unlikely → exact everywhere
+    val wide = ests(4096)
+    wide.values.foreach { case (est, exact) =>
+      assert(est == exact, s"wide sketch inexact: $est vs $exact") }
+    // absent key: estimate is well-defined (≥ 0) and cannot exceed the
+    // heaviest colliding bucket
+    val ghost = Sketches.cmsEstimate(
+      Sketches.cmsCounters(bag, "k", 4, 8, 7L),
+      Seq("never_seen").toDF("k"), "k", 4, 8, 7L)
+      .head().getLong(1)
+    assert(ghost >= 0L)
+    truth.unpersist()
+  }
+
+  test("CMS: counter matrix is partitioning-independent") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val bag = (0 until 500).map(i => s"t${i % 37}").toDF("k")
+    def matrix(parts: Int): Set[(Int, Long, Long)] =
+      Sketches.cmsCounters(bag.repartition(parts), "k", 4, 32, 11L)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(matrix(1) == matrix(17))
+  }
 }
