@@ -20,7 +20,12 @@ object PlanDump {
       "q_dedup_containment" -> "winnow-sketch containment: codegen'd sketch kernel in the scan project, stop-fingerprint df cap via left-semi join, inverted-index self-join on the 8-byte fingerprint",
       "q_ann_ivf_kmeans" -> "trained IVF (final search plan; Lloyd fit runs ahead via localCheckpoint): probes from the bounded-heap TopKAgg, bucket equi-join against checkpointed assignments, aggregate ranking — no Window",
       "q_dist_within_radius" -> "GeodesicRadiusRule fired: cheap |dlat|*109<=r bound evaluated before the Vincenty kernel in the join condition",
-      "q_top_customers_revenue" -> "3-way join: dimensions broadcast, single agg exchange, TakeOrderedAndProject")
+      "q_top_customers_revenue" -> "3-way join: dimensions broadcast, single agg exchange, TakeOrderedAndProject",
+      "q3_shipping_priority" -> "TPC-H Q3 shape: both date filters pushed to their scans, customer side broadcast, TakeOrderedAndProject for the top-10 (no global sort)",
+      "q_events_moving_avg" -> "RANGE-frame rolling window: one Exchange on user_id, single partitioned sort+window pass",
+      "q_dsv2_pushdown" -> "DataSource V2 connector: filter AND projection land in the scan node (PushedFilters/ReadSchema on GraftParquetScan), agg above sees survivors only",
+      "q_dedup_embedding" -> "embedding near-dup clusters: pair generation broadcast-nested-loop on the vector side (exact oracle twin; LSH path is the scale configuration), closure over 8-byte id edges only",
+      "q_token_cms" -> "count-min sketch: counter matrix via partial-aggregated groupBy(j,bucket), estimates via broadcast join of the bounded d*w matrix")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"

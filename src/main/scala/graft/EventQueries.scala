@@ -148,6 +148,36 @@ object EventQueries {
            |FROM g WHERE gap IS NOT NULL
            |GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Trailing 1-hour window, in micros (the table's native resolution). */
+  val MovingAvgWindowUs = 3600000000L
+
+  /** Per-user trailing-hour rolling aggregate via a RANGE frame — the
+    * time-based window family (moving averages, rolling rates) that ROWS
+    * frames can't express when event spacing is irregular: the frame is
+    * "everything within the last hour", however many rows that is.
+    * Decimal-summed (order-independent bits), count alongside so the
+    * consumer derives the average without a cross-engine division.
+    * Plan: one Exchange on user_id, then a single sort+window pass —
+    * partitioned, never a global window. */
+  val qMovingAvg = QueryDef("q_events_moving_avg",
+    (spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+        .rangeBetween(-MovingAvgWindowUs, Window.currentRow)
+      events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          sum(col("value").cast("decimal(28,10)")).over(w)
+            .cast("double").as("rolling_value"),
+          count(lit(1)).over(w).as("n_in_window"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some(s"""SELECT user_id, event_id, epoch_us(ts) AS ts,
+            |  CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS rolling_value,
+            |  CAST(count(*) OVER w AS BIGINT) AS n_in_window
+            |FROM events
+            |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+            |  RANGE BETWEEN $MovingAvgWindowUs PRECEDING AND CURRENT ROW)
+            |ORDER BY user_id, ts, event_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(qSessions, qTop3PerType, qUserPivot, qJsonExtract,
-    qInterarrival)
+    qInterarrival, qMovingAvg)
 }

@@ -178,7 +178,64 @@ object RelationalQueries {
            |FROM documents WHERE lang = 'en' AND n_chars > 500
            |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** TPC-H Q3 ("shipping priority") adapted to this schema: segment-
+    * filtered customers ⋈ date-bounded orders ⋈ ship-date-bounded
+    * lineitems, revenue per open order, top 10. The canonical selective-
+    * join-then-rank shape: both date filters reach their scans
+    * (PushedFilters), the customer side is broadcast, and the final
+    * ranking is a TakeOrderedAndProject, not a global sort. */
+  val Q3Cutoff = "1998-06-01"
+  val qShippingPriority = QueryDef("q3_shipping_priority",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") > lit(Q3Cutoff))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,6)").as("rev"))
+      Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(spark, dir)
+            .filter(col("o_orderdate") < lit(Q3Cutoff)),
+          col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum("rev").cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    },
+    Some(s"""SELECT l_orderkey,
+            |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+            |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+            |FROM customer
+            |JOIN orders ON c_custkey = o_custkey
+            |JOIN lineitem ON o_orderkey = l_orderkey
+            |WHERE c_mktsegment = 'BUILDING'
+            |  AND o_orderdate < TIMESTAMP '$Q3Cutoff'
+            |  AND l_shipdate > TIMESTAMP '$Q3Cutoff'
+            |GROUP BY l_orderkey, o_orderdate
+            |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
+
+  /** Column profile of the documents table — the pre-training data-
+    * quality pass as a catalog entry ([[graft.operators.Profile]]). */
+  val qProfileDocuments = QueryDef("q_profile_documents",
+    (spark, dir) => graft.operators.Profile.profile(
+        Tables.documents(spark, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy("col_name"),
+    Some {
+      val branches = Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+             |FROM documents""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"$branches\nORDER BY col_name"
+    })
+
   def all: Seq[QueryDef] = Seq(
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
-    qDsv2Pushdown)
+    qDsv2Pushdown, qShippingPriority, qProfileDocuments)
 }
