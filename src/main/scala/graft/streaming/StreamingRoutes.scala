@@ -66,6 +66,32 @@ object StreamingRoutes {
       keys: Seq[String]): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
 
+  /** Stream-STREAM inner join within a time bound: pair each left row
+    * with the right rows of the same key whose event time falls in
+    * [left.ts, left.ts + within] — the funnel/attribution shape
+    * ("purchase within an hour of the view"). Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire buffered state: left rows age out once the right
+    * watermark passes their ts + within, right rows symmetrically —
+    * WITHOUT the time-range condition state would grow forever, which is
+    * why `within` is a required parameter, not an option. Column names
+    * of the two sides must be disjoint apart from `keyCol` (output
+    * carries both ts columns as `tsCol` and `${tsCol}_right`).
+    *
+    * @param within SQL interval literal body, e.g. "1 hour"
+    */
+  def joinWithin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark)
+      .withColumnRenamed(tsCol, s"${tsCol}_right").alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.${tsCol}_right") >= col(s"l.$tsCol") &&
+        col(s"r.${tsCol}_right") <= col(s"l.$tsCol") + expr(s"INTERVAL $within"))
+      .drop(col(s"r.$keyCol"))
+  }
+
   /** Streaming exact dedup: drop any row whose content fingerprint was
     * already seen within the watermark horizon — `dropDuplicates` backed
     * by a keyed state store holding only the 8-byte fingerprint. */

