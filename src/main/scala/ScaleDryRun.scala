@@ -1,0 +1,96 @@
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Structural scale dry run (SCALE.md): runs the three ITERATIVE/heavy
+  * paths — near-dup cluster resolution, the end-to-end training prep,
+  * and k-means IVF training — and reports, per run:
+  *   - wall seconds (secondary signal on this noisy host),
+  *   - contraction ROUND count (the superlinear risk for the cluster
+  *     paths is iteration growth, invisible to single-scale timing),
+  *   - total shuffle bytes read+written (the 100 TB cost driver: if
+  *     bytes scale superlinearly with the corpus, the plan is wrong no
+  *     matter what local wall-clock says).
+  *
+  * Usage: `runMain ScaleDryRun <dir>` where dir holds documents.parquet
+  * and embeddings.parquet (e.g. /root/testdata/sf0.1, or the replicated
+  * /tmp corpora generated per SCALE.md).
+  */
+object ScaleDryRun {
+
+  private class ShuffleAcc extends SparkListener {
+    @volatile var read = 0L
+    @volatile var written = 0L
+    @volatile var stages = 0
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        read += m.shuffleReadMetrics.totalBytesRead
+        written += m.shuffleWriteMetrics.bytesWritten
+        stages += 1
+      }
+    }
+  }
+
+  private def measured[A](spark: SparkSession, label: String)(work: => A): A = {
+    val acc = new ShuffleAcc
+    spark.sparkContext.addSparkListener(acc)
+    val t0 = System.nanoTime()
+    val out = work
+    val secs = (System.nanoTime() - t0) / 1e9
+    // listener bus is async (and its drain API is private[spark]) — give
+    // queued stage-completion events time to land before reading counters
+    Thread.sleep(3000)
+    spark.sparkContext.removeSparkListener(acc)
+    println(f"DRYRUN $label%s secs=$secs%.1f shuffle_read_mb=${acc.read / 1e6}%.1f " +
+      f"shuffle_write_mb=${acc.written / 1e6}%.1f stages=${acc.stages}%d extra=$out%s")
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // normalize plan shape across scales: small corpora broadcast joins
+    // that big corpora shuffle, which makes raw byte ratios incomparable —
+    // disabling broadcast at BOTH scales isolates data-volume scaling
+    if (sys.env.contains("SPARK_GRAFT_DRYRUN_NOBROADCAST"))
+      builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.core.GraftSession.adopt(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    docs.count(); emb.count() // warm page cache / footers
+
+    measured(spark, s"dedup_clusters dir=$dir") {
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text",
+        graft.TextQueries.ShingleN, graft.TextQueries.MinJaccard,
+        failOnOverflow = true)
+      val (labels, rounds, converged) =
+        graft.operators.Dedup.duplicateClustersDetail(pairs)
+      val n = labels.count()
+      s"rounds=$rounds converged=$converged labels=$n"
+    }
+
+    measured(spark, s"training_prep dir=$dir") {
+      val rows = graft.SparkEntry.queries("q_training_data_prep")(spark, dir)
+        .queryExecution.toRdd.count()
+      s"rows=$rows"
+    }
+
+    measured(spark, s"kmeans_fit dir=$dir") {
+      val (cents, assigned) = graft.operators.KMeans.fit(
+        emb, "vec_id", "embedding",
+        graft.VectorQueries.IvfClusters, graft.VectorQueries.IvfIters)
+      s"centroids=${cents.count()} assigned=${assigned.count()}"
+    }
+
+    spark.stop()
+  }
+}
