@@ -50,5 +50,38 @@ object JoinQueries {
            |       CAST(count(*) AS BIGINT) AS n_events
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(qAsOf, qDistinctUsers)
+  /** Bloom-pruned join: yearly revenue of line items belonging to URGENT
+    * orders. The Spark plan builds a bloom filter over the urgent
+    * orderkeys, prunes lineitem map-side, THEN joins exactly — so the
+    * result is bit-identical to the plain join the DuckDB oracle runs
+    * (false positives are removed by the join; false negatives cannot
+    * occur). The oracle therefore checks the END-TO-END claim that bloom
+    * pruning is semantics-free, the property that makes it safe at
+    * 100 TB ([[graft.operators.Joins.bloomPrefilter]]). */
+  val qBloomPrune = QueryDef("q_bloom_join_prune",
+    (spark, dir) => {
+      val urgent = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val fact = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val pruned = graft.operators.Joins.bloomPrefilter(
+        fact, col("l_orderkey"), urgent, col("o_orderkey"))
+      pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(28,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           |       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+           |                     AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           |       CAST(count(*) AS BIGINT) AS n_items
+           |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |WHERE o.o_orderpriority = '1-URGENT'
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(qAsOf, qDistinctUsers, qBloomPrune)
 }

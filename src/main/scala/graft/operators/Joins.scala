@@ -32,4 +32,32 @@ object Joins {
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
   }
+
+  /** Bloom-filter semi-join pruning: build a [[graft.expr.BloomAgg]]
+    * filter over `dim`'s key set, broadcast the one-row blob, and drop
+    * `fact` rows whose key cannot be in `dim` BEFORE any join shuffle.
+    * False positives pass through (rate ≈ (1−e^{−kn/m})^k), so the
+    * caller's subsequent exact join sees a superset of the matching rows
+    * and produces a result bit-identical to the unpruned plan — false
+    * negatives cannot occur ([[graft.expr.BloomKernels]]).
+    *
+    * Scale: the filter build exchanges `numBits/8` bytes per map task
+    * (TypedImperativeAggregate partial merge), the blob rides one
+    * broadcast, and the prune runs inside the fact scan's codegen loop —
+    * at 100 TB this cuts the fact side's shuffle volume by roughly the
+    * join selectivity for the cost of one tiny aggregate. This is
+    * Spark's own runtime bloom-join rewrite surfaced as an explicit
+    * operator (the built-in rewrite only fires on its own heuristics;
+    * a pipeline author often knows better).
+    *
+    * Keys must be BIGINT; hash other types through
+    * [[graft.expr.Fingerprint64]] on BOTH sides first.
+    */
+  def bloomPrefilter(fact: DataFrame, factKey: Column, dim: DataFrame,
+      dimKey: Column, numBits: Long = 1L << 22, numHashes: Int = 5): DataFrame = {
+    val bloom = dim.agg(graft.expr.BloomAgg(dimKey, numBits, numHashes).as("_bloom"))
+    fact.crossJoin(broadcast(bloom))
+      .filter(graft.expr.BloomMightContain(col("_bloom"), factKey))
+      .drop("_bloom")
+  }
 }

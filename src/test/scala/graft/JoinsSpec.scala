@@ -161,6 +161,71 @@ class JoinsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("bloom kernel: zero false negatives, FPR near theory, order-independent blob") {
+    val k = 5
+    val words = new Array[Long]((1 << 17) / 64) // m = 131072 bits
+    val members = (0L until 10000L).map(_ * 7919L + 13L)
+    members.foreach(graft.expr.BloomKernels.add(words, k, _))
+    val blob = graft.expr.BloomKernels.serialize(words, k)
+    // no false negatives, ever
+    members.foreach(m =>
+      assert(graft.expr.BloomKernels.mightContain(blob, m), s"false negative on $m"))
+    // false-positive rate ≈ (1 − e^{−kn/m})^k ≈ 0.217% at n=10k, m=128Ki, k=5
+    val nonMembers = (0L until 20000L).map(_ * 7919L + 14L)
+    val fps = nonMembers.count(graft.expr.BloomKernels.mightContain(blob, _))
+    val theory = math.pow(1 - math.exp(-k * 10000.0 / (1 << 17)), k)
+    assert(fps.toDouble / nonMembers.size <= 3 * theory + 1e-4,
+      s"FPR ${fps.toDouble / nonMembers.size} vs theory $theory")
+    // insertion order cannot move a bit
+    val words2 = new Array[Long]((1 << 17) / 64)
+    scala.util.Random.shuffle(members).foreach(
+      graft.expr.BloomKernels.add(words2, k, _))
+    assert(java.util.Arrays.equals(blob,
+      graft.expr.BloomKernels.serialize(words2, k)))
+  }
+
+  test("bloomPrefilter: superset of matches, partitioning-independent blob, prune in plan") {
+    import spark.implicits._
+    val dim = spark.range(0, 500).select((col("id") * 3).as("dk"))
+    val fact = spark.range(0, 20000).select((col("id") % 2000).as("fk"))
+    val pruned = Joins.bloomPrefilter(fact, col("fk"), dim, col("dk"))
+    val keep = rows(pruned).map(_.getLong(0))
+    // every true match survives (no false negatives)…
+    val trueMatches = rows(fact.join(dim, col("fk") === col("dk"), "left_semi"))
+      .map(_.getLong(0))
+    assert(keep.toSet.intersect(trueMatches.toSet) == trueMatches.toSet)
+    // …and the prune actually bit: ≤ a handful of false positives among
+    // the 1000 non-matching distinct keys at m=2^22, n=500
+    assert(keep.size <= trueMatches.size + 100,
+      s"prune ineffective: kept ${keep.size} vs ${trueMatches.size} true")
+    // the blob is a pure function of the key set, not its partitioning
+    val b1 = rows(dim.repartition(1).agg(
+      graft.expr.BloomAgg(col("dk"), 1 << 16, 5).as("b"))).head.getAs[Array[Byte]](0)
+    val b13 = rows(dim.repartition(13).agg(
+      graft.expr.BloomAgg(col("dk"), 1 << 16, 5).as("b"))).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(b1, b13))
+    // the membership probe sits in the fact-side plan (map-side, pre-join)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"no bloom probe in plan:\n$plan")
+  }
+
+  test("q_bloom_join_prune equals the plain unpruned join") {
+    val viaBloom = rows(Catalog.all.find(_.name == "q_bloom_join_prune").get
+      .run(spark, sfDir))
+    val urgent = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderdate")
+    val plain = rows(spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_year"))
+    assert(viaBloom == plain)
+    assert(viaBloom.nonEmpty)
+  }
+
   test("approx_count_distinct within 5% of exact on events") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val both = rows(events.groupBy("event_type").agg(
