@@ -190,7 +190,46 @@ object PipelineQueries {
             |             / CAST(toks AS DOUBLE)) AS sample_rate
             |FROM per, tot ORDER BY source""".stripMargin))
 
+  /** PPS sample size for [[qWeightedSample]] — small enough that the
+    * boundary key gap dwarfs cross-engine ln() ulp jitter, large enough
+    * to exercise the heap merge across partitions. */
+  val SampleK = 50
+
+  /** Weighted (probability-proportional-to-size) sample of 50 documents,
+    * weight = n_chars, via deterministic A-ES
+    * ([[graft.operators.Sampling.weightedSample]]). The DuckDB oracle
+    * re-derives the IDENTICAL sample from the same finalized
+    * fingerprints — the reproducibility property a training pipeline
+    * needs from its subsampling step. The ranking key is float (ln), so
+    * it is not emitted; the selected id SET is what's hash-checked. */
+  val qWeightedSample = QueryDef("q_weighted_sample",
+    (spark, dir) => graft.operators.Sampling.weightedSample(
+      Tables.documents(spark, dir).select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", SampleK)
+      .orderBy("doc_id"),
+    Some {
+      val u = """(CASE WHEN z < CAST('9223372036854775808' AS HUGEINT)
+                |      THEN CAST(CAST(z AS BIGINT) AS DOUBLE)
+                |      ELSE CAST(CAST(z - CAST('18446744073709551616' AS HUGEINT)
+                |                     AS BIGINT) AS DOUBLE) + 1.8446744073709552e19
+                | END + 0.5) / 1.8446744073709552e19""".stripMargin
+      s"""WITH h AS (
+         |  SELECT doc_id, source, n_chars,
+         |         ${TextQueries.fnvFoldSql("CAST(doc_id AS VARCHAR)")} AS z
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+         |), ${TextQueries.splitmixCtesSql("h", "doc_id, source, n_chars", "w")},
+         |keyed AS (
+         |  SELECT doc_id, source, n_chars,
+         |         ln($u) / CAST(n_chars AS DOUBLE) AS k
+         |  FROM w5
+         |), top AS (
+         |  SELECT doc_id, source, n_chars FROM keyed
+         |  ORDER BY k DESC, doc_id LIMIT $SampleK
+         |)
+         |SELECT doc_id, source, n_chars FROM top ORDER BY doc_id""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     qSampleSplit, qBalanceLangs, qPackSequences, qTop3Agg, qLangSimilarity,
-    qMixWeights)
+    qMixWeights, qWeightedSample)
 }

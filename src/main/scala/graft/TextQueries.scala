@@ -532,7 +532,7 @@ object TextQueries {
     * [[graft.expr.TextHashKernels.fnv1a64]]: code points → UTF-8 bytes →
     * byte fold mod 2⁶⁴ (multiplier as HUGEINT — BIGINT would overflow;
     * see the simhash oracle, which inlines the same fold). */
-  private def fnvFoldSql(s: String): String =
+  private[graft] def fnvFoldSql(s: String): String =
     s"""list_reduce(
        |  list_prepend(CAST('14695981039346656037' AS HUGEINT),
        |    flatten([
@@ -551,10 +551,10 @@ object TextQueries {
        |             * CAST('1099511628211' AS HUGEINT))
        |            % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
 
-  private val P64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private[graft] def P64: String = "CAST('18446744073709551616' AS HUGEINT)"
 
   /** Unsigned HUGEINT → signed BIGINT bit pattern (two's-complement wrap). */
-  private def toSignedSql(u: String): String =
+  private[graft] def toSignedSql(u: String): String =
     s"""CASE WHEN $u >= CAST('9223372036854775808' AS HUGEINT)
        |     THEN CAST($u - $P64 AS BIGINT) ELSE CAST($u AS BIGINT) END""".stripMargin
 
@@ -562,7 +562,7 @@ object TextQueries {
     * back as unsigned HUGEINT. `v` must be < 2⁶³ (true for every shifted
     * operand here). Operands are repeated textually — pass column names,
     * not expressions. */
-  private def xor64Sql(u: String, v: String): String = {
+  private[graft] def xor64Sql(u: String, v: String): String = {
     val x = s"xor(${toSignedSql(u)}, CAST($v AS BIGINT))"
     s"""CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $P64
        |     ELSE CAST($x AS HUGEINT) END""".stripMargin
@@ -571,7 +571,7 @@ object TextQueries {
   /** (z · M) mod 2⁶⁴ with M split into 32-bit halves — a full 64×64
     * product overflows INT128 (DuckDB's HUGEINT), so fold the high half
     * mod 2³² before scaling: z·M ≡ z·lo + ((z mod 2³²)·hi mod 2³²)·2³². */
-  private def mulModSql(z: String, hi: Long, lo: Long): String =
+  private[graft] def mulModSql(z: String, hi: Long, lo: Long): String =
     s"""(($z * $lo) % $P64 +
        | ((($z % 4294967296) * $hi) % 4294967296) * 4294967296) % $P64""".stripMargin
 
@@ -579,7 +579,7 @@ object TextQueries {
     * [0,2⁶⁴)), carried alongside `keys`: emits CTE stages `<p>0..<p>5`;
     * read the mixed value as `z` from `<p>5`. Mirrors
     * [[graft.expr.TextHashKernels.splitmix64]] stage for stage. */
-  private def splitmixCtesSql(src: String, keys: String, p: String): String =
+  private[graft] def splitmixCtesSql(src: String, keys: String, p: String): String =
     s"""${p}0 AS (
        |  SELECT $keys, (z + CAST('11400714819323198485' AS HUGEINT)) % $P64 AS z FROM $src
        |), ${p}1 AS (SELECT $keys, ${xor64Sql("z", "z // 1073741824")} AS z FROM ${p}0

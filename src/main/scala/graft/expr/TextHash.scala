@@ -189,6 +189,28 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "fingerprint64"
 }
 
+/** `splitmix64(long) -> long` — the SplitMix64 finalizer as a column
+  * expression. Raw multiplicative hashes (FNV-1a included) have biased
+  * high bits; anything that treats a hash as a uniform draw on [0, 2⁶⁴)
+  * (order statistics, sampling keys) must finalize first — see
+  * [[KmvAgg]] for the measured bias. Bijective, so distinctness is
+  * preserved. */
+case class SplitMix64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"splitmix64 requires BIGINT, got ${dt.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernels.splitmix64(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHashKernels.splitmix64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "splitmix64"
+}
+
 /** `minhash(array<string>, k, seed) -> array<long>` — k-function MinHash
   * signature of a shingle set. k and seed must be foldable. */
 case class MinHashSig(child: Expression, k: Int, seed: Long)
@@ -273,6 +295,9 @@ case class RandomProjectionSig(child: Expression, nBits: Int, seed: Long)
 
 object Fingerprint64 {
   def apply(c: Column): Column = toCol(Fingerprint64(toExpr(c)))
+}
+object SplitMix64Expr {
+  def apply(c: Column): Column = toCol(SplitMix64Expr(toExpr(c)))
 }
 object MinHashSig {
   def apply(c: Column, k: Int, seed: Long): Column = toCol(MinHashSig(toExpr(c), k, seed))
