@@ -25,7 +25,11 @@ object PlanDump {
       "q_events_moving_avg" -> "RANGE-frame rolling window: one Exchange on user_id, single partitioned sort+window pass",
       "q_dsv2_pushdown" -> "DataSource V2 connector: filter AND projection land in the scan node (PushedFilters/ReadSchema on GraftParquetScan), agg above sees survivors only",
       "q_dedup_embedding" -> "embedding near-dup clusters: pair generation broadcast-nested-loop on the vector side (exact oracle twin; LSH path is the scale configuration), closure over 8-byte id edges only",
-      "q_token_cms" -> "count-min sketch: counter matrix via partial-aggregated groupBy(j,bucket), estimates via broadcast join of the bounded d*w matrix")
+      "q_token_cms" -> "count-min sketch: counter matrix via partial-aggregated groupBy(j,bucket), estimates via broadcast join of the bounded d*w matrix",
+      "q_bloom_join_prune" -> "bloom semi-join pruning: one-row filter blob broadcast, bloom_might_contain inside the fact scan's codegen BEFORE the join exchange — shuffle carries only probable matches",
+      "q_weighted_sample" -> "A-ES weighted sample: two hash kernels + ln in the scan project, TakeOrderedAndProject bounded top-k (no global sort, no window)",
+      "q5_local_supplier_volume" -> "TPC-H Q5 shape: region/nation/supplier broadcast, the orders-lineitem spine is the only shuffled join, one agg exchange",
+      "q_revenue_quartiles" -> "ntile/percent_rank/cume_dist: window PARTITIONED by nation (hash exchange, per-nation sort) — no single-partition global sort")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"

@@ -217,6 +217,47 @@ object RelationalQueries {
             |GROUP BY l_orderkey, o_orderdate
             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
 
+  /** TPC-H Q5 shape (local supplier volume): the star join with TWO
+    * independent paths to nation — customer's nation must equal the line
+    * item's SUPPLIER nation — which no single join chain expresses; the
+    * c_nationkey = s_nationkey condition rides the lineitem–supplier
+    * join. Scale: region/nation/supplier broadcast (small dims); the
+    * orders⋈lineitem spine is the only shuffled join, keyed on orderkey.
+    * Distinct from [[qRegionRevenue]], which has the single
+    * customer-path only. */
+  val qLocalSupplierVolume = QueryDef("q5_local_supplier_volume",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+        col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,6)").as("rev"))
+      Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(spark, dir),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.customer(spark, dir),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(spark, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(sum("rev").cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+    Some("""SELECT n_name,
+           |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_items
+           |FROM region
+           |JOIN nation ON r_regionkey = n_regionkey
+           |JOIN customer ON n_nationkey = c_nationkey
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+           |WHERE r_name = 'ASIA'
+           |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
+
   /** Column profile of the documents table — the pre-training data-
     * quality pass as a catalog entry ([[graft.operators.Profile]]). */
   val qProfileDocuments = QueryDef("q_profile_documents",
@@ -237,5 +278,6 @@ object RelationalQueries {
 
   def all: Seq[QueryDef] = Seq(
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
-    qDsv2Pushdown, qShippingPriority, qProfileDocuments)
+    qDsv2Pushdown, qShippingPriority, qLocalSupplierVolume,
+    qProfileDocuments)
 }
