@@ -276,8 +276,50 @@ object RelationalQueries {
       s"$branches\nORDER BY col_name"
     })
 
+  /** Morton z-values for the station grid — the data-layout kernel
+    * behind [[graft.sources.Sinks.parquetZOrdered]], hash-checked
+    * bit-for-bit: DuckDB re-derives the same codes via the same
+    * binary-magic-number spreading ([[graft.expr.ZOrderKernels]]).
+    * Quantization arithmetic is IEEE-identical cross-engine (the lat/lon
+    * synthesis is integer-derived, the scale factors are powers of two
+    * where rounding could bite). `cell` = z >> 8 is the coarse bucket a
+    * file-pruning layout would group by. */
+  val qZorderCells = QueryDef("q_zorder_cells",
+    (spark, dir) => {
+      import org.apache.spark.sql.Column
+      def cell(c: Column, lo: Double, hi: Double) =
+        least(lit(65535L), greatest(lit(0L),
+          floor((c - lit(lo)) / lit(hi - lo) * 65536).cast("long")))
+      Tables.stationsById(spark, dir)
+        .select(col("id"), graft.expr.InterleaveBits16(
+          cell(col("latitude"), 51.0, 51.5),
+          cell(col("longitude"), -0.5, 0.5)).as("zvalue"))
+        .withColumn("cell", shiftright(col("zvalue"), 8))
+        .orderBy("id")
+    },
+    Some(s"""WITH ${Catalog.stationsSql},
+            |cells AS (
+            |  SELECT id,
+            |    least(65535, greatest(0,
+            |      CAST(floor((latitude - 51.0) / 0.5 * 65536) AS BIGINT))) AS cx,
+            |    least(65535, greatest(0,
+            |      CAST(floor((longitude - (-0.5)) / 1.0 * 65536) AS BIGINT))) AS cy
+            |  FROM stations
+            |),
+            |z1 AS (SELECT id, (cx | (cx << 8)) & 16711935 AS cx,
+            |               (cy | (cy << 8)) & 16711935 AS cy FROM cells),
+            |z2 AS (SELECT id, (cx | (cx << 4)) & 252645135 AS cx,
+            |               (cy | (cy << 4)) & 252645135 AS cy FROM z1),
+            |z3 AS (SELECT id, (cx | (cx << 2)) & 858993459 AS cx,
+            |               (cy | (cy << 2)) & 858993459 AS cy FROM z2),
+            |z4 AS (SELECT id, (cx | (cx << 1)) & 1431655765 AS cx,
+            |               (cy | (cy << 1)) & 1431655765 AS cy FROM z3)
+            |SELECT id, cx | (cy << 1) AS zvalue,
+            |       (cx | (cy << 1)) >> 8 AS cell
+            |FROM z4 ORDER BY id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
     qDsv2Pushdown, qShippingPriority, qLocalSupplierVolume,
-    qProfileDocuments)
+    qProfileDocuments, qZorderCells)
 }

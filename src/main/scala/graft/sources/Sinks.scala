@@ -53,4 +53,36 @@ object Sinks {
       .bucketBy(buckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** Z-ordered parquet: cluster rows by the Morton code of two bounded
+    * numeric columns so every output file covers a tight 2-D rectangle —
+    * then BOTH columns' min/max row-group stats are selective, and a
+    * 2-D range predicate prunes to the files whose rectangles intersect
+    * it (sorting by one column alone leaves the other unconstrained per
+    * file). The quantization to 16-bit grid cells happens here from the
+    * caller-declared [lo, hi) bounds; rows outside the bounds clamp to
+    * the edge cells (they cluster at the border rather than failing —
+    * bounds are a layout hint, not a filter).
+    *
+    * `repartitionByRange` on z gives files = contiguous Morton ranges
+    * (the clustering property); `sortWithinPartitions` tightens row
+    * groups within each file. One range exchange total — same shuffle
+    * count as any repartitioned write. See [[graft.expr.ZOrderKernels]]
+    * for why this matters at 100 TB.
+    */
+  def parquetZOrdered(df: DataFrame, xCol: String, xLo: Double, xHi: Double,
+      yCol: String, yLo: Double, yHi: Double, path: String,
+      files: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    require(xHi > xLo && yHi > yLo, "parquetZOrdered: need hi > lo bounds")
+    def cell(c: String, lo: Double, hi: Double) =
+      least(lit(65535L), greatest(lit(0L),
+        floor((col(c) - lit(lo)) / lit(hi - lo) * 65536).cast("long")))
+    df.withColumn("_z", graft.expr.InterleaveBits16(
+        cell(xCol, xLo, xHi), cell(yCol, yLo, yHi)))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }
