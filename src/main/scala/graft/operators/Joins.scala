@@ -55,9 +55,17 @@ object Joins {
     */
   def bloomPrefilter(fact: DataFrame, factKey: Column, dim: DataFrame,
       dimKey: Column, numBits: Long = 1L << 22, numHashes: Int = 5): DataFrame = {
-    val bloom = dim.agg(graft.expr.BloomAgg(dimKey, numBits, numHashes).as("_bloom"))
-    fact.crossJoin(broadcast(bloom))
-      .filter(graft.expr.BloomMightContain(col("_bloom"), factKey))
-      .drop("_bloom")
+    // The blob is materialized HERE (one distributed aggregate, then
+    // numBits/8 bytes to the driver) and inlined as a Literal, for the
+    // same reason the k-means Lloyd step collects its centroid matrix:
+    // it is bounded model-scale state, and a literal rides into
+    // generated code as a codegen reference object — zero per-row cost.
+    // The first cut instead broadcast the blob as a one-row DataFrame
+    // and probed it through a nested-loop join condition; extracting the
+    // 512 KB binary FIELD from the broadcast row copies it per probe
+    // row (~300 GB of memcpy per 600k rows) — 30x slower end to end.
+    val blob = dim.agg(graft.expr.BloomAgg(dimKey, numBits, numHashes))
+      .head().getAs[Array[Byte]](0)
+    fact.filter(graft.expr.BloomMightContain(lit(blob), factKey))
   }
 }
