@@ -178,6 +178,22 @@ object EventQueries {
             |  RANGE BETWEEN $MovingAvgWindowUs PRECEDING AND CURRENT ROW)
             |ORDER BY user_id, ts, event_id""".stripMargin))
 
+  /** Latest-wins compaction: each user's newest event row, via the
+    * aggregate form ([[graft.operators.Upsert.latestByKey]] — one
+    * partial-aggregated exchange, no window sort). The oracle is the
+    * textbook row_number()-window form — the two must agree exactly,
+    * which is the compaction-correctness claim. */
+  val qUpsertLatest = QueryDef("q_upsert_latest",
+    (spark, dir) => graft.operators.Upsert.latestByKey(
+      Tables.eventsMicros(spark, dir),
+      keys = Seq("user_id"), versionCol = "ts", tieBreakCol = "event_id")
+      .orderBy("user_id"),
+    Some("""SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value, props
+           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+           |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           |      FROM events)
+           |WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(qSessions, qTop3PerType, qUserPivot, qJsonExtract,
-    qInterarrival, qMovingAvg)
+    qInterarrival, qMovingAvg, qUpsertLatest)
 }

@@ -102,4 +102,47 @@ object StreamingRoutes {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__graft_fp")
       .drop("__graft_fp") // output schema == input schema
+
+  /** Streaming upsert sink: maintain a latest-wins parquet snapshot of a
+    * keyed changelog via foreachBatch — each micro-batch is compacted
+    * with [[graft.operators.Upsert.latestByKey]] against the current
+    * snapshot (read, union, re-compact, atomically swap directories).
+    * This is the MERGE-into-table pattern without a table format:
+    * exactly-once per batch because the swap is the only visible effect
+    * and replaying a batch recomputes the identical snapshot
+    * (latestByKey is idempotent over re-delivered rows).
+    *
+    * Scale note: each batch re-compacts snapshot ∪ delta — the honest
+    * cost of upsert on a format without row-level merge (Delta/Iceberg
+    * pay it in deferred form as merge-on-read + compaction). The
+    * aggregate form keeps the exchange at ≤ keys × tasks rows, and a
+    * production deployment would partition the snapshot by key range so
+    * a batch rewrites only the partitions its delta touches. */
+  def upsertSink(changelog: DataFrame, keys: Seq[String], versionCol: String,
+      tieBreakCol: String, snapshotDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    changelog.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new java.io.File(snapshotDir)
+        val cur =
+          if (fs.exists()) spark.read.parquet(snapshotDir)
+          else batch.limit(0)
+        val next = graft.operators.Upsert.latestByKey(
+          cur.unionByName(batch), keys, versionCol, tieBreakCol)
+        val tmp = snapshotDir + "_tmp"
+        next.write.mode("overwrite").parquet(tmp)
+        // atomic-enough swap for a local snapshot: rename into place
+        val old = new java.io.File(snapshotDir + "_old")
+        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+        if (fs.exists() && !fs.renameTo(old))
+          sys.error(s"upsertSink: could not retire $snapshotDir")
+        if (!new java.io.File(tmp).renameTo(fs))
+          sys.error(s"upsertSink: could not publish $tmp")
+        ()
+      }
+      .start()
+  }
 }

@@ -157,4 +157,39 @@ class StreamingSpec extends SparkSpec {
     // the running query made progress and terminated cleanly (above),
     // which with unbounded state on this watermark setup it would not
   }
+
+  test("upsertSink: snapshot converges to batch latestByKey across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val snap = "/tmp/graft_upsert_snapshot"
+    val ckpt = "/tmp/graft_upsert_ckpt"
+    for (d <- Seq(snap, snap + "_tmp", snap + "_old", ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+
+    // two deliveries for user 1 in DIFFERENT batches (later wins), an
+    // in-batch duplicate version for user 2 (tie-break on event id), and
+    // an out-of-order late row for user 1 (must NOT win)
+    val b1 = Seq(Ev(t(1), 1L, 10.0), Ev(t(2), 2L, 20.0))
+    val b2 = Seq(Ev(t(5), 1L, 11.0), Ev(t(2), 2L, 21.0), Ev(t(0), 1L, 9.0))
+
+    val stream = MemoryStream[Ev]
+    val q = StreamingRoutes.upsertSink(stream.toDF(), Seq("user_id"), "ts",
+      "value", snap, ckpt)
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = spark.read.parquet(snap)
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+      assert(afterB1 == Map(1L -> 10.0, 2L -> 20.0))
+      stream.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val snapshot = spark.read.parquet(snap)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    val batch = graft.operators.Upsert.latestByKey(
+      (b1 ++ b2).toDF(), Seq("user_id"), "ts", "value")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(snapshot == batch)
+    assert(snapshot == Map(1L -> 11.0, 2L -> 21.0))
+  }
 }
