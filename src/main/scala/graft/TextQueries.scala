@@ -718,10 +718,46 @@ object TextQueries {
          |FROM est ORDER BY exact_count DESC, token""".stripMargin
     })
 
+  /** Normalization + redaction over a deterministically "dirtied" corpus:
+    * both engines build the identical messy string (mixed case,
+    * punctuation, a synthetic email / id / URL per doc) from the same
+    * parquet, then [[graft.text.Normalize]] cleans and masks it — so the
+    * hash check covers lower/strip/collapse AND the three redaction
+    * regexes across every doc, in exactly the regex subset where Java
+    * and RE2 agree. (The raw documents corpus is single-case,
+    * single-spaced word soup — normalizing it directly would test
+    * almost nothing.) */
+  val qNormalizeRedact = QueryDef("q_normalize_redact",
+    (spark, dir) => {
+      val dirty = concat(
+        upper(substring(col("text"), 1, 40)), lit("  Contact: user"),
+        col("doc_id").cast("string"), lit("@example.com, ref #"),
+        (col("doc_id") * 1234567 + 10000000).cast("string"),
+        lit(" -- see https://example.com/d/"), col("doc_id").cast("string"),
+        lit(" (END)."))
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.text.Normalize.cleaned(dirty).as("norm_text"),
+          graft.text.Normalize.redacted(dirty).as("redacted"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val dirtySql = "upper(substr(text, 1, 40)) || '  Contact: user' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com, ref #' || " +
+        "CAST(doc_id * 1234567 + 10000000 AS VARCHAR) || " +
+        "' -- see https://example.com/d/' || CAST(doc_id AS VARCHAR) || " +
+        "' (END).'"
+      s"""SELECT doc_id,
+         |       ${graft.text.Normalize.cleanedSql(dirtySql)} AS norm_text,
+         |       ${graft.text.Normalize.redactedSql(s"($dirtySql)")} AS redacted
+         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
     qDocFingerprints, qDistinctKmv, qTokenCms,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
-    qTrainingPrep)
+    qTrainingPrep, qNormalizeRedact)
 }

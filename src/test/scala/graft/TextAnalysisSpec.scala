@@ -42,4 +42,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kernel.exceptAll(composed).count() == 0)
     assert(composed.exceptAll(kernel).count() == 0)
   }
+
+  test("Normalize.cleaned: lowercase, de-punctuate, collapse, trim — idempotent") {
+    import spark.implicits._
+    val in = Seq(
+      "  Hello,   WORLD!!  " -> "hello world",
+      "a\tb\nc\r d" -> "a b c d",
+      "Keep 123 digits-and words_ok" -> "keep 123 digits and words ok",
+      "" -> "").toDF("raw", "want")
+    val out = in.select(col("want"),
+      graft.text.Normalize.cleaned(col("raw")).as("got"))
+    out.collect().foreach(r =>
+      assert(r.getString(1) == r.getString(0), s"cleaned mismatch: $r"))
+    // idempotence: cleaning a cleaned string is the identity
+    val twice = in.select(
+      graft.text.Normalize.cleaned(col("raw")).as("once"))
+      .select(col("once"),
+        graft.text.Normalize.cleaned(col("once")).as("twice"))
+    twice.collect().foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("Normalize.redacted masks emails, URLs, and long digit runs — in that order") {
+    import spark.implicits._
+    val in = Seq(
+      ("mail me: jane.doe+x@sub.example.org now",
+        "mail me: <EMAIL> now"),
+      ("go to https://ex.com/a?b=12345678 please",
+        "go to <URL> please"),
+      ("id 123456789 but keep 123456",
+        "id <NUM> but keep 123456"),
+      // digits inside an email/URL are swallowed by the earlier mask,
+      // not double-redacted
+      ("user12345678@example.com / http://h.io/12345678",
+        "<EMAIL> / <URL>")).toDF("raw", "want")
+    in.select(col("want"), graft.text.Normalize.redacted(col("raw")).as("got"))
+      .collect().foreach(r =>
+        assert(r.getString(1) == r.getString(0), s"redacted mismatch: $r"))
+  }
 }
