@@ -229,7 +229,53 @@ object PipelineQueries {
          |SELECT doc_id, source, n_chars FROM top ORDER BY doc_id""".stripMargin
     })
 
+  /** Frequency-ranked vocabulary build + corpus token-id encoding — the
+    * tokenize-and-encode step of a training pipeline, as one query:
+    * token_id = rank of the token by (corpus frequency DESC, token ASC),
+    * output = every (doc_id, position, token_id) triple.
+    *
+    * Scale shape: the corpus side is map-only — split + posexplode in
+    * the scan's codegen, then a BROADCAST join against the vocabulary
+    * (a real tokenizer's vocab is bounded model-scale state, ≤ ~100k
+    * entries). The one ranking window runs over the AGGREGATED
+    * distinct-token table — bounded by construction, not corpus-sized —
+    * which is the documented exception to the no-unpartitioned-windows
+    * rule (ranking a vocabulary is inherently global; the input is
+    * already collapsed to one row per token). */
+  val qTokenIds = QueryDef("q_token_ids",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("token_id",
+          row_number().over(Window.orderBy(desc("cnt"), col("tok"))).cast("long"))
+        .select("tok", "token_id")
+      toks.join(broadcast(vocab), "tok")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id"))
+        .orderBy("doc_id", "pos")
+    },
+    Some("""WITH toks0 AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ws
+           |  FROM documents WHERE text IS NOT NULL
+           |), toks AS (
+           |  SELECT doc_id, i AS pos, ws[i + 1] AS tok
+           |  FROM toks0, LATERAL (SELECT unnest(range(len(ws))) AS i) u
+           |  WHERE ws[i + 1] <> ''
+           |), vocab AS (
+           |  SELECT tok,
+           |         row_number() OVER (ORDER BY count(*) DESC, tok) AS token_id
+           |  FROM toks GROUP BY tok
+           |)
+           |SELECT t.doc_id, t.pos, v.token_id
+           |FROM toks t JOIN vocab v USING (tok)
+           |ORDER BY doc_id, pos""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     qSampleSplit, qBalanceLangs, qPackSequences, qTop3Agg, qLangSimilarity,
-    qMixWeights, qWeightedSample)
+    qMixWeights, qWeightedSample, qTokenIds)
 }
