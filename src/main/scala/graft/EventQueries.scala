@@ -194,6 +194,49 @@ object EventQueries {
            |      FROM events)
            |WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
+  /** Resample period: 4 h in micros. */
+  val ResamplePeriodUs = 4L * 3600L * 1000000L
+
+  /** Time-series resample + forward fill: a 4-hour grid per user spanning
+    * that user's own [min ts, max ts], carrying the value of the user's
+    * most recent event at-or-before each grid point (NULL before the
+    * first event — the leading edge cell starts at floor(t0/period)).
+    * Composition: per-user bounds agg → `sequence`+`explode` grid (pure
+    * map-side fan-out, no cross join) → [[graft.operators.AsOfJoin]].
+    * Scale: grid cardinality is users × span/period — controlled by the
+    * period parameter, never corpus-sized; the as-of runs partitioned by
+    * user. Oracle: DuckDB's native ASOF LEFT JOIN over the identical
+    * integer-micros grid. */
+  val qResampleFfill = QueryDef("q_events_resample_ffill",
+    (spark, dir) => {
+      val ev = Tables.eventsMicros(spark, dir)
+      val bounds = ev.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("t1"))
+      val grid = bounds.select(col("user_id"),
+        explode(sequence(
+          expr(s"t0 div ${ResamplePeriodUs}L"),
+          expr(s"t1 div ${ResamplePeriodUs}L"))).as("cell"))
+        .select(col("user_id"), (col("cell") * ResamplePeriodUs).as("ts"))
+      graft.operators.AsOfJoin.asOf(grid,
+          ev.select(col("user_id"), col("ts"), col("value")),
+          keyCols = Seq("user_id"), timeCol = "ts", valueCols = Seq("value"))
+        .select(col("user_id"), col("ts").as("grid_ts"), col("asof_value"))
+        .orderBy("user_id", "grid_ts")
+    },
+    Some(s"""WITH ev AS (
+            |  SELECT user_id, epoch_us(ts) AS ts, value FROM events
+            |), bounds AS (
+            |  SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM ev GROUP BY user_id
+            |), grid AS (
+            |  SELECT user_id,
+            |         unnest(range(t0 // $ResamplePeriodUs,
+            |                      t1 // $ResamplePeriodUs + 1)) * $ResamplePeriodUs AS ts
+            |  FROM bounds
+            |)
+            |SELECT g.user_id AS user_id, g.ts AS grid_ts, e.value AS asof_value
+            |FROM grid g ASOF LEFT JOIN ev e
+            |  ON g.user_id = e.user_id AND g.ts >= e.ts
+            |ORDER BY g.user_id, grid_ts""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(qSessions, qTop3PerType, qUserPivot, qJsonExtract,
-    qInterarrival, qMovingAvg, qUpsertLatest)
+    qInterarrival, qMovingAvg, qUpsertLatest, qResampleFfill)
 }
