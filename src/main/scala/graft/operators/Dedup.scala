@@ -296,22 +296,25 @@ object Dedup {
       reliableCheckpoint: Boolean = false): (DataFrame, Int, Boolean) = {
     def persistRound(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    // Materialize the RAW pair set first: both derivations below (edges
+    // AND vertices) would otherwise each re-run the whole upstream pair
+    // plan (shingles → minhash → buckets → verify) — measured as a full
+    // 2x of the LSH derivation cost at sf0.1 before this checkpoint.
+    val raw = persistRound(pairs.select(col("doc_a"), col("doc_b")))
     // canonical distinct edges (bigger, smaller); self-pairs carry no
     // connectivity and are dropped here (the vertex set below still
     // remembers their endpoints). Materialized once — every round takes
-    // passes over it, and without this the whole upstream pair
-    // derivation (shingles → minhash → buckets → verify) would re-run
-    // per round.
+    // passes over it.
     val initial = persistRound(
-      pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+      raw.select(greatest(col("doc_a"), col("doc_b")).as("u"),
           least(col("doc_a"), col("doc_b")).as("v"))
         .filter(col("u") =!= col("v")).distinct())
     // the full vertex set, kept from the ORIGINAL pairs: the final
     // star edges label every non-isolated vertex, but self-pairs and
     // belt-and-braces coverage come from re-joining against this
     val vertices = persistRound(
-      pairs.select(col("doc_a").as("id"))
-        .union(pairs.select(col("doc_b").as("id"))).distinct())
+      raw.select(col("doc_a").as("id"))
+        .union(raw.select(col("doc_b").as("id"))).distinct())
 
     // large-star: every neighbor of u LARGER than u re-points at
     // m(u) = min(closed neighborhood). Output stays canonical: the
