@@ -275,7 +275,58 @@ object PipelineQueries {
            |FROM toks t JOIN vocab v USING (tok)
            |ORDER BY doc_id, pos""".stripMargin))
 
+  /** Per-stratum sample size for [[qWeightedSampleBySource]]. */
+  val PerSourceK = 10
+
+  /** Stratified PPS sampling: an independent A-ES weighted sample of
+    * [[PerSourceK]] docs per source — the per-domain subsampling step of
+    * mixture construction. The ranking runs through [[graft.expr.TopKAgg]]
+    * (bounded per-group heaps, partial-aggregated), NOT a window: at
+    * 100 TB the exchange carries ≤ k rows per (source × map task)
+    * instead of every row sorting under a window. The A-ES key is the
+    * same deterministic ln(u)/w as [[qWeightedSample]]; ties (never, in
+    * practice — u is an injective hash) break by doc_id, matching the
+    * oracle's `ORDER BY k DESC, doc_id` exactly. The float key is not
+    * emitted; rank and ids are what's hash-checked. */
+  val qWeightedSampleBySource = QueryDef("q_weighted_sample_by_source",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+      val key = graft.operators.Sampling.aesKey(
+        col("doc_id").cast("string"), col("n_chars"))
+      docs.groupBy("source")
+        .agg(TopKAgg(key, col("doc_id"), PerSourceK).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("rank", "e")))
+        .select(col("source"), col("rank").cast("long").as("rank"),
+          col("e.payload").as("doc_id"))
+        .orderBy("source", "rank")
+    },
+    Some {
+      val u = """(CASE WHEN z < CAST('9223372036854775808' AS HUGEINT)
+                |      THEN CAST(CAST(z AS BIGINT) AS DOUBLE)
+                |      ELSE CAST(CAST(z - CAST('18446744073709551616' AS HUGEINT)
+                |                     AS BIGINT) AS DOUBLE) + 1.8446744073709552e19
+                | END + 0.5) / 1.8446744073709552e19""".stripMargin
+      s"""WITH h AS (
+         |  SELECT doc_id, source, n_chars,
+         |         ${TextQueries.fnvFoldSql("CAST(doc_id AS VARCHAR)")} AS z
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+         |), ${TextQueries.splitmixCtesSql("h", "doc_id, source, n_chars", "w")},
+         |keyed AS (
+         |  SELECT doc_id, source,
+         |         ln($u) / CAST(n_chars AS DOUBLE) AS k
+         |  FROM w5
+         |), ranked AS (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY k DESC, doc_id) - 1 AS rank
+         |  FROM keyed
+         |)
+         |SELECT source, rank, doc_id FROM ranked
+         |WHERE rank < $PerSourceK ORDER BY source, rank""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     qSampleSplit, qBalanceLangs, qPackSequences, qTop3Agg, qLangSimilarity,
-    qMixWeights, qWeightedSample, qTokenIds)
+    qMixWeights, qWeightedSample, qTokenIds, qWeightedSampleBySource)
 }

@@ -57,6 +57,30 @@ class SamplingSpec extends SparkSpec {
     assert(got.size == 10)
   }
 
+  test("per-source sample: TopKAgg form equals the window form, window-free plan") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+    val key = Sampling.aesKey(col("doc_id").cast("string"), col("n_chars"))
+    val viaAgg = rows(docs.groupBy("source")
+      .agg(graft.expr.TopKAgg(key, col("doc_id"), 5).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("rank", "e")))
+      .select(col("source"), col("rank"), col("e.payload").as("doc_id")))
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("source").orderBy(desc("k"), col("doc_id"))
+    val viaWindow = rows(docs.withColumn("k", key)
+      .withColumn("rank", row_number().over(w) - 1)
+      .filter(col("rank") < 5)
+      .select(col("source"), col("rank"), col("doc_id")))
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
+    val plan = docs.groupBy("source")
+      .agg(graft.expr.TopKAgg(key, col("doc_id"), 5).as("top"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"agg form must not plan a window:\n$plan")
+  }
+
   test("weightedSample plans as a bounded top-k, not a global sort") {
     val df = Sources.inMemory(spark, (1L to 100L).map(i => Row(i, 1L)), schema)
     val plan = Sampling.weightedSample(df, "id", "w", 5)
