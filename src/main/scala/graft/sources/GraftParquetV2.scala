@@ -75,9 +75,18 @@ class GraftParquetTable(path: String, tableSchema: StructType)
 
 class GraftScanBuilder(path: String, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** LIMIT pushdown — PARTIAL by contract: each input partition stops
+    * after `limit` surviving rows (I/O saved at the source), but the
+    * scan as a whole may emit up to limit × partitions, so Spark keeps
+    * its global Limit above (isPartiallyPushed). Claiming a full push
+    * would silently over-return with >1 file. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -94,11 +103,11 @@ class GraftScanBuilder(path: String, tableSchema: StructType)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = GraftParquetScan(path, required, pushed)
+  override def build(): Scan = GraftParquetScan(path, required, pushed, limit)
 }
 
 case class GraftParquetScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], limit: Int = -1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in .explain — the same observability contract the built-in
@@ -106,22 +115,23 @@ case class GraftParquetScan(path: String, required: StructType,
   override def description(): String =
     s"GraftParquetScan path=$path, " +
       s"ReadSchema: ${required.catalogString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     GraftParquetV2.listFiles(path).map(GraftInputPartition(_)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftPartitionReaderFactory(required, pushed)
+    GraftPartitionReaderFactory(required, pushed, limit)
 }
 
 case class GraftInputPartition(file: String) extends InputPartition
 
 case class GraftPartitionReaderFactory(required: StructType,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter], limit: Int = -1) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].file, required, pushed)
+      partition.asInstanceOf[GraftInputPartition].file, required, pushed, limit)
 }
 
 /** Streams one parquet file: requested schema = required ∪ filter
@@ -129,7 +139,8 @@ case class GraftPartitionReaderFactory(required: StructType,
   * sees its operand), three-valued filter evaluation, then the emitted
   * `InternalRow` carries only the required columns. */
 class GraftPartitionReader(file: String, required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], limit: Int = -1) extends PartitionReader[InternalRow] {
+  private var emitted = 0L
   private val conf = new Configuration()
   private val fileSchema = GraftParquetV2.footerSchema(file)
   private val wanted: Array[String] =
@@ -150,6 +161,9 @@ class GraftPartitionReader(file: String, required: StructType,
   private var row: Array[Any] = _
 
   override def next(): Boolean = {
+    // pushed limit: stop reading this partition once satisfied — the
+    // remaining pages of the file are never decoded
+    if (limit >= 0 && emitted >= limit) return false
     var g = reader.read()
     while (g != null) {
       val vals = Array.tabulate[Any](wanted.length)(i =>
@@ -158,6 +172,7 @@ class GraftPartitionReader(file: String, required: StructType,
       def byName(n: String): Any = vals(wanted.indexOf(n))
       if (pushed.forall(f => GraftFilterEval.eval(f, byName).contains(true))) {
         row = outIdx.map(vals)
+        emitted += 1
         return true
       }
       g = reader.read()

@@ -103,4 +103,23 @@ class SourcesV2Spec extends SparkSpec {
     val ref = spark.read.parquet(path).filter(col("lang") === "en").count()
     assert(n == ref && n > 0)
   }
+
+  test("LIMIT is pushed to the scan (partial contract) and results are exact") {
+    val path = s"$sfDir/documents.parquet"
+    val df = viaV2(path).select("doc_id").limit(7)
+    val scan = graftScan(df)
+    assert(scan.limit == 7, s"limit not pushed: ${scan.description()}")
+    assert(scan.description().contains("PushedLimit: 7"))
+    // partial push: Spark's global Limit must still cap the result
+    assert(df.count() == 7)
+    // a limit larger than the table degrades to a full read, exactly
+    val total = spark.read.parquet(path).count()
+    assert(viaV2(path).limit(1000000).count() == total)
+    // limit composed with a pushed filter: filter applies BEFORE limit
+    val filtered = viaV2(path).filter(col("lang") === "en")
+      .select("doc_id").limit(5)
+    val viaBuiltin = spark.read.parquet(path)
+      .filter(col("lang") === "en").select("doc_id").limit(5)
+    assert(filtered.count() == viaBuiltin.count())
+  }
 }
