@@ -112,6 +112,32 @@ object KMeans {
       .agg(coalesce(sum("d2"), lit(0.0))).collect()(0).getDouble(0)
   }
 
+  /** Persist a trained IVF index: centroids plus the inverted lists,
+    * with assignments PARTITIONED BY cid on disk — each centroid's
+    * bucket is its own directory, so a search that probes `nprobe`
+    * buckets scans only those directories (`PartitionFilters` prune the
+    * rest at planning time; spec-asserted). This is what makes a
+    * persisted 100 TB index useful: query cost scales with the probed
+    * fraction of the corpus, not its size. Layout is plain parquet —
+    * no sidecar format; [[loadIndex]] + [[ivfTopK]] reproduce the
+    * in-memory results exactly (vectors and assignments are
+    * deterministic, so save/load is bit-transparent). */
+  def saveIndex(cents: DataFrame, assigned: DataFrame, path: String): Unit = {
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.write.mode("overwrite")
+      .partitionBy("cid").parquet(s"$path/assignments")
+  }
+
+  /** Load a persisted index: (centroids, assignments) — the inputs
+    * [[ivfTopK]] expects. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read.parquet(s"$path/assignments")
+      .select(col("id"), col("v"), col("cid"))
+    (cents, assigned)
+  }
+
   /** Multi-probe IVF top-k: each query scores ONLY the vectors assigned
     * to its `nprobe` nearest centroids. nprobe = k ⇒ every bucket is
     * probed and the result is EXACTLY brute force (the oracle-checked

@@ -118,4 +118,30 @@ class KMeansSpec extends SparkSpec {
     assert(recall >= 0.3, s"nprobe=2/8 recall $recall")
     assert(recall < 1.0 || probed == brute) // sanity: it IS approximate
   }
+
+  test("persisted index: save/load roundtrip is search-transparent, probes prune partitions") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (cents, assigned) = KMeans.fit(emb, "vec_id", "embedding", 8, 3)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val before = rows(KMeans.ivfTopK(assigned, cents, q, 10, nprobe = 3))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val path = "/tmp/graft_ivf_index"
+    KMeans.saveIndex(cents, assigned, path)
+    val (lc, la) = KMeans.loadIndex(spark, path)
+    val after = rows(KMeans.ivfTopK(la, lc, q, 10, nprobe = 3))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(after == before, "save/load must not change search results")
+
+    // the cid-partitioned layout prunes unprobed buckets at plan time
+    val someCids = rows(lc.select("cid").limit(2)).map(_.getLong(0))
+    val pruned = spark.read.parquet(s"$path/assignments")
+      .filter(col("cid").isin(someCids: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("cid"), s"no partition pruning in:\n$plan")
+    assert(pruned.count() ==
+      rows(assigned.filter(col("cid").isin(someCids: _*))).size)
+  }
 }
