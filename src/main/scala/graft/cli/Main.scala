@@ -19,6 +19,8 @@ import graft.sources.Sinks
   * runMain graft.cli.Main total-distance --input DIR --output PATH
   * runMain graft.cli.Main stream-routes --output PATH [--seconds N]
   *         [--rows-per-second N] [--source rate|file --input DIR]
+  * runMain graft.cli.Main dedup --input DIR --output PATH [--mode exact|near]
+  * runMain graft.cli.Main clean --input DIR --output PATH
   * }}}
   *
   * Sinks reproduce the reference's WriteToText shapes (SURVEY §2.2):
@@ -156,6 +158,29 @@ object Main {
             .orderBy(desc("amount_of_rides"), col("window_start"),
               col("start_station_id"), col("end_station_id")),
           output)
+
+      case "dedup" => // extension surface: corpus dedup → kept docs
+        val docs = Tables.documents(spark, input)
+        val kept = flags.getOrElse("mode", "exact") match {
+          case "exact" => graft.operators.Dedup.exactDedup(docs, "doc_id", "text")
+          case "near" =>
+            val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id",
+              "text", graft.TextQueries.ShingleN, graft.TextQueries.MinJaccard)
+            val drops = graft.operators.Dedup.duplicateClusters(pairs)
+              .filter(col("id") =!= col("cluster"))
+              .select(col("id").as("doc_id"))
+            docs.join(drops, Seq("doc_id"), "left_anti")
+          case m => sys.error(s"--mode must be exact|near, got $m")
+        }
+        Sinks.parquet(kept.select("doc_id", "lang", "source", "n_chars"), output)
+
+      case "clean" => // extension surface: normalize + redact text
+        val docs = Tables.documents(spark, input)
+          .filter(col("text").isNotNull)
+        Sinks.parquet(docs.select(col("doc_id"),
+          graft.text.Normalize.redacted(
+            graft.text.Normalize.cleaned(col("text"))).as("text"),
+          col("lang"), col("source")), output)
 
       case other => sys.error(s"unknown command: $other")
     }
