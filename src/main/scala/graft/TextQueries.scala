@@ -754,10 +754,57 @@ object TextQueries {
          |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
     })
 
+  /** Decontamination sweep: split the corpus into a pseudo train set
+    * (even doc ids) and probe/eval set (odd ids) and surface every
+    * cross-corpus near-dup ≥ [[MinJaccard]] via
+    * [[graft.operators.Dedup.crossCorpusNearDups]] (MinHash-LSH bucket
+    * alignment between corpora, exact-Jaccard verify). The oracle
+    * re-derives the full cross-corpus Jaccard from scratch — so the
+    * hash check asserts the LSH path finds EVERY qualifying pair (band
+    * miss probability ≈ 5e-8 at these parameters, same contract as the
+    * self-join LSH entry). */
+  val qDecontaminate = QueryDef("q_decontaminate",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      graft.operators.Dedup.crossCorpusNearDups(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", ShingleN, MinJaccard)
+        .orderBy("train_id", "probe_id")
+    },
+    Some(s"""WITH t_toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            |  WHERE text IS NOT NULL AND doc_id % 2 = 0
+            |), t_sh AS (
+            |  SELECT DISTINCT doc_id, unnest(${shinglesOverWsSql(ShingleN)}) AS shingle
+            |  FROM t_toks
+            |), p_toks AS (
+            |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            |  WHERE text IS NOT NULL AND doc_id % 2 = 1
+            |), p_sh AS (
+            |  SELECT DISTINCT doc_id, unnest(${shinglesOverWsSql(ShingleN)}) AS shingle
+            |  FROM p_toks
+            |), t_sizes AS (SELECT doc_id, count(*) AS n FROM t_sh GROUP BY doc_id),
+            |p_sizes AS (SELECT doc_id, count(*) AS n FROM p_sh GROUP BY doc_id),
+            |pre AS (
+            |  SELECT a.doc_id AS train_id, b.doc_id AS probe_id, count(*) AS inter
+            |  FROM t_sh a JOIN p_sh b ON a.shingle = b.shingle
+            |  GROUP BY 1, 2
+            |), pairs AS (
+            |  SELECT train_id, probe_id,
+            |         CAST(inter AS DOUBLE) / CAST(st.n + sp.n - inter AS DOUBLE) AS jaccard
+            |  FROM pre
+            |  JOIN t_sizes st ON st.doc_id = train_id
+            |  JOIN p_sizes sp ON sp.doc_id = probe_id
+            |)
+            |SELECT train_id, probe_id, jaccard FROM pairs
+            |WHERE jaccard >= $MinJaccard
+            |ORDER BY train_id, probe_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
     qDocFingerprints, qDistinctKmv, qTokenCms,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
-    qTrainingPrep, qNormalizeRedact)
+    qTrainingPrep, qNormalizeRedact, qDecontaminate)
 }

@@ -221,6 +221,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate detection — DECONTAMINATION: find every
+    * training document that near-duplicates an evaluation/probe document
+    * (Brown et al., "Language Models are Few-Shot Learners", NeurIPS
+    * 2020, App. C popularized exactly this n-gram-overlap sweep; every
+    * serious LLM pipeline runs one before training).
+    *
+    * Same MinHash-LSH shape as [[minhashCandidates]], but the bucket
+    * join is BETWEEN corpora instead of a self-join: both sides band
+    * their signatures with the SAME (k, bands, seed) — a must, or
+    * buckets don't align — and candidates are (train, probe) id pairs
+    * sharing any band bucket, verified with exact Jaccard. Identical
+    * documents share every bucket, so exact contamination is a subset
+    * of the output (jaccard = 1.0 rows).
+    *
+    * Scale: the cross join never happens — the only corpus-sized
+    * shuffles move (band, key, id) triples from each side into the
+    * bucket join, and verification joins at candidate cardinality. The
+    * probe side (an eval suite) is typically tiny next to the training
+    * corpus; Catalyst broadcasts its bucket table when it fits.
+    *
+    * Ids are per-corpus (train and probe may reuse the same id space);
+    * output columns are (train_id, probe_id, jaccard), unrounded — the
+    * Jaccard of integer set sizes is an exact rational, cross-engine
+    * stable (same convention as [[jaccardPairs]]).
+    */
+  def crossCorpusNearDups(train: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String, n: Int, minJaccard: Double, k: Int = 128,
+      bands: Int = 32, seed: Long = 42L): DataFrame = {
+    def buckets(df: DataFrame, side: String) = df
+      .select(col(idCol).cast("long").as(side),
+        LshBands(MinHashSig(TextAnalysis.shingles(col(textCol), n), k, seed), bands)
+          .as("bk"))
+      .select(col(side), posexplode(col("bk")).as(Seq("band", "key")))
+    def sets(df: DataFrame, side: String, sh: String) = df
+      .select(col(idCol).cast("long").as(side),
+        TextAnalysis.shingles(col(textCol), n).as(sh))
+    val cands = buckets(train, "train_id")
+      .join(buckets(probe, "probe_id"), Seq("band", "key"))
+      .select(col("train_id"), col("probe_id")).distinct()
+    cands
+      .join(sets(train, "train_id", "sh_t"), "train_id")
+      .join(sets(probe, "probe_id", "sh_p"), "probe_id")
+      .withColumn("inter", size(array_intersect(col("sh_t"), col("sh_p"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_t")) + size(col("sh_p")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("train_id"), col("probe_id"), col("jaccard"))
+  }
+
   /** Connected components over near-dup pairs: every document in any
     * pair is labeled with the minimum doc id reachable through the pair
     * graph — the cluster keeper. This is the step that turns pairwise

@@ -419,4 +419,30 @@ class DedupSpec extends SparkSpec {
     assert(Similarity.cosineDedup(e, "vec_id", "embedding", 0.95).count() ==
       e.count())
   }
+
+  test("crossCorpusNearDups: finds exact and near contamination, not clean docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val train = Seq(
+      (1L, base),                                     // exact copy in probe
+      (2L, base.replace("dog", "cat")),               // near-dup of probe 12
+      (3L, "completely unrelated text about spark engines and shuffles here"),
+      (4L, null.asInstanceOf[String])                 // null-safe
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (11L, base),                                    // contaminated: exact
+      (12L, base.replace("dog", "cat") + " extra"),   // contaminated: near
+      (13L, "eval question with no training overlap whatsoever in words")
+    ).toDF("doc_id", "text")
+    val out = rows(graft.operators.Dedup.crossCorpusNearDups(
+      train, probe, "doc_id", "text", n = 3, minJaccard = 0.5))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 11L)), s"exact copy missed: $out")
+    assert(pairs.contains((2L, 12L)), s"near dup missed: $out")
+    assert(out.find(p => p._1 == 1L && p._2 == 11L).get._3 == 1.0,
+      "exact copy must score jaccard 1.0")
+    // clean docs stay clean; ids from different corpora never self-pair
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 13L), s"false positive: $out")
+  }
 }
