@@ -70,6 +70,35 @@ object Sinks {
     * count as any repartitioned write. See [[graft.expr.ZOrderKernels]]
     * for why this matters at 100 TB.
     */
+  /** Small-files compaction: rewrite a parquet directory into files of
+    * ~`targetFileMB` (estimated from the current on-disk bytes), via an
+    * atomic-ish tmp-write + directory swap. The small-files problem is
+    * the classic failure mode of streaming/partitioned ingest at scale —
+    * thousands of KB-sized files turn every scan into a file-listing and
+    * task-scheduling exercise; compaction restores scan efficiency
+    * without changing content (spec asserts byte-identical rows and the
+    * expected file count). Content is only reorganized, so replaying a
+    * compaction is idempotent. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileMB: Int = 128): Unit = {
+    require(targetFileMB > 0, "compact: targetFileMB must be positive")
+    val dir = new java.io.File(path)
+    require(dir.isDirectory, s"compact: $path is not a directory")
+    val bytes = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val files = math.max(1, math.ceil(
+      bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
+    val tmp = path + "_compact_tmp"
+    spark.read.parquet(path).repartition(files)
+      .write.mode("overwrite").parquet(tmp)
+    val old = new java.io.File(path + "_compact_old")
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    if (!dir.renameTo(old)) sys.error(s"compact: could not retire $path")
+    if (!new java.io.File(tmp).renameTo(dir))
+      sys.error(s"compact: could not publish $tmp")
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+  }
+
   def parquetZOrdered(df: DataFrame, xCol: String, xLo: Double, xHi: Double,
       yCol: String, yLo: Double, yHi: Double, path: String,
       files: Int = 32): Unit = {

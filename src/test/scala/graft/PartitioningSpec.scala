@@ -30,4 +30,25 @@ class PartitioningSpec extends SparkSpec {
     assert(scannedFiles.nonEmpty && scannedFiles.forall(_.contains("lang=fr")),
       scannedFiles.mkString("\n"))
   }
+
+  test("compact: many small files become few sized files, content untouched") {
+    import org.apache.spark.sql.functions._
+    val path = "/tmp/graft_compact_test"
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // simulate a streaming ingest's small-file spray: 64 tiny files
+    src.repartition(64).write.mode("overwrite").parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 64)
+    val before = rows(spark.read.parquet(path)
+      .agg(count(lit(1)), sum("l_quantity").cast("decimal(28,4)"))).head
+    graft.sources.Sinks.compact(spark, path, targetFileMB = 128)
+    // a few MB of data @ 128 MB target → exactly one file
+    assert(parquetFiles == 1, s"expected 1 compacted file, got $parquetFiles")
+    val after = rows(spark.read.parquet(path)
+      .agg(count(lit(1)), sum("l_quantity").cast("decimal(28,4)"))).head
+    assert(after == before, "compaction must not change content")
+    assert(!new java.io.File(path + "_compact_tmp").exists())
+    assert(!new java.io.File(path + "_compact_old").exists())
+  }
 }
