@@ -29,7 +29,12 @@ object PlanDump {
       "q_bloom_join_prune" -> "bloom semi-join pruning: one-row filter blob broadcast, bloom_might_contain inside the fact scan's codegen BEFORE the join exchange — shuffle carries only probable matches",
       "q_weighted_sample" -> "A-ES weighted sample: two hash kernels + ln in the scan project, TakeOrderedAndProject bounded top-k (no global sort, no window)",
       "q5_local_supplier_volume" -> "TPC-H Q5 shape: region/nation/supplier broadcast, the orders-lineitem spine is the only shuffled join, one agg exchange",
-      "q_revenue_quartiles" -> "ntile/percent_rank/cume_dist: window PARTITIONED by nation (hash exchange, per-nation sort) — no single-partition global sort")
+      "q_revenue_quartiles" -> "ntile/percent_rank/cume_dist: window PARTITIONED by nation (hash exchange, per-nation sort) — no single-partition global sort",
+      "q_decontaminate" -> "cross-corpus decontamination: band buckets from BOTH corpora joined on (band,key) — no corpus cross join; verify joins at candidate cardinality",
+      "q_upsert_latest" -> "latest-wins compaction as max(struct) aggregate: one partial-aggregated exchange, no window, no sort",
+      "q_token_ids" -> "vocab encode: corpus side map-only (split+posexplode in scan codegen) + broadcast vocabulary join; the one window ranks the AGGREGATED distinct-token table",
+      "q_weighted_sample_by_source" -> "stratified PPS sample: per-group bounded heaps via topk_agg partial aggregate — k rows per (source x task) through the exchange, window-free",
+      "q_events_resample_ffill" -> "resample+ffill: bounds agg -> sequence/explode grid (map-side fan-out) -> as-of join partitioned by user")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"

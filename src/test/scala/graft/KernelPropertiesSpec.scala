@@ -68,7 +68,14 @@ class KernelPropertiesSpec extends SparkSpec {
         Row(rnd.nextInt(20).toLong, rnd.nextInt(5).toLong, i.toLong, rnd.nextLong())
       }
       val df = Sources.inMemory(spark, rows0, schema).repartition(1 + rnd.nextInt(8))
-      val got = rows(graft.operators.Upsert.latestByKey(df, Seq("k"), "ver", "uid"))
+      val compacted = graft.operators.Upsert.latestByKey(df, Seq("k"), "ver", "uid")
+      if (trial == 1) {
+        // the argmax aggregate must hash, not sort (ArgMaxAgg scaladoc)
+        val plan = compacted.queryExecution.executedPlan.toString
+        assert(plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+          s"latestByKey must plan ObjectHashAggregate:\n$plan")
+      }
+      val got = rows(compacted)
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       val want = rows0.groupBy(_.getLong(0)).map { case (_, rs) =>
         val w = rs.maxBy(r => (r.getLong(1), r.getLong(2)))
