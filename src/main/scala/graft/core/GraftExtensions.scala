@@ -80,7 +80,19 @@ object GraftExtensions {
       WinnowSketch(args(0), intLit(args(1)), intLit(args(2))) },
     "kmv_distinct" -> { args =>
       arity("kmv_distinct", 2, args)
-      KmvAgg(args(0), intLit(args(1))).toAggregateExpression() })
+      KmvAgg(args(0), intLit(args(1))).toAggregateExpression() },
+    "splitmix64" -> { args =>
+      SplitMix64Expr(arity("splitmix64", 1, args).head) },
+    "interleave16" -> { args =>
+      arity("interleave16", 2, args); InterleaveBits16(args(0), args(1)) },
+    "bloom_agg" -> { args =>
+      arity("bloom_agg", 3, args)
+      BloomAgg(args(0), longLit(args(1)), intLit(args(2))).toAggregateExpression() },
+    "bloom_might_contain" -> { args =>
+      arity("bloom_might_contain", 2, args); BloomMightContain(args(0), args(1)) },
+    "argmax_agg" -> { args =>
+      arity("argmax_agg", 2, args)
+      ArgMaxAgg(args(0), args(1)).toAggregateExpression() })
 
   /** Imperative registration for an already-created session. Idempotent:
     * function registry replaces; the optimizer rule dedupes by identity. */

@@ -35,4 +35,32 @@ class SqlSurfaceSpec extends SparkSpec {
     // (8−8+1) → exactly one fingerprint regardless of hash constants
     assert(r.getAs[collection.Seq[Long]]("wn").size == 1)
   }
+
+  test("round-4 functions: splitmix64, interleave16, bloom, argmax from SQL") {
+    graft.core.GraftExtensions.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT splitmix64(0L) AS sm,
+        |       interleave16(1L, 1L) AS z
+        |""".stripMargin).collect().head
+    assert(r.getAs[Long]("sm") ==
+      graft.expr.TextHashKernels.splitmix64(0L))
+    assert(r.getAs[Long]("z") == 3L)
+    // aggregates + the probe expression, end to end over a table
+    spark.range(0, 100).createOrReplaceTempView("ks")
+    val agg = spark.sql(
+      """SELECT bloom_agg(id, 4096L, 4) AS bloom,
+        |       argmax_agg(id, id * 10) AS am
+        |FROM ks""".stripMargin).collect().head
+    assert(agg.getAs[Long]("am") == 990L)
+    val blob = agg.getAs[Array[Byte]]("bloom")
+    (0L until 100L).foreach(k =>
+      assert(graft.expr.BloomKernels.mightContain(blob, k)))
+    spark.range(0, 100).createOrReplaceTempView("probe")
+    val hits = spark.sql(
+      """SELECT count(*) AS n FROM probe
+        |WHERE bloom_might_contain(
+        |  (SELECT bloom_agg(id, 4096L, 4) FROM ks WHERE id < 50), id)
+        |""".stripMargin).collect().head.getAs[Long]("n")
+    assert(hits >= 50 && hits < 60, s"bloom SQL probe hits=$hits")
+  }
 }
