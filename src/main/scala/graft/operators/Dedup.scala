@@ -270,6 +270,19 @@ object Dedup {
       .select(col("train_id"), col("probe_id"), col("jaccard"))
   }
 
+  /** The keeper composition of [[crossCorpusNearDups]]: the training
+    * corpus with every contaminated document REMOVED (any doc with
+    * near-dup evidence against the probe/eval set). Anti-join on the
+    * 8-byte id — the corpus payload never moves for the decision. */
+  def decontaminate(train: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String, n: Int, minJaccard: Double, k: Int = 128,
+      bands: Int = 32, seed: Long = 42L): DataFrame = {
+    val contaminated =
+      crossCorpusNearDups(train, probe, idCol, textCol, n, minJaccard, k, bands, seed)
+        .select(col("train_id").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over near-dup pairs: every document in any
     * pair is labeled with the minimum doc id reachable through the pair
     * graph — the cluster keeper. This is the step that turns pairwise

@@ -444,5 +444,12 @@ class DedupSpec extends SparkSpec {
       "exact copy must score jaccard 1.0")
     // clean docs stay clean; ids from different corpora never self-pair
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 13L), s"false positive: $out")
+
+    // the keeper composition removes exactly the contaminated train docs
+    // (null-text doc 4 survives: no shingles, no evidence)
+    val cleaned = rows(graft.operators.Dedup.decontaminate(
+      train, probe, "doc_id", "text", n = 3, minJaccard = 0.5))
+      .map(_.getLong(0)).toSet
+    assert(cleaned == Set(3L, 4L), s"cleaned: $cleaned")
   }
 }
