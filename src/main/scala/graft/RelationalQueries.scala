@@ -258,6 +258,51 @@ object RelationalQueries {
            |WHERE r_name = 'ASIA'
            |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
 
+  /** Total quantity that flags a "large" order — low enough that a few
+    * hundred orders qualify at sf0.01 (TPC-H uses 300+ at its row
+    * counts; this corpus has ~4 lineitems/order). */
+  val Q18MinQty = 120.0
+
+  /** TPC-H Q18 shape (large-volume customers): the HAVING-subquery semi
+    * join — orders whose TOTAL lineitem quantity exceeds a threshold,
+    * joined back to customer and re-aggregated. The qualifying-key set
+    * comes from an aggregate (groupBy + having), then drives a semi-ish
+    * join — the "filter a fact by an aggregate of itself" shape, which
+    * Catalyst plans as one aggregate + one join rather than a correlated
+    * rescan. Quantity totals are decimal-summed (order-independent
+    * exact) before the threshold test and the double cast, like every
+    * other summed column in the catalog. */
+  val qLargeOrders = QueryDef("q18_large_orders",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity").cast("decimal(18,2)").as("q"))
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("q").as("total_q"))
+        .filter(col("total_q") > Q18MinQty)
+        .select(col("l_orderkey").as("big_orderkey"),
+          col("total_q").cast("double").as("total_qty"))
+      Tables.orders(spark, dir)
+        .join(big, col("o_orderkey") === col("big_orderkey"))
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    },
+    Some(s"""SELECT c_name, c_custkey, o_orderkey,
+            |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            |       o_totalprice,
+            |       CAST(total_q AS DOUBLE) AS total_qty
+            |FROM orders
+            |JOIN (SELECT l_orderkey,
+            |             sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_q
+            |      FROM lineitem GROUP BY l_orderkey
+            |      HAVING total_q > $Q18MinQty) big
+            |  ON o_orderkey = big.l_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
+
   /** Column profile of the documents table — the pre-training data-
     * quality pass as a catalog entry ([[graft.operators.Profile]]). */
   val qProfileDocuments = QueryDef("q_profile_documents",
@@ -321,5 +366,5 @@ object RelationalQueries {
   def all: Seq[QueryDef] = Seq(
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
     qDsv2Pushdown, qShippingPriority, qLocalSupplierVolume,
-    qProfileDocuments, qZorderCells)
+    qLargeOrders, qProfileDocuments, qZorderCells)
 }
