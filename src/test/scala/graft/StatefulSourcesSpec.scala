@@ -28,6 +28,40 @@ class StatefulSourcesSpec extends SparkSpec {
     assert(out == Set((1L, "a", 1L), (2L, "b", 0L), (3L, "c", 0L)))
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState's contract: RocksDB-backed state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[StatefulOps.KeyedValue]
+      val q = StatefulOps.runningTotals(stream.toDS())
+        .writeStream.format("memory").queryName("running_totals")
+        .outputMode("update").start()
+      try {
+        stream.addData(StatefulOps.KeyedValue(1L, 10.0),
+          StatefulOps.KeyedValue(1L, 5.0), StatefulOps.KeyedValue(2L, 1.0))
+        q.processAllAvailable()
+        stream.addData(StatefulOps.KeyedValue(1L, 2.5),
+          StatefulOps.KeyedValue(3L, 7.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      // update mode: one refreshed row per touched key per batch; the
+      // LATEST row per key is the running total
+      val latest = spark.table("running_totals")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      assert(latest(1L) == ((1L, 3L, 17.5)))
+      assert(latest(2L) == ((2L, 1L, 1.0)))
+      assert(latest(3L) == ((3L, 1L, 7.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("csv source round-trip preserves schema and rows") {
     import spark.implicits._
     val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "v")
