@@ -108,4 +108,55 @@ object Multimodal {
         sum("byte_len").as("total_bytes"),
         sum("checksum").as("total_checksum"))
       .orderBy("modality")
+
+  /** One sampled frame of a video payload. */
+  case class Frame(media_id: Long, frame_no: Long, frame: Array[Byte])
+
+  /** Frame sampling: slice each video payload into fixed-size frames and
+    * keep every `everyNth` one — the 1→n fan-out of video preprocessing
+    * (decode-free here: frames are byte slices, standing in for container
+    * demuxing the way [[StubCodec]] stands in for decoding; the Spark
+    * shape — per-row explode inside the scan, no shuffle, frame count
+    * bounded by payload size — is the real contract). Short final slices
+    * are kept (a real demuxer emits the tail frame too). Non-video rows
+    * pass through the filter upstream of the explode, so their payloads
+    * are never sliced. */
+  def sampleFrames(media: DataFrame, frameBytes: Int,
+      everyNth: Int): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0,
+      s"sampleFrames: need frameBytes > 0 and everyNth > 0, " +
+        s"got ($frameBytes, $everyNth)")
+    media.filter(col("modality") === "video" && col("content").isNotNull &&
+        length(col("content")) > 0)
+      .select(col("media_id"), col("content"),
+        // exact integer frame count: ceil(len / frameBytes)
+        explode(sequence(lit(0L),
+          expr(s"(length(content) + ${frameBytes - 1}) div $frameBytes") - 1))
+          .as("frame_no"))
+      .filter(col("frame_no") % everyNth === 0)
+      // substring on BINARY slices bytes (1-based start); the tail frame
+      // is naturally short
+      .select(col("media_id"), col("frame_no"),
+        expr(s"substring(content, frame_no * $frameBytes + 1, $frameBytes)")
+          .as("frame"))
+  }
+
+  /** "Resize" stub: deterministic downsample of a payload to at most
+    * `targetBytes` by keeping every stride-th byte — the plumbing twin
+    * of a pixel resize (real impl swaps the kernel; the column contract
+    * — binary in, smaller binary out, pure per-row — is what the
+    * pipeline depends on). */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    require(targetBytes > 0, "resizeStub: targetBytes must be positive")
+    if (payload == null || payload.length <= targetBytes) payload
+    else {
+      val out = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = payload((i.toLong * payload.length / targetBytes).toInt)
+        i += 1
+      }
+      out
+    }
+  }
 }

@@ -55,4 +55,43 @@ class MultimodalSpec extends SparkSpec {
     assert(!scanned.contains("content"),
       s"binary column not pruned from scan:\n$scanned")
   }
+
+  test("sampleFrames: byte-exact slices, stride, short tail, video-only, no shuffle") {
+    // filter, not limit: limit inserts its own exchange, which would
+    // pollute the no-shuffle assertion on the frame fan-out below
+    val media = Multimodal.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet").filter(col("doc_id") < 50))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 2)
+    val byId = rows(frames).groupBy(_.getLong(0))
+    val src = rows(media.filter(col("modality") === "video")
+      .select(col("media_id"), col("content")))
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(byId.keySet == src.filter(_._2.nonEmpty).keySet,
+      "every non-empty video sampled, nothing else")
+    byId.foreach { case (id, fs) =>
+      val content = src(id)
+      val nFrames = (content.length + 63) / 64
+      val wantNos = (0L until nFrames.toLong).filter(_ % 2 == 0)
+      assert(fs.map(_.getLong(1)).sorted == wantNos, s"media $id frame nos")
+      fs.foreach { f =>
+        val no = f.getLong(1).toInt
+        val want = content.slice(no * 64, math.min((no + 1) * 64, content.length))
+        assert(java.util.Arrays.equals(f.getAs[Array[Byte]](2), want),
+          s"media $id frame $no bytes")
+      }
+    }
+    // the fan-out is map-side: no Exchange anywhere in the frame plan
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
+  }
+
+  test("resizeStub: bounds, determinism, endpoints, pass-through") {
+    val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val r = Multimodal.resizeStub(payload, 100)
+    assert(r.length == 100)
+    assert(r(0) == payload(0), "first byte preserved")
+    assert(java.util.Arrays.equals(r, Multimodal.resizeStub(payload, 100)))
+    assert(Multimodal.resizeStub(payload, 2000) eq payload, "no-op upscale")
+    assert(Multimodal.resizeStub(null, 10) == null)
+  }
 }
