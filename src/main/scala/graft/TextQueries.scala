@@ -801,10 +801,31 @@ object TextQueries {
             |WHERE jaccard >= $MinJaccard
             |ORDER BY train_id, probe_id""".stripMargin))
 
+  /** Unigram-LM quality scores ([[graft.text.LanguageModel]]): every doc
+    * scored under the corpus's own unigram distribution. The oracle
+    * re-trains the same model and re-scores from scratch. */
+  val qUnigramLogProb = QueryDef("q_unigram_logprob",
+    (spark, dir) => graft.text.LanguageModel.unigramLogProb(
+      Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents WHERE text IS NOT NULL
+           |), tk AS (
+           |  SELECT doc_id, tok FROM toks WHERE tok <> ''
+           |), freqs AS (
+           |  SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+           |), total AS (SELECT count(*) AS n FROM tk)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           |       round(avg(ln(CAST(cnt AS DOUBLE)) - ln(CAST(n AS DOUBLE))), 6)
+           |         AS mean_logprob
+           |FROM tk JOIN freqs USING (tok), total
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
     qDocFingerprints, qDistinctKmv, qTokenCms,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
-    qTrainingPrep, qNormalizeRedact, qDecontaminate)
+    qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb)
 }

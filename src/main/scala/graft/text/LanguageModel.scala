@@ -1,0 +1,48 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained unigram language-model scoring — the cheap end of
+  * perplexity-based quality filtering (score each document by the mean
+  * log-probability of its tokens under the corpus's own unigram
+  * distribution; gibberish and boilerplate score far from the bulk and
+  * get gated). The expensive end of the same pipeline swaps in a real
+  * LM; the relational shape — train token stats, broadcast them, score
+  * map-side — is identical.
+  *
+  * Scale: the "model" is the unigram frequency table (vocabulary-sized,
+  * bounded model-scale state) joined BROADCAST; the corpus side is
+  * tokenize + join + per-doc aggregate, no corpus-keyed shuffle beyond
+  * the per-doc groupBy. MLE probabilities need no smoothing here: every
+  * scored token exists in the training corpus by construction (the
+  * corpus scores itself; for cross-corpus scoring add-one smoothing
+  * would slot into the probability expression).
+  *
+  * Determinism: ln is libm (±1 ulp cross-engine) and avg accumulates in
+  * partition order, so the mean is rounded to 6 dp — drift is ~1e-15,
+  * nine orders below the rounding grain (same convention as the
+  * haversine columns).
+  *
+  * No counterpart in the reference (no text surface); part of graft's
+  * LLM-pipeline quality-filter family beside [[TextAnalysis.qualityScore]]
+  * and the Gopher repetition rules.
+  */
+object LanguageModel {
+
+  /** (doc_id, n_toks, mean_logprob): mean over the doc's tokens of
+    * ln(count(tok) / total_tokens), trained on `docs` itself. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val freqs = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = tk.agg(count(lit(1)).as("n"))
+    tk.join(broadcast(freqs), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(log(col("cnt").cast("double")) - log(col("n").cast("double"))), 6)
+          .as("mean_logprob"))
+  }
+}
