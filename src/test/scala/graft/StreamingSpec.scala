@@ -158,6 +158,37 @@ class StreamingSpec extends SparkSpec {
     // which with unbounded state on this watermark setup it would not
   }
 
+  test("TopKAgg composes with streaming windowed aggregation (stream == batch)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // per 10-min window: top-2 users by event value, via the custom
+    // typed aggregate INSIDE a watermarked streaming groupBy — proving
+    // graft's TypedImperativeAggregates ride Structured Streaming's
+    // partial/merge machinery like any built-in
+    val evs = Seq(
+      Ev(t(1), 1L, 5.0), Ev(t(2), 2L, 9.0), Ev(t(3), 3L, 7.0),
+      Ev(t(4), 1L, 1.0), Ev(t(12), 1L, 2.0), Ev(t(13), 2L, 8.0))
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(graft.expr.TopKAgg(col("value"), col("user_id"), 2).as("top"))
+      .select(col("window.start").as("ws"),
+        expr("transform(top, e -> e.payload)").as("users"))
+    val stream = MemoryStream[Ev]
+    stream.addData(evs: _*)
+    val q = topk(stream.toDF()).writeStream.format("memory")
+      .queryName("stream_topk").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getSeq[Long](1).toList)
+    val streamed = spark.table("stream_topk").collect().map(key).toSet
+    val batch = topk(evs.toDF()).collect().map(key).toSet
+    assert(streamed == batch)
+    assert(batch == Set(
+      (t(0), List(2L, 3L)),   // 9.0 (u2), 7.0 (u3)
+      (t(10), List(2L, 1L)))) // 8.0 (u2), 2.0 (u1)
+  }
+
   test("upsertSink: snapshot converges to batch latestByKey across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
