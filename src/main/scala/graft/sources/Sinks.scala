@@ -32,6 +32,10 @@ object Sinks {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC sink — see [[Sources.orc]]. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Hive-style partitioned parquet: one directory per partition value.
     * Filters on the partition column prune entire directories from the
     * scan (`PartitionFilters` in the plan, zero data files touched for

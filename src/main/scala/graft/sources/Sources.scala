@@ -27,6 +27,12 @@ object Sources {
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC — the other columnar lake format Spark ships native vectorized
+    * support for; predicate pushdown and column pruning work like
+    * parquet's (spec-asserted on the roundtrip). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** `beam.Create` analog: bounded in-memory literal source
     * (cf. `notebooks/development.ipynb` cell 3). */
   def inMemory(spark: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =

@@ -75,6 +75,25 @@ class StatefulSourcesSpec extends SparkSpec {
       .toSet == Set((1L, "x", 1.5), (2L, "y", 2.5)))
   }
 
+  test("orc round-trip preserves rows; filter and projection are pushed") {
+    import org.apache.spark.sql.functions._
+    val path = "/tmp/graft_orc_test"
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.sources.Sinks.orc(src, path)
+    val back = Sources.orc(spark, path)
+    assert(back.count() == src.count())
+    assert(back.schema == src.schema)
+    val q = back.filter(col("lang") === "en").select("doc_id", "lang")
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters") && scan.contains("lang"),
+      s"no pushed filter in ORC scan:\n$scan")
+    assert(!scan.contains("text,") && !scan.contains("n_chars"),
+      s"projection not pruned in ORC scan:\n$scan")
+    assert(q.count() ==
+      src.filter(col("lang") === "en").count())
+  }
+
   test("json source round-trip preserves schema and rows") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "name")
