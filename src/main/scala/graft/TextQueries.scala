@@ -769,7 +769,10 @@ object TextQueries {
       graft.operators.Dedup.crossCorpusNearDups(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", ShingleN, MinJaccard)
+        "doc_id", "text", ShingleN, MinJaccard,
+        // the oracle sweep is exhaustive — cap engagement must fail
+        // loudly, not silently diverge (same contract as the LSH entry)
+        failOnOverflow = true)
         .orderBy("train_id", "probe_id")
     },
     Some(s"""WITH t_toks AS (

@@ -248,7 +248,15 @@ object Dedup {
     */
   def crossCorpusNearDups(train: DataFrame, probe: DataFrame, idCol: String,
       textCol: String, n: Int, minJaccard: Double, k: Int = 128,
-      bands: Int = 32, seed: Long = 42L): DataFrame = {
+      bands: Int = 32, seed: Long = 42L,
+      maxBucket: Int = DefaultMaxBucket,
+      failOnOverflow: Boolean = false): DataFrame = {
+    // Bounded buckets, same contract as [[minhashCandidates]]: a flooded
+    // band bucket (boilerplate shared across half the corpus) would make
+    // the cross join fan out as |t_bucket|·|p_bucket| — cap the TRAIN
+    // side's membership per bucket (the probe/eval side is small by
+    // role). With failOnOverflow the cap engaging is a loud failure, the
+    // required mode on oracle-checked paths (the oracle is exhaustive).
     def buckets(df: DataFrame, side: String) = df
       .select(col(idCol).cast("long").as(side),
         LshBands(MinHashSig(TextAnalysis.shingles(col(textCol), n), k, seed), bands)
@@ -257,7 +265,20 @@ object Dedup {
     def sets(df: DataFrame, side: String, sh: String) = df
       .select(col(idCol).cast("long").as(side),
         TextAnalysis.shingles(col(textCol), n).as(sh))
-    val cands = buckets(train, "train_id")
+    val tAgg = buckets(train, "train_id").groupBy("band", "key")
+      .agg(TopKAgg(negate(col("train_id").cast("double")), col("train_id"),
+        maxBucket).as("top"), count(lit(1)).as("n_members"))
+    val tCapped =
+      if (failOnOverflow)
+        tAgg.filter(assert_true(col("n_members") <= lit(maxBucket),
+          concat(lit(s"graft: cross-corpus band bucket exceeded " +
+            s"maxBucket=$maxBucket (n_members="), col("n_members"),
+            lit("); raise maxBucket or exact-dedup the corpus first"))).isNull)
+      else tAgg
+    val tBuckets = tCapped
+      .select(col("band"), col("key"),
+        explode(expr("transform(top, e -> e.payload)")).as("train_id"))
+    val cands = tBuckets
       .join(buckets(probe, "probe_id"), Seq("band", "key"))
       .select(col("train_id"), col("probe_id")).distinct()
     cands
@@ -276,9 +297,12 @@ object Dedup {
     * 8-byte id — the corpus payload never moves for the decision. */
   def decontaminate(train: DataFrame, probe: DataFrame, idCol: String,
       textCol: String, n: Int, minJaccard: Double, k: Int = 128,
-      bands: Int = 32, seed: Long = 42L): DataFrame = {
+      bands: Int = 32, seed: Long = 42L,
+      maxBucket: Int = DefaultMaxBucket,
+      failOnOverflow: Boolean = false): DataFrame = {
     val contaminated =
-      crossCorpusNearDups(train, probe, idCol, textCol, n, minJaccard, k, bands, seed)
+      crossCorpusNearDups(train, probe, idCol, textCol, n, minJaccard, k,
+        bands, seed, maxBucket, failOnOverflow)
         .select(col("train_id").as(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
