@@ -57,6 +57,23 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("argmax_agg null semantics: null ords ignored, null value at max survives") {
+    import org.apache.spark.sql.functions._
+    val schema = StructType(Seq(
+      StructField("g", LongType, false), StructField("o", LongType, true),
+      StructField("v", StringType, true)))
+    val df = Sources.inMemory(spark, Seq(
+      Row(1L, 1L, "a"), Row(1L, 5L, null), Row(1L, 3L, "c"), // max ord holds null value
+      Row(2L, null, "x"),                                    // all ords null
+      Row(3L, 2L, "z"), Row(3L, null, "ignored")), schema)
+    val out = rows(df.groupBy("g")
+      .agg(graft.expr.ArgMaxAgg(col("o"), col("v")).as("win")))
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).isEmpty, "null VALUE at the max ord must win and stay null")
+    assert(out(2L).isEmpty, "group with only null ords yields null")
+    assert(out(3L).contains("z"), "null-ord rows are ignored, not poisonous")
+  }
+
   test("latestByKey equals a reference fold on random changelogs with version ties") {
     val schema = StructType(Seq(
       StructField("k", LongType, false), StructField("ver", LongType, false),
