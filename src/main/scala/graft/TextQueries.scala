@@ -825,10 +825,52 @@ object TextQueries {
            |FROM tk JOIN freqs USING (tok), total
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Passage-level decontamination
+    * ([[graft.operators.Dedup.crossCorpusContainment]]): train docs (even
+    * ids) sharing ≥ [[ContainMinShared]] winnow fingerprints (≈ a 40+
+    * char run) with a probe doc (odd ids), boilerplate-capped on the
+    * train side. The whole-doc-Jaccard sweep ([[qDecontaminate]]) and
+    * this one are the two halves of a real decontamination pass — this
+    * half catches an eval passage EMBEDDED in a long train page, where
+    * doc-level Jaccard stays tiny. `contained_frac` is an exact integer
+    * ratio — hash-checked unrounded. */
+  val qDecontaminateContainment = QueryDef("q_decontaminate_containment",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      graft.operators.Dedup.crossCorpusContainment(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", WinnowK, WinnowW, ContainMinShared,
+        ContainMaxDf)
+        .orderBy("train_id", "probe_id")
+    },
+    Some(s"""WITH $winnowCtes,
+            |fp0 AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+            |tfp AS (SELECT doc_id, fp FROM fp0 WHERE doc_id % 2 = 0),
+            |tkept AS (
+            |  SELECT doc_id, fp FROM tfp
+            |  WHERE fp IN (SELECT fp FROM tfp GROUP BY fp
+            |               HAVING count(*) <= $ContainMaxDf)
+            |),
+            |pfp AS (SELECT doc_id, fp FROM fp0 WHERE doc_id % 2 = 1),
+            |psize AS (SELECT doc_id, count(*) AS p_n FROM pfp GROUP BY doc_id),
+            |shared AS (
+            |  SELECT t.doc_id AS train_id, p.doc_id AS probe_id,
+            |         count(*) AS n_shared
+            |  FROM tkept t JOIN pfp p ON t.fp = p.fp
+            |  GROUP BY 1, 2
+            |  HAVING count(*) >= $ContainMinShared
+            |)
+            |SELECT train_id, probe_id, CAST(n_shared AS BIGINT) AS n_shared,
+            |       CAST(n_shared AS DOUBLE) / CAST(p_n AS DOUBLE) AS contained_frac
+            |FROM shared JOIN psize ON probe_id = psize.doc_id
+            |ORDER BY train_id, probe_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
     qDocFingerprints, qDistinctKmv, qTokenCms,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
-    qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb)
+    qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,
+    qDecontaminateContainment)
 }

@@ -528,6 +528,63 @@ object Dedup {
     docs.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus CONTAINMENT contamination — the passage-level
+    * decontamination sweep: train documents that contain a significant
+    * fraction of a probe/eval document's winnow fingerprints. This
+    * catches what [[crossCorpusNearDups]] (whole-doc Jaccard) misses by
+    * construction: an eval QUESTION embedded verbatim inside a long
+    * training page has tiny doc-level Jaccard but near-total
+    * containment of the probe's sketch.
+    *
+    * The evidence threshold is ABSOLUTE (`minShared` fingerprints ≈ a
+    * shared run of ~5·minShared characters at winnow density 2/(w+1)) —
+    * the same contract as [[containmentPairs]]; `contained_frac` =
+    * shared / probe sketch size rides along as an exact integer ratio
+    * (cross-engine stable, no rounding) for callers who additionally
+    * cut on the contained fraction (short probes). The optional
+    * `maxDocFreq` cap drops boilerplate fingerprints on the TRAIN side
+    * (df computed over the train corpus), bounding the join fanout the
+    * way [[containmentPairs]] does.
+    *
+    * Scale: both sketch indexes shuffle 8-byte fingerprints; the join
+    * output is bounded by true fingerprint co-occurrence (capped by
+    * `maxDocFreq`); the probe side (an eval suite) is tiny by role.
+    *
+    * @return (train_id, probe_id, n_shared, contained_frac),
+    *         n_shared ≥ minShared
+    */
+  def crossCorpusContainment(train: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String, k: Int, w: Int, minShared: Int,
+      maxDocFreq: Int = 0, reliableCheckpoint: Boolean = false): DataFrame = {
+    require(minShared >= 1,
+      s"crossCorpusContainment: minShared must be >= 1, got $minShared")
+    def persist(df: DataFrame) =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    def idx(df: DataFrame, side: String) = df.select(
+      col(idCol).cast("long").as(side),
+      explode(graft.expr.WinnowSketch(col(textCol), k, w)).as("fp"))
+    // both indexes feed two consumers (df cap / sizes, then the join) —
+    // materialize once, same rationale as containmentPairs
+    val tIdx = persist(idx(train, "train_id"))
+    val pIdx = persist(idx(probe, "probe_id"))
+    val tKept =
+      if (maxDocFreq <= 0) tIdx
+      else tIdx.join(
+        tIdx.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("fp"),
+        Seq("fp"), "left_semi")
+    val pSizes = pIdx.groupBy("probe_id").agg(count(lit(1)).as("p_n"))
+    tKept.join(pIdx, "fp")
+      .groupBy("train_id", "probe_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(pSizes, "probe_id")
+      .withColumn("contained_frac",
+        col("n_shared").cast("double") / col("p_n").cast("double"))
+      .select(col("train_id"), col("probe_id"), col("n_shared"),
+        col("contained_frac"))
+  }
+
   /** Per-doc 64-bit SimHash (token multiset, occurrence-weighted). */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),

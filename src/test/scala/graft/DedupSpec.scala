@@ -452,4 +452,29 @@ class DedupSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(cleaned == Set(3L, 4L), s"cleaned: $cleaned")
   }
+
+  test("crossCorpusContainment: finds an eval passage embedded in a long train page") {
+    import spark.implicits._
+    val passage = "which planet has the most moons in the solar system answer saturn"
+    val filler = (1 to 40).map(i => s"filler$i sentence$i").mkString(" ")
+    val train = Seq(
+      (1L, s"$filler $passage $filler"), // passage buried in a long page
+      (2L, filler)                       // clean page
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (11L, passage),                    // the eval question itself
+      (12L, "unrelated evaluation prompt about rivers and mountains today")
+    ).toDF("doc_id", "text")
+    val out = rows(graft.operators.Dedup.crossCorpusContainment(
+      train, probe, "doc_id", "text", k = 8, w = 8, minShared = 8))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.exists(p => p._1 == 1L && p._2 == 11L && p._3 >= 0.8),
+      s"embedded passage not detected: $out")
+    // whole-doc Jaccard misses exactly this case (tiny doc-level overlap)
+    val jaccard = rows(graft.operators.Dedup.crossCorpusNearDups(
+      train, probe, "doc_id", "text", n = 3, minJaccard = 0.5))
+    assert(!jaccard.exists(r => r.getLong(0) == 1L && r.getLong(1) == 11L),
+      "doc-level Jaccard should NOT flag the buried passage (that's the point)")
+    assert(!out.exists(p => p._1 == 2L || p._2 == 12L), s"false positive: $out")
+  }
 }
