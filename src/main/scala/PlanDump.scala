@@ -34,7 +34,8 @@ object PlanDump {
       "q_upsert_latest" -> "latest-wins compaction as max(struct) aggregate: one partial-aggregated exchange, no window, no sort",
       "q_token_ids" -> "vocab encode: corpus side map-only (split+posexplode in scan codegen) + broadcast vocabulary join; the one window ranks the AGGREGATED distinct-token table",
       "q_weighted_sample_by_source" -> "stratified PPS sample: per-group bounded heaps via topk_agg partial aggregate — k rows per (source x task) through the exchange, window-free",
-      "q_events_resample_ffill" -> "resample+ffill: bounds agg -> sequence/explode grid (map-side fan-out) -> as-of join partitioned by user")
+      "q_events_resample_ffill" -> "resample+ffill: bounds agg -> sequence/explode grid (map-side fan-out) -> as-of join partitioned by user",
+      "q_decontaminate_containment" -> "passage decontamination: winnow kernels in both scans, 8-byte fingerprint equi-join, evidence-threshold agg — no corpus cross join")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"
