@@ -363,8 +363,38 @@ object RelationalQueries {
             |       (cx | (cy << 1)) >> 8 AS cell
             |FROM z4 ORDER BY id""".stripMargin))
 
+  /** Per-station triangle participation in the rides graph — exact
+    * distributed triangle counting ([[graft.operators.Graphs]], degree-
+    * ordered orientation). The oracle recounts with the orientation-free
+    * canonical 3-way join: agreement proves the degree-ordered plan
+    * (the one that scales) loses/duplicates nothing. */
+  val qTriangles = QueryDef("q_ride_triangles",
+    (spark, dir) => graft.operators.Graphs.trianglesPerNode(
+      Tables.rides(spark, dir), "start_station_id", "end_station_id")
+      .select(col("node").as("station_id"), col("n_triangles"))
+      .orderBy("station_id"),
+    Some(s"""WITH ${Catalog.ridesSql},
+            |ed AS (
+            |  SELECT DISTINCT least(start_station_id, end_station_id) AS u,
+            |         greatest(start_station_id, end_station_id) AS v
+            |  FROM rides WHERE start_station_id <> end_station_id
+            |),
+            |tri AS (
+            |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            |  FROM ed e1
+            |  JOIN ed e2 ON e2.u = e1.v
+            |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v
+            |),
+            |nodes AS (
+            |  SELECT a AS n FROM tri
+            |  UNION ALL SELECT b FROM tri
+            |  UNION ALL SELECT c FROM tri
+            |)
+            |SELECT n AS station_id, CAST(count(*) AS BIGINT) AS n_triangles
+            |FROM nodes GROUP BY n ORDER BY n""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
     qDsv2Pushdown, qShippingPriority, qLocalSupplierVolume,
-    qLargeOrders, qProfileDocuments, qZorderCells)
+    qLargeOrders, qProfileDocuments, qZorderCells, qTriangles)
 }
