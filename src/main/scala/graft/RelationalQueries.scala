@@ -393,8 +393,55 @@ object RelationalQueries {
             |SELECT n AS station_id, CAST(count(*) AS BIGINT) AS n_triangles
             |FROM nodes GROUP BY n ORDER BY n""".stripMargin))
 
+  /** Power iterations for [[qPageRank]] — enough for ~1e-6 convergence
+    * on the rides graph, small enough for a readable unrolled oracle. */
+  val PrIters = 10
+
+  /** PageRank over the directed rides graph
+    * ([[graft.operators.Graphs.pageRank]]) — the graph-quality-weighting
+    * signal of web-corpus curation. The oracle UNROLLS the identical 10
+    * iterations as a CTE chain: same decimal-quantized contribution
+    * sums, same dangling-mass redistribution, same IEEE constants — so
+    * ranks match bit-for-bit before the output rounding. */
+  val qPageRank = QueryDef("q_pagerank_stations",
+    (spark, dir) => graft.operators.Graphs.pageRank(
+      Tables.rides(spark, dir), "start_station_id", "end_station_id", PrIters)
+      .select(col("node").as("station_id"), round(col("pr"), 10).as("pr"))
+      .orderBy("station_id"),
+    Some {
+      val iterCtes = (0 until PrIters).map { t =>
+        s"""c$t AS MATERIALIZED (
+           |  SELECT e.dst AS node,
+           |         CAST(p.pr / CAST(o.od AS DOUBLE) AS DECIMAL(28,12)) AS q
+           |  FROM ed e JOIN p$t p ON p.node = e.src JOIN od o ON o.src = e.src
+           |), s$t AS MATERIALIZED (
+           |  SELECT node, CAST(SUM(q) AS DOUBLE) AS s FROM c$t GROUP BY node
+           |), d$t AS MATERIALIZED (
+           |  SELECT COALESCE(CAST(SUM(CAST(pr AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS m
+           |  FROM p$t WHERE node NOT IN (SELECT src FROM od)
+           |), p${t + 1} AS MATERIALIZED (
+           |  SELECT nd2.node,
+           |         (1.0 - 0.85) / cnt.nn
+           |           + 0.85 * (COALESCE(s.s, 0.0) + d.m / cnt.nn) AS pr
+           |  FROM nd nd2 LEFT JOIN s$t s ON s.node = nd2.node, d$t d, cnt
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Catalog.ridesSql},
+         |ed AS MATERIALIZED (
+         |  SELECT DISTINCT start_station_id AS src, end_station_id AS dst
+         |  FROM rides
+         |),
+         |nd AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+         |cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nd),
+         |od AS MATERIALIZED (SELECT src, count(*) AS od FROM ed GROUP BY src),
+         |p0 AS MATERIALIZED (SELECT node, 1.0 / cnt.nn AS pr FROM nd, cnt),
+         |$iterCtes
+         |SELECT node AS station_id, round(pr, 10) AS pr
+         |FROM p$PrIters ORDER BY station_id""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
     qDsv2Pushdown, qShippingPriority, qLocalSupplierVolume,
-    qLargeOrders, qProfileDocuments, qZorderCells, qTriangles)
+    qLargeOrders, qProfileDocuments, qZorderCells, qTriangles, qPageRank)
 }

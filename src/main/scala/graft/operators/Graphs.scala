@@ -70,4 +70,66 @@ object Graphs {
     triangles(edges, srcCol, dstCol)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+
+  /** PageRank (Brin & Page 1998) over a directed edge frame — in an LLM
+    * data pipeline this is graph-based QUALITY WEIGHTING: rank pages of
+    * a crawl by link structure and weight/filter training documents by
+    * it (the curation signal behind "high-PageRank subset" corpora).
+    *
+    * Fixed `iters` power iterations; dangling mass (nodes with no
+    * out-edges) is redistributed uniformly, so each iteration's ranks
+    * sum to 1 and the result is the standard damped PageRank.
+    *
+    * Determinism (the engine-wide float policy): per-iteration
+    * contribution sums accumulate in DECIMAL(28,12) — double addition is
+    * partition-order-sensitive, decimal addition is exact/associative —
+    * so ranks are bit-identical across partitionings, retries, and
+    * engines (the DuckDB oracle re-runs the identical iteration
+    * arithmetic; 1e-12 quantization per hop is identical on both sides,
+    * orders below any ranking use). The per-iteration dangling-mass
+    * aggregate is a driver-side scalar probe, same legitimacy as the
+    * k-means convergence probes.
+    *
+    * Scale: per iteration — one join keyed on src (contributions), one
+    * grouped sum keyed on dst, one scalar aggregate. Rank state is one
+    * double per node; lineage is cut each iteration (localCheckpoint /
+    * checkpoint via `reliableCheckpoint`, like the other iterative
+    * operators).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    def persist(df: DataFrame) =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    val e = persist(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct())
+    val nodes = persist(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct())
+    val n = nodes.count()
+    val outdeg = persist(e.groupBy("src").agg(count(lit(1)).as("od")))
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    var iter = 0
+    while (iter < iters) {
+      val contrib = e.join(pr, col("src") === col("node")).join(outdeg, "src")
+        .select(col("dst").as("node"),
+          (col("pr") / col("od").cast("double")).cast("decimal(28,12)").as("q"))
+        .groupBy("node").agg(sum("q").cast("double").as("s"))
+      val dangling = pr
+        .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("pr").cast("decimal(28,12)")).cast("double"),
+          lit(0.0)))
+        .head().getDouble(0)
+      pr = persist(nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dangling / n)))
+            .as("pr")))
+      iter += 1
+    }
+    pr
+  }
 }

@@ -48,6 +48,35 @@ class GraphsSpec extends SparkSpec {
     assert(tri == Seq((0L, 7L, 8L)))
   }
 
+  test("pageRank: conservation, symmetry, hub dominance, dangling mass, determinism") {
+    // 2-cycle: perfect symmetry → both exactly 0.5 at every iteration
+    val cycle = g(1L -> 2L, 2L -> 1L)
+    val pc = rows(Graphs.pageRank(cycle, "s", "t", iters = 5))
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pc(1L) == 0.5 && pc(2L) == 0.5)
+
+    // star with backlinks: the hub outranks every leaf; ranks sum to 1
+    // (leaf 10 is DANGLING — no out-edge — its mass must recirculate,
+    // not leak)
+    val star = g(((1L to 9L).map(i => i -> 10L) ++
+      (1L to 9L).map(i => 10L -> i)) :+ (11L -> 10L): _*)
+    val ps = rows(Graphs.pageRank(star, "s", "t", iters = 20))
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ps.values.sum - 1.0) < 1e-9, s"mass leak: ${ps.values.sum}")
+    assert(ps(10L) > ps(1L) && ps(10L) > ps(11L), s"hub must dominate: $ps")
+    // node 11 has no in-links: exactly the teleport floor + dangling share
+    assert(ps(11L) < ps(1L))
+
+    // bit-exact determinism across partitionings (the decimal-sum policy)
+    val edges = (1L to 60L).map(i => i -> ((i * 7) % 60 + 1))
+    val a = rows(Graphs.pageRank(g(edges: _*).repartition(1), "s", "t", 8))
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = rows(Graphs.pageRank(
+      g(scala.util.Random.shuffle(edges): _*).repartition(11), "s", "t", 8))
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, "pageRank must be bit-identical across partitionings")
+  }
+
   test("triangle set is partitioning-invariant") {
     val edges = (for (a <- 1L to 12L; b <- a + 1 to 12L
       if (a + b) % 3 != 0) yield (a, b))
