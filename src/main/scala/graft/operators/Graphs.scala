@@ -111,6 +111,12 @@ object Graphs {
         .distinct())
     val n = nodes.count()
     val outdeg = persist(e.groupBy("src").agg(count(lit(1)).as("od")))
+    // the dangling node SET is iteration-invariant (only its rank mass
+    // moves): derive it once, and skip the per-iteration driver probe
+    // entirely on graphs without dangling nodes (10 saved round-trips)
+    val danglingNodes = persist(nodes
+      .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti"))
+    val hasDangling = danglingNodes.limit(1).count() > 0
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     var iter = 0
     while (iter < iters) {
@@ -118,11 +124,12 @@ object Graphs {
         .select(col("dst").as("node"),
           (col("pr") / col("od").cast("double")).cast("decimal(28,12)").as("q"))
         .groupBy("node").agg(sum("q").cast("double").as("s"))
-      val dangling = pr
-        .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("pr").cast("decimal(28,12)")).cast("double"),
-          lit(0.0)))
-        .head().getDouble(0)
+      val dangling =
+        if (!hasDangling) 0.0
+        else pr.join(danglingNodes, "node")
+          .agg(coalesce(sum(col("pr").cast("decimal(28,12)")).cast("double"),
+            lit(0.0)))
+          .head().getDouble(0)
       pr = persist(nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
