@@ -17,12 +17,13 @@ import org.apache.spark.sql.SparkSession
   *     (round-1 recorded 193 s for a 62 s run), and min-of-N is the
   *     standard de-noising estimator for lower-bounded timing noise;
   *   - the JSON line goes to stdout (un-decorated — build.sbt sets
-  *     StdoutOutput) AND to bench_result.json, so the driver can parse
-  *     either. The stdout line is printed LAST (after spark.stop()) and
-  *     kept short (3-decimal timings) so a bounded tail capture cannot
-  *     clip it — round 3's line outgrew the driver's tail window and
-  *     parsed as null. bench_result.json carries the full detail (raw
-  *     per-run times per query);
+  *     StdoutOutput). The stdout line is printed LAST (after
+  *     spark.stop()) and is a COMPACT summary only — total, query count,
+  *     failures, load, spread, pointer to the detail file — with NO
+  *     per-query map: rounds 3 AND 4 proved any line that grows with the
+  *     catalog eventually outgrows the driver's bounded tail capture and
+  *     parses as null. bench_result.json carries everything (per-query
+  *     min times plus raw per-run times);
   *   - noise telemetry: the 1-minute system load average at start and
   *     end, and per-query (max-min) spread, ride along so a slow-looking
   *     round can be attributed to host contention instead of guessed at
@@ -96,18 +97,30 @@ object Bench {
     val maxSpread = r3(allTimes.map { case (_, ts) =>
       if (ts.contains(-1.0)) 0.0 else ts.max - ts.min
     }.foldLeft(0.0)(math.max))
-    val common =
-      s""""unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},""" +
-        s""""sf":"$sfDir","runs":$runs,"load":[$loadStart,$loadEnd],""" +
+    val tail =
+      s""""sf":"$sfDir","runs":$runs,"load":[$loadStart,$loadEnd],""" +
         s""""max_spread":$maxSpread"""
-    val line = s"""{"metric":"total","value":$total,$common}"""
-    // full detail (raw per-run times) for post-hoc noise analysis
+    // compact, fixed-size summary: the "queries" map on the stdout line is
+    // pinned to the headline reference workloads (a FIXED set — the full
+    // per-query map lives in the detail file), so the line grows with
+    // failures only (normally []) and can never outgrow the tail capture
+    val headline = Set("q_easy_top_routes_sql", "q_hard_top_routes",
+      "q_dist_pairs_geodesic", "q_total_distance", "q1_pricing_summary")
+    val headQs = results.filter { case (k, _) => headline(k) }
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$headQs,""" +
+      s""""n_queries":${results.size},"failed":${failed.mkString("[", ",", "]")},""" +
+      s"""$tail,"detail":"bench_result.json"}"""
+    // full detail (per-query min + raw per-run times) for post-hoc analysis
     val rawTimes = allTimes.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(t => math.rint(t * 1e6) / 1e6).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"),
-      s"""{"metric":"total","value":$total,$common,"times":$rawTimes}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":${failed.mkString("[", ",", "]")},$tail,""" +
+        s""""times":$rawTimes}""" + "\n")
     try spark.stop() catch { case _: Throwable => () }
     // the driver parses this from a bounded tail capture: it must be the
     // absolute LAST stdout line, with nothing after it

@@ -380,12 +380,21 @@ object Dedup {
     * one to confirm; a graph that is already all stars confirms in 1). */
   def duplicateClustersDetail(pairs: DataFrame, maxIter: Int = 20,
       reliableCheckpoint: Boolean = false): (DataFrame, Int, Boolean) = {
+    // LAZY checkpoints: every frame persisted here is followed by (or
+    // feeds a plan that ends in) an explicit count(), so the checkpoint
+    // blocks are written by THAT job instead of a separate eager
+    // materialization job — one Spark job per contraction round instead
+    // of two. Fixed job overhead dominates the contraction tail at any
+    // scale (the edge set shrinks geometrically), so halving the job
+    // count halves the tail cost.
     def persistRound(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+      if (reliableCheckpoint) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     // Materialize the RAW pair set first: both derivations below (edges
     // AND vertices) would otherwise each re-run the whole upstream pair
     // plan (shingles → minhash → buckets → verify) — measured as a full
     // 2x of the LSH derivation cost at sf0.1 before this checkpoint.
+    // (Lazy — persisted by the `initial` count below, which scans it.)
     val raw = persistRound(pairs.select(col("doc_a"), col("doc_b")))
     // canonical distinct edges (bigger, smaller); self-pairs carry no
     // connectivity and are dropped here (the vertex set below still
@@ -397,14 +406,19 @@ object Dedup {
         .filter(col("u") =!= col("v")).distinct())
     // the full vertex set, kept from the ORIGINAL pairs: the final
     // star edges label every non-isolated vertex, but self-pairs and
-    // belt-and-braces coverage come from re-joining against this
-    val vertices = persistRound(
+    // belt-and-braces coverage come from re-joining against this.
+    // Derived lazily from the `raw` checkpoint — it has exactly one
+    // consumer (the final labels join), so an eager materialization
+    // here would only add a job's worth of fixed overhead per call
+    val vertices =
       raw.select(col("doc_a").as("id"))
-        .union(raw.select(col("doc_b").as("id"))).distinct())
+        .union(raw.select(col("doc_b").as("id"))).distinct()
 
     // large-star: every neighbor of u LARGER than u re-points at
     // m(u) = min(closed neighborhood). Output stays canonical: the
-    // emitted (v, m) has v > u ≥ m.
+    // emitted (v, m) has v > u ≥ m. The trailing distinct dedups the
+    // fanout BEFORE smallStar re-shuffles it (measured neutral-to-better
+    // than letting duplicates ride into smallStar's join).
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -429,6 +443,7 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // one job: the count materializes the lazy checkpoint
       val next = persistRound(smallStar(largeStar(edges)))
       val nextCount = next.count()
       // exact fixpoint test: same cardinality and nothing new — the
