@@ -150,14 +150,16 @@ object VectorQueries {
 
   /** Shared dup-pair + connected-component closure CTEs (recursive) for
     * the embedding-dedup oracles — the embedding-space mirror of the
-    * text queries' jaccard/closure CTEs. */
-  private val cosineClosureCtes: String =
+    * text queries' jaccard/closure CTEs. `source` is the corpus CTE/table
+    * the pairs are derived over (exact O(n²) re-derivation — the oracle
+    * twin of whichever pair generator the Spark side used). */
+  private def cosineClosureCtes(source: String, minCos: Double): String =
     s"""e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM $source
        |), dup_pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |  WHERE ${cosSql("a.v", "b.v")} >= $MinDupCosine
+       |  WHERE ${cosSql("a.v", "b.v")} >= $minCos
        |), edges AS (
        |  SELECT vec_a AS src, vec_b AS dst FROM dup_pairs
        |  UNION SELECT vec_b, vec_a FROM dup_pairs
@@ -184,7 +186,7 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_members"))
         .orderBy("cluster")
     },
-    Some(s"""WITH RECURSIVE $cosineClosureCtes
+    Some(s"""WITH RECURSIVE ${cosineClosureCtes("embeddings", MinDupCosine)}
             |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
             |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin))
 
@@ -195,12 +197,61 @@ object VectorQueries {
       Tables.embeddings(spark, dir), "vec_id", "embedding", MinDupCosine)
       .select(col("vec_id"), col("label"))
       .orderBy("vec_id"),
-    Some(s"""WITH RECURSIVE $cosineClosureCtes
+    Some(s"""WITH RECURSIVE ${cosineClosureCtes("embeddings", MinDupCosine)}
             |SELECT vec_id, label FROM embeddings
             |WHERE vec_id NOT IN
             |  (SELECT vec_id FROM labels WHERE cluster <> vec_id)
             |ORDER BY vec_id""".stripMargin))
 
+  /** Planted-near-dup contract for the LSH SCALE path. The corpus's own
+    * max pair cosine is ≈ .51 (sf0.01) / .60 (sf0.1) — far below the
+    * near-dup regime LSH is built for — so this entry PLANTS the regime:
+    * the first [[PlantN]] vectors get a deterministic jittered copy
+    * (element i scaled by 1 + ((i mod 7) − 3)/100, i.e. ±3% — cosine vs
+    * the original ≈ .9995) at vec_id + [[PlantOffset]]. Dedup at
+    * θ ≥ [[NearDupCosine]] over the augmented corpus must then drop
+    * exactly the planted copies — and the oracle RE-DERIVES that from
+    * exact all-pairs cosine + recursive closure, so a single missed LSH
+    * bucket (recall failure), a false merge, or a wrong keeper all
+    * hash-mismatch. Jitter arithmetic is pinned to IEEE double ops with
+    * a final float cast, bit-reproducible in DuckDB's indexed
+    * `list_transform` mirror. */
+  val NearDupCosine = 0.9
+  val PlantN = 40
+  val PlantOffset = 1000000L
+
+  val qDedupEmbeddingLsh = QueryDef("q_dedup_embedding_lsh",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding", "label")
+      val plants = emb.filter(col("vec_id") < PlantN)
+        .select((col("vec_id") + PlantOffset).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") *
+              (lit(1.0) + ((i % 7) - 3).cast("double") / 100.0))
+              .cast("float")).as("embedding"),
+          col("label"))
+      Similarity.cosineDedup(emb.unionByName(plants),
+          "vec_id", "embedding", NearDupCosine, useLsh = true)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+            |  SELECT vec_id, embedding, label FROM embeddings
+            |  UNION ALL
+            |  SELECT vec_id + $PlantOffset AS vec_id,
+            |         list_transform(embedding, (x, i) ->
+            |           CAST(CAST(x AS DOUBLE) *
+            |                (1.0 + CAST(((i - 1) % 7) - 3 AS DOUBLE) / 100.0)
+            |                AS FLOAT)) AS embedding,
+            |         label
+            |  FROM embeddings WHERE vec_id < $PlantN
+            |), ${cosineClosureCtes("corpus", NearDupCosine)}
+            |SELECT vec_id, label FROM corpus
+            |WHERE vec_id NOT IN
+            |  (SELECT vec_id FROM labels WHERE cluster <> vec_id)
+            |ORDER BY vec_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(qAnnTopK, qEmbedTopPairs, qAnnLsh, qAnnIvf,
-    qAnnIvfKmeans, qDedupEmbedding, qDedupEmbeddingKeep)
+    qAnnIvfKmeans, qDedupEmbedding, qDedupEmbeddingKeep, qDedupEmbeddingLsh)
 }

@@ -77,9 +77,22 @@ object Similarity {
     * oracle/verify twin of [[lshThresholdPairs]], same relationship
     * [[graft.operators.Dedup.jaccardPairs]] has to the MinHash path.
     * Cosine is rounded to 1e-6 BEFORE the threshold test so the
-    * keep/drop decision is cross-engine stable. */
+    * keep/drop decision is cross-engine stable.
+    *
+    * LOUD SCALE GUARD: this plan broadcasts the ENTIRE vector corpus and
+    * generates O(n²) candidate pairs — correct, but only deployable at
+    * dimension-table scale. Corpora larger than `maxExactRows` throw
+    * (pointing at [[lshThresholdPairs]]) rather than melt an executor:
+    * the check scans at most maxExactRows+1 ids (LIMIT-bounded), so the
+    * guard itself stays cheap at any corpus size. */
   def thresholdPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double): DataFrame = {
+      minCosine: Double, maxExactRows: Long = 50000L): DataFrame = {
+    val n = vectors.select(col(idCol)).limit((maxExactRows + 1).toInt).count()
+    require(n <= maxExactRows,
+      s"thresholdPairs: corpus has > $maxExactRows rows — exact all-pairs " +
+        "broadcasts every vector and generates O(n^2) pairs. Use " +
+        "lshThresholdPairs / cosineDedup(useLsh = true) past broadcast scale " +
+        "(or raise maxExactRows deliberately).")
     val a = vectors.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
     val b = vectors.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))

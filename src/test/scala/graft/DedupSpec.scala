@@ -420,6 +420,19 @@ class DedupSpec extends SparkSpec {
       e.count())
   }
 
+  test("thresholdPairs refuses corpora past broadcast scale (loud guard)") {
+    val v = plantedVectors // 50 rows
+    val e = intercept[IllegalArgumentException] {
+      Similarity.thresholdPairs(v, "vec_id", "embedding", 0.98,
+        maxExactRows = 10L)
+    }
+    assert(e.getMessage.contains("lshThresholdPairs"),
+      s"guard must point at the scale path: ${e.getMessage}")
+    // at-or-under the cap still works (boundary is inclusive)
+    assert(Similarity.thresholdPairs(v, "vec_id", "embedding", 0.98,
+      maxExactRows = 50L).count() == 10)
+  }
+
   test("crossCorpusNearDups: finds exact and near contamination, not clean docs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
