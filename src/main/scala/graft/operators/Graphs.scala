@@ -86,12 +86,14 @@ object Graphs {
     * so ranks are bit-identical across partitionings, retries, and
     * engines (the DuckDB oracle re-runs the identical iteration
     * arithmetic; 1e-12 quantization per hop is identical on both sides,
-    * orders below any ranking use). The per-iteration dangling-mass
-    * aggregate is a driver-side scalar probe, same legitimacy as the
-    * k-means convergence probes.
+    * orders below any ranking use). The per-iteration dangling mass is
+    * folded IN-PLAN: a 1-row decimal aggregate cross-joined (broadcast)
+    * into the rank update — the engine's scalar-broadcast idiom (the
+    * total-distance count scalar uses the same shape) — so an iteration
+    * is a single Spark job with no blocking driver round-trip.
     *
     * Scale: per iteration — one join keyed on src (contributions), one
-    * grouped sum keyed on dst, one scalar aggregate. Rank state is one
+    * grouped sum keyed on dst, one broadcast scalar. Rank state is one
     * double per node; lineage is cut each iteration (localCheckpoint /
     * checkpoint via `reliableCheckpoint`, like the other iterative
     * operators).
@@ -112,8 +114,8 @@ object Graphs {
     val n = nodes.count()
     val outdeg = persist(e.groupBy("src").agg(count(lit(1)).as("od")))
     // the dangling node SET is iteration-invariant (only its rank mass
-    // moves): derive it once, and skip the per-iteration driver probe
-    // entirely on graphs without dangling nodes (10 saved round-trips)
+    // moves): derive it once, and skip the dangling term entirely on
+    // graphs without dangling nodes
     val danglingNodes = persist(nodes
       .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti"))
     val hasDangling = danglingNodes.limit(1).count() > 0
@@ -124,17 +126,27 @@ object Graphs {
         .select(col("dst").as("node"),
           (col("pr") / col("od").cast("double")).cast("decimal(28,12)").as("q"))
         .groupBy("node").agg(sum("q").cast("double").as("s"))
-      val dangling =
-        if (!hasDangling) 0.0
-        else pr.join(danglingNodes, "node")
-          .agg(coalesce(sum(col("pr").cast("decimal(28,12)")).cast("double"),
-            lit(0.0)))
-          .head().getDouble(0)
-      pr = persist(nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dangling / n)))
-            .as("pr")))
+      val base = nodes.join(contrib, Seq("node"), "left")
+      val next =
+        if (!hasDangling)
+          base.select(col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+        else {
+          // dangling mass as a broadcast 1-row aggregate: stays in the
+          // iteration's single job instead of a blocking .head() probe.
+          // `dm / n` is the same double division the driver-side scalar
+          // performed, so ranks stay bit-identical.
+          val dm = pr.join(danglingNodes, "node")
+            .agg(coalesce(sum(col("pr").cast("decimal(28,12)")).cast("double"),
+              lit(0.0)).as("dm"))
+          base.crossJoin(broadcast(dm))
+            .select(col("node"),
+              (lit((1.0 - damping) / n) +
+                lit(damping) * (coalesce(col("s"), lit(0.0)) +
+                  col("dm") / lit(n.toDouble))).as("pr"))
+        }
+      pr = persist(next)
       iter += 1
     }
     pr
