@@ -91,6 +91,39 @@ object ScaleDryRun {
       s"centroids=${cents.count()} assigned=${assigned.count()}"
     }
 
+    // ---- graph family (round-5 addition): the rides station graph,
+    // replicated k× as DISJOINT subgraphs (station ids shifted per
+    // replica) — nodes AND edges grow k×, so rounds/bytes/wedges ratios
+    // between k=1 and k=10 expose any superlinear component. The
+    // replication is in-plan (cross join with a range), no extra corpus.
+    import org.apache.spark.sql.functions._
+    def stationEdges(k: Int) = {
+      val base = graft.core.Tables.rides(spark, dir)
+        .select(col("start_station_id").as("src"),
+          col("end_station_id").as("dst"))
+      if (k == 1) base
+      else base.crossJoin(broadcast(
+          spark.range(k.toLong).select(col("id").as("rep"))))
+        .select((col("src") + col("rep") * 1000000L).as("src"),
+          (col("dst") + col("rep") * 1000000L).as("dst"))
+    }
+    for (k <- Seq(1, 10)) {
+      measured(spark, s"pagerank dir=$dir replicas=$k") {
+        val pr = graft.operators.Graphs.pageRank(
+          stationEdges(k), "src", "dst", graft.RelationalQueries.PrIters)
+        s"nodes=${pr.count()} iters=${graft.RelationalQueries.PrIters}"
+      }
+      measured(spark, s"triangles dir=$dir replicas=$k") {
+        val e = stationEdges(k)
+        val (m, wedges) = graft.operators.Graphs.orientedWedgeStats(
+          e, "src", "dst")
+        val tri = graft.operators.Graphs.trianglesPerNode(e, "src", "dst")
+          .queryExecution.toRdd.count()
+        // the m^1.5 bound the wedge fanout must stay under at any scale
+        f"m=$m wedges=$wedges m15=${math.pow(m.toDouble, 1.5)}%.0f tri_nodes=$tri"
+      }
+    }
+
     spark.stop()
   }
 }

@@ -32,16 +32,13 @@ object Graphs {
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct()
 
-  /** All triangles (a, b, c) of the undirected graph, each exactly once.
-    * Input edges may be directed/duplicated/self-looped — canonicalized
-    * first. */
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = canonical(edges, col(srcCol), col(dstCol))
-    // degree-ordered orientation: s → t iff (deg, id) of s < of t
+  /** Degree-ordered orientation of a canonical edge set: s → t iff
+    * (deg, id) of s < of t — the Suri–Vassilvitskii trick that bounds
+    * every out-neighborhood by O(√m). */
+  private def orient(e: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    val oriented = e
-      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+    e.join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
       .select(
         when(col("du") < col("dv") ||
@@ -49,6 +46,33 @@ object Graphs {
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
+  }
+
+  /** Structural diagnostic for the scale dry run: (m, wedges) where m =
+    * canonical edge count and wedges = Σ C(outdeg, 2) over the
+    * degree-ordered orientation — the EXACT row count of the wedge join
+    * inside [[triangles]]. The Suri–Vassilvitskii guarantee is wedges =
+    * O(m^1.5) with no hot key; checking the measured wedge count against
+    * that bound at growing scale is how superlinear fanout would be
+    * caught before wall-clock ever shows it. Two scalars (one aggregate
+    * job) — a model-scale probe, not a data-path collect. */
+  def orientedWedgeStats(edges: DataFrame, srcCol: String,
+      dstCol: String): (Long, Long) = {
+    val e = canonical(edges, col(srcCol), col(dstCol))
+    val row = orient(e).groupBy("s").agg(count(lit(1)).as("od"))
+      .agg(sum(lit(1)).as("srcs"),
+        sum(col("od") * (col("od") - 1) / 2).cast("long").as("wedges"),
+        sum("od").cast("long").as("m"))
+      .head()
+    (row.getAs[Long]("m"), row.getAs[Long]("wedges"))
+  }
+
+  /** All triangles (a, b, c) of the undirected graph, each exactly once.
+    * Input edges may be directed/duplicated/self-looped — canonicalized
+    * first. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = canonical(edges, col(srcCol), col(dstCol))
+    val oriented = orient(e)
     // wedges around each (bounded-outdegree) source, closed against the
     // canonical edge set
     val wedges = oriented.as("e1")
