@@ -130,17 +130,30 @@ object PipelineQueries {
             |WHERE rk <= $BalanceCap
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** MinHash signature length / seed for [[qLangSimilarity]]. */
+  val LangSimK = 256
+  val LangSimSeed = 42L
+
   /** Cross-language corpus similarity from aggregated MinHash signatures:
     * one k-long signature per language (elementwise-min merge — partial
     * agg friendly), then a tiny 5×5 cross join of signatures. Estimates
     * Jaccard of the langs' shingle-set UNIONS without materializing any
-    * document pair. Deterministic (integer agreement fraction) →
-    * rows-only driver check + spec against exact set Jaccard. */
+    * document pair.
+    *
+    * HASH-CHECKED (round-5 upgrade from rows-only): the elementwise-min
+    * union means sig(lang)ⱼ = min over the lang's DISTINCT shingle union
+    * of splitmix64(fnv(shingle) ⊕ seedⱼ) — so DuckDB re-derives every
+    * signature from the same FNV-1a fold and the UBIGINT-native SplitMix
+    * chain ([[TextQueries.splitmixUbCtesSql]]; the per-j seeds are
+    * engine-computed literals, the CMS-oracle pattern), mins in SIGNED
+    * 64-bit exactly like the Spark kernel, and reproduces each agreement
+    * fraction bit-for-bit. */
   val qLangSimilarity = QueryDef("q_lang_minhash_similarity",
     (spark, dir) => {
       val sigs = Tables.documents(spark, dir)
         .select(col("lang"),
-          MinHashSig(TextAnalysis.shingles(col("text"), 3), 256, 42L).as("sig"))
+          MinHashSig(TextAnalysis.shingles(col("text"), 3), LangSimK, LangSimSeed)
+            .as("sig"))
         .groupBy("lang")
         .agg(MinHashAgg(col("sig")).as("sig"))
       val a = sigs.select(col("lang").as("lang_a"), col("sig").as("sig_a"))
@@ -150,7 +163,36 @@ object PipelineQueries {
           MinHashAgg.estimateJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
         .orderBy("lang_a", "lang_b")
     },
-    None)
+    Some {
+      val seedRows = (0 until LangSimK).map(j =>
+        s"($j, CAST('${java.lang.Long.toUnsignedString(
+          graft.expr.TextHashKernels.splitmix64(LangSimSeed + j))}' AS UBIGINT))")
+        .mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT lang, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL
+         |), sh AS (
+         |  SELECT DISTINCT lang,
+         |         unnest(${TextAnalysis.shinglesOverWsSql(3)}) AS shingle
+         |  FROM toks
+         |), hs AS MATERIALIZED (
+         |  SELECT lang, CAST(${TextQueries.fnvFoldSql("shingle")} AS UBIGINT) AS h
+         |  FROM sh
+         |), sd AS (
+         |  SELECT * FROM (VALUES $seedRows) AS t(j, sdv)
+         |), hx AS (
+         |  SELECT lang, j, xor(h, sdv) AS z FROM hs CROSS JOIN sd
+         |), ${TextQueries.splitmixUbCtesSql("hx", "lang, j", "m")},
+         |sig AS (
+         |  SELECT lang, j, min(${TextQueries.ubToSignedSql("z")}) AS sj
+         |  FROM md GROUP BY lang, j
+         |)
+         |SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |       CAST(sum(CASE WHEN a.sj = b.sj THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / $LangSimK.0 AS est_jaccard
+         |FROM sig a JOIN sig b ON a.lang < b.lang AND a.j = b.j
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    })
 
   /** Domain-mixture sampling weights: give every source an equal share
     * of the total token budget and emit the per-source sampling rate

@@ -590,6 +590,46 @@ object TextQueries {
        |  SELECT $keys, ${mulModSql("z", 2496678331L, 321982955L)} AS z FROM ${p}3
        |), ${p}5 AS (SELECT $keys, ${xor64Sql("z", "z // 2147483648")} AS z FROM ${p}4)""".stripMargin
 
+  /** (z · M) mod 2⁶⁴ over a UBIGINT column `z` — the native-64-bit sibling
+    * of [[mulModSql]]: only the z·lo product is promoted to HUGEINT; the
+    * low-half cross term stays in UBIGINT (max (2³²−1)·hi < 2⁶⁴ for both
+    * SplitMix multipliers). */
+  private[graft] def mulModUbSql(z: String, hi: Long, lo: Long): String =
+    s"""CAST((CAST($z AS HUGEINT) * $lo +
+       | (($z % 4294967296) * $hi % 4294967296) * CAST(4294967296 AS HUGEINT))
+       | % $P64 AS UBIGINT)""".stripMargin
+
+  /** The SplitMix64 finalizer over a UBIGINT column `z` — semantically
+    * identical to [[splitmixCtesSql]] but ~6× faster: xor and logical
+    * shift run NATIVE on DuckDB's UBIGINT (the HUGEINT variant spells
+    * every xor as a 6-op signed/unsigned CASE conversion), the golden-
+    * ratio increment wraps via one comparison, and only the two
+    * multiplies touch HUGEINT. Exists for the MinHash-union oracle,
+    * which pushes |shingles|×k rows through the chain — 256× the volume
+    * of the KMV/CMS oracles that use the HUGEINT form. Emits stages
+    * `<p>a..<p>d`; read the mixed value from `<p>d`. */
+  private[graft] def splitmixUbCtesSql(src: String, keys: String, p: String): String = {
+    val gold = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+    val goldC = java.lang.Long.toUnsignedString(-0x9e3779b97f4a7c15L) // 2⁶⁴ − gold
+    s"""${p}a AS (
+       |  SELECT $keys, CASE WHEN z < CAST('$goldC' AS UBIGINT)
+       |                     THEN z + CAST('$gold' AS UBIGINT)
+       |                     ELSE z - CAST('$goldC' AS UBIGINT) END AS z FROM $src
+       |), ${p}b AS (SELECT $keys,
+       |  ${mulModUbSql("xor(z, z >> 30)", 3210233709L, 484763065L)} AS z FROM ${p}a
+       |), ${p}c AS (SELECT $keys,
+       |  ${mulModUbSql("xor(z, z >> 27)", 2496678331L, 321982955L)} AS z FROM ${p}b
+       |), ${p}d AS (SELECT $keys, xor(z, z >> 31) AS z FROM ${p}c)""".stripMargin
+  }
+
+  /** UBIGINT column → signed BIGINT bit pattern (two's-complement wrap) —
+    * the [[toSignedSql]] sibling for the native-64-bit chain. */
+  private[graft] def ubToSignedSql(u: String): String =
+    s"""CASE WHEN $u >= CAST('9223372036854775808' AS UBIGINT)
+       |     THEN CAST($u - CAST('9223372036854775808' AS UBIGINT) AS BIGINT)
+       |          + (-9223372036854775807 - 1)
+       |     ELSE CAST($u AS BIGINT) END""".stripMargin
+
   /** Per-source distinct-shingle cardinality: KMV sketch estimate beside
     * the exact count. The estimate is HASH-CHECKED, not "close": KMV
     * depends only on the set of FNV hashes, so DuckDB re-deriving the
