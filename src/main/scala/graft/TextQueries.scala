@@ -846,7 +846,8 @@ object TextQueries {
 
   /** Unigram-LM quality scores ([[graft.text.LanguageModel]]): every doc
     * scored under the corpus's own unigram distribution. The oracle
-    * re-trains the same model and re-scores from scratch. */
+    * re-trains the same model and re-scores from scratch — including the
+    * empty-doc contract (left join back: n_toks = 0, NULL score). */
   val qUnigramLogProb = QueryDef("q_unigram_logprob",
     (spark, dir) => graft.text.LanguageModel.unigramLogProb(
       Tables.documents(spark, dir), "doc_id", "text")
@@ -858,12 +859,18 @@ object TextQueries {
            |  SELECT doc_id, tok FROM toks WHERE tok <> ''
            |), freqs AS (
            |  SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
-           |), total AS (SELECT count(*) AS n FROM tk)
-           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-           |       round(avg(ln(CAST(cnt AS DOUBLE)) - ln(CAST(n AS DOUBLE))), 6)
-           |         AS mean_logprob
-           |FROM tk JOIN freqs USING (tok), total
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+           |), total AS (SELECT count(*) AS n FROM tk),
+           |scored AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           |         round(avg(ln(CAST(cnt AS DOUBLE)) - ln(CAST(n AS DOUBLE))), 6)
+           |           AS mean_logprob
+           |  FROM tk JOIN freqs USING (tok), total
+           |  GROUP BY doc_id
+           |)
+           |SELECT d.doc_id, CAST(coalesce(s.n_toks, 0) AS BIGINT) AS n_toks,
+           |       s.mean_logprob
+           |FROM documents d LEFT JOIN scored s USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin))
 
   /** Passage-level decontamination
     * ([[graft.operators.Dedup.crossCorpusContainment]]): train docs (even

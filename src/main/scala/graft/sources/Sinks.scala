@@ -58,6 +58,51 @@ object Sinks {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
+  /** Small-files compaction: rewrite a parquet directory into files of
+    * ~`targetFileMB` (estimated from the current on-disk bytes), via an
+    * atomic-ish tmp-write + directory swap. The small-files problem is
+    * the classic failure mode of streaming/partitioned ingest at scale —
+    * thousands of KB-sized files turn every scan into a file-listing and
+    * task-scheduling exercise; compaction restores scan efficiency
+    * without changing content (spec asserts byte-identical rows and the
+    * expected file count). Content is only reorganized, so replaying a
+    * compaction is idempotent.
+    *
+    * All filesystem access goes through the Hadoop FileSystem resolved
+    * from the path (so file:/, hdfs:/, s3a:/ URIs all work — the same
+    * resolution the parquet writer uses). Hive-PARTITIONED datasets are
+    * REFUSED loudly: reading nested partition directories and rewriting
+    * flat would silently turn partition columns into data columns and
+    * lose directory pruning — compact each leaf partition instead. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileMB: Int = 128): Unit = {
+    require(targetFileMB > 0, "compact: targetFileMB must be positive")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.getFileStatus(dir).isDirectory, s"compact: $path is not a directory")
+    val entries = fs.listStatus(dir) // throws IOException on listing failure
+    require(!entries.exists(e => e.isDirectory &&
+        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith(".")),
+      s"compact: $path contains nested data directories (Hive-partitioned " +
+        "layout) — a flat rewrite would fold partition columns into the data " +
+        "files and lose directory pruning. Compact each leaf partition " +
+        "directory instead.")
+    val bytes = entries
+      .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val files = math.max(1, math.ceil(
+      bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    spark.read.parquet(path).repartition(files)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(dir, old)) sys.error(s"compact: could not retire $path")
+    if (!fs.rename(tmp, dir)) sys.error(s"compact: could not publish $tmp")
+    fs.delete(old, true)
+    ()
+  }
+
   /** Z-ordered parquet: cluster rows by the Morton code of two bounded
     * numeric columns so every output file covers a tight 2-D rectangle —
     * then BOTH columns' min/max row-group stats are selective, and a
@@ -74,35 +119,6 @@ object Sinks {
     * count as any repartitioned write. See [[graft.expr.ZOrderKernels]]
     * for why this matters at 100 TB.
     */
-  /** Small-files compaction: rewrite a parquet directory into files of
-    * ~`targetFileMB` (estimated from the current on-disk bytes), via an
-    * atomic-ish tmp-write + directory swap. The small-files problem is
-    * the classic failure mode of streaming/partitioned ingest at scale —
-    * thousands of KB-sized files turn every scan into a file-listing and
-    * task-scheduling exercise; compaction restores scan efficiency
-    * without changing content (spec asserts byte-identical rows and the
-    * expected file count). Content is only reorganized, so replaying a
-    * compaction is idempotent. */
-  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileMB: Int = 128): Unit = {
-    require(targetFileMB > 0, "compact: targetFileMB must be positive")
-    val dir = new java.io.File(path)
-    require(dir.isDirectory, s"compact: $path is not a directory")
-    val bytes = dir.listFiles().filter(_.getName.endsWith(".parquet"))
-      .map(_.length()).sum
-    val files = math.max(1, math.ceil(
-      bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
-    val tmp = path + "_compact_tmp"
-    spark.read.parquet(path).repartition(files)
-      .write.mode("overwrite").parquet(tmp)
-    val old = new java.io.File(path + "_compact_old")
-    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-    if (!dir.renameTo(old)) sys.error(s"compact: could not retire $path")
-    if (!new java.io.File(tmp).renameTo(dir))
-      sys.error(s"compact: could not publish $tmp")
-    org.apache.commons.io.FileUtils.deleteDirectory(old)
-  }
-
   def parquetZOrdered(df: DataFrame, xCol: String, xLo: Double, xHi: Double,
       yCol: String, yLo: Double, yHi: Double, path: String,
       files: Int = 32): Unit = {

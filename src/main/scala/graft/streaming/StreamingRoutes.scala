@@ -126,20 +126,29 @@ object StreamingRoutes {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fs = new java.io.File(snapshotDir)
+        // Hadoop FileSystem resolved from the path — the same resolution
+        // the parquet writer uses, so file:/, hdfs:/, s3a:/ snapshot
+        // locations all behave identically (java.io.File would silently
+        // see "absent" for any non-local URI and abort the stream on the
+        // final rename)
+        val snap = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val cur =
-          if (fs.exists()) spark.read.parquet(snapshotDir)
+          if (fs.exists(snap)) spark.read.parquet(snapshotDir)
           else batch.limit(0)
         val next = graft.operators.Upsert.latestByKey(
           cur.unionByName(batch), keys, versionCol, tieBreakCol)
-        val tmp = snapshotDir + "_tmp"
-        next.write.mode("overwrite").parquet(tmp)
-        // atomic-enough swap for a local snapshot: rename into place
-        val old = new java.io.File(snapshotDir + "_old")
-        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-        if (fs.exists() && !fs.renameTo(old))
+        val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "_tmp")
+        next.write.mode("overwrite").parquet(tmp.toString)
+        // two-rename swap: a concurrent reader can observe a brief
+        // absence between retire and publish — acceptable for a derived
+        // snapshot (readers retry); a table format (Delta/Iceberg) is
+        // the answer when readers need a seamless cutover
+        val old = new org.apache.hadoop.fs.Path(snapshotDir + "_old")
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(snap) && !fs.rename(snap, old))
           sys.error(s"upsertSink: could not retire $snapshotDir")
-        if (!new java.io.File(tmp).renameTo(fs))
+        if (!fs.rename(tmp, snap))
           sys.error(s"upsertSink: could not publish $tmp")
         ()
       }

@@ -31,18 +31,30 @@ import org.apache.spark.sql.functions._
 object LanguageModel {
 
   /** (doc_id, n_toks, mean_logprob): mean over the doc's tokens of
-    * ln(count(tok) / total_tokens), trained on `docs` itself. */
+    * ln(count(tok) / total_tokens), trained on `docs` itself.
+    *
+    * EVERY input doc gets an output row: null / whitespace-only docs
+    * (which contribute no tokens to the model) come back with n_toks = 0
+    * and mean_logprob = NULL — an explicit sentinel a quality-filter
+    * caller can gate on, instead of the doc silently vanishing from the
+    * scored set (and thereby slipping past a "keep if score ≥ θ" filter
+    * composed as a join). */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tk = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
     val freqs = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = tk.agg(count(lit(1)).as("n"))
-    tk.join(broadcast(freqs), "tok")
+    val scored = tk.join(broadcast(freqs), "tok")
       .crossJoin(broadcast(total))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_toks"),
         round(avg(log(col("cnt").cast("double")) - log(col("n").cast("double"))), 6)
           .as("mean_logprob"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        col("mean_logprob"))
   }
 }

@@ -51,4 +51,18 @@ class PartitioningSpec extends SparkSpec {
     assert(!new java.io.File(path + "_compact_tmp").exists())
     assert(!new java.io.File(path + "_compact_old").exists())
   }
+
+  test("compact refuses a Hive-partitioned dataset instead of flattening it") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_part_refuse").toString
+    Sinks.parquetPartitioned(docs, path, "lang")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compact(spark, path)
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    // the dataset is untouched: partition directories still present
+    val back = spark.read.parquet(path)
+    assert(back.count() == docs.count())
+    assert(back.columns.contains("lang"))
+  }
 }

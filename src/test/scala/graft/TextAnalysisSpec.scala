@@ -10,6 +10,26 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
+  test("unigramLogProb emits a (0, NULL) sentinel row for empty docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, null.asInstanceOf[String]), // null text
+      (3L, "   "),                     // whitespace-only: tokens all empty
+      (4L, "beta")
+    ).toDF("doc_id", "text")
+    val out = rows(graft.text.LanguageModel.unigramLogProb(d, "doc_id", "text")
+      .orderBy("doc_id"))
+    assert(out.map(_.getLong(0)) == Seq(1L, 2L, 3L, 4L),
+      "every input doc must appear exactly once")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), Option(r.get(2)))).toMap
+    assert(byId(2L) == (0L, None) && byId(3L) == (0L, None),
+      s"empty docs must score (0, NULL): $byId")
+    assert(byId(1L)._1 == 3L && byId(4L)._1 == 1L)
+    assert(byId(1L)._2.isDefined && byId(4L)._2.isDefined)
+  }
+
   test("ShinglesExpr equals the composed transform/array_distinct form") {
     val diff = docs.select(
       TextAnalysis.shingles(col("text"), 3).as("fast"),
