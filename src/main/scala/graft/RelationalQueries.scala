@@ -178,6 +178,44 @@ object RelationalQueries {
            |FROM documents WHERE lang = 'en' AND n_chars > 500
            |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Global aggregates through the DSv2 connector's AGGREGATE pushdown
+    * ([[graft.sources.GraftScanBuilder.pushAggregation]]) — the S1
+    * "external engine runs the whole query" story at the aggregation
+    * layer (`sql_cycle_rides.py:43-46` has BigQuery do agg+sort). Two
+    * scopes in one result: the unfiltered half is answered ENTIRELY
+    * from parquet footer metadata (row counts + row-group min/max
+    * stats — zero data pages decoded); the filtered half exercises the
+    * per-file partial-aggregate row scan under the same merge contract.
+    * Spec asserts the scan node carries PushedAggregation. */
+  val qDsv2AggPushdown = QueryDef("q_dsv2_agg_pushdown",
+    (spark, dir) => {
+      def half(scope: String,
+          f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+        f(spark.read.format("graft.sources.GraftParquetTableProvider")
+          .option("path", s"$dir/lineitem.parquet").load())
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("l_quantity")).as("n_qty"),
+            min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+            min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+          .select(lit(scope).as("scope"), col("n_rows"), col("n_qty"),
+            col("min_key"), col("max_key"), col("min_qty"), col("max_qty"))
+      half("all", identity)
+        .unionByName(half("filtered", _.filter(col("l_quantity") >= 30.0)))
+        .orderBy("scope")
+    },
+    Some("""SELECT 'all' AS scope, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(count(l_quantity) AS BIGINT) AS n_qty,
+           |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+           |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+           |FROM lineitem
+           |UNION ALL
+           |SELECT 'filtered', CAST(count(*) AS BIGINT),
+           |       CAST(count(l_quantity) AS BIGINT),
+           |       min(l_orderkey), max(l_orderkey),
+           |       min(l_quantity), max(l_quantity)
+           |FROM lineitem WHERE l_quantity >= 30.0
+           |ORDER BY scope""".stripMargin))
+
   /** TPC-H Q3 ("shipping priority") adapted to this schema: segment-
     * filtered customers ⋈ date-bounded orders ⋈ ship-date-bounded
     * lineitems, revenue per open order, top 10. The canonical selective-
@@ -466,6 +504,6 @@ object RelationalQueries {
 
   def all: Seq[QueryDef] = Seq(
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
-    qDsv2Pushdown, qShippingPriority, qLocalSupplierVolume,
+    qDsv2Pushdown, qDsv2AggPushdown, qShippingPriority, qLocalSupplierVolume,
     qLargeOrders, qProfileDocuments, qZorderCells, qTriangles, qPageRank)
 }

@@ -15,7 +15,8 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveT
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -75,10 +76,12 @@ class GraftParquetTable(path: String, tableSchema: StructType)
 
 class GraftScanBuilder(path: String, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggs: Option[Seq[GraftAggSpec]] = None
 
   /** LIMIT pushdown — PARTIAL by contract: each input partition stops
     * after `limit` surviving rows (I/O saved at the source), but the
@@ -103,11 +106,80 @@ class GraftScanBuilder(path: String, tableSchema: StructType)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = GraftParquetScan(path, required, pushed, limit)
+  /** Aggregate pushdown (the reference-S1 story completed at the
+    * connector layer: "the engine runs the whole query",
+    * `sql_cycle_rides.py:43-46`). PARTIAL by contract
+    * (supportCompletePushDown stays false): each input partition emits
+    * ONE row of per-file partial aggregates and Spark does the final
+    * merge — so correctness never depends on the file fan-out. Scope is
+    * global (no GROUP BY) COUNT(*) / COUNT(col) / MIN / MAX on flat
+    * comparable types; anything else is declined wholesale and Spark
+    * aggregates scan rows as before. When NO filters are pushed, the
+    * reader answers from footer metadata alone — row counts and
+    * row-group min/max stats — reading zero data pages. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+    def typed(n: String): Option[DataType] =
+      tableSchema.fields.find(_.name == n).map(_.dataType)
+    val minMaxTypes: Set[DataType] =
+      Set(IntegerType, LongType, FloatType, DoubleType, DateType)
+    val translated: Seq[Option[GraftAggSpec]] =
+      aggregation.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(GraftAggSpec.CountStar)
+        case c: Count if !c.isDistinct =>
+          colOf(c.column).filter(n => typed(n).isDefined)
+            .map(GraftAggSpec.CountCol(_))
+        case m: Min =>
+          colOf(m.column).flatMap(n => typed(n)
+            .filter(minMaxTypes).map(GraftAggSpec.MinCol(n, _)))
+        case m: Max =>
+          colOf(m.column).flatMap(n => typed(n)
+            .filter(minMaxTypes).map(GraftAggSpec.MaxCol(n, _)))
+        case _ => None
+      }
+    if (translated.exists(_.isEmpty)) false
+    else { aggs = Some(translated.flatten); true }
+  }
+
+  override def build(): Scan =
+    GraftParquetScan(path, aggs.map(GraftAggSpec.schema).getOrElse(required),
+      pushed, limit, aggs)
+}
+
+/** One pushed aggregate column. */
+sealed trait GraftAggSpec
+object GraftAggSpec {
+  case object CountStar extends GraftAggSpec
+  final case class CountCol(name: String) extends GraftAggSpec
+  final case class MinCol(name: String, dt: DataType) extends GraftAggSpec
+  final case class MaxCol(name: String, dt: DataType) extends GraftAggSpec
+
+  /** Scan output schema for a pushed aggregation: one field per
+    * aggregate, positional (Spark matches by position, then merges). */
+  def schema(specs: Seq[GraftAggSpec]): StructType = StructType(specs.map {
+    case CountStar => StructField("count(*)", LongType, nullable = false)
+    case CountCol(n) => StructField(s"count($n)", LongType, nullable = false)
+    case MinCol(n, dt) => StructField(s"min($n)", dt, nullable = true)
+    case MaxCol(n, dt) => StructField(s"max($n)", dt, nullable = true)
+  })
+
+  /** Columns the row-scan fallback must read. */
+  def referenced(specs: Seq[GraftAggSpec]): Seq[String] = specs.collect {
+    case CountCol(n) => n
+    case MinCol(n, _) => n
+    case MaxCol(n, _) => n
+  }.distinct
 }
 
 case class GraftParquetScan(path: String, required: StructType,
-    pushed: Array[Filter], limit: Int = -1) extends Scan with Batch {
+    pushed: Array[Filter], limit: Int = -1,
+    aggs: Option[Seq[GraftAggSpec]] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in .explain — the same observability contract the built-in
@@ -116,22 +188,152 @@ case class GraftParquetScan(path: String, required: StructType,
     s"GraftParquetScan path=$path, " +
       s"ReadSchema: ${required.catalogString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
-      (if (limit >= 0) s", PushedLimit: $limit" else "")
+      (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      aggs.fold("")(a => s", PushedAggregation: [${a.mkString(", ")}]")
 
   override def planInputPartitions(): Array[InputPartition] =
     GraftParquetV2.listFiles(path).map(GraftInputPartition(_)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftPartitionReaderFactory(required, pushed, limit)
+    GraftPartitionReaderFactory(required, pushed, limit, aggs)
 }
 
 case class GraftInputPartition(file: String) extends InputPartition
 
 case class GraftPartitionReaderFactory(required: StructType,
-    pushed: Array[Filter], limit: Int = -1) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].file, required, pushed, limit)
+    pushed: Array[Filter], limit: Int = -1,
+    aggs: Option[Seq[GraftAggSpec]] = None) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GraftInputPartition].file
+    aggs match {
+      case Some(specs) => new GraftAggPartitionReader(file, specs, pushed)
+      case None => new GraftPartitionReader(file, required, pushed, limit)
+    }
+  }
+}
+
+/** Per-file PARTIAL aggregates, one output row. Two paths:
+  *   - metadata-only (no pushed filters): COUNT(*) from footer row
+  *     counts, COUNT(col) from row-group null counts, MIN/MAX from
+  *     row-group statistics — zero data pages decoded, the connector
+  *     literally answers the query from the index. Falls back whenever
+  *     any row group lacks the needed exact stats (missing stats,
+  *     unset null counts — e.g. NaN-bearing doubles drop min/max);
+  *   - row scan (filters pushed, or stats unusable): stream the file
+  *     through the same three-valued filter evaluation as the row
+  *     reader, projecting only aggregate inputs ∪ filter references,
+  *     and fold counts/mins/maxes as rows pass. */
+class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+  private var done = false
+  private var result: InternalRow = _
+
+  private def computeFromFooter(): Option[Array[Any]] = {
+    val in = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    try {
+      val blocks = in.getFooter.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      // per-row-group column chunk metadata, None when absent
+      def chunks(col: String) = blocks.map(
+        _.getColumns.asScala.find(_.getPath.toDotString == col))
+      def statExtreme(n: String, dt: DataType, isMin: Boolean): Option[Any] = {
+        val cs = chunks(n)
+        if (cs.exists(_.isEmpty)) return None
+        // every chunk must either carry exact min/max, or be provably
+        // all-null (numNulls set and equal to its value count) — a
+        // chunk with values but dropped stats (e.g. NaN-bearing
+        // doubles) forfeits the fast path for this file
+        val usable = cs.flatten.forall { c =>
+          val s: org.apache.parquet.column.statistics.Statistics[_] =
+            c.getStatistics
+          s != null && (s.hasNonNullValue ||
+            (s.isNumNullsSet && s.getNumNulls == c.getValueCount))
+        }
+        if (!usable) return None
+        val withVals = cs.flatten.map(_.getStatistics).filter(_.hasNonNullValue)
+        if (withVals.isEmpty) Some(null)
+        else Some(reduceExtreme(
+          withVals.map(s => if (isMin) s.genericGetMin else s.genericGetMax),
+          dt, isMin))
+      }
+      val vals: Seq[Option[Any]] = specs.map {
+        case GraftAggSpec.CountStar => Some(rowCount: Any)
+        case GraftAggSpec.CountCol(n) =>
+          val cs = chunks(n)
+          if (cs.exists(c => c.isEmpty || c.get.getStatistics == null ||
+              !c.get.getStatistics.isNumNullsSet)) None
+          else Some(rowCount - cs.flatten.map(_.getStatistics.getNumNulls).sum: Any)
+        case GraftAggSpec.MinCol(n, dt) => statExtreme(n, dt, isMin = true)
+        case GraftAggSpec.MaxCol(n, dt) => statExtreme(n, dt, isMin = false)
+      }
+      if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get).toArray)
+    } finally in.close()
+  }
+
+  private def reduceExtreme(cand: Seq[Any], dt: DataType, isMin: Boolean): Any = {
+    def red[T](ord: Ordering[T]): Any = {
+      val xs = cand.map(_.asInstanceOf[T])
+      if (isMin) xs.min(ord) else xs.max(ord)
+    }
+    dt match {
+      case IntegerType | DateType => red(Ordering[Int].on[Any](_.asInstanceOf[Number].intValue()))
+      case LongType => red(Ordering[Long].on[Any](_.asInstanceOf[Number].longValue()))
+      case FloatType => red(Ordering[Float].on[Any](_.asInstanceOf[Number].floatValue()))
+      case DoubleType => red(Ordering[Double].on[Any](_.asInstanceOf[Number].doubleValue()))
+      case other => throw new IllegalStateException(s"unreachable min/max type $other")
+    }
+  }
+
+  private def computeByScan(): Array[Any] = {
+    val cols = GraftAggSpec.referenced(specs)
+    val schema = GraftParquetV2.sparkSchema(GraftParquetV2.footerSchema(file))
+    val scanSchema = StructType(schema.fields.filter(f => cols.contains(f.name)))
+    val inner = new GraftPartitionReader(file, scanSchema, pushed, -1)
+    val idx = scanSchema.fieldNames.zipWithIndex.toMap
+    var count = 0L
+    val colCount = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val mins = collection.mutable.Map.empty[String, Any]
+    val maxs = collection.mutable.Map.empty[String, Any]
+    def fold(m: collection.mutable.Map[String, Any], n: String, v: Any,
+        dt: DataType, isMin: Boolean): Unit =
+      if (v != null) m(n) = m.get(n)
+        .map(cur => reduceExtreme(Seq(cur, v), dt, isMin)).getOrElse(v)
+    try {
+      while (inner.next()) {
+        val row = inner.get()
+        count += 1
+        specs.foreach {
+          case GraftAggSpec.CountCol(n) =>
+            if (row.get(idx(n), schema(n).dataType) != null) colCount(n) += 1
+          case GraftAggSpec.MinCol(n, dt) =>
+            fold(mins, n, row.get(idx(n), dt), dt, isMin = true)
+          case GraftAggSpec.MaxCol(n, dt) =>
+            fold(maxs, n, row.get(idx(n), dt), dt, isMin = false)
+          case GraftAggSpec.CountStar => ()
+        }
+      }
+    } finally inner.close()
+    specs.map {
+      case GraftAggSpec.CountStar => count: Any
+      case GraftAggSpec.CountCol(n) => colCount(n): Any
+      case GraftAggSpec.MinCol(n, _) => mins.getOrElse(n, null)
+      case GraftAggSpec.MaxCol(n, _) => maxs.getOrElse(n, null)
+    }.toArray
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    val vals =
+      if (pushed.isEmpty) computeFromFooter().getOrElse(computeByScan())
+      else computeByScan()
+    result = new GenericInternalRow(vals)
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = result
+  override def close(): Unit = ()
 }
 
 /** Streams one parquet file: requested schema = required ∪ filter

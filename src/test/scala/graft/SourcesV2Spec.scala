@@ -16,11 +16,19 @@ class SourcesV2Spec extends SparkSpec {
     .format("graft.sources.GraftParquetTableProvider")
     .option("path", path).load()
 
-  private def graftScan(df: DataFrame): GraftParquetScan =
-    df.queryExecution.executedPlan.collectLeaves()
+  private def graftScan(df: DataFrame): GraftParquetScan = {
+    // aggregate plans carry an exchange, so AQE wraps them — the scan
+    // leaf lives inside the adaptive plan, not under the wrapper node
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collectLeaves()
       .collectFirst { case b: BatchScanExec => b.scan }
       .collect { case s: GraftParquetScan => s }
       .getOrElse(fail("no GraftParquetScan in the plan"))
+  }
 
   test("schema inference matches the built-in parquet reader") {
     val path = s"$sfDir/documents.parquet"
@@ -102,6 +110,56 @@ class SourcesV2Spec extends SparkSpec {
     val n = viaV2(path).filter(col("lang") === "en").count()
     val ref = spark.read.parquet(path).filter(col("lang") === "en").count()
     assert(n == ref && n > 0)
+  }
+
+  test("global COUNT/MIN/MAX are pushed to the scan and match the built-in") {
+    val path = s"$sfDir/lineitem.parquet"
+    def agged(df: DataFrame) = df.agg(
+      count(lit(1)).as("n"), count(col("l_quantity")).as("nq"),
+      min("l_orderkey").as("mink"), max("l_orderkey").as("maxk"),
+      min("l_quantity").as("minq"), max("l_quantity").as("maxq"))
+    // no filter → the connector answers from footer metadata alone
+    val df = agged(viaV2(path))
+    val scan = graftScan(df)
+    assert(scan.aggs.isDefined, "aggregation not pushed")
+    assert(scan.description().contains("PushedAggregation"),
+      scan.description())
+    assert(rows(df) == rows(agged(spark.read.parquet(path))))
+    // with a pushed filter → per-file row scan, same merge contract
+    val f = col("l_quantity") >= 30.0
+    val dff = agged(viaV2(path).filter(f))
+    assert(graftScan(dff).aggs.isDefined, "filtered aggregation not pushed")
+    assert(graftScan(dff).pushed.nonEmpty, "filter not pushed")
+    assert(rows(dff) == rows(agged(spark.read.parquet(path).filter(f))))
+  }
+
+  test("pushed aggregates handle nulls: count(col) excludes, min of all-null is null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2_aggnull")
+    val path = s"$dir/t.parquet"
+    Seq((1L, Some(10L), None: Option[Long]),
+        (2L, None: Option[Long], None: Option[Long]),
+        (3L, Some(7L), None: Option[Long]))
+      .toDF("id", "v", "w").write.mode("overwrite").parquet(path)
+    val df = viaV2(path).agg(
+      count(col("v")).as("nv"), min("v").as("minv"),
+      count(col("w")).as("nw"), max("w").as("maxw"))
+    assert(graftScan(df).aggs.isDefined, "aggregation not pushed")
+    val r = rows(df).head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 7L, r.toString)
+    assert(r.getLong(2) == 0L && r.isNullAt(3), r.toString)
+  }
+
+  test("GROUP BY aggregation is declined — grouped results still exact") {
+    val path = s"$sfDir/documents.parquet"
+    val df = viaV2(path).groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(graftScan(df).aggs.isEmpty,
+      "grouped aggregation must not be claimed")
+    val v2 = rows(df.orderBy("lang")).map(r => (r.getString(0), r.getLong(1)))
+    val ref = rows(spark.read.parquet(path).groupBy("lang")
+      .agg(count(lit(1)).as("n")).orderBy("lang"))
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(v2 == ref)
   }
 
   test("LIMIT is pushed to the scan (partial contract) and results are exact") {
