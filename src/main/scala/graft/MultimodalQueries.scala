@@ -27,19 +27,39 @@ object MultimodalQueries {
       |       + (ascii(c) // 64) % 64 + ascii(c) % 64
       |END""".stripMargin
 
+  /** The round-5 columns additionally verify the REAL PNG header parse:
+    * image rows carry a genuine 33-byte signature+IHDR prefix whose
+    * dimensions derive from doc_id, so the oracle re-computes the
+    * expected decoded width/height (and the header's byte/checksum
+    * contribution: fixed-part sum 747 + w + h, since both dims fit one
+    * byte) arithmetically — a wrong parse offsets n_decoded/total_w/
+    * total_h AND the checksums. */
   val qModalityStats = QueryDef("q_multimodal_stats",
     (spark, dir) => Multimodal.modalityStats(
       spark, Multimodal.fromDocuments(Tables.documents(spark, dir))),
     Some(s"""SELECT modality, CAST(count(*) AS BIGINT) AS n,
-            |       CAST(sum(COALESCE(octet_length(encode(text)), 0)) AS BIGINT)
-            |         AS total_bytes,
-            |       CAST(sum(COALESCE(list_sum(list_apply(string_split_regex(text, ''),
-            |                                             c -> $utf8ByteSum)), 0)) AS BIGINT)
-            |         AS total_checksum
-            |FROM (SELECT text,
+            |       CAST(sum(tb + hdr_len) AS BIGINT) AS total_bytes,
+            |       CAST(sum(ts + hdr_sum) AS BIGINT) AS total_checksum,
+            |       CAST(count(w) AS BIGINT) AS n_decoded,
+            |       CAST(sum(w) AS BIGINT) AS total_w,
+            |       CAST(sum(h) AS BIGINT) AS total_h
+            |FROM (SELECT
             |        CASE CAST(doc_id % 3 AS INT)
             |          WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
-            |        END AS modality
+            |        END AS modality,
+            |        COALESCE(octet_length(encode(text)), 0) AS tb,
+            |        COALESCE(list_sum(list_apply(string_split_regex(text, ''),
+            |                                     c -> $utf8ByteSum)), 0) AS ts,
+            |        CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL
+            |             THEN ${Multimodal.PngHeaderLen} ELSE 0 END AS hdr_len,
+            |        CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL
+            |             THEN ${Multimodal.PngHeaderFixedByteSum}
+            |                  + (doc_id % 240 + 16) + ((doc_id * 7) % 240 + 16)
+            |             ELSE 0 END AS hdr_sum,
+            |        CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL
+            |             THEN doc_id % 240 + 16 END AS w,
+            |        CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL
+            |             THEN (doc_id * 7) % 240 + 16 END AS h
             |      FROM documents)
             |GROUP BY modality ORDER BY modality""".stripMargin))
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing: opaque `binary` content
@@ -14,14 +14,92 @@ import org.apache.spark.sql.functions._
   * a `mapPartitions` batch transform (one decoder init per partition, not
   * per row), the Scala-side analog of a vectorized pandas-UDF stage.
   *
-  * ⚠ STUB DECODER: the container has no image/audio codecs, so
-  * [[StubCodec]] computes deterministic fake "features" (byte statistics)
-  * in place of a real decode. The Spark-side contract — schema, typed
-  * encoders, partition-wise batching, pruning behavior — is the real,
-  * tested surface; swap [[StubCodec.decode]] for a JNI/codec call in
-  * production.
+  * Decode is REAL at the container level and stubbed at the pixel level:
+  * [[ImageHeaders]] parses actual PNG / BMP / GIF / JPEG headers from the
+  * payload bytes (format + dimensions — pure JVM, no codec deps, the part
+  * of decode a curation pipeline needs for size/aspect filtering), while
+  * the pixel-content "features" remain deterministic byte statistics
+  * ([[Codec]]) standing in for a full decoder — swap [[Codec.decode]]'s
+  * feature step for a JNI/codec call in production.
   */
 object Multimodal {
+
+  /** Real image-container header parsing — format and pixel dimensions
+    * straight from the bytes, no image libraries. Strict magic checks
+    * (PNG signature + IHDR; BMP "BM" + zero reserved words + known DIB
+    * header size; GIF87a/89a; JPEG SOI + SOF marker walk) so arbitrary
+    * text/audio payloads never false-positive. Returns
+    * (format, width, height); dimensions are validated > 0. */
+  object ImageHeaders {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def le16(b: Array[Byte], i: Int): Int = (u8(b, i + 1) << 8) | u8(b, i)
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (u8(b, i + 3).toLong << 24) | (u8(b, i + 2) << 16) | (u8(b, i + 1) << 8) | u8(b, i)
+
+    def parse(b: Array[Byte]): Option[(String, Int, Int)] = {
+      if (b == null) return None
+      val r = png(b).orElse(gif(b)).orElse(bmp(b)).orElse(jpeg(b))
+      r.filter { case (_, w, h) => w > 0 && h > 0 }
+    }
+
+    /** 8-byte signature, then the IHDR chunk: length(4) type(4) w(4) h(4). */
+    private def png(b: Array[Byte]): Option[(String, Int, Int)] =
+      if (b.length >= 24 &&
+          u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+          u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some(("png", be32(b, 16).toInt, be32(b, 20).toInt))
+      else None
+
+    /** GIF87a / GIF89a, logical screen size at 6/8 (LE u16). */
+    private def gif(b: Array[Byte]): Option[(String, Int, Int)] =
+      if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        Some(("gif", le16(b, 6), le16(b, 8)))
+      else None
+
+    /** "BM" + file header; the two reserved words MUST be zero (kills
+      * text payloads that merely start with "BM") and the DIB header
+      * size must be a known variant. Height may be negative (top-down
+      * rows) — magnitude is the pixel height. */
+    private def bmp(b: Array[Byte]): Option[(String, Int, Int)] =
+      if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' &&
+          le32(b, 6) == 0L && Set(12L, 40L, 52L, 56L, 108L, 124L)(le32(b, 14)))
+        (if (le32(b, 14) == 12L) // BITMAPCOREHEADER: u16 dims
+          Some(("bmp", le16(b, 18), le16(b, 20)))
+        else if (b.length >= 26)
+          Some(("bmp", le32(b, 18).toInt, math.abs(le32(b, 22).toInt)))
+        else None)
+      else None
+
+    /** SOI then marker walk to the first SOF frame header (C0–CF except
+      * the non-frame C4/C8/CC): height at +5, width at +7 (BE u16). */
+    private def jpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
+      if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return None // desynced — not a JPEG stream
+        val marker = u8(b, i + 1)
+        if (marker == 0xff) { i += 1 } // fill byte
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2
+        else {
+          val len = be16(b, i + 2)
+          if (len < 2) return None
+          if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            return if (i + 8 < b.length)
+              Some(("jpeg", be16(b, i + 7), be16(b, i + 5)))
+            else None
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+  }
 
   /** A media row: content is opaque bytes; meta is modality-specific. */
   case class MediaRow(
@@ -32,17 +110,25 @@ object Multimodal {
       sample_rate: Int, // audio
       duration_ms: Long) // audio/video
 
-  /** Extracted features per media item. */
+  /** Extracted features per media item. `img_*` come from the REAL
+    * container-header parse ([[ImageHeaders]]); None when the payload is
+    * not a recognized image container. */
   case class MediaFeatures(
       media_id: Long,
       modality: String,
       byte_len: Long,
       checksum: Long, // sum of unsigned byte values
-      histogram: Array[Float]) // 16-bucket normalized byte histogram
+      histogram: Array[Float], // 16-bucket normalized byte histogram
+      img_format: Option[String],
+      img_w: Option[Int],
+      img_h: Option[Int])
 
-  /** STUB for the real decoder: deterministic byte statistics standing in
-    * for decoded-pixel / PCM features. Pure function of the bytes. */
-  object StubCodec {
+  /** The per-row decode: REAL header parse (format + dimensions via
+    * [[ImageHeaders]]) plus deterministic byte statistics standing in
+    * for decoded-pixel / PCM features (the container has no codecs —
+    * swap the feature step for a JNI/codec call in production). Pure
+    * function of the bytes. */
+  object Codec {
     val HistogramBuckets = 16
 
     def decode(row: MediaRow): MediaFeatures = {
@@ -60,22 +146,48 @@ object Multimodal {
         i += 1
       }
       val n = math.max(bytes.length, 1).toFloat
+      val hdr = ImageHeaders.parse(row.content)
       MediaFeatures(row.media_id, row.modality, bytes.length.toLong, checksum,
-        counts.map(c => c / n))
+        counts.map(c => c / n),
+        hdr.map(_._1), hdr.map(_._2), hdr.map(_._3))
     }
   }
 
+  /** Deterministic per-doc PNG dimensions for [[fromDocuments]]'s image
+    * rows — small bounded ints so the header bytes are (00 00 00 w). */
+  def pngWidth(docId: Column): Column = (pmod(docId, lit(240)) + 16).cast("int")
+  def pngHeight(docId: Column): Column = (pmod(docId * 7, lit(240)) + 16).cast("int")
+
+  /** Byte-sum of the fixed part of the synthetic PNG header (signature +
+    * IHDR length/type + bit-depth/color/interlace tail + zero CRC) —
+    * the oracle adds this plus w + h per image row. */
+  val PngHeaderFixedByteSum = 747L
+  /** Total header length in bytes. */
+  val PngHeaderLen = 33L
+
   /** Derive a deterministic media table from the documents corpus: text
     * bytes as the payload, modality round-robin by id, synthetic meta.
+    * IMAGE rows get a REAL 33-byte PNG signature + IHDR header prefix
+    * (width/height derived from doc_id, big-endian bytes built in-plan
+    * via hex/lpad/unhex; CRC left zero — [[ImageHeaders]] reads
+    * dimensions, not CRCs), so the downstream header decode exercises an
+    * actual binary container parse, not a fixture.
     * (Stands in for `spark.read.format("binaryFile")` over a media lake.) */
   def fromDocuments(docs: DataFrame): DataFrame = {
     val modality = element_at(
       array(lit("image"), lit("audio"), lit("video")),
       (pmod(col("doc_id"), lit(3)) + lit(1)).cast("int"))
+    def be4(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    val pngHeader = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR len/type
+      be4(pngWidth(col("doc_id"))), be4(pngHeight(col("doc_id"))),
+      unhex(lit("080600000000000000"))) // depth/color/interlace + zero CRC
+    val payload = encode(col("text"), "UTF-8")
     docs.select(
       col("doc_id").as("media_id"),
       modality.as("modality"),
-      encode(col("text"), "UTF-8").as("content"),
+      when(modality === "image", concat(pngHeader, payload))
+        .otherwise(payload).as("content"),
       when(modality === "audio", lit(0)).otherwise(lit(640)).as("width"),
       when(modality === "audio", lit(0)).otherwise(lit(480)).as("height"),
       when(modality === "audio", lit(16000)).otherwise(lit(0)).as("sample_rate"),
@@ -89,7 +201,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real impl: val codec = Codec.acquire(); rows.map(codec.decode)
-      rows.map(StubCodec.decode)
+      rows.map(Codec.decode)
     }
   }
 
@@ -100,13 +212,19 @@ object Multimodal {
   }
 
   /** Per-modality feature rollup (the oracle-checkable aggregate face;
-    * checksum/byte sums are exact integers → cross-engine stable). */
+    * checksum/byte/dimension sums are exact integers → cross-engine
+    * stable). `n_decoded`/`total_w`/`total_h` aggregate the REAL header
+    * decode: only rows whose payload parses as an image container
+    * contribute (sum over none = NULL, count = 0). */
   def modalityStats(spark: SparkSession, media: DataFrame): DataFrame =
     extractFeatures(spark, media)
       .groupBy("modality")
       .agg(count(lit(1)).as("n"),
         sum("byte_len").as("total_bytes"),
-        sum("checksum").as("total_checksum"))
+        sum("checksum").as("total_checksum"),
+        count(col("img_w")).as("n_decoded"),
+        sum("img_w").as("total_w"),
+        sum("img_h").as("total_h"))
       .orderBy("modality")
 
   /** One sampled frame of a video payload. */

@@ -2,31 +2,83 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{MediaRow, StubCodec}
+import graft.operators.Multimodal.{Codec, ImageHeaders, MediaRow}
 
-/** Multimodal plumbing specs: binary payload round-trip, stub-decode
-  * determinism, partition-batch shape, and metadata-only column pruning. */
+/** Multimodal plumbing specs: binary payload round-trip, decode
+  * determinism (real header parse + stub byte features), partition-batch
+  * shape, and metadata-only column pruning. */
 class MultimodalSpec extends SparkSpec {
 
-  test("StubCodec: checksum/histogram are exact byte statistics") {
+  test("Codec: checksum/histogram are exact byte statistics") {
     val row = MediaRow(1L, "image", "abc".getBytes("UTF-8"), 640, 480, 0, 0L)
-    val f = StubCodec.decode(row)
+    val f = Codec.decode(row)
     assert(f.byte_len == 3L)
     assert(f.checksum == 97L + 98L + 99L) // 'a'+'b'+'c'
     assert(math.abs(f.histogram.sum - 1.0f) < 1e-6) // normalized
     // bucket of 'a' (97 % 16 = 1): 1/3 of mass; 'b'→2, 'c'→3
     assert(math.abs(f.histogram(1) - 1f / 3f) < 1e-6)
+    assert(f.img_format.isEmpty, "plain text must not parse as an image")
+  }
+
+  test("ImageHeaders parses real PNG/BMP/GIF/JPEG headers, rejects lookalikes") {
+    def be4(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def le4(v: Int) = be4(v).reverse
+    def le2(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def be2(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be4(13) ++ "IHDR".getBytes ++ be4(800) ++ be4(600) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be4(0)
+    assert(ImageHeaders.parse(png).contains(("png", 800, 600)))
+    val gif = "GIF89a".getBytes ++ le2(320) ++ le2(200) ++ Array[Byte](0, 0)
+    assert(ImageHeaders.parse(gif).contains(("gif", 320, 200)))
+    val bmp = "BM".getBytes ++ le4(1000) ++ le4(0) ++ le4(54) ++
+      le4(40) ++ le4(1024) ++ le4(-768) // top-down: negative height
+    assert(ImageHeaders.parse(bmp).contains(("bmp", 1024, 768)))
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be2(16) ++ new Array[Byte](14) ++ // APP0
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be2(17) ++ Array[Byte](8) ++
+      be2(480) ++ be2(640) ++ new Array[Byte](10)
+    assert(ImageHeaders.parse(jpeg).contains(("jpeg", 640, 480)))
+    // lookalikes that must NOT parse: text starting "BM" (nonzero
+    // reserved words), truncated PNG, null, empty
+    assert(ImageHeaders.parse("BMW is a carmaker, says doc".getBytes).isEmpty)
+    assert(ImageHeaders.parse(png.take(20)).isEmpty)
+    assert(ImageHeaders.parse(null).isEmpty)
+    assert(ImageHeaders.parse(Array.emptyByteArray).isEmpty)
   }
 
   test("fromDocuments → extractFeatures round-trips content bytes exactly") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val media = Multimodal.fromDocuments(docs)
     val feats = Multimodal.extractFeatures(spark, media)
+    // image rows carry the 33-byte PNG header; others are raw text bytes
+    val expected = when(pmod(col("doc_id"), lit(3)) === 0,
+      length(col("text")).cast("long") + Multimodal.PngHeaderLen)
+      .otherwise(length(col("text")).cast("long"))
     val joined = feats.join(docs, col("media_id") === col("doc_id"))
-      .select(col("doc_id"), col("byte_len"), length(col("text")).cast("long").as("n"))
+      .select(col("doc_id"), col("byte_len"), expected.as("n"))
       .filter(col("byte_len") =!= col("n"))
-    assert(joined.count() == 0) // ASCII corpus: byte_len == char count
+    assert(joined.count() == 0) // ASCII corpus: byte_len == char count (+hdr)
     assert(feats.count() == docs.count())
+  }
+
+  test("every image row's synthetic PNG header decodes to the derived dims") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.fromDocuments(docs))
+    val img = rows(feats.filter(col("modality") === "image")
+      .select(col("media_id"), col("img_format"), col("img_w"), col("img_h")))
+    assert(img.nonEmpty)
+    img.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "png", s"doc $id")
+      assert(r.getInt(2) == (id % 240 + 16).toInt, s"doc $id width")
+      assert(r.getInt(3) == (id * 7 % 240 + 16).toInt, s"doc $id height")
+    }
+    // non-image payloads (raw text) never false-positive
+    assert(feats.filter(col("modality") =!= "image" &&
+      col("img_format").isNotNull).count() == 0)
   }
 
   test("modality split is the deterministic doc_id % 3 round-robin") {
