@@ -77,6 +77,42 @@ class GraphsSpec extends SparkSpec {
     assert(a == b, "pageRank must be bit-identical across partitionings")
   }
 
+  test("pageRank runs ONE action per iteration (in-plan dangling mass)") {
+    // a DANGLING graph — the configuration that used to add a blocking
+    // .head() probe per iteration. Raw job counts are an AQE artifact
+    // (each shuffle stage runs as its own job), so the invariant is
+    // counted in SQL EXECUTIONS (driver actions): each extra iteration
+    // must add exactly ONE (its checkpoint materialization) — the old
+    // probe was a second, blocking execution per iteration.
+    val edges = ((1L to 30L).map(i => i -> (i % 30 + 1)) :+ (5L -> 77L)) // 77 dangles
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          counter.incrementAndGet()
+        case _ => ()
+      }
+    }
+    def executionsFor(iters: Int): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      counter.set(0)
+      try {
+        Graphs.pageRank(g(edges: _*), "s", "t", iters).queryExecution
+          .toRdd.count()
+        // listener bus is async (drain API is private[spark]) — give
+        // queued events time to land, same as ScaleDryRun
+        Thread.sleep(2000)
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val e3 = executionsFor(3)
+    val e6 = executionsFor(6)
+    assert(e6 - e3 == 3,
+      s"each extra iteration must cost exactly one driver action: " +
+        s"iters=3 → $e3, iters=6 → $e6")
+  }
+
   test("triangle set is partitioning-invariant") {
     val edges = (for (a <- 1L to 12L; b <- a + 1 to 12L
       if (a + b) % 3 != 0) yield (a, b))
