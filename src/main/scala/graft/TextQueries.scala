@@ -844,6 +844,64 @@ object TextQueries {
             |WHERE jaccard >= $MinJaccard
             |ORDER BY train_id, probe_id""".stripMargin))
 
+  /** A kept line may appear in at most this many docs
+    * ([[qBoilerplateLines]]). Planted headers repeat per source (25 docs
+    * per source at sf0.01) and the footer repeats corpus-wide, so both
+    * clear the threshold at every SF; 12-word content lines of word-soup
+    * text are effectively unique. */
+  val BoilerMaxDf = 10
+  val BoilerWords = 12
+
+  /** C4/RefinedWeb line-level boilerplate removal
+    * ([[graft.text.Boilerplate.dropFrequentLines]]) over a corpus with
+    * PLANTED page furniture: each doc is re-chunked into 12-word lines
+    * and wrapped in a per-source subscribe header + a corpus-wide
+    * copyright footer (the raw corpus is single-line word soup — a real
+    * crawl arrives with lines). The high-df lines must vanish from every
+    * doc, the content lines must survive in order, and the oracle
+    * re-derives the whole sweep — line df, threshold cut, ordered
+    * reassembly — from the same planted construction. */
+  val qBoilerplateLines = QueryDef("q_boilerplate_lines",
+    (spark, dir) => {
+      val lined = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), concat_ws("\n",
+          concat(lit("subscribe to "), col("source"), lit(" newsletter today")),
+          graft.text.Boilerplate.chunkIntoLines(col("text"), BoilerWords),
+          lit("all rights reserved - corpus footer")).as("text"))
+      graft.text.Boilerplate.dropFrequentLines(
+        lined, "doc_id", "text", BoilerMaxDf)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH lined AS (
+            |  SELECT doc_id,
+            |         'subscribe to ' || source || ' newsletter today' || chr(10) ||
+            |         array_to_string([array_to_string(ws[(i*$BoilerWords+1):(i*$BoilerWords+$BoilerWords)], ' ')
+            |           for i in generate_series(0,
+            |             CAST(floor((len(ws) - 1) / $BoilerWords.0) AS BIGINT))], chr(10)) ||
+            |         chr(10) || 'all rights reserved - corpus footer' AS text
+            |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+            |        FROM documents WHERE text IS NOT NULL)
+            |), lines AS (
+            |  SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos,
+            |         unnest(ls) AS line
+            |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined)
+            |), bad AS (
+            |  SELECT line FROM (
+            |    SELECT line, count(*) AS df
+            |    FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line)
+            |  WHERE df > $BoilerMaxDf
+            |), flagged AS (
+            |  SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_bad
+            |  FROM lines l LEFT JOIN bad b ON l.line = b.line
+            |)
+            |SELECT doc_id,
+            |       COALESCE(string_agg(CASE WHEN NOT is_bad THEN line END,
+            |                           chr(10) ORDER BY pos), '') AS clean_text,
+            |       CAST(count(*) FILTER (NOT is_bad) AS BIGINT) AS n_kept,
+            |       CAST(count(*) FILTER (is_bad) AS BIGINT) AS n_dropped
+            |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Unigram-LM quality scores ([[graft.text.LanguageModel]]): every doc
     * scored under the corpus's own unigram distribution. The oracle
     * re-trains the same model and re-scores from scratch — including the
@@ -919,5 +977,5 @@ object TextQueries {
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,
-    qDecontaminateContainment)
+    qDecontaminateContainment, qBoilerplateLines)
 }

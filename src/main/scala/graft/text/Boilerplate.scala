@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4 / RefinedWeb-style LINE-level boilerplate removal: drop every line
+  * that occurs in more than `maxLineDf` distinct documents (navigation
+  * chrome, cookie banners, subscribe prompts, copyright footers — the
+  * text that survives document-level dedup because each page is unique
+  * while its furniture is identical). Raffel et al. 2020 (C4) discard
+  * repeated three-sentence spans; Penedo et al. 2023 (RefinedWeb) drop
+  * high-document-frequency lines — this is the relational form of that
+  * sweep.
+  *
+  * Scale design (100 TB): the corpus-wide document-frequency pass
+  * shuffles ONLY (8-byte line fingerprint, doc id) pairs — never line
+  * text. Exactness is restored in a second, candidate-bounded pass:
+  * fingerprints whose df exceeds the threshold are recounted by the raw
+  * line string at candidate cardinality (boilerplate lines by
+  * definition number ≤ |lines| / maxLineDf), so an FNV collision can
+  * inflate a candidate's fingerprint-df but can never condemn an
+  * innocent line — the same shuffle-hashes-verify-exact shape as the
+  * MinHash pipeline. Document reassembly is one per-doc aggregate over
+  * position-tagged lines (collect_list skips the nulled-out boilerplate
+  * entries; sort_array restores order deterministically).
+  *
+  * EVERY input doc gets an output row (the engine-wide empty-doc
+  * contract, like unigramLogProb): a doc whose lines are all boilerplate
+  * comes back with clean_text = '' and n_kept = 0 rather than vanishing.
+  *
+  * No counterpart in the reference (no text surface); part of graft's
+  * LLM-pipeline curation family.
+  */
+object Boilerplate {
+
+  /** (idCol, clean_text, n_kept, n_dropped) for every input doc.
+    *
+    * @param maxLineDf a line kept in the corpus may appear in at most
+    *        this many distinct documents; above it the line is
+    *        boilerplate and is removed everywhere
+    */
+  def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
+      maxLineDf: Int): DataFrame = {
+    require(maxLineDf >= 1, s"dropFrequentLines: maxLineDf must be >= 1, got $maxLineDf")
+    val lines = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("fp", graft.expr.Fingerprint64(col("line")))
+    // pass 1: corpus-wide df on the 8-byte fingerprint only
+    val fpDf = lines.select(col("fp"), col(idCol)).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("fp_df"))
+      .filter(col("fp_df") > maxLineDf)
+      .select("fp")
+    // pass 2: exact recount by raw line, candidate-bounded — immune to
+    // fingerprint collisions
+    val badLines = lines.join(fpDf, Seq("fp"), "left_semi")
+      .select(col("line"), col(idCol)).distinct()
+      .groupBy("line").agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") > maxLineDf)
+      .select(col("line"), lit(true).as("is_bad"))
+    val tagged = lines.join(badLines, Seq("line"), "left")
+    val rebuilt = tagged.groupBy(col(idCol)).agg(
+      array_join(transform(
+        sort_array(collect_list( // collect_list drops the nulls = bad lines
+          when(col("is_bad").isNull, struct(col("pos"), col("line"))))),
+        s => s.getField("line")), "\n").as("clean_text"),
+      sum(when(col("is_bad").isNull, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("is_bad").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /** Re-chunk a one-line text column into `wordsPerLine`-word lines —
+    * the deterministic "page structure" synthesizer the catalog query
+    * uses (the test corpus is single-line word soup; a real crawl
+    * arrives with lines). Pure builtin expressions, mirrored 1:1 in the
+    * DuckDB oracle. */
+  def chunkIntoLines(text: Column, wordsPerLine: Int): Column = {
+    val ws = split(text, " ")
+    array_join(transform(
+      sequence(lit(0), floor((size(ws) - 1).cast("double") / wordsPerLine)
+        .cast("long")),
+      i => concat_ws(" ", slice(ws, (i * wordsPerLine + 1).cast("int"),
+        lit(wordsPerLine)))), "\n")
+  }
+}

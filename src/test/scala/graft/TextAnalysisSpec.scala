@@ -10,6 +10,42 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
+  test("dropFrequentLines: boilerplate vanishes, content survives in order") {
+    import spark.implicits._
+    // 5 docs share a header+footer (df=5 > maxDf=3); each has unique
+    // content lines; doc 40 repeats its own rare line (kept twice —
+    // WITHIN-doc repetition is not corpus boilerplate); doc 50 is ALL
+    // boilerplate (must come back empty, not vanish)
+    val docs = ((0 until 5).map { i =>
+      (10L + i, s"HEADER\ncontent a$i\ncontent b$i\nFOOTER")
+    } ++ Seq((40L, "HEADER\ndup line\ndup line\nFOOTER"),
+      (50L, "HEADER\nFOOTER"))).toDF("doc_id", "text")
+    val out = rows(graft.text.Boilerplate.dropFrequentLines(
+      docs, "doc_id", "text", maxLineDf = 3).orderBy("doc_id"))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(10L) == (("content a0\ncontent b0", 2L, 2L)))
+    assert(out(14L) == (("content a4\ncontent b4", 2L, 2L)))
+    assert(out(40L) == (("dup line\ndup line", 2L, 2L)),
+      "within-doc repeats of a rare line must both survive")
+    assert(out(50L) == (("", 0L, 2L)),
+      "an all-boilerplate doc must come back empty, not vanish")
+    assert(out.size == 7)
+  }
+
+  test("chunkIntoLines: 12-word chunks, short tails, sub-chunk docs") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 12+12+1
+      (2L, "a b c"), (3L, "solo")).toDF("id", "t")
+    val got = rows(d.select(col("id"),
+      graft.text.Boilerplate.chunkIntoLines(col("t"), 12).as("l")).orderBy("id"))
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L).split("\n").toSeq == Seq(
+      (1 to 12).map("w" + _).mkString(" "),
+      (13 to 24).map("w" + _).mkString(" "), "w25"))
+    assert(got(2L) == "a b c" && got(3L) == "solo")
+  }
+
   test("unigramLogProb emits a (0, NULL) sentinel row for empty docs") {
     import spark.implicits._
     val d = Seq(
