@@ -930,6 +930,56 @@ object TextQueries {
            |FROM documents d LEFT JOIN scored s USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin))
 
+  /** Cross-corpus smoothed LM scoring
+    * ([[graft.text.LanguageModel.unigramLogProbCross]]): train the
+    * unigram model on even doc ids (the trusted slice), score odd ids
+    * against it with add-1 smoothing over vocab + UNK — the deployed
+    * shape of LM quality filtering, where out-of-vocabulary tokens are
+    * the norm and the OOV rate itself is a drift signal. The oracle
+    * retrains and rescores with the identical smoothing arithmetic
+    * (same parenthesization; mean rounded to 6 dp per the libm
+    * convention; counts exact). */
+  val qUnigramCross = QueryDef("q_unigram_logprob_cross",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      graft.text.LanguageModel.unigramLogProbCross(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH ttk AS (
+           |  SELECT unnest(string_split(text, ' ')) AS tok
+           |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+           |), tk0 AS (
+           |  SELECT tok FROM ttk WHERE tok <> ''
+           |), freqs AS (
+           |  SELECT tok, count(*) AS cnt FROM tk0 GROUP BY tok
+           |), stats AS (
+           |  SELECT COALESCE(sum(cnt), 0) AS total, count(*) AS v FROM freqs
+           |), stk AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1
+           |), stk0 AS (
+           |  SELECT doc_id, tok FROM stk WHERE tok <> ''
+           |), scored AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           |         CAST(count(CASE WHEN cnt IS NULL THEN 1 END) AS BIGINT)
+           |           AS n_oov,
+           |         round(avg(
+           |           ln(CAST(COALESCE(cnt, 0) AS DOUBLE) + 1.0) -
+           |           ln(CAST(total AS DOUBLE) + 1.0 * CAST(v + 1 AS DOUBLE))), 6)
+           |           AS mean_logprob
+           |  FROM stk0 LEFT JOIN freqs USING (tok), stats
+           |  GROUP BY doc_id
+           |)
+           |SELECT d.doc_id, CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_toks,
+           |       CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+           |       s.mean_logprob
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+           |LEFT JOIN scored s USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin))
+
   /** Passage-level decontamination
     * ([[graft.operators.Dedup.crossCorpusContainment]]): train docs (even
     * ids) sharing ≥ [[ContainMinShared]] winnow fingerprints (≈ a 40+
@@ -977,5 +1027,5 @@ object TextQueries {
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,
-    qDecontaminateContainment, qBoilerplateLines)
+    qDecontaminateContainment, qBoilerplateLines, qUnigramCross)
 }

@@ -57,4 +57,52 @@ object LanguageModel {
         coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         col("mean_logprob"))
   }
+
+  /** CROSS-corpus scoring — the deployed shape of LM quality filtering:
+    * train the unigram model on a reference corpus (e.g. a trusted
+    * high-quality slice), score a CANDIDATE corpus against it, and gate
+    * on the score. Unlike [[unigramLogProb]] (corpus scores itself, MLE
+    * suffices), unseen tokens are the norm here, so probabilities are
+    * add-α smoothed over the train vocabulary plus one UNK bucket:
+    * p(tok) = (cnt(tok) + α) / (total + α·(V + 1)). Every OOV token
+    * shares the UNK mass; `n_oov` rides along because the OOV RATE is
+    * itself a standard quality/language-drift signal.
+    *
+    * Scale: identical to [[unigramLogProb]] — the model (freqs + the
+    * 1-row total/vocab stats) is broadcast, the candidate side is
+    * tokenize + map-side join + per-doc aggregate.
+    *
+    * Determinism: ln is libm and avg is partition-order-dependent → the
+    * mean rounds to 6 dp (engine convention); counts are exact.
+    *
+    * Output: (idCol, n_toks, n_oov, mean_logprob) for EVERY doc in
+    * `score` — empty docs get the (0, 0, NULL) sentinel. */
+  def unigramLogProbCross(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"unigramLogProbCross: alpha must be > 0, got $alpha")
+    def toks(df: DataFrame) = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val ttk = toks(train)
+    val freqs = ttk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val stats = freqs.agg(coalesce(sum("cnt"), lit(0L)).as("total"),
+      count(lit(1)).as("v"))
+    val scored = toks(score)
+      .join(broadcast(freqs), Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(avg(
+          log(coalesce(col("cnt"), lit(0L)).cast("double") + alpha) -
+            log(col("total").cast("double") +
+              lit(alpha) * (col("v") + lit(1L)).cast("double"))), 6)
+          .as("mean_logprob"))
+    score.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("mean_logprob"))
+  }
 }

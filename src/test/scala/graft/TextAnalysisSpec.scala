@@ -46,6 +46,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) == "a b c" && got(3L) == "solo")
   }
 
+  test("unigramLogProbCross: add-1 smoothing, OOV counting, empty sentinel") {
+    import spark.implicits._
+    val train = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val score = Seq((2L, "a c"), (3L, "   "), (4L, "b b")).toDF("doc_id", "text")
+    val out = rows(graft.text.LanguageModel.unigramLogProbCross(
+      train, score, "doc_id", "text").orderBy("doc_id"))
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    // V=2 (a,b), total=3, denom = 3 + 1*(2+1) = 6
+    val expect2 = math.rint((math.log(3.0 / 6) + math.log(1.0 / 6)) / 2 * 1e6) / 1e6
+    assert(out(2L)._1 == 2L && out(2L)._2 == 1L, s"${out(2L)}")
+    assert(out(2L)._3.contains(expect2), s"${out(2L)._3} vs $expect2")
+    assert(out(3L) == ((0L, 0L, None)), "whitespace doc must get the sentinel")
+    assert(out(4L)._2 == 0L, "in-vocab doc has zero OOV")
+  }
+
   test("unigramLogProb emits a (0, NULL) sentinel row for empty docs") {
     import spark.implicits._
     val d = Seq(
