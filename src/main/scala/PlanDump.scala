@@ -35,7 +35,11 @@ object PlanDump {
       "q_token_ids" -> "vocab encode: corpus side map-only (split+posexplode in scan codegen) + broadcast vocabulary join; the one window ranks the AGGREGATED distinct-token table",
       "q_weighted_sample_by_source" -> "stratified PPS sample: per-group bounded heaps via topk_agg partial aggregate — k rows per (source x task) through the exchange, window-free",
       "q_events_resample_ffill" -> "resample+ffill: bounds agg -> sequence/explode grid (map-side fan-out) -> as-of join partitioned by user",
-      "q_decontaminate_containment" -> "passage decontamination: winnow kernels in both scans, 8-byte fingerprint equi-join, evidence-threshold agg — no corpus cross join")
+      "q_decontaminate_containment" -> "passage decontamination: winnow kernels in both scans, 8-byte fingerprint equi-join, evidence-threshold agg — no corpus cross join",
+      "q_dedup_embedding_lsh" -> "LSH embedding dedup (the scale path, round 5): rp_sig signatures in scan codegen, candidate equi-self-join on (table,sig) longs — ids only through the bucket and distinct shuffles, vectors re-joined at candidate cardinality for the exact-cosine verify; NO broadcast of the corpus",
+      "q_dsv2_agg_pushdown" -> "DSv2 aggregate pushdown (round 5): BOTH GraftParquetScan nodes carry PushedAggregation — the scan emits per-file partial COUNT/MIN/MAX rows (the unfiltered scan answers from footer stats alone) and Spark's final agg merges them; no row-level data crosses the connector boundary",
+      "q_boilerplate_lines" -> "line-level boilerplate removal (round 5): line split + fingerprint64 in scan codegen, corpus df pass groups 8-byte fps, exact recount joins at candidate cardinality, per-doc reassembly is one aggregate over position-tagged lines",
+      "q_unigram_logprob_cross" -> "cross-corpus LM scoring (round 5): train-side freq agg + 1-row stats both broadcast; candidate side is tokenize -> broadcast join -> per-doc aggregate — no corpus-keyed shuffle except the final per-doc group")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"
