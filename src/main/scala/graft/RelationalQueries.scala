@@ -216,6 +216,26 @@ object RelationalQueries {
            |FROM lineitem WHERE l_quantity >= 30.0
            |ORDER BY scope""".stripMargin))
 
+  /** Integral SUM through the DSv2 aggregate pushdown (kept separate
+    * from [[qDsv2AggPushdown]] so that query's unfiltered half retains
+    * its footer-metadata-only story — sums always need the row scan).
+    * Long sums are exact at any partial-merge grouping; floating sums
+    * are declined by the connector by design. */
+  val qDsv2SumPushdown = QueryDef("q_dsv2_sum_pushdown",
+    (spark, dir) => spark.read
+      .format("graft.sources.GraftParquetTableProvider")
+      .option("path", s"$dir/lineitem.parquet").load()
+      .filter(col("l_quantity") >= 30.0)
+      .agg(count(lit(1)).as("n_rows"),
+        sum("l_orderkey").as("sum_key"),
+        sum("l_linenumber").as("sum_line"),
+        min("l_suppkey").as("min_supp")),
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+           |       CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+           |       min(l_suppkey) AS min_supp
+           |FROM lineitem WHERE l_quantity >= 30.0""".stripMargin))
+
   /** TPC-H Q3 ("shipping priority") adapted to this schema: segment-
     * filtered customers ⋈ date-bounded orders ⋈ ship-date-bounded
     * lineitems, revenue per open order, top 10. The canonical selective-
@@ -504,6 +524,7 @@ object RelationalQueries {
 
   def all: Seq[QueryDef] = Seq(
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
-    qDsv2Pushdown, qDsv2AggPushdown, qShippingPriority, qLocalSupplierVolume,
+    qDsv2Pushdown, qDsv2AggPushdown, qDsv2SumPushdown, qShippingPriority,
+    qLocalSupplierVolume,
     qLargeOrders, qProfileDocuments, qZorderCells, qTriangles, qPageRank)
 }

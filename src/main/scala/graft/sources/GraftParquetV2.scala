@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -141,6 +141,14 @@ class GraftScanBuilder(path: String, tableSchema: StructType)
         case m: Max =>
           colOf(m.column).flatMap(n => typed(n)
             .filter(minMaxTypes).map(GraftAggSpec.MaxCol(n, _)))
+        // SUM only for integral columns: exact at any merge grouping
+        // (and overflow THROWS, matching ANSI — never silently wrong).
+        // Floating sums are declined: per-file partial grouping would
+        // round differently than the built-in path.
+        case s: Sum if !s.isDistinct =>
+          colOf(s.column).flatMap(n => typed(n).collect {
+            case IntegerType | LongType => GraftAggSpec.SumCol(n)
+          })
         case _ => None
       }
     if (translated.exists(_.isEmpty)) false
@@ -159,6 +167,7 @@ object GraftAggSpec {
   final case class CountCol(name: String) extends GraftAggSpec
   final case class MinCol(name: String, dt: DataType) extends GraftAggSpec
   final case class MaxCol(name: String, dt: DataType) extends GraftAggSpec
+  final case class SumCol(name: String) extends GraftAggSpec // integral only
 
   /** Scan output schema for a pushed aggregation: one field per
     * aggregate, positional (Spark matches by position, then merges). */
@@ -167,6 +176,7 @@ object GraftAggSpec {
     case CountCol(n) => StructField(s"count($n)", LongType, nullable = false)
     case MinCol(n, dt) => StructField(s"min($n)", dt, nullable = true)
     case MaxCol(n, dt) => StructField(s"max($n)", dt, nullable = true)
+    case SumCol(n) => StructField(s"sum($n)", LongType, nullable = true)
   })
 
   /** Columns the row-scan fallback must read. */
@@ -174,6 +184,7 @@ object GraftAggSpec {
     case CountCol(n) => n
     case MinCol(n, _) => n
     case MaxCol(n, _) => n
+    case SumCol(n) => n
   }.distinct
 }
 
@@ -266,6 +277,7 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
           else Some(rowCount - cs.flatten.map(_.getStatistics.getNumNulls).sum: Any)
         case GraftAggSpec.MinCol(n, dt) => statExtreme(n, dt, isMin = true)
         case GraftAggSpec.MaxCol(n, dt) => statExtreme(n, dt, isMin = false)
+        case _: GraftAggSpec.SumCol => None // no footer answer for sums
       }
       if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get).toArray)
     } finally in.close()
@@ -295,6 +307,7 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
     val colCount = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     val mins = collection.mutable.Map.empty[String, Any]
     val maxs = collection.mutable.Map.empty[String, Any]
+    val sums = collection.mutable.Map.empty[String, Long]
     def fold(m: collection.mutable.Map[String, Any], n: String, v: Any,
         dt: DataType, isMin: Boolean): Unit =
       if (v != null) m(n) = m.get(n)
@@ -310,6 +323,14 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
             fold(mins, n, row.get(idx(n), dt), dt, isMin = true)
           case GraftAggSpec.MaxCol(n, dt) =>
             fold(maxs, n, row.get(idx(n), dt), dt, isMin = false)
+          case GraftAggSpec.SumCol(n) =>
+            row.get(idx(n), schema(n).dataType) match {
+              case null => ()
+              case v: java.lang.Number =>
+                // addExact: overflow throws (ANSI posture) rather than
+                // silently wrapping a partial sum
+                sums(n) = Math.addExact(sums.getOrElse(n, 0L), v.longValue())
+            }
           case GraftAggSpec.CountStar => ()
         }
       }
@@ -319,6 +340,7 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
       case GraftAggSpec.CountCol(n) => colCount(n): Any
       case GraftAggSpec.MinCol(n, _) => mins.getOrElse(n, null)
       case GraftAggSpec.MaxCol(n, _) => maxs.getOrElse(n, null)
+      case GraftAggSpec.SumCol(n) => sums.get(n).map(Long.box).orNull
     }.toArray
   }
 

@@ -150,6 +150,28 @@ class SourcesV2Spec extends SparkSpec {
     assert(r.getLong(2) == 0L && r.isNullAt(3), r.toString)
   }
 
+  test("integral SUM is pushed; floating SUM declines the whole aggregation") {
+    val path = s"$sfDir/lineitem.parquet"
+    def agg(df: DataFrame) = df.agg(
+      sum("l_orderkey").as("sk"), sum("l_linenumber").as("sl"),
+      count(lit(1)).as("n"))
+    val df = agg(viaV2(path).filter(col("l_quantity") >= 30.0))
+    val scan = graftScan(df)
+    assert(scan.aggs.isDefined && scan.aggs.get.exists(
+      _.isInstanceOf[graft.sources.GraftAggSpec.SumCol]),
+      s"sum not pushed: ${scan.description()}")
+    assert(rows(df) == rows(agg(
+      spark.read.parquet(path).filter(col("l_quantity") >= 30.0))))
+    // a double sum in the mix → connector declines wholesale (per-file
+    // partial grouping would round floating sums differently), results
+    // still exact via Spark's own aggregation
+    val dfl = viaV2(path).agg(sum("l_quantity").as("sq"), count(lit(1)).as("n"))
+    assert(graftScan(dfl).aggs.isEmpty,
+      s"floating sum must not be claimed: ${graftScan(dfl).description()}")
+    assert(rows(dfl) == rows(spark.read.parquet(path)
+      .agg(sum("l_quantity").as("sq"), count(lit(1)).as("n"))))
+  }
+
   test("GROUP BY aggregation is declined — grouped results still exact") {
     val path = s"$sfDir/documents.parquet"
     val df = viaV2(path).groupBy("lang").agg(count(lit(1)).as("n"))
