@@ -174,6 +174,13 @@ object Main {
         }
         Sinks.parquet(kept.select("doc_id", "lang", "source", "n_chars"), output)
 
+      case "boilerplate" => // extension surface: C4-style line-df sweep
+        val maxDf = flags.getOrElse("max-line-df", "10").toInt
+        val docs = Tables.documents(spark, input)
+          .filter(col("text").isNotNull)
+        Sinks.parquet(graft.text.Boilerplate.dropFrequentLines(
+          docs, "doc_id", "text", maxDf), output)
+
       case "clean" => // extension surface: normalize + redact text
         val docs = Tables.documents(spark, input)
           .filter(col("text").isNotNull)
