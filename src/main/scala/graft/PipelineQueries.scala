@@ -368,7 +368,64 @@ object PipelineQueries {
          |WHERE rank < $PerSourceK ORDER BY source, rank""".stripMargin
     })
 
+  /** Sample size / probe points for [[qSampleQuantiles]]. */
+  val QuantK = 400
+  val QuantProbs = Seq(0.25, 0.5, 0.75, 0.95)
+
+  /** Per-status order-value quantile ESTIMATES from the deterministic
+    * k-sample ([[graft.operators.Sketches.sampleQuantiles]]) — the
+    * quantile member of the sketch family. Runs over `orders` because
+    * the sketch contract needs a UNIQUE row id to seed the draw and
+    * o_orderkey is a real primary key (the synthetic lineitem repeats
+    * (orderkey, linenumber) pairs). HASH-CHECKED with no rounding at
+    * all: the sample is a pure function of the row ids (A-ES uniform
+    * race, same hash chain as the weighted samples) and the quantile is
+    * closed-form linear interpolation on the sorted sample — plain IEEE
+    * arithmetic both engines execute identically. */
+  val qSampleQuantiles = QueryDef("q_sample_quantiles",
+    (spark, dir) => graft.operators.Sketches.sampleQuantiles(
+      Tables.orders(spark, dir), "o_orderstatus",
+      col("o_orderkey"), "o_totalprice", QuantK, QuantProbs)
+      .orderBy("o_orderstatus", "prob"),
+    Some {
+      val u = """(CASE WHEN z < CAST('9223372036854775808' AS HUGEINT)
+                |      THEN CAST(CAST(z AS BIGINT) AS DOUBLE)
+                |      ELSE CAST(CAST(z - CAST('18446744073709551616' AS HUGEINT)
+                |                     AS BIGINT) AS DOUBLE) + 1.8446744073709552e19
+                | END + 0.5) / 1.8446744073709552e19""".stripMargin
+      val probsList = QuantProbs.mkString("[", ", ", "]")
+      val pos = "CAST(len(vs) - 1 AS DOUBLE) * prob"
+      s"""WITH h AS (
+         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         |         ${TextQueries.fnvFoldSql("CAST(o_orderkey AS VARCHAR)")} AS z
+         |  FROM orders WHERE o_totalprice IS NOT NULL
+         |), ${TextQueries.splitmixCtesSql(
+                "h", "o_orderstatus, o_orderkey, o_totalprice", "w")},
+         |keyed AS (
+         |  SELECT o_orderstatus, o_orderkey, o_totalprice, ln($u) / 1.0 AS kk
+         |  FROM w5
+         |), ranked AS (
+         |  SELECT o_orderstatus, o_totalprice,
+         |         row_number() OVER (PARTITION BY o_orderstatus
+         |           ORDER BY kk DESC, o_orderkey) AS rn
+         |  FROM keyed
+         |), grp AS (
+         |  SELECT o_orderstatus,
+         |         list_sort(list(CAST(o_totalprice AS DOUBLE))) AS vs
+         |  FROM ranked WHERE rn <= $QuantK GROUP BY o_orderstatus
+         |), pr AS (
+         |  SELECT o_orderstatus, vs, unnest($probsList) AS prob FROM grp
+         |)
+         |SELECT o_orderstatus, prob,
+         |       vs[CAST(floor($pos) AS INT) + 1]
+         |       + (vs[CAST(ceil($pos) AS INT) + 1]
+         |          - vs[CAST(floor($pos) AS INT) + 1])
+         |         * ($pos - floor($pos)) AS quantile
+         |FROM pr ORDER BY o_orderstatus, prob""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     qSampleSplit, qBalanceLangs, qPackSequences, qTop3Agg, qLangSimilarity,
-    qMixWeights, qWeightedSample, qTokenIds, qWeightedSampleBySource)
+    qMixWeights, qWeightedSample, qTokenIds, qWeightedSampleBySource,
+    qSampleQuantiles)
 }

@@ -59,4 +59,52 @@ object Sketches {
       .groupBy(keyCols.map(col): _*)
       .agg(min("cnt").as("est_count"))
   }
+
+  /** Per-group quantile ESTIMATES from a deterministic bounded sample —
+    * the quantile member of the sketch family (KMV = distinct counts,
+    * CMS = frequencies, this = distribution shape). Each group keeps the
+    * k rows winning the A-ES uniform race ([[Sampling.aesKey]] with
+    * weight 1 — a pure function of the row ids, so re-runs and engines
+    * agree on the SAMPLE exactly), then quantiles are computed
+    * closed-form on the sorted sample: pos = (n−1)·p, linear
+    * interpolation between the two bracketing order statistics — plain
+    * IEEE arithmetic, NO libm, so estimates are bit-identical across
+    * engines with no rounding. Rank error is the sampling error of a
+    * k-uniform sample: ±O(1/√k) in quantile space with high probability
+    * (k = 400 → ~±2.5 percentile points), independent of group size.
+    *
+    * Scale: the sample selection is [[graft.expr.TopKAgg]] bounded
+    * per-group heaps (≤ k rows per group × map task through the
+    * exchange — no window, no per-group sort of the corpus); the value
+    * join-back happens at sample cardinality; the final sort touches
+    * k·|groups| doubles.
+    *
+    * @param rowId unique LONG per row (its string form seeds the draw)
+    * @return (groupCol, prob, quantile) — one row per group × prob
+    */
+  def sampleQuantiles(df: DataFrame, groupCol: String,
+      rowId: org.apache.spark.sql.Column, valueCol: String, k: Int,
+      probs: Seq[Double]): DataFrame = {
+    require(k >= 2, s"sampleQuantiles: k must be >= 2, got $k")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"sampleQuantiles: probs must be within [0, 1], got $probs")
+    val key = Sampling.aesKey(rowId.cast("string"), lit(1.0))
+    val ids = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCol)
+      .agg(graft.expr.TopKAgg(key, rowId, k).as("top"))
+      .select(col(groupCol), explode(col("top.payload")).as("__rid"))
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), rowId.as("__rid"), col(valueCol))
+    val sorted = ids.join(vals, Seq(groupCol, "__rid"))
+      .groupBy(groupCol)
+      .agg(sort_array(collect_list(col(valueCol).cast("double"))).as("vs"))
+    val pos = (size(col("vs")) - 1).cast("double") * col("prob")
+    val vLo = element_at(col("vs"), floor(pos).cast("int") + 1)
+    val vHi = element_at(col("vs"), ceil(pos).cast("int") + 1)
+    sorted
+      .select(col(groupCol), col("vs"),
+        explode(array(probs.map(lit): _*)).as("prob"))
+      .select(col(groupCol), col("prob"),
+        (vLo + (vHi - vLo) * (pos - floor(pos))).as("quantile"))
+  }
 }

@@ -88,4 +88,25 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject in:\n$plan")
   }
+
+  test("sampleQuantiles: close to exact quantiles, partitioning-invariant") {
+    import spark.implicits._
+    // two groups with known distributions: g=a uniform ids 1..4000 with
+    // value = id (quantiles known exactly); g=b constant value
+    val df = ((1L to 4000L).map(i => ("a", i, i.toDouble)) ++
+      (4001L to 5000L).map(i => ("b", i, 7.5))).toDF("g", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      rows(graft.operators.Sketches.sampleQuantiles(
+        d, "g", col("id"), "v", k = 400, probs = Seq(0.25, 0.5, 0.75))
+        .orderBy("g", "prob"))
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val q = run(df)
+    // ±O(1/sqrt(k)) in quantile space: k=400 → tolerance ~0.1 generous
+    assert(math.abs(q(("a", 0.25)) - 1000.0) < 4000 * 0.1, q.toString)
+    assert(math.abs(q(("a", 0.5)) - 2000.0) < 4000 * 0.1, q.toString)
+    assert(math.abs(q(("a", 0.75)) - 3000.0) < 4000 * 0.1, q.toString)
+    assert(q(("b", 0.5)) == 7.5 && q(("b", 0.25)) == 7.5)
+    // deterministic: identical (bit-exact) across partitionings
+    assert(run(df.repartition(13)) == q)
+  }
 }
