@@ -368,6 +368,51 @@ object PipelineQueries {
          |WHERE rank < $PerSourceK ORDER BY source, rank""".stripMargin
     })
 
+  /** Per-domain page cap for [[qDomainCap]]. */
+  val DomainCap = 30
+
+  /** Per-domain diversity capping over parsed URLs — the web-curation
+    * twin of [[qBalanceLangs]] (no crawl should be dominated by one
+    * site). Each doc gets a deterministic synthetic URL (the corpus has
+    * none), the domain is extracted with a regex both engines run
+    * identically (RE2-safe subset, like the redaction rules), and every
+    * domain keeps at most [[DomainCap]] docs by multiplicative-hash rank. */
+  val qDomainCap = QueryDef("q_domain_cap",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(lit("https://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".example.com/page/"), col("doc_id").cast("string")).as("url"))
+      val h = pmod(col("doc_id") * KnuthMul, lit(4294967296L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain").orderBy(col("h"), col("doc_id"))
+      docs
+        .withColumn("domain",
+          regexp_extract(col("url"), "https?://([^/]+)/", 1))
+        .withColumn("h", h)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= DomainCap)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_doc"))
+        .orderBy("domain")
+    },
+    Some(s"""SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+            |       min(doc_id) AS first_doc
+            |FROM (
+            |  SELECT doc_id,
+            |         regexp_extract(url, 'https?://([^/]+)/', 1) AS domain,
+            |         row_number() OVER (
+            |           PARTITION BY regexp_extract(url, 'https?://([^/]+)/', 1)
+            |           ORDER BY (doc_id * $KnuthMul) % 4294967296, doc_id) AS rk
+            |  FROM (SELECT doc_id,
+            |          'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+            |          '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url
+            |        FROM documents WHERE text IS NOT NULL)
+            |)
+            |WHERE rk <= $DomainCap
+            |GROUP BY domain ORDER BY domain""".stripMargin))
+
   /** Sample size / probe points for [[qSampleQuantiles]]. */
   val QuantK = 400
   val QuantProbs = Seq(0.25, 0.5, 0.75, 0.95)
@@ -427,5 +472,5 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(
     qSampleSplit, qBalanceLangs, qPackSequences, qTop3Agg, qLangSimilarity,
     qMixWeights, qWeightedSample, qTokenIds, qWeightedSampleBySource,
-    qSampleQuantiles)
+    qSampleQuantiles, qDomainCap)
 }

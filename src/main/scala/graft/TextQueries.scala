@@ -902,6 +902,43 @@ object TextQueries {
             |       CAST(count(*) FILTER (is_bad) AS BIGINT) AS n_dropped
             |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Blocklist for [[qBadWords]] — planted tokens, so the filter's
+    * selectivity is known by construction (the corpus's own vocabulary
+    * is benign word soup). */
+  val BadWords = Seq("xxxspam", "xxxbad")
+
+  /** C4-style content filtering ([[TextAnalysis.badTokenCount]]): plant
+    * blocklisted tokens into a deterministic subset of docs (every 7th
+    * gets one, every 11th-but-not-7th two), count exact-token hits, and
+    * emit the keep/drop decision. The count is the primitive — C4 drops
+    * on any hit; gentler pipelines gate on the rate — and the oracle
+    * re-derives plant + count + decision. */
+  val qBadWords = QueryDef("q_badwords_filter",
+    (spark, dir) => {
+      val planted = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" xxxbad")))
+            .when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" xxxspam xxxbad")))
+            .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+        graft.text.TextAnalysis.badTokenCount(col("text"), BadWords).as("n_bad"))
+        .withColumn("kept", col("n_bad") === 0)
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+            |       CAST(${graft.text.TextAnalysis.badTokenCountSql(
+                      "text2", BadWords)} AS INT) AS n_bad,
+            |       CAST(${graft.text.TextAnalysis.badTokenCountSql(
+                      "text2", BadWords)} AS INT) = 0 AS kept
+            |FROM (SELECT doc_id,
+            |        CASE WHEN doc_id % 7 = 0 THEN text || ' xxxbad'
+            |             WHEN doc_id % 11 = 0 THEN text || ' xxxspam xxxbad'
+            |             ELSE text END AS text2
+            |      FROM documents WHERE text IS NOT NULL)
+            |ORDER BY doc_id""".stripMargin))
+
   /** Unigram-LM quality scores ([[graft.text.LanguageModel]]): every doc
     * scored under the corpus's own unigram distribution. The oracle
     * re-trains the same model and re-scores from scratch — including the
@@ -1027,5 +1064,5 @@ object TextQueries {
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,
-    qDecontaminateContainment, qBoilerplateLines, qUnigramCross)
+    qDecontaminateContainment, qBoilerplateLines, qUnigramCross, qBadWords)
 }

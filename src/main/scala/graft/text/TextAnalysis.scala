@@ -26,6 +26,24 @@ object TextAnalysis {
 
   def tokensSql(text: String): String = s"string_split($text, ' ')"
 
+  /** Occurrences of blocklisted tokens — the C4-style content filter
+    * signal (Raffel et al. 2020 drop any page containing a "bad word";
+    * gentler pipelines gate on the count or rate instead, which is why
+    * the COUNT is the primitive and the drop decision stays with the
+    * caller). Exact token equality, not substring — "class" is not a
+    * hit for "ass". Builtin HOF composition → whole-stage codegen. */
+  def badTokenCount(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "badTokenCount: empty blocklist")
+    size(filter(tokens(text),
+      t => array_contains(array(blocklist.map(lit): _*), t)))
+  }
+
+  /** DuckDB mirror of [[badTokenCount]]. */
+  def badTokenCountSql(text: String, blocklist: Seq[String]): String = {
+    val lst = blocklist.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(${tokensSql(text)}, t -> list_contains($lst, t)))"
+  }
+
   /** English-ish stopword list used for quality scoring. */
   // derived from the kernel's canonical list — one source of truth for
   // the fused kernel, the composed column form, and the SQL mirrors
