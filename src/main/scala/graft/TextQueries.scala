@@ -902,6 +902,28 @@ object TextQueries {
             |       CAST(count(*) FILTER (is_bad) AS BIGINT) AS n_dropped
             |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Merge budget for [[qBpeEncode]]. */
+  val BpeMerges = 60
+
+  /** REAL BPE tokenization ([[graft.text.Bpe]]): train merges on the
+    * corpus's word-frequency table (distributed agg → driver merge loop
+    * over model-scale vocab state, the k-means contract), broadcast the
+    * ranks, encode map-side. A 50-step sequential merge derivation is
+    * not SQL-expressible → rows-only driver check; the merge order,
+    * greedy application, roundtrip, and partitioning determinism are
+    * spec-asserted (BpeSpec, incl. the hand-derived classic fixture). */
+  val qBpeEncode = QueryDef("q_bpe_encode",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val merges = graft.text.Bpe.train(docs, "text", BpeMerges)
+      graft.text.Bpe.encode(docs, "doc_id", "text", merges)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pieces"),
+          countDistinct(col("piece")).as("n_distinct_pieces"))
+        .orderBy("doc_id")
+    },
+    None)
+
   /** Blocklist for [[qBadWords]] — planted tokens, so the filter's
     * selectivity is known by construction (the corpus's own vocabulary
     * is benign word soup). */
@@ -1064,5 +1086,6 @@ object TextQueries {
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,
-    qDecontaminateContainment, qBoilerplateLines, qUnigramCross, qBadWords)
+    qDecontaminateContainment, qBoilerplateLines, qUnigramCross, qBadWords,
+    qBpeEncode)
 }
