@@ -181,6 +181,12 @@ object Main {
         Sinks.parquet(graft.text.Boilerplate.dropFrequentLines(
           docs, "doc_id", "text", maxDf), output)
 
+      case "export" => // extension surface: sharded JSONL + manifest
+        val shards = flags.getOrElse("shards", "8").toInt
+        val docs = Tables.documents(spark, input)
+          .filter(col("text").isNotNull)
+        Sinks.jsonlSharded(docs, output, shards, col("doc_id"))
+
       case "clean" => // extension surface: normalize + redact text
         val docs = Tables.documents(spark, input)
           .filter(col("text").isNotNull)

@@ -103,6 +103,37 @@ object Sinks {
     ()
   }
 
+  /** Sharded JSONL export + manifest — the delivery format training
+    * jobs actually consume (one JSON object per line, fixed shard
+    * count, a manifest the loader can fingerprint). Rows are routed to
+    * shards by HASH OF `shardKey`, so the file a row lands in is a pure
+    * function of the data (reproducible export — a re-run from the same
+    * frame produces the same shard membership; round-robin
+    * `repartition(n)` would not). `_manifest.json` records per-shard
+    * file names and byte sizes plus the total row count, written
+    * through the same Hadoop FileSystem as the data (DFS-safe). */
+  def jsonlSharded(df: DataFrame, path: String, shards: Int,
+      shardKey: org.apache.spark.sql.Column): Unit = {
+    require(shards >= 1, s"jsonlSharded: shards must be >= 1, got $shards")
+    val spark = df.sparkSession
+    df.repartition(shards, shardKey)
+      .write.mode("overwrite").json(path)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val rows = spark.read.json(path).count()
+    val manifest = parts.map(p =>
+        s"""{"file": "${p.getPath.getName}", "bytes": ${p.getLen}}""")
+      .mkString(
+        s"""{"format": "jsonl", "n_shards": ${parts.length}, """ +
+          s""""n_rows": $rows, "files": [""",
+        ", ", "]}\n")
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_manifest.json"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Z-ordered parquet: cluster rows by the Morton code of two bounded
     * numeric columns so every output file covers a tight 2-D rectangle —
     * then BOTH columns' min/max row-group stats are selective, and a

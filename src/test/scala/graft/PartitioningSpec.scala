@@ -52,6 +52,41 @@ class PartitioningSpec extends SparkSpec {
     assert(!new java.io.File(path + "_compact_old").exists())
   }
 
+  test("jsonlSharded: shard count, manifest, roundtrip, reproducible routing") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source")).filter(col("doc_id") < 60)
+    def write(path: String) =
+      Sinks.jsonlSharded(docs, path, shards = 4, col("doc_id"))
+    val p1 = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    write(p1)
+    val parts = new java.io.File(p1).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == 4, s"expected 4 shards: ${parts.map(_.getName).toSeq}")
+    // manifest: valid JSON, counts match the data and the listing
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p1, "_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"n_shards\": 4"), manifest)
+    assert(manifest.contains(s"\"n_rows\": ${docs.count()}"), manifest)
+    parts.foreach(p => assert(manifest.contains(p.getName), s"${p.getName} missing"))
+    // roundtrip content
+    val back = spark.read.json(p1)
+    assert(back.count() == docs.count())
+    assert(rows(back.select("doc_id")).map(_.getLong(0)).toSet ==
+      rows(docs.select("doc_id")).map(_.getLong(0)).toSet)
+    // reproducible routing: a second export shards identically
+    def membership(path: String): Map[String, Set[Long]] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName).zipWithIndex.map { case (f, i) =>
+          i.toString -> scala.io.Source.fromFile(f).getLines()
+            .map(l => """"doc_id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+            .toSet
+        }.toMap
+    val p2 = java.nio.file.Files.createTempDirectory("graft_jsonl2").toString
+    write(p2)
+    assert(membership(p1) == membership(p2),
+      "hash routing must be a pure function of the data")
+  }
+
   test("compact refuses a Hive-partitioned dataset instead of flattening it") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val path = java.nio.file.Files.createTempDirectory("graft_part_refuse").toString
