@@ -184,6 +184,50 @@ class SourcesV2Spec extends SparkSpec {
     assert(v2 == ref)
   }
 
+  test("randomized predicate parity: connector == built-in on 40 seeded filters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def opt[A](v: A): Option[A] = if (rnd.nextInt(5) == 0) None else Some(v)
+    val data = (1L to 300L).map { id =>
+      (id, opt(rnd.nextInt(20)), opt(rnd.nextLong() % 1000L),
+        opt(rnd.nextDouble() * 100), opt("s" + rnd.nextInt(10)),
+        opt(rnd.nextBoolean()))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2_fuzz")
+    val path = s"$dir/t.parquet"
+    data.toDF("id", "i", "l", "d", "s", "b")
+      .write.mode("overwrite").parquet(path)
+
+    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(9) match {
+      case 0 => col("i") === rnd.nextInt(20)
+      case 1 => col("l") > (rnd.nextLong() % 1000L)
+      case 2 => col("d") <= rnd.nextDouble() * 100
+      case 3 => col("s").startsWith("s" + rnd.nextInt(10))
+      case 4 => col("s").isin((0 to rnd.nextInt(3)).map("s" + _): _*)
+      case 5 => col("i").isNull
+      case 6 => col("d").isNotNull
+      case 7 => col("b") === rnd.nextBoolean()
+      case _ => col("s") =!= ("s" + rnd.nextInt(10))
+    }
+    def pred(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => pred(depth - 1) && pred(depth - 1)
+        case 1 => pred(depth - 1) || pred(depth - 1)
+        case _ => !pred(depth - 1)
+      }
+    var pushedSome = false
+    for (t <- 1 to 40) {
+      val p = pred(rnd.nextInt(3))
+      val v2 = rows(viaV2(path).filter(p).select("id")).map(_.getLong(0)).toSet
+      val ref = rows(spark.read.parquet(path).filter(p).select("id"))
+        .map(_.getLong(0)).toSet
+      assert(v2 == ref, s"trial $t diverged for predicate $p")
+      pushedSome ||= graftScan(viaV2(path).filter(p)).pushed.nonEmpty
+    }
+    assert(pushedSome, "no predicate was ever pushed — the fuzz tested nothing")
+  }
+
   test("LIMIT is pushed to the scan (partial contract) and results are exact") {
     val path = s"$sfDir/documents.parquet"
     val df = viaV2(path).select("doc_id").limit(7)
