@@ -873,34 +873,45 @@ object TextQueries {
         lined, "doc_id", "text", BoilerMaxDf)
         .orderBy("doc_id")
     },
-    Some(s"""WITH lined AS (
-            |  SELECT doc_id,
-            |         'subscribe to ' || source || ' newsletter today' || chr(10) ||
-            |         array_to_string([array_to_string(ws[(i*$BoilerWords+1):(i*$BoilerWords+$BoilerWords)], ' ')
-            |           for i in generate_series(0,
-            |             CAST(floor((len(ws) - 1) / $BoilerWords.0) AS BIGINT))], chr(10)) ||
-            |         chr(10) || 'all rights reserved - corpus footer' AS text
-            |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
-            |        FROM documents WHERE text IS NOT NULL)
-            |), lines AS (
-            |  SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos,
-            |         unnest(ls) AS line
-            |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined)
-            |), bad AS (
-            |  SELECT line FROM (
-            |    SELECT line, count(*) AS df
-            |    FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line)
-            |  WHERE df > $BoilerMaxDf
-            |), flagged AS (
-            |  SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_bad
-            |  FROM lines l LEFT JOIN bad b ON l.line = b.line
-            |)
-            |SELECT doc_id,
-            |       COALESCE(string_agg(CASE WHEN NOT is_bad THEN line END,
-            |                           chr(10) ORDER BY pos), '') AS clean_text,
-            |       CAST(count(*) FILTER (NOT is_bad) AS BIGINT) AS n_kept,
-            |       CAST(count(*) FILTER (is_bad) AS BIGINT) AS n_dropped
-            |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+    Some(s"""WITH ${boilerplateCtesSql("text")}
+            |SELECT doc_id, clean_text, n_kept, n_dropped
+            |FROM rebuilt ORDER BY doc_id""".stripMargin))
+
+  /** Shared oracle CTEs for the planted-furniture line corpus (header +
+    * 12-word chunks + footer → line df sweep → per-doc reassembly);
+    * `rawText` is the pre-chunk text expression, so composites can fold
+    * their own planting in. Ends with `rebuilt(doc_id, clean_text,
+    * n_kept, n_dropped)`. */
+  private def boilerplateCtesSql(rawText: String): String =
+    s"""lined AS (
+       |  SELECT doc_id,
+       |         'subscribe to ' || source || ' newsletter today' || chr(10) ||
+       |         array_to_string([array_to_string(ws[(i*$BoilerWords+1):(i*$BoilerWords+$BoilerWords)], ' ')
+       |           for i in generate_series(0,
+       |             CAST(floor((len(ws) - 1) / $BoilerWords.0) AS BIGINT))], chr(10)) ||
+       |         chr(10) || 'all rights reserved - corpus footer' AS text
+       |  FROM (SELECT doc_id, source, string_split($rawText, ' ') AS ws
+       |        FROM documents WHERE text IS NOT NULL)
+       |), lines AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos,
+       |         unnest(ls) AS line
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined)
+       |), bad AS (
+       |  SELECT line FROM (
+       |    SELECT line, count(*) AS df
+       |    FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line)
+       |  WHERE df > $BoilerMaxDf
+       |), flagged AS (
+       |  SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_bad
+       |  FROM lines l LEFT JOIN bad b ON l.line = b.line
+       |), rebuilt AS (
+       |  SELECT doc_id,
+       |         COALESCE(string_agg(CASE WHEN NOT is_bad THEN line END,
+       |                             chr(10) ORDER BY pos), '') AS clean_text,
+       |         CAST(count(*) FILTER (NOT is_bad) AS BIGINT) AS n_kept,
+       |         CAST(count(*) FILTER (is_bad) AS BIGINT) AS n_dropped
+       |  FROM flagged GROUP BY doc_id
+       |)""".stripMargin
 
   /** Merge budget for [[qBpeEncode]]. */
   val BpeMerges = 60
@@ -924,9 +935,9 @@ object TextQueries {
     },
     None)
 
-  /** Blocklist for [[qBadWords]] — planted tokens, so the filter's
-    * selectivity is known by construction (the corpus's own vocabulary
-    * is benign word soup). */
+  /** Blocklist for [[qBadWords]] / [[qWebCuration]] — planted tokens,
+    * so the filters' selectivity is known by construction (the corpus's
+    * own vocabulary is benign word soup). */
   val BadWords = Seq("xxxspam", "xxxbad")
 
   /** C4-style content filtering ([[TextAnalysis.badTokenCount]]): plant
@@ -959,6 +970,46 @@ object TextQueries {
             |             WHEN doc_id % 11 = 0 THEN text || ' xxxspam xxxbad'
             |             ELSE text END AS text2
             |      FROM documents WHERE text IS NOT NULL)
+            |ORDER BY doc_id""".stripMargin))
+
+  /** Minimum surviving content lines for [[qWebCuration]] (C4 drops
+    * pages with fewer than 3 sentences). */
+  val CurationMinLines = 3
+
+  /** End-to-end C4-style WEB CURATION composite — the curation-centric
+    * sibling of `q_training_data_prep` (which is dedup-centric): planted
+    * page furniture and a planted blocklist token ride through
+    * boilerplate line removal ([[graft.text.Boilerplate]]) → content
+    * filter ([[TextAnalysis.badTokenCount]] over the CLEANED text — the
+    * order matters: furniture must not shield or trigger the filter) →
+    * structure gate (≥ [[CurationMinLines]] surviving lines). The oracle
+    * re-derives every stage through the shared boilerplate CTEs. */
+  val qWebCuration = QueryDef("q_web_curation",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      val planted = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" xxxbad"))).otherwise(col("text"))
+      val lined = docs.select(col("doc_id"), concat_ws("\n",
+        concat(lit("subscribe to "), col("source"), lit(" newsletter today")),
+        graft.text.Boilerplate.chunkIntoLines(planted, BoilerWords),
+        lit("all rights reserved - corpus footer")).as("text"))
+      graft.text.Boilerplate.dropFrequentLines(
+          lined, "doc_id", "text", BoilerMaxDf)
+        .withColumn("n_bad", graft.text.TextAnalysis.badTokenCount(
+          regexp_replace(col("clean_text"), "\n", " "), BadWords))
+        .filter(col("n_bad") === 0 && col("n_kept") >= CurationMinLines)
+        .select(col("doc_id"), col("n_kept"),
+          length(col("clean_text")).as("n_chars_clean"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${boilerplateCtesSql(
+              "CASE WHEN doc_id % 7 = 0 THEN text || ' xxxbad' ELSE text END")}
+            |SELECT doc_id, n_kept,
+            |       CAST(length(clean_text) AS INT) AS n_chars_clean
+            |FROM rebuilt
+            |WHERE CAST(${graft.text.TextAnalysis.badTokenCountSql(
+              "replace(clean_text, chr(10), ' ')", BadWords)} AS INT) = 0
+            |  AND n_kept >= $CurationMinLines
             |ORDER BY doc_id""".stripMargin))
 
   /** Unigram-LM quality scores ([[graft.text.LanguageModel]]): every doc
@@ -1087,5 +1138,5 @@ object TextQueries {
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,
     qDecontaminateContainment, qBoilerplateLines, qUnigramCross, qBadWords,
-    qBpeEncode)
+    qBpeEncode, qWebCuration)
 }
