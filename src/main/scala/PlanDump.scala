@@ -39,7 +39,10 @@ object PlanDump {
       "q_dedup_embedding_lsh" -> "LSH embedding dedup (the scale path, round 5): rp_sig signatures in scan codegen, candidate equi-self-join on (table,sig) longs — ids only through the bucket and distinct shuffles, vectors re-joined at candidate cardinality for the exact-cosine verify; NO broadcast of the corpus",
       "q_dsv2_agg_pushdown" -> "DSv2 aggregate pushdown (round 5): BOTH GraftParquetScan nodes carry PushedAggregation — the scan emits per-file partial COUNT/MIN/MAX rows (the unfiltered scan answers from footer stats alone) and Spark's final agg merges them; no row-level data crosses the connector boundary",
       "q_boilerplate_lines" -> "line-level boilerplate removal (round 5): line split + fingerprint64 in scan codegen, corpus df pass groups 8-byte fps, exact recount joins at candidate cardinality, per-doc reassembly is one aggregate over position-tagged lines",
-      "q_unigram_logprob_cross" -> "cross-corpus LM scoring (round 5): train-side freq agg + 1-row stats both broadcast; candidate side is tokenize -> broadcast join -> per-doc aggregate — no corpus-keyed shuffle except the final per-doc group")
+      "q_unigram_logprob_cross" -> "cross-corpus LM scoring (round 5): train-side freq agg + 1-row stats both broadcast; candidate side is tokenize -> broadcast join -> per-doc aggregate — no corpus-keyed shuffle except the final per-doc group",
+      "q_web_curation" -> "C4-style curation composite (round 5): line split + fingerprint64 in scan codegen, fp-keyed df sweep, candidate-bounded exact recount, per-doc reassembly aggregate, then the badwords HOF and structure gate run as plain codegen filters over the rebuilt text",
+      "q_sample_quantiles" -> "sample-quantile sketch (round 5): A-ES hash kernels in scan codegen, topk_agg bounded per-group heaps (<=k rows per group x task through the exchange, no window), value join-back at sample cardinality, closed-form interpolation on the sorted sample array",
+      "q_dsv2_sum_pushdown" -> "DSv2 integral-SUM pushdown (round 5): GraftParquetScan carries PushedAggregation with SumCol — per-file partial sums merge in Spark's final agg; only aggregate rows cross the connector boundary")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"
