@@ -223,4 +223,62 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot == batch)
     assert(snapshot == Map(1L -> 11.0, 2L -> 21.0))
   }
+
+  test("streamingNearDup: incremental candidates equal the batch band join, " +
+    "across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val minEst = 0.5
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 120 && col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+
+    // stream in three micro-batches so planted near-dup pairs straddle
+    // batch boundaries (incrementality, not just batch-in-one-go)
+    val stream = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingNearDup.candidatePairs(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = graft.TextQueries.ShingleN, minEstJaccard = minEst)
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.size / 3 + 1)).foreach { chunk =>
+        stream.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("neardup")
+      .select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch twin: the same signature/band expressions as a relational
+    // band self-join + estimate filter
+    val banded = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.expr.MinHashSig(graft.text.TextAnalysis.shingles(
+          col("text"), graft.TextQueries.ShingleN), 128, 1L).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(graft.expr.LshBands(col("sig"), 32)).as(Seq("band", "bh")))
+    val est = {
+      val eq = size(filter(zip_with(col("a.sig"), col("b.sig"),
+        (x, y) => (x === y).cast("int")), v => v === 1))
+      eq.cast("double") / size(col("a.sig")).cast("double")
+    }
+    val batchPairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(est >= minEst)
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == batchPairs,
+      s"stream-only: ${streamed -- batchPairs}; batch-only: ${batchPairs -- streamed}")
+    assert(streamed.nonEmpty, "fixture must contain planted near-dups")
+    // the bounded-bucket configuration still runs (recall may drop)
+    val bounded = graft.streaming.StreamingNearDup.candidatePairs(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      graft.TextQueries.ShingleN, minEst, maxBucket = 2)
+      .select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded.subsetOf(batchPairs))
+  }
 }
