@@ -128,25 +128,29 @@ object Graphs {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     def persist(df: DataFrame) =
       if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
-    val e = persist(edges
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct())
+      .distinct()
+    // fold the (iteration-invariant) out-degree into the edge frame ONCE:
+    // each iteration then joins pr against a single pre-enriched relation
+    // instead of paying the e⋈outdeg shuffle every round
+    val e = persist(e0.join(
+      e0.groupBy("src").agg(count(lit(1)).as("od")), "src"))
     val nodes = persist(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct())
     val n = nodes.count()
-    val outdeg = persist(e.groupBy("src").agg(count(lit(1)).as("od")))
     // the dangling node SET is iteration-invariant (only its rank mass
     // moves): derive it once, and skip the dangling term entirely on
     // graphs without dangling nodes
     val danglingNodes = persist(nodes
-      .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti"))
+      .join(e.select(col("src").as("node")), Seq("node"), "left_anti"))
     val hasDangling = danglingNodes.limit(1).count() > 0
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     var iter = 0
     while (iter < iters) {
-      val contrib = e.join(pr, col("src") === col("node")).join(outdeg, "src")
+      val contrib = e.join(pr, col("src") === col("node"))
         .select(col("dst").as("node"),
           (col("pr") / col("od").cast("double")).cast("decimal(28,12)").as("q"))
         .groupBy("node").agg(sum("q").cast("double").as("s"))
