@@ -368,6 +368,50 @@ object PipelineQueries {
          |WHERE rank < $PerSourceK ORDER BY source, rank""".stripMargin
     })
 
+  /** Snapshot CDC diff ([[graft.operators.Upsert.snapshotDiff]]) between
+    * two planted corpus versions: every 13th doc removed, every
+    * surviving 17th edited, the first 20 re-added under shifted ids.
+    * The Spark side compares 8-byte content fingerprints (the scale
+    * mechanism — payloads never shuffle); the oracle compares the raw
+    * text (the semantics) — identical verdicts absent an FNV collision,
+    * which the hash check would expose. Unchanged keys are omitted by
+    * contract: the diff of two barely-different snapshots is small, and
+    * that asymmetry is what makes incremental reprocessing cheap. */
+  val qSnapshotDiff = QueryDef("q_snapshot_diff",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      val oldSnap = docs.select(col("doc_id"), col("text"))
+      val newSnap = docs
+        .filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Upsert.snapshotDiff(oldSnap, newSnap, "doc_id",
+        graft.expr.Fingerprint64(col("text")))
+        .orderBy("doc_id")
+    },
+    Some("""WITH oldd AS (
+           |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+           |), newd AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 17 = 0 THEN text || ' [edited]'
+           |              ELSE text END AS text
+           |  FROM documents WHERE text IS NOT NULL AND doc_id % 13 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           |  WHERE text IS NOT NULL AND doc_id < 20
+           |), diff AS (
+           |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           |         CASE WHEN o.doc_id IS NULL THEN 'added'
+           |              WHEN n.doc_id IS NULL THEN 'removed'
+           |              WHEN o.text <> n.text THEN 'changed' END AS change
+           |  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+           |)
+           |SELECT doc_id, change FROM diff
+           |WHERE change IS NOT NULL ORDER BY doc_id""".stripMargin))
+
   /** Per-domain page cap for [[qDomainCap]]. */
   val DomainCap = 30
 
@@ -472,5 +516,5 @@ object PipelineQueries {
   def all: Seq[QueryDef] = Seq(
     qSampleSplit, qBalanceLangs, qPackSequences, qTop3Agg, qLangSimilarity,
     qMixWeights, qWeightedSample, qTokenIds, qWeightedSampleBySource,
-    qSampleQuantiles, qDomainCap)
+    qSampleQuantiles, qDomainCap, qSnapshotDiff)
 }

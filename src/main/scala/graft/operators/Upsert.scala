@@ -51,4 +51,31 @@ object Upsert {
       else acc.withColumn(c, col(s"_latest.$c"))
     }.drop("_latest").select(df.columns.map(col): _*)
   }
+
+  /** Snapshot DIFF — the change-data-capture view between two corpus
+    * versions: which keys were added, removed, or changed (content
+    * compared by a caller-supplied hash/version expression — an 8-byte
+    * fingerprint for text corpora, so the comparison join shuffles
+    * (key, 8 bytes) per side, never payloads). Unchanged keys are
+    * omitted: the diff of two 100 TB snapshots that barely differ is
+    * small, and that asymmetry is the whole point (feed the `added` ∪
+    * `changed` slice to incremental dedup via `Dedup.dedupAgainst`
+    * instead of reprocessing the world).
+    *
+    * @param hashOf content hash/version expression, evaluated against
+    *        each side's rows (e.g. `Fingerprint64(col("text"))`)
+    * @return (keyCol, change ∈ 'added' | 'removed' | 'changed')
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      hashOf: org.apache.spark.sql.Column): DataFrame = {
+    val o = oldDf.select(col(keyCol), hashOf.as("__old_h"))
+    val n = newDf.select(col(keyCol), hashOf.as("__new_h"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__old_h").isNull, lit("added"))
+          .when(col("__new_h").isNull, lit("removed"))
+          .when(col("__old_h") =!= col("__new_h"), lit("changed"))
+          .as("change"))
+      .filter(col("change").isNotNull) // unchanged keys drop out
+  }
 }
