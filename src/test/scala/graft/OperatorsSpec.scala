@@ -114,4 +114,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out((3L, 4L)) == ((5L, 0.0, 0.0)))   // count only -> zero-filled km
     assert(out((7L, 8L)) == ((0L, 1.0, 0.0)))   // distance only -> zero count
   }
+
+  test("snapshotDiff: added/removed/changed classified, unchanged omitted") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = rows(graft.operators.Upsert.snapshotDiff(
+      oldSnap, newSnap, "doc_id", graft.expr.Fingerprint64(col("text")))
+      .orderBy("doc_id"))
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out == Seq(2L -> "changed", 3L -> "removed", 4L -> "added"),
+      out.toString)
+    // identical snapshots diff to nothing
+    assert(graft.operators.Upsert.snapshotDiff(
+      oldSnap, oldSnap, "doc_id",
+      graft.expr.Fingerprint64(col("text"))).count() == 0)
+    // an empty old side reports everything as added
+    assert(rows(graft.operators.Upsert.snapshotDiff(
+      oldSnap.limit(0), newSnap, "doc_id",
+      graft.expr.Fingerprint64(col("text"))))
+      .map(_.getString(1)).forall(_ == "added"))
+  }
 }
