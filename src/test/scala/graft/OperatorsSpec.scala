@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.operators.{RideCounts, StationDistances, TotalDistance}
 import graft.sources.Sources
