@@ -61,7 +61,11 @@ object Graphs {
     val e = canonical(edges, col(srcCol), col(dstCol))
     val row = orient(e).groupBy("s").agg(count(lit(1)).as("od"))
       .agg(sum(lit(1)).as("srcs"),
-        sum(col("od") * (col("od") - 1) / 2).cast("long").as("wedges"),
+        // integral arithmetic end-to-end: od*(od-1) is even, so integer
+        // `div` is exact — `/` (Divide) would promote to double and
+        // silently lose exactness past 2^53, precisely the regime this
+        // probe polices
+        sum(expr("(od * (od - 1)) div 2")).cast("long").as("wedges"),
         sum("od").cast("long").as("m"))
       .head()
     (row.getAs[Long]("m"), row.getAs[Long]("wedges"))

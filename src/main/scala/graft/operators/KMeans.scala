@@ -37,38 +37,54 @@ object KMeans {
   def fit(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int): (DataFrame, DataFrame) = {
     val spark = vectors.sparkSession
+    // PERSIST for the duration of training: Lloyd is iterative, and
+    // without a cache every meansByDim().collect() below re-reads the
+    // corpus from source — maxIter + 2 full scans where one suffices
+    // (MLlib's KMeans caches its input for exactly this reason; same
+    // materialize-once discipline as duplicateClusters' edge set). The
+    // cache populates on the first iteration's aggregate; subsequent
+    // iterations and the seeding TakeOrdered touch memory/local disk
+    // only. Unpersisted in the finally — the returned lazy assignment
+    // re-derives from source (one scan) when the caller consumes it.
     val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    // deterministic seeding: the k smallest ids (TakeOrderedAndProject —
-    // no shuffle of the full corpus). k rows collected; ascending id
-    // order IS the kernel's tie-break order.
-    val seeds = v.orderBy("id").limit(k).collect()
-    val cids: Array[Long] = seeds.map(_.getLong(0))
-    var cents: Array[Array[Float]] = seeds.map(_.getSeq[Float](1).toArray)
-    var iter = 0
-    while (iter < maxIter) {
-      // update: per-(cid, dim) mean. Assignment happens inside the scan
-      // via the codegen kernel; the exchange carries only (cid, dim)
-      // partial sums, and the k·dim result rows come back to the driver
-      // to refresh the matrix (model-scale, like the matrix itself).
-      // decimal accumulation: double addition is order-sensitive and a
-      // shuffled aggregate merges in nondeterministic order — decimal
-      // sums are associative, so the trained centroids really are
-      // identical across reruns/retries (same convention as the
-      // engine's other double-summing aggregates)
-      val means = meansByDim(v, cids, cents).collect()
-      val byCid = means.groupBy(_.getLong(0)).map { case (cid, rs) =>
-        cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic seeding: the k smallest ids (TakeOrderedAndProject —
+      // no shuffle of the full corpus). k rows collected; ascending id
+      // order IS the kernel's tie-break order.
+      val seeds = v.orderBy("id").limit(k).collect()
+      val cids: Array[Long] = seeds.map(_.getLong(0))
+      var cents: Array[Array[Float]] = seeds.map(_.getSeq[Float](1).toArray)
+      var iter = 0
+      while (iter < maxIter) {
+        // update: per-(cid, dim) mean. Assignment happens inside the scan
+        // via the codegen kernel; the exchange carries only (cid, dim)
+        // partial sums, and the k·dim result rows come back to the driver
+        // to refresh the matrix (model-scale, like the matrix itself).
+        // decimal accumulation: double addition is order-sensitive and a
+        // shuffled aggregate merges in nondeterministic order — decimal
+        // sums are associative, so the trained centroids really are
+        // identical across reruns/retries (same convention as the
+        // engine's other double-summing aggregates)
+        val means = meansByDim(v, cids, cents).collect()
+        val byCid = means.groupBy(_.getLong(0)).map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+        // A cluster that lost every point has no mean rows; it KEEPS its
+        // previous position (the standard empty-cluster rule) rather than
+        // silently shrinking k.
+        cents = cids.zip(cents).map { case (cid, old) => byCid.getOrElse(cid, old) }
+        iter += 1
       }
-      // A cluster that lost every point has no mean rows; it KEEPS its
-      // previous position (the standard empty-cluster rule) rather than
-      // silently shrinking k.
-      cents = cids.zip(cents).map { case (cid, old) => byCid.getOrElse(cid, old) }
-      iter += 1
-    }
-    import spark.implicits._
-    val centsDf = cids.zip(cents.map(_.toSeq)).toSeq.toDF("cid", "cv")
-    val assigned = assignWith(v, cids, cents)
-    (centsDf, assigned)
+      import spark.implicits._
+      val centsDf = cids.zip(cents.map(_.toSeq)).toSeq.toDF("cid", "cv")
+      // assignment derives from the UNCACHED projection so the cache can
+      // be dropped now rather than leaking past fit()'s return
+      val assigned = assignWith(
+        vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+        cids, cents)
+      (centsDf, assigned)
+    } finally v.unpersist(blocking = false)
   }
 
   /** The per-iteration update aggregate: map-side argmin assignment, then

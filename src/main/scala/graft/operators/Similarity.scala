@@ -87,7 +87,12 @@ object Similarity {
     * guard itself stays cheap at any corpus size. */
   def thresholdPairs(vectors: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, maxExactRows: Long = 50000L): DataFrame = {
-    val n = vectors.select(col(idCol)).limit((maxExactRows + 1).toInt).count()
+    // Clamp before toInt: a deliberately huge maxExactRows (>= Int.MaxValue)
+    // means "guard off", not an overflowed negative LIMIT.
+    val probe =
+      if (maxExactRows >= Int.MaxValue.toLong - 1) Int.MaxValue
+      else (maxExactRows + 1).toInt
+    val n = vectors.select(col(idCol)).limit(probe).count()
     require(n <= maxExactRows,
       s"thresholdPairs: corpus has > $maxExactRows rows — exact all-pairs " +
         "broadcasts every vector and generates O(n^2) pairs. Use " +

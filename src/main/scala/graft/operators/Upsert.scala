@@ -68,13 +68,18 @@ object Upsert {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
       hashOf: org.apache.spark.sql.Column): DataFrame = {
-    val o = oldDf.select(col(keyCol), hashOf.as("__old_h"))
-    val n = newDf.select(col(keyCol), hashOf.as("__new_h"))
+    // Presence is carried by explicit lit(true) markers, NOT hash nullness:
+    // hashOf may legitimately evaluate to NULL (e.g. Fingerprint64 over a
+    // null text), and a null hash must not make a present key look absent.
+    val o = oldDf.select(col(keyCol), hashOf.as("__old_h"), lit(true).as("__in_old"))
+    val n = newDf.select(col(keyCol), hashOf.as("__new_h"), lit(true).as("__in_new"))
     o.join(n, Seq(keyCol), "full_outer")
       .select(col(keyCol),
-        when(col("__old_h").isNull, lit("added"))
-          .when(col("__new_h").isNull, lit("removed"))
-          .when(col("__old_h") =!= col("__new_h"), lit("changed"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          // null-safe inequality: NULL vs non-NULL counts as changed,
+          // NULL vs NULL as unchanged.
+          .when(!(col("__old_h") <=> col("__new_h")), lit("changed"))
           .as("change"))
       .filter(col("change").isNotNull) // unchanged keys drop out
   }

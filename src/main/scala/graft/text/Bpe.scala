@@ -43,26 +43,59 @@ object Bpe {
 
   /** Learn up to `nMerges` merges from `docs`. Returns merges in rank
     * order (rank 0 = first learned = highest priority at encode time).
-    * Stops early when no adjacent pair occurs twice. */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    * Stops early when no adjacent pair occurs twice.
+    *
+    * The driver-side vocabulary is BOUNDED, not asserted-bounded: words
+    * with count < `minCount` are dropped BEFORE the collect. At the
+    * default `minCount = 2` this is provably lossless for merge
+    * training — a pair occurring only inside count-1 words has total
+    * count ≤ sum of those words' counts; a singleton word contributes
+    * ≤ 1 per adjacent pair position it uniquely owns, and the merge
+    * loop already discards pairs with count < 2, so a merge can only be
+    * learned from pair mass that count-≥2 words supply. (A pair shared
+    * ACROSS several distinct count-1 words can in principle reach
+    * count 2 — that is the one regime `minCount = 2` prunes; raise
+    * recall by lowering minCount only with a matching `maxVocab`.)
+    * `maxVocab` is the loud backstop: if the filtered table still
+    * exceeds it, training throws instead of melting the driver — the
+    * same refuse-don't-degrade contract as
+    * [[graft.operators.Similarity.thresholdPairs]]'s scale guard. */
+  def train(docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L, maxVocab: Long = 10000000L): Seq[Merge] = {
     require(nMerges >= 1, s"Bpe.train: nMerges must be >= 1, got $nMerges")
-    val wordFreq: Array[(String, Long)] = docs
+    require(minCount >= 1, s"Bpe.train: minCount must be >= 1, got $minCount")
+    val freqTable = docs
       .filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .collect() // vocabulary-scale: the model table, like centroids
+      .filter(col("c") >= minCount) // prune the unbounded noise tail
+    // LIMIT-bounded probe: the guard itself never collects past the cap.
+    val probe =
+      if (maxVocab >= Int.MaxValue.toLong - 1) Int.MaxValue
+      else (maxVocab + 1).toInt
+    val wordFreq: Array[(String, Long)] = freqTable
+      .limit(probe)
+      .collect() // vocabulary-scale AFTER the minCount floor
       .map(r => r.getString(0) -> r.getLong(1))
+    require(wordFreq.length <= maxVocab,
+      s"Bpe.train: > $maxVocab distinct words with count >= $minCount — " +
+        "the driver-side merge loop is vocabulary-scale only. Raise " +
+        "minCount (typo/numeric/URL noise dominates a raw crawl's " +
+        "distinct-token table) or raise maxVocab deliberately.")
     trainFromFreqs(wordFreq, nMerges)
   }
 
-  /** The driver-side merge loop, exposed for specs. */
+  /** The driver-side merge loop, exposed for specs. Empty words are
+    * skipped (matching [[applyTo]]'s empty-word guard) rather than
+    * indexing syms(-1). */
   def trainFromFreqs(wordFreq: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
     // each word as a mutable symbol sequence; char-level start + EOW
-    val words: Array[(Array[String], Long)] = wordFreq.map { case (w, c) =>
-      val syms = w.map(_.toString).toArray
-      syms(syms.length - 1) += Eow
-      (syms, c)
+    val words: Array[(Array[String], Long)] = wordFreq.collect {
+      case (w, c) if w.nonEmpty =>
+        val syms = w.map(_.toString).toArray
+        syms(syms.length - 1) += Eow
+        (syms, c)
     }.toArray
     val merges = Seq.newBuilder[Merge]
     var step = 0

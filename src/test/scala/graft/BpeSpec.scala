@@ -37,6 +37,33 @@ class BpeSpec extends SparkSpec {
     assert(merges.isEmpty, s"singleton pairs must not merge: $merges")
   }
 
+  test("trainFromFreqs skips empty words instead of indexing syms(-1)") {
+    val merges = Bpe.trainFromFreqs(Seq("" -> 3L) ++ freqs, 4)
+    assert(merges == Bpe.trainFromFreqs(freqs, 4),
+      "an empty word must not change (or crash) training")
+  }
+
+  test("train bounds its driver vocabulary: minCount floor + loud maxVocab guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa aa bb"), (2L, "aa bb zz_singleton"), (3L, "aa bb")
+    ).toDF("doc_id", "text")
+    // minCount = 2 drops the singleton; merges learned from aa/bb alone
+    val merges = Bpe.train(docs, "text", 3)
+    assert(merges.nonEmpty)
+    assert(!merges.exists(m => (m.a + m.b).contains("z")),
+      s"singleton word leaked into training: $merges")
+    // the backstop throws rather than collecting past the cap
+    val e = intercept[IllegalArgumentException] {
+      Bpe.train(docs, "text", 3, minCount = 1L, maxVocab = 2L)
+    }
+    assert(e.getMessage.contains("maxVocab") ||
+      e.getMessage.contains("vocabulary-scale"), e.getMessage)
+    // a huge maxVocab means "guard off" — no toInt overflow
+    assert(Bpe.train(docs, "text", 3, minCount = 1L,
+      maxVocab = Long.MaxValue).nonEmpty)
+  }
+
   test("encode: roundtrip, document order, cache correctness, determinism") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -431,6 +431,10 @@ class DedupSpec extends SparkSpec {
     // at-or-under the cap still works (boundary is inclusive)
     assert(Similarity.thresholdPairs(v, "vec_id", "embedding", 0.98,
       maxExactRows = 50L).count() == 10)
+    // a deliberately huge cap means "guard off" — it must not overflow
+    // toInt into a negative LIMIT and break the guard itself
+    assert(Similarity.thresholdPairs(v, "vec_id", "embedding", 0.98,
+      maxExactRows = Long.MaxValue).count() == 10)
   }
 
   test("crossCorpusNearDups: finds exact and near contamination, not clean docs") {

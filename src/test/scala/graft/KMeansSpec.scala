@@ -91,6 +91,46 @@ class KMeansSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("fit persists its training frame: source bytes read are FLAT in " +
+    "iteration count (no per-Lloyd-iteration corpus re-scan)") {
+    // the 100 TB contract: training reads the corpus O(1) times, not
+    // maxIter + 2. Counted in FILE-SOURCE SCAN NODES across the SQL
+    // executions fit() runs: once the projection is persisted, every
+    // training plan reads InMemoryTableScan and the parquet leaf
+    // disappears from the executed plans (task input bytes can't make
+    // this distinction — cached block reads count as input too).
+    // a parquet leaf UNDER an InMemoryTableScan is the cached relation's
+    // recipe, not a source read (SparkPlanInfo inlines cachedPlan as a
+    // child) — stop descending there and count only naked source scans
+    def parquetScans(info: org.apache.spark.sql.execution.SparkPlanInfo): Int =
+      if (info.nodeName.contains("InMemoryTableScan")) 0
+      else (if (info.nodeName.toLowerCase.contains("scan parquet")) 1 else 0) +
+        info.children.map(parquetScans).sum
+    def scansFor(iters: Int): Int = {
+      val total = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            total.addAndGet(parquetScans(s.sparkPlanInfo))
+          case _ => ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        KMeans.fit(emb, "vec_id", "embedding", 4, iters)
+        Thread.sleep(2000) // async listener bus, same as GraphsSpec
+        total.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val s2 = scansFor(2)
+    val s8 = scansFor(8)
+    assert(s8 == s2,
+      s"fit re-scans source per iteration: 2 iters → $s2 parquet scans, " +
+        s"8 iters → $s8")
+  }
+
   test("full-probe IVF equals brute force exactly on the embeddings table") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val (cents, assigned) = KMeans.fit(emb, "vec_id", "embedding", 8, 3)

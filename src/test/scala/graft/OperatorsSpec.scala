@@ -138,4 +138,22 @@ class OperatorsSpec extends SparkSpec {
       graft.expr.Fingerprint64(col("text"))))
       .map(_.getString(1)).forall(_ == "added"))
   }
+
+  test("snapshotDiff: a NULL content hash is a value, not absence") {
+    import spark.implicits._
+    // presence must come from the join sides, not hash nullness: key 1 is
+    // present in both with null text (unchanged), key 2 goes null → text
+    // (changed), key 3 text → null (changed), key 4 had null text and is
+    // gone (removed — the old classifier reported it 'added')
+    val oldSnap = Seq((1L, null: String), (2L, null: String),
+      (3L, "text"), (4L, null: String)).toDF("doc_id", "text")
+    val newSnap = Seq((1L, null: String), (2L, "text"),
+      (3L, null: String)).toDF("doc_id", "text")
+    val out = rows(graft.operators.Upsert.snapshotDiff(
+      oldSnap, newSnap, "doc_id", graft.expr.Fingerprint64(col("text")))
+      .orderBy("doc_id"))
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out == Seq(2L -> "changed", 3L -> "changed", 4L -> "removed"),
+      out.toString)
+  }
 }
