@@ -919,21 +919,48 @@ object TextQueries {
   /** REAL BPE tokenization ([[graft.text.Bpe]]): train merges on the
     * corpus's word-frequency table (distributed agg → driver merge loop
     * over model-scale vocab state, the k-means contract), broadcast the
-    * ranks, encode map-side. A 50-step sequential merge derivation is
-    * not SQL-expressible → rows-only driver check; the merge order,
-    * greedy application, roundtrip, and partitioning determinism are
+    * ranks, encode map-side. The 60-step sequential merge derivation is
+    * not SQL-expressible, but its LOSSLESSNESS is: per document we emit
+    *   - `rt_fp` — [[graft.expr.Fingerprint64]] of the DECODED piece
+    *     stream (pieces re-glued in pos order, end-of-word markers back
+    *     to spaces), which the oracle recomputes as the same FNV-1a fold
+    *     over the space-normalized source text — whatever merge table
+    *     training produced, encode∘decode must be the identity;
+    *   - `n_words` — pieces carrying the EOW marker (merges only ever
+    *     append word-final symbols, so EOW stays piece-final and appears
+    *     exactly once per source word), which the oracle recomputes as
+    *     the non-empty whitespace token count — segmentation preserves
+    *     word boundaries.
+    * Merge ORDER, greedy application, and partitioning determinism stay
     * spec-asserted (BpeSpec, incl. the hand-derived classic fixture). */
   val qBpeEncode = QueryDef("q_bpe_encode",
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
       val merges = graft.text.Bpe.train(docs, "text", BpeMerges)
+      val eow = java.util.regex.Pattern.quote(graft.text.Bpe.Eow)
       graft.text.Bpe.encode(docs, "doc_id", "text", merges)
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_pieces"),
-          countDistinct(col("piece")).as("n_distinct_pieces"))
+        .agg(
+          sum(when(col("piece").endsWith(graft.text.Bpe.Eow), 1L)
+            .otherwise(0L)).as("n_words"),
+          // deterministic re-glue: collect_list order is partition-
+          // dependent, so sort by pos before joining
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("piece")))),
+            e => e.getField("piece")), "").as("glued"))
+        .select(col("doc_id"), col("n_words"),
+          graft.expr.Fingerprint64(
+            trim(regexp_replace(col("glued"), eow, " "))).as("rt_fp"))
         .orderBy("doc_id")
     },
-    None)
+    Some(s"""SELECT doc_id,
+            |  CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+            |    AS BIGINT) AS n_words,
+            |  ${toSignedSql(fnvFoldSql(
+               "trim(regexp_replace(text, ' +', ' ', 'g'))"))} AS rt_fp
+            |FROM documents
+            |WHERE text IS NOT NULL AND trim(text) <> ''
+            |ORDER BY doc_id""".stripMargin))
 
   /** Blocklist for [[qBadWords]] / [[qWebCuration]] — planted tokens,
     * so the filters' selectivity is known by construction (the corpus's
