@@ -252,6 +252,108 @@ object VectorQueries {
             |  (SELECT vec_id FROM labels WHERE cluster <> vec_id)
             |ORDER BY vec_id""".stripMargin))
 
+  /** SemDeDup configuration: k-means cells + within-cell pruning at the
+    * corpus's own similarity range ([[MinDupCosine]] — same threshold as
+    * the global-dedup entries, so the two results differ exactly by the
+    * pairs k-means separates). 2 Lloyd iterations keep the unrolled
+    * oracle mirror readable; the operator takes any maxIter. */
+  val SemK = 8
+  val SemIters = 2
+
+  /** Squared-L2 between a DOUBLE[] vector and a FLOAT[] centroid, as the
+    * same index-order double left-fold as
+    * [[graft.expr.CentroidKernels]].d2 — bit-identical accumulation. */
+  private def d2Sql(v: String, cv: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  [($v[i] - CAST($cv[i] AS DOUBLE)) * ($v[i] - CAST($cv[i] AS DOUBLE))
+       |   for i in generate_series(1, len($v))]),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  /** Assignment CTE: nearest centroid in `centsCte` per vector of `e`,
+    * (d2, cid) lexicographic tie-break — the kernel's first-wins rule
+    * over an ascending matrix. */
+  private def assignCte(name: String, centsCte: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT s.vec_id, s.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id
+       |             ORDER BY s.d2, s.cid) AS rn
+       |    FROM (SELECT e.vec_id, c.cid, ${d2Sql("e.v", "c.cv")} AS d2
+       |          FROM e, $centsCte c) s)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  /** Lloyd update CTE: per-(cid, dim) exact DECIMAL(38,15) sum → one
+    * IEEE double division → float32 centroid element — the mirror of
+    * [[graft.operators.KMeans.meansByDim]] + the driver's toFloat. An
+    * emptied cluster keeps its previous centroid (COALESCE). */
+  private def updateCte(assignName: String, prevCents: String,
+      outName: String): String =
+    s"""${outName}_m AS (
+       |  SELECT cid, dim,
+       |         CAST(CAST(sum(CAST(x AS DECIMAL(38,15))) AS DOUBLE)
+       |              / CAST(count(*) AS DOUBLE) AS FLOAT) AS cx
+       |  FROM (SELECT a.cid, unnest(e.v) AS x,
+       |               unnest(generate_series(1, len(e.v))) AS dim
+       |        FROM e JOIN $assignName a USING (vec_id))
+       |  GROUP BY cid, dim
+       |), $outName AS (
+       |  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+       |  FROM $prevCents p LEFT JOIN
+       |    (SELECT cid, list(cx ORDER BY dim) AS cv
+       |     FROM ${outName}_m GROUP BY cid) n USING (cid)
+       |)""".stripMargin
+
+  /** SemDeDup as a catalog query ([[Similarity.semanticDedup]]): the
+    * oracle replays the ENTIRE pipeline from scratch — deterministic
+    * seeding (k smallest ids), two unrolled Lloyd updates with
+    * decimal-exact means and float32 centroid rounding, final argmin
+    * assignment, within-cluster cosine pairs, recursive-CTE closure,
+    * keeper selection — so a drift anywhere in fit or pruning
+    * hash-mismatches. The strongest statement the engine makes about
+    * its clustering: not "k-means converged" but "k-means computed
+    * exactly THESE cells". */
+  val qSemanticDedup = QueryDef("q_semantic_dedup",
+    (spark, dir) => Similarity.semanticDedup(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      SemK, SemIters, MinDupCosine)
+      .orderBy("vec_id"),
+    Some(s"""WITH RECURSIVE
+            |e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |), c0 AS (
+            |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            |  ORDER BY vec_id LIMIT $SemK
+            |), ${assignCte("a1", "c0")},
+            |${updateCte("a1", "c0", "c1")},
+            |${assignCte("a2", "c1")},
+            |${updateCte("a2", "c1", "c2")},
+            |${assignCte("a3", "c2")},
+            |dup_pairs AS (
+            |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+            |  FROM (SELECT e.vec_id, e.v, a3.cid
+            |        FROM e JOIN a3 USING (vec_id)) x
+            |  JOIN (SELECT e.vec_id, e.v, a3.cid
+            |        FROM e JOIN a3 USING (vec_id)) y
+            |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+            |  WHERE ${cosSql("x.v", "y.v")} >= $MinDupCosine
+            |), ed AS (
+            |  SELECT vec_a AS src, vec_b AS dst FROM dup_pairs
+            |  UNION SELECT vec_b, vec_a FROM dup_pairs
+            |), reach(src, dst) AS (
+            |  SELECT src, dst FROM ed
+            |  UNION
+            |  SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src
+            |), labels AS (
+            |  SELECT src AS vec_id, LEAST(src, min(dst)) AS cluster
+            |  FROM reach GROUP BY src
+            |)
+            |SELECT a3.vec_id, a3.cid FROM a3
+            |WHERE a3.vec_id NOT IN
+            |  (SELECT vec_id FROM labels WHERE cluster <> vec_id)
+            |ORDER BY vec_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(qAnnTopK, qEmbedTopPairs, qAnnLsh, qAnnIvf,
-    qAnnIvfKmeans, qDedupEmbedding, qDedupEmbeddingKeep, qDedupEmbeddingLsh)
+    qAnnIvfKmeans, qDedupEmbedding, qDedupEmbeddingKeep, qDedupEmbeddingLsh,
+    qSemanticDedup)
 }

@@ -95,7 +95,14 @@ object KMeans {
     v.select(NearestCentroidId(col("v"), cids, cents).as("cid"),
         posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cid", "dim")
-      .agg(avg(col("x").cast("decimal(38,15)")).cast("double").as("m"))
+      // exact decimal sum, then ONE double division — not avg(decimal),
+      // whose internal decimal division has engine-specific scale rules.
+      // This exact-sum/ieee-divide form is what a SQL oracle can replay
+      // bit-for-bit (see q_semantic_dedup's unrolled Lloyd mirror); the
+      // float→double cast first pins the decimal conversion to the same
+      // double value both engines see.
+      .agg((sum(col("x").cast("double").cast("decimal(38,15)")).cast("double") /
+        count(lit(1))).as("m"))
 
   private def assignWith(v: DataFrame, cids: Array[Long],
       cents: Array[Array[Float]]): DataFrame =

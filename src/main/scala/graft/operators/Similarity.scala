@@ -147,6 +147,53 @@ object Similarity {
     vectors.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): k-means cluster
+    * the embedding space, then resolve near-duplicates WITHIN each
+    * cluster only — cluster-then-prune. The third member of the
+    * embedding-dedup family:
+    *   - [[cosineDedup]] exact: all-pairs, quadratic, oracle twin;
+    *   - [[cosineDedup]] useLsh: linear, but recall comes from LEXICAL-
+    *     grade hyperplane buckets — tuned for the θ ≳ .9 regime;
+    *   - semanticDedup: pair generation is O(Σ cᵢ²) ≈ n²/k instead of
+    *     n², and the candidate structure follows the SEMANTIC geometry
+    *     (k-means cells), so moderate-cosine paraphrase pairs that LSH
+    *     recalls poorly still meet inside their cluster. Missed pairs
+    *     are exactly the ones k-means separates — the documented
+    *     SemDeDup recall trade.
+    *
+    * Scale story: training is [[KMeans.fit]] (zero-corpus-shuffle
+    * assignment, persisted input); the within-cluster self-join
+    * shuffles each vector ONCE keyed by cid (at production k the cells
+    * are balanced by construction — Lloyd minimizes within-cell
+    * variance, and a hot cell splits by raising k); evidence pairs
+    * carry 8-byte ids into the same large-star/small-star closure every
+    * other dedup family uses. Deterministic end-to-end (deterministic
+    * fit + (cosine, id) thresholding), hence DuckDB-mirrorable — the
+    * catalog oracle replays seeding, both Lloyd updates, final
+    * assignment, within-cluster pairs, and the closure bit-for-bit.
+    *
+    * @return survivors as (idCol, cid) — cluster minima stay, other
+    *         members of every within-cluster dup component drop */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int, minCosine: Double): DataFrame = {
+    val (_, assigned) = KMeans.fit(vectors, idCol, vecCol, k, maxIter)
+    val a = assigned.select(col("cid"), col("id").as("vec_a"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("id").as("vec_b"), col("v").as("vb"))
+    val pairs = a.join(b, "cid")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        round(CosineSim(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .select("doc_a", "doc_b")
+    val drops = Dedup.duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id"))
+    assigned.select(col("id"), col("cid"))
+      .join(drops, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cid"))
+  }
+
   /** LSH-bucketed candidate pairs: vectors sharing a `nBits`-bit
     * random-hyperplane signature. P[same bucket] = (1 − θ/π)^nBits for
     * angle θ; union over `tables` independent signatures raises recall to

@@ -437,6 +437,29 @@ class DedupSpec extends SparkSpec {
       maxExactRows = Long.MaxValue).count() == 10)
   }
 
+  test("semanticDedup: drops within-cluster near-dups, is a superset of " +
+    "exact cosineDedup survivors, covers every vector exactly once") {
+    val v = plantedVectors // 40 bases + 10 jittered copies (cos ≈ .9998)
+    val sem = rows(Similarity.semanticDedup(
+      v, "vec_id", "embedding", k = 4, maxIter = 2, minCosine = 0.98))
+      .map(r => r.getLong(0)).toSet
+    // a jittered copy is ~identical to its base, so k-means cannot
+    // separate the pair: every planted dup lands in its base's cell and
+    // is pruned there — min-id keeps the bases
+    assert((0L until 40L).forall(sem.contains), s"dropped a base: $sem")
+    assert((0L until 40L by 4).forall(i => !sem.contains(100L + i)),
+      s"kept a planted dup: $sem")
+    // cluster-then-prune can only MISS pairs (the cross-cluster ones):
+    // global exact dedup's drops are a superset of semantic drops
+    val globalKeep = rows(Similarity.cosineDedup(
+      v, "vec_id", "embedding", 0.98)).map(_.getLong(0)).toSet
+    assert(globalKeep.subsetOf(sem),
+      "semanticDedup must never drop a vector exact global dedup keeps")
+    // and the output partitions the corpus: every id exactly once
+    assert(sem.size == Similarity.semanticDedup(
+      v, "vec_id", "embedding", 4, 2, 0.98).count())
+  }
+
   test("crossCorpusNearDups: finds exact and near contamination, not clean docs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
