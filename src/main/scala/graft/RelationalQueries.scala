@@ -236,6 +236,35 @@ object RelationalQueries {
            |       min(l_suppkey) AS min_supp
            |FROM lineitem WHERE l_quantity >= 30.0""".stripMargin))
 
+  /** GROUPED aggregates through the DSv2 connector — the completion of
+    * the S1 story: the reference's defining query
+    * (`sql_cycle_rides.py:35-41`) is a GROUP BY + count + sort pushed
+    * into the external engine, and with
+    * [[graft.sources.GraftScanBuilder.pushAggregation]] now accepting
+    * grouped COUNT/MIN/MAX/SUM, this connector runs the same shape at
+    * the source: each file emits one partial row per group (group keys
+    * lead the scan schema, per the V2 partial contract) and Spark's
+    * final merge re-groups — so the result is exact at any file
+    * fan-out. The spec additionally asserts the scan node advertises
+    * PushedGroupBy and that float group keys decline. */
+  val qDsv2GroupPushdown = QueryDef("q_dsv2_group_pushdown",
+    (spark, dir) => spark.read
+      .format("graft.sources.GraftParquetTableProvider")
+      .option("path", s"$dir/documents.parquet").load()
+      .filter(col("n_chars") > 200L)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("text")).as("n_texts"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("lang", "source"),
+    Some("""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(count(text) AS BIGINT) AS n_texts,
+           |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM documents WHERE n_chars > 200
+           |GROUP BY lang, source ORDER BY lang, source""".stripMargin))
+
   /** TPC-H Q3 ("shipping priority") adapted to this schema: segment-
     * filtered customers ⋈ date-bounded orders ⋈ ship-date-bounded
     * lineitems, revenue per open order, top 10. The canonical selective-
@@ -524,7 +553,8 @@ object RelationalQueries {
 
   def all: Seq[QueryDef] = Seq(
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
-    qDsv2Pushdown, qDsv2AggPushdown, qDsv2SumPushdown, qShippingPriority,
+    qDsv2Pushdown, qDsv2AggPushdown, qDsv2SumPushdown, qDsv2GroupPushdown,
+    qShippingPriority,
     qLocalSupplierVolume,
     qLargeOrders, qProfileDocuments, qZorderCells, qTriangles, qPageRank)
 }

@@ -82,6 +82,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType)
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var aggs: Option[Seq[GraftAggSpec]] = None
+  private var groupCols: Seq[StructField] = Nil
 
   /** LIMIT pushdown — PARTIAL by contract: each input partition stops
     * after `limit` surviving rows (I/O saved at the source), but the
@@ -110,15 +111,20 @@ class GraftScanBuilder(path: String, tableSchema: StructType)
     * connector layer: "the engine runs the whole query",
     * `sql_cycle_rides.py:43-46`). PARTIAL by contract
     * (supportCompletePushDown stays false): each input partition emits
-    * ONE row of per-file partial aggregates and Spark does the final
-    * merge — so correctness never depends on the file fan-out. Scope is
-    * global (no GROUP BY) COUNT(*) / COUNT(col) / MIN / MAX on flat
-    * comparable types; anything else is declined wholesale and Spark
-    * aggregates scan rows as before. When NO filters are pushed, the
-    * reader answers from footer metadata alone — row counts and
-    * row-group min/max stats — reading zero data pages. */
+    * per-file partial aggregate rows — one row globally, or one row PER
+    * GROUP when a GROUP BY is pushed — and Spark does the final merge
+    * (COUNT partials re-sum, MIN/MAX re-extremize, grouped rows
+    * re-group), so correctness never depends on the file fan-out. Scope
+    * is COUNT(*) / COUNT(col) / MIN / MAX / integral SUM on flat
+    * comparable types, grouped by exactly-comparable flat columns
+    * (int/long/string/bool/date — float keys are declined: NaN/−0.0
+    * group equality is engine-lore the connector refuses to re-own);
+    * anything else is declined wholesale and Spark aggregates scan rows
+    * as before. When NO filters are pushed and NO grouping, the reader
+    * answers from footer metadata alone — row counts and row-group
+    * min/max stats — reading zero data pages (grouped aggregates always
+    * row-scan: footers carry no per-group structure). */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (aggregation.groupByExpressions().nonEmpty) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case r: NamedReference if r.fieldNames().length == 1 =>
@@ -151,13 +157,26 @@ class GraftScanBuilder(path: String, tableSchema: StructType)
           })
         case _ => None
       }
-    if (translated.exists(_.isEmpty)) false
-    else { aggs = Some(translated.flatten); true }
+    val groupableTypes: Set[DataType] =
+      Set(IntegerType, LongType, StringType, BooleanType, DateType)
+    val groups: Seq[Option[StructField]] =
+      aggregation.groupByExpressions().toSeq.map { e =>
+        colOf(e).flatMap(n => tableSchema.fields.find(_.name == n))
+          .filter(f => groupableTypes(f.dataType))
+      }
+    if (translated.exists(_.isEmpty) || groups.exists(_.isEmpty)) false
+    else {
+      aggs = Some(translated.flatten)
+      groupCols = groups.flatten
+      true
+    }
   }
 
   override def build(): Scan =
-    GraftParquetScan(path, aggs.map(GraftAggSpec.schema).getOrElse(required),
-      pushed, limit, aggs)
+    GraftParquetScan(path,
+      aggs.map(a => StructType(groupCols ++ GraftAggSpec.schema(a)))
+        .getOrElse(required),
+      pushed, limit, aggs, groupCols)
 }
 
 /** One pushed aggregate column. */
@@ -186,11 +205,28 @@ object GraftAggSpec {
     case MaxCol(n, _) => n
     case SumCol(n) => n
   }.distinct
+
+  /** Min/max fold over comparable candidates — shared by the footer fast
+    * path, the global row scan, and the grouped row scan. */
+  def reduceExtreme(cand: Seq[Any], dt: DataType, isMin: Boolean): Any = {
+    def red[T](ord: Ordering[T]): Any = {
+      val xs = cand.map(_.asInstanceOf[T])
+      if (isMin) xs.min(ord) else xs.max(ord)
+    }
+    dt match {
+      case IntegerType | DateType => red(Ordering[Int].on[Any](_.asInstanceOf[Number].intValue()))
+      case LongType => red(Ordering[Long].on[Any](_.asInstanceOf[Number].longValue()))
+      case FloatType => red(Ordering[Float].on[Any](_.asInstanceOf[Number].floatValue()))
+      case DoubleType => red(Ordering[Double].on[Any](_.asInstanceOf[Number].doubleValue()))
+      case other => throw new IllegalStateException(s"unreachable min/max type $other")
+    }
+  }
 }
 
 case class GraftParquetScan(path: String, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
-    aggs: Option[Seq[GraftAggSpec]] = None) extends Scan with Batch {
+    aggs: Option[Seq[GraftAggSpec]] = None,
+    groupBy: Seq[StructField] = Nil) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   // surfaced in .explain — the same observability contract the built-in
@@ -200,27 +236,119 @@ case class GraftParquetScan(path: String, required: StructType,
       s"ReadSchema: ${required.catalogString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
-      aggs.fold("")(a => s", PushedAggregation: [${a.mkString(", ")}]")
+      aggs.fold("")(a => s", PushedAggregation: [${a.mkString(", ")}]") +
+      (if (groupBy.nonEmpty)
+        s", PushedGroupBy: [${groupBy.map(_.name).mkString(", ")}]" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     GraftParquetV2.listFiles(path).map(GraftInputPartition(_)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftPartitionReaderFactory(required, pushed, limit, aggs)
+    GraftPartitionReaderFactory(required, pushed, limit, aggs, groupBy)
 }
 
 case class GraftInputPartition(file: String) extends InputPartition
 
 case class GraftPartitionReaderFactory(required: StructType,
     pushed: Array[Filter], limit: Int = -1,
-    aggs: Option[Seq[GraftAggSpec]] = None) extends PartitionReaderFactory {
+    aggs: Option[Seq[GraftAggSpec]] = None,
+    groupBy: Seq[StructField] = Nil) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GraftInputPartition].file
     aggs match {
+      case Some(specs) if groupBy.nonEmpty =>
+        new GraftGroupedAggPartitionReader(file, groupBy, specs, pushed)
       case Some(specs) => new GraftAggPartitionReader(file, specs, pushed)
       case None => new GraftPartitionReader(file, required, pushed, limit)
     }
   }
+}
+
+/** Per-file PARTIAL grouped aggregates: one output row per group
+  * observed in this file, group-key columns first (the V2 partial-agg
+  * contract — Spark re-groups the per-file rows and merges). Always a
+  * row scan (footers carry no per-group structure), projecting group
+  * keys ∪ aggregate inputs ∪ filter references. Accumulator state is
+  * one entry per DISTINCT GROUP IN THIS FILE — aggregation-state scale,
+  * the same boundedness contract as Spark's own partial hash aggregate
+  * (a grouping column with file-cardinality keys degrades to the
+  * built-in path's behavior too: decline happens at type level, not
+  * cardinality level, and Spark's final merge is always correct). */
+class GraftGroupedAggPartitionReader(file: String, groupBy: Seq[StructField],
+    specs: Seq[GraftAggSpec], pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private var iter: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+
+  private final class Acc {
+    var count = 0L
+    val colCount = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val mins = collection.mutable.Map.empty[String, Any]
+    val maxs = collection.mutable.Map.empty[String, Any]
+    val sums = collection.mutable.Map.empty[String, Long]
+  }
+
+  private def compute(): Iterator[InternalRow] = {
+    val cols = (groupBy.map(_.name) ++ GraftAggSpec.referenced(specs)).distinct
+    val schema = GraftParquetV2.sparkSchema(GraftParquetV2.footerSchema(file))
+    val scanSchema = StructType(schema.fields.filter(f => cols.contains(f.name)))
+    val inner = new GraftPartitionReader(file, scanSchema, pushed, -1)
+    val idx = scanSchema.fieldNames.zipWithIndex.toMap
+    def valueOf(row: InternalRow, n: String): Any =
+      row.get(idx(n), schema(n).dataType)
+    // insertion-ordered so output is deterministic per file (not load-
+    // bearing — Spark re-groups — but it keeps re-runs byte-stable)
+    val groups = collection.mutable.LinkedHashMap.empty[List[Any], Acc]
+    try {
+      while (inner.next()) {
+        val row = inner.get()
+        val key = groupBy.map(f => valueOf(row, f.name)).toList
+        val acc = groups.getOrElseUpdate(key, new Acc)
+        acc.count += 1
+        specs.foreach {
+          case GraftAggSpec.CountCol(n) =>
+            if (valueOf(row, n) != null) acc.colCount(n) += 1
+          case GraftAggSpec.MinCol(n, dt) => valueOf(row, n) match {
+            case null => ()
+            case v => acc.mins(n) = acc.mins.get(n)
+              .map(cur => GraftAggSpec.reduceExtreme(Seq(cur, v), dt, isMin = true))
+              .getOrElse(v)
+          }
+          case GraftAggSpec.MaxCol(n, dt) => valueOf(row, n) match {
+            case null => ()
+            case v => acc.maxs(n) = acc.maxs.get(n)
+              .map(cur => GraftAggSpec.reduceExtreme(Seq(cur, v), dt, isMin = false))
+              .getOrElse(v)
+          }
+          case GraftAggSpec.SumCol(n) => valueOf(row, n) match {
+            case null => ()
+            case v: java.lang.Number =>
+              // addExact: overflow throws (ANSI posture), never wraps
+              acc.sums(n) = Math.addExact(acc.sums.getOrElse(n, 0L), v.longValue())
+          }
+          case GraftAggSpec.CountStar => ()
+        }
+      }
+    } finally inner.close()
+    groups.iterator.map { case (key, acc) =>
+      val aggVals = specs.map {
+        case GraftAggSpec.CountStar => acc.count: Any
+        case GraftAggSpec.CountCol(n) => acc.colCount(n): Any
+        case GraftAggSpec.MinCol(n, _) => acc.mins.getOrElse(n, null)
+        case GraftAggSpec.MaxCol(n, _) => acc.maxs.getOrElse(n, null)
+        case GraftAggSpec.SumCol(n) => acc.sums.get(n).map(Long.box).orNull
+      }
+      new GenericInternalRow((key ++ aggVals).toArray)
+    }
+  }
+
+  override def next(): Boolean = {
+    if (iter == null) iter = compute()
+    if (iter.hasNext) { current = iter.next(); true } else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** Per-file PARTIAL aggregates, one output row. Two paths:
@@ -283,19 +411,8 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
     } finally in.close()
   }
 
-  private def reduceExtreme(cand: Seq[Any], dt: DataType, isMin: Boolean): Any = {
-    def red[T](ord: Ordering[T]): Any = {
-      val xs = cand.map(_.asInstanceOf[T])
-      if (isMin) xs.min(ord) else xs.max(ord)
-    }
-    dt match {
-      case IntegerType | DateType => red(Ordering[Int].on[Any](_.asInstanceOf[Number].intValue()))
-      case LongType => red(Ordering[Long].on[Any](_.asInstanceOf[Number].longValue()))
-      case FloatType => red(Ordering[Float].on[Any](_.asInstanceOf[Number].floatValue()))
-      case DoubleType => red(Ordering[Double].on[Any](_.asInstanceOf[Number].doubleValue()))
-      case other => throw new IllegalStateException(s"unreachable min/max type $other")
-    }
-  }
+  private def reduceExtreme(cand: Seq[Any], dt: DataType, isMin: Boolean): Any =
+    GraftAggSpec.reduceExtreme(cand, dt, isMin)
 
   private def computeByScan(): Array[Any] = {
     val cols = GraftAggSpec.referenced(specs)

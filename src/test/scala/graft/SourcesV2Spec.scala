@@ -172,16 +172,65 @@ class SourcesV2Spec extends SparkSpec {
       .agg(sum("l_quantity").as("sq"), count(lit(1)).as("n"))))
   }
 
-  test("GROUP BY aggregation is declined — grouped results still exact") {
+  test("GROUP BY aggregation is pushed: per-file partial group rows, " +
+    "Spark's final merge — results match the built-in exactly") {
     val path = s"$sfDir/documents.parquet"
-    val df = viaV2(path).groupBy("lang").agg(count(lit(1)).as("n"))
+    def agged(df: DataFrame) = df.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), count(col("n_chars")).as("nc"),
+        min("n_chars").as("minc"), max("n_chars").as("maxc"),
+        sum("n_chars").as("sumc"))
+      .orderBy("lang", "source")
+    val df = agged(viaV2(path))
+    val scan = graftScan(df)
+    assert(scan.aggs.isDefined, s"grouped aggregation not pushed: ${scan.description()}")
+    assert(scan.groupBy.map(_.name) == Seq("lang", "source"),
+      s"wrong pushed grouping: ${scan.description()}")
+    assert(scan.description().contains("PushedGroupBy"), scan.description())
+    assert(rows(df) == rows(agged(spark.read.parquet(path))))
+    // with a pushed filter: same contract
+    val dff = agged(viaV2(path).filter(col("n_chars") > 200L))
+    assert(graftScan(dff).aggs.isDefined && graftScan(dff).pushed.nonEmpty,
+      graftScan(dff).description())
+    assert(rows(dff) ==
+      rows(agged(spark.read.parquet(path).filter(col("n_chars") > 200L))))
+  }
+
+  test("grouped pushdown declines float group keys and distinct aggs") {
+    val path = s"$sfDir/lineitem.parquet"
+    // double group key → declined wholesale, Spark aggregates scan rows
+    val df = viaV2(path).groupBy("l_quantity").agg(count(lit(1)).as("n"))
     assert(graftScan(df).aggs.isEmpty,
-      "grouped aggregation must not be claimed")
-    val v2 = rows(df.orderBy("lang")).map(r => (r.getString(0), r.getLong(1)))
-    val ref = rows(spark.read.parquet(path).groupBy("lang")
-      .agg(count(lit(1)).as("n")).orderBy("lang"))
+      s"float group key must not be claimed: ${graftScan(df).description()}")
+    assert(df.count() ==
+      spark.read.parquet(path).select("l_quantity").distinct().count())
+    // distinct agg under a group → declined
+    val dfd = viaV2(path).groupBy("l_linestatus")
+      .agg(countDistinct("l_orderkey").as("nd"))
+    assert(graftScan(dfd).aggs.isEmpty,
+      s"distinct agg must not be claimed: ${graftScan(dfd).description()}")
+    val v2 = rows(dfd.orderBy("l_linestatus"))
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ref = rows(spark.read.parquet(path).groupBy("l_linestatus")
+      .agg(countDistinct("l_orderkey").as("nd")).orderBy("l_linestatus"))
       .map(r => (r.getString(0), r.getLong(1)))
     assert(v2 == ref)
+  }
+
+  test("grouped pushdown handles null group keys and all-null agg inputs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2_gnull")
+    val path = s"$dir/t.parquet"
+    Seq((Some("a"), Some(10L)), (None: Option[String], Some(5L)),
+        (Some("a"), None: Option[Long]), (None: Option[String], Some(7L)),
+        (Some("b"), None: Option[Long]))
+      .toDF("g", "v").write.mode("overwrite").parquet(path)
+    def agged(df: DataFrame) = df.groupBy("g")
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min("v").as("minv"), sum("v").as("sumv"))
+      .orderBy(col("g").asc_nulls_first)
+    val df = agged(viaV2(path))
+    assert(graftScan(df).aggs.isDefined, graftScan(df).description())
+    assert(rows(df).toString == rows(agged(spark.read.parquet(path))).toString)
   }
 
   test("randomized predicate parity: connector == built-in on 40 seeded filters") {
