@@ -19,6 +19,8 @@ import graft.sources.Sinks
   * runMain graft.cli.Main total-distance --input DIR --output PATH
   * runMain graft.cli.Main stream-routes --output PATH [--seconds N]
   *         [--rows-per-second N] [--source rate|file --input DIR]
+  * runMain graft.cli.Main stream-neardup --input DIR --output PATH
+  *         [--min-est-jaccard X]
   * runMain graft.cli.Main dedup --input DIR --output PATH [--mode exact|near]
   * runMain graft.cli.Main clean --input DIR --output PATH
   * }}}
@@ -157,6 +159,37 @@ object Main {
           spark.table("graft_stream_routes")
             .orderBy(desc("amount_of_rides"), col("window_start"),
               col("start_station_id"), col("end_station_id")),
+          output)
+
+      case "stream-neardup" => // §2.10: at-ingest near-dup candidates
+        // the streaming deployment of the MinHash-LSH dedup: documents
+        // land in an ingest directory, and each micro-batch's docs are
+        // checked against the banded state of everything seen before —
+        // same staging shape as stream-routes' file source
+        val minEst = flags.getOrElse("min-est-jaccard", "0.8").toDouble
+        val path = s"$input/documents.parquet"
+        val schema = spark.read.parquet(path).schema
+        val ingestDir = java.nio.file.Files.createTempDirectory("graft_neardup")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+          ingestDir.resolve("documents-000.parquet"))
+        val docs = spark.readStream.schema(schema).parquet(ingestDir.toString)
+        val cands = graft.streaming.StreamingNearDup.candidatePairs(
+          docs.toDF(), "doc_id", "text",
+          graft.TextQueries.ShingleN, minEst)
+        val q = cands.toDF().writeStream
+          .format("memory").queryName("graft_stream_neardup")
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          java.nio.file.Files.walk(ingestDir)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        Sinks.csvWithHeader(
+          spark.table("graft_stream_neardup")
+            .orderBy("doc_a", "doc_b", "band"),
           output)
 
       case "dedup" => // extension surface: corpus dedup → kept docs

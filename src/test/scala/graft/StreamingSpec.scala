@@ -281,4 +281,25 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bounded.subsetOf(batchPairs))
   }
+
+  test("stream-neardup file-source wiring (the CLI path): ingest-dir " +
+    "parquet stream drains candidates to the sink") {
+    // the exact staging shape graft.cli.Main stream-neardup uses: stage
+    // parquet into an ingest dir, stream it as a file source, run the
+    // stateful candidate detector, read back the drained table
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 120 && col("text").isNotNull)
+      .select("doc_id", "text")
+    val ingest = java.nio.file.Files.createTempDirectory("graft_ndsmoke")
+    src.coalesce(1).write.mode("overwrite").parquet(ingest.toString)
+    val docs = spark.readStream.schema(src.schema).parquet(ingest.toString)
+    val cands = graft.streaming.StreamingNearDup.candidatePairs(
+      docs.toDF(), "doc_id", "text", graft.TextQueries.ShingleN, 0.5)
+    val q = cands.toDF().writeStream.format("memory")
+      .queryName("ndsmoke").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ndsmoke")
+      .select("doc_a", "doc_b").distinct().count()
+    assert(got > 0, "file-source stream must surface the planted near-dups")
+  }
 }
