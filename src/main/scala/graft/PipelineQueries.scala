@@ -513,8 +513,62 @@ object PipelineQueries {
          |FROM pr ORDER BY o_orderstatus, prob""".stripMargin
     })
 
+  /** Relative accuracy for [[qDdQuantiles]] (γ ≈ 1.0202). */
+  val DdAlpha = 0.01
+
+  /** Per-status order-value quantiles from the DDSketch-style mergeable
+    * log-bucket sketch ([[graft.expr.DdQuantileAgg]]) — the
+    * deterministic-worst-case sibling of [[qSampleQuantiles]] (whose
+    * error is random ±O(1/√k)): every estimate is within α relative
+    * error of a true quantile element, for any data and any quantile.
+    * Bucket counts are a pure function of the input multiset, so the
+    * oracle RE-DERIVES the sketch exactly in SQL: same 6-dp-rounded
+    * log buckets, same cumulative-rank walk, same representative-value
+    * formula — the estimate itself is hash-checked, not just bounded. */
+  val qDdQuantiles = QueryDef("q_dd_quantiles",
+    (spark, dir) => {
+      val probsArr = array(QuantProbs.map(lit): _*)
+      Tables.orders(spark, dir)
+        .groupBy("o_orderstatus")
+        .agg(graft.expr.DdQuantileAgg(
+          col("o_totalprice").cast("double"), DdAlpha, QuantProbs).as("ests"))
+        .select(col("o_orderstatus"),
+          posexplode(col("ests")).as(Seq("pos", "quantile")))
+        .select(col("o_orderstatus"),
+          element_at(probsArr, col("pos") + 1).as("prob"), col("quantile"))
+        .orderBy("o_orderstatus", "prob")
+    },
+    Some {
+      val g = s"((1.0 + $DdAlpha) / (1.0 - $DdAlpha))"
+      val probsList = QuantProbs.mkString("[", ", ", "]")
+      s"""WITH v AS (
+         |  SELECT o_orderstatus AS grp, CAST(o_totalprice AS DOUBLE) AS v
+         |  FROM orders WHERE o_totalprice IS NOT NULL
+         |), b AS (
+         |  SELECT grp, CAST(ceil(round(ln(v) / ln($g), 6)) AS BIGINT) AS b,
+         |         count(*) AS c
+         |  FROM v GROUP BY grp, b
+         |), cum AS (
+         |  SELECT grp, b,
+         |         sum(c) OVER (PARTITION BY grp ORDER BY b) AS cum,
+         |         sum(c) OVER (PARTITION BY grp) AS n
+         |  FROM b
+         |), pr AS (
+         |  SELECT grp, b, cum, n, unnest($probsList) AS prob FROM cum
+         |), sel AS (
+         |  SELECT grp, prob, min(b) AS bsel
+         |  FROM pr
+         |  WHERE cum >= CAST(floor(prob * (n - 1)) AS BIGINT) + 1
+         |  GROUP BY grp, prob
+         |)
+         |SELECT grp AS o_orderstatus, prob,
+         |       round(2.0 * exp(CAST(bsel AS DOUBLE) * ln($g)) / ($g + 1.0), 6)
+         |         AS quantile
+         |FROM sel ORDER BY o_orderstatus, prob""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     qSampleSplit, qBalanceLangs, qPackSequences, qTop3Agg, qLangSimilarity,
     qMixWeights, qWeightedSample, qTokenIds, qWeightedSampleBySource,
-    qSampleQuantiles, qDomainCap, qSnapshotDiff)
+    qSampleQuantiles, qDdQuantiles, qDomainCap, qSnapshotDiff)
 }

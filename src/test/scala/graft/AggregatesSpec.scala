@@ -23,6 +23,60 @@ class AggregatesSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("DdQuantileAgg: every estimate is within alpha relative error of " +
+    "the exact quantile (the deterministic worst-case guarantee)") {
+    val alpha = 0.01
+    val probs = Seq(0.01, 0.25, 0.5, 0.75, 0.95, 0.99)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val ests = orders.groupBy("o_orderstatus")
+      .agg(graft.expr.DdQuantileAgg(
+        col("o_totalprice").cast("double"), alpha, probs).as("e"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // exact quantiles at the same rank convention: floor(p*(n-1))+1
+    val exact = orders.select("o_orderstatus", "o_totalprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted }
+    for ((g, vs) <- exact; (p, i) <- probs.zipWithIndex) {
+      val truth = vs(math.floor(p * (vs.length - 1)).toInt)
+      val est = ests(g)(i)
+      assert(math.abs(est - truth) <= alpha * truth + 1e-9,
+        s"group $g p=$p: est $est vs exact $truth exceeds alpha=$alpha")
+    }
+  }
+
+  test("DdQuantileAgg is bit-deterministic across partitionings and " +
+    "equals its own merge of partial sketches") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) = df.groupBy("o_orderstatus")
+      .agg(graft.expr.DdQuantileAgg(
+        col("o_totalprice").cast("double"), 0.01, Seq(0.5, 0.9)).as("e"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    assert(run(orders.repartition(1)) == run(orders.repartition(13)),
+      "bucket counts are a set function — any partitioning, same bits")
+  }
+
+  test("DdQuantileAgg guards: non-positive values and pathological " +
+    "bucket ranges throw loudly; empty input yields null") {
+    import spark.implicits._
+    val bad = Seq(("a", -1.0)).toDF("g", "v")
+    val e = intercept[Exception] {
+      bad.groupBy("g").agg(graft.expr.DdQuantileAgg(
+        col("v"), 0.01, Seq(0.5)).as("e")).collect()
+    }
+    assert(e.getMessage != null)
+    val wide = Seq(("a", 1e-300), ("a", 1e300)).toDF("g", "v")
+    val e2 = intercept[Exception] {
+      wide.groupBy("g").agg(graft.expr.DdQuantileAgg(
+        col("v"), 0.01, Seq(0.5), maxBuckets = 1).as("e")).collect()
+    }
+    assert(e2.getMessage != null)
+    // empty input: global aggregate evaluates the empty sketch to null
+    val r = Seq.empty[(String, Double)].toDF("g", "v")
+      .agg(graft.expr.DdQuantileAgg(col("v"), 0.01, Seq(0.5)).as("e"))
+      .collect().head
+    assert(r.isNullAt(0), r.toString)
+  }
+
   test("TopKAgg: heap handles k larger than group, ties, and merge") {
     import spark.implicits._
     val df = Seq(

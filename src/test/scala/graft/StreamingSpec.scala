@@ -189,6 +189,31 @@ class StreamingSpec extends SparkSpec {
       (t(10), List(2L, 1L)))) // 8.0 (u2), 2.0 (u1)
   }
 
+  test("DdQuantileAgg composes with streaming aggregation (stream == batch)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the mergeable-sketch payoff: bucket counts ride the streaming
+    // partial/merge machinery; the final estimates equal the batch run
+    val evs = (1 to 200).map(i => Ev(t(i % 8), (i % 3).toLong, i.toDouble))
+    def sk(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("user_id")
+      .agg(graft.expr.DdQuantileAgg(col("value"), 0.01, Seq(0.5, 0.9)).as("e"))
+    val stream = MemoryStream[Ev]
+    // two batches so merge() really runs across micro-batch state
+    stream.addData(evs.take(100): _*)
+    val q = sk(stream.toDF()).writeStream.format("memory")
+      .queryName("stream_ddq").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(evs.drop(100): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getSeq[Double](1).toList)
+    assert(spark.table("stream_ddq").collect().map(key).toSet ==
+      sk(evs.toDF()).collect().map(key).toSet)
+  }
+
   test("upsertSink: snapshot converges to batch latestByKey across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
