@@ -913,6 +913,63 @@ object TextQueries {
        |  FROM flagged GROUP BY doc_id
        |)""".stripMargin
 
+  /** Incremental boilerplate sweep
+    * ([[graft.text.Boilerplate.dropFrequentLinesAgainst]]): the corpus is
+    * the 80% of docs with `doc_id % 10 < 8` (planted furniture as in
+    * [[qBoilerplateLines]] — per-source headers appear in ~20 corpus
+    * docs per source at sf0.01, the footer corpus-wide, both clearing
+    * the df threshold within the split), the incoming batch is the
+    * other 20%; yesterday's [[graft.text.Boilerplate.frequentLineStats]]
+    * table drops the corpus-established furniture from batch docs
+    * without re-deriving corpus df. The oracle re-derives stats from the
+    * corpus split and the reassembly over the batch split from scratch. */
+  val qBoilerplateIncremental = QueryDef("q_boilerplate_incremental",
+    (spark, dir) => {
+      val lined = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), concat_ws("\n",
+          concat(lit("subscribe to "), col("source"), lit(" newsletter today")),
+          graft.text.Boilerplate.chunkIntoLines(col("text"), BoilerWords),
+          lit("all rights reserved - corpus footer")).as("text"))
+      val corpus = lined.filter(col("doc_id") % 10 < 8)
+      val batch = lined.filter(col("doc_id") % 10 >= 8)
+      val stats = graft.text.Boilerplate.frequentLineStats(
+        corpus, "doc_id", "text", BoilerMaxDf)
+      graft.text.Boilerplate.dropFrequentLinesAgainst(
+        stats, batch, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH lined AS (
+            |  SELECT doc_id,
+            |         'subscribe to ' || source || ' newsletter today' || chr(10) ||
+            |         array_to_string([array_to_string(ws[(i*$BoilerWords+1):(i*$BoilerWords+$BoilerWords)], ' ')
+            |           for i in generate_series(0,
+            |             CAST(floor((len(ws) - 1) / $BoilerWords.0) AS BIGINT))], chr(10)) ||
+            |         chr(10) || 'all rights reserved - corpus footer' AS text
+            |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+            |        FROM documents WHERE text IS NOT NULL)
+            |), lines AS (
+            |  SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos,
+            |         unnest(ls) AS line
+            |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined)
+            |), bad AS (
+            |  SELECT line FROM (
+            |    SELECT line, count(*) AS df
+            |    FROM (SELECT DISTINCT doc_id, line FROM lines
+            |          WHERE doc_id % 10 < 8) GROUP BY line)
+            |  WHERE df > $BoilerMaxDf
+            |), flagged AS (
+            |  SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_bad
+            |  FROM lines l LEFT JOIN bad b ON l.line = b.line
+            |  WHERE l.doc_id % 10 >= 8
+            |)
+            |SELECT doc_id,
+            |       COALESCE(string_agg(CASE WHEN NOT is_bad THEN line END,
+            |                           chr(10) ORDER BY pos), '') AS clean_text,
+            |       CAST(count(*) FILTER (NOT is_bad) AS BIGINT) AS n_kept,
+            |       CAST(count(*) FILTER (is_bad) AS BIGINT) AS n_dropped
+            |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Merge budget for [[qBpeEncode]]. */
   val BpeMerges = 60
 
@@ -1164,6 +1221,7 @@ object TextQueries {
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,
-    qDecontaminateContainment, qBoilerplateLines, qUnigramCross, qBadWords,
+    qDecontaminateContainment, qBoilerplateLines, qBoilerplateIncremental,
+    qUnigramCross, qBadWords,
     qBpeEncode, qWebCuration)
 }

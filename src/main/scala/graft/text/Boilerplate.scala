@@ -75,6 +75,66 @@ object Boilerplate {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** The maintainable corpus artifact for INCREMENTAL sweeps: the exact
+    * (line, line_df) table of boilerplate candidates — every line seen
+    * in more than `maxLineDf` distinct documents. Built with the same
+    * two-pass shape as [[dropFrequentLines]] (fingerprint df corpus-wide,
+    * exact raw-line recount at candidate cardinality, so FNV collisions
+    * can never condemn an innocent line) and bounded by construction at
+    * ≤ |corpus lines| / maxLineDf rows — small enough to persist daily
+    * and broadcast at apply time. */
+  def frequentLineStats(docs: DataFrame, idCol: String, textCol: String,
+      maxLineDf: Int): DataFrame = {
+    require(maxLineDf >= 1, s"frequentLineStats: maxLineDf must be >= 1, got $maxLineDf")
+    val lines = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("line"))
+      .withColumn("fp", graft.expr.Fingerprint64(col("line")))
+    val fpDf = lines.select(col("fp"), col(idCol)).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("fp_df"))
+      .filter(col("fp_df") > maxLineDf)
+      .select("fp")
+    lines.join(fpDf, Seq("fp"), "left_semi")
+      .select(col("line"), col(idCol)).distinct()
+      .groupBy("line").agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") > maxLineDf)
+  }
+
+  /** Incremental (daily-ingest) boilerplate sweep — the
+    * [[graft.operators.Dedup.dedupAgainst]] shape for line furniture:
+    * drop from `batch` every line the CORPUS already established as
+    * boilerplate (`corpusStats` from [[frequentLineStats]], typically
+    * yesterday's persisted table), without re-deriving corpus df from
+    * scratch. The batch-side plan is one join against the candidate-
+    * bounded stats table (broadcast at real scale) + the same per-doc
+    * ordered reassembly as [[dropFrequentLines]]; batch-INTERNAL new
+    * furniture is out of scope by design (it cannot clear a corpus-df
+    * threshold until the periodic full sweep folds the batch in — the
+    * standard incremental-curation contract). Output shape and the
+    * every-doc/empty-doc contract match [[dropFrequentLines]]. */
+  def dropFrequentLinesAgainst(corpusStats: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val bad = corpusStats.select(col("line"), lit(true).as("is_bad"))
+    val lines = batch
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val tagged = lines.join(bad, Seq("line"), "left")
+    val rebuilt = tagged.groupBy(col(idCol)).agg(
+      array_join(transform(
+        sort_array(collect_list(
+          when(col("is_bad").isNull, struct(col("pos"), col("line"))))),
+        s => s.getField("line")), "\n").as("clean_text"),
+      sum(when(col("is_bad").isNull, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("is_bad").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+    batch.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** Re-chunk a one-line text column into `wordsPerLine`-word lines —
     * the deterministic "page structure" synthesizer the catalog query
     * uses (the test corpus is single-line word soup; a real crawl

@@ -33,6 +33,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size == 7)
   }
 
+  test("incremental boilerplate: corpus stats drop corpus furniture from " +
+    "a batch; batch-internal furniture waits for the full sweep") {
+    import spark.implicits._
+    // corpus: 5 docs establish HEADER/FOOTER as boilerplate (df=5 > 3)
+    val corpus = (0 until 5).map { i =>
+      (10L + i, s"HEADER\ncontent a$i\nFOOTER")
+    }.toDF("doc_id", "text")
+    // batch: fresh docs carrying the corpus furniture + a NEW repeated
+    // line ("BATCHAD") that no corpus stats row knows about
+    val batch = (0 until 4).map { i =>
+      (90L + i, s"HEADER\nBATCHAD\nfresh $i\nFOOTER")
+    }.toDF("doc_id", "text")
+    val stats = graft.text.Boilerplate.frequentLineStats(
+      corpus, "doc_id", "text", maxLineDf = 3)
+    assert(rows(stats).map(_.getString(0)).toSet == Set("HEADER", "FOOTER"),
+      "stats must hold exactly the corpus boilerplate lines")
+    val out = rows(graft.text.Boilerplate.dropFrequentLinesAgainst(
+      stats, batch, "doc_id", "text").orderBy("doc_id"))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.size == 4)
+    for (i <- 0 until 4)
+      assert(out(90L + i) == ((s"BATCHAD\nfresh $i", 2L, 2L)),
+        s"doc ${90 + i}: ${out(90L + i)} — corpus furniture must drop, " +
+          "batch-internal furniture must survive until the full sweep")
+    // consistency: against == full sweep when stats come from the same
+    // corpus and the batch introduces nothing new
+    val cleanBatch = Seq((99L, "HEADER\nonly fresh\nFOOTER"))
+      .toDF("doc_id", "text")
+    val viaAgainst = rows(graft.text.Boilerplate.dropFrequentLinesAgainst(
+      stats, cleanBatch, "doc_id", "text")).map(_.toSeq).toSet
+    val viaFull = rows(graft.text.Boilerplate.dropFrequentLines(
+      corpus.unionByName(cleanBatch), "doc_id", "text", 3)
+      .filter(col("doc_id") === 99L)).map(_.toSeq).toSet
+    assert(viaAgainst == viaFull)
+  }
+
   test("chunkIntoLines: 12-word chunks, short tails, sub-chunk docs") {
     import spark.implicits._
     val d = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 12+12+1
