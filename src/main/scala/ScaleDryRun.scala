@@ -91,6 +91,25 @@ object ScaleDryRun {
       s"centroids=${cents.count()} assigned=${assigned.count()}"
     }
 
+    // ---- SemDeDup (round-6 addition): within-cell pair generation is
+    // ~n²/k by design, so the production contract is CELL-SIZE-CONSTANT
+    // k (k grows with the corpus). Run both configurations: fixed k
+    // (exposes the quadratic if k is mis-provisioned) and k scaled to
+    // ~250 vectors/cell (the recipe that must stay linear).
+    locally {
+      val n = emb.count()
+      val kFixed = graft.VectorQueries.SemK
+      val kScaled = math.max(kFixed, math.ceil(n / 250.0).toInt)
+      for (k <- Seq(kFixed, kScaled).distinct) {
+        measured(spark, s"semantic_dedup dir=$dir k=$k") {
+          val kept = graft.operators.Similarity.semanticDedup(
+            emb, "vec_id", "embedding", k, graft.VectorQueries.SemIters,
+            graft.VectorQueries.MinDupCosine).count()
+          s"n=$n kept=$kept"
+        }
+      }
+    }
+
     // ---- graph family (round-5 addition): the rides station graph,
     // replicated k× as DISJOINT subgraphs (station ids shifted per
     // replica) — nodes AND edges grow k×, so rounds/bytes/wedges ratios
