@@ -42,7 +42,11 @@ object PlanDump {
       "q_unigram_logprob_cross" -> "cross-corpus LM scoring (round 5): train-side freq agg + 1-row stats both broadcast; candidate side is tokenize -> broadcast join -> per-doc aggregate — no corpus-keyed shuffle except the final per-doc group",
       "q_web_curation" -> "C4-style curation composite (round 5): line split + fingerprint64 in scan codegen, fp-keyed df sweep, candidate-bounded exact recount, per-doc reassembly aggregate, then the badwords HOF and structure gate run as plain codegen filters over the rebuilt text",
       "q_sample_quantiles" -> "sample-quantile sketch (round 5): A-ES hash kernels in scan codegen, topk_agg bounded per-group heaps (<=k rows per group x task through the exchange, no window), value join-back at sample cardinality, closed-form interpolation on the sorted sample array",
-      "q_dsv2_sum_pushdown" -> "DSv2 integral-SUM pushdown (round 5): GraftParquetScan carries PushedAggregation with SumCol — per-file partial sums merge in Spark's final agg; only aggregate rows cross the connector boundary")
+      "q_dsv2_sum_pushdown" -> "DSv2 integral-SUM pushdown (round 5): GraftParquetScan carries PushedAggregation with SumCol — per-file partial sums merge in Spark's final agg; only aggregate rows cross the connector boundary",
+      "q_dsv2_group_pushdown" -> "DSv2 GROUP BY pushdown (round 6): GraftParquetScan carries PushedAggregation AND PushedGroupBy — each file emits one partial row per group (group keys lead the scan schema), Spark's final agg re-groups and merges; only group×file rows cross the connector boundary",
+      "q_semantic_dedup" -> "SemDeDup (round 6): k-means assignment is a map-side codegen kernel over the broadcast centroid matrix (fit ran ahead on the persisted projection); the within-cell pair join shuffles vectors ONCE keyed by cid; evidence pairs carry 8-byte ids into the star-contraction closure; keepers anti-join at id cardinality",
+      "q_dd_quantiles" -> "DDSketch quantiles (round 6): one partial-aggregated exchange of dd_quantile_agg sketch buffers (O(buckets) state per group x task, not O(rows)); no window, no sort — the quantile walk happens in eval over the merged bucket counts",
+      "q_boilerplate_incremental" -> "incremental boilerplate (round 6): corpus stats = fp-keyed df sweep + candidate-bounded exact recount (same shape as the full sweep); the batch side is ONE join against the candidate-bounded stats table + the per-doc reassembly aggregate — no corpus-df re-derivation in the batch plan")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"
