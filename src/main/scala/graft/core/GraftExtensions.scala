@@ -43,6 +43,20 @@ object GraftExtensions {
     e.eval().asInstanceOf[Number].longValue()
   }
 
+  /** Evaluate a foldable double argument (accuracies). */
+  def doubleLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Double = {
+    require(e.foldable, s"argument must be a literal, got $e")
+    e.eval().asInstanceOf[Number].doubleValue()
+  }
+
+  /** Evaluate a foldable array-of-double argument (probe points). */
+  def doubleArrayLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Double] = {
+    require(e.foldable, s"argument must be a literal array, got $e")
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray().toSeq
+  }
+
   /** THE function list — single source of truth for BOTH registration
     * paths (extensions injection and imperative adoption). A function
     * added here is automatically available on GraftSession-built AND
@@ -92,7 +106,14 @@ object GraftExtensions {
       arity("bloom_might_contain", 2, args); BloomMightContain(args(0), args(1)) },
     "argmax_agg" -> { args =>
       arity("argmax_agg", 2, args)
-      ArgMaxAgg(args(0), args(1)).toAggregateExpression() })
+      ArgMaxAgg(args(0), args(1)).toAggregateExpression() },
+    "topk_agg" -> { args =>
+      arity("topk_agg", 3, args)
+      TopKAgg(args(0), args(1), intLit(args(2))).toAggregateExpression() },
+    "dd_quantile_agg" -> { args =>
+      arity("dd_quantile_agg", 3, args)
+      DdQuantileAgg(args(0), doubleLit(args(1)), doubleArrayLit(args(2)))
+        .toAggregateExpression() })
 
   /** Imperative registration for an already-created session. Idempotent:
     * function registry replaces; the optimizer rule dedupes by identity. */

@@ -63,4 +63,21 @@ class SqlSurfaceSpec extends SparkSpec {
         |""".stripMargin).collect().head.getAs[Long]("n")
     assert(hits >= 50 && hits < 60, s"bloom SQL probe hits=$hits")
   }
+
+  test("round-6 functions: topk_agg and dd_quantile_agg from SQL") {
+    graft.core.GraftExtensions.registerFunctions(spark)
+    spark.range(1, 101).createOrReplaceTempView("r6")
+    val r = spark.sql(
+      """SELECT topk_agg(CAST(id AS DOUBLE), id, 3) AS top,
+        |       dd_quantile_agg(CAST(id AS DOUBLE), 0.01d,
+        |                       array(0.5d, 1.0d)) AS q
+        |FROM r6""".stripMargin).collect().head
+    val top = r.getAs[collection.Seq[org.apache.spark.sql.Row]]("top")
+      .map(_.getAs[Long]("payload")).toSeq
+    assert(top == Seq(100L, 99L, 98L), top.toString)
+    val q = r.getAs[collection.Seq[Double]]("q").toSeq
+    // worst-case bound: within 1% of the true p50 (50) and max (100)
+    assert(math.abs(q(0) - 50.0) <= 0.5 + 1e-9 &&
+      math.abs(q(1) - 100.0) <= 1.0 + 1e-9, q.toString)
+  }
 }
