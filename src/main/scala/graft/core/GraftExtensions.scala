@@ -43,18 +43,34 @@ object GraftExtensions {
     e.eval().asInstanceOf[Number].longValue()
   }
 
+  /** One literal numeric → double. Spark parses a bare `0.01` as
+    * DECIMAL (and Decimal is NOT a java.lang.Number), so both families
+    * must convert — otherwise the natural SQL spelling dies in a
+    * ClassCastException instead of working. */
+  private def toDouble(v: Any, ctx: String): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"$ctx: expected a numeric literal, got $other")
+  }
+
   /** Evaluate a foldable double argument (accuracies). */
   def doubleLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Double = {
     require(e.foldable, s"argument must be a literal, got $e")
-    e.eval().asInstanceOf[Number].doubleValue()
+    toDouble(e.eval(), "doubleLit")
   }
 
-  /** Evaluate a foldable array-of-double argument (probe points). */
+  /** Evaluate a foldable array-of-numeric argument (probe points). */
   def doubleArrayLit(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Double] = {
     require(e.foldable, s"argument must be a literal array, got $e")
+    val et = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(t, _) => t
+      case other => throw new IllegalArgumentException(
+        s"doubleArrayLit: expected an array literal, got ${other.sql}")
+    }
     e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      .toDoubleArray().toSeq
+      .toObjectArray(et).toSeq.map(toDouble(_, "doubleArrayLit"))
   }
 
   /** THE function list — single source of truth for BOTH registration

@@ -83,9 +83,11 @@ case class DdQuantileAgg(
     val raw = child.eval(input)
     if (raw != null) {
       val v = raw.asInstanceOf[Double]
-      require(v > 0,
-        s"dd_quantile_agg: values must be > 0, got $v (log buckets — " +
-          "shift or split the sign ranges)")
+      // finiteness too: +Infinity passes v > 0 but has no log bucket,
+      // and would otherwise die deep in BigDecimal with no context
+      require(v > 0 && java.lang.Double.isFinite(v),
+        s"dd_quantile_agg: values must be finite and > 0, got $v (log " +
+          "buckets — shift or split the sign ranges)")
       buf.add(DdQuantileAgg.bucketOf(v, lnGamma), 1L)
       require(buf.size <= maxBuckets,
         s"dd_quantile_agg: > $maxBuckets buckets — the value range is " +

@@ -176,8 +176,15 @@ object Similarity {
     * @return survivors as (idCol, cid) — cluster minima stay, other
     *         members of every within-cluster dup component drop */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int, maxIter: Int, minCosine: Double): DataFrame = {
-    val (_, assigned) = KMeans.fit(vectors, idCol, vecCol, k, maxIter)
+      k: Int, maxIter: Int, minCosine: Double,
+      clusterMaxIter: Int = 20, reliableCheckpoint: Boolean = false): DataFrame = {
+    // materialize the assignment ONCE: it is consumed three times below
+    // (both self-join sides + the final keeper anti-join), and fit's
+    // lazy return would re-run the corpus scan + k·dim assignment
+    // kernel per consumer — the same checkpoint-once discipline
+    // duplicateClusters applies to its edge set
+    val assigned = KMeans.fit(vectors, idCol, vecCol, k, maxIter)
+      ._2.localCheckpoint()
     val a = assigned.select(col("cid"), col("id").as("vec_a"), col("v").as("va"))
     val b = assigned.select(col("cid"), col("id").as("vec_b"), col("v").as("vb"))
     val pairs = a.join(b, "cid")
@@ -186,7 +193,7 @@ object Similarity {
         round(CosineSim(col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .select("doc_a", "doc_b")
-    val drops = Dedup.duplicateClusters(pairs)
+    val drops = Dedup.duplicateClusters(pairs, clusterMaxIter, reliableCheckpoint)
       .filter(col("id") =!= col("cluster"))
       .select(col("id"))
     assigned.select(col("id"), col("cid"))

@@ -46,20 +46,20 @@ object Bpe {
     * Stops early when no adjacent pair occurs twice.
     *
     * The driver-side vocabulary is BOUNDED, not asserted-bounded: words
-    * with count < `minCount` are dropped BEFORE the collect. At the
-    * default `minCount = 2` this is provably lossless for merge
-    * training — a pair occurring only inside count-1 words has total
-    * count ≤ sum of those words' counts; a singleton word contributes
-    * ≤ 1 per adjacent pair position it uniquely owns, and the merge
-    * loop already discards pairs with count < 2, so a merge can only be
-    * learned from pair mass that count-≥2 words supply. (A pair shared
-    * ACROSS several distinct count-1 words can in principle reach
-    * count 2 — that is the one regime `minCount = 2` prunes; raise
-    * recall by lowering minCount only with a matching `maxVocab`.)
-    * `maxVocab` is the loud backstop: if the filtered table still
-    * exceeds it, training throws instead of melting the driver — the
-    * same refuse-don't-degrade contract as
-    * [[graft.operators.Similarity.thresholdPairs]]'s scale guard. */
+    * with count < `minCount` are dropped BEFORE the collect. The
+    * default `minCount = 2` prunes exactly the pair mass that count-1
+    * words supply — which CAN be trainable mass in two regimes: a pair
+    * repeated within one singleton word ("banana" alone makes (a,n)
+    * count 2) and a pair shared across several distinct singleton
+    * words. Dropping that tail is the standard BPE-at-scale trade
+    * (singleton tokens of a web crawl are overwhelmingly typo/numeric/
+    * URL noise whose merges are worthless), but it is a TRADE, not a
+    * free lunch: merges may differ from minCount = 1 training. Lower
+    * minCount only with a matching `maxVocab`. `maxVocab` is the loud
+    * backstop: if the filtered table still exceeds it, training throws
+    * instead of melting the driver — the same refuse-don't-degrade
+    * contract as [[graft.operators.Similarity.thresholdPairs]]'s scale
+    * guard. */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
       minCount: Long = 2L, maxVocab: Long = 10000000L): Seq[Merge] = {
     require(nMerges >= 1, s"Bpe.train: nMerges must be >= 1, got $nMerges")

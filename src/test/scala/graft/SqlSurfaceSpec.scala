@@ -67,10 +67,13 @@ class SqlSurfaceSpec extends SparkSpec {
   test("round-6 functions: topk_agg and dd_quantile_agg from SQL") {
     graft.core.GraftExtensions.registerFunctions(spark)
     spark.range(1, 101).createOrReplaceTempView("r6")
+    // NATURAL literal spelling: Spark parses bare 0.01 / array(0.5, 1.0)
+    // as DECIMAL, which the registry converts (Decimal is not a
+    // java.lang.Number — a naive cast dies in a ClassCastException)
     val r = spark.sql(
       """SELECT topk_agg(CAST(id AS DOUBLE), id, 3) AS top,
-        |       dd_quantile_agg(CAST(id AS DOUBLE), 0.01d,
-        |                       array(0.5d, 1.0d)) AS q
+        |       dd_quantile_agg(CAST(id AS DOUBLE), 0.01,
+        |                       array(0.5, 1.0)) AS q
         |FROM r6""".stripMargin).collect().head
     val top = r.getAs[collection.Seq[org.apache.spark.sql.Row]]("top")
       .map(_.getAs[Long]("payload")).toSeq
