@@ -970,6 +970,59 @@ object TextQueries {
             |       CAST(count(*) FILTER (is_bad) AS BIGINT) AS n_dropped
             |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Duplicated-span run length for [[qDedupSpans]] (tokens). Long
+    * enough that word-soup chance collisions are impossible, short
+    * enough that the planted exact/near duplicates carry many flagged
+    * runs at every SF. */
+  val SpanTokens = 15
+
+  /** Exact duplicated-span removal ([[Dedup.dropDuplicatedSpans]], the
+    * Lee-et-al ExactSubstr member of the dedup family): every token
+    * covered by a [[SpanTokens]]-gram occurring in more than one
+    * distinct document is cut from every document; unique text
+    * survives in order. Planted exact duplicates come back empty,
+    * planted near-duplicates lose their shared runs, untouched docs
+    * round-trip. The oracle re-derives the sweep from RAW gram strings
+    * (the Spark side shuffles 8-byte fingerprints), so agreement also
+    * proves fingerprint faithfulness, like `q_dedup_exact`. */
+  val qDedupSpans = QueryDef("q_dedup_spans",
+    (spark, dir) => Dedup.dropDuplicatedSpans(
+      Tables.documents(spark, dir), "doc_id", "text", SpanTokens)
+      .orderBy("doc_id"),
+    Some(s"""WITH ws AS (
+            |  SELECT doc_id, string_split(text, ' ') AS ws
+            |  FROM documents WHERE text IS NOT NULL
+            |), toks AS (
+            |  SELECT doc_id, unnest(generate_series(0, len(ws) - 1)) AS pos,
+            |         unnest(ws) AS tok
+            |  FROM ws
+            |), grams AS (
+            |  SELECT doc_id,
+            |         unnest(generate_series(1, GREATEST(len(ws) - ${SpanTokens - 1}, 0))) - 1 AS gpos,
+            |         unnest([array_to_string(ws[i:i+${SpanTokens - 1}], ' ')
+            |                 for i in generate_series(1, GREATEST(len(ws) - ${SpanTokens - 1}, 0))]) AS gram
+            |  FROM ws
+            |), dup AS (
+            |  SELECT gram FROM (
+            |    SELECT gram, count(*) AS df
+            |    FROM (SELECT DISTINCT doc_id, gram FROM grams) GROUP BY gram)
+            |  WHERE df > 1
+            |), covered AS (
+            |  SELECT DISTINCT doc_id,
+            |         gpos + unnest(generate_series(0, ${SpanTokens - 1})) AS pos
+            |  FROM grams WHERE gram IN (SELECT gram FROM dup)
+            |), flagged AS (
+            |  SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS cut
+            |  FROM toks t LEFT JOIN covered c
+            |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+            |)
+            |SELECT doc_id,
+            |       COALESCE(string_agg(CASE WHEN NOT cut THEN tok END,
+            |                           ' ' ORDER BY pos), '') AS clean_text,
+            |       CAST(count(*) FILTER (NOT cut) AS BIGINT) AS n_kept,
+            |       CAST(count(*) FILTER (cut) AS BIGINT) AS n_removed
+            |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Merge budget for [[qBpeEncode]]. */
   val BpeMerges = 60
 
@@ -1222,6 +1275,6 @@ object TextQueries {
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,
     qDecontaminateContainment, qBoilerplateLines, qBoilerplateIncremental,
-    qUnigramCross, qBadWords,
+    qDedupSpans, qUnigramCross, qBadWords,
     qBpeEncode, qWebCuration)
 }

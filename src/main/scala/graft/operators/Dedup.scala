@@ -543,6 +543,93 @@ object Dedup {
     docs.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Exact duplicated-SPAN removal — the substring-level member of the
+    * dedup family (Lee et al. 2021, "Deduplicating training data makes
+    * language models better": their ExactSubstr dedup, re-expressed
+    * over token L-grams so it stays relational). Between
+    * [[exactDedup]] (whole documents) and [[containmentPairs]]
+    * (detects partial copies but resolves whole documents), this
+    * SURGICALLY CUTS the duplicated material itself: every token
+    * covered by an `spanTokens`-gram that occurs in more than
+    * `maxDf` distinct documents is removed from every document, the
+    * unique remainder survives. The C4/RefinedWeb-style remedy when
+    * partial copies shouldn't cost a whole page (syndicated quotes,
+    * license blocks, templated paragraphs).
+    *
+    * Scale design: the corpus-wide gram-frequency pass shuffles ONLY
+    * (8-byte gram fingerprint, doc id) pairs; flagged fingerprints
+    * semi-join back to gram positions, covered token offsets fan out
+    * n rows per FLAGGED gram (duplicated material only — bounded by
+    * the duplication volume, not the corpus), and reassembly is one
+    * per-doc aggregate. Within-doc repetition is NOT flagged (df
+    * counts distinct docs — a doc quoting itself is not corpus
+    * duplication), matching [[graft.text.Boilerplate]]'s line rule.
+    * Deterministic pure function of the corpus; the catalog oracle
+    * re-derives it from raw gram strings, so it doubles as a
+    * fingerprint-faithfulness check like [[exactDedup]]'s.
+    *
+    * Every input doc gets an output row (the engine-wide empty-doc
+    * contract): a fully-duplicated doc returns clean_text = '' rather
+    * than vanishing.
+    *
+    * @param spanTokens L, the minimum duplicated run length in tokens
+    *        (Lee et al. use 50 BPE tokens; pick by corpus grain)
+    * @param maxDf a span kept may appear in at most this many distinct
+    *        docs (default 1 = any cross-doc duplication is removed)
+    * @return (idCol, clean_text, n_kept, n_removed) per input doc
+    */
+  def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, maxDf: Int = 1): DataFrame = {
+    require(spanTokens >= 2,
+      s"dropDuplicatedSpans: spanTokens must be >= 2, got $spanTokens")
+    require(maxDf >= 1, s"dropDuplicatedSpans: maxDf must be >= 1, got $maxDf")
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+    // POSITIONAL token L-grams (NOT TextAnalysis.shingles — that kernel
+    // dedups and adds a short-doc whole-text fallback, both of which
+    // would break the gpos → covered-token arithmetic); fingerprint64
+    // of the space-joined gram is the 8-byte shuffle key (the oracle
+    // re-derives from raw grams)
+    val ws = TextAnalysis.tokens(col(textCol))
+    val gramArr = when(size(ws) >= spanTokens,
+      transform(sequence(lit(0), size(ws) - spanTokens),
+        i => concat_ws(" ",
+          (0 until spanTokens).map(j => try_element_at(ws, i + lit(j + 1))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val grams = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(gramArr).as(Seq("gpos", "gram")))
+      .select(col(idCol), col("gpos"),
+        graft.expr.Fingerprint64(col("gram")).as("gfp"))
+    val dupFps = grams.select(col("gfp"), col(idCol)).distinct()
+      .groupBy("gfp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("gfp")
+    // covered token offsets: n rows per flagged gram occurrence only
+    val covered = grams.join(dupFps, Seq("gfp"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("gpos"), col("gpos") + (spanTokens - 1)))
+          .as("pos"))
+      .distinct()
+    val tagged = toks.join(
+      covered.withColumn("__cut", lit(true)), Seq(idCol, "pos"), "left")
+    val rebuilt = tagged.groupBy(col(idCol)).agg(
+      array_join(transform(
+        sort_array(collect_list(
+          when(col("__cut").isNull, struct(col("pos"), col("tok"))))),
+        s => s.getField("tok")), " ").as("clean_text"),
+      sum(when(col("__cut").isNull, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Cross-corpus CONTAINMENT contamination — the passage-level
     * decontamination sweep: train documents that contain a significant
     * fraction of a probe/eval document's winnow fingerprints. This

@@ -437,6 +437,31 @@ class DedupSpec extends SparkSpec {
       maxExactRows = Long.MaxValue).count() == 10)
   }
 
+  test("dropDuplicatedSpans: cross-doc runs cut surgically, unique text " +
+    "and within-doc repeats survive, full duplicates empty out") {
+    import spark.implicits._
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ") // a 6-token run
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),    // shares the run with 2
+      (2L, s"$shared epsilon zeta eta theta"),    // shares the run with 1
+      (3L, "iota kappa lambda mu nu xi omicron"), // unique — untouched
+      (4L, "rep one two rep one two rep seven eight nine ten"), // self-repeat only
+      (5L, "twin a b c d e f"), (6L, "twin a b c d e f")        // exact copies
+    ).toDF("doc_id", "text")
+    val out = rows(Dedup.dropDuplicatedSpans(docs, "doc_id", "text",
+      spanTokens = 6).orderBy("doc_id"))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("alpha beta gamma delta", 4L, 6L)), out(1L).toString)
+    assert(out(2L) == (("epsilon zeta eta theta", 4L, 6L)), out(2L).toString)
+    assert(out(3L)._3 == 0L && out(3L)._1 == "iota kappa lambda mu nu xi omicron")
+    assert(out(4L)._3 == 0L,
+      s"within-doc repetition is not corpus duplication: ${out(4L)}")
+    assert(out(5L) == (("", 0L, 7L)) && out(6L) == (("", 0L, 7L)),
+      "exact copies must empty out on both sides")
+    assert(out.size == 6)
+  }
+
   test("semanticDedup: drops within-cluster near-dups, is a superset of " +
     "exact cosineDedup survivors, covers every vector exactly once") {
     val v = plantedVectors // 40 bases + 10 jittered copies (cos ≈ .9998)
