@@ -50,6 +50,63 @@ object ShingleKernels {
   }
 }
 
+object PositionalShingleKernels {
+  /** ALL word n-grams in token order — NO dedup, NO short-doc fallback
+    * (documents with fewer than n tokens yield an empty array): the
+    * positional variant [[graft.operators.Dedup.dropDuplicatedSpans]]
+    * needs, where the array index IS the starting token offset of the
+    * gram. Same tokenization contract as [[ShingleKernels.shingles]]
+    * (split on single spaces, empty tokens preserved, grams joined by
+    * one space); a codegen kernel for the same reason — the composed
+    * transform/sequence/element_at form runs interpreted and measured
+    * ~10× slower on the span-dedup hot loop. */
+  def positionalShingles(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[Any](0))
+    val arr = new Array[Any](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      arr(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+}
+
+/** `positional_shingles(string, n) -> array<string>` — every word n-gram
+  * in order, index = starting token offset (see
+  * [[PositionalShingleKernels.positionalShingles]]). */
+case class PositionalShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"positional_shingles requires STRING, got ${dt.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    PositionalShingleKernels.positionalShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.PositionalShingleKernels.positionalShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "positional_shingles"
+}
+
+object PositionalShinglesExpr {
+  def apply(c: Column, n: Int): Column = toCol(PositionalShinglesExpr(toExpr(c), n))
+}
+
 /** `shingles(string, n) -> array<string>` — native one-pass distinct
   * word-n-gram shingling (see [[ShingleKernels.shingles]]). */
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {

@@ -587,20 +587,18 @@ object Dedup {
       .filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
         .as(Seq("pos", "tok")))
-    // POSITIONAL token L-grams (NOT TextAnalysis.shingles — that kernel
-    // dedups and adds a short-doc whole-text fallback, both of which
-    // would break the gpos → covered-token arithmetic); fingerprint64
-    // of the space-joined gram is the 8-byte shuffle key (the oracle
-    // re-derives from raw grams)
-    val ws = TextAnalysis.tokens(col(textCol))
-    val gramArr = when(size(ws) >= spanTokens,
-      transform(sequence(lit(0), size(ws) - spanTokens),
-        i => concat_ws(" ",
-          (0 until spanTokens).map(j => try_element_at(ws, i + lit(j + 1))): _*)))
-      .otherwise(array().cast("array<string>"))
+    // POSITIONAL token L-grams via the codegen kernel (NOT
+    // TextAnalysis.shingles — that kernel dedups and adds a short-doc
+    // whole-text fallback, both of which would break the gpos →
+    // covered-token arithmetic; and not the composed transform/
+    // element_at form, which runs interpreted and measured ~10× slower
+    // here). fingerprint64 of the space-joined gram is the 8-byte
+    // shuffle key (the oracle re-derives from raw grams).
     val grams = docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), posexplode(gramArr).as(Seq("gpos", "gram")))
+      .select(col(idCol), posexplode(
+        graft.expr.PositionalShinglesExpr(col(textCol), spanTokens))
+        .as(Seq("gpos", "gram")))
       .select(col(idCol), col("gpos"),
         graft.expr.Fingerprint64(col("gram")).as("gfp"))
     val dupFps = grams.select(col("gfp"), col(idCol)).distinct()
