@@ -175,7 +175,15 @@ object VectorQueries {
   /** Embedding-cosine near-dup clusters: connected components over the
     * exact threshold pairs, one row per cluster with keeper + size —
     * the semantic-dedup sibling of `q_dedup_clusters` (which clusters
-    * on n-gram evidence; this clusters on embedding-space evidence). */
+    * on n-gram evidence; this clusters on embedding-space evidence).
+    *
+    * ORACLE-TWIN ROLE ONLY: exact all-pairs is quadratic by design and
+    * guarded off real corpora (`thresholdPairs.maxExactRows`); it
+    * exists in the catalog to pin the SEMANTICS that the two scale
+    * paths must reproduce — `q_dedup_embedding_lsh` (hyperplane
+    * buckets, linear, for the near-dup regime) and `q_semantic_dedup`
+    * (k-means cells, ~n²/k, for the moderate-cosine regime). Deploy
+    * those; verify against this. */
   val qDedupEmbedding = QueryDef("q_dedup_embedding",
     (spark, dir) => {
       val pairs = Similarity.thresholdPairs(
@@ -191,7 +199,9 @@ object VectorQueries {
             |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin))
 
   /** The keeper composition: every vector surviving embedding-cosine
-    * dedup (cluster minima stay, other members drop). */
+    * dedup (cluster minima stay, other members drop). Same oracle-twin
+    * role as [[qDedupEmbedding]] — the deployable forms are
+    * `cosineDedup(useLsh = true)` and `semanticDedup`. */
   val qDedupEmbeddingKeep = QueryDef("q_dedup_embedding_keep",
     (spark, dir) => Similarity.cosineDedup(
       Tables.embeddings(spark, dir), "vec_id", "embedding", MinDupCosine)
