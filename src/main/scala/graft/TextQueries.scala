@@ -1015,13 +1015,20 @@ object TextQueries {
             |  SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS cut
             |  FROM toks t LEFT JOIN covered c
             |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+            |), rebuilt AS (
+            |  SELECT doc_id,
+            |         COALESCE(string_agg(CASE WHEN NOT cut THEN tok END,
+            |                             ' ' ORDER BY pos), '') AS clean_text,
+            |         CAST(count(*) FILTER (NOT cut) AS BIGINT) AS n_kept,
+            |         CAST(count(*) FILTER (cut) AS BIGINT) AS n_removed
+            |  FROM flagged GROUP BY doc_id
             |)
-            |SELECT doc_id,
-            |       COALESCE(string_agg(CASE WHEN NOT cut THEN tok END,
-            |                           ' ' ORDER BY pos), '') AS clean_text,
-            |       CAST(count(*) FILTER (NOT cut) AS BIGINT) AS n_kept,
-            |       CAST(count(*) FILTER (cut) AS BIGINT) AS n_removed
-            |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+            |-- every-doc contract: NULL-text docs get ('', 0, 0), like the operator
+            |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+            |       COALESCE(r.n_kept, 0) AS n_kept,
+            |       COALESCE(r.n_removed, 0) AS n_removed
+            |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
 
   /** Merge budget for [[qBpeEncode]]. */
   val BpeMerges = 60

@@ -599,33 +599,34 @@ object Dedup {
       .select(col(idCol), posexplode(
         graft.expr.PositionalShinglesExpr(col(textCol), spanTokens))
         .as(Seq("gpos", "gram")))
-      .select(col(idCol), col("gpos"),
+      .select(col(idCol), col("gpos"), col("gram"),
         graft.expr.Fingerprint64(col("gram")).as("gfp"))
+    // pass 1: corpus-wide df on the 8-byte fingerprint only (column
+    // pruning keeps the gram strings out of this shuffle)
     val dupFps = grams.select(col("gfp"), col(idCol)).distinct()
       .groupBy("gfp").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("gfp")
+    // pass 2: exact recount by RAW gram at candidate cardinality — a
+    // 64-bit collision (expected past ~4B distinct grams at corpus
+    // scale) can inflate a fingerprint's df but can never condemn an
+    // innocent span (same collision immunity as Boilerplate's line
+    // sweep)
+    val dupGrams = grams.join(dupFps, Seq("gfp"), "left_semi")
+      .select(col("gram"), col(idCol)).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") > maxDf)
+      .select(col("gram"))
     // covered token offsets: n rows per flagged gram occurrence only
-    val covered = grams.join(dupFps, Seq("gfp"), "left_semi")
+    val covered = grams.join(dupGrams, Seq("gram"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("gpos"), col("gpos") + (spanTokens - 1)))
           .as("pos"))
       .distinct()
     val tagged = toks.join(
       covered.withColumn("__cut", lit(true)), Seq(idCol, "pos"), "left")
-    val rebuilt = tagged.groupBy(col(idCol)).agg(
-      array_join(transform(
-        sort_array(collect_list(
-          when(col("__cut").isNull, struct(col("pos"), col("tok"))))),
-        s => s.getField("tok")), " ").as("clean_text"),
-      sum(when(col("__cut").isNull, 1L).otherwise(0L)).as("n_kept"),
-      sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("n_removed"))
-    docs.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+    graft.text.Boilerplate.reassemble(
+      docs.select(col(idCol)), tagged, idCol, "tok", " ", "n_removed")
   }
 
   /** Cross-corpus CONTAINMENT contamination — the passage-level

@@ -182,9 +182,13 @@ object Similarity {
     // (both self-join sides + the final keeper anti-join), and fit's
     // lazy return would re-run the corpus scan + k·dim assignment
     // kernel per consumer — the same checkpoint-once discipline
-    // duplicateClusters applies to its edge set
-    val assigned = KMeans.fit(vectors, idCol, vecCol, k, maxIter)
-      ._2.localCheckpoint()
+    // duplicateClusters applies to its edge set (and the same
+    // durability rule: reliable checkpoints must cover THIS frame too,
+    // or an executor loss mid-closure still kills the job)
+    val lazyAssigned = KMeans.fit(vectors, idCol, vecCol, k, maxIter)._2
+    val assigned =
+      if (reliableCheckpoint) lazyAssigned.checkpoint()
+      else lazyAssigned.localCheckpoint()
     val a = assigned.select(col("cid"), col("id").as("vec_a"), col("v").as("va"))
     val b = assigned.select(col("cid"), col("id").as("vec_b"), col("v").as("vb"))
     val pairs = a.join(b, "cid")

@@ -59,20 +59,34 @@ object Boilerplate {
       .groupBy("line").agg(count(lit(1)).as("line_df"))
       .filter(col("line_df") > maxLineDf)
       .select(col("line"), lit(true).as("is_bad"))
-    val tagged = lines.join(badLines, Seq("line"), "left")
+    val tagged = lines.join(badLines.withColumnRenamed("is_bad", "__cut"),
+      Seq("line"), "left")
+    reassemble(docs.select(col(idCol)), tagged, idCol, "line", "\n", "n_dropped")
+  }
+
+  /** The shared per-doc reassembly + every-doc sentinel: from tagged
+    * units (idCol, pos, `tokCol`, `__cut` — null means KEEP), rebuild
+    * each document in position order from its kept units and give EVERY
+    * id in `universe` an output row (an all-cut or unit-less doc comes
+    * back as ('', 0, n) rather than vanishing — the engine-wide
+    * empty-doc contract). One enforcement point for the three
+    * furniture/span sweeps that share this tail. */
+  private[graft] def reassemble(universe: DataFrame, tagged: DataFrame,
+      idCol: String, tokCol: String, sep: String,
+      droppedName: String): DataFrame = {
     val rebuilt = tagged.groupBy(col(idCol)).agg(
       array_join(transform(
-        sort_array(collect_list( // collect_list drops the nulls = bad lines
-          when(col("is_bad").isNull, struct(col("pos"), col("line"))))),
-        s => s.getField("line")), "\n").as("clean_text"),
-      sum(when(col("is_bad").isNull, 1L).otherwise(0L)).as("n_kept"),
-      sum(when(col("is_bad").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
-    docs.select(col(idCol))
+        sort_array(collect_list( // collect_list drops the nulls = cut units
+          when(col("__cut").isNull, struct(col("pos"), col(tokCol))))),
+        s => s.getField(tokCol)), sep).as("clean_text"),
+      sum(when(col("__cut").isNull, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as(droppedName))
+    universe
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        coalesce(col(droppedName), lit(0L)).as(droppedName))
   }
 
   /** The maintainable corpus artifact for INCREMENTAL sweeps: the exact
@@ -114,25 +128,13 @@ object Boilerplate {
     * every-doc/empty-doc contract match [[dropFrequentLines]]. */
   def dropFrequentLinesAgainst(corpusStats: DataFrame, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val bad = corpusStats.select(col("line"), lit(true).as("is_bad"))
+    val bad = corpusStats.select(col("line"), lit(true).as("__cut"))
     val lines = batch
       .filter(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     val tagged = lines.join(bad, Seq("line"), "left")
-    val rebuilt = tagged.groupBy(col(idCol)).agg(
-      array_join(transform(
-        sort_array(collect_list(
-          when(col("is_bad").isNull, struct(col("pos"), col("line"))))),
-        s => s.getField("line")), "\n").as("clean_text"),
-      sum(when(col("is_bad").isNull, 1L).otherwise(0L)).as("n_kept"),
-      sum(when(col("is_bad").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
-    batch.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+    reassemble(batch.select(col(idCol)), tagged, idCol, "line", "\n", "n_dropped")
   }
 
   /** Re-chunk a one-line text column into `wordsPerLine`-word lines —
