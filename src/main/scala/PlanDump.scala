@@ -46,7 +46,8 @@ object PlanDump {
       "q_dsv2_group_pushdown" -> "DSv2 GROUP BY pushdown (round 6): GraftParquetScan carries PushedAggregation AND PushedGroupBy — each file emits one partial row per group (group keys lead the scan schema), Spark's final agg re-groups and merges; only group×file rows cross the connector boundary",
       "q_semantic_dedup" -> "SemDeDup (round 6): k-means assignment is a map-side codegen kernel over the broadcast centroid matrix (fit ran ahead on the persisted projection); the within-cell pair join shuffles vectors ONCE keyed by cid; evidence pairs carry 8-byte ids into the star-contraction closure; keepers anti-join at id cardinality",
       "q_dd_quantiles" -> "DDSketch quantiles (round 6): one partial-aggregated exchange of dd_quantile_agg sketch buffers (O(buckets) state per group x task, not O(rows)); no window, no sort — the quantile walk happens in eval over the merged bucket counts",
-      "q_boilerplate_incremental" -> "incremental boilerplate (round 6): corpus stats = fp-keyed df sweep + candidate-bounded exact recount (same shape as the full sweep); the batch side is ONE join against the candidate-bounded stats table + the per-doc reassembly aggregate — no corpus-df re-derivation in the batch plan")
+      "q_boilerplate_incremental" -> "incremental boilerplate (round 6): corpus stats = fp-keyed df sweep + candidate-bounded exact recount (same shape as the full sweep); the batch side is ONE join against the candidate-bounded stats table + the per-doc reassembly aggregate — no corpus-df re-derivation in the batch plan",
+      "q_dedup_spans" -> "duplicated-span removal (round 6): positional grams via codegen kernel (the composed HOF form measured 13-36x slower), pass-1 df shuffle carries (8-byte fp, id) only — column pruning drops the gram strings; raw grams re-enter at CANDIDATE cardinality for the collision-immune recount; covered-offset fanout is bounded by duplication volume")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"
