@@ -63,5 +63,59 @@ object MultimodalQueries {
             |      FROM documents)
             |GROUP BY modality ORDER BY modality""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(qModalityStats)
+  /** REAL pixel decode, end to end ([[graft.operators.Png]]): each image
+    * row becomes a COMPLETE valid PNG (zlib-deflated scanlines whose
+    * per-row filters cycle through all five PNG filter types, real
+    * CRC32 chunks) of the deterministic generative image, then the
+    * decoder inflates, reconstructs every filter, and reduces the
+    * DECODED pixels to channel sums. The oracle recomputes the same
+    * sums from the generative formula relationally — it never sees a
+    * PNG byte — so agreement proves the entire
+    * deflate → inflate → unfilter chain lossless on every image. Both
+    * synth and decode run partition-wise (the mapPartitions decoder
+    * contract of [[Multimodal.extractFeatures]]); only per-image stats
+    * cross stage boundaries. A spec additionally cross-decodes with JDK
+    * ImageIO as an independent reference decoder. */
+  val qPngDecode = QueryDef("q_png_pixel_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the image-modality ids
+        .select(col("doc_id").as("media_id"),
+          Multimodal.pngWidth(col("doc_id")).as("w"),
+          Multimodal.pngHeight(col("doc_id")).as("h"))
+        .as[(Long, Int, Int)]
+      val media = dims.mapPartitions(_.map { case (id, w, h) =>
+        (id, graft.operators.Png.encodeRgb(w, h, id))
+      }).toDF("media_id", "content")
+      media.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
+        val s = graft.operators.Png.pixelStats(bytes).getOrElse(
+          sys.error(s"undecodable synthesized PNG for media_id=$id"))
+        (id, s.width, s.height, s.nPx, s.sumR, s.sumG, s.sumB)
+      }).toDF("media_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b")
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 240) + 16 AS INT) AS width,
+           |         CAST(((doc_id * 7) % 240) + 16 AS INT) AS height
+           |  FROM documents WHERE doc_id % 3 = 0
+           |), px AS (
+           |  SELECT media_id, width, height,
+           |         unnest(generate_series(0, CAST(width AS BIGINT) * height - 1)) AS p
+           |  FROM dims
+           |), t AS (
+           |  SELECT media_id, width, height, p % width AS x, p // width AS y
+           |  FROM px
+           |)
+           |SELECT media_id, width, height,
+           |       CAST(count(*) AS BIGINT) AS n_px,
+           |       CAST(sum((x*7 + y*13 + media_id) % 256) AS BIGINT) AS sum_r,
+           |       CAST(sum((x*11 + y*3 + 2*media_id) % 256) AS BIGINT) AS sum_g,
+           |       CAST(sum((x*5 + y*17 + 3*media_id) % 256) AS BIGINT) AS sum_b
+           |FROM t GROUP BY media_id, width, height
+           |ORDER BY media_id""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(qModalityStats, qPngDecode)
 }

@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   * a `mapPartitions` batch transform (one decoder init per partition, not
   * per row), the Scala-side analog of a vectorized pandas-UDF stage.
   *
-  * Decode is REAL at the container level and stubbed at the pixel level:
-  * [[ImageHeaders]] parses actual PNG / BMP / GIF / JPEG headers from the
-  * payload bytes (format + dimensions — pure JVM, no codec deps, the part
-  * of decode a curation pipeline needs for size/aspect filtering), while
-  * the pixel-content "features" remain deterministic byte statistics
-  * ([[Codec]]) standing in for a full decoder — swap [[Codec.decode]]'s
-  * feature step for a JNI/codec call in production.
+  * Decode is REAL at the container level ([[ImageHeaders]] parses actual
+  * PNG / BMP / GIF / JPEG headers from the payload bytes — format +
+  * dimensions, pure JVM, no codec deps) and, for PNG, REAL at the PIXEL
+  * level too: [[Png]] is a complete RGB-8 codec (zlib inflate + all five
+  * scanline-filter reconstructions, pure java.util.zip) whose decode the
+  * `q_png_pixel_decode` catalog query proves lossless against the
+  * generative pixel formula, with JDK ImageIO as an independent
+  * reference decoder in the spec. Non-PNG pixel features remain
+  * deterministic byte statistics ([[Codec]]) standing in for external
+  * codecs (the container ships none) — swap [[Codec.decode]]'s feature
+  * step for a JNI/codec call in production.
   */
 object Multimodal {
 

@@ -1,0 +1,203 @@
+package graft.operators
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Minimal REAL PNG codec — pure JDK (java.util.zip), no image
+  * libraries — for the multimodal pipeline's pixel-level decode stage.
+  * Scope: 8-bit RGB (color type 2), non-interlaced, any mix of the five
+  * scanline filters; everything else returns None (refuse, don't guess).
+  *
+  * Why it exists: [[Multimodal.Codec]]'s container-level parse is real
+  * ([[Multimodal.ImageHeaders]]), but pixel features were documented
+  * stubs — "swap for a codec in production". This closes the gap for
+  * PNG: [[encodeRgb]] builds a genuine compressed PNG (zlib-deflated
+  * scanlines, per-row filters cycling through all five types, real
+  * CRC32 chunks) and [[pixelStats]] decodes any conforming PNG back
+  * (chunk walk → concatenated-IDAT inflate → filter reconstruction per
+  * the PNG spec §9: None/Sub/Up/Average/Paeth) and reduces the ACTUAL
+  * decoded pixels to channel statistics. The catalog query proves the
+  * full deflate→inflate→unfilter chain lossless: the oracle recomputes
+  * the same statistics from the generative pixel formula without ever
+  * touching a byte of PNG, and a spec cross-decodes with JDK ImageIO as
+  * an independent reference decoder.
+  *
+  * The 100 TB shape is unchanged from the rest of the multimodal
+  * family: payloads ride an opaque binary column, decode runs
+  * partition-wise ([[Multimodal.extractFeatures]]' mapPartitions
+  * contract), and per-image stats — not pixels — cross stage
+  * boundaries. */
+object Png {
+
+  /** Channel sums of the decoded image: the pixel-level feature row.
+    * `n_px` = w·h; sums are over reconstructed 8-bit channel values. */
+  final case class PixelStats(width: Int, height: Int, nPx: Long,
+      sumR: Long, sumG: Long, sumB: Long)
+
+  private def be4(v: Long): Array[Byte] = Array(
+    ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+    ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+    val t = tpe.getBytes("US-ASCII")
+    val crc = new CRC32()
+    crc.update(t); crc.update(data)
+    be4(data.length.toLong) ++ t ++ data ++ be4(crc.getValue)
+  }
+
+  /** Deterministic generative pixel formula — the ground truth the
+    * oracle recomputes relationally. Kept trivially SQL-expressible on
+    * purpose: r/g/b at (x, y) of image `seed` are fixed affine forms
+    * mod 256. */
+  def pixelR(x: Int, y: Int, seed: Long): Int = (((x * 7L + y * 13L + seed) % 256L + 256L) % 256L).toInt
+  def pixelG(x: Int, y: Int, seed: Long): Int = (((x * 11L + y * 3L + 2L * seed) % 256L + 256L) % 256L).toInt
+  def pixelB(x: Int, y: Int, seed: Long): Int = (((x * 5L + y * 17L + 3L * seed) % 256L + 256L) % 256L).toInt
+
+  /** A complete, valid RGB-8 PNG of the generative image `seed` —
+    * signature, IHDR, one zlib-deflated IDAT, IEND, real CRCs. Row y is
+    * written with filter type y % 5, so a decoder must implement ALL
+    * five reconstruction filters to get the pixels back. */
+  def encodeRgb(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, s"encodeRgb: bad dims ${width}x$height")
+    val stride = width * 3
+    val raw = new Array[Byte](height * (1 + stride))
+    val prev = new Array[Int](stride) // previous row, reconstructed
+    val cur = new Array[Int](stride)
+    var y = 0
+    var o = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        cur(x * 3) = pixelR(x, y, seed)
+        cur(x * 3 + 1) = pixelG(x, y, seed)
+        cur(x * 3 + 2) = pixelB(x, y, seed)
+        x += 1
+      }
+      val f = y % 5
+      raw(o) = f.toByte; o += 1
+      var i = 0
+      while (i < stride) {
+        val left = if (i >= 3) cur(i - 3) else 0
+        val up = if (y > 0) prev(i) else 0
+        val ul = if (i >= 3 && y > 0) prev(i - 3) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(o) = ((cur(i) - pred) & 0xff).toByte; o += 1
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    deflater.end()
+    val ihdr = be4(width.toLong) ++ be4(height.toLong) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, color 2 (RGB), no interlace
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL pixel decode of a conforming PNG (RGB-8, non-interlaced):
+    * chunk walk, concatenated-IDAT zlib inflate, per-row filter
+    * reconstruction, channel sums. None for anything out of scope or
+    * malformed (truncated stream, wrong inflated size, unknown filter,
+    * bad chunk structure) — refuse, never guess. */
+  def pixelStats(b: Array[Byte]): Option[PixelStats] = {
+    if (b == null || b.length < 8 ||
+        (b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G')
+      return None
+    var i = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= b.length) {
+      val len = (((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)).toInt
+      if (len < 0 || i + 12 + len > b.length) return None
+      val tpe = new String(b, i + 4, 4, "US-ASCII")
+      tpe match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = (((b(i + 8) & 0xff) << 24) | ((b(i + 9) & 0xff) << 16) |
+            ((b(i + 10) & 0xff) << 8) | (b(i + 11) & 0xff))
+          h = (((b(i + 12) & 0xff) << 24) | ((b(i + 13) & 0xff) << 16) |
+            ((b(i + 14) & 0xff) << 8) | (b(i + 15) & 0xff))
+          val depth = b(i + 16) & 0xff; val color = b(i + 17) & 0xff
+          val interlace = b(i + 20) & 0xff
+          if (depth != 8 || color != 2 || interlace != 0) return None
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped
+      }
+      i += 12 + len
+    }
+    if (w <= 0 || h <= 0 || idat.size() == 0) return None
+    val stride = w * 3
+    val expect = h * (1 + stride)
+    val raw = new Array[Byte](expect)
+    val inflater = new Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < expect && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, expect - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    if (got != expect) return None
+    // filter reconstruction (PNG spec §9), bpp = 3
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var y = 0
+    var o = 0
+    while (y < h) {
+      val f = raw(o) & 0xff; o += 1
+      if (f > 4) return None
+      var j = 0
+      while (j < stride) {
+        val x = raw(o + j) & 0xff
+        val left = if (j >= 3) cur(j - 3) else 0
+        val up = prev(j)
+        val ul = if (j >= 3) prev(j - 3) else 0
+        val rec = f match {
+          case 0 => x
+          case 1 => (x + left) & 0xff
+          case 2 => (x + up) & 0xff
+          case 3 => (x + (left + up) / 2) & 0xff
+          case 4 => (x + paeth(left, up, ul)) & 0xff
+        }
+        cur(j) = rec
+        (j % 3) match {
+          case 0 => sumR += rec
+          case 1 => sumG += rec
+          case 2 => sumB += rec
+        }
+        j += 1
+      }
+      o += stride
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some(PixelStats(w, h, w.toLong * h, sumR, sumG, sumB))
+  }
+}

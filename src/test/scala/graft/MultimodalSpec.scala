@@ -137,6 +137,50 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
   }
 
+  test("Png codec: roundtrip equals the generative formula AND an " +
+    "independent JDK ImageIO decode, for every filter type") {
+    import graft.operators.Png
+    // heights >= 5 exercise all five per-row filters (filter = y % 5)
+    for ((w, h, seed) <- Seq((17, 9, 3L), (1, 7, 11L), (64, 5, 0L), (3, 200, 42L))) {
+      val bytes = Png.encodeRgb(w, h, seed)
+      // 1) our decoder reconstructs exactly the generative pixels
+      val s = Png.pixelStats(bytes).getOrElse(fail(s"undecodable ${w}x$h"))
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        er += Png.pixelR(x, y, seed); eg += Png.pixelG(x, y, seed)
+        eb += Png.pixelB(x, y, seed)
+      }
+      assert((s.width, s.height, s.nPx) == ((w, h, w.toLong * h)))
+      assert((s.sumR, s.sumG, s.sumB) == ((er, eg, eb)),
+        s"decode drift at ${w}x$h seed=$seed")
+      // 2) independent reference decoder: JDK ImageIO agrees pixel-wise
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO rejected our PNG — encoder is non-conforming")
+      assert(img.getWidth == w && img.getHeight == h)
+      var (ir, ig, ib) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        ir += (rgb >> 16) & 0xff; ig += (rgb >> 8) & 0xff; ib += rgb & 0xff
+      }
+      assert((ir, ig, ib) == ((er, eg, eb)),
+        s"ImageIO disagrees with the formula at ${w}x$h — encoder bug")
+    }
+    // refusal paths: garbage, truncation, unsupported color type
+    assert(Png.pixelStats(null).isEmpty)
+    assert(Png.pixelStats("not a png at all".getBytes).isEmpty)
+    val full = Png.encodeRgb(8, 8, 1L)
+    assert(Png.pixelStats(full.take(full.length - 20)).isEmpty,
+      "truncated stream must refuse, not guess")
+    // a real grayscale PNG from ImageIO → out of scope → None
+    val gray = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "png", bos)
+    assert(Png.pixelStats(bos.toByteArray).isEmpty,
+      "non-RGB color types are refused")
+  }
+
   test("resizeStub: bounds, determinism, endpoints, pass-through") {
     val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
     val r = Multimodal.resizeStub(payload, 100)
