@@ -117,5 +117,50 @@ object MultimodalQueries {
            |FROM t GROUP BY media_id, width, height
            |ORDER BY media_id""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(qModalityStats, qPngDecode)
+  /** REAL PCM decode, end to end ([[graft.operators.Wav]]) — the audio
+    * sibling of [[qPngDecode]]: each audio-modality doc becomes a
+    * complete valid mono 16-bit PCM WAV of the generative signal, the
+    * decoder walks the RIFF container and extracts the actual signed
+    * samples, and the oracle recomputes count/sum/min/max from the
+    * formula relationally — container layout, byte order, and sample
+    * width are all on the hook. Partition-wise synth and decode, stats
+    * only across stages; `javax.sound.sampled` cross-decodes in the
+    * spec. */
+  val qWavDecode = QueryDef("q_wav_pcm_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1) // the audio-modality ids
+        .select(col("doc_id").as("media_id"),
+          (pmod(col("doc_id"), lit(4000)) + 500).cast("int").as("n"))
+        .as[(Long, Int)]
+      val media = dims.mapPartitions(_.map { case (id, n) =>
+        (id, graft.operators.Wav.encodePcm16(n, 16000, id))
+      }).toDF("media_id", "content")
+      media.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
+        val s = graft.operators.Wav.pcmStats(bytes).getOrElse(
+          sys.error(s"undecodable synthesized WAV for media_id=$id"))
+        (id, s.sampleRate, s.nSamples, s.sumS, s.minS.toLong, s.maxS.toLong)
+      }).toDF("media_id", "sample_rate", "n_samples", "sum_s", "min_s", "max_s")
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 4000) + 500 AS BIGINT) AS n
+           |  FROM documents WHERE doc_id % 3 = 1
+           |), t AS (
+           |  SELECT media_id, n,
+           |         (unnest(generate_series(0, n - 1)) * 31337 + media_id)
+           |           % 65536 - 32768 AS s
+           |  FROM dims
+           |)
+           |SELECT media_id, CAST(16000 AS INT) AS sample_rate,
+           |       CAST(count(*) AS BIGINT) AS n_samples,
+           |       CAST(sum(s) AS BIGINT) AS sum_s,
+           |       CAST(min(s) AS BIGINT) AS min_s,
+           |       CAST(max(s) AS BIGINT) AS max_s
+           |FROM t GROUP BY media_id ORDER BY media_id""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(qModalityStats, qPngDecode, qWavDecode)
 }

@@ -181,6 +181,45 @@ class MultimodalSpec extends SparkSpec {
       "non-RGB color types are refused")
   }
 
+  test("Wav codec: roundtrip equals the generative formula AND an " +
+    "independent javax.sound decode; refusal paths hold") {
+    import graft.operators.Wav
+    for ((n, seed) <- Seq((500, 7L), (1, 0L), (4499, 123L))) {
+      val bytes = Wav.encodePcm16(n, 16000, seed)
+      val s = Wav.pcmStats(bytes).getOrElse(fail(s"undecodable n=$n"))
+      var (es, emn, emx) = (0L, Int.MaxValue, Int.MinValue)
+      for (i <- 0L until n.toLong) {
+        val v = Wav.sample(i, seed)
+        es += v; emn = math.min(emn, v); emx = math.max(emx, v)
+      }
+      assert((s.sampleRate, s.channels, s.nSamples) == ((16000, 1, n.toLong)))
+      assert((s.sumS, s.minS, s.maxS) == ((es, emn, emx)),
+        s"decode drift at n=$n seed=$seed")
+      // independent reference: JDK javax.sound parses the same container
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate == 16000f && fmt.getChannels == 1 &&
+        fmt.getSampleSizeInBits == 16, fmt.toString)
+      val pcm = ais.readAllBytes()
+      assert(pcm.length == n * 2)
+      var js = 0L
+      for (i <- 0 until n) {
+        val v = (pcm(2 * i) & 0xff) | ((pcm(2 * i + 1) & 0xff) << 8)
+        js += (if (v >= 0x8000) v - 0x10000 else v)
+      }
+      assert(js == es, "javax.sound disagrees with the formula — encoder bug")
+    }
+    assert(Wav.pcmStats(null).isEmpty)
+    assert(Wav.pcmStats("RIFFnot really a wav".getBytes).isEmpty)
+    val full = Wav.encodePcm16(100, 8000, 1L)
+    assert(Wav.pcmStats(full.take(60)).isEmpty,
+      "truncated data chunk must refuse, not guess")
+    // a float-format WAV via javax.sound → non-PCM16 → refused
+    assert(Wav.pcmStats(full.patch(20, Array[Byte](3, 0), 2)).isEmpty,
+      "non-PCM format codes are refused")
+  }
+
   test("resizeStub: bounds, determinism, endpoints, pass-through") {
     val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
     val r = Multimodal.resizeStub(payload, 100)
