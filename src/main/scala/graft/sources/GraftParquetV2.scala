@@ -7,10 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -42,11 +40,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale design: one `InputPartition` per parquet file (a directory of
   * part files fans out across executors; the per-file reader streams —
-  * no whole-file materialization). This is deliberately the simple
-  * partitioning story: the built-in vectorized parquet source remains the
-  * scan of choice for raw throughput (row-group splitting, vectorization,
-  * nested types); this connector exists to demonstrate the V2 pushdown
-  * contract end-to-end and is correctness-first.
+  * no whole-file materialization), and WITHIN a file the reader prunes
+  * at row-group granularity: footer min/max/null-count statistics that
+  * provably refute the pushed conjunction skip the group's pages
+  * entirely ([[GraftStatsPrune]] — in-task zone maps, so the pruning
+  * scales out with the scan instead of bottlenecking a driver-side
+  * planner). This is deliberately the simple partitioning story: the
+  * built-in vectorized parquet source remains the scan of choice for raw
+  * throughput (row-group splitting, vectorization, nested types); this
+  * connector exists to demonstrate the V2 pushdown contract end-to-end
+  * and is correctness-first.
   *
   * Usage: `spark.read.format("graft.sources.GraftParquetTableProvider")
   * .option("path", "/data/t.parquet").load()`.
@@ -235,6 +238,7 @@ case class GraftParquetScan(path: String, required: StructType,
     s"GraftParquetScan path=$path, " +
       s"ReadSchema: ${required.catalogString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (pushed.nonEmpty) ", RowGroupStatsPruning: on" else "") +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
       aggs.fold("")(a => s", PushedAggregation: [${a.mkString(", ")}]") +
       (if (groupBy.nonEmpty)
@@ -475,54 +479,224 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
   override def close(): Unit = ()
 }
 
-/** Streams one parquet file: requested schema = required ∪ filter
-  * references (so a fully-pushed filter on a pruned-away column still
-  * sees its operand), three-valued filter evaluation, then the emitted
-  * `InternalRow` carries only the required columns. */
+/** Streams one parquet file ROW GROUP BY ROW GROUP: requested schema =
+  * required ∪ filter references (so a fully-pushed filter on a
+  * pruned-away column still sees its operand), footer-statistics
+  * refutation of the pushed conjunction per row group — a group whose
+  * min/max/null-count stats PROVE no row can match is skipped without
+  * decoding a page ([[GraftStatsPrune]], the zone-map half of filter
+  * pushdown) — then three-valued filter evaluation on the surviving
+  * rows. The emitted `InternalRow` carries only the required columns. */
 class GraftPartitionReader(file: String, required: StructType,
     pushed: Array[Filter], limit: Int = -1) extends PartitionReader[InternalRow] {
   private var emitted = 0L
   private val conf = new Configuration()
-  private val fileSchema = GraftParquetV2.footerSchema(file)
+  private val in = ParquetFileReader.open(
+    HadoopInputFile.fromPath(new Path(file), conf))
+  private val fileSchema = in.getFooter.getFileMetaData.getSchema
   private val wanted: Array[String] =
     (required.fieldNames ++ pushed.flatMap(_.references)).distinct
+  // a COUNT-shaped scan (nothing required, nothing pushed) still needs
+  // one physical column to drive record iteration
+  private val physCols: Array[String] =
+    if (wanted.nonEmpty) wanted
+    else Array(fileSchema.getFields.get(0).getName)
   private val projection = new MessageType(fileSchema.getName,
-    wanted.map { n =>
+    physCols.map { n =>
       require(fileSchema.containsField(n),
         s"graft parquet v2: column '$n' not in $file")
       fileSchema.getType(fileSchema.getFieldIndex(n))
     }.toSeq: _*)
-  conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new Path(file))
-      .withConf(conf).build()
+  in.setRequestedSchema(projection)
+  private val columnIO =
+    new org.apache.parquet.io.ColumnIOFactory().getColumnIO(projection)
+  private val blocks = in.getFooter.getBlocks.asScala.toSeq
+  private var blockIdx = 0
+  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var recordsLeft = 0L
 
   private val outIdx: Array[Int] =
-    required.fieldNames.map(n => wanted.indexOf(n))
+    required.fieldNames.map(n => physCols.indexOf(n))
   private var row: Array[Any] = _
+
+  /** Position at the next row group the stats cannot refute; false =
+    * file exhausted. Skip/read calls stay 1:1 with the footer's block
+    * list — `skipNextRowGroup` advances the reader without touching the
+    * group's pages. */
+  private def advanceBlock(): Boolean = {
+    while (blockIdx < blocks.length) {
+      val b = blocks(blockIdx); blockIdx += 1
+      if (pushed.nonEmpty && GraftStatsPrune.provablyEmpty(pushed, b)) {
+        in.skipNextRowGroup()
+        GraftScanTelemetry.skippedGroups.increment()
+      } else {
+        val pages = in.readNextRowGroup()
+        GraftScanTelemetry.decodedGroups.increment()
+        recordReader = columnIO.getRecordReader(pages,
+          new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(projection))
+        recordsLeft = pages.getRowCount
+        if (recordsLeft > 0) return true
+      }
+    }
+    false
+  }
 
   override def next(): Boolean = {
     // pushed limit: stop reading this partition once satisfied — the
     // remaining pages of the file are never decoded
     if (limit >= 0 && emitted >= limit) return false
-    var g = reader.read()
-    while (g != null) {
-      val vals = Array.tabulate[Any](wanted.length)(i =>
-        GraftParquetV2.readValue(g, i,
-          projection.getType(i).asPrimitiveType()))
-      def byName(n: String): Any = vals(wanted.indexOf(n))
-      if (pushed.forall(f => GraftFilterEval.eval(f, byName).contains(true))) {
-        row = outIdx.map(vals)
-        emitted += 1
-        return true
+    while (recordsLeft > 0 || advanceBlock()) {
+      while (recordsLeft > 0) {
+        val g = recordReader.read()
+        recordsLeft -= 1
+        val vals = Array.tabulate[Any](physCols.length)(i =>
+          GraftParquetV2.readValue(g, i,
+            projection.getType(i).asPrimitiveType()))
+        def byName(n: String): Any = vals(physCols.indexOf(n))
+        if (pushed.forall(f => GraftFilterEval.eval(f, byName).contains(true))) {
+          row = outIdx.map(vals)
+          emitted += 1
+          return true
+        }
       }
-      g = reader.read()
     }
     false
   }
 
   override def get(): InternalRow = new GenericInternalRow(row)
-  override def close(): Unit = reader.close()
+  override def close(): Unit = in.close()
+}
+
+/** Process-wide scan telemetry: row groups decoded vs skipped by stats
+  * refutation. Local-mode specs assert on it (executors share the JVM);
+  * in cluster mode it is per-executor diagnostics only. */
+object GraftScanTelemetry {
+  val decodedGroups = new java.util.concurrent.atomic.LongAdder
+  val skippedGroups = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = { decodedGroups.reset(); skippedGroups.reset() }
+}
+
+/** Footer-statistics row-group refutation for pushed source filters —
+  * the zone-map half of predicate pushdown. [[provablyEmpty]] returns
+  * true ONLY when the group's min/max/null-count statistics PROVE the
+  * pushed conjunction matches no row, so skipping is always
+  * behavior-preserving; every uncertainty degrades to "read the group":
+  *   - missing/partial stats → read;
+  *   - Float/Double → null-count refutation only (NaN is excluded from
+  *     parquet min/max by spec and −0.0/0.0 normalization is writer
+  *     lore, so bounds cannot be trusted against Spark's NaN-greatest,
+  *     −0.0 < 0.0 compare);
+  *   - strings → bounds ARE trusted: parquet's unsigned-UTF-8-byte
+  *     stats order, Spark's UTF8_BINARY collation, and
+  *     [[GraftFilterEval.cmp]] are all the SAME order (cmp compares
+  *     UTF8String, not Java UTF-16 — the two disagree for
+  *     [U+E000,U+FFFF] vs supplementary code points), and truncated
+  *     stats stay valid bounds by construction (min truncates down,
+  *     max up).
+  *
+  * At 100 TB this is the difference between decoding every page of a
+  * sorted/clustered fact table and touching the one row group a range
+  * predicate selects — the same file-skipping story lakehouse formats
+  * build on exactly these footer stats. */
+object GraftStatsPrune {
+  import org.apache.parquet.hadoop.metadata.BlockMetaData
+
+  private final case class ColStats(min: Any, max: Any, numNulls: Long,
+      nullsSet: Boolean, valueCount: Long)
+
+  /** The pushed filters are a conjunction: one refuted conjunct refutes
+    * the whole group. */
+  def provablyEmpty(pushed: Array[Filter], block: BlockMetaData): Boolean =
+    pushed.exists(refuted(_, block))
+
+  private def statsOf(block: BlockMetaData, name: String): Option[ColStats] =
+    block.getColumns.asScala.find(_.getPath.toDotString == name).flatMap { c =>
+      Option(c.getStatistics).map { s =>
+        ColStats(
+          if (s.hasNonNullValue) normalize(s.genericGetMin) else null,
+          if (s.hasNonNullValue) normalize(s.genericGetMax) else null,
+          if (s.isNumNullsSet) s.getNumNulls else -1L,
+          s.isNumNullsSet, c.getValueCount)
+      }
+    }
+
+  private def normalize(v: Any): Any = v match {
+    // exact stats bytes, no transcode — UTF8String order IS parquet's
+    // unsigned stats order, and (after the cmp fix) the evaluator's
+    case b: org.apache.parquet.io.api.Binary => UTF8String.fromBytes(b.getBytes)
+    case o => o
+  }
+
+  private def allNull(s: ColStats): Boolean =
+    s.nullsSet && s.numNulls == s.valueCount
+
+  /** Literals whose compare order provably matches parquet's stats
+    * order: integrals, booleans, and strings (all three orders — eval,
+    * stats, literal — are the same unsigned-byte order now).
+    * Float/Double are excluded wholesale (scaladoc above). */
+  private def orderSafe(lit: Any): Boolean = lit match {
+    case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Boolean => true
+    case _: String | _: UTF8String => true
+    case _ => false
+  }
+
+  /** cmp(bound, lit), None on anything unexpected — refutation then
+    * simply doesn't fire. */
+  private def safeCmp(bound: Any, lit: Any): Option[Int] =
+    try GraftFilterEval.cmp(bound, lit)
+    catch { case _: IllegalStateException => None }
+
+  /** Refuted when the column is provably all-null (no comparison yields
+    * TRUE), or when `p(cmp(min,lit), cmp(max,lit))` proves emptiness. */
+  private def boundsRefute(block: BlockMetaData, a: String, lit: Any)(
+      p: (Int, Int) => Boolean): Boolean =
+    statsOf(block, a).exists { s =>
+      allNull(s) ||
+        (orderSafe(lit) && s.min != null && s.max != null &&
+          (for (cn <- safeCmp(s.min, lit); cx <- safeCmp(s.max, lit))
+            yield p(cn, cx)).getOrElse(false))
+    }
+
+  private def refuted(f: Filter, block: BlockMetaData): Boolean = f match {
+    case And(l, r) => refuted(l, block) || refuted(r, block)
+    case Or(l, r) => refuted(l, block) && refuted(r, block)
+    case Not(_) => false // dual proof obligations; out of scope
+    case IsNull(a) =>
+      statsOf(block, a).exists(s => s.nullsSet && s.numNulls == 0L)
+    case IsNotNull(a) => statsOf(block, a).exists(allNull)
+    case EqualTo(a, v) =>
+      boundsRefute(block, a, v)((cn, cx) => cn > 0 || cx < 0)
+    case EqualNullSafe(a, v) => // supports() guarantees v != null
+      boundsRefute(block, a, v)((cn, cx) => cn > 0 || cx < 0)
+    case In(a, vs) =>
+      vs.isEmpty || statsOf(block, a).exists(allNull) ||
+        vs.forall(v => boundsRefute(block, a, v)((cn, cx) => cn > 0 || cx < 0))
+    case GreaterThan(a, v) =>
+      boundsRefute(block, a, v)((_, cx) => cx <= 0)
+    case GreaterThanOrEqual(a, v) =>
+      boundsRefute(block, a, v)((_, cx) => cx < 0)
+    case LessThan(a, v) =>
+      boundsRefute(block, a, v)((cn, _) => cn >= 0)
+    case LessThanOrEqual(a, v) =>
+      boundsRefute(block, a, v)((cn, _) => cn > 0)
+    case StringStartsWith(a, p) =>
+      statsOf(block, a).exists(allNull) || {
+        // matches satisfy p <= v < succ(p) in byte order, succ(p) =
+        // p with its last byte incremented (last byte 0xff: no upper
+        // bound, only the lower check applies)
+        val pb = UTF8String.fromString(p).getBytes
+        (pb.nonEmpty &&
+          boundsRefute(block, a, UTF8String.fromBytes(pb))((_, cx) => cx < 0)) ||
+        (pb.nonEmpty && (pb(pb.length - 1) & 0xff) < 0xff && {
+          val succ = pb.clone()
+          succ(succ.length - 1) = (succ(succ.length - 1) + 1).toByte
+          boundsRefute(block, a, UTF8String.fromBytes(succ))((cn, _) => cn >= 0)
+        })
+      }
+    case StringEndsWith(a, _) => statsOf(block, a).exists(allNull)
+    case StringContains(a, _) => statsOf(block, a).exists(allNull)
+    case _ => false
+  }
 }
 
 /** Schema/value plumbing shared by driver- and executor-side code. */
@@ -686,26 +860,37 @@ object GraftFilterEval {
       case _ => None
     }
     case Not(c) => eval(c, get).map(!_)
-    case StringStartsWith(a, v) => strTest(get(a), _.startsWith(v))
-    case StringEndsWith(a, v) => strTest(get(a), _.endsWith(v))
-    case StringContains(a, v) => strTest(get(a), _.contains(v))
+    case StringStartsWith(a, v) => strTest(get(a), v, _.startsWith(_))
+    case StringEndsWith(a, v) => strTest(get(a), v, _.endsWith(_))
+    case StringContains(a, v) => strTest(get(a), v, _.contains(_))
     case other => throw new IllegalStateException(
       s"graft parquet v2: unsupported pushed filter $other — supports() must gate this")
   }
 
-  private def strTest(x: Any, p: String => Boolean): Option[Boolean] = x match {
+  /** String predicates run in UTF8String space — Spark's own engine
+    * type — so prefix/suffix/substring semantics are exactly the
+    * built-in source's, byte for byte. */
+  private def strTest(x: Any, lit: String,
+      p: (UTF8String, UTF8String) => Boolean): Option[Boolean] = x match {
     case null => None
-    case u: UTF8String => Some(p(u.toString))
-    case s: String => Some(p(s))
+    case u: UTF8String => Some(p(u, UTF8String.fromString(lit)))
+    case s: String => Some(p(UTF8String.fromString(s), UTF8String.fromString(lit)))
     case other => throw new IllegalStateException(s"string filter on $other")
   }
 
   /** Spark aligns pushed literal types with the column type, but be
-    * robust to Int-vs-Long and Float-vs-Double drift. */
-  private def cmp(x: Any, lit: Any): Option[Int] = {
+    * robust to Int-vs-Long and Float-vs-Double drift. Strings compare
+    * as UTF8String — unsigned UTF-8 byte order, Spark's UTF8_BINARY
+    * collation — NOT Java String.compareTo: the two orders disagree for
+    * [U+E000,U+FFFF] vs supplementary code points, and Spark's is the
+    * contract a pushed filter must honor. (Package-visible:
+    * [[GraftStatsPrune]] compares stats bounds with the SAME ordering
+    * the row-level evaluator uses — one semantics source, which is also
+    * exactly parquet's unsigned stats order.) */
+  private[sources] def cmp(x: Any, lit: Any): Option[Int] = {
     if (x == null || lit == null) return None
     def norm(v: Any): Any = v match {
-      case u: UTF8String => u.toString
+      case s: String => UTF8String.fromString(s)
       case o => o
     }
     Some((norm(x), norm(lit)) match {
@@ -715,7 +900,7 @@ object GraftFilterEval {
       case (a: Long, b: Long) => java.lang.Long.compare(a, b)
       case (a: Number, b: Number) =>
         java.lang.Double.compare(a.doubleValue(), b.doubleValue())
-      case (a: String, b: String) => a.compareTo(b)
+      case (a: UTF8String, b: UTF8String) => a.compareTo(b)
       case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
       case (a, b) => throw new IllegalStateException(
         s"graft parquet v2: incomparable filter operands $a (${a.getClass}) vs $b")

@@ -277,6 +277,117 @@ class SourcesV2Spec extends SparkSpec {
     assert(pushedSome, "no predicate was ever pushed — the fuzz tested nothing")
   }
 
+  test("row-group stats pruning: refuted groups are skipped without " +
+    "decoding, results stay bit-identical to the built-in source") {
+    import spark.implicits._
+    import graft.sources.GraftScanTelemetry
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2_prune")
+    val path = s"$dir/t.parquet"
+    // one physical file, ids sorted so row-group min/max ranges are
+    // disjoint; tiny block/page sizes force many row groups
+    (0L until 40000L)
+      .map(i => (i, s"name_${i % 97}",
+        if (i < 1000 && i % 13 == 0) None else Some(i * 2), i.toDouble / 3))
+      .toDF("id", "s", "v", "d")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024)
+      .option("parquet.page.size", 8 * 1024)
+      .parquet(path)
+
+    def run(df: DataFrame): (Seq[Long], Long, Long) = {
+      GraftScanTelemetry.reset()
+      val ids = rows(df.select("id")).map(_.getLong(0)).sorted
+      (ids, GraftScanTelemetry.decodedGroups.sum(),
+        GraftScanTelemetry.skippedGroups.sum())
+    }
+
+    // baseline: an unrefutable filter decodes every group
+    val (all, total, sk0) = run(viaV2(path).filter(col("id") >= 0L))
+    assert(all.size == 40000 && sk0 == 0L)
+    assert(total >= 4, s"only $total row groups — block size option ignored, " +
+      "the pruning assertions below would be vacuous")
+
+    // selective range: most groups refuted, results exact
+    val sel = col("id") >= 1000L && col("id") < 1500L
+    val (got, dec, sk) = run(viaV2(path).filter(sel))
+    val want = rows(spark.read.parquet(path).filter(sel).select("id"))
+      .map(_.getLong(0)).sorted
+    assert(got == want, "pruned scan diverged from the built-in source")
+    assert(sk > 0L, "no group was skipped for a 1.25%-selective sorted range")
+    assert(dec + sk == total && dec < total)
+
+    // IsNull where only early row groups contain nulls: later groups'
+    // zero null-counts refute them from footers alone
+    val (withNulls, decN, skN) = run(viaV2(path).filter(col("v").isNull))
+    val wantNulls = rows(spark.read.parquet(path).filter(col("v").isNull)
+      .select("id")).map(_.getLong(0)).sorted
+    assert(withNulls == wantNulls && withNulls.nonEmpty)
+    assert(skN > 0L, "null-count refutation never fired for IsNull")
+    assert(decN + skN == total)
+
+    // equality probe outside every group's range
+    val (eqNone, dec3, sk3) = run(viaV2(path).filter(col("id") === -5L))
+    assert(eqNone.isEmpty && dec3 == 0L && sk3 == total)
+
+    // Float/Double bounds are never trusted: a refutable-looking double
+    // range must still decode (NaN/-0.0 stats lore)
+    val (dNone, dec4, _) = run(viaV2(path).filter(col("d") < -1.0))
+    assert(dNone.isEmpty && dec4 == total,
+      "double-range refutation fired — float/double stats must not be trusted")
+
+  }
+
+  test("string compare is UTF8_BINARY byte order (supplementary chars), " +
+    "and string stats pruning uses exactly that order") {
+    import spark.implicits._
+    import graft.sources.GraftScanTelemetry
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2_prune_s")
+    val path = s"$dir/t.parquet"
+    // strings straddling the orders that disagree: U+FFFD and U+FFFF
+    // sort below supplementary U+10400 in UTF-8 byte/code-point order
+    // but ABOVE it in Java's UTF-16 compareTo — Spark's UTF8_BINARY
+    // collation is the byte order, and the connector must match it
+    val supp = new String(Character.toChars(0x10400))
+    Seq("apple", "pear", "\uFFFD", supp)
+      .toDF("s").coalesce(1).write.mode("overwrite").parquet(path)
+
+    def run(p: org.apache.spark.sql.Column): (Set[String], Long, Long) = {
+      GraftScanTelemetry.reset()
+      val got = rows(viaV2(path).filter(p).select("s")).map(_.getString(0)).toSet
+      (got, GraftScanTelemetry.decodedGroups.sum(),
+        GraftScanTelemetry.skippedGroups.sum())
+    }
+
+    // parity on the order-divergent cases — a UTF-16 evaluator returns
+    // the WRONG rows for the first two (caught live by this spec:
+    // > "\uFFFF" must KEEP the supplementary char)
+    for (p <- Seq(col("s") > "\uFFFF", col("s") < "\uFFFF",
+        col("s") === "café", col("s").startsWith("\uFFFD"),
+        col("s") >= supp)) {
+      val (got, _, _) = run(p)
+      val want = rows(spark.read.parquet(path).filter(p).select("s"))
+        .map(_.getString(0)).toSet
+      assert(got == want, s"diverged on $p")
+    }
+
+    // ASCII literal outside the byte-order bounds: file skipped entirely
+    val (got, dec, sk) = run(col("s") < "a")
+    assert(got.isEmpty && dec == 0L && sk > 0L,
+      "ASCII out-of-range literal should refute from stats alone")
+
+    // non-ASCII refutation is trustworthy too — eval, stats, and
+    // literal all share the byte order: nothing sorts strictly above
+    // the supplementary max, so the file is refuted without decoding
+    val (gtNone, decG, skG) = run(col("s") > supp)
+    assert(gtNone.isEmpty && decG == 0L && skG > 0L,
+      "byte-order string refutation should fire for > max")
+
+    // prefix query stays correct whether or not the succ-bound fires
+    val (pre, _, _) = run(col("s").startsWith("pe"))
+    assert(pre == Set("pear"))
+  }
+
   test("LIMIT is pushed to the scan (partial contract) and results are exact") {
     val path = s"$sfDir/documents.parquet"
     val df = viaV2(path).select("doc_id").limit(7)
