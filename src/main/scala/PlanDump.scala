@@ -23,7 +23,7 @@ object PlanDump {
       "q_top_customers_revenue" -> "3-way join: dimensions broadcast, single agg exchange, TakeOrderedAndProject",
       "q3_shipping_priority" -> "TPC-H Q3 shape: both date filters pushed to their scans, customer side broadcast, TakeOrderedAndProject for the top-10 (no global sort)",
       "q_events_moving_avg" -> "RANGE-frame rolling window: one Exchange on user_id, single partitioned sort+window pass",
-      "q_dsv2_pushdown" -> "DataSource V2 connector: filter AND projection land in the scan node (PushedFilters/ReadSchema on GraftParquetScan), agg above sees survivors only",
+      "q_dsv2_pushdown" -> "DataSource V2 connector: filter AND projection land in the scan node (PushedFilters/ReadSchema on GraftParquetScan), agg above sees survivors only; RowGroupStatsPruning (round 6) marks that the per-file reader zone-map-skips footer-refuted row groups before decoding",
       "q_dedup_embedding" -> "embedding near-dup clusters: pair generation broadcast-nested-loop on the vector side (exact oracle twin; LSH path is the scale configuration), closure over 8-byte id edges only",
       "q_token_cms" -> "count-min sketch: counter matrix via partial-aggregated groupBy(j,bucket), estimates via broadcast join of the bounded d*w matrix",
       "q_bloom_join_prune" -> "bloom semi-join pruning: one-row filter blob broadcast, bloom_might_contain inside the fact scan's codegen BEFORE the join exchange — shuffle carries only probable matches",

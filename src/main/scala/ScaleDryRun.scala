@@ -63,11 +63,19 @@ object ScaleDryRun {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.GraftSession.adopt(spark)
+    // SPARK_GRAFT_DRYRUN_ONLY=substr[,substr...] runs the sections whose
+    // label matches — re-measuring one family shouldn't pay for all
+    val only: Seq[String] = sys.env.get("SPARK_GRAFT_DRYRUN_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    def wanted(label: String): Boolean =
+      only.isEmpty || only.exists(label.contains)
+    def section(label: String)(work: => String): Unit =
+      if (wanted(label)) measured(spark, label)(work)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     docs.count(); emb.count() // warm page cache / footers
 
-    measured(spark, s"dedup_clusters dir=$dir") {
+    section(s"dedup_clusters dir=$dir") {
       val pairs = graft.operators.Dedup.minhashLshPairs(
         docs, "doc_id", "text",
         graft.TextQueries.ShingleN, graft.TextQueries.MinJaccard,
@@ -78,13 +86,13 @@ object ScaleDryRun {
       s"rounds=$rounds converged=$converged labels=$n"
     }
 
-    measured(spark, s"training_prep dir=$dir") {
+    section(s"training_prep dir=$dir") {
       val rows = graft.SparkEntry.queries("q_training_data_prep")(spark, dir)
         .queryExecution.toRdd.count()
       s"rows=$rows"
     }
 
-    measured(spark, s"kmeans_fit dir=$dir") {
+    section(s"kmeans_fit dir=$dir") {
       val (cents, assigned) = graft.operators.KMeans.fit(
         emb, "vec_id", "embedding",
         graft.VectorQueries.IvfClusters, graft.VectorQueries.IvfIters)
@@ -101,7 +109,7 @@ object ScaleDryRun {
       val kFixed = graft.VectorQueries.SemK
       val kScaled = math.max(kFixed, math.ceil(n / 250.0).toInt)
       for (k <- Seq(kFixed, kScaled).distinct) {
-        measured(spark, s"semantic_dedup dir=$dir k=$k") {
+        section(s"semantic_dedup dir=$dir k=$k") {
           val kept = graft.operators.Similarity.semanticDedup(
             emb, "vec_id", "embedding", k, graft.VectorQueries.SemIters,
             graft.VectorQueries.MinDupCosine).count()
@@ -127,12 +135,12 @@ object ScaleDryRun {
           (col("dst") + col("rep") * 1000000L).as("dst"))
     }
     for (k <- Seq(1, 10)) {
-      measured(spark, s"pagerank dir=$dir replicas=$k") {
+      section(s"pagerank dir=$dir replicas=$k") {
         val pr = graft.operators.Graphs.pageRank(
           stationEdges(k), "src", "dst", graft.RelationalQueries.PrIters)
         s"nodes=${pr.count()} iters=${graft.RelationalQueries.PrIters}"
       }
-      measured(spark, s"triangles dir=$dir replicas=$k") {
+      section(s"triangles dir=$dir replicas=$k") {
         val e = stationEdges(k)
         val (m, wedges) = graft.operators.Graphs.orientedWedgeStats(
           e, "src", "dst")
@@ -141,6 +149,38 @@ object ScaleDryRun {
         // the m^1.5 bound the wedge fanout must stay under at any scale
         f"m=$m wedges=$wedges m15=${math.pow(m.toDouble, 1.5)}%.0f tri_nodes=$tri"
       }
+    }
+
+    // ---- DSv2 row-group zone-map pruning (round-6 addition): on a
+    // SORTED fact table a selective range must skip most row groups
+    // from footer stats alone. Small block size stands in for the many
+    // row groups a 100 TB table has; the signal is the decoded/skipped
+    // split (wall-clock is secondary — the group-example decoder is the
+    // correctness-first path, not the vectorized one).
+    if (wanted("dsv2_prune")) {
+      import graft.sources.GraftScanTelemetry
+      val sorted = "/tmp/graft_prune_lineitem.parquet"
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .repartition(1).sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (256 * 1024).toString)
+        .parquet(sorted)
+      val v2 = spark.read
+        .format("graft.sources.GraftParquetTableProvider")
+        .option("path", sorted).load()
+      val maxKey = v2.agg(max("l_orderkey")).head.getLong(0)
+      def scan(label: String, f: org.apache.spark.sql.Column): Unit =
+        section(s"dsv2_prune dir=$dir case=$label") {
+          GraftScanTelemetry.reset()
+          val n = v2.filter(f).queryExecution.toRdd.count()
+          s"rows=$n decoded=${GraftScanTelemetry.decodedGroups.sum()} " +
+            s"skipped=${GraftScanTelemetry.skippedGroups.sum()}"
+        }
+      scan("full", col("l_orderkey") >= 0L) // unrefutable: decodes all
+      scan("range_1pct", col("l_orderkey") >= (maxKey - maxKey / 100) &&
+        col("l_orderkey") <= maxKey)
+      scan("point_miss", col("l_orderkey") === (maxKey + 1))
     }
 
     spark.stop()
