@@ -684,6 +684,86 @@ object TextQueries {
             |FROM stats JOIN ex ON stats.source = ex.source
             |ORDER BY stats.source""".stripMargin))
 
+  /** HLL register-count exponent: m = 2^10 = 1024 registers (~3.3%
+    * relative error), small enough that the oracle's source×register
+    * grid stays trivial and the linear-counting threshold 2.5m = 2560
+    * splits this corpus's sources across BOTH estimator branches. */
+  val HllP = 10
+
+  /** Per-source distinct-shingle cardinality via HyperLogLog, beside the
+    * exact count — the register-max sibling of [[qDistinctKmv]] (same
+    * input, same hash chain, constant 2^[[HllP]]-byte state instead of
+    * k longs). HASH-CHECKED, not "close": DuckDB rebuilds the register
+    * array from the same SplitMix64-finalized FNV hashes (register = top
+    * [[HllP]] bits, ρ via `length(ltrim(bin(w),'0'))`), re-derives the
+    * integer 2⁶⁶-scaled harmonic sum in HUGEINT, and reproduces the
+    * estimate bit-for-bit — see [[graft.expr.HllAgg]] for the pinned
+    * arithmetic. */
+  val qDistinctHll = QueryDef("q_distinct_hll",
+    (spark, dir) => {
+      val sh = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(graft.expr.ShinglesExpr(col("text"), ShingleN)).as("shingle"))
+      sh.groupBy("source").agg(
+        graft.expr.HllAgg(
+          graft.expr.Fingerprint64(col("shingle")), HllP).as("est_distinct_shingles"),
+        countDistinct(col("shingle")).as("exact_distinct_shingles"))
+        .orderBy("source")
+    },
+    Some {
+      val m = 1 << HllP // 1024
+      val wBits = 64 - HllP // 54
+      val mask = (1L << wBits) - 1L
+      val rhoMax = wBits + 1 // 55
+      s"""WITH RECURSIVE pw(e, v) AS (
+         |  SELECT 0, CAST(1 AS HUGEINT)
+         |  UNION ALL SELECT e + 1, v * 2 FROM pw WHERE e < 66
+         |), toks AS (
+         |  SELECT source, doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL
+         |), sh AS (
+         |  SELECT DISTINCT source, unnest(${shinglesOverWsSql(ShingleN)}) AS shingle
+         |  FROM toks
+         |), hs AS (
+         |  SELECT source, CAST(${fnvFoldSql("shingle")} AS UBIGINT) AS z
+         |  FROM sh
+         |), ${splitmixUbCtesSql("hs", "source", "s")},
+         |rv AS (
+         |  SELECT source, CAST(z >> $wBits AS BIGINT) AS j,
+         |         $rhoMax - length(ltrim(bin(z & CAST('$mask' AS UBIGINT)), '0')) AS rho
+         |  FROM sd
+         |), regsx AS (
+         |  SELECT source, j, max(rho) AS mj FROM rv GROUP BY source, j
+         |), grid AS (
+         |  SELECT g.source, r.range AS j
+         |  FROM (SELECT DISTINCT source FROM sh) g CROSS JOIN range($m) r
+         |), allr AS (
+         |  SELECT grid.source, grid.j, coalesce(regsx.mj, 0) AS mj
+         |  FROM grid LEFT JOIN regsx
+         |    ON grid.source = regsx.source AND grid.j = regsx.j
+         |), sums AS (
+         |  SELECT allr.source, sum(pw.v) AS ssum,
+         |         sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS vz
+         |  FROM allr JOIN pw ON pw.e = 66 - allr.mj
+         |  GROUP BY allr.source
+         |), est AS (
+         |  SELECT source,
+         |    0.7213 / (1.0 + 1.079 / CAST($m AS DOUBLE)) * $m.0 * $m.0 /
+         |    (CAST(ssum AS DOUBLE) / 73786976294838206464.0) AS e, vz
+         |  FROM sums
+         |), ex AS (
+         |  SELECT source, count(DISTINCT shingle) AS n FROM sh GROUP BY source
+         |)
+         |SELECT est.source,
+         |  CASE WHEN e <= 2.5 * $m.0 AND vz > 0
+         |       THEN $m.0 * round(ln($m.0 / vz), 6) ELSE e END
+         |    AS est_distinct_shingles,
+         |  CAST(ex.n AS BIGINT) AS exact_distinct_shingles
+         |FROM est JOIN ex ON est.source = ex.source
+         |ORDER BY est.source""".stripMargin
+    })
+
   /** CMS shape: d=4 rows × w=64 buckets, deliberately NARROW for this
     * corpus (~10² distinct tokens in 64 buckets guarantees collisions),
     * so the catalog entry exercises the interesting regime — estimates
@@ -1277,7 +1357,7 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
-    qDocFingerprints, qDistinctKmv, qTokenCms,
+    qDocFingerprints, qDistinctKmv, qDistinctHll, qTokenCms,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,

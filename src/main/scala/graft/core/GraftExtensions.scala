@@ -111,6 +111,9 @@ object GraftExtensions {
     "kmv_distinct" -> { args =>
       arity("kmv_distinct", 2, args)
       KmvAgg(args(0), intLit(args(1))).toAggregateExpression() },
+    "hll_distinct" -> { args =>
+      arity("hll_distinct", 2, args)
+      HllAgg(args(0), intLit(args(1))).toAggregateExpression() },
     "splitmix64" -> { args =>
       SplitMix64Expr(arity("splitmix64", 1, args).head) },
     "interleave16" -> { args =>

@@ -1,0 +1,171 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** `hll_distinct(hash bigint, p) -> double` — distinct-count estimate via
+  * HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the
+  * analysis of a near-optimal cardinality estimation algorithm", AofA
+  * 2007), the register-max sketch that completes graft's cardinality
+  * family next to [[KmvAgg]] (order statistics) — CONSTANT m-byte state
+  * per group versus KMV's k longs, the structure every production
+  * engine's approx_count_distinct builds on.
+  *
+  * Every input hash passes through the SplitMix64 finalizer (same
+  * rationale as KMV: the estimator consumes bit patterns, raw
+  * FNV/multiplicative hashes are biased); the top `p` bits of the mixed
+  * hash pick one of m = 2^p registers, and the register keeps the MAX
+  * over its values of ρ = leading zeros of the remaining 64−p bits + 1.
+  * Estimate: αₘ·m²/Σⱼ2^(−Mⱼ), with the linear-counting fallback
+  * m·ln(m/V) when the raw estimate ≤ 2.5m and V registers are still
+  * zero (the small-range regime where register maxima are mostly 1s and
+  * the harmonic estimator biases high). 64-bit hashes make the classic
+  * 2³²-range correction unnecessary. Relative error ≈ 1.04/√m.
+  *
+  * Why not Spark's `approx_count_distinct`: that is HLL++ with
+  * engine-private internals — correct, but not re-derivable by an
+  * external oracle. This sketch is the published algorithm over graft's
+  * own mirrorable hash chain, so the DuckDB oracle rebuilds the exact
+  * register array and reproduces the estimate BIT-FOR-BIT — the catalog
+  * entry is hash-checked, not "approximately close".
+  *
+  * Determinism/mirror contract (catalog-wide bit-determinism):
+  * registers are a pure multiset function (update = max, merge =
+  * elementwise max — fully mergeable, partitioning-independent). The
+  * estimate arithmetic is pinned cross-engine: Σ2^(−Mⱼ) is computed as
+  * the INTEGER Σ2^(66−Mⱼ) (BigInt here, HUGEINT in the mirror — exact,
+  * order-independent) and converted to double once (both engines round
+  * half-even on int→double), then divided by the exact constant 2⁶⁶;
+  * the only libm call is the linear-counting ln, rounded to 6 dp per
+  * the engine-wide oracle convention. An empty group estimates 0.
+  *
+  * No counterpart in the reference (closest is Count.PerElement,
+  * `/root/reference/pipelines/cycle_rides.py:52` — exact counting);
+  * part of graft's LLM-pipeline profiling surface.
+  */
+case class HllAgg(
+    hash: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllAgg.Registers] {
+
+  require(p >= 4 && p <= 18, s"hll_distinct: p must be in [4, 18], got $p")
+
+  override def children: Seq[Expression] = Seq(hash)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = hash.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_distinct requires a BIGINT hash input (e.g. fingerprint64(col)), " +
+        s"got ${other.sql} — cast or hash explicitly")
+  }
+
+  override def createAggregationBuffer(): HllAgg.Registers =
+    new HllAgg.Registers(p)
+
+  override def update(buf: HllAgg.Registers, input: InternalRow): HllAgg.Registers = {
+    val h = hash.eval(input)
+    if (h != null) buf.offer(h.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: HllAgg.Registers, other: HllAgg.Registers): HllAgg.Registers = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  override def eval(buf: HllAgg.Registers): Any = buf.estimate
+
+  override def serialize(buf: HllAgg.Registers): Array[Byte] = buf.bytes
+
+  override def deserialize(bytes: Array[Byte]): HllAgg.Registers =
+    HllAgg.Registers.fromBytes(p, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(hash = newChildren(0))
+  override def prettyName: String = "hll_distinct"
+}
+
+object HllAgg {
+
+  /** 2⁶⁶ — exactly representable (power of two). The integer register
+    * sum is scaled by 2⁶⁶ so even an untouched register (M=0, term
+    * 2⁶⁶) stays integral; 66 > the max possible ρ = 64−p+1 for p ≥ 4. */
+  val TwoPow66: Double = java.lang.Math.scalb(1.0, 66)
+
+  /** m registers of max-ρ values; ρ ≤ 64−p+1 ≤ 61, so bytes suffice. */
+  final class Registers(p: Int, val regs: Array[Byte]) {
+    def this(p: Int) = this(p, new Array[Byte](1 << p))
+    private val m = 1 << p
+
+    def offer(h: Long): Unit = {
+      val mixed = TextHashKernels.splitmix64(h)
+      val j = (mixed >>> (64 - p)).toInt
+      val w = mixed & ((1L << (64 - p)) - 1L)
+      // bit length of w (0 for w=0); ρ = leading zeros in the
+      // (64−p)-bit window + 1 — mirrored as length(ltrim(bin(w),'0'))
+      val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(w)
+      val rho = (64 - p) + 1 - bitLen
+      if (rho > regs(j)) regs(j) = rho.toByte
+    }
+
+    def mergeFrom(other: Registers): Unit = {
+      var j = 0
+      while (j < m) {
+        if (other.regs(j) > regs(j)) regs(j) = other.regs(j)
+        j += 1
+      }
+    }
+
+    def bytes: Array[Byte] = regs
+
+    def estimate: Double = {
+      val md = m.toDouble
+      var zeros = 0
+      var sum = BigInt(0)
+      var j = 0
+      while (j < m) {
+        if (regs(j) == 0) zeros += 1
+        sum += BigInt(1) << (66 - regs(j))
+        j += 1
+      }
+      // int→double rounds half-even identically in both engines; the
+      // 2⁶⁶ division is exact (power of two)
+      val ratio = sum.toDouble / TwoPow66
+      val alpha =
+        if (m == 16) 0.673
+        else if (m == 32) 0.697
+        else if (m == 64) 0.709
+        else 0.7213 / (1.0 + 1.079 / md)
+      val e = alpha * md * md / ratio
+      if (e <= 2.5 * md && zeros > 0)
+        md * round6(math.log(md / zeros)) // libm → 6 dp, per convention
+      else e
+    }
+  }
+
+  object Registers {
+    def fromBytes(p: Int, bytes: Array[Byte]): Registers =
+      new Registers(p, bytes.clone())
+  }
+
+  /** round(x, 6) with SQL semantics (HALF_UP) — what both engines'
+    * round() computes. */
+  def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def apply(hash: Column, p: Int): Column =
+    toCol(HllAgg(toExpr(hash), p).toAggregateExpression())
+}

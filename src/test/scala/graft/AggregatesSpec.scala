@@ -209,6 +209,59 @@ class AggregatesSpec extends SparkSpec {
     assert(viaSql == 1.0)
   }
 
+  test("HllAgg: harmonic branch within theory error on 20k distinct; " +
+    "duplicates ignored; linear-counting branch accurate in small range") {
+    import spark.implicits._
+    import graft.expr.{Fingerprint64, HllAgg}
+    val n = 20000
+    // each value appears 3× — register maxima must see the SET, not the bag
+    val df = (0 until 3).flatMap(_ => 0 until n)
+      .map(i => s"value_$i").toDF("v")
+    val est = df.agg(HllAgg(Fingerprint64(col("v")), 10).as("e"))
+      .head().getDouble(0)
+    // m=1024: σ ≈ 1.04/√m ≈ 3.25% → 5σ ≈ 16%; n=20000 > 2.5m forces
+    // the harmonic estimator (the catalog corpus only reaches the
+    // linear-counting branch, so the other branch is proven here)
+    assert(est > 2.5 * 1024, s"expected the harmonic branch, est=$est")
+    assert(math.abs(est - n) < 0.16 * n, s"estimate $est for $n distinct")
+    val small = (0 until 100).map(i => s"v$i").toDF("v")
+    val lc = small.agg(HllAgg(Fingerprint64(col("v")), 10).as("e"))
+      .head().getDouble(0)
+    // linear counting over mostly-empty registers: tight in this regime
+    assert(math.abs(lc - 100.0) < 10.0, s"linear-counting estimate $lc for 100")
+    // all-null input = empty multiset → 0.0 (V=m, m·ln(1))
+    val empty = Seq[Option[String]](None, None).toDF("v")
+      .agg(HllAgg(Fingerprint64(col("v")), 10).as("e")).head().getDouble(0)
+    assert(empty == 0.0, s"empty group must estimate 0.0, got $empty")
+  }
+
+  test("HllAgg: partitioning and order cannot move the estimate") {
+    import spark.implicits._
+    import graft.expr.{Fingerprint64, HllAgg}
+    val base = (0 until 5000).map(i => s"doc_$i")
+    def est(data: Seq[String], parts: Int): Double =
+      data.toDF("v").repartition(parts)
+        .agg(HllAgg(Fingerprint64(col("v")), 10).as("e")).head().getDouble(0)
+    val a = est(base, 1)
+    val b = est(scala.util.Random.shuffle(base), 13)
+    assert(a == b, s"order/partition dependence: $a vs $b")
+  }
+
+  test("HllAgg: non-long input fails at analysis, and SQL registration works") {
+    import spark.implicits._
+    val df = Seq("a").toDF("v")
+    val err = intercept[Exception] {
+      df.agg(graft.expr.HllAgg(col("v"), 10)).collect()
+    }
+    assert(err.getMessage.contains("hll_distinct"), err.getMessage)
+    df.createOrReplaceTempView("hll_in")
+    val viaSql = spark.sql(
+      "SELECT hll_distinct(fingerprint64(v), 10) AS e FROM hll_in")
+      .head().getDouble(0)
+    // one value: V = 1023 zero registers → m·round6(ln(m/1023)) > 0
+    assert(viaSql > 0.0 && viaSql < 3.0, s"one-distinct estimate $viaSql")
+  }
+
   test("CMS: estimates never undercount; wide sketch is exact; narrow collides") {
     import spark.implicits._
     import graft.operators.Sketches
