@@ -71,9 +71,13 @@ object ScaleDryRun {
       only.isEmpty || only.exists(label.contains)
     def section(label: String)(work: => String): Unit =
       if (wanted(label)) measured(spark, label)(work)
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    docs.count(); emb.count() // warm page cache / footers
+    lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+    lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // warm page cache / footers — but only for the tables a WANTED
+    // section reads, or a filtered run (e.g. ONLY=dsv2_prune) still
+    // pays full corpus scans it never uses
+    if (Seq("dedup_clusters", "training_prep").exists(wanted)) docs.count()
+    if (Seq("kmeans_fit", "semantic_dedup").exists(wanted)) emb.count()
 
     section(s"dedup_clusters dir=$dir") {
       val pairs = graft.operators.Dedup.minhashLshPairs(
@@ -104,7 +108,8 @@ object ScaleDryRun {
     // k (k grows with the corpus). Run both configurations: fixed k
     // (exposes the quadratic if k is mis-provisioned) and k scaled to
     // ~250 vectors/cell (the recipe that must stay linear).
-    locally {
+    // (gated: the k-sizing count is itself a full corpus scan)
+    if (wanted("semantic_dedup")) locally {
       val n = emb.count()
       val kFixed = graft.VectorQueries.SemK
       val kScaled = math.max(kFixed, math.ceil(n / 250.0).toInt)

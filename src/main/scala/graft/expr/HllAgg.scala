@@ -161,10 +161,9 @@ object HllAgg {
       new Registers(p, bytes.clone())
   }
 
-  /** round(x, 6) with SQL semantics (HALF_UP) — what both engines'
-    * round() computes. */
-  def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  /** The engine-wide 6-dp libm-rounding convention — one definition
+    * ([[DdQuantileAgg.round6]]), shared so the sketches cannot drift. */
+  def round6(x: Double): Double = DdQuantileAgg.round6(x)
 
   def apply(hash: Column, p: Int): Column =
     toCol(HllAgg(toExpr(hash), p).toAggregateExpression())

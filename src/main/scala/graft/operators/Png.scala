@@ -128,9 +128,13 @@ object Png {
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (!sawEnd && i + 8 <= b.length) {
-      val len = (((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
-        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)).toInt
-      if (len < 0 || i + 12 + len > b.length) return None
+      // length stays Long until bounded by the buffer: a 31-bit+ chunk
+      // length would wrap `i + 12 + len` negative in Int and sail past
+      // the bounds check into an IndexOutOfBounds throw
+      val lenL = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      if (lenL > (b.length - i - 12).toLong) return None
+      val len = lenL.toInt
       val tpe = new String(b, i + 4, 4, "US-ASCII")
       tpe match {
         case "IHDR" =>
@@ -149,8 +153,13 @@ object Png {
       i += 12 + len
     }
     if (w <= 0 || h <= 0 || idat.size() == 0) return None
-    val stride = w * 3
-    val expect = h * (1 + stride)
+    // dimension math in Long: w,h are attacker-controlled 31-bit values
+    // and h*(1+3w) overflows Int well below their individual bounds
+    val strideL = w.toLong * 3L
+    val expectL = h.toLong * (1L + strideL)
+    if (expectL > Int.MaxValue - 8) return None
+    val stride = strideL.toInt
+    val expect = expectL.toInt
     val raw = new Array[Byte](expect)
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
@@ -158,12 +167,19 @@ object Png {
     try {
       while (got < expect && !inflater.finished()) {
         val n = inflater.inflate(raw, got, expect - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated
+        // all input was handed over up front, so a zero-byte step that
+        // isn't end-of-stream is a truncated stream, a preset-dictionary
+        // (FDICT) header, or any other stall — refuse rather than spin
+        if (n == 0 && !inflater.finished()) return None
         got += n
       }
+      if (got != expect) return None
+      // refusal is two-sided: a stream inflating to MORE than h rows
+      // means the IHDR lied — one probe byte detects the excess
+      if (!inflater.finished() &&
+          inflater.inflate(new Array[Byte](1), 0, 1) > 0) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inflater.end()
-    if (got != expect) return None
     // filter reconstruction (PNG spec §9), bpp = 3
     var sumR = 0L; var sumG = 0L; var sumB = 0L
     val prev = new Array[Int](stride)

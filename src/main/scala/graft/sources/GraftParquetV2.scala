@@ -494,23 +494,31 @@ class GraftPartitionReader(file: String, required: StructType,
   private val in = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(file), conf))
   private val fileSchema = in.getFooter.getFileMetaData.getSchema
-  private val wanted: Array[String] =
-    (required.fieldNames ++ pushed.flatMap(_.references)).distinct
-  // a COUNT-shaped scan (nothing required, nothing pushed) still needs
-  // one physical column to drive record iteration
-  private val physCols: Array[String] =
-    if (wanted.nonEmpty) wanted
-    else Array(fileSchema.getFields.get(0).getName)
-  private val projection = new MessageType(fileSchema.getName,
-    physCols.map { n =>
-      require(fileSchema.containsField(n),
-        s"graft parquet v2: column '$n' not in $file")
-      fileSchema.getType(fileSchema.getFieldIndex(n))
-    }.toSeq: _*)
-  in.setRequestedSchema(projection)
-  private val columnIO =
-    new org.apache.parquet.io.ColumnIOFactory().getColumnIO(projection)
-  private val blocks = in.getFooter.getBlocks.asScala.toSeq
+  // Everything between open() and a fully-constructed reader runs under
+  // a close-on-throw guard: the schema require below throws per task
+  // attempt on heterogeneous part files, and an unclosed
+  // ParquetFileReader per attempt is a file-descriptor leak on a
+  // long-running executor.
+  private val (physCols, projection, columnIO, blocks) =
+    try {
+      val wanted: Array[String] =
+        (required.fieldNames ++ pushed.flatMap(_.references)).distinct
+      // a COUNT-shaped scan (nothing required, nothing pushed) still
+      // needs one physical column to drive record iteration
+      val cols: Array[String] =
+        if (wanted.nonEmpty) wanted
+        else Array(fileSchema.getFields.get(0).getName)
+      val proj = new MessageType(fileSchema.getName,
+        cols.map { n =>
+          require(fileSchema.containsField(n),
+            s"graft parquet v2: column '$n' not in $file")
+          fileSchema.getType(fileSchema.getFieldIndex(n))
+        }.toSeq: _*)
+      in.setRequestedSchema(proj)
+      (cols, proj,
+        new org.apache.parquet.io.ColumnIOFactory().getColumnIO(proj),
+        in.getFooter.getBlocks.asScala.toSeq)
+    } catch { case e: Throwable => in.close(); throw e }
   private var blockIdx = 0
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var recordsLeft = 0L
@@ -584,8 +592,8 @@ object GraftScanTelemetry {
   *   - missing/partial stats → read;
   *   - Float/Double → null-count refutation only (NaN is excluded from
   *     parquet min/max by spec and −0.0/0.0 normalization is writer
-  *     lore, so bounds cannot be trusted against Spark's NaN-greatest,
-  *     −0.0 < 0.0 compare);
+  *     lore, so bounds cannot be trusted against Spark's NaN-greatest
+  *     order — in which, per SQLOrderingUtil, −0.0 EQUALS 0.0);
   *   - strings → bounds ARE trusted: parquet's unsigned-UTF-8-byte
   *     stats order, Spark's UTF8_BINARY collation, and
   *     [[GraftFilterEval.cmp]] are all the SAME order (cmp compares
@@ -899,7 +907,12 @@ object GraftFilterEval {
       case (a: Long, b: Int) => java.lang.Long.compare(a, b.toLong)
       case (a: Long, b: Long) => java.lang.Long.compare(a, b)
       case (a: Number, b: Number) =>
-        java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+        // Spark's SQLOrderingUtil.compareDoubles: the primitive == makes
+        // -0.0 equal 0.0 (Double.compare alone would order them, silently
+        // dropping -0.0 rows from an EqualTo(0.0) pushdown); NaN still
+        // sorts greatest via the Double.compare fallback.
+        val (x, y) = (a.doubleValue(), b.doubleValue())
+        if (x == y) 0 else java.lang.Double.compare(x, y)
       case (a: UTF8String, b: UTF8String) => a.compareTo(b)
       case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
       case (a, b) => throw new IllegalStateException(

@@ -137,6 +137,57 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
   }
 
+  test("Png codec: adversarial containers refuse cleanly — no hang, " +
+    "no throw, no one-sided size check") {
+    import graft.operators.Png
+    def be4(v: Long): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def mkChunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val t = tpe.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      be4(data.length.toLong) ++ t ++ data ++ be4(crc.getValue)
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    def ihdr(w: Int, h: Int): Array[Byte] =
+      be4(w.toLong) ++ be4(h.toLong) ++ Array[Byte](8, 2, 0, 0, 0)
+    // (1) 31-bit chunk length: Int arithmetic would wrap the bounds
+    // check negative and throw out of the chunk walk
+    val hugeLen = sig ++ be4(0x7fffffffL) ++ "IHDR".getBytes("US-ASCII") ++
+      new Array[Byte](16)
+    assert(Png.pixelStats(hugeLen).isEmpty, "oversized chunk length")
+    // (2) IHDR dims whose h*(1+3w) overflows Int: must refuse, not
+    // throw NegativeArraySizeException from the buffer allocation
+    val hugeDims = sig ++ mkChunk("IHDR", ihdr(0x40000000, 4)) ++
+      mkChunk("IDAT", Array[Byte](0x78, 0x01)) ++
+      mkChunk("IEND", Array.emptyByteArray)
+    assert(Png.pixelStats(hugeDims).isEmpty, "overflowing dimensions")
+    // (3) zlib header with the FDICT bit set: Inflater stalls at
+    // needsDictionary (0 bytes, not finished, input present) — the
+    // decoder must refuse instead of spinning forever
+    val fdict = sig ++ mkChunk("IHDR", ihdr(4, 4)) ++
+      mkChunk("IDAT", Array(0x78.toByte, 0xbb.toByte, 1, 2, 3, 4, 5)) ++
+      mkChunk("IEND", Array.emptyByteArray)
+    assert(Png.pixelStats(fdict).isEmpty, "preset-dictionary stream")
+    // (4) oversized payload: IDAT inflating to MORE rows than the IHDR
+    // declares is as malformed as inflating to fewer
+    val donor = Png.encodeRgb(4, 5, 9L) // inflates to 5 rows
+    var i = 8; var donorIdat: Array[Byte] = null
+    while (donorIdat == null) {
+      val len = ((donor(i) & 0xff) << 24) | ((donor(i + 1) & 0xff) << 16) |
+        ((donor(i + 2) & 0xff) << 8) | (donor(i + 3) & 0xff)
+      if (new String(donor, i + 4, 4, "US-ASCII") == "IDAT")
+        donorIdat = donor.slice(i + 8, i + 8 + len)
+      i += 12 + len
+    }
+    val oversized = sig ++ mkChunk("IHDR", ihdr(4, 4)) ++
+      mkChunk("IDAT", donorIdat) ++ mkChunk("IEND", Array.emptyByteArray)
+    assert(Png.pixelStats(oversized).isEmpty,
+      "stream inflating past the declared height must refuse")
+    // and the sibling donor at the DECLARED size still decodes — the
+    // refusals above aren't rejecting everything
+    assert(Png.pixelStats(Png.encodeRgb(4, 4, 9L)).isDefined)
+  }
+
   test("Png codec: roundtrip equals the generative formula AND an " +
     "independent JDK ImageIO decode, for every filter type") {
     import graft.operators.Png

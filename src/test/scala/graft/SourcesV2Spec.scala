@@ -406,4 +406,31 @@ class SourcesV2Spec extends SparkSpec {
       .filter(col("lang") === "en").select("doc_id").limit(5)
     assert(filtered.count() == viaBuiltin.count())
   }
+
+  test("pushed double comparisons follow Spark's -0.0 == 0.0 semantics") {
+    import spark.implicits._
+    // accepted pushed filters are NOT re-checked by Spark, so the
+    // connector's comparator must match SQLOrderingUtil exactly: the
+    // IEEE-distinct zeros compare EQUAL (raw Double.compare would
+    // order them and silently drop -0.0 rows from an EqualTo(0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2_negzero")
+    val path = s"$dir/t.parquet"
+    Seq((1L, -0.0), (2L, 0.0), (3L, -1.5), (4L, 1.5),
+      (5L, Double.NaN), (6L, Double.MinPositiveValue))
+      .toDF("id", "d").write.mode("overwrite").parquet(path)
+    val preds = Seq(
+      col("d") === 0.0, col("d") === -0.0, col("d") <=> -0.0,
+      col("d") < 0.0, col("d") <= -0.0, col("d") > -0.0,
+      col("d") >= 0.0, col("d") =!= 0.0, col("d") === Double.NaN)
+    for (p <- preds) {
+      val v2 = rows(viaV2(path).filter(p).select("id"))
+        .map(_.getLong(0)).toSet
+      val ref = rows(spark.read.parquet(path).filter(p).select("id"))
+        .map(_.getLong(0)).toSet
+      assert(v2 == ref, s"connector diverged from built-in for $p")
+    }
+    // the semantics, pinned explicitly: both zeros satisfy d = 0.0
+    assert(rows(viaV2(path).filter(col("d") === 0.0).select("id"))
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
 }
