@@ -229,9 +229,45 @@ object GraftAggSpec {
 case class GraftParquetScan(path: String, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
     aggs: Option[Seq[GraftAggSpec]] = None,
-    groupBy: Seq[StructField] = Nil) extends Scan with Batch {
+    groupBy: Seq[StructField] = Nil)
+  extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Runtime filters (Spark's dynamic-pruning machinery): when this scan
+    * probes a join whose build side has materialized as a broadcast,
+    * Spark derives an `In(joinKey, buildKeys)` filter and hands it here
+    * AFTER planning — mutable by API design, and deliberately outside
+    * case-class equality so scan-reuse matching is unaffected. The
+    * filters simply join the static pushed conjunction in the reader:
+    * the same footer zone-map refutation skips row groups whose bounds
+    * exclude every build-side key, and the same three-valued row
+    * evaluation drops the rest — so a selective dimension predicate
+    * prunes the FACT scan's pages inside each task, with no driver-side
+    * footer reads and no new code path. At 100 TB this is the star-join
+    * pattern: a clustered fact table only decodes the groups whose key
+    * ranges overlap the surviving dimension keys. */
+  // The holder indirection is load-bearing: Spark forces the exec's
+  // lazy readerFactory at PLANNING time (supportsColumnar), before
+  // filter() delivers anything — so the factory cannot bake the filters
+  // in at construction. It instead carries this holder, whose contents
+  // are captured at TASK-SERIALIZATION time — which happens at job
+  // submission, after filter() has run.
+  private val runtimeHolder = new GraftRuntimeFilterHolder
+  /** Observability (spec-asserted): what the dynamic-pruning machinery
+    * delivered after planning. */
+  def runtimeFilters: Array[Filter] = runtimeHolder.filters
+
+  override def filterAttributes(): Array[NamedReference] =
+    required.fields.collect {
+      case f if GraftFilterEval.comparable(f.dataType) =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit =
+    // a dropped runtime filter is always sound (the join re-applies it);
+    // keep only what the evaluator can prove semantics for
+    runtimeHolder.filters = filters.filter(GraftFilterEval.supports(_, required))
   // surfaced in .explain — the same observability contract the built-in
   // sources keep (PushedFilters / ReadSchema), spec-asserted
   override def description(): String =
@@ -242,13 +278,24 @@ case class GraftParquetScan(path: String, required: StructType,
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
       aggs.fold("")(a => s", PushedAggregation: [${a.mkString(", ")}]") +
       (if (groupBy.nonEmpty)
-        s", PushedGroupBy: [${groupBy.map(_.name).mkString(", ")}]" else "")
+        s", PushedGroupBy: [${groupBy.map(_.name).mkString(", ")}]" else "") +
+      (if (runtimeFilters.nonEmpty)
+        s", RuntimeFilters: [${runtimeFilters.mkString(", ")}]" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     GraftParquetV2.listFiles(path).map(GraftInputPartition(_)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftPartitionReaderFactory(required, pushed, limit, aggs, groupBy)
+    GraftPartitionReaderFactory(required, pushed, limit, aggs, groupBy,
+      runtimeHolder)
+}
+
+/** Mutable carrier for post-planning runtime filters (see
+  * [[GraftParquetScan.filter]]). Serialized with the reader factory at
+  * task launch, so executors see whatever the dynamic-pruning machinery
+  * delivered by then — an empty array when no join pruned this scan. */
+final class GraftRuntimeFilterHolder extends Serializable {
+  @volatile var filters: Array[Filter] = Array.empty
 }
 
 case class GraftInputPartition(file: String) extends InputPartition
@@ -256,14 +303,20 @@ case class GraftInputPartition(file: String) extends InputPartition
 case class GraftPartitionReaderFactory(required: StructType,
     pushed: Array[Filter], limit: Int = -1,
     aggs: Option[Seq[GraftAggSpec]] = None,
-    groupBy: Seq[StructField] = Nil) extends PartitionReaderFactory {
+    groupBy: Seq[StructField] = Nil,
+    runtimeHolder: GraftRuntimeFilterHolder = new GraftRuntimeFilterHolder)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GraftInputPartition].file
+    // runtime filters join the static conjunction here, so they get the
+    // same zone-map refutation and row evaluation for free (and their
+    // presence correctly demotes an agg reader's footer-only fast path)
+    val conj = pushed ++ runtimeHolder.filters
     aggs match {
       case Some(specs) if groupBy.nonEmpty =>
-        new GraftGroupedAggPartitionReader(file, groupBy, specs, pushed)
-      case Some(specs) => new GraftAggPartitionReader(file, specs, pushed)
-      case None => new GraftPartitionReader(file, required, pushed, limit)
+        new GraftGroupedAggPartitionReader(file, groupBy, specs, conj)
+      case Some(specs) => new GraftAggPartitionReader(file, specs, conj)
+      case None => new GraftPartitionReader(file, required, conj, limit)
     }
   }
 }
@@ -814,6 +867,10 @@ object GraftParquetV2 {
 object GraftFilterEval {
   private val comparableTypes: Set[DataType] =
     Set(IntegerType, LongType, DoubleType, FloatType, StringType, BooleanType)
+
+  /** Types [[cmp]] can order — the eligibility gate for runtime-filter
+    * attributes as well as static pushdown. */
+  def comparable(dt: DataType): Boolean = comparableTypes(dt)
 
   /** Only filters whose every referenced column exists with a supported
     * type, whose shape is implemented, and whose literals are non-null

@@ -17,16 +17,21 @@ class SourcesV2Spec extends SparkSpec {
     .option("path", path).load()
 
   private def graftScan(df: DataFrame): GraftParquetScan = {
-    // aggregate plans carry an exchange, so AQE wraps them — the scan
-    // leaf lives inside the adaptive plan, not under the wrapper node
-    val plan = df.queryExecution.executedPlan match {
+    // AQE wraps materialized subtrees in leaf QueryStageExec nodes (and
+    // the whole plan in AdaptiveSparkPlanExec), so a plain collect never
+    // sees a scan inside a finished stage — recurse through both
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[GraftParquetScan] = p.collect {
+      case b: BatchScanExec => b.scan match {
+        case s: GraftParquetScan => Seq(s)
+        case _ => Nil
+      }
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
-    }
-    plan.collectLeaves()
-      .collectFirst { case b: BatchScanExec => b.scan }
-      .collect { case s: GraftParquetScan => s }
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+    }.flatten
+    scans(df.queryExecution.executedPlan).headOption
       .getOrElse(fail("no GraftParquetScan in the plan"))
   }
 
@@ -405,6 +410,56 @@ class SourcesV2Spec extends SparkSpec {
     val viaBuiltin = spark.read.parquet(path)
       .filter(col("lang") === "en").select("doc_id").limit(5)
     assert(filtered.count() == viaBuiltin.count())
+  }
+
+  test("runtime filtering: a broadcast join's surviving dim keys prune " +
+    "the fact scan's row groups at runtime") {
+    import spark.implicits._
+    import graft.sources.GraftScanTelemetry
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2_dpp")
+    val path = s"$dir/t.parquet"
+    // sorted fact, tiny blocks → many row groups with disjoint id ranges
+    (0L until 40000L).map(i => (i, i * 2)).toDF("id", "v")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024)
+      .option("parquet.page.size", 8 * 1024)
+      .parquet(path)
+    // dim keys all land in the fact's first id stretch; the selective
+    // dim predicate is what DPP turns into In(id, survivors) at runtime.
+    // The dim must be FILE-backed: a LocalRelation constant-folds its
+    // filter away before PartitionPruning looks for a selective
+    // predicate, and the rule then declines to prune
+    val dimPath = s"$dir/dim.parquet"
+    (0L until 2000L).map(i => (i, s"d$i")).toDF("fid", "name")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    def q(fact: DataFrame): DataFrame =
+      fact.join(dim.filter(col("fid") % 40L === 0L), col("id") === col("fid"))
+        .select("id", "v", "name")
+
+    GraftScanTelemetry.reset()
+    val v2 = q(viaV2(path))
+    val got = rows(v2)
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val dec = GraftScanTelemetry.decodedGroups.sum()
+    val sk = GraftScanTelemetry.skippedGroups.sum()
+
+    val want = rows(q(spark.read.parquet(path)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want, "runtime-filtered scan diverged from the built-in")
+    assert(got.size == 50)
+
+    // the dynamic filter actually landed on the scan...
+    val scan = graftScan(v2)
+    assert(scan.runtimeFilters.nonEmpty,
+      "no runtime filter reached the scan — DPP did not fire")
+    assert(scan.description().contains("RuntimeFilters"))
+    // ...and it pruned: every dim key is < 2000, so row groups beyond
+    // the first id stretch are refuted from footer bounds alone
+    assert(sk > 0L,
+      s"no row group skipped (decoded=$dec) — runtime keys did not prune")
+    assert(dec < dec + sk, "vacuous")
   }
 
   test("pushed double comparisons follow Spark's -0.0 == 0.0 semantics") {
