@@ -1355,6 +1355,57 @@ object TextQueries {
             |FROM shared JOIN psize ON probe_id = psize.doc_id
             |ORDER BY train_id, probe_id""".stripMargin))
 
+  /** The fixed curation "topic" query for [[qBm25Search]] — terms from
+    * the synthetic vocabulary spanning high and mid document frequency,
+    * so idf actually differentiates. */
+  val Bm25Terms: Seq[String] = Seq("hash", "join", "spark", "vector")
+
+  /** BM25 relevance scoring of every document against a fixed topic
+    * term list — corpus-scale retrieval as a curation stage (see
+    * [[graft.text.Bm25]]). Hash-checked: idf and the per-term
+    * contribution round only their ln-dependent results, the per-doc
+    * sum is DECIMAL-exact, and the oracle replays the identical
+    * arithmetic tree. */
+  val qBm25Search = QueryDef("q_bm25_search",
+    (spark, dir) => graft.text.Bm25.score(
+      Tables.documents(spark, dir), "doc_id", "text", Bm25Terms),
+    Some {
+      val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |tk AS (
+         |  SELECT doc_id, tok FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d)
+         |  WHERE tok <> ''
+         |), dl AS (
+         |  SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id
+         |), stats AS (
+         |  SELECT (SELECT count(*) FROM tk) AS tot_toks,
+         |         (SELECT count(*) FROM d) AS n_docs
+         |), qdf AS (
+         |  SELECT tok, count(DISTINCT doc_id) AS df
+         |  FROM tk WHERE tok IN ($inList) GROUP BY tok
+         |), tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM tk WHERE tok IN ($inList) GROUP BY doc_id, tok
+         |), contribs AS (
+         |  SELECT tf.doc_id,
+         |    round(
+         |      round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |                       / (CAST(df AS DOUBLE) + 0.5)), 6)
+         |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(tf AS DOUBLE)
+         |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+         |                  / (CAST(tot_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+         |      6) AS contrib
+         |  FROM tf JOIN qdf USING (tok) JOIN dl USING (doc_id), stats
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(CAST(contrib AS DECIMAL(28,10))) AS DOUBLE) AS score,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |FROM contribs GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
     qDocFingerprints, qDistinctKmv, qDistinctHll, qTokenCms,
@@ -1363,5 +1414,5 @@ object TextQueries {
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,
     qDecontaminateContainment, qBoilerplateLines, qBoilerplateIncremental,
     qDedupSpans, qUnigramCross, qBadWords,
-    qBpeEncode, qWebCuration)
+    qBpeEncode, qWebCuration, qBm25Search)
 }

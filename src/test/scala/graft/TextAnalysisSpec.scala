@@ -188,4 +188,41 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().foreach(r =>
         assert(r.getString(1) == r.getString(0), s"redacted mismatch: $r"))
   }
+
+  test("Bm25: hand-derived score on a tiny corpus; tf saturation and " +
+    "length normalization behave; non-matching docs are omitted") {
+    import spark.implicits._
+    import graft.text.Bm25
+    val docs = Seq(
+      (1L, "cat dog"),                      // dl=2, tf(cat)=1
+      (2L, "cat cat cat dog mouse horse"),  // dl=6, tf(cat)=3
+      (3L, "dog dog dog"),                  // no query term
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Bm25.score(docs, "doc_id", "text", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L),
+      s"docs without a query term (or null text) must be omitted: $out")
+    // hand derivation (k1=1.2, b=0.75): N=3 non-null docs, df(cat)=2,
+    // avgdl = 11/3; idf = round6(ln(1 + 1.5/2.5))
+    val idf = BigDecimal(math.log(1.0 + 1.5 / 2.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bm(tf: Double, dl: Double): Double = {
+      val avgdl = 11.0 / 3.0
+      val raw = idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(1L) == (bm(1, 2), 1L), s"doc 1: ${out(1L)} vs ${bm(1, 2)}")
+    assert(out(2L) == (bm(3, 6), 1L), s"doc 2: ${out(2L)} vs ${bm(3, 6)}")
+    // tf saturation: tripling tf at 3x length still scores higher, but
+    // far below 3x (the k1 saturation + b length penalty)
+    assert(out(2L)._1 > out(1L)._1 && out(2L)._1 < 3 * out(1L)._1)
+    // multi-term: a second term adds its contribution for doc 1 only
+    val multi = Bm25.score(docs, "doc_id", "text", Seq("cat", "mouse"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(multi(2L) == 2L && multi(1L) == 1L)
+    intercept[IllegalArgumentException] {
+      Bm25.score(docs, "doc_id", "text", Nil)
+    }
+  }
 }
