@@ -265,6 +265,35 @@ object RelationalQueries {
            |FROM documents WHERE n_chars > 200
            |GROUP BY lang, source ORDER BY lang, source""".stripMargin))
 
+  /** Star join through the DSv2 connector with RUNTIME FILTERING
+    * ([[graft.sources.GraftParquetScan]]'s `SupportsRuntimeFiltering`):
+    * the fact (lineitem) probes a broadcast of the filtered supplier
+    * dim, and Spark's dynamic-pruning machinery delivers the surviving
+    * supplier keys to the connector as an `In(l_suppkey, …)` filter
+    * after the broadcast materializes — so the fact scan drops
+    * non-matching rows (and, on a suppkey-clustered layout, whole row
+    * groups) AT THE SOURCE instead of shipping them to the join. The
+    * correctness story is oracle-checked here; the pruning mechanics
+    * (skip telemetry on sorted data, parity with the built-in source)
+    * are spec-asserted in SourcesV2Spec. */
+  val qDsv2RuntimeFilter = QueryDef("q_dsv2_runtime_filter",
+    (spark, dir) => spark.read
+      .format("graft.sources.GraftParquetTableProvider")
+      .option("path", s"$dir/lineitem.parquet").load()
+      .join(Tables.supplier(spark, dir).filter(col("s_nationkey") < 5),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(28,2)")).cast("double")
+          .as("total_qty"))
+      .orderBy("s_nationkey"),
+    Some("""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+           |         AS total_qty
+           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE s_nationkey < 5
+           |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+
   /** TPC-H Q3 ("shipping priority") adapted to this schema: segment-
     * filtered customers ⋈ date-bounded orders ⋈ ship-date-bounded
     * lineitems, revenue per open order, top 10. The canonical selective-
@@ -554,6 +583,7 @@ object RelationalQueries {
   def all: Seq[QueryDef] = Seq(
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
     qDsv2Pushdown, qDsv2AggPushdown, qDsv2SumPushdown, qDsv2GroupPushdown,
+    qDsv2RuntimeFilter,
     qShippingPriority,
     qLocalSupplierVolume,
     qLargeOrders, qProfileDocuments, qZorderCells, qTriangles, qPageRank)

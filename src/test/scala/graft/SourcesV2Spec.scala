@@ -462,6 +462,15 @@ class SourcesV2Spec extends SparkSpec {
     assert(dec < dec + sk, "vacuous")
   }
 
+  test("q_dsv2_runtime_filter: the catalog star join really receives " +
+    "its dim keys as a runtime In filter") {
+    val df = SparkEntry.queries("q_dsv2_runtime_filter")(spark, sfDir)
+    assert(rows(df).nonEmpty)
+    val rf = graftScan(df).runtimeFilters
+    assert(rf.nonEmpty, "DPP did not deliver the supplier keys")
+    assert(rf.exists(_.references.contains("l_suppkey")), rf.mkString(", "))
+  }
+
   test("pushed double comparisons follow Spark's -0.0 == 0.0 semantics") {
     import spark.implicits._
     // accepted pushed filters are NOT re-checked by Spark, so the
