@@ -47,7 +47,9 @@ object PlanDump {
       "q_semantic_dedup" -> "SemDeDup (round 6): k-means assignment is a map-side codegen kernel over the broadcast centroid matrix (fit ran ahead on the persisted projection); the within-cell pair join shuffles vectors ONCE keyed by cid; evidence pairs carry 8-byte ids into the star-contraction closure; keepers anti-join at id cardinality",
       "q_dd_quantiles" -> "DDSketch quantiles (round 6): one partial-aggregated exchange of dd_quantile_agg sketch buffers (O(buckets) state per group x task, not O(rows)); no window, no sort — the quantile walk happens in eval over the merged bucket counts",
       "q_boilerplate_incremental" -> "incremental boilerplate (round 6): corpus stats = fp-keyed df sweep + candidate-bounded exact recount (same shape as the full sweep); the batch side is ONE join against the candidate-bounded stats table + the per-doc reassembly aggregate — no corpus-df re-derivation in the batch plan",
-      "q_dedup_spans" -> "duplicated-span removal (round 6): positional grams via codegen kernel (the composed HOF form measured 13-36x slower), pass-1 df shuffle carries (8-byte fp, id) only — column pruning drops the gram strings; raw grams re-enter at CANDIDATE cardinality for the collision-immune recount; covered-offset fanout is bounded by duplication volume")
+      "q_dedup_spans" -> "duplicated-span removal (round 6): positional grams via codegen kernel (the composed HOF form measured 13-36x slower), pass-1 df shuffle carries (8-byte fp, id) only — column pruning drops the gram strings; raw grams re-enter at CANDIDATE cardinality for the collision-immune recount; covered-offset fanout is bounded by duplication volume",
+      "q_bm25_search" -> "BM25 ranking (round 6): token explode in scan codegen, query-term postings FILTERED before any shuffle, per-term df broadcast, corpus scalars via broadcast 1-row frame (no driver round-trip), per-doc DECIMAL-exact sum, TakeOrderedAndProject for the top-100 (no global sort)",
+      "q_dsv2_runtime_filter" -> "DSv2 runtime filtering (round 6): the fact GraftParquetScan probes a broadcast of the filtered supplier dim; at execution Spark's dynamic pruning hands the surviving keys to the connector (In(l_suppkey, ...) — see the dynamicpruningexpression under the scan), which applies them with the same zone-map + row evaluation as static pushdown")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"

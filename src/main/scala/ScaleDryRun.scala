@@ -76,7 +76,8 @@ object ScaleDryRun {
     // warm page cache / footers — but only for the tables a WANTED
     // section reads, or a filtered run (e.g. ONLY=dsv2_prune) still
     // pays full corpus scans it never uses
-    if (Seq("dedup_clusters", "training_prep").exists(wanted)) docs.count()
+    if (Seq("dedup_clusters", "training_prep", "bm25").exists(wanted))
+      docs.count()
     if (Seq("kmeans_fit", "semantic_dedup").exists(wanted)) emb.count()
 
     section(s"dedup_clusters dir=$dir") {
@@ -94,6 +95,21 @@ object ScaleDryRun {
       val rows = graft.SparkEntry.queries("q_training_data_prep")(spark, dir)
         .queryExecution.toRdd.count()
       s"rows=$rows"
+    }
+
+    // BM25 over the replica corpus: the sf1 corpus suffixes every token
+    // with _r<k> (disjoint replicas), so the catalog's fixed terms match
+    // nothing there — expand the term list with all replica suffixes so
+    // each replica matches its own four terms and the matching postings
+    // volume scales with the corpus (the unmatched variants cost one
+    // broadcast row each). topK is corpus-sized so the limit hides no work.
+    section(s"bm25 dir=$dir") {
+      val terms = graft.TextQueries.Bm25Terms ++
+        (for (t <- graft.TextQueries.Bm25Terms; r <- 0 until 10)
+          yield s"${t}_r$r")
+      val n = graft.text.Bm25.score(docs, "doc_id", "text", terms,
+        topK = 10000000).count()
+      s"scored_docs=$n"
     }
 
     section(s"kmeans_fit dir=$dir") {
