@@ -764,6 +764,100 @@ object TextQueries {
          |ORDER BY est.source""".stripMargin
     })
 
+  /** SKETCH-PARTIALS rollup — the production distinct-count pattern at
+    * 100 TB: the raw corpus is scanned ONCE into per-source
+    * [[graft.expr.HllSketchAgg]] register arrays (one m-byte binary per
+    * cell), and the corpus-wide cardinality is answered from those 20
+    * sketches via [[graft.expr.HllMergeAgg]] + [[graft.expr.HllEstimate]]
+    * — no second pass over the data. Register-wise max is lossless
+    * (sketch of union ≡ merge of sketches), so the rolled-up 'ALL'
+    * estimate is bit-identical to sketching the union directly; the
+    * oracle re-derives BOTH levels from the same hash chain and the
+    * whole result stays hash-checked. The exact columns come along for
+    * honesty: note the global exact is NOT the sum of per-source exacts
+    * (shingles cross sources) — precisely the merge the sketch gets
+    * right. */
+  val qDistinctHllRollup = QueryDef("q_distinct_hll_rollup",
+    (spark, dir) => {
+      val sh = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(graft.expr.ShinglesExpr(col("text"), ShingleN)).as("shingle"))
+      val perSrc = sh.groupBy("source").agg(
+        graft.expr.HllAgg.sketch(
+          graft.expr.Fingerprint64(col("shingle")), HllP).as("sk"),
+        countDistinct(col("shingle")).as("exact_distinct_shingles"))
+      val globalRow = perSrc
+        .agg(graft.expr.HllAgg.mergeSketches(col("sk"), HllP).as("sk"))
+        .crossJoin(sh.agg(
+          countDistinct(col("shingle")).as("exact_distinct_shingles")))
+        .select(lit("ALL").as("source"),
+          graft.expr.HllAgg.estimate(col("sk")).as("est_distinct_shingles"),
+          col("exact_distinct_shingles"))
+      perSrc.select(col("source"),
+          graft.expr.HllAgg.estimate(col("sk")).as("est_distinct_shingles"),
+          col("exact_distinct_shingles"))
+        .unionByName(globalRow)
+        .orderBy("source")
+    },
+    Some {
+      val m = 1 << HllP
+      val wBits = 64 - HllP
+      val mask = (1L << wBits) - 1L
+      val rhoMax = wBits + 1
+      s"""WITH RECURSIVE pw(e, v) AS (
+         |  SELECT 0, CAST(1 AS HUGEINT)
+         |  UNION ALL SELECT e + 1, v * 2 FROM pw WHERE e < 66
+         |), toks AS (
+         |  SELECT source, doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE text IS NOT NULL
+         |), sh AS (
+         |  SELECT DISTINCT source, unnest(${shinglesOverWsSql(ShingleN)}) AS shingle
+         |  FROM toks
+         |), hs AS (
+         |  SELECT source, CAST(${fnvFoldSql("shingle")} AS UBIGINT) AS z
+         |  FROM sh
+         |), ${splitmixUbCtesSql("hs", "source", "s")},
+         |rv AS (
+         |  SELECT source, CAST(z >> $wBits AS BIGINT) AS j,
+         |         $rhoMax - length(ltrim(bin(z & CAST('$mask' AS UBIGINT)), '0')) AS rho
+         |  FROM sd
+         |), rvl AS (
+         |  SELECT source, j, rho FROM rv
+         |  UNION ALL SELECT 'ALL' AS source, j, rho FROM rv
+         |), regsx AS (
+         |  SELECT source, j, max(rho) AS mj FROM rvl GROUP BY source, j
+         |), grid AS (
+         |  SELECT g.source, r.range AS j
+         |  FROM (SELECT DISTINCT source FROM sh
+         |        UNION ALL SELECT 'ALL') g CROSS JOIN range($m) r
+         |), allr AS (
+         |  SELECT grid.source, grid.j, coalesce(regsx.mj, 0) AS mj
+         |  FROM grid LEFT JOIN regsx
+         |    ON grid.source = regsx.source AND grid.j = regsx.j
+         |), sums AS (
+         |  SELECT allr.source, sum(pw.v) AS ssum,
+         |         sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS vz
+         |  FROM allr JOIN pw ON pw.e = 66 - allr.mj
+         |  GROUP BY allr.source
+         |), est AS (
+         |  SELECT source,
+         |    0.7213 / (1.0 + 1.079 / CAST($m AS DOUBLE)) * $m.0 * $m.0 /
+         |    (CAST(ssum AS DOUBLE) / 73786976294838206464.0) AS e, vz
+         |  FROM sums
+         |), ex AS (
+         |  SELECT source, count(DISTINCT shingle) AS n FROM sh GROUP BY source
+         |  UNION ALL SELECT 'ALL', count(DISTINCT shingle) FROM sh
+         |)
+         |SELECT est.source,
+         |  CASE WHEN e <= 2.5 * $m.0 AND vz > 0
+         |       THEN $m.0 * round(ln($m.0 / vz), 6) ELSE e END
+         |    AS est_distinct_shingles,
+         |  CAST(ex.n AS BIGINT) AS exact_distinct_shingles
+         |FROM est JOIN ex ON est.source = ex.source
+         |ORDER BY est.source""".stripMargin
+    })
+
   /** CMS shape: d=4 rows × w=64 buckets, deliberately NARROW for this
     * corpus (~10² distinct tokens in 64 buckets guarantees collisions),
     * so the catalog entry exercises the interesting regime — estimates
@@ -1408,7 +1502,8 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
-    qDocFingerprints, qDistinctKmv, qDistinctHll, qTokenCms,
+    qDocFingerprints, qDistinctKmv, qDistinctHll, qDistinctHllRollup,
+    qTokenCms,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,

@@ -114,6 +114,14 @@ object GraftExtensions {
     "hll_distinct" -> { args =>
       arity("hll_distinct", 2, args)
       HllAgg(args(0), intLit(args(1))).toAggregateExpression() },
+    "hll_sketch" -> { args =>
+      arity("hll_sketch", 2, args)
+      HllSketchAgg(args(0), intLit(args(1))).toAggregateExpression() },
+    "hll_merge" -> { args =>
+      arity("hll_merge", 2, args)
+      HllMergeAgg(args(0), intLit(args(1))).toAggregateExpression() },
+    "hll_estimate" -> { args =>
+      HllEstimate(arity("hll_estimate", 1, args).head) },
     "splitmix64" -> { args =>
       SplitMix64Expr(arity("splitmix64", 1, args).head) },
     "interleave16" -> { args =>

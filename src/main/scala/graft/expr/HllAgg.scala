@@ -98,6 +98,160 @@ case class HllAgg(
   override def prettyName: String = "hll_distinct"
 }
 
+/** `hll_sketch(hash bigint, p) -> binary` — the REGISTER ARRAY itself,
+  * not the estimate: the sketch-partials half of the HLL family. This
+  * is the production pre-aggregation pattern at 100 TB — store one
+  * m-byte sketch per (partition, day, source, …) cell, and answer any
+  * rollup later by merging registers ([[HllMergeAgg]]) and estimating
+  * ([[HllEstimate]]) — the raw data is scanned ONCE, every subsequent
+  * distinct-count query runs over sketch-cardinality rows. Merging is
+  * lossless by construction: register-wise max over sketches of parts
+  * equals the sketch of the union, so the rolled-up estimate is
+  * BIT-IDENTICAL to sketching the union directly (spec-asserted, and
+  * the catalog rollup query's oracle re-derives both levels). */
+case class HllSketchAgg(
+    hash: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllAgg.Registers] {
+
+  require(p >= 4 && p <= 18, s"hll_sketch: p must be in [4, 18], got $p")
+
+  override def children: Seq[Expression] = Seq(hash)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = hash.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_sketch requires a BIGINT hash input (e.g. fingerprint64(col)), " +
+        s"got ${other.sql} — cast or hash explicitly")
+  }
+
+  override def createAggregationBuffer(): HllAgg.Registers =
+    new HllAgg.Registers(p)
+
+  override def update(buf: HllAgg.Registers, input: InternalRow): HllAgg.Registers = {
+    val h = hash.eval(input)
+    if (h != null) buf.offer(h.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: HllAgg.Registers, other: HllAgg.Registers): HllAgg.Registers = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  override def eval(buf: HllAgg.Registers): Any = buf.bytes.clone()
+
+  override def serialize(buf: HllAgg.Registers): Array[Byte] = buf.bytes
+
+  override def deserialize(bytes: Array[Byte]): HllAgg.Registers =
+    HllAgg.Registers.fromBytes(p, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(hash = newChildren(0))
+  override def prettyName: String = "hll_sketch"
+}
+
+/** `hll_merge(sketch binary, p) -> binary` — register-wise max over a
+  * group of [[HllSketchAgg]] sketches: the reaggregation operator.
+  * Rejects wrong-width sketches loudly (silent truncation would
+  * corrupt every downstream estimate). */
+case class HllMergeAgg(
+    sketch: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllAgg.Registers] {
+
+  require(p >= 4 && p <= 18, s"hll_merge: p must be in [4, 18], got $p")
+
+  override def children: Seq[Expression] = Seq(sketch)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = sketch.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_merge requires a BINARY hll_sketch input, got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): HllAgg.Registers =
+    new HllAgg.Registers(p)
+
+  override def update(buf: HllAgg.Registers, input: InternalRow): HllAgg.Registers = {
+    val s = sketch.eval(input)
+    if (s != null) {
+      val bytes = s.asInstanceOf[Array[Byte]]
+      require(bytes.length == (1 << p),
+        s"hll_merge: sketch width ${bytes.length} != 2^$p — " +
+          "mixing sketches of different p corrupts estimates")
+      buf.mergeFrom(HllAgg.Registers.fromBytes(p, bytes))
+    }
+    buf
+  }
+
+  override def merge(buf: HllAgg.Registers, other: HllAgg.Registers): HllAgg.Registers = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  override def eval(buf: HllAgg.Registers): Any = buf.bytes.clone()
+
+  override def serialize(buf: HllAgg.Registers): Array[Byte] = buf.bytes
+
+  override def deserialize(bytes: Array[Byte]): HllAgg.Registers =
+    HllAgg.Registers.fromBytes(p, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(sketch = newChildren(0))
+  override def prettyName: String = "hll_merge"
+}
+
+/** `hll_estimate(sketch binary) -> double` — the pinned HLL estimate
+  * over a stored register array; p is inferred from the sketch width
+  * (always a power of two by construction). Interpreted eval is
+  * deliberate: estimates run at GROUP cardinality (one row per rollup
+  * cell), never in a row-scan hot path, and the BigInt-exact harmonic
+  * sum is the bit-determinism contract shared with [[HllAgg]]. */
+case class HllEstimate(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_estimate requires a BINARY hll_sketch input, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val m = bytes.length
+    require(m >= 16 && m <= (1 << 18) && Integer.bitCount(m) == 1,
+      s"hll_estimate: sketch width $m is not a valid 2^p register array")
+    HllAgg.Registers.fromBytes(Integer.numberOfTrailingZeros(m), bytes)
+      .estimate
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
+    copy(child = newChild)
+  override def prettyName: String = "hll_estimate"
+}
+
 object HllAgg {
 
   /** 2⁶⁶ — exactly representable (power of two). The integer register
@@ -167,4 +321,11 @@ object HllAgg {
 
   def apply(hash: Column, p: Int): Column =
     toCol(HllAgg(toExpr(hash), p).toAggregateExpression())
+
+  /** Column faces of the sketch-partials family. */
+  def sketch(hash: Column, p: Int): Column =
+    toCol(HllSketchAgg(toExpr(hash), p).toAggregateExpression())
+  def mergeSketches(sk: Column, p: Int): Column =
+    toCol(HllMergeAgg(toExpr(sk), p).toAggregateExpression())
+  def estimate(sk: Column): Column = toCol(HllEstimate(toExpr(sk)))
 }

@@ -262,6 +262,53 @@ class AggregatesSpec extends SparkSpec {
     assert(viaSql > 0.0 && viaSql < 3.0, s"one-distinct estimate $viaSql")
   }
 
+  test("HLL sketch partials: merge of per-part sketches is bit-identical " +
+    "to sketching the union; estimate face agrees with hll_distinct") {
+    import spark.implicits._
+    import graft.expr.{Fingerprint64, HllAgg}
+    val p = 10
+    // three overlapping parts — union cardinality 8000, sum of parts 12000
+    val parts = Seq(
+      (0 until 5000).map(i => ("a", s"v$i")),
+      (2000 until 7000).map(i => ("b", s"v$i")),
+      (6000 until 8000).map(i => ("c", s"v$i"))).flatten
+    val df = parts.toDF("part", "v")
+    // two-level: per-part sketch -> merged -> estimate
+    val rolled = df.groupBy("part")
+      .agg(HllAgg.sketch(Fingerprint64(col("v")), p).as("sk"))
+      .agg(HllAgg.mergeSketches(col("sk"), p).as("sk"))
+      .select(HllAgg.estimate(col("sk")).as("e")).head().getDouble(0)
+    // direct: one sketch over the union
+    val direct = df.agg(HllAgg(Fingerprint64(col("v")), p).as("e"))
+      .head().getDouble(0)
+    assert(rolled == direct,
+      s"rollup must be LOSSLESS: merged=$rolled direct=$direct")
+    assert(math.abs(rolled - 8000) < 0.16 * 8000,
+      s"union estimate $rolled for 8000 distinct")
+    // estimate face == hll_distinct on the same group
+    val perGroup = df.groupBy("part").agg(
+      HllAgg.estimate(HllAgg.sketch(Fingerprint64(col("v")), p)).as("via_sketch"),
+      HllAgg(Fingerprint64(col("v")), p).as("direct"))
+    perGroup.collect().foreach(r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"faces disagree: $r"))
+    // SQL registration end to end
+    df.createOrReplaceTempView("hll_roll_in")
+    val viaSql = spark.sql(
+      """SELECT hll_estimate(hll_merge(sk, 10)) FROM
+        |  (SELECT part, hll_sketch(fingerprint64(v), 10) AS sk
+        |   FROM hll_roll_in GROUP BY part)""".stripMargin)
+      .head().getDouble(0)
+    assert(viaSql == direct, s"SQL face $viaSql != $direct")
+    // width mismatch is refused loudly, not silently mis-merged
+    val err = intercept[Exception] {
+      df.groupBy("part")
+        .agg(HllAgg.sketch(Fingerprint64(col("v")), 10).as("sk"))
+        .agg(HllAgg.mergeSketches(col("sk"), 11)).collect()
+    }
+    assert(err.getMessage.contains("hll_merge") ||
+      err.getCause != null, err.getMessage)
+  }
+
   test("CMS: estimates never undercount; wide sketch is exact; narrow collides") {
     import spark.implicits._
     import graft.operators.Sketches
