@@ -214,6 +214,33 @@ class StreamingSpec extends SparkSpec {
       sk(evs.toDF()).collect().map(key).toSet)
   }
 
+  test("HllAgg + sketch partials compose with streaming aggregation " +
+    "(stream == batch, merge across micro-batch state)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // streaming distinct-count: constant m-byte state per group however
+    // many events arrive — the streaming payoff of a mergeable sketch
+    val evs = (1 to 300).map(i => Ev(t(i % 8), (i % 3).toLong, (i % 90).toDouble))
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("user_id")
+      .agg(graft.expr.HllAgg(
+        graft.expr.Fingerprint64(col("value").cast("string")), 10).as("e"))
+    val stream = MemoryStream[Ev]
+    stream.addData(evs.take(150): _*)
+    val q = est(stream.toDF()).writeStream.format("memory")
+      .queryName("stream_hll").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(evs.drop(150): _*) // second batch: merge() runs on state
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getDouble(1))
+    val streamed = spark.table("stream_hll").collect().map(key).toSet
+    assert(streamed == est(evs.toDF()).collect().map(key).toSet)
+    // and the values are sane: 30 distinct per user_id residue class
+    streamed.foreach { case (_, e) => assert(math.abs(e - 30.0) < 8.0, e) }
+  }
+
   test("upsertSink: snapshot converges to batch latestByKey across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
