@@ -104,8 +104,13 @@ object ScaleDryRun {
     // volume scales with the corpus (the unmatched variants cost one
     // broadcast row each). topK is corpus-sized so the limit hides no work.
     section(s"bm25 dir=$dir") {
+      // replica count follows the corpus (SPARK_GRAFT_DRYRUN_REPLICAS;
+      // 10 matches the documented /tmp/sf1 recipe) — a 50x corpus run
+      // must widen the suffix range or only a fifth of it would match
+      val replicas =
+        sys.env.get("SPARK_GRAFT_DRYRUN_REPLICAS").map(_.toInt).getOrElse(10)
       val terms = graft.TextQueries.Bm25Terms ++
-        (for (t <- graft.TextQueries.Bm25Terms; r <- 0 until 10)
+        (for (t <- graft.TextQueries.Bm25Terms; r <- 0 until replicas)
           yield s"${t}_r$r")
       val n = graft.text.Bm25.score(docs, "doc_id", "text", terms,
         topK = 10000000).count()

@@ -243,8 +243,20 @@ case class HllEstimate(child: Expression)
     val m = bytes.length
     require(m >= 16 && m <= (1 << 18) && Integer.bitCount(m) == 1,
       s"hll_estimate: sketch width $m is not a valid 2^p register array")
-    HllAgg.Registers.fromBytes(Integer.numberOfTrailingZeros(m), bytes)
-      .estimate
+    val p = Integer.numberOfTrailingZeros(m)
+    // register values are provably <= 64-p+1; anything else is not an
+    // hll_sketch (a negative or oversized byte would silently shift the
+    // harmonic term to garbage) — refuse loudly, like hll_merge does
+    // for wrong widths
+    val rhoMax = 64 - p + 1
+    var j = 0
+    while (j < m) {
+      require(bytes(j) >= 0 && bytes(j) <= rhoMax,
+        s"hll_estimate: register $j holds ${bytes(j)}, outside [0, $rhoMax] " +
+          "— input is not an hll_sketch register array")
+      j += 1
+    }
+    HllAgg.Registers.fromBytes(p, bytes).estimate
   }
 
   override protected def withNewChildInternal(newChild: Expression): HllEstimate =

@@ -259,15 +259,23 @@ case class GraftParquetScan(path: String, required: StructType,
   def runtimeFilters: Array[Filter] = runtimeHolder.filters
 
   override def filterAttributes(): Array[NamedReference] =
-    required.fields.collect {
+    // with a pushed aggregation, `required` holds SYNTHETIC output
+    // columns ("sum(v)", group keys) — advertising those would invite a
+    // runtime filter the raw-file readers cannot resolve. Aggregated
+    // scans opt out of runtime filtering entirely.
+    if (aggs.isDefined) Array.empty
+    else required.fields.collect {
       case f if GraftFilterEval.comparable(f.dataType) =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
   override def filter(filters: Array[Filter]): Unit =
     // a dropped runtime filter is always sound (the join re-applies it);
-    // keep only what the evaluator can prove semantics for
-    runtimeHolder.filters = filters.filter(GraftFilterEval.supports(_, required))
+    // keep only what the evaluator can prove semantics for — and none
+    // at all on aggregated scans (mirror of filterAttributes)
+    runtimeHolder.filters =
+      if (aggs.isDefined) Array.empty
+      else filters.filter(GraftFilterEval.supports(_, required))
   // surfaced in .explain — the same observability contract the built-in
   // sources keep (PushedFilters / ReadSchema), spec-asserted
   override def description(): String =
@@ -602,6 +610,13 @@ class GraftPartitionReader(file: String, required: StructType,
     false
   }
 
+  // large top-level In lists (runtime filters deliver the build side's
+  // keys) become O(1) hash-set membership; everything else evaluates
+  // through the general three-valued path. Zone-map refutation
+  // (advanceBlock) still sees the FULL conjunction — its per-group
+  // vs.forall is bounded by group count, not row count.
+  private val (fastIns, slowFilters) = GraftFilterEval.compileIns(pushed)
+
   override def next(): Boolean = {
     // pushed limit: stop reading this partition once satisfied — the
     // remaining pages of the file are never decoded
@@ -614,7 +629,9 @@ class GraftPartitionReader(file: String, required: StructType,
           GraftParquetV2.readValue(g, i,
             projection.getType(i).asPrimitiveType()))
         def byName(n: String): Any = vals(physCols.indexOf(n))
-        if (pushed.forall(f => GraftFilterEval.eval(f, byName).contains(true))) {
+        if (fastIns.forall(ci => ci.keep(byName(ci.attribute))) &&
+            slowFilters.forall(f =>
+              GraftFilterEval.eval(f, byName).contains(true))) {
           row = outIdx.map(vals)
           emitted += 1
           return true
@@ -871,6 +888,65 @@ object GraftFilterEval {
   /** Types [[cmp]] can order — the eligibility gate for runtime-filter
     * attributes as well as static pushdown. */
   def comparable(dt: DataType): Boolean = comparableTypes(dt)
+
+  /** Hash-set key with [[cmp]]'s equality semantics: integrals widen to
+    * Long, floats to Double with −0.0 canonicalized to 0.0 (NaN keys
+    * self-match via java.lang.Double.equals, exactly like cmp's
+    * Double.compare fallback), strings to UTF8String. */
+  private def setKey(v: Any): Any = v match {
+    case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
+    case l: java.lang.Long => l
+    case s: java.lang.Short => java.lang.Long.valueOf(s.longValue())
+    case b: java.lang.Byte => java.lang.Long.valueOf(b.longValue())
+    case f: java.lang.Float => canonDouble(f.doubleValue())
+    case d: java.lang.Double => canonDouble(d.doubleValue())
+    case s: String => UTF8String.fromString(s)
+    case other => other // UTF8String, Boolean
+  }
+
+  private def canonDouble(d: Double): java.lang.Double =
+    if (d == 0.0) java.lang.Double.valueOf(0.0) else java.lang.Double.valueOf(d)
+
+  private def keyClass(v: Any): Int = v match {
+    case _: java.lang.Integer | _: java.lang.Long |
+         _: java.lang.Short | _: java.lang.Byte => 0
+    case _: java.lang.Float | _: java.lang.Double => 1
+    case _: String | _: UTF8String => 2
+    case _: java.lang.Boolean => 3
+    case _ => -1
+  }
+
+  /** Minimum In-list size for the hash-set fast path — below this the
+    * linear scan is at least as fast and carries zero behavior risk. */
+  private val InSetThreshold = 8
+
+  /** A pre-normalized membership test for one top-level `In` conjunct. */
+  final case class CompiledIn(attribute: String, set: java.util.HashSet[Any]) {
+    def keep(x: Any): Boolean = x != null && set.contains(setKey(x))
+  }
+
+  /** Split a pushed conjunction into hash-set-backed top-level In tests
+    * and the general evaluator's residue. Runtime filters (DPP) arrive
+    * as top-level `In(joinKey, buildKeys)` with potentially 10⁵⁺ keys —
+    * evaluated linearly per row that is O(rows × keys) in the scan hot
+    * path; the set makes it O(1) per row. Only homogeneous value lists
+    * compile (mixed numeric classes keep cmp's cross-type semantics on
+    * the slow path), and the row-keep decision is IDENTICAL: x null →
+    * dropped either way, membership equality is [[setKey]] ≡ cmp = 0. */
+  def compileIns(pushed: Array[Filter])
+      : (Array[CompiledIn], Array[Filter]) = {
+    val fast = collection.mutable.ArrayBuffer.empty[CompiledIn]
+    val slow = collection.mutable.ArrayBuffer.empty[Filter]
+    pushed.foreach {
+      case In(a, vs) if vs.length >= InSetThreshold && vs.forall(_ != null) &&
+          vs.map(keyClass).distinct.length == 1 && keyClass(vs.head) >= 0 =>
+        val set = new java.util.HashSet[Any](vs.length * 2)
+        vs.foreach(v => set.add(setKey(v)))
+        fast += CompiledIn(a, set)
+      case f => slow += f
+    }
+    (fast.toArray, slow.toArray)
+  }
 
   /** Only filters whose every referenced column exists with a supported
     * type, whose shape is implemented, and whose literals are non-null

@@ -459,7 +459,9 @@ class SourcesV2Spec extends SparkSpec {
     // the first id stretch are refuted from footer bounds alone
     assert(sk > 0L,
       s"no row group skipped (decoded=$dec) — runtime keys did not prune")
-    assert(dec < dec + sk, "vacuous")
+    // all dim keys live in the first id stretch, so on this sorted
+    // layout skipped groups must DOMINATE decoded ones
+    assert(sk > dec, s"weak pruning: decoded=$dec skipped=$sk")
   }
 
   test("q_dsv2_runtime_filter: the catalog star join really receives " +
@@ -469,6 +471,32 @@ class SourcesV2Spec extends SparkSpec {
     val rf = graftScan(df).runtimeFilters
     assert(rf.nonEmpty, "DPP did not deliver the supplier keys")
     assert(rf.exists(_.references.contains("l_suppkey")), rf.mkString(", "))
+  }
+
+  test("large In lists (the runtime-filter shape) keep exact semantics " +
+    "on the hash-set fast path: -0.0, NaN, strings, longs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2_inset")
+    val path = s"$dir/t.parquet"
+    Seq((1L, -0.0, "a"), (2L, 0.0, "b"), (3L, Double.NaN, "ab"),
+      (4L, 1.5, "é"), (5L, -1.5, ""), (6L, 2.5, "z"))
+      .toDF("id", "d", "s").write.mode("overwrite").parquet(path)
+    // >= 8 values → compiled set; membership must match cmp semantics
+    val dIn = Seq(0.0, Double.NaN, 7.0, 8.0, 9.0, 10.0, 11.0, 12.0)
+    val lIn = (1L to 3L) ++ (100L to 104L)
+    val sIn = Seq("a", "é", "x1", "x2", "x3", "x4", "x5", "x6")
+    for (p <- Seq(col("d").isin(dIn: _*), col("id").isin(lIn: _*),
+        col("s").isin(sIn: _*))) {
+      val v2 = rows(viaV2(path).filter(p).select("id"))
+        .map(_.getLong(0)).toSet
+      val ref = rows(spark.read.parquet(path).filter(p).select("id"))
+        .map(_.getLong(0)).toSet
+      assert(v2 == ref, s"fast-path In diverged for $p: $v2 vs $ref")
+    }
+    // pin the interesting memberships: -0.0 matches In(...0.0...), NaN
+    // matches In(...NaN...) — Spark's semantics, now set-backed
+    assert(rows(viaV2(path).filter(col("d").isin(dIn: _*)).select("id"))
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
   test("pushed double comparisons follow Spark's -0.0 == 0.0 semantics") {

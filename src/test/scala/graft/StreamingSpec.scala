@@ -221,10 +221,17 @@ class StreamingSpec extends SparkSpec {
     // streaming distinct-count: constant m-byte state per group however
     // many events arrive — the streaming payoff of a mergeable sketch
     val evs = (1 to 300).map(i => Ev(t(i % 8), (i % 3).toLong, (i % 90).toDouble))
+    // both faces in the same streaming agg: the estimate aggregate AND
+    // the sketch partial (serialized/merged as micro-batch state) read
+    // through hll_estimate — they must agree row for row
     def est(df: org.apache.spark.sql.DataFrame) = df
       .groupBy("user_id")
-      .agg(graft.expr.HllAgg(
-        graft.expr.Fingerprint64(col("value").cast("string")), 10).as("e"))
+      .agg(
+        graft.expr.HllAgg(
+          graft.expr.Fingerprint64(col("value").cast("string")), 10).as("e"),
+        graft.expr.HllAgg.estimate(graft.expr.HllAgg.sketch(
+          graft.expr.Fingerprint64(col("value").cast("string")), 10))
+          .as("e_sketch"))
     val stream = MemoryStream[Ev]
     stream.addData(evs.take(150): _*)
     val q = est(stream.toDF()).writeStream.format("memory")
@@ -234,11 +241,15 @@ class StreamingSpec extends SparkSpec {
       stream.addData(evs.drop(150): _*) // second batch: merge() runs on state
       q.processAllAvailable()
     } finally q.stop()
-    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getDouble(1))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
     val streamed = spark.table("stream_hll").collect().map(key).toSet
     assert(streamed == est(evs.toDF()).collect().map(key).toSet)
-    // and the values are sane: 30 distinct per user_id residue class
-    streamed.foreach { case (_, e) => assert(math.abs(e - 30.0) < 8.0, e) }
+    streamed.foreach { case (_, e, eSk) =>
+      assert(e == eSk, s"sketch face diverged from estimate face: $e vs $eSk")
+      // and the values are sane: 30 distinct per user_id residue class
+      assert(math.abs(e - 30.0) < 8.0, e)
+    }
   }
 
   test("upsertSink: snapshot converges to batch latestByKey across micro-batches") {
