@@ -359,8 +359,10 @@ class GraftGroupedAggPartitionReader(file: String, groupBy: Seq[StructField],
     val scanSchema = StructType(schema.fields.filter(f => cols.contains(f.name)))
     val inner = new GraftPartitionReader(file, scanSchema, pushed, -1)
     val idx = scanSchema.fieldNames.zipWithIndex.toMap
+    // columns this file predates read as null (schema evolution) —
+    // group keys become null keys, aggregate inputs contribute nothing
     def valueOf(row: InternalRow, n: String): Any =
-      row.get(idx(n), schema(n).dataType)
+      idx.get(n).map(i => row.get(i, schema(n).dataType)).orNull
     // insertion-ordered so output is deterministic per file (not load-
     // bearing — Spark re-groups — but it keeps re-runs byte-stable)
     val groups = collection.mutable.LinkedHashMap.empty[List[Any], Acc]
@@ -485,6 +487,11 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
     val scanSchema = StructType(schema.fields.filter(f => cols.contains(f.name)))
     val inner = new GraftPartitionReader(file, scanSchema, pushed, -1)
     val idx = scanSchema.fieldNames.zipWithIndex.toMap
+    // columns this file predates read as null (schema evolution):
+    // count(col) sees 0, min/max/sum skip — the aggregate semantics of
+    // an all-null column
+    def valueOf(row: InternalRow, n: String): Any =
+      idx.get(n).map(i => row.get(i, schema(n).dataType)).orNull
     var count = 0L
     val colCount = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     val mins = collection.mutable.Map.empty[String, Any]
@@ -500,13 +507,13 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
         count += 1
         specs.foreach {
           case GraftAggSpec.CountCol(n) =>
-            if (row.get(idx(n), schema(n).dataType) != null) colCount(n) += 1
+            if (valueOf(row, n) != null) colCount(n) += 1
           case GraftAggSpec.MinCol(n, dt) =>
-            fold(mins, n, row.get(idx(n), dt), dt, isMin = true)
+            fold(mins, n, valueOf(row, n), dt, isMin = true)
           case GraftAggSpec.MaxCol(n, dt) =>
-            fold(maxs, n, row.get(idx(n), dt), dt, isMin = false)
+            fold(maxs, n, valueOf(row, n), dt, isMin = false)
           case GraftAggSpec.SumCol(n) =>
-            row.get(idx(n), schema(n).dataType) match {
+            valueOf(row, n) match {
               case null => ()
               case v: java.lang.Number =>
                 // addExact: overflow throws (ANSI posture) rather than
@@ -556,25 +563,31 @@ class GraftPartitionReader(file: String, required: StructType,
     HadoopInputFile.fromPath(new Path(file), conf))
   private val fileSchema = in.getFooter.getFileMetaData.getSchema
   // Everything between open() and a fully-constructed reader runs under
-  // a close-on-throw guard: the schema require below throws per task
-  // attempt on heterogeneous part files, and an unclosed
-  // ParquetFileReader per attempt is a file-descriptor leak on a
-  // long-running executor.
+  // a close-on-throw guard — an unclosed ParquetFileReader per failed
+  // task attempt is a file-descriptor leak on a long-running executor.
+  //
+  // SCHEMA EVOLUTION (add-column): a wanted column absent from THIS
+  // file's footer is read as all-null — the lakehouse contract for
+  // files written before the column existed, and exactly what the
+  // built-in source does under an explicit schema. Pushed filters over
+  // the missing column evaluate against null under the same
+  // three-valued rules as any null cell (IsNull keeps, comparisons
+  // drop), so the pushdown split stays behavior-preserving. Directory
+  // scans supply the evolved schema externally
+  // (`supportsExternalMetadata`; inference reads one footer).
   private val (physCols, projection, columnIO, blocks) =
     try {
       val wanted: Array[String] =
         (required.fieldNames ++ pushed.flatMap(_.references)).distinct
-      // a COUNT-shaped scan (nothing required, nothing pushed) still
-      // needs one physical column to drive record iteration
+      val present = wanted.filter(fileSchema.containsField)
+      // a scan needing no physical column from this file (COUNT-shaped,
+      // or every wanted column missing) still needs one column to drive
+      // record iteration
       val cols: Array[String] =
-        if (wanted.nonEmpty) wanted
+        if (present.nonEmpty) present
         else Array(fileSchema.getFields.get(0).getName)
       val proj = new MessageType(fileSchema.getName,
-        cols.map { n =>
-          require(fileSchema.containsField(n),
-            s"graft parquet v2: column '$n' not in $file")
-          fileSchema.getType(fileSchema.getFieldIndex(n))
-        }.toSeq: _*)
+        cols.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))).toSeq: _*)
       in.setRequestedSchema(proj)
       (cols, proj,
         new org.apache.parquet.io.ColumnIOFactory().getColumnIO(proj),
@@ -584,6 +597,7 @@ class GraftPartitionReader(file: String, required: StructType,
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var recordsLeft = 0L
 
+  // -1 = column absent from this file → null-filled (schema evolution)
   private val outIdx: Array[Int] =
     required.fieldNames.map(n => physCols.indexOf(n))
   private var row: Array[Any] = _
@@ -628,11 +642,14 @@ class GraftPartitionReader(file: String, required: StructType,
         val vals = Array.tabulate[Any](physCols.length)(i =>
           GraftParquetV2.readValue(g, i,
             projection.getType(i).asPrimitiveType()))
-        def byName(n: String): Any = vals(physCols.indexOf(n))
+        def byName(n: String): Any = physCols.indexOf(n) match {
+          case -1 => null // absent from this file: evolved column
+          case i => vals(i)
+        }
         if (fastIns.forall(ci => ci.keep(byName(ci.attribute))) &&
             slowFilters.forall(f =>
               GraftFilterEval.eval(f, byName).contains(true))) {
-          row = outIdx.map(vals)
+          row = outIdx.map(i => if (i < 0) null else vals(i))
           emitted += 1
           return true
         }

@@ -473,6 +473,59 @@ class SourcesV2Spec extends SparkSpec {
     assert(rf.exists(_.references.contains("l_suppkey")), rf.mkString(", "))
   }
 
+  test("schema evolution: files predating an added column read it as " +
+    "null — rows, filters, and pushed aggregates match the built-in") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StructType => ST}
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2_evolve")
+    val path = s"$dir/t.parquet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    def writeInto(df: DataFrame, tag: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"evolve_$tag")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.matches(".*part-.*\\.parquet$")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$path/$tag.parquet"))
+    }
+    // the old file predates both `extra` (long) and `tag` (string)
+    writeInto((0L until 50L).map(i => (i, i * 2)).toDF("id", "v"), "old")
+    writeInto((50L until 90L).map(i => (i, i * 2, i % 7, s"g${i % 3}"))
+      .toDF("id", "v", "extra", "tag"), "new")
+    val evolved = new ST()
+      .add("id", "long").add("v", "long").add("extra", "long")
+      .add("tag", "string")
+    def v2 = spark.read.format("graft.sources.GraftParquetTableProvider")
+      .schema(evolved).option("path", path).load()
+    def builtin = spark.read.schema(evolved).parquet(path)
+    def set(df: DataFrame) = rows(df).map(_.toString).toSet
+
+    // full rows: old-file rows carry null extra/tag
+    assert(set(v2) == set(builtin))
+    assert(rows(v2.filter(col("id") < 50L).select("extra"))
+      .forall(_.isNullAt(0)))
+    // filters over the evolved column — incl. an In wide enough for the
+    // hash-set fast path (null never matches) and three-valued Not
+    val preds = Seq(col("extra").isNull, col("extra").isNotNull,
+      col("extra") === 3L, !(col("extra") === 3L),
+      col("extra").isin(0L to 9L: _*), col("tag") === "g1")
+    for (p <- preds)
+      assert(set(v2.filter(p).select("id")) ==
+        set(builtin.filter(p).select("id")), s"diverged for $p")
+    // pushed global aggregates: count(extra) excludes the old file,
+    // min/max/sum treat it as all-null
+    def aggd(df: DataFrame) = df.agg(count(lit(1)).as("n"),
+      count(col("extra")).as("n_extra"), min("extra").as("mn"),
+      max("extra").as("mx"), sum("extra").as("sm"))
+    assert(set(aggd(v2)) == set(aggd(builtin)))
+    assert(graftScan(aggd(v2)).aggs.isDefined, "aggregation not pushed")
+    // grouped pushdown: the old file contributes a null group
+    def grouped(df: DataFrame) = df.groupBy("tag")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy(col("tag").asc_nulls_first)
+    assert(rows(grouped(v2)).toString == rows(grouped(builtin)).toString)
+  }
+
   test("large In lists (the runtime-filter shape) keep exact semantics " +
     "on the hash-set fast path: -0.0, NaN, strings, longs") {
     import spark.implicits._
