@@ -533,6 +533,60 @@ object RelationalQueries {
             |SELECT n AS station_id, CAST(count(*) AS BIGINT) AS n_triangles
             |FROM nodes GROUP BY n ORDER BY n""".stripMargin))
 
+  /** BFS hop budget for [[qBfsStations]]: enough to settle the whole
+    * backbone component at every SF (its diameter is small — heavy
+    * routes form a dense core), while still exercising the truncation
+    * contract in the spec. */
+  val BfsMaxHops = 8
+
+  /** Single-source BFS over the backbone rides graph
+    * ([[graft.operators.Graphs.bfsDistances]]): hop distance from the
+    * hub of the HEAVIEST route (deterministically tie-broken) to every
+    * station within [[BfsMaxHops]]. The oracle replays it with a
+    * recursive CTE — `min(d)` over the deduplicated (node, depth)
+    * expansion is exactly the BFS distance, and the hop cap bounds the
+    * recursion in lockstep with the loop. The one driver action (the
+    * source pick off the 5000-row backbone head) is model-scale. */
+  val qBfsStations = QueryDef("q_bfs_stations",
+    (spark, dir) => {
+      val backbone = Tables.rides(spark, dir)
+        .filter(col("start_station_id") =!= col("end_station_id"))
+        .groupBy(
+          least(col("start_station_id"), col("end_station_id")).as("u"),
+          greatest(col("start_station_id"), col("end_station_id")).as("v"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("u"), col("v"))
+        .limit(BackboneEdges)
+      val srcNode = backbone.select("u").head().getLong(0)
+      graft.operators.Graphs.bfsDistances(backbone, "u", "v",
+        srcNode, BfsMaxHops)
+        .select(col("node").as("station_id"), col("dist"))
+        .orderBy("station_id")
+    },
+    Some(s"""WITH RECURSIVE ${Catalog.ridesSql},
+            |edb AS (
+            |  SELECT least(start_station_id, end_station_id) AS u,
+            |         greatest(start_station_id, end_station_id) AS v,
+            |         count(*) AS c
+            |  FROM rides WHERE start_station_id <> end_station_id
+            |  GROUP BY 1, 2
+            |  ORDER BY c DESC, u, v LIMIT $BackboneEdges
+            |),
+            |adj AS (
+            |  SELECT u AS a, v AS b FROM edb
+            |  UNION ALL SELECT v, u FROM edb
+            |),
+            |srcn AS (SELECT u AS s FROM edb ORDER BY c DESC, u, v LIMIT 1),
+            |bfs(node, d) AS (
+            |  SELECT s, 0 FROM srcn
+            |  UNION
+            |  SELECT adj.b, bfs.d + 1
+            |  FROM bfs JOIN adj ON adj.a = bfs.node
+            |  WHERE bfs.d < $BfsMaxHops
+            |)
+            |SELECT node AS station_id, CAST(min(d) AS INTEGER) AS dist
+            |FROM bfs GROUP BY node ORDER BY station_id""".stripMargin))
+
   /** Power iterations for [[qPageRank]] — enough for ~1e-6 convergence
     * on the rides graph, small enough for a readable unrolled oracle. */
   val PrIters = 10
@@ -586,5 +640,6 @@ object RelationalQueries {
     qDsv2RuntimeFilter,
     qShippingPriority,
     qLocalSupplierVolume,
-    qLargeOrders, qProfileDocuments, qZorderCells, qTriangles, qPageRank)
+    qLargeOrders, qProfileDocuments, qZorderCells, qTriangles, qPageRank,
+    qBfsStations)
 }

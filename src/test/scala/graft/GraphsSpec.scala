@@ -113,6 +113,25 @@ class GraphsSpec extends SparkSpec {
         s"iters=3 → $e3, iters=6 → $e6")
   }
 
+  test("bfsDistances: hop distances on a known graph; undirected; " +
+    "maxHops truncates; unreachable nodes absent; duplicate edges benign") {
+    // path 1-2-3-4, branch 2-5, cycle back 5-3, island 8-9; a self-loop
+    // and a duplicate edge must not disturb anything
+    val edges = g(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 5L, 5L -> 3L,
+      8L -> 9L, 4L -> 4L, 3L -> 2L)
+    def run(src: Long, hops: Int): Map[Long, Int] =
+      rows(Graphs.bfsDistances(edges, "s", "t", src, hops))
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(run(1L, 8) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 2))
+    // undirected: from 4 the path runs backwards
+    assert(run(4L, 8) == Map(4L -> 0, 3L -> 1, 2L -> 2, 5L -> 2, 1L -> 3))
+    // truncation: maxHops 1 keeps only the source's neighborhood
+    assert(run(1L, 1) == Map(1L -> 0, 2L -> 1))
+    assert(run(1L, 0) == Map(1L -> 0))
+    // the island is its own component
+    assert(run(8L, 8) == Map(8L -> 0, 9L -> 1))
+  }
+
   test("triangle set is partitioning-invariant") {
     val edges = (for (a <- 1L to 12L; b <- a + 1 to 12L
       if (a + b) % 3 != 0) yield (a, b))
