@@ -175,6 +175,18 @@ object ScaleDryRun {
         // the m^1.5 bound the wedge fanout must stay under at any scale
         f"m=$m wedges=$wedges m15=${math.pow(m.toDouble, 1.5)}%.0f tri_nodes=$tri"
       }
+      section(s"bfs dir=$dir replicas=$k") {
+        // disjoint replicas: BFS settles only the source's replica, so
+        // settled counts stay FLAT at k× edges while the per-hop joins
+        // run against the k×-bigger adjacency — the signal is hop count
+        // (diameter-bound, must not grow) and bytes staying near-flat
+        val d = graft.operators.Graphs.bfsDistances(
+          stationEdges(k), "src", "dst", 1L,
+          graft.RelationalQueries.BfsMaxHops)
+        val settled = d.count()
+        val hops = d.agg(max(col("dist"))).head().getInt(0)
+        s"settled=$settled max_hop=$hops"
+      }
     }
 
     // ---- DSv2 row-group zone-map pruning (round-6 addition): on a
