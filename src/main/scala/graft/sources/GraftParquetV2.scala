@@ -230,9 +230,26 @@ case class GraftParquetScan(path: String, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
     aggs: Option[Seq[GraftAggSpec]] = None,
     groupBy: Seq[StructField] = Nil)
-  extends Scan with Batch with SupportsRuntimeFiltering {
+  extends Scan with Batch with SupportsRuntimeFiltering
+  with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Planner-visible size: without this, a V2 relation defaults to
+    * `spark.sql.defaultSizeInBytes` = Long.MaxValue — a connector-
+    * scanned dimension table could NEVER be auto-broadcast and every
+    * join above it degraded to sort-merge. On-disk (compressed) bytes
+    * from the file listing are the same conservative estimate the
+    * built-in FileScan starts from; no footer reads, so planning cost
+    * stays O(files). Row count is left unknown — nothing in the
+    * planner needs it badly enough to justify opening footers. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = GraftParquetV2.totalFileBytes(path)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   /** Runtime filters (Spark's dynamic-pruning machinery): when this scan
     * probes a join whose build side has materialized as a broadcast,
@@ -811,6 +828,20 @@ object GraftParquetV2 {
         .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
         .map(_.toString).sorted
     else Seq(path)
+  }
+
+  /** Total on-disk bytes of the table's files — from filesystem
+    * metadata only (the same listing planInputPartitions already pays;
+    * NO footer reads, so planning stays O(files) cheap at any scale). */
+  def totalFileBytes(path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).toSeq
+        .filter(f => f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+    else fs.getFileStatus(p).getLen
   }
 
   def firstFile(path: String): String = {

@@ -473,6 +473,32 @@ class SourcesV2Spec extends SparkSpec {
     assert(rf.exists(_.references.contains("l_suppkey")), rf.mkString(", "))
   }
 
+  test("reported statistics: real on-disk size reaches the planner, so " +
+    "a small connector-scanned dim can auto-broadcast") {
+    val path = s"$sfDir/customer.parquet"
+    // the scan reports exactly the file's on-disk bytes
+    val stats = graftScan(viaV2(path).select("c_custkey"))
+      .estimateStatistics()
+    val onDisk = new java.io.File(path).length()
+    assert(stats.sizeInBytes().getAsLong == onDisk,
+      s"reported ${stats.sizeInBytes()} != on-disk $onDisk")
+    // planner consequence: with a threshold between dim and fact size,
+    // the v2 dim broadcasts (the default-stats behavior was
+    // Long.MaxValue → sort-merge, never broadcast)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "20000")
+    try {
+      val dim = viaV2(path) // 6.9 KB < 20 KB
+      val fact = spark.read.parquet(s"$sfDir/orders.parquet") // 35 KB
+      val j = fact.join(dim, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_custkey")
+      assert(rows(j).nonEmpty)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"v2 dim not broadcast despite reported stats:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("schema evolution: files predating an added column read it as " +
     "null — rows, filters, and pushed aggregates match the built-in") {
     import spark.implicits._
