@@ -307,8 +307,30 @@ case class GraftParquetScan(path: String, required: StructType,
       (if (runtimeFilters.nonEmpty)
         s", RuntimeFilters: [${runtimeFilters.mkString(", ")}]" else "")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftParquetV2.listFiles(path).map(GraftInputPartition(_)).toArray
+  // write-time per-file zone maps (when the table was written by
+  // Sinks.parquetWithStats): loaded once per scan, consulted on every
+  // partition planning — including the RE-planning after runtime
+  // filters arrive, so a broadcast join's dim keys can drop whole
+  // FILES, not just row groups, before any task is scheduled
+  @transient private lazy val statsManifest =
+    GraftParquetV2.loadStatsManifest(path)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = GraftParquetV2.listFiles(path)
+    val conj = pushed ++ runtimeFilters
+    val kept =
+      if (conj.isEmpty || statsManifest.isEmpty) files
+      else files.filter { f =>
+        statsManifest.get(new Path(f).getName) match {
+          case Some(cols) =>
+            val refuted = GraftStatsPrune.provablyEmptyStats(conj, cols.get)
+            if (refuted) GraftScanTelemetry.skippedFiles.increment()
+            !refuted
+          case None => true // unknown file: always read
+        }
+      }
+    kept.map(GraftInputPartition(_)).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftPartitionReaderFactory(required, pushed, limit, aggs, groupBy,
@@ -685,7 +707,11 @@ class GraftPartitionReader(file: String, required: StructType,
 object GraftScanTelemetry {
   val decodedGroups = new java.util.concurrent.atomic.LongAdder
   val skippedGroups = new java.util.concurrent.atomic.LongAdder
-  def reset(): Unit = { decodedGroups.reset(); skippedGroups.reset() }
+  /** Whole files dropped at planning by the stats-manifest zone maps. */
+  val skippedFiles = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = {
+    decodedGroups.reset(); skippedGroups.reset(); skippedFiles.reset()
+  }
 }
 
 /** Footer-statistics row-group refutation for pushed source filters —
@@ -713,13 +739,24 @@ object GraftScanTelemetry {
 object GraftStatsPrune {
   import org.apache.parquet.hadoop.metadata.BlockMetaData
 
-  private final case class ColStats(min: Any, max: Any, numNulls: Long,
+  /** Per-column zone-map entry — built from a row group's footer stats
+    * or (file-level pruning) from a write-time stats manifest. */
+  final case class ColStats(min: Any, max: Any, numNulls: Long,
       nullsSet: Boolean, valueCount: Long)
 
   /** The pushed filters are a conjunction: one refuted conjunct refutes
     * the whole group. */
-  def provablyEmpty(pushed: Array[Filter], block: BlockMetaData): Boolean =
-    pushed.exists(refuted(_, block))
+  def provablyEmpty(pushed: Array[Filter], block: BlockMetaData): Boolean = {
+    val lookup: String => Option[ColStats] = statsOf(block, _)
+    pushed.exists(refuted(_, lookup))
+  }
+
+  /** Same refutation over any zone-map source (e.g. the per-FILE stats
+    * manifest a graft sink records) — one proof engine, two
+    * granularities. */
+  def provablyEmptyStats(pushed: Array[Filter],
+      lookup: String => Option[ColStats]): Boolean =
+    pushed.exists(refuted(_, lookup))
 
   private def statsOf(block: BlockMetaData, name: String): Option[ColStats] =
     block.getColumns.asScala.find(_.getPath.toDotString == name).flatMap { c =>
@@ -760,53 +797,53 @@ object GraftStatsPrune {
 
   /** Refuted when the column is provably all-null (no comparison yields
     * TRUE), or when `p(cmp(min,lit), cmp(max,lit))` proves emptiness. */
-  private def boundsRefute(block: BlockMetaData, a: String, lit: Any)(
-      p: (Int, Int) => Boolean): Boolean =
-    statsOf(block, a).exists { s =>
+  private def boundsRefute(lookup: String => Option[ColStats], a: String,
+      lit: Any)(p: (Int, Int) => Boolean): Boolean =
+    lookup(a).exists { s =>
       allNull(s) ||
         (orderSafe(lit) && s.min != null && s.max != null &&
           (for (cn <- safeCmp(s.min, lit); cx <- safeCmp(s.max, lit))
             yield p(cn, cx)).getOrElse(false))
     }
 
-  private def refuted(f: Filter, block: BlockMetaData): Boolean = f match {
-    case And(l, r) => refuted(l, block) || refuted(r, block)
-    case Or(l, r) => refuted(l, block) && refuted(r, block)
+  private def refuted(f: Filter, lookup: String => Option[ColStats]): Boolean = f match {
+    case And(l, r) => refuted(l, lookup) || refuted(r, lookup)
+    case Or(l, r) => refuted(l, lookup) && refuted(r, lookup)
     case Not(_) => false // dual proof obligations; out of scope
     case IsNull(a) =>
-      statsOf(block, a).exists(s => s.nullsSet && s.numNulls == 0L)
-    case IsNotNull(a) => statsOf(block, a).exists(allNull)
+      lookup(a).exists(s => s.nullsSet && s.numNulls == 0L)
+    case IsNotNull(a) => lookup(a).exists(allNull)
     case EqualTo(a, v) =>
-      boundsRefute(block, a, v)((cn, cx) => cn > 0 || cx < 0)
+      boundsRefute(lookup, a, v)((cn, cx) => cn > 0 || cx < 0)
     case EqualNullSafe(a, v) => // supports() guarantees v != null
-      boundsRefute(block, a, v)((cn, cx) => cn > 0 || cx < 0)
+      boundsRefute(lookup, a, v)((cn, cx) => cn > 0 || cx < 0)
     case In(a, vs) =>
-      vs.isEmpty || statsOf(block, a).exists(allNull) ||
-        vs.forall(v => boundsRefute(block, a, v)((cn, cx) => cn > 0 || cx < 0))
+      vs.isEmpty || lookup(a).exists(allNull) ||
+        vs.forall(v => boundsRefute(lookup, a, v)((cn, cx) => cn > 0 || cx < 0))
     case GreaterThan(a, v) =>
-      boundsRefute(block, a, v)((_, cx) => cx <= 0)
+      boundsRefute(lookup, a, v)((_, cx) => cx <= 0)
     case GreaterThanOrEqual(a, v) =>
-      boundsRefute(block, a, v)((_, cx) => cx < 0)
+      boundsRefute(lookup, a, v)((_, cx) => cx < 0)
     case LessThan(a, v) =>
-      boundsRefute(block, a, v)((cn, _) => cn >= 0)
+      boundsRefute(lookup, a, v)((cn, _) => cn >= 0)
     case LessThanOrEqual(a, v) =>
-      boundsRefute(block, a, v)((cn, _) => cn > 0)
+      boundsRefute(lookup, a, v)((cn, _) => cn > 0)
     case StringStartsWith(a, p) =>
-      statsOf(block, a).exists(allNull) || {
+      lookup(a).exists(allNull) || {
         // matches satisfy p <= v < succ(p) in byte order, succ(p) =
         // p with its last byte incremented (last byte 0xff: no upper
         // bound, only the lower check applies)
         val pb = UTF8String.fromString(p).getBytes
         (pb.nonEmpty &&
-          boundsRefute(block, a, UTF8String.fromBytes(pb))((_, cx) => cx < 0)) ||
+          boundsRefute(lookup, a, UTF8String.fromBytes(pb))((_, cx) => cx < 0)) ||
         (pb.nonEmpty && (pb(pb.length - 1) & 0xff) < 0xff && {
           val succ = pb.clone()
           succ(succ.length - 1) = (succ(succ.length - 1) + 1).toByte
-          boundsRefute(block, a, UTF8String.fromBytes(succ))((cn, _) => cn >= 0)
+          boundsRefute(lookup, a, UTF8String.fromBytes(succ))((cn, _) => cn >= 0)
         })
       }
-    case StringEndsWith(a, _) => statsOf(block, a).exists(allNull)
-    case StringContains(a, _) => statsOf(block, a).exists(allNull)
+    case StringEndsWith(a, _) => lookup(a).exists(allNull)
+    case StringContains(a, _) => lookup(a).exists(allNull)
     case _ => false
   }
 }
@@ -828,6 +865,57 @@ object GraftParquetV2 {
         .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
         .map(_.toString).sorted
     else Seq(path)
+  }
+
+  /** Sidecar directory name for the write-time per-file zone-map
+    * manifest ([[Sinks.parquetWithStats]]); the leading underscore
+    * keeps it out of [[listFiles]]. */
+  val StatsSidecar = "_graft_stats.parquet"
+
+  private val manifestSchema = StructType(Seq(
+    StructField("file", StringType), StructField("column", StringType),
+    StructField("kind", StringType),
+    StructField("min_long", LongType), StructField("max_long", LongType),
+    StructField("min_str", StringType), StructField("max_str", StringType),
+    StructField("null_count", LongType), StructField("value_count", LongType)))
+
+  /** file basename → (column → zone-map entry), from the sink's stats
+    * sidecar; empty when the table has none. Read through the
+    * connector's own per-file reader — no SparkSession needed at
+    * planning time, and the sidecar is manifest-scale (files × columns
+    * rows). */
+  def loadStatsManifest(path: String)
+      : Map[String, Map[String, GraftStatsPrune.ColStats]] = {
+    val sidecar = new Path(s"$path/$StatsSidecar")
+    val fs = sidecar.getFileSystem(new Configuration())
+    if (!fs.exists(sidecar)) return Map.empty
+    val parts = fs.listStatus(sidecar).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .map(_.toString)
+    val rows = collection.mutable.ArrayBuffer.empty[InternalRow]
+    parts.foreach { f =>
+      val r = new GraftPartitionReader(f, manifestSchema, Array.empty)
+      try { while (r.next()) rows += r.get() } finally r.close()
+    }
+    rows.toSeq.groupBy(_.getString(0)).map { case (file, rs) =>
+      file -> rs.map { r =>
+        def optLong(i: Int): Option[Long] =
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        def optStr(i: Int): Option[UTF8String] =
+          if (r.isNullAt(i)) None else Some(r.getUTF8String(i))
+        val (mn: Any, mx: Any) = r.getString(2) match {
+          case "long" => (optLong(3).map(Long.box).orNull,
+            optLong(4).map(Long.box).orNull)
+          case "bool" => (optLong(3).map(_ == 1L).map(Boolean.box).orNull,
+            optLong(4).map(_ == 1L).map(Boolean.box).orNull)
+          case "string" => (optStr(5).orNull, optStr(6).orNull)
+          case _ => (null, null)
+        }
+        val nulls = optLong(7)
+        r.getString(1) -> GraftStatsPrune.ColStats(
+          mn, mx, nulls.getOrElse(-1L), nulls.isDefined, r.getLong(8))
+      }.toMap
+    }
   }
 
   /** Total on-disk bytes of the table's files — from filesystem

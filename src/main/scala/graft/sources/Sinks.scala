@@ -32,6 +32,98 @@ object Sinks {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Parquet sink + a WRITE-TIME per-file zone-map manifest
+    * (`_graft_stats.parquet` sidecar; the leading underscore keeps it
+    * out of every scan's file listing). For each data file and column
+    * the sidecar records min/max (order-safe kinds only: integrals as
+    * long, strings byte-exact, booleans as 0/1 — float/double bounds
+    * are distrusted for the same NaN/−0.0 reasons as row-group
+    * pruning), null count, and value count, folded across the file's
+    * row groups from its footer.
+    *
+    * This is the file-granular skipping level ABOVE row groups — the
+    * Delta/Iceberg data-skipping pattern: [[GraftParquetScan]] consults
+    * the manifest at PLANNING time and never even schedules a task for
+    * a file the pushed (or runtime — DPP keys drop whole files)
+    * conjunction provably refutes. Footers are read once here, where
+    * the write already paid for the I/O — planning stays
+    * manifest-read-only at any file count. */
+  def parquetWithStats(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    import scala.jdk.CollectionConverters._
+    parquet(df, path)
+    val spark = df.sparkSession
+    val rows = GraftParquetV2.listFiles(path).flatMap { file =>
+      val in = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(file), new Configuration()))
+      try {
+        val blocks = in.getFooter.getBlocks.asScala.toSeq
+        val base = new Path(file).getName
+        val colNames = blocks.headOption.toSeq
+          .flatMap(_.getColumns.asScala.map(_.getPath.toDotString)).distinct
+        colNames.flatMap { cn =>
+          val chunks = blocks.flatMap(
+            _.getColumns.asScala.find(_.getPath.toDotString == cn))
+          val stats = chunks.map(_.getStatistics)
+          val valueCount = chunks.map(_.getValueCount).sum
+          val nullsKnown = stats.forall(s => s != null && s.isNumNullsSet)
+          val nullCount = if (nullsKnown) stats.map(_.getNumNulls).sum else -1L
+          // bounds only when EVERY chunk has exact non-null stats or is
+          // provably all-null — the row-group rule, lifted to the file
+          val withVals = stats.filter(s => s != null && s.hasNonNullValue)
+          val boundsOk = chunks.forall { c =>
+            val s = c.getStatistics
+            s != null && (s.hasNonNullValue ||
+              (s.isNumNullsSet && s.getNumNulls == c.getValueCount))
+          }
+          val extremes: Seq[Any] =
+            withVals.flatMap(s => Seq(s.genericGetMin, s.genericGetMax))
+          val (kind, minL, maxL, minS, maxS): (String, Option[Long],
+              Option[Long], Option[String], Option[String]) =
+            if (!boundsOk || withVals.isEmpty) ("other", None, None, None, None)
+            else extremes.head match {
+              case _: java.lang.Integer | _: java.lang.Long =>
+                val ls = extremes.map(_.asInstanceOf[Number].longValue())
+                ("long", Some(ls.min), Some(ls.max), None, None)
+              case _: java.lang.Boolean =>
+                val bs = extremes.map(_.asInstanceOf[java.lang.Boolean]
+                  .booleanValue())
+                ("bool", Some(if (bs.forall(identity)) 1L else 0L),
+                  Some(if (bs.exists(identity)) 1L else 0L), None, None)
+              case _: org.apache.parquet.io.api.Binary =>
+                val us = extremes.map(b => UTF8String.fromBytes(
+                  b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+                ("string", None, None,
+                  Some(us.min(Ordering.fromLessThan[UTF8String](
+                    _.compareTo(_) < 0)).toString),
+                  Some(us.max(Ordering.fromLessThan[UTF8String](
+                    _.compareTo(_) < 0)).toString))
+              case _ => ("other", None, None, None, None) // float/double lore
+            }
+          Some(Row(base, cn, kind, minL.orNull, maxL.orNull,
+            minS.orNull, maxS.orNull,
+            if (nullsKnown) nullCount else null, valueCount))
+        }
+      } finally in.close()
+    }
+    val schema = StructType(Seq(
+      StructField("file", StringType), StructField("column", StringType),
+      StructField("kind", StringType),
+      StructField("min_long", LongType), StructField("max_long", LongType),
+      StructField("min_str", StringType), StructField("max_str", StringType),
+      StructField("null_count", LongType), StructField("value_count", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite")
+      .parquet(s"$path/${GraftParquetV2.StatsSidecar}")
+  }
+
   /** ORC sink — see [[Sources.orc]]. */
   def orc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)

@@ -473,6 +473,55 @@ class SourcesV2Spec extends SparkSpec {
     assert(rf.exists(_.references.contains("l_suppkey")), rf.mkString(", "))
   }
 
+  test("file-level zone maps: the write-time stats manifest prunes whole " +
+    "files at planning — statically AND from runtime dim keys") {
+    import spark.implicits._
+    import graft.sources.GraftScanTelemetry
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2_manifest")
+    val path = s"$dir/t.parquet"
+    // 8 files with disjoint id ranges + a string column for kind coverage
+    val df = spark.range(40000L)
+      .select(col("id"), (col("id") * 2).as("v"),
+        concat(lit("k"), (col("id") % 97).cast("string")).as("s"))
+      .repartitionByRange(8, col("id"))
+    graft.sources.Sinks.parquetWithStats(df, path)
+
+    def run(d: DataFrame): (Set[Long], Long) = {
+      GraftScanTelemetry.reset()
+      val got = rows(d.select("id")).map(_.getLong(0)).toSet
+      (got, GraftScanTelemetry.skippedFiles.sum())
+    }
+    // static filter: one narrow range → 7 of 8 files refuted at planning
+    val sel = col("id") >= 10000L && col("id") < 10500L
+    val (got, skf) = run(viaV2(path).filter(sel))
+    assert(got == rows(spark.read.parquet(path).filter(sel).select("id"))
+      .map(_.getLong(0)).toSet)
+    assert(skf >= 7L, s"expected ~7 files pruned from the manifest, got $skf")
+    // string-kind bounds prune too (k-prefix range outside every file? no —
+    // s spans all files, so an impossible value must refute ALL files)
+    val (none, skAll) = run(viaV2(path).filter(col("s") === "zzz"))
+    assert(none.isEmpty && skAll >= 8L, s"string refutation: $skAll")
+    // a file NOT in the manifest is still read (safety default)
+    val extra = (40000L until 40010L).map(i => (i, i * 2, "x"))
+      .toDF("id", "v", "s")
+    extra.coalesce(1).write.mode("append").parquet(path)
+    val (withExtra, _) = run(viaV2(path).filter(col("id") >= 40000L))
+    assert(withExtra == (40000L until 40010L).toSet,
+      s"unmanifested file must be scanned: $withExtra")
+    // runtime keys drop whole files: dim keys all in the first stretch
+    val dimPath = s"$dir/dim.parquet"
+    (0L until 2000L).map(i => (i, s"d$i")).toDF("fid", "name")
+      .write.mode("overwrite").parquet(dimPath)
+    GraftScanTelemetry.reset()
+    val j = viaV2(path).join(
+      spark.read.parquet(dimPath).filter(col("fid") % 40L === 0L),
+      col("id") === col("fid")).select("id", "name")
+    assert(rows(j).size == 50)
+    assert(graftScan(j).runtimeFilters.nonEmpty, "DPP did not fire")
+    assert(GraftScanTelemetry.skippedFiles.sum() > 0L,
+      "runtime dim keys pruned no files despite the manifest")
+  }
+
   test("reported statistics: real on-disk size reaches the planner, so " +
     "a small connector-scanned dim can auto-broadcast") {
     val path = s"$sfDir/customer.parquet"
