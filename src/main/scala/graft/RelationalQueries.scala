@@ -488,6 +488,30 @@ object RelationalQueries {
     * with SF until exact counting is the wrong tool. */
   val BackboneEdges = 5000
 
+  /** The top-[[BackboneEdges]] undirected route backbone — ONE
+    * derivation shared by every graph-family query (triangles, BFS);
+    * a drift between two copies would silently have them analyze
+    * different graphs. Columns (u, v, c), ordered (c desc, u, v). */
+  private def backboneEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.rides(spark, dir)
+      .filter(col("start_station_id") =!= col("end_station_id"))
+      .groupBy(
+        least(col("start_station_id"), col("end_station_id")).as("u"),
+        greatest(col("start_station_id"), col("end_station_id")).as("v"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("u"), col("v"))
+      .limit(BackboneEdges)
+
+  /** SQL mirror of [[backboneEdges]] (u, v, c — same order/tie-break). */
+  private val backboneSql: String =
+    s"""SELECT least(start_station_id, end_station_id) AS u,
+       |       greatest(start_station_id, end_station_id) AS v,
+       |       count(*) AS c
+       |FROM rides WHERE start_station_id <> end_station_id
+       |GROUP BY 1, 2
+       |ORDER BY c DESC, u, v LIMIT $BackboneEdges""".stripMargin
+
   /** Per-station triangle participation in the backbone rides graph —
     * exact distributed triangle counting ([[graft.operators.Graphs]],
     * degree-ordered orientation). The oracle recounts with the
@@ -496,28 +520,14 @@ object RelationalQueries {
     * nothing. */
   val qTriangles = QueryDef("q_ride_triangles",
     (spark, dir) => {
-      val backbone = Tables.rides(spark, dir)
-        .filter(col("start_station_id") =!= col("end_station_id"))
-        .groupBy(
-          least(col("start_station_id"), col("end_station_id")).as("u"),
-          greatest(col("start_station_id"), col("end_station_id")).as("v"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(desc("c"), col("u"), col("v"))
-        .limit(BackboneEdges)
-      graft.operators.Graphs.trianglesPerNode(backbone, "u", "v")
+      graft.operators.Graphs.trianglesPerNode(
+        backboneEdges(spark, dir), "u", "v")
         .select(col("node").as("station_id"), col("n_triangles"))
         .orderBy("station_id")
     },
     Some(s"""WITH ${Catalog.ridesSql},
             |ed AS (
-            |  SELECT u, v FROM (
-            |    SELECT least(start_station_id, end_station_id) AS u,
-            |           greatest(start_station_id, end_station_id) AS v,
-            |           count(*) AS c
-            |    FROM rides WHERE start_station_id <> end_station_id
-            |    GROUP BY 1, 2
-            |    ORDER BY c DESC, u, v LIMIT $BackboneEdges
-            |  )
+            |  SELECT u, v FROM ($backboneSql)
             |),
             |tri AS (
             |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -549,14 +559,7 @@ object RelationalQueries {
     * source pick off the 5000-row backbone head) is model-scale. */
   val qBfsStations = QueryDef("q_bfs_stations",
     (spark, dir) => {
-      val backbone = Tables.rides(spark, dir)
-        .filter(col("start_station_id") =!= col("end_station_id"))
-        .groupBy(
-          least(col("start_station_id"), col("end_station_id")).as("u"),
-          greatest(col("start_station_id"), col("end_station_id")).as("v"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(desc("c"), col("u"), col("v"))
-        .limit(BackboneEdges)
+      val backbone = backboneEdges(spark, dir)
       val srcNode = backbone.select("u").head().getLong(0)
       graft.operators.Graphs.bfsDistances(backbone, "u", "v",
         srcNode, BfsMaxHops)
@@ -565,12 +568,7 @@ object RelationalQueries {
     },
     Some(s"""WITH RECURSIVE ${Catalog.ridesSql},
             |edb AS (
-            |  SELECT least(start_station_id, end_station_id) AS u,
-            |         greatest(start_station_id, end_station_id) AS v,
-            |         count(*) AS c
-            |  FROM rides WHERE start_station_id <> end_station_id
-            |  GROUP BY 1, 2
-            |  ORDER BY c DESC, u, v LIMIT $BackboneEdges
+            |  $backboneSql
             |),
             |adj AS (
             |  SELECT u AS a, v AS b FROM edb

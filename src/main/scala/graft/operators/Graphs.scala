@@ -126,52 +126,6 @@ object Graphs {
     * checkpoint via `reliableCheckpoint`, like the other iterative
     * operators).
     */
-  /** Single-source BFS hop distances over the UNDIRECTED graph —
-    * frontier expansion, the loop every distributed SSSP builds on
-    * (Pregel's canonical example). Returns (node, dist) for every node
-    * within `maxHops` of `source` (the source itself at 0); nodes
-    * farther away are absent.
-    *
-    * Scale shape: the adjacency list is derived and persisted ONCE
-    * (both directions of the canonical edge set); each hop is one
-    * equi-join of the CURRENT FRONTIER against it plus an anti-join
-    * against the settled set — everything crossing a shuffle is 8-byte
-    * node ids, per-hop work is frontier-degree-sum, and the loop
-    * materializes once per round (the engine's iterative-loop
-    * discipline, same as [[pageRank]]). The frontier-emptiness probe is
-    * a limit(1) count on a persisted frame — model-scale. Hop distances
-    * are unique, so the result is deterministic with no tie rules.
-    *
-    * No counterpart in the reference (its graph surface is zero);
-    * the oracle re-derives distances with a recursive CTE. */
-  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
-      source: Long, maxHops: Int,
-      reliableCheckpoint: Boolean = false): DataFrame = {
-    require(maxHops >= 0, s"bfsDistances: maxHops must be >= 0, got $maxHops")
-    def persist(df: DataFrame) =
-      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
-    val canon = canonical(edges,
-      col(srcCol).cast("long"), col(dstCol).cast("long"))
-    val adj = persist(canon.select(col("u").as("a"), col("v").as("b"))
-      .union(canon.select(col("v").as("a"), col("u").as("b"))))
-    val spark = edges.sparkSession
-    import spark.implicits._
-    var dist = persist(Seq((source, 0)).toDF("node", "dist"))
-    var frontier = dist
-    var hop = 0
-    while (hop < maxHops && frontier.limit(1).count() > 0) {
-      hop += 1
-      val next = persist(frontier
-        .join(adj, col("node") === col("a"))
-        .select(col("b").as("node")).distinct()
-        .join(dist.select("node"), Seq("node"), "left_anti")
-        .withColumn("dist", lit(hop)))
-      dist = persist(dist.unionByName(next))
-      frontier = next
-    }
-    dist
-  }
-
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85,
       reliableCheckpoint: Boolean = false): DataFrame = {
@@ -228,5 +182,54 @@ object Graphs {
       iter += 1
     }
     pr
+  }
+
+  /** Single-source BFS hop distances over the UNDIRECTED graph —
+    * frontier expansion, the loop every distributed SSSP builds on
+    * (Pregel's canonical example). Returns (node, dist) for every node
+    * within `maxHops` of `source` (the source itself at 0); nodes
+    * farther away are absent.
+    *
+    * Scale shape: the adjacency list is derived and persisted ONCE
+    * (both directions of the canonical edge set); each hop is one
+    * equi-join of the CURRENT FRONTIER against it plus an anti-join
+    * against the settled set — everything crossing a shuffle is 8-byte
+    * node ids, per-hop work is frontier-degree-sum, and the loop
+    * materializes once per round (the engine's iterative-loop
+    * discipline, same as [[pageRank]]). The frontier-emptiness probe is
+    * a limit(1) count on a persisted frame — model-scale. Hop distances
+    * are unique, so the result is deterministic with no tie rules.
+    *
+    * No counterpart in the reference (its graph surface is zero);
+    * the oracle re-derives distances with a recursive CTE. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      source: Long, maxHops: Int,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    require(maxHops >= 0, s"bfsDistances: maxHops must be >= 0, got $maxHops")
+    def persist(df: DataFrame) =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    val canon = canonical(edges,
+      col(srcCol).cast("long"), col(dstCol).cast("long"))
+    val adj = persist(canon.select(col("u").as("a"), col("v").as("b"))
+      .union(canon.select(col("v").as("a"), col("u").as("b"))))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // `dist` stays a PLAIN union of the per-hop checkpointed frames:
+    // each round materializes only the new frontier — re-checkpointing
+    // the whole settled set every hop would copy O(hops × settled) rows
+    var dist = persist(Seq((source, 0)).toDF("node", "dist"))
+    var frontier = dist
+    var hop = 0
+    while (hop < maxHops && frontier.limit(1).count() > 0) {
+      hop += 1
+      val next = persist(frontier
+        .join(adj, col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop)))
+      dist = dist.unionByName(next)
+      frontier = next
+    }
+    dist
   }
 }

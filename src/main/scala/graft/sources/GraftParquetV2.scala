@@ -243,10 +243,12 @@ case class GraftParquetScan(path: String, required: StructType,
     * built-in FileScan starts from; no footer reads, so planning cost
     * stays O(files). Row count is left unknown — nothing in the
     * planner needs it badly enough to justify opening footers. */
+  // cached: Spark consults statistics repeatedly while planning one
+  // query, and each listing is O(files) of filesystem RPCs
+  @transient private lazy val onDiskBytes = GraftParquetV2.totalFileBytes(path)
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = GraftParquetV2.totalFileBytes(path)
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(bytes)
+      java.util.OptionalLong.of(onDiskBytes)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
@@ -320,13 +322,26 @@ case class GraftParquetScan(path: String, required: StructType,
     val conj = pushed ++ runtimeFilters
     val kept =
       if (conj.isEmpty || statsManifest.isEmpty) files
-      else files.filter { f =>
-        statsManifest.get(new Path(f).getName) match {
-          case Some(cols) =>
-            val refuted = GraftStatsPrune.provablyEmptyStats(conj, cols.get)
-            if (refuted) GraftScanTelemetry.skippedFiles.increment()
-            !refuted
-          case None => true // unknown file: always read
+      else {
+        // huge In lists (DPP keys) sort ONCE and range-probe per file in
+        // O(log keys); everything else goes through the generic engine —
+        // without the split, planning is O(files × keys) on the driver
+        val (sortedIns, residue) = GraftFilterEval.compileSortedIns(conj)
+        files.filter { f =>
+          statsManifest.get(new Path(f).getName) match {
+            case Some(cols) =>
+              def inRefutes(si: GraftFilterEval.SortedIn): Boolean =
+                cols.get(si.attribute).exists { s =>
+                  (s.nullsSet && s.numNulls == s.valueCount) ||
+                    (s.min != null && s.max != null &&
+                      si.noneInRange(s.min, s.max))
+                }
+              val refuted = sortedIns.exists(inRefutes) ||
+                GraftStatsPrune.provablyEmptyStats(residue, cols.get)
+              if (refuted) GraftScanTelemetry.skippedFiles.increment()
+              !refuted
+            case None => true // unknown file: always read
+          }
         }
       }
     kept.map(GraftInputPartition(_)).toArray
@@ -872,7 +887,10 @@ object GraftParquetV2 {
     * keeps it out of [[listFiles]]. */
   val StatsSidecar = "_graft_stats.parquet"
 
-  private val manifestSchema = StructType(Seq(
+  /** One schema for manifest writer AND reader — positional decode in
+    * [[loadStatsManifest]] must never drift from what
+    * [[Sinks.parquetWithStats]] writes. */
+  val manifestSchema: StructType = StructType(Seq(
     StructField("file", StringType), StructField("column", StringType),
     StructField("kind", StringType),
     StructField("min_long", LongType), StructField("max_long", LongType),
@@ -1059,6 +1077,51 @@ object GraftFilterEval {
   /** A pre-normalized membership test for one top-level `In` conjunct. */
   final case class CompiledIn(attribute: String, set: java.util.HashSet[Any]) {
     def keep(x: Any): Boolean = x != null && set.contains(setKey(x))
+  }
+
+  /** Sorted-key range probe for PLANNING-time refutation of huge In
+    * lists against per-file [min, max] zone maps: O(log keys) per file
+    * instead of the generic path's O(keys) — the driver-side sibling of
+    * [[compileIns]]' per-row hash set (same DPP shape, different axis).
+    * Conservative on any comparison surprise (None → not refuted). */
+  final case class SortedIn(attribute: String, keys: Array[Any]) {
+    /** True iff NO key lies in [mn, mx] under [[cmp]]'s order. */
+    def noneInRange(mn: Any, mx: Any): Boolean = {
+      var lo = 0
+      var hi = keys.length
+      while (lo < hi) { // first key >= mn
+        val mid = (lo + hi) >>> 1
+        if (cmp(keys(mid), mn).exists(_ < 0)) lo = mid + 1 else hi = mid
+      }
+      lo >= keys.length || cmp(keys(lo), mx).exists(_ > 0)
+    }
+  }
+
+  /** Minimum In-list size for the sorted planning probe — the generic
+    * per-value refutation is fine below it. */
+  private val SortedInThreshold = 64
+
+  /** Split a conjunction into sorted-key In probes (huge homogeneous
+    * lists) and the generic refutation residue, for file-level zone-map
+    * pruning. Sorting happens ONCE per planning pass, not per file. */
+  def compileSortedIns(conj: Array[Filter])
+      : (Array[SortedIn], Array[Filter]) = {
+    val fast = collection.mutable.ArrayBuffer.empty[SortedIn]
+    val rest = collection.mutable.ArrayBuffer.empty[Filter]
+    conj.foreach {
+      case In(a, vs) if vs.length >= SortedInThreshold &&
+          vs.forall(_ != null) &&
+          vs.map(keyClass).distinct.length == 1 && keyClass(vs.head) >= 0 =>
+        fast += SortedIn(a,
+          vs.map(norm).sortWith((x, y) => cmp(x, y).exists(_ < 0)))
+      case f => rest += f
+    }
+    (fast.toArray, rest.toArray)
+  }
+
+  private def norm(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case o => o
   }
 
   /** Split a pushed conjunction into hash-set-backed top-level In tests

@@ -49,79 +49,95 @@ object Sinks {
     * the write already paid for the I/O — planning stays
     * manifest-read-only at any file count. */
   def parquetWithStats(df: DataFrame, path: String): Unit = {
+    parquet(df, path)
+    val spark = df.sparkSession
+    val files = GraftParquetV2.listFiles(path)
+    // footer reads run as a Spark job (the write produced the files in
+    // parallel; reading them back serially on the driver would be the
+    // one O(files) stall in an otherwise distributed write) — the
+    // collected manifest is files × columns rows, model-scale
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .flatMap(Sinks.fileStatsRows)
+      .collect().toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      GraftParquetV2.manifestSchema)
+      .write.mode("overwrite")
+      .parquet(s"$path/${GraftParquetV2.StatsSidecar}")
+  }
+
+  /** Per-file manifest rows for [[parquetWithStats]] — runs inside an
+    * executor task. Bounds are recorded only for kinds whose order the
+    * refutation engine trusts: integrals as long, booleans as 0/1, and
+    * STRING-ANNOTATED binary byte-exact. Raw (unannotated) binary and
+    * float/double columns get kind "other" — null counts only (a
+    * UTF8String round trip of non-UTF-8 bytes would corrupt the bounds
+    * silently). */
+  private def fileStatsRows(file: String): Seq[org.apache.spark.sql.Row] = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     import org.apache.spark.unsafe.types.UTF8String
     import scala.jdk.CollectionConverters._
-    parquet(df, path)
-    val spark = df.sparkSession
-    val rows = GraftParquetV2.listFiles(path).flatMap { file =>
-      val in = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(file), new Configuration()))
-      try {
-        val blocks = in.getFooter.getBlocks.asScala.toSeq
-        val base = new Path(file).getName
-        val colNames = blocks.headOption.toSeq
-          .flatMap(_.getColumns.asScala.map(_.getPath.toDotString)).distinct
-        colNames.flatMap { cn =>
-          val chunks = blocks.flatMap(
-            _.getColumns.asScala.find(_.getPath.toDotString == cn))
-          val stats = chunks.map(_.getStatistics)
-          val valueCount = chunks.map(_.getValueCount).sum
-          val nullsKnown = stats.forall(s => s != null && s.isNumNullsSet)
-          val nullCount = if (nullsKnown) stats.map(_.getNumNulls).sum else -1L
-          // bounds only when EVERY chunk has exact non-null stats or is
-          // provably all-null — the row-group rule, lifted to the file
-          val withVals = stats.filter(s => s != null && s.hasNonNullValue)
-          val boundsOk = chunks.forall { c =>
-            val s = c.getStatistics
-            s != null && (s.hasNonNullValue ||
-              (s.isNumNullsSet && s.getNumNulls == c.getValueCount))
-          }
-          val extremes: Seq[Any] =
-            withVals.flatMap(s => Seq(s.genericGetMin, s.genericGetMax))
-          val (kind, minL, maxL, minS, maxS): (String, Option[Long],
-              Option[Long], Option[String], Option[String]) =
-            if (!boundsOk || withVals.isEmpty) ("other", None, None, None, None)
-            else extremes.head match {
-              case _: java.lang.Integer | _: java.lang.Long =>
-                val ls = extremes.map(_.asInstanceOf[Number].longValue())
-                ("long", Some(ls.min), Some(ls.max), None, None)
-              case _: java.lang.Boolean =>
-                val bs = extremes.map(_.asInstanceOf[java.lang.Boolean]
-                  .booleanValue())
-                ("bool", Some(if (bs.forall(identity)) 1L else 0L),
-                  Some(if (bs.exists(identity)) 1L else 0L), None, None)
-              case _: org.apache.parquet.io.api.Binary =>
-                val us = extremes.map(b => UTF8String.fromBytes(
-                  b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
-                ("string", None, None,
-                  Some(us.min(Ordering.fromLessThan[UTF8String](
-                    _.compareTo(_) < 0)).toString),
-                  Some(us.max(Ordering.fromLessThan[UTF8String](
-                    _.compareTo(_) < 0)).toString))
-              case _ => ("other", None, None, None, None) // float/double lore
-            }
-          Some(Row(base, cn, kind, minL.orNull, maxL.orNull,
-            minS.orNull, maxS.orNull,
-            if (nullsKnown) nullCount else null, valueCount))
+    val in = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    try {
+      val blocks = in.getFooter.getBlocks.asScala.toSeq
+      val fileSchema = in.getFooter.getFileMetaData.getSchema
+      val base = new Path(file).getName
+      def stringAnnotated(cn: String): Boolean =
+        fileSchema.containsField(cn) &&
+          fileSchema.getType(fileSchema.getFieldIndex(cn))
+            .getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      val colNames = blocks.headOption.toSeq
+        .flatMap(_.getColumns.asScala.map(_.getPath.toDotString)).distinct
+      colNames.map { cn =>
+        val chunks = blocks.flatMap(
+          _.getColumns.asScala.find(_.getPath.toDotString == cn))
+        val stats = chunks.map(_.getStatistics)
+        val valueCount = chunks.map(_.getValueCount).sum
+        val nullsKnown = stats.forall(s => s != null && s.isNumNullsSet)
+        val nullCount = if (nullsKnown) stats.map(_.getNumNulls).sum else -1L
+        // bounds only when EVERY chunk has exact non-null stats or is
+        // provably all-null — the row-group rule, lifted to the file
+        val withVals = stats.filter(s => s != null && s.hasNonNullValue)
+        val boundsOk = chunks.forall { c =>
+          val s = c.getStatistics
+          s != null && (s.hasNonNullValue ||
+            (s.isNumNullsSet && s.getNumNulls == c.getValueCount))
         }
-      } finally in.close()
-    }
-    val schema = StructType(Seq(
-      StructField("file", StringType), StructField("column", StringType),
-      StructField("kind", StringType),
-      StructField("min_long", LongType), StructField("max_long", LongType),
-      StructField("min_str", StringType), StructField("max_str", StringType),
-      StructField("null_count", LongType), StructField("value_count", LongType)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
-      .write.mode("overwrite")
-      .parquet(s"$path/${GraftParquetV2.StatsSidecar}")
+        val extremes: Seq[Any] =
+          withVals.flatMap(s => Seq(s.genericGetMin, s.genericGetMax))
+        val (kind, minL, maxL, minS, maxS): (String, Option[Long],
+            Option[Long], Option[String], Option[String]) =
+          if (!boundsOk || withVals.isEmpty) ("other", None, None, None, None)
+          else extremes.head match {
+            case _: java.lang.Integer | _: java.lang.Long =>
+              val ls = extremes.map(_.asInstanceOf[Number].longValue())
+              ("long", Some(ls.min), Some(ls.max), None, None)
+            case _: java.lang.Boolean =>
+              val bs = extremes.map(_.asInstanceOf[java.lang.Boolean]
+                .booleanValue())
+              ("bool", Some(if (bs.forall(identity)) 1L else 0L),
+                Some(if (bs.exists(identity)) 1L else 0L), None, None)
+            case _: org.apache.parquet.io.api.Binary if stringAnnotated(cn) =>
+              val us = extremes.map(b => UTF8String.fromBytes(
+                b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+              val ord = Ordering.fromLessThan[UTF8String](_.compareTo(_) < 0)
+              ("string", None, None,
+                Some(us.min(ord).toString), Some(us.max(ord).toString))
+            case _ => ("other", None, None, None, None) // raw binary, floats
+          }
+        Row(base, cn, kind, minL.orNull, maxL.orNull,
+          minS.orNull, maxS.orNull,
+          if (nullsKnown) nullCount else null, valueCount)
+      }
+    } finally in.close()
   }
 
   /** ORC sink — see [[Sources.orc]]. */
