@@ -49,7 +49,8 @@ object PlanDump {
       "q_boilerplate_incremental" -> "incremental boilerplate (round 6): corpus stats = fp-keyed df sweep + candidate-bounded exact recount (same shape as the full sweep); the batch side is ONE join against the candidate-bounded stats table + the per-doc reassembly aggregate — no corpus-df re-derivation in the batch plan",
       "q_dedup_spans" -> "duplicated-span removal (round 6): positional grams via codegen kernel (the composed HOF form measured 13-36x slower), pass-1 df shuffle carries (8-byte fp, id) only — column pruning drops the gram strings; raw grams re-enter at CANDIDATE cardinality for the collision-immune recount; covered-offset fanout is bounded by duplication volume",
       "q_bm25_search" -> "BM25 ranking (round 6): token explode in scan codegen, query-term postings FILTERED before any shuffle, per-term df broadcast, corpus scalars via broadcast 1-row frame (no driver round-trip), per-doc DECIMAL-exact sum, TakeOrderedAndProject for the top-100 (no global sort)",
-      "q_dsv2_runtime_filter" -> "DSv2 runtime filtering (round 6): the fact GraftParquetScan probes a broadcast of the filtered supplier dim; at execution Spark's dynamic pruning hands the surviving keys to the connector (In(l_suppkey, ...) — see the dynamicpruningexpression under the scan), which applies them with the same zone-map + row evaluation as static pushdown")
+      "q_dsv2_runtime_filter" -> "DSv2 runtime filtering (round 6): the fact GraftParquetScan probes a broadcast of the filtered supplier dim; at execution Spark's dynamic pruning hands the surviving keys to the connector (In(l_suppkey, ...) — see the dynamicpruningexpression under the scan), which applies them with the same zone-map + row evaluation as static pushdown",
+      "q_distinct_hll_rollup" -> "HLL sketch partials (round 6): per-source hll_sketch register arrays (one partial-aggregated exchange), the ALL level re-aggregates the 20 sketch BINARIES via hll_merge — the raw corpus is scanned once; the rollup's input is sketch-cardinality rows")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"

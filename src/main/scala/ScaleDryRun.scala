@@ -219,6 +219,31 @@ object ScaleDryRun {
       scan("range_1pct", col("l_orderkey") >= (maxKey - maxKey / 100) &&
         col("l_orderkey") <= maxKey)
       scan("point_miss", col("l_orderkey") === (maxKey + 1))
+
+      // file-level layer (round-6 manifest): same sorted data split into
+      // MANY files via range partitioning + a write-time stats sidecar —
+      // the selective range now refutes whole files at PLANNING, before
+      // any task exists; row-group pruning handles the survivors
+      val manifested = "/tmp/graft_prune_manifest.parquet"
+      graft.sources.Sinks.parquetWithStats(
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+          .repartitionByRange(32, col("l_orderkey")), manifested)
+      val v2m = spark.read
+        .format("graft.sources.GraftParquetTableProvider")
+        .option("path", manifested).load()
+      def scanM(label: String, f: org.apache.spark.sql.Column): Unit =
+        section(s"dsv2_prune dir=$dir case=$label") {
+          GraftScanTelemetry.reset()
+          val n = v2m.filter(f).queryExecution.toRdd.count()
+          s"rows=$n files_skipped=${GraftScanTelemetry.skippedFiles.sum()} " +
+            s"decoded=${GraftScanTelemetry.decodedGroups.sum()} " +
+            s"skipped=${GraftScanTelemetry.skippedGroups.sum()}"
+        }
+      scanM("manifest_range_1pct",
+        col("l_orderkey") >= (maxKey - maxKey / 100) &&
+          col("l_orderkey") <= maxKey)
+      scanM("manifest_point_miss", col("l_orderkey") === (maxKey + 1))
     }
 
     spark.stop()

@@ -921,7 +921,9 @@ object GraftParquetV2 {
           if (r.isNullAt(i)) None else Some(r.getLong(i))
         def optStr(i: Int): Option[UTF8String] =
           if (r.isNullAt(i)) None else Some(r.getUTF8String(i))
-        val (mn: Any, mx: Any) = r.getString(2) match {
+        // NOTE: no `val (mn: Any, mx: Any) = …` destructuring — a typed
+        // pattern does not match null, and absent bounds are null
+        val bounds: (Any, Any) = r.getString(2) match {
           case "long" => (optLong(3).map(Long.box).orNull,
             optLong(4).map(Long.box).orNull)
           case "bool" => (optLong(3).map(_ == 1L).map(Boolean.box).orNull,
@@ -929,6 +931,8 @@ object GraftParquetV2 {
           case "string" => (optStr(5).orNull, optStr(6).orNull)
           case _ => (null, null)
         }
+        val mn = bounds._1
+        val mx = bounds._2
         val nulls = optLong(7)
         r.getString(1) -> GraftStatsPrune.ColStats(
           mn, mx, nulls.getOrElse(-1L), nulls.isDefined, r.getLong(8))

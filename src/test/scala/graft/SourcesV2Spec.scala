@@ -479,10 +479,13 @@ class SourcesV2Spec extends SparkSpec {
     import graft.sources.GraftScanTelemetry
     val dir = java.nio.file.Files.createTempDirectory("graft_v2_manifest")
     val path = s"$dir/t.parquet"
-    // 8 files with disjoint id ranges + a string column for kind coverage
+    // 8 files with disjoint id ranges; string + DOUBLE columns so every
+    // manifest kind appears — including "other", whose null bounds once
+    // crashed the loader (typed tuple patterns don't match null)
     val df = spark.range(40000L)
       .select(col("id"), (col("id") * 2).as("v"),
-        concat(lit("k"), (col("id") % 97).cast("string")).as("s"))
+        concat(lit("k"), (col("id") % 97).cast("string")).as("s"),
+        (col("id") * 0.5).as("d"))
       .repartitionByRange(8, col("id"))
     graft.sources.Sinks.parquetWithStats(df, path)
 
