@@ -251,6 +251,13 @@ class SourcesV2Spec extends SparkSpec {
     val path = s"$dir/t.parquet"
     data.toDF("id", "i", "l", "d", "s", "b")
       .write.mode("overwrite").parquet(path)
+    // the same rows as a MANIFESTED multi-file table: every predicate
+    // additionally crosses the file-level zone-map refutation (nulls,
+    // every kind incl. double="other"), which must stay sound for any
+    // filter shape
+    val mPath = s"$dir/tm.parquet"
+    graft.sources.Sinks.parquetWithStats(
+      spark.read.parquet(path).repartitionByRange(4, col("id")), mPath)
 
     def leaf(): org.apache.spark.sql.Column = rnd.nextInt(9) match {
       case 0 => col("i") === rnd.nextInt(20)
@@ -277,6 +284,9 @@ class SourcesV2Spec extends SparkSpec {
       val ref = rows(spark.read.parquet(path).filter(p).select("id"))
         .map(_.getLong(0)).toSet
       assert(v2 == ref, s"trial $t diverged for predicate $p")
+      val v2m = rows(viaV2(mPath).filter(p).select("id"))
+        .map(_.getLong(0)).toSet
+      assert(v2m == ref, s"trial $t MANIFESTED scan diverged for $p")
       pushedSome ||= graftScan(viaV2(path).filter(p)).pushed.nonEmpty
     }
     assert(pushedSome, "no predicate was ever pushed — the fuzz tested nothing")
