@@ -1500,10 +1500,55 @@ object TextQueries {
          |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
     })
 
+  /** Bigram-LM quality scoring ([[graft.text.LanguageModel.bigramLogProb]]):
+    * word-order plausibility under the corpus's own interpolated bigram
+    * model. Hash-checked — the oracle retrains the same counts and
+    * replays the identical λ=0.75 / 0.25 interpolation (both literals
+    * binary-exact, see the operator scaladoc). */
+  val qBigramLogProb = QueryDef("q_bigram_logprob",
+    (spark, dir) => graft.text.LanguageModel.bigramLogProb(
+      Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH toks0 AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ws
+           |  FROM documents WHERE text IS NOT NULL
+           |), toks AS (
+           |  SELECT doc_id, i AS pos, ws[i + 1] AS tok
+           |  FROM toks0, LATERAL (SELECT unnest(range(len(ws))) AS i) u
+           |  WHERE ws[i + 1] <> ''
+           |), uni AS (
+           |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+           |), tot AS (SELECT count(*) AS n FROM toks),
+           |seq AS (
+           |  SELECT doc_id, pos, tok,
+           |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           |  FROM toks
+           |), bg AS (
+           |  SELECT doc_id, prev AS w1, tok AS w2 FROM seq WHERE prev IS NOT NULL
+           |), bcnt AS (
+           |  SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
+           |), terms AS (
+           |  SELECT bg.doc_id,
+           |    ln(0.75 * (CAST(cb AS DOUBLE) / CAST(u1.cnt AS DOUBLE))
+           |       + 0.25 * (CAST(u2.cnt AS DOUBLE) / CAST(n AS DOUBLE))) AS term
+           |  FROM bg JOIN bcnt USING (w1, w2)
+           |  JOIN uni u1 ON u1.tok = bg.w1
+           |  JOIN uni u2 ON u2.tok = bg.w2, tot
+           |), scored AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |         round(avg(term), 6) AS mean_logprob
+           |  FROM terms GROUP BY doc_id
+           |)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  s.mean_logprob
+           |FROM documents d LEFT JOIN scored s USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
     qDocFingerprints, qDistinctKmv, qDistinctHll, qDistinctHllRollup,
-    qTokenCms,
+    qTokenCms, qBigramLogProb,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,

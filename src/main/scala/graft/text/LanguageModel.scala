@@ -58,6 +58,64 @@ object LanguageModel {
         col("mean_logprob"))
   }
 
+  /** BIGRAM scoring with unigram interpolation — one rung up the
+    * n-gram ladder from [[unigramLogProb]]: each adjacent token pair
+    * contributes ln(λ·P(w₂|w₁) + (1−λ)·P(w₂)), so word-ORDER
+    * plausibility enters the quality score (shuffled-token gibberish
+    * that fools a unigram model scores low here). The unigram
+    * interpolation term keeps every in-vocabulary bigram finite —
+    * P(w₂) > 0 whenever w₂ occurs — the classic Jelinek–Mercer shape.
+    *
+    * λ defaults to 0.75 deliberately: 1−λ = 0.25 is binary-exact, so
+    * the Spark and oracle literal arithmetic agree bit-for-bit (0.7
+    * would make `1.0 − λ` differ between decimal-literal and
+    * double-literal engines).
+    *
+    * Scale: the bigram count table is corpus-derived state like the
+    * unigram table one rung larger — joins are left unhinted so AQE
+    * broadcasts them while they fit and shuffles when they don't; the
+    * per-doc window (lag over positions) is PARTITIONED by document,
+    * never global. Determinism: ln is libm and avg partition-ordered →
+    * mean rounds to 6 dp, per engine convention.
+    *
+    * Output: (idCol, n_bigrams, mean_logprob) for EVERY doc — docs
+    * with fewer than two tokens get the (0, NULL) sentinel. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1,
+      s"bigramLogProb: lambda must be in (0, 1), got $lambda")
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val uni = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = tk.agg(count(lit(1)).as("n"))
+    val bg = tk
+      .withColumn("prev",
+        lag("tok", 1).over(Window.partitionBy(idCol).orderBy("pos")))
+      .filter(col("prev").isNotNull)
+      .select(col(idCol), col("prev").as("w1"), col("tok").as("w2"))
+    val bcnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val scored = bg
+      .join(bcnt, Seq("w1", "w2"))
+      .join(uni.select(col("tok").as("w1"), col("cnt").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cnt").as("c2u")), "w2")
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(
+          lit(lambda) * (col("cb").cast("double") / col("c1").cast("double")) +
+            lit(1.0 - lambda) *
+              (col("c2u").cast("double") / col("n").cast("double")))), 6)
+          .as("mean_logprob"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_logprob"))
+  }
+
   /** CROSS-corpus scoring — the deployed shape of LM quality filtering:
     * train the unigram model on a reference corpus (e.g. a trusted
     * high-quality slice), score a CANDIDATE corpus against it, and gate
