@@ -36,6 +36,22 @@ object TextStatsKernels {
     s
   }
 
+  /** Non-empty token count under single-space splitting — see
+    * [[TokenCount]]. Counts maximal runs of non-0x20 bytes (safe for
+    * UTF-8: continuation/lead bytes are never 0x20). */
+  def countTokens(text: UTF8String): Long = {
+    val n = text.numBytes
+    var i = 0
+    var cnt = 0L
+    var inTok = false
+    while (i < n) {
+      if (text.getByte(i) == 0x20) inTok = false
+      else { if (!inTok) cnt += 1L; inTok = true }
+      i += 1
+    }
+    cnt
+  }
+
   def stats(text: UTF8String): InternalRow = {
     val s = text.toString
     val toks = s.split(" ", -1)
@@ -94,4 +110,95 @@ object TextStats {
     StructField("quality", DoubleType, nullable = false)))
 
   def apply(c: Column): Column = toCol(TextStats(toExpr(c)))
+}
+
+/** `token_count(string) -> bigint`: the number of NON-EMPTY tokens under
+  * single-space splitting — exactly `len(list_filter(string_split(s, ' '),
+  * t -> t <> ''))` in DuckDB terms, i.e. the number of maximal runs of
+  * non-space characters. Byte-level kernel (a 0x20 byte never occurs
+  * inside a multi-byte UTF-8 sequence), zero allocation. This is the
+  * BM25 document-length pass: one codegen call per document, no explode,
+  * no shuffle. */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"token_count requires STRING, got ${dt.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsKernels.countTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextStatsKernels.countTokens($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "token_count"
+}
+
+object TokenCount {
+  def apply(c: Column): Column = toCol(TokenCount(toExpr(c)))
+}
+
+/** Per-row query-term occurrence counter for [[graft.text.Bm25]]: maps a
+  * document to a FIXED-LENGTH `array<bigint>` where slot i holds the
+  * number of occurrences of `terms(i)` among the document's non-empty
+  * single-space tokens (0 if absent). Fixed slots (rather than a sparse
+  * struct list) let ONE corpus-scalar aggregation derive every per-term
+  * document frequency (`sum(mt[i] > 0)`) alongside N and total tokens —
+  * so BM25 needs no separate df pass and no df join at all. The term
+  * index is a reference object shared by the generated code (built once
+  * per task, O(|Q|)). Empty tokens are skipped, so a caller-supplied ""
+  * term can never match (same semantics as the explode+filter form). */
+case class TermCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "term_counts: terms must be non-empty")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"term_counts requires STRING, got ${dt.sql}")
+  }
+  @transient private lazy val counter = new TermCounter(terms.toArray)
+  override protected def nullSafeEval(input: Any): Any =
+    counter.counts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termCounter", new TermCounter(terms.toArray),
+      classOf[TermCounter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.counts($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "term_counts"
+}
+
+object TermCounts {
+  def apply(c: Column, terms: Seq[String]): Column =
+    toCol(TermCounts(toExpr(c), terms))
+}
+
+/** The shared per-task state behind [[TermCounts]]: an interned term →
+  * slot map. Duplicate terms keep their FIRST slot (callers should pass
+  * a distinct list; [[graft.text.Bm25]] does). */
+class TermCounter(terms: Array[String]) extends Serializable {
+  @transient private lazy val idx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](terms.length * 2)
+    var i = 0
+    while (i < terms.length) { m.putIfAbsent(terms(i), i); i += 1 }
+    m
+  }
+  def counts(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val c = new Array[Long](terms.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (!t.isEmpty) {
+        val j = idx.get(t)
+        if (j ne null) c(j.intValue) += 1L
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(c)
+  }
 }

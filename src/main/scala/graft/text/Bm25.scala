@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.expr.{TermCounts, TokenCount}
+
 /** BM25 document ranking (Robertson & Zaragoza, "The Probabilistic
   * Relevance Framework: BM25 and Beyond", 2009) — the classic sparse
   * retrieval scorer, here as a fully relational Spark plan so it runs
@@ -15,20 +17,27 @@ import org.apache.spark.sql.types.DecimalType
   * with the +1-smoothed idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)),
   * which is non-negative for every df ≤ N.
   *
-  * Scale shape: one shuffle of (doc, count) partials for document
-  * lengths (map-side combined), the query-term postings are filtered
-  * BEFORE any shuffle (tf/df see only matching tokens), the per-term df
-  * table is broadcast (|Q| rows), and the corpus-wide scalars (N,
-  * total tokens) ride a broadcast single-row frame — in-plan, no
-  * driver round-trip. Everything that crosses a stage boundary is ids
-  * + 8-byte counts; nothing is quadratic.
+  * Scale shape (round 7 — TWO corpus scans, down from five): per-row
+  * codegen kernels ([[graft.expr.TokenCount]] for |D|,
+  * [[graft.expr.TermCounts]] for per-term occurrence slots) replace the
+  * explode+groupBy tokenization entirely. Scan 1 is ONE corpus-scalar
+  * aggregation producing N, total tokens, AND every per-term document
+  * frequency (`sum(mt[i] > 0)` over the fixed slots) — a single
+  * broadcast row, in-plan, no driver round-trip. Scan 2 emits only the
+  * matching (doc, term) hits (posexplode of the slot array, filtered
+  * `tf > 0` BEFORE any shuffle) with |D| already attached — so the old
+  * document-length join and df join are GONE; the only data shuffle
+  * left is the final per-document score aggregation over matching hits.
+  * Everything that crosses a stage boundary is ids + 8-byte counts;
+  * nothing is quadratic, and no shuffle keys on a term (no skew when a
+  * query term is corpus-common).
   *
-  * Determinism/mirror contract: idf and the final per-(doc,term)
-  * contribution are rounded to 6 dp (the engine-wide libm convention —
-  * both depend on `ln`), and the per-document sum accumulates in
-  * DECIMAL(28,10) so it is exact and order-independent; the oracle
-  * replays the identical parenthesization. No counterpart in the
-  * reference (closest: Count.PerElement token counting,
+  * Determinism/mirror contract: idf and the per-(doc,term) contribution
+  * are rounded to 6 dp (the engine-wide libm convention — both depend
+  * on `ln`), and the per-document sum accumulates in DECIMAL(28,10) so
+  * it is exact and order-independent; the oracle replays the identical
+  * parenthesization. No counterpart in the reference (closest:
+  * Count.PerElement token counting,
   * `/root/reference/pipelines/cycle_rides.py:48-57`); part of graft's
   * text-curation surface.
   */
@@ -36,40 +45,55 @@ object Bm25 {
 
   /** Rank documents by BM25 against `queryTerms`. Documents matching no
     * term are omitted (their score is 0 by definition). Returns
-    * (idCol, score, n_terms) — top `topK` by (score desc, id). */
+    * (idCol, score, n_terms) — top `topK` by (score desc, id).
+    *
+    * Σ_{t∈Q} sums over the SET of query terms: duplicates in
+    * `queryTerms` are collapsed (explicitly, via `.distinct` — the
+    * previous isin/groupBy plumbing collapsed them silently, same
+    * result). A caller wanting qtf-weighted repeats must weight
+    * externally. */
   def score(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 100): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: queryTerms must be non-empty")
     require(k1 > 0 && b >= 0 && b <= 1, s"bm25: bad parameters k1=$k1 b=$b")
+    val terms = queryTerms.distinct
     val d = docs.filter(col(textCol).isNotNull)
-    val tk = d
-      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-    val dl = tk.groupBy(idCol).agg(count(lit(1)).as("dl"))
-    // corpus scalars as a broadcast 1-row frame — stays in-plan
-    val stats = tk.agg(count(lit(1)).as("tot_toks"))
-      .crossJoin(d.agg(count(lit(1)).as("n_docs")))
-    val matching = tk.filter(col("tok").isin(queryTerms: _*))
-    val dfT = matching.groupBy("tok")
-      .agg(countDistinct(col(idCol)).as("df"))
-    val tf = matching.groupBy(col(idCol), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    // one projection both passes share: |D| (all non-empty tokens) and
+    // the per-term occurrence slots. Zero-token docs keep dl=0, so the
+    // corpus scalars below have exactly the explode+count semantics.
+    val base = d.select(col(idCol),
+      TokenCount(col(textCol)).as("dl"),
+      TermCounts(col(textCol), terms).as("mt"))
+    // scan 1: every corpus scalar in ONE single-row aggregate — N,
+    // total tokens, and df for each query term (docs where slot i > 0)
+    val dfCols = terms.indices.map(i =>
+      sum(when(col("mt").getItem(i) > 0L, 1L).otherwise(0L)).as(s"df_$i"))
+    val aggCols =
+      sum(col("dl")).as("tot_toks") +: count(lit(1)).as("n_docs") +: dfCols
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    // scan 2: matching (doc, term) hits only — tf comes off the slot
+    // array (no groupBy), dl rides along (no join)
+    val hits = base
+      .select(col(idCol), col("dl"), posexplode(col("mt")).as(Seq("ti", "tf")))
+      .filter(col("tf") > 0L)
+      .crossJoin(broadcast(stats))
+    // df for this hit's term, read out of the broadcast stats row
+    val dfOfTerm = element_at(
+      array(terms.indices.map(i => col(s"df_$i")): _*), col("ti") + 1)
 
     // every float step mirrors the oracle SQL with IDENTICAL
     // parenthesization; only the ln results are rounded
     val avgdl = col("tot_toks").cast("double") / col("n_docs").cast("double")
     val idf = round(log(lit(1.0) +
-      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))), 6)
+      (col("n_docs").cast("double") - dfOfTerm.cast("double") + lit(0.5)) /
+        (dfOfTerm.cast("double") + lit(0.5))), 6)
     val denom = col("tf").cast("double") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
     val contrib =
       round(idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) / denom, 6)
 
-    tf.join(broadcast(dfT), "tok")
-      .join(dl, idCol)
-      .crossJoin(broadcast(stats))
+    hits
       .select(col(idCol), contrib.as("contrib"))
       .groupBy(idCol)
       .agg(

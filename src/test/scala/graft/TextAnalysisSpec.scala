@@ -225,4 +225,38 @@ class TextAnalysisSpec extends SparkSpec {
       Bm25.score(docs, "doc_id", "text", Nil)
     }
   }
+
+  test("Bm25: duplicate query terms collapse to the set (documented " +
+    "Σ_{t∈Q} semantics)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "cat dog"), (2L, "cat cat mouse"))
+      .toDF("doc_id", "text")
+    val once = rows(graft.text.Bm25.score(corpus, "doc_id", "text",
+      Seq("cat", "mouse")))
+    val duped = rows(graft.text.Bm25.score(corpus, "doc_id", "text",
+      Seq("cat", "mouse", "cat", "cat")))
+    assert(once.map(_.toSeq) == duped.map(_.toSeq),
+      "repeated terms must not change scores (set semantics)")
+  }
+
+  test("Bm25: the executed plan reads the corpus exactly TWICE (one " +
+    "scalar-stats scan, one hits scan — no explode/groupBy re-tokenization)") {
+    // the 100 TB contract for the round-7 rewrite: document lengths,
+    // corpus scalars, per-term dfs, and tfs all come off TWO passes over
+    // the parquet source (previously five — dl, tot_toks, n_docs, df, tf
+    // were each a separate subtree over the same explode).
+    def parquetScans(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          parquetScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          parquetScans(q.plan)
+        case s if s.nodeName.toLowerCase.contains("scan parquet") => 1
+      }.sum
+    val out = graft.text.Bm25.score(docs, "doc_id", "text",
+      TextQueries.Bm25Terms)
+    out.collect() // materialize so AQE finalizes every stage
+    val n = parquetScans(out.queryExecution.executedPlan)
+    assert(n == 2, s"BM25 must read the corpus exactly twice, saw $n scans")
+  }
 }
