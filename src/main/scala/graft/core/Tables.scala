@@ -36,21 +36,32 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
 
   /** Events with `ts` as epoch-MICROSECOND BIGINT — the single reader all
-    * event-time queries share. Two things live here so no query can get
-    * them wrong: (a) the parquet carries TIMESTAMP(NANOS), which Spark
-    * admits only as INT64 via the nanosAsLong flag; (b) time arithmetic
-    * is truncated to MICROsecond resolution because the DuckDB oracle's
-    * TIMESTAMP is microsecond-resolved — comparing at nano grain would
-    * make every boundary predicate latently engine-divergent (mirror
-    * with epoch_us(ts) in oracle SQL).
+    * event-time queries share, adaptive to how the parquet encodes time.
+    * Time arithmetic is normalized to MICROsecond resolution because the
+    * DuckDB oracle's TIMESTAMP is microsecond-resolved (mirror with
+    * epoch_us(ts) in oracle SQL); the three parquet encodings seen across
+    * testdata generations all land on the same epoch-micros BIGINT:
+    *   - TIMESTAMP(NANOS) → INT64 under the nanosAsLong flag → `div 1000`;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ →
+    *     cast through TIMESTAMP (session tz pinned to UTC, so the wall
+    *     clock IS the instant — exactly DuckDB's epoch_us reading);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=true) → TIMESTAMP → unix_micros.
     *
     * The nanosAsLong conf itself is set ONCE at session construction
     * ([[GraftSession]]) — a loader must not mutate session state on
-    * every call; a session built elsewhere without the flag fails here
-    * loudly with Spark's illegal-parquet-type AnalysisException. */
-  def eventsMicros(spark: SparkSession, sfDir: String): DataFrame =
-    events(spark, sfDir).withColumn("ts",
-      org.apache.spark.sql.functions.expr("ts div 1000L"))
+    * every call. */
+  def eventsMicros(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val ev = events(spark, sfDir)
+    val micros = ev.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000L")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType    => unix_micros(col("ts"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; expected INT64 nanos or a timestamp")
+    }
+    ev.withColumn("ts", micros)
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 

@@ -217,7 +217,9 @@ object Graphs {
     // `dist` stays a PLAIN union of the per-hop checkpointed frames:
     // each round materializes only the new frontier — re-checkpointing
     // the whole settled set every hop would copy O(hops × settled) rows
+    val hops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var dist = persist(Seq((source, 0)).toDF("node", "dist"))
+    hops += dist
     var frontier = dist
     var hop = 0
     while (hop < maxHops && frontier.limit(1).count() > 0) {
@@ -227,9 +229,16 @@ object Graphs {
         .select(col("b").as("node")).distinct()
         .join(dist.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop)))
+      hops += next
       dist = dist.unionByName(next)
       frontier = next
     }
-    dist
+    // Consolidate the settled set into ONE checkpointed frame (a single
+    // O(nodes) 12-byte-row copy), then release the adjacency and every
+    // per-hop block — without this, repeated calls in a long session
+    // accumulate block-manager storage for the whole loop history.
+    val out = persist(dist)
+    (adj +: hops).foreach(_.unpersist(blocking = false))
+    out
   }
 }

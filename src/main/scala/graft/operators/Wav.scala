@@ -41,6 +41,10 @@ object Wav {
   def encodePcm16(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
     require(nSamples > 0 && sampleRate > 0,
       s"encodePcm16: bad args ($nSamples, $sampleRate)")
+    // 44-byte header + 2 bytes/sample must fit one JVM byte array; past
+    // this, nSamples * 2 wraps Int and the RIFF size fields would lie.
+    require(nSamples <= (Int.MaxValue - 44) / 2,
+      s"encodePcm16: $nSamples samples overflows a single in-memory WAV")
     val dataLen = nSamples * 2
     val out = new java.io.ByteArrayOutputStream(44 + dataLen)
     out.write("RIFF".getBytes("US-ASCII"))
