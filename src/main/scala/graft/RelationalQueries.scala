@@ -294,6 +294,47 @@ object RelationalQueries {
            |WHERE s_nationkey < 5
            |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
 
+  /** End-to-end DSv2 WRITE path under the oracle gate
+    * ([[graft.sources.GraftParquetWrite]]): seed a manifested table with
+    * half the rows via [[graft.sources.Sinks.parquetWithStats]], APPEND
+    * the other half through the connector's `SupportsWrite` (which must
+    * carry the manifest forward transactionally — the r6 verdict's
+    * append-staleness hole), then read the table back through the
+    * connector with a pushed filter and aggregate. The result is
+    * hash-checked against DuckDB computing the same slices straight from
+    * `orders` — so a write that lost rows, duplicated a staged file, or
+    * corrupted a value would fail the gate, and a manifest regression
+    * surfaces in GraftParquetWriteSpec's pruning asserts. Long sums are
+    * exact at any file fan-out; no floats cross the aggregate. */
+  val qDsv2WriteRoundtrip = QueryDef("q_dsv2_write_roundtrip",
+    (spark, dir) => {
+      val fmt = "graft.sources.GraftParquetTableProvider"
+      val out = s"${sys.props("java.io.tmpdir")}/graft_dsv2_write_" +
+        math.abs(dir.hashCode).toString
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // fresh table per run — the query IS the write
+      val base = Tables.orders(spark, dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      graft.sources.Sinks.parquetWithStats(
+        base.filter(col("o_orderkey") % 4 === 0), out)
+      base.filter(col("o_orderkey") % 4 === 1)
+        .write.format(fmt).option("path", out).mode("append").save()
+      spark.read.format(fmt).option("path", out).load()
+        .filter(col("o_totalprice") > 150000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum("o_custkey").as("sum_cust"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM orders
+           |WHERE o_orderkey % 4 IN (0, 1) AND o_totalprice > 150000.0
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   /** TPC-H Q3 ("shipping priority") adapted to this schema: segment-
     * filtered customers ⋈ date-bounded orders ⋈ ship-date-bounded
     * lineitems, revenue per open order, top 10. The canonical selective-
@@ -635,7 +676,7 @@ object RelationalQueries {
   def all: Seq[QueryDef] = Seq(
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
     qDsv2Pushdown, qDsv2AggPushdown, qDsv2SumPushdown, qDsv2GroupPushdown,
-    qDsv2RuntimeFilter,
+    qDsv2RuntimeFilter, qDsv2WriteRoundtrip,
     qShippingPriority,
     qLocalSupplierVolume,
     qLargeOrders, qProfileDocuments, qZorderCells, qTriangles, qPageRank,

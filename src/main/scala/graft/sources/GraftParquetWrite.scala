@@ -1,0 +1,387 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.Type.Repetition
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** DataSource V2 WRITE path for the graft parquet connector — the sink
+  * half of the S1 story ([[GraftParquetTableProvider]]): the same table
+  * that reads with pushdown/zone-map/manifest pruning now OWNS its
+  * `_graft_stats.parquet` manifest transactionally on write. Before
+  * this, the manifest had a split brain: [[Sinks.parquetWithStats]]
+  * wrote it once, and any later plain append left new files out of it
+  * (conservatively read, never pruned — safe but silently unoptimized,
+  * and nothing owned the manifest's lifecycle).
+  *
+  * Commit protocol (single-writer; readers degrade conservatively, never
+  * wrongly):
+  *   1. tasks write `part-<partition>-<task>-<writeId>.parquet` under
+  *      `<table>/_staging-<writeId>/` — the underscore prefix keeps the
+  *      whole staging tree invisible to [[GraftParquetV2.listFiles]], so
+  *      a concurrent reader NEVER sees an uncommitted row; each task
+  *      reads its own file's footer after close and ships the per-column
+  *      zone-map entries to the driver in its commit message (the footer
+  *      I/O is paid where the write ran, exactly like
+  *      [[Sinks.parquetWithStats]]'s executor-side stats job);
+  *   2. driver commit renames staged files into the table directory
+  *      (same-filesystem renames: O(1) metadata ops, no data copy), for
+  *      truncate-overwrite deletes the pre-existing data files, and
+  *   3. rewrites the manifest LAST — prior entries (append keeps them,
+  *      truncate drops them) plus the new files' entries go to a
+  *      `_graft_stats.parquet.tmp-<writeId>` directory which is then
+  *      swapped over the live sidecar (delete + rename).
+  *
+  * The delete+rename swap is not atomic on a plain filesystem; the
+  * failure window leaves NO manifest, which the scan treats as "no zone
+  * maps" — every file is read, nothing is wrongly pruned (the same
+  * degrade-to-correct rule the row-group pruner applies to missing
+  * footer stats). A crash before step 3 similarly leaves committed data
+  * files whose manifest entries are missing: conservatively scanned
+  * until the next write rebuilds the sidecar. Task abort deletes the
+  * task's staged file; job abort deletes the staging tree; Spark's
+  * commit coordinator (on by default for batch writes) guarantees one
+  * committed attempt per partition under speculation.
+  *
+  * Scope mirrors the read side deliberately: flat primitive schemas
+  * only (int/long/double/float/boolean/string/binary/date/timestamp),
+  * declined LOUDLY at plan time for anything nested — the built-in
+  * parquet writer remains the sink of choice for exotic schemas; this
+  * path exists so the connector's table format is self-contained.
+  * Reference context: the reference's only sink is text
+  * (`/root/reference/pipelines/cycle_rides.py:60-70`); a manifested
+  * columnar sink is part of graft's lakehouse extension surface. */
+final case class GraftCommitMessage(file: Option[String],
+    stats: Seq[GraftManifestEntry]) extends WriterCommitMessage
+
+/** One manifest row (file × column zone-map entry) in plain-JVM form —
+  * serializable for commit messages, convertible to/from the sidecar's
+  * [[GraftParquetV2.manifestSchema]] rows. `nullCount = None` means the
+  * footer didn't expose null counts (bounds then also distrusted). */
+final case class GraftManifestEntry(file: String, column: String,
+    kind: String, minLong: Option[Long], maxLong: Option[Long],
+    minStr: Option[String], maxStr: Option[String],
+    nullCount: Option[Long], valueCount: Long) {
+  def toRow: org.apache.spark.sql.Row = org.apache.spark.sql.Row(
+    file, column, kind, minLong.map(Long.box).orNull,
+    maxLong.map(Long.box).orNull, minStr.orNull, maxStr.orNull,
+    nullCount.map(Long.box).orNull, valueCount)
+}
+
+class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    // schema validation at PLAN time — an unsupported column fails the
+    // write before any task launches, not halfway through a fan-out
+    GraftParquetWrite.messageType(info.schema())
+    new GraftBatchWrite(path, info.schema(), doTruncate)
+  }
+}
+
+class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends Write with BatchWrite {
+  private val writeId = UUID.randomUUID().toString
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"GraftParquetWrite path=$path, truncate=$truncate"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = GraftDataWriterFactory(path, schema, writeId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val staging = new Path(path, s"_staging-$writeId")
+    val committed = messages.collect {
+      case GraftCommitMessage(Some(f), stats) => (f, stats)
+    }
+    // capture the pre-write file set BEFORE renaming staged files in —
+    // afterwards old and new are indistinguishable by listing
+    val preExisting: Seq[String] =
+      if (truncate) try GraftParquetV2.listFiles(path) catch {
+        case _: Exception => Nil // fresh/empty table: nothing to truncate
+      } else Nil
+    committed.foreach { case (f, _) =>
+      val ok = fs.rename(new Path(staging, f), new Path(path, f))
+      require(ok, s"graft parquet v2 write: commit rename failed for $f")
+    }
+    if (truncate) {
+      preExisting.foreach(f => fs.delete(new Path(f), false))
+    }
+    fs.delete(staging, true)
+    val prior =
+      if (truncate) Nil else GraftParquetWrite.rawManifestEntries(path)
+    GraftParquetWrite.replaceManifest(path,
+      prior ++ committed.flatMap(_._2), writeId)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.delete(new Path(path, s"_staging-$writeId"), true)
+  }
+}
+
+case class GraftDataWriterFactory(path: String, schema: StructType,
+    writeId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GraftDataWriter(path, schema, writeId, partitionId, taskId)
+}
+
+/** Task-side parquet writer over the Group API (the symmetric twin of
+  * [[GraftPartitionReader]]'s Group decode). The file is created LAZILY
+  * on the first row, so an empty input partition commits no file at all
+  * instead of littering the table with zero-row parquet. */
+class GraftDataWriter(path: String, schema: StructType, writeId: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val fileName = f"part-$partitionId%05d-$taskId-$writeId.parquet"
+  private val staged =
+    new Path(new Path(path, s"_staging-$writeId"), fileName)
+  private val messageType = GraftParquetWrite.messageType(schema)
+  private val factory = new SimpleGroupFactory(messageType)
+  private var writer: ParquetWriter[Group] = null
+  private var closed = false
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null)
+      writer = ExampleParquetWriter
+        .builder(HadoopOutputFile.fromPath(staged, new Configuration()))
+        .withType(messageType)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    writer.write(GraftParquetWrite.toGroup(factory, schema, row))
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (writer == null) GraftCommitMessage(None, Nil)
+    else {
+      writer.close(); closed = true
+      // footer read-back of the just-written file: the ONLY place the
+      // new file's column chunk stats exist; same executor, page-cache
+      // warm — the manifest I/O rides the write, as in parquetWithStats
+      GraftCommitMessage(Some(fileName),
+        GraftParquetWrite.fileStatsEntries(staged.toString))
+    }
+
+  override def abort(): Unit = {
+    if (writer != null && !closed) { writer.close(); closed = true }
+    staged.getFileSystem(new Configuration()).delete(staged, false)
+  }
+
+  override def close(): Unit =
+    if (writer != null && !closed) { writer.close(); closed = true }
+}
+
+object GraftParquetWrite {
+
+  /** StructType → parquet MessageType — the exact inverse of the read
+    * side's [[GraftParquetV2.sparkSchema]]/toCatalyst, so a connector
+    * write round-trips through the connector read bit-for-bit. */
+  def messageType(schema: StructType): MessageType = {
+    val fields = schema.fields.toSeq.map { f =>
+      val rep = if (f.nullable) Repetition.OPTIONAL else Repetition.REQUIRED
+      def prim(t: PrimitiveTypeName,
+          ann: LogicalTypeAnnotation = null): org.apache.parquet.schema.Type = {
+        val b = Types.primitive(t, rep)
+        (if (ann != null) b.as(ann) else b).named(f.name)
+      }
+      f.dataType match {
+        case IntegerType => prim(PrimitiveTypeName.INT32)
+        case DateType =>
+          prim(PrimitiveTypeName.INT32, LogicalTypeAnnotation.dateType())
+        case LongType => prim(PrimitiveTypeName.INT64)
+        case TimestampType => prim(PrimitiveTypeName.INT64,
+          LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case DoubleType => prim(PrimitiveTypeName.DOUBLE)
+        case FloatType => prim(PrimitiveTypeName.FLOAT)
+        case BooleanType => prim(PrimitiveTypeName.BOOLEAN)
+        case StringType => prim(PrimitiveTypeName.BINARY,
+          LogicalTypeAnnotation.stringType())
+        case BinaryType => prim(PrimitiveTypeName.BINARY)
+        case other => throw new IllegalArgumentException(
+          s"graft parquet v2 write: unsupported column type $other for " +
+            s"'${f.name}' — use Sinks.parquet for nested/exotic schemas")
+      }
+    }
+    new MessageType("graft_schema", fields.asJava)
+  }
+
+  /** InternalRow → example Group under `schema` (positions align by
+    * construction: [[messageType]] preserves field order). Nulls are
+    * simply not appended — parquet OPTIONAL absence. */
+  def toGroup(factory: SimpleGroupFactory, schema: StructType,
+      row: InternalRow): Group = {
+    val g = factory.newGroup()
+    var i = 0
+    val n = schema.length
+    while (i < n) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case IntegerType | DateType => g.add(i, row.getInt(i))
+        case LongType | TimestampType => g.add(i, row.getLong(i))
+        case DoubleType => g.add(i, row.getDouble(i))
+        case FloatType => g.add(i, row.getFloat(i))
+        case BooleanType => g.add(i, row.getBoolean(i))
+        case StringType => g.add(i,
+          Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case BinaryType => g.add(i,
+          Binary.fromConstantByteArray(row.getBinary(i)))
+        case other => throw new IllegalStateException(
+          s"unreachable write type $other") // messageType() already threw
+      }
+      i += 1
+    }
+    g
+  }
+
+  /** Per-file manifest entries from the file's own footer — bounds only
+    * for kinds whose order the refutation engine trusts (integrals as
+    * long, booleans as 0/1, STRING-annotated binary byte-exact;
+    * float/double/raw-binary get null-count-only "other" rows), exactly
+    * the [[Sinks.parquetWithStats]] rules. Runs inside an executor task
+    * (the connector write) or a Spark job ([[Sinks.parquetWithStats]]).
+
+    * The `file` key is the BASENAME: staged files keep their name when
+    * renamed into the table directory, so entries computed in staging
+    * stay valid after commit. */
+  def fileStatsEntries(file: String): Seq[GraftManifestEntry] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.unsafe.types.UTF8String
+    val in = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    try {
+      val blocks = in.getFooter.getBlocks.asScala.toSeq
+      val fileSchema = in.getFooter.getFileMetaData.getSchema
+      val base = new Path(file).getName
+      def stringAnnotated(cn: String): Boolean =
+        fileSchema.containsField(cn) &&
+          fileSchema.getType(fileSchema.getFieldIndex(cn))
+            .getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      val colNames = blocks.headOption.toSeq
+        .flatMap(_.getColumns.asScala.map(_.getPath.toDotString)).distinct
+      colNames.map { cn =>
+        val chunks = blocks.flatMap(
+          _.getColumns.asScala.find(_.getPath.toDotString == cn))
+        val stats = chunks.map(_.getStatistics)
+        val valueCount = chunks.map(_.getValueCount).sum
+        val nullsKnown = stats.forall(s => s != null && s.isNumNullsSet)
+        val nullCount = if (nullsKnown) Some(stats.map(_.getNumNulls).sum)
+          else None
+        // bounds only when EVERY chunk has exact non-null stats or is
+        // provably all-null — the row-group rule, lifted to the file
+        val withVals = stats.filter(s => s != null && s.hasNonNullValue)
+        val boundsOk = chunks.forall { c =>
+          val s = c.getStatistics
+          s != null && (s.hasNonNullValue ||
+            (s.isNumNullsSet && s.getNumNulls == c.getValueCount))
+        }
+        val extremes: Seq[Any] =
+          withVals.flatMap(s => Seq(s.genericGetMin, s.genericGetMax))
+        val (kind, minL, maxL, minS, maxS): (String, Option[Long],
+            Option[Long], Option[String], Option[String]) =
+          if (!boundsOk || withVals.isEmpty) ("other", None, None, None, None)
+          else extremes.head match {
+            case _: java.lang.Integer | _: java.lang.Long =>
+              val ls = extremes.map(_.asInstanceOf[Number].longValue())
+              ("long", Some(ls.min), Some(ls.max), None, None)
+            case _: java.lang.Boolean =>
+              val bs = extremes.map(_.asInstanceOf[java.lang.Boolean]
+                .booleanValue())
+              ("bool", Some(if (bs.forall(identity)) 1L else 0L),
+                Some(if (bs.exists(identity)) 1L else 0L), None, None)
+            case _: Binary if stringAnnotated(cn) =>
+              val us = extremes.map(b =>
+                UTF8String.fromBytes(b.asInstanceOf[Binary].getBytes))
+              val ord = Ordering.fromLessThan[UTF8String](_.compareTo(_) < 0)
+              ("string", None, None,
+                Some(us.min(ord).toString), Some(us.max(ord).toString))
+            case _ => ("other", None, None, None, None) // raw binary, floats
+          }
+        GraftManifestEntry(base, cn, kind, minL, maxL, minS, maxS,
+          nullCount, valueCount)
+      }
+    } finally in.close()
+  }
+
+  /** The live sidecar's rows, undecoded — what an APPEND must carry
+    * forward. Missing sidecar → Nil (the append then bootstraps a
+    * manifest covering only its own files; pre-existing unmanifested
+    * files stay conservatively scanned — see planInputPartitions'
+    * unknown-file rule). */
+  def rawManifestEntries(path: String): Seq[GraftManifestEntry] = {
+    val sidecar = new Path(s"$path/${GraftParquetV2.StatsSidecar}")
+    val fs = sidecar.getFileSystem(new Configuration())
+    if (!fs.exists(sidecar)) return Nil
+    val parts = fs.listStatus(sidecar).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .map(_.toString)
+    val out = collection.mutable.ArrayBuffer.empty[GraftManifestEntry]
+    parts.foreach { f =>
+      val r = new GraftPartitionReader(f, GraftParquetV2.manifestSchema,
+        Array.empty)
+      try while (r.next()) {
+        val row = r.get()
+        def optLong(i: Int): Option[Long] =
+          if (row.isNullAt(i)) None else Some(row.getLong(i))
+        def optStr(i: Int): Option[String] =
+          if (row.isNullAt(i)) None else Some(row.getString(i))
+        out += GraftManifestEntry(row.getString(0), row.getString(1),
+          row.getString(2), optLong(3), optLong(4), optStr(5), optStr(6),
+          optLong(7), row.getLong(8))
+      } finally r.close()
+    }
+    out.toSeq
+  }
+
+  /** Swap a freshly written manifest over the live sidecar: write to a
+    * tmp directory (underscore-prefixed — invisible to scans), then
+    * delete the old sidecar and rename. The one non-atomic window
+    * degrades to "no manifest" = full conservative scan, never a wrong
+    * prune. */
+  def replaceManifest(path: String, entries: Seq[GraftManifestEntry],
+      writeId: String): Unit = {
+    val conf = new Configuration()
+    val table = new Path(path)
+    val fs = table.getFileSystem(conf)
+    val tmp = new Path(table,
+      s"${GraftParquetV2.StatsSidecar}.tmp-$writeId")
+    val mt = messageType(GraftParquetV2.manifestSchema)
+    val factory = new SimpleGroupFactory(mt)
+    val w = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(
+        new Path(tmp, "part-00000.parquet"), conf))
+      .withType(mt)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try entries.foreach { e =>
+      val g = factory.newGroup()
+      g.add(0, e.file); g.add(1, e.column); g.add(2, e.kind)
+      e.minLong.foreach(g.add(3, _)); e.maxLong.foreach(g.add(4, _))
+      e.minStr.foreach(g.add(5, _)); e.maxStr.foreach(g.add(6, _))
+      e.nullCount.foreach(g.add(7, _)); g.add(8, e.valueCount)
+      w.write(g)
+    } finally w.close()
+    val live = new Path(table, GraftParquetV2.StatsSidecar)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live),
+      s"graft parquet v2 write: manifest swap rename failed under $path")
+  }
+}

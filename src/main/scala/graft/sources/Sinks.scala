@@ -68,77 +68,13 @@ object Sinks {
   }
 
   /** Per-file manifest rows for [[parquetWithStats]] — runs inside an
-    * executor task. Bounds are recorded only for kinds whose order the
-    * refutation engine trusts: integrals as long, booleans as 0/1, and
-    * STRING-ANNOTATED binary byte-exact. Raw (unannotated) binary and
-    * float/double columns get kind "other" — null counts only (a
-    * UTF8String round trip of non-UTF-8 bytes would corrupt the bounds
-    * silently). */
-  private def fileStatsRows(file: String): Seq[org.apache.spark.sql.Row] = {
-    import org.apache.hadoop.conf.Configuration
-    import org.apache.hadoop.fs.Path
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    import org.apache.spark.sql.Row
-    import org.apache.spark.unsafe.types.UTF8String
-    import scala.jdk.CollectionConverters._
-    val in = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), new Configuration()))
-    try {
-      val blocks = in.getFooter.getBlocks.asScala.toSeq
-      val fileSchema = in.getFooter.getFileMetaData.getSchema
-      val base = new Path(file).getName
-      def stringAnnotated(cn: String): Boolean =
-        fileSchema.containsField(cn) &&
-          fileSchema.getType(fileSchema.getFieldIndex(cn))
-            .getLogicalTypeAnnotation
-            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
-      val colNames = blocks.headOption.toSeq
-        .flatMap(_.getColumns.asScala.map(_.getPath.toDotString)).distinct
-      colNames.map { cn =>
-        val chunks = blocks.flatMap(
-          _.getColumns.asScala.find(_.getPath.toDotString == cn))
-        val stats = chunks.map(_.getStatistics)
-        val valueCount = chunks.map(_.getValueCount).sum
-        val nullsKnown = stats.forall(s => s != null && s.isNumNullsSet)
-        val nullCount = if (nullsKnown) stats.map(_.getNumNulls).sum else -1L
-        // bounds only when EVERY chunk has exact non-null stats or is
-        // provably all-null — the row-group rule, lifted to the file
-        val withVals = stats.filter(s => s != null && s.hasNonNullValue)
-        val boundsOk = chunks.forall { c =>
-          val s = c.getStatistics
-          s != null && (s.hasNonNullValue ||
-            (s.isNumNullsSet && s.getNumNulls == c.getValueCount))
-        }
-        val extremes: Seq[Any] =
-          withVals.flatMap(s => Seq(s.genericGetMin, s.genericGetMax))
-        val (kind, minL, maxL, minS, maxS): (String, Option[Long],
-            Option[Long], Option[String], Option[String]) =
-          if (!boundsOk || withVals.isEmpty) ("other", None, None, None, None)
-          else extremes.head match {
-            case _: java.lang.Integer | _: java.lang.Long =>
-              val ls = extremes.map(_.asInstanceOf[Number].longValue())
-              ("long", Some(ls.min), Some(ls.max), None, None)
-            case _: java.lang.Boolean =>
-              val bs = extremes.map(_.asInstanceOf[java.lang.Boolean]
-                .booleanValue())
-              ("bool", Some(if (bs.forall(identity)) 1L else 0L),
-                Some(if (bs.exists(identity)) 1L else 0L), None, None)
-            case _: org.apache.parquet.io.api.Binary if stringAnnotated(cn) =>
-              val us = extremes.map(b => UTF8String.fromBytes(
-                b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
-              val ord = Ordering.fromLessThan[UTF8String](_.compareTo(_) < 0)
-              ("string", None, None,
-                Some(us.min(ord).toString), Some(us.max(ord).toString))
-            case _ => ("other", None, None, None, None) // raw binary, floats
-          }
-        Row(base, cn, kind, minL.orNull, maxL.orNull,
-          minS.orNull, maxS.orNull,
-          if (nullsKnown) nullCount else null, valueCount)
-      }
-    } finally in.close()
-  }
+    * executor task; the footer-stats rules (which kinds carry bounds,
+    * when bounds are trusted) live in ONE place,
+    * [[GraftParquetWrite.fileStatsEntries]], shared with the DSv2 write
+    * path so sink-written and connector-written manifests can never
+    * drift. */
+  private def fileStatsRows(file: String): Seq[org.apache.spark.sql.Row] =
+    GraftParquetWrite.fileStatsEntries(file).map(_.toRow)
 
   /** ORC sink — see [[Sources.orc]]. */
   def orc(df: DataFrame, path: String): Unit =

@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftParquetScan, GraftParquetV2, Sinks}
+
+/** The DSv2 WRITE path ([[graft.sources.GraftParquetWrite]]): append and
+  * truncate-overwrite through the connector own the stats-manifest
+  * sidecar transactionally — appended files gain manifest rows (and so
+  * participate in file-level pruning), overwrite replaces data AND
+  * manifest, and the round trip through the connector's own reader is
+  * exact across every supported type. This closes the r6 verdict's
+  * append-staleness hole: before, only Sinks.parquetWithStats wrote the
+  * manifest, and any later append left files unmanifested. */
+class GraftParquetWriteSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.GraftParquetTableProvider"
+
+  private def viaV2(path: String): DataFrame =
+    spark.read.format(fmt).option("path", path).load()
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_w_$name").toFile
+    d.delete() // parquetWithStats wants to create it fresh
+    d.getAbsolutePath
+  }
+
+  private def graftScan(df: DataFrame): GraftParquetScan = {
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[GraftParquetScan] = p.collect {
+      case b: BatchScanExec => b.scan match {
+        case s: GraftParquetScan => Seq(s)
+        case _ => Nil
+      }
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+    }.flatten
+    scans(df.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no GraftParquetScan in the plan"))
+  }
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select("doc_id", "source", "lang", "n_chars", "text")
+
+  test("append adds data AND manifest rows; both halves prune by file") {
+    val dir = tmp("append")
+    val lo = docs.filter(col("doc_id") < 20L)
+    val hi = docs.filter(col("doc_id") >= 400L)
+    Sinks.parquetWithStats(lo.coalesce(1), dir)
+    hi.coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()
+
+    // content: connector read-back == built-in union, exactly
+    val got = viaV2(dir).orderBy("doc_id").collect().toSeq
+    val want = lo.unionByName(hi).orderBy("doc_id").collect().toSeq
+    assert(got == want)
+
+    // the manifest now covers EVERY data file — including the appended
+    // one (the pre-write split brain this path exists to close)
+    val files = GraftParquetV2.listFiles(dir)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    val manifest = GraftParquetV2.loadStatsManifest(dir)
+    assert(manifest.keySet == files,
+      s"manifest keys ${manifest.keySet} != data files $files")
+    assert(files.size == 2)
+
+    // file-level pruning works against BOTH generations of manifest
+    // rows: a doc_id range inside only one file's bounds plans exactly
+    // one partition; an impossible range plans ZERO
+    def planned(df: DataFrame): Int =
+      graftScan(df).planInputPartitions().length
+    assert(planned(viaV2(dir).filter(col("doc_id") < 10L)) == 1)
+    assert(planned(viaV2(dir).filter(col("doc_id") >= 450L)) == 1)
+    assert(planned(viaV2(dir).filter(col("doc_id") === 200L)) == 0)
+  }
+
+  test("append to a manifest-less table bootstraps a manifest for its " +
+      "own files; old files stay conservatively scanned") {
+    val dir = tmp("bootstrap")
+    docs.filter(col("doc_id") < 20L).coalesce(1)
+      .write.parquet(dir) // plain write: NO sidecar
+    docs.filter(col("doc_id") >= 400L).coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val manifest = GraftParquetV2.loadStatsManifest(dir)
+    assert(manifest.keySet.size == 1,
+      s"bootstrap manifest should cover only the appended file: $manifest")
+    // unknown (unmanifested) file is always read: the refuting filter
+    // can drop the appended file but never the legacy one
+    val scan = graftScan(viaV2(dir).filter(col("doc_id") === 200L))
+    assert(scan.planInputPartitions().length == 1)
+    // and results are still exact
+    assert(viaV2(dir).count() ==
+      docs.filter(col("doc_id") < 20L || col("doc_id") >= 400L).count())
+  }
+
+  test("overwrite truncates: data replaced, manifest replaced atomically") {
+    val dir = tmp("truncate")
+    Sinks.parquetWithStats(docs.filter(col("doc_id") < 20L).coalesce(1), dir)
+    val oldFiles = GraftParquetV2.listFiles(dir).toSet
+    docs.filter(col("doc_id").between(100L, 150L)).coalesce(1)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val newFiles = GraftParquetV2.listFiles(dir).toSet
+    assert(newFiles.intersect(oldFiles).isEmpty, "old data files survive")
+    assert(viaV2(dir).orderBy("doc_id").collect().toSeq ==
+      docs.filter(col("doc_id").between(100L, 150L))
+        .orderBy("doc_id").collect().toSeq)
+    val manifest = GraftParquetV2.loadStatsManifest(dir)
+    assert(manifest.keySet ==
+      newFiles.map(f => new org.apache.hadoop.fs.Path(f).getName),
+      s"manifest must cover exactly the new files: ${manifest.keySet}")
+  }
+
+  test("typed round trip: every supported type survives the connector " +
+      "write → connector read, nulls included") {
+    import spark.implicits._
+    val dir = tmp("types")
+    // the seed file goes through Spark's own writer, whose DEFAULT
+    // timestamp encoding is INT96 — a legacy type the connector reader
+    // declines by design; pin the modern encoding for the seed write
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val df = Seq(
+      (1, 10L, 1.5, 2.5f, true, "añño", Array[Byte](1, 2),
+        java.sql.Date.valueOf("2024-02-29"),
+        java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789")),
+      (2, 20L, -0.5, 0f, false, "", Array[Byte](),
+        java.sql.Date.valueOf("1970-01-01"),
+        java.sql.Timestamp.valueOf("1999-12-31 23:59:59.999"))
+    ).toDF("i", "l", "d", "f", "b", "s", "bin", "dt", "ts")
+      .unionByName(Seq((3, 30L)).toDF("i", "l")
+        .withColumn("d", lit(null).cast("double"))
+        .withColumn("f", lit(null).cast("float"))
+        .withColumn("b", lit(null).cast("boolean"))
+        .withColumn("s", lit(null).cast("string"))
+        .withColumn("bin", lit(null).cast("binary"))
+        .withColumn("dt", lit(null).cast("date"))
+        .withColumn("ts", lit(null).cast("timestamp")))
+    Sinks.parquetWithStats(df.filter(col("i") === 1), dir)
+    df.filter(col("i") =!= 1).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    def canon(r: org.apache.spark.sql.Row): Seq[Any] =
+      r.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      }
+    val got = viaV2(dir).orderBy("i").collect().toSeq.map(canon)
+    val want = df.orderBy("i").collect().toSeq.map(canon)
+    assert(got == want)
+    // the built-in reader agrees on the connector-written files too
+    assert(spark.read.parquet(dir).orderBy("i").collect().toSeq
+      .map(canon) == want)
+  }
+
+  test("unsupported (nested) schema is declined loudly at plan time") {
+    import spark.implicits._
+    val dir = tmp("nested")
+    Sinks.parquetWithStats(docs.limit(1).coalesce(1), dir)
+    val bad = Seq((1L, Seq(1.0, 2.0))).toDF("doc_id", "emb")
+    val e = intercept[Exception] {
+      bad.write.format(fmt).option("path", dir).mode("overwrite").save()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("empty input partitions write no files") {
+    val dir = tmp("empty")
+    Sinks.parquetWithStats(docs.filter(col("doc_id") < 5L).coalesce(1), dir)
+    val before = GraftParquetV2.listFiles(dir).size
+    // 8 partitions, 3 rows — at least 5 partitions are empty
+    docs.filter(col("doc_id").between(400L, 402L)).repartition(8)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val after = GraftParquetV2.listFiles(dir).size
+    assert(after - before <= 3,
+      s"empty partitions must not create files: $before -> $after")
+    assert(viaV2(dir).count() ==
+      docs.filter(col("doc_id") < 5L || col("doc_id").between(400L, 402L))
+        .count())
+    // no staging/tmp litter once the write committed
+    val stray = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.contains("_staging") || n.contains(".tmp-"))
+    assert(stray.isEmpty, s"leftover staging dirs: ${stray.toSeq}")
+  }
+}
