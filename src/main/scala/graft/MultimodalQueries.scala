@@ -117,6 +117,89 @@ object MultimodalQueries {
            |FROM t GROUP BY media_id, width, height
            |ORDER BY media_id""".stripMargin))
 
+  /** REAL pixel RESIZE, end to end ([[graft.operators.Png.resizeRgb]]):
+    * every image doc is synthesized as a full PNG, decoded, resampled
+    * to 24×18 with the EXACT-INTEGER bilinear kernel (center-aligned,
+    * edge-clamped, floor-divided — specified in integer arithmetic
+    * precisely so this oracle exists), re-encoded as a new PNG, and
+    * decoded AGAIN for channel sums — so one hash match proves the
+    * whole decode → resample → re-encode → decode chain. The oracle
+    * re-derives every output pixel relationally from the generative
+    * formula: source taps x0/x1/y0/y1 and fractions fx/fy come from
+    * the same integer mapping (numX = (2·ox+1)·w − outW over
+    * denominator 2·outW, negative ⇒ edge clamp), and the blended value
+    * is the same single floor division — integers end to end, nothing
+    * to drift. Min source dims (16×16) are SMALLER than 24×18, so both
+    * the upscale clamp path and downscale averaging are exercised on
+    * real catalog data. */
+  val qPngResize = QueryDef("q_png_resize",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the image-modality ids
+        .select(col("doc_id").as("media_id"),
+          Multimodal.pngWidth(col("doc_id")).as("w"),
+          Multimodal.pngHeight(col("doc_id")).as("h"))
+        .as[(Long, Int, Int)]
+      dims.mapPartitions(_.map { case (id, w, h) =>
+        val png = graft.operators.Png.encodeRgb(w, h, id)
+        val resized = graft.operators.Png.resizeRgb(png, 24, 18).getOrElse(
+          sys.error(s"unresizable synthesized PNG for media_id=$id"))
+        val s = graft.operators.Png.pixelStats(resized).getOrElse(
+          sys.error(s"undecodable resized PNG for media_id=$id"))
+        (id, s.width, s.height, s.nPx, s.sumR, s.sumG, s.sumB)
+      }).toDF("media_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b")
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 240) + 16 AS BIGINT) AS w,
+           |         CAST(((doc_id * 7) % 240) + 16 AS BIGINT) AS h
+           |  FROM documents WHERE doc_id % 3 = 0
+           |), grid AS (
+           |  SELECT media_id, w, h, p % 24 AS ox, p // 24 AS oy
+           |  FROM (SELECT media_id, w, h,
+           |          unnest(generate_series(0, 24 * 18 - 1)) AS p
+           |        FROM dims)
+           |), c AS (
+           |  SELECT media_id, w, h,
+           |    CASE WHEN (2*ox+1)*w - 24 < 0 THEN 0
+           |         ELSE ((2*ox+1)*w - 24) // 48 END AS x0,
+           |    CASE WHEN (2*ox+1)*w - 24 < 0 THEN 0
+           |         ELSE ((2*ox+1)*w - 24) % 48 END AS fx,
+           |    CASE WHEN (2*oy+1)*h - 18 < 0 THEN 0
+           |         ELSE ((2*oy+1)*h - 18) // 36 END AS y0,
+           |    CASE WHEN (2*oy+1)*h - 18 < 0 THEN 0
+           |         ELSE ((2*oy+1)*h - 18) % 36 END AS fy
+           |  FROM grid
+           |), d AS (
+           |  SELECT media_id, x0, fx, y0, fy,
+           |         LEAST(x0 + 1, w - 1) AS x1, LEAST(y0 + 1, h - 1) AS y1
+           |  FROM c
+           |), v AS (
+           |  SELECT media_id,
+           |    ((36-fy)*((48-fx)*((x0*7 + y0*13 + media_id) % 256)
+           |              + fx*((x1*7 + y0*13 + media_id) % 256))
+           |     + fy*((48-fx)*((x0*7 + y1*13 + media_id) % 256)
+           |           + fx*((x1*7 + y1*13 + media_id) % 256))) // 1728 AS r,
+           |    ((36-fy)*((48-fx)*((x0*11 + y0*3 + 2*media_id) % 256)
+           |              + fx*((x1*11 + y0*3 + 2*media_id) % 256))
+           |     + fy*((48-fx)*((x0*11 + y1*3 + 2*media_id) % 256)
+           |           + fx*((x1*11 + y1*3 + 2*media_id) % 256))) // 1728 AS g,
+           |    ((36-fy)*((48-fx)*((x0*5 + y0*17 + 3*media_id) % 256)
+           |              + fx*((x1*5 + y0*17 + 3*media_id) % 256))
+           |     + fy*((48-fx)*((x0*5 + y1*17 + 3*media_id) % 256)
+           |           + fx*((x1*5 + y1*17 + 3*media_id) % 256))) // 1728 AS b
+           |  FROM d
+           |)
+           |SELECT media_id, CAST(24 AS INT) AS width, CAST(18 AS INT) AS height,
+           |       CAST(count(*) AS BIGINT) AS n_px,
+           |       CAST(sum(r) AS BIGINT) AS sum_r,
+           |       CAST(sum(g) AS BIGINT) AS sum_g,
+           |       CAST(sum(b) AS BIGINT) AS sum_b
+           |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin))
+
   /** REAL PCM decode, end to end ([[graft.operators.Wav]]) — the audio
     * sibling of [[qPngDecode]]: each audio-modality doc becomes a
     * complete valid mono 16-bit PCM WAV of the generative signal, the
@@ -162,5 +245,6 @@ object MultimodalQueries {
            |       CAST(max(s) AS BIGINT) AS max_s
            |FROM t GROUP BY media_id ORDER BY media_id""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(qModalityStats, qPngDecode, qWavDecode)
+  def all: Seq[QueryDef] =
+    Seq(qModalityStats, qPngDecode, qPngResize, qWavDecode)
 }

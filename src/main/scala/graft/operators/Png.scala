@@ -58,6 +58,31 @@ object Png {
     * five reconstruction filters to get the pixels back. */
   def encodeRgb(width: Int, height: Int, seed: Long): Array[Byte] = {
     require(width > 0 && height > 0, s"encodeRgb: bad dims ${width}x$height")
+    val px = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        px(o) = pixelR(x, y, seed).toByte
+        px(o + 1) = pixelG(x, y, seed).toByte
+        px(o + 2) = pixelB(x, y, seed).toByte
+        x += 1
+      }
+      y += 1
+    }
+    encodeRgbPixels(width, height, px)
+  }
+
+  /** Encode an arbitrary row-major RGB-8 pixel buffer as a PNG — the
+    * buffer-input core [[encodeRgb]] (generative) and [[resizeRgb]]
+    * (resampled) both delegate to; same filter-cycling layout, so any
+    * conforming decoder exercises all five filters. */
+  def encodeRgbPixels(width: Int, height: Int,
+      px: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"encodeRgbPixels: bad dims ${width}x$height")
+    require(px.length == width * height * 3,
+      s"encodeRgbPixels: buffer ${px.length} != ${width}x$height x3")
     val stride = width * 3
     val raw = new Array[Byte](height * (1 + stride))
     val prev = new Array[Int](stride) // previous row, reconstructed
@@ -66,10 +91,8 @@ object Png {
     var o = 0
     while (y < height) {
       var x = 0
-      while (x < width) {
-        cur(x * 3) = pixelR(x, y, seed)
-        cur(x * 3 + 1) = pixelG(x, y, seed)
-        cur(x * 3 + 2) = pixelB(x, y, seed)
+      while (x < stride) {
+        cur(x) = px(y * stride + x) & 0xff
         x += 1
       }
       val f = y % 5
@@ -119,7 +142,23 @@ object Png {
     * reconstruction, channel sums. None for anything out of scope or
     * malformed (truncated stream, wrong inflated size, unknown filter,
     * bad chunk structure) — refuse, never guess. */
-  def pixelStats(b: Array[Byte]): Option[PixelStats] = {
+  def pixelStats(b: Array[Byte]): Option[PixelStats] = decodeRgb(b).map {
+    case (w, h, px) =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      var i = 0
+      while (i < px.length) {
+        sumR += px(i) & 0xff
+        sumG += px(i + 1) & 0xff
+        sumB += px(i + 2) & 0xff
+        i += 3
+      }
+      PixelStats(w, h, w.toLong * h, sumR, sumG, sumB)
+  }
+
+  /** Full-buffer decode — (width, height, row-major RGB bytes); the
+    * single decode implementation [[pixelStats]] (reduce) and
+    * [[resizeRgb]] (resample) both build on. Same refusal rules. */
+  def decodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b == null || b.length < 8 ||
         (b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G')
       return None
@@ -181,7 +220,7 @@ object Png {
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inflater.end()
     // filter reconstruction (PNG spec §9), bpp = 3
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    val px = new Array[Byte](h * stride)
     val prev = new Array[Int](stride)
     val cur = new Array[Int](stride)
     var y = 0
@@ -203,17 +242,79 @@ object Png {
           case 4 => (x + paeth(left, up, ul)) & 0xff
         }
         cur(j) = rec
-        (j % 3) match {
-          case 0 => sumR += rec
-          case 1 => sumG += rec
-          case 2 => sumB += rec
-        }
+        px(y * stride + j) = rec.toByte
         j += 1
       }
       o += stride
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    Some(PixelStats(w, h, w.toLong * h, sumR, sumG, sumB))
+    Some((w, h, px))
+  }
+
+  /** REAL pixel resize: decode → EXACT-INTEGER bilinear resample →
+    * re-encode ([[encodeRgbPixels]]). Replaces the long-standing
+    * `Multimodal.resizeStub` with a genuine kernel over the real codec.
+    *
+    * The resample is deliberately specified in pure integer arithmetic
+    * so an SQL oracle can re-derive every output pixel exactly — no
+    * float rounding to drift across engines. Center-aligned mapping
+    * with edge clamp, the standard bilinear convention:
+    *
+    *   numX = (2·ox + 1)·srcW − outW          (source pos ×(2·outW))
+    *   x0   = ⌊numX / (2·outW)⌋  clamped ≥ 0; fx = numX mod (2·outW)
+    *          (numX < 0 ⇒ x0 = 0, fx = 0 — left/top edge clamp)
+    *   x1   = min(x0 + 1, srcW − 1)           (right/bottom edge clamp)
+    *   out  = ⌊((2·outH−fy)·((2·outW−fx)·p₀₀ + fx·p₀₁)
+    *          + fy·((2·outW−fx)·p₁₀ + fx·p₁₁)) / (4·outW·outH)⌋
+    *
+    * Identity dims reproduce the source bytes exactly (fx = fy = 0 for
+    * every pixel — spec-asserted), and all intermediates are
+    * non-negative and ≤ 255·4·outW·outH ≪ Long.MaxValue. None exactly
+    * when the decode refuses. */
+  def resizeRgb(b: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW > 0 && outH > 0, s"resizeRgb: bad dims ${outW}x$outH")
+    decodeRgb(b).map { case (w, h, px) =>
+      encodeRgbPixels(outW, outH, bilinear(px, w, h, outW, outH))
+    }
+  }
+
+  /** The exact-integer bilinear kernel on raw buffers (see
+    * [[resizeRgb]] for the arithmetic contract). */
+  def bilinear(src: Array[Byte], w: Int, h: Int,
+      outW: Int, outH: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && src.length == w * h * 3,
+      s"bilinear: buffer ${src.length} != ${w}x$h x3")
+    val denX = 2L * outW
+    val denY = 2L * outH
+    val out = new Array[Byte](outW * outH * 3)
+    var oy = 0
+    while (oy < outH) {
+      val numY = (2L * oy + 1L) * h - outH
+      val y0 = if (numY < 0L) 0 else (numY / denY).toInt
+      val fy = if (numY < 0L) 0L else numY % denY
+      val y1 = math.min(y0 + 1, h - 1)
+      var ox = 0
+      while (ox < outW) {
+        val numX = (2L * ox + 1L) * w - outW
+        val x0 = if (numX < 0L) 0 else (numX / denX).toInt
+        val fx = if (numX < 0L) 0L else numX % denX
+        val x1 = math.min(x0 + 1, w - 1)
+        var c = 0
+        while (c < 3) {
+          val p00 = src((y0 * w + x0) * 3 + c) & 0xff
+          val p01 = src((y0 * w + x1) * 3 + c) & 0xff
+          val p10 = src((y1 * w + x0) * 3 + c) & 0xff
+          val p11 = src((y1 * w + x1) * 3 + c) & 0xff
+          val v = ((denY - fy) * ((denX - fx) * p00 + fx * p01) +
+            fy * ((denX - fx) * p10 + fx * p11)) / (denX * denY)
+          out((oy * outW + ox) * 3 + c) = v.toByte
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    out
   }
 }

@@ -271,13 +271,46 @@ class MultimodalSpec extends SparkSpec {
       "non-PCM format codes are refused")
   }
 
-  test("resizeStub: bounds, determinism, endpoints, pass-through") {
-    val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
-    val r = Multimodal.resizeStub(payload, 100)
-    assert(r.length == 100)
-    assert(r(0) == payload(0), "first byte preserved")
-    assert(java.util.Arrays.equals(r, Multimodal.resizeStub(payload, 100)))
-    assert(Multimodal.resizeStub(payload, 2000) eq payload, "no-op upscale")
-    assert(Multimodal.resizeStub(null, 10) == null)
+  test("resizeImage: real decode → bilinear → re-encode; identity is " +
+      "pixel-exact; refusal on non-PNG") {
+    import graft.operators.Png
+    val png = Png.encodeRgb(17, 9, 42L)
+    // identity dims: center-aligned integer mapping has fx = fy = 0 at
+    // every pixel, so the round trip must be byte-exact on the pixels
+    val id = Multimodal.resizeImage(png, 17, 9).get
+    assert(Png.decodeRgb(id).get._3.toSeq == Png.decodeRgb(png).get._3.toSeq,
+      "identity resize must reproduce the source pixels exactly")
+    // downscale: output is itself a valid PNG with the target dims
+    val down = Multimodal.resizeImage(png, 5, 3).get
+    val (dw, dh, _) = Png.decodeRgb(down).get
+    assert((dw, dh) == (5, 3))
+    // upscale of a constant image stays constant (edge clamp + blending
+    // of equal taps can produce nothing else)
+    val const = Png.encodeRgbPixels(2, 2, Array.fill[Byte](12)(77))
+    val up = Png.decodeRgb(Multimodal.resizeImage(const, 7, 5).get).get._3
+    assert(up.forall(_ == 77), "constant image must resize to itself")
+    // deterministic
+    assert(Multimodal.resizeImage(png, 5, 3).get.toSeq == down.toSeq)
+    // refusal: not a PNG → None (refuse, don't guess)
+    assert(Multimodal.resizeImage("not a png".getBytes, 4, 4).isEmpty)
+    assert(Multimodal.resizeImage(null, 4, 4).isEmpty)
+  }
+
+  test("resizeImage: ImageIO independently decodes the resized PNG and " +
+      "agrees with the bilinear kernel's pixels") {
+    import graft.operators.Png
+    val png = Png.encodeRgb(31, 23, 7L)
+    val resized = Multimodal.resizeImage(png, 12, 8).get
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth == 12 && img.getHeight == 8)
+    val expect = Png.bilinear(Png.decodeRgb(png).get._3, 31, 23, 12, 8)
+    for (y <- 0 until 8; x <- 0 until 12) {
+      val rgb = img.getRGB(x, y)
+      val o = (y * 12 + x) * 3
+      assert(((rgb >> 16) & 0xff) == (expect(o) & 0xff), s"R at ($x,$y)")
+      assert(((rgb >> 8) & 0xff) == (expect(o + 1) & 0xff), s"G at ($x,$y)")
+      assert((rgb & 0xff) == (expect(o + 2) & 0xff), s"B at ($x,$y)")
+    }
   }
 }
