@@ -256,5 +256,5 @@ object Catalog {
       qDistRadiusHaversine, qDistByName, qTotal, q1Agg) ++
       RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       EventQueries.all ++ MultimodalQueries.all ++ PipelineQueries.all ++
-      JoinQueries.all ++ AnalyticQueries.all
+      JoinQueries.all ++ AnalyticQueries.all ++ StreamingQueries.all
 }

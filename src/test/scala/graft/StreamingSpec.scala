@@ -365,4 +365,67 @@ class StreamingSpec extends SparkSpec {
       .select("doc_a", "doc_b").distinct().count()
     assert(got > 0, "file-source stream must surface the planted near-dups")
   }
+
+  test("q_stream_tumbling_1h's drain pattern is batch-split invariant: " +
+    "3 micro-batches upsert to the same final state as 1") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    // stage events as THREE files so maxFilesPerTrigger=1 forces three
+    // micro-batches — the incremental state-store path the single-file
+    // catalog run doesn't exercise
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream3")
+    ev.repartition(3).write.mode("overwrite").parquet(staged.toString)
+    def drain(maxFiles: Option[Int]): Map[(Long, String), (Long, Double)] = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt3")
+      val rd = spark.readStream.schema(ev.schema)
+      val src = maxFiles.fold(rd)(n => rd.option("maxFilesPerTrigger", n))
+        .parquet(staged.toString)
+      val ts = src.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000L"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          col("ts").cast("timestamp")
+        case _ => col("ts")
+      }
+      val agg = src.withColumn("ts", ts)
+        // span-wide watermark = split-invariant final state (the catalog
+        // entry's contract); tight-watermark lateness drops are covered
+        // by the dedicated watermark specs
+        .withWatermark("ts", "3650 days")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,10)")).cast("double").as("tv"))
+        .select(unix_micros(col("window.start")).as("w"),
+          col("event_type"), col("n"), col("tv"))
+      val acc = new java.util.concurrent.ConcurrentHashMap[
+        (Long, String), (Long, Double)]()
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            acc.put((r.getLong(0), r.getString(1)),
+              (r.getLong(2), r.getDouble(3)))
+          }
+        }.start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      acc.asScala.toMap
+    }
+    val oneBatch = drain(None)
+    val threeBatches = drain(Some(1))
+    assert(oneBatch.nonEmpty)
+    assert(threeBatches == oneBatch,
+      "multi-batch incremental aggregation must upsert to the same final state")
+    // and both equal the plain batch aggregation
+    val batch = graft.core.Tables.eventsMicros(spark, sfDir)
+      .withColumn("w", col("ts") - pmod(col("ts"), lit(3600L * 1000 * 1000)))
+      .groupBy("w", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("tv"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(oneBatch == batch, "streaming final state must equal the batch twin")
+  }
 }
