@@ -15,10 +15,23 @@ import graft.operators.{RideCounts, StationDistances, TotalDistance}
   * derive from order-independent exact arithmetic (decimal-summed, then
   * cast) or are rounded to a grain ≫ cross-engine libm jitter.
   */
+/** Catalog role of an entry. `Primary` is a deployable operator surface.
+  * `OracleTwin` exists SOLELY to pin exact semantics that its listed
+  * scale paths must reproduce — typically quadratic by design and
+  * guarded off real corpora (`Similarity.thresholdPairs.maxExactRows`);
+  * a user deploys the scale paths and verifies against the twin. The
+  * tag is structural (not prose) so the weak-by-role ledger is
+  * machine-checkable: [[Catalog.oracleTwins]] lists them, and a spec
+  * asserts every claimed scale path is itself a green catalog entry. */
+sealed trait QueryRole
+case object Primary extends QueryRole
+final case class OracleTwin(scalePaths: Seq[String]) extends QueryRole
+
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    role: QueryRole = Primary)
 
 /** The query catalog — every SURVEY §2 operator plus the LLM-pipeline
   * extensions surfaces here as at least one entry. */
@@ -257,4 +270,11 @@ object Catalog {
       RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       EventQueries.all ++ MultimodalQueries.all ++ PipelineQueries.all ++
       JoinQueries.all ++ AnalyticQueries.all ++ StreamingQueries.all
+
+  /** The weak-by-role ledger, machine-readable: every [[OracleTwin]]
+    * entry with the scale paths a deployment uses instead (each itself
+    * a catalog entry — spec-asserted). */
+  def oracleTwins: Map[String, Seq[String]] = all.collect {
+    case QueryDef(n, _, _, OracleTwin(paths)) => n -> paths
+  }.toMap
 }

@@ -81,8 +81,10 @@ object VectorQueries {
     },
     Some(exactTopKOracle))
 
-  /** Global top-50 most-similar embedding pairs — the embedding-cosine
-    * near-dup surface (exact, all-pairs). */
+  /** Global top-50 most-similar embedding pairs — exact all-pairs,
+    * ORACLE-TWIN role: quadratic by design and guarded
+    * (`topPairs.maxExactRows`); the deployable path is the LSH pair
+    * search whose recall is measured against this twin. */
   val qEmbedTopPairs = QueryDef("q_embed_top_pairs",
     (spark, dir) => Similarity.topPairs(
       Tables.embeddings(spark, dir), "vec_id", "embedding", TopPairs),
@@ -92,7 +94,8 @@ object VectorQueries {
             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
             |       ${cosSql("a.v", "b.v")} AS cosine
             |FROM e a JOIN e b ON a.vec_id < b.vec_id
-            |ORDER BY cosine DESC, vec_a, vec_b LIMIT $TopPairs""".stripMargin))
+            |ORDER BY cosine DESC, vec_a, vec_b LIMIT $TopPairs""".stripMargin),
+    role = OracleTwin(Seq("q_ann_lsh_pairs")))
 
   /** Approximate top pairs via random-hyperplane LSH, exact-cosine
     * verified. Not SQL-expressible (signature kernel) → rows-only driver
@@ -196,7 +199,8 @@ object VectorQueries {
     },
     Some(s"""WITH RECURSIVE ${cosineClosureCtes("embeddings", MinDupCosine)}
             |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
-            |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin))
+            |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin),
+    role = OracleTwin(Seq("q_dedup_embedding_lsh", "q_semantic_dedup")))
 
   /** The keeper composition: every vector surviving embedding-cosine
     * dedup (cluster minima stay, other members drop). Same oracle-twin
@@ -211,7 +215,8 @@ object VectorQueries {
             |SELECT vec_id, label FROM embeddings
             |WHERE vec_id NOT IN
             |  (SELECT vec_id FROM labels WHERE cluster <> vec_id)
-            |ORDER BY vec_id""".stripMargin))
+            |ORDER BY vec_id""".stripMargin),
+    role = OracleTwin(Seq("q_dedup_embedding_lsh", "q_semantic_dedup")))
 
   /** Planted-near-dup contract for the LSH SCALE path. The corpus's own
     * max pair cosine is ≈ .51 (sf0.01) / .60 (sf0.1) — far below the

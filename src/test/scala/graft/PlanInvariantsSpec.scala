@@ -46,4 +46,21 @@ class PlanInvariantsSpec extends SparkSpec {
         s"plan hygiene violations:\n${offenders.distinct.mkString("\n")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("oracle-twin ledger: every twin's scale paths are themselves " +
+    "green catalog entries, and the twin set is exactly the guarded quadratics") {
+    val names = Catalog.all.map(_.name).toSet
+    val twins = Catalog.oracleTwins
+    twins.foreach { case (twin, paths) =>
+      assert(names.contains(twin))
+      assert(paths.nonEmpty, s"$twin claims no scale path")
+      paths.foreach(p => assert(names.contains(p),
+        s"$twin's claimed scale path $p is not a catalog entry"))
+      assert(!paths.contains(twin), s"$twin lists itself as its scale path")
+    }
+    // the ledger is closed: exactly the known guarded-quadratic entries
+    assert(twins.keySet == Set(
+      "q_dedup_embedding", "q_dedup_embedding_keep", "q_embed_top_pairs"),
+      s"unexpected oracle-twin set: ${twins.keySet}")
+  }
 }
