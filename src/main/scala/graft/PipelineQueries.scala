@@ -567,8 +567,70 @@ object PipelineQueries {
          |FROM sel ORDER BY o_orderstatus, prob""".stripMargin
     })
 
+  /** SKETCH-PARTIALS rollup for DDSketch — the quantile member of the
+    * pattern ([[graft.TextQueries.qDistinctHllRollup]] = distinct
+    * counts, `q_token_cms_rollup` = frequencies): one scan builds a
+    * per-status serialized bucket-map sketch
+    * ([[graft.expr.DdSketchAgg]]), and the corpus-wide 'ALL' quantiles
+    * are answered from those PARTIALS via [[graft.expr.DdMergeAgg]]
+    * (count addition — sketch-of-union ≡ merge-of-sketches exactly) +
+    * [[graft.expr.DdSketchQuantiles]] (the SAME estimate walk as the
+    * one-shot aggregate, one implementation). The oracle re-derives
+    * both levels relationally from the 6-dp log-bucket formula, so the
+    * merged estimates are hash-checked, not just bounded. */
+  val qDdQuantilesRollup = QueryDef("q_dd_quantiles_rollup",
+    (spark, dir) => {
+      val probsArr = array(QuantProbs.map(lit): _*)
+      val perStatus = Tables.orders(spark, dir)
+        .groupBy("o_orderstatus")
+        .agg(graft.expr.DdSketch.sketch(
+          col("o_totalprice").cast("double"), DdAlpha).as("sk"))
+      val global = perStatus
+        .agg(graft.expr.DdSketch.mergeSketches(col("sk")).as("sk"))
+        .select(lit("ALL").as("o_orderstatus"), col("sk"))
+      perStatus.unionByName(global)
+        .select(col("o_orderstatus"),
+          posexplode(graft.expr.DdSketch.quantiles(
+            col("sk"), DdAlpha, QuantProbs)).as(Seq("pos", "quantile")))
+        .select(col("o_orderstatus"),
+          element_at(probsArr, col("pos") + 1).as("prob"), col("quantile"))
+        .orderBy("o_orderstatus", "prob")
+    },
+    Some {
+      val g = s"((1.0 + $DdAlpha) / (1.0 - $DdAlpha))"
+      val probsList = QuantProbs.mkString("[", ", ", "]")
+      s"""WITH v0 AS (
+         |  SELECT o_orderstatus AS grp, CAST(o_totalprice AS DOUBLE) AS v
+         |  FROM orders WHERE o_totalprice IS NOT NULL
+         |), v AS (
+         |  SELECT grp, v FROM v0
+         |  UNION ALL SELECT 'ALL' AS grp, v FROM v0
+         |), b AS (
+         |  SELECT grp, CAST(ceil(round(ln(v) / ln($g), 6)) AS BIGINT) AS b,
+         |         count(*) AS c
+         |  FROM v GROUP BY grp, b
+         |), cum AS (
+         |  SELECT grp, b,
+         |         sum(c) OVER (PARTITION BY grp ORDER BY b) AS cum,
+         |         sum(c) OVER (PARTITION BY grp) AS n
+         |  FROM b
+         |), pr AS (
+         |  SELECT grp, b, cum, n, unnest($probsList) AS prob FROM cum
+         |), sel AS (
+         |  SELECT grp, prob, min(b) AS bsel
+         |  FROM pr
+         |  WHERE cum >= CAST(floor(prob * (n - 1)) AS BIGINT) + 1
+         |  GROUP BY grp, prob
+         |)
+         |SELECT grp AS o_orderstatus, prob,
+         |       round(2.0 * exp(CAST(bsel AS DOUBLE) * ln($g)) / ($g + 1.0), 6)
+         |         AS quantile
+         |FROM sel ORDER BY o_orderstatus, prob""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     qSampleSplit, qBalanceLangs, qPackSequences, qTop3Agg, qLangSimilarity,
     qMixWeights, qWeightedSample, qTokenIds, qWeightedSampleBySource,
-    qSampleQuantiles, qDdQuantiles, qDomainCap, qSnapshotDiff)
+    qSampleQuantiles, qDdQuantiles, qDdQuantilesRollup, qDomainCap,
+    qSnapshotDiff)
 }

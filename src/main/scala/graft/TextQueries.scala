@@ -932,6 +932,127 @@ object TextQueries {
          |FROM est ORDER BY exact_count DESC, token""".stripMargin
     })
 
+  /** How many (globally top) probe tokens the CMS rollup estimates per
+    * level. */
+  val CmsProbeN = 5
+
+  /** SKETCH-PARTIALS rollup for CMS — the frequency member of the
+    * pattern ([[qDistinctHllRollup]] is the distinct-count member,
+    * `q_dd_quantiles_rollup` the quantile member): the corpus is
+    * scanned ONCE into per-source (j, bucket, cnt) counter matrices,
+    * and the corpus-wide 'ALL' matrix is derived from those PARTIALS by
+    * counter addition — no second pass over the data. CMS merge is
+    * trivially lossless (counters are sums), so the rolled-up estimates
+    * are identical to sketching the union directly; the oracle rebuilds
+    * BOTH levels from the same seeded hash chain and every estimate is
+    * hash-checked. Probe keys are the global top-[[CmsProbeN]] tokens;
+    * rows where a source never saw the token keep est ≥ exact = 0 —
+    * the one-sided CMS guarantee, visible per level. */
+  val qTokenCmsRollup = QueryDef("q_token_cms_rollup",
+    (spark, dir) => {
+      val toks = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val mapped = toks
+        .select(col("source"),
+          posexplode(graft.expr.MinHashSig(array(col("tok")), CmsD, CmsSeed))
+            .as(Seq("j", "h")))
+        .select(col("source"), col("j"),
+          pmod(col("h"), lit(CmsW.toLong)).as("bucket"))
+      // ONE scan: per-source partial counter matrices…
+      val perSrc = mapped.groupBy("source", "j", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+      // …and the global matrix from the partials alone (counter adds)
+      val levels = perSrc.unionByName(
+        perSrc.groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+          .select(lit("ALL").as("source"), col("j"), col("bucket"), col("cnt")))
+      val probes = toks.groupBy("tok").agg(count(lit(1)).as("gc"))
+        .orderBy(desc("gc"), col("tok")).limit(CmsProbeN).select("tok")
+      val probeMap = probes
+        .select(col("tok"),
+          posexplode(graft.expr.MinHashSig(array(col("tok")), CmsD, CmsSeed))
+            .as(Seq("j", "h")))
+        .select(col("tok"), col("j"),
+          pmod(col("h"), lit(CmsW.toLong)).as("bucket"))
+      val probed = toks.join(broadcast(probes), "tok")
+      val exact = probed
+        .groupBy("source", "tok").agg(count(lit(1)).as("exact_count"))
+        .unionByName(probed.groupBy("tok")
+          .agg(count(lit(1)).as("exact_count"))
+          .select(lit("ALL").as("source"), col("tok"), col("exact_count")))
+      val est = levels.select("source").distinct()
+        .crossJoin(broadcast(probeMap)) // levels × probes grid (both tiny)
+        .join(levels, Seq("source", "j", "bucket"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .groupBy("source", "tok").agg(min("cnt").as("est_count"))
+      est.join(exact, Seq("source", "tok"), "left")
+        .na.fill(0L, Seq("exact_count"))
+        .select(col("source"), col("tok").as("token"),
+          col("est_count"), col("exact_count"))
+        .orderBy("source", "token")
+    },
+    Some {
+      val seedRows = (0 until CmsD).map(j =>
+        s"($j, CAST('${graft.expr.TextHashKernels.splitmix64(CmsSeed + j)}' AS BIGINT))")
+        .mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE text IS NOT NULL
+         |), dt AS (
+         |  SELECT DISTINCT tok FROM toks
+         |), hs AS (
+         |  SELECT tok, ${fnvFoldSql("tok")} AS h FROM dt
+         |), sd AS (
+         |  SELECT * FROM (VALUES $seedRows) AS t(j, sdv)
+         |), hx AS (
+         |  SELECT tok, j,
+         |         CASE WHEN x < 0 THEN CAST(x AS HUGEINT) + $P64
+         |              ELSE CAST(x AS HUGEINT) END AS z
+         |  FROM (SELECT tok, j, xor(${toSignedSql("h")}, sdv) AS x
+         |        FROM hs CROSS JOIN sd)
+         |), ${splitmixCtesSql("hx", "tok, j", "m")},
+         |map AS (
+         |  SELECT tok, j, ((${toSignedSql("z")} % $CmsW) + $CmsW) % $CmsW AS bucket
+         |  FROM m5
+         |), occ AS (
+         |  SELECT t.source, m.j, m.bucket FROM toks t JOIN map m ON t.tok = m.tok
+         |), counters AS (
+         |  SELECT source, j, bucket, count(*) AS cnt FROM occ
+         |  GROUP BY source, j, bucket
+         |), lvl AS (
+         |  SELECT * FROM counters
+         |  UNION ALL
+         |  SELECT 'ALL' AS source, j, bucket, sum(cnt) AS cnt
+         |  FROM counters GROUP BY j, bucket
+         |), gex AS (
+         |  SELECT tok, count(*) AS gc FROM toks GROUP BY tok
+         |), probes AS (
+         |  SELECT tok FROM gex ORDER BY gc DESC, tok LIMIT $CmsProbeN
+         |), pm AS (
+         |  SELECT map.* FROM map JOIN probes USING (tok)
+         |), lvls AS (
+         |  SELECT DISTINCT source FROM lvl
+         |), grid AS (
+         |  SELECT lvls.source, pm.tok, pm.j, pm.bucket FROM lvls CROSS JOIN pm
+         |), est AS (
+         |  SELECT g.source, g.tok, min(coalesce(lvl.cnt, 0)) AS e
+         |  FROM grid g LEFT JOIN lvl
+         |    ON lvl.source = g.source AND lvl.j = g.j AND lvl.bucket = g.bucket
+         |  GROUP BY g.source, g.tok
+         |), ex AS (
+         |  SELECT source, tok, count(*) AS c
+         |  FROM toks JOIN probes USING (tok) GROUP BY source, tok
+         |  UNION ALL
+         |  SELECT 'ALL' AS source, tok, count(*) AS c
+         |  FROM toks JOIN probes USING (tok) GROUP BY tok
+         |)
+         |SELECT est.source, est.tok AS token, CAST(e AS BIGINT) AS est_count,
+         |       CAST(coalesce(c, 0) AS BIGINT) AS exact_count
+         |FROM est LEFT JOIN ex
+         |  ON ex.source = est.source AND ex.tok = est.tok
+         |ORDER BY est.source, token""".stripMargin
+    })
+
   /** Normalization + redaction over a deterministically "dirtied" corpus:
     * both engines build the identical messy string (mixed case,
     * punctuation, a synthetic email / id / URL per doc) from the same
@@ -1548,7 +1669,7 @@ object TextQueries {
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
     qDocFingerprints, qDistinctKmv, qDistinctHll, qDistinctHllRollup,
-    qTokenCms, qBigramLogProb,
+    qTokenCms, qTokenCmsRollup, qBigramLogProb,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,

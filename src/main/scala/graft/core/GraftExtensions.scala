@@ -140,7 +140,16 @@ object GraftExtensions {
     "dd_quantile_agg" -> { args =>
       arity("dd_quantile_agg", 3, args)
       DdQuantileAgg(args(0), doubleLit(args(1)), doubleArrayLit(args(2)))
-        .toAggregateExpression() })
+        .toAggregateExpression() },
+    "dd_sketch" -> { args =>
+      arity("dd_sketch", 2, args)
+      DdSketchAgg(args(0), doubleLit(args(1))).toAggregateExpression() },
+    "dd_merge" -> { args =>
+      DdMergeAgg(arity("dd_merge", 1, args).head).toAggregateExpression() },
+    "dd_quantiles" -> { args =>
+      arity("dd_quantiles", 3, args)
+      DdSketchQuantiles(args(0), doubleLit(args(1)),
+        doubleArrayLit(args(2))) })
 
   /** Imperative registration for an already-created session. Idempotent:
     * function registry replaces; the optimizer rule dedupes by identity. */

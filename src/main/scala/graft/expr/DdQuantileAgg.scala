@@ -106,42 +106,14 @@ case class DdQuantileAgg(
 
   override def eval(buf: DdQuantileAgg.Buckets): Any = {
     if (buf.isEmpty) return null
-    val entries = buf.sortedEntries // (bucket, count) ascending by bucket
-    val n = entries.iterator.map(_._2).sum
-    val ests = probs.map { p =>
-      val rank = math.floor(p * (n - 1)).toLong + 1L
-      var cum = 0L
-      var i = 0
-      var b = entries.last._1
-      var found = false
-      while (i < entries.length && !found) {
-        cum += entries(i)._2
-        if (cum >= rank) { b = entries(i)._1; found = true }
-        i += 1
-      }
-      DdQuantileAgg.round6(2.0 * math.exp(b.toDouble * lnGamma) / (gamma + 1.0))
-    }
-    new GenericArrayData(ests.toArray[Any])
+    DdQuantileAgg.quantilesOf(buf.sortedEntries, gamma, lnGamma, probs)
   }
 
-  override def serialize(buf: DdQuantileAgg.Buckets): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    val entries = buf.sortedEntries
-    out.writeInt(entries.length)
-    entries.foreach { case (b, c) => out.writeLong(b); out.writeLong(c) }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: DdQuantileAgg.Buckets): Array[Byte] =
+    DdQuantileAgg.serializeBuckets(buf)
 
-  override def deserialize(bytes: Array[Byte]): DdQuantileAgg.Buckets = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = new DdQuantileAgg.Buckets
-    var i = 0
-    while (i < n) { buf.add(in.readLong(), in.readLong()); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): DdQuantileAgg.Buckets =
+    DdQuantileAgg.deserializeBuckets(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): DdQuantileAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -158,6 +130,52 @@ object DdQuantileAgg {
     * replays: ceil(round(ln(v)/ln(γ), 6)). */
   def bucketOf(v: Double, lnGamma: Double): Long =
     math.ceil(round6(math.log(v) / lnGamma)).toLong
+
+  /** The shared estimate walk: cumulative-rank scan over sorted
+    * (bucket, count) entries, representative value 2γᵇ/(γ+1) rounded to
+    * 6 dp — used by the one-shot aggregate AND the sketch-partials
+    * estimator so the two can never drift. */
+  def quantilesOf(entries: Array[(Long, Long)], gamma: Double,
+      lnGamma: Double, probs: Seq[Double]): GenericArrayData = {
+    val n = entries.iterator.map(_._2).sum
+    val ests = probs.map { p =>
+      val rank = math.floor(p * (n - 1)).toLong + 1L
+      var cum = 0L
+      var i = 0
+      var b = entries.last._1
+      var found = false
+      while (i < entries.length && !found) {
+        cum += entries(i)._2
+        if (cum >= rank) { b = entries(i)._1; found = true }
+        i += 1
+      }
+      round6(2.0 * math.exp(b.toDouble * lnGamma) / (gamma + 1.0))
+    }
+    new GenericArrayData(ests.toArray[Any])
+  }
+
+  /** Canonical wire form of a bucket map: entry count, then (bucket,
+    * count) pairs ASCENDING BY BUCKET — sorted, so equal multisets
+    * serialize to equal bytes (the property that makes a sketch column
+    * hashable and oracle-comparable). */
+  def serializeBuckets(buf: Buckets): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val entries = buf.sortedEntries
+    out.writeInt(entries.length)
+    entries.foreach { case (b, c) => out.writeLong(b); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserializeBuckets(bytes: Array[Byte]): Buckets = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Buckets
+    var i = 0
+    while (i < n) { buf.add(in.readLong(), in.readLong()); i += 1 }
+    buf
+  }
 
   /** round(x, 6) with SQL semantics (HALF_UP = away from zero) — the
     * same function Spark's round() and DuckDB's round() compute. */
@@ -182,4 +200,193 @@ object DdQuantileAgg {
       maxBuckets: Int): Column =
     toCol(DdQuantileAgg(toExpr(value), alpha, probs, maxBuckets)
       .toAggregateExpression())
+}
+
+/** `dd_sketch(value double) -> binary` — the DDSketch bucket map ITSELF
+  * as a reaggregable partial, the quantile member of the sketch-partials
+  * pattern ([[HllSketchAgg]] is the distinct-count member): scan the
+  * corpus ONCE into per-cell sketches, then answer any rollup from the
+  * sketches alone via [[DdMergeAgg]] + [[DdSketchQuantiles]] — no second
+  * pass over the data. Bucket counts are a pure function of the input
+  * multiset and the wire form sorts entries by bucket, so equal
+  * multisets yield equal BYTES: sketch columns hash-compare and
+  * sketch-of-union ≡ merge-of-sketches exactly (count addition), the
+  * lossless-merge property the rollup catalog query proves. Same value
+  * contract as [[DdQuantileAgg]] (finite, > 0, NULLs skipped; empty
+  * group → NULL). */
+case class DdSketchAgg(
+    child: Expression,
+    alpha: Double,
+    maxBuckets: Int = 65536,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DdQuantileAgg.Buckets] {
+
+  require(alpha > 0 && alpha < 1,
+    s"dd_sketch: alpha must be in (0, 1), got $alpha")
+  private val lnGamma: Double = math.log((1.0 + alpha) / (1.0 - alpha))
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dd_sketch requires a DOUBLE value, got ${dt.sql} — cast explicitly")
+    }
+
+  override def createAggregationBuffer(): DdQuantileAgg.Buckets =
+    new DdQuantileAgg.Buckets
+
+  override def update(buf: DdQuantileAgg.Buckets, input: InternalRow): DdQuantileAgg.Buckets = {
+    val raw = child.eval(input)
+    if (raw != null) {
+      val v = raw.asInstanceOf[Double]
+      require(v > 0 && java.lang.Double.isFinite(v),
+        s"dd_sketch: values must be finite and > 0, got $v")
+      buf.add(DdQuantileAgg.bucketOf(v, lnGamma), 1L)
+      require(buf.size <= maxBuckets,
+        s"dd_sketch: > $maxBuckets buckets — raise alpha or maxBuckets")
+    }
+    buf
+  }
+
+  override def merge(buf: DdQuantileAgg.Buckets, other: DdQuantileAgg.Buckets): DdQuantileAgg.Buckets = {
+    other.foreach((b, c) => buf.add(b, c))
+    require(buf.size <= maxBuckets,
+      s"dd_sketch: merged sketch exceeds $maxBuckets buckets")
+    buf
+  }
+
+  override def eval(buf: DdQuantileAgg.Buckets): Any =
+    if (buf.isEmpty) null else DdQuantileAgg.serializeBuckets(buf)
+
+  override def serialize(buf: DdQuantileAgg.Buckets): Array[Byte] =
+    DdQuantileAgg.serializeBuckets(buf)
+  override def deserialize(bytes: Array[Byte]): DdQuantileAgg.Buckets =
+    DdQuantileAgg.deserializeBuckets(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DdSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DdSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "dd_sketch"
+}
+
+/** `dd_merge(sketch binary) -> binary` — count-wise addition over a
+  * group of [[DdSketchAgg]] partials; NULL inputs (empty-cell sketches)
+  * are skipped, an all-NULL group yields NULL. Exact: merging is bucket
+  * count addition, so rollup(sketches) ≡ sketch(union) byte-for-byte. */
+case class DdMergeAgg(
+    child: Expression,
+    maxBuckets: Int = 65536,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DdQuantileAgg.Buckets] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dd_merge requires a BINARY dd_sketch input, got ${dt.sql}")
+    }
+
+  override def createAggregationBuffer(): DdQuantileAgg.Buckets =
+    new DdQuantileAgg.Buckets
+
+  override def update(buf: DdQuantileAgg.Buckets, input: InternalRow): DdQuantileAgg.Buckets = {
+    val raw = child.eval(input)
+    if (raw != null) {
+      DdQuantileAgg.deserializeBuckets(raw.asInstanceOf[Array[Byte]])
+        .foreach((b, c) => buf.add(b, c))
+      require(buf.size <= maxBuckets,
+        s"dd_merge: merged sketch exceeds $maxBuckets buckets")
+    }
+    buf
+  }
+
+  override def merge(buf: DdQuantileAgg.Buckets, other: DdQuantileAgg.Buckets): DdQuantileAgg.Buckets = {
+    other.foreach((b, c) => buf.add(b, c))
+    require(buf.size <= maxBuckets,
+      s"dd_merge: merged sketch exceeds $maxBuckets buckets")
+    buf
+  }
+
+  override def eval(buf: DdQuantileAgg.Buckets): Any =
+    if (buf.isEmpty) null else DdQuantileAgg.serializeBuckets(buf)
+
+  override def serialize(buf: DdQuantileAgg.Buckets): Array[Byte] =
+    DdQuantileAgg.serializeBuckets(buf)
+  override def deserialize(bytes: Array[Byte]): DdQuantileAgg.Buckets =
+    DdQuantileAgg.deserializeBuckets(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DdMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DdMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "dd_merge"
+}
+
+/** `dd_quantiles(sketch binary) -> array<double>` — the pinned estimate
+  * from a serialized sketch: the SAME cumulative-rank walk and 6-dp
+  * representative-value formula as [[DdQuantileAgg.eval]]
+  * ([[DdQuantileAgg.quantilesOf]] — one implementation, two call
+  * sites), so estimate(merge(partials)) ≡ one-shot aggregate estimate
+  * bit-for-bit. NULL in → NULL out. */
+case class DdSketchQuantiles(child: Expression, alpha: Double,
+    probs: Seq[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(alpha > 0 && alpha < 1,
+    s"dd_quantiles: alpha must be in (0, 1), got $alpha")
+  require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+    s"dd_quantiles: probs must be within [0, 1], got $probs")
+  private val gamma: Double = (1.0 + alpha) / (1.0 - alpha)
+  private val lnGamma: Double = math.log(gamma)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dd_quantiles requires a BINARY dd_sketch input, got ${dt.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val buf = DdQuantileAgg.deserializeBuckets(input.asInstanceOf[Array[Byte]])
+    if (buf.isEmpty) null
+    else DdQuantileAgg.quantilesOf(buf.sortedEntries, gamma, lnGamma, probs)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "dd_quantiles"
+}
+
+/** Column helpers for the DDSketch partials surface. */
+object DdSketch {
+  def sketch(value: Column, alpha: Double): Column =
+    toCol(DdSketchAgg(toExpr(value), alpha).toAggregateExpression())
+  def mergeSketches(sketch: Column): Column =
+    toCol(DdMergeAgg(toExpr(sketch)).toAggregateExpression())
+  def quantiles(sketch: Column, alpha: Double, probs: Seq[Double]): Column =
+    toCol(DdSketchQuantiles(toExpr(sketch), alpha, probs))
 }

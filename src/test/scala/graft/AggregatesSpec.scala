@@ -350,4 +350,53 @@ class AggregatesSpec extends SparkSpec {
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(matrix(1) == matrix(17))
   }
+
+  test("DD sketch partials: merge of per-part sketches is bit-identical " +
+    "to sketching the union; estimate face agrees with dd_quantile_agg") {
+    import spark.implicits._
+    import graft.expr.{DdQuantileAgg, DdSketch}
+    val alpha = 0.01
+    val probs = Seq(0.5, 0.9, 0.99)
+    val df = (1 to 9000).map(i => (s"p${i % 3}", (i % 977) + 0.25))
+      .toDF("part", "v")
+    // two-level: per-part sketch -> merged bytes == one-shot sketch bytes
+    val merged = df.groupBy("part")
+      .agg(DdSketch.sketch(col("v"), alpha).as("sk"))
+      .agg(DdSketch.mergeSketches(col("sk")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val direct = df.agg(DdSketch.sketch(col("v"), alpha).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct),
+      "sketch-of-union must equal merge-of-sketches byte-for-byte")
+    // estimate from merged partials == one-shot dd_quantile_agg
+    val viaPartials = df.groupBy("part")
+      .agg(DdSketch.sketch(col("v"), alpha).as("sk"))
+      .agg(DdSketch.mergeSketches(col("sk")).as("sk"))
+      .select(DdSketch.quantiles(col("sk"), alpha, probs).as("q"))
+      .head().getSeq[Double](0)
+    val oneShot = df.agg(DdQuantileAgg(col("v"), alpha, probs).as("q"))
+      .head().getSeq[Double](0)
+    assert(viaPartials == oneShot,
+      s"partials estimate $viaPartials != one-shot $oneShot")
+    // relative-error guarantee holds on the rolled-up estimate
+    val sorted = (1 to 9000).map(i => (i % 977) + 0.25).sorted
+    probs.zip(viaPartials).foreach { case (p, est) =>
+      val truth = sorted(math.floor(p * (sorted.size - 1)).toInt)
+      assert(math.abs(est - truth) <= alpha * truth + 1e-9,
+        s"p=$p est=$est truth=$truth exceeds alpha")
+    }
+    // empty/null handling: all-null group -> NULL sketch -> skipped by
+    // merge; a merge over only NULLs is NULL
+    val withNull = df.withColumn("v",
+      when(col("part") === "p0", lit(null).cast("double")).otherwise(col("v")))
+    val m2 = withNull.groupBy("part")
+      .agg(DdSketch.sketch(col("v"), alpha).as("sk"))
+      .agg(DdSketch.mergeSketches(col("sk")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(m2 != null, "merge must skip NULL partials, not die on them")
+    val allNull = df.limit(5).select(lit(null).cast("double").as("v"))
+      .agg(DdSketch.sketch(col("v"), alpha).as("sk"))
+      .select(DdSketch.mergeSketches(col("sk")))
+    assert(allNull.head().isNullAt(0), "all-NULL rollup must be NULL")
+  }
 }
