@@ -187,6 +187,19 @@ object ScaleDryRun {
         val hops = d.agg(max(col("dist"))).head().getInt(0)
         s"settled=$settled max_hop=$hops"
       }
+      section(s"sssp dir=$dir replicas=$k") {
+        // the weighted sibling: the superlinear risk is ROUND growth
+        // (label correction can revisit settled nodes via cheaper
+        // paths); with weights bounded in [1, 9] rounds stay within a
+        // small factor of the hop diameter at any k
+        val we = stationEdges(k).withColumn("w",
+          pmod(col("src") * 7 + col("dst") * 13, lit(9L)) + 1L)
+        val (d, rounds) = graft.operators.Graphs.ssspDistancesDetail(
+          we, "src", "dst", "w", 1L)
+        val settled = d.count()
+        val maxD = d.agg(max(col("dist"))).head().getLong(0)
+        s"settled=$settled rounds=$rounds max_dist=$maxD"
+      }
     }
 
     // ---- DSv2 row-group zone-map pruning (round-6 addition): on a

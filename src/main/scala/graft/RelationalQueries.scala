@@ -533,7 +533,7 @@ object RelationalQueries {
     * derivation shared by every graph-family query (triangles, BFS);
     * a drift between two copies would silently have them analyze
     * different graphs. Columns (u, v, c), ordered (c desc, u, v). */
-  private def backboneEdges(spark: org.apache.spark.sql.SparkSession,
+  def backboneEdges(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Tables.rides(spark, dir)
       .filter(col("start_station_id") =!= col("end_station_id"))
@@ -626,6 +626,62 @@ object RelationalQueries {
             |SELECT node AS station_id, CAST(min(d) AS INTEGER) AS dist
             |FROM bfs GROUP BY node ORDER BY station_id""".stripMargin))
 
+  /** Distance-closure cap for [[qSsspWeighted]]'s oracle: the recursive
+    * (node, d) expansion only explores d ≤ this, which provably covers
+    * every true shortest distance because the backbone's hop diameter is
+    * ≤ [[BfsMaxHops]] (the settled BFS result) and weights are ≤ 9, so
+    * shortest weighted dist ≤ 8·9 = 72 < 96. The Spark side ASSERTS the
+    * bound on its own result — if a regenerated graph ever violated it,
+    * the query throws loudly instead of hash-mismatching mysteriously. */
+  val SsspCapD = 96L
+
+  /** Weighted single-source shortest paths over the backbone rides graph
+    * ([[graft.operators.Graphs.ssspDistances]] — the Dijkstra
+    * generalization of [[qBfsStations]]'s BFS): deterministic integer
+    * edge weights derived from the canonical endpoints
+    * (w = (7u + 13v) mod 9 + 1, so cheap multi-hop detours genuinely
+    * beat expensive direct edges and the weighted result differs from
+    * hop distance), same deterministically tie-broken source. The
+    * oracle re-derives distances with a BOUNDED (node, d) recursive
+    * closure — every walk of weight ≤ [[SsspCapD]] — and takes min(d)
+    * per node; with all true distances under the cap (asserted Spark-
+    * side) that min IS the shortest-path distance. */
+  val qSsspWeighted = QueryDef("q_sssp_weighted",
+    (spark, dir) => {
+      val backbone = backboneEdges(spark, dir)
+        .withColumn("w", pmod(col("u") * 7 + col("v") * 13, lit(9L)) + 1L)
+      val srcNode = backbone.select("u").head().getLong(0)
+      val out = graft.operators.Graphs.ssspDistances(
+        backbone, "u", "v", "w", srcNode)
+        .select(col("node").as("station_id"), col("dist"))
+      // the oracle's closure cap must dominate every true distance —
+      // model-scale aggregate probe on the (already checkpointed) result
+      val maxD = out.agg(max("dist")).head().getLong(0)
+      require(maxD <= SsspCapD,
+        s"q_sssp_weighted: max distance $maxD exceeds the oracle cap " +
+          s"$SsspCapD — the graph changed shape; raise SsspCapD in lockstep")
+      out.orderBy("station_id")
+    },
+    Some(s"""WITH RECURSIVE ${Catalog.ridesSql},
+            |edb AS (
+            |  $backboneSql
+            |),
+            |wadj AS (
+            |  SELECT u AS a, v AS b, ((u * 7 + v * 13) % 9) + 1 AS w FROM edb
+            |  UNION ALL
+            |  SELECT v, u, ((u * 7 + v * 13) % 9) + 1 FROM edb
+            |),
+            |srcn AS (SELECT u AS s FROM edb ORDER BY c DESC, u, v LIMIT 1),
+            |sp(node, d) AS (
+            |  SELECT s, CAST(0 AS BIGINT) FROM srcn
+            |  UNION
+            |  SELECT wadj.b, sp.d + wadj.w
+            |  FROM sp JOIN wadj ON wadj.a = sp.node
+            |  WHERE sp.d + wadj.w <= $SsspCapD
+            |)
+            |SELECT node AS station_id, CAST(min(d) AS BIGINT) AS dist
+            |FROM sp GROUP BY node ORDER BY station_id""".stripMargin))
+
   /** Power iterations for [[qPageRank]] — enough for ~1e-6 convergence
     * on the rides graph, small enough for a readable unrolled oracle. */
   val PrIters = 10
@@ -680,5 +736,5 @@ object RelationalQueries {
     qShippingPriority,
     qLocalSupplierVolume,
     qLargeOrders, qProfileDocuments, qZorderCells, qTriangles, qPageRank,
-    qBfsStations)
+    qBfsStations, qSsspWeighted)
 }

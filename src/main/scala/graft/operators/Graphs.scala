@@ -241,4 +241,89 @@ object Graphs {
     (adj +: hops).foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Weighted single-source shortest paths over the UNDIRECTED graph
+    * with NON-NEGATIVE integer weights — the Dijkstra generalization of
+    * [[bfsDistances]], realized as frontier label correction
+    * (distributed Bellman-Ford): each round relaxes every edge leaving
+    * the CURRENT FRONTIER (`min` over candidate distances — an exact
+    * integer aggregate, no tie rules needed), keeps the nodes whose
+    * tentative distance improved, and terminates when a round improves
+    * nothing. Priority-queue Dijkstra is inherently sequential; at
+    * cluster scale the round-based relaxation IS the standard shape
+    * (Pregel SSSP), and with non-negative weights it converges to the
+    * identical fixed point in at most |V|−1 rounds — in practice the
+    * weighted diameter in rounds. `maxRounds` is the loud guard:
+    * non-convergence throws, never returns a half-relaxed answer.
+    *
+    * Cost shape vs BFS: every round still shuffles only (node, dist)
+    * pairs and joins the frontier against the once-persisted adjacency;
+    * unlike BFS the settled set must be RE-MERGED each round (a settled
+    * node can improve later via a cheaper path), so each round pays one
+    * O(settled) min-merge — the honest extra cost of weighted paths,
+    * linear per round, checkpointed to keep lineage flat. Negative
+    * weights are refused up front (label correction would diverge).
+    *
+    * Returns (node, dist) for every node reachable from `source`
+    * (source at 0); unreachable nodes are absent. No counterpart in the
+    * reference (its graph surface is zero); the oracle re-derives
+    * distances with a bounded-(node, d) recursive closure + min. */
+  def ssspDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: Long, maxRounds: Int = 64,
+      reliableCheckpoint: Boolean = false): DataFrame =
+    ssspDistancesDetail(edges, srcCol, dstCol, weightCol, source, maxRounds,
+      reliableCheckpoint)._1
+
+  /** [[ssspDistances]] plus the relaxation-round count — the scale
+    * instrumentation face (rounds are the superlinear risk for
+    * iterative graph loops, invisible to single-scale timing). */
+  def ssspDistancesDetail(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: Long, maxRounds: Int = 64,
+      reliableCheckpoint: Boolean = false): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"ssspDistances: maxRounds must be >= 1, got $maxRounds")
+    def persist(df: DataFrame) =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"), col(weightCol).cast("long").as("w"))
+    val adj = persist(
+      canon.select(col("u").as("a"), col("v").as("b"), col("w"))
+        .union(canon.select(col("v").as("a"), col("u").as("b"), col("w"))))
+    require(adj.filter(col("w") < 0L).limit(1).count() == 0L,
+      "ssspDistances: negative weights — label correction would diverge; " +
+        "shift weights or use a different algorithm")
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var dist = persist(Seq((source, 0L)).toDF("node", "dist"))
+    scratch += dist
+    var frontier = dist
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val cand = frontier.join(adj, col("node") === col("a"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      val improved = persist(cand.join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("node"), col("nd").as("dist")))
+      scratch += improved
+      if (improved.limit(1).count() == 0L) converged = true
+      else {
+        // min-merge: a node can appear in both (improved wins by min) —
+        // the per-round O(settled) copy weighted paths inherently pay
+        val next = persist(dist.unionByName(improved)
+          .groupBy("node").agg(min("dist").as("dist")))
+        scratch += next
+        dist = next
+        frontier = improved
+      }
+    }
+    require(converged,
+      s"ssspDistances: not converged after $maxRounds rounds — raise " +
+        "maxRounds (weighted diameter exceeds the budget) or check the graph")
+    val out = persist(dist)
+    (adj +: scratch).foreach(_.unpersist(blocking = false))
+    (out, round)
+  }
 }

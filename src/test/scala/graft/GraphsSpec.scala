@@ -143,4 +143,48 @@ class GraphsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(t1 == t7 && t1.nonEmpty)
   }
+
+  test("ssspDistances: cheap detours beat expensive direct edges; " +
+    "refusals and convergence guard hold") {
+    import spark.implicits._
+    import graft.operators.Graphs
+    // 0-1 direct costs 10; 0-2-1 costs 2+3=5; 3 hangs off 1; 4 isolated-ish
+    val edges = Seq(
+      (0L, 1L, 10L), (0L, 2L, 2L), (2L, 1L, 3L), (1L, 3L, 1L),
+      (5L, 6L, 7L)).toDF("u", "v", "w")
+    val got = Graphs.ssspDistances(edges, "u", "v", "w", 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 5L, 2L -> 2L, 3L -> 6L),
+      s"got $got") // 5/6 unreachable from 0 -> absent; detour 0-2-1 wins
+    // undirected: from node 3 the same paths run backwards
+    val rev = Graphs.ssspDistances(edges, "u", "v", "w", 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev(0L) == 6L && rev(2L) == 4L, s"rev $rev")
+    // zero-weight edges are legal (non-negative contract)
+    val z = Graphs.ssspDistances(
+      Seq((0L, 1L, 0L), (1L, 2L, 4L)).toDF("u", "v", "w"), "u", "v", "w", 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(z == Map(0L -> 0L, 1L -> 0L, 2L -> 4L))
+    // negative weights refused loudly
+    val neg = intercept[IllegalArgumentException] {
+      Graphs.ssspDistances(
+        Seq((0L, 1L, -1L)).toDF("u", "v", "w"), "u", "v", "w", 0L)
+    }
+    assert(neg.getMessage.contains("negative"))
+    // non-convergence throws rather than returning a half-relaxed answer
+    val chain = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("u", "v", "w")
+    val nc = intercept[IllegalArgumentException] {
+      Graphs.ssspDistances(chain, "u", "v", "w", 0L, maxRounds = 2)
+    }
+    assert(nc.getMessage.contains("not converged"))
+    // and equals BFS when every weight is 1
+    val uni = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 3L, 1L))
+      .toDF("u", "v", "w")
+    val viaSssp = Graphs.ssspDistances(uni, "u", "v", "w", 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBfs = Graphs.bfsDistances(uni, "u", "v", 0L, 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(viaSssp == viaBfs)
+  }
 }
