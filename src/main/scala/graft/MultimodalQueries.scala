@@ -200,6 +200,62 @@ object MultimodalQueries {
            |       CAST(sum(b) AS BIGINT) AS sum_b
            |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin))
 
+  /** REAL baseline-JPEG pixel decode, end to end
+    * ([[graft.operators.Jpeg]]) — the lossy-codec member of the
+    * real-codec family, on the most common crawl image format. Each
+    * image doc becomes a complete baseline grayscale JFIF (real
+    * canonical huffman tables, DC prediction, AC EOBs, byte stuffing,
+    * quantization, IDCT) whose 8×8 blocks are CONSTANT, which makes the
+    * lossy pipeline bit-exact (DC-only spectra with the DC quantizer
+    * pinned to 8 — see the Jpeg scaladoc), so a hash oracle exists for
+    * a codec that normally admits only tolerance checks: DuckDB
+    * recomputes the decoded sums from the block-level generative
+    * formula without touching a JPEG byte. The full huffman → dequant →
+    * IDCT chain is on the hook — a one-bit table error scrambles every
+    * DC difference (exactly the bug the spec's shifted-BITS test
+    * caught). ImageIO cross-decodes both our encoder's output and
+    * arbitrary ImageIO-encoded JPEGs in JpegSpec. */
+  val qJpegDecode = QueryDef("q_jpeg_pixel_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the image-modality ids
+        .select(col("doc_id").as("media_id"),
+          Multimodal.pngWidth(col("doc_id")).as("w"),
+          Multimodal.pngHeight(col("doc_id")).as("h"))
+        .as[(Long, Int, Int)]
+      dims.mapPartitions(_.map { case (id, w, h) =>
+        val bytes = graft.operators.Jpeg.encodeGrayBlocks(w, h,
+          (bx, by) => (((bx * 7L + by * 13L + id) % 256L + 256L) % 256L).toInt)
+        val s = graft.operators.Jpeg.pixelStats(bytes).getOrElse(
+          sys.error(s"undecodable synthesized JPEG for media_id=$id"))
+        (id, s.width, s.height, s.nPx, s.sumG)
+      }).toDF("media_id", "width", "height", "n_px", "sum_gray")
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 240) + 16 AS BIGINT) AS width,
+           |         CAST(((doc_id * 7) % 240) + 16 AS BIGINT) AS height
+           |  FROM documents WHERE doc_id % 3 = 0
+           |), px AS (
+           |  SELECT media_id, width, height,
+           |         unnest(generate_series(0, width * height - 1)) AS p
+           |  FROM dims
+           |), t AS (
+           |  SELECT media_id, width, height,
+           |         (p % width) // 8 AS bx, (p // width) // 8 AS by
+           |  FROM px
+           |)
+           |SELECT media_id, CAST(width AS INT) AS width,
+           |       CAST(height AS INT) AS height,
+           |       CAST(count(*) AS BIGINT) AS n_px,
+           |       CAST(sum((bx * 7 + by * 13 + media_id) % 256) AS BIGINT)
+           |         AS sum_gray
+           |FROM t GROUP BY media_id, width, height
+           |ORDER BY media_id""".stripMargin))
+
   /** REAL PCM decode, end to end ([[graft.operators.Wav]]) — the audio
     * sibling of [[qPngDecode]]: each audio-modality doc becomes a
     * complete valid mono 16-bit PCM WAV of the generative signal, the
@@ -246,5 +302,5 @@ object MultimodalQueries {
            |FROM t GROUP BY media_id ORDER BY media_id""".stripMargin))
 
   def all: Seq[QueryDef] =
-    Seq(qModalityStats, qPngDecode, qPngResize, qWavDecode)
+    Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode, qWavDecode)
 }

@@ -1,0 +1,486 @@
+package graft.operators
+
+/** Minimal REAL baseline-JPEG codec — pure JVM (no image libraries) —
+  * extending the real-codec family ([[Png]] = deflate/filters,
+  * [[Wav]] = RIFF/PCM) to the most common crawl image format.
+  *
+  * Scope (refuse, don't guess — same posture as the PNG decoder):
+  * baseline sequential DCT (SOF0), GRAYSCALE (one component), 8-bit
+  * quantization tables, no progressive/arithmetic/hierarchical modes.
+  * Restart markers are honored (DC predictor reset). Anything else
+  * returns None. Color baseline JPEG adds chroma subsampling and a
+  * float color transform whose rounding is not bit-specified across
+  * decoders; the grayscale subset keeps every decoded sample on the
+  * deterministic integer path this engine's oracle gate demands, while
+  * still exercising the entire baseline machinery: marker structure,
+  * canonical huffman tables (DHT), entropy-coded segments with byte
+  * stuffing, DC prediction, AC run-length/EOB/ZRL coding, zigzag,
+  * dequantization, and the 2-D inverse DCT.
+  *
+  * Exactness story (how a LOSSY codec gets under a hash oracle): the
+  * FDCT of a CONSTANT 8×8 block has a single nonzero coefficient,
+  * DC = 8·(c − 128). With the DC quantizer pinned to 8 the quantized
+  * DC is exactly c − 128, and ANY spec-compliant IDCT reproduces the
+  * constant block bit-exactly (the IDCT of a DC-only spectrum is flat;
+  * one rounding of an exact value). [[encodeGrayBlocks]] builds images
+  * that are constant per 8×8 block, so encode → decode round-trips
+  * losslessly THROUGH the lossy pipeline, and the catalog oracle
+  * re-derives every decoded pixel from the block-level generative
+  * formula relationally. Arbitrary images remain decodable (the
+  * decoder is general baseline-grayscale); a spec cross-decodes
+  * ImageIO-encoded JPEGs against JDK ImageIO with the ±1 tolerance the
+  * JPEG spec itself allows between IDCT implementations.
+  *
+  * The 100 TB shape matches the rest of the multimodal family: opaque
+  * binary payloads, partition-wise decode, per-image stats — never
+  * pixels — across stage boundaries. */
+object Jpeg {
+
+  /** Standard luminance DC huffman table (JPEG Annex K.3.1): code
+    * lengths histogram (BITS) and symbol values (HUFFVAL). */
+  private val DcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Int] = (0 to 11).toArray
+
+  /** Standard luminance AC huffman table (Annex K.3.2). */
+  private val AcBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Zigzag order: index i of the scan → (row, col) raster offset. */
+  private val Zigzag: Array[Int] = {
+    val order = Array.ofDim[Int](64)
+    var i = 0
+    for (s <- 0 until 15) {
+      val range = if (s % 2 == 0) (s to 0 by -1) else (0 to s)
+      for (r <- range if r < 8 && (s - r) < 8) {
+        order(i) = r * 8 + (s - r)
+        i += 1
+      }
+    }
+    order
+  }
+
+  /** Canonical huffman: (code, length) per symbol, from BITS/HUFFVAL. */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int])
+      : Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = collection.mutable.Map.empty[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var n = 0
+      while (n < bits(len - 1)) {
+        out(vals(k)) = (code, len)
+        code += 1; k += 1; n += 1
+      }
+      code <<= 1
+    }
+    out.toMap
+  }
+
+  private lazy val DcEnc = canonicalCodes(DcBits, DcVals)
+  private lazy val AcEnc = canonicalCodes(AcBits, AcVals)
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (nbits > 0) { // pad with 1s per spec
+        acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+        out.write(acc)
+        if (acc == 0xff) out.write(0x00)
+      }
+      out.toByteArray
+    }
+  }
+
+  private def be2(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def segment(marker: Int, payload: Array[Byte]): Array[Byte] =
+    Array(0xff.toByte, marker.toByte) ++ be2(payload.length + 2) ++ payload
+
+  /** The DC quantizer that makes constant blocks exact (scaladoc above);
+    * AC entries are irrelevant for DC-only spectra but kept = 8 so the
+    * table is honest for any input. */
+  val QuantAll8: Array[Int] = Array.fill(64)(8)
+
+  /** A complete, valid baseline grayscale JFIF whose 8×8 blocks are the
+    * constants `blockVal(bx, by)` (0–255) — padded edge blocks inherit
+    * their block's constant, so every MCU is genuinely constant and the
+    * lossy pipeline round-trips bit-exactly (see object scaladoc). Real
+    * entropy coding throughout: huffman DC differences, AC EOBs, byte
+    * stuffing. */
+  def encodeGrayBlocks(width: Int, height: Int,
+      blockVal: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"encodeGrayBlocks: bad dims ${width}x$height")
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    val writer = new BitWriter
+    var prevDc = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val c = blockVal(bx, by)
+        require(c >= 0 && c <= 255, s"encodeGrayBlocks: block value $c")
+        val dc = c - 128 // quantized DC with q=8 (see scaladoc)
+        val diff = dc - prevDc
+        prevDc = dc
+        val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        val (code, len) = DcEnc(s)
+        writer.put(code, len)
+        if (s > 0) {
+          val bitsVal = if (diff >= 0) diff else diff + (1 << s) - 1
+          writer.put(bitsVal, s)
+        }
+        val (eob, eobLen) = AcEnc(0x00)
+        writer.put(eob, eobLen)
+        bx += 1
+      }
+      by += 1
+    }
+    val dqt = Array(0x00.toByte) ++ Zigzag.indices
+      .map(i => QuantAll8(i).toByte) // all-8s: zigzag order irrelevant
+    val sof = Array[Byte](8) ++ be2(height) ++ be2(width) ++
+      Array[Byte](1, 1, 0x11, 0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Array[Byte] =
+      Array((cls << 4).toByte) ++ bits.slice(0, 16).map(_.toByte) ++
+        vals.map(_.toByte)
+    val sos = Array[Byte](1, 1, 0x00, 0, 63, 0)
+    val app0 = "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    Array(0xff.toByte, 0xd8.toByte) ++ // SOI
+      segment(0xe0, app0) ++
+      segment(0xdb, dqt) ++
+      segment(0xc0, sof) ++
+      segment(0xc4, dht(0, DcBits, DcVals)) ++
+      segment(0xc4, dht(1, AcBits, AcVals)) ++
+      segment(0xda, sos) ++
+      writer.finish() ++
+      Array(0xff.toByte, 0xd9.toByte) // EOI
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // mincode/maxcode/valptr per length — the spec's canonical decode
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill[Int](17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      for (len <- 1 to 16) {
+        if (bits(len - 1) > 0) {
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len - 1); k += bits(len - 1)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+      }
+    }
+    def value(len: Int, code: Int): Int =
+      vals(valPtr(len) + code - minCode(len))
+  }
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var hitMarker = false
+    /** Next bit, or -1 on end/marker. Handles FF00 unstuffing; a real
+      * marker (FFxx, xx≠00 and not a fill FF) stops the stream. */
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) return -1
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) { hitMarker = true; return -1 }
+          val next = b(pos) & 0xff
+          if (next == 0x00) pos += 1 // stuffed data byte
+          else { pos -= 1; hitMarker = true; return -1 }
+          v = 0xff
+        }
+        acc = v; nbits = 8
+      }
+      nbits -= 1
+      (acc >>> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val x = bit()
+        if (x < 0) return -1
+        v = (v << 1) | x
+        i += 1
+      }
+      v
+    }
+    def align(): Unit = nbits = 0
+  }
+
+  private def decodeHuff(r: BitReader, t: HuffTable): Int = {
+    var code = r.bit()
+    if (code < 0) return -1
+    var len = 1
+    while (len <= 16) {
+      if (t.maxCode(len) >= 0 && code <= t.maxCode(len))
+        return t.value(len, code)
+      val b = r.bit()
+      if (b < 0) return -1
+      code = (code << 1) | b
+      len += 1
+    }
+    -1
+  }
+
+  /** EXTEND (spec F.2.2.1): map s low bits to the signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Naive double-precision 2-D IDCT with one final rint per sample —
+    * deterministic (fixed IEEE ops, precomputed cosine table shared by
+    * every call) and exact on DC-only spectra. O(64²) per block is the
+    * correctness-first choice, same posture as the group-based parquet
+    * reader; an AAN fast path is a drop-in swap. */
+  private lazy val CosTab: Array[Double] = {
+    val t = new Array[Double](64)
+    for (x <- 0 until 8; u <- 0 until 8)
+      t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    t
+  }
+
+  private def idctBlock(coef: Array[Int], out: Array[Int]): Unit = {
+    val c = new Array[Double](8)
+    c(0) = 1.0 / math.sqrt(2.0)
+    var i = 1
+    while (i < 8) { c(i) = 1.0; i += 1 }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val s = coef(v * 8 + u)
+            if (s != 0)
+              sum += c(u) * c(v) * s * CosTab(x * 8 + u) * CosTab(y * 8 + v)
+            v += 1
+          }
+          u += 1
+        }
+        val px = math.rint(sum / 4.0).toInt + 128
+        out(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Channel sums of a decoded grayscale baseline JPEG — the feature
+    * row the catalog query aggregates ([[Png.PixelStats]]' sibling;
+    * sumR=sumG=sumB=the gray sum is deliberately NOT emitted — one
+    * channel, one sum). */
+  final case class GrayStats(width: Int, height: Int, nPx: Long, sumG: Long)
+
+  def pixelStats(b: Array[Byte]): Option[GrayStats] = decodeGray(b).map {
+    case (w, h, px) =>
+      var s = 0L
+      var i = 0
+      while (i < px.length) { s += px(i) & 0xff; i += 1 }
+      GrayStats(w, h, w.toLong * h, s)
+  }
+
+  /** REAL baseline decode (grayscale SOF0 only): marker walk, DQT/DHT
+    * table collection, entropy-coded segment huffman decode with DC
+    * prediction + restart handling, dequantization, inverse zigzag,
+    * IDCT, crop to (w, h). None for anything out of scope or malformed. */
+  def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    val quant = collection.mutable.Map.empty[Int, Array[Int]]
+    val dcTabs = collection.mutable.Map.empty[Int, HuffTable]
+    val acTabs = collection.mutable.Map.empty[Int, HuffTable]
+    var w = -1; var h = -1
+    var compQuant = -1; var compDc = -1; var compAc = -1
+    var restartInterval = 0
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (pos + 4 > b.length) return None
+      if ((b(pos) & 0xff) != 0xff) return None
+      val marker = b(pos + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        pos += 2 // parameterless
+      } else {
+        val len = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+        if (len < 2 || pos + 2 + len > b.length) return None
+        val seg = pos + 4
+        val segLen = len - 2
+        marker match {
+          case 0xdb => // DQT — possibly several tables per segment
+            var p = seg
+            while (p < seg + segLen) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (pq != 0) return None // 16-bit tables out of scope
+              if (p + 65 > seg + segLen) return None
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) { t(Zigzag(i)) = b(p + 1 + i) & 0xff; i += 1 }
+              quant(tq) = t
+              p += 65
+            }
+          case 0xc4 => // DHT — possibly several tables per segment
+            var p = seg
+            while (p < seg + segLen) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              if (p + 17 > seg + segLen) return None
+              val bits = (0 until 16).map(i => b(p + 1 + i) & 0xff).toArray
+              val n = bits.sum
+              if (p + 17 + n > seg + segLen) return None
+              val vals = (0 until n).map(i => b(p + 17 + i) & 0xff).toArray
+              val table = new HuffTable(bits, vals)
+              if (tc == 0) dcTabs(th) = table
+              else if (tc == 1) acTabs(th) = table
+              else return None
+              p += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline
+            if (segLen < 8) return None
+            if ((b(seg) & 0xff) != 8) return None
+            h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+            w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+            val ncomp = b(seg + 5) & 0xff
+            if (ncomp != 1) return None // grayscale scope (scaladoc)
+            val sampling = b(seg + 7) & 0xff
+            if (sampling != 0x11) return None
+            compQuant = b(seg + 8) & 0xff
+          case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
+            return None // progressive/arithmetic/other SOF: out of scope
+          case 0xdd => // DRI
+            if (segLen < 4) return None
+            restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+          case 0xda => // SOS
+            if (segLen < 6) return None
+            if ((b(seg) & 0xff) != 1) return None
+            compDc = (b(seg + 2) & 0xff) >> 4
+            compAc = b(seg + 2) & 0x0f
+            scanStart = pos + 2 + len
+          case _ => () // APPn/COM/etc skipped
+        }
+        if (scanStart < 0) pos += 2 + len
+      }
+    }
+    if (w <= 0 || h <= 0) return None
+    val q = quant.getOrElse(compQuant, return None)
+    val dcT = dcTabs.getOrElse(compDc, return None)
+    val acT = acTabs.getOrElse(compAc, return None)
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val px = new Array[Byte](w * h)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    val r = new BitReader(b, scanStart)
+    var prevDc = 0
+    var mcu = 0
+    val totalMcus = bw * bh
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // RSTn: align, consume the marker, reset the DC predictor
+        r.align()
+        if (r.pos + 1 < b.length && (b(r.pos) & 0xff) == 0xff &&
+            (b(r.pos + 1) & 0xff) >= 0xd0 && (b(r.pos + 1) & 0xff) <= 0xd7) {
+          r.pos += 2
+          r.hitMarker = false
+        } else return None
+        prevDc = 0
+      }
+      java.util.Arrays.fill(coef, 0)
+      val s = decodeHuff(r, dcT)
+      if (s < 0 || s > 11) return None
+      val dcBits = if (s == 0) 0 else r.bits(s)
+      if (dcBits < 0) return None
+      prevDc += extend(dcBits, s)
+      coef(0) = prevDc * q(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = decodeHuff(r, acT)
+        if (rs < 0) return None
+        val run = rs >> 4
+        val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL
+          else eob = true // EOB
+        } else {
+          k += run
+          if (k > 63) return None
+          val vBits = r.bits(size)
+          if (vBits < 0) return None
+          coef(Zigzag(k)) = extend(vBits, size) * q(Zigzag(k))
+          k += 1
+        }
+      }
+      idctBlock(coef, block)
+      val bx = mcu % bw
+      val by = mcu / bw
+      var y = 0
+      while (y < 8) {
+        val py = by * 8 + y
+        if (py < h) {
+          var x = 0
+          while (x < 8) {
+            val pxx = bx * 8 + x
+            if (pxx < w) px(py * w + pxx) = block(y * 8 + x).toByte
+            x += 1
+          }
+        }
+        y += 1
+      }
+      mcu += 1
+    }
+    Some((w, h, px))
+  }
+}
