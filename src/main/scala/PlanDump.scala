@@ -50,7 +50,10 @@ object PlanDump {
       "q_dedup_spans" -> "duplicated-span removal (round 6): positional grams via codegen kernel (the composed HOF form measured 13-36x slower), pass-1 df shuffle carries (8-byte fp, id) only — column pruning drops the gram strings; raw grams re-enter at CANDIDATE cardinality for the collision-immune recount; covered-offset fanout is bounded by duplication volume",
       "q_bm25_search" -> "BM25 ranking (round 6): token explode in scan codegen, query-term postings FILTERED before any shuffle, per-term df broadcast, corpus scalars via broadcast 1-row frame (no driver round-trip), per-doc DECIMAL-exact sum, TakeOrderedAndProject for the top-100 (no global sort)",
       "q_dsv2_runtime_filter" -> "DSv2 runtime filtering (round 6): the fact GraftParquetScan probes a broadcast of the filtered supplier dim; at execution Spark's dynamic pruning hands the surviving keys to the connector (In(l_suppkey, ...) — see the dynamicpruningexpression under the scan), which applies them with the same zone-map + row evaluation as static pushdown",
-      "q_distinct_hll_rollup" -> "HLL sketch partials (round 6): per-source hll_sketch register arrays (one partial-aggregated exchange), the ALL level re-aggregates the 20 sketch BINARIES via hll_merge — the raw corpus is scanned once; the rollup's input is sketch-cardinality rows")
+      "q_distinct_hll_rollup" -> "HLL sketch partials (round 6): per-source hll_sketch register arrays (one partial-aggregated exchange), the ALL level re-aggregates the 20 sketch BINARIES via hll_merge — the raw corpus is scanned once; the rollup's input is sketch-cardinality rows",
+      "q_dd_quantiles_rollup" -> "DDSketch partials (round 7): per-status dd_sketch bucket maps (one partial-aggregated exchange of O(buckets) state), the ALL level re-aggregates the sketch BINARIES via dd_merge — the orders scan + per-status exchange must appear ONCE (ReusedExchange on the second consumer), the rollup's input is sketch-cardinality rows",
+      "q_token_cms_rollup" -> "CMS partials (round 7): per-source (j,bucket) counter matrices from one corpus scan (partial-aggregated), the ALL matrix derives from the partials by counter addition — the tokenize+hash subtree must appear ONCE (ReusedExchange under the union), probes/estimates join at d×w-matrix cardinality via broadcast",
+      "q_dsv2_write_roundtrip" -> "DSv2 write path (round 7; plan shows the READ-BACK of the connector-written table): GraftParquetScan over sink-seeded + connector-appended files with the o_totalprice filter pushed (PushedFilters + RowGroupStatsPruning) — both write generations prune identically because append rewrote the manifest")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"

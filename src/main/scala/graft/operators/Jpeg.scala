@@ -414,6 +414,9 @@ object Jpeg {
       }
     }
     if (w <= 0 || h <= 0) return None
+    // dims are attacker-controlled 16-bit values whose product overflows
+    // Int (65535² ≈ 4.3e9) — refuse before the allocation wraps negative
+    if (w.toLong * h > Int.MaxValue - 8) return None
     val q = quant.getOrElse(compQuant, return None)
     val dcT = dcTabs.getOrElse(compDc, return None)
     val acT = acTabs.getOrElse(compAc, return None)

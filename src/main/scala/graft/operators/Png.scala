@@ -274,6 +274,10 @@ object Png {
     * when the decode refuses. */
   def resizeRgb(b: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
     require(outW > 0 && outH > 0, s"resizeRgb: bad dims ${outW}x$outH")
+    // caller-chosen target dims: the buffer product must fit one JVM
+    // array or the allocation size wraps negative
+    require(outW.toLong * outH * 3L <= Int.MaxValue - 8,
+      s"resizeRgb: ${outW}x$outH exceeds a single in-memory image")
     decodeRgb(b).map { case (w, h, px) =>
       encodeRgbPixels(outW, outH, bilinear(px, w, h, outW, outH))
     }

@@ -77,6 +77,14 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decodeGray(good.take(20)).isEmpty, "header-only truncation")
     assert(Jpeg.decodeGray(good.dropRight(good.length / 2)).isEmpty,
       "mid-scan truncation must refuse, not return half an image")
+    // adversarial dims: 65535x65535 wraps Int in w*h — must refuse, not
+    // die in a negative allocation
+    val big = good.clone()
+    val sof0 = big.indices.find(i =>
+      (big(i) & 0xff) == 0xff && (big(i + 1) & 0xff) == 0xc0).get
+    big(sof0 + 5) = 0xff.toByte; big(sof0 + 6) = 0xff.toByte // height
+    big(sof0 + 7) = 0xff.toByte; big(sof0 + 8) = 0xff.toByte // width
+    assert(Jpeg.decodeGray(big).isEmpty, "overflowing dims are refused")
     // a COLOR ImageIO jpeg → ncomp=3 → out of documented scope
     val rgb = new java.awt.image.BufferedImage(
       16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)

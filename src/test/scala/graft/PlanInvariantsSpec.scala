@@ -63,4 +63,16 @@ class PlanInvariantsSpec extends SparkSpec {
       "q_dedup_embedding", "q_dedup_embedding_keep", "q_embed_top_pairs"),
       s"unexpected oracle-twin set: ${twins.keySet}")
   }
+
+  test("dd rollup: the ALL level reuses the per-status sketch stage at " +
+    "runtime (the corpus is scanned once for both levels)") {
+    val df = Catalog.all.find(_.name == "q_dd_quantiles_rollup").get
+      .run(spark, sfDir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedQueryStage") ||
+      executed.contains("ReusedExchange"),
+      "the ALL branch must consume the per-status exchange via reuse, " +
+        s"not a second corpus scan:\n$executed")
+  }
 }
