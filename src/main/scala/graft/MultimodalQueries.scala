@@ -200,6 +200,56 @@ object MultimodalQueries {
            |       CAST(sum(b) AS BIGINT) AS sum_b
            |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin))
 
+  /** REAL BMP pixel decode, end to end ([[graft.operators.Bmp]]) —
+    * completing the crawl image-format trio. Each image doc becomes a
+    * complete 24-bit bottom-up BMP of the SAME generative image as
+    * [[qPngDecode]] (one ground truth, three container formats), so the
+    * oracle SQL is byte-identical to the PNG entry's — and a flipped
+    * row order, swapped BGR channel, or mis-padded stride breaks the
+    * hash. The format details on the hook are exactly the ones decoders
+    * routinely fumble: little-endian fields, BGR order, 4-byte row
+    * padding, bottom-up layout, free-positioned pixel array. */
+  val qBmpDecode = QueryDef("q_bmp_pixel_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the image-modality ids
+        .select(col("doc_id").as("media_id"),
+          Multimodal.pngWidth(col("doc_id")).as("w"),
+          Multimodal.pngHeight(col("doc_id")).as("h"))
+        .as[(Long, Int, Int)]
+      dims.mapPartitions(_.map { case (id, w, h) =>
+        val s = graft.operators.Bmp.pixelStats(
+          graft.operators.Bmp.encodeRgb(w, h, id)).getOrElse(
+          sys.error(s"undecodable synthesized BMP for media_id=$id"))
+        (id, s.width, s.height, s.nPx, s.sumR, s.sumG, s.sumB)
+      }).toDF("media_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b")
+        .orderBy("media_id")
+    },
+    // identical mirror to q_png_pixel_decode: same generative truth,
+    // different container — the two codecs corroborate each other
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 240) + 16 AS INT) AS width,
+           |         CAST(((doc_id * 7) % 240) + 16 AS INT) AS height
+           |  FROM documents WHERE doc_id % 3 = 0
+           |), px AS (
+           |  SELECT media_id, width, height,
+           |         unnest(generate_series(0, CAST(width AS BIGINT) * height - 1)) AS p
+           |  FROM dims
+           |), t AS (
+           |  SELECT media_id, width, height, p % width AS x, p // width AS y
+           |  FROM px
+           |)
+           |SELECT media_id, width, height,
+           |       CAST(count(*) AS BIGINT) AS n_px,
+           |       CAST(sum((x*7 + y*13 + media_id) % 256) AS BIGINT) AS sum_r,
+           |       CAST(sum((x*11 + y*3 + 2*media_id) % 256) AS BIGINT) AS sum_g,
+           |       CAST(sum((x*5 + y*17 + 3*media_id) % 256) AS BIGINT) AS sum_b
+           |FROM t GROUP BY media_id, width, height
+           |ORDER BY media_id""".stripMargin))
+
   /** REAL baseline-JPEG pixel decode, end to end
     * ([[graft.operators.Jpeg]]) — the lossy-codec member of the
     * real-codec family, on the most common crawl image format. Each
@@ -302,5 +352,6 @@ object MultimodalQueries {
            |FROM t GROUP BY media_id ORDER BY media_id""".stripMargin))
 
   def all: Seq[QueryDef] =
-    Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode, qWavDecode)
+    Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode, qBmpDecode,
+      qWavDecode)
 }
