@@ -250,6 +250,56 @@ object MultimodalQueries {
            |FROM t GROUP BY media_id, width, height
            |ORDER BY media_id""".stripMargin))
 
+  /** REAL GIF pixel decode, end to end ([[graft.operators.Gif]]) —
+    * the LZW member completing the image family. Each image doc becomes
+    * a GIF89a of the generative GRAYSCALE image (palette index i = gray
+    * i, so indices ARE sample values), through a REAL compressing LZW
+    * encoder — dictionary growth, 9→12-bit width transitions, CLEAR at
+    * table overflow — and the decoder reconstructs the dictionary
+    * (including the self-referential code case) to get every index
+    * back. GIF is lossless, so the oracle is a straight formula
+    * re-derivation; the sum_gray column matches the JPEG entry's
+    * pixel formula at per-PIXEL grain (vs JPEG's per-block), so the
+    * two lossy-vs-lossless paths are deliberately distinguishable. */
+  val qGifDecode = QueryDef("q_gif_pixel_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the image-modality ids
+        .select(col("doc_id").as("media_id"),
+          Multimodal.pngWidth(col("doc_id")).as("w"),
+          Multimodal.pngHeight(col("doc_id")).as("h"))
+        .as[(Long, Int, Int)]
+      dims.mapPartitions(_.map { case (id, w, h) =>
+        val bytes = graft.operators.Gif.encodeGray(w, h,
+          (x, y) => graft.operators.Png.pixelR(x, y, id),
+          interlaced = id % 2 == 0) // both row orders on real data
+        val s = graft.operators.Gif.pixelStats(bytes).getOrElse(
+          sys.error(s"undecodable synthesized GIF for media_id=$id"))
+        (id, s.width, s.height, s.nPx, s.sumR)
+      }).toDF("media_id", "width", "height", "n_px", "sum_gray")
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 240) + 16 AS INT) AS width,
+           |         CAST(((doc_id * 7) % 240) + 16 AS INT) AS height
+           |  FROM documents WHERE doc_id % 3 = 0
+           |), px AS (
+           |  SELECT media_id, width, height,
+           |         unnest(generate_series(0, CAST(width AS BIGINT) * height - 1)) AS p
+           |  FROM dims
+           |), t AS (
+           |  SELECT media_id, width, height, p % width AS x, p // width AS y
+           |  FROM px
+           |)
+           |SELECT media_id, width, height,
+           |       CAST(count(*) AS BIGINT) AS n_px,
+           |       CAST(sum((x*7 + y*13 + media_id) % 256) AS BIGINT) AS sum_gray
+           |FROM t GROUP BY media_id, width, height
+           |ORDER BY media_id""".stripMargin))
+
   /** REAL baseline-JPEG pixel decode, end to end
     * ([[graft.operators.Jpeg]]) — the lossy-codec member of the
     * real-codec family, on the most common crawl image format. Each
@@ -353,5 +403,5 @@ object MultimodalQueries {
 
   def all: Seq[QueryDef] =
     Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode, qBmpDecode,
-      qWavDecode)
+      qGifDecode, qWavDecode)
 }
