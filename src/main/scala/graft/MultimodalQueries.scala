@@ -401,7 +401,68 @@ object MultimodalQueries {
            |       CAST(max(s) AS BIGINT) AS max_s
            |FROM t GROUP BY media_id ORDER BY media_id""".stripMargin))
 
+  /** REAL audio resample, end to end
+    * ([[graft.operators.Wav.resamplePcm16]]) — the audio sibling of
+    * [[qPngResize]], same exact-integer kernel family: each audio doc's
+    * generative WAV is decoded, linearly resampled to a fixed 777
+    * samples at 8 kHz (center-aligned integer mapping, edge clamp, one
+    * floor division on shifted-unsigned values), re-encoded as a new
+    * WAV, and decoded AGAIN for stats — one hash match covers
+    * decode → resample → re-encode → decode. The oracle re-derives
+    * every output sample from the generative formula with the same
+    * integer ops; downsampling AND upsampling both occur on real
+    * catalog data (source lengths 500–4499 straddle 777). */
+  val qWavResample = QueryDef("q_wav_resample",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1) // the audio-modality ids
+        .select(col("doc_id").as("media_id"),
+          (pmod(col("doc_id"), lit(4000)) + 500).cast("int").as("n"))
+        .as[(Long, Int)]
+      dims.mapPartitions(_.map { case (id, n) =>
+        val wav = graft.operators.Wav.encodePcm16(n, 16000, id)
+        val res = graft.operators.Wav.resamplePcm16(wav, 777, 8000)
+          .getOrElse(sys.error(s"unresamplable WAV for media_id=$id"))
+        val s = graft.operators.Wav.pcmStats(res).getOrElse(
+          sys.error(s"undecodable resampled WAV for media_id=$id"))
+        (id, s.sampleRate, s.nSamples, s.sumS, s.minS.toLong, s.maxS.toLong)
+      }).toDF("media_id", "sample_rate", "n_samples", "sum_s", "min_s", "max_s")
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 4000) + 500 AS BIGINT) AS n
+           |  FROM documents WHERE doc_id % 3 = 1
+           |), grid AS (
+           |  SELECT media_id, n, unnest(generate_series(0, 776)) AS i
+           |  FROM dims
+           |), m AS (
+           |  SELECT media_id, n, i, (2*i + 1) * n - 777 AS num
+           |  FROM grid
+           |), c AS (
+           |  SELECT media_id, n,
+           |    CASE WHEN num < 0 THEN 0 ELSE num // 1554 END AS i0,
+           |    CASE WHEN num < 0 THEN 0 ELSE num % 1554 END AS f
+           |  FROM m
+           |), d AS (
+           |  SELECT media_id, i0, f, LEAST(i0 + 1, n - 1) AS i1
+           |  FROM c
+           |), v AS (
+           |  SELECT media_id,
+           |    ((1554 - f) * ((i0 * 31337 + media_id) % 65536)
+           |     + f * ((i1 * 31337 + media_id) % 65536)) // 1554 - 32768 AS s
+           |  FROM d
+           |)
+           |SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+           |       CAST(count(*) AS BIGINT) AS n_samples,
+           |       CAST(sum(s) AS BIGINT) AS sum_s,
+           |       CAST(min(s) AS BIGINT) AS min_s,
+           |       CAST(max(s) AS BIGINT) AS max_s
+           |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode, qBmpDecode,
-      qGifDecode, qWavDecode)
+      qGifDecode, qWavDecode, qWavResample)
 }

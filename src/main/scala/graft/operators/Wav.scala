@@ -39,12 +39,21 @@ object Wav {
   /** A complete, valid mono 16-bit PCM WAV of `nSamples` generative
     * samples. */
   def encodePcm16(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    require(nSamples > 0, s"encodePcm16: bad args ($nSamples, $sampleRate)")
+    encodePcm16Samples(
+      Array.tabulate(nSamples)(i => sample(i.toLong, seed)), sampleRate)
+  }
+
+  /** Buffer-input encoder — [[encodePcm16]] (generative) and
+    * [[resamplePcm16]] (resampled) both delegate here. */
+  def encodePcm16Samples(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val nSamples = samples.length
     require(nSamples > 0 && sampleRate > 0,
-      s"encodePcm16: bad args ($nSamples, $sampleRate)")
+      s"encodePcm16Samples: bad args ($nSamples, $sampleRate)")
     // 44-byte header + 2 bytes/sample must fit one JVM byte array; past
     // this, nSamples * 2 wraps Int and the RIFF size fields would lie.
     require(nSamples <= (Int.MaxValue - 44) / 2,
-      s"encodePcm16: $nSamples samples overflows a single in-memory WAV")
+      s"encodePcm16Samples: $nSamples samples overflows a single in-memory WAV")
     val dataLen = nSamples * 2
     val out = new java.io.ByteArrayOutputStream(44 + dataLen)
     out.write("RIFF".getBytes("US-ASCII"))
@@ -60,12 +69,78 @@ object Wav {
     out.write(le16(16)) // bits per sample
     out.write("data".getBytes("US-ASCII"))
     out.write(le32(dataLen.toLong))
-    var i = 0L
+    var i = 0
     while (i < nSamples) {
-      out.write(le16(sample(i, seed) & 0xffff))
+      require(samples(i) >= -32768 && samples(i) <= 32767,
+        s"encodePcm16Samples: sample ${samples(i)} out of 16-bit range")
+      out.write(le16(samples(i) & 0xffff))
       i += 1
     }
     out.toByteArray
+  }
+
+  /** Full-sample decode — (rate, channels, samples); the materializing
+    * face [[pcmStats]]' streaming reduction doesn't need but
+    * [[resamplePcm16]] does. Same scope/refusal rules as [[pcmStats]]. */
+  def decodePcm16(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    pcmStats(b).flatMap { st =>
+      // the chunk walk validated everything; re-walk for the data span
+      var i = 12
+      var dataOff = -1; var dataLen = -1L
+      while (i + 8 <= b.length && dataOff < 0) {
+        val tpe = new String(b, i, 4, "US-ASCII")
+        val len = u32(b, i + 4)
+        if (tpe == "data") { dataOff = i + 8; dataLen = len }
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+      if (dataLen / 2 > Int.MaxValue - 8) return None
+      val n = (dataLen / 2).toInt
+      val out = new Array[Int](n)
+      var j = 0
+      while (j < n) {
+        val v = u16(b, dataOff + j * 2)
+        out(j) = if (v >= 0x8000) v - 0x10000 else v
+        j += 1
+      }
+      Some((st.sampleRate, st.channels, out))
+    }
+
+  /** REAL audio resample: decode → EXACT-INTEGER linear resample →
+    * re-encode — the 1-D audio sibling of [[Png.resizeRgb]]'s bilinear,
+    * with the identical arithmetic contract (center-aligned mapping
+    * over denominator 2·outN, edge clamp, one floor division) so an SQL
+    * oracle re-derives every output sample. Signed samples are shifted
+    * to [0, 65535] before blending so the division is plain
+    * non-negative integer division — the affine shift commutes with the
+    * blend exactly ((den−f)+f = den), and both engines' `/`/`//`
+    * agree on non-negative operands (floor vs truncate never differs
+    * there). MONO only (multi-channel needs a per-channel pass —
+    * refuse, don't guess); None exactly when the decode refuses. */
+  def resamplePcm16(b: Array[Byte], outN: Int,
+      outRate: Int): Option[Array[Byte]] = {
+    require(outN > 0 && outRate > 0,
+      s"resamplePcm16: bad args ($outN, $outRate)")
+    decodePcm16(b).flatMap { case (_, channels, src) =>
+      if (channels != 1 || src.isEmpty) None
+      else Some(encodePcm16Samples(resampleLinear(src, outN), outRate))
+    }
+  }
+
+  /** The exact-integer linear kernel on raw sample buffers (see
+    * [[resamplePcm16]] for the arithmetic contract). */
+  def resampleLinear(src: Array[Int], outN: Int): Array[Int] = {
+    val n = src.length
+    require(n > 0 && outN > 0, s"resampleLinear: bad args ($n, $outN)")
+    val den = 2L * outN
+    Array.tabulate(outN) { i =>
+      val num = (2L * i + 1L) * n - outN
+      val i0 = if (num < 0L) 0 else (num / den).toInt
+      val f = if (num < 0L) 0L else num % den
+      val i1 = math.min(i0 + 1, n - 1)
+      val u0 = src(i0) + 32768L
+      val u1 = src(i1) + 32768L
+      (((den - f) * u0 + f * u1) / den).toInt - 32768
+    }
   }
 
   private def u16(b: Array[Byte], i: Int): Int =

@@ -313,4 +313,39 @@ class MultimodalSpec extends SparkSpec {
       assert((rgb & 0xff) == (expect(o + 2) & 0xff), s"B at ($x,$y)")
     }
   }
+
+  test("resamplePcm16: identity is sample-exact; constant invariance; " +
+    "javax.sound decodes the output; mono-only refusal") {
+    import graft.operators.Wav
+    val wav = Wav.encodePcm16(500, 16000, 42L)
+    val (_, _, src0) = Wav.decodePcm16(wav).get
+    // identity outN: center-aligned mapping has f = 0 at every sample
+    val id = Wav.resamplePcm16(wav, 500, 16000).get
+    assert(Wav.decodePcm16(id).get._3.toSeq == src0.toSeq,
+      "identity resample must reproduce the samples exactly")
+    // constant signal resamples to itself at any length
+    val const = Wav.encodePcm16Samples(Array.fill(100)(1234), 16000)
+    val up = Wav.decodePcm16(Wav.resamplePcm16(const, 333, 8000).get).get._3
+    assert(up.forall(_ == 1234), "constant signal must resample to itself")
+    // downsample: deterministic, right length, right header rate
+    val down = Wav.resamplePcm16(wav, 123, 8000).get
+    val st = Wav.pcmStats(down).get
+    assert(st.nSamples == 123 && st.sampleRate == 8000 && st.channels == 1)
+    assert(Wav.resamplePcm16(wav, 123, 8000).get.toSeq == down.toSeq)
+    // javax.sound as the independent container check
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(down))
+    assert(ais.getFormat.getSampleRate == 8000f &&
+      ais.getFormat.getChannels == 1)
+    // stereo is refused (mono-only scope): patch the fmt channel count
+    val stereo = wav.clone()
+    stereo(22) = 2 // fmt channels (LE lo byte)
+    assert(Wav.resamplePcm16(stereo, 100, 8000).isEmpty,
+      "multi-channel resample must refuse, not interleave wrongly")
+    // out-of-range sample values are rejected by the buffer encoder
+    val bad = intercept[IllegalArgumentException] {
+      Wav.encodePcm16Samples(Array(70000), 8000)
+    }
+    assert(bad.getMessage.contains("range"))
+  }
 }
