@@ -462,7 +462,72 @@ object MultimodalQueries {
            |       CAST(max(s) AS BIGINT) AS max_s
            |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin))
 
+  /** REAL video demux + frame decode, end to end
+    * ([[graft.operators.Avi]]) — the video modality's container stage
+    * made genuine (previously `sampleFrames` sliced raw bytes as a
+    * demux stand-in). Each video doc becomes a conforming single-stream
+    * AVI whose frames are BMPs of the generative images at seed
+    * media_id + frame_no; the demuxer walks the actual RIFF/LIST
+    * structure (word alignment included) and every extracted frame
+    * decodes through the independently-verified BMP codec. The oracle
+    * re-derives all per-frame channel sums from the formula — a
+    * mis-walked list, swallowed pad byte, or frame-order slip breaks
+    * the hash. 1→n fan-out happens INSIDE the partition (flatMap);
+    * only per-frame stats cross stage boundaries. */
+  val qAviFrameDecode = QueryDef("q_avi_frame_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 2) // the video-modality ids
+        .select(col("doc_id").as("media_id"),
+          (pmod(col("doc_id"), lit(56)) + 8).cast("int").as("w"),
+          (pmod(col("doc_id") * 7, lit(56)) + 8).cast("int").as("h"),
+          (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("nf"))
+        .as[(Long, Int, Int, Int)]
+      dims.mapPartitions(_.flatMap { case (id, w, h, nf) =>
+        val avi = graft.operators.Avi.encode(w, h, nf, id)
+        val stats = graft.operators.Avi.frameStats(avi).getOrElse(
+          sys.error(s"undemuxable synthesized AVI for media_id=$id"))
+        stats.map { case (frameNo, s) =>
+          (id, frameNo.toLong, s.width, s.height, s.nPx,
+            s.sumR, s.sumG, s.sumB)
+        }
+      }).toDF("media_id", "frame_no", "width", "height", "n_px",
+        "sum_r", "sum_g", "sum_b")
+        .orderBy("media_id", "frame_no")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 56) + 8 AS BIGINT) AS w,
+           |         CAST(((doc_id * 7) % 56) + 8 AS BIGINT) AS h,
+           |         CAST((doc_id % 4) + 2 AS BIGINT) AS nf
+           |  FROM documents WHERE doc_id % 3 = 2
+           |), fr AS (
+           |  SELECT media_id, w, h,
+           |         unnest(generate_series(0, nf - 1)) AS frame_no
+           |  FROM dims
+           |), px AS (
+           |  SELECT media_id, w, h, frame_no,
+           |         unnest(generate_series(0, w * h - 1)) AS p
+           |  FROM fr
+           |), t AS (
+           |  SELECT media_id, frame_no, w, h, p % w AS x, p // w AS y
+           |  FROM px
+           |)
+           |SELECT media_id, frame_no,
+           |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           |       CAST(count(*) AS BIGINT) AS n_px,
+           |       CAST(sum((x*7 + y*13 + media_id + frame_no) % 256) AS BIGINT)
+           |         AS sum_r,
+           |       CAST(sum((x*11 + y*3 + 2*(media_id + frame_no)) % 256) AS BIGINT)
+           |         AS sum_g,
+           |       CAST(sum((x*5 + y*17 + 3*(media_id + frame_no)) % 256) AS BIGINT)
+           |         AS sum_b
+           |FROM t GROUP BY media_id, frame_no, w, h
+           |ORDER BY media_id, frame_no""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode, qBmpDecode,
-      qGifDecode, qWavDecode, qWavResample)
+      qGifDecode, qWavDecode, qWavResample, qAviFrameDecode)
 }
