@@ -294,6 +294,26 @@ object RelationalQueries {
            |WHERE s_nationkey < 5
            |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
 
+  /** TopN (ORDER BY + LIMIT) through the DSv2 connector
+    * ([[graft.sources.GraftScanBuilder.pushTopN]]) — the ORDERING layer
+    * of the reference-S1 "the engine runs the whole query" story
+    * (`sql_cycle_rides.py:35-41` ends in ORDER BY + LIMIT inside
+    * BigQuery): each file's reader keeps only its top rows in a bounded
+    * heap (per-file I/O to the exchange drops from file-rows to the
+    * limit), Spark's retained global Sort merges. doc_id tie-break
+    * makes the result fully deterministic for the hash gate. */
+  val qDsv2TopNPushdown = QueryDef("q_dsv2_topn_pushdown",
+    (spark, dir) => spark.read
+      .format("graft.sources.GraftParquetTableProvider")
+      .option("path", s"$dir/documents.parquet").load()
+      .filter(col("lang") === "en")
+      .select("doc_id", "source", "n_chars")
+      .orderBy(desc("n_chars"), col("doc_id"))
+      .limit(50),
+    Some("""SELECT doc_id, source, n_chars
+           |FROM documents WHERE lang = 'en'
+           |ORDER BY n_chars DESC, doc_id LIMIT 50""".stripMargin))
+
   /** End-to-end DSv2 WRITE path under the oracle gate
     * ([[graft.sources.GraftParquetWrite]]): seed a manifested table with
     * half the rows via [[graft.sources.Sinks.parquetWithStats]], APPEND
@@ -732,7 +752,7 @@ object RelationalQueries {
   def all: Seq[QueryDef] = Seq(
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
     qDsv2Pushdown, qDsv2AggPushdown, qDsv2SumPushdown, qDsv2GroupPushdown,
-    qDsv2RuntimeFilter, qDsv2WriteRoundtrip,
+    qDsv2RuntimeFilter, qDsv2WriteRoundtrip, qDsv2TopNPushdown,
     qShippingPriority,
     qLocalSupplierVolume,
     qLargeOrders, qProfileDocuments, qZorderCells, qTriangles, qPageRank,

@@ -13,7 +13,7 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveT
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -86,12 +86,46 @@ class GraftParquetTable(path: String, tableSchema: StructType)
 class GraftScanBuilder(path: String, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var topN: Option[(Seq[GraftSortKey], Int)] = None
   private var aggs: Option[Seq[GraftAggSpec]] = None
   private var groupCols: Seq[StructField] = Nil
+
+  /** TopN (ORDER BY + LIMIT) pushdown — PARTIAL by contract, completing
+    * the reference-S1 story at the ORDERING layer
+    * (`sql_cycle_rides.py:35-41`: BigQuery runs GROUP BY + ORDER BY +
+    * LIMIT): each input partition emits only ITS top `limit` rows under
+    * the pushed sort (a bounded heap during the scan — per-file I/O and
+    * memory drop from file-rows to `limit`), and Spark keeps the global
+    * Sort+Limit above for the final merge. Scope: flat exactly-ordered
+    * key types (int/long/string/bool/date — float/double declined: the
+    * NaN/−0.0 total order stays Spark's problem); declined when an
+    * aggregation is already pushed (the sort then refers to aggregate
+    * output, not scan columns). Boundary ties may keep either row —
+    * sound, because the global limit above picks arbitrarily among
+    * equal-key rows anyway. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (aggs.isDefined || n <= 0) return false
+    val sortableTypes: Set[DataType] =
+      Set(IntegerType, LongType, StringType, BooleanType, DateType)
+    val keys: Seq[Option[GraftSortKey]] = orders.toSeq.map { o =>
+      o.expression() match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          tableSchema.fields.find(_.name == r.fieldNames()(0)).collect {
+            case f if sortableTypes(f.dataType) => GraftSortKey(f.name,
+              o.direction() == SortDirection.ASCENDING,
+              o.nullOrdering() == NullOrdering.NULLS_FIRST, f.dataType)
+          }
+        case _ => None
+      }
+    }
+    if (keys.isEmpty || keys.exists(_.isEmpty)) false
+    else { topN = Some((keys.flatten, n)); true }
+  }
 
   /** LIMIT pushdown — PARTIAL by contract: each input partition stops
     * after `limit` surviving rows (I/O saved at the source), but the
@@ -185,8 +219,13 @@ class GraftScanBuilder(path: String, tableSchema: StructType)
     GraftParquetScan(path,
       aggs.map(a => StructType(groupCols ++ GraftAggSpec.schema(a)))
         .getOrElse(required),
-      pushed, limit, aggs, groupCols)
+      pushed, limit, aggs, groupCols, topN)
 }
+
+/** One pushed sort key (serialized to executors with the reader
+  * factory). `asc`/`nullsFirst` mirror Spark's SortOrder exactly. */
+final case class GraftSortKey(name: String, asc: Boolean,
+    nullsFirst: Boolean, dt: DataType)
 
 /** One pushed aggregate column. */
 sealed trait GraftAggSpec
@@ -235,7 +274,8 @@ object GraftAggSpec {
 case class GraftParquetScan(path: String, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
     aggs: Option[Seq[GraftAggSpec]] = None,
-    groupBy: Seq[StructField] = Nil)
+    groupBy: Seq[StructField] = Nil,
+    topN: Option[(Seq[GraftSortKey], Int)] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -309,6 +349,11 @@ case class GraftParquetScan(path: String, required: StructType,
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (pushed.nonEmpty) ", RowGroupStatsPruning: on" else "") +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      topN.fold("") { case (keys, n) =>
+        s", PushedTopN: ORDER BY [${keys.map(k =>
+          s"${k.name} ${if (k.asc) "ASC" else "DESC"} NULLS ${
+            if (k.nullsFirst) "FIRST" else "LAST"}").mkString(", ")}] LIMIT $n"
+      } +
       aggs.fold("")(a => s", PushedAggregation: [${a.mkString(", ")}]") +
       (if (groupBy.nonEmpty)
         s", PushedGroupBy: [${groupBy.map(_.name).mkString(", ")}]" else "") +
@@ -355,7 +400,7 @@ case class GraftParquetScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftPartitionReaderFactory(required, pushed, limit, aggs, groupBy,
-      runtimeHolder)
+      runtimeHolder, topN)
 }
 
 /** Mutable carrier for post-planning runtime filters (see
@@ -372,7 +417,8 @@ case class GraftPartitionReaderFactory(required: StructType,
     pushed: Array[Filter], limit: Int = -1,
     aggs: Option[Seq[GraftAggSpec]] = None,
     groupBy: Seq[StructField] = Nil,
-    runtimeHolder: GraftRuntimeFilterHolder = new GraftRuntimeFilterHolder)
+    runtimeHolder: GraftRuntimeFilterHolder = new GraftRuntimeFilterHolder,
+    topN: Option[(Seq[GraftSortKey], Int)] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GraftInputPartition].file
@@ -384,9 +430,87 @@ case class GraftPartitionReaderFactory(required: StructType,
       case Some(specs) if groupBy.nonEmpty =>
         new GraftGroupedAggPartitionReader(file, groupBy, specs, conj)
       case Some(specs) => new GraftAggPartitionReader(file, specs, conj)
-      case None => new GraftPartitionReader(file, required, conj, limit)
+      case None => topN match {
+        case Some((keys, n)) =>
+          new GraftTopNPartitionReader(file, required, conj, keys, n)
+        case None => new GraftPartitionReader(file, required, conj, limit)
+      }
     }
   }
+}
+
+/** Per-file PARTIAL top-N: drain the filtered row scan through a
+  * bounded heap ordered by the pushed sort, then replay the survivors.
+  * Memory is O(limit × row), not O(file) — the point of pushing: a
+  * `ORDER BY k LIMIT 100` over a thousand-file table ships 100 rows per
+  * file to the exchange instead of every row. The heap's comparator
+  * mirrors Spark's SortOrder semantics exactly (direction + null
+  * ordering per key, [[GraftFilterEval.cmp]]'s exact type orders);
+  * boundary ties keep either row — sound under the global Sort+Limit
+  * Spark retains (partial contract). */
+class GraftTopNPartitionReader(file: String, required: StructType,
+    pushed: Array[Filter], keys: Seq[GraftSortKey], n: Int)
+    extends PartitionReader[InternalRow] {
+  private var iter: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+  private val idx = required.fieldNames.zipWithIndex.toMap
+
+  /** Spark-order comparator: negative when `a` sorts BEFORE `b`. */
+  private def compareRows(a: InternalRow, b: InternalRow): Int = {
+    var i = 0
+    while (i < keys.length) {
+      val k = keys(i)
+      val at = idx(k.name)
+      val av = if (a.isNullAt(at)) null else a.get(at, k.dt)
+      val bv = if (b.isNullAt(at)) null else b.get(at, k.dt)
+      val c = (av, bv) match {
+        case (null, null) => 0
+        case (null, _) => if (k.nullsFirst) -1 else 1
+        case (_, null) => if (k.nullsFirst) 1 else -1
+        case (x, y) =>
+          val base = GraftFilterEval.cmp(x, y).getOrElse(
+            throw new IllegalStateException(
+              s"graft parquet v2 topN: incomparable values for ${k.name}"))
+          if (k.asc) base else -base
+      }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  private def compute(): Iterator[InternalRow] = {
+    // worst-first heap of size ≤ n: head is the row that leaves first
+    val heap = new java.util.PriorityQueue[InternalRow](
+      math.max(1, n),
+      new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          -compareRows(a, b)
+      })
+    val inner = new GraftPartitionReader(file, required, pushed, -1)
+    try {
+      while (inner.next()) {
+        val row = inner.get() // fresh GenericInternalRow per row — safe to keep
+        if (heap.size < n) heap.offer(row)
+        else if (compareRows(row, heap.peek()) < 0) {
+          heap.poll(); heap.offer(row)
+        }
+      }
+    } finally inner.close()
+    // drain order is heap order (worst-first) — irrelevant: Spark's
+    // retained global Sort re-orders
+    val out = new Array[InternalRow](heap.size)
+    var i = 0
+    while (!heap.isEmpty) { out(i) = heap.poll(); i += 1 }
+    out.iterator
+  }
+
+  override def next(): Boolean = {
+    if (iter == null) iter = compute()
+    if (iter.hasNext) { current = iter.next(); true } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** Per-file PARTIAL grouped aggregates: one output row per group

@@ -666,4 +666,57 @@ class SourcesV2Spec extends SparkSpec {
     assert(rows(viaV2(path).filter(col("d") === 0.0).select("id"))
       .map(_.getLong(0)).toSet == Set(1L, 2L))
   }
+
+  test("TopN (ORDER BY + LIMIT) is pushed: per-file bounded heaps, " +
+    "results equal the built-in across directions and null orders") {
+    import java.nio.file.Files
+    // multi-file table with nulls in the sort key: the partial contract
+    // (per-file top-N + Spark's retained global Sort) must hold across
+    // file boundaries and null placement
+    val dir = Files.createTempDirectory("graft_topn").toString
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("n_chars")).as("k"))
+    src.repartition(4).write.mode("overwrite").parquet(dir)
+    val builtIn = spark.read.parquet(dir)
+    def check(sort: Seq[org.apache.spark.sql.Column], n: Int): Unit = {
+      val ours = viaV2(dir).orderBy(sort: _*).limit(n)
+      val scan = graftScan(ours)
+      assert(scan.description().contains("PushedTopN"),
+        s"topN not pushed: ${scan.description()}")
+      val a = ours.collect().toSeq
+      val b = builtIn.orderBy(sort: _*).limit(n).collect().toSeq
+      // ties at the boundary are arbitrary in BOTH engines: compare the
+      // multiset of sort-key projections, and exact rows where keys are
+      // unique (doc_id tie-break makes them unique here)
+      assert(a == b, s"topN mismatch for $sort limit $n")
+    }
+    check(Seq(col("k").asc_nulls_first, col("doc_id")), 17)
+    check(Seq(col("k").asc_nulls_last, col("doc_id")), 17)
+    check(Seq(col("k").desc_nulls_first, col("doc_id")), 9)
+    check(Seq(col("k").desc_nulls_last, col("doc_id")), 9)
+    check(Seq(col("source").desc, col("doc_id").desc), 23)
+    // limit larger than the table: everything comes back
+    assert(viaV2(dir).orderBy(col("doc_id")).limit(1000000).count() ==
+      builtIn.count())
+    // composes with pushed filters: survivors only, then top-N
+    val f = viaV2(dir).filter(col("k") > 300L)
+      .orderBy(col("k"), col("doc_id")).limit(5)
+    val scanF = graftScan(f)
+    assert(scanF.description().contains("PushedTopN") &&
+      scanF.description().contains("PushedFilters"))
+    assert(f.collect().toSeq ==
+      builtIn.filter(col("k") > 300L)
+        .orderBy(col("k"), col("doc_id")).limit(5).collect().toSeq)
+  }
+
+  test("TopN declines float keys and aggregated scans") {
+    val path = s"$sfDir/lineitem.parquet"
+    val fl = viaV2(path).orderBy(col("l_quantity")).limit(5)
+    assert(!graftScan(fl).description().contains("PushedTopN"),
+      "float sort keys must decline (NaN/-0.0 total order)")
+    // still correct via Spark's own sort
+    assert(fl.collect().length == 5)
+  }
 }
