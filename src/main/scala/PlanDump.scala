@@ -53,7 +53,8 @@ object PlanDump {
       "q_distinct_hll_rollup" -> "HLL sketch partials (round 6): per-source hll_sketch register arrays (one partial-aggregated exchange), the ALL level re-aggregates the 20 sketch BINARIES via hll_merge — the raw corpus is scanned once; the rollup's input is sketch-cardinality rows",
       "q_dd_quantiles_rollup" -> "DDSketch partials (round 7): per-status dd_sketch bucket maps (one partial-aggregated exchange of O(buckets) state), the ALL level re-aggregates the sketch BINARIES via dd_merge — the orders scan + per-status exchange must appear ONCE (ReusedExchange on the second consumer), the rollup's input is sketch-cardinality rows",
       "q_token_cms_rollup" -> "CMS partials (round 7): per-source (j,bucket) counter matrices from one corpus scan (partial-aggregated), the ALL matrix derives from the partials by counter addition — the tokenize+hash subtree must appear ONCE (ReusedExchange under the union), probes/estimates join at d×w-matrix cardinality via broadcast",
-      "q_dsv2_write_roundtrip" -> "DSv2 write path (round 7; plan shows the READ-BACK of the connector-written table): GraftParquetScan over sink-seeded + connector-appended files with the o_totalprice filter pushed (PushedFilters + RowGroupStatsPruning) — both write generations prune identically because append rewrote the manifest")
+      "q_dsv2_write_roundtrip" -> "DSv2 write path (round 7; plan shows the READ-BACK of the connector-written table): GraftParquetScan over sink-seeded + connector-appended files with the o_totalprice filter pushed (PushedFilters + RowGroupStatsPruning) — both write generations prune identically because append rewrote the manifest",
+      "q_dsv2_topn_pushdown" -> "DSv2 TopN pushdown (round 7): GraftParquetScan carries PushedTopN (ORDER BY n_chars DESC, doc_id LIMIT 50) alongside PushedFilters — per-file bounded heaps emit ≤50 rows each, the retained global TakeOrderedAndProject merges; file-rows never reach the exchange")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"
