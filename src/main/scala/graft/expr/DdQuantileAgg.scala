@@ -169,8 +169,17 @@ object DdQuantileAgg {
   }
 
   def deserializeBuckets(bytes: Array[Byte]): Buckets = {
+    // shape validation up front: the SQL faces (dd_merge/dd_quantiles)
+    // hand user-supplied binaries here, and a raw EOFException out of
+    // DataInputStream would be an opaque crash where this module's
+    // posture is loud, message-bearing refusal
+    require(bytes != null && bytes.length >= 4,
+      "dd sketch: binary too short to be a sketch wire form")
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
+    require(n >= 0 && bytes.length == 4 + 16L * n,
+      s"dd sketch: malformed wire form (declares $n entries in " +
+        s"${bytes.length} bytes) — not a dd_sketch binary")
     val buf = new Buckets
     var i = 0
     while (i < n) { buf.add(in.readLong(), in.readLong()); i += 1 }

@@ -99,7 +99,7 @@ object Avi {
         }
         i += 8 + len.toInt + (len.toInt & 1) // word alignment
       }
-      i == end || i + 8 > end // tolerate a trailing pad byte, not garbage
+      i == end || i == end - 1 // tolerate ONE trailing pad byte, not garbage
     }
     if (!walk(12, (8 + riffLen).toInt)) return None
     if (frames.isEmpty) None else Some(frames.toSeq)

@@ -81,6 +81,9 @@ object Bmp {
     if (rdLe4(b, 14) != 40L) return None // BITMAPINFOHEADER only
     val w = rdLe4(b, 18).toInt
     val hRaw = rdLe4(b, 22).toInt // SIGNED: negative = top-down
+    // abs(Int.MinValue) is still negative — reject before it slips past
+    // the sign checks and wraps the pixel allocation
+    if (hRaw == Int.MinValue) return None
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
     if (w <= 0 || h == 0) return None
@@ -112,15 +115,5 @@ object Bmp {
   /** Channel sums of the decoded image — [[Png.PixelStats]] reused so
     * the image family shares one feature row shape. */
   def pixelStats(b: Array[Byte]): Option[Png.PixelStats] =
-    decodeRgb(b).map { case (w, h, px) =>
-      var sumR = 0L; var sumG = 0L; var sumB = 0L
-      var i = 0
-      while (i < px.length) {
-        sumR += px(i) & 0xff
-        sumG += px(i + 1) & 0xff
-        sumB += px(i + 2) & 0xff
-        i += 3
-      }
-      Png.PixelStats(w, h, w.toLong * h, sumR, sumG, sumB)
-    }
+    decodeRgb(b).map { case (w, h, px) => Png.statsFromRgb(w, h, px) }
 }

@@ -37,6 +37,8 @@ object Gif {
     require(width > 0 && height > 0, s"encodeGray: bad dims ${width}x$height")
     require(width <= 0xffff && height <= 0xffff,
       s"encodeGray: dims ${width}x$height exceed GIF's 16-bit fields")
+    require(width.toLong * height <= Int.MaxValue - 8,
+      s"encodeGray: ${width}x$height exceeds a single in-memory index buffer")
     val out = new java.io.ByteArrayOutputStream()
     def le2(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write("GIF89a".getBytes("US-ASCII"))
@@ -306,15 +308,5 @@ object Gif {
   /** Channel sums — shares [[Png.PixelStats]] with the rest of the
     * image family. */
   def pixelStats(b: Array[Byte]): Option[Png.PixelStats] =
-    decodeRgb(b).map { case (w, h, px) =>
-      var sumR = 0L; var sumG = 0L; var sumB = 0L
-      var i = 0
-      while (i < px.length) {
-        sumR += px(i) & 0xff
-        sumG += px(i + 1) & 0xff
-        sumB += px(i + 2) & 0xff
-        i += 3
-      }
-      Png.PixelStats(w, h, w.toLong * h, sumR, sumG, sumB)
-    }
+    decodeRgb(b).map { case (w, h, px) => Png.statsFromRgb(w, h, px) }
 }

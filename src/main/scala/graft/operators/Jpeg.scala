@@ -119,14 +119,16 @@ object Jpeg {
         i -= 1
       }
     }
-    def finish(): Array[Byte] = {
-      if (nbits > 0) { // pad with 1s per spec
-        acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
-        out.write(acc)
-        if (acc == 0xff) out.write(0x00)
-      }
-      out.toByteArray
+    /** Byte-align by padding with 1s (spec rule before any marker). */
+    def alignOnes(): Unit = if (nbits > 0) {
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xff) out.write(0x00)
+      acc = 0; nbits = 0
     }
+    /** A raw (unstuffed) marker inside the entropy stream — RSTn. */
+    def rawMarker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def finish(): Array[Byte] = { alignOnes(); out.toByteArray }
   }
 
   private def be2(v: Int): Array[Byte] =
@@ -147,8 +149,10 @@ object Jpeg {
     * entropy coding throughout: huffman DC differences, AC EOBs, byte
     * stuffing. */
   def encodeGrayBlocks(width: Int, height: Int,
-      blockVal: (Int, Int) => Int): Array[Byte] = {
+      blockVal: (Int, Int) => Int, restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, s"encodeGrayBlocks: bad dims ${width}x$height")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"encodeGrayBlocks: bad restart interval $restartInterval")
     val bw = (width + 7) / 8
     val bh = (height + 7) / 8
     val writer = new BitWriter
@@ -157,6 +161,14 @@ object Jpeg {
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
+        val mcu = by * bw + bx
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // RSTn: byte-align, emit the cycling restart marker, reset the
+          // DC predictor — exactly what the decoder's restart path undoes
+          writer.alignOnes()
+          writer.rawMarker(0xd0 + ((mcu / restartInterval - 1) % 8))
+          prevDc = 0
+        }
         val c = blockVal(bx, by)
         require(c >= 0 && c <= 255, s"encodeGrayBlocks: block value $c")
         val dc = c - 128 // quantized DC with q=8 (see scaladoc)
@@ -185,12 +197,17 @@ object Jpeg {
     val sos = Array[Byte](1, 1, 0x00, 0, 63, 0)
     val app0 = "JFIF".getBytes("US-ASCII") ++
       Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val dri =
+      if (restartInterval > 0)
+        segment(0xdd, be2(restartInterval))
+      else Array.emptyByteArray
     Array(0xff.toByte, 0xd8.toByte) ++ // SOI
       segment(0xe0, app0) ++
       segment(0xdb, dqt) ++
       segment(0xc0, sof) ++
       segment(0xc4, dht(0, DcBits, DcVals)) ++
       segment(0xc4, dht(1, AcBits, AcVals)) ++
+      dri ++
       segment(0xda, sos) ++
       writer.finish() ++
       Array(0xff.toByte, 0xd9.toByte) // EOI
@@ -387,8 +404,8 @@ object Jpeg {
               else return None
               p += 17 + n
             }
-          case 0xc0 => // SOF0 baseline
-            if (segLen < 8) return None
+          case 0xc0 => // SOF0 baseline (1-component payload is 9 bytes)
+            if (segLen < 9) return None
             if ((b(seg) & 0xff) != 8) return None
             h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
             w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
@@ -399,8 +416,8 @@ object Jpeg {
             compQuant = b(seg + 8) & 0xff
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
             return None // progressive/arithmetic/other SOF: out of scope
-          case 0xdd => // DRI
-            if (segLen < 4) return None
+          case 0xdd => // DRI — payload is exactly 2 bytes (Lr = 4)
+            if (segLen < 2) return None
             restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
           case 0xda => // SOS
             if (segLen < 6) return None

@@ -33,6 +33,20 @@ object Png {
   final case class PixelStats(width: Int, height: Int, nPx: Long,
       sumR: Long, sumG: Long, sumB: Long)
 
+  /** The one channel-sum reduction every RGB decoder in the family
+    * ([[Png]]/[[Bmp]]/[[Gif]]) funnels through — change it once. */
+  def statsFromRgb(w: Int, h: Int, px: Array[Byte]): PixelStats = {
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var i = 0
+    while (i < px.length) {
+      sumR += px(i) & 0xff
+      sumG += px(i + 1) & 0xff
+      sumB += px(i + 2) & 0xff
+      i += 3
+    }
+    PixelStats(w, h, w.toLong * h, sumR, sumG, sumB)
+  }
+
   private def be4(v: Long): Array[Byte] = Array(
     ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
     ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -143,16 +157,7 @@ object Png {
     * malformed (truncated stream, wrong inflated size, unknown filter,
     * bad chunk structure) — refuse, never guess. */
   def pixelStats(b: Array[Byte]): Option[PixelStats] = decodeRgb(b).map {
-    case (w, h, px) =>
-      var sumR = 0L; var sumG = 0L; var sumB = 0L
-      var i = 0
-      while (i < px.length) {
-        sumR += px(i) & 0xff
-        sumG += px(i + 1) & 0xff
-        sumB += px(i + 2) & 0xff
-        i += 3
-      }
-      PixelStats(w, h, w.toLong * h, sumR, sumG, sumB)
+    case (w, h, px) => statsFromRgb(w, h, px)
   }
 
   /** Full-buffer decode — (width, height, row-major RGB bytes); the

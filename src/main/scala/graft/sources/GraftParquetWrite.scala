@@ -39,9 +39,11 @@ import org.apache.spark.sql.types._
   *      zone-map entries to the driver in its commit message (the footer
   *      I/O is paid where the write ran, exactly like
   *      [[Sinks.parquetWithStats]]'s executor-side stats job);
-  *   2. driver commit renames staged files into the table directory
-  *      (same-filesystem renames: O(1) metadata ops, no data copy), for
-  *      truncate-overwrite deletes the pre-existing data files, and
+  *   2. driver commit — for truncate-overwrite — first deletes the
+  *      pre-existing data files (a racing reader sees a shrinking then
+  *      growing table, never the union of two generations), then
+  *      renames staged files into the table directory (same-filesystem
+  *      renames: O(1) metadata ops, no data copy), and
   *   3. rewrites the manifest LAST — prior entries (append keeps them,
   *      truncate drops them) plus the new files' entries go to a
   *      `_graft_stats.parquet.tmp-<writeId>` directory which is then
@@ -111,18 +113,20 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean)
     val committed = messages.collect {
       case GraftCommitMessage(Some(f), stats) => (f, stats)
     }
-    // capture the pre-write file set BEFORE renaming staged files in —
-    // afterwards old and new are indistinguishable by listing
-    val preExisting: Seq[String] =
-      if (truncate) try GraftParquetV2.listFiles(path) catch {
+    // TRUNCATE deletes the old generation BEFORE renaming the new one
+    // in: a reader racing the commit sees a shrinking-then-growing table
+    // (incomplete — the documented mid-overwrite window) but never the
+    // UNION of both generations, which would be duplicated rows — wrong
+    // rather than merely partial
+    if (truncate) {
+      val preExisting = try GraftParquetV2.listFiles(path) catch {
         case _: Exception => Nil // fresh/empty table: nothing to truncate
-      } else Nil
+      }
+      preExisting.foreach(f => fs.delete(new Path(f), false))
+    }
     committed.foreach { case (f, _) =>
       val ok = fs.rename(new Path(staging, f), new Path(path, f))
       require(ok, s"graft parquet v2 write: commit rename failed for $f")
-    }
-    if (truncate) {
-      preExisting.foreach(f => fs.delete(new Path(f), false))
     }
     fs.delete(staging, true)
     val prior =

@@ -398,5 +398,15 @@ class AggregatesSpec extends SparkSpec {
       .agg(DdSketch.sketch(col("v"), alpha).as("sk"))
       .select(DdSketch.mergeSketches(col("sk")))
     assert(allNull.head().isNullAt(0), "all-NULL rollup must be NULL")
+    // malformed sketch binaries refuse loudly with a descriptive error,
+    // not an opaque EOFException out of the stream reader
+    val junk = df.limit(1)
+      .select(lit(Array[Byte](1, 2, 3)).as("sk"))
+      .select(DdSketch.quantiles(col("sk"), alpha, probs))
+    val err = intercept[Exception] { junk.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("dd sketch")),
+      s"expected a descriptive refusal, got: $err")
   }
 }

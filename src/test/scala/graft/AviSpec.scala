@@ -75,5 +75,20 @@ class AviSpec extends AnyFunSuite {
     assert(at > 0)
     lying(at + 4) = 0xff.toByte; lying(at + 5) = 0xff.toByte
     assert(Avi.demuxFrames(lying).isEmpty, "lying chunk length is refused")
+    // 2-7 junk bytes inside a list body (more than the single legal pad
+    // byte) must refuse, not silently truncate the frame list
+    def le4(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val bmp = Bmp.encodeRgb(4, 2, 3L)
+    for (junk <- 2 to 7) {
+      val moviBody = "movi".getBytes ++
+        ("00db".getBytes ++ le4(bmp.length) ++ bmp) ++
+        Array.fill[Byte](junk)(0x5a)
+      val movi = "LIST".getBytes ++ le4(moviBody.length) ++ moviBody
+      val body = "AVI ".getBytes ++ movi
+      val avi = "RIFF".getBytes ++ le4(body.length) ++ body
+      assert(Avi.demuxFrames(avi).isEmpty,
+        s"$junk trailing junk bytes must refuse")
+    }
   }
 }

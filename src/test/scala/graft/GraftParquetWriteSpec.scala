@@ -122,7 +122,10 @@ class GraftParquetWriteSpec extends SparkSpec {
     // the seed file goes through Spark's own writer, whose DEFAULT
     // timestamp encoding is INT96 — a legacy type the connector reader
     // declines by design; pin the modern encoding for the seed write
+    // (restored in the finally: the session is suite-shared)
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
     val df = Seq(
       (1, 10L, 1.5, 2.5f, true, "añño", Array[Byte](1, 2),
         java.sql.Date.valueOf("2024-02-29"),
@@ -153,6 +156,8 @@ class GraftParquetWriteSpec extends SparkSpec {
     // the built-in reader agrees on the connector-written files too
     assert(spark.read.parquet(dir).orderBy("i").collect().toSeq
       .map(canon) == want)
+    } finally spark.conf.set(
+      "spark.sql.parquet.outputTimestampType", prevTsType)
   }
 
   test("unsupported (nested) schema is declined loudly at plan time") {

@@ -100,6 +100,25 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decodeGray(prog).isEmpty, "SOF2 (progressive) is refused")
   }
 
+  test("restart markers: DRI/RSTn streams decode identically to plain " +
+      "streams, and ImageIO agrees (the DC-reset path is live)") {
+    val (w, h, seed) = (40, 24, 13L) // 5x3 = 15 MCUs
+    val plain = Jpeg.decodeGray(
+      Jpeg.encodeGrayBlocks(w, h, blockVal(seed))).get._3
+    for (interval <- Seq(1, 3, 4, 15, 20)) {
+      val rst = Jpeg.encodeGrayBlocks(w, h, blockVal(seed), interval)
+      val got = Jpeg.decodeGray(rst).getOrElse(
+        fail(s"restart interval $interval undecodable"))._3
+      assert(got.toSeq == plain.toSeq, s"interval $interval pixels differ")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(rst))
+      assert(img != null && img.getWidth == w, s"ImageIO rejects DRI=$interval")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == blockVal(seed)(x / 8, y / 8),
+          s"ImageIO pixel ($x,$y) at interval $interval")
+    }
+  }
+
   test("pixelStats reduces the decoded plane; DC prediction spans blocks " +
       "(values vary across the image)") {
     val (w, h, seed) = (64, 40, 9L)
