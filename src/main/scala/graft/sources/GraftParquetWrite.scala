@@ -78,12 +78,7 @@ final case class GraftCommitMessage(file: Option[String],
 final case class GraftManifestEntry(file: String, column: String,
     kind: String, minLong: Option[Long], maxLong: Option[Long],
     minStr: Option[String], maxStr: Option[String],
-    nullCount: Option[Long], valueCount: Long) {
-  def toRow: org.apache.spark.sql.Row = org.apache.spark.sql.Row(
-    file, column, kind, minLong.map(Long.box).orNull,
-    maxLong.map(Long.box).orNull, minStr.orNull, maxStr.orNull,
-    nullCount.map(Long.box).orNull, valueCount)
-}
+    nullCount: Option[Long], valueCount: Long)
 
 class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {

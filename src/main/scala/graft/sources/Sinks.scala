@@ -55,26 +55,17 @@ object Sinks {
     // footer reads run as a Spark job (the write produced the files in
     // parallel; reading them back serially on the driver would be the
     // one O(files) stall in an otherwise distributed write) — the
-    // collected manifest is files × columns rows, model-scale
-    val rows = spark.sparkContext
+    // collected manifest is files × columns rows, model-scale. The
+    // stats rules AND the sidecar writer are the connector write path's
+    // ([[GraftParquetWrite]]): one implementation of each, so
+    // sink-written and connector-written manifests can never drift.
+    val entries = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .flatMap(Sinks.fileStatsRows)
+      .flatMap(GraftParquetWrite.fileStatsEntries)
       .collect().toSeq
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      GraftParquetV2.manifestSchema)
-      .write.mode("overwrite")
-      .parquet(s"$path/${GraftParquetV2.StatsSidecar}")
+    GraftParquetWrite.replaceManifest(path, entries,
+      java.util.UUID.randomUUID().toString)
   }
-
-  /** Per-file manifest rows for [[parquetWithStats]] — runs inside an
-    * executor task; the footer-stats rules (which kinds carry bounds,
-    * when bounds are trusted) live in ONE place,
-    * [[GraftParquetWrite.fileStatsEntries]], shared with the DSv2 write
-    * path so sink-written and connector-written manifests can never
-    * drift. */
-  private def fileStatsRows(file: String): Seq[org.apache.spark.sql.Row] =
-    GraftParquetWrite.fileStatsEntries(file).map(_.toRow)
 
   /** ORC sink — see [[Sources.orc]]. */
   def orc(df: DataFrame, path: String): Unit =
