@@ -329,11 +329,15 @@ object RelationalQueries {
   val qDsv2WriteRoundtrip = QueryDef("q_dsv2_write_roundtrip",
     (spark, dir) => {
       val fmt = "graft.sources.GraftParquetTableProvider"
+      // per-run UUID scratch dir (like StreamingQueries' checkpoints):
+      // hashCode-derived names could collide across sf dirs or let two
+      // concurrent runs delete each other's live table mid-query
       val out = s"${sys.props("java.io.tmpdir")}/graft_dsv2_write_" +
-        math.abs(dir.hashCode).toString
+        java.util.UUID.randomUUID().toString
       val p = new org.apache.hadoop.fs.Path(out)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(p, true) // fresh table per run — the query IS the write
+      fs.deleteOnExit(p) // UUID dirs are single-use: reap at JVM exit
       val base = Tables.orders(spark, dir).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority")

@@ -472,8 +472,13 @@ object Jpeg {
         val run = rs >> 4
         val size = rs & 0x0f
         if (size == 0) {
-          if (run == 15) k += 16 // ZRL
-          else eob = true // EOB
+          if (run == 15) {
+            k += 16 // ZRL
+            // a ZRL that pushes k past the block is structurally invalid
+            // (valid encoders never emit it); refuse rather than decode
+            // a misaligned stream into garbage pixels
+            if (k > 63) return None
+          } else eob = true // EOB
         } else {
           k += run
           if (k > 63) return None

@@ -481,8 +481,10 @@ class GraftTopNPartitionReader(file: String, required: StructType,
 
   private def compute(): Iterator[InternalRow] = {
     // worst-first heap of size ≤ n: head is the row that leaves first
+    // small initial capacity — PQ grows dynamically, so a pushed
+    // LIMIT 10M doesn't eagerly allocate 10M slots per partition reader
     val heap = new java.util.PriorityQueue[InternalRow](
-      math.max(1, n),
+      math.max(1, math.min(n, 1024)),
       new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int =
           -compareRows(a, b)
@@ -1098,14 +1100,27 @@ object GraftParquetV2 {
 
   /** Flat schemas of the common primitive shapes; anything nested or
     * exotic fails LOUDLY with a pointer at the built-in source rather
-    * than decoding wrongly. */
+    * than decoding wrongly.
+    *
+    * Inferred columns are ALWAYS nullable — the same convention as
+    * Spark's built-in parquet source, and load-bearing for a multi-file
+    * table: this schema is read from ONE footer
+    * ([[GraftParquetTableProvider.inferSchema]] uses the lexically first
+    * file), and a column REQUIRED in that file can be OPTIONAL — with
+    * real nulls — in a sibling file (e.g. a seed write whose rows
+    * happened to be non-null, then an append that carries nulls).
+    * Declaring it non-nullable would make Spark's codegen skip the null
+    * check and silently unbox those nulls to 0.0/false — wrong DATA,
+    * not an error. Root cause of the r7 GraftParquetWriteSpec flake:
+    * which file sorts first decided whether the table lied about
+    * nullability. */
   def sparkSchema(m: MessageType): StructType =
     StructType(m.getFields.asScala.toSeq.map { f =>
       require(f.isPrimitive,
         s"graft parquet v2 supports flat primitive schemas; column " +
           s"'${f.getName}' is nested — use spark.read.parquet for it")
       StructField(f.getName, toCatalyst(f.asPrimitiveType()),
-        nullable = f.getRepetition != org.apache.parquet.schema.Type.Repetition.REQUIRED)
+        nullable = true)
     })
 
   private def toCatalyst(p: PrimitiveType): DataType = {

@@ -114,8 +114,16 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean)
     // UNION of both generations, which would be duplicated rows — wrong
     // rather than merely partial
     if (truncate) {
+      // Only a MISSING table dir means "fresh table, nothing to delete".
+      // Any other listing failure (transient IO, permissions) must fail
+      // the commit: swallowing it would rename the staged generation in
+      // NEXT TO the undeleted old one — readers would see the union of
+      // both generations (duplicated rows), the exact wrong-rather-than-
+      // partial outcome this protocol exists to prevent. Failing here
+      // leaves the table on the old generation and job abort cleans the
+      // staging dir.
       val preExisting = try GraftParquetV2.listFiles(path) catch {
-        case _: Exception => Nil // fresh/empty table: nothing to truncate
+        case _: java.io.FileNotFoundException => Nil // fresh table
       }
       preExisting.foreach(f => fs.delete(new Path(f), false))
     }

@@ -160,6 +160,45 @@ class GraftParquetWriteSpec extends SparkSpec {
       "spark.sql.parquet.outputTimestampType", prevTsType)
   }
 
+  test("inferred table schema is nullable even when the first file's " +
+      "footer says REQUIRED — appended nulls survive the read") {
+    // Root cause of the r7 full-suite flake: inferSchema reads ONE
+    // footer (the lexically first file); a seed file whose rows happened
+    // to be all non-null declares its columns REQUIRED, and trusting
+    // that for the whole table made Spark's codegen skip null checks —
+    // appended nulls silently unboxed to 0.0/false. Whether the bug
+    // fired depended on whether the seed's random UUID sorted before
+    // the appended files' task ids: a filename lottery, not
+    // concurrency. This test removes the lottery by FORCING the
+    // REQUIRED-schema seed to sort first.
+    import spark.implicits._
+    val dir = tmp("nullable")
+    val seed = Seq((1, 1.5, true)).toDF("i", "d", "b") // all non-nullable
+    Sinks.parquetWithStats(seed.coalesce(1), dir)
+    // rename the seed so it sorts before ANY connector part file
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seedFile = GraftParquetV2.listFiles(dir).head
+    fs.rename(new org.apache.hadoop.fs.Path(seedFile),
+      new org.apache.hadoop.fs.Path(dir, "part-00000-0000000000-seed.parquet"))
+    // the seed footer really does declare REQUIRED (else this test
+    // guards nothing)
+    val m = GraftParquetV2.footerSchema(s"$dir/part-00000-0000000000-seed.parquet")
+    assert(m.getType(m.getFieldIndex("d")).getRepetition ==
+      org.apache.parquet.schema.Type.Repetition.REQUIRED)
+    // append rows WITH nulls through the connector
+    val app = Seq((2, Some(2.5), Some(false)), (3, None, None))
+      .toDF("i", "d", "b")
+    app.write.format(fmt).option("path", dir).mode("append").save()
+    val got = viaV2(dir).orderBy("i").collect().toSeq
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getBoolean(2)))
+    assert(got == Seq((1, 1.5, true), (2, 2.5, false), (3, null, null)))
+    // and the inferred schema itself must say nullable
+    assert(viaV2(dir).schema.fields.forall(_.nullable))
+  }
+
   test("unsupported (nested) schema is declined loudly at plan time") {
     import spark.implicits._
     val dir = tmp("nested")
