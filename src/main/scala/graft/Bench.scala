@@ -38,6 +38,25 @@ object Bench {
     // filter; the driver never sets it, so driver rounds time everything
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    def loadAvg(): Double = math.rint(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100
+    // LOAD GATE (r6 and r7 both closed on benches captured at load ~3.9
+    // against the project's own <2.5 discipline): wait for the 1-minute
+    // load to fall under the gate before timing anything, bounded.
+    // After the bound we proceed anyway — the driver contract needs a
+    // JSON line — but the recorded load/gate_waited_s mark the run as
+    // noisy instead of letting it impersonate a clean row.
+    val loadGate =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.5").toDouble
+    val gateTimeoutS =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_TIMEOUT_S", "600").toInt
+    var gateWaited = 0
+    while (loadAvg() > loadGate && gateWaited < gateTimeoutS) {
+      System.err.println(f"[bench] 1-min load ${loadAvg()}%.2f above gate " +
+        f"$loadGate%.2f - waiting (${gateWaited}s/${gateTimeoutS}s)")
+      Thread.sleep(30000)
+      gateWaited += 30
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,8 +81,6 @@ object Bench {
         .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
         .queryExecution.toRdd.count()
     }
-    def loadAvg(): Double = math.rint(java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100
     val loadStart = loadAvg()
     val allTimes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -99,6 +116,7 @@ object Bench {
     }.foldLeft(0.0)(math.max))
     val tail =
       s""""sf":"$sfDir","runs":$runs,"load":[$loadStart,$loadEnd],""" +
+        s""""load_gate":$loadGate,"gate_waited_s":$gateWaited,""" +
         s""""max_spread":$maxSpread"""
     // compact, fixed-size summary: the "queries" map on the stdout line is
     // pinned to the headline reference workloads (a FIXED set — the full

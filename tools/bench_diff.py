@@ -33,7 +33,7 @@ def load_runs(path, sf_filter):
             runs.append({
                 "at": r["at"],
                 "sf": d.get("sf"),
-                "load": r.get("load"),
+                "load": d.get("load", r.get("load")),
                 "total": d.get("value"),
                 "queries": d.get("queries", {}),
             })
