@@ -356,6 +356,86 @@ object MultimodalQueries {
            |FROM t GROUP BY media_id, width, height
            |ORDER BY media_id""".stripMargin))
 
+  /** REAL baseline COLOR JPEG decode, end to end
+    * ([[graft.operators.Jpeg.decodeRgb]]) — the most common crawl image
+    * format in its most common FORM: 3-component YCbCr, interleaved
+    * scan, standard luma+chroma huffman tables, with BOTH samplings on
+    * real catalog data (even ids 4:4:4, odd ids 4:2:0 — so the MCU
+    * interleave, per-component DC predictors, chroma-plane assembly,
+    * and subsampled upsampling path are all under the hash gate).
+    * Exactness: constant component blocks are DC-only spectra (quant
+    * 8), chroma constant per chroma block makes upsampling exact, and
+    * the YCbCr→RGB transform is pinned to integer 16.16 fixed point —
+    * so DuckDB re-derives every RGB channel sum from the generative
+    * formulas plus the same floor arithmetic, no JPEG bytes involved.
+    * A one-bit error in any chroma table, a swapped Cb/Cr plane, a
+    * mis-ordered MCU, or an off-by-one in the fixed-point rounding
+    * breaks the hash. */
+  val qJpegColorDecode = QueryDef("q_jpeg_color_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the image-modality ids
+        .select(col("doc_id").as("media_id"),
+          Multimodal.pngWidth(col("doc_id")).as("w"),
+          Multimodal.pngHeight(col("doc_id")).as("h"))
+        .as[(Long, Int, Int)]
+      dims.mapPartitions(_.map { case (id, w, h) =>
+        val sampling = if (id % 2 == 0) 0x11 else 0x22
+        val bytes = graft.operators.Jpeg.encodeColorBlocks(w, h,
+          (bx, by) => (((bx * 7L + by * 13L + id) % 256L + 256L) % 256L).toInt,
+          (cx, cy) => (((cx * 11L + cy * 3L + 2 * id) % 256L + 256L) % 256L).toInt,
+          (cx, cy) => (((cx * 5L + cy * 17L + 3 * id) % 256L + 256L) % 256L).toInt,
+          sampling)
+        val s = graft.operators.Jpeg.pixelStatsColor(bytes).getOrElse(
+          sys.error(s"undecodable synthesized color JPEG for media_id=$id"))
+        (id, s.width, s.height, s.nPx, s.sumR, s.sumG, s.sumB)
+      }).toDF("media_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b")
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 240) + 16 AS BIGINT) AS width,
+           |         CAST(((doc_id * 7) % 240) + 16 AS BIGINT) AS height
+           |  FROM documents WHERE doc_id % 3 = 0
+           |), px AS (
+           |  SELECT media_id, width, height,
+           |         unnest(generate_series(0, width * height - 1)) AS p
+           |  FROM dims
+           |), t AS (
+           |  SELECT media_id, width, height,
+           |         (p % width) // 8 AS bx, (p // width) // 8 AS by,
+           |         CASE WHEN media_id % 2 = 0 THEN (p % width) // 8
+           |              ELSE (p % width) // 16 END AS cx,
+           |         CASE WHEN media_id % 2 = 0 THEN (p // width) // 8
+           |              ELSE (p // width) // 16 END AS cy
+           |  FROM px
+           |), v AS (
+           |  SELECT media_id, width, height,
+           |         (bx * 7 + by * 13 + media_id) % 256 AS yv,
+           |         (cx * 11 + cy * 3 + 2 * media_id) % 256 - 128 AS cb,
+           |         (cx * 5 + cy * 17 + 3 * media_id) % 256 - 128 AS cr
+           |  FROM t
+           |), rgb AS (
+           |  SELECT media_id, width, height,
+           |    LEAST(255, GREATEST(0, yv + CAST(floor(
+           |      (91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+           |    LEAST(255, GREATEST(0, yv - CAST(floor(
+           |      (22554 * cb + 46802 * cr + 32768) / 65536.0) AS BIGINT))) AS g,
+           |    LEAST(255, GREATEST(0, yv + CAST(floor(
+           |      (116130 * cb + 32768) / 65536.0) AS BIGINT))) AS b
+           |  FROM v
+           |)
+           |SELECT media_id, CAST(width AS INT) AS width,
+           |       CAST(height AS INT) AS height,
+           |       CAST(count(*) AS BIGINT) AS n_px,
+           |       CAST(sum(r) AS BIGINT) AS sum_r,
+           |       CAST(sum(g) AS BIGINT) AS sum_g,
+           |       CAST(sum(b) AS BIGINT) AS sum_b
+           |FROM rgb GROUP BY media_id, width, height
+           |ORDER BY media_id""".stripMargin))
+
   /** REAL PCM decode, end to end ([[graft.operators.Wav]]) — the audio
     * sibling of [[qPngDecode]]: each audio-modality doc becomes a
     * complete valid mono 16-bit PCM WAV of the generative signal, the
@@ -528,6 +608,7 @@ object MultimodalQueries {
            |ORDER BY media_id, frame_no""".stripMargin))
 
   def all: Seq[QueryDef] =
-    Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode, qBmpDecode,
-      qGifDecode, qWavDecode, qWavResample, qAviFrameDecode)
+    Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode,
+      qJpegColorDecode, qBmpDecode, qGifDecode, qWavDecode, qWavResample,
+      qAviFrameDecode)
 }

@@ -5,17 +5,22 @@ package graft.operators
   * [[Wav]] = RIFF/PCM) to the most common crawl image format.
   *
   * Scope (refuse, don't guess — same posture as the PNG decoder):
-  * baseline sequential DCT (SOF0), GRAYSCALE (one component), 8-bit
-  * quantization tables, no progressive/arithmetic/hierarchical modes.
-  * Restart markers are honored (DC predictor reset). Anything else
-  * returns None. Color baseline JPEG adds chroma subsampling and a
-  * float color transform whose rounding is not bit-specified across
-  * decoders; the grayscale subset keeps every decoded sample on the
-  * deterministic integer path this engine's oracle gate demands, while
-  * still exercising the entire baseline machinery: marker structure,
-  * canonical huffman tables (DHT), entropy-coded segments with byte
-  * stuffing, DC prediction, AC run-length/EOB/ZRL coding, zigzag,
-  * dequantization, and the 2-D inverse DCT.
+  * baseline sequential DCT (SOF0), 8-bit quantization tables, no
+  * progressive/arithmetic/hierarchical modes. [[decodeGray]] owns
+  * one-component frames; [[decodeRgb]] owns three-component YCbCr with
+  * luma sampling factors in {1,2}×{1,2} and unsubsampled chroma —
+  * 4:4:4, 4:2:2, 4:2:0, 4:4:0, the shapes real crawl encoders emit —
+  * in one interleaved scan. Restart markers are honored (DC predictor
+  * reset). Anything else returns None. The color transform is pinned
+  * to one INTEGER definition ([[ycbcrToRgb]]: 16.16 fixed point,
+  * +32768, arithmetic shift) and chroma upsampling to sample
+  * replication, because JFIF specifies neither — picking integer
+  * definitions is what lets a color decode sit under a hash oracle at
+  * all. The machinery exercised is the entire baseline chain: marker
+  * structure, canonical huffman tables (DHT, luma + chroma classes),
+  * entropy-coded segments with byte stuffing, per-component DC
+  * prediction, AC run-length/EOB/ZRL coding, zigzag, dequantization,
+  * the 2-D inverse DCT, MCU interleave, and subsampled plane assembly.
   *
   * Exactness story (how a LOSSY codec gets under a hash oracle): the
   * FDCT of a CONSTANT 8×8 block has a single nonzero coefficient,
@@ -66,6 +71,37 @@ object Jpeg {
     0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Standard chrominance DC huffman table (Annex K.3.3.1). */
+  private val DcChromaBits: Array[Int] =
+    Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromaVals: Array[Int] = (0 to 11).toArray
+
+  /** Standard chrominance AC huffman table (Annex K.3.3.2). */
+  private val AcChromaBits: Array[Int] =
+    Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromaVals: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa)
 
   /** Zigzag order: index i of the scan → (row, col) raster offset. */
@@ -211,6 +247,118 @@ object Jpeg {
       segment(0xda, sos) ++
       writer.finish() ++
       Array(0xff.toByte, 0xd9.toByte) // EOI
+  }
+
+  private lazy val DcChromaEnc = canonicalCodes(DcChromaBits, DcChromaVals)
+
+  /** A complete, valid baseline COLOR JFIF (3-component YCbCr, SOF0,
+    * interleaved single scan) whose component blocks are constants —
+    * the color extension of [[encodeGrayBlocks]]'s exactness story.
+    * `yVal(bx, by)` gives the luma constant per 8×8 LUMA block (on the
+    * MCU-padded block grid); `cbVal`/`crVal` give the chroma constants
+    * per CHROMA block. Sampling:
+    *   - `sampling = 0x11`: 4:4:4 — every component one block per MCU,
+    *     chroma block grid == luma block grid;
+    *   - `sampling = 0x22`: 4:2:0 — MCUs are 16×16 pixels, four luma
+    *     blocks + one Cb + one Cr per MCU; the chroma block grid is the
+    *     MCU grid.
+    * Constant blocks make every spectrum DC-only with the quantizer
+    * pinned to 8, so decode is bit-exact (object scaladoc) — and with
+    * chroma constant per chroma block, ANY spec-legal upsampling
+    * filter reproduces the constant, so even the subsampled pipeline
+    * stays exact. Standard luma tables encode Y (DHT class 0/1 id 0),
+    * standard chroma tables encode Cb/Cr (id 1) — the table layout
+    * every real crawl JPEG uses. */
+  def encodeColorBlocks(width: Int, height: Int,
+      yVal: (Int, Int) => Int, cbVal: (Int, Int) => Int,
+      crVal: (Int, Int) => Int, sampling: Int = 0x22,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0,
+      s"encodeColorBlocks: bad dims ${width}x$height")
+    require(sampling == 0x11 || sampling == 0x22,
+      s"encodeColorBlocks: sampling must be 0x11 (4:4:4) or 0x22 (4:2:0)")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"encodeColorBlocks: bad restart interval $restartInterval")
+    val hs = sampling >> 4
+    val vs = sampling & 0x0f
+    val mcusX = (width + 8 * hs - 1) / (8 * hs)
+    val mcusY = (height + 8 * vs - 1) / (8 * vs)
+    val writer = new BitWriter
+    var prevY = 0; var prevCb = 0; var prevCr = 0
+    val (eobY, eobYLen) = AcEnc(0x00)
+    val chromaAcEnc = canonicalCodes(AcChromaBits, AcChromaVals)
+    val (eobC, eobCLen) = chromaAcEnc(0x00)
+    def putDc(diff: Int, enc: Map[Int, (Int, Int)]): Unit = {
+      val s =
+        if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = enc(s)
+      writer.put(code, len)
+      if (s > 0) {
+        val bitsVal = if (diff >= 0) diff else diff + (1 << s) - 1
+        writer.put(bitsVal, s)
+      }
+    }
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        writer.alignOnes()
+        writer.rawMarker(0xd0 + ((mcu / restartInterval - 1) % 8))
+        prevY = 0; prevCb = 0; prevCr = 0
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      // luma blocks of the MCU, raster order (spec interleave)
+      var j = 0
+      while (j < vs) {
+        var i = 0
+        while (i < hs) {
+          val c = yVal(mx * hs + i, my * vs + j)
+          require(c >= 0 && c <= 255, s"encodeColorBlocks: Y value $c")
+          val dc = c - 128
+          putDc(dc - prevY, DcEnc); prevY = dc
+          writer.put(eobY, eobYLen)
+          i += 1
+        }
+        j += 1
+      }
+      val cb = cbVal(mx, my)
+      require(cb >= 0 && cb <= 255, s"encodeColorBlocks: Cb value $cb")
+      putDc((cb - 128) - prevCb, DcChromaEnc); prevCb = cb - 128
+      writer.put(eobC, eobCLen)
+      val cr = crVal(mx, my)
+      require(cr >= 0 && cr <= 255, s"encodeColorBlocks: Cr value $cr")
+      putDc((cr - 128) - prevCr, DcChromaEnc); prevCr = cr - 128
+      writer.put(eobC, eobCLen)
+      mcu += 1
+    }
+    val dqt0 = Array(0x00.toByte) ++ Zigzag.indices.map(_ => 8.toByte)
+    val dqt1 = Array(0x01.toByte) ++ Zigzag.indices.map(_ => 8.toByte)
+    val sof = Array[Byte](8) ++ be2(height) ++ be2(width) ++ Array[Byte](3,
+      1, sampling.toByte, 0, // Y: declared sampling, quant table 0
+      2, 0x11, 1, // Cb: 1x1, quant table 1
+      3, 0x11, 1) // Cr: 1x1, quant table 1
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Array[Byte] =
+      Array(((cls << 4) | id).toByte) ++ bits.slice(0, 16).map(_.toByte) ++
+        vals.map(_.toByte)
+    val sos = Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)
+    val app0 = "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val dri =
+      if (restartInterval > 0) segment(0xdd, be2(restartInterval))
+      else Array.emptyByteArray
+    Array(0xff.toByte, 0xd8.toByte) ++
+      segment(0xe0, app0) ++
+      segment(0xdb, dqt0) ++ segment(0xdb, dqt1) ++
+      segment(0xc0, sof) ++
+      segment(0xc4, dht(0, 0, DcBits, DcVals)) ++
+      segment(0xc4, dht(1, 0, AcBits, AcVals)) ++
+      segment(0xc4, dht(0, 1, DcChromaBits, DcChromaVals)) ++
+      segment(0xc4, dht(1, 1, AcChromaBits, AcChromaVals)) ++
+      dri ++
+      segment(0xda, sos) ++
+      writer.finish() ++
+      Array(0xff.toByte, 0xd9.toByte)
   }
 
   // ---------------------------------------------------------------- decode
@@ -507,5 +655,286 @@ object Jpeg {
       mcu += 1
     }
     Some((w, h, px))
+  }
+
+  /** Channel sums of a decoded COLOR baseline JPEG. */
+  final case class ColorStats(width: Int, height: Int, nPx: Long,
+      sumR: Long, sumG: Long, sumB: Long)
+
+  def pixelStatsColor(b: Array[Byte]): Option[ColorStats] =
+    decodeRgb(b).map { case (w, h, rgb) =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < rgb.length) {
+        sr += rgb(i) & 0xff; sg += rgb(i + 1) & 0xff; sb += rgb(i + 2) & 0xff
+        i += 3
+      }
+      ColorStats(w, h, w.toLong * h, sr, sg, sb)
+    }
+
+  /** Integer YCbCr→RGB (BT.601 constants in 16.16 fixed point, the
+    * libjpeg scaling) with round-half-toward-positive via +32768 then an
+    * ARITHMETIC shift (= floor division by 65536, also for negatives) —
+    * chosen precisely because SQL re-derives it exactly as
+    * `floor((v + 32768) / 65536.0)`. This transform is NORMATIVE for
+    * this decoder: JFIF doesn't pin the rounding, so the engine picks
+    * one integer definition and the oracle mirrors it. */
+  @inline private def fix16(v: Int): Int = (v + 32768) >> 16
+  @inline private def clamp255(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  def ycbcrToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = (
+    clamp255(y + fix16(91881 * (cr - 128))),
+    clamp255(y - fix16(22554 * (cb - 128) + 46802 * (cr - 128))),
+    clamp255(y + fix16(116130 * (cb - 128))))
+
+  /** REAL baseline COLOR decode: 3-component YCbCr SOF0, luma sampling
+    * factors in {1,2}×{1,2}, chroma 1×1 (covers 4:4:4, 4:2:2, 4:2:0,
+    * 4:4:0 — the shapes real encoders emit), one interleaved scan,
+    * 8-bit quant tables, restart markers honored. Chroma upsampling is
+    * sample replication (each chroma sample covers its h×v luma
+    * neighborhood — the spec-legal box filter, deterministic integer
+    * indexing `(x / hmax, y / vmax)`). Anything else — progressive,
+    * arithmetic, 16-bit tables, >2 sampling, subsampled luma,
+    * non-interleaved scans — returns None, never a guess.
+    * Output is interleaved RGB (3 bytes/pixel, [[ycbcrToRgb]]). */
+  def decodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    val quant = collection.mutable.Map.empty[Int, Array[Int]]
+    val dcTabs = collection.mutable.Map.empty[Int, HuffTable]
+    val acTabs = collection.mutable.Map.empty[Int, HuffTable]
+    var w = -1; var h = -1
+    // per component (SOF order): id, h, v, quant id; then SOS table ids
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
+    var restartInterval = 0
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (pos + 4 > b.length) return None
+      if ((b(pos) & 0xff) != 0xff) return None
+      val marker = b(pos + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        pos += 2
+      } else {
+        val len = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+        if (len < 2 || pos + 2 + len > b.length) return None
+        val seg = pos + 4
+        val segLen = len - 2
+        marker match {
+          case 0xdb =>
+            var p = seg
+            while (p < seg + segLen) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (pq != 0) return None // 16-bit tables out of scope
+              if (p + 65 > seg + segLen) return None
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) { t(Zigzag(i)) = b(p + 1 + i) & 0xff; i += 1 }
+              quant(tq) = t
+              p += 65
+            }
+          case 0xc4 =>
+            var p = seg
+            while (p < seg + segLen) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              if (p + 17 > seg + segLen) return None
+              val bits = (0 until 16).map(i => b(p + 1 + i) & 0xff).toArray
+              val n = bits.sum
+              if (p + 17 + n > seg + segLen) return None
+              val vals = (0 until n).map(i => b(p + 17 + i) & 0xff).toArray
+              val table = new HuffTable(bits, vals)
+              if (tc == 0) dcTabs(th) = table
+              else if (tc == 1) acTabs(th) = table
+              else return None
+              p += 17 + n
+            }
+          case 0xc0 => // SOF0, 3 components = 15-byte payload
+            if (segLen < 6) return None
+            if ((b(seg) & 0xff) != 8) return None
+            h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+            w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+            val ncomp = b(seg + 5) & 0xff
+            if (ncomp != 3) return None // color scope ([[decodeGray]] owns 1)
+            if (segLen < 6 + 3 * 3) return None
+            compId = new Array[Int](3); compH = new Array[Int](3)
+            compV = new Array[Int](3); compQ = new Array[Int](3)
+            var c = 0
+            while (c < 3) {
+              compId(c) = b(seg + 6 + 3 * c) & 0xff
+              val hv = b(seg + 7 + 3 * c) & 0xff
+              compH(c) = hv >> 4; compV(c) = hv & 0x0f
+              compQ(c) = b(seg + 8 + 3 * c) & 0xff
+              c += 1
+            }
+            // scope: chroma unsubsampled relative to itself (1x1), luma
+            // factors 1..2 — the shapes real baseline encoders produce
+            if (compH(1) != 1 || compV(1) != 1 ||
+                compH(2) != 1 || compV(2) != 1) return None
+            if (compH(0) < 1 || compH(0) > 2 ||
+                compV(0) < 1 || compV(0) > 2) return None
+          case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
+            return None // progressive/arithmetic/other SOF: out of scope
+          case 0xdd =>
+            if (segLen < 2) return None
+            restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+          case 0xda =>
+            if (compId == null) return None // SOS before SOF0
+            if (segLen < 1 + 2 * 3 + 3) return None
+            if ((b(seg) & 0xff) != 3) return None // interleaved 3-comp scan
+            compDc = new Array[Int](3); compAc = new Array[Int](3)
+            var c = 0
+            while (c < 3) {
+              val sid = b(seg + 1 + 2 * c) & 0xff
+              // scan components must be the frame's, in frame order
+              if (sid != compId(c)) return None
+              compDc(c) = (b(seg + 2 + 2 * c) & 0xff) >> 4
+              compAc(c) = b(seg + 2 + 2 * c) & 0x0f
+              c += 1
+            }
+            scanStart = pos + 2 + len
+          case _ => ()
+        }
+        if (scanStart < 0) pos += 2 + len
+      }
+    }
+    if (w <= 0 || h <= 0 || compId == null) return None
+    if (w.toLong * h > (Int.MaxValue - 8) / 3) return None
+    val hmax = compH(0) // chroma is 1x1, so luma's factors ARE the max
+    val vmax = compV(0)
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // per-component planes at their own (MCU-padded) resolution
+    val planeW = new Array[Int](3)
+    val planeH = new Array[Int](3)
+    val planes = new Array[Array[Byte]](3)
+    val q = new Array[Array[Int]](3)
+    val dcT = new Array[HuffTable](3)
+    val acT = new Array[HuffTable](3)
+    var c = 0
+    while (c < 3) {
+      planeW(c) = mcusX * compH(c) * 8
+      planeH(c) = mcusY * compV(c) * 8
+      if (planeW(c).toLong * planeH(c) > Int.MaxValue - 8) return None
+      planes(c) = new Array[Byte](planeW(c) * planeH(c))
+      q(c) = quant.getOrElse(compQ(c), return None)
+      dcT(c) = dcTabs.getOrElse(compDc(c), return None)
+      acT(c) = acTabs.getOrElse(compAc(c), return None)
+      c += 1
+    }
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    val r = new BitReader(b, scanStart)
+    val prevDc = new Array[Int](3)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+
+    // one entropy-coded 8x8 block of component c, placed at block
+    // coords (bx, by) on that component's plane; false = malformed
+    def decodeBlock(ci: Int, bx: Int, by: Int): Boolean = {
+      java.util.Arrays.fill(coef, 0)
+      val s = decodeHuff(r, dcT(ci))
+      if (s < 0 || s > 11) return false
+      val dcBits = if (s == 0) 0 else r.bits(s)
+      if (dcBits < 0) return false
+      prevDc(ci) += extend(dcBits, s)
+      coef(0) = prevDc(ci) * q(ci)(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = decodeHuff(r, acT(ci))
+        if (rs < 0) return false
+        val run = rs >> 4
+        val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) {
+            k += 16
+            if (k > 63) return false // ZRL overrun: structurally invalid
+          } else eob = true
+        } else {
+          k += run
+          if (k > 63) return false
+          val vBits = r.bits(size)
+          if (vBits < 0) return false
+          coef(Zigzag(k)) = extend(vBits, size) * q(ci)(Zigzag(k))
+          k += 1
+        }
+      }
+      idctBlock(coef, block)
+      val pw = planeW(ci)
+      val plane = planes(ci)
+      val x0 = bx * 8
+      val y0 = by * 8
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        val row = (y0 + y) * pw + x0
+        while (x < 8) {
+          plane(row + x) = block(y * 8 + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+      true
+    }
+
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        r.align()
+        if (r.pos + 1 < b.length && (b(r.pos) & 0xff) == 0xff &&
+            (b(r.pos + 1) & 0xff) >= 0xd0 && (b(r.pos + 1) & 0xff) <= 0xd7) {
+          r.pos += 2
+          r.hitMarker = false
+        } else return None
+        prevDc(0) = 0; prevDc(1) = 0; prevDc(2) = 0
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < 3) {
+        var j = 0
+        while (j < compV(ci)) {
+          var i = 0
+          while (i < compH(ci)) {
+            if (!decodeBlock(ci, mx * compH(ci) + i, my * compV(ci) + j))
+              return None
+            i += 1
+          }
+          j += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // upsample (sample replication) + color transform, cropped to (w, h)
+    val rgb = new Array[Byte](3 * w * h)
+    val yPlane = planes(0); val cbPlane = planes(1); val crPlane = planes(2)
+    val ypw = planeW(0); val cpw = planeW(1)
+    var py = 0
+    while (py < h) {
+      val cRow = (py / vmax) * cpw
+      val yRow = py * ypw
+      var px = 0
+      while (px < w) {
+        val yv = yPlane(yRow + px) & 0xff
+        val cb = (cbPlane(cRow + px / hmax) & 0xff) - 128
+        val cr = (crPlane(cRow + px / hmax) & 0xff) - 128
+        // [[ycbcrToRgb]] inlined: no per-pixel tuple in the hot loop
+        val o = 3 * (py * w + px)
+        rgb(o) = clamp255(yv + fix16(91881 * cr)).toByte
+        rgb(o + 1) = clamp255(yv - fix16(22554 * cb + 46802 * cr)).toByte
+        rgb(o + 2) = clamp255(yv + fix16(116130 * cb)).toByte
+        px += 1
+      }
+      py += 1
+    }
+    Some((w, h, rgb))
   }
 }

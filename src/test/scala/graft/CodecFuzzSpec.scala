@@ -14,6 +14,8 @@ class CodecFuzzSpec extends AnyFunSuite {
   private val decoders: Seq[(String, Array[Byte] => Any)] = Seq(
     "png" -> (b => Png.pixelStats(b)),
     "jpeg" -> (b => Jpeg.pixelStats(b)),
+    "jpeg_color" -> (b => Jpeg.pixelStatsColor(b)),
+    "jpeg_color420" -> (b => Jpeg.pixelStatsColor(b)),
     "bmp" -> (b => Bmp.pixelStats(b)),
     "gif" -> (b => Gif.pixelStats(b)),
     "wav" -> (b => Wav.pcmStats(b)),
@@ -23,6 +25,14 @@ class CodecFuzzSpec extends AnyFunSuite {
     case "png" => Png.encodeRgb(21, 13, 7L)
     case "jpeg" => Jpeg.encodeGrayBlocks(24, 16,
       (bx, by) => (bx * 7 + by * 13) % 256)
+    case "jpeg_color" => Jpeg.encodeColorBlocks(24, 16,
+      (bx, by) => (bx * 7 + by * 13) % 256,
+      (cx, cy) => (cx * 11 + cy * 3) % 256,
+      (cx, cy) => (cx * 5 + cy * 17) % 256, 0x11)
+    case "jpeg_color420" => Jpeg.encodeColorBlocks(33, 18,
+      (bx, by) => (bx * 7 + by * 13) % 256,
+      (cx, cy) => (cx * 11 + cy * 3) % 256,
+      (cx, cy) => (cx * 5 + cy * 17) % 256, 0x22)
     case "bmp" => Bmp.encodeRgb(21, 13, 7L)
     case "gif" => Gif.encodeGray(21, 13, (x, y) => (x + y) % 256)
     case "wav" => Wav.encodePcm16(300, 8000, 7L)

@@ -119,6 +119,176 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- color
+
+  private def yVal(seed: Long)(bx: Int, by: Int): Int =
+    (((bx * 7L + by * 13L + seed) % 256L + 256L) % 256L).toInt
+  private def cbVal(seed: Long)(cx: Int, cy: Int): Int =
+    (((cx * 11L + cy * 3L + 2 * seed) % 256L + 256L) % 256L).toInt
+  private def crVal(seed: Long)(cx: Int, cy: Int): Int =
+    (((cx * 5L + cy * 17L + 3 * seed) % 256L + 256L) % 256L).toInt
+
+  private def wantRgb(seed: Long, sampling: Int)(x: Int, y: Int)
+      : (Int, Int, Int) = {
+    val (cx, cy) =
+      if (sampling == 0x11) (x / 8, y / 8) else (x / 16, y / 16)
+    Jpeg.ycbcrToRgb(yVal(seed)(x / 8, y / 8),
+      cbVal(seed)(cx, cy), crVal(seed)(cx, cy))
+  }
+
+  test("color block-constant images round-trip bit-exactly: 4:4:4 and " +
+      "4:2:0, partial edge MCUs included") {
+    for (sampling <- Seq(0x11, 0x22);
+         (w, h, seed) <- Seq((16, 16, 0L), (24, 16, 5L), (23, 17, 42L),
+           (129, 65, 7L), (1, 1, 3L), (8, 8, 9L))) {
+      val bytes = Jpeg.encodeColorBlocks(w, h, yVal(seed), cbVal(seed),
+        crVal(seed), sampling)
+      val (dw, dh, rgb) = Jpeg.decodeRgb(bytes).getOrElse(
+        fail(s"undecodable ${w}x$h seed=$seed sampling=$sampling"))
+      assert((dw, dh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = wantRgb(seed, sampling)(x, y)
+        val o = 3 * (y * w + x)
+        val got = (rgb(o) & 0xff, rgb(o + 1) & 0xff, rgb(o + 2) & 0xff)
+        assert(got == want,
+          s"pixel ($x,$y) of ${w}x$h seed=$seed sampling=$sampling")
+      }
+    }
+  }
+
+  test("color restart markers round-trip to the plain-stream pixels") {
+    val (w, h, seed) = (40, 24, 13L)
+    for (sampling <- Seq(0x11, 0x22)) {
+      val plain = Jpeg.decodeRgb(Jpeg.encodeColorBlocks(
+        w, h, yVal(seed), cbVal(seed), crVal(seed), sampling)).get._3
+      for (interval <- Seq(1, 3, 7)) {
+        val got = Jpeg.decodeRgb(Jpeg.encodeColorBlocks(w, h, yVal(seed),
+          cbVal(seed), crVal(seed), sampling, interval)).getOrElse(
+          fail(s"restart interval $interval undecodable"))._3
+        assert(got.toSeq == plain.toSeq,
+          s"sampling=$sampling interval=$interval pixels differ")
+      }
+    }
+  }
+
+  test("ImageIO independently decodes our color encoder's output within " +
+      "color-transform rounding tolerance") {
+    // 4:4:4 with per-block varying chroma: no upsampling filter in play,
+    // remaining divergence is the unpinned YCbCr->RGB rounding (±2)
+    val (w, h, seed) = (32, 24, 11L)
+    val bytes = Jpeg.encodeColorBlocks(w, h, yVal(seed), cbVal(seed),
+      crVal(seed), 0x11)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    val ours = Jpeg.decodeRgb(bytes).get._3
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val theirs = (img.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((ours(3 * (y * w + x) + c) & 0xff) - theirs)
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 2,
+      s"ImageIO diverges by $maxDiff > 2 on 4:4:4 constant blocks")
+    // 4:2:0 solid color: constant chroma everywhere, so even fancy
+    // upsampling reproduces the constant — same tolerance
+    val solid = Jpeg.encodeColorBlocks(33, 18, (_, _) => 99,
+      (_, _) => 180, (_, _) => 70, 0x22)
+    val img2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(solid))
+    assert(img2 != null && img2.getWidth == 33)
+    val ours2 = Jpeg.decodeRgb(solid).get._3
+    var maxDiff2 = 0
+    for (y <- 0 until 18; x <- 0 until 33; c <- 0 until 3) {
+      val theirs = (img2.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((ours2(3 * (y * 33 + x) + c) & 0xff) - theirs)
+      maxDiff2 = math.max(maxDiff2, d)
+    }
+    assert(maxDiff2 <= 2,
+      s"ImageIO diverges by $maxDiff2 > 2 on solid 4:2:0")
+  }
+
+  test("our color decoder matches ImageIO on an ImageIO-ENCODED color " +
+      "JPEG (gray content: upsampling-filter-neutral) within tolerance") {
+    val w = 37; val h = 29
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 13 + x * y) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v) // R=G=B -> Cb=Cr=128
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val (dw, dh, ours) = Jpeg.decodeRgb(bytes).getOrElse(
+      fail("our decoder must accept a stock ImageIO baseline color JPEG"))
+    assert((dw, dh) == (w, h))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val theirs = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((ours(3 * (y * w + x) + c) & 0xff) - theirs)
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 2,
+      s"decoders diverge by $maxDiff > 2 on gray-content color JPEG")
+  }
+
+  test("color refusals: sampling scope, non-interleaved scan, " +
+      "progressive, truncation, gray/color cross-scope") {
+    val good = Jpeg.encodeColorBlocks(24, 16, yVal(1L), cbVal(1L), crVal(1L))
+    assert(Jpeg.decodeRgb(good).nonEmpty)
+    assert(Jpeg.decodeRgb(null).isEmpty)
+    assert(Jpeg.decodeRgb(good.take(30)).isEmpty)
+    assert(Jpeg.decodeRgb(good.dropRight(good.length / 3)).isEmpty,
+      "mid-scan truncation must refuse")
+    def sofAt(b: Array[Byte]): Int = b.indices.find(i =>
+      (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0).get
+    // luma sampling 3x1: out of the documented {1,2} scope
+    val s31 = good.clone()
+    s31(sofAt(s31) + 11) = 0x31.toByte // Y component's h<<4|v byte
+    assert(Jpeg.decodeRgb(s31).isEmpty, "3x1 luma sampling is refused")
+    // subsampled chroma (2x1 Cb): out of scope
+    val c21 = good.clone()
+    c21(sofAt(c21) + 14) = 0x21.toByte
+    assert(Jpeg.decodeRgb(c21).isEmpty, "subsampled chroma is refused")
+    // progressive color
+    val prog = good.clone()
+    prog(sofAt(prog) + 1) = 0xc2.toByte
+    assert(Jpeg.decodeRgb(prog).isEmpty, "SOF2 color is refused")
+    // non-interleaved (single-component) scan in a 3-component frame:
+    // splice a 1-component SOS over the interleaved one
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val ni = good.take(sosAt) ++
+      Array[Byte](0xff.toByte, 0xda.toByte, 0, 8, 1, 1, 0x00, 0, 63, 0) ++
+      good.drop(sosAt + 14)
+    assert(Jpeg.decodeRgb(ni).isEmpty, "non-interleaved scans are refused")
+    // cross-scope: the color decoder refuses grayscale frames and
+    // vice versa (each owns exactly its documented ncomp)
+    val gray = Jpeg.encodeGrayBlocks(24, 16, blockVal(1L))
+    assert(Jpeg.decodeRgb(gray).isEmpty)
+    assert(Jpeg.decodeGray(good).isEmpty)
+  }
+
+  test("pixelStatsColor reduces the decoded RGB; per-component DC " +
+      "prediction spans MCUs") {
+    val (w, h, seed) = (64, 40, 9L)
+    for (sampling <- Seq(0x11, 0x22)) {
+      val s = Jpeg.pixelStatsColor(Jpeg.encodeColorBlocks(
+        w, h, yVal(seed), cbVal(seed), crVal(seed), sampling)).get
+      assert(s.width == w && s.height == h && s.nPx == w.toLong * h)
+      var wr = 0L; var wg = 0L; var wb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = wantRgb(seed, sampling)(x, y)
+        wr += r; wg += g; wb += b
+      }
+      assert((s.sumR, s.sumG, s.sumB) == ((wr, wg, wb)),
+        s"sampling=$sampling sums differ")
+    }
+  }
+
   test("pixelStats reduces the decoded plane; DC prediction spans blocks " +
       "(values vary across the image)") {
     val (w, h, seed) = (64, 40, 9L)
