@@ -684,6 +684,85 @@ object TextQueries {
             |FROM stats JOIN ex ON stats.source = ex.source
             |ORDER BY stats.source""".stripMargin))
 
+  /** SKETCH-PARTIALS rollup for KMV — the order-statistics sibling of
+    * [[qDistinctHllRollup]], closing the reaggregable-partials family
+    * (HLL, CMS, DDSketch, now KMV): ONE corpus scan builds per-source
+    * [[graft.expr.KmvSketchAgg]] sketches (≤ k sorted longs each in the
+    * canonical wire form), and the corpus-wide cardinality is answered
+    * by union-merging those 20 sketches ([[graft.expr.KmvMergeAgg]]) and
+    * estimating ([[graft.expr.KmvEstimate]]) — no second data pass.
+    * Merge is lossless (the k smallest of a union ≡ the k smallest of
+    * the parts' k-minima, spec-asserted BYTE-for-byte), so the 'ALL'
+    * estimate is bit-identical to sketching the union directly; DuckDB
+    * re-derives both levels from the same hash chain and the whole
+    * result stays hash-checked. The global exact is NOT the sum of
+    * per-source exacts (shingles cross sources) — the merge the sketch
+    * union gets right. */
+  val qDistinctKmvRollup = QueryDef("q_distinct_kmv_rollup",
+    (spark, dir) => {
+      val sh = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(graft.expr.ShinglesExpr(col("text"), ShingleN)).as("shingle"))
+      val perSrc = sh.groupBy("source").agg(
+        graft.expr.KmvAgg.sketch(
+          graft.expr.Fingerprint64(col("shingle")), KmvK).as("sk"),
+        countDistinct(col("shingle")).as("exact_distinct_shingles"))
+      val globalRow = perSrc
+        .agg(graft.expr.KmvAgg.mergeSketches(col("sk"), KmvK).as("sk"))
+        .crossJoin(sh.agg(
+          countDistinct(col("shingle")).as("exact_distinct_shingles")))
+        .select(lit("ALL").as("source"),
+          graft.expr.KmvAgg.estimate(col("sk"), KmvK).as("est_distinct_shingles"),
+          col("exact_distinct_shingles"))
+      perSrc.select(col("source"),
+          graft.expr.KmvAgg.estimate(col("sk"), KmvK).as("est_distinct_shingles"),
+          col("exact_distinct_shingles"))
+        .unionByName(globalRow)
+        .orderBy("source")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT source, doc_id, string_split(text, ' ') AS ws
+            |  FROM documents WHERE text IS NOT NULL
+            |), sh AS (
+            |  SELECT DISTINCT source, unnest(${shinglesOverWsSql(ShingleN)}) AS shingle
+            |  FROM toks
+            |), hs AS (
+            |  SELECT source, ${fnvFoldSql("shingle")} AS z
+            |  FROM sh
+            |), ${splitmixCtesSql("hs", "source", "s")},
+            |dh AS (
+            |  SELECT DISTINCT source, z AS h FROM s5
+            |), dhl AS (
+            |  SELECT source, h FROM dh
+            |  UNION ALL SELECT 'ALL' AS source, h FROM dh
+            |), dhd AS (
+            |  SELECT DISTINCT source, h FROM dhl
+            |), ranked AS (
+            |  SELECT source, h,
+            |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            |  FROM dhd
+            |), stats AS (
+            |  SELECT source, count(*) AS ndh,
+            |         max(CASE WHEN rn = $KmvK THEN h END) AS kth
+            |  FROM ranked GROUP BY source
+            |), ex AS (
+            |  SELECT source, count(DISTINCT shingle) AS n FROM sh GROUP BY source
+            |  UNION ALL SELECT 'ALL', count(DISTINCT shingle) FROM sh
+            |)
+            |SELECT stats.source,
+            |  CASE WHEN kth IS NULL THEN CAST(ndh AS DOUBLE)
+            |       ELSE (CAST($KmvK AS DOUBLE) - 1.0) * 18446744073709551616.0 /
+            |            (CASE WHEN kth < CAST('9223372036854775808' AS HUGEINT)
+            |                  THEN CAST(CAST(kth AS BIGINT) AS DOUBLE)
+            |                  ELSE CAST(CAST(kth - CAST('18446744073709551616' AS HUGEINT)
+            |                                 AS BIGINT) AS DOUBLE)
+            |                       + 18446744073709551616.0 END)
+            |  END AS est_distinct_shingles,
+            |  CAST(ex.n AS BIGINT) AS exact_distinct_shingles
+            |FROM stats JOIN ex ON stats.source = ex.source
+            |ORDER BY stats.source""".stripMargin))
+
   /** HLL register-count exponent: m = 2^10 = 1024 registers (~3.3%
     * relative error), small enough that the oracle's source×register
     * grid stays trivial and the linear-counting threshold 2.5m = 2560
@@ -1668,7 +1747,8 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
-    qDocFingerprints, qDistinctKmv, qDistinctHll, qDistinctHllRollup,
+    qDocFingerprints, qDistinctKmv, qDistinctKmvRollup, qDistinctHll,
+    qDistinctHllRollup,
     qTokenCms, qTokenCmsRollup, qBigramLogProb,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,

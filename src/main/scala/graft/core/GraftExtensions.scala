@@ -122,6 +122,15 @@ object GraftExtensions {
       HllMergeAgg(args(0), intLit(args(1))).toAggregateExpression() },
     "hll_estimate" -> { args =>
       HllEstimate(arity("hll_estimate", 1, args).head) },
+    "kmv_sketch" -> { args =>
+      arity("kmv_sketch", 2, args)
+      KmvSketchAgg(args(0), intLit(args(1))).toAggregateExpression() },
+    "kmv_merge" -> { args =>
+      arity("kmv_merge", 2, args)
+      KmvMergeAgg(args(0), intLit(args(1))).toAggregateExpression() },
+    "kmv_estimate" -> { args =>
+      arity("kmv_estimate", 2, args)
+      KmvEstimate(args(0), intLit(args(1))) },
     "splitmix64" -> { args =>
       SplitMix64Expr(arity("splitmix64", 1, args).head) },
     "interleave16" -> { args =>

@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 /** `kmv_distinct(hash bigint, k) -> double` — distinct-count estimate via
   * the k-minimum-values sketch (Bar-Yossef et al., "Counting distinct
@@ -77,24 +76,10 @@ case class KmvAgg(
 
   override def eval(buf: KmvAgg.Sketch): Any = buf.estimate
 
-  override def serialize(buf: KmvAgg.Sketch): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    val hs = buf.hashes
-    out.writeInt(hs.length)
-    hs.foreach(out.writeLong)
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: KmvAgg.Sketch): Array[Byte] = KmvAgg.wire(buf)
 
-  override def deserialize(bytes: Array[Byte]): KmvAgg.Sketch = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val s = new KmvAgg.Sketch(k)
-    var i = 0
-    while (i < n) { s.insertStored(in.readLong()); i += 1 }
-    s
-  }
+  override def deserialize(bytes: Array[Byte]): KmvAgg.Sketch =
+    KmvAgg.fromWire(k, bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -104,6 +89,156 @@ case class KmvAgg(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(hash = newChildren(0))
   override def prettyName: String = "kmv_distinct"
+}
+
+/** `kmv_sketch(hash bigint, k) -> binary` — the k-minimum-values SET
+  * itself, not the estimate: the sketch-partials member of the KMV
+  * family, completing the reaggregable surface next to HLL/CMS/DDSketch
+  * ([[HllSketchAgg]] is the pattern source). Store one sketch per
+  * (source, day, …) cell from ONE corpus scan; answer any later rollup
+  * by union-merging sketches ([[KmvMergeAgg]]) and estimating
+  * ([[KmvEstimate]]) at sketch cardinality. Merge is lossless by
+  * construction — the k smallest of a union equal the k smallest of the
+  * parts' k-minima — so a rolled-up estimate is BIT-IDENTICAL to
+  * sketching the union directly.
+  *
+  * CANONICAL WIRE FORM (the hashability contract, like
+  * [[DdQuantileAgg]]'s sorted stores): 4-byte big-endian count n, then
+  * n stored (SplitMix64-mixed, sign-flipped) hashes as big-endian
+  * longs in ASCENDING order. The sketch is a pure function of the SET
+  * of input hashes, so equal sets serialize to equal BYTES — sketch
+  * columns hash-compare across engines and partitionings. */
+case class KmvSketchAgg(
+    hash: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvAgg.Sketch] {
+
+  require(k >= 2 && k <= (1 << 20), s"kmv_sketch: k must be in [2, 2^20], got $k")
+
+  override def children: Seq[Expression] = Seq(hash)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = hash.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch requires a BIGINT hash input (e.g. fingerprint64(col)), " +
+        s"got ${other.sql} — cast or hash explicitly")
+  }
+
+  override def createAggregationBuffer(): KmvAgg.Sketch = new KmvAgg.Sketch(k)
+
+  override def update(buf: KmvAgg.Sketch, input: InternalRow): KmvAgg.Sketch = {
+    val h = hash.eval(input)
+    if (h != null) buf.offer(h.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: KmvAgg.Sketch, other: KmvAgg.Sketch): KmvAgg.Sketch = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  override def eval(buf: KmvAgg.Sketch): Any = KmvAgg.wire(buf)
+
+  override def serialize(buf: KmvAgg.Sketch): Array[Byte] = KmvAgg.wire(buf)
+
+  override def deserialize(bytes: Array[Byte]): KmvAgg.Sketch =
+    KmvAgg.fromWire(k, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(hash = newChildren(0))
+  override def prettyName: String = "kmv_sketch"
+}
+
+/** `kmv_merge(sketch binary, k) -> binary` — union of KMV sketches,
+  * keeping the k smallest distinct values: the reaggregation operator.
+  * Wire-form violations (bad length, count mismatch, non-ascending,
+  * overlong) refuse loudly — a silently mis-merged sketch corrupts
+  * every downstream estimate. */
+case class KmvMergeAgg(
+    sketch: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvAgg.Sketch] {
+
+  require(k >= 2 && k <= (1 << 20), s"kmv_merge: k must be in [2, 2^20], got $k")
+
+  override def children: Seq[Expression] = Seq(sketch)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = sketch.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_merge requires a BINARY kmv_sketch input, got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): KmvAgg.Sketch = new KmvAgg.Sketch(k)
+
+  override def update(buf: KmvAgg.Sketch, input: InternalRow): KmvAgg.Sketch = {
+    val s = sketch.eval(input)
+    if (s != null) buf.mergeFrom(KmvAgg.fromWire(k, s.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: KmvAgg.Sketch, other: KmvAgg.Sketch): KmvAgg.Sketch = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  override def eval(buf: KmvAgg.Sketch): Any = KmvAgg.wire(buf)
+
+  override def serialize(buf: KmvAgg.Sketch): Array[Byte] = KmvAgg.wire(buf)
+
+  override def deserialize(bytes: Array[Byte]): KmvAgg.Sketch =
+    KmvAgg.fromWire(k, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(sketch = newChildren(0))
+  override def prettyName: String = "kmv_merge"
+}
+
+/** `kmv_estimate(sketch binary, k) -> double` — the pinned KMV estimate
+  * over a stored sketch. `k` is an explicit parameter (unlike
+  * [[HllEstimate]], where width implies p): an UNSATURATED sketch of n
+  * values is indistinguishable from a saturated sketch with k = n, and
+  * the two estimate differently — exact n versus (k−1)·2⁶⁴/h₍ₖ₎.
+  * Interpreted eval is deliberate: estimates run at rollup-cell
+  * cardinality, never in a row-scan hot path. */
+case class KmvEstimate(child: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 2 && k <= (1 << 20), s"kmv_estimate: k must be in [2, 2^20], got $k")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_estimate requires a BINARY kmv_sketch input, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    KmvAgg.fromWire(k, input.asInstanceOf[Array[Byte]]).estimate
+
+  override protected def withNewChildInternal(newChild: Expression): KmvEstimate =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_estimate"
 }
 
 object KmvAgg {
@@ -161,6 +296,52 @@ object KmvAgg {
   /** 2⁶⁴ — exactly representable (power of two). */
   val TwoPow64: Double = 1.8446744073709552E19
 
+  /** Canonical wire form (scaladoc on [[KmvSketchAgg]]): count + stored
+    * values ascending. A pure function of the sketch's SET, so equal
+    * sets → equal bytes. */
+  def wire(s: Sketch): Array[Byte] = {
+    val hs = s.hashes // TreeSet iteration: ascending — canonical order
+    val out = java.nio.ByteBuffer.allocate(4 + 8 * hs.length)
+    out.putInt(hs.length)
+    hs.foreach(out.putLong)
+    out.array()
+  }
+
+  /** Parse + validate a canonical sketch. Refuses loudly on structural
+    * violations — a malformed blob must not silently skew estimates. */
+  def fromWire(k: Int, bytes: Array[Byte]): Sketch = {
+    require(bytes.length >= 4 && (bytes.length - 4) % 8 == 0,
+      s"kmv sketch: ${bytes.length} bytes is not a count + longs wire form")
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    require(n == (bytes.length - 4) / 8,
+      s"kmv sketch: count $n does not match ${(bytes.length - 4) / 8} stored values")
+    require(n <= k,
+      s"kmv sketch: $n stored values exceed k=$k — mixing sketches of " +
+        "different k corrupts estimates")
+    val s = new Sketch(k)
+    var prev = Long.MinValue
+    var first = true
+    var i = 0
+    while (i < n) {
+      val v = in.getLong
+      require(first || v > prev,
+        "kmv sketch: stored values must be strictly ascending (canonical form)")
+      first = false; prev = v
+      s.insertStored(v)
+      i += 1
+    }
+    s
+  }
+
   def apply(hash: Column, k: Int): Column =
     toCol(KmvAgg(toExpr(hash), k).toAggregateExpression())
+
+  /** Column faces of the sketch-partials family. */
+  def sketch(hash: Column, k: Int): Column =
+    toCol(KmvSketchAgg(toExpr(hash), k).toAggregateExpression())
+  def mergeSketches(sk: Column, k: Int): Column =
+    toCol(KmvMergeAgg(toExpr(sk), k).toAggregateExpression())
+  def estimate(sk: Column, k: Int): Column =
+    toCol(KmvEstimate(toExpr(sk), k))
 }

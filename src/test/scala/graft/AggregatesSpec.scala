@@ -309,6 +309,70 @@ class AggregatesSpec extends SparkSpec {
       err.getCause != null, err.getMessage)
   }
 
+  test("KMV sketch partials: merge of per-part sketches is byte-identical " +
+    "to sketching the union; estimate face agrees with kmv_distinct") {
+    import spark.implicits._
+    import graft.expr.{Fingerprint64, KmvAgg}
+    val k = 64
+    // three overlapping parts — union cardinality 8000, sum of parts 12000
+    val parts = Seq(
+      (0 until 5000).map(i => ("a", s"v$i")),
+      (2000 until 7000).map(i => ("b", s"v$i")),
+      (6000 until 8000).map(i => ("c", s"v$i"))).flatten
+    val df = parts.toDF("part", "v")
+    // canonical wire: merged partials == one-shot sketch of the union,
+    // as BYTES — the k smallest of a union are the k smallest of the
+    // parts' k-minima, and the sorted wire form makes that comparable
+    val merged = df.groupBy("part")
+      .agg(KmvAgg.sketch(Fingerprint64(col("v")), k).as("sk"))
+      .agg(KmvAgg.mergeSketches(col("sk"), k).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val direct = df.agg(KmvAgg.sketch(Fingerprint64(col("v")), k).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct),
+      "sketch-of-union must equal merge-of-sketches byte-for-byte")
+    // estimate from merged partials == one-shot kmv_distinct
+    val rolled = df.groupBy("part")
+      .agg(KmvAgg.sketch(Fingerprint64(col("v")), k).as("sk"))
+      .agg(KmvAgg.mergeSketches(col("sk"), k).as("sk"))
+      .select(KmvAgg.estimate(col("sk"), k).as("e")).head().getDouble(0)
+    val oneShot = df.agg(KmvAgg(Fingerprint64(col("v")), k).as("e"))
+      .head().getDouble(0)
+    assert(rolled == oneShot,
+      s"rollup must be LOSSLESS: merged=$rolled direct=$oneShot")
+    assert(math.abs(rolled - 8000) < 0.35 * 8000,
+      s"union estimate $rolled for 8000 distinct (k=$k)")
+    // unsaturated group: estimate face returns the exact stored count
+    val small = (0 until 10).map(i => s"s$i").toDF("v")
+    val smallEst = small.agg(
+      KmvAgg.estimate(KmvAgg.sketch(Fingerprint64(col("v")), k), k).as("e"))
+      .head().getDouble(0)
+    assert(smallEst == 10.0, s"unsaturated estimate $smallEst != 10")
+    // SQL registration end to end
+    df.createOrReplaceTempView("kmv_roll_in")
+    val viaSql = spark.sql(
+      s"""SELECT kmv_estimate(kmv_merge(sk, $k), $k) FROM
+         |  (SELECT part, kmv_sketch(fingerprint64(v), $k) AS sk
+         |   FROM kmv_roll_in GROUP BY part)""".stripMargin)
+      .head().getDouble(0)
+    assert(viaSql == oneShot, s"SQL face $viaSql != $oneShot")
+    // k mismatch (sketch holds more values than the merge's k) refuses
+    val err = intercept[Exception] {
+      df.groupBy("part")
+        .agg(KmvAgg.sketch(Fingerprint64(col("v")), 64).as("sk"))
+        .agg(KmvAgg.mergeSketches(col("sk"), 8)).collect()
+    }
+    assert(err.getMessage != null)
+    // non-canonical bytes (descending order) refuse loudly
+    val bad = java.nio.ByteBuffer.allocate(4 + 16)
+      .putInt(2).putLong(5L).putLong(3L).array()
+    val err2 = intercept[Exception] {
+      Seq(bad).toDF("sk")
+        .select(KmvAgg.estimate(col("sk"), k)).collect()
+    }
+    assert(err2.getMessage != null)
+  }
+
   test("CMS: estimates never undercount; wide sketch is exact; narrow collides") {
     import spark.implicits._
     import graft.operators.Sketches
