@@ -87,7 +87,11 @@ object MultimodalQueries {
           Multimodal.pngHeight(col("doc_id")).as("h"))
         .as[(Long, Int, Int)]
       val media = dims.mapPartitions(_.map { case (id, w, h) =>
-        (id, graft.operators.Png.encodeRgb(w, h, id))
+        // both scanline layouts on real data: even ids Adam7-interlaced,
+        // odd sequential — the decoder must reconstruct both (the GIF
+        // entry's alternating-interlace pattern)
+        (id, graft.operators.Png.encodeRgb(w, h, id,
+          interlaced = id % 2 == 0))
       }).toDF("media_id", "content")
       media.as[(Long, Array[Byte])].mapPartitions(_.map { case (id, bytes) =>
         val s = graft.operators.Png.pixelStats(bytes).getOrElse(
@@ -607,8 +611,88 @@ object MultimodalQueries {
            |FROM t GROUP BY media_id, frame_no, w, h
            |ORDER BY media_id, frame_no""".stripMargin))
 
+  /** Two-stream (A/V) AVI demux with INDEX verification, end to end
+    * ([[graft.operators.Avi.encodeAv]]/[[Avi.avStats]]): each video doc
+    * becomes an interleaved `00db`+`01wb` AVI with an `idx1` chunk; the
+    * demuxer cross-checks every index entry against the actual movi
+    * layout (a lying index refuses), frames decode through the verified
+    * BMP codec, and the audio stream is re-assembled and decoded
+    * through the verified WAV codec. One row per media with BOTH
+    * streams' aggregates — a slipped chunk, mis-ordered interleave,
+    * swallowed pad byte, or index drift breaks the hash. The oracle
+    * re-derives the video channel sums AND the continuous audio signal
+    * ([[graft.operators.Wav.sample]]) from the two generative formulas. */
+  val qAviAvDemux = QueryDef("q_avi_av_demux",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 2) // the video-modality ids
+        .select(col("doc_id").as("media_id"),
+          (pmod(col("doc_id"), lit(56)) + 8).cast("int").as("w"),
+          (pmod(col("doc_id") * 7, lit(56)) + 8).cast("int").as("h"),
+          (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("nf"),
+          (pmod(col("doc_id"), lit(7)) * 20 + 40).cast("int").as("spf"))
+        .as[(Long, Int, Int, Int, Int)]
+      dims.mapPartitions(_.map { case (id, w, h, nf, spf) =>
+        val avi = graft.operators.Avi.encodeAv(w, h, nf, id,
+          samplesPerFrame = spf)
+        val (frames, audio) = graft.operators.Avi.avStats(avi).getOrElse(
+          sys.error(s"undemuxable synthesized A/V AVI for media_id=$id"))
+        (id, frames.size.toLong,
+          frames.map(_._2.sumR).sum, frames.map(_._2.sumG).sum,
+          frames.map(_._2.sumB).sum,
+          audio.nSamples, audio.sumS, audio.minS, audio.maxS)
+      }).toDF("media_id", "n_frames", "sum_r", "sum_g", "sum_b",
+        "n_samples", "sum_s", "min_s", "max_s")
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 56) + 8 AS BIGINT) AS w,
+           |         CAST(((doc_id * 7) % 56) + 8 AS BIGINT) AS h,
+           |         CAST((doc_id % 4) + 2 AS BIGINT) AS nf,
+           |         CAST((doc_id % 7) * 20 + 40 AS BIGINT) AS spf
+           |  FROM documents WHERE doc_id % 3 = 2
+           |), fr AS (
+           |  SELECT media_id, w, h, nf,
+           |         unnest(generate_series(0, nf - 1)) AS frame_no
+           |  FROM dims
+           |), px AS (
+           |  SELECT media_id, w, h, nf, frame_no,
+           |         unnest(generate_series(0, w * h - 1)) AS p
+           |  FROM fr
+           |), vt AS (
+           |  SELECT media_id, nf,
+           |         CAST(sum((p % w * 7 + p // w * 13 + media_id + frame_no)
+           |           % 256) AS BIGINT) AS sum_r,
+           |         CAST(sum((p % w * 11 + p // w * 3
+           |           + 2*(media_id + frame_no)) % 256) AS BIGINT) AS sum_g,
+           |         CAST(sum((p % w * 5 + p // w * 17
+           |           + 3*(media_id + frame_no)) % 256) AS BIGINT) AS sum_b
+           |  FROM px GROUP BY media_id, nf
+           |), au AS (
+           |  SELECT media_id,
+           |         unnest(generate_series(0, nf * spf - 1)) AS i
+           |  FROM dims
+           |), at_ AS (
+           |  SELECT media_id,
+           |         CAST((i * 31337 + media_id) % 65536 - 32768 AS BIGINT) AS s
+           |  FROM au
+           |), ast AS (
+           |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_samples,
+           |         CAST(sum(s) AS BIGINT) AS sum_s,
+           |         CAST(min(s) AS INT) AS min_s, CAST(max(s) AS INT) AS max_s
+           |  FROM at_ GROUP BY media_id
+           |)
+           |SELECT vt.media_id, CAST(vt.nf AS BIGINT) AS n_frames,
+           |       vt.sum_r, vt.sum_g, vt.sum_b,
+           |       ast.n_samples, ast.sum_s, ast.min_s, ast.max_s
+           |FROM vt JOIN ast ON vt.media_id = ast.media_id
+           |ORDER BY vt.media_id""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode,
       qJpegColorDecode, qBmpDecode, qGifDecode, qWavDecode, qWavResample,
-      qAviFrameDecode)
+      qAviFrameDecode, qAviAvDemux)
 }

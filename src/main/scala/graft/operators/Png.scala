@@ -4,8 +4,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** Minimal REAL PNG codec — pure JDK (java.util.zip), no image
   * libraries — for the multimodal pipeline's pixel-level decode stage.
-  * Scope: 8-bit RGB (color type 2), non-interlaced, any mix of the five
-  * scanline filters; everything else returns None (refuse, don't guess).
+  * Scope: 8-bit RGB (color type 2), sequential OR Adam7-interlaced,
+  * any mix of the five scanline filters; everything else returns None
+  * (refuse, don't guess).
   *
   * Why it exists: [[Multimodal.Codec]]'s container-level parse is real
   * ([[Multimodal.ImageHeaders]]), but pixel features were documented
@@ -66,11 +67,31 @@ object Png {
   def pixelG(x: Int, y: Int, seed: Long): Int = (((x * 11L + y * 3L + 2L * seed) % 256L + 256L) % 256L).toInt
   def pixelB(x: Int, y: Int, seed: Long): Int = (((x * 5L + y * 17L + 3L * seed) % 256L + 256L) % 256L).toInt
 
+  /** Adam7 pass geometry (PNG spec §8.2): starting offsets and strides
+    * of the 7 interlace passes over the full image grid. A pass is
+    * EMPTY (no scanlines at all, not even filter bytes) when the image
+    * is too small to contain any of its sample positions. */
+  private val A7ColStart = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7RowStart = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7ColStep = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7RowStep = Array(8, 8, 8, 4, 4, 2, 2)
+
+  private def passDims(w: Int, h: Int, p: Int): (Int, Int) = {
+    val pw = if (w > A7ColStart(p))
+      (w - A7ColStart(p) + A7ColStep(p) - 1) / A7ColStep(p) else 0
+    val ph = if (h > A7RowStart(p))
+      (h - A7RowStart(p) + A7RowStep(p) - 1) / A7RowStep(p) else 0
+    (pw, ph)
+  }
+
   /** A complete, valid RGB-8 PNG of the generative image `seed` —
     * signature, IHDR, one zlib-deflated IDAT, IEND, real CRCs. Row y is
     * written with filter type y % 5, so a decoder must implement ALL
-    * five reconstruction filters to get the pixels back. */
-  def encodeRgb(width: Int, height: Int, seed: Long): Array[Byte] = {
+    * five reconstruction filters to get the pixels back. With
+    * `interlaced` the scanlines are the 7 Adam7 reduced images, each
+    * filtered independently (filter chain resets per pass). */
+  def encodeRgb(width: Int, height: Int, seed: Long,
+      interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"encodeRgb: bad dims ${width}x$height")
     val px = new Array[Byte](width * height * 3)
     var y = 0
@@ -85,25 +106,75 @@ object Png {
       }
       y += 1
     }
-    encodeRgbPixels(width, height, px)
+    encodeRgbPixels(width, height, px, interlaced)
   }
 
   /** Encode an arbitrary row-major RGB-8 pixel buffer as a PNG — the
     * buffer-input core [[encodeRgb]] (generative) and [[resizeRgb]]
     * (resampled) both delegate to; same filter-cycling layout, so any
     * conforming decoder exercises all five filters. */
-  def encodeRgbPixels(width: Int, height: Int,
-      px: Array[Byte]): Array[Byte] = {
+  def encodeRgbPixels(width: Int, height: Int, px: Array[Byte],
+      interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"encodeRgbPixels: bad dims ${width}x$height")
     require(px.length == width * height * 3,
       s"encodeRgbPixels: buffer ${px.length} != ${width}x$height x3")
-    val stride = width * 3
-    val raw = new Array[Byte](height * (1 + stride))
+    val out0 = new java.io.ByteArrayOutputStream()
+    if (interlaced) {
+      var p = 0
+      while (p < 7) {
+        val (pw, ph) = passDims(width, height, p)
+        if (pw > 0 && ph > 0) {
+          // gather the pass's reduced image, then filter it like a
+          // stand-alone image (prev row starts at zero per pass)
+          val sub = new Array[Byte](pw * ph * 3)
+          var j = 0
+          while (j < ph) {
+            val sy = A7RowStart(p) + j * A7RowStep(p)
+            var i = 0
+            while (i < pw) {
+              val sx = A7ColStart(p) + i * A7ColStep(p)
+              System.arraycopy(px, (sy * width + sx) * 3,
+                sub, (j * pw + i) * 3, 3)
+              i += 1
+            }
+            j += 1
+          }
+          out0.write(filterScanlines(pw, ph, sub))
+        }
+        p += 1
+      }
+    } else out0.write(filterScanlines(width, height, px))
+    val raw = out0.toByteArray
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    deflater.end()
+    val ihdr = be4(width.toLong) ++ be4(height.toLong) ++
+      Array[Byte](8, 2, 0, 0, // depth 8, color 2 (RGB)
+        if (interlaced) 1 else 0) // interlace: 0 = none, 1 = Adam7
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Filter `h` scanlines of a w×h RGB-8 buffer into raw PNG scanline
+    * bytes (1 filter byte + 3w filtered bytes per row), cycling filter
+    * type row % 5 — the per-image (or per-Adam7-pass) filtering core
+    * both encode layouts share. */
+  private def filterScanlines(w: Int, h: Int,
+      px: Array[Byte]): Array[Byte] = {
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
     val prev = new Array[Int](stride) // previous row, reconstructed
     val cur = new Array[Int](stride)
     var y = 0
     var o = 0
-    while (y < height) {
+    while (y < h) {
       var x = 0
       while (x < stride) {
         cur(x) = px(y * stride + x) & 0xff
@@ -129,20 +200,7 @@ object Png {
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
-    deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val out = new java.io.ByteArrayOutputStream()
-    while (!deflater.finished()) {
-      val n = deflater.deflate(buf)
-      out.write(buf, 0, n)
-    }
-    deflater.end()
-    val ihdr = be4(width.toLong) ++ be4(height.toLong) ++
-      Array[Byte](8, 2, 0, 0, 0) // depth 8, color 2 (RGB), no interlace
-    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
-      chunk("IEND", Array.emptyByteArray)
+    raw
   }
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
@@ -151,11 +209,12 @@ object Png {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** REAL pixel decode of a conforming PNG (RGB-8, non-interlaced):
-    * chunk walk, concatenated-IDAT zlib inflate, per-row filter
-    * reconstruction, channel sums. None for anything out of scope or
-    * malformed (truncated stream, wrong inflated size, unknown filter,
-    * bad chunk structure) — refuse, never guess. */
+  /** REAL pixel decode of a conforming PNG (RGB-8, sequential or
+    * Adam7-interlaced): chunk walk, concatenated-IDAT zlib inflate,
+    * per-row filter reconstruction (per pass when interlaced),
+    * channel sums. None for anything out of scope or malformed
+    * (truncated stream, wrong inflated size, unknown filter, bad
+    * chunk structure) — refuse, never guess. */
   def pixelStats(b: Array[Byte]): Option[PixelStats] = decodeRgb(b).map {
     case (w, h, px) => statsFromRgb(w, h, px)
   }
@@ -169,6 +228,7 @@ object Png {
       return None
     var i = 8
     var w = -1; var h = -1
+    var interlaced = false
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (!sawEnd && i + 8 <= b.length) {
@@ -189,7 +249,8 @@ object Png {
             ((b(i + 14) & 0xff) << 8) | (b(i + 15) & 0xff))
           val depth = b(i + 16) & 0xff; val color = b(i + 17) & 0xff
           val interlace = b(i + 20) & 0xff
-          if (depth != 8 || color != 2 || interlace != 0) return None
+          if (depth != 8 || color != 2 || interlace > 1) return None
+          interlaced = interlace == 1
         case "IDAT" => idat.write(b, i + 8, len)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks skipped
@@ -200,8 +261,22 @@ object Png {
     // dimension math in Long: w,h are attacker-controlled 31-bit values
     // and h*(1+3w) overflows Int well below their individual bounds
     val strideL = w.toLong * 3L
-    val expectL = h.toLong * (1L + strideL)
-    if (expectL > Int.MaxValue - 8) return None
+    val expectL =
+      if (!interlaced) h.toLong * (1L + strideL)
+      else {
+        // Adam7: Σ over non-empty passes of passH·(1 + 3·passW) —
+        // same Σ pw·ph = w·h pixel payload plus one filter byte per
+        // pass scanline
+        var s = 0L; var p = 0
+        while (p < 7) {
+          val (pw, ph) = passDims(w, h, p)
+          if (pw > 0 && ph > 0) s += ph.toLong * (1L + 3L * pw)
+          p += 1
+        }
+        s
+      }
+    if (expectL > Int.MaxValue - 8 ||
+        h.toLong * strideL > Int.MaxValue - 8) return None
     val stride = strideL.toInt
     val expect = expectL.toInt
     val raw = new Array[Byte](expect)
@@ -226,13 +301,43 @@ object Png {
     finally inflater.end()
     // filter reconstruction (PNG spec §9), bpp = 3
     val px = new Array[Byte](h * stride)
+    if (!interlaced) {
+      if (!unfilter(raw, 0, w, h, px, 0, stride, 1)) return None
+    } else {
+      var o = 0
+      var p = 0
+      while (p < 7) {
+        val (pw, ph) = passDims(w, h, p)
+        if (pw > 0 && ph > 0) {
+          // unfilter the reduced image in place, scattering each
+          // reconstructed pixel to its full-grid position
+          val base = (A7RowStart(p) * w + A7ColStart(p)) * 3
+          if (!unfilter(raw, o, pw, ph, px,
+              base, A7RowStep(p) * stride, A7ColStep(p))) return None
+          o += ph * (1 + pw * 3)
+        }
+        p += 1
+      }
+    }
+    Some((w, h, px))
+  }
+
+  /** Reconstruct `ph` filtered scanlines of `pw` RGB pixels from
+    * `raw` at `off`, writing pixel (i, j) of the (sub-)image to
+    * `out(outBase + j*outRowStride + i*3*outColStep)` — identity
+    * strides for a sequential image, pass geometry for an Adam7
+    * reduced image. False on an out-of-range filter type. */
+  private def unfilter(raw: Array[Byte], off: Int, pw: Int, ph: Int,
+      out: Array[Byte], outBase: Int, outRowStride: Int,
+      outColStep: Int): Boolean = {
+    val stride = pw * 3
     val prev = new Array[Int](stride)
     val cur = new Array[Int](stride)
     var y = 0
-    var o = 0
-    while (y < h) {
+    var o = off
+    while (y < ph) {
       val f = raw(o) & 0xff; o += 1
-      if (f > 4) return None
+      if (f > 4) return false
       var j = 0
       while (j < stride) {
         val x = raw(o + j) & 0xff
@@ -247,14 +352,15 @@ object Png {
           case 4 => (x + paeth(left, up, ul)) & 0xff
         }
         cur(j) = rec
-        px(y * stride + j) = rec.toByte
+        out(outBase + y * outRowStride + (j / 3) * 3 * outColStep +
+          j % 3) = rec.toByte
         j += 1
       }
       o += stride
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    Some((w, h, px))
+    true
   }
 
   /** REAL pixel resize: decode → EXACT-INTEGER bilinear resample →

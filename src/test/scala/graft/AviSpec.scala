@@ -91,4 +91,70 @@ class AviSpec extends AnyFunSuite {
         s"$junk trailing junk bytes must refuse")
     }
   }
+
+  test("A/V profile: interleaved audio re-assembles to the continuous " +
+      "generative signal, frames unchanged, idx1 verified") {
+    import graft.operators.Wav
+    val (w, h, nf, seed, spf) = (9, 7, 3, 5L, 40)
+    val avi = Avi.encodeAv(w, h, nf, seed, samplesPerFrame = spf)
+    val av = Avi.demuxAv(avi).getOrElse(fail("undemuxable A/V AVI"))
+    assert(av.video.length == nf)
+    for (f <- 0 until nf)
+      assert(av.video(f).toSeq == Bmp.encodeRgb(w, h, seed + f).toSeq,
+        s"frame $f bytes")
+    assert(av.audioRate == 8000 && av.audioChannels == 1)
+    assert(av.audio.length == nf * spf * 2)
+    // the concatenated chunks ARE the continuous signal: sample i of
+    // the stream equals Wav.sample(i, seed) across chunk boundaries
+    val (frames, audio) = Avi.avStats(avi).get
+    assert(frames.map(_._1) == (0 until nf))
+    var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+    for (i <- 0 until nf * spf) {
+      val s = Wav.sample(i.toLong, seed)
+      sum += s; mn = math.min(mn, s); mx = math.max(mx, s)
+    }
+    assert(audio.nSamples == nf * spf)
+    assert((audio.sumS, audio.minS, audio.maxS) == ((sum, mn, mx)))
+    // the video-only demux still works on the A/V file (skips audio)
+    assert(Avi.demuxFrames(avi).get.length == nf)
+  }
+
+  test("A/V profile: a lying idx1 refuses — size, offset, fourcc, and " +
+      "entry-count drift all detected") {
+    val good = Avi.encodeAv(8, 8, 2, 1L, samplesPerFrame = 16)
+    assert(Avi.demuxAv(good).isDefined)
+    val at = new String(good, "ISO-8859-1").indexOf("idx1")
+    assert(at > 0)
+    val entries = at + 8
+    // offset field of entry 0 (bytes 8-11 of the entry)
+    val badOff = good.clone(); badOff(entries + 8) = 99.toByte
+    assert(Avi.demuxAv(badOff).isEmpty, "wrong offset must refuse")
+    // size field of entry 1 (bytes 12-15)
+    val badSize = good.clone(); badSize(entries + 16 + 12) = 1.toByte
+    assert(Avi.demuxAv(badSize).isEmpty, "wrong size must refuse")
+    // fourcc of entry 0
+    val badId = good.clone(); badId(entries) = 'x'.toByte
+    assert(Avi.demuxAv(badId).isEmpty, "wrong fourcc must refuse")
+    // shrink the idx1 chunk length by one entry: count mismatch
+    val lenAt = at + 4
+    val len = (good(lenAt) & 0xff) | ((good(lenAt + 1) & 0xff) << 8) |
+      ((good(lenAt + 2) & 0xff) << 16) | ((good(lenAt + 3) & 0xff) << 24)
+    val short = good.dropRight(16).clone()
+    val newLen = len - 16
+    short(lenAt) = (newLen & 0xff).toByte
+    short(lenAt + 1) = ((newLen >> 8) & 0xff).toByte
+    short(lenAt + 2) = ((newLen >> 16) & 0xff).toByte
+    short(lenAt + 3) = ((newLen >> 24) & 0xff).toByte
+    // RIFF length must shrink too or the walk refuses for THAT reason
+    val riffLen = ((short(4) & 0xff) | ((short(5) & 0xff) << 8) |
+      ((short(6) & 0xff) << 16) | ((short(7) & 0xff) << 24)) - 16
+    short(4) = (riffLen & 0xff).toByte
+    short(5) = ((riffLen >> 8) & 0xff).toByte
+    short(6) = ((riffLen >> 16) & 0xff).toByte
+    short(7) = ((riffLen >> 24) & 0xff).toByte
+    assert(Avi.demuxAv(short).isEmpty, "missing index entries must refuse")
+    // a video-only file (no audio stream, no index) refuses in demuxAv
+    assert(Avi.demuxAv(Avi.encode(8, 8, 2, 1L)).isEmpty,
+      "single-stream file is out of the A/V profile's scope")
+  }
 }

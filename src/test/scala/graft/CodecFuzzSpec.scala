@@ -13,16 +13,19 @@ class CodecFuzzSpec extends AnyFunSuite {
 
   private val decoders: Seq[(String, Array[Byte] => Any)] = Seq(
     "png" -> (b => Png.pixelStats(b)),
+    "png_adam7" -> (b => Png.pixelStats(b)),
     "jpeg" -> (b => Jpeg.pixelStats(b)),
     "jpeg_color" -> (b => Jpeg.pixelStatsColor(b)),
     "jpeg_color420" -> (b => Jpeg.pixelStatsColor(b)),
     "bmp" -> (b => Bmp.pixelStats(b)),
     "gif" -> (b => Gif.pixelStats(b)),
     "wav" -> (b => Wav.pcmStats(b)),
-    "avi" -> (b => Avi.frameStats(b)))
+    "avi" -> (b => Avi.frameStats(b)),
+    "avi_av" -> (b => Avi.avStats(b)))
 
   private def seeds(name: String): Array[Byte] = name match {
     case "png" => Png.encodeRgb(21, 13, 7L)
+    case "png_adam7" => Png.encodeRgb(21, 13, 7L, interlaced = true)
     case "jpeg" => Jpeg.encodeGrayBlocks(24, 16,
       (bx, by) => (bx * 7 + by * 13) % 256)
     case "jpeg_color" => Jpeg.encodeColorBlocks(24, 16,
@@ -37,6 +40,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     case "gif" => Gif.encodeGray(21, 13, (x, y) => (x + y) % 256)
     case "wav" => Wav.encodePcm16(300, 8000, 7L)
     case "avi" => Avi.encode(10, 8, 3, 7L)
+    case "avi_av" => Avi.encodeAv(10, 8, 3, 7L, samplesPerFrame = 40)
   }
 
   test("random garbage never throws in any decoder") {

@@ -232,6 +232,45 @@ class MultimodalSpec extends SparkSpec {
       "non-RGB color types are refused")
   }
 
+  test("Png codec: Adam7 interlaced encode decodes pixel-identical to " +
+    "sequential, agrees with ImageIO, and handles pass-empty tiny dims") {
+    import graft.operators.Png
+    // dims chosen to cover: all 7 passes populated (>=8x8), passes
+    // empty in x (w < 8), in y (h < 8), and the 1-pixel degenerate
+    // image where ONLY pass 1 exists
+    for ((w, h, seed) <- Seq((17, 9, 3L), (64, 5, 0L), (3, 200, 42L),
+        (8, 8, 7L), (7, 7, 5L), (2, 2, 1L), (1, 1, 9L), (1, 13, 2L))) {
+      val seq = Png.encodeRgb(w, h, seed)
+      val adam = Png.encodeRgb(w, h, seed, interlaced = true)
+      assert(!java.util.Arrays.equals(seq, adam),
+        s"interlaced bytes must differ from sequential at ${w}x$h")
+      val (dw, dh, px) = Png.decodeRgb(adam).getOrElse(
+        fail(s"undecodable Adam7 ${w}x$h"))
+      val (_, _, pxSeq) = Png.decodeRgb(seq).get
+      assert((dw, dh) == ((w, h)))
+      assert(px.toSeq == pxSeq.toSeq,
+        s"Adam7 deinterlace drift at ${w}x$h seed=$seed")
+      // independent reference decoder on the INTERLACED bytes
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(adam))
+      assert(img != null,
+        s"ImageIO rejected our Adam7 PNG at ${w}x$h — non-conforming")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) ==
+          ((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff)),
+          s"ImageIO disagrees at ($x,$y) of ${w}x$h")
+      }
+    }
+    // refusal: truncating the interlaced stream must refuse
+    val full = Png.encodeRgb(16, 16, 1L, interlaced = true)
+    assert(Png.pixelStats(full.take(full.length - 20)).isEmpty,
+      "truncated Adam7 stream must refuse, not guess")
+    // resize consumes interlaced input through the same decode core
+    assert(Png.resizeRgb(full, 5, 5).isDefined)
+  }
+
   test("Wav codec: roundtrip equals the generative formula AND an " +
     "independent javax.sound decode; refusal paths hold") {
     import graft.operators.Wav
