@@ -111,5 +111,218 @@ object StreamingQueries {
            |FROM events
            |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(qStreamTumbling)
+  /** Watermark LATENESS under the hash gate — the drop semantics
+    * themselves, not just state aggregation. [[qStreamTumbling]]
+    * deliberately neutralizes lateness with a span-wide watermark;
+    * this entry makes arrival order DETERMINISTIC and the watermark
+    * TIGHT, so specific rows are provably late and provably dropped:
+    *
+    *  - the events table is staged as THREE parquet files in a
+    *    scratch ingest dir — (1) even `event_id`s, (2) odd ids from
+    *    the last 10 days, (3) odd ids older than that — with strictly
+    *    increasing mtimes, and `maxFilesPerTrigger=1` + oldest-first
+    *    file ordering pins the micro-batch sequence 1→2→3;
+    *  - three files, not two, because Spark's late-record filter uses
+    *    the PREVIOUS planning pass's watermark (the late/eviction
+    *    watermark split, SPARK-40925): a 2-file layout filters batch 2
+    *    with batch 1's initial zero watermark and drops nothing
+    *    (measured). File 1 explicitly includes the row carrying the
+    *    GLOBAL max event time, so the watermark is already
+    *    `floor(max_ts/1ms) − 360h` after batch 1 and batch 3's late
+    *    filter sits at exactly that value under EITHER phase
+    *    convention — the design is immune to the off-by-one;
+    *  - watermark delay 360 h: batch-3 rows whose 1-hour window END ≤
+    *    that cutoff (≈ the first half of the month) are DROPPED by
+    *    the state store's late-data filter (measured: 2489 of 3340 at
+    *    sf0.01), the rest aggregate normally;
+    *  - the oracle re-derives exactly that: evens and recent odds all
+    *    kept, late odds only where `window_end > (max_ts_us // 1000 −
+    *    delay_ms) × 1000` — the ms-floor mirrors Spark's millisecond
+    *    watermark bookkeeping over microsecond event time.
+    *
+    * A spec asserts the same drain with a span-wide watermark yields a
+    * DIFFERENT result — the gate would catch a watermark that stopped
+    * dropping. */
+  /** The staged 3-file drain behind [[qStreamLate]], with the
+    * watermark delay as a parameter so the spec can prove the delay is
+    * LOAD-BEARING: `lateDrain(_, _, "360 hours")` (the catalog entry)
+    * and a span-wide delay must disagree exactly on the dropped late
+    * rows. */
+  private[graft] def lateDrain(spark: org.apache.spark.sql.SparkSession,
+      dir: String, delay: String): DataFrame = {
+      import spark.implicits._
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val run = java.util.UUID.randomUUID().toString
+      val tmp = sys.props("java.io.tmpdir")
+      val ingest = s"$tmp/graft_stream_late_$run"
+      val ckpt = s"$tmp/graft_stream_late_ckpt_$run"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(ingest).getFileSystem(conf)
+      def stage(name: String, cond: org.apache.spark.sql.Column,
+          mtimeMs: Long): Unit = {
+        val scratch = new org.apache.hadoop.fs.Path(s"$ingest/_stage_$name")
+        ev.filter(cond).coalesce(1).write.parquet(scratch.toString)
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$scratch/part-*.parquet"))(0).getPath
+        val dest = new org.apache.hadoop.fs.Path(s"$ingest/$name.parquet")
+        require(fs.rename(part, dest), s"stage rename failed for $name")
+        fs.delete(scratch, true)
+        // mtime IS the arrival order: the file source takes oldest first
+        fs.setTimes(dest, mtimeMs, -1)
+      }
+      try {
+        val tsUs = unix_micros(tsAsTimestamp(ev))
+        val maxUs = ev.select(max(tsUs)).head.getLong(0)
+        val even = pmod(col("event_id"), lit(2)) === 0
+        val recentCut = maxUs - 864000000000L // 10 days
+        // the global-max row rides in file 1 regardless of parity: the
+        // watermark is final after batch 1 under any phase convention
+        stage("b1_even", even || tsUs === maxUs, 1000000L)
+        stage("b2_odd_recent",
+          !even && tsUs >= recentCut && tsUs =!= maxUs, 2000000L)
+        stage("b3_odd_late", !even && tsUs < recentCut, 3000000L)
+        val src = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(ingest)
+        val agg = src
+          .withColumn("ts", tsAsTimestamp(src))
+          .withWatermark("ts", delay)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(28,10)")).as("total_value_dec"))
+          .select(unix_micros(col("window.start")).as("window_start"),
+            col("event_type"), col("n"),
+            col("total_value_dec").cast("double").as("total_value"))
+        val acc = new java.util.concurrent.ConcurrentHashMap[
+          (Long, String), (Long, Double)]()
+        val q = agg.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.collect().foreach { r =>
+              acc.put((r.getLong(0), r.getString(1)),
+                (r.getLong(2), r.getDouble(3)))
+            }
+          }
+          .start()
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        acc.asScala.toSeq
+          .map { case ((w, t), (n, v)) => (w, t, n, v) }
+          .toDF("window_start", "event_type", "n", "total_value")
+          .orderBy("window_start", "event_type")
+      } finally {
+        fs.delete(new org.apache.hadoop.fs.Path(ingest), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      }
+  }
+
+  val qStreamLate = QueryDef("q_stream_late_1h",
+    (spark, dir) => lateDrain(spark, dir, "360 hours"),
+    // the batch mirror WITH the drop rule spelled out: evens and
+    // recent odds all kept; LATE odds only where the window outlives
+    // the watermark established by the first two batches
+    Some("""WITH e AS (
+           |  SELECT epoch_us(ts) AS tus, event_id, event_type, value
+           |  FROM events
+           |), mx AS (SELECT max(tus) AS m FROM e),
+           |kept AS (
+           |  SELECT tus, event_type, value FROM e
+           |  WHERE event_id % 2 = 0
+           |     OR tus >= (SELECT m FROM mx) - 864000000000
+           |     OR tus - (((tus % 3600000000) + 3600000000) % 3600000000)
+           |        + 3600000000
+           |        > (SELECT (m // 1000 - 1296000000) * 1000 FROM mx)
+           |)
+           |SELECT tus - (((tus % 3600000000) + 3600000000) % 3600000000)
+           |         AS window_start,
+           |       event_type, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+           |         AS total_value
+           |FROM kept
+           |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
+
+  /** Streaming INCREMENTAL near-dup detection under the hash gate —
+    * streaming STATE beyond windowed aggregation: documents arrive
+    * through a file readStream, [[graft.streaming.StreamingNearDup
+    * .candidatePairs]]'s `flatMapGroupsWithState` holds per-(band,
+    * bucket) signature state and emits candidate pairs the moment the
+    * second member lands; the drained candidate set is then verified
+    * to EXACT Jaccard against the static corpus (the batch LSH
+    * pipeline's own verify stage) and the result is hash-checked
+    * against the SAME DuckDB mirror as `q_dedup_minhash_lsh` /
+    * `q_dedup_jaccard`. If the state store lost a bucket entry,
+    * emitted a pair twice with drifting keys, or missed a cross-batch
+    * candidate, a verified pair disappears (or appears) and the hash
+    * breaks.
+    *
+    * Determinism vs micro-batch split: the VERIFIED output is a pure
+    * function of the candidate SET; the candidate set equals "all
+    * pairs sharing any LSH band bucket" for any split, because
+    * within-batch processing compares each arrival against both prior
+    * state and earlier same-batch rows, and `minEstJaccard` = 0.03 is
+    * strictly below one band's agreement floor r/k = 4/128 = 0.03125 —
+    * every genuine bucket-sharer passes. `maxBucket` = 2^20 never
+    * engages at test scale (the production cap story lives with the
+    * operator); recall ≥ the batch path's 1 − 5e-8.
+    *
+    * Scale note: what crosses to the driver is the CANDIDATE PAIR ids
+    * (near-dup cardinality, not corpus cardinality) — the same rows
+    * any at-ingest dedup alarm would publish; verification runs as a
+    * distributed join at candidate cardinality. */
+  val qStreamNearDup = QueryDef("q_stream_neardup_pairs",
+    (spark, dir) => {
+      import spark.implicits._
+      val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_" +
+        java.util.UUID.randomUUID().toString
+      val src = spark.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val cands = graft.streaming.StreamingNearDup.candidatePairs(
+        src, "doc_id", "text", TextQueries.ShingleN,
+        minEstJaccard = 0.03, maxBucket = 1 << 20)
+      val acc = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Long, Long)]()
+      val q = cands.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[
+            graft.streaming.StreamingNearDup.Candidate], _: Long) =>
+            batch.collect().foreach(c => acc.add((c.doc_a, c.doc_b)))
+        }
+        .start()
+      try q.awaitTermination() finally {
+        val p = new org.apache.hadoop.fs.Path(ckpt)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      import scala.jdk.CollectionConverters._
+      val pairs = acc.asScala.toSeq.toDF("doc_a", "doc_b")
+      // exact-verify stage — identical arithmetic to Dedup
+      // .minhashLshPairs' verification join, at candidate cardinality
+      val sets = graft.core.Tables.documents(spark, dir)
+        .select(col("doc_id").cast("long").as("id"),
+          graft.text.TextAnalysis.shingles(col("text"),
+            TextQueries.ShingleN).as("sh"))
+      pairs
+        .join(sets.withColumnRenamed("id", "doc_a")
+          .withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sets.withColumnRenamed("id", "doc_b")
+          .withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn("inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .withColumn("jaccard", col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+            .cast("double"))
+        .filter(col("jaccard") >= TextQueries.MinJaccard)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(TextQueries.jaccardOracle))
+
+  def all: Seq[QueryDef] = Seq(qStreamTumbling, qStreamLate, qStreamNearDup)
 }

@@ -333,7 +333,9 @@ object TextQueries {
 
   private val jaccardCtes: String = jaccardCtesFrom("documents")
 
-  private val jaccardOracle: String =
+  // private[graft]: the streaming near-dup entry verifies its drained
+  // candidate set to EXACT jaccard pairs, landing on this same mirror
+  private[graft] val jaccardOracle: String =
     s"""WITH $jaccardCtes
        |SELECT doc_a, doc_b, jaccard FROM dup_pairs
        |ORDER BY doc_a, doc_b""".stripMargin

@@ -428,4 +428,37 @@ class StreamingSpec extends SparkSpec {
         (r.getLong(2), r.getDouble(3))).toMap
     assert(oneBatch == batch, "streaming final state must equal the batch twin")
   }
+
+  test("q_stream_late_1h: the tight watermark is load-bearing — late " +
+      "rows drop, and a span-wide delay disagrees exactly on them") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val tight = toMap(StreamingQueries.lateDrain(spark, sfDir, "360 hours"))
+    val wide = toMap(StreamingQueries.lateDrain(spark, sfDir, "3650 days"))
+    // removing the watermark MUST change the result — this is what the
+    // hash gate would catch if the drop semantics silently vanished
+    assert(tight != wide, "span-wide delay must differ from the tight one")
+    // the wide drain equals the full batch aggregate (nothing dropped)
+    val ev = graft.core.Tables.eventsMicros(spark, sfDir)
+      .withColumn("w", col("ts") - pmod(col("ts"), lit(3600L * 1000 * 1000)))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("w", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("tv"))
+    assert(wide == toMap(agg(ev)))
+    // the tight drain equals the batch mirror WITH the drop rule: the
+    // same predicate the DuckDB oracle states, computed here in Spark
+    val maxUs = ev.agg(max(col("ts"))).head.getLong(0)
+    val cutoff = (maxUs / 1000L - 360L * 3600 * 1000) * 1000
+    val kept = ev.filter(
+      pmod(col("event_id"), lit(2)) === 0 ||
+        col("ts") >= maxUs - 864000000000L ||
+        col("w") + 3600000000L > cutoff)
+    assert(tight == toMap(agg(kept)),
+      "tight drain must equal the explicit drop-rule mirror")
+    // and rows really were dropped (not just re-grouped)
+    assert(tight.values.map(_._1).sum < wide.values.map(_._1).sum,
+      "the tight watermark must drop a nonzero number of late rows")
+  }
 }
