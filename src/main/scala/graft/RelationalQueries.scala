@@ -359,6 +359,48 @@ object RelationalQueries {
            |WHERE o_orderkey % 4 IN (0, 1) AND o_totalprice > 150000.0
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** PARTITIONED DSv2 write under the oracle gate
+    * ([[graft.sources.GraftParquetWrite]]'s `partitionBy` option): the
+    * orders slice lands in a Hive-style `o_orderpriority=<v>/` layout
+    * (values in the directory name AND in the files — the Iceberg
+    * convention), the manifest covers every partitioned file, and the
+    * read-back filters ON the partition column — so planning prunes
+    * whole directories from the listing before the zone maps are even
+    * consulted (spec-asserted with the manifest removed), and a write
+    * that misrouted a row to the wrong partition directory changes
+    * which files survive pruning and breaks the hash. */
+  val qDsv2PartitionedWrite = QueryDef("q_dsv2_partitioned_write",
+    (spark, dir) => {
+      val fmt = "graft.sources.GraftParquetTableProvider"
+      val out = s"${sys.props("java.io.tmpdir")}/graft_dsv2_part_" +
+        java.util.UUID.randomUUID().toString
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.deleteOnExit(p) // UUID dirs are single-use: reap at JVM exit
+      Tables.orders(spark, dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+        .write.format(fmt).option("path", out)
+        .option("partitionBy", "o_orderpriority").mode("append").save()
+      spark.read.format(fmt).option("path", out).load()
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_totalprice") > 100000.0)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum("o_custkey").as("sum_cust"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    },
+    Some("""SELECT o_orderpriority, o_orderstatus,
+           |       CAST(count(*) AS BIGINT) AS n_orders,
+           |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM orders
+           |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |  AND o_totalprice > 100000.0
+           |GROUP BY o_orderpriority, o_orderstatus
+           |ORDER BY o_orderpriority, o_orderstatus""".stripMargin))
+
   /** TPC-H Q3 ("shipping priority") adapted to this schema: segment-
     * filtered customers ⋈ date-bounded orders ⋈ ship-date-bounded
     * lineitems, revenue per open order, top 10. The canonical selective-
@@ -757,6 +799,7 @@ object RelationalQueries {
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
     qDsv2Pushdown, qDsv2AggPushdown, qDsv2SumPushdown, qDsv2GroupPushdown,
     qDsv2RuntimeFilter, qDsv2WriteRoundtrip, qDsv2TopNPushdown,
+    qDsv2PartitionedWrite,
     qShippingPriority,
     qLocalSupplierVolume,
     qLargeOrders, qProfileDocuments, qZorderCells, qTriangles, qPageRank,

@@ -219,7 +219,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType)
     GraftParquetScan(path,
       aggs.map(a => StructType(groupCols ++ GraftAggSpec.schema(a)))
         .getOrElse(required),
-      pushed, limit, aggs, groupCols, topN)
+      pushed, limit, aggs, groupCols, topN, tableSchema)
 }
 
 /** One pushed sort key (serialized to executors with the reader
@@ -275,7 +275,11 @@ case class GraftParquetScan(path: String, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
     aggs: Option[Seq[GraftAggSpec]] = None,
     groupBy: Seq[StructField] = Nil,
-    topN: Option[(Seq[GraftSortKey], Int)] = None)
+    topN: Option[(Seq[GraftSortKey], Int)] = None,
+    // full table schema — types the `col=value` directory values for
+    // partition pruning; empty (direct constructions in specs) just
+    // disables that pruning, never affects correctness
+    tableSchema: StructType = new StructType())
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -372,26 +376,33 @@ case class GraftParquetScan(path: String, required: StructType,
     val files = GraftParquetV2.listFiles(path)
     val conj = pushed ++ runtimeFilters
     val kept =
-      if (conj.isEmpty || statsManifest.isEmpty) files
+      if (conj.isEmpty) files
       else {
         // huge In lists (DPP keys) sort ONCE and range-probe per file in
         // O(log keys); everything else goes through the generic engine —
         // without the split, planning is O(files × keys) on the driver
         val (sortedIns, residue) = GraftFilterEval.compileSortedIns(conj)
         files.filter { f =>
-          statsManifest.get(new Path(f).getName) match {
-            case Some(cols) =>
-              def inRefutes(si: GraftFilterEval.SortedIn): Boolean =
-                cols.get(si.attribute).exists { s =>
-                  (s.nullsSet && s.numNulls == s.valueCount) ||
-                    (s.min != null && s.max != null &&
-                      si.noneInRange(s.min, s.max))
-                }
-              val refuted = sortedIns.exists(inRefutes) ||
-                GraftStatsPrune.provablyEmptyStats(residue, cols.get)
-              if (refuted) GraftScanTelemetry.skippedFiles.increment()
-              !refuted
-            case None => true // unknown file: always read
+          // partition-directory values join the file's manifest entries
+          // as degenerate zone maps (min = max = value) — one proof
+          // engine prunes on both; partition values win a key clash
+          // (they are exact where a zone map is only a range)
+          val cols = statsManifest
+            .getOrElse(new Path(f).getName,
+              Map.empty[String, GraftStatsPrune.ColStats]) ++
+            GraftParquetV2.partitionColStats(path, f, tableSchema)
+          if (cols.isEmpty) true // unknown file: always read
+          else {
+            def inRefutes(si: GraftFilterEval.SortedIn): Boolean =
+              cols.get(si.attribute).exists { s =>
+                (s.nullsSet && s.numNulls == s.valueCount) ||
+                  (s.min != null && s.max != null &&
+                    si.noneInRange(s.min, s.max))
+              }
+            val refuted = sortedIns.exists(inRefutes) ||
+              GraftStatsPrune.provablyEmptyStats(residue, cols.get)
+            if (refuted) GraftScanTelemetry.skippedFiles.increment()
+            !refuted
           }
         }
       }
@@ -1003,16 +1014,78 @@ object GraftParquetV2 {
     p
   }
 
-  /** A path is one parquet file or a directory of them. */
-  def listFiles(path: String): Seq[String] = {
+  /** A path is one parquet file, a directory of them, or a directory
+    * of Hive-style `col=value` partition directories (any nesting
+    * depth — one level per partition column). Underscore/dot names are
+    * invisible (staging trees, sidecars), and recursion is LIMITED to
+    * `col=value` directories so an unrelated nested dir never leaks
+    * rows into the table. */
+  def listFiles(path: String): Seq[String] =
+    listFileStatuses(path).map(_.getPath.toString).sorted
+
+  private[sources] def listFileStatuses(path: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-        .map(_.toString).sorted
-    else Seq(path)
+    val root = fs.getFileStatus(p)
+    if (!root.isDirectory) return Seq(root)
+    val out = collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (st.isDirectory) { if (n.contains("=")) walk(st.getPath) }
+        else if (n.endsWith(".parquet")) out += st
+      }
+    }
+    walk(p)
+    out.toSeq
   }
+
+  /** Hive's spelling for a null partition value in a directory name. */
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** `col=value` pairs from a file's directory path relative to the
+    * table root — Nil for a flat table. Values are URL-decoded (the
+    * writer's escaping); order is outermost directory first. */
+  def partitionSpec(root: String, file: String): Seq[(String, String)] = {
+    val rootPath = new Path(root).toUri.getPath
+    val filePath = new Path(file).toUri.getPath
+    if (!filePath.startsWith(rootPath)) return Nil
+    filePath.stripPrefix(rootPath).stripPrefix("/")
+      .split('/').dropRight(1).toSeq.flatMap { d =>
+        val i = d.indexOf('=')
+        if (i <= 0) None
+        else Some(d.substring(0, i) ->
+          java.net.URLDecoder.decode(d.substring(i + 1), "UTF-8"))
+      }
+  }
+
+  /** Partition values as degenerate zone maps (min = max = the value;
+    * null partition = provably all-null) — so the one refutation
+    * engine does PARTITION pruning and zone-map pruning in the same
+    * pass, manifest or no manifest. Unparseable or out-of-scope values
+    * yield no entry: the file is then simply read (degrade to correct,
+    * never wrongly pruned). */
+  def partitionColStats(root: String, file: String, schema: StructType)
+      : Map[String, GraftStatsPrune.ColStats] =
+    partitionSpec(root, file).flatMap { case (c, raw) =>
+      schema.fields.find(_.name == c).flatMap { f =>
+        if (raw == HiveDefaultPartition)
+          Some(c -> GraftStatsPrune.ColStats(null, null, 1L, true, 1L))
+        else typedPartValue(f.dataType, raw)
+          .map(v => c -> GraftStatsPrune.ColStats(v, v, 0L, true, 1L))
+      }
+    }.toMap
+
+  /** Integrals box as Long — the manifest's "long" kind convention, so
+    * [[GraftFilterEval.cmp]] sees the same shapes either way. */
+  private def typedPartValue(dt: DataType, raw: String): Option[Any] =
+    try dt match {
+      case IntegerType | LongType => Some(Long.box(raw.toLong))
+      case StringType => Some(UTF8String.fromString(raw))
+      case BooleanType => Some(Boolean.box(raw.toBoolean))
+      case _ => None
+    } catch { case _: IllegalArgumentException => None }
 
   /** Sidecar directory name for the write-time per-file zone-map
     * manifest ([[Sinks.parquetWithStats]]); the leading underscore
@@ -1075,16 +1148,8 @@ object GraftParquetV2 {
   /** Total on-disk bytes of the table's files — from filesystem
     * metadata only (the same listing planInputPartitions already pays;
     * NO footer reads, so planning stays O(files) cheap at any scale). */
-  def totalFileBytes(path: String): Long = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).toSeq
-        .filter(f => f.getPath.getName.endsWith(".parquet") &&
-          !f.getPath.getName.startsWith("_"))
-        .map(_.getLen).sum
-    else fs.getFileStatus(p).getLen
-  }
+  def totalFileBytes(path: String): Long =
+    listFileStatuses(path).map(_.getLen).sum
 
   def firstFile(path: String): String = {
     val fs = listFiles(path)

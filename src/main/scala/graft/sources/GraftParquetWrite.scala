@@ -60,6 +60,18 @@ import org.apache.spark.sql.types._
   * commit coordinator (on by default for batch writes) guarantees one
   * committed attempt per partition under speculation.
   *
+  * PARTITIONED layout (the `partitionBy` write option): rows route to
+  * Hive-style `col=value/` directories (URL-encoded values, null as
+  * `__HIVE_DEFAULT_PARTITION__`), staged under the SAME relative
+  * layout so commit stays rename-only, and partition values are also
+  * written into the data files (the Iceberg convention) so the read
+  * side needs no schema surgery — the scan prunes whole directories
+  * from the listing via the same refutation engine as the zone maps
+  * (partition value = a degenerate min==max zone map). Scale note: a
+  * task holds one open writer per distinct partition value it sees;
+  * the caller keeps that bounded the standard way — repartition by the
+  * partition columns first, giving one writer per task.
+  *
   * Scope mirrors the read side deliberately: flat primitive schemas
   * only (int/long/double/float/boolean/string/binary/date/timestamp),
   * declined LOUDLY at plan time for anything nested — the built-in
@@ -68,7 +80,7 @@ import org.apache.spark.sql.types._
   * Reference context: the reference's only sink is text
   * (`/root/reference/pipelines/cycle_rides.py:60-70`); a manifested
   * columnar sink is part of graft's lakehouse extension surface. */
-final case class GraftCommitMessage(file: Option[String],
+final case class GraftCommitMessage(files: Seq[String],
     stats: Seq[GraftManifestEntry]) extends WriterCommitMessage
 
 /** One manifest row (file × column zone-map entry) in plain-JVM form —
@@ -88,25 +100,52 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
     // schema validation at PLAN time — an unsupported column fails the
     // write before any task launches, not halfway through a fan-out
     GraftParquetWrite.messageType(info.schema())
-    new GraftBatchWrite(path, info.schema(), doTruncate)
+    // partition columns via the `partitionBy` WRITE OPTION (comma-
+    // separated, outermost first): the TableProvider path has no
+    // catalog to carry table partitioning, so the option IS the DDL.
+    // Validated here, loudly: unknown columns or types whose directory
+    // rendering wouldn't round-trip (floats, binary, timestamps) fail
+    // before any task launches. Values land in the directory NAME and
+    // ALSO in the data files — the Iceberg convention — so the reader
+    // needs no schema surgery and partition pruning is pure listing.
+    val partCols = Option(info.options.get("partitionBy")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val partitionable: Set[DataType] =
+      Set(IntegerType, LongType, StringType, BooleanType)
+    partCols.foreach { c =>
+      val f = info.schema().fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft parquet v2 write: partition column '$c' not in schema"))
+      require(partitionable(f.dataType),
+        s"graft parquet v2 write: partition column '$c' has type " +
+          s"${f.dataType} — only int/long/string/boolean values have an " +
+          "exact directory-name round-trip")
+    }
+    require(partCols.size < info.schema().size || partCols.isEmpty,
+      "graft parquet v2 write: partitioning on EVERY column leaves no " +
+        "data columns")
+    new GraftBatchWrite(path, info.schema(), doTruncate, partCols)
   }
 }
 
-class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean)
-    extends Write with BatchWrite {
+class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
+    partCols: Seq[String] = Nil) extends Write with BatchWrite {
   private val writeId = UUID.randomUUID().toString
   override def toBatch: BatchWrite = this
   override def description(): String =
-    s"GraftParquetWrite path=$path, truncate=$truncate"
+    s"GraftParquetWrite path=$path, truncate=$truncate" +
+      (if (partCols.nonEmpty)
+        s", partitionBy=[${partCols.mkString(", ")}]" else "")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = GraftDataWriterFactory(path, schema, writeId)
+      : DataWriterFactory =
+    GraftDataWriterFactory(path, schema, writeId, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(new Configuration())
     val staging = new Path(path, s"_staging-$writeId")
     val committed = messages.collect {
-      case GraftCommitMessage(Some(f), stats) => (f, stats)
+      case GraftCommitMessage(fsq, stats) if fsq.nonEmpty => (fsq, stats)
     }
     // TRUNCATE deletes the old generation BEFORE renaming the new one
     // in: a reader racing the commit sees a shrinking-then-growing table
@@ -127,9 +166,15 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean)
       }
       preExisting.foreach(f => fs.delete(new Path(f), false))
     }
-    committed.foreach { case (f, _) =>
-      val ok = fs.rename(new Path(staging, f), new Path(path, f))
-      require(ok, s"graft parquet v2 write: commit rename failed for $f")
+    committed.foreach { case (fsq, _) =>
+      fsq.foreach { f =>
+        // f is the RELATIVE path (partition dirs included): staging
+        // mirrors the final layout, so commit is still rename-only
+        val dest = new Path(path, f)
+        if (f.contains("/")) fs.mkdirs(dest.getParent)
+        val ok = fs.rename(new Path(staging, f), dest)
+        require(ok, s"graft parquet v2 write: commit rename failed for $f")
+      }
     }
     fs.delete(staging, true)
     val prior =
@@ -145,54 +190,92 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean)
 }
 
 case class GraftDataWriterFactory(path: String, schema: StructType,
-    writeId: String) extends DataWriterFactory {
+    writeId: String, partCols: Seq[String] = Nil)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new GraftDataWriter(path, schema, writeId, partitionId, taskId)
+    new GraftDataWriter(path, schema, writeId, partitionId, taskId,
+      partCols)
 }
 
 /** Task-side parquet writer over the Group API (the symmetric twin of
-  * [[GraftPartitionReader]]'s Group decode). The file is created LAZILY
-  * on the first row, so an empty input partition commits no file at all
-  * instead of littering the table with zero-row parquet. */
+  * [[GraftPartitionReader]]'s Group decode). Files are created LAZILY
+  * on the first row (per partition value when partitioned), so an
+  * empty input partition commits no file at all instead of littering
+  * the table with zero-row parquet. With partition columns, rows route
+  * to one child writer per distinct value tuple, staged under the
+  * mirrored `col=value/...` layout; partition values are URL-encoded
+  * in the directory name (exact round-trip for any string) and null
+  * renders as Hive's `__HIVE_DEFAULT_PARTITION__`. Basenames carry a
+  * per-task ordinal so every file in the table stays uniquely named —
+  * the manifest keys on basenames. */
 class GraftDataWriter(path: String, schema: StructType, writeId: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
-  private val fileName = f"part-$partitionId%05d-$taskId-$writeId.parquet"
-  private val staged =
-    new Path(new Path(path, s"_staging-$writeId"), fileName)
+    partitionId: Int, taskId: Long, partCols: Seq[String] = Nil)
+    extends DataWriter[InternalRow] {
+  private val staging = new Path(path, s"_staging-$writeId")
   private val messageType = GraftParquetWrite.messageType(schema)
   private val factory = new SimpleGroupFactory(messageType)
-  private var writer: ParquetWriter[Group] = null
+  private val partIdx: Seq[(Int, String)] = partCols.map { c =>
+    (schema.fieldIndex(c), c) // validated at plan time
+  }
+  // relative dir ("" for flat) → open writer + its relative file path
+  private val writers = collection.mutable.LinkedHashMap
+    .empty[String, (ParquetWriter[Group], String)]
   private var closed = false
 
-  override def write(row: InternalRow): Unit = {
-    if (writer == null)
-      writer = ExampleParquetWriter
-        .builder(HadoopOutputFile.fromPath(staged, new Configuration()))
+  private def renderValue(row: InternalRow, at: Int): String =
+    if (row.isNullAt(at)) GraftParquetV2.HiveDefaultPartition
+    else java.net.URLEncoder.encode(schema.fields(at).dataType match {
+      case IntegerType => row.getInt(at).toString
+      case LongType => row.getLong(at).toString
+      case BooleanType => row.getBoolean(at).toString
+      case StringType => row.getUTF8String(at).toString
+      case other => throw new IllegalStateException(
+        s"unreachable partition type $other") // build() already threw
+    }, "UTF-8")
+
+  private def writerFor(row: InternalRow): ParquetWriter[Group] = {
+    val relDir = partIdx.map { case (at, c) =>
+      s"$c=${renderValue(row, at)}"
+    }.mkString("/")
+    writers.getOrElseUpdate(relDir, {
+      val fileName = f"part-$partitionId%05d-$taskId-$writeId-" +
+        f"${writers.size}%04d.parquet"
+      val rel = if (relDir.isEmpty) fileName else s"$relDir/$fileName"
+      val w = ExampleParquetWriter
+        .builder(HadoopOutputFile.fromPath(
+          new Path(staging, rel), new Configuration()))
         .withType(messageType)
         .withCompressionCodec(CompressionCodecName.SNAPPY)
         .build()
-    writer.write(GraftParquetWrite.toGroup(factory, schema, row))
+      (w, rel)
+    })._1
   }
 
+  override def write(row: InternalRow): Unit =
+    writerFor(row).write(GraftParquetWrite.toGroup(factory, schema, row))
+
   override def commit(): WriterCommitMessage =
-    if (writer == null) GraftCommitMessage(None, Nil)
+    if (writers.isEmpty) GraftCommitMessage(Nil, Nil)
     else {
-      writer.close(); closed = true
-      // footer read-back of the just-written file: the ONLY place the
-      // new file's column chunk stats exist; same executor, page-cache
+      writers.values.foreach(_._1.close()); closed = true
+      // footer read-back of the just-written files: the ONLY place the
+      // new files' column chunk stats exist; same executor, page-cache
       // warm — the manifest I/O rides the write, as in parquetWithStats
-      GraftCommitMessage(Some(fileName),
-        GraftParquetWrite.fileStatsEntries(staged.toString))
+      val rels = writers.values.map(_._2).toSeq
+      GraftCommitMessage(rels, rels.flatMap(rel =>
+        GraftParquetWrite.fileStatsEntries(
+          new Path(staging, rel).toString)))
     }
 
   override def abort(): Unit = {
-    if (writer != null && !closed) { writer.close(); closed = true }
-    staged.getFileSystem(new Configuration()).delete(staged, false)
+    if (!closed) { writers.values.foreach(_._1.close()); closed = true }
+    val fs = staging.getFileSystem(new Configuration())
+    writers.values.foreach(v => fs.delete(new Path(staging, v._2), false))
   }
 
   override def close(): Unit =
-    if (writer != null && !closed) { writer.close(); closed = true }
+    if (!closed) { writers.values.foreach(_._1.close()); closed = true }
 }
 
 object GraftParquetWrite {

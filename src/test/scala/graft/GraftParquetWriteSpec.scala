@@ -228,4 +228,101 @@ class GraftParquetWriteSpec extends SparkSpec {
       .map(_.getName).filter(n => n.contains("_staging") || n.contains(".tmp-"))
     assert(stray.isEmpty, s"leftover staging dirs: ${stray.toSeq}")
   }
+
+  test("partitioned write: col=value layout, exact read-back, and " +
+      "partition pruning from the LISTING alone (manifest removed)") {
+    val dir = tmp("part")
+    val src = docs.filter(col("doc_id") < 200L)
+    src.write.format(fmt).option("path", dir)
+      .option("partitionBy", "lang").mode("append").save()
+    // layout: exactly one lang=<value> dir per distinct value, nothing
+    // at the top level but partition dirs and the sidecar
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filterNot(_.startsWith("_"))
+    val langs = src.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(top.toSet == langs.map(l => s"lang=$l"), s"layout: $top")
+    // exact roundtrip through the connector (values come from files)
+    assert(viaV2(dir).orderBy("doc_id").collect().toSeq ==
+      src.orderBy("doc_id").collect().toSeq)
+    // manifest covers every partitioned file, keyed by basename
+    assert(GraftParquetV2.loadStatsManifest(dir).keySet ==
+      GraftParquetV2.listFiles(dir)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet)
+    // partition pruning with the manifest REMOVED: the `col=value`
+    // directory names alone must prune the listing
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/${GraftParquetV2.StatsSidecar}"), true)
+    val one = langs.head
+    val scan = graftScan(viaV2(dir).filter(col("lang") === one))
+    val planned = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftInputPartition].file)
+    assert(planned.nonEmpty && planned.forall(_.contains(s"lang=$one")),
+      s"partition pruning failed: $planned")
+    assert(planned.length < GraftParquetV2.listFiles(dir).length,
+      "some partition directories must have been pruned")
+    // and the filtered read is still exact
+    assert(viaV2(dir).filter(col("lang") === one).count() ==
+      src.filter(col("lang") === one).count())
+    // truncate-overwrite replaces the partitioned generation too
+    val repl = docs.filter(col("doc_id").between(300L, 320L))
+    repl.write.format(fmt).option("path", dir)
+      .option("partitionBy", "lang").mode("overwrite").save()
+    assert(viaV2(dir).orderBy("doc_id").collect().toSeq ==
+      repl.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("partitioned write: null and URL-hostile partition values " +
+      "round-trip; null-dir pruning follows Is[Not]Null") {
+    import spark.implicits._
+    val dir = tmp("partnull")
+    val rows = Seq((1L, "a b/c"), (2L, null), (3L, "x=y"), (4L, "plain"))
+    rows.toDF("id", "k").write.format(fmt).option("path", dir)
+      .option("partitionBy", "k").mode("append").save()
+    // the slash MUST be escaped or it would nest a bogus directory
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).toSet
+    assert(top.contains(s"k=${GraftParquetV2.HiveDefaultPartition}"))
+    assert(top.exists(_.contains("%2F")), s"unescaped slash in $top")
+    val back = viaV2(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq
+    assert(back == rows)
+    def plannedFiles(df: DataFrame): Seq[String] =
+      graftScan(df).planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.GraftInputPartition].file).toSeq
+    // IsNotNull prunes the null dir; IsNull prunes every value dir
+    val notNull = plannedFiles(viaV2(dir).filter(col("k").isNotNull))
+    assert(notNull.length == 3 &&
+      notNull.forall(!_.contains(GraftParquetV2.HiveDefaultPartition)))
+    val isNull = plannedFiles(viaV2(dir).filter(col("k").isNull))
+    assert(isNull.length == 1 &&
+      isNull.head.contains(GraftParquetV2.HiveDefaultPartition))
+    // the escaped value prunes exactly by equality
+    val eq = plannedFiles(viaV2(dir).filter(col("k") === "a b/c"))
+    assert(eq.length == 1 && eq.head.contains("k=a+b%2Fc"), s"got $eq")
+  }
+
+  test("partitioned write: plan-time validation refuses unknown and " +
+      "inexact partition columns") {
+    import spark.implicits._
+    val dir = tmp("partbad")
+    val df = Seq((1L, 1.5)).toDF("id", "v")
+    val unknown = intercept[Exception] {
+      df.write.format(fmt).option("path", dir)
+        .option("partitionBy", "nope").mode("append").save()
+    }
+    assert(unknown.getMessage.contains("not in schema"),
+      s"got: ${unknown.getMessage}")
+    val floaty = intercept[Exception] {
+      df.write.format(fmt).option("path", dir)
+        .option("partitionBy", "v").mode("append").save()
+    }
+    assert(floaty.getMessage.contains("round-trip"),
+      s"got: ${floaty.getMessage}")
+  }
 }
