@@ -70,7 +70,10 @@ import org.apache.spark.sql.types._
   * (partition value = a degenerate min==max zone map). Scale note: a
   * task holds one open writer per distinct partition value it sees;
   * the caller keeps that bounded the standard way — repartition by the
-  * partition columns first, giving one writer per task.
+  * partition columns first, giving one writer per task. Overwrite of a
+  * partitioned table honors `partitionOverwriteMode=dynamic`: only the
+  * partitions present in the incoming data are replaced (files AND
+  * manifest rows); static (default) truncates the whole table.
   *
   * Scope mirrors the read side deliberately: flat primitive schemas
   * only (int/long/double/float/boolean/string/binary/date/timestamp),
@@ -124,12 +127,23 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
     require(partCols.size < info.schema().size || partCols.isEmpty,
       "graft parquet v2 write: partitioning on EVERY column leaves no " +
         "data columns")
-    new GraftBatchWrite(path, info.schema(), doTruncate, partCols)
+    // partitionOverwriteMode=dynamic (the v1 FileFormatWriter option,
+    // honored here for the connector): overwrite replaces ONLY the
+    // partitions the incoming data touches; untouched partitions — and
+    // their manifest rows — survive. Static (default) truncates all.
+    val dynamic = "dynamic".equalsIgnoreCase(
+      Option(info.options.get("partitionOverwriteMode")).getOrElse("static"))
+    require(!dynamic || partCols.nonEmpty,
+      "graft parquet v2 write: partitionOverwriteMode=dynamic needs " +
+        "partition columns (partitionBy)")
+    new GraftBatchWrite(path, info.schema(), doTruncate, partCols,
+      dynamic)
   }
 }
 
 class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
-    partCols: Seq[String] = Nil) extends Write with BatchWrite {
+    partCols: Seq[String] = Nil, dynamicOverwrite: Boolean = false)
+    extends Write with BatchWrite {
   private val writeId = UUID.randomUUID().toString
   override def toBatch: BatchWrite = this
   override def description(): String =
@@ -152,6 +166,9 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // (incomplete — the documented mid-overwrite window) but never the
     // UNION of both generations, which would be duplicated rows — wrong
     // rather than merely partial
+    // basenames of files this commit deletes — their manifest rows
+    // must not be carried forward
+    var deleted = Set.empty[String]
     if (truncate) {
       // Only a MISSING table dir means "fresh table, nothing to delete".
       // Any other listing failure (transient IO, permissions) must fail
@@ -164,7 +181,31 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
       val preExisting = try GraftParquetV2.listFiles(path) catch {
         case _: java.io.FileNotFoundException => Nil // fresh table
       }
-      preExisting.foreach(f => fs.delete(new Path(f), false))
+      // dynamic partition overwrite: only files under the partition
+      // directories the NEW data touches are replaced; every other
+      // partition (and any flat legacy file) survives, manifest rows
+      // included. Same shrink-then-grow visibility story, scoped to
+      // the touched partitions.
+      val touchedDirs: Set[String] =
+        committed.flatMap(_._1).map { rel =>
+          val cut = rel.lastIndexOf('/')
+          if (cut < 0) "" else rel.substring(0, cut)
+        }.toSet
+      val doomed =
+        if (!dynamicOverwrite) preExisting
+        else preExisting.filter { f =>
+          GraftParquetV2.partitionSpec(path, f) match {
+            case Nil => false // flat legacy file: dynamic spares it
+            case spec => touchedDirs.contains(
+              // compare the RAW directory string, not decoded values —
+              // the writer's encoding is canonical either way
+              new Path(f).getParent.toUri.getPath
+                .stripPrefix(new Path(path).toUri.getPath)
+                .stripPrefix("/")) && spec.nonEmpty
+          }
+        }
+      deleted = doomed.map(f => new Path(f).getName).toSet
+      doomed.foreach(f => fs.delete(new Path(f), false))
     }
     committed.foreach { case (fsq, _) =>
       fsq.foreach { f =>
@@ -178,7 +219,9 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     }
     fs.delete(staging, true)
     val prior =
-      if (truncate) Nil else GraftParquetWrite.rawManifestEntries(path)
+      if (truncate && !dynamicOverwrite) Nil
+      else GraftParquetWrite.rawManifestEntries(path)
+        .filterNot(e => deleted.contains(e.file))
     GraftParquetWrite.replaceManifest(path,
       prior ++ committed.flatMap(_._2), writeId)
   }

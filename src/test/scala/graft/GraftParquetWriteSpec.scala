@@ -307,6 +307,47 @@ class GraftParquetWriteSpec extends SparkSpec {
     assert(eq.length == 1 && eq.head.contains("k=a+b%2Fc"), s"got $eq")
   }
 
+  test("partitioned write: partitionOverwriteMode=dynamic replaces only " +
+      "the touched partitions — files, rows, and manifest entries") {
+    val dir = tmp("partdyn")
+    val src = docs.filter(col("doc_id") < 200L)
+    src.write.format(fmt).option("path", dir)
+      .option("partitionBy", "lang").mode("append").save()
+    val langs = src.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(langs.size >= 2, s"fixture needs >=2 langs, got $langs")
+    val target = langs.head
+    // new generation for ONE partition only
+    val repl = docs.filter(col("doc_id").between(300L, 340L) &&
+      col("lang") === target)
+    assert(repl.count() > 0, "fixture must repopulate the target lang")
+    repl.write.format(fmt).option("path", dir)
+      .option("partitionBy", "lang")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").save()
+    // untouched partitions keep the OLD rows; the target has ONLY new
+    val want = src.filter(col("lang") =!= target).unionByName(repl)
+    assert(viaV2(dir).orderBy("doc_id").collect().toSeq ==
+      want.orderBy("doc_id").collect().toSeq)
+    // manifest exactly covers the current files — no stale rows for
+    // the replaced generation, no lost rows for the survivors
+    assert(GraftParquetV2.loadStatsManifest(dir).keySet ==
+      GraftParquetV2.listFiles(dir)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet)
+    // STATIC overwrite on the same table still truncates everything
+    repl.write.format(fmt).option("path", dir)
+      .option("partitionBy", "lang").mode("overwrite").save()
+    assert(viaV2(dir).orderBy("doc_id").collect().toSeq ==
+      repl.orderBy("doc_id").collect().toSeq)
+    // dynamic without partition columns is refused at plan time
+    val e = intercept[Exception] {
+      docs.limit(1).write.format(fmt).option("path", dir)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("dynamic"), s"got: ${e.getMessage}")
+  }
+
   test("partitioned write: plan-time validation refuses unknown and " +
       "inexact partition columns") {
     import spark.implicits._
