@@ -243,6 +243,105 @@ object StreamingQueries {
            |FROM kept
            |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
 
+  /** SESSION WINDOWS under the hash gate — the third streaming state
+    * shape (after tumbling windows and arbitrary keyed state): a real
+    * `session_window(ts, 2h)` aggregation whose merging state store
+    * must land on exactly the sessions a relational
+    * gaps-and-islands derivation produces. The DuckDB oracle re-derives
+    * sessionization the classic way — break when the inter-arrival gap
+    * ≥ 2 h (`lag` window), running-sum the breaks into session ids,
+    * aggregate per (user, session) — so a mis-merged, split, or
+    * mis-extended session breaks the hash; at sf0.01 ~17% of events
+    * merge into multi-event sessions, so the merge path is genuinely
+    * load-bearing. Session end = last event + gap (Spark's contract),
+    * mirrored as `max(ts) + gap`.
+    *
+    * The events table is staged as ONE coalesced file so the drain is
+    * a single micro-batch: update-mode emissions are then final per
+    * key, and the upsert key (user, session_start) is stable — the
+    * cross-batch session-MERGE behavior (where a later batch can
+    * subsume an earlier emission under a new start) is exercised by
+    * the MemoryStream session spec instead, where arrival order is
+    * explicit. Decimal partial sums keep total_value order-exact. */
+  val qStreamSessions = QueryDef("q_stream_sessions_2h",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val run = java.util.UUID.randomUUID().toString
+      val tmp = sys.props("java.io.tmpdir")
+      val ingest = s"$tmp/graft_stream_sess_$run"
+      val ckpt = s"$tmp/graft_stream_sess_ckpt_$run"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(ingest).getFileSystem(conf)
+      try {
+        val scratch = new org.apache.hadoop.fs.Path(s"$ingest/_stage")
+        ev.coalesce(1).write.parquet(scratch.toString)
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$scratch/part-*.parquet"))(0).getPath
+        require(fs.rename(part,
+          new org.apache.hadoop.fs.Path(s"$ingest/events.parquet")),
+          "session stage rename failed")
+        fs.delete(scratch, true)
+        val src = spark.readStream.schema(ev.schema).parquet(ingest)
+        val agg = src
+          .withColumn("ts", tsAsTimestamp(src))
+          .withWatermark("ts", "3650 days")
+          .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(28,10)")).as("tv_dec"))
+          .select(unix_micros(col("session_window.start")).as("session_start"),
+            unix_micros(col("session_window.end")).as("session_end"),
+            col("user_id"), col("n_events"),
+            col("tv_dec").cast("double").as("total_value"))
+        val acc = new java.util.concurrent.ConcurrentHashMap[
+          (Long, Long), (Long, Long, Double)]()
+        val q = agg.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.collect().foreach { r =>
+              acc.put((r.getLong(2), r.getLong(0)),
+                (r.getLong(1), r.getLong(3), r.getDouble(4)))
+            }
+          }
+          .start()
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        acc.asScala.toSeq
+          .map { case ((u, s), (e, n, v)) => (u, s, e, n, v) }
+          .toDF("user_id", "session_start", "session_end", "n_events",
+            "total_value")
+          .orderBy("user_id", "session_start")
+      } finally {
+        fs.delete(new org.apache.hadoop.fs.Path(ingest), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      }
+    },
+    // gaps-and-islands sessionization: break at inter-arrival >= 2 h,
+    // cumulative-sum breaks into session ids, aggregate per session
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS tus, value FROM events
+           |), o AS (
+           |  SELECT user_id, tus, value,
+           |    CASE WHEN lag(tus) OVER w IS NULL
+           |         OR tus - lag(tus) OVER w >= 7200000000
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+           |), s AS (
+           |  SELECT user_id, tus, value,
+           |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+           |                   ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM o
+           |)
+           |SELECT user_id, min(tus) AS session_start,
+           |       max(tus) + 7200000000 AS session_end,
+           |       CAST(count(*) AS BIGINT) AS n_events,
+           |       CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+           |         AS total_value
+           |FROM s GROUP BY user_id, sid
+           |ORDER BY user_id, session_start""".stripMargin))
+
   /** Streaming INCREMENTAL near-dup detection under the hash gate —
     * streaming STATE beyond windowed aggregation: documents arrive
     * through a file readStream, [[graft.streaming.StreamingNearDup
@@ -324,5 +423,6 @@ object StreamingQueries {
     },
     Some(TextQueries.jaccardOracle))
 
-  def all: Seq[QueryDef] = Seq(qStreamTumbling, qStreamLate, qStreamNearDup)
+  def all: Seq[QueryDef] =
+    Seq(qStreamTumbling, qStreamLate, qStreamSessions, qStreamNearDup)
 }

@@ -281,7 +281,8 @@ case class GraftParquetScan(path: String, required: StructType,
     // disables that pruning, never affects correctness
     tableSchema: StructType = new StructType())
   extends Scan with Batch with SupportsRuntimeFiltering
-  with SupportsReportStatistics {
+  with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -372,6 +373,46 @@ case class GraftParquetScan(path: String, required: StructType,
   @transient private lazy val statsManifest =
     GraftParquetV2.loadStatsManifest(path)
 
+  // the table's keyed layout, when EVERY file sits under the same
+  // `col=value` directory structure: partition column sequence, per-
+  // file key rows, and the distinct-key count
+  @transient private lazy val keyedLayout =
+    GraftParquetV2.keyedLayout(path, tableSchema)
+
+  /** STORAGE-PARTITIONED execution
+    * ([[org.apache.spark.sql.connector.read.SupportsReportPartitioning]]):
+    * a fully `col=value`-partitioned table reports
+    * `KeyGroupedPartitioning` over its partition columns, and every
+    * split carries its key row ([[GraftKeyedInputPartition]]) — with
+    * `spark.sql.sources.v2.bucketing.enabled` Spark then groups
+    * equal-key splits into one task and satisfies clustered
+    * distributions from the LAYOUT: `GROUP BY` on the partition
+    * columns aggregates with NO exchange, and two tables partitioned
+    * on the same key sort-merge-join with NO shuffle on either side
+    * (the storage-partitioned join). Reported only when the partition
+    * columns survive projection (the keys must resolve against the
+    * scan output) and no aggregate is pushed — a pushed grouped
+    * aggregate is clustered too, but Spark renames its group keys
+    * through an alias Project (`lang AS group_col_0`) that defeats
+    * the partitioning's propagation, and the exchange it keeps is at
+    * per-file PARTIAL-ROW cardinality anyway (measured: groups × few
+    * files — negligible next to the row shuffle this report
+    * eliminates). Everything else stays UnknownPartitioning — Spark
+    * then plans exchanges exactly as before. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedLayout match {
+      case Some((cols, _, nKeys)) if aggs.isEmpty &&
+          cols.forall(required.fieldNames.contains) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            cols.map(c => org.apache.spark.sql.connector.expressions
+              .Expressions.identity(c)).toArray, nKeys)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val files = GraftParquetV2.listFiles(path)
     val conj = pushed ++ runtimeFilters
@@ -406,7 +447,11 @@ case class GraftParquetScan(path: String, required: StructType,
           }
         }
       }
-    kept.map(GraftInputPartition(_)).toArray
+    keyedLayout match {
+      case Some((_, byFile, _)) =>
+        kept.map(f => GraftKeyedInputPartition(f, byFile(f))).toArray
+      case None => kept.map(GraftInputPartition(_)).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -422,7 +467,21 @@ final class GraftRuntimeFilterHolder extends Serializable {
   @volatile var filters: Array[Filter] = Array.empty
 }
 
-case class GraftInputPartition(file: String) extends InputPartition
+/** One parquet file = one input split, keyed or not. */
+sealed trait GraftFilePartition extends InputPartition { def file: String }
+
+case class GraftInputPartition(file: String) extends GraftFilePartition
+
+/** A split that KNOWS its partition-key values (from its `col=value`
+  * directory) — [[org.apache.spark.sql.connector.read.HasPartitionKey]]
+  * lets Spark group equal-key splits into one task and satisfy
+  * clustered distributions without an exchange
+  * (`spark.sql.sources.v2.bucketing.enabled`). */
+case class GraftKeyedInputPartition(file: String,
+    key: InternalRow) extends GraftFilePartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 case class GraftPartitionReaderFactory(required: StructType,
     pushed: Array[Filter], limit: Int = -1,
@@ -432,7 +491,7 @@ case class GraftPartitionReaderFactory(required: StructType,
     topN: Option[(Seq[GraftSortKey], Int)] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GraftInputPartition].file
+    val file = partition.asInstanceOf[GraftFilePartition].file
     // runtime filters join the static conjunction here, so they get the
     // same zone-map refutation and row evaluation for free (and their
     // presence correctly demotes an agg reader's footer-only fast path)
@@ -1086,6 +1145,49 @@ object GraftParquetV2 {
       case BooleanType => Some(Boolean.box(raw.toBoolean))
       case _ => None
     } catch { case _: IllegalArgumentException => None }
+
+  /** EXACT Catalyst-internal value for a partition-key row — unlike
+    * [[typedPartValue]]'s zone-map boxing, the key row must carry the
+    * column's own internal type (Int stays Int) or grouped-key
+    * comparisons upstream would mis-type. */
+  private def catalystPartValue(dt: DataType, raw: String): Option[Any] =
+    try dt match {
+      case IntegerType => Some(Int.box(raw.toInt))
+      case LongType => Some(Long.box(raw.toLong))
+      case StringType => Some(UTF8String.fromString(raw))
+      case BooleanType => Some(Boolean.box(raw.toBoolean))
+      case _ => None
+    } catch { case _: IllegalArgumentException => None }
+
+  /** The table's keyed layout, if it has one: every file under the
+    * SAME `col=value` column sequence, every column in the schema with
+    * an exactly-typed value. Returns (partition columns, file → key
+    * row, distinct key count); None for flat or mixed tables — the
+    * scan then reports UnknownPartitioning and nothing changes. */
+  def keyedLayout(root: String, schema: StructType)
+      : Option[(Seq[String], Map[String, InternalRow], Int)] = {
+    val files = try listFiles(root) catch {
+      case _: java.io.FileNotFoundException => Nil
+    }
+    if (files.isEmpty) return None
+    val specs = files.map(f => f -> partitionSpec(root, f))
+    val cols = specs.head._2.map(_._1)
+    if (cols.isEmpty) return None
+    if (!specs.forall(_._2.map(_._1) == cols)) return None
+    if (!cols.forall(c => schema.fieldNames.contains(c))) return None
+    val rows = specs.map { case (f, sp) =>
+      val vals = sp.map { case (c, raw) =>
+        if (raw == HiveDefaultPartition) null
+        else catalystPartValue(
+          schema.fields(schema.fieldIndex(c)).dataType, raw)
+          .getOrElse(return None)
+      }
+      f -> InternalRow.fromSeq(vals)
+    }
+    // key count over the RAW spec strings — InternalRow has no
+    // structural equality to count on
+    Some((cols, rows.toMap, specs.map(_._2).distinct.size))
+  }
 
   /** Sidecar directory name for the write-time per-file zone-map
     * manifest ([[Sinks.parquetWithStats]]); the leading underscore

@@ -258,7 +258,7 @@ class GraftParquetWriteSpec extends SparkSpec {
     val one = langs.head
     val scan = graftScan(viaV2(dir).filter(col("lang") === one))
     val planned = scan.planInputPartitions()
-      .map(_.asInstanceOf[graft.sources.GraftInputPartition].file)
+      .map(_.asInstanceOf[graft.sources.GraftFilePartition].file)
     assert(planned.nonEmpty && planned.forall(_.contains(s"lang=$one")),
       s"partition pruning failed: $planned")
     assert(planned.length < GraftParquetV2.listFiles(dir).length,
@@ -294,7 +294,7 @@ class GraftParquetWriteSpec extends SparkSpec {
     assert(back == rows)
     def plannedFiles(df: DataFrame): Seq[String] =
       graftScan(df).planInputPartitions()
-        .map(_.asInstanceOf[graft.sources.GraftInputPartition].file).toSeq
+        .map(_.asInstanceOf[graft.sources.GraftFilePartition].file).toSeq
     // IsNotNull prunes the null dir; IsNull prunes every value dir
     val notNull = plannedFiles(viaV2(dir).filter(col("k").isNotNull))
     assert(notNull.length == 3 &&
@@ -346,6 +346,82 @@ class GraftParquetWriteSpec extends SparkSpec {
         .mode("overwrite").save()
     }
     assert(e.getMessage.contains("dynamic"), s"got: ${e.getMessage}")
+  }
+
+  test("storage-partitioned execution: groupBy on the partition column " +
+      "and a co-partitioned join both run with ZERO shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val t1 = tmp("spj1"); val t2 = tmp("spj2")
+    val src = docs.filter(col("doc_id") < 300L)
+    src.write.format(fmt).option("path", t1)
+      .option("partitionBy", "lang").mode("append").save()
+    // dim side: one row per lang, same partition-value set
+    src.groupBy("lang").agg(max("n_chars").as("max_chars"))
+      .write.format(fmt).option("path", t2)
+      .option("partitionBy", "lang").mode("append").save()
+    def shuffles(df: DataFrame): Int = {
+      def walk(p: SparkPlan): Int = (p.collect {
+        case e: ShuffleExchangeLike => 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+      }).sum
+      walk(df.queryExecution.executedPlan)
+    }
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // avg rewrites to sum+count and PUSHES into the scan — that
+      // path keeps its one exchange, but at per-file PARTIAL-row
+      // cardinality (groups × files), not row cardinality; correctness
+      // only is asserted here (see outputPartitioning's scaladoc)
+      val agg = viaV2(t1).groupBy("lang").agg(avg("n_chars").as("m"))
+      val got = agg.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val want = src.groupBy("lang").agg(avg("n_chars").as("m"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(got == want)
+      // percentile_approx is NOT pushable — a genuine row-scan
+      // aggregation where the LAYOUT alone satisfies the distribution
+      val rowAgg = viaV2(t1).groupBy("lang")
+        .agg(expr("percentile_approx(n_chars, 0.5)").as("p50"))
+      val pGot = rowAgg.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val pWant = src.groupBy("lang")
+        .agg(expr("percentile_approx(n_chars, 0.5)").as("p50"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(pGot == pWant)
+      assert(shuffles(rowAgg) == 0,
+        s"row-scan groupBy must not shuffle:\n${rowAgg.queryExecution}")
+      // co-partitioned join: both sides keyed on lang, and the join
+      // key IS exactly the partition key — no exchange on EITHER side
+      // (the storage-partitioned join)
+      val joined = viaV2(t1).join(viaV2(t2), "lang")
+        .select(col("lang"), col("doc_id"),
+          (col("n_chars") === col("max_chars")).as("is_max"))
+      val jGot = joined.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+      val jWant = src.join(
+        src.groupBy("lang").agg(max("n_chars").as("max_chars")), "lang")
+        .select(col("lang"), col("doc_id"),
+          (col("n_chars") === col("max_chars")).as("is_max"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(jGot == jWant)
+      assert(shuffles(joined) == 0,
+        s"co-partitioned join must not shuffle:\n${joined.queryExecution}")
+      // sanity: same join WITHOUT v2 bucketing does shuffle — the
+      // zero above is the layout's doing, not a planner accident
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      assert(shuffles(viaV2(t1).join(viaV2(t2), "lang")
+        .select("lang", "doc_id")) > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("partitioned write: plan-time validation refuses unknown and " +
