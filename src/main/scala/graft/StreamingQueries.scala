@@ -295,12 +295,19 @@ object StreamingQueries {
             col("tv_dec").cast("double").as("total_value"))
         val acc = new java.util.concurrent.ConcurrentHashMap[
           (Long, Long), (Long, Long, Double)]()
+        // session windows reject update mode (merging invalidates
+        // emitted keys); COMPLETE re-emits the whole session state per
+        // batch, so clearing before each batch leaves exactly the
+        // final state — split-invariant, making the single-file
+        // staging belt-and-braces rather than load-bearing
         val q = agg.writeStream
-          .outputMode("update")
+          .outputMode("complete")
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.collect().foreach { r =>
+            val rows = batch.collect()
+            acc.clear()
+            rows.foreach { r =>
               acc.put((r.getLong(2), r.getLong(0)),
                 (r.getLong(1), r.getLong(3), r.getDouble(4)))
             }
