@@ -430,6 +430,80 @@ object StreamingQueries {
     },
     Some(TextQueries.jaccardOracle))
 
+  /** The connector as a STREAMING SINK, under the hash gate: events
+    * stream in as three pinned micro-batches and land in a graft
+    * parquet table through `writeStream.format(graft)` — three epoch
+    * commits, each a transactional append owning the manifest, each
+    * leaving a replay marker — and the table is then read back THROUGH
+    * the connector and aggregated against the oracle computing the
+    * same result straight from `events`. A lost epoch, duplicated
+    * replay, or manifest tear surfaces as a count/sum drift. Columns
+    * are the connector-writable subset (ts is TIMESTAMP_NTZ in the
+    * current testdata generation — outside the write scope — and the
+    * aggregation doesn't need it). */
+  val qStreamSink = QueryDef("q_stream_sink_roundtrip",
+    (spark, dir) => {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val run = java.util.UUID.randomUUID().toString
+      val tmp = sys.props("java.io.tmpdir")
+      val ingest = s"$tmp/graft_stream_sink_in_$run"
+      val table = s"$tmp/graft_stream_sink_out_$run"
+      val ckpt = s"$tmp/graft_stream_sink_ckpt_$run"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(ingest).getFileSystem(conf)
+      def stage(name: String, parity: Int, mtimeMs: Long): Unit = {
+        val scratch = new org.apache.hadoop.fs.Path(s"$ingest/_st_$name")
+        ev.filter(pmod(col("event_id"), lit(3)) === parity)
+          .coalesce(1).write.parquet(scratch.toString)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$scratch/part-*.parquet"))(0).getPath
+        val dest = new org.apache.hadoop.fs.Path(s"$ingest/$name.parquet")
+        require(fs.rename(part, dest), s"sink stage rename failed: $name")
+        fs.delete(scratch, true)
+        fs.setTimes(dest, mtimeMs, -1)
+      }
+      try {
+        stage("b1", 0, 1000000L)
+        stage("b2", 1, 2000000L)
+        stage("b3", 2, 3000000L)
+        val src = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(ingest)
+        val q = src.writeStream
+          .format("graft.sources.GraftParquetTableProvider")
+          .option("path", table)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.format("graft.sources.GraftParquetTableProvider")
+          .option("path", table).load()
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(28,10)")).cast("double")
+              .as("total_value"),
+            min("event_id").as("min_id"), max("event_id").as("max_id"))
+          .orderBy("event_type")
+      } finally {
+        fs.delete(new org.apache.hadoop.fs.Path(ingest), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        // the RESULT is a lazy scan over the sink table — it must
+        // outlive this lambda; UUID dir, reaped at JVM exit (the
+        // q_dsv2_write_roundtrip convention)
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(table))
+      }
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+           |         AS total_value,
+           |       min(event_id) AS min_id, max(event_id) AS max_id
+           |FROM events
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(qStreamTumbling, qStreamLate, qStreamSessions, qStreamNearDup)
+    Seq(qStreamTumbling, qStreamLate, qStreamSessions, qStreamNearDup,
+      qStreamSink)
 }

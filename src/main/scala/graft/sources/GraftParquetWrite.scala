@@ -137,14 +137,19 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
       "graft parquet v2 write: partitionOverwriteMode=dynamic needs " +
         "partition columns (partitionBy)")
     new GraftBatchWrite(path, info.schema(), doTruncate, partCols,
-      dynamic)
+      dynamic, info.queryId())
   }
 }
 
 class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
-    partCols: Seq[String] = Nil, dynamicOverwrite: Boolean = false)
-    extends Write with BatchWrite {
+    partCols: Seq[String] = Nil, dynamicOverwrite: Boolean = false,
+    queryId: String = "")
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val writeId = UUID.randomUUID().toString
+  // BatchWrite and StreamingWrite both declare this default — Scala
+  // wants the diamond resolved explicitly; true is both sides' default
+  override def useCommitCoordinator(): Boolean = true
   override def toBatch: BatchWrite = this
   override def description(): String =
     s"GraftParquetWrite path=$path, truncate=$truncate" +
@@ -154,6 +159,66 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     GraftDataWriterFactory(path, schema, writeId, partCols)
+
+  // ——— streaming sink: one transactional append per epoch ———
+
+  /** `writeStream.format(graft)…` lands here: each micro-batch (epoch)
+    * is a self-contained append — its own `_staging-<id>-<epoch>`
+    * tree, the same rename-in commit, the same manifest append — plus
+    * an EPOCH MARKER (`_graft_epochs/<queryId>-<epoch>`) written after
+    * the manifest swap, so a replayed epoch (failure recovery re-runs
+    * the last uncommitted batch; Spark requires sinks to tolerate
+    * re-commits) is detected and its staged files are DROPPED instead
+    * of re-appended. The marker lands last: a crash between rename and
+    * marker re-appends that epoch on recovery — at-least-once across
+    * crashes, exactly-once within a run, never a torn manifest.
+    * Append output mode only: truncate-per-epoch (complete mode) is
+    * declined loudly at plan time. */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncate && !dynamicOverwrite,
+      "graft parquet v2 streaming sink is append-only — complete/" +
+        "truncate output modes are not supported")
+    this
+  }
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    GraftStreamingWriterFactory(path, schema, writeId, partCols)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val staging = new Path(path, s"_staging-$writeId-$epochId")
+    val marker = new Path(
+      new Path(path, GraftParquetWrite.EpochDir), s"$queryId-$epochId")
+    if (fs.exists(marker)) { fs.delete(staging, true); return }
+    val committed = messages.collect {
+      case GraftCommitMessage(fsq, stats) if fsq.nonEmpty => (fsq, stats)
+    }
+    committed.foreach { case (fsq, _) =>
+      fsq.foreach { f =>
+        val dest = new Path(path, f)
+        if (f.contains("/")) fs.mkdirs(dest.getParent)
+        require(fs.rename(new Path(staging, f), dest),
+          s"graft parquet v2 streaming commit: rename failed for $f")
+      }
+    }
+    fs.delete(staging, true)
+    if (committed.nonEmpty)
+      GraftParquetWrite.replaceManifest(path,
+        GraftParquetWrite.rawManifestEntries(path) ++
+          committed.flatMap(_._2), s"$writeId-$epochId")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.delete(new Path(path, s"_staging-$writeId-$epochId"), true)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(new Configuration())
@@ -241,6 +306,19 @@ case class GraftDataWriterFactory(path: String, schema: StructType,
       partCols)
 }
 
+/** Streaming twin of [[GraftDataWriterFactory]]: the epoch id joins
+  * the write id, so each micro-batch stages (and commits) its own
+  * file generation. */
+case class GraftStreamingWriterFactory(path: String, schema: StructType,
+    writeId: String, partCols: Seq[String] = Nil)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(path, schema, s"$writeId-$epochId", partitionId,
+      taskId, partCols)
+}
+
 /** Task-side parquet writer over the Group API (the symmetric twin of
   * [[GraftPartitionReader]]'s Group decode). Files are created LAZILY
   * on the first row (per partition value when partitioned), so an
@@ -322,6 +400,10 @@ class GraftDataWriter(path: String, schema: StructType, writeId: String,
 }
 
 object GraftParquetWrite {
+
+  /** Underscore-invisible directory of per-(query, epoch) commit
+    * markers — the streaming sink's replay ledger. */
+  val EpochDir = "_graft_epochs"
 
   /** StructType → parquet MessageType — the exact inverse of the read
     * side's [[GraftParquetV2.sparkSchema]]/toCatalyst, so a connector

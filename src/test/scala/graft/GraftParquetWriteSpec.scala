@@ -424,6 +424,66 @@ class GraftParquetWriteSpec extends SparkSpec {
     }
   }
 
+  test("streaming sink: per-epoch transactional appends, replay " +
+      "markers, manifest coverage — partitioned layout included") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ingest = tmp("sink_in"); val table = tmp("sink_out")
+    val ckpt = tmp("sink_ckpt")
+    val src = docs.filter(col("doc_id") < 200L)
+    val fs = new org.apache.hadoop.fs.Path(ingest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // three staged files = three micro-batches = three epoch commits
+    for ((p, i) <- Seq(0, 1, 2).zipWithIndex) {
+      val scratch = new org.apache.hadoop.fs.Path(s"$ingest/_st_$p")
+      src.filter(pmod(col("doc_id"), lit(3)) === p)
+        .coalesce(1).write.parquet(scratch.toString)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$scratch/part-*.parquet"))(0).getPath
+      val dest = new org.apache.hadoop.fs.Path(s"$ingest/b$p.parquet")
+      assert(fs.rename(part, dest))
+      fs.delete(scratch, true)
+      fs.setTimes(dest, 1000000L * (i + 1), -1)
+    }
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(ingest)
+    val q = stream.writeStream.format(fmt)
+      .option("path", table)
+      .option("partitionBy", "lang")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // content: the streamed table equals the batch source exactly
+    assert(viaV2(table).orderBy("doc_id").collect().toSeq ==
+      src.orderBy("doc_id").collect().toSeq)
+    // layout: partition dirs, no staging litter
+    val top = fs.listStatus(new org.apache.hadoop.fs.Path(table)).toSeq
+      .map(_.getPath.getName)
+    assert(top.exists(_.startsWith("lang=")))
+    assert(!top.exists(_.contains("_staging")), s"staging litter: $top")
+    // manifest covers every epoch's files
+    assert(GraftParquetV2.loadStatsManifest(table).keySet ==
+      GraftParquetV2.listFiles(table)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet)
+    // replay ledger: one marker per committed epoch (>= 3 — AvailableNow
+    // may add a trailing empty epoch, which also commits a marker)
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$table/${graft.sources.GraftParquetWrite.EpochDir}")).length
+    assert(markers >= 3, s"expected >=3 epoch markers, got $markers")
+    // complete mode (truncate-per-epoch) is declined loudly
+    val agg = stream.groupBy("lang").count()
+    val e = intercept[Exception] {
+      agg.writeStream.format(fmt)
+        .option("path", tmp("sink_bad"))
+        .option("checkpointLocation", tmp("sink_bad_ckpt"))
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("partitioned write: plan-time validation refuses unknown and " +
       "inexact partition columns") {
     import spark.implicits._
