@@ -47,10 +47,13 @@ object VectorQueries {
        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
-  /** Brute-force exact cosine top-k per query vector — the ANN baseline.
-    * Plan shape: corpus scan → broadcast nested-loop with the tiny query
-    * side → codegen'd cosine → per-query TopK (one shuffle keyed by
-    * query_id for the window). */
+  /** Brute-force exact cosine top-k per query vector — the ANN
+    * baseline, and ORACLE-TWIN for the PQ scale path: the exhaustive
+    * query×corpus scoring is what PQ's codes-only shortlist replaces
+    * at memory scale, and [[graft.PqSpec]] measures PQ recall against
+    * exactly this output. Plan shape: corpus scan → broadcast
+    * nested-loop with the tiny query side → codegen'd cosine →
+    * per-query TopK (one shuffle keyed by query_id for the window). */
   val qAnnTopK = QueryDef("q_ann_topk_bruteforce",
     (spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
@@ -58,7 +61,30 @@ object VectorQueries {
         emb, emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", TopK)
         .orderBy("query_id", "rank")
     },
-    Some(exactTopKOracle))
+    Some(exactTopKOracle),
+    role = OracleTwin(Seq("q_ann_pq_topk")))
+
+  /** Product-quantization ANN ([[graft.operators.Pq]]): codes-only ADC
+    * shortlist (32× vector compression at dim 64 / m 8 / 5-bit codes)
+    * exact-rescored at candidate cardinality. The ADC ordering is a
+    * trained-float kernel — not SQL-mirrorable, so this entry carries
+    * the same rows-only status as `q_ann_lsh_pairs`; every emitted
+    * cosine is EXACT (the rescore), and recall@k against the
+    * brute-force twin is spec-measured, as is retrain determinism. */
+  val PqM = 8
+  val PqKsub = 32
+  val PqShortlist = 8 * TopK
+  val qAnnPq = QueryDef("q_ann_pq_topk",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cb = graft.operators.Pq.train(
+        emb, "vec_id", "embedding", PqM, PqKsub)
+      graft.operators.Pq.pqTopK(
+        emb, emb.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", cb, TopK, PqShortlist)
+        .orderBy("query_id", "rank")
+    },
+    None)
 
   /** Trained-quantizer IVF: Lloyd's k-means fits the coarse index, then
     * multi-probe search scores only the probed buckets. This catalog
@@ -368,7 +394,7 @@ object VectorQueries {
             |  (SELECT vec_id FROM labels WHERE cluster <> vec_id)
             |ORDER BY vec_id""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(qAnnTopK, qEmbedTopPairs, qAnnLsh, qAnnIvf,
-    qAnnIvfKmeans, qDedupEmbedding, qDedupEmbeddingKeep, qDedupEmbeddingLsh,
-    qSemanticDedup)
+  def all: Seq[QueryDef] = Seq(qAnnTopK, qAnnPq, qEmbedTopPairs, qAnnLsh,
+    qAnnIvf, qAnnIvfKmeans, qDedupEmbedding, qDedupEmbeddingKeep,
+    qDedupEmbeddingLsh, qSemanticDedup)
 }

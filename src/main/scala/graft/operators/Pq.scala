@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expr.{CosineSim, DotProduct, NearestCentroidId, PqAdc, PqLut}
+
+/** Product quantization for ANN at memory scale (Jégou et al., TPAMI
+  * 2011) — the compression leg of the similarity-search family: a
+  * `dim`-float vector (dim·4 bytes) becomes `m` sub-codes (m bytes at
+  * ksub ≤ 256), a 32× shrink at the catalog's dim=64/m=8
+  * configuration, so the searchable index of a 100 TB embedding corpus
+  * fits a cluster's memory where raw vectors would not.
+  *
+  * Design, stage by stage:
+  *  - TRAIN ([[train]]): per-subspace k-means codebooks fitted
+  *    DRIVER-LOCALLY on a deterministic sample (the `sampleN` smallest
+  *    ids — FAISS trains codebooks on samples for the same reason:
+  *    codebook quality saturates long before corpus scale, and the
+  *    model is m·ksub·dsub floats). Lloyd here is the same
+  *    deterministic recipe as [[KMeans.fit]]: smallest-id seeds,
+  *    first-wins ties, empty cluster keeps its position, fixed
+  *    iteration count — retrains are bit-identical.
+  *  - ENCODE ([[encodeCol]]): in-plan, codegen — one
+  *    [[graft.expr.NearestCentroidId]] per subspace over `slice`d
+  *    subvectors; no shuffle, no UDF.
+  *  - SEARCH ([[pqTopK]]): queries gain an in-plan ADC lookup table
+  *    ([[graft.expr.PqLut]]); the broadcast query×corpus scoring pass
+  *    reads ONLY codes + one stored norm per vector ([[graft.expr
+  *    .PqAdc]] ≈ dot(q, v)), a bounded [[graft.expr.TopKAgg]] heap
+  *    keeps a per-query shortlist, and the shortlist is EXACT-rescored
+  *    (true cosine) by joining the raw vectors back at CANDIDATE
+  *    cardinality — the only stage that touches a full vector after
+  *    encode. Approximation error can only cost recall (spec-measured
+  *    against the exact twin), never a wrong score: every emitted
+  *    cosine is exact.
+  */
+object Pq {
+
+  /** Trained per-subspace codebooks: `books(b)(c)` is the `dsub`-float
+    * centroid `c` of block `b`. */
+  final case class Codebooks(m: Int, dsub: Int, ksub: Int,
+      books: Array[Array[Array[Float]]])
+
+  /** Fit codebooks on the `sampleN` smallest-id vectors (deterministic
+    * sample; TakeOrderedAndProject — no corpus shuffle). */
+  def train(vectors: DataFrame, idCol: String, vecCol: String, m: Int,
+      ksub: Int, sampleN: Int = 2048, iters: Int = 8): Codebooks = {
+    require(m > 0 && ksub > 1, s"Pq.train: bad m=$m ksub=$ksub")
+    val rows = vectors
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy("id").limit(sampleN).collect()
+    require(rows.nonEmpty, "Pq.train: empty corpus")
+    val sample = rows.map(_.getSeq[Float](1).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"Pq.train: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val books = Array.tabulate(m) { b =>
+      val subs = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, b * dsub, (b + 1) * dsub))
+      lloydLocal(subs, math.min(ksub, subs.length), iters)
+    }
+    Codebooks(m, dsub, books(0).length, books)
+  }
+
+  /** Driver-local Lloyd over a sampled subspace — deterministic by the
+    * same rules as [[KMeans.fit]] (order-stable seeds and ties). */
+  private def lloydLocal(xs: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Float]] = {
+    val d = xs.head.length
+    var cents = xs.take(k).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      xs.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var i = 0
+          while (i < d) {
+            val df = x(i).toDouble - cents(c)(i); s += df * df; i += 1
+          }
+          if (s < bestD) { bestD = s; best = c } // first-wins ties
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) // empty cluster keeps its position
+        else Array.tabulate(d)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** In-plan PQ encode: `array<bigint>` of `m` sub-codes — one codegen
+    * nearest-centroid kernel per subspace over `slice`d subvectors. */
+  def encodeCol(vec: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map { b =>
+      NearestCentroidId(slice(vec, b * cb.dsub + 1, cb.dsub),
+        (0L until cb.ksub.toLong).toArray, cb.books(b))
+    }: _*)
+
+  /** ADC-shortlisted, exact-rescored cosine top-k.
+    *
+    * @param shortlist per-query ADC candidates carried to the exact
+    *        rescore (recall grows with it; `8·k` is the spec'd
+    *        operating point on the synthetic corpus) */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cb: Codebooks, k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"Pq.pqTopK: shortlist $shortlist < k $k")
+    def norm(c: Column): Column = sqrt(DotProduct(c, c))
+    val enc = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      encodeCol(col(vecCol), cb).as("codes"),
+      norm(col(vecCol)).as("vnorm"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      PqLut(col(vecCol), cb.books).as("lut"),
+      norm(col(vecCol)).as("qnorm"))
+    // codes-only scoring pass: the broadcast carries luts, the corpus
+    // side carries m codes + one norm — no full vector in flight
+    val approx = enc.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qnorm") * col("vnorm") === 0d, 0d)
+          .otherwise(PqAdc(col("codes"), col("lut"), cb.ksub) /
+            (col("qnorm") * col("vnorm"))).as("cosine"))
+    val cands = Similarity.topKPerQuery(approx, shortlist)
+      .select("query_id", "neighbor_id")
+    // exact rescore at candidate cardinality — emitted cosines are
+    // EXACT; PQ error affects recall only
+    val scored = cands
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("cv")), "neighbor_id")
+      .join(broadcast(queries.select(
+        col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(CosineSim(col("qv"), col("cv")), 6).as("cosine"))
+    Similarity.topKPerQuery(scored, k)
+  }
+}
