@@ -611,6 +611,72 @@ object MultimodalQueries {
            |FROM t GROUP BY media_id, frame_no, w, h
            |ORDER BY media_id, frame_no""".stripMargin))
 
+  /** The PNG color-type matrix under the hash gate: each image doc
+    * becomes ONE of the five depth-8 color types by id — grayscale
+    * (id%4=0), palette (1), RGBA (2), gray+alpha (3) — half of them
+    * Adam7-interlaced (id%2), every row decoding through
+    * [[graft.operators.Png.pixelStats]]'s single RGB-landing decode
+    * path. The oracle re-derives each type's RGB from the generative
+    * formulas (palette indirection included: entry i = (i, 255−i,
+    * (i·7) mod 256)) — a wrong PLTE lookup, a mis-replicated gray, a
+    * leaked alpha byte, or a bpp-confused filter reconstruction all
+    * break the hash. RGB itself (color 2) is `q_png_pixel_decode`'s
+    * row — the five types split across the two entries cover the
+    * codec's full decode scope. */
+  val qPngColorTypes = QueryDef("q_png_color_types",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the image-modality ids
+        .select(col("doc_id").as("media_id"),
+          Multimodal.pngWidth(col("doc_id")).as("w"),
+          Multimodal.pngHeight(col("doc_id")).as("h"))
+        .as[(Long, Int, Int)]
+      dims.mapPartitions(_.map { case (id, w, h) =>
+        val il = id % 2 == 0
+        val bytes = (id % 4) match {
+          case 0 => graft.operators.Png.encodeGray8(w, h, id, il)
+          case 1 => graft.operators.Png.encodePalette(w, h, id, il)
+          case 2 => graft.operators.Png.encodeRgba(w, h, id, il)
+          case _ => graft.operators.Png.encodeGrayAlpha(w, h, id, il)
+        }
+        val s = graft.operators.Png.pixelStats(bytes).getOrElse(
+          sys.error(s"undecodable synthesized PNG type for media_id=$id"))
+        (id, s.width, s.height, s.nPx, s.sumR, s.sumG, s.sumB)
+      }).toDF("media_id", "width", "height", "n_px", "sum_r", "sum_g",
+        "sum_b")
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 240) + 16 AS INT) AS width,
+           |         CAST(((doc_id * 7) % 240) + 16 AS INT) AS height,
+           |         doc_id % 4 AS t
+           |  FROM documents WHERE doc_id % 3 = 0
+           |), px AS (
+           |  SELECT media_id, width, height, t,
+           |         unnest(generate_series(0, CAST(width AS BIGINT) * height - 1)) AS p
+           |  FROM dims
+           |), s AS (
+           |  SELECT media_id, width, height, t,
+           |         (p % width * 7 + p // width * 13 + media_id) % 256 AS pr,
+           |         (p % width * 11 + p // width * 3 + 2*media_id) % 256 AS pg,
+           |         (p % width * 5 + p // width * 17 + 3*media_id) % 256 AS pb
+           |  FROM px
+           |)
+           |SELECT media_id, width, height,
+           |       CAST(count(*) AS BIGINT) AS n_px,
+           |       CAST(sum(pr) AS BIGINT) AS sum_r,
+           |       CAST(sum(CASE WHEN t = 1 THEN 255 - pr
+           |                     WHEN t = 2 THEN pg ELSE pr END) AS BIGINT)
+           |         AS sum_g,
+           |       CAST(sum(CASE WHEN t = 1 THEN (pr * 7) % 256
+           |                     WHEN t = 2 THEN pb ELSE pr END) AS BIGINT)
+           |         AS sum_b
+           |FROM s GROUP BY media_id, width, height
+           |ORDER BY media_id""".stripMargin))
+
   /** Two-stream (A/V) AVI demux with INDEX verification, end to end
     * ([[graft.operators.Avi.encodeAv]]/[[Avi.avStats]]): each video doc
     * becomes an interleaved `00db`+`01wb` AVI with an `idx1` chunk; the
@@ -694,5 +760,5 @@ object MultimodalQueries {
   def all: Seq[QueryDef] =
     Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode,
       qJpegColorDecode, qBmpDecode, qGifDecode, qWavDecode, qWavResample,
-      qAviFrameDecode, qAviAvDemux)
+      qAviFrameDecode, qAviAvDemux, qPngColorTypes)
 }

@@ -4,9 +4,13 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** Minimal REAL PNG codec — pure JDK (java.util.zip), no image
   * libraries — for the multimodal pipeline's pixel-level decode stage.
-  * Scope: 8-bit RGB (color type 2), sequential OR Adam7-interlaced,
-  * any mix of the five scanline filters; everything else returns None
-  * (refuse, don't guess).
+  * Scope: bit depth 8 in ALL FIVE color types (grayscale, RGB,
+  * palette, gray+alpha, RGBA), sequential OR Adam7-interlaced, any
+  * mix of the five scanline filters; decode always lands on RGB-8
+  * (gray replicated, palette resolved through PLTE, alpha dropped —
+  * the stored samples are un-premultiplied, and transparency
+  * composition is a presentation concern, not extraction). Sub-8-bit
+  * depths and 16-bit return None (refuse, don't guess).
   *
   * Why it exists: [[Multimodal.Codec]]'s container-level parse is real
   * ([[Multimodal.ImageHeaders]]), but pixel features were documented
@@ -114,10 +118,86 @@ object Png {
     * (resampled) both delegate to; same filter-cycling layout, so any
     * conforming decoder exercises all five filters. */
   def encodeRgbPixels(width: Int, height: Int, px: Array[Byte],
+      interlaced: Boolean = false): Array[Byte] =
+    encodePng(width, height, 3, 2, null, px, interlaced)
+
+  /** Grayscale (color type 0) PNG of the generative gray image
+    * `pixelR(x, y, seed)`. */
+  def encodeGray8(width: Int, height: Int, seed: Long,
+      interlaced: Boolean = false): Array[Byte] =
+    encodePng(width, height, 1, 0, null,
+      genBuf(width, height, 1)((x, y, _) => pixelR(x, y, seed)),
+      interlaced)
+
+  /** Palette (color type 3) PNG: palette entry i = (i, 255−i,
+    * (i·7) mod 256), index (x, y) = `pixelR(x, y, seed)` — both
+    * formulas SQL-derivable, so the palette INDIRECTION itself is
+    * under the oracle. */
+  def encodePalette(width: Int, height: Int, seed: Long,
       interlaced: Boolean = false): Array[Byte] = {
-    require(width > 0 && height > 0, s"encodeRgbPixels: bad dims ${width}x$height")
-    require(px.length == width * height * 3,
-      s"encodeRgbPixels: buffer ${px.length} != ${width}x$height x3")
+    val plte = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      plte(i * 3) = i.toByte
+      plte(i * 3 + 1) = (255 - i).toByte
+      plte(i * 3 + 2) = ((i * 7) % 256).toByte
+      i += 1
+    }
+    encodePng(width, height, 1, 3, plte,
+      genBuf(width, height, 1)((x, y, _) => pixelR(x, y, seed)),
+      interlaced)
+  }
+
+  /** RGBA (color type 6) PNG: RGB = the generative color formulas,
+    * alpha = `pixelG(x, y, seed + 1)` (dropped on decode — the RGB
+    * samples are stored un-premultiplied). */
+  def encodeRgba(width: Int, height: Int, seed: Long,
+      interlaced: Boolean = false): Array[Byte] =
+    encodePng(width, height, 4, 6, null,
+      genBuf(width, height, 4) {
+        case (x, y, 0) => pixelR(x, y, seed)
+        case (x, y, 1) => pixelG(x, y, seed)
+        case (x, y, 2) => pixelB(x, y, seed)
+        case (x, y, _) => pixelG(x, y, seed + 1)
+      }, interlaced)
+
+  /** Gray+alpha (color type 4) PNG: gray = `pixelR`, alpha =
+    * `pixelB` (dropped on decode). */
+  def encodeGrayAlpha(width: Int, height: Int, seed: Long,
+      interlaced: Boolean = false): Array[Byte] =
+    encodePng(width, height, 2, 4, null,
+      genBuf(width, height, 2) {
+        case (x, y, 0) => pixelR(x, y, seed)
+        case (x, y, _) => pixelB(x, y, seed)
+      }, interlaced)
+
+  private def genBuf(w: Int, h: Int, bpp: Int)(
+      f: (Int, Int, Int) => Int): Array[Byte] = {
+    val px = new Array[Byte](w * h * bpp)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < bpp) {
+          px((y * w + x) * bpp + c) = f(x, y, c).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** The one encode core: filter (sequential or Adam7), deflate,
+    * chunk out — with the color type's own bpp and an optional PLTE. */
+  private def encodePng(width: Int, height: Int, bpp: Int,
+      colorType: Int, palette: Array[Byte], px: Array[Byte],
+      interlaced: Boolean): Array[Byte] = {
+    require(width > 0 && height > 0, s"encodePng: bad dims ${width}x$height")
+    require(px.length == width * height * bpp,
+      s"encodePng: buffer ${px.length} != ${width}x$height x$bpp")
     val out0 = new java.io.ByteArrayOutputStream()
     if (interlaced) {
       var p = 0
@@ -126,24 +206,24 @@ object Png {
         if (pw > 0 && ph > 0) {
           // gather the pass's reduced image, then filter it like a
           // stand-alone image (prev row starts at zero per pass)
-          val sub = new Array[Byte](pw * ph * 3)
+          val sub = new Array[Byte](pw * ph * bpp)
           var j = 0
           while (j < ph) {
             val sy = A7RowStart(p) + j * A7RowStep(p)
             var i = 0
             while (i < pw) {
               val sx = A7ColStart(p) + i * A7ColStep(p)
-              System.arraycopy(px, (sy * width + sx) * 3,
-                sub, (j * pw + i) * 3, 3)
+              System.arraycopy(px, (sy * width + sx) * bpp,
+                sub, (j * pw + i) * bpp, bpp)
               i += 1
             }
             j += 1
           }
-          out0.write(filterScanlines(pw, ph, sub))
+          out0.write(filterScanlines(pw, ph, sub, bpp))
         }
         p += 1
       }
-    } else out0.write(filterScanlines(width, height, px))
+    } else out0.write(filterScanlines(width, height, px, bpp))
     val raw = out0.toByteArray
     val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
     deflater.setInput(raw); deflater.finish()
@@ -155,20 +235,23 @@ object Png {
     }
     deflater.end()
     val ihdr = be4(width.toLong) ++ be4(height.toLong) ++
-      Array[Byte](8, 2, 0, 0, // depth 8, color 2 (RGB)
+      Array[Byte](8, colorType.toByte, 0, 0, // depth 8
         if (interlaced) 1 else 0) // interlace: 0 = none, 1 = Adam7
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IHDR", ihdr) ++
+      (if (palette != null) chunk("PLTE", palette)
+       else Array.emptyByteArray) ++
+      chunk("IDAT", out.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
   }
 
-  /** Filter `h` scanlines of a w×h RGB-8 buffer into raw PNG scanline
-    * bytes (1 filter byte + 3w filtered bytes per row), cycling filter
-    * type row % 5 — the per-image (or per-Adam7-pass) filtering core
-    * both encode layouts share. */
+  /** Filter `h` scanlines of a w×h buffer at `bpp` bytes/pixel into
+    * raw PNG scanline bytes (1 filter byte + bpp·w filtered bytes per
+    * row), cycling filter type row % 5 — the per-image (or
+    * per-Adam7-pass) filtering core both encode layouts share. */
   private def filterScanlines(w: Int, h: Int,
-      px: Array[Byte]): Array[Byte] = {
-    val stride = w * 3
+      px: Array[Byte], bpp: Int): Array[Byte] = {
+    val stride = w * bpp
     val raw = new Array[Byte](h * (1 + stride))
     val prev = new Array[Int](stride) // previous row, reconstructed
     val cur = new Array[Int](stride)
@@ -184,9 +267,9 @@ object Png {
       raw(o) = f.toByte; o += 1
       var i = 0
       while (i < stride) {
-        val left = if (i >= 3) cur(i - 3) else 0
+        val left = if (i >= bpp) cur(i - bpp) else 0
         val up = if (y > 0) prev(i) else 0
-        val ul = if (i >= 3 && y > 0) prev(i - 3) else 0
+        val ul = if (i >= bpp && y > 0) prev(i - bpp) else 0
         val pred = f match {
           case 0 => 0
           case 1 => left
@@ -229,6 +312,8 @@ object Png {
     var i = 8
     var w = -1; var h = -1
     var interlaced = false
+    var colorType = -1
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (!sawEnd && i + 8 <= b.length) {
@@ -249,35 +334,50 @@ object Png {
             ((b(i + 14) & 0xff) << 8) | (b(i + 15) & 0xff))
           val depth = b(i + 16) & 0xff; val color = b(i + 17) & 0xff
           val interlace = b(i + 20) & 0xff
-          if (depth != 8 || color != 2 || interlace > 1) return None
+          // depth-8 only, all five color types: 0 gray, 2 RGB,
+          // 3 palette, 4 gray+alpha, 6 RGBA
+          if (depth != 8 || !Set(0, 2, 3, 4, 6).contains(color) ||
+              interlace > 1) return None
+          colorType = color
           interlaced = interlace == 1
+        case "PLTE" =>
+          // 1..256 RGB triplets, length a multiple of 3
+          if (len == 0 || len % 3 != 0 || len > 768) return None
+          palette = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
         case "IDAT" => idat.write(b, i + 8, len)
         case "IEND" => sawEnd = true
-        case _ => () // ancillary chunks skipped
+        case _ => () // ancillary chunks skipped (incl. tRNS: the
+        // decode contract is the stored RGB samples — transparency
+        // composition is a presentation concern, not extraction)
       }
       i += 12 + len
     }
     if (w <= 0 || h <= 0 || idat.size() == 0) return None
+    // palette type REQUIRES a PLTE; the others must not rely on one
+    if (colorType == 3 && palette == null) return None
+    val bpp = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
     // dimension math in Long: w,h are attacker-controlled 31-bit values
-    // and h*(1+3w) overflows Int well below their individual bounds
-    val strideL = w.toLong * 3L
+    // and h*(1+bpp·w) overflows Int well below their individual bounds
+    val filtL = w.toLong * bpp
     val expectL =
-      if (!interlaced) h.toLong * (1L + strideL)
+      if (!interlaced) h.toLong * (1L + filtL)
       else {
-        // Adam7: Σ over non-empty passes of passH·(1 + 3·passW) —
+        // Adam7: Σ over non-empty passes of passH·(1 + bpp·passW) —
         // same Σ pw·ph = w·h pixel payload plus one filter byte per
         // pass scanline
         var s = 0L; var p = 0
         while (p < 7) {
           val (pw, ph) = passDims(w, h, p)
-          if (pw > 0 && ph > 0) s += ph.toLong * (1L + 3L * pw)
+          if (pw > 0 && ph > 0) s += ph.toLong * (1L + bpp.toLong * pw)
           p += 1
         }
         s
       }
     if (expectL > Int.MaxValue - 8 ||
-        h.toLong * strideL > Int.MaxValue - 8) return None
-    val stride = strideL.toInt
+        h.toLong * w.toLong * 3L > Int.MaxValue - 8) return None
+    val stride = w * 3 // OUTPUT stride: decode always lands on RGB-8
     val expect = expectL.toInt
     val raw = new Array[Byte](expect)
     val inflater = new Inflater()
@@ -299,22 +399,56 @@ object Png {
           inflater.inflate(new Array[Byte](1), 0, 1) > 0) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inflater.end()
-    // filter reconstruction (PNG spec §9), bpp = 3
+    // filter reconstruction (PNG spec §9) at the type's own bpp, then
+    // per-type conversion to RGB-8 during the scatter
     val px = new Array[Byte](h * stride)
+    // sub-image → full-grid RGB: pixel (i, j) of a pass lands at
+    // (colStart + i·colStep, rowStart + j·rowStep); sequential images
+    // are the identity pass
+    def scatter(sub: Array[Byte], pw: Int, ph: Int, colStart: Int,
+        rowStart: Int, colStep: Int, rowStep: Int): Boolean = {
+      var j = 0
+      while (j < ph) {
+        var i = 0
+        while (i < pw) {
+          val s = (j * pw + i) * bpp
+          val o = ((rowStart + j * rowStep) * w +
+            (colStart + i * colStep)) * 3
+          colorType match {
+            case 0 => // grayscale: replicate
+              val g = sub(s); px(o) = g; px(o + 1) = g; px(o + 2) = g
+            case 2 =>
+              px(o) = sub(s); px(o + 1) = sub(s + 1); px(o + 2) = sub(s + 2)
+            case 3 => // palette lookup; an index past PLTE is corrupt
+              val idx = sub(s) & 0xff
+              if (idx * 3 + 2 >= palette.length) return false
+              px(o) = palette(idx * 3)
+              px(o + 1) = palette(idx * 3 + 1)
+              px(o + 2) = palette(idx * 3 + 2)
+            case 4 => // gray + alpha: replicate gray, alpha dropped
+              val g = sub(s); px(o) = g; px(o + 1) = g; px(o + 2) = g
+            case 6 => // RGBA: stored (un-premultiplied) RGB, alpha dropped
+              px(o) = sub(s); px(o + 1) = sub(s + 1); px(o + 2) = sub(s + 2)
+          }
+          i += 1
+        }
+        j += 1
+      }
+      true
+    }
     if (!interlaced) {
-      if (!unfilter(raw, 0, w, h, px, 0, stride, 1)) return None
+      val sub = unfilterSub(raw, 0, w, h, bpp)
+      if (sub == null || !scatter(sub, w, h, 0, 0, 1, 1)) return None
     } else {
       var o = 0
       var p = 0
       while (p < 7) {
         val (pw, ph) = passDims(w, h, p)
         if (pw > 0 && ph > 0) {
-          // unfilter the reduced image in place, scattering each
-          // reconstructed pixel to its full-grid position
-          val base = (A7RowStart(p) * w + A7ColStart(p)) * 3
-          if (!unfilter(raw, o, pw, ph, px,
-              base, A7RowStep(p) * stride, A7ColStep(p))) return None
-          o += ph * (1 + pw * 3)
+          val sub = unfilterSub(raw, o, pw, ph, bpp)
+          if (sub == null || !scatter(sub, pw, ph, A7ColStart(p),
+              A7RowStart(p), A7ColStep(p), A7RowStep(p))) return None
+          o += ph * (1 + pw * bpp)
         }
         p += 1
       }
@@ -322,28 +456,27 @@ object Png {
     Some((w, h, px))
   }
 
-  /** Reconstruct `ph` filtered scanlines of `pw` RGB pixels from
-    * `raw` at `off`, writing pixel (i, j) of the (sub-)image to
-    * `out(outBase + j*outRowStride + i*3*outColStep)` — identity
-    * strides for a sequential image, pass geometry for an Adam7
-    * reduced image. False on an out-of-range filter type. */
-  private def unfilter(raw: Array[Byte], off: Int, pw: Int, ph: Int,
-      out: Array[Byte], outBase: Int, outRowStride: Int,
-      outColStep: Int): Boolean = {
-    val stride = pw * 3
+  /** Reconstruct `ph` filtered scanlines of `pw` pixels at `bpp` bytes
+    * each from `raw` at `off` — the PNG spec §9 filters with the
+    * left-neighbor distance = bpp. Returns the reconstructed
+    * `pw·ph·bpp` sub-image, or null on an out-of-range filter type. */
+  private def unfilterSub(raw: Array[Byte], off: Int, pw: Int, ph: Int,
+      bpp: Int): Array[Byte] = {
+    val stride = pw * bpp
+    val out = new Array[Byte](ph * stride)
     val prev = new Array[Int](stride)
     val cur = new Array[Int](stride)
     var y = 0
     var o = off
     while (y < ph) {
       val f = raw(o) & 0xff; o += 1
-      if (f > 4) return false
+      if (f > 4) return null
       var j = 0
       while (j < stride) {
         val x = raw(o + j) & 0xff
-        val left = if (j >= 3) cur(j - 3) else 0
+        val left = if (j >= bpp) cur(j - bpp) else 0
         val up = prev(j)
-        val ul = if (j >= 3) prev(j - 3) else 0
+        val ul = if (j >= bpp) prev(j - bpp) else 0
         val rec = f match {
           case 0 => x
           case 1 => (x + left) & 0xff
@@ -352,15 +485,14 @@ object Png {
           case 4 => (x + paeth(left, up, ul)) & 0xff
         }
         cur(j) = rec
-        out(outBase + y * outRowStride + (j / 3) * 3 * outColStep +
-          j % 3) = rec.toByte
+        out(y * stride + j) = rec.toByte
         j += 1
       }
       o += stride
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    true
+    out
   }
 
   /** REAL pixel resize: decode → EXACT-INTEGER bilinear resample →

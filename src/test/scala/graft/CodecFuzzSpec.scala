@@ -14,6 +14,9 @@ class CodecFuzzSpec extends AnyFunSuite {
   private val decoders: Seq[(String, Array[Byte] => Any)] = Seq(
     "png" -> (b => Png.pixelStats(b)),
     "png_adam7" -> (b => Png.pixelStats(b)),
+    "png_gray" -> (b => Png.pixelStats(b)),
+    "png_palette" -> (b => Png.pixelStats(b)),
+    "png_rgba" -> (b => Png.pixelStats(b)),
     "jpeg" -> (b => Jpeg.pixelStats(b)),
     "jpeg_color" -> (b => Jpeg.pixelStatsColor(b)),
     "jpeg_color420" -> (b => Jpeg.pixelStatsColor(b)),
@@ -26,6 +29,9 @@ class CodecFuzzSpec extends AnyFunSuite {
   private def seeds(name: String): Array[Byte] = name match {
     case "png" => Png.encodeRgb(21, 13, 7L)
     case "png_adam7" => Png.encodeRgb(21, 13, 7L, interlaced = true)
+    case "png_gray" => Png.encodeGray8(21, 13, 7L)
+    case "png_palette" => Png.encodePalette(21, 13, 7L, interlaced = true)
+    case "png_rgba" => Png.encodeRgba(21, 13, 7L)
     case "jpeg" => Jpeg.encodeGrayBlocks(24, 16,
       (bx, by) => (bx * 7 + by * 13) % 256)
     case "jpeg_color" => Jpeg.encodeColorBlocks(24, 16,

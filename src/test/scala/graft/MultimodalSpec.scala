@@ -223,13 +223,93 @@ class MultimodalSpec extends SparkSpec {
     val full = Png.encodeRgb(8, 8, 1L)
     assert(Png.pixelStats(full.take(full.length - 20)).isEmpty,
       "truncated stream must refuse, not guess")
-    // a real grayscale PNG from ImageIO → out of scope → None
+    // a real grayscale PNG from an INDEPENDENT encoder (ImageIO) now
+    // decodes — gray replicates to RGB; this all-zero 4x4 sums to 0
     val gray = new java.awt.image.BufferedImage(
       4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(gray, "png", bos)
-    assert(Png.pixelStats(bos.toByteArray).isEmpty,
-      "non-RGB color types are refused")
+    val gs = Png.pixelStats(bos.toByteArray)
+    assert(gs.exists(s => s.width == 4 && s.height == 4 &&
+      s.sumR == 0 && s.sumG == 0 && s.sumB == 0),
+      s"ImageIO grayscale must decode: $gs")
+    // 16-bit stays out of scope — refuse, don't guess
+    val deep = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val bos16 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(deep, "png", bos16)
+    assert(Png.pixelStats(bos16.toByteArray).isEmpty,
+      "16-bit depth is refused")
+  }
+
+  test("Png codec: all five color types decode to the formula and " +
+      "agree with ImageIO, sequential and Adam7") {
+    import graft.operators.Png
+    def expect(w: Int, h: Int, seed: Long,
+        f: (Int, Int) => (Int, Int, Int)): (Long, Long, Long) = {
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, bl) = f(x, y); er += r; eg += g; eb += bl
+      }
+      (er, eg, eb)
+    }
+    val cases: Seq[(String, (Int, Int, Long, Boolean) => Array[Byte],
+        (Int, Int, Long) => (Int, Int) => (Int, Int, Int))] = Seq(
+      ("gray", (w, h, s, il) => Png.encodeGray8(w, h, s, il),
+        (_, _, s) => (x, y) => {
+          val g = Png.pixelR(x, y, s); (g, g, g)
+        }),
+      ("palette", (w, h, s, il) => Png.encodePalette(w, h, s, il),
+        (_, _, s) => (x, y) => {
+          val i = Png.pixelR(x, y, s); (i, 255 - i, (i * 7) % 256)
+        }),
+      ("rgba", (w, h, s, il) => Png.encodeRgba(w, h, s, il),
+        (_, _, s) => (x, y) =>
+          (Png.pixelR(x, y, s), Png.pixelG(x, y, s), Png.pixelB(x, y, s))),
+      ("gray_alpha", (w, h, s, il) => Png.encodeGrayAlpha(w, h, s, il),
+        (_, _, s) => (x, y) => {
+          val g = Png.pixelR(x, y, s); (g, g, g)
+        }))
+    for ((name, enc, truth) <- cases;
+         (w, h, seed) <- Seq((17, 9, 3L), (8, 8, 7L), (1, 5, 2L));
+         il <- Seq(false, true)) {
+      val bytes = enc(w, h, seed, il)
+      val s = Png.pixelStats(bytes).getOrElse(
+        fail(s"undecodable $name ${w}x$h interlaced=$il"))
+      val (er, eg, eb) = expect(w, h, seed, truth(w, h, seed))
+      assert((s.sumR, s.sumG, s.sumB) == ((er, eg, eb)),
+        s"$name ${w}x$h interlaced=$il decode drift")
+      // independent reference decoder agrees pixel-wise. Gray types
+      // compare on the RASTER (band 0): getRGB would route the gray
+      // colorspace through a nonlinear gray→sRGB conversion — a
+      // display transform, not the stored samples. RGB(A)/palette
+      // compare on getRGB (PNG alpha is non-premultiplied; samples
+      // come back as stored).
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected our $name PNG")
+      var (ir, ig, ib) = (0L, 0L, 0L)
+      val grayType = name == "gray" || name == "gray_alpha"
+      for (y <- 0 until h; x <- 0 until w) {
+        if (grayType) {
+          val g = img.getRaster.getSample(x, y, 0)
+          ir += g; ig += g; ib += g
+        } else {
+          val rgb = img.getRGB(x, y)
+          ir += (rgb >> 16) & 0xff; ig += (rgb >> 8) & 0xff; ib += rgb & 0xff
+        }
+      }
+      assert((ir, ig, ib) == ((er, eg, eb)),
+        s"ImageIO disagrees on $name ${w}x$h interlaced=$il")
+    }
+    // palette refusals: missing PLTE, index past the palette
+    val pal = Png.encodePalette(8, 8, 1L)
+    val noPlte = {
+      // excise the PLTE chunk (length 768 + 12 overhead)
+      val at = new String(pal, "ISO-8859-1").indexOf("PLTE") - 4
+      pal.take(at) ++ pal.drop(at + 12 + 768)
+    }
+    assert(Png.pixelStats(noPlte).isEmpty, "palette without PLTE")
   }
 
   test("Png codec: Adam7 interlaced encode decodes pixel-identical to " +
