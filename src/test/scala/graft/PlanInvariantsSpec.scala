@@ -58,9 +58,12 @@ class PlanInvariantsSpec extends SparkSpec {
         s"$twin's claimed scale path $p is not a catalog entry"))
       assert(!paths.contains(twin), s"$twin lists itself as its scale path")
     }
-    // the ledger is closed: exactly the known guarded-quadratic entries
+    // the ledger is closed: exactly the known guarded-quadratic /
+    // exhaustive-baseline entries (q_ann_topk_bruteforce joined when the
+    // PQ and IVF-PQ scale paths made exhaustive scoring a twin role)
     assert(twins.keySet == Set(
-      "q_dedup_embedding", "q_dedup_embedding_keep", "q_embed_top_pairs"),
+      "q_dedup_embedding", "q_dedup_embedding_keep", "q_embed_top_pairs",
+      "q_ann_topk_bruteforce"),
       s"unexpected oracle-twin set: ${twins.keySet}")
   }
 
