@@ -628,9 +628,77 @@ object PipelineQueries {
          |FROM sel ORDER BY o_orderstatus, prob""".stripMargin
     })
 
+  /** SKETCH-PARTIALS rollup for the uniform sample — the last member of
+    * the reaggregable family (HLL = distinct, CMS = frequencies,
+    * DDSketch + this = distribution shape, KMV = order statistics): one
+    * scan builds a per-status serialized k-sample
+    * ([[graft.expr.SampleSketchAgg]] — the A-ES race at weight 1,
+    * reduced to pure unsigned-hash order so the sketch is libm-free),
+    * and the corpus-wide 'ALL' quantiles are answered from those
+    * PARTIALS via [[graft.expr.SampleMergeAgg]] (keep the k largest race
+    * keys of the union — lossless: merge-of-sketches ≡
+    * sketch-of-union, spec-asserted BYTE-for-byte) +
+    * [[graft.expr.SampleSketchQuantiles]] (the same closed-form
+    * interpolation as the one-shot [[qSampleQuantiles]]). The oracle
+    * re-derives both levels from the same hash chain and rank
+    * selection, so the merged estimates are hash-checked, not just
+    * bounded. */
+  val qSampleQuantilesRollup = QueryDef("q_sample_quantiles_rollup",
+    (spark, dir) => {
+      val probsArr = array(QuantProbs.map(lit): _*)
+      val perStatus = Tables.orders(spark, dir)
+        .filter(col("o_totalprice").isNotNull)
+        .groupBy("o_orderstatus")
+        .agg(graft.expr.SampleSketchAgg.sketch(
+          graft.expr.Fingerprint64(col("o_orderkey").cast("string")),
+          col("o_totalprice").cast("double"), QuantK).as("sk"))
+      val global = perStatus
+        .agg(graft.expr.SampleSketchAgg.mergeSketches(col("sk"), QuantK).as("sk"))
+        .select(lit("ALL").as("o_orderstatus"), col("sk"))
+      perStatus.unionByName(global)
+        .select(col("o_orderstatus"),
+          posexplode(graft.expr.SampleSketchAgg.quantiles(
+            col("sk"), QuantK, QuantProbs)).as(Seq("pos", "quantile")))
+        .select(col("o_orderstatus"),
+          element_at(probsArr, col("pos") + 1).as("prob"), col("quantile"))
+        .orderBy("o_orderstatus", "prob")
+    },
+    Some {
+      val probsList = QuantProbs.mkString("[", ", ", "]")
+      val pos = "CAST(len(vs) - 1 AS DOUBLE) * prob"
+      s"""WITH h AS (
+         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         |         ${TextQueries.fnvFoldSql("CAST(o_orderkey AS VARCHAR)")} AS z
+         |  FROM orders WHERE o_totalprice IS NOT NULL
+         |), ${TextQueries.splitmixCtesSql(
+                "h", "o_orderstatus, o_totalprice", "w")},
+         |u AS (
+         |  SELECT DISTINCT o_orderstatus, o_totalprice, z FROM w5
+         |  UNION ALL
+         |  SELECT DISTINCT 'ALL' AS o_orderstatus, o_totalprice, z FROM w5
+         |), ranked AS (
+         |  SELECT o_orderstatus, o_totalprice,
+         |         row_number() OVER (PARTITION BY o_orderstatus
+         |           ORDER BY z DESC) AS rn
+         |  FROM u
+         |), grp AS (
+         |  SELECT o_orderstatus,
+         |         list_sort(list(CAST(o_totalprice AS DOUBLE))) AS vs
+         |  FROM ranked WHERE rn <= $QuantK GROUP BY o_orderstatus
+         |), pr AS (
+         |  SELECT o_orderstatus, vs, unnest($probsList) AS prob FROM grp
+         |)
+         |SELECT o_orderstatus, prob,
+         |       vs[CAST(floor($pos) AS INT) + 1]
+         |       + (vs[CAST(ceil($pos) AS INT) + 1]
+         |          - vs[CAST(floor($pos) AS INT) + 1])
+         |         * ($pos - floor($pos)) AS quantile
+         |FROM pr ORDER BY o_orderstatus, prob""".stripMargin
+    })
+
   def all: Seq[QueryDef] = Seq(
     qSampleSplit, qBalanceLangs, qPackSequences, qTop3Agg, qLangSimilarity,
     qMixWeights, qWeightedSample, qTokenIds, qWeightedSampleBySource,
-    qSampleQuantiles, qDdQuantiles, qDdQuantilesRollup, qDomainCap,
-    qSnapshotDiff)
+    qSampleQuantiles, qSampleQuantilesRollup, qDdQuantiles,
+    qDdQuantilesRollup, qDomainCap, qSnapshotDiff)
 }

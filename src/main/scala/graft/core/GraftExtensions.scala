@@ -158,6 +158,16 @@ object GraftExtensions {
     "dd_quantiles" -> { args =>
       arity("dd_quantiles", 3, args)
       DdSketchQuantiles(args(0), doubleLit(args(1)),
+        doubleArrayLit(args(2))) },
+    "sample_sketch" -> { args =>
+      arity("sample_sketch", 3, args)
+      SampleSketchAgg(args(0), args(1), intLit(args(2))).toAggregateExpression() },
+    "sample_merge" -> { args =>
+      arity("sample_merge", 2, args)
+      SampleMergeAgg(args(0), intLit(args(1))).toAggregateExpression() },
+    "sample_quantiles_of" -> { args =>
+      arity("sample_quantiles_of", 3, args)
+      SampleSketchQuantiles(args(0), intLit(args(1)),
         doubleArrayLit(args(2))) })
 
   /** Imperative registration for an already-created session. Idempotent:

@@ -473,4 +473,85 @@ class AggregatesSpec extends SparkSpec {
     assert(messages(err).exists(_.contains("dd sketch")),
       s"expected a descriptive refusal, got: $err")
   }
+
+  test("sample sketch partials: merge of per-part sketches is byte-identical " +
+    "to sketching the union; quantiles agree with the one-shot sample path") {
+    import spark.implicits._
+    import graft.expr.{Fingerprint64, SampleSketchAgg}
+    val k = 64
+    val probs = Seq(0.25, 0.5, 0.75, 0.95)
+    // unique long ids across three parts; deterministic skewed values
+    val rows = (0L until 6000L).map { i =>
+      (s"p${i % 3}", i, (i % 977).toDouble * 1.25 + (i % 13).toDouble)
+    }
+    val df = rows.toDF("part", "id", "v")
+    val hash = Fingerprint64(col("id").cast("string"))
+    // canonical wire: merged partials == one-shot sketch of the union,
+    // as BYTES — the k largest race keys of a union are the k largest
+    // of the parts' k-largest, and the sorted wire form makes that
+    // comparable directly
+    val perPart = df.groupBy("part")
+      .agg(SampleSketchAgg.sketch(hash, col("v"), k).as("sk"))
+    val merged = perPart
+      .agg(SampleSketchAgg.mergeSketches(col("sk"), k).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val direct = df.agg(SampleSketchAgg.sketch(hash, col("v"), k).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct),
+      "sketch-of-union must equal merge-of-sketches byte-for-byte")
+    // quantiles from merged partials == the one-shot sample path
+    // (Sketches.sampleQuantiles selects by the A-ES ln(u) race; the
+    // sketch selects by unsigned mixed hash — ln is monotone, so the
+    // SAMPLES are identical and the closed-form interpolation matches
+    // bit-for-bit)
+    val rolled = perPart
+      .agg(SampleSketchAgg.mergeSketches(col("sk"), k).as("sk"))
+      .select(posexplode(
+        SampleSketchAgg.quantiles(col("sk"), k, probs)).as(Seq("pos", "q")))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    val oneShot = graft.operators.Sketches.sampleQuantiles(
+        df.withColumn("g", lit("ALL")), "g", col("id"), "v", k, probs)
+      .orderBy("prob")
+      .collect().zipWithIndex.map { case (r, i) => (i, r.getDouble(2)) }.toMap
+    assert(rolled == oneShot,
+      s"rollup must be LOSSLESS vs the one-shot sample: $rolled vs $oneShot")
+    // unsaturated group (n < k): the sample IS the data — quantiles are
+    // the exact interpolated order statistics
+    val small = Seq(("s", 1L, 10.0), ("s", 2L, 20.0), ("s", 3L, 30.0),
+      ("s", 4L, 40.0), ("s", 5L, 50.0)).toDF("part", "id", "v")
+    val med = small
+      .agg(SampleSketchAgg.sketch(
+        Fingerprint64(col("id").cast("string")), col("v"), k).as("sk"))
+      .select(element_at(
+        SampleSketchAgg.quantiles(col("sk"), k, Seq(0.5)), 1))
+      .head().getDouble(0)
+    assert(med == 30.0, s"unsaturated median $med != 30.0 (exact)")
+    // SQL registration end to end
+    df.createOrReplaceTempView("sample_roll_in")
+    val viaSql = spark.sql(
+      s"""SELECT sample_quantiles_of(sample_merge(sk, $k), $k,
+         |         array(${probs.mkString(", ")})) FROM
+         |  (SELECT part,
+         |     sample_sketch(fingerprint64(CAST(id AS STRING)),
+         |                   CAST(v AS DOUBLE), $k) AS sk
+         |   FROM sample_roll_in GROUP BY part)""".stripMargin)
+      .head().getSeq[Double](0)
+    assert(viaSql == probs.indices.map(rolled), s"SQL face $viaSql != $rolled")
+    // k mismatch (sketch holds more records than the merge's k) refuses
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val err = intercept[Exception] {
+      df.agg(SampleSketchAgg.sketch(hash, col("v"), k).as("sk"))
+        .select(SampleSketchAgg.mergeSketches(col("sk"), 8)).collect()
+    }
+    assert(messages(err).exists(_.contains("sample sketch")),
+      s"expected a descriptive k-mismatch refusal, got: $err")
+    // malformed binary refuses loudly, not an opaque buffer error
+    val junk = df.limit(1)
+      .select(lit(Array[Byte](9, 9, 9)).as("sk"))
+      .select(SampleSketchAgg.quantiles(col("sk"), k, probs))
+    val err2 = intercept[Exception] { junk.collect() }
+    assert(messages(err2).exists(_.contains("sample sketch")),
+      s"expected a descriptive refusal, got: $err2")
+  }
 }
