@@ -62,7 +62,7 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
     Some(exactTopKOracle),
-    role = OracleTwin(Seq("q_ann_pq_topk")))
+    role = OracleTwin(Seq("q_ann_pq_topk", "q_ann_ivfpq_topk")))
 
   /** Product-quantization ANN ([[graft.operators.Pq]]): codes-only ADC
     * shortlist (32× vector compression at dim 64 / m 8 / 5-bit codes)
@@ -85,6 +85,113 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
     None)
+
+  /** IVF-PQ — the COMPOSED production ANN architecture
+    * ([[graft.operators.Pq.ivfPqTopK]], FAISS's IndexIVFPQ shape): the
+    * k-means coarse quantizer prunes the corpus to [[IvfPqNprobe]] of
+    * [[IvfClusters]] cells, residual-trained PQ codes
+    * ([[graft.operators.Pq.trainResidual]]) score the survivors at m
+    * bytes per vector, and the shortlist is exact-rescored — per-query
+    * scan cost is the PRODUCT of the probe fraction and the code
+    * compression, which is what a 100 TB index actually runs. Trained
+    * float kernels (Lloyd + ADC) → rows-only like `q_ann_pq_topk`;
+    * recall vs the brute-force twin and retrain determinism are
+    * spec-measured, and every emitted cosine is exact. */
+  val IvfPqNprobe = 4
+  val qAnnIvfPq = QueryDef("q_ann_ivfpq_topk",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val (cents, assigned) = graft.operators.KMeans.fit(
+        emb, "vec_id", "embedding", IvfClusters, IvfIters)
+      val cb = graft.operators.Pq.trainResidual(
+        emb, "vec_id", "embedding", cents, PqM, PqKsub)
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.Pq.ivfPqTopK(
+        assigned, cents, q, cb, TopK, IvfPqNprobe, PqShortlist)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** SQ8 scalar-quantization ANN ([[graft.operators.Sq]]) — the
+    * HASH-CHECKED member of the approximate family: per-dimension
+    * linear quantization's fit (two float aggregates), encode, and
+    * asymmetric scoring are all plain IEEE arithmetic, so the oracle
+    * replays the ENTIRE approximate search in SQL — grid, codes,
+    * reconstruction dot, norms, 1e-6-rounded shortlist ranking,
+    * exact-cosine rescore — and the result hash-compares. PQ and LSH
+    * are rows-only because trained floats bake into their kernels;
+    * SQ8 is the approximation the oracle can follow all the way
+    * through, which pins the shortlist/rescore machinery those
+    * siblings share. */
+  val SqShortlist = 3 * TopK
+  val qAnnSq8 = QueryDef("q_ann_sq8_topk",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val g = graft.operators.Sq.fitGrid(emb, "embedding")
+      graft.operators.Sq.sq8TopK(
+        emb, emb.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", g, TopK, SqShortlist)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val fold = (body: String, n: String) =>
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |  [$body for i in generate_series(1, len($n))]),
+           |  (acc, x) -> acc + x)""".stripMargin
+      val dequant = "(mm.mn[i] + (CAST(c.codes[i] AS DOUBLE) * " +
+        "(mm.mx[i] - mm.mn[i])) / 255.0)"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), mmd AS (
+         |  SELECT dim, min(x) AS mn, max(x) AS mx FROM (
+         |    SELECT unnest(embedding) AS x,
+         |           unnest(generate_series(1, len(embedding))) AS dim
+         |    FROM embeddings)
+         |  GROUP BY dim
+         |), mm AS (
+         |  SELECT list(CAST(mn AS DOUBLE) ORDER BY dim) AS mn,
+         |         list(CAST(mx AS DOUBLE) ORDER BY dim) AS mx
+         |  FROM mmd
+         |), enc AS (
+         |  SELECT e.vec_id,
+         |         [CASE WHEN mm.mx[i] = mm.mn[i] THEN 0
+         |               ELSE CAST(round((e.v[i] - mm.mn[i]) * 255.0 /
+         |                                (mm.mx[i] - mm.mn[i])) AS BIGINT) END
+         |          for i in generate_series(1, len(e.v))] AS codes,
+         |         sqrt(${fold("e.v[i] * e.v[i]", "e.v")}) AS nrm
+         |  FROM e, mm
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CASE WHEN q.nrm * c.nrm = 0 THEN CAST(0.0 AS DOUBLE)
+         |              ELSE round(
+         |                ${fold(s"eq.v[i] * $dequant", "c.codes")}
+         |                / (q.nrm * c.nrm), 6) END AS approx
+         |  FROM enc c
+         |  JOIN enc q ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id
+         |  JOIN e eq ON eq.vec_id = q.vec_id
+         |  CROSS JOIN mm
+         |), short AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY approx DESC, neighbor_id) AS srn
+         |  FROM scored
+         |), rescored AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         ${cosSql("eq.v", "ec.v")} AS cosine
+         |  FROM short s
+         |  JOIN e eq ON eq.vec_id = s.query_id
+         |  JOIN e ec ON ec.vec_id = s.neighbor_id
+         |  WHERE s.srn <= $SqShortlist
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |  FROM rescored
+         |)
+         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    })
 
   /** Trained-quantizer IVF: Lloyd's k-means fits the coarse index, then
     * multi-probe search scores only the probed buckets. This catalog
@@ -394,7 +501,7 @@ object VectorQueries {
             |  (SELECT vec_id FROM labels WHERE cluster <> vec_id)
             |ORDER BY vec_id""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(qAnnTopK, qAnnPq, qEmbedTopPairs, qAnnLsh,
-    qAnnIvf, qAnnIvfKmeans, qDedupEmbedding, qDedupEmbeddingKeep,
-    qDedupEmbeddingLsh, qSemanticDedup)
+  def all: Seq[QueryDef] = Seq(qAnnTopK, qAnnPq, qAnnIvfPq, qAnnSq8,
+    qEmbedTopPairs, qAnnLsh, qAnnIvf, qAnnIvfKmeans, qDedupEmbedding,
+    qDedupEmbeddingKeep, qDedupEmbeddingLsh, qSemanticDedup)
 }

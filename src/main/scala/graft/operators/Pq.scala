@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.expr.{CosineSim, DotProduct, NearestCentroidId, PqAdc, PqLut}
+import graft.expr.{CosineSim, DotProduct, L2Distance, NearestCentroidId, PqAdc, PqLut, TopKAgg}
 
 /** Product quantization for ANN at memory scale (Jégou et al., TPAMI
   * 2011) — the compression leg of the similarity-search family: a
@@ -140,6 +140,132 @@ object Pq {
         "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(CosineSim(col("qv"), col("cv")), 6).as("cosine"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
+  /** Fit codebooks on RESIDUALS against a trained coarse quantizer —
+    * the IVF-PQ training leg (Jégou et al. §V: quantizing v − c(v)
+    * instead of v concentrates the sub-distributions, so the same m·ksub
+    * budget spends its resolution inside a cell instead of across the
+    * whole space). The sample rule ([[train]]'s smallest-id rows), the
+    * driver-local argmin (strict-<, cid-ascending first-wins — the same
+    * tie rule as [[graft.expr.NearestCentroidId]]), and Lloyd are all
+    * deterministic, so retrains are bit-identical.
+    *
+    * @param cents (cid, cv) from [[KMeans.fit]] */
+  def trainResidual(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, m: Int, ksub: Int, sampleN: Int = 2048,
+      iters: Int = 8): Codebooks = {
+    require(m > 0 && ksub > 1, s"Pq.trainResidual: bad m=$m ksub=$ksub")
+    val matrix = cents.select(col("cid").cast("long"), col("cv"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    require(matrix.nonEmpty, "Pq.trainResidual: empty centroid frame")
+    val rows = vectors
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy("id").limit(sampleN).collect()
+    require(rows.nonEmpty, "Pq.trainResidual: empty corpus")
+    val sample = rows.map(_.getSeq[Float](1).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"Pq.trainResidual: dim $dim not divisible by m=$m")
+    require(matrix.forall(_.length == dim),
+      s"Pq.trainResidual: centroid dim != corpus dim $dim")
+    val dsub = dim / m
+    val residuals = sample.map { x =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < matrix.length) {
+        var s = 0.0; var i = 0
+        while (i < dim) {
+          val d = x(i).toDouble - matrix(c)(i).toDouble; s += d * d; i += 1
+        }
+        if (s < bestD) { bestD = s; best = c } // first-wins ties
+        c += 1
+      }
+      Array.tabulate(dim)(i => x(i) - matrix(best)(i))
+    }
+    val books = Array.tabulate(m) { b =>
+      val subs = residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, b * dsub, (b + 1) * dsub))
+      lloydLocal(subs, math.min(ksub, subs.length), iters)
+    }
+    Codebooks(m, dsub, books(0).length, books)
+  }
+
+  /** IVF-PQ multi-probe search — the composed 100 TB ANN architecture
+    * (FAISS's IndexIVFPQ shape, rebuilt Spark-first): the coarse
+    * quantizer prunes the corpus to `nprobe` cells, PQ codes score the
+    * survivors without touching a full vector, and the shortlist is
+    * exact-rescored. Per query the scan cost is ~(nprobe/k_cells)·m
+    * bytes per corpus vector — the multiplicative combination of IVF's
+    * probe pruning and PQ's 32× compression, which is why this (not
+    * either alone) is what a production-scale index runs.
+    *
+    * Inner-product decomposition keeps the LUT cell-independent:
+    * dot(q, v) = dot(q, c(v)) + dot(q, r(v)), so ONE [[graft.expr
+    * .PqLut]] per query covers every probed cell, the exact
+    * dot(q, c) term comes from the k-row broadcast centroid frame, and
+    * only the residual term is approximated (by [[graft.expr.PqAdc]]
+    * over residual-trained codebooks — [[trainResidual]]). The
+    * cosine's norms are stored exactly at encode time; as in
+    * [[pqTopK]], approximation can only cost recall (spec-measured),
+    * never a wrong score — every emitted cosine is exact-rescored.
+    *
+    * Plan shape: the probe side (queries × nprobe rows, each with one
+    * LUT + one dot + one norm) broadcasts; the corpus side reads
+    * (cid, codes, vnorm) only — the join is an equi-join on cid, so
+    * with a cid-partitioned persisted index ([[KMeans.saveIndex]])
+    * partition pruning drops the unprobed cells at planning time.
+    *
+    * @param corpusAssigned (id, v, cid) from [[KMeans.fit]]/`assign`
+    * @param queries        (query_id, qv) — small, broadcast side
+    * @param cb             residual codebooks ([[trainResidual]])
+    */
+  def ivfPqTopK(corpusAssigned: DataFrame, cents: DataFrame,
+      queries: DataFrame, cb: Codebooks, k: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"Pq.ivfPqTopK: shortlist $shortlist < k $k")
+    require(nprobe >= 1, s"Pq.ivfPqTopK: nprobe must be >= 1, got $nprobe")
+    def norm(c: Column): Column = sqrt(DotProduct(c, c))
+    // corpus index: m residual codes + one stored norm per vector — the
+    // last full-vector read before the rescore. float−float stays
+    // single-precision on both the driver (trainResidual) and in-plan.
+    val resid = zip_with(col("v"), col("cv"),
+      (a: Column, b: Column) => (a - b).cast("float"))
+    val enc = corpusAssigned.join(broadcast(cents), "cid")
+      .select(col("cid"), col("id").as("neighbor_id"),
+        encodeCol(resid, cb).as("codes"), norm(col("v")).as("vnorm"))
+    // per-query nprobe nearest cells (bounded heap — window-free), then
+    // one LUT + exact dot(q, c) + norm per (query, cell) probe row
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"),
+        negate(L2Distance(col("qv"), col("cv"))).as("negd"), col("cid"))
+      .groupBy("query_id")
+      .agg(TopKAgg(col("negd"), col("cid"), nprobe).as("top"),
+        first(col("qv")).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(expr("transform(top, e -> e.payload)")).as("cid"))
+      .join(broadcast(cents), "cid")
+      .select(col("cid"), col("query_id"),
+        PqLut(col("qv"), cb.books).as("lut"),
+        DotProduct(col("qv"), col("cv")).as("qdotc"),
+        norm(col("qv")).as("qnorm"))
+    val approx = enc.join(broadcast(probes), "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qnorm") * col("vnorm") === 0d, 0d)
+          .otherwise((col("qdotc") + PqAdc(col("codes"), col("lut"), cb.ksub)) /
+            (col("qnorm") * col("vnorm"))).as("cosine"))
+    val cands = Similarity.topKPerQuery(approx, shortlist)
+      .select("query_id", "neighbor_id")
+    // exact rescore at candidate cardinality — emitted cosines are EXACT
+    val scored = cands
+      .join(corpusAssigned.select(col("id").as("neighbor_id"),
+        col("v").as("cv2")), "neighbor_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(CosineSim(col("qv"), col("cv2")), 6).as("cosine"))
     Similarity.topKPerQuery(scored, k)
   }
 }

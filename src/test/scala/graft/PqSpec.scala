@@ -71,6 +71,64 @@ class PqSpec extends SparkSpec {
     assert(pq2.toSeq.sorted == pq.toSeq.sorted, "re-search drift")
   }
 
+  test("ivfPqTopK: residual training is deterministic; cosines are " +
+      "EXACT; full-probe recall clears the floor; probe pruning trades " +
+      "recall monotonically") {
+    import graft.operators.KMeans
+    val (cents, assigned) = KMeans.fit(emb, "vec_id", "embedding",
+      k = 8, maxIter = 3)
+    val cbA = Pq.trainResidual(emb, "vec_id", "embedding", cents,
+      m = 8, ksub = 32)
+    val cbB = Pq.trainResidual(emb, "vec_id", "embedding", cents,
+      m = 8, ksub = 32)
+    for (blk <- 0 until 8; c <- 0 until cbA.ksub)
+      assert(cbA.books(blk)(c).toSeq == cbB.books(blk)(c).toSeq,
+        s"residual retrain drift at block $blk centroid $c")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // full probe (nprobe = k_cells): IVF prunes nothing, so recall is
+    // the PQ shortlist's alone — the comparable configuration
+    val full = Pq.ivfPqTopK(assigned, cents, queries, cbA,
+      k = 10, nprobe = 8, shortlist = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // exact-rescore contract: every emitted cosine is the exact one
+    val exactAll = Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 499)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    full.foreach { case (q, n, c) =>
+      assert(exactAll((q, n)) == c, s"inexact cosine for ($q, $n)")
+    }
+    // recall@10 vs brute force
+    val exact = Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val want = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    def recallOf(rs: Array[(Long, Long, Double)]): Double = {
+      val got = rs.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val per = want.map { case (q, w) =>
+        got.getOrElse(q, Set.empty).intersect(w).size.toDouble / w.size }
+      per.sum / per.size
+    }
+    val rFull = recallOf(full)
+    assert(rFull >= 0.7, s"full-probe recall@10 = $rFull below floor")
+    // pruned probe: still exact cosines, recall can only be <= full's
+    // (probing fewer cells never ADDS candidates)
+    val pruned = Pq.ivfPqTopK(assigned, cents, queries, cbA,
+      k = 10, nprobe = 2, shortlist = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    pruned.foreach { case (q, n, c) =>
+      assert(exactAll((q, n)) == c, s"inexact pruned cosine for ($q, $n)")
+    }
+    assert(recallOf(pruned) <= rFull + 1e-9,
+      "pruning probes must not increase recall")
+    // whole-search determinism
+    val full2 = Pq.ivfPqTopK(assigned, cents, queries, cbA,
+      k = 10, nprobe = 8, shortlist = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(full2.toSeq.sorted == full.toSeq.sorted, "re-search drift")
+  }
+
   test("guards: bad dims and undersized shortlist refuse loudly") {
     val e1 = intercept[IllegalArgumentException] {
       Pq.train(emb, "vec_id", "embedding", m = 7, ksub = 16)
