@@ -503,7 +503,119 @@ object StreamingQueries {
            |FROM events
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** STREAM-STREAM JOIN under the hash gate — the symmetric-join state
+    * store, the one streaming state shape the gated family didn't yet
+    * cover (windowed agg, lateness, session merge, arbitrary keyed
+    * state, and the sink are [[qStreamTumbling]]..[[qStreamSink]]).
+    * The events table is staged as three pinned-order files
+    * (event_id mod 3, the [[qStreamSink]] staging) and read by TWO
+    * independent file readStreams — an `error` side and a `purchase`
+    * side — inner-joined on user with the event-time range
+    * `purchase.ts ∈ [error.ts, error.ts + 24 h]`: with
+    * `maxFilesPerTrigger = 1` forcing three micro-batches, a batch-1
+    * error can only meet its batch-3 purchase through rows BUFFERED in
+    * the symmetric join state, so cross-batch state is load-bearing,
+    * not incidental. Matches emit in append mode, drained
+    * AvailableNow. If the state store dropped a buffered row, emitted
+    * a match twice, or mis-evaluated the range condition, the pair set
+    * (853 rows at sf0.01) drifts and the hash breaks.
+    *
+    * Split invariance: an append-mode INNER join emits exactly the
+    * match set for any micro-batch split PROVIDED nothing is evicted —
+    * so the watermark is span-wide, the same deliberate choice (and
+    * the same spec-vs-entry split of concerns) as [[qStreamTumbling]]:
+    * state-CLEANUP semantics belong to the MemoryStream specs where
+    * arrival order is explicit; the oracle row pins the join result.
+    *
+    * Scale note: what crosses to the driver is the matched-pair set —
+    * the join's actual output, the cardinality any sink would write;
+    * rows never collect before the join. */
+  val qStreamJoin = QueryDef("q_stream_join_error_purchase",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val run = java.util.UUID.randomUUID().toString
+      val tmp = sys.props("java.io.tmpdir")
+      val ingest = s"$tmp/graft_stream_join_in_$run"
+      val ckpt = s"$tmp/graft_stream_join_ckpt_$run"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(ingest).getFileSystem(conf)
+      // three staged files (event_id mod 3) with pinned arrival order +
+      // maxFilesPerTrigger=1, so matches genuinely SPAN micro-batches:
+      // an error arriving in batch 1 can only meet its batch-3 purchase
+      // through the buffered symmetric join state
+      def stage(name: String, parity: Int, mtimeMs: Long): Unit = {
+        val scratch = new org.apache.hadoop.fs.Path(s"$ingest/_st_$name")
+        ev.filter(pmod(col("event_id"), lit(3)) === parity)
+          .coalesce(1).write.parquet(scratch.toString)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$scratch/part-*.parquet"))(0).getPath
+        val dest = new org.apache.hadoop.fs.Path(s"$ingest/$name.parquet")
+        require(fs.rename(part, dest), s"join stage rename failed: $name")
+        fs.delete(scratch, true)
+        fs.setTimes(dest, mtimeMs, -1)
+      }
+      stage("b1", 0, 1000000L)
+      stage("b2", 1, 2000000L)
+      stage("b3", 2, 3000000L)
+      def side(tag: String): DataFrame = {
+        val s = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(ingest)
+        s.withColumn("ts", tsAsTimestamp(s))
+          .withWatermark("ts", "3650 days")
+          .filter(col("event_type") === tag)
+      }
+      val errors = side("error")
+        .select(col("event_id").as("error_id"),
+          col("user_id"), col("ts").as("e_ts"))
+      val purchases = side("purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val joined = errors.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("e_ts") &&
+          col("p_ts") <= col("e_ts") + expr("interval 24 hours"))
+        .select(col("error_id"), col("purchase_id"), col("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("e_ts")))
+            .as("gap_us"))
+      val acc = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Long, Long, Long, Long)]()
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            acc.add((r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3))); ()
+          }
+        }
+        .start()
+      try q.awaitTermination() finally {
+        fs.delete(new org.apache.hadoop.fs.Path(ingest), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      }
+      import scala.jdk.CollectionConverters._
+      acc.asScala.toSeq
+        .map { case (e, pch, u, g) => (e, pch, u, g) }
+        .toDF("error_id", "purchase_id", "user_id", "gap_us")
+        .orderBy("error_id", "purchase_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id AS error_id, user_id, epoch_us(ts) AS tus
+           |  FROM events WHERE event_type = 'error'
+           |), p AS (
+           |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS tus
+           |  FROM events WHERE event_type = 'purchase'
+           |)
+           |SELECT e.error_id, p.purchase_id, e.user_id,
+           |       p.tus - e.tus AS gap_us
+           |FROM e JOIN p ON e.user_id = p.user_id
+           | AND p.tus >= e.tus AND p.tus <= e.tus + 86400000000
+           |ORDER BY error_id, purchase_id""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qStreamTumbling, qStreamLate, qStreamSessions, qStreamNearDup,
-      qStreamSink)
+      qStreamSink, qStreamJoin)
 }
