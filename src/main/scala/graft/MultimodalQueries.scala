@@ -360,6 +360,61 @@ object MultimodalQueries {
            |FROM t GROUP BY media_id, width, height
            |ORDER BY media_id""".stripMargin))
 
+  /** REAL PROGRESSIVE JPEG decode, end to end — the other JPEG mode
+    * real crawls contain in volume (SOF2 multi-scan: spectral selection
+    * + successive approximation). Same generative pixels and oracle as
+    * [[qJpegDecode]], but the bytes go through
+    * [[graft.operators.Jpeg.encodeGrayProgressiveBlocks]]'s REAL
+    * three-scan progression — DC first at Al=1, DC bit-refinement at
+    * Al=0, and an AC scan coded entirely as EOB RUNS — so the
+    * cross-scan coefficient accumulation, the successive-approximation
+    * bit assembly ((dc>>1<<1)|(dc&1) = dc), and the EOB-run machinery
+    * are all under the hash gate; the full Annex G feature set (banded
+    * AC firsts, AC refinement correction bits, interleaved DC) is
+    * cross-decoded against ImageIO's progressive writer in
+    * [[graft.JpegSpec]]. A dropped refinement bit, a mis-counted EOB
+    * run, or a scan applied to the wrong band breaks the hash. */
+  val qJpegProgressiveDecode = QueryDef("q_jpeg_progressive_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0) // the image-modality ids
+        .select(col("doc_id").as("media_id"),
+          Multimodal.pngWidth(col("doc_id")).as("w"),
+          Multimodal.pngHeight(col("doc_id")).as("h"))
+        .as[(Long, Int, Int)]
+      dims.mapPartitions(_.map { case (id, w, h) =>
+        val bytes = graft.operators.Jpeg.encodeGrayProgressiveBlocks(w, h,
+          (bx, by) => (((bx * 7L + by * 13L + id) % 256L + 256L) % 256L).toInt)
+        val s = graft.operators.Jpeg.pixelStats(bytes).getOrElse(
+          sys.error(s"undecodable synthesized progressive JPEG for media_id=$id"))
+        (id, s.width, s.height, s.nPx, s.sumG)
+      }).toDF("media_id", "width", "height", "n_px", "sum_gray")
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 240) + 16 AS BIGINT) AS width,
+           |         CAST(((doc_id * 7) % 240) + 16 AS BIGINT) AS height
+           |  FROM documents WHERE doc_id % 3 = 0
+           |), px AS (
+           |  SELECT media_id, width, height,
+           |         unnest(generate_series(0, width * height - 1)) AS p
+           |  FROM dims
+           |), t AS (
+           |  SELECT media_id, width, height,
+           |         (p % width) // 8 AS bx, (p // width) // 8 AS by
+           |  FROM px
+           |)
+           |SELECT media_id, CAST(width AS INT) AS width,
+           |       CAST(height AS INT) AS height,
+           |       CAST(count(*) AS BIGINT) AS n_px,
+           |       CAST(sum((bx * 7 + by * 13 + media_id) % 256) AS BIGINT)
+           |         AS sum_gray
+           |FROM t GROUP BY media_id, width, height
+           |ORDER BY media_id""".stripMargin))
+
   /** REAL baseline COLOR JPEG decode, end to end
     * ([[graft.operators.Jpeg.decodeRgb]]) — the most common crawl image
     * format in its most common FORM: 3-component YCbCr, interleaved
@@ -759,6 +814,7 @@ object MultimodalQueries {
 
   def all: Seq[QueryDef] =
     Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode,
+      qJpegProgressiveDecode,
       qJpegColorDecode, qBmpDecode, qGifDecode, qWavDecode, qWavResample,
       qAviFrameDecode, qAviAvDemux, qPngColorTypes)
 }

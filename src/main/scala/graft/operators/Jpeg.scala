@@ -5,13 +5,18 @@ package graft.operators
   * [[Wav]] = RIFF/PCM) to the most common crawl image format.
   *
   * Scope (refuse, don't guess — same posture as the PNG decoder):
-  * baseline sequential DCT (SOF0), 8-bit quantization tables, no
-  * progressive/arithmetic/hierarchical modes. [[decodeGray]] owns
-  * one-component frames; [[decodeRgb]] owns three-component YCbCr with
-  * luma sampling factors in {1,2}×{1,2} and unsubsampled chroma —
-  * 4:4:4, 4:2:2, 4:2:0, 4:4:0, the shapes real crawl encoders emit —
-  * in one interleaved scan. Restart markers are honored (DC predictor
-  * reset). Anything else returns None. The color transform is pinned
+  * baseline sequential DCT (SOF0) AND progressive DCT (SOF2 — spectral
+  * selection + successive approximation, DC and AC first/refinement
+  * scans, EOB runs, interleaved and non-interleaved scan orders), 8-bit
+  * quantization tables; no arithmetic/hierarchical/lossless modes.
+  * [[decodeGray]] owns one-component frames; [[decodeRgb]] owns
+  * three-component YCbCr with luma sampling factors in {1,2}×{1,2} and
+  * unsubsampled chroma — 4:4:4, 4:2:2, 4:2:0, 4:4:0, the shapes real
+  * crawl encoders emit. Both dispatch SOF2 frames to the progressive
+  * scan machinery ([[encodeGrayProgressiveBlocks]] documents how a
+  * multi-scan lossy mode still sits under the hash gate). Restart
+  * markers are honored (DC predictor reset). Anything else returns
+  * None. The color transform is pinned
   * to one INTEGER definition ([[ycbcrToRgb]]: 16.16 fixed point,
   * +32768, arithmetic shift) and chroma upsampling to sample
   * replication, because JFIF specifies neither — picking integer
@@ -562,8 +567,12 @@ object Jpeg {
             val sampling = b(seg + 7) & 0xff
             if (sampling != 0x11) return None
             compQuant = b(seg + 8) & 0xff
+          case 0xc2 => // SOF2: the progressive scan machinery owns it
+            return decodeProgressive(b, 1).map { case (w0, h0, planes, pw, _, _) =>
+              cropPlane(w0, h0, planes(0), pw(0))
+            }
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
-            return None // progressive/arithmetic/other SOF: out of scope
+            return None // arithmetic/hierarchical/other SOF: out of scope
           case 0xdd => // DRI — payload is exactly 2 bytes (Lr = 4)
             if (segLen < 2) return None
             restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
@@ -780,8 +789,13 @@ object Jpeg {
                 compH(2) != 1 || compV(2) != 1) return None
             if (compH(0) < 1 || compH(0) > 2 ||
                 compV(0) < 1 || compV(0) > 2) return None
+          case 0xc2 => // SOF2: the progressive scan machinery owns it
+            return decodeProgressive(b, 3).map {
+              case (w0, h0, planes, pw, ch, cv) =>
+                assembleRgb(w0, h0, planes, pw, ch(0), cv(0))
+            }
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
-            return None // progressive/arithmetic/other SOF: out of scope
+            return None // arithmetic/hierarchical/other SOF: out of scope
           case 0xdd =>
             if (segLen < 2) return None
             restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
@@ -936,5 +950,704 @@ object Jpeg {
       py += 1
     }
     Some((w, h, rgb))
+  }
+
+  // ====================================================================
+  // Progressive DCT (SOF2) — ITU T.81 Annex G.
+  //
+  // A progressive frame spreads each block's 64 coefficients over many
+  // scans: DC and AC bands arrive separately (spectral selection), and
+  // each band can arrive one bit-plane at a time (successive
+  // approximation, Ah/Al). Decoding therefore holds EVERY block's
+  // coefficient vector across scans and runs dequantize + IDCT once,
+  // after the last scan. The entropy machinery adds two shapes baseline
+  // lacks: EOB RUNS (one code ends a run of up to 32767 blocks in AC
+  // first/refinement scans) and CORRECTION BITS (refinement scans
+  // append one raw bit to every already-nonzero coefficient they pass).
+  // ====================================================================
+
+  /** Crop a decoded component plane to image dims (the progressive
+    * grayscale tail). */
+  private def cropPlane(w: Int, h: Int, plane: Array[Byte],
+      pw: Int): (Int, Int, Array[Byte]) = {
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(plane, y * pw, out, y * w, w)
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** Upsample (sample replication) + YCbCr→RGB, cropped — the same
+    * assembly loop as [[decodeRgb]]'s tail, for progressive planes. */
+  private def assembleRgb(w: Int, h: Int, planes: Array[Array[Byte]],
+      planeW: Array[Int], hmax: Int, vmax: Int): (Int, Int, Array[Byte]) = {
+    val rgb = new Array[Byte](3 * w * h)
+    val yPlane = planes(0); val cbPlane = planes(1); val crPlane = planes(2)
+    val ypw = planeW(0); val cpw = planeW(1)
+    var py = 0
+    while (py < h) {
+      val cRow = (py / vmax) * cpw
+      val yRow = py * ypw
+      var px = 0
+      while (px < w) {
+        val yv = yPlane(yRow + px) & 0xff
+        val cb = (cbPlane(cRow + px / hmax) & 0xff) - 128
+        val cr = (crPlane(cRow + px / hmax) & 0xff) - 128
+        val o = 3 * (py * w + px)
+        rgb(o) = clamp255(yv + fix16(91881 * cr)).toByte
+        rgb(o + 1) = clamp255(yv - fix16(22554 * cb + 46802 * cr)).toByte
+        rgb(o + 2) = clamp255(yv + fix16(116130 * cb)).toByte
+        px += 1
+      }
+      py += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** Full progressive decode to component planes.
+    *
+    * @param wantComps 1 (grayscale) or 3 (YCbCr) — the caller's frame
+    *        shape; any other component count refuses
+    * @return (w, h, planes, planeW, compH, compV) with planes at their
+    *         MCU-padded per-component resolution */
+  private def decodeProgressive(b: Array[Byte], wantComps: Int)
+      : Option[(Int, Int, Array[Array[Byte]], Array[Int], Array[Int],
+          Array[Int])] = {
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    val quant = collection.mutable.Map.empty[Int, Array[Int]]
+    val dcTabs = collection.mutable.Map.empty[Int, HuffTable]
+    val acTabs = collection.mutable.Map.empty[Int, HuffTable]
+    var w = -1; var h = -1; var ncomp = -1
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var restartInterval = 0
+    var hmax = 1; var vmax = 1
+    var mcusX = 0; var mcusY = 0
+    // per component: MCU-padded block grid (interleaved addressing) and
+    // the non-interleaved block grid (ceil of the component's own
+    // sample dims — T.81 A.2.2: non-interleaved scans code ONLY these)
+    var planeBw: Array[Int] = null
+    var planeBh: Array[Int] = null
+    var soloBw: Array[Int] = null
+    var soloBh: Array[Int] = null
+    // coefficient store: per component, blocks × 64 ints in ZIGZAG order
+    var coefs: Array[Array[Int]] = null
+    var sawEoi = false
+
+    while (!sawEoi) {
+      if (pos + 2 > b.length) return None
+      if ((b(pos) & 0xff) != 0xff) return None
+      val marker = b(pos + 1) & 0xff
+      if (marker == 0xff) {
+        pos += 1 // fill byte (spec-legal 0xFF padding before a marker)
+      } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        pos += 2 // parameterless (stray RST between scans is malformed
+                 // but harmless to skip; scan decode consumes its own)
+      } else if (marker == 0xd9) {
+        sawEoi = true
+      } else {
+        if (pos + 4 > b.length) return None
+        val len = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+        if (len < 2 || pos + 2 + len > b.length) return None
+        val seg = pos + 4
+        val segLen = len - 2
+        var nextPos = pos + 2 + len
+        marker match {
+          case 0xdb =>
+            var p = seg
+            while (p < seg + segLen) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (pq != 0) return None // 16-bit tables out of scope
+              if (p + 65 > seg + segLen) return None
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) { t(Zigzag(i)) = b(p + 1 + i) & 0xff; i += 1 }
+              quant(tq) = t
+              p += 65
+            }
+          case 0xc4 =>
+            var p = seg
+            while (p < seg + segLen) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              if (p + 17 > seg + segLen) return None
+              val bits = (0 until 16).map(i => b(p + 1 + i) & 0xff).toArray
+              val n = bits.sum
+              if (p + 17 + n > seg + segLen) return None
+              val vals = (0 until n).map(i => b(p + 17 + i) & 0xff).toArray
+              val table = new HuffTable(bits, vals)
+              if (tc == 0) dcTabs(th) = table
+              else if (tc == 1) acTabs(th) = table
+              else return None
+              p += 17 + n
+            }
+          case 0xdd =>
+            if (segLen < 2) return None
+            restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+          case 0xc2 => // SOF2
+            if (ncomp >= 0) return None // one frame per image
+            if (segLen < 6) return None
+            if ((b(seg) & 0xff) != 8) return None
+            h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+            w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+            ncomp = b(seg + 5) & 0xff
+            if (ncomp != wantComps) return None
+            if (segLen < 6 + 3 * ncomp) return None
+            if (w <= 0 || h <= 0) return None
+            if (w.toLong * h > (Int.MaxValue - 8) / 3) return None
+            compId = new Array[Int](ncomp); compH = new Array[Int](ncomp)
+            compV = new Array[Int](ncomp); compQ = new Array[Int](ncomp)
+            var c = 0
+            while (c < ncomp) {
+              compId(c) = b(seg + 6 + 3 * c) & 0xff
+              val hv = b(seg + 7 + 3 * c) & 0xff
+              compH(c) = hv >> 4; compV(c) = hv & 0x0f
+              compQ(c) = b(seg + 8 + 3 * c) & 0xff
+              c += 1
+            }
+            // same sampling scope as the baseline decoders
+            if (ncomp == 1) {
+              if (compH(0) != 1 || compV(0) != 1) return None
+            } else {
+              if (compH(1) != 1 || compV(1) != 1 ||
+                  compH(2) != 1 || compV(2) != 1) return None
+              if (compH(0) < 1 || compH(0) > 2 ||
+                  compV(0) < 1 || compV(0) > 2) return None
+            }
+            hmax = compH(0); vmax = compV(0)
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            planeBw = new Array[Int](ncomp); planeBh = new Array[Int](ncomp)
+            soloBw = new Array[Int](ncomp); soloBh = new Array[Int](ncomp)
+            coefs = new Array[Array[Int]](ncomp)
+            c = 0
+            while (c < ncomp) {
+              planeBw(c) = mcusX * compH(c)
+              planeBh(c) = mcusY * compV(c)
+              val nBlocks = planeBw(c).toLong * planeBh(c)
+              if (nBlocks * 64 > Int.MaxValue - 8) return None
+              coefs(c) = new Array[Int](nBlocks.toInt * 64)
+              // the component's own sample dims (ceil scaling), blocked
+              val xc = (w * compH(c) + hmax - 1) / hmax
+              val yc = (h * compV(c) + vmax - 1) / vmax
+              soloBw(c) = (xc + 7) / 8
+              soloBh(c) = (yc + 7) / 8
+              c += 1
+            }
+          case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc2 && m != 0xc4 &&
+              m != 0xc8 =>
+            return None // a non-progressive SOF inside this path
+          case 0xda =>
+            if (ncomp < 0) return None // SOS before SOF2
+            if (segLen < 1) return None
+            val ns = b(seg) & 0xff
+            if (ns < 1 || ns > ncomp || segLen < 1 + 2 * ns + 3) return None
+            // scan components: indices into the frame's component list
+            val sci = new Array[Int](ns)
+            val sDc = new Array[Int](ns)
+            val sAc = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val sid = b(seg + 1 + 2 * i) & 0xff
+              val ci = compId.indexOf(sid)
+              if (ci < 0) return None
+              sci(i) = ci
+              sDc(i) = (b(seg + 2 + 2 * i) & 0xff) >> 4
+              sAc(i) = b(seg + 2 + 2 * i) & 0x0f
+              i += 1
+            }
+            val ss = b(seg + 1 + 2 * ns) & 0xff
+            val se = b(seg + 2 + 2 * ns) & 0xff
+            val ahal = b(seg + 3 + 2 * ns) & 0xff
+            val ah = ahal >> 4
+            val al = ahal & 0x0f
+            // progression constraints (T.81 G.1.1.1): DC band is exactly
+            // [0,0] and may be interleaved; AC bands are single-component
+            // and never include DC; refinement improves exactly one bit
+            val isDc = ss == 0
+            if (isDc && se != 0) return None
+            if (!isDc && (ns != 1 || ss > se || se > 63)) return None
+            if (ah != 0 && ah != al + 1) return None
+            if (al > 13) return None // coefficient magnitudes cap (G.1.2.2)
+            if (isDc && ns != ncomp && ns != 1) return None // subset DC
+              // interleaves are legal but rare; out of scope, loudly
+            val r = new BitReader(b, pos + 2 + len)
+            val ok =
+              if (isDc && ah == 0)
+                dcFirstScan(r, b, ns, sci, sDc, al, dcTabs, coefs,
+                  planeBw, soloBw, soloBh, compH, compV, mcusX, mcusY,
+                  restartInterval)
+              else if (isDc)
+                dcRefineScan(r, b, ns, sci, al, coefs, planeBw, soloBw,
+                  soloBh, compH, compV, mcusX, mcusY, restartInterval)
+              else if (ah == 0)
+                acFirstScan(r, b, sci(0), sAc(0), ss, se, al, acTabs,
+                  coefs, planeBw, soloBw, soloBh, restartInterval)
+              else
+                acRefineScan(r, b, sci(0), sAc(0), ss, se, al, acTabs,
+                  coefs, planeBw, soloBw, soloBh, restartInterval)
+            if (!ok) return None
+            r.align()
+            nextPos = r.pos
+          case _ => () // APPn/COM
+        }
+        pos = nextPos
+      }
+    }
+    if (ncomp < 0) return None
+    // all scans in: dequantize + inverse zigzag + IDCT every block
+    val planes = new Array[Array[Byte]](ncomp)
+    val planeW = new Array[Int](ncomp)
+    val nat = new Array[Int](64)
+    val block = new Array[Int](64)
+    var c = 0
+    while (c < ncomp) {
+      val q = quant.getOrElse(compQ(c), return None)
+      planeW(c) = planeBw(c) * 8
+      val planeH = planeBh(c) * 8
+      if (planeW(c).toLong * planeH > Int.MaxValue - 8) return None
+      val plane = new Array[Byte](planeW(c) * planeH)
+      val cz = coefs(c)
+      var bi = 0
+      val nBlocks = planeBw(c) * planeBh(c)
+      while (bi < nBlocks) {
+        val base = bi * 64
+        var i = 0
+        while (i < 64) { nat(Zigzag(i)) = cz(base + i) * q(Zigzag(i)); i += 1 }
+        idctBlock(nat, block)
+        val bx = bi % planeBw(c)
+        val by = bi / planeBw(c)
+        val x0 = bx * 8; val y0 = by * 8
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          val row = (y0 + y) * planeW(c) + x0
+          while (x < 8) { plane(row + x) = block(y * 8 + x).toByte; x += 1 }
+          y += 1
+        }
+        bi += 1
+      }
+      planes(c) = plane
+      c += 1
+    }
+    Some((w, h, planes, planeW, compH, compV))
+  }
+
+  /** Consume an expected RSTn at a restart boundary; false = malformed. */
+  private def expectRst(r: BitReader, b: Array[Byte]): Boolean = {
+    r.align()
+    if (r.pos + 1 < b.length && (b(r.pos) & 0xff) == 0xff &&
+        (b(r.pos + 1) & 0xff) >= 0xd0 && (b(r.pos + 1) & 0xff) <= 0xd7) {
+      r.pos += 2
+      r.hitMarker = false
+      true
+    } else false
+  }
+
+  /** DC first scans (Ah = 0): huffman DC differences, values scaled into
+    * the bit-plane via << Al. Interleaved (ns = frame components, MCU
+    * order) or single-component (its own block grid). */
+  private def dcFirstScan(r: BitReader, b: Array[Byte], ns: Int,
+      sci: Array[Int], sDc: Array[Int], al: Int,
+      dcTabs: collection.mutable.Map[Int, HuffTable],
+      coefs: Array[Array[Int]], planeBw: Array[Int],
+      soloBw: Array[Int], soloBh: Array[Int],
+      compH: Array[Int], compV: Array[Int], mcusX: Int, mcusY: Int,
+      restartInterval: Int): Boolean = {
+    val pred = new Array[Int](ns)
+    val tabs = new Array[HuffTable](ns)
+    var i = 0
+    while (i < ns) {
+      tabs(i) = dcTabs.getOrElse(sDc(i), return false)
+      i += 1
+    }
+    def one(si: Int, blockIdx: Int): Boolean = {
+      val s = decodeHuff(r, tabs(si))
+      if (s < 0 || s > 11) return false
+      val dcBits = if (s == 0) 0 else r.bits(s)
+      if (dcBits < 0) return false
+      pred(si) += extend(dcBits, s)
+      coefs(sci(si))(blockIdx * 64) = pred(si) << al
+      true
+    }
+    if (ns == 1) {
+      val ci = sci(0)
+      val total = soloBw(ci) * soloBh(ci)
+      var u = 0
+      while (u < total) {
+        if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+          if (!expectRst(r, b)) return false
+          pred(0) = 0
+        }
+        val bx = u % soloBw(ci)
+        val by = u / soloBw(ci)
+        if (!one(0, by * planeBw(ci) + bx)) return false
+        u += 1
+      }
+    } else {
+      var mcu = 0
+      val totalMcus = mcusX * mcusY
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!expectRst(r, b)) return false
+          java.util.Arrays.fill(pred, 0)
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var si = 0
+        while (si < ns) {
+          val ci = sci(si)
+          var j = 0
+          while (j < compV(ci)) {
+            var ii = 0
+            while (ii < compH(ci)) {
+              val bIdx = (my * compV(ci) + j) * planeBw(ci) +
+                mx * compH(ci) + ii
+              if (!one(si, bIdx)) return false
+              ii += 1
+            }
+            j += 1
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+    }
+    true
+  }
+
+  /** DC refinement scans (Ah = Al + 1): ONE raw bit per block — bit Al
+    * of the (two's-complement) DC coefficient. No huffman tables. */
+  private def dcRefineScan(r: BitReader, b: Array[Byte], ns: Int,
+      sci: Array[Int], al: Int, coefs: Array[Array[Int]],
+      planeBw: Array[Int], soloBw: Array[Int], soloBh: Array[Int],
+      compH: Array[Int], compV: Array[Int], mcusX: Int, mcusY: Int,
+      restartInterval: Int): Boolean = {
+    def one(ci: Int, blockIdx: Int): Boolean = {
+      val bit = r.bit()
+      if (bit < 0) return false
+      if (bit == 1) coefs(ci)(blockIdx * 64) |= (1 << al)
+      true
+    }
+    if (ns == 1) {
+      val ci = sci(0)
+      val total = soloBw(ci) * soloBh(ci)
+      var u = 0
+      while (u < total) {
+        if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+          if (!expectRst(r, b)) return false
+        }
+        val bx = u % soloBw(ci)
+        val by = u / soloBw(ci)
+        if (!one(ci, by * planeBw(ci) + bx)) return false
+        u += 1
+      }
+    } else {
+      var mcu = 0
+      val totalMcus = mcusX * mcusY
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!expectRst(r, b)) return false
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var si = 0
+        while (si < ns) {
+          val ci = sci(si)
+          var j = 0
+          while (j < compV(ci)) {
+            var ii = 0
+            while (ii < compH(ci)) {
+              val bIdx = (my * compV(ci) + j) * planeBw(ci) +
+                mx * compH(ci) + ii
+              if (!one(ci, bIdx)) return false
+              ii += 1
+            }
+            j += 1
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+    }
+    true
+  }
+
+  /** AC first scans (Ah = 0, single component): run/size coding within
+    * the band [ss, se], EOB RUNS (EOBn: size 0, run < 15 → a run of
+    * 2^run + extra blocks with no further nonzeros in this band), ZRL,
+    * values scaled via << Al. */
+  private def acFirstScan(r: BitReader, b: Array[Byte], ci: Int, acId: Int,
+      ss: Int, se: Int, al: Int,
+      acTabs: collection.mutable.Map[Int, HuffTable],
+      coefs: Array[Array[Int]], planeBw: Array[Int],
+      soloBw: Array[Int], soloBh: Array[Int],
+      restartInterval: Int): Boolean = {
+    val acT = acTabs.getOrElse(acId, return false)
+    val cz = coefs(ci)
+    var eobrun = 0
+    val total = soloBw(ci) * soloBh(ci)
+    var u = 0
+    while (u < total) {
+      if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+        if (!expectRst(r, b)) return false
+        eobrun = 0
+      }
+      val bx = u % soloBw(ci)
+      val by = u / soloBw(ci)
+      val base = (by * planeBw(ci) + bx) * 64
+      if (eobrun > 0) {
+        eobrun -= 1 // this block is inside a previous EOB run: no data
+      } else {
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val rs = decodeHuff(r, acT)
+          if (rs < 0) return false
+          val run = rs >> 4
+          val size = rs & 0x0f
+          if (size == 0) {
+            if (run < 15) {
+              // EOBn: run length 2^run + extra; the current block is the
+              // first of the run
+              var extra = 0
+              if (run > 0) {
+                extra = r.bits(run)
+                if (extra < 0) return false
+              }
+              eobrun = (1 << run) - 1 + extra
+              done = true
+            } else {
+              k += 16 // ZRL
+              if (k > se + 1) return false
+            }
+          } else {
+            k += run
+            if (k > se) return false
+            val vBits = r.bits(size)
+            if (vBits < 0) return false
+            cz(base + k) = extend(vBits, size) << al
+            k += 1
+          }
+        }
+      }
+      u += 1
+    }
+    true
+  }
+
+  /** AC refinement scans (Ah = Al + 1, single component) — T.81
+    * G.1.2.3: each RS either appends a ±1·2^Al coefficient after `run`
+    * ZERO-HISTORY positions or starts an EOB run; every already-nonzero
+    * coefficient passed on the way (and, once in an EOB run, every
+    * remaining nonzero in the band) receives one raw CORRECTION bit
+    * (1 → grow magnitude by 2^Al if that bit is still unset). */
+  private def acRefineScan(r: BitReader, b: Array[Byte], ci: Int, acId: Int,
+      ss: Int, se: Int, al: Int,
+      acTabs: collection.mutable.Map[Int, HuffTable],
+      coefs: Array[Array[Int]], planeBw: Array[Int],
+      soloBw: Array[Int], soloBh: Array[Int],
+      restartInterval: Int): Boolean = {
+    val acT = acTabs.getOrElse(acId, return false)
+    val cz = coefs(ci)
+    val p1 = 1 << al
+    var eobrun = 0
+    val total = soloBw(ci) * soloBh(ci)
+
+    // one correction bit onto an already-nonzero coefficient
+    def correct(idx: Int): Boolean = {
+      val bit = r.bit()
+      if (bit < 0) return false
+      if (bit == 1 && (cz(idx) & p1) == 0) {
+        if (cz(idx) >= 0) cz(idx) += p1 else cz(idx) -= p1
+      }
+      true
+    }
+
+    var u = 0
+    while (u < total) {
+      if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+        if (!expectRst(r, b)) return false
+        eobrun = 0
+      }
+      val bx = u % soloBw(ci)
+      val by = u / soloBw(ci)
+      val base = (by * planeBw(ci) + bx) * 64
+      var k = ss
+      if (eobrun == 0) {
+        var broke = false
+        while (k <= se && !broke) {
+          val rs = decodeHuff(r, acT)
+          if (rs < 0) return false
+          var run = rs >> 4
+          val size = rs & 0x0f
+          var newVal = 0
+          if (size == 0) {
+            if (run < 15) {
+              var extra = 0
+              if (run > 0) {
+                extra = r.bits(run)
+                if (extra < 0) return false
+              }
+              eobrun = (1 << run) + extra // consumed below for THIS block
+              broke = true
+            }
+            // run == 15 (ZRL): skip 16 zero-history positions, correcting
+            // nonzeros passed — run stays 15, newVal 0, fall through
+          } else {
+            if (size != 1) return false // refinement appends only ±1·2^Al
+            val sb = r.bit()
+            if (sb < 0) return false
+            newVal = if (sb == 1) p1 else -p1
+          }
+          if (!broke) {
+            // advance over the band: zero-history positions consume
+            // `run`; nonzero-history positions take correction bits
+            var placed = false
+            while (k <= se && !placed) {
+              if (cz(base + k) != 0) {
+                if (!correct(base + k)) return false
+                k += 1
+              } else if (run > 0) {
+                run -= 1
+                k += 1
+              } else if (newVal != 0) {
+                cz(base + k) = newVal
+                k += 1
+                placed = true
+              } else {
+                // ZRL landed: its 16th zero is this position
+                k += 1
+                placed = true
+              }
+            }
+            if (!placed && newVal != 0) return false // band overrun
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // inside an EOB run: correction bits for every remaining
+        // nonzero-history coefficient of the band
+        while (k <= se) {
+          if (cz(base + k) != 0) {
+            if (!correct(base + k)) return false
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      u += 1
+    }
+    true
+  }
+
+  /** Custom AC huffman table for progressive scans: the 15 EOBn symbols
+    * (r<<4, r = 0..14) at length 4 each — canonical, with the all-ones
+    * code unused, exactly the BITS/HUFFVAL shape the standard tables
+    * follow. */
+  private val AcEobBits: Array[Int] =
+    Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcEobVals: Array[Int] = (0 to 14).map(_ << 4).toArray
+  private lazy val AcEobEnc = canonicalCodes(AcEobBits, AcEobVals)
+
+  /** A complete, valid PROGRESSIVE grayscale JFIF (SOF2) whose 8×8
+    * blocks are the constants `blockVal(bx, by)` — the progressive
+    * sibling of [[encodeGrayBlocks]], and the reason a multi-scan lossy
+    * mode still sits under the hash gate: the DC coefficient of a
+    * constant block is exact (object scaladoc), and this encoder
+    * spreads exactly that DC over a REAL three-scan progression —
+    *
+    *   1. DC first scan at Al = 1 (huffman diffs of dc >> 1),
+    *   2. DC refinement at Al = 0 (one raw bit per block: dc & 1 —
+    *      two's complement guarantees (dc >> 1 << 1) | (dc & 1) = dc),
+    *   3. AC first scan [1, 63] whose blocks are all empty, coded as
+    *      greedy EOB RUNS (EOBn + extra bits, the [[AcEobBits]] table),
+    *
+    * so decode exercises the successive-approximation DC path, the
+    * raw-bit refinement path, AND the EOB-run machinery, while the
+    * reconstruction stays bit-exact: after both DC scans every block's
+    * DC equals the baseline encoding's, and the all-zero AC band is
+    * restored verbatim. */
+  def encodeGrayProgressiveBlocks(width: Int, height: Int,
+      blockVal: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0,
+      s"encodeGrayProgressiveBlocks: bad dims ${width}x$height")
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    // scan 1: DC first, Al = 1 — diffs in the >>1 domain
+    val w1 = new BitWriter
+    var prev = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val c = blockVal(bx, by)
+        require(c >= 0 && c <= 255, s"encodeGrayProgressiveBlocks: value $c")
+        val v = (c - 128) >> 1
+        val diff = v - prev
+        prev = v
+        val s = if (diff == 0) 0
+          else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        val (code, len) = DcEnc(s)
+        w1.put(code, len)
+        if (s > 0) {
+          val bitsVal = if (diff >= 0) diff else diff + (1 << s) - 1
+          w1.put(bitsVal, s)
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    // scan 2: DC refinement, Ah = 1, Al = 0 — raw bit (dc & 1) per block
+    val w2 = new BitWriter
+    by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        w2.put((blockVal(bx, by) - 128) & 1, 1)
+        bx += 1
+      }
+      by += 1
+    }
+    // scan 3: AC first [1, 63], Al = 0 — every block empty: EOB runs
+    val w3 = new BitWriter
+    var remaining = bw * bh
+    while (remaining > 0) {
+      var rr = 0
+      while (rr < 14 && (1 << (rr + 1)) <= remaining) rr += 1
+      val runLen = math.min(remaining, (1 << (rr + 1)) - 1)
+      val (code, len) = AcEobEnc(rr << 4)
+      w3.put(code, len)
+      if (rr > 0) w3.put(runLen - (1 << rr), rr)
+      remaining -= runLen
+    }
+    val dqt = Array(0x00.toByte) ++ Zigzag.indices
+      .map(i => QuantAll8(i).toByte)
+    val sof = Array[Byte](8) ++ be2(height) ++ be2(width) ++
+      Array[Byte](1, 1, 0x11, 0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Array[Byte] =
+      Array((cls << 4).toByte) ++ bits.slice(0, 16).map(_.toByte) ++
+        vals.map(_.toByte)
+    def sos(ssB: Int, seB: Int, ahal: Int): Array[Byte] =
+      Array[Byte](1, 1, 0x00, ssB.toByte, seB.toByte, ahal.toByte)
+    val app0 = "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    Array(0xff.toByte, 0xd8.toByte) ++ // SOI
+      segment(0xe0, app0) ++
+      segment(0xdb, dqt) ++
+      segment(0xc2, sof) ++ // SOF2: progressive
+      segment(0xc4, dht(0, DcBits, DcVals)) ++
+      segment(0xda, sos(0, 0, 0x01)) ++ w1.finish() ++ // DC first, Al=1
+      segment(0xda, sos(0, 0, 0x10)) ++ w2.finish() ++ // DC refine
+      segment(0xc4, dht(1, AcEobBits, AcEobVals)) ++
+      segment(0xda, sos(1, 63, 0x00)) ++ w3.finish() ++ // AC first
+      Array(0xff.toByte, 0xd9.toByte) // EOI
   }
 }

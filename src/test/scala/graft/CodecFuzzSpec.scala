@@ -18,6 +18,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     "png_palette" -> (b => Png.pixelStats(b)),
     "png_rgba" -> (b => Png.pixelStats(b)),
     "jpeg" -> (b => Jpeg.pixelStats(b)),
+    "jpeg_progressive" -> (b => Jpeg.pixelStats(b)),
     "jpeg_color" -> (b => Jpeg.pixelStatsColor(b)),
     "jpeg_color420" -> (b => Jpeg.pixelStatsColor(b)),
     "bmp" -> (b => Bmp.pixelStats(b)),
@@ -32,6 +33,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     case "png_gray" => Png.encodeGray8(21, 13, 7L)
     case "png_palette" => Png.encodePalette(21, 13, 7L, interlaced = true)
     case "png_rgba" => Png.encodeRgba(21, 13, 7L)
+    case "jpeg_progressive" => Jpeg.encodeGrayProgressiveBlocks(24, 16,
+      (bx, by) => (bx * 7 + by * 13) % 256)
     case "jpeg" => Jpeg.encodeGrayBlocks(24, 16,
       (bx, by) => (bx * 7 + by * 13) % 256)
     case "jpeg_color" => Jpeg.encodeColorBlocks(24, 16,

@@ -298,4 +298,139 @@ class JpegSpec extends AnyFunSuite {
     for (y <- 0 until h; x <- 0 until w) want += blockVal(seed)(x / 8, y / 8)
     assert(s.sumG == want, s"sum ${s.sumG} != $want")
   }
+
+  // ------------------------------------------------------------------
+  // Progressive (SOF2)
+  // ------------------------------------------------------------------
+
+  test("progressive: block-constant images round-trip bit-exactly " +
+      "through the three-scan progression (DC first/refine + EOB runs) " +
+      "and equal the baseline encoding's pixels") {
+    for ((w, h, seed) <- Seq((8, 8, 0L), (16, 8, 5L), (23, 17, 42L),
+        (100, 60, 7L), (129, 65, 3L))) {
+      val prog = Jpeg.encodeGrayProgressiveBlocks(w, h, blockVal(seed))
+      // the container really is progressive
+      assert(prog.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), "no SOF2 marker")
+      val (dw, dh, px) = Jpeg.decodeGray(prog).getOrElse(
+        fail(s"undecodable progressive ${w}x$h seed=$seed"))
+      assert((dw, dh) == (w, h))
+      val (_, _, base) = Jpeg.decodeGray(
+        Jpeg.encodeGrayBlocks(w, h, blockVal(seed))).get
+      assert(px.toSeq == base.toSeq,
+        s"progressive pixels != baseline pixels at ${w}x$h")
+    }
+  }
+
+  test("progressive: ImageIO independently decodes our progressive " +
+      "encoder's output to the same pixels") {
+    val (w, h, seed) = (41, 26, 11L)
+    val bytes = Jpeg.encodeGrayProgressiveBlocks(w, h, blockVal(seed))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO must accept the progressive container")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == blockVal(seed)(x / 8, y / 8),
+        s"ImageIO progressive pixel ($x,$y)")
+  }
+
+  /** Encode a BufferedImage as a PROGRESSIVE JPEG via ImageIO's writer
+    * (libjpeg's standard multi-scan script: interleaved DC first at
+    * Al=1, banded AC firsts, AC/DC refinements — the full Annex G
+    * feature set our decoder claims). */
+  private def imageIoProgressive(img: java.awt.image.BufferedImage)
+      : Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    assert(bytes.sliding(2).exists(q =>
+      (q(0) & 0xff) == 0xff && (q(1) & 0xff) == 0xc2),
+      "ImageIO did not produce a progressive (SOF2) stream")
+    bytes
+  }
+
+  test("our decoder matches ImageIO on an ImageIO-ENCODED PROGRESSIVE " +
+      "grayscale image (real multi-scan successive approximation) " +
+      "within the spec's IDCT tolerance") {
+    val w = 37; val h = 29
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 13 + x * y) % 256)
+    val bytes = imageIoProgressive(img)
+    val (dw, dh, px) = Jpeg.decodeGray(bytes).getOrElse(
+      fail("our decoder must accept a stock ImageIO progressive JPEG"))
+    assert((dw, dh) == (w, h))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)).getRaster
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((px(y * w + x) & 0xff) - ref.getSample(x, y, 0))
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 1,
+      s"progressive decoders diverge by $maxDiff > 1")
+  }
+
+  test("our color decoder matches ImageIO on an ImageIO-ENCODED " +
+      "PROGRESSIVE color JPEG (gray content: upsampling-filter-neutral) " +
+      "within tolerance") {
+    val w = 37; val h = 29
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 13 + x * y) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bytes = imageIoProgressive(img)
+    val (dw, dh, ours) = Jpeg.decodeRgb(bytes).getOrElse(
+      fail("our decoder must accept a stock ImageIO progressive color JPEG"))
+    assert((dw, dh) == (w, h))
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val theirs = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((ours(3 * (y * w + x) + c) & 0xff) - theirs)
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 2,
+      s"progressive color decoders diverge by $maxDiff > 2")
+  }
+
+  test("progressive refusals: truncation, garbage scans, arithmetic " +
+      "frames, out-of-scope progressions") {
+    val good = Jpeg.encodeGrayProgressiveBlocks(24, 16, blockVal(1L))
+    assert(Jpeg.decodeGray(good).nonEmpty)
+    assert(Jpeg.decodeGray(good.take(30)).isEmpty, "header truncation")
+    assert(Jpeg.decodeGray(good.dropRight(5)).isEmpty,
+      "losing EOI + tail data must refuse, not return a partial image")
+    // a baseline-shaped SOS (Ss=0, Se=63) inside a progressive frame
+    // violates the band constraints — the mislabeled-SOF2 refusal the
+    // baseline suite also asserts
+    val base = Jpeg.encodeGrayBlocks(24, 16, blockVal(1L))
+    val sofAt = base.indices.find(i =>
+      (base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xc0).get
+    val mislabeled = base.clone()
+    mislabeled(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decodeGray(mislabeled).isEmpty,
+      "baseline scan in a SOF2 frame is refused")
+    // flip our progressive SOF2 to arithmetic-coded SOF10 (0xca)
+    val arith = good.clone()
+    val sof2At = arith.indices.find(i =>
+      (arith(i) & 0xff) == 0xff && (arith(i + 1) & 0xff) == 0xc2).get
+    arith(sof2At + 1) = 0xca.toByte
+    assert(Jpeg.decodeGray(arith).isEmpty, "arithmetic SOF is refused")
+    // gray/color cross-scope: a progressive GRAY frame via decodeRgb
+    assert(Jpeg.decodeRgb(good).isEmpty,
+      "1-component progressive is refused by the color decoder")
+  }
 }
