@@ -666,6 +666,93 @@ object MultimodalQueries {
            |FROM t GROUP BY media_id, frame_no, w, h
            |ORDER BY media_id, frame_no""".stripMargin))
 
+  /** MJPEG video decode, end to end — the codec COMPOSITION the video
+    * family was building toward: a real RIFF/AVI container whose
+    * `00dc` frames are complete baseline COLOR JPEGs
+    * ([[graft.operators.Avi.encodeMjpeg]] /
+    * [[graft.operators.Avi.mjpegFrameStats]]), the dominant legacy
+    * capture format. The demuxer verifies the stream header declares
+    * `vids`/`MJPG` before feeding frames to the JPEG decoder (payload
+    * type is data, not assumption), then every frame runs the full
+    * baseline color chain — entropy decode, dequant, IDCT, chroma
+    * upsampling (both samplings, split by media id), fixed-point
+    * YCbCr→RGB. The oracle re-derives every frame's channel sums from
+    * the generative formulas + the pinned transform, so a torn
+    * container, a frame fed to the wrong codec, or any JPEG-stage
+    * drift breaks the hash. Per-frame independence is WHY MJPEG fits
+    * the 100 TB partition-wise decode model: no inter-frame state, so
+    * frames scale out exactly like still images. */
+  val qAviMjpegDecode = QueryDef("q_avi_mjpeg_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 2) // the video-modality ids
+        .select(col("doc_id").as("media_id"),
+          (pmod(col("doc_id"), lit(56)) + 8).cast("int").as("w"),
+          (pmod(col("doc_id") * 7, lit(56)) + 8).cast("int").as("h"),
+          (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("nf"))
+        .as[(Long, Int, Int, Int)]
+      dims.mapPartitions(_.flatMap { case (id, w, h, nf) =>
+        val sampling = if (id % 2 == 0) 0x11 else 0x22
+        val avi = graft.operators.Avi.encodeMjpeg(w, h, nf, id, sampling)
+        val stats = graft.operators.Avi.mjpegFrameStats(avi).getOrElse(
+          sys.error(s"undemuxable synthesized MJPEG AVI for media_id=$id"))
+        stats.map { case (frameNo, s) =>
+          (id, frameNo.toLong, s.width, s.height, s.nPx,
+            s.sumR, s.sumG, s.sumB)
+        }
+      }).toDF("media_id", "frame_no", "width", "height", "n_px",
+        "sum_r", "sum_g", "sum_b")
+        .orderBy("media_id", "frame_no")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 56) + 8 AS BIGINT) AS w,
+           |         CAST(((doc_id * 7) % 56) + 8 AS BIGINT) AS h,
+           |         CAST((doc_id % 4) + 2 AS BIGINT) AS nf
+           |  FROM documents WHERE doc_id % 3 = 2
+           |), fr AS (
+           |  SELECT media_id, w, h,
+           |         unnest(generate_series(0, nf - 1)) AS frame_no
+           |  FROM dims
+           |), px AS (
+           |  SELECT media_id, w, h, frame_no,
+           |         unnest(generate_series(0, w * h - 1)) AS p
+           |  FROM fr
+           |), t AS (
+           |  SELECT media_id, frame_no, w, h,
+           |         (p % w) // 8 AS bx, (p // w) // 8 AS by,
+           |         CASE WHEN media_id % 2 = 0 THEN (p % w) // 8
+           |              ELSE (p % w) // 16 END AS cx,
+           |         CASE WHEN media_id % 2 = 0 THEN (p // w) // 8
+           |              ELSE (p // w) // 16 END AS cy
+           |  FROM px
+           |), v AS (
+           |  SELECT media_id, frame_no, w, h,
+           |         (bx * 7 + by * 13 + media_id + frame_no) % 256 AS yv,
+           |         (cx * 11 + cy * 3 + 2 * (media_id + frame_no)) % 256 - 128 AS cb,
+           |         (cx * 5 + cy * 17 + 3 * (media_id + frame_no)) % 256 - 128 AS cr
+           |  FROM t
+           |), rgb AS (
+           |  SELECT media_id, frame_no, w, h,
+           |    LEAST(255, GREATEST(0, yv + CAST(floor(
+           |      (91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+           |    LEAST(255, GREATEST(0, yv - CAST(floor(
+           |      (22554 * cb + 46802 * cr + 32768) / 65536.0) AS BIGINT))) AS g,
+           |    LEAST(255, GREATEST(0, yv + CAST(floor(
+           |      (116130 * cb + 32768) / 65536.0) AS BIGINT))) AS b
+           |  FROM v
+           |)
+           |SELECT media_id, frame_no,
+           |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           |       CAST(count(*) AS BIGINT) AS n_px,
+           |       CAST(sum(r) AS BIGINT) AS sum_r,
+           |       CAST(sum(g) AS BIGINT) AS sum_g,
+           |       CAST(sum(b) AS BIGINT) AS sum_b
+           |FROM rgb GROUP BY media_id, frame_no, w, h
+           |ORDER BY media_id, frame_no""".stripMargin))
+
   /** The PNG color-type matrix under the hash gate: each image doc
     * becomes ONE of the five depth-8 color types by id — grayscale
     * (id%4=0), palette (1), RGBA (2), gray+alpha (3) — half of them
@@ -816,5 +903,5 @@ object MultimodalQueries {
     Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode,
       qJpegProgressiveDecode,
       qJpegColorDecode, qBmpDecode, qGifDecode, qWavDecode, qWavResample,
-      qAviFrameDecode, qAviAvDemux, qPngColorTypes)
+      qAviFrameDecode, qAviMjpegDecode, qAviAvDemux, qPngColorTypes)
 }

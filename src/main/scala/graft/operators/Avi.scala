@@ -122,6 +122,102 @@ object Avi {
       if (decoded.exists(_.isEmpty)) None else Some(decoded.map(_.get))
     }
 
+  // ——— MJPEG profile: JPEG-compressed frames ———
+
+  /** A complete, valid MJPEG AVI: the same RIFF scaffolding as
+    * [[encode]], but each `00dc` frame is a complete baseline COLOR
+    * JPEG ([[Jpeg.encodeColorBlocks]], constant component blocks —
+    * frame f's generative seed is `seed + f`), the stream handler is
+    * `MJPG`, and `biCompression` carries the `MJPG` fourcc. Motion
+    * JPEG is what real capture hardware and legacy pipelines emit:
+    * every frame is independently decodable, which is exactly why the
+    * partition-wise decode model fits it — no inter-frame state.
+    *
+    * @param sampling luma sampling of every frame (0x11 = 4:4:4,
+    *        0x22 = 4:2:0), forwarded to the JPEG encoder */
+  def encodeMjpeg(width: Int, height: Int, nFrames: Int, seed: Long,
+      sampling: Int = 0x11, fps: Int = 10): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0 && fps > 0,
+      s"Avi.encodeMjpeg: bad args (${width}x$height, $nFrames frames, $fps fps)")
+    val frames = (0 until nFrames).map { f =>
+      val fSeed = seed + f
+      chunk("00dc", Jpeg.encodeColorBlocks(width, height,
+        (bx, by) => (((bx * 7L + by * 13L + fSeed) % 256L + 256L) % 256L).toInt,
+        (cx, cy) => (((cx * 11L + cy * 3L + 2 * fSeed) % 256L + 256L) % 256L).toInt,
+        (cx, cy) => (((cx * 5L + cy * 17L + 3 * fSeed) % 256L + 256L) % 256L).toInt,
+        sampling))
+    }
+    val frameMax = frames.map(_.length).max
+    val avih = le4(1000000L / fps) ++ le4(0L) ++ le4(0L) ++
+      le4(0x10L) ++
+      le4(nFrames.toLong) ++ le4(0L) ++ le4(1L) ++ le4(frameMax.toLong) ++
+      le4(width.toLong) ++ le4(height.toLong) ++
+      le4(0L) ++ le4(0L) ++ le4(0L) ++ le4(0L)
+    val strh = "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      le4(0L) ++ le4(0L) ++ le4(0L) ++ le4(1L) ++ le4(fps.toLong) ++
+      le4(0L) ++ le4(nFrames.toLong) ++ le4(frameMax.toLong) ++
+      le4(-1L & 0xffffffffL) ++ le4(0L) ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)
+    // BITMAPINFOHEADER with biCompression = the 'MJPG' fourcc
+    val strf = le4(40L) ++ le4(width.toLong) ++ le4(height.toLong) ++
+      Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++ le4(0L) ++
+      le4(0L) ++ le4(0L) ++ le4(0L) ++ le4(0L)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.toArray.flatten)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le4(body.length.toLong) ++ body
+  }
+
+  /** The FIRST stream header's (fccType, handler) fourccs, or None on
+    * structural damage — how a demuxer learns what the frame payloads
+    * ARE before feeding them to a pixel codec. */
+  private[operators] def firstStreamHandler(b: Array[Byte]): Option[(String, String)] = {
+    if (b == null || b.length < 12) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
+    val riffLen = rdLe4(b, 4)
+    if (riffLen < 4 || 8 + riffLen > b.length) return None
+    if (b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ') return None
+    var found: Option[(String, String)] = None
+    def walk(start: Int, end: Int): Boolean = {
+      var i = start
+      while (i + 8 <= end && found.isEmpty) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val len = rdLe4(b, i + 4)
+        if (len < 0 || i + 8 + len > end) return false
+        if (id == "LIST") {
+          if (len < 4) return false
+          if (!walk(i + 12, i + 8 + len.toInt)) return false
+        } else if (id == "strh") {
+          if (len < 8) return false
+          found = Some((new String(b, i + 8, 4, "US-ASCII"),
+            new String(b, i + 12, 4, "US-ASCII")))
+        }
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+      true
+    }
+    if (!walk(12, (8 + riffLen).toInt)) return None
+    found
+  }
+
+  /** Per-frame pixel stats of an MJPEG AVI: the stream header must
+    * declare `vids`/`MJPG` (feeding DIB payloads to a JPEG decoder — or
+    * vice versa — is a data bug this check makes loud), then demux →
+    * [[Jpeg.pixelStatsColor]] per frame. None if the container, the
+    * declared codec, OR any frame refuses. */
+  def mjpegFrameStats(b: Array[Byte]): Option[Seq[(Int, Jpeg.ColorStats)]] =
+    firstStreamHandler(b) match {
+      case Some(("vids", "MJPG")) =>
+        demuxFrames(b).flatMap { frames =>
+          val decoded = frames.zipWithIndex.map { case (f, i) =>
+            Jpeg.pixelStatsColor(f).map(i -> _)
+          }
+          if (decoded.exists(_.isEmpty)) None else Some(decoded.map(_.get))
+        }
+      case _ => None
+    }
+
   // ——— A/V profile: interleaved audio + idx1 index ———
 
   /** A complete, valid TWO-stream AVI: stream 0 = DIB video (the same

@@ -157,4 +157,43 @@ class AviSpec extends AnyFunSuite {
     assert(Avi.demuxAv(Avi.encode(8, 8, 2, 1L)).isEmpty,
       "single-stream file is out of the A/V profile's scope")
   }
+
+  test("MJPEG profile: every frame decodes through the JPEG codec to " +
+      "the generative pixels, both samplings") {
+    for ((w, h, nf, seed, sampling) <- Seq((24, 16, 3, 5L, 0x11),
+        (33, 18, 2, 9L, 0x22))) {
+      val avi = Avi.encodeMjpeg(w, h, nf, seed, sampling)
+      val stats = Avi.mjpegFrameStats(avi).getOrElse(
+        fail(s"MJPEG demux+decode failed at ${w}x$h sampling=$sampling"))
+      assert(stats.map(_._1) == (0 until nf))
+      // frame f equals a directly-encoded JPEG of the same seed
+      stats.foreach { case (f, s) =>
+        val fSeed = seed + f
+        val direct = graft.operators.Jpeg.pixelStatsColor(
+          graft.operators.Jpeg.encodeColorBlocks(w, h,
+            (bx, by) => (((bx * 7L + by * 13L + fSeed) % 256L + 256L) % 256L).toInt,
+            (cx, cy) => (((cx * 11L + cy * 3L + 2 * fSeed) % 256L + 256L) % 256L).toInt,
+            (cx, cy) => (((cx * 5L + cy * 17L + 3 * fSeed) % 256L + 256L) % 256L).toInt,
+            sampling)).get
+        assert(s == direct, s"frame $f stats diverge from the direct JPEG")
+      }
+    }
+  }
+
+  test("MJPEG refusals: handler mismatch in BOTH directions, bad frame") {
+    // a DIB container through the MJPEG path: declared handler refuses
+    assert(Avi.mjpegFrameStats(Avi.encode(8, 8, 2, 1L)).isEmpty,
+      "DIB frames must not be fed to the JPEG decoder")
+    // an MJPEG container through the BMP path: frames aren't BMPs
+    assert(Avi.frameStats(Avi.encodeMjpeg(8, 8, 2, 1L)).isEmpty,
+      "JPEG frames must not be fed to the BMP decoder")
+    // corrupt one frame's JPEG magic: the whole video refuses
+    val avi = Avi.encodeMjpeg(16, 16, 2, 3L)
+    val soiAt = avi.indices.find(i => i > 64 &&
+      (avi(i) & 0xff) == 0xff && (avi(i + 1) & 0xff) == 0xd8).get
+    val bad = avi.clone()
+    bad(soiAt + 1) = 0x00.toByte
+    assert(Avi.mjpegFrameStats(bad).isEmpty,
+      "a video with one undecodable frame is a bad video")
+  }
 }

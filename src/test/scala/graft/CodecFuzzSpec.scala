@@ -25,6 +25,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     "gif" -> (b => Gif.pixelStats(b)),
     "wav" -> (b => Wav.pcmStats(b)),
     "avi" -> (b => Avi.frameStats(b)),
+    "avi_mjpeg" -> (b => Avi.mjpegFrameStats(b)),
     "avi_av" -> (b => Avi.avStats(b)))
 
   private def seeds(name: String): Array[Byte] = name match {
@@ -49,6 +50,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     case "gif" => Gif.encodeGray(21, 13, (x, y) => (x + y) % 256)
     case "wav" => Wav.encodePcm16(300, 8000, 7L)
     case "avi" => Avi.encode(10, 8, 3, 7L)
+    case "avi_mjpeg" => Avi.encodeMjpeg(10, 8, 3, 7L)
     case "avi_av" => Avi.encodeAv(10, 8, 3, 7L, samplesPerFrame = 40)
   }
 
