@@ -613,6 +613,77 @@ object MultimodalQueries {
     * mis-walked list, swallowed pad byte, or frame-order slip breaks
     * the hash. 1→n fan-out happens INSIDE the partition (flatMap);
     * only per-frame stats cross stage boundaries. */
+  /** G.711 companded-audio decode under the hash gate — the telephony
+    * codecs (µ-law WAVE format 7 on even media ids, A-law format 6 on
+    * odd) beside [[qWavDecode]]'s linear PCM: each audio doc becomes a
+    * G.711 WAV of generative CODE bytes, and the decoder must walk the
+    * container, pick the right expansion, and apply the exact integer
+    * segment/mantissa map ([[graft.operators.Wav.mulawExpand]] /
+    * `alawExpand`). The oracle re-derives every expanded sample from
+    * the code formula + the closed-form expansions (complement vs XOR
+    * 0x55, opposite sign conventions, shifted segments) — one wrong
+    * constant, a swapped expansion, or a sign-convention slip breaks
+    * min/sum/max. The spec cross-decodes against javax.sound.sampled's
+    * independent ULAW/ALAW converters, sample for sample. */
+  val qWavG711Decode = QueryDef("q_wav_g711_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1) // the audio-modality ids
+        .select(col("doc_id").as("media_id"),
+          (pmod(col("doc_id"), lit(4000)) + 500).cast("int").as("n"))
+        .as[(Long, Int)]
+      dims.mapPartitions(_.map { case (id, n) =>
+        val bytes = graft.operators.Wav.encodeG711(n, 8000, id,
+          aLaw = id % 2 == 1)
+        val s = graft.operators.Wav.pcmStats(bytes).getOrElse(
+          sys.error(s"undecodable synthesized G.711 WAV for media_id=$id"))
+        (id, s.sampleRate, s.nSamples, s.sumS, s.minS.toLong, s.maxS.toLong)
+      }).toDF("media_id", "sample_rate", "n_samples", "sum_s", "min_s", "max_s")
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 4000) + 500 AS BIGINT) AS n
+           |  FROM documents WHERE doc_id % 3 = 1
+           |), codes AS (
+           |  SELECT media_id,
+           |         (unnest(generate_series(0, n - 1)) * 31 + media_id)
+           |           % 256 AS c
+           |  FROM dims
+           |), ex AS (
+           |  SELECT media_id,
+           |    CASE WHEN media_id % 2 = 0 THEN
+           |      -- mu-law: complement, ((8m + 132) << e) - 132, bit 7 = minus
+           |      CASE WHEN (255 - c) >= 128
+           |           THEN -((((255 - c) % 16) * 8 + 132)
+           |                  * (1 << (((255 - c) // 16) % 8)) - 132)
+           |           ELSE  ((((255 - c) % 16) * 8 + 132)
+           |                  * (1 << (((255 - c) // 16) % 8)) - 132) END
+           |    ELSE
+           |      -- A-law: XOR 0x55, segment map, bit 7 SET = plus
+           |      CASE WHEN xor(c, 85) >= 128 THEN
+           |        CASE WHEN (xor(c, 85) // 16) % 8 = 0
+           |             THEN (xor(c, 85) % 16) * 16 + 8
+           |             ELSE ((xor(c, 85) % 16) * 16 + 264)
+           |                  * (1 << ((xor(c, 85) // 16) % 8 - 1)) END
+           |      ELSE
+           |        -(CASE WHEN (xor(c, 85) // 16) % 8 = 0
+           |               THEN (xor(c, 85) % 16) * 16 + 8
+           |               ELSE ((xor(c, 85) % 16) * 16 + 264)
+           |                    * (1 << ((xor(c, 85) // 16) % 8 - 1)) END)
+           |      END
+           |    END AS s
+           |  FROM codes
+           |)
+           |SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+           |       CAST(count(*) AS BIGINT) AS n_samples,
+           |       CAST(sum(s) AS BIGINT) AS sum_s,
+           |       CAST(min(s) AS BIGINT) AS min_s,
+           |       CAST(max(s) AS BIGINT) AS max_s
+           |FROM ex GROUP BY media_id ORDER BY media_id""".stripMargin))
+
   val qAviFrameDecode = QueryDef("q_avi_frame_decode",
     (spark, dir) => {
       import spark.implicits._
@@ -902,6 +973,7 @@ object MultimodalQueries {
   def all: Seq[QueryDef] =
     Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode,
       qJpegProgressiveDecode,
-      qJpegColorDecode, qBmpDecode, qGifDecode, qWavDecode, qWavResample,
+      qJpegColorDecode, qBmpDecode, qGifDecode, qWavDecode, qWavG711Decode,
+      qWavResample,
       qAviFrameDecode, qAviMjpegDecode, qAviAvDemux, qPngColorTypes)
 }

@@ -4,10 +4,12 @@ package graft.operators
   * sibling of [[Png]]: [[encodePcm16]] builds a genuine RIFF/WAVE
   * container (fmt chunk, 16-bit mono PCM, little-endian data chunk) of a
   * deterministic generative signal, [[pcmStats]] decodes any conforming
-  * 16-bit PCM WAV back (RIFF walk → fmt validation → sample read) and
-  * reduces the ACTUAL decoded samples to statistics. Scope: PCM
-  * format 1, 16-bit; anything else (compressed formats, other depths)
-  * returns None — refuse, don't guess.
+  * WAV back (RIFF walk → fmt validation → sample read) and reduces the
+  * ACTUAL decoded samples to statistics. Scope: PCM format 1 at
+  * 16 bits, plus G.711 µ-law/A-law (formats 7/6, 8-bit — the telephony
+  * companding codecs, expanded by the exact integer maps
+  * [[mulawExpand]]/[[alawExpand]]); anything else returns None —
+  * refuse, don't guess.
   *
   * PCM "decode" is byte-exact sample extraction (the container carries
   * raw samples), so this proves the CONTAINER layer — header layout,
@@ -85,11 +87,14 @@ object Wav {
   def decodePcm16(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
     pcmStats(b).flatMap { st =>
       // the chunk walk validated everything; re-walk for the data span
+      // (and the format code — pcmStats also accepts G.711, whose
+      // 1-byte samples this 16-bit reader must not touch)
       var i = 12
       var dataOff = -1; var dataLen = -1L
       while (i + 8 <= b.length && dataOff < 0) {
         val tpe = new String(b, i, 4, "US-ASCII")
         val len = u32(b, i + 4)
+        if (tpe == "fmt " && u16(b, i + 8) != 1) return None
         if (tpe == "data") { dataOff = i + 8; dataLen = len }
         i += 8 + len.toInt + (len.toInt & 1)
       }
@@ -149,18 +154,83 @@ object Wav {
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 
-  /** REAL PCM decode of a conforming WAV (16-bit PCM, any channel
-    * count): RIFF/WAVE validation, chunk walk to fmt + data, signed
-    * little-endian sample extraction, stats. None for anything out of
-    * scope or malformed (truncated chunks, non-PCM formats, other bit
-    * depths). */
+  // ——— G.711 (ITU-T): µ-law and A-law 8-bit companded telephony audio —
+  // WAVE format codes 7 and 6. The expansions are EXACT integer maps
+  // (segment + mantissa → 13/14-bit linear), so a companded WAV decodes
+  // under the hash gate like PCM does; javax.sound.sampled cross-checks
+  // the constants in the spec. ———
+
+  /** µ-law byte → linear sample (G.711 µ-law expansion: complement,
+    * then ((8·mantissa + 132) << exponent) − 132, sign from bit 7). */
+  def mulawExpand(code: Int): Int = {
+    val u = ~code & 0xff
+    val exponent = (u >> 4) & 0x07
+    val mantissa = u & 0x0f
+    val mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** A-law byte → linear sample (G.711 A-law expansion: XOR 0x55;
+    * segment 0 → 16·m + 8, segment s ≥ 1 → (16·m + 264) << (s−1);
+    * bit 7 SET means positive — the A-law sign convention). */
+  def alawExpand(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a >> 4) & 0x07
+    val m = a & 0x0f
+    val t =
+      if (seg == 0) (m << 4) + 8
+      else ((m << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** A complete, valid mono G.711 WAV of `nSamples` generative CODE
+    * bytes (`code(i) = (i·31 + seed) mod 256` — trivially
+    * SQL-expressible so the oracle can re-derive the expanded
+    * samples). `aLaw = false` → µ-law (format 7), true → A-law
+    * (format 6). */
+  def encodeG711(nSamples: Int, sampleRate: Int, seed: Long,
+      aLaw: Boolean): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0,
+      s"encodeG711: bad args ($nSamples, $sampleRate)")
+    require(nSamples <= Int.MaxValue - 64,
+      s"encodeG711: $nSamples samples overflows a single in-memory WAV")
+    val out = new java.io.ByteArrayOutputStream(44 + nSamples)
+    val dataLen = nSamples + (nSamples & 1) // word-aligned chunk body
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(36L + dataLen))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    out.write(le32(16L))
+    out.write(le16(if (aLaw) 6 else 7)) // WAVE_FORMAT_ALAW / _MULAW
+    out.write(le16(1)) // mono
+    out.write(le32(sampleRate.toLong))
+    out.write(le32(sampleRate.toLong)) // byte rate: 1 byte/sample
+    out.write(le16(1)) // block align
+    out.write(le16(8)) // bits per sample
+    out.write("data".getBytes("US-ASCII"))
+    out.write(le32(nSamples.toLong))
+    var i = 0
+    while (i < nSamples) {
+      out.write((((i.toLong * 31L + seed) % 256L + 256L) % 256L).toInt)
+      i += 1
+    }
+    if ((nSamples & 1) == 1) out.write(0) // pad byte
+    out.toByteArray
+  }
+
+  /** REAL decode of a conforming WAV — 16-bit PCM (format 1), G.711
+    * µ-law (7), or A-law (6), any channel count: RIFF/WAVE validation,
+    * chunk walk to fmt + data, sample extraction (byte-exact for PCM;
+    * the exact integer expansion for companded formats), stats. None
+    * for anything out of scope or malformed (truncated chunks, other
+    * formats, depth/format mismatches). */
   def pcmStats(b: Array[Byte]): Option[PcmStats] = {
     if (b == null || b.length < 44 ||
         b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
       return None
     var i = 12
-    var rate = -1; var channels = -1; var bits = -1
+    var rate = -1; var channels = -1; var fmt = -1
     var dataOff = -1; var dataLen = -1L
     while (i + 8 <= b.length && (rate < 0 || dataOff < 0)) {
       val tpe = new String(b, i, 4, "US-ASCII")
@@ -169,25 +239,34 @@ object Wav {
       tpe match {
         case "fmt " =>
           if (len < 16) return None
-          val fmt = u16(b, i + 8)
-          if (fmt != 1) return None // PCM only
+          fmt = u16(b, i + 8)
           channels = u16(b, i + 10)
           rate = u32(b, i + 12).toInt
-          bits = u16(b, i + 22)
-          if (bits != 16 || channels < 1 || rate <= 0) return None
+          val bits = u16(b, i + 22)
+          fmt match {
+            case 1 => if (bits != 16) return None // PCM scope: 16-bit
+            case 6 | 7 => if (bits != 8) return None // G.711 is 8-bit
+            case _ => return None // other formats: refuse, don't guess
+          }
+          if (channels < 1 || rate <= 0) return None
         case "data" => dataOff = i + 8; dataLen = len
         case _ => () // ancillary chunks skipped
       }
       i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
-    if (rate < 0 || dataOff < 0 || dataLen % 2 != 0) return None
-    val n = dataLen / 2
+    if (rate < 0 || dataOff < 0) return None
+    if (fmt == 1 && dataLen % 2 != 0) return None
+    val n = if (fmt == 1) dataLen / 2 else dataLen
     var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
     var j = 0L
     while (j < n) {
-      val s = u16(b, dataOff + (j * 2).toInt) match {
-        case v if v >= 0x8000 => v - 0x10000
-        case v => v
+      val s = fmt match {
+        case 1 => u16(b, dataOff + (j * 2).toInt) match {
+          case v if v >= 0x8000 => v - 0x10000
+          case v => v
+        }
+        case 6 => alawExpand(b(dataOff + j.toInt) & 0xff)
+        case 7 => mulawExpand(b(dataOff + j.toInt) & 0xff)
       }
       sum += s
       if (s < mn) mn = s

@@ -24,6 +24,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     "bmp" -> (b => Bmp.pixelStats(b)),
     "gif" -> (b => Gif.pixelStats(b)),
     "wav" -> (b => Wav.pcmStats(b)),
+    "wav_ulaw" -> (b => Wav.pcmStats(b)),
+    "wav_alaw" -> (b => Wav.pcmStats(b)),
     "avi" -> (b => Avi.frameStats(b)),
     "avi_mjpeg" -> (b => Avi.mjpegFrameStats(b)),
     "avi_av" -> (b => Avi.avStats(b)))
@@ -49,6 +51,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     case "bmp" => Bmp.encodeRgb(21, 13, 7L)
     case "gif" => Gif.encodeGray(21, 13, (x, y) => (x + y) % 256)
     case "wav" => Wav.encodePcm16(300, 8000, 7L)
+    case "wav_ulaw" => Wav.encodeG711(300, 8000, 7L, aLaw = false)
+    case "wav_alaw" => Wav.encodeG711(300, 8000, 7L, aLaw = true)
     case "avi" => Avi.encode(10, 8, 3, 7L)
     case "avi_mjpeg" => Avi.encodeMjpeg(10, 8, 3, 7L)
     case "avi_av" => Avi.encodeAv(10, 8, 3, 7L, samplesPerFrame = 40)

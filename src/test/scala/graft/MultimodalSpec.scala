@@ -390,6 +390,65 @@ class MultimodalSpec extends SparkSpec {
       "non-PCM format codes are refused")
   }
 
+  test("Wav codec: G.711 mu-law/A-law expansion matches javax.sound's " +
+    "independent converters sample for sample; container + refusals hold") {
+    import graft.operators.Wav
+    // the expansions themselves, against the JDK's converters over ALL
+    // 256 codes: encode a WAV whose data is exactly the byte ramp, let
+    // javax.sound convert to linear 16-bit PCM, compare
+    for (aLaw <- Seq(false, true)) {
+      val name = if (aLaw) "A-law" else "mu-law"
+      // ramp of all 256 codes via the generative formula: seed 0,
+      // code(i) = 31 i mod 256 covers all residues (gcd(31, 256) = 1)
+      val n = 256
+      val bytes = Wav.encodeG711(n, 8000, 0L, aLaw)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val enc = ais.getFormat.getEncoding.toString
+      assert(enc == (if (aLaw) "ALAW" else "ULAW"),
+        s"container must declare $name, got $enc")
+      val pcmFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        true, false)
+      val pcm = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(pcmFmt, ais).readAllBytes()
+      assert(pcm.length == n * 2)
+      for (i <- 0 until n) {
+        val code = (i * 31) % 256
+        val ours = if (aLaw) Wav.alawExpand(code) else Wav.mulawExpand(code)
+        val v = (pcm(2 * i) & 0xff) | ((pcm(2 * i + 1) & 0xff) << 8)
+        val theirs = if (v >= 0x8000) v - 0x10000 else v
+        assert(ours == theirs,
+          s"$name code $code: ours $ours != javax.sound $theirs")
+      }
+      // pcmStats decodes the same container to the expanded stats
+      val s = Wav.pcmStats(bytes).getOrElse(fail(s"undecodable $name WAV"))
+      var (es, emn, emx) = (0L, Int.MaxValue, Int.MinValue)
+      for (i <- 0 until n) {
+        val code = (i * 31) % 256
+        val v = if (aLaw) Wav.alawExpand(code) else Wav.mulawExpand(code)
+        es += v; emn = math.min(emn, v); emx = math.max(emx, v)
+      }
+      assert((s.sampleRate, s.nSamples, s.sumS, s.minS, s.maxS) ==
+        ((8000, n.toLong, es, emn, emx)), s"$name stats drift")
+      // full-scale extremes present in the all-codes ramp (the
+      // 16-bit-scaled G.711 convention javax.sound also uses)
+      if (!aLaw) assert(emn == -32124 && emx == 32124,
+        s"mu-law full-scale should be ±32124, got [$emn, $emx]")
+      else assert(emn == -32256 && emx == 32256,
+        s"A-law full-scale should be ±32256, got [$emn, $emx]")
+    }
+    // a G.711 container through the 16-bit reader refuses
+    assert(Wav.decodePcm16(Wav.encodeG711(100, 8000, 1L, aLaw = false)).isEmpty,
+      "G.711 bytes must not be read as 16-bit PCM")
+    // odd sample count: word-aligned data chunk still decodes
+    assert(Wav.pcmStats(Wav.encodeG711(101, 8000, 2L, aLaw = true))
+      .exists(_.nSamples == 101L), "odd-length G.711 data chunk")
+    // lying bit depth refuses: G.711 is 8-bit by definition
+    val g = Wav.encodeG711(50, 8000, 3L, aLaw = false)
+    assert(Wav.pcmStats(g.patch(34, Array[Byte](16, 0), 2)).isEmpty,
+      "16-bit mu-law is a malformed container")
+  }
+
   test("resizeImage: real decode → bilinear → re-encode; identity is " +
       "pixel-exact; refusal on non-PNG") {
     import graft.operators.Png
