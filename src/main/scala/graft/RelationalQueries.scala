@@ -586,6 +586,43 @@ object RelationalQueries {
             |       (cx | (cy << 1)) >> 8 AS cell
             |FROM z4 ORDER BY id""".stripMargin))
 
+  /** Hilbert indices for the station grid — the locality-preserving
+    * layout sibling of [[qZorderCells]] ([[graft.expr.HilbertKernels]]:
+    * consecutive indices are always grid NEIGHBORS, so per-file
+    * bounding boxes stay connected where Morton's quadrant seams
+    * fragment them — the reason engines added Hilbert beside ZORDER).
+    * Same quantization arithmetic as the Morton entry; the oracle
+    * replays all 16 quadrant/rotation steps through generated CTEs
+    * ([[graft.expr.HilbertIndex16.iterationSql]] — one step
+    * definition, two engines), so the index is hash-checked
+    * bit-for-bit. `cell` = d >> 8 is the coarse bucket a file-pruning
+    * layout would group by. */
+  val qHilbertCells = QueryDef("q_hilbert_cells",
+    (spark, dir) => {
+      import org.apache.spark.sql.Column
+      def cell(c: Column, lo: Double, hi: Double) =
+        least(lit(65535L), greatest(lit(0L),
+          floor((c - lit(lo)) / lit(hi - lo) * 65536).cast("long")))
+      Tables.stationsById(spark, dir)
+        .select(col("id"), graft.expr.HilbertIndex16(
+          cell(col("latitude"), 51.0, 51.5),
+          cell(col("longitude"), -0.5, 0.5)).as("hvalue"))
+        .withColumn("cell", shiftright(col("hvalue"), 8))
+        .orderBy("id")
+    },
+    Some(s"""WITH ${Catalog.stationsSql},
+            |cells AS (
+            |  SELECT id,
+            |    least(65535, greatest(0,
+            |      CAST(floor((latitude - 51.0) / 0.5 * 65536) AS BIGINT))) AS x,
+            |    least(65535, greatest(0,
+            |      CAST(floor((longitude - (-0.5)) / 1.0 * 65536) AS BIGINT))) AS y
+            |  FROM stations
+            |),
+            |${graft.expr.HilbertIndex16.iterationSql("cells", "h")}
+            |SELECT id, d AS hvalue, d >> 8 AS cell
+            |FROM h16 ORDER BY id""".stripMargin))
+
   /** The triangle analysis runs on the BACKBONE graph — the
     * [[BackboneEdges]] strongest routes by ride count (ties broken on the
     * station pair). Exact triangle counting is cubic-ish in density;
@@ -802,6 +839,6 @@ object RelationalQueries {
     qDsv2PartitionedWrite,
     qShippingPriority,
     qLocalSupplierVolume,
-    qLargeOrders, qProfileDocuments, qZorderCells, qTriangles, qPageRank,
-    qBfsStations, qSsspWeighted)
+    qLargeOrders, qProfileDocuments, qZorderCells, qHilbertCells,
+    qTriangles, qPageRank, qBfsStations, qSsspWeighted)
 }

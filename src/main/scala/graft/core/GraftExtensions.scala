@@ -135,6 +135,8 @@ object GraftExtensions {
       SplitMix64Expr(arity("splitmix64", 1, args).head) },
     "interleave16" -> { args =>
       arity("interleave16", 2, args); InterleaveBits16(args(0), args(1)) },
+    "hilbert16" -> { args =>
+      arity("hilbert16", 2, args); HilbertIndex16(args(0), args(1)) },
     "bloom_agg" -> { args =>
       arity("bloom_agg", 3, args)
       BloomAgg(args(0), longLit(args(1)), intLit(args(2))).toAggregateExpression() },

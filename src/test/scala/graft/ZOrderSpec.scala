@@ -75,4 +75,69 @@ class ZOrderSpec extends SparkSpec {
     Sinks.parquetZOrdered(df, "x", 0.0, 1.0, "y", 0.0, 1.0, p, files = 2)
     assert(spark.read.parquet(p).count() == 3)
   }
+
+  test("hilbert16: bijective with d2xy; consecutive indices are grid " +
+      "NEIGHBORS (the locality Morton lacks); range + order guards") {
+    import graft.expr.HilbertKernels
+    // bijectivity on corners + a deterministic scatter
+    val pts = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L)) ++
+      (0 until 4096).map(i => ((i * 40503L) % 65536L, (i * 14057L) % 65536L))
+    pts.foreach { case (x, y) =>
+      val d = HilbertKernels.xy2d(x, y)
+      assert(d >= 0L && d < 65536L * 65536L)
+      assert(HilbertKernels.d2xy(d) == ((x, y)), s"roundtrip drift at ($x, $y)")
+    }
+    assert(pts.map((HilbertKernels.xy2d _).tupled).distinct.size ==
+      pts.distinct.size, "distinct points must map to distinct indices")
+    // THE Hilbert property: each step of the curve moves to a grid
+    // neighbor — |dx| + |dy| = 1. Morton fails this at every quadrant
+    // seam (e.g. z=1 → z=2 jumps diagonally). Checked at the curve
+    // start, across a power-of-two seam, and at a large offset.
+    for (base <- Seq(0L, 65534L, 1L << 20, (1L << 31) + 12345L)) {
+      var (px, py) = HilbertKernels.d2xy(base)
+      for (d <- base + 1 to base + 2048) {
+        val (x, y) = HilbertKernels.d2xy(d)
+        assert(math.abs(x - px) + math.abs(y - py) == 1,
+          s"non-neighbor step at d=$d: ($px,$py) -> ($x,$y)")
+        px = x; py = y
+      }
+    }
+    // the Morton contrast, pinned: z traverses (0,0)→(1,0)→(0,1) — the
+    // step from z=1 to z=2 is DIAGONAL (|dx|+|dy| = 2), the quadrant
+    // seam jump Hilbert provably never makes
+    import graft.expr.ZOrderKernels
+    def zxy(z: Long): (Long, Long) =
+      (ZOrderKernels.compact16(z), ZOrderKernels.compact16(z >> 1))
+    val steps = (0L to 2L).map(zxy)
+    assert(math.abs(steps(2)._1 - steps(1)._1) +
+      math.abs(steps(2)._2 - steps(1)._2) == 2,
+      s"expected the Morton seam jump, got $steps")
+    // range guard
+    intercept[IllegalArgumentException](HilbertKernels.xy2d(65536L, 0L))
+    intercept[IllegalArgumentException](HilbertKernels.xy2d(0L, -1L))
+    intercept[IllegalArgumentException](HilbertKernels.d2xy(-1L))
+  }
+
+  test("hilbert-ordered write bounds BOTH columns per file, like z-order") {
+    val schema = StructType(Seq(StructField("id", LongType, false),
+      StructField("x", DoubleType, false), StructField("y", DoubleType, false)))
+    val pts = (0L until 4096L).map(i =>
+      Row(i, (i * 73 % 997).toDouble / 997.0, (i * 151 % 991).toDouble / 991.0))
+    val df = Sources.inMemory(spark, pts, schema)
+    val hPath = "/tmp/graft_hilbert_test"
+    Sinks.parquetHilbertOrdered(df, "x", 0.0, 1.0, "y", 0.0, 1.0, hPath,
+      files = 16)
+    val ext = rows(spark.read.parquet(hPath)
+      .groupBy(input_file_name()).agg(
+        (max("x") - min("x")).as("ex"), (max("y") - min("y")).as("ey")))
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(ext.size >= 8, s"expected >=8 hilbert files, got ${ext.size}")
+    val avgX = ext.map(_._1).sum / ext.size
+    val avgY = ext.map(_._2).sum / ext.size
+    assert(avgX < 0.5 && avgY < 0.5,
+      s"hilbert files must bound both columns (got x=$avgX y=$avgY)")
+    // layout is a reshuffle, not a transformation: content identical
+    assert(rows(spark.read.parquet(hPath)).map(_.getLong(0)).sorted ==
+      (0L until 4096L))
+  }
 }
