@@ -684,6 +684,87 @@ object MultimodalQueries {
            |       CAST(max(s) AS BIGINT) AS max_s
            |FROM ex GROUP BY media_id ORDER BY media_id""".stripMargin))
 
+  /** IMA ADPCM decode under the hash gate — a genuinely COMPRESSED
+    * (4×, lossy) audio codec beside PCM and G.711: each audio doc is
+    * encoded to 4-bit adaptive-differential blocks
+    * ([[graft.operators.Wav.encodeImaAdpcm]]) and decoded back through
+    * the real block walk ([[graft.operators.Wav.decodeImaAdpcm]] —
+    * header predictor, nibble stream, per-sample predictor/step-index
+    * state machine, fact-bounded tail). Lossy yet hash-checked: the
+    * codec is a pure integer state machine, so the oracle REPLAYS it —
+    * a recursive CTE steps every block's 64 quantize/reconstruct
+    * transitions (encoder and decoder share one trajectory by
+    * construction), something only possible because blocks are
+    * independent in this profile (header = true first sample, index
+    * reset). One wrong step-table entry, clamp, or nibble order breaks
+    * min/sum/max. */
+  val qWavAdpcmDecode = QueryDef("q_wav_adpcm_decode",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1) // the audio-modality ids
+        .select(col("doc_id").as("media_id"),
+          (pmod(col("doc_id"), lit(4000)) + 500).cast("int").as("n"))
+        .as[(Long, Int)]
+      dims.mapPartitions(_.map { case (id, n) =>
+        val bytes = graft.operators.Wav.encodeImaAdpcm(n, 8000, id)
+        val s = graft.operators.Wav.pcmStats(bytes).getOrElse(
+          sys.error(s"undecodable synthesized ADPCM WAV for media_id=$id"))
+        (id, s.sampleRate, s.nSamples, s.sumS, s.minS.toLong, s.maxS.toLong)
+      }).toDF("media_id", "sample_rate", "n_samples", "sum_s", "min_s", "max_s")
+        .orderBy("media_id")
+    },
+    Some {
+      val steps = graft.operators.Wav.ImaStepTable.mkString("[", ", ", "]")
+      val idxs = graft.operators.Wav.ImaIndexTable.mkString("[", ", ", "]")
+      s"""WITH RECURSIVE dims AS (
+         |  SELECT doc_id AS media_id,
+         |         CAST((doc_id % 4000) + 500 AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 3 = 1
+         |), blocks AS (
+         |  SELECT media_id,
+         |         unnest(generate_series(0, (n + 64) // 65 - 1)) AS b, n
+         |  FROM dims
+         |), init AS (
+         |  SELECT media_id, 65 * b AS start, LEAST(65, n - 65 * b) AS len,
+         |         ((65 * b * 31337 + media_id) % 65536) - 32768 AS pred,
+         |         CAST(0 AS BIGINT) AS idx, CAST(0 AS BIGINT) AS k
+         |  FROM blocks
+         |), steps AS (
+         |  -- k = 0 is the block's header sample; each recursion step is
+         |  -- one encoder-quantize + decoder-reconstruct transition
+         |  SELECT media_id, start, len, k, pred, idx FROM init
+         |  UNION ALL
+         |  SELECT media_id, start, len, k + 1,
+         |         GREATEST(-32768, LEAST(32767,
+         |           CASE WHEN sgn = 8 THEN pred - diff
+         |                ELSE pred + diff END)),
+         |         GREATEST(0, LEAST(88, idx + $idxs[b4 + b2 + b1 + 1]))
+         |  FROM (
+         |    SELECT media_id, start, len, k, pred, idx,
+         |      (((start + k + 1) * 31337 + media_id) % 65536) - 32768 AS sin,
+         |      $steps[idx + 1] AS st,
+         |      CASE WHEN sin < pred THEN 8 ELSE 0 END AS sgn,
+         |      abs(sin - pred) AS d0,
+         |      CASE WHEN d0 >= st THEN 4 ELSE 0 END AS b4,
+         |      d0 - (b4 // 4) * st AS d1,
+         |      CASE WHEN d1 >= st // 2 THEN 2 ELSE 0 END AS b2,
+         |      d1 - (b2 // 2) * (st // 2) AS d2,
+         |      CASE WHEN d2 >= st // 4 THEN 1 ELSE 0 END AS b1,
+         |      (st >> 3) + b1 * (st >> 2) + (b2 // 2) * (st >> 1)
+         |        + (b4 // 4) * st AS diff
+         |    FROM steps
+         |  ) WHERE k + 1 < len
+         |)
+         |SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+         |       CAST(count(*) AS BIGINT) AS n_samples,
+         |       CAST(sum(pred) AS BIGINT) AS sum_s,
+         |       CAST(min(pred) AS BIGINT) AS min_s,
+         |       CAST(max(pred) AS BIGINT) AS max_s
+         |FROM steps GROUP BY media_id ORDER BY media_id""".stripMargin
+    })
+
   val qAviFrameDecode = QueryDef("q_avi_frame_decode",
     (spark, dir) => {
       import spark.implicits._
@@ -974,6 +1055,6 @@ object MultimodalQueries {
     Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode,
       qJpegProgressiveDecode,
       qJpegColorDecode, qBmpDecode, qGifDecode, qWavDecode, qWavG711Decode,
-      qWavResample,
+      qWavAdpcmDecode, qWavResample,
       qAviFrameDecode, qAviMjpegDecode, qAviAvDemux, qPngColorTypes)
 }

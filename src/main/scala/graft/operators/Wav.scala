@@ -218,6 +218,193 @@ object Wav {
     out.toByteArray
   }
 
+  // ——— IMA/DVI ADPCM (WAVE format 0x11) — 4-bit adaptive differential
+  // PCM, the classic 4× lossy audio compressor. The codec is a pure
+  // integer STATE MACHINE (predictor + step index per block), so even
+  // though it is lossy, encode→decode is exactly reproducible — and the
+  // catalog oracle replays the whole state machine per block through a
+  // recursive CTE, putting a genuinely compressed audio format under
+  // the hash gate. Blocks are INDEPENDENT in this writer's profile
+  // (header predictor = the block's true first sample, step index reset
+  // to 0), which is also what makes the replay parallel per block. ———
+
+  /** Step-size table (IMA ADPCM reference algorithm, 89 entries). */
+  val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Step-index adjustment per code magnitude (low 3 bits). */
+  val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One decoder step: (predictor, index, 4-bit code) → next state.
+    * The returned predictor IS the decoded sample. */
+  def imaDecodeStep(pred: Int, index: Int, code: Int): (Int, Int) = {
+    val st = ImaStepTable(index)
+    var diff = st >> 3
+    if ((code & 1) != 0) diff += st >> 2
+    if ((code & 2) != 0) diff += st >> 1
+    if ((code & 4) != 0) diff += st
+    val p0 = if ((code & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, index + ImaIndexTable(code & 7)))
+    (p, i)
+  }
+
+  /** One encoder step: quantize (sample − predictor) against the
+    * current step size into the 4-bit code (sign + 3 magnitude bits).
+    * The caller advances state with [[imaDecodeStep]] — encoder and
+    * decoder share one state trajectory by construction. */
+  def imaEncodeStep(pred: Int, index: Int, sample: Int): Int = {
+    val st = ImaStepTable(index)
+    var diff = sample - pred
+    var code = 0
+    if (diff < 0) { code = 8; diff = -diff }
+    if (diff >= st) { code |= 4; diff -= st }
+    if (diff >= (st >> 1)) { code |= 2; diff -= st >> 1 }
+    if (diff >= (st >> 2)) code |= 1
+    code
+  }
+
+  /** Samples per IMA block in this writer's profile: 1 header sample +
+    * 64 coded nibbles = 32 data bytes; blockAlign 36. */
+  val ImaSamplesPerBlock = 65
+  private val ImaBlockAlign = 4 + (ImaSamplesPerBlock - 1) / 2
+
+  /** A complete, valid mono IMA-ADPCM WAV of the generative signal
+    * ([[sample]]): fmt (format 0x11, 4-bit, samplesPerBlock in the
+    * extension), a `fact` chunk carrying the true sample count, and
+    * independent 36-byte blocks (header = first sample + index 0;
+    * 64 low-nibble-first codes; the last block zero-padded — `fact`
+    * bounds the decode). */
+  def encodeImaAdpcm(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0,
+      s"encodeImaAdpcm: bad args ($nSamples, $sampleRate)")
+    val spb = ImaSamplesPerBlock
+    val nBlocks = (nSamples + spb - 1) / spb
+    require(nBlocks.toLong * ImaBlockAlign <= Int.MaxValue - 128,
+      s"encodeImaAdpcm: $nSamples samples overflows a single in-memory WAV")
+    val dataLen = nBlocks * ImaBlockAlign
+    val out = new java.io.ByteArrayOutputStream(60 + dataLen)
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(48L + dataLen)) // 4 + (8+20) + (8+4) + (8+dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    out.write(le32(20L))
+    out.write(le16(0x11)) // WAVE_FORMAT_IMA_ADPCM
+    out.write(le16(1)) // mono
+    out.write(le32(sampleRate.toLong))
+    out.write(le32(sampleRate.toLong * ImaBlockAlign / spb)) // avg byte rate
+    out.write(le16(ImaBlockAlign))
+    out.write(le16(4)) // bits per (coded) sample
+    out.write(le16(2)) // cbSize
+    out.write(le16(spb)) // samplesPerBlock
+    out.write("fact".getBytes("US-ASCII"))
+    out.write(le32(4L))
+    out.write(le32(nSamples.toLong))
+    out.write("data".getBytes("US-ASCII"))
+    out.write(le32(dataLen.toLong))
+    var b = 0
+    while (b < nBlocks) {
+      val start = b * spb
+      val len = math.min(spb, nSamples - start)
+      var pred = sample(start.toLong, seed)
+      var index = 0
+      out.write(le16(pred & 0xffff))
+      out.write(0) // step index (this profile resets per block)
+      out.write(0) // reserved
+      var k = 1
+      var low = -1
+      while (k < len) {
+        val code = imaEncodeStep(pred, index, sample((start + k).toLong, seed))
+        val st = imaDecodeStep(pred, index, code)
+        pred = st._1; index = st._2
+        if (low < 0) low = code
+        else { out.write(low | (code << 4)); low = -1 }
+        k += 1
+      }
+      if (low >= 0) { out.write(low); low = -1 } // odd tail: high nibble 0
+      // zero-pad the block to blockAlign (fact bounds the decode)
+      val written = 4 + (len - 1 + 1) / 2
+      var pad = ImaBlockAlign - written
+      while (pad > 0) { out.write(0); pad -= 1 }
+      b += 1
+    }
+    out.toByteArray
+  }
+
+  /** Full IMA-ADPCM decode: (rate, samples). None for anything out of
+    * scope (stereo, missing fact, incoherent block geometry) or
+    * malformed. */
+  def decodeImaAdpcm(b: Array[Byte]): Option[(Int, Array[Int])] = {
+    if (b == null || b.length < 44 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var i = 12
+    var rate = -1; var spb = -1; var blockAlign = -1
+    var factN = -1L
+    var dataOff = -1; var dataLen = -1L
+    while (i + 8 <= b.length) {
+      val tpe = new String(b, i, 4, "US-ASCII")
+      val len = u32(b, i + 4)
+      if (len < 0 || i + 8 + len > b.length) return None
+      tpe match {
+        case "fmt " =>
+          if (len < 20) return None
+          if (u16(b, i + 8) != 0x11) return None
+          if (u16(b, i + 10) != 1) return None // mono scope
+          rate = u32(b, i + 12).toInt
+          blockAlign = u16(b, i + 20)
+          if (u16(b, i + 22) != 4) return None // 4-bit codes
+          spb = u16(b, i + 26)
+          if (rate <= 0 || spb < 2 || (spb - 1) % 2 != 0 ||
+              blockAlign != 4 + (spb - 1) / 2) return None
+        case "fact" =>
+          if (len < 4) return None
+          factN = u32(b, i + 8)
+        case "data" => dataOff = i + 8; dataLen = len
+        case _ => ()
+      }
+      i += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (rate < 0 || dataOff < 0 || factN <= 0) return None
+    val nBlocks = ((factN + spb - 1) / spb).toInt
+    if (nBlocks.toLong * blockAlign > dataLen) return None
+    if (factN > Int.MaxValue - 8) return None
+    val outArr = new Array[Int](factN.toInt)
+    var o = 0
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = dataOff + blk * blockAlign
+      val len = math.min(spb.toLong, factN - blk.toLong * spb).toInt
+      var pred = u16(b, base) match {
+        case v if v >= 0x8000 => v - 0x10000
+        case v => v
+      }
+      var index = b(base + 2) & 0xff
+      if (index > 88 || (b(base + 3) & 0xff) != 0) return None
+      outArr(o) = pred; o += 1
+      var k = 1
+      while (k < len) {
+        val byteAt = base + 4 + (k - 1) / 2
+        val code =
+          if ((k - 1) % 2 == 0) b(byteAt) & 0x0f
+          else (b(byteAt) >> 4) & 0x0f
+        val st = imaDecodeStep(pred, index, code)
+        pred = st._1; index = st._2
+        outArr(o) = pred; o += 1
+        k += 1
+      }
+      blk += 1
+    }
+    Some((rate, outArr))
+  }
+
   /** REAL decode of a conforming WAV — 16-bit PCM (format 1), G.711
     * µ-law (7), or A-law (6), any channel count: RIFF/WAVE validation,
     * chunk walk to fmt + data, sample extraction (byte-exact for PCM;
@@ -246,6 +433,19 @@ object Wav {
           fmt match {
             case 1 => if (bits != 16) return None // PCM scope: 16-bit
             case 6 | 7 => if (bits != 8) return None // G.711 is 8-bit
+            case 0x11 => // IMA ADPCM: the block decoder owns it
+              return decodeImaAdpcm(b).map { case (r, samples) =>
+                var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+                var j = 0
+                while (j < samples.length) {
+                  val s = samples(j)
+                  sum += s
+                  if (s < mn) mn = s
+                  if (s > mx) mx = s
+                  j += 1
+                }
+                PcmStats(r, 1, samples.length.toLong, sum, mn, mx)
+              }
             case _ => return None // other formats: refuse, don't guess
           }
           if (channels < 1 || rate <= 0) return None

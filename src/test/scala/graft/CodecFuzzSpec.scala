@@ -26,6 +26,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     "wav" -> (b => Wav.pcmStats(b)),
     "wav_ulaw" -> (b => Wav.pcmStats(b)),
     "wav_alaw" -> (b => Wav.pcmStats(b)),
+    "wav_adpcm" -> (b => Wav.pcmStats(b)),
     "avi" -> (b => Avi.frameStats(b)),
     "avi_mjpeg" -> (b => Avi.mjpegFrameStats(b)),
     "avi_av" -> (b => Avi.avStats(b)))
@@ -53,6 +54,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     case "wav" => Wav.encodePcm16(300, 8000, 7L)
     case "wav_ulaw" => Wav.encodeG711(300, 8000, 7L, aLaw = false)
     case "wav_alaw" => Wav.encodeG711(300, 8000, 7L, aLaw = true)
+    case "wav_adpcm" => Wav.encodeImaAdpcm(300, 8000, 7L)
     case "avi" => Avi.encode(10, 8, 3, 7L)
     case "avi_mjpeg" => Avi.encodeMjpeg(10, 8, 3, 7L)
     case "avi_av" => Avi.encodeAv(10, 8, 3, 7L, samplesPerFrame = 40)

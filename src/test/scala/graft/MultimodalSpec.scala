@@ -449,6 +449,70 @@ class MultimodalSpec extends SparkSpec {
       "16-bit mu-law is a malformed container")
   }
 
+  test("Wav codec: IMA ADPCM block roundtrip follows the state machine " +
+    "exactly; block starts are lossless; container refusals hold") {
+    import graft.operators.Wav
+    for ((n, seed) <- Seq((65, 0L), (137, 42L), (500, 7L), (66, 3L))) {
+      val bytes = Wav.encodeImaAdpcm(n, 8000, seed)
+      val (rate, got) = Wav.decodeImaAdpcm(bytes).getOrElse(
+        fail(s"undecodable ADPCM n=$n seed=$seed"))
+      assert(rate == 8000 && got.length == n)
+      // reference: run the shared state machine directly (proves the
+      // nibble packing, block headers, and fact-bounded tail — the
+      // container layer — against the arithmetic layer)
+      val want = new Array[Int](n)
+      var o = 0
+      var b = 0
+      while (b * 65 < n) {
+        val start = b * 65
+        val len = math.min(65, n - start)
+        var pred = Wav.sample(start.toLong, seed)
+        var idx = 0
+        want(o) = pred; o += 1
+        for (k <- 1 until len) {
+          val c = Wav.imaEncodeStep(pred, idx, Wav.sample((start + k).toLong, seed))
+          val st = Wav.imaDecodeStep(pred, idx, c)
+          pred = st._1; idx = st._2
+          want(o) = pred; o += 1
+        }
+        b += 1
+      }
+      assert(got.toSeq == want.toSeq, s"ADPCM decode drift at n=$n seed=$seed")
+      // block-start samples ride in the header: LOSSLESS at every block
+      for (blk <- 0 until (n + 64) / 65)
+        assert(got(blk * 65) == Wav.sample((blk * 65).toLong, seed),
+          s"block $blk header sample must be exact")
+      // pcmStats reduces the same samples
+      val s = Wav.pcmStats(bytes).get
+      assert((s.nSamples, s.sumS, s.minS, s.maxS) ==
+        ((n.toLong, want.map(_.toLong).sum, want.min, want.max)))
+    }
+    // refusals
+    val good = Wav.encodeImaAdpcm(200, 8000, 1L)
+    assert(Wav.decodeImaAdpcm(good.take(50)).isEmpty, "truncation")
+    assert(Wav.decodePcm16(good).isEmpty,
+      "ADPCM bytes must not be read as 16-bit PCM")
+    // stereo out of scope: patch channel count
+    assert(Wav.decodeImaAdpcm(good.patch(22, Array[Byte](2, 0), 2)).isEmpty,
+      "stereo ADPCM is refused")
+    // lying blockAlign (fmt offset 32) refuses: geometry must cohere
+    assert(Wav.decodeImaAdpcm(good.patch(32, Array[Byte](40, 0), 2)).isEmpty,
+      "incoherent blockAlign/samplesPerBlock is refused")
+    // a corrupt step index (> 88) in a block header refuses
+    val dataAt = {
+      var i = 12; var at = -1
+      while (at < 0) {
+        val tpe = new String(good, i, 4, "US-ASCII")
+        val len = (good(i + 4) & 0xff) | ((good(i + 5) & 0xff) << 8) |
+          ((good(i + 6) & 0xff) << 16) | ((good(i + 7) & 0xff) << 24)
+        if (tpe == "data") at = i + 8 else i += 8 + len + (len & 1)
+      }
+      at
+    }
+    assert(Wav.decodeImaAdpcm(good.patch(dataAt + 2, Array[Byte](99), 1)).isEmpty,
+      "step index beyond the table is refused")
+  }
+
   test("resizeImage: real decode → bilinear → re-encode; identity is " +
       "pixel-exact; refusal on non-PNG") {
     import graft.operators.Png
