@@ -765,6 +765,97 @@ object TextQueries {
             |FROM stats JOIN ex ON stats.source = ex.source
             |ORDER BY stats.source""".stripMargin))
 
+  /** KMV SET OPERATIONS — corpus-overlap estimation from per-source
+    * sketches alone ([[graft.expr.KmvJaccard]], the theta-sketch-style
+    * trick over bottom-k state): every source pair's shingle-set
+    * Jaccard and intersection cardinality are estimated from the two
+    * 256-hash sketches — no second corpus pass, no pairwise shingle
+    * join — which is how cross-corpus contamination is screened at
+    * 100 TB (the EXACT decontamination pass, `q_decontaminate`, then
+    * runs only on the pairs the sketches flag). The union estimate is
+    * lossless-merge + the pinned KMV estimator; Jaccard is an exact
+    * small-integer ratio over the union's bottom-k; intersection is
+    * their product (one pinned IEEE multiply) — all re-derived by the
+    * oracle from the same hash chain, so all 190 pair rows
+    * hash-match. */
+  val qCorpusOverlapKmv = QueryDef("q_corpus_overlap_kmv",
+    (spark, dir) => {
+      val sh = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(graft.expr.ShinglesExpr(col("text"), ShingleN)).as("shingle"))
+      val sks = sh.groupBy("source").agg(
+        graft.expr.KmvAgg.sketch(
+          graft.expr.Fingerprint64(col("shingle")), KmvK).as("sk"))
+      val a = sks.select(col("source").as("src_a"), col("sk").as("sk_a"))
+      val b = sks.select(col("source").as("src_b"), col("sk").as("sk_b"))
+      a.join(broadcast(b), col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          graft.expr.KmvAgg.estimate(
+            graft.expr.KmvAgg.union(col("sk_a"), col("sk_b"), KmvK),
+            KmvK).as("union_est"),
+          graft.expr.KmvAgg.jaccard(
+            col("sk_a"), col("sk_b"), KmvK).as("jaccard_est"))
+        .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT source, doc_id, string_split(text, ' ') AS ws
+            |  FROM documents WHERE text IS NOT NULL
+            |), sh AS (
+            |  SELECT DISTINCT source, unnest(${shinglesOverWsSql(ShingleN)}) AS shingle
+            |  FROM toks
+            |), hs AS (
+            |  SELECT source, ${fnvFoldSql("shingle")} AS z
+            |  FROM sh
+            |), ${splitmixCtesSql("hs", "source", "s")},
+            |dh AS (
+            |  SELECT DISTINCT source, z AS h FROM s5
+            |), sk AS (
+            |  SELECT source, h FROM (
+            |    SELECT source, h,
+            |           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            |    FROM dh)
+            |  WHERE rn <= $KmvK
+            |), pairs AS (
+            |  SELECT a.source AS src_a, b.source AS src_b
+            |  FROM (SELECT DISTINCT source FROM sk) a
+            |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+            |), uh AS (
+            |  SELECT p.src_a, p.src_b, s.h,
+            |         max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+            |         max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+            |  FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+            |  GROUP BY p.src_a, p.src_b, s.h
+            |), ur AS (
+            |  SELECT src_a, src_b, h, in_a, in_b,
+            |         row_number() OVER (PARTITION BY src_a, src_b
+            |           ORDER BY h) AS rn
+            |  FROM uh
+            |), stats AS (
+            |  SELECT src_a, src_b,
+            |         count(*) AS usz,
+            |         max(CASE WHEN rn = $KmvK THEN h END) AS kth,
+            |         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+            |           AS n_both
+            |  FROM ur WHERE rn <= $KmvK GROUP BY src_a, src_b
+            |), est AS (
+            |  SELECT src_a, src_b,
+            |    CASE WHEN kth IS NULL THEN CAST(usz AS DOUBLE)
+            |         ELSE (CAST($KmvK AS DOUBLE) - 1.0) * 18446744073709551616.0 /
+            |              (CASE WHEN kth < CAST('9223372036854775808' AS HUGEINT)
+            |                    THEN CAST(CAST(kth AS BIGINT) AS DOUBLE)
+            |                    ELSE CAST(CAST(kth - CAST('18446744073709551616'
+            |                                   AS HUGEINT) AS BIGINT) AS DOUBLE)
+            |                         + 18446744073709551616.0 END)
+            |    END AS union_est,
+            |    CAST(n_both AS DOUBLE) / CAST(usz AS DOUBLE) AS jaccard_est
+            |  FROM stats
+            |)
+            |SELECT src_a, src_b, union_est, jaccard_est,
+            |       jaccard_est * union_est AS inter_est
+            |FROM est ORDER BY src_a, src_b""".stripMargin))
+
   /** HLL register-count exponent: m = 2^10 = 1024 registers (~3.3%
     * relative error), small enough that the oracle's source×register
     * grid stays trivial and the linear-counting threshold 2.5m = 2560
@@ -1749,8 +1840,8 @@ object TextQueries {
 
   def all: Seq[QueryDef] = Seq(
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
-    qDocFingerprints, qDistinctKmv, qDistinctKmvRollup, qDistinctHll,
-    qDistinctHllRollup,
+    qDocFingerprints, qDistinctKmv, qDistinctKmvRollup, qCorpusOverlapKmv,
+    qDistinctHll, qDistinctHllRollup,
     qTokenCms, qTokenCmsRollup, qBigramLogProb,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,

@@ -131,6 +131,12 @@ object GraftExtensions {
     "kmv_estimate" -> { args =>
       arity("kmv_estimate", 2, args)
       KmvEstimate(args(0), intLit(args(1))) },
+    "kmv_union" -> { args =>
+      arity("kmv_union", 3, args)
+      KmvUnion(args(0), args(1), intLit(args(2))) },
+    "kmv_jaccard" -> { args =>
+      arity("kmv_jaccard", 3, args)
+      KmvJaccard(args(0), args(1), intLit(args(2))) },
     "splitmix64" -> { args =>
       SplitMix64Expr(arity("splitmix64", 1, args).head) },
     "interleave16" -> { args =>

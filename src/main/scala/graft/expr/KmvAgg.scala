@@ -241,6 +241,93 @@ case class KmvEstimate(child: Expression, k: Int)
   override def prettyName: String = "kmv_estimate"
 }
 
+/** `kmv_union(a binary, b binary, k) -> binary` — the SCALAR pairwise
+  * union (the aggregate reaggregation is [[KmvMergeAgg]]): the k
+  * smallest of two sketches' union, canonical wire form. Lossless like
+  * the aggregate merge: bottom-k(bottom-k(A) ∪ bottom-k(B)) =
+  * bottom-k(A ∪ B). */
+case class KmvUnion(left: Expression, right: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 2 && k <= (1 << 20), s"kmv_union: k must be in [2, 2^20], got $k")
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kmv_union requires (BINARY, BINARY) kmv_sketch inputs, got " +
+          s"(${l.sql}, ${r.sql})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val u = KmvAgg.fromWire(k, a.asInstanceOf[Array[Byte]])
+    u.mergeFrom(KmvAgg.fromWire(k, b.asInstanceOf[Array[Byte]]))
+    KmvAgg.wire(u)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "kmv_union"
+}
+
+/** `kmv_jaccard(a binary, b binary, k) -> double` — the bottom-k set
+  * similarity estimator (the theta-sketch set-operation trick over KMV
+  * state): build the union's bottom-k U, count how many of its members
+  * lie in BOTH input sketches, divide by |U|. Each member of U is a
+  * uniform draw from A ∪ B, and it lands in both sketches iff the
+  * underlying value is in A ∩ B — so the ratio estimates
+  * J = |A∩B| / |A∪B| with the sampling error of a k-sample
+  * (±O(1/√k)). The arithmetic is one exact small-integer division, so
+  * the estimate is bit-deterministic and the oracle re-derives it from
+  * the same hash chain. Intersection cardinality follows as
+  * J × the union estimate — how corpus overlap / contamination is
+  * measured from per-corpus sketches WITHOUT touching either corpus
+  * again. */
+case class KmvJaccard(left: Expression, right: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 2 && k <= (1 << 20), s"kmv_jaccard: k must be in [2, 2^20], got $k")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kmv_jaccard requires (BINARY, BINARY) kmv_sketch inputs, got " +
+          s"(${l.sql}, ${r.sql})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = KmvAgg.fromWire(k, a.asInstanceOf[Array[Byte]])
+    val sb = KmvAgg.fromWire(k, b.asInstanceOf[Array[Byte]])
+    val u = new KmvAgg.Sketch(k)
+    u.mergeFrom(sa)
+    u.mergeFrom(sb)
+    val inA = sa.hashes.toSet
+    val inB = sb.hashes.toSet
+    val us = u.hashes
+    if (us.isEmpty) 0.0
+    else {
+      var both = 0
+      var i = 0
+      while (i < us.length) {
+        if (inA.contains(us(i)) && inB.contains(us(i))) both += 1
+        i += 1
+      }
+      both.toDouble / us.length
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "kmv_jaccard"
+}
+
 object KmvAgg {
 
   /** The k smallest distinct MIXED hashes under unsigned 64-bit order.
@@ -344,4 +431,8 @@ object KmvAgg {
     toCol(KmvMergeAgg(toExpr(sk), k).toAggregateExpression())
   def estimate(sk: Column, k: Int): Column =
     toCol(KmvEstimate(toExpr(sk), k))
+  def union(a: Column, b: Column, k: Int): Column =
+    toCol(KmvUnion(toExpr(a), toExpr(b), k))
+  def jaccard(a: Column, b: Column, k: Int): Column =
+    toCol(KmvJaccard(toExpr(a), toExpr(b), k))
 }

@@ -474,6 +474,56 @@ class AggregatesSpec extends SparkSpec {
       s"expected a descriptive refusal, got: $err")
   }
 
+  test("KMV set operations: jaccard/intersection estimates from sketches " +
+    "alone track known overlaps; union is the lossless scalar merge") {
+    import spark.implicits._
+    import graft.expr.{Fingerprint64, KmvAgg}
+    val k = 256
+    // planted overlap: |A| = 6000, |B| = 6000, |A∩B| = 2000 → J = 0.2
+    val a = (0 until 6000).map(i => ("a", s"v$i"))
+    val b = (4000 until 10000).map(i => ("b", s"v$i"))
+    val df = (a ++ b).toDF("part", "v")
+    val sks = df.groupBy("part")
+      .agg(KmvAgg.sketch(Fingerprint64(col("v")), k).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val skDf = Seq((sks("a"), sks("b"))).toDF("sa", "sb")
+    val row = skDf.select(
+      KmvAgg.jaccard(col("sa"), col("sb"), k).as("j"),
+      KmvAgg.estimate(KmvAgg.union(col("sa"), col("sb"), k), k).as("u"))
+      .head()
+    val (j, u) = (row.getDouble(0), row.getDouble(1))
+    // sampling error of a k=256 union sample: ±O(1/√k) ≈ ±0.0625·c;
+    // generous 3σ-ish bounds that still catch a broken estimator
+    assert(math.abs(j - 0.2) < 0.1, s"jaccard estimate $j for true 0.2")
+    assert(math.abs(u - 10000) < 0.25 * 10000, s"union estimate $u for 10000")
+    val inter = j * u
+    assert(math.abs(inter - 2000) < 1200, s"intersection estimate $inter for 2000")
+    // identical sketches → J = 1 exactly; disjoint small sets → 0 exactly
+    assert(skDf.select(KmvAgg.jaccard(col("sa"), col("sa"), k))
+      .head().getDouble(0) == 1.0)
+    val dA = (0 until 50).map(i => s"x$i").toDF("v")
+      .agg(KmvAgg.sketch(Fingerprint64(col("v")), k)).head().getAs[Array[Byte]](0)
+    val dB = (0 until 50).map(i => s"y$i").toDF("v")
+      .agg(KmvAgg.sketch(Fingerprint64(col("v")), k)).head().getAs[Array[Byte]](0)
+    assert(Seq((dA, dB)).toDF("sa", "sb")
+      .select(KmvAgg.jaccard(col("sa"), col("sb"), k)).head().getDouble(0) == 0.0)
+    // unsaturated union of unsaturated parts is EXACT
+    assert(Seq((dA, dB)).toDF("sa", "sb")
+      .select(KmvAgg.estimate(KmvAgg.union(col("sa"), col("sb"), k), k))
+      .head().getDouble(0) == 100.0)
+    // SQL faces + k-mismatch refusal
+    skDf.createOrReplaceTempView("kmv_pair_in")
+    val viaSql = spark.sql(
+      s"SELECT kmv_jaccard(sa, sb, $k) FROM kmv_pair_in").head().getDouble(0)
+    assert(viaSql == j, s"SQL face $viaSql != $j")
+    val err = intercept[Exception] {
+      skDf.select(KmvAgg.jaccard(col("sa"), col("sb"), 8)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("kmv sketch")), s"got: $err")
+  }
+
   test("sample sketch partials: merge of per-part sketches is byte-identical " +
     "to sketching the union; quantiles agree with the one-shot sample path") {
     import spark.implicits._
