@@ -47,6 +47,46 @@ object AnalyticQueries {
            |GROUP BY CUBE(o_orderstatus, o_year)
            |ORDER BY o_orderstatus NULLS FIRST, o_year NULLS FIRST""".stripMargin))
 
+  /** Explicit GROUPING SETS — the third member of the multi-level
+    * aggregation family, covering the set selection neither sibling can
+    * express: {(status, year), (status), (year)} — the two 1-D slices
+    * WITHOUT the grand total ([[qRollup]] can't produce the (year)
+    * slice; [[qCube]] can't omit the total). `grouping_id` is part of
+    * the hash-checked output because it is what distinguishes a
+    * grouped-away NULL from a data NULL — the correctness subtlety
+    * GROUPING SETS queries live on. One aggregation pass: Catalyst
+    * expands the sets and keeps the map-side partial aggregation, so
+    * the shuffle carries one row per (set × group × task), not one
+    * corpus pass per set. */
+  val qGroupingSets = QueryDef("q_grouping_sets_revenue",
+    (spark, dir) => {
+      Tables.orders(spark, dir)
+        .select(col("o_orderstatus"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_totalprice").cast("decimal(28,4)").as("price"))
+        .createOrReplaceTempView("orders_gs")
+      spark.sql(
+        """SELECT o_orderstatus, o_year,
+          |       CAST(grouping_id(o_orderstatus, o_year) AS BIGINT) AS gid,
+          |       count(*) AS n, CAST(sum(price) AS DOUBLE) AS revenue
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_year),
+          |                        (o_orderstatus), (o_year))
+          |ORDER BY gid, o_orderstatus NULLS FIRST, o_year NULLS FIRST
+          |""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus, o_year,
+           |       CAST(grouping(o_orderstatus, o_year) AS BIGINT) AS gid,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(price) AS DOUBLE) AS revenue
+           |FROM (SELECT o_orderstatus,
+           |             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           |             CAST(o_totalprice AS DECIMAL(28,4)) AS price
+           |      FROM orders)
+           |GROUP BY GROUPING SETS ((o_orderstatus, o_year),
+           |                        (o_orderstatus), (o_year))
+           |ORDER BY gid, o_orderstatus NULLS FIRST, o_year NULLS FIRST""".stripMargin))
+
   /** Exact quantity percentiles per return flag. Spark's exact
     * `percentile` and DuckDB's `quantile_cont` share the same linear
     * interpolation definition. */
@@ -223,6 +263,6 @@ object AnalyticQueries {
            |FROM events WHERE value IS NOT NULL
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(qRollup, qCube, qPercentiles, qTumbling, qSliding,
-    qRangeJoin, qRevenueQuartiles, qValueHistogram)
+  def all: Seq[QueryDef] = Seq(qRollup, qCube, qGroupingSets, qPercentiles,
+    qTumbling, qSliding, qRangeJoin, qRevenueQuartiles, qValueHistogram)
 }
