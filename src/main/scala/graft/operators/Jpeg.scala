@@ -1038,6 +1038,9 @@ object Jpeg {
     var soloBh: Array[Int] = null
     // coefficient store: per component, blocks × 64 ints in ZIGZAG order
     var coefs: Array[Array[Int]] = null
+    // a component with NO DC scan would render as plausible mid-gray —
+    // refuse instead (a valid progression always starts with DC)
+    var sawDc: Array[Boolean] = null
     var sawEoi = false
 
     while (!sawEoi) {
@@ -1127,6 +1130,7 @@ object Jpeg {
             planeBw = new Array[Int](ncomp); planeBh = new Array[Int](ncomp)
             soloBw = new Array[Int](ncomp); soloBh = new Array[Int](ncomp)
             coefs = new Array[Array[Int]](ncomp)
+            sawDc = new Array[Boolean](ncomp)
             c = 0
             while (c < ncomp) {
               planeBw(c) = mcusX * compH(c)
@@ -1194,6 +1198,7 @@ object Jpeg {
                 acRefineScan(r, b, sci(0), sAc(0), ss, se, al, acTabs,
                   coefs, planeBw, soloBw, soloBh, restartInterval)
             if (!ok) return None
+            if (isDc && ah == 0) sci.foreach(ci => sawDc(ci) = true)
             r.align()
             nextPos = r.pos
           case _ => () // APPn/COM
@@ -1202,6 +1207,7 @@ object Jpeg {
       }
     }
     if (ncomp < 0) return None
+    if (!sawDc.forall(identity)) return None // component without DC data
     // all scans in: dequantize + inverse zigzag + IDCT every block
     val planes = new Array[Array[Byte]](ncomp)
     val planeW = new Array[Int](ncomp)

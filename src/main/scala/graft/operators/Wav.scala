@@ -291,7 +291,7 @@ object Wav {
     val dataLen = nBlocks * ImaBlockAlign
     val out = new java.io.ByteArrayOutputStream(60 + dataLen)
     out.write("RIFF".getBytes("US-ASCII"))
-    out.write(le32(48L + dataLen)) // 4 + (8+20) + (8+4) + (8+dataLen)
+    out.write(le32(52L + dataLen)) // "WAVE" + (8+20) fmt + (8+4) fact + (8+dataLen)
     out.write("WAVE".getBytes("US-ASCII"))
     out.write("fmt ".getBytes("US-ASCII"))
     out.write(le32(20L))

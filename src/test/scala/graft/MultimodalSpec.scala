@@ -487,8 +487,14 @@ class MultimodalSpec extends SparkSpec {
       assert((s.nSamples, s.sumS, s.minS, s.maxS) ==
         ((n.toLong, want.map(_.toLong).sum, want.min, want.max)))
     }
-    // refusals
+    // the declared RIFF size must match the actual stream (our own walk
+    // tolerates a lie here, so pin it explicitly for external readers)
     val good = Wav.encodeImaAdpcm(200, 8000, 1L)
+    val riffLen = (good(4) & 0xff) | ((good(5) & 0xff) << 8) |
+      ((good(6) & 0xff) << 16) | ((good(7) & 0xff) << 24)
+    assert(riffLen == good.length - 8,
+      s"declared RIFF size $riffLen != actual ${good.length - 8}")
+    // refusals
     assert(Wav.decodeImaAdpcm(good.take(50)).isEmpty, "truncation")
     assert(Wav.decodePcm16(good).isEmpty,
       "ADPCM bytes must not be read as 16-bit PCM")
