@@ -615,7 +615,77 @@ object StreamingQueries {
            | AND p.tus >= e.tus AND p.tus <= e.tus + 86400000000
            |ORDER BY error_id, purchase_id""".stripMargin))
 
+  /** STREAM-STATIC ENRICHMENT under the hash gate — the remaining
+    * streaming plan surface (the MemoryStream enrich spec's file-source
+    * twin): events stream through a BROADCAST join against the static
+    * stations dimension (re-planned per micro-batch, the stream-static
+    * contract) into keyed aggregate state WITHOUT a window — the
+    * unwindowed groupBy state shape none of the other gated entries
+    * use. The event→station key is the synthetic `user_id mod
+    * |stations|` (the rides-table convention — declared semantics both
+    * engines compute). Count + decimal sums are arrival-order
+    * invariant, so the drained update-mode state is micro-batch-split
+    * invariant and must equal the relational join+aggregate exactly; a
+    * dropped batch, a double-applied update, or a mis-broadcast dim
+    * row drifts a count or a latitude and breaks the hash. */
+  val qStreamEnrich = QueryDef("q_stream_enrich_stations",
+    (spark, dir) => {
+      import spark.implicits._
+      val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_enrich_ckpt_" +
+        java.util.UUID.randomUUID().toString
+      val stations = graft.core.Tables.stationsById(spark, dir)
+        .select(col("id"), col("latitude"))
+      val nStations = stations.count()
+      val src = spark.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val agg = src
+        .withColumn("sid", pmod(col("user_id"), lit(nStations)))
+        .join(broadcast(stations), col("sid") === col("id"))
+        .groupBy(col("sid"), col("latitude"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,10)")).as("tv_dec"))
+        .select(col("sid"), col("latitude"), col("n"),
+          col("tv_dec").cast("double").as("total_value"))
+      val acc = new java.util.concurrent.ConcurrentHashMap[
+        Long, (Double, Long, Double)]()
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            acc.put(r.getLong(0),
+              (r.getDouble(1), r.getLong(2), r.getDouble(3)))
+          }
+        }
+        .start()
+      try q.awaitTermination() finally {
+        val p = new org.apache.hadoop.fs.Path(ckpt)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      import scala.jdk.CollectionConverters._
+      acc.asScala.toSeq
+        .map { case (sid, (lat, n, tv)) => (sid, lat, n, tv) }
+        .toDF("sid", "latitude", "n", "total_value")
+        .orderBy("sid")
+    },
+    Some(s"""WITH ${graft.Catalog.stationsSql},
+            |e AS (
+            |  SELECT user_id % (SELECT count(*) FROM supplier) AS sid,
+            |         value
+            |  FROM events
+            |)
+            |SELECT e.sid, s.latitude, CAST(count(*) AS BIGINT) AS n,
+            |       CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+            |         AS total_value
+            |FROM e JOIN stations s ON e.sid = s.id
+            |GROUP BY e.sid, s.latitude
+            |ORDER BY e.sid""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qStreamTumbling, qStreamLate, qStreamSessions, qStreamNearDup,
-      qStreamSink, qStreamJoin)
+      qStreamSink, qStreamJoin, qStreamEnrich)
 }
