@@ -1048,6 +1048,45 @@ object TextQueries {
     * d×w matrix from the same hash chain and reproduces every estimate
     * bit-for-bit. (est_count ≥ exact_count is a sketch guarantee —
     * spec-asserted too.) */
+  /** Exact-count threshold for [[qHeavyHitters]] — ~30 tokens clear it
+    * at both SFs (the vocabulary is shared, counts scale). */
+  val HhThreshold = 300
+
+  /** CMS-SCREEN → EXACT-VERIFY heavy hitters — the sketch-then-verify
+    * composition as ONE query (the same shape every near-dup family
+    * uses, here for frequency): the count-min matrix screens the
+    * distinct vocabulary down to candidates whose ESTIMATE clears the
+    * threshold, the candidate set broadcasts back into the token scan,
+    * and exact counting runs at CANDIDATE cardinality only. CMS never
+    * underestimates, so the screen has NO false negatives and the
+    * verified result is provably identical to the plain exact
+    * threshold — which is exactly why the oracle can be the simple
+    * HAVING query while the Spark plan does the screen: the hash gate
+    * checks the screen lost nothing and the verify added nothing. At
+    * 100 TB the exact side counts a handful of candidate tokens
+    * instead of the whole vocabulary; the sketch side's exchange is
+    * bounded at d·w rows per map task. */
+  val qHeavyHitters = QueryDef("q_heavy_hitters",
+    (spark, dir) => {
+      val toks = Tables.documents(spark, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+      val counters = Sketches.cmsCounters(toks, "tok", CmsD, CmsW, CmsSeed)
+      val screened = Sketches.cmsEstimate(
+          counters, toks.distinct(), "tok", CmsD, CmsW, CmsSeed)
+        .filter(col("est_count") >= HhThreshold)
+        .select("tok")
+      toks.join(broadcast(screened), "tok")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= HhThreshold)
+        .select(col("tok").as("token"), col("n"))
+        .orderBy("token")
+    },
+    Some(s"""SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+            |FROM (SELECT unnest(string_split(text, ' ')) AS tok
+            |      FROM documents WHERE text IS NOT NULL)
+            |GROUP BY tok HAVING count(*) >= $HhThreshold
+            |ORDER BY token""".stripMargin))
+
   val qTokenCms = QueryDef("q_token_cms",
     (spark, dir) => {
       val toks = Tables.documents(spark, dir)
@@ -1842,7 +1881,7 @@ object TextQueries {
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
     qDocFingerprints, qDistinctKmv, qDistinctKmvRollup, qCorpusOverlapKmv,
     qDistinctHll, qDistinctHllRollup,
-    qTokenCms, qTokenCmsRollup, qBigramLogProb,
+    qTokenCms, qTokenCmsRollup, qHeavyHitters, qBigramLogProb,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,
