@@ -54,7 +54,13 @@ object PlanDump {
       "q_dd_quantiles_rollup" -> "DDSketch partials (round 7): per-status dd_sketch bucket maps (one partial-aggregated exchange of O(buckets) state), the ALL level re-aggregates the sketch BINARIES via dd_merge — the orders scan + per-status exchange must appear ONCE (ReusedExchange on the second consumer), the rollup's input is sketch-cardinality rows",
       "q_token_cms_rollup" -> "CMS partials (round 7): per-source (j,bucket) counter matrices from one corpus scan (partial-aggregated), the ALL matrix derives from the partials by counter addition — the tokenize+hash subtree must appear ONCE (ReusedExchange under the union), probes/estimates join at d×w-matrix cardinality via broadcast",
       "q_dsv2_write_roundtrip" -> "DSv2 write path (round 7; plan shows the READ-BACK of the connector-written table): GraftParquetScan over sink-seeded + connector-appended files with the o_totalprice filter pushed (PushedFilters + RowGroupStatsPruning) — both write generations prune identically because append rewrote the manifest",
-      "q_dsv2_topn_pushdown" -> "DSv2 TopN pushdown (round 7): GraftParquetScan carries PushedTopN (ORDER BY n_chars DESC, doc_id LIMIT 50) alongside PushedFilters — per-file bounded heaps emit ≤50 rows each, the retained global TakeOrderedAndProject merges; file-rows never reach the exchange")
+      "q_dsv2_topn_pushdown" -> "DSv2 TopN pushdown (round 7): GraftParquetScan carries PushedTopN (ORDER BY n_chars DESC, doc_id LIMIT 50) alongside PushedFilters — per-file bounded heaps emit ≤50 rows each, the retained global TakeOrderedAndProject merges; file-rows never reach the exchange",
+      "q_ann_sq8_topk" -> "SQ8 ANN (round 8): grid fit is one posexplode aggregate (<=dim rows/task), sq8_encode + sq8_dot are codegen kernels in the scan/scoring projects, shortlist via bounded topk_agg, exact rescore joins vectors at candidate cardinality — the one approximate search whose WHOLE plan the DuckDB oracle replays",
+      "q_ann_ivfpq_topk" -> "IVF-PQ ANN (round 8): coarse cells prune the corpus to nprobe buckets (cid equi-join, probe side broadcast with ONE lut per query via the inner-product decomposition), residual PQ codes score survivors at m bytes/vector, exact rescore at shortlist cardinality — probe fraction x code compression multiply",
+      "q_sample_quantiles_rollup" -> "sample-sketch partials (round 8): per-status sample_sketch k-row states (one partial-aggregated exchange of <=k (hash,value) pairs per group x task), the ALL level re-aggregates sketch BINARIES via sample_merge — lossless by the bottom-k union property, rollup input is sketch-cardinality rows",
+      "q_heavy_hitters" -> "CMS screen -> exact verify (round 8): the d*w counter matrix broadcasts onto the distinct vocabulary, candidates clearing the estimate threshold broadcast BACK into the token scan (left-semi shape), exact counting groups candidate tokens only — the sketch-then-verify composition in one plan",
+      "q_hilbert_cells" -> "Hilbert index (round 8): scan -> project with the hilbert16 codegen kernel (16 quadrant steps per row, no shuffle before the presentation sort) — the layout writer adds exactly one range exchange on the index",
+      "q_corpus_overlap_kmv" -> "KMV set ops (round 8): per-source bottom-k sketches (one partial-aggregated exchange), 190 source pairs scored by scalar kmv_union/kmv_jaccard over broadcast sketch ROWS — no second corpus pass, no pairwise shingle join")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"
