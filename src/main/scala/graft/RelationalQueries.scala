@@ -326,6 +326,78 @@ object RelationalQueries {
     * corrupted a value would fail the gate, and a manifest regression
     * surfaces in GraftParquetWriteSpec's pruning asserts. Long sums are
     * exact at any file fan-out; no floats cross the aggregate. */
+  /** The CSV sink (SURVEY §2.2 K1) + Spark's reader, ROUND-TRIPPED
+    * under the hash gate — K1–K3 were CLI-smoke-only until now: the
+    * supplier table writes through [[graft.sources.Sinks.csvWithHeader]]
+    * into a per-run scratch dir and is read back with the explicit
+    * schema; the aggregate fingerprints every column (counts, integer
+    * sums, a decimal-exact double sum, name lengths, distinct names),
+    * so a quoting slip, a locale-formatted double, a dropped header, or
+    * a truncated shard breaks the hash against the oracle computing the
+    * same aggregate straight from the parquet table. Doubles survive
+    * because Spark writes shortest-round-trip representations — the
+    * property this entry keeps pinned. */
+  val qCsvRoundtrip = QueryDef("q_csv_roundtrip",
+    (spark, dir) => {
+      val sup = Tables.supplier(spark, dir)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_csv_rt_" +
+        java.util.UUID.randomUUID().toString
+      graft.sources.Sinks.csvWithHeader(sup, out)
+      val p = new org.apache.hadoop.fs.Path(out)
+      // the RESULT lazily scans the csv — UUID dir, reaped at JVM exit
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      spark.read.option("header", "true").schema(sup.schema).csv(out)
+        .agg(
+          count(lit(1)).as("n"),
+          sum("s_suppkey").as("sum_key"),
+          sum("s_nationkey").cast("long").as("sum_nat"),
+          sum(col("s_acctbal").cast("decimal(28,4)")).cast("double")
+            .as("sum_bal"),
+          sum(length(col("s_name"))).as("sum_name_len"),
+          countDistinct(col("s_name")).as("n_names"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(s_suppkey) AS BIGINT) AS sum_key,
+           |       CAST(sum(s_nationkey) AS BIGINT) AS sum_nat,
+           |       CAST(sum(CAST(s_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+           |         AS sum_bal,
+           |       CAST(sum(length(s_name)) AS BIGINT) AS sum_name_len,
+           |       CAST(count(DISTINCT s_name) AS BIGINT) AS n_names
+           |FROM supplier""".stripMargin))
+
+  /** The JSONL sink ([[graft.sources.Sinks.jsonlSharded]] — sharded
+    * writer + sidecar manifest) round-tripped under the hash gate with
+    * the documents table: free text exercises JSON STRING ESCAPING
+    * (quotes, backslashes, control characters) and null `text` rows
+    * exercise null-field omission — the reader must reconstruct both
+    * exactly, fingerprinted by per-column sums/lengths/null counts.
+    * The underscore-prefixed manifest is invisible to the reader by
+    * Spark's own convention, which this entry also keeps pinned. */
+  val qJsonlRoundtrip = QueryDef("q_jsonl_roundtrip",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val out = s"${sys.props("java.io.tmpdir")}/graft_jsonl_rt_" +
+        java.util.UUID.randomUUID().toString
+      graft.sources.Sinks.jsonlSharded(docs, out, 8, col("doc_id"))
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      spark.read.schema(docs.schema).json(out)
+        .agg(
+          count(lit(1)).as("n"),
+          sum("doc_id").as("sum_id"),
+          sum(length(col("text"))).as("sum_text_len"),
+          count(when(col("text").isNull, lit(1))).as("n_null_text"),
+          countDistinct(col("source")).as("n_sources"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+           |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_null_text,
+           |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+           |FROM documents""".stripMargin))
+
   val qDsv2WriteRoundtrip = QueryDef("q_dsv2_write_roundtrip",
     (spark, dir) => {
       val fmt = "graft.sources.GraftParquetTableProvider"
@@ -836,7 +908,7 @@ object RelationalQueries {
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
     qDsv2Pushdown, qDsv2AggPushdown, qDsv2SumPushdown, qDsv2GroupPushdown,
     qDsv2RuntimeFilter, qDsv2WriteRoundtrip, qDsv2TopNPushdown,
-    qDsv2PartitionedWrite,
+    qDsv2PartitionedWrite, qCsvRoundtrip, qJsonlRoundtrip,
     qShippingPriority,
     qLocalSupplierVolume,
     qLargeOrders, qProfileDocuments, qZorderCells, qHilbertCells,
