@@ -398,6 +398,55 @@ object RelationalQueries {
            |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
            |FROM documents""".stripMargin))
 
+  /** The ORC sink + source ([[graft.sources.Sinks.orc]] /
+    * `Sources.orc`) round-tripped under the hash gate, completing the
+    * format family beside parquet (native), CSV, and JSONL: the
+    * lineitem table — the widest type mix (longs, ints, doubles,
+    * strings, timestamps) — writes to ORC and is read back, with the
+    * aggregate fingerprinting every column INCLUDING the timestamp as
+    * epoch microseconds, so a type-mapping slip, a timezone shear, or
+    * a precision loss in the columnar encoding breaks the hash against
+    * the oracle reading the parquet directly. */
+  val qOrcRoundtrip = QueryDef("q_orc_roundtrip",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_orc_rt_" +
+        java.util.UUID.randomUUID().toString
+      graft.sources.Sinks.orc(li, out)
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      graft.sources.Sources.orc(spark, out)
+        .agg(
+          count(lit(1)).as("n"),
+          sum("l_orderkey").as("sum_ok"),
+          sum("l_linenumber").cast("long").as("sum_ln"),
+          sum(col("l_quantity").cast("decimal(28,4)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(28,4)")).cast("double")
+            .as("sum_price"),
+          sum(length(col("l_returnflag"))).as("sum_rf_len"),
+          countDistinct(col("l_linestatus")).as("n_status"),
+          // NTZ → TIMESTAMP under the pinned-UTC session: identical
+          // wall-clock micros (the eventsMicros convention); min/max,
+          // not sum — 60k × 1.7e15 µs overflows a long
+          min(unix_micros(col("l_shipdate").cast("timestamp")))
+            .as("min_ship_us"),
+          max(unix_micros(col("l_shipdate").cast("timestamp")))
+            .as("max_ship_us"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+           |       CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+           |       CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+           |         AS sum_qty,
+           |       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+           |         AS sum_price,
+           |       CAST(sum(length(l_returnflag)) AS BIGINT) AS sum_rf_len,
+           |       CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status,
+           |       CAST(min(epoch_us(l_shipdate)) AS BIGINT) AS min_ship_us,
+           |       CAST(max(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
+           |FROM lineitem""".stripMargin))
+
   val qDsv2WriteRoundtrip = QueryDef("q_dsv2_write_roundtrip",
     (spark, dir) => {
       val fmt = "graft.sources.GraftParquetTableProvider"
@@ -908,7 +957,7 @@ object RelationalQueries {
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
     qDsv2Pushdown, qDsv2AggPushdown, qDsv2SumPushdown, qDsv2GroupPushdown,
     qDsv2RuntimeFilter, qDsv2WriteRoundtrip, qDsv2TopNPushdown,
-    qDsv2PartitionedWrite, qCsvRoundtrip, qJsonlRoundtrip,
+    qDsv2PartitionedWrite, qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip,
     qShippingPriority,
     qLocalSupplierVolume,
     qLargeOrders, qProfileDocuments, qZorderCells, qHilbertCells,
