@@ -326,6 +326,88 @@ object RelationalQueries {
     * corrupted a value would fail the gate, and a manifest regression
     * surfaces in GraftParquetWriteSpec's pruning asserts. Long sums are
     * exact at any file fan-out; no floats cross the aggregate. */
+  /** The connector as a STREAMING SOURCE, under the hash gate — the
+    * read half of the DSv2 streaming story ([[graft.sources
+    * .GraftMicroBatchStream]]; the write half is `q_stream_sink
+    * _roundtrip`): three batch APPENDS build a graft table, then
+    * `readStream.format(graft)` replays it with
+    * `maxFilesPerTrigger = 2` forcing a multi-batch drain (asserted —
+    * a single-batch drain would leave admission control untested).
+    * Each micro-batch aggregates DISTRIBUTED (per-type count /
+    * decimal sum / min / max partials) and the driver merges partials
+    * with exact BigDecimal addition — rows never collect, the
+    * established drain discipline. A file read twice, a file skipped
+    * between offsets, or an admission-control slice that dropped rows
+    * drifts a count or extremum against the oracle aggregating the
+    * events table directly. */
+  val qDsv2StreamSource = QueryDef("q_dsv2_stream_source",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val run = java.util.UUID.randomUUID().toString
+      val table = s"${sys.props("java.io.tmpdir")}/graft_dsv2_src_$run"
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_dsv2_src_ckpt_$run"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+      try {
+        (0 until 3).foreach { i =>
+          ev.filter(pmod(col("event_id"), lit(3)) === i)
+            .write.format("graft.sources.GraftParquetTableProvider")
+            .option("path", table).mode("append").save()
+        }
+        val src = spark.readStream
+          .format("graft.sources.GraftParquetTableProvider")
+          .option("path", table)
+          .option("maxFilesPerTrigger", "2")
+          .schema(ev.schema)
+          .load()
+        val acc = collection.mutable.Map.empty[
+          String, (Long, java.math.BigDecimal, Long, Long)]
+        var batches = 0
+        val q = src.writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val partials = batch.groupBy("event_type")
+              .agg(count(lit(1)).as("n"),
+                sum(col("value").cast("decimal(28,10)")).as("tv"),
+                min("event_id").as("mn"), max("event_id").as("mx"))
+              .collect()
+            acc.synchronized {
+              batches += 1
+              partials.foreach { r =>
+                val (n0, tv0, mn0, mx0) = acc.getOrElse(r.getString(0),
+                  (0L, java.math.BigDecimal.ZERO, Long.MaxValue, Long.MinValue))
+                acc(r.getString(0)) = (n0 + r.getLong(1),
+                  tv0.add(Option(r.getDecimal(2))
+                    .getOrElse(java.math.BigDecimal.ZERO)),
+                  math.min(mn0, r.getLong(3)), math.max(mx0, r.getLong(4)))
+              }
+            }
+          }
+          .start()
+        q.awaitTermination()
+        require(batches >= 2,
+          s"maxFilesPerTrigger=2 over >=3 files must split the drain, got $batches")
+        acc.toSeq
+          .map { case (t, (n, tv, mn, mx)) =>
+            (t, n, tv.doubleValue, mn, mx) }
+          .toDF("event_type", "n", "total_value", "min_id", "max_id")
+          .orderBy("event_type")
+      } finally {
+        fs.delete(new org.apache.hadoop.fs.Path(table), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      }
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+           |         AS total_value,
+           |       min(event_id) AS min_id, max(event_id) AS max_id
+           |FROM events
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   /** The CSV sink (SURVEY §2.2 K1) + Spark's reader, ROUND-TRIPPED
     * under the hash gate — K1–K3 were CLI-smoke-only until now: the
     * supplier table writes through [[graft.sources.Sinks.csvWithHeader]]
@@ -957,7 +1039,8 @@ object RelationalQueries {
     qSemiAnti, qTopCustomers, qSetOps, qRegionRevenue, qAboveAvg,
     qDsv2Pushdown, qDsv2AggPushdown, qDsv2SumPushdown, qDsv2GroupPushdown,
     qDsv2RuntimeFilter, qDsv2WriteRoundtrip, qDsv2TopNPushdown,
-    qDsv2PartitionedWrite, qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip,
+    qDsv2PartitionedWrite, qDsv2StreamSource,
+    qCsvRoundtrip, qJsonlRoundtrip, qOrcRoundtrip,
     qShippingPriority,
     qLocalSupplierVolume,
     qLargeOrders, qProfileDocuments, qZorderCells, qHilbertCells,

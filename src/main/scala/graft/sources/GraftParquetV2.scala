@@ -16,6 +16,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -62,12 +63,16 @@ class GraftParquetTableProvider extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftParquetTable(properties.get("path"), schema)
+    new GraftParquetTable(properties.get("path"), schema,
+      // streaming reader options arrive HERE (the batch path hands them
+      // to newScanBuilder instead) — capture the read-rate cap
+      Option(properties.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
-class GraftParquetTable(path: String, tableSchema: StructType)
+class GraftParquetTable(path: String, tableSchema: StructType,
+    streamMaxFiles: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graft parquet v2: 'path' option is required")
   override def name(): String = s"graft_parquet($path)"
@@ -75,16 +80,19 @@ class GraftParquetTable(path: String, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, tableSchema)
+    new GraftScanBuilder(path, tableSchema,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+        .orElse(streamMaxFiles))
   // the write half: append/truncate with transactional ownership of the
   // stats-manifest sidecar — see [[GraftParquetWrite]] for the protocol
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
 }
 
-class GraftScanBuilder(path: String, tableSchema: StructType)
+class GraftScanBuilder(path: String, tableSchema: StructType,
+    streamMaxFiles: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -220,7 +228,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType)
     GraftParquetScan(path,
       aggs.map(a => StructType(groupCols ++ GraftAggSpec.schema(a)))
         .getOrElse(required),
-      pushed, limit, aggs, groupCols, topN, tableSchema)
+      pushed, limit, aggs, groupCols, topN, tableSchema, streamMaxFiles)
 }
 
 /** One pushed sort key (serialized to executors with the reader
@@ -280,12 +288,28 @@ case class GraftParquetScan(path: String, required: StructType,
     // full table schema — types the `col=value` directory values for
     // partition pruning; empty (direct constructions in specs) just
     // disables that pruning, never affects correctness
-    tableSchema: StructType = new StructType())
+    tableSchema: StructType = new StructType(),
+    // streaming read's per-micro-batch file cap (maxFilesPerTrigger)
+    streamMaxFiles: Option[Int] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** MICRO-BATCH STREAMING READ — the source half of the connector's
+    * streaming story (the sink half is [[GraftStreamingWrite]]): the
+    * table's files replay in sorted order and every file that appears
+    * AFTER the stream starts becomes part of a later micro-batch, so a
+    * graft table works as a live feed between pipelines. Pushed
+    * filters and the pruned schema apply per file exactly as in batch
+    * (same reader factory); offsets are the sorted seen-file list —
+    * manifest-scale metadata, the append-only contract made explicit
+    * (a table whose file set SHRINKS under a running stream refuses
+    * loudly: truncate/overwrite mid-stream is a pipeline bug, not a
+    * restart point). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(path, required, pushed, streamMaxFiles)
 
   /** Planner-visible size: without this, a V2 relation defaults to
     * `spark.sql.defaultSizeInBytes` = Long.MaxValue — a connector-
@@ -466,6 +490,121 @@ case class GraftParquetScan(path: String, required: StructType,
   * delivered by then — an empty array when no join pruned this scan. */
 final class GraftRuntimeFilterHolder extends Serializable {
   @volatile var filters: Array[Filter] = Array.empty
+}
+
+/** Streaming offset: the SORTED full paths of every file this stream
+  * has admitted. A pure function of the admitted SET, so offsets
+  * compare and resume deterministically; JSON-escaped like the verify
+  * dump (paths are operator-controlled, but a quote in one must not
+  * corrupt the checkpoint). */
+case class GraftFileSetOffset(files: Seq[String]) extends Offset {
+  override def json(): String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    files.map(q).mkString("[", ",", "]")
+  }
+}
+
+object GraftFileSetOffset {
+  /** Parse the JSON array form (the exact inverse of [[json]]). */
+  def fromJson(s: String): GraftFileSetOffset = {
+    val t = s.trim
+    require(t.startsWith("[") && t.endsWith("]"),
+      s"graft stream offset: not a JSON array: $t")
+    val body = t.substring(1, t.length - 1)
+    if (body.trim.isEmpty) return GraftFileSetOffset(Nil)
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (!inStr) {
+        if (c == '"') { inStr = true; sb.clear() }
+        // commas/whitespace between strings skipped
+      } else c match {
+        case '"' => inStr = false; out += sb.toString
+        case '\\' =>
+          i += 1
+          body.charAt(i) match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case 'u' =>
+              sb += Integer.parseInt(body.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case other => throw new IllegalArgumentException(
+              s"graft stream offset: bad escape \\$other")
+          }
+        case other => sb += other
+      }
+      i += 1
+    }
+    require(!inStr, s"graft stream offset: unterminated string in $t")
+    GraftFileSetOffset(out.toSeq)
+  }
+}
+
+/** The micro-batch stream behind [[GraftParquetScan.toMicroBatchStream]].
+  * [[SupportsTriggerAvailableNow]] pins the drain target at start;
+  * admission control honors `maxFilesPerTrigger`. */
+class GraftMicroBatchStream(path: String, required: StructType,
+    pushed: Array[Filter], maxFilesPerTrigger: Option[Int])
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def snapshot(): Seq[String] = GraftParquetV2.listFiles(path).sorted
+
+  // AvailableNow contract: everything present when the trigger fired is
+  // the drain target; files landing later belong to the NEXT run
+  @volatile private var availableNowTarget: Option[Seq[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(snapshot())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = GraftFileSetOffset(Nil)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val all = availableNowTarget.getOrElse(snapshot())
+    val seen = start.asInstanceOf[GraftFileSetOffset].files.toSet
+    require(seen.subsetOf(all.toSet),
+      s"graft streaming read: table at $path lost files the stream already " +
+        "admitted — the append-only contract is violated (truncate/" +
+        "overwrite under a running stream)")
+    val fresh = all.filterNot(seen)
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    GraftFileSetOffset((seen.toSeq ++ admitted).sorted)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftFileSetOffset].files.toSet
+    val e = end.asInstanceOf[GraftFileSetOffset].files
+    require(s.subsetOf(e.toSet),
+      s"graft streaming read: end offset lost files of the start offset")
+    e.filterNot(s).sorted.map(GraftInputPartition(_)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftPartitionReaderFactory(required, pushed, -1, None, Nil,
+      new GraftRuntimeFilterHolder, None)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftFileSetOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One parquet file = one input split, keyed or not. */

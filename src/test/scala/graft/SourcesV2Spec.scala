@@ -719,4 +719,69 @@ class SourcesV2Spec extends SparkSpec {
     // still correct via Spark's own sort
     assert(fl.collect().length == 5)
   }
+
+  test("streaming source: resume from the checkpoint reads ONLY appended " +
+      "files (no dups, no loss); a shrunken table refuses; offsets " +
+      "roundtrip through JSON") {
+    import spark.implicits._
+    val run = java.util.UUID.randomUUID().toString
+    val table = s"/tmp/graft_stream_src_spec_$run"
+    val ckpt = s"/tmp/graft_stream_src_spec_ckpt_$run"
+    def append(ids: Range): Unit =
+      ids.map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1)
+        .write.format("graft.sources.GraftParquetTableProvider")
+        .option("path", table).mode("append").save()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    def drain(): Set[Long] = {
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val q = spark.readStream
+        .format("graft.sources.GraftParquetTableProvider")
+        .option("path", table).option("maxFilesPerTrigger", "1")
+        .schema(schema).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("id").collect().foreach(r => got.add(r.getLong(0))); ()
+        }.start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    try {
+      append(0 until 10)
+      append(10 until 25)
+      val first = drain()
+      assert(first == (0L until 25L).toSet, s"first drain: $first")
+      // resume: only the NEW append flows; nothing replays
+      append(25 until 30)
+      val second = drain()
+      assert(second == (25L until 30L).toSet,
+        s"resume must read only appended files, got $second")
+      // offset JSON roundtrip incl. escaping
+      val off = graft.sources.GraftFileSetOffset(
+        Seq("/a/plain.parquet", "/b/we\"ird\\name.parquet"))
+      assert(graft.sources.GraftFileSetOffset.fromJson(off.json()) == off)
+      // shrink: delete an already-admitted file -> the stream refuses
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val victim = graft.sources.GraftParquetV2.listFiles(table).head
+      fs.delete(new org.apache.hadoop.fs.Path(victim), false)
+      val err = intercept[Exception] { drain() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("append-only")),
+        s"expected the append-only refusal, got: $err")
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    }
+  }
 }
