@@ -308,8 +308,15 @@ case class GraftParquetScan(path: String, required: StructType,
     * (a table whose file set SHRINKS under a running stream refuses
     * loudly: truncate/overwrite mid-stream is a pipeline bug, not a
     * restart point). */
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // partitioned (col=value) layouts carry partition columns in the
+    // DIRECTORY, which the flat streaming splits would silently drop —
+    // refuse rather than emit rows missing a column's values
+    require(keyedLayout.isEmpty,
+      s"graft streaming read: partitioned table at $path is out of the " +
+        "streaming source's scope (flat append tables only)")
     new GraftMicroBatchStream(path, required, pushed, streamMaxFiles)
+  }
 
   /** Planner-visible size: without this, a V2 relation defaults to
     * `spark.sql.defaultSizeInBytes` = Long.MaxValue — a connector-
