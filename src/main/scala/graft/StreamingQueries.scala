@@ -685,7 +685,113 @@ object StreamingQueries {
             |GROUP BY e.sid, s.latitude
             |ORDER BY e.sid""".stripMargin))
 
+  /** The FULL STREAMING PIPE through the connector — sink and source
+    * composed: events stream INTO a graft table via
+    * `writeStream.format(graft)` (three epoch commits, each a
+    * transactional append owning the manifest), and a SECOND streaming
+    * query then streams OUT of that table via the connector's
+    * micro-batch source (admission-controlled, multi-batch drain
+    * asserted) into distributed per-batch partials merged with exact
+    * decimal addition. This is the pipelines-feeding-pipelines shape a
+    * table format exists for: epoch-committed files must be exactly
+    * the files the source's offsets admit — a torn epoch, a manifest
+    * tear, or an offset slip drifts a count against the oracle
+    * aggregating the events table directly. */
+  val qStreamPipe = QueryDef("q_dsv2_stream_pipe",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val run = java.util.UUID.randomUUID().toString
+      val tmp = sys.props("java.io.tmpdir")
+      val ingest = s"$tmp/graft_pipe_in_$run"
+      val table = s"$tmp/graft_pipe_tbl_$run"
+      val ckptIn = s"$tmp/graft_pipe_ck1_$run"
+      val ckptOut = s"$tmp/graft_pipe_ck2_$run"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(ingest).getFileSystem(conf)
+      def stage(name: String, parity: Int, mtimeMs: Long): Unit = {
+        val scratch = new org.apache.hadoop.fs.Path(s"$ingest/_st_$name")
+        ev.filter(pmod(col("event_id"), lit(3)) === parity)
+          .coalesce(1).write.parquet(scratch.toString)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$scratch/part-*.parquet"))(0).getPath
+        val dest = new org.apache.hadoop.fs.Path(s"$ingest/$name.parquet")
+        require(fs.rename(part, dest), s"pipe stage rename failed: $name")
+        fs.delete(scratch, true)
+        fs.setTimes(dest, mtimeMs, -1)
+      }
+      try {
+        stage("b1", 0, 1000000L)
+        stage("b2", 1, 2000000L)
+        stage("b3", 2, 3000000L)
+        // leg 1: parquet files → connector STREAMING SINK (3 epochs)
+        val qIn = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(ingest)
+          .writeStream
+          .format("graft.sources.GraftParquetTableProvider")
+          .option("path", table)
+          .option("checkpointLocation", ckptIn)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        qIn.awaitTermination()
+        // leg 2: connector STREAMING SOURCE → drained aggregate state
+        val src = spark.readStream
+          .format("graft.sources.GraftParquetTableProvider")
+          .option("path", table)
+          .option("maxFilesPerTrigger", "2")
+          .schema(ev.schema)
+          .load()
+        val acc = collection.mutable.Map.empty[
+          String, (Long, java.math.BigDecimal, Long, Long)]
+        var batches = 0
+        val qOut = src.writeStream
+          .option("checkpointLocation", ckptOut)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val partials = batch.groupBy("event_type")
+              .agg(count(lit(1)).as("n"),
+                sum(col("value").cast("decimal(28,10)")).as("tv"),
+                min("event_id").as("mn"), max("event_id").as("mx"))
+              .collect()
+            acc.synchronized {
+              batches += 1
+              partials.foreach { r =>
+                val (n0, tv0, mn0, mx0) = acc.getOrElse(r.getString(0),
+                  (0L, java.math.BigDecimal.ZERO, Long.MaxValue, Long.MinValue))
+                acc(r.getString(0)) = (n0 + r.getLong(1),
+                  tv0.add(Option(r.getDecimal(2))
+                    .getOrElse(java.math.BigDecimal.ZERO)),
+                  math.min(mn0, r.getLong(3)), math.max(mx0, r.getLong(4)))
+              }
+            }
+          }
+          .start()
+        qOut.awaitTermination()
+        require(batches >= 2,
+          s"the source leg must drain in multiple batches, got $batches")
+        acc.toSeq
+          .map { case (t, (n, tv, mn, mx)) => (t, n, tv.doubleValue, mn, mx) }
+          .toDF("event_type", "n", "total_value", "min_id", "max_id")
+          .orderBy("event_type")
+      } finally {
+        fs.delete(new org.apache.hadoop.fs.Path(ingest), true)
+        fs.delete(new org.apache.hadoop.fs.Path(table), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ckptIn), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ckptOut), true)
+      }
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+           |         AS total_value,
+           |       min(event_id) AS min_id, max(event_id) AS max_id
+           |FROM events
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qStreamTumbling, qStreamLate, qStreamSessions, qStreamNearDup,
-      qStreamSink, qStreamJoin, qStreamEnrich)
+      qStreamSink, qStreamJoin, qStreamEnrich, qStreamPipe)
 }
