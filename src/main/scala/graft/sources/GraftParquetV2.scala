@@ -537,10 +537,14 @@ object GraftFileSetOffset {
         case '"' => inStr = false; out += sb.toString
         case '\\' =>
           i += 1
+          require(i < body.length,
+            s"graft stream offset: dangling escape in $t")
           body.charAt(i) match {
             case '"' => sb += '"'
             case '\\' => sb += '\\'
             case 'u' =>
+              require(i + 5 <= body.length,
+                s"graft stream offset: truncated \\u escape in $t")
               sb += Integer.parseInt(body.substring(i + 1, i + 5), 16).toChar
               i += 4
             case other => throw new IllegalArgumentException(

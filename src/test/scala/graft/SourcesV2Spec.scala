@@ -766,6 +766,16 @@ class SourcesV2Spec extends SparkSpec {
       val off = graft.sources.GraftFileSetOffset(
         Seq("/a/plain.parquet", "/b/we\"ird\\name.parquet"))
       assert(graft.sources.GraftFileSetOffset.fromJson(off.json()) == off)
+      // malformed checkpoint payloads refuse with a message, not a raw
+      // index crash
+      for (bad <- Seq("not json", "[\"unterminated", "[\"bad \\x esc\"]",
+          "[\"trunc \\u12", "[\"dangling \\")) {
+        val e = intercept[IllegalArgumentException] {
+          graft.sources.GraftFileSetOffset.fromJson(bad)
+        }
+        assert(e.getMessage.contains("graft stream offset"),
+          s"offset parse of $bad: ${e.getMessage}")
+      }
       // shrink: delete an already-admitted file -> the stream refuses
       val fs = new org.apache.hadoop.fs.Path(table)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
