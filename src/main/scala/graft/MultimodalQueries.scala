@@ -765,6 +765,62 @@ object MultimodalQueries {
          |FROM steps GROUP BY media_id ORDER BY media_id""".stripMargin
     })
 
+  /** Audio FEATURE EXTRACTION under the hash gate — the audio twin of
+    * the pixel-stats stages: each audio doc decodes through the real
+    * PCM chain and reduces to windowed features
+    * ([[graft.operators.Wav.audioFeatures]]: 400-sample window
+    * energies, stream zero-crossings, exact integer arithmetic end to
+    * end), so the oracle re-derives every feature from the generative
+    * signal with plain integer SQL — window bucketing, the
+    * strictly-negative-product crossing rule, and the tail-window
+    * handling all pinned. The decode is genuinely in the loop: a
+    * byte-order or sign slip in the PCM reader shifts every energy. */
+  val qWavFeatures = QueryDef("q_wav_features",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val dims = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1) // the audio-modality ids
+        .select(col("doc_id").as("media_id"),
+          (pmod(col("doc_id"), lit(4000)) + 500).cast("int").as("n"))
+        .as[(Long, Int)]
+      dims.mapPartitions(_.map { case (id, n) =>
+        val bytes = graft.operators.Wav.encodePcm16(n, 16000, id)
+        val (_, _, samples) = graft.operators.Wav.decodePcm16(bytes)
+          .getOrElse(sys.error(s"undecodable WAV for media_id=$id"))
+        val f = graft.operators.Wav.audioFeatures(samples, 400)
+        (id, f.nWindows, f.zeroCrossings, f.maxWindowEnergy, f.totalEnergy)
+      }).toDF("media_id", "n_windows", "zcr", "max_window_energy",
+        "total_energy")
+        .orderBy("media_id")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id AS media_id,
+           |         CAST((doc_id % 4000) + 500 AS BIGINT) AS n
+           |  FROM documents WHERE doc_id % 3 = 1
+           |), s AS (
+           |  SELECT media_id, n, i,
+           |         (i * 31337 + media_id) % 65536 - 32768 AS v
+           |  FROM (SELECT media_id, n,
+           |          unnest(generate_series(0, n - 1)) AS i FROM dims)
+           |), wins AS (
+           |  SELECT media_id, i // 400 AS w, sum(v * v) AS we
+           |  FROM s GROUP BY media_id, w
+           |), zc AS (
+           |  SELECT media_id,
+           |         sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS zcr
+           |  FROM (SELECT media_id, v * lag(v) OVER
+           |          (PARTITION BY media_id ORDER BY i) AS prod FROM s)
+           |  GROUP BY media_id
+           |)
+           |SELECT w.media_id,
+           |       CAST(count(*) AS BIGINT) AS n_windows,
+           |       CAST(any_value(zc.zcr) AS BIGINT) AS zcr,
+           |       CAST(max(w.we) AS BIGINT) AS max_window_energy,
+           |       CAST(sum(w.we) AS BIGINT) AS total_energy
+           |FROM wins w JOIN zc ON w.media_id = zc.media_id
+           |GROUP BY w.media_id ORDER BY w.media_id""".stripMargin))
+
   val qAviFrameDecode = QueryDef("q_avi_frame_decode",
     (spark, dir) => {
       import spark.implicits._
@@ -1055,6 +1111,6 @@ object MultimodalQueries {
     Seq(qModalityStats, qPngDecode, qPngResize, qJpegDecode,
       qJpegProgressiveDecode,
       qJpegColorDecode, qBmpDecode, qGifDecode, qWavDecode, qWavG711Decode,
-      qWavAdpcmDecode, qWavResample,
+      qWavAdpcmDecode, qWavResample, qWavFeatures,
       qAviFrameDecode, qAviMjpegDecode, qAviAvDemux, qPngColorTypes)
 }

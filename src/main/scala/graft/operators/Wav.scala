@@ -405,6 +405,40 @@ object Wav {
     Some((rate, outArr))
   }
 
+  /** Windowed audio features over DECODED samples — the audio
+    * feature-extract stage beside the image family's pixel stats:
+    * non-overlapping windows of `win` samples, per-window ENERGY
+    * (Σ s², exact long — 400 × 32767² fits comfortably), stream-wide
+    * ZERO CROSSINGS (adjacent pairs with strictly negative product —
+    * a zero sample never crosses, the deterministic rule an oracle can
+    * mirror), reduced to (n_windows, zcr, max window energy, total
+    * energy). Pure integer arithmetic end to end. The tail window
+    * (fewer than `win` samples) counts like any other. */
+  final case class AudioFeatures(nWindows: Long, zeroCrossings: Long,
+      maxWindowEnergy: Long, totalEnergy: Long)
+
+  def audioFeatures(samples: Array[Int], win: Int): AudioFeatures = {
+    require(win > 0, s"audioFeatures: window must be positive, got $win")
+    require(samples.nonEmpty, "audioFeatures: empty sample buffer")
+    var zcr = 0L
+    var total = 0L
+    var maxE = Long.MinValue
+    var wE = 0L
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toLong
+      wE += s * s
+      total += s * s
+      if (i > 0 && samples(i - 1).toLong * s < 0) zcr += 1
+      if ((i + 1) % win == 0 || i + 1 == samples.length) {
+        if (wE > maxE) maxE = wE
+        wE = 0L
+      }
+      i += 1
+    }
+    AudioFeatures((samples.length.toLong + win - 1) / win, zcr, maxE, total)
+  }
+
   /** REAL decode of a conforming WAV — 16-bit PCM (format 1), G.711
     * µ-law (7), or A-law (6), any channel count: RIFF/WAVE validation,
     * chunk walk to fmt + data, sample extraction (byte-exact for PCM;
