@@ -449,6 +449,26 @@ class MultimodalSpec extends SparkSpec {
       "16-bit mu-law is a malformed container")
   }
 
+  test("Wav.audioFeatures: zero samples never cross; tail windows count; " +
+    "energies are exact") {
+    import graft.operators.Wav
+    // [1,-1,0,-1,1], win 2: crossings at (1,-1) and (-1,1) only — the
+    // pairs through zero have product 0, NOT a crossing
+    val f = Wav.audioFeatures(Array(1, -1, 0, -1, 1), 2)
+    assert(f.zeroCrossings == 2, s"zcr ${f.zeroCrossings}")
+    assert(f.nWindows == 3, s"windows ${f.nWindows} (tail must count)")
+    assert(f.maxWindowEnergy == 2 && f.totalEnergy == 4,
+      s"energies ${f.maxWindowEnergy}/${f.totalEnergy}")
+    // full-scale square wave: every adjacent pair crosses; energy exact
+    val sq = Array.tabulate(800)(i => if (i % 2 == 0) 32767 else -32768)
+    val g = Wav.audioFeatures(sq, 400)
+    assert(g.zeroCrossings == 799 && g.nWindows == 2)
+    assert(g.totalEnergy ==
+      400L * 32767L * 32767L + 400L * 32768L * 32768L)
+    intercept[IllegalArgumentException](Wav.audioFeatures(Array.empty, 10))
+    intercept[IllegalArgumentException](Wav.audioFeatures(Array(1), 0))
+  }
+
   test("Wav codec: IMA ADPCM block roundtrip follows the state machine " +
     "exactly; block starts are lossless; container refusals hold") {
     import graft.operators.Wav
