@@ -269,7 +269,8 @@ object Catalog {
       qDistRadiusHaversine, qDistByName, qTotal, q1Agg) ++
       RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       EventQueries.all ++ MultimodalQueries.all ++ PipelineQueries.all ++
-      JoinQueries.all ++ AnalyticQueries.all ++ StreamingQueries.all
+      JoinQueries.all ++ AnalyticQueries.all ++ StreamingQueries.all ++
+      LakehouseQueries.all
 
   /** The weak-by-role ledger, machine-readable: every [[OracleTwin]]
     * entry with the scale paths a deployment uses instead (each itself

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.sources.{GraftMaintenance, GraftParquetV2}
+
+/** The connector's TABLE-FORMAT surface under the DuckDB hash gate
+  * ([[graft.sources.GraftTableLog]]): version snapshots + time travel,
+  * the incremental change feed, and compaction. Each query builds a
+  * per-run scratch graft table from deterministic `orders` slices,
+  * exercises one versioned-read mode, and reduces to an aggregate the
+  * oracle recomputes straight from `orders` — so a snapshot that leaked
+  * a file across versions, a change feed that double-counted a rewrite,
+  * or a compaction that dropped rows breaks the hash.
+  *
+  * Reference context: the reference re-reads whole BigQuery tables per
+  * run (`/root/reference/pipelines/total_distance.py:92-95`); versioned
+  * snapshots and a change feed are the 100 TB replacement for
+  * "re-read everything".
+  */
+object LakehouseQueries {
+
+  private val fmt = "graft.sources.GraftParquetTableProvider"
+
+  /** Per-run UUID scratch table, reaped at JVM exit (the roundtrip
+    * query's convention — the returned plan lazily re-scans the table,
+    * so an eager delete would race the driver's later collect). */
+  private def scratch(spark: SparkSession, prefix: String): String = {
+    val out = s"${sys.props("java.io.tmpdir")}/${prefix}_" +
+      java.util.UUID.randomUUID().toString
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    out
+  }
+
+  /** Deterministic orders slice, projected to the connector write
+    * scope (o_orderdate is TIMESTAMP_NTZ — outside it, like the
+    * roundtrip query). */
+  private def slice(orders: DataFrame, k: Int): DataFrame =
+    orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      .filter(pmod(col("o_orderkey"), lit(4)) === k)
+
+  private def cleanup(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(p, true)
+  }
+
+  /** Status-grouped fingerprint aggregate — decimal-exact sum, so the
+    * hash is stable at any file fan-out. */
+  private def fingerprint(df: DataFrame): DataFrame =
+    df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
+
+  private def fingerprintSql(where: String): String =
+    s"""SELECT o_orderstatus, count(*) AS n,
+       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |         AS total_price,
+       |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+       |FROM orders WHERE $where
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** TIME TRAVEL: append v1, append v2, OVERWRITE v3 — then read
+    * `versionAsOf = 2`. The pinned snapshot must be exactly the first
+    * two slices even though the live table holds only the third (the
+    * overwrite archived both earlier files); an in-query require pins
+    * the live read to slice 3 alone, so the archive/live split itself
+    * is asserted before the hash compares the travel result. */
+  val qTimeTravel = QueryDef("q_dsv2_time_travel",
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_tt")
+      slice(orders, 0).write.format(fmt).option("path", table)
+        .mode("append").save()
+      slice(orders, 1).write.format(fmt).option("path", table)
+        .mode("append").save()
+      slice(orders, 2).write.format(fmt).option("path", table)
+        .mode("overwrite").save()
+      val live = spark.read.format(fmt).option("path", table).load()
+      require(live.count() == slice(orders, 2).count(),
+        "live read after overwrite must see ONLY the new generation")
+      val v2 = spark.read.format(fmt).option("path", table)
+        .option("versionAsOf", "2").load()
+      fingerprint(v2)
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
+
+  /** CHANGE FEED: three appends, then `changesSince=1` bounded to
+    * `changesUntil=3` — the delta must be exactly appends 2+3. */
+  val qChangeFeed = QueryDef("q_dsv2_change_feed",
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_cf")
+      (0 to 2).foreach(k => slice(orders, k).write.format(fmt)
+        .option("path", table).mode("append").save())
+      val delta = spark.read.format(fmt).option("path", table)
+        .option("changesSince", "1").option("changesUntil", "3").load()
+      fingerprint(delta)
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (1, 2)")))
+
+  /** COMPACTION: two fragmented appends (16 files), compact, read the
+    * packed head — same rows, fewer files (require-asserted), manifest
+    * coverage intact, and the PRE-compaction version still answers
+    * from the archive (require-asserted against the packed count). */
+  val qCompaction = QueryDef("q_dsv2_compaction",
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_cp")
+      slice(orders, 0).repartition(8).write.format(fmt)
+        .option("path", table).mode("append").save()
+      slice(orders, 1).repartition(8).write.format(fmt)
+        .option("path", table).mode("append").save()
+      val before = GraftParquetV2.listFiles(table).size
+      GraftMaintenance.compact(spark, table)
+      val after = GraftParquetV2.listFiles(table).size
+      require(after < before,
+        s"compaction must shrink the file count ($before -> $after)")
+      val head = spark.read.format(fmt).option("path", table).load()
+      val preCompact = spark.read.format(fmt).option("path", table)
+        .option("versionAsOf", "2").load()
+      require(preCompact.count() == head.count(),
+        "pre-compaction snapshot must hold the same rows as the packed head")
+      fingerprint(head)
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
+
+  /** INCREMENTAL INGEST, the change feed as a pipeline citizen: a
+    * documents corpus lands in three appended batches; the consumer —
+    * having processed through v1 — reads the DELTA (`changesSince=1`),
+    * dedups it against the v1 BASELINE ([[graft.operators.Dedup
+    * .dedupAgainst]]: 8-byte fingerprint anti-join, full rows shuffle
+    * once), and reports per-language counts of the genuinely new
+    * content. This is the 100 TB daily-ingest shape: without the feed,
+    * the consumer re-reads the whole corpus per batch; with it, work
+    * scales with the DELTA. The oracle re-derives everything from raw
+    * text (fingerprint faithfulness rides along, like
+    * `q_dedup_incremental`). */
+  val qChangeFeedIngest = QueryDef("q_change_feed_ingest",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val table = scratch(spark, "graft_ing")
+      (0 to 2).foreach(k => docs.filter(pmod(col("doc_id"), lit(3)) === k)
+        .write.format(fmt).option("path", table).mode("append").save())
+      val baseline = spark.read.format(fmt).option("path", table)
+        .option("versionAsOf", "1").load()
+      val delta = spark.read.format(fmt).option("path", table)
+        .option("changesSince", "1").load()
+      graft.operators.Dedup.dedupAgainst(baseline, delta, "doc_id", "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          min("doc_id").as("min_doc"))
+        .orderBy("lang")
+    },
+    Some("""WITH corpus AS (
+           |  SELECT text FROM documents WHERE doc_id % 3 = 0
+           |), batch AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 3 IN (1, 2)
+           |), keepers AS (
+           |  SELECT min(doc_id) AS doc_id, text FROM batch
+           |  WHERE text IS NOT NULL GROUP BY text
+           |), fresh AS (
+           |  SELECT k.doc_id FROM keepers k
+           |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = k.text)
+           |)
+           |SELECT lang, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |       min(d.doc_id) AS min_doc
+           |FROM documents d JOIN fresh f ON d.doc_id = f.doc_id
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  def all: Seq[QueryDef] =
+    Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest)
+}

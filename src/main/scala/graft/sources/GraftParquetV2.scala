@@ -81,18 +81,52 @@ class GraftParquetTable(path: String, tableSchema: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // time-travel read options, resolved against the table's version
+    // log ([[GraftTableLog]]): `versionAsOf` pins a snapshot;
+    // `changesSince` (+ optional `changesUntil`, default latest) reads
+    // the append delta between two snapshots
+    def optLong(k: String): Option[Long] =
+      Option(options.get(k)).map { v =>
+        try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft parquet v2: option '$k' must be a version number, got '$v'")
+        }
+      }
+    val travel = GraftTimeTravel.from(optLong("versionAsOf"),
+      optLong("changesSince"), optLong("changesUntil"))
     new GraftScanBuilder(path, tableSchema,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt)
-        .orElse(streamMaxFiles))
+        .orElse(streamMaxFiles), travel)
+  }
   // the write half: append/truncate with transactional ownership of the
   // stats-manifest sidecar — see [[GraftParquetWrite]] for the protocol
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
 }
 
+/** A versioned read target ([[GraftTableLog]]): either a pinned
+  * snapshot (`versionAsOf`) or the append delta between two snapshots
+  * (`changesSince` → `changesUntil`/latest). */
+final case class GraftTimeTravel(versionAsOf: Option[Long],
+    changesSince: Option[Long], changesUntil: Option[Long])
+
+object GraftTimeTravel {
+  def from(versionAsOf: Option[Long], changesSince: Option[Long],
+      changesUntil: Option[Long]): Option[GraftTimeTravel] = {
+    require(versionAsOf.isEmpty || changesSince.isEmpty,
+      "graft parquet v2: versionAsOf and changesSince are mutually " +
+        "exclusive read modes")
+    require(changesUntil.isEmpty || changesSince.isDefined,
+      "graft parquet v2: changesUntil needs changesSince")
+    if (versionAsOf.isEmpty && changesSince.isEmpty) None
+    else Some(GraftTimeTravel(versionAsOf, changesSince, changesUntil))
+  }
+}
+
 class GraftScanBuilder(path: String, tableSchema: StructType,
-    streamMaxFiles: Option[Int] = None)
+    streamMaxFiles: Option[Int] = None,
+    travel: Option[GraftTimeTravel] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -228,7 +262,8 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     GraftParquetScan(path,
       aggs.map(a => StructType(groupCols ++ GraftAggSpec.schema(a)))
         .getOrElse(required),
-      pushed, limit, aggs, groupCols, topN, tableSchema, streamMaxFiles)
+      pushed, limit, aggs, groupCols, topN, tableSchema, streamMaxFiles,
+      travel)
 }
 
 /** One pushed sort key (serialized to executors with the reader
@@ -290,7 +325,10 @@ case class GraftParquetScan(path: String, required: StructType,
     // disables that pruning, never affects correctness
     tableSchema: StructType = new StructType(),
     // streaming read's per-micro-batch file cap (maxFilesPerTrigger)
-    streamMaxFiles: Option[Int] = None)
+    streamMaxFiles: Option[Int] = None,
+    // versioned read target (versionAsOf / changesSince), resolved
+    // against the table's _graft_log — None = the live table
+    travel: Option[GraftTimeTravel] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -309,6 +347,10 @@ case class GraftParquetScan(path: String, required: StructType,
     * loudly: truncate/overwrite mid-stream is a pipeline bug, not a
     * restart point). */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(travel.isEmpty,
+      "graft streaming read: versionAsOf/changesSince are batch read " +
+        "modes — a stream tails the LIVE table (its offsets already " +
+        "pin exactly which files each micro-batch saw)")
     // partitioned (col=value) layouts carry partition columns in the
     // DIRECTORY, which the flat streaming splits would silently drop —
     // refuse rather than emit rows missing a column's values
@@ -326,9 +368,45 @@ case class GraftParquetScan(path: String, required: StructType,
     * built-in FileScan starts from; no footer reads, so planning cost
     * stays O(files). Row count is left unknown — nothing in the
     * planner needs it badly enough to justify opening footers. */
+  /** The resolved (files, zone maps) this scan reads: the live listing
+    * + live manifest normally; a log snapshot's file set (resolved
+    * live-first, then archive) for `versionAsOf`; the append delta
+    * between two snapshots for `changesSince`. Stats always travel
+    * WITH the file set — pruning an archived file with the live
+    * manifest's entries for a same-named successor would be wrong. */
+  @transient private lazy val readTarget
+      : (Seq[String], Map[String, Map[String, GraftStatsPrune.ColStats]]) =
+    travel match {
+      case None =>
+        (GraftParquetV2.listFiles(path), GraftParquetV2.loadStatsManifest(path))
+      case Some(GraftTimeTravel(Some(v), _, _)) =>
+        val (rels, stats) = GraftTableLog.readSnapshot(path, v)
+        (GraftTableLog.resolveAll(path, rels), stats)
+      case Some(GraftTimeTravel(_, Some(since), until)) =>
+        val to = until.orElse(GraftTableLog.latestVersion(path)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft parquet v2: $path has no version log — changesSince " +
+              "needs a connector-written table"))
+        val (rels, stats) = GraftTableLog.changedFiles(path, since, to)
+        (GraftTableLog.resolveAll(path, rels), stats)
+      case Some(other) => throw new IllegalStateException(
+        s"unreachable travel spec $other") // GraftTimeTravel.from validated
+    }
+
   // cached: Spark consults statistics repeatedly while planning one
   // query, and each listing is O(files) of filesystem RPCs
-  @transient private lazy val onDiskBytes = GraftParquetV2.totalFileBytes(path)
+  @transient private lazy val onDiskBytes =
+    if (travel.isEmpty) GraftParquetV2.totalFileBytes(path)
+    else {
+      // a versioned target's size is ITS files' bytes (live listing
+      // could be arbitrarily off for an archived generation or a
+      // small delta) — still filesystem metadata only
+      val conf = new org.apache.hadoop.conf.Configuration()
+      readTarget._1.map { f =>
+        val p = new Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    }
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(onDiskBytes)
@@ -382,6 +460,12 @@ case class GraftParquetScan(path: String, required: StructType,
   // sources keep (PushedFilters / ReadSchema), spec-asserted
   override def description(): String =
     s"GraftParquetScan path=$path, " +
+      travel.fold("") {
+        case GraftTimeTravel(Some(v), _, _) => s"VersionAsOf: $v, "
+        case GraftTimeTravel(_, Some(s), u) =>
+          s"ChangesSince: $s${u.fold("")(x => s" Until: $x")}, "
+        case _ => ""
+      } +
       s"ReadSchema: ${required.catalogString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (pushed.nonEmpty) ", RowGroupStatsPruning: on" else "") +
@@ -402,14 +486,16 @@ case class GraftParquetScan(path: String, required: StructType,
   // partition planning — including the RE-planning after runtime
   // filters arrive, so a broadcast join's dim keys can drop whole
   // FILES, not just row groups, before any task is scheduled
-  @transient private lazy val statsManifest =
-    GraftParquetV2.loadStatsManifest(path)
+  @transient private lazy val statsManifest = readTarget._2
 
   // the table's keyed layout, when EVERY file sits under the same
   // `col=value` directory structure: partition column sequence, per-
-  // file key rows, and the distinct-key count
+  // file key rows, and the distinct-key count. Versioned reads opt out:
+  // the layout claim is about the LIVE directory, and a snapshot's file
+  // set (part archived, part a delta) need not satisfy it
   @transient private lazy val keyedLayout =
-    GraftParquetV2.keyedLayout(path, tableSchema)
+    if (travel.isDefined) None
+    else GraftParquetV2.keyedLayout(path, tableSchema)
 
   /** STORAGE-PARTITIONED execution
     * ([[org.apache.spark.sql.connector.read.SupportsReportPartitioning]]):
@@ -446,7 +532,7 @@ case class GraftParquetScan(path: String, required: StructType,
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = GraftParquetV2.listFiles(path)
+    val files = readTarget._1
     val conj = pushed ++ runtimeFilters
     val kept =
       if (conj.isEmpty) files

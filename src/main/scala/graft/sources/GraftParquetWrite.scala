@@ -206,10 +206,11 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
       }
     }
     fs.delete(staging, true)
-    if (committed.nonEmpty)
-      GraftParquetWrite.replaceManifest(path,
-        GraftParquetWrite.rawManifestEntries(path) ++
-          committed.flatMap(_._2), s"$writeId-$epochId")
+    if (committed.nonEmpty) {
+      val entries = GraftParquetWrite.rawManifestEntries(path) ++
+        committed.flatMap(_._2)
+      GraftParquetWrite.commitMetadata(path, entries, s"$writeId-$epochId")
+    }
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
   }
@@ -270,7 +271,12 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
           }
         }
       deleted = doomed.map(f => new Path(f).getName).toSet
-      doomed.foreach(f => fs.delete(new Path(f), false))
+      // ARCHIVE, not delete: the removed generation moves under
+      // `_graft_archive/` (O(1) renames, invisible to live scans) so
+      // every prior log version stays time-travel-readable until
+      // [[GraftMaintenance.vacuum]] reclaims it. Same racing-reader
+      // visibility story as the old delete — shrink, then grow.
+      doomed.foreach(f => GraftTableLog.archiveFile(path, f))
     }
     committed.foreach { case (fsq, _) =>
       fsq.foreach { f =>
@@ -287,7 +293,7 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
       if (truncate && !dynamicOverwrite) Nil
       else GraftParquetWrite.rawManifestEntries(path)
         .filterNot(e => deleted.contains(e.file))
-    GraftParquetWrite.replaceManifest(path,
+    GraftParquetWrite.commitMetadata(path,
       prior ++ committed.flatMap(_._2), writeId)
   }
 
@@ -536,6 +542,67 @@ object GraftParquetWrite {
     } finally in.close()
   }
 
+  /** Commit the metadata half of a write: a new LOG SNAPSHOT (the
+    * version-numbered full file listing + stats — [[GraftTableLog]]),
+    * then the live-manifest swap. Snapshot BEFORE manifest: a crash
+    * between the two leaves the committed version fully readable via
+    * `versionAsOf` while live reads degrade to the conservative
+    * no-manifest scan of the same files — stale metadata, never wrong
+    * data (the mirror of the manifest swap's own failure rule). The
+    * snapshot's file list comes from the live LISTING, not from prior
+    * snapshots, so files added outside the connector (a plain parquet
+    * drop-in, a parquetWithStats seed) enter the history at the next
+    * commit instead of vanishing from it. */
+  def commitMetadata(path: String, entries: Seq[GraftManifestEntry],
+      writeId: String): Unit = {
+    // OPTIMISTIC version claim (concurrent APPENDS commit safely):
+    // the snapshot's exclusive create is the claim; a loser re-lists —
+    // now seeing the winner's renamed files, which enter its snapshot
+    // as `present` rows (conservatively scanned until the manifest
+    // heals at the next commit) — and retries at the next number.
+    // Overwrites remain single-writer by contract: two concurrent
+    // truncates archive independently and the survivors' union is NOT
+    // a generation either intended (same as before this loop).
+    manifestLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        // heal an aged-torn HEAD first (a crashed writer's last claim):
+        // otherwise the torn number stays in the version listing forever
+        // — readable by nobody, skipped by every new claim
+        GraftTableLog.latestVersion(path)
+          .foreach(GraftTableLog.healTornSnapshot(path, _))
+        val rels = GraftParquetV2.listFiles(path)
+          .map(GraftTableLog.relativize(path, _))
+        val version = GraftTableLog.latestVersion(path).getOrElse(0L) + 1L
+        // a torn snapshot at the target number (a crashed writer's
+        // litter, aged past the in-flight window) is healed — deleted
+        // and re-claimed — rather than blocking the number forever; a
+        // FRESH torn file belongs to a live cross-JVM writer, so we
+        // just re-list and claim the next number
+        if (GraftTableLog.healTornSnapshot(path, version)) {
+          try {
+            GraftTableLog.writeSnapshot(path, version, writeId, rels, entries)
+            committed = true
+          } catch {
+            case e: java.io.IOException =>
+              attempt += 1
+              if (attempt > 50) throw new IllegalStateException(
+                s"graft parquet v2 write: lost the version-claim race 50 " +
+                  s"times under $path — giving up", e)
+          }
+        } else {
+          attempt += 1
+          if (attempt > 50) throw new IllegalStateException(
+            s"graft parquet v2 write: version head under $path blocked " +
+              "by a fresh unreadable snapshot after 50 attempts")
+          Thread.sleep(100)
+        }
+      }
+    }
+    replaceManifest(path, entries, writeId)
+  }
+
   /** The live sidecar's rows, undecoded — what an APPEND must carry
     * forward. Missing sidecar → Nil (the append then bootstraps a
     * manifest covering only its own files; pre-existing unmanifested
@@ -566,13 +633,32 @@ object GraftParquetWrite {
     out.toSeq
   }
 
+  /** Per-table in-JVM lock for the manifest swap: concurrent appends
+    * (the optimistic-claim path) would otherwise interleave the
+    * delete+rename and spuriously fail a commit whose DATA is already
+    * in. Cross-JVM writers are covered by the bounded retry below. */
+  private val manifestLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Swap a freshly written manifest over the live sidecar: write to a
     * tmp directory (underscore-prefixed — invisible to scans), then
     * delete the old sidecar and rename. The one non-atomic window
     * degrades to "no manifest" = full conservative scan, never a wrong
-    * prune. */
+    * prune. The swap itself retries (another writer may have re-created
+    * the live sidecar between our delete and rename) and, still losing
+    * after that, GIVES UP WITHOUT FAILING the commit: the sidecar is
+    * advisory pruning metadata — the authoritative per-version record
+    * is the log snapshot written before this, and the surviving
+    * (other writer's) sidecar still prunes correctly for the files it
+    * names while ours are conservatively scanned. */
   def replaceManifest(path: String, entries: Seq[GraftManifestEntry],
-      writeId: String): Unit = {
+      writeId: String): Unit =
+    manifestLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      replaceManifestLocked(path, entries, writeId)
+    }
+
+  private def replaceManifestLocked(path: String,
+      entries: Seq[GraftManifestEntry], writeId: String): Unit = {
     val conf = new Configuration()
     val table = new Path(path)
     val fs = table.getFileSystem(conf)
@@ -595,8 +681,21 @@ object GraftParquetWrite {
       w.write(g)
     } finally w.close()
     val live = new Path(table, GraftParquetV2.StatsSidecar)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live),
-      s"graft parquet v2 write: manifest swap rename failed under $path")
+    var swapped = false
+    var attempt = 0
+    while (!swapped && attempt < 5) {
+      fs.delete(live, true)
+      swapped = fs.rename(tmp, live)
+      attempt += 1
+    }
+    if (!swapped) {
+      // a cross-JVM writer keeps winning the swap: degrade, don't fail —
+      // the data and log snapshot are committed; the sidecar is advisory
+      fs.delete(tmp, true)
+      System.err.println(
+        s"[graft] manifest swap lost to a concurrent writer under $path " +
+          "after 5 attempts - new files remain unmanifested " +
+          "(conservatively scanned) until the next commit")
+    }
   }
 }

@@ -1,0 +1,293 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The graft table's VERSION LOG — the table-format layer that turns the
+  * connector's directory-of-parquet into a versioned table with time
+  * travel, an incremental change feed, compaction, and vacuum.
+  *
+  * Layout (all underscore-prefixed, so [[GraftParquetV2.listFiles]] —
+  * the live read path — never sees any of it):
+  *
+  *   - `_graft_log/v%010d-<writeId>.parquet` — one SNAPSHOT file per
+  *     committed version: (rel_path, file, column, kind, bounds…) rows,
+  *     i.e. the complete file listing of the table at that version plus
+  *     each file's zone-map manifest entries. A file with no footer
+  *     stats still appears, as a single `kind = "present"` row — the
+  *     snapshot's file list is total even where its stats are not.
+  *     Snapshots are SELF-CONTAINED (Iceberg's model, not Delta's
+  *     replay-the-deltas model): reading version N opens exactly one
+  *     log file, never a chain.
+  *   - `_graft_archive/<rel_path>` — data files a truncate-overwrite
+  *     (or compaction) removed from the live table. Overwrite ARCHIVES
+  *     instead of deleting: O(1) renames, invisible to live scans, and
+  *     every prior version stays readable until [[GraftMaintenance
+  *     .vacuum]] reclaims it. File basenames carry the originating
+  *     write's UUID, so archive names never collide across generations.
+  *
+  * Read modes resolved against the log
+  * ([[GraftParquetScan]] honors them as read options):
+  *   - `versionAsOf = N` — the file set of snapshot N, each rel path
+  *     resolved live-first then archive; a file in neither place means
+  *     the version was vacuumed, refused loudly.
+  *   - `changesSince = A` (optionally `changesUntil = B`, default
+  *     latest) — the APPEND DELTA files(B) \ files(A), the incremental-
+  *     ingest feed a downstream pipeline tails. Requires
+  *     files(A) ⊆ files(B): an overwrite or compaction between the two
+  *     versions rewrote history, and a silent "delta" across it would
+  *     double-count rewritten rows — refused loudly instead.
+  *
+  * Failure windows (single-writer, same discipline as the manifest
+  * swap): the snapshot is written AFTER data-file renames and BEFORE
+  * the live-manifest swap. A crash between the two leaves the new
+  * version fully readable by `versionAsOf` while live reads degrade to
+  * the conservative no-manifest scan of the SAME committed files —
+  * stale metadata, never wrong data. A crash before the snapshot
+  * leaves the log one version behind the directory: the next commit's
+  * snapshot (always built from the live listing, not from the prior
+  * snapshot) re-converges.
+  *
+  * Reference context: the reference's source re-reads whole BigQuery
+  * tables per run (`/root/reference/pipelines/total_distance.py:92-95`);
+  * versioned snapshots + a change feed are what replace "re-read
+  * everything" with "read what changed" at 100 TB. */
+object GraftTableLog {
+
+  val LogDir = "_graft_log"
+  val ArchiveDir = "_graft_archive"
+
+  /** Snapshot row schema: the manifest schema plus the file's path
+    * relative to the table root (partition directories included) —
+    * rel paths make a snapshot resolvable without trusting the live
+    * listing, which is the whole point. */
+  val logSchema: StructType = StructType(
+    StructField("rel_path", StringType) +: GraftParquetV2.manifestSchema.fields)
+
+  private def conf = new Configuration()
+
+  private def logPath(table: String) = new Path(table, LogDir)
+
+  /** Committed versions, ascending; empty for a pre-log table. */
+  def versions(table: String): Seq[Long] = {
+    val lp = logPath(table)
+    val fs = lp.getFileSystem(conf)
+    if (!fs.exists(lp)) return Nil
+    fs.listStatus(lp).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".parquet"))
+      .flatMap { n =>
+        val digits = n.stripPrefix("v").stripSuffix(".parquet")
+        if (digits.length == 10 && digits.forall(_.isDigit))
+          Some(digits.toLong)
+        else None
+      }.sorted
+  }
+
+  def latestVersion(table: String): Option[Long] = versions(table).lastOption
+
+  /** The snapshot file NAME IS THE CLAIM: exactly `v%010d.parquet`,
+    * created exclusively (no-overwrite), so two concurrent commits
+    * racing for the same version number see one winner and one
+    * [[org.apache.hadoop.fs.FileAlreadyExistsException]] — the loser
+    * re-lists and retries at the next number
+    * ([[GraftParquetWrite.commitMetadata]]'s optimistic loop). */
+  private[sources] def snapshotPath(table: String, version: Long): Path =
+    new Path(logPath(table), f"v$version%010d.parquet")
+
+  private def snapshotFile(table: String, version: Long): Path = {
+    val lp = logPath(table)
+    val fs = lp.getFileSystem(conf)
+    require(fs.exists(lp),
+      s"graft table log: $table has no version log (_graft_log) — " +
+        "only connector-written tables are versioned")
+    val p = snapshotPath(table, version)
+    if (!fs.exists(p)) throw new IllegalArgumentException(
+      s"graft table log: version $version not found under $table — " +
+        s"available: ${versions(table).mkString("[", ", ", "]")}" +
+        " (older versions may have been vacuumed)")
+    p
+  }
+
+  /** Write snapshot `version`: every live file's rel path with its
+    * manifest entries (or one bare `present` row when it has none).
+    * One parquet file created EXCLUSIVELY at the final name (parquet's
+    * default CREATE mode → `fs.create(…, overwrite = false)`): the
+    * create is the version CLAIM, so a concurrent commit racing for
+    * the same number throws FileAlreadyExistsException here and the
+    * caller retries at the next number. A torn write (crash mid-
+    * snapshot) leaves an unreadable parquet at the claimed name —
+    * [[healTornSnapshot]] lets the next committer reclaim it. */
+  def writeSnapshot(table: String, version: Long, writeId: String,
+      relPaths: Seq[String], entries: Seq[GraftManifestEntry]): Unit = {
+    val byBase = entries.groupBy(_.file)
+    val mt = GraftParquetWrite.messageType(logSchema)
+    val factory = new SimpleGroupFactory(mt)
+    val out = snapshotPath(table, version)
+    val w = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(out, conf))
+      .withType(mt)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try relPaths.sorted.foreach { rel =>
+      val base = new Path(rel).getName
+      val rows = byBase.getOrElse(base, Nil)
+      if (rows.isEmpty) {
+        val g = factory.newGroup()
+        g.add(0, rel); g.add(1, base); g.add(2, ""); g.add(3, "present")
+        g.add(9, 0L)
+        w.write(g)
+      } else rows.foreach { e =>
+        val g = factory.newGroup()
+        g.add(0, rel); g.add(1, e.file); g.add(2, e.column); g.add(3, e.kind)
+        e.minLong.foreach(g.add(4, _)); e.maxLong.foreach(g.add(5, _))
+        e.minStr.foreach(g.add(6, _)); e.maxStr.foreach(g.add(7, _))
+        e.nullCount.foreach(g.add(8, _)); g.add(9, e.valueCount)
+        w.write(g)
+      }
+    } finally w.close()
+  }
+
+  /** A crash mid-snapshot leaves a torn parquet at a claimed version
+    * name, which would block that number forever. If the file at
+    * `version` has no readable footer, delete it and return true (the
+    * caller may re-claim); a readable snapshot returns false and is
+    * never touched. */
+  def healTornSnapshot(table: String, version: Long): Boolean = {
+    val p = snapshotPath(table, version)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return true
+    val readable =
+      try {
+        val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        in.close(); true
+      } catch { case _: Exception => false }
+    if (readable) return false
+    // unreadable — but only reclaim if it has been sitting a while: a
+    // FRESH unreadable file is a cross-JVM writer's snapshot MID-WRITE,
+    // and deleting it under them would corrupt their claim. (In-JVM
+    // writers are serialized by commitMetadata's per-table lock and
+    // never see each other's partial writes.)
+    val ageMs = System.currentTimeMillis() - fs.getFileStatus(p)
+      .getModificationTime
+    if (ageMs > 60000L) { fs.delete(p, false); true } else false
+  }
+
+  /** Snapshot `version`: (rel paths, basename → column → zone map).
+    * `present` rows contribute a file with no stats — conservatively
+    * scanned, exactly like an unmanifested live file. */
+  def readSnapshot(table: String, version: Long)
+      : (Seq[String], Map[String, Map[String, GraftStatsPrune.ColStats]]) = {
+    val f = snapshotFile(table, version)
+    val rels = collection.mutable.LinkedHashSet.empty[String]
+    val stats = collection.mutable.Map
+      .empty[String, collection.mutable.Map[String, GraftStatsPrune.ColStats]]
+    val r = new GraftPartitionReader(f.toString, logSchema, Array.empty)
+    try while (r.next()) {
+      val row = r.get()
+      rels += row.getString(0)
+      val kind = row.getString(3)
+      if (kind != "present") {
+        def optLong(i: Int): Option[Long] =
+          if (row.isNullAt(i)) None else Some(row.getLong(i))
+        def optStr(i: Int): Option[UTF8String] =
+          if (row.isNullAt(i)) None else Some(row.getUTF8String(i))
+        val bounds: (Any, Any) = kind match {
+          case "long" => (optLong(4).map(Long.box).orNull,
+            optLong(5).map(Long.box).orNull)
+          case "bool" => (optLong(4).map(_ == 1L).map(Boolean.box).orNull,
+            optLong(5).map(_ == 1L).map(Boolean.box).orNull)
+          case "string" => (optStr(6).orNull, optStr(7).orNull)
+          case _ => (null, null)
+        }
+        val nulls = optLong(8)
+        stats.getOrElseUpdate(row.getString(1),
+          collection.mutable.Map.empty) +=
+          row.getString(2) -> GraftStatsPrune.ColStats(
+            bounds._1, bounds._2, nulls.getOrElse(-1L), nulls.isDefined,
+            row.getLong(9))
+      }
+    } finally r.close()
+    (rels.toSeq, stats.map { case (k, v) => k -> v.toMap }.toMap)
+  }
+
+  /** Resolve snapshot rel paths to readable full paths: live table dir
+    * first, then the archive. A path in neither place means vacuum
+    * reclaimed the generation — refused loudly, never a silent subset. */
+  def resolveAll(table: String, relPaths: Seq[String]): Seq[String] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(conf)
+    val live: Set[String] =
+      GraftParquetV2.listFiles(table).map(relativize(table, _)).toSet
+    val archRoot = new Path(root, ArchiveDir)
+    lazy val archived: Set[String] =
+      if (!fs.exists(archRoot)) Set.empty
+      else {
+        val out = collection.mutable.ArrayBuffer.empty[String]
+        def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet"))
+            out += relativize(archRoot.toString, st.getPath.toString)
+        }
+        walk(archRoot)
+        out.toSet
+      }
+    relPaths.map { rel =>
+      if (live.contains(rel)) new Path(root, rel).toString
+      else if (archived.contains(rel)) new Path(archRoot, rel).toString
+      else throw new IllegalStateException(
+        s"graft table log: file $rel of the requested version is neither " +
+          s"live nor archived under $table — the version was vacuumed")
+    }
+  }
+
+  /** Full path under `root` → path relative to it. */
+  def relativize(root: String, file: String): String = {
+    val rootPath = new Path(root).toUri.getPath
+    val filePath = new Path(file).toUri.getPath
+    require(filePath.startsWith(rootPath),
+      s"graft table log: $file is not under $root")
+    filePath.stripPrefix(rootPath).stripPrefix("/")
+  }
+
+  /** Move a live data file into the archive (an overwrite/compaction
+    * removing it from the head version). Same-filesystem rename; a
+    * name collision means an externally re-created file shadows an
+    * archived generation — refused rather than silently clobbered. */
+  def archiveFile(table: String, fullPath: String): Unit = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(conf)
+    val rel = relativize(table, fullPath)
+    val dest = new Path(new Path(root, ArchiveDir), rel)
+    require(!fs.exists(dest),
+      s"graft table log: archive collision on $rel under $table")
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(new Path(fullPath), dest),
+      s"graft table log: archive rename failed for $rel under $table")
+  }
+
+  /** The append delta files(until) \ files(since), with the history
+    * check that makes a change feed SOUND: every file of `since` must
+    * survive into `until`. */
+  def changedFiles(table: String, since: Long, until: Long)
+      : (Seq[String], Map[String, Map[String, GraftStatsPrune.ColStats]]) = {
+    require(since <= until,
+      s"graft table log: changesSince $since > changesUntil $until")
+    val (fromRels, _) = readSnapshot(table, since)
+    val (toRels, toStats) = readSnapshot(table, until)
+    val fromSet = fromRels.toSet
+    val missing = fromRels.filterNot(toRels.toSet)
+    require(missing.isEmpty,
+      s"graft table log: versions $since→$until are not append-only — " +
+        s"${missing.size} file(s) of v$since were rewritten (overwrite or " +
+        "compaction); an incremental change feed across a rewrite would " +
+        s"double-count rows. Re-read versionAsOf=$until instead")
+    (toRels.filterNot(fromSet), toStats)
+  }
+}

@@ -1,0 +1,233 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftMaintenance, GraftParquetV2, GraftTableLog}
+
+/** The connector's TABLE-FORMAT layer ([[graft.sources.GraftTableLog]]):
+  * every commit writes a version snapshot, truncate-overwrite archives
+  * the replaced generation instead of deleting it, `versionAsOf` /
+  * `changesSince` resolve versioned read targets, compaction bin-packs
+  * a new version without losing history, and vacuum reclaims history
+  * past the retention horizon — loudly, never silently. */
+class GraftTableLogSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.GraftParquetTableProvider"
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_log_$name").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select("doc_id", "source", "lang", "n_chars")
+
+  private def slice(k: Int): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(4)) === k)
+
+  private def read(path: String, opts: (String, String)*): DataFrame = {
+    val r = spark.read.format(fmt).option("path", path)
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("each commit writes one snapshot; history ledgers files and rows") {
+    val dir = tmp("hist")
+    slice(0).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    slice(1).repartition(2).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    assert(GraftTableLog.versions(dir) == Seq(1L, 2L))
+    val h = GraftMaintenance.history(dir)
+    assert(h.map(_.version) == Seq(1L, 2L))
+    assert(h(0).files == 1 && h(1).files == 3)
+    assert(h(0).rows.contains(slice(0).count()))
+    assert(h(1).rows.contains(slice(0).count() + slice(1).count()))
+  }
+
+  test("versionAsOf pins a snapshot; append deltas read with changesSince") {
+    val dir = tmp("travel")
+    slice(0).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    slice(1).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    slice(2).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()
+
+    assert(ids(read(dir, "versionAsOf" -> "1")) == ids(slice(0)))
+    assert(ids(read(dir, "versionAsOf" -> "2")) ==
+      ids(slice(0).unionByName(slice(1))))
+    // delta since v1 to latest = slices 1+2; bounded delta = slice 1
+    assert(ids(read(dir, "changesSince" -> "1")) ==
+      ids(slice(1).unionByName(slice(2))))
+    assert(ids(read(dir, "changesSince" -> "1", "changesUntil" -> "2")) ==
+      ids(slice(1)))
+    // pushdown composes with travel: filters prune within the pinned set
+    val filtered = read(dir, "versionAsOf" -> "2")
+      .filter(col("doc_id") < 100L)
+    assert(ids(filtered) == ids(slice(0).unionByName(slice(1))
+      .filter(col("doc_id") < 100L)))
+  }
+
+  test("overwrite archives the old generation: live reads see ONLY the new one, versionAsOf still answers") {
+    val dir = tmp("ovw")
+    slice(0).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    slice(1).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("overwrite").save()
+    // live: the new generation only — never the union of both
+    assert(ids(read(dir)) == ids(slice(1)))
+    // history: both versions; v1 resolves from the archive
+    assert(GraftTableLog.versions(dir) == Seq(1L, 2L))
+    assert(ids(read(dir, "versionAsOf" -> "1")) == ids(slice(0)))
+    // the archived file physically exists under _graft_archive
+    val arch = new java.io.File(dir, GraftTableLog.ArchiveDir)
+    assert(arch.isDirectory && arch.listFiles().nonEmpty)
+    // a change feed ACROSS the rewrite refuses loudly
+    val e = intercept[Exception](ids(read(dir, "changesSince" -> "1")))
+    assert(e.getMessage.contains("not append-only"))
+  }
+
+  test("compaction bin-packs a new version; data identical, old version intact, vacuum reclaims it") {
+    val dir = tmp("compact")
+    slice(0).repartition(6).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    slice(1).repartition(4).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    val before = GraftParquetV2.listFiles(dir)
+    assert(before.size >= 8)
+    val want = ids(slice(0).unionByName(slice(1)))
+
+    val v = GraftMaintenance.compact(spark, dir)
+    assert(v == 3L)
+    val after = GraftParquetV2.listFiles(dir)
+    assert(after.size < before.size, s"${after.size} !< ${before.size}")
+    assert(ids(read(dir)) == want)                       // rows unchanged
+    assert(ids(read(dir, "versionAsOf" -> "2")) == want) // history intact
+    assert(ids(read(dir, "versionAsOf" -> "1")) == ids(slice(0)))
+    // the compacted table still prunes: manifest covers the new files
+    val manifest = GraftParquetV2.loadStatsManifest(dir)
+    assert(after.map(f => new org.apache.hadoop.fs.Path(f).getName)
+      .forall(manifest.contains))
+
+    // vacuum to the head version: archived generations reclaimed,
+    // dropped versions refuse loudly, live table untouched
+    val deleted = GraftMaintenance.vacuum(dir, retainLast = 1)
+    assert(deleted == before.size, s"expected ${before.size} got $deleted")
+    assert(GraftTableLog.versions(dir) == Seq(3L))
+    assert(ids(read(dir)) == want)
+    val e = intercept[Exception](ids(read(dir, "versionAsOf" -> "1")))
+    assert(e.getMessage.contains("not found") ||
+      e.getMessage.contains("vacuumed"))
+  }
+
+  test("partitioned tables compact under their layout; travel composes with partition pruning") {
+    val dir = tmp("part")
+    slice(0).repartition(3).write.format(fmt).option("path", dir)
+      .option("partitionBy", "lang").mode("append").save()
+    slice(1).repartition(3).write.format(fmt).option("path", dir)
+      .option("partitionBy", "lang").mode("append").save()
+    val want = ids(slice(0).unionByName(slice(1)))
+    val before = GraftParquetV2.listFiles(dir).size
+
+    GraftMaintenance.compact(spark, dir)
+    val files = GraftParquetV2.listFiles(dir)
+    assert(files.size < before)
+    // layout preserved: every file still under lang=
+    assert(files.forall(_.contains("lang=")))
+    assert(ids(read(dir)) == want)
+    // versionAsOf of the pre-compaction snapshot, with a partition
+    // filter — archived files' col=value paths still prune
+    val v2en = read(dir, "versionAsOf" -> "2").filter(col("lang") === "en")
+    assert(ids(v2en) == ids(slice(0).unionByName(slice(1))
+      .filter(col("lang") === "en")))
+  }
+
+  test("the streaming sink's epochs are versions; streaming read refuses travel options") {
+    val dir = tmp("stream")
+    slice(0).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    val e = intercept[Exception] {
+      spark.readStream.format(fmt).option("path", dir)
+        .option("versionAsOf", "1")
+        .schema(docs.schema).load()
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("concurrent appends both commit: optimistic version claims, no lost rows") {
+    val dir = tmp("conc")
+    // 4 writers race: each appends a disjoint slice through the
+    // connector from its own thread. The version-claim loop must
+    // linearize them — 4 monotone versions, every row exactly once.
+    val threads = (0 to 3).map { k =>
+      new Thread(() => slice(k).coalesce(1).write.format(fmt)
+        .option("path", dir).mode("append").save())
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(GraftTableLog.versions(dir) == Seq(1L, 2L, 3L, 4L))
+    val want = ids(docs) // slices 0..3 partition the table
+    assert(ids(read(dir)) == want)
+    // the head snapshot covers every file (some possibly as bare
+    // `present` rows — conservatively scanned, never lost)
+    assert(ids(read(dir, "versionAsOf" -> "4")) == want)
+    // version file counts are monotone (snapshots list the live dir at
+    // METADATA-commit time; racing writers' data renames may land
+    // before an earlier snapshot writes — more-covered, never less)
+    val h = GraftMaintenance.history(dir)
+    val counts = h.map(_.files)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a <= b } &&
+      counts.last == 4, s"non-monotone history: $counts")
+  }
+
+  test("clustered compaction: range-disjoint files prune under a point filter") {
+    val dir = tmp("cluster")
+    // doc_id striped across files: before clustering, EVERY file's
+    // zone map spans the whole id range, so nothing prunes
+    docs.repartition(6).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    val want = ids(docs)
+    val lo = want.head
+    // small target → several packed files, range-clustered on doc_id
+    val bytes = graft.sources.GraftParquetV2.totalFileBytes(dir)
+    GraftMaintenance.compact(spark, dir, targetFileBytes = bytes / 4,
+      clusterBy = Seq("doc_id"))
+    assert(ids(read(dir)) == want) // rows unchanged
+    val files = GraftParquetV2.listFiles(dir)
+    assert(files.size >= 2, s"expected a multi-file packed table: $files")
+    // a point filter now plans a strict subset of the files
+    val filtered = read(dir).filter(col("doc_id") === lo)
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[graft.sources.GraftParquetScan]
+    }.getOrElse(fail("no GraftParquetScan in the plan"))
+    val planned = scan.planInputPartitions().length
+    assert(planned < files.size,
+      s"clustered zone maps must prune: planned $planned of ${files.size}")
+    assert(ids(filtered) == Seq(lo))
+  }
+
+  test("versionAsOf on a never-versioned table and unknown versions refuse loudly") {
+    val dir = tmp("refuse")
+    docs.limit(5).write.parquet(dir) // plain spark write: no log
+    val e1 = intercept[Exception](ids(read(dir, "versionAsOf" -> "1")))
+    assert(e1.getMessage.contains("no version log"))
+    val dir2 = tmp("refuse2")
+    slice(0).coalesce(1).write.format(fmt).option("path", dir2)
+      .mode("append").save()
+    val e2 = intercept[Exception](ids(read(dir2, "versionAsOf" -> "9")))
+    assert(e2.getMessage.contains("not found"))
+    val e3 = intercept[Exception](
+      ids(read(dir2, "versionAsOf" -> "1", "changesSince" -> "1")))
+    assert(e3.getMessage.contains("mutually exclusive"))
+  }
+}
