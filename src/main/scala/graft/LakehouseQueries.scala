@@ -176,6 +176,68 @@ object LakehouseQueries {
            |FROM documents d JOIN fresh f ON d.doc_id = f.doc_id
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** ROW-LEVEL DELETE under the hash gate ([[graft.sources
+    * .GraftMaintenance.delete]]): two appended generations, then
+    * `DELETE WHERE o_totalprice < 100000` — SQL delete semantics (TRUE
+    * goes; FALSE and NULL stay), committed as a new version with the
+    * selective-rewrite protocol (zone-map candidate selection is
+    * spec-asserted; the double predicate here makes every file a
+    * candidate — conservative, still exact). The oracle recomputes the
+    * complement straight from `orders`. */
+  val qDelete = QueryDef("q_dsv2_delete",
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_del")
+      slice(orders, 0).write.format(fmt).option("path", table)
+        .mode("append").save()
+      slice(orders, 1).write.format(fmt).option("path", table)
+        .mode("append").save()
+      GraftMaintenance.delete(spark, table,
+        col("o_totalprice") < lit(100000.0))
+      fingerprint(
+        spark.read.format(fmt).option("path", table).load())
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1) " +
+      "AND NOT coalesce(o_totalprice < 100000.0, FALSE)")))
+
+  /** MERGE under the hash gate ([[graft.sources.GraftMaintenance
+    * .merge]]): the table holds slice 0; the source UPDATES every
+    * eighth order (price doubled — binary-exact arithmetic, identical
+    * in both engines) and INSERTS slice 1. The merged head must equal
+    * the oracle's CASE-rewritten union; a lost update, a duplicated
+    * key, or a dropped insert breaks the hash. */
+  val qMerge = QueryDef("q_dsv2_merge",
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_mrg")
+      slice(orders, 0).write.format(fmt).option("path", table)
+        .mode("append").save()
+      val updates = slice(orders, 0)
+        .filter(pmod(col("o_orderkey"), lit(8)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = slice(orders, 1)
+      GraftMaintenance.merge(spark, table,
+        updates.unionByName(inserts), "o_orderkey")
+      fingerprint(
+        spark.read.format(fmt).option("path", table).load())
+    },
+    Some("""WITH merged AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |         CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2
+           |              ELSE o_totalprice END AS o_totalprice
+           |  FROM orders WHERE o_orderkey % 4 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderkey % 4 = 1
+           |)
+           |SELECT o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_price,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM merged
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest)
+    Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
+      qDelete, qMerge)
 }

@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, not}
 
 /** Maintenance operations over a graft table's version log
   * ([[GraftTableLog]]): COMPACT (bin-pack small files into a new
@@ -92,6 +93,154 @@ object GraftMaintenance {
     GraftTableLog.latestVersion(table).getOrElse(
       throw new IllegalStateException(
         s"graft compact: overwrite committed but no log version under $table"))
+  }
+
+  /** The files the pushdown machinery plans for this connector read —
+    * i.e. the files whose zone maps / partition values could NOT
+    * refute the DataFrame's filters. Unsupported predicates push
+    * nothing and every file is a candidate: conservative, never a
+    * wrongly skipped rewrite. */
+  private def plannedFiles(df: DataFrame): Seq[String] = {
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case s: GraftParquetScan => s.planInputPartitions().toSeq
+              .map(_.asInstanceOf[GraftFilePartition].file)
+            case _ => Nil
+          }
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+      }.flatten
+    scans(df.queryExecution.executedPlan).distinct
+  }
+
+  private def connectorRead(spark: SparkSession, table: String): DataFrame =
+    spark.read.format("graft.sources.GraftParquetTableProvider")
+      .option("path", table).load()
+
+  /** Shared selective-rewrite commit: the REWRITTEN rows replace the
+    * CANDIDATE files; every other file is untouched — no data read, no
+    * data written, just carried into the new version. Visibility for a
+    * racing reader is the overwrite protocol's shrink-then-grow (the
+    * candidates archive before the rewritten files rename in), never
+    * a duplicated-rows union. */
+  private def rewriteCommit(spark: SparkSession, table: String,
+      candidates: Seq[String], rewritten: DataFrame,
+      partCols: Seq[String]): Long = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(conf)
+    val tmp = s"$table/_rewrite-${java.util.UUID.randomUUID()}"
+    try {
+      // 1. write the rewritten rows to an invisible scratch graft table
+      //    (the job READS the candidate files — they are still live)
+      val w = rewritten.write
+        .format("graft.sources.GraftParquetTableProvider")
+        .option("path", tmp).mode(org.apache.spark.sql.SaveMode.Append)
+      (if (partCols.nonEmpty) w.option("partitionBy", partCols.mkString(","))
+      else w).save()
+      // 2. candidates out (shrink) …
+      candidates.foreach(f => GraftTableLog.archiveFile(table, f))
+      // 3. … rewritten files in (grow); staged layout mirrors the final
+      //    one, so this is rename-only
+      val moved = GraftParquetV2.listFiles(tmp).map { f =>
+        val rel = GraftTableLog.relativize(tmp, f)
+        val dest = new Path(root, rel)
+        if (rel.contains("/")) fs.mkdirs(dest.getParent)
+        require(fs.rename(new Path(f), dest),
+          s"graft rewrite: rename failed for $rel under $table")
+        rel
+      }
+      // 4. metadata: prior manifest minus the candidates, plus the
+      //    scratch table's own entries (footer stats rode its write)
+      val candBase = candidates.map(f => new Path(f).getName).toSet
+      val entries = GraftParquetWrite.rawManifestEntries(table)
+        .filterNot(e => candBase.contains(e.file)) ++
+        GraftParquetWrite.rawManifestEntries(tmp)
+      require(moved.map(r => new Path(r).getName).toSet
+        .subsetOf(entries.map(_.file).toSet) || moved.isEmpty,
+        s"graft rewrite: scratch manifest under $tmp is missing entries")
+      GraftParquetWrite.commitMetadata(table, entries,
+        java.util.UUID.randomUUID().toString)
+      GraftTableLog.latestVersion(table).getOrElse(
+        throw new IllegalStateException(
+          s"graft rewrite: commit left no log version under $table"))
+    } finally fs.delete(new Path(tmp), true)
+  }
+
+  /** ROW-LEVEL DELETE with zone-map-selective rewrite: only the files
+    * whose statistics could not REFUTE the predicate are read and
+    * rewritten (`plannedFiles` — the same refutation engine the scan
+    * uses); a range-clustered or partitioned table deletes a key range
+    * by rewriting ~the files that hold it, not the table. SQL DELETE
+    * semantics: rows where the predicate is TRUE go; FALSE and NULL
+    * stay. Returns the new head version (or the current one when no
+    * file could match — a provable no-op). */
+  def delete(spark: SparkSession, table: String, condition: Column): Long = {
+    val df = connectorRead(spark, table)
+    val candidates = plannedFiles(df.filter(condition))
+    if (candidates.isEmpty)
+      return GraftTableLog.latestVersion(table).getOrElse(0L)
+    val partCols = GraftParquetV2
+      .keyedLayout(table, df.schema).map(_._1).getOrElse(Nil)
+    val keep = spark.read.schema(df.schema).parquet(candidates: _*)
+      .filter(not(coalesce(condition, lit(false))))
+    rewriteCommit(spark, table, candidates, keep, partCols)
+  }
+
+  /** MERGE (upsert) with key-range-selective rewrite: source rows
+    * REPLACE same-key rows and INSERT otherwise (the
+    * [[graft.operators.Upsert]] semantics, committed into the table as
+    * a new version). Only files whose `keyCol` zone maps intersect the
+    * source's key range can hold a matching row — they rewrite; every
+    * other file is carried untouched, so a merge touching one day of a
+    * date-clustered 100 TB table rewrites that day's files, not the
+    * table. Source keys must be unique and non-null (ambiguous merges
+    * refuse loudly); source columns must cover the table schema. */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      keyCol: String): Long = {
+    val df = connectorRead(spark, table)
+    require(df.schema.fieldNames.toSet.subsetOf(
+      source.schema.fieldNames.toSet),
+      s"graft merge: source must carry every table column; missing " +
+        s"${df.schema.fieldNames.filterNot(source.schema.fieldNames.contains)
+          .mkString(",")}")
+    val src = source.select(df.schema.fieldNames.map(col).toSeq: _*)
+    val keyStats = src.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n"),
+      org.apache.spark.sql.functions.count(col(keyCol)).as("nk"),
+      org.apache.spark.sql.functions
+        .countDistinct(col(keyCol)).as("nd"),
+      min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi")).head()
+    require(keyStats.getLong(0) == keyStats.getLong(1),
+      s"graft merge: null merge keys in the source")
+    require(keyStats.getLong(1) == keyStats.getLong(2),
+      s"graft merge: duplicate source keys — ambiguous merge refused")
+    if (keyStats.getLong(0) == 0L)
+      return GraftTableLog.latestVersion(table).getOrElse(0L)
+    val cond = col(keyCol).between(lit(keyStats.get(3)), lit(keyStats.get(4)))
+    val candidates = plannedFiles(df.filter(cond))
+    val partCols = GraftParquetV2
+      .keyedLayout(table, df.schema).map(_._1).getOrElse(Nil)
+    if (candidates.isEmpty) {
+      // provably no matching keys anywhere: a pure insert — one
+      // ordinary transactional append
+      val w = src.write.format("graft.sources.GraftParquetTableProvider")
+        .option("path", table).mode(org.apache.spark.sql.SaveMode.Append)
+      (if (partCols.nonEmpty) w.option("partitionBy", partCols.mkString(","))
+      else w).save()
+      return GraftTableLog.latestVersion(table).getOrElse(
+        throw new IllegalStateException(
+          s"graft merge: append committed but no log version under $table"))
+    }
+    val candRows = spark.read.schema(df.schema).parquet(candidates: _*)
+    val survivors = candRows.join(
+      src.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .select(df.schema.fieldNames.map(col).toSeq: _*)
+    rewriteCommit(spark, table, candidates,
+      survivors.unionByName(src), partCols)
   }
 
   /** Reclaim history: keep the newest `retainLast` versions, delete

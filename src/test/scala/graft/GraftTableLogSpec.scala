@@ -216,6 +216,82 @@ class GraftTableLogSpec extends SparkSpec {
     assert(ids(filtered) == Seq(lo))
   }
 
+  test("selective delete: only files whose zone maps admit the predicate rewrite") {
+    val dir = tmp("del")
+    // two RANGE-DISJOINT files: A holds doc_id < split, B the rest
+    val split = ids(docs)(ids(docs).size / 2)
+    docs.filter(col("doc_id") < split).coalesce(1).write.format(fmt)
+      .option("path", dir).mode("append").save()
+    docs.filter(col("doc_id") >= split).coalesce(1).write.format(fmt)
+      .option("path", dir).mode("append").save()
+    val before = GraftParquetV2.listFiles(dir)
+    assert(before.size == 2)
+    val fileB = before.maxBy { f => // the high-range file
+      spark.read.parquet(f).agg(max("doc_id")).head.getLong(0)
+    }
+
+    val cut = ids(docs).head + (split - ids(docs).head) / 2
+    val v = GraftMaintenance.delete(spark, dir, col("doc_id") < cut)
+    assert(v == 3L)
+    // rows: exactly the predicate's complement
+    assert(ids(read(dir)) == ids(docs.filter(col("doc_id") >= cut)))
+    // file B was NOT rewritten: its exact path survives
+    assert(GraftParquetV2.listFiles(dir).contains(fileB),
+      "zone-map-disjoint file must be carried untouched")
+    // pre-delete version intact (until vacuumed)
+    assert(ids(read(dir, "versionAsOf" -> "2")) == ids(docs))
+    // deleting a range no file can hold is a provable no-op: no new version
+    assert(GraftMaintenance.delete(spark, dir,
+      col("doc_id") < ids(docs).head - 1000) == 3L)
+  }
+
+  test("delete keeps NULL-predicate rows (SQL DELETE semantics)") {
+    import spark.implicits._
+    val dir = tmp("delnull")
+    Seq((1L, Some(5.0)), (2L, None), (3L, Some(50.0)))
+      .toDF("id", "v").coalesce(1).write.format(fmt)
+      .option("path", dir).mode("append").save()
+    GraftMaintenance.delete(spark, dir, col("v") > 10.0)
+    val got = read(dir).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L), s"NULL-cond row must survive: $got")
+  }
+
+  test("merge: updates replace, inserts land, disjoint files carried untouched") {
+    val dir = tmp("merge")
+    val split = ids(docs)(ids(docs).size / 2)
+    val loDf = docs.filter(col("doc_id") < split)
+    val hiDf = docs.filter(col("doc_id") >= split)
+    loDf.coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    hiDf.coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    val fileB = GraftParquetV2.listFiles(dir).maxBy { f =>
+      spark.read.parquet(f).agg(max("doc_id")).head.getLong(0)
+    }
+    // source: update half the LOW file's rows, insert brand-new ids
+    // BELOW the low range — the high file's key range stays disjoint
+    val updates = loDf.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .withColumn("n_chars", col("n_chars") + 1000000L)
+    val inserts = loDf.limit(3)
+      .withColumn("doc_id", -col("doc_id") - 1)
+    val source = updates.unionByName(inserts)
+    GraftMaintenance.merge(spark, dir, source, "doc_id")
+
+    val want = loDf.withColumn("n_chars",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          col("n_chars") + 1000000L).otherwise(col("n_chars")))
+      .unionByName(hiDf).unionByName(inserts)
+    assert(read(dir).orderBy("doc_id").collect().toSeq ==
+      want.orderBy("doc_id").collect().toSeq)
+    assert(GraftParquetV2.listFiles(dir).contains(fileB),
+      "key-range-disjoint file must be carried untouched")
+    // ambiguous merges refuse
+    val dup = source.unionByName(source)
+    val e = intercept[Exception](
+      GraftMaintenance.merge(spark, dir, dup, "doc_id"))
+    assert(e.getMessage.contains("duplicate source keys"))
+  }
+
   test("versionAsOf on a never-versioned table and unknown versions refuse loudly") {
     val dir = tmp("refuse")
     docs.limit(5).write.parquet(dir) // plain spark write: no log
