@@ -97,7 +97,11 @@ class GraftParquetTable(path: String, tableSchema: StructType,
       optLong("changesSince"), optLong("changesUntil"))
     new GraftScanBuilder(path, tableSchema,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt)
-        .orElse(streamMaxFiles), travel)
+        .orElse(streamMaxFiles), travel,
+      // streaming-only: start the stream AFTER snapshot N — its files
+      // are pre-seen in the initial offset, so the first micro-batch
+      // carries only what landed since (the change feed, live)
+      optLong("startingVersion"))
   }
   // the write half: append/truncate with transactional ownership of the
   // stats-manifest sidecar — see [[GraftParquetWrite]] for the protocol
@@ -126,7 +130,8 @@ object GraftTimeTravel {
 
 class GraftScanBuilder(path: String, tableSchema: StructType,
     streamMaxFiles: Option[Int] = None,
-    travel: Option[GraftTimeTravel] = None)
+    travel: Option[GraftTimeTravel] = None,
+    streamStartVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -263,7 +268,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
       aggs.map(a => StructType(groupCols ++ GraftAggSpec.schema(a)))
         .getOrElse(required),
       pushed, limit, aggs, groupCols, topN, tableSchema, streamMaxFiles,
-      travel)
+      travel, streamStartVersion)
 }
 
 /** One pushed sort key (serialized to executors with the reader
@@ -328,7 +333,9 @@ case class GraftParquetScan(path: String, required: StructType,
     streamMaxFiles: Option[Int] = None,
     // versioned read target (versionAsOf / changesSince), resolved
     // against the table's _graft_log — None = the live table
-    travel: Option[GraftTimeTravel] = None)
+    travel: Option[GraftTimeTravel] = None,
+    // streaming-only: snapshot whose files the stream starts AFTER
+    streamStartVersion: Option[Long] = None)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -357,7 +364,8 @@ case class GraftParquetScan(path: String, required: StructType,
     require(keyedLayout.isEmpty,
       s"graft streaming read: partitioned table at $path is out of the " +
         "streaming source's scope (flat append tables only)")
-    new GraftMicroBatchStream(path, required, pushed, streamMaxFiles)
+    new GraftMicroBatchStream(path, required, pushed, streamMaxFiles,
+      streamStartVersion)
   }
 
   /** Planner-visible size: without this, a V2 relation defaults to
@@ -532,6 +540,9 @@ case class GraftParquetScan(path: String, required: StructType,
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    require(streamStartVersion.isEmpty,
+      "graft parquet v2: startingVersion is a STREAMING read option — " +
+        "for a batch delta use changesSince")
     val files = readTarget._1
     val conj = pushed ++ runtimeFilters
     val kept =
@@ -649,7 +660,8 @@ object GraftFileSetOffset {
   * [[SupportsTriggerAvailableNow]] pins the drain target at start;
   * admission control honors `maxFilesPerTrigger`. */
 class GraftMicroBatchStream(path: String, required: StructType,
-    pushed: Array[Filter], maxFilesPerTrigger: Option[Int])
+    pushed: Array[Filter], maxFilesPerTrigger: Option[Int],
+    startingVersion: Option[Long] = None)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def snapshot(): Seq[String] = GraftParquetV2.listFiles(path).sorted
@@ -664,7 +676,29 @@ class GraftMicroBatchStream(path: String, required: StructType,
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
-  override def initialOffset(): Offset = GraftFileSetOffset(Nil)
+  /** Fresh-checkpoint start: nothing seen — or, with `startingVersion`,
+    * snapshot N's files PRE-SEEN, so the stream tails exactly what
+    * landed after that version (the change feed, live). Only consulted
+    * for a new checkpoint; restarts resume from the stored offset. */
+  override def initialOffset(): Offset = startingVersion match {
+    case None => GraftFileSetOffset(Nil)
+    case Some(v) =>
+      val (rels, _) = GraftTableLog.readSnapshot(path, v)
+      // resolve against the LIVE table only: a snapshot file that is
+      // no longer live means an overwrite/compaction rewrote history —
+      // the append-only contract check below would refuse anyway, so
+      // refuse here with the better message
+      val live = snapshot()
+      val liveByRel = live.map(f =>
+        GraftTableLog.relativize(path, f) -> f).toMap
+      val missing = rels.filterNot(liveByRel.contains)
+      require(missing.isEmpty,
+        s"graft streaming read: startingVersion $v references " +
+          s"${missing.size} file(s) no longer live under $path — an " +
+          "overwrite or compaction rewrote history; start from a newer " +
+          "version or re-read versionAsOf")
+      GraftFileSetOffset(rels.map(liveByRel).sorted)
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

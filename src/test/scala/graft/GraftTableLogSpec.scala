@@ -292,6 +292,64 @@ class GraftTableLogSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate source keys"))
   }
 
+  test("streaming startingVersion: the stream tails only what landed after the snapshot") {
+    val dir = tmp("startv")
+    val ckpt = tmp("startv_ckpt")
+    slice(0).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    slice(1).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    slice(2).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()
+    val seen = collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format(fmt).option("path", dir)
+      .option("startingVersion", "1")
+      .schema(docs.schema).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.select("doc_id").collect().map(_.getLong(0))
+        }; ()
+      }.start()
+    q.awaitTermination()
+    // exactly the post-v1 appends: slices 1 and 2, never slice 0
+    assert(seen.sorted.toSeq == ids(slice(1).unionByName(slice(2))))
+    // batch reads refuse the streaming-only option loudly
+    val e = intercept[Exception](
+      read(dir, "startingVersion" -> "1").count())
+    assert(e.getMessage.contains("STREAMING read option"))
+  }
+
+  test("schema evolution across versions: old snapshots read under the widened schema") {
+    import spark.implicits._
+    val dir = tmp("evolve")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    // widen: an appended generation carries an extra column; the reader
+    // supplies the union schema externally (the connector's add-column
+    // evolution), old files read the new column as null
+    val widened = org.apache.spark.sql.types.StructType(
+      read(dir).schema.fields :+ org.apache.spark.sql.types.StructField(
+        "score", org.apache.spark.sql.types.DoubleType))
+    Seq((3L, "c", 1.5)).toDF("id", "name", "score").coalesce(1)
+      .write.format(fmt).option("path", dir).mode("append").save()
+    def readAs(opts: (String, String)*): DataFrame = {
+      val r = spark.read.format(fmt).schema(widened).option("path", dir)
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+    }
+    // head: all three rows, null score for the v1 generation
+    val head = readAs().orderBy("id").collect()
+    assert(head.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(head(0).isNullAt(2) && head(1).isNullAt(2) &&
+      head(2).getDouble(2) == 1.5)
+    // time travel to v1 under the widened schema: the old generation
+    // alone, score all-null — schema evolution composes with the log
+    val v1 = readAs("versionAsOf" -> "1").orderBy("id").collect()
+    assert(v1.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(v1.forall(_.isNullAt(2)))
+  }
+
   test("versionAsOf on a never-versioned table and unknown versions refuse loudly") {
     val dir = tmp("refuse")
     docs.limit(5).write.parquet(dir) // plain spark write: no log
