@@ -60,7 +60,10 @@ object PlanDump {
       "q_sample_quantiles_rollup" -> "sample-sketch partials (round 8): per-status sample_sketch k-row states (one partial-aggregated exchange of <=k (hash,value) pairs per group x task), the ALL level re-aggregates sketch BINARIES via sample_merge — lossless by the bottom-k union property, rollup input is sketch-cardinality rows",
       "q_heavy_hitters" -> "CMS screen -> exact verify (round 8): the d*w counter matrix broadcasts onto the distinct vocabulary, candidates clearing the estimate threshold broadcast BACK into the token scan (left-semi shape), exact counting groups candidate tokens only — the sketch-then-verify composition in one plan",
       "q_hilbert_cells" -> "Hilbert index (round 8): scan -> project with the hilbert16 codegen kernel (16 quadrant steps per row, no shuffle before the presentation sort) — the layout writer adds exactly one range exchange on the index",
-      "q_corpus_overlap_kmv" -> "KMV set ops (round 8): per-source bottom-k sketches (one partial-aggregated exchange), 190 source pairs scored by scalar kmv_union/kmv_jaccard over broadcast sketch ROWS — no second corpus pass, no pairwise shingle join")
+      "q_corpus_overlap_kmv" -> "KMV set ops (round 8): per-source bottom-k sketches (one partial-aggregated exchange), 190 source pairs scored by scalar kmv_union/kmv_jaccard over broadcast sketch ROWS — no second corpus pass, no pairwise shingle join",
+      "q_dsv2_time_travel" -> "table-format time travel (round 9): the scan node carries VersionAsOf — the file set comes from snapshot v2's log file (resolved live-first-then-archive), so the overwrite generation the LIVE table holds is invisible to the pinned read; zone maps travel WITH the snapshot",
+      "q_change_feed_ingest" -> "change-feed incremental ingest (round 9): the delta scan (ChangesSince in its node) plans ONLY the post-v1 files — a file-set difference of two snapshots, no data touched to find it; dedupAgainst then anti-joins 8-byte fingerprints against the baseline (VersionAsOf) scan, full rows shuffling once — work scales with the DELTA, not the corpus",
+      "q_dsv2_merge" -> "selective merge read-back (round 9): the plan is the packed head's fingerprint scan — the interesting work happened at commit, where only files whose key range intersected the source's [min,max] were rewritten (candidates picked by the scan's own zone-map refutation; the spec pins the untouched-file carry)")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"
