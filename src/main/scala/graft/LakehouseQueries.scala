@@ -42,12 +42,6 @@ object LakehouseQueries {
         "o_totalprice", "o_orderpriority")
       .filter(pmod(col("o_orderkey"), lit(4)) === k)
 
-  private def cleanup(path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      .delete(p, true)
-  }
-
   /** Status-grouped fingerprint aggregate — decimal-exact sum, so the
     * hash is stable at any file fan-out. */
   private def fingerprint(df: DataFrame): DataFrame =

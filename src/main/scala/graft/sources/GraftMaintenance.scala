@@ -142,17 +142,42 @@ object GraftMaintenance {
       (if (partCols.nonEmpty) w.option("partitionBy", partCols.mkString(","))
       else w).save()
       // 2. candidates out (shrink) …
-      candidates.foreach(f => GraftTableLog.archiveFile(table, f))
-      // 3. … rewritten files in (grow); staged layout mirrors the final
-      //    one, so this is rename-only
-      val moved = GraftParquetV2.listFiles(tmp).map { f =>
-        val rel = GraftTableLog.relativize(tmp, f)
-        val dest = new Path(root, rel)
-        if (rel.contains("/")) fs.mkdirs(dest.getParent)
-        require(fs.rename(new Path(f), dest),
-          s"graft rewrite: rename failed for $rel under $table")
-        rel
+      var archived = List.empty[String] // rels, for compensation
+      def unarchive(): Unit = archived.foreach { rel =>
+        val src = new Path(new Path(root, GraftTableLog.ArchiveDir), rel)
+        if (!fs.rename(src, new Path(root, rel)))
+          System.err.println(s"[graft] rewrite compensation FAILED to " +
+            s"restore $rel under $table - restore it manually from " +
+            GraftTableLog.ArchiveDir)
       }
+      try {
+        candidates.foreach { f =>
+          GraftTableLog.archiveFile(table, f)
+          archived ::= GraftTableLog.relativize(table, f)
+        }
+      } catch { case e: Throwable => unarchive(); throw e }
+      // 3. … rewritten files in (grow); staged layout mirrors the final
+      //    one, so this is rename-only. A failure here COMPENSATES: the
+      //    partially-moved rewritten files are removed FIRST (no
+      //    duplicated kept rows), then the archived candidates rename
+      //    back — the table returns to the pre-op generation instead of
+      //    the kept rows silently vanishing with the candidates.
+      var movedSoFar = List.empty[String]
+      val moved =
+        try GraftParquetV2.listFiles(tmp).map { f =>
+          val rel = GraftTableLog.relativize(tmp, f)
+          val dest = new Path(root, rel)
+          if (rel.contains("/")) fs.mkdirs(dest.getParent)
+          require(fs.rename(new Path(f), dest),
+            s"graft rewrite: rename failed for $rel under $table")
+          movedSoFar ::= rel
+          rel
+        } catch {
+          case e: Throwable =>
+            movedSoFar.foreach(rel => fs.delete(new Path(root, rel), false))
+            unarchive()
+            throw e
+        }
       // 4. metadata: prior manifest minus the candidates, plus the
       //    scratch table's own entries (footer stats rode its write)
       val candBase = candidates.map(f => new Path(f).getName).toSet

@@ -408,12 +408,11 @@ case class GraftParquetScan(path: String, required: StructType,
     else {
       // a versioned target's size is ITS files' bytes (live listing
       // could be arbitrarily off for an archived generation or a
-      // small delta) — still filesystem metadata only
-      val conf = new org.apache.hadoop.conf.Configuration()
-      readTarget._1.map { f =>
-        val p = new Path(f)
-        p.getFileSystem(conf).getFileStatus(p).getLen
-      }.sum
+      // small delta) — two directory LISTINGS (live + archive), not
+      // one getFileStatus RPC per file: planning cost stays
+      // O(directories) on an object store
+      val sizes = GraftTableLog.fileSizes(path)
+      readTarget._1.map(f => sizes.getOrElse(f, 0L)).sum
     }
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =

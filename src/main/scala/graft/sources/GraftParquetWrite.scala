@@ -567,37 +567,40 @@ object GraftParquetWrite {
       var attempt = 0
       var committed = false
       while (!committed) {
-        // heal an aged-torn HEAD first (a crashed writer's last claim):
-        // otherwise the torn number stays in the version listing forever
-        // — readable by nobody, skipped by every new claim
+        // heal an aged-torn HEAD (a crashed writer's last claim):
+        // otherwise the torn number stays in the version listing —
+        // readable by nobody. A FRESH torn head (a live cross-JVM
+        // writer mid-write, or a crash inside the heal horizon) is
+        // left alone and simply claimed PAST — commits never block on
+        // it; the number heals once aged
         GraftTableLog.latestVersion(path)
           .foreach(GraftTableLog.healTornSnapshot(path, _))
+        // list-then-recheck: the listing must not be STALER than the
+        // version number we claim, or a cross-JVM writer that renamed
+        // its files and claimed a version while we listed would leave
+        // our later-numbered snapshot MISSING its files (a version
+        // whose history went backwards). If the head moved while we
+        // listed, re-list.
+        val v0 = GraftTableLog.latestVersion(path).getOrElse(0L)
         val rels = GraftParquetV2.listFiles(path)
           .map(GraftTableLog.relativize(path, _))
-        val version = GraftTableLog.latestVersion(path).getOrElse(0L) + 1L
-        // a torn snapshot at the target number (a crashed writer's
-        // litter, aged past the in-flight window) is healed — deleted
-        // and re-claimed — rather than blocking the number forever; a
-        // FRESH torn file belongs to a live cross-JVM writer, so we
-        // just re-list and claim the next number
-        if (GraftTableLog.healTornSnapshot(path, version)) {
+        if (GraftTableLog.latestVersion(path).getOrElse(0L) == v0) {
           try {
-            GraftTableLog.writeSnapshot(path, version, writeId, rels, entries)
+            GraftTableLog.writeSnapshot(path, v0 + 1L, writeId, rels, entries)
             committed = true
           } catch {
-            case e: java.io.IOException =>
+            case e: java.io.IOException => // claim lost — re-list, retry
               attempt += 1
               if (attempt > 50) throw new IllegalStateException(
                 s"graft parquet v2 write: lost the version-claim race 50 " +
                   s"times under $path — giving up", e)
           }
-        } else {
-          attempt += 1
-          if (attempt > 50) throw new IllegalStateException(
-            s"graft parquet v2 write: version head under $path blocked " +
-              "by a fresh unreadable snapshot after 50 attempts")
-          Thread.sleep(100)
         }
+        // files renamed in by a writer that claims AFTER us are absent
+        // from our snapshot by design: they belong to ITS version, and
+        // its snapshot (built from a listing at least as fresh as its
+        // number) carries them — the change feed shows them as that
+        // version's delta.
       }
     }
     replaceManifest(path, entries, writeId)

@@ -129,28 +129,41 @@ object GraftTableLog {
     val mt = GraftParquetWrite.messageType(logSchema)
     val factory = new SimpleGroupFactory(mt)
     val out = snapshotPath(table, version)
+    // the CREATE below is the claim — a collision throws before any
+    // byte is written and propagates to the caller's retry loop
     val w = ExampleParquetWriter
       .builder(HadoopOutputFile.fromPath(out, conf))
       .withType(mt)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
-    try relPaths.sorted.foreach { rel =>
-      val base = new Path(rel).getName
-      val rows = byBase.getOrElse(base, Nil)
-      if (rows.isEmpty) {
-        val g = factory.newGroup()
-        g.add(0, rel); g.add(1, base); g.add(2, ""); g.add(3, "present")
-        g.add(9, 0L)
-        w.write(g)
-      } else rows.foreach { e =>
-        val g = factory.newGroup()
-        g.add(0, rel); g.add(1, e.file); g.add(2, e.column); g.add(3, e.kind)
-        e.minLong.foreach(g.add(4, _)); e.maxLong.foreach(g.add(5, _))
-        e.minStr.foreach(g.add(6, _)); e.maxStr.foreach(g.add(7, _))
-        e.nullCount.foreach(g.add(8, _)); g.add(9, e.valueCount)
-        w.write(g)
-      }
-    } finally w.close()
+    // once the claim SUCCEEDED, a mid-write failure (disk full, FS
+    // hiccup) must not leave a torn file squatting on the number —
+    // delete our own partial before rethrowing, so the caller's retry
+    // can re-claim instead of the log carrying an unreadable version
+    try {
+      try relPaths.sorted.foreach { rel =>
+        val base = new Path(rel).getName
+        val rows = byBase.getOrElse(base, Nil)
+        if (rows.isEmpty) {
+          val g = factory.newGroup()
+          g.add(0, rel); g.add(1, base); g.add(2, ""); g.add(3, "present")
+          g.add(9, 0L)
+          w.write(g)
+        } else rows.foreach { e =>
+          val g = factory.newGroup()
+          g.add(0, rel); g.add(1, e.file); g.add(2, e.column); g.add(3, e.kind)
+          e.minLong.foreach(g.add(4, _)); e.maxLong.foreach(g.add(5, _))
+          e.minStr.foreach(g.add(6, _)); e.maxStr.foreach(g.add(7, _))
+          e.nullCount.foreach(g.add(8, _)); g.add(9, e.valueCount)
+          w.write(g)
+        }
+      } finally w.close()
+    } catch {
+      case e: Throwable =>
+        try out.getFileSystem(conf).delete(out, false)
+        catch { case _: Exception => () } // best effort; heal covers it
+        throw e
+    }
   }
 
   /** A crash mid-snapshot leaves a torn parquet at a claimed version
@@ -173,10 +186,17 @@ object GraftTableLog {
     // FRESH unreadable file is a cross-JVM writer's snapshot MID-WRITE,
     // and deleting it under them would corrupt their claim. (In-JVM
     // writers are serialized by commitMetadata's per-table lock and
-    // never see each other's partial writes.)
+    // never see each other's partial writes; commits never BLOCK on a
+    // fresh torn head either — they claim past it.) The horizon must
+    // comfortably exceed the slowest plausible snapshot write — it is
+    // manifest-scale metadata, but a congested object store can be
+    // slow; tune via -Dgraft.log.healHorizonMs for such deployments.
+    val horizonMs =
+      sys.props.get("graft.log.healHorizonMs").map(_.toLong)
+        .getOrElse(600000L) // 10 min
     val ageMs = System.currentTimeMillis() - fs.getFileStatus(p)
       .getModificationTime
-    if (ageMs > 60000L) { fs.delete(p, false); true } else false
+    if (ageMs > horizonMs) { fs.delete(p, false); true } else false
   }
 
   /** Snapshot `version`: (rel paths, basename → column → zone map).
@@ -247,11 +267,14 @@ object GraftTableLog {
     }
   }
 
-  /** Full path under `root` → path relative to it. */
+  /** Full path under `root` → path relative to it. The containment
+    * check is boundary-aware: `/data/tbl_old/x` is NOT under
+    * `/data/tbl` even though the string prefix matches. */
   def relativize(root: String, file: String): String = {
-    val rootPath = new Path(root).toUri.getPath
+    val rootPath = new Path(root).toUri.getPath.stripSuffix("/")
     val filePath = new Path(file).toUri.getPath
-    require(filePath.startsWith(rootPath),
+    require(filePath == rootPath ||
+      filePath.startsWith(rootPath + "/"),
       s"graft table log: $file is not under $root")
     filePath.stripPrefix(rootPath).stripPrefix("/")
   }
@@ -270,6 +293,27 @@ object GraftTableLog {
     fs.mkdirs(dest.getParent)
     require(fs.rename(new Path(fullPath), dest),
       s"graft table log: archive rename failed for $rel under $table")
+  }
+
+  /** On-disk byte sizes of every live AND archived data file, keyed by
+    * FULL path — from two recursive listings (the same metadata
+    * planning already pays), never per-file status RPCs. */
+  def fileSizes(table: String): Map[String, Long] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(conf)
+    val out = collection.mutable.Map.empty[String, Long]
+    GraftParquetV2.listFileStatuses(table)
+      .foreach(st => out(st.getPath.toString) = st.getLen)
+    val archRoot = new Path(root, ArchiveDir)
+    if (fs.exists(archRoot)) {
+      def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet"))
+          out(st.getPath.toString) = st.getLen
+      }
+      walk(archRoot)
+    }
+    out.toMap
   }
 
   /** The append delta files(until) \ files(since), with the history
