@@ -270,7 +270,7 @@ object Catalog {
       RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       EventQueries.all ++ MultimodalQueries.all ++ PipelineQueries.all ++
       JoinQueries.all ++ AnalyticQueries.all ++ StreamingQueries.all ++
-      LakehouseQueries.all
+      LakehouseQueries.all ++ MomentQueries.all
 
   /** The weak-by-role ledger, machine-readable: every [[OracleTwin]]
     * entry with the scale paths a deployment uses instead (each itself

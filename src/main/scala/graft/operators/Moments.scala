@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ORDER-INDEPENDENT statistical moments: correlation, variance/stddev,
+  * skewness, kurtosis, and closed-form simple linear regression —
+  * derived from DECIMAL-EXACT power sums instead of Spark's built-in
+  * float aggregates.
+  *
+  * Why not `corr()`/`stddev()`/`skewness()`: the built-ins merge
+  * per-partition float states (Welford-style) in PARTITION ORDER —
+  * re-running the same query over the same data with a different task
+  * fan-out can change the last ulps of the answer. At 100 TB that
+  * makes statistical QA non-reproducible run to run. Here every
+  * power sum (Σx, Σx², Σx³, Σx⁴, Σy, Σy², Σxy) accumulates in exact
+  * DECIMAL arithmetic — a pure multiset function of the rows, same
+  * bits at ANY partitioning — and the closed-form moment formulas run
+  * once on the tiny per-group sum rows. The final arithmetic is
+  * IEEE-exact double ops (+,−,×,÷,sqrt are all correctly rounded), so
+  * the whole result is bit-deterministic end to end and needs NO
+  * rounding for the oracle hash (the Catalog determinism convention:
+  * round only libm, emit rational arithmetic unrounded).
+  *
+  * The formulas live here as SQL TEXT evaluated via `expr(...)` on the
+  * Spark side and inlined verbatim into the DuckDB mirror — one
+  * parse-identical arithmetic tree on both engines.
+  *
+  * Scale: one partial-aggregated exchange of 8 decimal sums per
+  * (group × task); the moment math touches group-cardinality rows.
+  * Reference context: the reference computes no statistics at all
+  * (`/root/reference/pipelines/`, all four mains) — this family is
+  * part of the
+  * LLM-pipeline extension surface (feature QA / probe fitting over
+  * corpus statistics). */
+object Moments {
+
+  // n·variance numerators — the degenerate-group guards key on these
+  // (ANSI double division by zero THROWS in Spark 4; a constant column
+  // must yield NULL, deterministically on both engines, not an error)
+  private val nVarX = "(n*sxx - sx*sx)"
+  private val nVarY = "(n*syy - sy*sy)"
+
+  /** Population variance from power sums. */
+  val varPopF = s"$nVarX / (n*n)"
+  val stddevPopF = s"sqrt($varPopF)"
+
+  /** Population skewness: m3 / m2^1.5 (the ^1.5 written as m2*sqrt(m2)
+    * — pow() is not correctly rounded; sqrt and × are). NULL when the
+    * column is constant (zero variance). */
+  val skewPopF = s"CASE WHEN $nVarX = 0 THEN NULL ELSE " +
+    "((n*n*sxxx - 3*n*sx*sxx + 2*sx*sx*sx) / (n*n*n)) / " +
+    s"(($varPopF) * sqrt($varPopF)) END"
+
+  /** Population excess kurtosis: m4 / m2² − 3; NULL on zero variance. */
+  val kurtPopF = s"CASE WHEN $nVarX = 0 THEN NULL ELSE " +
+    "((n*n*n*sxxxx - 4*n*n*sx*sxxx + 6*n*sx*sx*sxx - 3*sx*sx*sx*sx) " +
+    s"/ (n*n*n*n)) / (($varPopF) * ($varPopF)) - 3.0 END"
+
+  /** Pearson correlation; NULL when either side is constant. */
+  val corrF = s"CASE WHEN $nVarX = 0 OR $nVarY = 0 THEN NULL ELSE " +
+    s"(n*sxy - sx*sy) / (sqrt($nVarX) * sqrt($nVarY)) END"
+
+  /** Ordinary-least-squares y = slope·x + intercept; NULL slope (and
+    * so NULL intercept/r²) when x is constant. */
+  val slopeF = s"CASE WHEN $nVarX = 0 THEN NULL ELSE " +
+    s"(n*sxy - sx*sy) / $nVarX END"
+  val interceptF = s"(sy - ($slopeF)*sx) / n"
+  val r2F = s"($corrF) * ($corrF)"
+
+  /** Decimal-exact power sums per group, cast to double LAST.
+    * `x`/`y` must already be DECIMAL columns whose powers stay inside
+    * decimal(38) — the caller owns the cast grain (see
+    * [[powerSumsSql]] for the mirrored text). */
+  def powerSums(df: DataFrame, groupCols: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    val x2 = (x * x).cast("decimal(15,4)")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(x2).cast("double").as("sxx"),
+        sum((x2 * x).cast("decimal(25,6)")).cast("double").as("sxxx"),
+        sum(x2 * x2).cast("double").as("sxxxx"),
+        sum(y).cast("double").as("sy"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+  }
+
+  /** The DuckDB mirror of [[powerSums]] — same casts, same grains. */
+  def powerSumsSql(table: String, xRaw: String, yRaw: String,
+      groupCol: String): String =
+    s"""SELECT $groupCol,
+       |       CAST(count(*) AS DOUBLE) AS n,
+       |       CAST(sum(x) AS DOUBLE) AS sx,
+       |       CAST(sum(x2) AS DOUBLE) AS sxx,
+       |       CAST(sum(CAST(x2*x AS DECIMAL(25,6))) AS DOUBLE) AS sxxx,
+       |       CAST(sum(x2*x2) AS DOUBLE) AS sxxxx,
+       |       CAST(sum(y) AS DOUBLE) AS sy,
+       |       CAST(sum(y*y) AS DOUBLE) AS syy,
+       |       CAST(sum(x*y) AS DOUBLE) AS sxy
+       |FROM (SELECT $groupCol,
+       |             CAST($xRaw AS DECIMAL(9,2)) AS x,
+       |             CAST(CAST($xRaw AS DECIMAL(9,2)) *
+       |                  CAST($xRaw AS DECIMAL(9,2)) AS DECIMAL(15,4)) AS x2,
+       |             CAST($yRaw AS DECIMAL(12,2)) AS y
+       |      FROM $table)
+       |GROUP BY $groupCol""".stripMargin
+
+  /** Moment statistics per group: stddev/skewness/kurtosis of `x`,
+    * correlation of (x, y) — unrounded doubles, bit-deterministic. */
+  def momentStats(df: DataFrame, groupCols: Seq[String], x: Column,
+      y: Column): DataFrame =
+    powerSums(df, groupCols, x, y).select(
+      groupCols.map(col) ++ Seq(
+        col("n").cast("long").as("n_rows"),
+        expr(stddevPopF).as("stddev_x"),
+        expr(skewPopF).as("skew_x"),
+        expr(kurtPopF).as("kurt_x"),
+        expr(corrF).as("corr_xy")): _*)
+
+  /** Closed-form OLS fit per group: slope, intercept, r². */
+  def linearFit(df: DataFrame, groupCols: Seq[String], x: Column,
+      y: Column): DataFrame =
+    powerSums(df, groupCols, x, y).select(
+      groupCols.map(col) ++ Seq(
+        col("n").cast("long").as("n_rows"),
+        expr(slopeF).as("slope"),
+        expr(interceptF).as("intercept"),
+        expr(r2F).as("r2")): _*)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Moments
+
+/** [[graft.operators.Moments]]: order-independent moments from
+  * decimal-exact power sums — bit-identical at any partitioning,
+  * numerically agreeing with Spark's built-ins, exact on planted
+  * closed-form cases. */
+class MomentsSpec extends SparkSpec {
+
+  private def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+  private val x = col("l_quantity").cast("decimal(9,2)")
+  private val y = col("l_extendedprice").cast("decimal(12,2)")
+
+  test("bit-identical at any partitioning (the built-ins are not guaranteed this)") {
+    val a = Moments.momentStats(li.repartition(2), Seq("l_returnflag"), x, y)
+      .orderBy("l_returnflag").collect()
+    val b = Moments.momentStats(li.repartition(17), Seq("l_returnflag"), x, y)
+      .orderBy("l_returnflag").collect()
+    val c = Moments.momentStats(li.coalesce(1), Seq("l_returnflag"), x, y)
+      .orderBy("l_returnflag").collect()
+    // exact Row equality — doubles compared bit-for-bit via ==
+    assert(a.toSeq == b.toSeq && b.toSeq == c.toSeq)
+  }
+
+  test("numerically agrees with Spark's built-in aggregates") {
+    val ours = Moments.momentStats(li, Seq("l_returnflag"), x, y)
+      .orderBy("l_returnflag").collect()
+    val ref = li.groupBy("l_returnflag")
+      .agg(stddev_pop("l_quantity").as("sd"),
+        skewness("l_quantity").as("sk"),
+        kurtosis("l_quantity").as("ku"),
+        corr("l_quantity", "l_extendedprice").as("co"))
+      .orderBy("l_returnflag").collect()
+    ours.zip(ref).foreach { case (o, r) =>
+      assert(math.abs(o.getDouble(2) - r.getDouble(1)) < 1e-6, "stddev")
+      assert(math.abs(o.getDouble(3) - r.getDouble(2)) < 1e-6, "skewness")
+      assert(math.abs(o.getDouble(4) - r.getDouble(3)) < 1e-6, "kurtosis")
+      assert(math.abs(o.getDouble(5) - r.getDouble(4)) < 1e-9, "corr")
+    }
+  }
+
+  test("OLS on an exactly linear relation recovers slope/intercept/r2 exactly") {
+    import spark.implicits._
+    // y = 3x + 7 over x = 1..100, in exactly representable values
+    val df = (1 to 100).map(i => (i.toDouble, 3.0 * i + 7.0, "g"))
+      .toDF("xv", "yv", "g")
+    val fit = Moments.linearFit(df, Seq("g"),
+      col("xv").cast("decimal(9,2)"), col("yv").cast("decimal(12,2)"))
+      .head()
+    assert(fit.getDouble(2) == 3.0, s"slope ${fit.getDouble(2)}")
+    assert(fit.getDouble(3) == 7.0, s"intercept ${fit.getDouble(3)}")
+    // r² = corr·corr carries one rounding step; exact to 1 ulp-ish
+    assert(math.abs(fit.getDouble(4) - 1.0) < 1e-12, s"r2 ${fit.getDouble(4)}")
+  }
+
+  test("constant columns yield NULL (guarded), not an ANSI divide-by-zero error") {
+    import spark.implicits._
+    val df = Seq((1.0, 5.0, "g"), (2.0, 5.0, "g")).toDF("xv", "yv", "g")
+    val m = Moments.momentStats(df, Seq("g"),
+      col("xv").cast("decimal(9,2)"), col("yv").cast("decimal(12,2)"))
+      .head()
+    assert(m.isNullAt(5), "corr with zero y-variance must be NULL")
+    // constant x: skew/kurt/corr/slope all NULL, stddev 0
+    val m2 = Moments.momentStats(df, Seq("g"),
+      col("yv").cast("decimal(9,2)"), col("xv").cast("decimal(12,2)"))
+      .head()
+    assert(m2.getDouble(2) == 0.0 && m2.isNullAt(3) && m2.isNullAt(4) &&
+      m2.isNullAt(5))
+    val fit = Moments.linearFit(df, Seq("g"),
+      col("yv").cast("decimal(9,2)"), col("xv").cast("decimal(12,2)"))
+      .head()
+    assert(fit.isNullAt(2) && fit.isNullAt(3) && fit.isNullAt(4))
+  }
+}
