@@ -50,5 +50,40 @@ object MomentQueries {
             |       ${Moments.r2F} AS r2
             |FROM sums ORDER BY l_returnflag""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(qMomentStats, qLinearProbe)
+  /** Reaggregable moment partials — the sketch-partials pattern with
+    * EXACT algebra: per-flag decimal power sums are stored once; the
+    * ALL level re-aggregates the SUM ROWS by decimal addition (sums of
+    * sums ≡ sums over the union, bit for bit — no loss to prove, it is
+    * arithmetic). One corpus scan answers both levels; the per-flag
+    * exchange must be reused by the ALL branch at runtime. */
+  val qMomentRollup = QueryDef("q_moment_rollup",
+    (spark, dir) => {
+      val sums = Moments.powerSumsExact(
+        Tables.lineitem(spark, dir), Seq("l_returnflag"), x, y)
+      val perFlag = Moments.statsFromSums(sums, Seq("l_returnflag"))
+      val allLevel = Moments.statsFromSums(
+        Moments.mergeSums(sums, Nil), Nil)
+        .select(lit("ALL").as("l_returnflag"), col("n_rows"),
+          col("stddev_x"), col("skew_x"), col("kurt_x"), col("corr_xy"))
+      perFlag.unionByName(allLevel).orderBy("l_returnflag")
+    },
+    Some {
+      val exactCte = Moments.powerSumsExactSql(
+        "lineitem", "l_quantity", "l_extendedprice", "l_returnflag")
+      s"""WITH sums AS ($exactCte),
+         |all_sums AS (${Moments.mergeSumsSql("sums")}),
+         |lv1 AS (SELECT l_returnflag, ${Moments.doubleFrameSqlCols}
+         |        FROM sums),
+         |lv0 AS (SELECT 'ALL' AS l_returnflag, ${Moments.doubleFrameSqlCols}
+         |        FROM all_sums),
+         |both_levels AS (SELECT * FROM lv1 UNION ALL SELECT * FROM lv0)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+         |       ${Moments.stddevPopF} AS stddev_x,
+         |       ${Moments.skewPopF} AS skew_x,
+         |       ${Moments.kurtPopF} AS kurt_x,
+         |       ${Moments.corrF} AS corr_xy
+         |FROM both_levels ORDER BY l_returnflag""".stripMargin
+    })
+
+  def all: Seq[QueryDef] = Seq(qMomentStats, qLinearProbe, qMomentRollup)
 }

@@ -68,24 +68,113 @@ object Moments {
   val interceptF = s"(sy - ($slopeF)*sx) / n"
   val r2F = s"($corrF) * ($corrF)"
 
-  /** Decimal-exact power sums per group, cast to double LAST.
+  /** The REAGGREGABLE wire form: decimal-exact power sums per group at
+    * FIXED decimal grains — the moments analogue of the sketch-partials
+    * surface (hll_merge, dd_merge, …), except the merge is literal
+    * decimal ADDITION, so reaggregation is not merely lossless but
+    * exact algebra: sums-of-sums ≡ sums-over-union, bit for bit. Store
+    * these rows once; answer any rollup level without re-scanning.
     * `x`/`y` must already be DECIMAL columns whose powers stay inside
-    * decimal(38) — the caller owns the cast grain (see
-    * [[powerSumsSql]] for the mirrored text). */
-  def powerSums(df: DataFrame, groupCols: Seq[String], x: Column,
+    * the fixed grains (see [[powerSumsSql]] for the mirrored text). */
+  def powerSumsExact(df: DataFrame, groupCols: Seq[String], x: Column,
       y: Column): DataFrame = {
     val x2 = (x * x).cast("decimal(15,4)")
     df.groupBy(groupCols.map(col): _*)
       .agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(x).cast("double").as("sx"),
-        sum(x2).cast("double").as("sxx"),
-        sum((x2 * x).cast("decimal(25,6)")).cast("double").as("sxxx"),
-        sum(x2 * x2).cast("double").as("sxxxx"),
-        sum(y).cast("double").as("sy"),
-        sum(y * y).cast("double").as("syy"),
-        sum(x * y).cast("double").as("sxy"))
+        count(lit(1)).as("cnt"),
+        sum(x).cast("decimal(28,2)").as("dsx"),
+        sum(x2).cast("decimal(32,4)").as("dsxx"),
+        sum((x2 * x).cast("decimal(25,6)")).cast("decimal(34,6)").as("dsxxx"),
+        sum(x2 * x2).cast("decimal(36,8)").as("dsxxxx"),
+        sum(y).cast("decimal(30,2)").as("dsy"),
+        sum(y * y).cast("decimal(34,4)").as("dsyy"),
+        sum(x * y).cast("decimal(32,4)").as("dsxy"))
   }
+
+  /** Merge stored sum rows up a rollup level: exact decimal addition. */
+  def mergeSums(sums: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) sums.groupBy()
+      else sums.groupBy(groupCols.map(col): _*)
+    grouped.agg(
+      sum("cnt").cast("long").as("cnt"),
+      sum("dsx").cast("decimal(28,2)").as("dsx"),
+      sum("dsxx").cast("decimal(32,4)").as("dsxx"),
+      sum("dsxxx").cast("decimal(34,6)").as("dsxxx"),
+      sum("dsxxxx").cast("decimal(36,8)").as("dsxxxx"),
+      sum("dsy").cast("decimal(30,2)").as("dsy"),
+      sum("dsyy").cast("decimal(34,4)").as("dsyy"),
+      sum("dsxy").cast("decimal(32,4)").as("dsxy"))
+  }
+
+  /** Double-cast view of a sum row (the formulas' working frame). */
+  private def doubleFrame(sums: DataFrame, groupCols: Seq[String]): DataFrame =
+    sums.select(groupCols.map(col) ++ Seq(
+      col("cnt").cast("double").as("n"),
+      col("dsx").cast("double").as("sx"),
+      col("dsxx").cast("double").as("sxx"),
+      col("dsxxx").cast("double").as("sxxx"),
+      col("dsxxxx").cast("double").as("sxxxx"),
+      col("dsy").cast("double").as("sy"),
+      col("dsyy").cast("double").as("syy"),
+      col("dsxy").cast("double").as("sxy")): _*)
+
+  /** Decimal-exact power sums per group, cast to double LAST. */
+  def powerSums(df: DataFrame, groupCols: Seq[String], x: Column,
+      y: Column): DataFrame =
+    doubleFrame(powerSumsExact(df, groupCols, x, y), groupCols)
+
+  /** Moment statistics FROM stored sum rows (any rollup level). */
+  def statsFromSums(sums: DataFrame, groupCols: Seq[String]): DataFrame =
+    doubleFrame(sums, groupCols).select(
+      groupCols.map(col) ++ Seq(
+        col("n").cast("long").as("n_rows"),
+        expr(stddevPopF).as("stddev_x"),
+        expr(skewPopF).as("skew_x"),
+        expr(kurtPopF).as("kurt_x"),
+        expr(corrF).as("corr_xy")): _*)
+
+  /** DuckDB mirror of [[powerSumsExact]] — decimal partials at the
+    * same fixed grains (group column first). */
+  def powerSumsExactSql(table: String, xRaw: String, yRaw: String,
+      groupCol: String): String =
+    s"""SELECT $groupCol,
+       |       count(*) AS cnt,
+       |       CAST(sum(x) AS DECIMAL(28,2)) AS dsx,
+       |       CAST(sum(x2) AS DECIMAL(32,4)) AS dsxx,
+       |       CAST(sum(CAST(x2*x AS DECIMAL(25,6))) AS DECIMAL(34,6)) AS dsxxx,
+       |       CAST(sum(x2*x2) AS DECIMAL(36,8)) AS dsxxxx,
+       |       CAST(sum(y) AS DECIMAL(30,2)) AS dsy,
+       |       CAST(sum(y*y) AS DECIMAL(34,4)) AS dsyy,
+       |       CAST(sum(x*y) AS DECIMAL(32,4)) AS dsxy
+       |FROM (SELECT $groupCol,
+       |             CAST($xRaw AS DECIMAL(9,2)) AS x,
+       |             CAST(CAST($xRaw AS DECIMAL(9,2)) *
+       |                  CAST($xRaw AS DECIMAL(9,2)) AS DECIMAL(15,4)) AS x2,
+       |             CAST($yRaw AS DECIMAL(12,2)) AS y
+       |      FROM $table)
+       |GROUP BY $groupCol""".stripMargin
+
+  /** Mirror of [[mergeSums]] over a named sums relation (grand total —
+    * no group column). */
+  def mergeSumsSql(sumsRel: String): String =
+    s"""SELECT CAST(sum(cnt) AS BIGINT) AS cnt,
+       |       CAST(sum(dsx) AS DECIMAL(28,2)) AS dsx,
+       |       CAST(sum(dsxx) AS DECIMAL(32,4)) AS dsxx,
+       |       CAST(sum(dsxxx) AS DECIMAL(34,6)) AS dsxxx,
+       |       CAST(sum(dsxxxx) AS DECIMAL(36,8)) AS dsxxxx,
+       |       CAST(sum(dsy) AS DECIMAL(30,2)) AS dsy,
+       |       CAST(sum(dsyy) AS DECIMAL(34,4)) AS dsyy,
+       |       CAST(sum(dsxy) AS DECIMAL(32,4)) AS dsxy
+       |FROM $sumsRel""".stripMargin
+
+  /** Mirror of the double-cast working frame over a sums relation. */
+  def doubleFrameSqlCols: String =
+    """CAST(cnt AS DOUBLE) AS n,
+      |CAST(dsx AS DOUBLE) AS sx, CAST(dsxx AS DOUBLE) AS sxx,
+      |CAST(dsxxx AS DOUBLE) AS sxxx, CAST(dsxxxx AS DOUBLE) AS sxxxx,
+      |CAST(dsy AS DOUBLE) AS sy, CAST(dsyy AS DOUBLE) AS syy,
+      |CAST(dsxy AS DOUBLE) AS sxy""".stripMargin
 
   /** The DuckDB mirror of [[powerSums]] — same casts, same grains. */
   def powerSumsSql(table: String, xRaw: String, yRaw: String,
