@@ -85,5 +85,16 @@ object MomentQueries {
          |FROM both_levels ORDER BY l_returnflag""".stripMargin
     })
 
-  def all: Seq[QueryDef] = Seq(qMomentStats, qLinearProbe, qMomentRollup)
+  /** Chi-squared independence of language × source over the documents
+    * corpus + Cramér's V — the per-ingest drift check (did the source
+    * mix shift the language distribution?). Full r×c grid including
+    * zero-observed cells; per-cell terms 6dp-rounded then EXACTLY
+    * summed as decimals, so the statistic is order-independent. */
+  val qChi2 = QueryDef("q_chi2_lang_source",
+    (spark, dir) => graft.operators.Moments.chiSquare(
+      Tables.documents(spark, dir), "lang", "source"),
+    Some(graft.operators.Moments.chiSquareSql("documents", "lang", "source")))
+
+  def all: Seq[QueryDef] =
+    Seq(qMomentStats, qLinearProbe, qMomentRollup, qChi2)
 }

@@ -791,7 +791,95 @@ object StreamingQueries {
            |FROM events
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** STREAMING MOMENTS under the hash gate — the exact-power-sum
+    * surface ([[graft.operators.Moments]]) proven stream ≡ batch the
+    * strong way: each micro-batch contributes DECIMAL-EXACT per-type
+    * partials (count, Σv, Σv²), the driver merges them with BigDecimal
+    * addition (exact — so the totals are bit-identical to a batch pass
+    * no matter how admission control slices the files), and the final
+    * mean/stddev run the shared IEEE formula tree over the merged
+    * sums. Spark's own streaming float aggregates could not make this
+    * claim: their merge ORDER depends on the batch split. Multi-batch
+    * drain is require-asserted (maxFilesPerTrigger=2 over 3 files). */
+  val qStreamMoments = QueryDef("q_stream_moments",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val run = java.util.UUID.randomUUID().toString
+      val tmp = sys.props("java.io.tmpdir")
+      val table = s"$tmp/graft_mom_tbl_$run"
+      val ckpt = s"$tmp/graft_mom_ck_$run"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+      try {
+        (0 until 3).foreach { i =>
+          ev.filter(pmod(col("event_id"), lit(3)) === i)
+            .write.format("graft.sources.GraftParquetTableProvider")
+            .option("path", table).mode("append").save()
+        }
+        val src = spark.readStream
+          .format("graft.sources.GraftParquetTableProvider")
+          .option("path", table)
+          .option("maxFilesPerTrigger", "2")
+          .schema(ev.schema)
+          .load()
+        val v = col("value").cast("decimal(12,2)")
+        val acc = collection.mutable.Map.empty[
+          String, (Long, java.math.BigDecimal, java.math.BigDecimal)]
+        var batches = 0
+        val q = src.writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val partials = batch.groupBy("event_type")
+              .agg(count(lit(1)).as("cnt"),
+                sum(v).as("sv"),
+                sum(v * v).as("svv"))
+              .collect()
+            acc.synchronized {
+              batches += 1
+              partials.foreach { r =>
+                val (n0, s0, q0) = acc.getOrElse(r.getString(0),
+                  (0L, java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO))
+                acc(r.getString(0)) = (n0 + r.getLong(1),
+                  s0.add(r.getDecimal(2)), q0.add(r.getDecimal(3)))
+              }
+            }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        require(batches >= 2,
+          s"maxFilesPerTrigger=2 over 3 files must split the drain, got $batches")
+        acc.toSeq.map { case (t, (cnt, svD, svvD)) =>
+          // the shared IEEE tree over exact totals — mirrors the oracle
+          val n = cnt.toDouble
+          val sx = svD.doubleValue
+          val sxx = svvD.doubleValue
+          (t, cnt, sx / n, math.sqrt((n * sxx - sx * sx) / (n * n)))
+        }.toDF("event_type", "n_events", "mean_value", "stddev_value")
+          .orderBy("event_type")
+      } finally {
+        fs.delete(new org.apache.hadoop.fs.Path(table), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      }
+    },
+    Some("""WITH sums AS (
+           |  SELECT event_type,
+           |         CAST(count(*) AS DOUBLE) AS n,
+           |         CAST(count(*) AS BIGINT) AS cnt,
+           |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+           |         CAST(sum(CAST(value AS DECIMAL(12,2)) *
+           |                  CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+           |  FROM events GROUP BY event_type
+           |)
+           |SELECT event_type, cnt AS n_events,
+           |       sx / n AS mean_value,
+           |       sqrt((n*sxx - sx*sx) / (n*n)) AS stddev_value
+           |FROM sums ORDER BY event_type""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qStreamTumbling, qStreamLate, qStreamSessions, qStreamNearDup,
-      qStreamSink, qStreamJoin, qStreamEnrich, qStreamPipe)
+      qStreamSink, qStreamJoin, qStreamEnrich, qStreamPipe, qStreamMoments)
 }

@@ -196,6 +196,79 @@ object Moments {
        |      FROM $table)
        |GROUP BY $groupCol""".stripMargin
 
+  /** Pearson chi-squared test of independence between two categorical
+    * columns, plus Cramér's V — the categorical sibling of [[corrF]]
+    * (is the language mix independent of the source? — a drift check
+    * a corpus pipeline runs per ingest). The full r×c grid is summed,
+    * zero-observed cells included ((0−E)²/E = E). Determinism: each
+    * cell's term is IEEE-deterministic ((O−E)²/E over exact counts),
+    * but their SUM order would not be — so terms round to 6dp decimals
+    * (libm-free, HALF_UP on non-negative values — identical in both
+    * engines) and sum EXACTLY; the total is a pure multiset function.
+    * Scale: one count aggregation per axis + one over pairs; the grid
+    * itself is category-cardinality (tiny) rows. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
+    val aTot = df.groupBy(aCol).agg(count(lit(1)).as("ra"))
+    val bTot = df.groupBy(bCol).agg(count(lit(1)).as("cb"))
+    val n = df.agg(count(lit(1)).as("nn"))
+    val grid = aTot.crossJoin(bTot).crossJoin(broadcast(n))
+      .join(obs, Seq(aCol, bCol), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val e = col("ra").cast("double") * col("cb").cast("double") /
+      col("nn").cast("double")
+    val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    val cells = grid.select(
+      round(term, 6).cast("decimal(28,6)").as("t6"),
+      col("nn"))
+    val r = aTot.agg(count(lit(1)).as("r"))
+    val c = bTot.agg(count(lit(1)).as("c"))
+    cells.groupBy()
+      .agg(sum(col("t6")).cast("double").as("chi2"),
+        max(col("nn")).as("n_rows"))
+      .crossJoin(broadcast(r)).crossJoin(broadcast(c))
+      .select(
+        col("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        col("n_rows"),
+        sqrt(col("chi2") / (col("n_rows").cast("double") *
+          least(col("r") - 1, col("c") - 1).cast("double")))
+          .as("cramers_v"))
+  }
+
+  /** DuckDB mirror of [[chiSquare]]. */
+  def chiSquareSql(table: String, aCol: String, bCol: String): String =
+    s"""WITH obs AS (
+       |  SELECT $aCol, $bCol, count(*) AS o FROM $table GROUP BY 1, 2
+       |), atot AS (SELECT $aCol, count(*) AS ra FROM $table GROUP BY 1),
+       |btot AS (SELECT $bCol, count(*) AS cb FROM $table GROUP BY 1),
+       |tot AS (SELECT count(*) AS nn FROM $table),
+       |grid AS (
+       |  SELECT a.$aCol, b.$bCol, a.ra, b.cb, t.nn,
+       |         COALESCE(o.o, 0) AS o
+       |  FROM atot a CROSS JOIN btot b CROSS JOIN tot t
+       |  LEFT JOIN obs o ON o.$aCol = a.$aCol AND o.$bCol = b.$bCol
+       |), cells AS (
+       |  SELECT nn,
+       |         CAST(round(
+       |           (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE)*CAST(cb AS DOUBLE)/CAST(nn AS DOUBLE))
+       |           * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE)*CAST(cb AS DOUBLE)/CAST(nn AS DOUBLE))
+       |           / (CAST(ra AS DOUBLE)*CAST(cb AS DOUBLE)/CAST(nn AS DOUBLE)),
+       |           6) AS DECIMAL(28,6)) AS t6
+       |  FROM grid
+       |), dims AS (
+       |  SELECT (SELECT count(*) FROM atot) AS r,
+       |         (SELECT count(*) FROM btot) AS c
+       |)
+       |SELECT CAST(sum(t6) AS DOUBLE) AS chi2,
+       |       CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
+       |       max(nn) AS n_rows,
+       |       sqrt(CAST(sum(t6) AS DOUBLE) /
+       |            (CAST(max(nn) AS DOUBLE) *
+       |             CAST(LEAST(d.r - 1, d.c - 1) AS DOUBLE))) AS cramers_v
+       |FROM cells, dims d
+       |GROUP BY d.r, d.c""".stripMargin
+
   /** Moment statistics per group: stddev/skewness/kurtosis of `x`,
     * correlation of (x, y) — unrounded doubles, bit-deterministic. */
   def momentStats(df: DataFrame, groupCols: Seq[String], x: Column,
