@@ -231,7 +231,44 @@ object LakehouseQueries {
            |FROM merged
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** The SQL FACE of the table format under the hash gate
+    * ([[graft.sources.GraftCatalog]]): a catalog-addressed graft table
+    * is built by a DataFrame append, grown by a plain SQL
+    * `INSERT INTO`, overwritten — and then queried with Spark's native
+    * `VERSION AS OF` syntax, the whole statement (time travel included)
+    * running as ONE SQL string. The pinned version must hold exactly
+    * the pre-overwrite slices; the oracle recomputes them from
+    * `orders`. */
+  val qSqlTimeTravel = QueryDef("q_sql_time_travel",
+    (spark, dir) => {
+      val cat = "graft_lake"
+      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = s"$warehouse/sf/$tbl"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val orders = Tables.orders(spark, dir)
+      orders.createOrReplaceTempView("orders_src")
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("append").save()                                // v1: DataFrame
+      spark.sql(s"""INSERT INTO $cat.sf.$tbl
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM orders_src WHERE o_orderkey % 4 = 1""")          // v2: SQL
+      slice(orders, 2).write.format(fmt).option("path", path)
+        .mode("overwrite").save()                             // v3: rewrite
+      spark.sql(s"""SELECT o_orderstatus, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM $cat.sf.$tbl VERSION AS OF 2
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
-      qDelete, qMerge)
+      qDelete, qMerge, qSqlTimeTravel)
 }

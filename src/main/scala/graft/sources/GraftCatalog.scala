@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The SQL face of the graft table format: a DataSource V2
+  * [[TableCatalog]] plugin mapping `catalog.ns….table` identifiers to
+  * graft tables under a warehouse root, so the WHOLE table-format
+  * surface is reachable from plain SQL —
+  *
+  * {{{
+  *   SET spark.sql.catalog.graft_lake = graft.sources.GraftCatalog
+  *   SET spark.sql.catalog.graft_lake.warehouse = /data/warehouse
+  *
+  *   SELECT * FROM graft_lake.corp.docs                    -- head
+  *   SELECT * FROM graft_lake.corp.docs VERSION AS OF 2    -- time travel
+  *   SELECT * FROM graft_lake.corp.docs TIMESTAMP AS OF '2026-08-14 10:00:00'
+  *   INSERT INTO graft_lake.corp.docs SELECT …             -- epoch append
+  *   DROP TABLE graft_lake.corp.docs
+  * }}}
+  *
+  * Spark's native time-travel syntax plumbs straight to
+  * `loadTable(ident, version/timestamp)` — the version string pins the
+  * snapshot the scan resolves ([[GraftTableLog]]); a timestamp pins
+  * the LAST version whose snapshot commit time is ≤ the timestamp
+  * (commit time = the snapshot file's own mtime — the log is the
+  * clock). Identifier → path mapping is `warehouse/ns…/table`;
+  * namespaces are directories. CREATE TABLE is deliberately out of
+  * scope (the write path is schema-on-write through the DataFrame
+  * API; a bare CREATE with no data has no file to infer from) —
+  * tables are born by their first write, exactly like the path-based
+  * API. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"graft catalog '$name': set spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def conf = new Configuration()
+
+  private def pathOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def existing(ident: Identifier): String = {
+    val p = pathOf(ident)
+    val hp = new Path(p)
+    if (!hp.getFileSystem(conf).exists(hp))
+      throw new NoSuchTableException(ident)
+    p
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir))
+      throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).collect {
+      case st if st.isDirectory &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") =>
+        Identifier.of(namespace, st.getPath.getName)
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = existing(ident)
+    new GraftParquetTable(p, GraftParquetV2.sparkSchema(
+      GraftParquetV2.footerSchema(GraftParquetV2.firstFile(p))))
+  }
+
+  /** `VERSION AS OF v` — the pinned snapshot's schema comes from its
+    * OWN first file (an old version predating an add-column evolution
+    * reads under its own narrower schema, as it was written). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = existing(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF wants a version number, got '$version'")
+    }
+    val (rels, _) = GraftTableLog.readSnapshot(p, v)
+    val files = GraftTableLog.resolveAll(p, rels)
+    require(files.nonEmpty,
+      s"graft catalog: version $v of ${ident} is empty")
+    new GraftParquetTable(p,
+      GraftParquetV2.sparkSchema(GraftParquetV2.footerSchema(files.head)),
+      pinnedTravel = Some(GraftTimeTravel(Some(v), None, None)))
+  }
+
+  /** `TIMESTAMP AS OF t` (micros since epoch from Spark): the last
+    * version committed at or before `t` — commit time is the snapshot
+    * file's mtime. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = existing(ident)
+    val fs = new Path(p).getFileSystem(conf)
+    val tsMs = timestampMicros / 1000L
+    val candidates = GraftTableLog.versions(p).filter { v =>
+      fs.getFileStatus(GraftTableLog.snapshotPath(p, v))
+        .getModificationTime <= tsMs
+    }
+    require(candidates.nonEmpty,
+      s"graft catalog: no version of $ident committed at or before " +
+        s"timestamp $tsMs ms — earliest is " +
+        s"${GraftTableLog.versions(p).headOption.getOrElse("none")}")
+    loadTable(ident, candidates.max.toString)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: tables are born by their first write " +
+        "(df.write.format(graft)… or INSERT INTO an existing table) — " +
+        "CREATE TABLE with no data has no file to carry the schema")
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is out of scope — add-column " +
+        "evolution happens by writing the widened schema")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(pathOf(ident))
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val src = new Path(existing(oldIdent))
+    val dest = new Path(pathOf(newIdent))
+    val fs = src.getFileSystem(conf)
+    require(!fs.exists(dest),
+      s"graft catalog: rename target $newIdent already exists")
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(src, dest),
+      s"graft catalog: rename $oldIdent -> $newIdent failed")
+  }
+}

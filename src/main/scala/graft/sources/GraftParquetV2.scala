@@ -72,7 +72,10 @@ class GraftParquetTableProvider extends TableProvider {
 }
 
 class GraftParquetTable(path: String, tableSchema: StructType,
-    streamMaxFiles: Option[Int] = None)
+    streamMaxFiles: Option[Int] = None,
+    // a catalog-level pin (VERSION/TIMESTAMP AS OF through
+    // [[GraftCatalog.loadTable]]); per-scan read options override it
+    pinnedTravel: Option[GraftTimeTravel] = None)
     extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graft parquet v2: 'path' option is required")
   override def name(): String = s"graft_parquet($path)"
@@ -95,6 +98,7 @@ class GraftParquetTable(path: String, tableSchema: StructType,
       }
     val travel = GraftTimeTravel.from(optLong("versionAsOf"),
       optLong("changesSince"), optLong("changesUntil"))
+      .orElse(pinnedTravel)
     new GraftScanBuilder(path, tableSchema,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt)
         .orElse(streamMaxFiles), travel,

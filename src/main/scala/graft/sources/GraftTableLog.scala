@@ -97,7 +97,7 @@ object GraftTableLog {
     * [[org.apache.hadoop.fs.FileAlreadyExistsException]] — the loser
     * re-lists and retries at the next number
     * ([[GraftParquetWrite.commitMetadata]]'s optimistic loop). */
-  private[sources] def snapshotPath(table: String, version: Long): Path =
+  def snapshotPath(table: String, version: Long): Path =
     new Path(logPath(table), f"v$version%010d.parquet")
 
   private def snapshotFile(table: String, version: Long): Path = {

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftParquetV2, GraftTableLog}
+
+/** The SQL face of the table format ([[graft.sources.GraftCatalog]]):
+  * identifier-addressed graft tables, native `VERSION AS OF` /
+  * `TIMESTAMP AS OF` time travel, SQL INSERT INTO appends, listing,
+  * rename and drop. */
+class GraftCatalogSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.GraftParquetTableProvider"
+  private val cat = "graft_lake_spec"
+  private lazy val warehouse = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_warehouse_").toFile.getAbsolutePath
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", d)
+    d
+  }
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select("doc_id", "lang", "n_chars")
+
+  private def write(table: String, k: Int, mode: String): Unit =
+    docs.filter(pmod(col("doc_id"), lit(3)) === k)
+      .coalesce(1).write.format(fmt)
+      .option("path", s"$warehouse/corp/$table").mode(mode).save()
+
+  private def ids(sql: String): Seq[Long] =
+    spark.sql(sql).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("identifier reads, VERSION AS OF, and the live head after overwrite") {
+    write("t1", 0, "append")
+    write("t1", 1, "append")
+    write("t1", 2, "overwrite")
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t1") ==
+      idsOf(docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t1 VERSION AS OF 2") ==
+      idsOf(docs.filter(pmod(col("doc_id"), lit(3)) < 2)))
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t1 VERSION AS OF 1") ==
+      idsOf(docs.filter(pmod(col("doc_id"), lit(3)) === 0)))
+  }
+
+  test("TIMESTAMP AS OF resolves by snapshot commit time") {
+    write("t2", 0, "append")
+    write("t2", 1, "append")
+    // backdate v1's snapshot so a timestamp between the two pins it
+    val p = s"$warehouse/corp/t2"
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(GraftTableLog.snapshotPath(p, 1L), 1000000000000L, -1) // 2001
+    fs.setTimes(GraftTableLog.snapshotPath(p, 2L), 1700000000000L, -1) // 2023
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t2 " +
+      "TIMESTAMP AS OF '2010-01-01 00:00:00'") ==
+      idsOf(docs.filter(pmod(col("doc_id"), lit(3)) === 0)))
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t2 " +
+      "TIMESTAMP AS OF '2026-01-01 00:00:00'") ==
+      idsOf(docs.filter(pmod(col("doc_id"), lit(3)) < 2)))
+    val e = intercept[Exception](ids(s"SELECT doc_id FROM $cat.corp.t2 " +
+      "TIMESTAMP AS OF '1999-01-01 00:00:00'"))
+    assert(e.getMessage.contains("no version"))
+  }
+
+  test("SQL INSERT INTO is a transactional append; aggregates push through the catalog") {
+    write("t3", 0, "append")
+    spark.sql(s"INSERT INTO $cat.corp.t3 " +
+      s"SELECT doc_id, lang, n_chars FROM parquet.`$sfDir/documents.parquet` " +
+      "WHERE doc_id % 3 = 1")
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t3") ==
+      idsOf(docs.filter(pmod(col("doc_id"), lit(3)) < 2)))
+    // the INSERT was a version commit
+    assert(GraftTableLog.versions(s"$warehouse/corp/t3") == Seq(1L, 2L))
+    // count(*) through the catalog still answers from footer metadata
+    val n = spark.sql(s"SELECT count(*) AS n FROM $cat.corp.t3")
+      .head.getLong(0)
+    assert(n == docs.filter(pmod(col("doc_id"), lit(3)) < 2).count())
+  }
+
+  test("listTables, rename, drop, and loud refusals") {
+    write("t4", 0, "append")
+    val listed = spark.sql(s"SHOW TABLES IN $cat.corp").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("t4"))
+    spark.sql(s"ALTER TABLE $cat.corp.t4 RENAME TO corp.t4_renamed")
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t4_renamed") ==
+      idsOf(docs.filter(pmod(col("doc_id"), lit(3)) === 0)))
+    spark.sql(s"DROP TABLE $cat.corp.t4_renamed")
+    assert(!new java.io.File(s"$warehouse/corp/t4_renamed").exists())
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.corp.nope").collect())
+    assert(e.getMessage != null)
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.corp.fresh (id BIGINT) USING graft"))
+    assert(e2.getMessage.contains("born by their first write") ||
+      e2.getMessage.contains("CREATE"))
+  }
+}
