@@ -78,10 +78,34 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
+  /** Schema source for a table whose HEAD may be empty (post-TRUNCATE):
+    * first live file, else the lexically first ARCHIVED file — the
+    * table had a schema once, and the archive still holds it. */
+  private def schemaFile(p: String): String = {
+    val live = try GraftParquetV2.listFiles(p) catch {
+      case _: java.io.FileNotFoundException => Nil
+    }
+    live.headOption.getOrElse {
+      val archRoot = new Path(new Path(p), GraftTableLog.ArchiveDir)
+      val fs = archRoot.getFileSystem(conf)
+      def walk(d: Path): Seq[String] =
+        if (!fs.exists(d)) Nil
+        else fs.listStatus(d).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet"))
+            Seq(st.getPath.toString)
+          else Nil
+        }
+      walk(archRoot).headOption.getOrElse(throw new IllegalStateException(
+        s"graft catalog: $p has no live or archived data file to carry " +
+          "a schema"))
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val p = existing(ident)
     new GraftParquetTable(p, GraftParquetV2.sparkSchema(
-      GraftParquetV2.footerSchema(GraftParquetV2.firstFile(p))))
+      GraftParquetV2.footerSchema(schemaFile(p))))
   }
 
   /** `VERSION AS OF v` — the pinned snapshot's schema comes from its

@@ -163,8 +163,13 @@ object GraftMaintenance {
       //    back — the table returns to the pre-op generation instead of
       //    the kept rows silently vanishing with the candidates.
       var movedSoFar = List.empty[String]
+      // an all-rows rewrite to nothing (truncate) commits ZERO files —
+      // the scratch table then has no data directory at all
+      val tmpFiles = try GraftParquetV2.listFiles(tmp) catch {
+        case _: java.io.FileNotFoundException => Nil
+      }
       val moved =
-        try GraftParquetV2.listFiles(tmp).map { f =>
+        try tmpFiles.map { f =>
           val rel = GraftTableLog.relativize(tmp, f)
           val dest = new Path(root, rel)
           if (rel.contains("/")) fs.mkdirs(dest.getParent)

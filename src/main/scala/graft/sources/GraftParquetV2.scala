@@ -76,7 +76,8 @@ class GraftParquetTable(path: String, tableSchema: StructType,
     // a catalog-level pin (VERSION/TIMESTAMP AS OF through
     // [[GraftCatalog.loadTable]]); per-scan read options override it
     pinnedTravel: Option[GraftTimeTravel] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graft parquet v2: 'path' option is required")
   override def name(): String = s"graft_parquet($path)"
   override def schema(): StructType = tableSchema
@@ -111,6 +112,64 @@ class GraftParquetTable(path: String, tableSchema: StructType,
   // stats-manifest sidecar — see [[GraftParquetWrite]] for the protocol
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
+
+  /** SQL `DELETE FROM … WHERE …` ([[org.apache.spark.sql.connector
+    * .catalog.SupportsDelete]]): delegates to the zone-map-selective
+    * rewrite ([[GraftMaintenance.delete]] — only files the predicate
+    * could touch are read and rewritten; commits a new log version).
+    * Accepted only when every filter converts faithfully to a Column
+    * — Spark then errors on the rest instead of us guessing. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedTravel.isEmpty &&
+      filters.forall(GraftFilterToColumn.convert(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinnedTravel.isEmpty,
+      "graft parquet v2: DELETE on a time-travel-pinned table")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cond = filters.flatMap(GraftFilterToColumn.convert)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    GraftMaintenance.delete(spark, path, cond)
+  }
+
+  /** SQL `TRUNCATE TABLE`: delete-all as one rewrite commit — the old
+    * generation archives, the empty head is a new version (time travel
+    * to the pre-truncate version still answers until vacuum). */
+  override def truncateTable(): Boolean = {
+    deleteWhere(Array[Filter](org.apache.spark.sql.sources.AlwaysTrue))
+    true
+  }
+}
+
+/** Faithful v1-Filter → Column bridge for the SQL DELETE path — only
+  * shapes with exact Column equivalents convert; anything else makes
+  * [[GraftParquetTable.canDeleteWhere]] refuse, and Spark reports the
+  * unsupported DELETE instead of a silent semantic drift. */
+private[sources] object GraftFilterToColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  def convert(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) => for (lc <- convert(l); rc <- convert(r)) yield lc && rc
+    case Or(l, r) => for (lc <- convert(l); rc <- convert(r)) yield lc || rc
+    case Not(c) => convert(c).map(!_)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** A versioned read target ([[GraftTableLog]]): either a pinned

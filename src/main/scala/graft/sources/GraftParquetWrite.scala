@@ -582,8 +582,12 @@ object GraftParquetWrite {
         // whose history went backwards). If the head moved while we
         // listed, re-list.
         val v0 = GraftTableLog.latestVersion(path).getOrElse(0L)
-        val rels = GraftParquetV2.listFiles(path)
-          .map(GraftTableLog.relativize(path, _))
+        // a table whose head is EMPTY (truncate, or a zero-row first
+        // write) may have no data directory entries at all — an empty
+        // snapshot is a legitimate version
+        val rels = (try GraftParquetV2.listFiles(path) catch {
+          case _: java.io.FileNotFoundException => Nil
+        }).map(GraftTableLog.relativize(path, _))
         if (GraftTableLog.latestVersion(path).getOrElse(0L) == v0) {
           try {
             GraftTableLog.writeSnapshot(path, v0 + 1L, writeId, rels, entries)

@@ -81,6 +81,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(n == docs.filter(pmod(col("doc_id"), lit(3)) < 2).count())
   }
 
+  test("SQL DELETE FROM: zone-map-selective rewrite committed as a version; TRUNCATE archives everything") {
+    write("t5", 0, "append")
+    write("t5", 1, "append")
+    val path = s"$warehouse/corp/t5"
+    val both = docs.filter(pmod(col("doc_id"), lit(3)) < 2)
+    val cut = idsOf(both)(idsOf(both).size / 2)
+    spark.sql(s"DELETE FROM $cat.corp.t5 WHERE doc_id < $cut AND n_chars >= 0")
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t5") ==
+      idsOf(both.filter(col("doc_id") >= cut)))
+    // the delete committed a version; pre-delete state still answers
+    assert(GraftTableLog.versions(path).size == 3)
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t5 VERSION AS OF 2") ==
+      idsOf(both))
+    spark.sql(s"TRUNCATE TABLE $cat.corp.t5")
+    assert(spark.sql(s"SELECT * FROM $cat.corp.t5").count() == 0)
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t5 VERSION AS OF 3") ==
+      idsOf(both.filter(col("doc_id") >= cut)))
+    // an arithmetic predicate the v1-filter bridge cannot carry refuses
+    // loudly (GraftMaintenance.delete takes arbitrary Columns instead)
+    val e = intercept[Exception](spark.sql(
+      s"DELETE FROM $cat.corp.t5 WHERE doc_id % 3 = 0"))
+    assert(e.getMessage.contains("Cannot delete"))
+  }
+
   test("listTables, rename, drop, and loud refusals") {
     write("t4", 0, "append")
     val listed = spark.sql(s"SHOW TABLES IN $cat.corp").collect()
