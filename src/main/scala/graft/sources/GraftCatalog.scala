@@ -37,7 +37,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * API; a bare CREATE with no data has no file to infer from) —
   * tables are born by their first write, exactly like the path-based
   * API. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -174,5 +175,106 @@ class GraftCatalog extends TableCatalog {
     fs.mkdirs(dest.getParent)
     require(fs.rename(src, dest),
       s"graft catalog: rename $oldIdent -> $newIdent failed")
+  }
+
+  // ——— MAINTENANCE PROCEDURES (`CALL catalog.system.…`) ———
+  // the Iceberg convention: table maintenance is SQL-callable, so an
+  // operator never needs a Scala shell to compact or reclaim history.
+  // The `table` argument is catalog-relative ('ns.table').
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val SystemNs = Array("system")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(SystemNs))
+      Array("compact", "vacuum", "history")
+        .map(Identifier.of(SystemNs, _))
+    else Array.empty
+
+  private def tablePath(arg: String): String = {
+    val parts = arg.split('.')
+    existing(Identifier.of(parts.dropRight(1), parts.last))
+  }
+
+  /** One self-binding procedure: fixed parameters, fixed output
+    * schema, body = InternalRow args → result rows via a LocalScan. */
+  private final class GraftProcedure(procName: String,
+      params: Array[ProcedureParameter], outSchema: StructType,
+      body: InternalRow => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft table maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // mutates the table
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val out = body(input).toArray
+      util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = outSchema
+      }).iterator()
+    }
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(SystemNs),
+      s"graft catalog: procedures live under $catalogName.system")
+    ident.name() match {
+      case "compact" => new GraftProcedure("compact",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_file_bytes", LongType)
+            .defaultValue((128L * 1024 * 1024).toString).build(),
+          ProcedureParameter.in("cluster_by", StringType)
+            .defaultValue("''").build()),
+        StructType(Seq(StructField("version", LongType),
+          StructField("files_before", IntegerType),
+          StructField("files_after", IntegerType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val before = GraftParquetV2.listFiles(p).size
+          val cluster = Option(in.getString(2)).map(_.trim)
+            .filter(_.nonEmpty).toSeq
+            .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+          val v = GraftMaintenance.compact(
+            org.apache.spark.sql.SparkSession.active, p,
+            in.getLong(1), cluster)
+          Seq(new GenericInternalRow(Array[Any](v, before,
+            GraftParquetV2.listFiles(p).size)))
+        })
+      case "vacuum" => new GraftProcedure("vacuum",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("retain_last", IntegerType)
+            .defaultValue("1").build()),
+        StructType(Seq(StructField("deleted_files", IntegerType),
+          StructField("retained_versions", IntegerType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val deleted = GraftMaintenance.vacuum(p, in.getInt(1))
+          Seq(new GenericInternalRow(Array[Any](deleted,
+            GraftTableLog.versions(p).size)))
+        })
+      case "history" => new GraftProcedure("history",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(StructField("version", LongType),
+          StructField("files", IntegerType),
+          StructField("rows", LongType, nullable = true))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          GraftMaintenance.history(p).map(h =>
+            new GenericInternalRow(Array[Any](h.version, h.files,
+              h.rows.map(Long.box).orNull)))
+        })
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: unknown procedure '$other' — " +
+          "available: compact, vacuum, history")
+    }
   }
 }

@@ -105,6 +105,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("Cannot delete"))
   }
 
+  test("CALL system.compact / vacuum / history: SQL-callable maintenance") {
+    write("t6", 0, "append")
+    write("t6", 1, "append")
+    write("t6", 2, "overwrite")
+    val want = idsOf(docs.filter(pmod(col("doc_id"), lit(3)) === 2))
+    // history before: 3 versions
+    val hist = spark.sql(
+      s"CALL $cat.system.history(table => 'corp.t6')").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // compact: commits a version; rows unchanged
+    val c = spark.sql(
+      s"CALL $cat.system.compact(table => 'corp.t6')").head
+    assert(c.getLong(0) == 4L)
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t6") == want)
+    // vacuum to head: archived generations reclaimed, old versions gone
+    val v = spark.sql(
+      s"CALL $cat.system.vacuum(table => 'corp.t6', retain_last => 1)").head
+    assert(v.getInt(0) > 0, "vacuum must reclaim the archived files")
+    assert(GraftTableLog.versions(s"$warehouse/corp/t6") == Seq(4L))
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t6") == want)
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.nope(table => 'corp.t6')").collect())
+    assert(e.getMessage.contains("unknown procedure") ||
+      e.getMessage.contains("nope"))
+  }
+
   test("listTables, rename, drop, and loud refusals") {
     write("t4", 0, "append")
     val listed = spark.sql(s"SHOW TABLES IN $cat.corp").collect()
