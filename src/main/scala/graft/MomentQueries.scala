@@ -17,8 +17,16 @@ object MomentQueries {
   private val x = col("l_quantity").cast("decimal(9,2)")
   private val y = col("l_extendedprice").cast("decimal(12,2)")
 
-  private val sumsCte = Moments.powerSumsSql(
-    "lineitem", "l_quantity", "l_extendedprice", "l_returnflag")
+  /** Shared oracle scaffold: exact decimal partials, then the
+    * double-cast working frame — the same two stages the Spark side
+    * runs ([[Moments.powerSumsExact]] → doubleFrame). */
+  private val sumsCte = Moments.powerSumsExactSql(
+    "lineitem", "l_quantity", "l_extendedprice", "l_returnflag") match {
+    case exact =>
+      s"""exact_sums AS ($exact),
+         |sums AS (SELECT l_returnflag, ${Moments.doubleFrameSqlCols}
+         |         FROM exact_sums)""".stripMargin
+  }
 
   /** Per-flag distribution shape of quantity + its correlation with
     * extended price. A merge-order drift anywhere in the sums, or a
@@ -27,7 +35,7 @@ object MomentQueries {
     (spark, dir) => Moments.momentStats(
       Tables.lineitem(spark, dir), Seq("l_returnflag"), x, y)
       .orderBy("l_returnflag"),
-    Some(s"""WITH sums AS ($sumsCte)
+    Some(s"""WITH $sumsCte
             |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
             |       ${Moments.stddevPopF} AS stddev_x,
             |       ${Moments.skewPopF} AS skew_x,
@@ -43,7 +51,7 @@ object MomentQueries {
     (spark, dir) => Moments.linearFit(
       Tables.lineitem(spark, dir), Seq("l_returnflag"), x, y)
       .orderBy("l_returnflag"),
-    Some(s"""WITH sums AS ($sumsCte)
+    Some(s"""WITH $sumsCte
             |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
             |       ${Moments.slopeF} AS slope,
             |       ${Moments.interceptF} AS intercept,
@@ -88,8 +96,8 @@ object MomentQueries {
   /** Chi-squared independence of language × source over the documents
     * corpus + Cramér's V — the per-ingest drift check (did the source
     * mix shift the language distribution?). Full r×c grid including
-    * zero-observed cells; per-cell terms 6dp-rounded then EXACTLY
-    * summed as decimals, so the statistic is order-independent. */
+    * zero-observed cells; per-cell terms floor-quantized to 1e-6 then
+    * EXACTLY summed, so the statistic is order-independent. */
   val qChi2 = QueryDef("q_chi2_lang_source",
     (spark, dir) => graft.operators.Moments.chiSquare(
       Tables.documents(spark, dir), "lang", "source"),

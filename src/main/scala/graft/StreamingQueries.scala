@@ -832,8 +832,10 @@ object StreamingQueries {
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, _: Long) =>
+            // count(v), not count(*): n must count exactly the values
+            // the sums saw, or an all-NULL slice would skew the mean
             val partials = batch.groupBy("event_type")
-              .agg(count(lit(1)).as("cnt"),
+              .agg(count(v).as("cnt"),
                 sum(v).as("sv"),
                 sum(v * v).as("svv"))
               .collect()
@@ -842,8 +844,13 @@ object StreamingQueries {
               partials.foreach { r =>
                 val (n0, s0, q0) = acc.getOrElse(r.getString(0),
                   (0L, java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO))
+                // all-NULL group in a batch: sums are NULL, count 0 —
+                // the established accumulator null guard
                 acc(r.getString(0)) = (n0 + r.getLong(1),
-                  s0.add(r.getDecimal(2)), q0.add(r.getDecimal(3)))
+                  s0.add(Option(r.getDecimal(2))
+                    .getOrElse(java.math.BigDecimal.ZERO)),
+                  q0.add(Option(r.getDecimal(3))
+                    .getOrElse(java.math.BigDecimal.ZERO)))
               }
             }
             ()
@@ -852,7 +859,7 @@ object StreamingQueries {
         q.awaitTermination()
         require(batches >= 2,
           s"maxFilesPerTrigger=2 over 3 files must split the drain, got $batches")
-        acc.toSeq.map { case (t, (cnt, svD, svvD)) =>
+        acc.toSeq.filter(_._2._1 > 0L).map { case (t, (cnt, svD, svvD)) =>
           // the shared IEEE tree over exact totals — mirrors the oracle
           val n = cnt.toDouble
           val sx = svD.doubleValue
@@ -867,12 +874,13 @@ object StreamingQueries {
     },
     Some("""WITH sums AS (
            |  SELECT event_type,
-           |         CAST(count(*) AS DOUBLE) AS n,
-           |         CAST(count(*) AS BIGINT) AS cnt,
+           |         CAST(count(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS n,
+           |         CAST(count(CAST(value AS DECIMAL(12,2))) AS BIGINT) AS cnt,
            |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
            |         CAST(sum(CAST(value AS DECIMAL(12,2)) *
            |                  CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxx
            |  FROM events GROUP BY event_type
+           |  HAVING count(CAST(value AS DECIMAL(12,2))) > 0
            |)
            |SELECT event_type, cnt AS n_events,
            |       sx / n AS mean_value,

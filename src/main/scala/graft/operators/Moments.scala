@@ -35,35 +35,46 @@ import org.apache.spark.sql.functions._
   * corpus statistics). */
 object Moments {
 
-  // n·variance numerators — the degenerate-group guards key on these
-  // (ANSI double division by zero THROWS in Spark 4; a constant column
-  // must yield NULL, deterministically on both engines, not an error)
+  // n·variance numerators. Degenerate-group guarding is TWO-layered
+  // (ANSI double division by zero THROWS in Spark 4):
+  //   1. mnx = mxx — the EXACT constant-column witness (decimal min ==
+  //      max). The double-rounded numerator of a constant column is
+  //      float DUST (± ~1e-18, not exactly 0), so a numeric zero test
+  //      alone would miss it and skew/kurt would divide by dust;
+  //   2. numerator <= 0 — catastrophic cancellation on a genuinely
+  //      near-constant column can round the numerator to zero or
+  //      slightly negative; sqrt/division on that would NaN or throw.
+  // Both conditions are bit-deterministic on both engines.
   private val nVarX = "(n*sxx - sx*sx)"
   private val nVarY = "(n*syy - sy*sy)"
+  private val degX = s"mnx = mxx OR $nVarX <= 0"
+  private val degY = s"mny = mxy OR $nVarY <= 0"
 
-  /** Population variance from power sums. */
-  val varPopF = s"$nVarX / (n*n)"
+  /** Population variance from power sums: exactly 0 for a constant
+    * column (witnessed), floored at 0 against cancellation dust. */
+  val varPopF =
+    s"(CASE WHEN $degX THEN 0.0 ELSE $nVarX END) / (n*n)"
   val stddevPopF = s"sqrt($varPopF)"
 
   /** Population skewness: m3 / m2^1.5 (the ^1.5 written as m2*sqrt(m2)
     * — pow() is not correctly rounded; sqrt and × are). NULL when the
-    * column is constant (zero variance). */
-  val skewPopF = s"CASE WHEN $nVarX = 0 THEN NULL ELSE " +
+    * variance degenerates. */
+  val skewPopF = s"CASE WHEN $degX THEN NULL ELSE " +
     "((n*n*sxxx - 3*n*sx*sxx + 2*sx*sx*sx) / (n*n*n)) / " +
-    s"(($varPopF) * sqrt($varPopF)) END"
+    s"((($nVarX) / (n*n)) * sqrt(($nVarX) / (n*n))) END"
 
-  /** Population excess kurtosis: m4 / m2² − 3; NULL on zero variance. */
-  val kurtPopF = s"CASE WHEN $nVarX = 0 THEN NULL ELSE " +
+  /** Population excess kurtosis: m4 / m2² − 3; NULL on degeneracy. */
+  val kurtPopF = s"CASE WHEN $degX THEN NULL ELSE " +
     "((n*n*n*sxxxx - 4*n*n*sx*sxxx + 6*n*sx*sx*sxx - 3*sx*sx*sx*sx) " +
-    s"/ (n*n*n*n)) / (($varPopF) * ($varPopF)) - 3.0 END"
+    s"/ (n*n*n*n)) / ((($nVarX) / (n*n)) * (($nVarX) / (n*n))) - 3.0 END"
 
-  /** Pearson correlation; NULL when either side is constant. */
-  val corrF = s"CASE WHEN $nVarX = 0 OR $nVarY = 0 THEN NULL ELSE " +
+  /** Pearson correlation; NULL when either side degenerates. */
+  val corrF = s"CASE WHEN $degX OR $degY THEN NULL ELSE " +
     s"(n*sxy - sx*sy) / (sqrt($nVarX) * sqrt($nVarY)) END"
 
   /** Ordinary-least-squares y = slope·x + intercept; NULL slope (and
-    * so NULL intercept/r²) when x is constant. */
-  val slopeF = s"CASE WHEN $nVarX = 0 THEN NULL ELSE " +
+    * so NULL intercept/r²) when x degenerates. */
+  val slopeF = s"CASE WHEN $degX THEN NULL ELSE " +
     s"(n*sxy - sx*sy) / $nVarX END"
   val interceptF = s"(sy - ($slopeF)*sx) / n"
   val r2F = s"($corrF) * ($corrF)"
@@ -75,7 +86,7 @@ object Moments {
     * exact algebra: sums-of-sums ≡ sums-over-union, bit for bit. Store
     * these rows once; answer any rollup level without re-scanning.
     * `x`/`y` must already be DECIMAL columns whose powers stay inside
-    * the fixed grains (see [[powerSumsSql]] for the mirrored text). */
+    * the fixed grains (see [[powerSumsExactSql]] for the mirrored text). */
   def powerSumsExact(df: DataFrame, groupCols: Seq[String], x: Column,
       y: Column): DataFrame = {
     val x2 = (x * x).cast("decimal(15,4)")
@@ -88,7 +99,12 @@ object Moments {
         sum(x2 * x2).cast("decimal(36,8)").as("dsxxxx"),
         sum(y).cast("decimal(30,2)").as("dsy"),
         sum(y * y).cast("decimal(34,4)").as("dsyy"),
-        sum(x * y).cast("decimal(32,4)").as("dsxy"))
+        sum(x * y).cast("decimal(32,4)").as("dsxy"),
+        // exact constant-column witnesses (see the guard note above)
+        min(x).cast("decimal(9,2)").as("dmnx"),
+        max(x).cast("decimal(9,2)").as("dmxx"),
+        min(y).cast("decimal(12,2)").as("dmny"),
+        max(y).cast("decimal(12,2)").as("dmxy"))
   }
 
   /** Merge stored sum rows up a rollup level: exact decimal addition. */
@@ -104,7 +120,11 @@ object Moments {
       sum("dsxxxx").cast("decimal(36,8)").as("dsxxxx"),
       sum("dsy").cast("decimal(30,2)").as("dsy"),
       sum("dsyy").cast("decimal(34,4)").as("dsyy"),
-      sum("dsxy").cast("decimal(32,4)").as("dsxy"))
+      sum("dsxy").cast("decimal(32,4)").as("dsxy"),
+      min("dmnx").cast("decimal(9,2)").as("dmnx"),
+      max("dmxx").cast("decimal(9,2)").as("dmxx"),
+      min("dmny").cast("decimal(12,2)").as("dmny"),
+      max("dmxy").cast("decimal(12,2)").as("dmxy"))
   }
 
   /** Double-cast view of a sum row (the formulas' working frame). */
@@ -117,7 +137,10 @@ object Moments {
       col("dsxxxx").cast("double").as("sxxxx"),
       col("dsy").cast("double").as("sy"),
       col("dsyy").cast("double").as("syy"),
-      col("dsxy").cast("double").as("sxy")): _*)
+      col("dsxy").cast("double").as("sxy"),
+      // witnesses compared as DECIMALS (exact) — carried through
+      col("dmnx").as("mnx"), col("dmxx").as("mxx"),
+      col("dmny").as("mny"), col("dmxy").as("mxy")): _*)
 
   /** Decimal-exact power sums per group, cast to double LAST. */
   def powerSums(df: DataFrame, groupCols: Seq[String], x: Column,
@@ -146,7 +169,11 @@ object Moments {
        |       CAST(sum(x2*x2) AS DECIMAL(36,8)) AS dsxxxx,
        |       CAST(sum(y) AS DECIMAL(30,2)) AS dsy,
        |       CAST(sum(y*y) AS DECIMAL(34,4)) AS dsyy,
-       |       CAST(sum(x*y) AS DECIMAL(32,4)) AS dsxy
+       |       CAST(sum(x*y) AS DECIMAL(32,4)) AS dsxy,
+       |       CAST(min(x) AS DECIMAL(9,2)) AS dmnx,
+       |       CAST(max(x) AS DECIMAL(9,2)) AS dmxx,
+       |       CAST(min(y) AS DECIMAL(12,2)) AS dmny,
+       |       CAST(max(y) AS DECIMAL(12,2)) AS dmxy
        |FROM (SELECT $groupCol,
        |             CAST($xRaw AS DECIMAL(9,2)) AS x,
        |             CAST(CAST($xRaw AS DECIMAL(9,2)) *
@@ -165,7 +192,11 @@ object Moments {
        |       CAST(sum(dsxxxx) AS DECIMAL(36,8)) AS dsxxxx,
        |       CAST(sum(dsy) AS DECIMAL(30,2)) AS dsy,
        |       CAST(sum(dsyy) AS DECIMAL(34,4)) AS dsyy,
-       |       CAST(sum(dsxy) AS DECIMAL(32,4)) AS dsxy
+       |       CAST(sum(dsxy) AS DECIMAL(32,4)) AS dsxy,
+       |       CAST(min(dmnx) AS DECIMAL(9,2)) AS dmnx,
+       |       CAST(max(dmxx) AS DECIMAL(9,2)) AS dmxx,
+       |       CAST(min(dmny) AS DECIMAL(12,2)) AS dmny,
+       |       CAST(max(dmxy) AS DECIMAL(12,2)) AS dmxy
        |FROM $sumsRel""".stripMargin
 
   /** Mirror of the double-cast working frame over a sums relation. */
@@ -174,27 +205,8 @@ object Moments {
       |CAST(dsx AS DOUBLE) AS sx, CAST(dsxx AS DOUBLE) AS sxx,
       |CAST(dsxxx AS DOUBLE) AS sxxx, CAST(dsxxxx AS DOUBLE) AS sxxxx,
       |CAST(dsy AS DOUBLE) AS sy, CAST(dsyy AS DOUBLE) AS syy,
-      |CAST(dsxy AS DOUBLE) AS sxy""".stripMargin
-
-  /** The DuckDB mirror of [[powerSums]] — same casts, same grains. */
-  def powerSumsSql(table: String, xRaw: String, yRaw: String,
-      groupCol: String): String =
-    s"""SELECT $groupCol,
-       |       CAST(count(*) AS DOUBLE) AS n,
-       |       CAST(sum(x) AS DOUBLE) AS sx,
-       |       CAST(sum(x2) AS DOUBLE) AS sxx,
-       |       CAST(sum(CAST(x2*x AS DECIMAL(25,6))) AS DOUBLE) AS sxxx,
-       |       CAST(sum(x2*x2) AS DOUBLE) AS sxxxx,
-       |       CAST(sum(y) AS DOUBLE) AS sy,
-       |       CAST(sum(y*y) AS DOUBLE) AS syy,
-       |       CAST(sum(x*y) AS DOUBLE) AS sxy
-       |FROM (SELECT $groupCol,
-       |             CAST($xRaw AS DECIMAL(9,2)) AS x,
-       |             CAST(CAST($xRaw AS DECIMAL(9,2)) *
-       |                  CAST($xRaw AS DECIMAL(9,2)) AS DECIMAL(15,4)) AS x2,
-       |             CAST($yRaw AS DECIMAL(12,2)) AS y
-       |      FROM $table)
-       |GROUP BY $groupCol""".stripMargin
+      |CAST(dsxy AS DOUBLE) AS sxy,
+      |dmnx AS mnx, dmxx AS mxx, dmny AS mny, dmxy AS mxy""".stripMargin
 
   /** Pearson chi-squared test of independence between two categorical
     * columns, plus Cramér's V — the categorical sibling of [[corrF]]
@@ -202,47 +214,65 @@ object Moments {
     * a corpus pipeline runs per ingest). The full r×c grid is summed,
     * zero-observed cells included ((0−E)²/E = E). Determinism: each
     * cell's term is IEEE-deterministic ((O−E)²/E over exact counts),
-    * but their SUM order would not be — so terms round to 6dp decimals
-    * (libm-free, HALF_UP on non-negative values — identical in both
-    * engines) and sum EXACTLY; the total is a pure multiset function.
+    * but their SUM order would not be — so terms FLOOR-quantize to 1e-6
+    * (floor of the same double is the same long on every engine; no
+    * rounding-tie semantics to align) and sum EXACTLY as longs; the
+    * total is a pure multiset function. Rows with a NULL in either
+    * category drop from the whole test.
     * Scale: one count aggregation per axis + one over pairs; the grid
     * itself is category-cardinality (tiny) rows. */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val obs = df.groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
-    val aTot = df.groupBy(aCol).agg(count(lit(1)).as("ra"))
-    val bTot = df.groupBy(bCol).agg(count(lit(1)).as("cb"))
-    val n = df.agg(count(lit(1)).as("nn"))
+    // rows with a NULL in EITHER category drop from the whole test —
+    // keeping them only in the axis totals (a naive groupBy) would
+    // inflate expectations against an unmatched observed cell (the
+    // NULL-key equi-join never matches), silently skewing the statistic
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val obs = base.groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
+    val aTot = base.groupBy(aCol).agg(count(lit(1)).as("ra"))
+    val bTot = base.groupBy(bCol).agg(count(lit(1)).as("cb"))
+    val n = base.agg(count(lit(1)).as("nn"))
     val grid = aTot.crossJoin(bTot).crossJoin(broadcast(n))
       .join(obs, Seq(aCol, bCol), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
     val e = col("ra").cast("double") * col("cb").cast("double") /
       col("nn").cast("double")
     val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    // FLOOR-quantized to 1e-6 (not round(): Spark rounds the shortest
+    // decimal rendering, DuckDB the true binary value — near-tie terms
+    // could disagree; floor of the same double is the same long
+    // everywhere), then summed EXACTLY as longs — order-independent
     val cells = grid.select(
-      round(term, 6).cast("decimal(28,6)").as("t6"),
+      floor(term * lit(1000000.0)).as("t6"),
       col("nn"))
     val r = aTot.agg(count(lit(1)).as("r"))
     val c = bTot.agg(count(lit(1)).as("c"))
     cells.groupBy()
-      .agg(sum(col("t6")).cast("double").as("chi2"),
+      .agg((sum(col("t6")).cast("double") / lit(1000000.0)).as("chi2"),
         max(col("nn")).as("n_rows"))
       .crossJoin(broadcast(r)).crossJoin(broadcast(c))
       .select(
         col("chi2"),
         ((col("r") - 1) * (col("c") - 1)).as("dof"),
         col("n_rows"),
-        sqrt(col("chi2") / (col("n_rows").cast("double") *
-          least(col("r") - 1, col("c") - 1).cast("double")))
+        // single-category axes make the test vacuous (dof 0) — NULL,
+        // per the module's degenerate convention, not a zero division
+        when(least(col("r") - 1, col("c") - 1) === 0, lit(null))
+          .otherwise(sqrt(col("chi2") / (col("n_rows").cast("double") *
+            least(col("r") - 1, col("c") - 1).cast("double"))))
           .as("cramers_v"))
   }
 
-  /** DuckDB mirror of [[chiSquare]]. */
+  /** DuckDB mirror of [[chiSquare]] — same null-drop, same floor
+    * quantization, same vacuous-test guard. */
   def chiSquareSql(table: String, aCol: String, bCol: String): String =
-    s"""WITH obs AS (
-       |  SELECT $aCol, $bCol, count(*) AS o FROM $table GROUP BY 1, 2
-       |), atot AS (SELECT $aCol, count(*) AS ra FROM $table GROUP BY 1),
-       |btot AS (SELECT $bCol, count(*) AS cb FROM $table GROUP BY 1),
-       |tot AS (SELECT count(*) AS nn FROM $table),
+    s"""WITH base AS (
+       |  SELECT $aCol, $bCol FROM $table
+       |  WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL
+       |), obs AS (
+       |  SELECT $aCol, $bCol, count(*) AS o FROM base GROUP BY 1, 2
+       |), atot AS (SELECT $aCol, count(*) AS ra FROM base GROUP BY 1),
+       |btot AS (SELECT $bCol, count(*) AS cb FROM base GROUP BY 1),
+       |tot AS (SELECT count(*) AS nn FROM base),
        |grid AS (
        |  SELECT a.$aCol, b.$bCol, a.ra, b.cb, t.nn,
        |         COALESCE(o.o, 0) AS o
@@ -250,22 +280,24 @@ object Moments {
        |  LEFT JOIN obs o ON o.$aCol = a.$aCol AND o.$bCol = b.$bCol
        |), cells AS (
        |  SELECT nn,
-       |         CAST(round(
+       |         CAST(floor(
        |           (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE)*CAST(cb AS DOUBLE)/CAST(nn AS DOUBLE))
        |           * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE)*CAST(cb AS DOUBLE)/CAST(nn AS DOUBLE))
-       |           / (CAST(ra AS DOUBLE)*CAST(cb AS DOUBLE)/CAST(nn AS DOUBLE)),
-       |           6) AS DECIMAL(28,6)) AS t6
+       |           / (CAST(ra AS DOUBLE)*CAST(cb AS DOUBLE)/CAST(nn AS DOUBLE))
+       |           * 1000000.0) AS BIGINT) AS t6
        |  FROM grid
        |), dims AS (
        |  SELECT (SELECT count(*) FROM atot) AS r,
        |         (SELECT count(*) FROM btot) AS c
        |)
-       |SELECT CAST(sum(t6) AS DOUBLE) AS chi2,
+       |SELECT CAST(sum(t6) AS DOUBLE) / 1000000.0 AS chi2,
        |       CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
        |       max(nn) AS n_rows,
-       |       sqrt(CAST(sum(t6) AS DOUBLE) /
-       |            (CAST(max(nn) AS DOUBLE) *
-       |             CAST(LEAST(d.r - 1, d.c - 1) AS DOUBLE))) AS cramers_v
+       |       CASE WHEN LEAST(d.r - 1, d.c - 1) = 0 THEN NULL
+       |            ELSE sqrt((CAST(sum(t6) AS DOUBLE) / 1000000.0) /
+       |                      (CAST(max(nn) AS DOUBLE) *
+       |                       CAST(LEAST(d.r - 1, d.c - 1) AS DOUBLE)))
+       |       END AS cramers_v
        |FROM cells, dims d
        |GROUP BY d.r, d.c""".stripMargin
 

@@ -79,28 +79,23 @@ class GraftCatalog extends TableCatalog
     }
   }
 
-  /** Schema source for a table whose HEAD may be empty (post-TRUNCATE):
-    * first live file, else the lexically first ARCHIVED file — the
-    * table had a schema once, and the archive still holds it. */
+  /** Schema source: the NEWEST-mtime live file — add-column evolution
+    * writes the widened schema into the newer generation, so the
+    * newest file carries the widest view (the lexically-first file
+    * could be an old narrow one and would hide the added columns from
+    * SQL reads). Empty head (post-TRUNCATE): fall back to the newest
+    * ARCHIVED file — the table had a schema once and the archive still
+    * holds it. */
   private def schemaFile(p: String): String = {
-    val live = try GraftParquetV2.listFiles(p) catch {
+    val live = try GraftParquetV2.listFileStatuses(p) catch {
       case _: java.io.FileNotFoundException => Nil
     }
-    live.headOption.getOrElse {
-      val archRoot = new Path(new Path(p), GraftTableLog.ArchiveDir)
-      val fs = archRoot.getFileSystem(conf)
-      def walk(d: Path): Seq[String] =
-        if (!fs.exists(d)) Nil
-        else fs.listStatus(d).toSeq.sortBy(_.getPath.getName).flatMap { st =>
-          if (st.isDirectory) walk(st.getPath)
-          else if (st.getPath.getName.endsWith(".parquet"))
-            Seq(st.getPath.toString)
-          else Nil
-        }
-      walk(archRoot).headOption.getOrElse(throw new IllegalStateException(
+    (live ++ (if (live.isEmpty) GraftTableLog.archivedStatuses(p) else Nil))
+      .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .lastOption.map(_.getPath.toString)
+      .getOrElse(throw new IllegalStateException(
         s"graft catalog: $p has no live or archived data file to carry " +
           "a schema"))
-    }
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -120,10 +115,11 @@ class GraftCatalog extends TableCatalog
     }
     val (rels, _) = GraftTableLog.readSnapshot(p, v)
     val files = GraftTableLog.resolveAll(p, rels)
-    require(files.nonEmpty,
-      s"graft catalog: version $v of ${ident} is empty")
+    // an EMPTY version (post-TRUNCATE) is a legitimate travel target:
+    // zero rows under the schema the table carries elsewhere
+    val schemaSrc = files.headOption.getOrElse(schemaFile(p))
     new GraftParquetTable(p,
-      GraftParquetV2.sparkSchema(GraftParquetV2.footerSchema(files.head)),
+      GraftParquetV2.sparkSchema(GraftParquetV2.footerSchema(schemaSrc)),
       pinnedTravel = Some(GraftTimeTravel(Some(v), None, None)))
   }
 

@@ -293,19 +293,15 @@ object GraftMaintenance {
     val archRoot = new Path(root, GraftTableLog.ArchiveDir)
     var deleted = 0
     if (fs.exists(archRoot)) {
-      def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) {
-          val rel = GraftTableLog.relativize(
-            archRoot.toString, st.getPath.toString)
-          if (!keepRels.contains(rel)) {
-            require(fs.delete(st.getPath, false),
-              s"graft vacuum: delete failed for archived $rel")
-            deleted += 1
-          }
+      GraftTableLog.archivedStatuses(table).foreach { st =>
+        val rel = GraftTableLog.relativize(
+          archRoot.toString, st.getPath.toString)
+        if (!keepRels.contains(rel)) {
+          require(fs.delete(st.getPath, false),
+            s"graft vacuum: delete failed for archived $rel")
+          deleted += 1
         }
       }
-      walk(archRoot)
       // prune now-empty archive partition directories (metadata tidiness;
       // resolution never depends on it)
       def prune(d: Path): Unit = {

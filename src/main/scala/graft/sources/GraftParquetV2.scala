@@ -127,8 +127,12 @@ class GraftParquetTable(path: String, tableSchema: StructType,
     require(pinnedTravel.isEmpty,
       "graft parquet v2: DELETE on a time-travel-pinned table")
     val spark = org.apache.spark.sql.SparkSession.active
-    val cond = filters.flatMap(GraftFilterToColumn.convert)
-      .reduceOption(_ && _)
+    val converted = filters.map(f => GraftFilterToColumn.convert(f)
+      .getOrElse(throw new UnsupportedOperationException(
+        // canDeleteWhere refuses these — reaching here means a caller
+        // bypassed it; dropping the conjunct would WIDEN the delete
+        s"graft parquet v2 delete: unconvertible filter $f")))
+    val cond = converted.reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     GraftMaintenance.delete(spark, path, cond)
   }

@@ -246,18 +246,8 @@ object GraftTableLog {
     val live: Set[String] =
       GraftParquetV2.listFiles(table).map(relativize(table, _)).toSet
     val archRoot = new Path(root, ArchiveDir)
-    lazy val archived: Set[String] =
-      if (!fs.exists(archRoot)) Set.empty
-      else {
-        val out = collection.mutable.ArrayBuffer.empty[String]
-        def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
-          if (st.isDirectory) walk(st.getPath)
-          else if (st.getPath.getName.endsWith(".parquet"))
-            out += relativize(archRoot.toString, st.getPath.toString)
-        }
-        walk(archRoot)
-        out.toSet
-      }
+    lazy val archived: Set[String] = archivedStatuses(table)
+      .map(st => relativize(archRoot.toString, st.getPath.toString)).toSet
     relPaths.map { rel =>
       if (live.contains(rel)) new Path(root, rel).toString
       else if (archived.contains(rel)) new Path(archRoot, rel).toString
@@ -295,24 +285,32 @@ object GraftTableLog {
       s"graft table log: archive rename failed for $rel under $table")
   }
 
+  /** Every archived data file's status, one recursive listing — the
+    * single archive walk [[resolveAll]], [[fileSizes]], and the
+    * catalog's schema fallback all share. */
+  def archivedStatuses(table: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val archRoot = new Path(new Path(table), ArchiveDir)
+    val fs = archRoot.getFileSystem(conf)
+    if (!fs.exists(archRoot)) return Nil
+    val out = collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) out += st
+    }
+    walk(archRoot)
+    out.toSeq
+  }
+
   /** On-disk byte sizes of every live AND archived data file, keyed by
     * FULL path — from two recursive listings (the same metadata
     * planning already pays), never per-file status RPCs. */
   def fileSizes(table: String): Map[String, Long] = {
-    val root = new Path(table)
-    val fs = root.getFileSystem(conf)
     val out = collection.mutable.Map.empty[String, Long]
     GraftParquetV2.listFileStatuses(table)
       .foreach(st => out(st.getPath.toString) = st.getLen)
-    val archRoot = new Path(root, ArchiveDir)
-    if (fs.exists(archRoot)) {
-      def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet"))
-          out(st.getPath.toString) = st.getLen
-      }
-      walk(archRoot)
-    }
+    archivedStatuses(table)
+      .foreach(st => out(st.getPath.toString) = st.getLen)
     out.toMap
   }
 

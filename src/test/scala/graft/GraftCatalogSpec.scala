@@ -98,6 +98,10 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM $cat.corp.t5").count() == 0)
     assert(ids(s"SELECT doc_id FROM $cat.corp.t5 VERSION AS OF 3") ==
       idsOf(both.filter(col("doc_id") >= cut)))
+    // the EMPTY post-truncate version is itself a travel target (zero
+    // rows under the archived schema)
+    assert(spark.sql(
+      s"SELECT * FROM $cat.corp.t5 VERSION AS OF 4").count() == 0)
     // an arithmetic predicate the v1-filter bridge cannot carry refuses
     // loudly (GraftMaintenance.delete takes arbitrary Columns instead)
     val e = intercept[Exception](spark.sql(

@@ -55,6 +55,20 @@ class MomentsSpec extends SparkSpec {
     assert(math.abs(fit.getDouble(4) - 1.0) < 1e-12, s"r2 ${fit.getDouble(4)}")
   }
 
+  test("constant column of a NON-double-representable value: stddev exactly 0, no float-dust garbage") {
+    import spark.implicits._
+    // 0.10 is not exactly representable in binary: the double-rounded
+    // n*sxx - sx*sx is DUST (~1e-18), not 0 — the exact min==max
+    // witness must catch it where a numeric zero test would not
+    val df = Seq.tabulate(7)(i => (0.10, i.toDouble, "g"))
+      .toDF("xv", "yv", "g")
+    val m = Moments.momentStats(df, Seq("g"),
+      col("xv").cast("decimal(9,2)"), col("yv").cast("decimal(12,2)"))
+      .head()
+    assert(m.getDouble(2) == 0.0, s"stddev of constant 0.10: ${m.getDouble(2)}")
+    assert(m.isNullAt(3) && m.isNullAt(4) && m.isNullAt(5))
+  }
+
   test("constant columns yield NULL (guarded), not an ANSI divide-by-zero error") {
     import spark.implicits._
     val df = Seq((1.0, 5.0, "g"), (2.0, 5.0, "g")).toDF("xv", "yv", "g")
