@@ -1877,7 +1877,26 @@ object TextQueries {
            |FROM documents d LEFT JOIN scored s USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin))
 
+  /** Sliding-window passage chunking ([[TextAnalysis.chunkPassages]]):
+    * a deterministic sample of documents explodes into overlapping
+    * 64-token windows at stride 32 — retrieval/pretraining passage
+    * prep with provenance (doc id, chunk id, token offset). Direct
+    * ROW-level compare (no aggregate summary): the oracle re-derives
+    * every chunk's text, offset, and token count, so an off-by-one in
+    * the start set, the slice bounds, or the tail-chunk handling
+    * breaks the hash on the exact row. */
+  val qChunkPassages = QueryDef("q_chunk_passages",
+    (spark, dir) => graft.text.TextAnalysis.chunkPassages(
+      Tables.documents(spark, dir).filter(col("doc_id") % 17 === 0),
+      "doc_id", "text", window = 64, stride = 32)
+      .orderBy("doc_id", "chunk_id"),
+    Some(s"""${graft.text.TextAnalysis.chunkPassagesSql(
+             "(SELECT * FROM documents WHERE doc_id % 17 = 0)",
+             "doc_id", "text", 64, 32)}
+            |ORDER BY doc_id, chunk_id""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(
+    qChunkPassages,
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
     qDocFingerprints, qDistinctKmv, qDistinctKmvRollup, qCorpusOverlapKmv,
     qDistinctHll, qDistinctHllRollup,

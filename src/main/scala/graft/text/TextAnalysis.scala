@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for LLM-training-data pipelines:
@@ -25,6 +25,59 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(text, " ")
 
   def tokensSql(text: String): String = s"string_split($text, ' ')"
+
+  /** SLIDING-WINDOW PASSAGE CHUNKING — the retrieval/pretraining prep
+    * stage that turns documents into fixed-token-window passages with
+    * overlap (window `window`, step `stride`; `stride < window` ⇒
+    * consecutive chunks share `window − stride` tokens, so a fact
+    * spanning a boundary survives in at least one chunk). Chunk starts
+    * are 0, stride, 2·stride … while start < n_tokens; the tail chunk
+    * is short rather than dropped (a drop would lose the document's
+    * end). Output: one row per (doc, chunk) with stable `chunk_id`,
+    * the token start offset, the chunk text, and its token count —
+    * provenance a retrieval index needs to cite back into documents.
+    *
+    * Scale: pure map-side fan-out (split + sequence + explode in scan
+    * codegen) — no shuffle at all; output cardinality ≈ corpus tokens
+    * / stride, the expected blow-up of overlap chunking. */
+  def chunkPassages(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkPassages: need 0 < stride <= window, got $window/$stride")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0),
+          (floor((col("__n") - 1) / lit(stride)) * stride).cast("int"),
+          lit(stride))).as("__cs"))
+      .select(col(idCol),
+        (col("__cs") / lit(stride)).cast("long").as("chunk_id"),
+        col("__cs").cast("long").as("chunk_start"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__cs") + 1, lit(window)))
+          .as("chunk_text"),
+        least(lit(window), col("__n") - col("__cs")).cast("long")
+          .as("n_tokens"))
+  }
+
+  /** DuckDB mirror of [[chunkPassages]] over `table` — same tokenizer,
+    * same start set (range step), same inclusive 1-based slice. */
+  def chunkPassagesSql(table: String, idCol: String, textCol: String,
+      window: Int, stride: Int): String =
+    s"""SELECT $idCol,
+       |       CAST(cs / $stride AS BIGINT) AS chunk_id,
+       |       CAST(cs AS BIGINT) AS chunk_start,
+       |       array_to_string(t[cs + 1 : cs + $window], ' ') AS chunk_text,
+       |       CAST(LEAST($window, n - cs) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT $idCol, t, n, unnest(range(0, CAST(n AS BIGINT), $stride)) AS cs
+       |  FROM (SELECT $idCol, ${tokensSql(textCol)} AS t,
+       |               len(${tokensSql(textCol)}) AS n
+       |        FROM $table WHERE $textCol IS NOT NULL)
+       |  WHERE n > 0
+       |)""".stripMargin
 
   /** Occurrences of blocklisted tokens — the C4-style content filter
     * signal (Raffel et al. 2020 drop any page containing a "bad word";

@@ -259,4 +259,38 @@ class TextAnalysisSpec extends SparkSpec {
     val n = parquetScans(out.queryExecution.executedPlan)
     assert(n == 2, s"BM25 must read the corpus exactly twice, saw $n scans")
   }
+
+  test("chunkPassages: overlap, short tail, single-token and null docs, coverage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only"),                                   // 1 token
+      (3L, null.asInstanceOf[String]))                // dropped
+      .toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis
+      .chunkPassages(docs, "doc_id", "text", window = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc 1: starts 0,2,4,6,8 → 5 chunks; doc 2: one chunk; doc 3: none
+    assert(out.length == 6)
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getLong(2)).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    assert(d1.head.getString(3) == "t1 t2 t3 t4")
+    assert(d1(1).getString(3) == "t3 t4 t5 t6") // overlap of 2 tokens
+    assert(d1.last.getString(3) == "t9 t10")    // short tail kept
+    assert(d1.last.getLong(4) == 2L)
+    // every token position is covered by at least one chunk
+    val covered = d1.flatMap(r =>
+      r.getLong(2) until (r.getLong(2) + r.getLong(4))).toSet
+    assert(covered == (0L until 10L).toSet)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(3) == "only" &&
+      d2.head.getLong(4) == 1L)
+    // chunking is pure map-side fan-out: no exchange in the plan
+    val plan = graft.text.TextAnalysis
+      .chunkPassages(docs, "doc_id", "text", 4, 2)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "chunking must not shuffle")
+  }
 }
