@@ -78,4 +78,16 @@ class PlanInvariantsSpec extends SparkSpec {
       "the ALL branch must consume the per-status exchange via reuse, " +
         s"not a second corpus scan:\n$executed")
   }
+
+  test("moment rollup: the ALL level reuses the per-flag sum stage at " +
+    "runtime (the corpus is scanned once for both levels)") {
+    val df = Catalog.all.find(_.name == "q_moment_rollup").get
+      .run(spark, sfDir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedQueryStage") ||
+      executed.contains("ReusedExchange"),
+      "the ALL branch must consume the per-flag exchange via reuse, " +
+        s"not a second corpus scan:\n$executed")
+  }
 }
