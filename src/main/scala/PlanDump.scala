@@ -63,7 +63,9 @@ object PlanDump {
       "q_corpus_overlap_kmv" -> "KMV set ops (round 8): per-source bottom-k sketches (one partial-aggregated exchange), 190 source pairs scored by scalar kmv_union/kmv_jaccard over broadcast sketch ROWS — no second corpus pass, no pairwise shingle join",
       "q_dsv2_time_travel" -> "table-format time travel (round 9): the scan node carries VersionAsOf — the file set comes from snapshot v2's log file (resolved live-first-then-archive), so the overwrite generation the LIVE table holds is invisible to the pinned read; zone maps travel WITH the snapshot",
       "q_change_feed_ingest" -> "change-feed incremental ingest (round 9): the delta scan (ChangesSince in its node) plans ONLY the post-v1 files — a file-set difference of two snapshots, no data touched to find it; dedupAgainst then anti-joins 8-byte fingerprints against the baseline (VersionAsOf) scan, full rows shuffling once — work scales with the DELTA, not the corpus",
-      "q_dsv2_merge" -> "selective merge read-back (round 9): the plan is the packed head's fingerprint scan — the interesting work happened at commit, where only files whose key range intersected the source's [min,max] were rewritten (candidates picked by the scan's own zone-map refutation; the spec pins the untouched-file carry)")
+      "q_dsv2_merge" -> "selective merge read-back (round 9): the plan is the packed head's fingerprint scan — the interesting work happened at commit, where only files whose key range intersected the source's [min,max] were rewritten (candidates picked by the scan's own zone-map refutation; the spec pins the untouched-file carry)",
+      "q_moment_rollup" -> "reaggregable moment partials (round 9): ONE corpus scan feeds the per-flag decimal power sums; the ALL level re-aggregates the SUM ROWS (ReusedExchange under the union — spec-asserted) by exact decimal addition; every statistic is computed on group-cardinality frame rows",
+      "q_chunk_passages" -> "sliding-window passage chunking (round 9): split + sequence + explode entirely in scan codegen — zero shuffle (spec-asserted); output cardinality ~ tokens/stride, the expected overlap blow-up, materialized only at the presentation sort")
     val md = new StringBuilder
     md ++= "# PLANS — physical plans of headline queries (sf0.01, regenerate via `runMain PlanDump`)\n\n"
     md ++= "What to look for: `ReadSchema` pruned to used columns; `WholeStageCodegen` spans; one `Exchange` per agg/join key; broadcast on dimension sides; `TakeOrderedAndProject` for top-N.\n"
