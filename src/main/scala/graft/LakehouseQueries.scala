@@ -268,7 +268,63 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
 
+  /** STREAMING FROM A VERSION BOUNDARY under the hash gate
+    * ([[graft.sources.GraftMicroBatchStream]]'s `startingVersion`):
+    * three appended versions; a stream starting after v1 must drain
+    * EXACTLY the later two appends — snapshot files pre-seen in the
+    * initial offset, admission control still slicing the drain
+    * (multi-batch asserted). The live tail of the change feed. */
+  val qStreamFromVersion = QueryDef("q_stream_from_version",
+    (spark, dir) => {
+      import spark.implicits._
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_sfv")
+      val ckpt = scratch(spark, "graft_sfv_ck")
+      (0 to 2).foreach(k => slice(orders, k).write.format(fmt)
+        .option("path", table).mode("append").save())
+      val src = spark.readStream.format(fmt)
+        .option("path", table)
+        .option("startingVersion", "1")
+        .option("maxFilesPerTrigger", "1")
+        .schema(slice(orders, 0).schema)
+        .load()
+      val acc = collection.mutable.Map.empty[
+        String, (Long, java.math.BigDecimal, Long, Long)]
+      var batches = 0
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val partials = b.groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("tp"),
+              min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+            .collect()
+          acc.synchronized {
+            batches += 1
+            partials.foreach { r =>
+              val (n0, t0, mn0, mx0) = acc.getOrElse(r.getString(0),
+                (0L, java.math.BigDecimal.ZERO, Long.MaxValue, Long.MinValue))
+              acc(r.getString(0)) = (n0 + r.getLong(1),
+                t0.add(Option(r.getDecimal(2))
+                  .getOrElse(java.math.BigDecimal.ZERO)),
+                math.min(mn0, r.getLong(3)), math.max(mx0, r.getLong(4)))
+            }
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+      require(batches >= 2,
+        s"maxFilesPerTrigger=1 over 2 post-version files must split " +
+          s"the drain, got $batches")
+      acc.toSeq.map { case (s, (n, tp, mn, mx)) =>
+        (s, n, tp.doubleValue, mn, mx) }
+        .toDF("o_orderstatus", "n", "total_price", "min_key", "max_key")
+        .orderBy("o_orderstatus")
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (1, 2)")))
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
-      qDelete, qMerge, qSqlTimeTravel)
+      qDelete, qMerge, qSqlTimeTravel, qStreamFromVersion)
 }

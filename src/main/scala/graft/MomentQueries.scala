@@ -103,6 +103,17 @@ object MomentQueries {
       Tables.documents(spark, dir), "lang", "source"),
     Some(graft.operators.Moments.chiSquareSql("documents", "lang", "source")))
 
+  /** Mutual information of language × source (nats) — the information-
+    * theoretic companion of [[qChi2]]: the same grid, measured as
+    * information gained instead of deviation from independence.
+    * Observed cells only (0·ln0 = 0); terms floor-quantized at 1e-9
+    * and exactly summed. */
+  val qMutualInfo = QueryDef("q_mutual_info_lang_source",
+    (spark, dir) => graft.operators.Moments.mutualInfo(
+      Tables.documents(spark, dir), "lang", "source"),
+    Some(graft.operators.Moments.mutualInfoSql(
+      "documents", "lang", "source")))
+
   def all: Seq[QueryDef] =
-    Seq(qMomentStats, qLinearProbe, qMomentRollup, qChi2)
+    Seq(qMomentStats, qLinearProbe, qMomentRollup, qChi2, qMutualInfo)
 }

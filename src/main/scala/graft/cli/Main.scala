@@ -58,7 +58,9 @@ object Main {
     // stream-routes with the default rate source has no --input
     def input = flags.getOrElse("input",
       sys.error("--input <testdata sf dir> is required"))
-    val output = flags.getOrElse("output", sys.error("--output <path> is required"))
+    // lazy like input: the maintenance commands (history/compact/
+    // vacuum) operate in place and take no --output
+    def output = flags.getOrElse("output", sys.error("--output <path> is required"))
     val spark = GraftSession.getOrCreate(s"graft-$cmd")
 
     cmd match {
@@ -227,6 +229,29 @@ object Main {
           graft.text.Normalize.redacted(
             graft.text.Normalize.cleaned(col("text"))).as("text"),
           col("lang"), col("source")), output)
+
+      // ——— table-format maintenance (the SQL CALL surface's CLI twin;
+      //     --input here is the graft TABLE path, not an sf dir) ———
+      case "history" =>
+        graft.sources.GraftMaintenance.history(input).foreach(h =>
+          println(s"version=${h.version} files=${h.files} " +
+            s"rows=${h.rows.map(_.toString).getOrElse("unknown")}"))
+
+      case "compact" =>
+        val target = flags.getOrElse("target-bytes",
+          (128L * 1024 * 1024).toString).toLong
+        val cluster = flags.get("cluster-by").toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+        val v = graft.sources.GraftMaintenance.compact(
+          spark, input, target, cluster)
+        println(s"compacted: new version $v")
+
+      case "vacuum" =>
+        val retain = flags.getOrElse("retain-last", "1").toInt
+        val deleted = graft.sources.GraftMaintenance.vacuum(input, retain)
+        println(s"vacuumed: $deleted archived file(s) reclaimed; " +
+          s"versions now ${graft.sources.GraftTableLog.versions(input)
+            .mkString("[", ", ", "]")}")
 
       case other => sys.error(s"unknown command: $other")
     }

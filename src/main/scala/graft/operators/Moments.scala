@@ -301,6 +301,64 @@ object Moments {
        |FROM cells, dims d
        |GROUP BY d.r, d.c""".stripMargin
 
+  /** MUTUAL INFORMATION between two categorical columns (nats) — the
+    * information-theoretic sibling of [[chiSquare]]: how many nats
+    * does knowing the source tell you about the language? Only
+    * observed cells contribute (0·ln0 = 0 by continuity), NULL-
+    * category rows drop like chiSquare's. Determinism: each term
+    * carries one `ln` (libm — typically 1-ulp-exact, not guaranteed),
+    * so terms FLOOR-quantize at 1e-9 and sum exactly as longs; a
+    * 1-ulp ln drift moves a term across a quantization boundary with
+    * probability ~1e-8 — the same accepted grain as the repo's other
+    * libm mirrors. */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val obs = base.groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
+    val aTot = base.groupBy(aCol).agg(count(lit(1)).as("ra"))
+    val bTot = base.groupBy(bCol).agg(count(lit(1)).as("cb"))
+    val n = base.agg(count(lit(1)).as("nn"))
+    val cells = obs.join(aTot, Seq(aCol)).join(bTot, Seq(bCol))
+      .crossJoin(broadcast(n))
+    val o = col("o").cast("double")
+    val term = (o / col("nn").cast("double")) *
+      log(o * col("nn").cast("double") /
+        (col("ra").cast("double") * col("cb").cast("double")))
+    cells.select(floor(term * lit(1000000000.0)).as("t9"),
+        col("nn"))
+      .groupBy()
+      .agg((sum(col("t9")).cast("double") / lit(1000000000.0))
+          .as("mi_nats"),
+        max(col("nn")).as("n_rows"),
+        count(lit(1)).as("n_cells"))
+  }
+
+  /** DuckDB mirror of [[mutualInfo]]. */
+  def mutualInfoSql(table: String, aCol: String, bCol: String): String =
+    s"""WITH base AS (
+       |  SELECT $aCol, $bCol FROM $table
+       |  WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL
+       |), obs AS (
+       |  SELECT $aCol, $bCol, count(*) AS o FROM base GROUP BY 1, 2
+       |), atot AS (SELECT $aCol, count(*) AS ra FROM base GROUP BY 1),
+       |btot AS (SELECT $bCol, count(*) AS cb FROM base GROUP BY 1),
+       |tot AS (SELECT count(*) AS nn FROM base),
+       |cells AS (
+       |  SELECT CAST(floor(
+       |           (CAST(o.o AS DOUBLE) / CAST(t.nn AS DOUBLE)) *
+       |           ln(CAST(o.o AS DOUBLE) * CAST(t.nn AS DOUBLE) /
+       |              (CAST(a.ra AS DOUBLE) * CAST(b.cb AS DOUBLE)))
+       |           * 1000000000.0) AS BIGINT) AS t9,
+       |         t.nn
+       |  FROM obs o
+       |  JOIN atot a ON o.$aCol = a.$aCol
+       |  JOIN btot b ON o.$bCol = b.$bCol
+       |  CROSS JOIN tot t
+       |)
+       |SELECT CAST(sum(t9) AS DOUBLE) / 1000000000.0 AS mi_nats,
+       |       max(nn) AS n_rows,
+       |       count(*) AS n_cells
+       |FROM cells""".stripMargin
+
   /** Moment statistics per group: stddev/skewness/kurtosis of `x`,
     * correlation of (x, y) — unrounded doubles, bit-deterministic. */
   def momentStats(df: DataFrame, groupCols: Seq[String], x: Column,
