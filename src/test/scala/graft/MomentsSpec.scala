@@ -69,6 +69,42 @@ class MomentsSpec extends SparkSpec {
     assert(m.isNullAt(3) && m.isNullAt(4) && m.isNullAt(5))
   }
 
+  test("chi-squared: hand-derived 2x2, NULL rows dropped, vacuous axis yields NULL V") {
+    import spark.implicits._
+    // 2x2 grid: a=(x: 30 u, 10 v), b=(x: 10 u, 30 v) → n=80,
+    // rowTot(x)=40? no: rows are (cat1, cat2) pairs:
+    //   (a,u)=30 (a,v)=10 (b,u)=10 (b,v)=30; ra=rb=40, cu=cv=40
+    //   E=20 for every cell; chi2 = 4 * (10^2/20) = 20; V = sqrt(20/80)=0.5
+    val rows = Seq.fill(30)(("a","u")) ++ Seq.fill(10)(("a","v")) ++
+      Seq.fill(10)(("b","u")) ++ Seq.fill(30)(("b","v")) ++
+      Seq((null.asInstanceOf[String], "u"), ("a", null.asInstanceOf[String]))
+    val df = rows.toDF("c1", "c2")
+    val r = Moments.chiSquare(df, "c1", "c2").head()
+    assert(math.abs(r.getDouble(0) - 20.0) < 1e-5, s"chi2 ${r.getDouble(0)}")
+    assert(r.getLong(1) == 1L) // dof (2-1)(2-1)
+    assert(r.getLong(2) == 80L) // NULL rows dropped from n
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-6, s"V ${r.getDouble(3)}")
+    // single-category axis: the test is vacuous — NULL V, chi2 0
+    val one = Seq(("a","u"), ("a","v"), ("a","u")).toDF("c1","c2")
+    val r1 = Moments.chiSquare(one, "c1", "c2").head()
+    assert(r1.getLong(1) == 0L && r1.isNullAt(3))
+  }
+
+  test("mutual information: zero on independence, ln(2) nats on a perfect 2-way copy") {
+    import spark.implicits._
+    // perfectly dependent: b == a over two equiprobable symbols → MI = ln 2
+    val dep = (Seq.fill(25)(("a","a")) ++ Seq.fill(25)(("b","b"))).toDF("c1","c2")
+    val mDep = Moments.mutualInfo(dep, "c1", "c2").head()
+    assert(math.abs(mDep.getDouble(0) - math.log(2.0)) < 1e-6,
+      s"MI of a copy: ${mDep.getDouble(0)}")
+    // independent: uniform product distribution → MI = 0
+    val ind = (for { a <- Seq("a","b"); b <- Seq("u","v"); _ <- 1 to 10 }
+      yield (a, b)).toDF("c1","c2")
+    val mInd = Moments.mutualInfo(ind, "c1", "c2").head()
+    assert(math.abs(mInd.getDouble(0)) < 1e-6, s"MI indep: ${mInd.getDouble(0)}")
+    assert(mInd.getLong(2) == 4L) // observed cells
+  }
+
   test("constant columns yield NULL (guarded), not an ANSI divide-by-zero error") {
     import spark.implicits._
     val df = Seq((1.0, 5.0, "g"), (2.0, 5.0, "g")).toDF("xv", "yv", "g")
