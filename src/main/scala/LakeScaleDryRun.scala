@@ -28,14 +28,19 @@ object LakeScaleDryRun {
       val files0 = GraftParquetV2.listFiles(table).size
       val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
       val tSetup = (System.nanoTime()-t0)/1e9
+      // candidate count = the DELTA in archived files across the
+      // delete (the compact's own archived generation must not count)
+      val archivedBefore =
+        graft.sources.GraftTableLog.archivedStatuses(table).size
       // delete the lowest ~1/6 of the key range
       val t1 = System.nanoTime()
       GraftMaintenance.delete(spark, table, col("o_orderkey") <= maxKey/6)
       val tDel = (System.nanoTime()-t1)/1e9
       val files1 = GraftParquetV2.listFiles(table).size
-      // candidate count = archived file count from this delete
-      val archived = graft.sources.GraftTableLog.archivedStatuses(table).size
-      println(f"SCALEROW sf=$sf files_clustered=$files0 candidates_archived=$archived files_after=$files1 setup_s=$tSetup%.2f delete_s=$tDel%.2f")
+      val candidates =
+        graft.sources.GraftTableLog.archivedStatuses(table).size -
+          archivedBefore
+      println(f"SCALEROW sf=$sf files_clustered=$files0 candidates_archived=$candidates files_after=$files1 setup_s=$tSetup%.2f delete_s=$tDel%.2f")
       val p = new org.apache.hadoop.fs.Path(table)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }

@@ -55,13 +55,21 @@ object Main {
     require(args.nonEmpty, "usage: <command> --input DIR --output PATH [flags]")
     val cmd = args.head
     val flags = parseFlags(args.tail)
-    // stream-routes with the default rate source has no --input
+    // stream-routes with the default rate source has no --input; for
+    // the maintenance commands --input is the graft TABLE path
     def input = flags.getOrElse("input",
-      sys.error("--input <testdata sf dir> is required"))
+      sys.error("--input <testdata sf dir — or, for history/compact/" +
+        "vacuum, the graft table path> is required"))
     // lazy like input: the maintenance commands (history/compact/
     // vacuum) operate in place and take no --output
     def output = flags.getOrElse("output", sys.error("--output <path> is required"))
-    val spark = GraftSession.getOrCreate(s"graft-$cmd")
+    // lazy too: history and vacuum are pure filesystem-metadata ops —
+    // they must not pay (or require) a Spark driver
+    var sparkStarted = false
+    lazy val spark = {
+      sparkStarted = true
+      GraftSession.getOrCreate(s"graft-$cmd")
+    }
 
     cmd match {
       case "sql-top-routes" => // Q-easy (sql_cycle_rides.py) — SQL, K2 sink
@@ -255,6 +263,6 @@ object Main {
 
       case other => sys.error(s"unknown command: $other")
     }
-    spark.stop()
+    if (sparkStarted) spark.stop()
   }
 }

@@ -221,16 +221,36 @@ object Moments {
     * category drop from the whole test.
     * Scale: one count aggregation per axis + one over pairs; the grid
     * itself is category-cardinality (tiny) rows. */
-  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // rows with a NULL in EITHER category drop from the whole test —
-    // keeping them only in the axis totals (a naive groupBy) would
-    // inflate expectations against an unmatched observed cell (the
-    // NULL-key equi-join never matches), silently skewing the statistic
+  /** Shared contingency scaffold for [[chiSquare]] and [[mutualInfo]]:
+    * rows with a NULL in EITHER category drop from the whole test —
+    * keeping them only in the axis totals (a naive groupBy) would
+    * inflate expectations against an unmatched observed cell (the
+    * NULL-key equi-join never matches), silently skewing the
+    * statistic. Returns (observed cells, a-totals, b-totals, n). */
+  private def contingency(df: DataFrame, aCol: String, bCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
-    val obs = base.groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
-    val aTot = base.groupBy(aCol).agg(count(lit(1)).as("ra"))
-    val bTot = base.groupBy(bCol).agg(count(lit(1)).as("cb"))
-    val n = base.agg(count(lit(1)).as("nn"))
+    (base.groupBy(aCol, bCol).agg(count(lit(1)).as("o")),
+      base.groupBy(aCol).agg(count(lit(1)).as("ra")),
+      base.groupBy(bCol).agg(count(lit(1)).as("cb")),
+      base.agg(count(lit(1)).as("nn")))
+  }
+
+  /** The SQL twin of [[contingency]]: the CTE prefix both mirrors
+    * share (`base`/`obs`/`atot`/`btot`/`tot`). */
+  private def contingencySql(table: String, aCol: String,
+      bCol: String): String =
+    s"""base AS (
+       |  SELECT $aCol, $bCol FROM $table
+       |  WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL
+       |), obs AS (
+       |  SELECT $aCol, $bCol, count(*) AS o FROM base GROUP BY 1, 2
+       |), atot AS (SELECT $aCol, count(*) AS ra FROM base GROUP BY 1),
+       |btot AS (SELECT $bCol, count(*) AS cb FROM base GROUP BY 1),
+       |tot AS (SELECT count(*) AS nn FROM base)""".stripMargin
+
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val (obs, aTot, bTot, n) = contingency(df, aCol, bCol)
     val grid = aTot.crossJoin(bTot).crossJoin(broadcast(n))
       .join(obs, Seq(aCol, bCol), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
@@ -265,14 +285,7 @@ object Moments {
   /** DuckDB mirror of [[chiSquare]] — same null-drop, same floor
     * quantization, same vacuous-test guard. */
   def chiSquareSql(table: String, aCol: String, bCol: String): String =
-    s"""WITH base AS (
-       |  SELECT $aCol, $bCol FROM $table
-       |  WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL
-       |), obs AS (
-       |  SELECT $aCol, $bCol, count(*) AS o FROM base GROUP BY 1, 2
-       |), atot AS (SELECT $aCol, count(*) AS ra FROM base GROUP BY 1),
-       |btot AS (SELECT $bCol, count(*) AS cb FROM base GROUP BY 1),
-       |tot AS (SELECT count(*) AS nn FROM base),
+    s"""WITH ${contingencySql(table, aCol, bCol)},
        |grid AS (
        |  SELECT a.$aCol, b.$bCol, a.ra, b.cb, t.nn,
        |         COALESCE(o.o, 0) AS o
@@ -312,11 +325,7 @@ object Moments {
     * probability ~1e-8 — the same accepted grain as the repo's other
     * libm mirrors. */
   def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
-    val obs = base.groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
-    val aTot = base.groupBy(aCol).agg(count(lit(1)).as("ra"))
-    val bTot = base.groupBy(bCol).agg(count(lit(1)).as("cb"))
-    val n = base.agg(count(lit(1)).as("nn"))
+    val (obs, aTot, bTot, n) = contingency(df, aCol, bCol)
     val cells = obs.join(aTot, Seq(aCol)).join(bTot, Seq(bCol))
       .crossJoin(broadcast(n))
     val o = col("o").cast("double")
@@ -334,14 +343,7 @@ object Moments {
 
   /** DuckDB mirror of [[mutualInfo]]. */
   def mutualInfoSql(table: String, aCol: String, bCol: String): String =
-    s"""WITH base AS (
-       |  SELECT $aCol, $bCol FROM $table
-       |  WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL
-       |), obs AS (
-       |  SELECT $aCol, $bCol, count(*) AS o FROM base GROUP BY 1, 2
-       |), atot AS (SELECT $aCol, count(*) AS ra FROM base GROUP BY 1),
-       |btot AS (SELECT $bCol, count(*) AS cb FROM base GROUP BY 1),
-       |tot AS (SELECT count(*) AS nn FROM base),
+    s"""WITH ${contingencySql(table, aCol, bCol)},
        |cells AS (
        |  SELECT CAST(floor(
        |           (CAST(o.o AS DOUBLE) / CAST(t.nn AS DOUBLE)) *
