@@ -231,6 +231,57 @@ object LakehouseQueries {
            |FROM merged
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** ROW-LEVEL UPDATE under the hash gate ([[graft.sources
+    * .GraftMaintenance.update]]): two appended generations, then
+    * `UPDATE SET o_totalprice = o_totalprice * 2, o_orderpriority =
+    * '9-UPDATED' WHERE o_totalprice < 100000` — SQL UPDATE semantics
+    * (assignments where TRUE; FALSE and NULL rows keep their values),
+    * committed as a new version with the same selective-rewrite
+    * protocol as DELETE. The doubled price is binary-exact IEEE
+    * arithmetic (identical in both engines); the rewritten-priority
+    * count rides the hash so a row updated without its sibling
+    * assignment — or a non-matching row touched — breaks it. */
+  val qUpdate = QueryDef("q_dsv2_update",
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_upd")
+      slice(orders, 0).write.format(fmt).option("path", table)
+        .mode("append").save()
+      slice(orders, 1).write.format(fmt).option("path", table)
+        .mode("append").save()
+      GraftMaintenance.update(spark, table,
+        col("o_totalprice") < lit(100000.0),
+        Map("o_totalprice" -> (col("o_totalprice") * 2),
+          "o_orderpriority" -> lit("9-UPDATED")))
+      val head = spark.read.format(fmt).option("path", table).load()
+      head.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"),
+          sum(when(col("o_orderpriority") === "9-UPDATED", 1L)
+            .otherwise(0L)).as("n_updated"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH updated AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |         CASE WHEN o_totalprice < 100000.0
+           |              THEN o_totalprice * 2 ELSE o_totalprice END
+           |           AS o_totalprice,
+           |         CASE WHEN o_totalprice < 100000.0
+           |              THEN '9-UPDATED' ELSE o_orderpriority END
+           |           AS o_orderpriority
+           |  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+           |)
+           |SELECT o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_price,
+           |       CAST(SUM(CASE WHEN o_orderpriority = '9-UPDATED'
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM updated
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   /** The SQL FACE of the table format under the hash gate
     * ([[graft.sources.GraftCatalog]]): a catalog-addressed graft table
     * is built by a DataFrame append, grown by a plain SQL
@@ -326,5 +377,5 @@ object LakehouseQueries {
 
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
-      qDelete, qMerge, qSqlTimeTravel, qStreamFromVersion)
+      qDelete, qUpdate, qMerge, qSqlTimeTravel, qStreamFromVersion)
 }

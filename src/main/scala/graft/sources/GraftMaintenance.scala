@@ -220,6 +220,44 @@ object GraftMaintenance {
     rewriteCommit(spark, table, candidates, keep, partCols)
   }
 
+  /** ROW-LEVEL UPDATE with zone-map-selective rewrite: only the files
+    * whose statistics could not refute `condition` are read and
+    * rewritten (the [[delete]] candidate engine); every other file is
+    * carried into the new version untouched, so an update touching one
+    * key range of a clustered 100 TB table rewrites that range's
+    * files, not the table. SQL UPDATE semantics: assignments apply
+    * where the predicate is TRUE; FALSE and NULL rows keep their
+    * values. Assignments may read any PRE-update column (they all
+    * evaluate against the input row) and cast to the target column's
+    * declared type, so the table schema never drifts. Returns the new
+    * head version (or the current one when no file could match — a
+    * provable no-op). */
+  def update(spark: SparkSession, table: String, condition: Column,
+      assignments: Map[String, Column]): Long = {
+    require(assignments.nonEmpty, "graft update: no SET assignments")
+    val df = connectorRead(spark, table)
+    val fields = df.schema.fields
+    val unknown = assignments.keySet -- fields.map(_.name)
+    require(unknown.isEmpty,
+      s"graft update: SET targets ${unknown.mkString(",")} not in schema " +
+        s"${fields.map(_.name).mkString(",")}")
+    val candidates = plannedFiles(df.filter(condition))
+    if (candidates.isEmpty)
+      return GraftTableLog.latestVersion(table).getOrElse(0L)
+    val partCols = GraftParquetV2
+      .keyedLayout(table, df.schema).map(_._1).getOrElse(Nil)
+    val hit = coalesce(condition, lit(false))
+    val updated = spark.read.schema(df.schema).parquet(candidates: _*)
+      .select(fields.map { f =>
+        assignments.get(f.name) match {
+          case Some(v) => org.apache.spark.sql.functions
+            .when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+    rewriteCommit(spark, table, candidates, updated, partCols)
+  }
+
   /** MERGE (upsert) with key-range-selective rewrite: source rows
     * REPLACE same-key rows and INSERT otherwise (the
     * [[graft.operators.Upsert]] semantics, committed into the table as

@@ -256,6 +256,57 @@ class GraftTableLogSpec extends SparkSpec {
     assert(got == Seq(1L, 2L), s"NULL-cond row must survive: $got")
   }
 
+  test("selective update: assignments on matches, disjoint files untouched") {
+    val dir = tmp("upd")
+    // two RANGE-DISJOINT files: A holds doc_id < split, B the rest
+    val split = ids(docs)(ids(docs).size / 2)
+    docs.filter(col("doc_id") < split).coalesce(1).write.format(fmt)
+      .option("path", dir).mode("append").save()
+    docs.filter(col("doc_id") >= split).coalesce(1).write.format(fmt)
+      .option("path", dir).mode("append").save()
+    val fileB = GraftParquetV2.listFiles(dir).maxBy { f =>
+      spark.read.parquet(f).agg(max("doc_id")).head.getLong(0)
+    }
+    val cut = ids(docs).head + (split - ids(docs).head) / 2
+    val v = GraftMaintenance.update(spark, dir, col("doc_id") < cut,
+      Map("n_chars" -> (col("n_chars") + lit(1000000L))))
+    assert(v == 3L)
+    val want = docs.withColumn("n_chars",
+      when(col("doc_id") < cut, col("n_chars") + 1000000L)
+        .otherwise(col("n_chars")))
+    assert(read(dir).orderBy("doc_id").collect().toSeq ==
+      want.orderBy("doc_id").collect().toSeq)
+    // file B was NOT rewritten: its exact path survives
+    assert(GraftParquetV2.listFiles(dir).contains(fileB),
+      "zone-map-disjoint file must be carried untouched")
+    // pre-update version intact (until vacuumed)
+    assert(read(dir, "versionAsOf" -> "2").agg(sum("n_chars")).head.get(0) ==
+      docs.agg(sum("n_chars")).head.get(0))
+    // a range no file can hold is a provable no-op: no new version
+    assert(GraftMaintenance.update(spark, dir,
+      col("doc_id") < ids(docs).head - 1000,
+      Map("n_chars" -> lit(0L))) == 3L)
+    // unknown SET target refuses
+    val e = intercept[IllegalArgumentException](GraftMaintenance.update(
+      spark, dir, lit(true), Map("nope" -> lit(1))))
+    assert(e.getMessage.contains("not in schema"))
+  }
+
+  test("update keeps NULL-predicate rows and casts to the column type") {
+    import spark.implicits._
+    val dir = tmp("updnull")
+    Seq((1L, Some(5.0)), (2L, None), (3L, Some(50.0)))
+      .toDF("id", "v").coalesce(1).write.format(fmt)
+      .option("path", dir).mode("append").save()
+    // NULL condition rows keep their values; the int literal lands as
+    // the column's DOUBLE
+    GraftMaintenance.update(spark, dir, col("v") > 10.0,
+      Map("v" -> lit(7)))
+    val got = read(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(got == Seq((1L, Some(5.0)), (2L, None), (3L, Some(7.0))), s"$got")
+  }
+
   test("merge: updates replace, inserts land, disjoint files carried untouched") {
     val dir = tmp("merge")
     val split = ids(docs)(ids(docs).size / 2)
