@@ -27,7 +27,14 @@ import org.apache.spark.sql.SparkSession
   *   - noise telemetry: the 1-minute system load average at start and
   *     end, and per-query (max-min) spread, ride along so a slow-looking
   *     round can be attributed to host contention instead of guessed at
-  *     (this host's noisy neighbors have inflated single runs 3x).
+  *     (this host's noisy neighbors have inflated single runs 3x);
+  *   - SELF-DEFENSE (r10): the T0 load gate cannot see contention that
+  *     arrives MID-run, which poisoned the official snapshot in three of
+  *     the first nine rounds. After the sweep, any query whose min
+  *     exceeds 1.5x its best across bench_history.jsonl is re-timed
+  *     (load-gated between retries); the line reports `renoised` (how
+  *     many were retried) and `still_slow` (the ones still over the bar
+  *     after retry — a genuine regression signal, not contention).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -98,9 +105,80 @@ object Bench {
       }
       name -> times
     }
+    // SELF-DEFENDING PASS (r10): three of the first nine rounds' official
+    // bench snapshots were poisoned by mid-run host contention (load
+    // arriving AFTER the T0 gate) and needed manual adjudication from
+    // bench_history.jsonl. So the bench now defends itself: any query
+    // whose min exceeds RENOISE_FACTOR x its best in bench_history.jsonl
+    // is re-timed (load-gated between retries, bounded), and the JSON
+    // line carries a `renoised` count plus the names still slow AFTER
+    // the retry — a real regression signal, not contention.
+    val renoiseFactor =
+      sys.env.getOrElse("SPARK_GRAFT_RENOISE_FACTOR", "1.5").toDouble
+    val renoiseRuns =
+      sys.env.getOrElse("SPARK_GRAFT_RENOISE_RUNS", "2").toInt.max(1)
+    // absolute floor: sub-0.3s queries jitter past 1.5x on scheduler
+    // noise alone; re-timing them is all cost, no signal
+    val renoiseFloorS = 0.3
+    val historyBest: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("bench_history.jsonl")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val best = collection.mutable.Map.empty[String, Double]
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          java.nio.file.Files.lines(p).iterator()).asScala
+          .filter(_.nonEmpty).foreach { line =>
+            try {
+              val detail = om.readTree(line).path("detail")
+              // same-SF rows only: an sf0.01 best would flag every
+              // sf0.1 timing as "slow" and renoise the whole catalog
+              if (detail.path("sf").asText("") == sfDir) {
+                val qs = detail.path("queries")
+                scala.jdk.CollectionConverters.IteratorHasAsScala(qs.fields())
+                  .asScala.foreach { e =>
+                    val v = e.getValue.asDouble(-1.0)
+                    if (v > 0 && best.getOrElse(e.getKey, Double.MaxValue) > v)
+                      best(e.getKey) = v
+                  }
+              }
+            } catch { case _: Exception => () } // torn/legacy line: skip
+          }
+        best.toMap
+      }
+    }
+    val timesByName = collection.mutable.LinkedHashMap(allTimes: _*)
+    val suspect = allTimes.collect {
+      case (name, ts) if !ts.contains(-1.0) &&
+        historyBest.get(name).exists(b =>
+          ts.min > b * renoiseFactor && ts.min > renoiseFloorS) => name
+    }
+    val queryFns = SparkEntry.queries
+    var stillSlow = List.empty[String]
+    suspect.foreach { name =>
+      // load-check between retries: contention poisoned the first
+      // attempt; don't burn the retry under the same load
+      var waited = 0
+      while (loadAvg() > loadGate && waited < 120) {
+        Thread.sleep(10000); waited += 10
+      }
+      val extra = (1 to renoiseRuns).map { _ =>
+        val t0 = System.nanoTime()
+        try { queryFns(name)(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => Double.MaxValue }
+      }.filter(_ < Double.MaxValue)
+      if (extra.nonEmpty) timesByName(name) = timesByName(name) ++ extra
+      val newMin = timesByName(name).min
+      if (historyBest.get(name).exists(b => newMin > b * renoiseFactor))
+        stillSlow ::= name
+      System.err.println(f"[bench] renoise $name: " +
+        f"${allTimes.toMap.apply(name).min}%.3f -> $newMin%.3f s " +
+        f"(best ${historyBest(name)}%.3f, load ${loadAvg()}%.2f)")
+    }
     val loadEnd = loadAvg()
     def r3(v: Double) = math.rint(v * 1000) / 1000
-    val results = allTimes.map { case (name, ts) =>
+    val results = timesByName.toSeq.map { case (name, ts) =>
       name -> (if (ts.contains(-1.0)) -1.0 else r3(ts.min))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -110,13 +188,20 @@ object Bench {
     // number. Total covers succeeded queries only; failures are listed.
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
-    // worst per-query (max-min) spread: the one-number noise indicator
-    val maxSpread = r3(allTimes.map { case (_, ts) =>
+    // worst per-query (max-min) spread: the one-number noise indicator.
+    // Renoise runs are INCLUDED — a renoised query's large spread is the
+    // honest record of the contention the retry corrected.
+    val maxSpread = r3(timesByName.map { case (_, ts) =>
       if (ts.contains(-1.0)) 0.0 else ts.max - ts.min
     }.foldLeft(0.0)(math.max))
+    // still_slow is bounded to 10 names so a pathological round cannot
+    // outgrow the driver's tail capture (the r3/r4 lesson)
+    val stillSlowJson = stillSlow.take(10)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val tail =
       s""""sf":"$sfDir","runs":$runs,"load":[$loadStart,$loadEnd],""" +
         s""""load_gate":$loadGate,"gate_waited_s":$gateWaited,""" +
+        s""""renoised":${suspect.size},"still_slow":$stillSlowJson,""" +
         s""""max_spread":$maxSpread"""
     // compact, fixed-size summary: the "queries" map on the stdout line is
     // pinned to the headline reference workloads (a FIXED set — the full
@@ -130,8 +215,9 @@ object Bench {
       s""""queries":$headQs,""" +
       s""""n_queries":${results.size},"failed":${failed.mkString("[", ",", "]")},""" +
       s"""$tail,"detail":"bench_result.json"}"""
-    // full detail (per-query min + raw per-run times) for post-hoc analysis
-    val rawTimes = allTimes.map { case (k, ts) =>
+    // full detail (per-query min + raw per-run times, renoise runs
+    // appended) for post-hoc analysis
+    val rawTimes = timesByName.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(t => math.rint(t * 1e6) / 1e6).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val detail =

@@ -206,8 +206,11 @@ object GraftMaintenance {
     * uses); a range-clustered or partitioned table deletes a key range
     * by rewriting ~the files that hold it, not the table. SQL DELETE
     * semantics: rows where the predicate is TRUE go; FALSE and NULL
-    * stay. Returns the new head version (or the current one when no
-    * file could match — a provable no-op). */
+    * stay. `condition` must be built from unbound `col("name")`
+    * references — it is re-evaluated against a direct read of the
+    * candidate files, not against any caller-held DataFrame. Returns
+    * the new head version (or the current one when no file could
+    * match — a provable no-op). */
   def delete(spark: SparkSession, table: String, condition: Column): Long = {
     val df = connectorRead(spark, table)
     val candidates = plannedFiles(df.filter(condition))
@@ -229,29 +232,83 @@ object GraftMaintenance {
     * where the predicate is TRUE; FALSE and NULL rows keep their
     * values. Assignments may read any PRE-update column (they all
     * evaluate against the input row) and cast to the target column's
-    * declared type, so the table schema never drifts. Returns the new
-    * head version (or the current one when no file could match — a
-    * provable no-op). */
+    * declared type, so the table schema never drifts. SET targets
+    * resolve against the schema with the session's
+    * `spark.sql.caseSensitive` setting (insensitive by default, like
+    * the analyzer); incompatible assignment types are refused UP FRONT,
+    * and a narrowing-but-castable assignment (e.g. string → bigint)
+    * carries an in-plan assertion so a value the cast cannot represent
+    * fails the job loudly instead of silently writing NULL (the
+    * non-ANSI-cast corruption path). `condition` and assignment values
+    * must be built from unbound `col("name")` references — they are
+    * re-evaluated against a direct read of the candidate files, not
+    * against any caller-held DataFrame. Returns the new head version
+    * (or the current one when no file could match — a provable
+    * no-op). */
   def update(spark: SparkSession, table: String, condition: Column,
       assignments: Map[String, Column]): Long = {
     require(assignments.nonEmpty, "graft update: no SET assignments")
     val df = connectorRead(spark, table)
     val fields = df.schema.fields
-    val unknown = assignments.keySet -- fields.map(_.name)
-    require(unknown.isEmpty,
-      s"graft update: SET targets ${unknown.mkString(",")} not in schema " +
-        s"${fields.map(_.name).mkString(",")}")
+    // resolve SET targets the way the analyzer would: case-insensitive
+    // unless spark.sql.caseSensitive, canonical field name wins
+    val caseSensitive = spark.conf.get("spark.sql.caseSensitive", "false")
+      .toBoolean
+    val resolved: Map[String, Column] = assignments.map { case (k, v) =>
+      val matches = fields.filter(f =>
+        if (caseSensitive) f.name == k else f.name.equalsIgnoreCase(k))
+      require(matches.nonEmpty,
+        s"graft update: SET target $k not in schema " +
+          s"${fields.map(_.name).mkString(",")}")
+      require(matches.length == 1,
+        s"graft update: SET target $k is ambiguous under case-insensitive " +
+          s"resolution: ${matches.map(_.name).mkString(",")}")
+      matches.head.name -> v
+    }
+    require(resolved.size == assignments.size,
+      "graft update: two SET assignments resolve to the same column")
+    // validate assignment types UP FRONT: resolve each value expression
+    // against the table schema and check it can reach the target type.
+    // Safe widenings cast plainly; a castable-but-narrowing assignment
+    // gets an in-plan guard below; an uncastable one refuses here.
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val valueTypes = df.limit(0)
+      .select(resolved.values.toSeq: _*).schema.fields.map(_.dataType)
+    val needGuard: Set[String] =
+      resolved.keys.zip(valueTypes).flatMap { case (name, vt) =>
+        val target = fields.find(_.name == name).get.dataType
+        if (Cast.canUpCast(vt, target)) None
+        else {
+          require(Cast.canAnsiCast(vt, target),
+            s"graft update: cannot assign $vt to column $name: $target")
+          Some(name)
+        }
+      }.toSet
     val candidates = plannedFiles(df.filter(condition))
     if (candidates.isEmpty)
       return GraftTableLog.latestVersion(table).getOrElse(0L)
     val partCols = GraftParquetV2
       .keyedLayout(table, df.schema).map(_._1).getOrElse(Nil)
     val hit = coalesce(condition, lit(false))
+    import org.apache.spark.sql.functions.{assert_true, when}
     val updated = spark.read.schema(df.schema).parquet(candidates: _*)
       .select(fields.map { f =>
-        assignments.get(f.name) match {
-          case Some(v) => org.apache.spark.sql.functions
-            .when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        resolved.get(f.name) match {
+          case Some(v) =>
+            val cv = v.cast(f.dataType)
+            // guard the narrowing path: under the session's (default
+            // non-ANSI) cast, an unrepresentable value becomes NULL —
+            // assert a non-null input never casts to null, so the job
+            // fails loudly instead of corrupting every matched row
+            val guarded =
+              if (needGuard(f.name))
+                when(assert_true(v.isNull || cv.isNotNull,
+                  lit(s"graft update: assignment to ${f.name} produced " +
+                    s"NULL from a non-null value — the cast to " +
+                    s"${f.dataType.simpleString} cannot represent it"))
+                  .isNull, cv)
+              else cv
+            when(hit, guarded).otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
       }.toSeq: _*)

@@ -77,7 +77,8 @@ class GraftParquetTable(path: String, tableSchema: StructType,
     // [[GraftCatalog.loadTable]]); per-scan read options override it
     pinnedTravel: Option[GraftTimeTravel] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(path != null, "graft parquet v2: 'path' option is required")
   override def name(): String = s"graft_parquet($path)"
   override def schema(): StructType = tableSchema
@@ -143,6 +144,28 @@ class GraftParquetTable(path: String, tableSchema: StructType,
   override def truncateTable(): Boolean = {
     deleteWhere(Array[Filter](org.apache.spark.sql.sources.AlwaysTrue))
     true
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` whose predicate the
+    * metadata path can't take): group-based COPY-ON-WRITE row-level
+    * operations ([[org.apache.spark.sql.connector.catalog
+    * .SupportsRowLevelOperations]] — the Iceberg shape). Spark's
+    * `RewriteUpdateTable`/`RewriteMergeIntoTable` plan a ReplaceData
+    * job over the operation's scan; the scan prunes to the files whose
+    * zone maps could not refute the command's condition (GROUP
+    * granularity — candidate files' non-matching rows are read and
+    * written back untouched), and the write's commit swaps exactly
+    * those files for the rewritten ones as a new log version
+    * ([[GraftRowLevelOperation]]). Simple DELETEs stay on the
+    * metadata-only [[deleteWhere]] path via Spark's
+    * OptimizeMetadataOnlyDeleteFromTable. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedTravel.isEmpty,
+      "graft parquet v2: row-level " + info.command() +
+        " on a time-travel-pinned table")
+    () => new GraftRowLevelOperation(path, tableSchema, info.command())
   }
 }
 
@@ -402,7 +425,13 @@ case class GraftParquetScan(path: String, required: StructType,
     // against the table's _graft_log — None = the live table
     travel: Option[GraftTimeTravel] = None,
     // streaming-only: snapshot whose files the stream starts AFTER
-    streamStartVersion: Option[Long] = None)
+    streamStartVersion: Option[Long] = None,
+    // GROUP-granularity filters (the row-level copy-on-write path,
+    // [[GraftRowLevelScan]]): used to prune FILES in planInputPartitions
+    // exactly like pushed filters, but NEVER handed to the readers — a
+    // candidate file's non-matching rows must survive into the rewrite,
+    // so row filtering here would be data loss, not optimization
+    fileOnlyFilters: Array[Filter] = Array.empty)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -610,7 +639,7 @@ case class GraftParquetScan(path: String, required: StructType,
       "graft parquet v2: startingVersion is a STREAMING read option — " +
         "for a batch delta use changesSince")
     val files = readTarget._1
-    val conj = pushed ++ runtimeFilters
+    val conj = pushed ++ runtimeFilters ++ fileOnlyFilters
     val kept =
       if (conj.isEmpty) files
       else {

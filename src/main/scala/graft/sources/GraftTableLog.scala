@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Layout (all underscore-prefixed, so [[GraftParquetV2.listFiles]] —
   * the live read path — never sees any of it):
   *
-  *   - `_graft_log/v%010d-<writeId>.parquet` — one SNAPSHOT file per
+  *   - `_graft_log/v%010d.parquet` — one SNAPSHOT file per
   *     committed version: (rel_path, file, column, kind, bounds…) rows,
   *     i.e. the complete file listing of the table at that version plus
   *     each file's zone-map manifest entries. A file with no footer

@@ -102,11 +102,76 @@ class GraftCatalogSpec extends SparkSpec {
     // rows under the archived schema)
     assert(spark.sql(
       s"SELECT * FROM $cat.corp.t5 VERSION AS OF 4").count() == 0)
-    // an arithmetic predicate the v1-filter bridge cannot carry refuses
-    // loudly (GraftMaintenance.delete takes arbitrary Columns instead)
-    val e = intercept[Exception](spark.sql(
-      s"DELETE FROM $cat.corp.t5 WHERE doc_id % 3 = 0"))
-    assert(e.getMessage.contains("Cannot delete"))
+  }
+
+  test("SQL DELETE with an arithmetic predicate: the copy-on-write fallback") {
+    // a predicate the v1-filter bridge can't carry (doc_id % 3) can't
+    // take the metadata-only path — it falls through to the group-based
+    // copy-on-write rewrite (SupportsRowLevelOperations) and WORKS
+    write("t8", 0, "append")
+    write("t8", 1, "append")
+    val both = docs.filter(pmod(col("doc_id"), lit(3)) < 2)
+    spark.sql(s"DELETE FROM $cat.corp.t8 WHERE doc_id % 3 = 0")
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t8") ==
+      idsOf(both.filter(pmod(col("doc_id"), lit(3)) === 1)))
+    // the rewrite committed a version; the pre-delete state still answers
+    val path = s"$warehouse/corp/t8"
+    assert(GraftTableLog.versions(path).size == 3)
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t8 VERSION AS OF 2") ==
+      idsOf(both))
+  }
+
+  test("SQL UPDATE: copy-on-write row-level rewrite committed as a version") {
+    write("t9", 0, "append")
+    write("t9", 1, "append")
+    val path = s"$warehouse/corp/t9"
+    val both = docs.filter(pmod(col("doc_id"), lit(3)) < 2)
+    val cut = idsOf(both)(idsOf(both).size / 2)
+    spark.sql(s"UPDATE $cat.corp.t9 SET lang = 'xx', " +
+      s"n_chars = n_chars + 1000000 WHERE doc_id < $cut")
+    // rows below the cut carry the assignments; the rest are untouched
+    val got = spark.sql(s"SELECT doc_id, lang, n_chars FROM $cat.corp.t9")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val want = both.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .map { case (id, lang, n) =>
+        if (id < cut) (id, "xx", n + 1000000L) else (id, lang, n)
+      }.sortBy(_._1).toSeq
+    assert(got == want)
+    // the update committed a version; time travel sees the pre-update rows
+    assert(GraftTableLog.versions(path).size == 3)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.corp.t9 " +
+      s"VERSION AS OF 2 WHERE lang = 'xx'").head.getLong(0) == 0L)
+    // row counts identical across the rewrite (UPDATE never adds/drops)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.corp.t9")
+      .head.getLong(0) == both.count())
+  }
+
+  test("SQL MERGE INTO: upsert through the row-level machinery") {
+    write("t10", 0, "append")
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val baseIds = idsOf(base)
+    val half = baseIds(baseIds.size / 2)
+    // source: updates for ids >= half (lang -> 'zz'), plus brand-new ids
+    spark.sql(s"MERGE INTO $cat.corp.t10 t USING (" +
+      s"SELECT doc_id, 'zz' AS lang, n_chars FROM " +
+      s"parquet.`$sfDir/documents.parquet` " +
+      s"WHERE doc_id % 3 = 0 AND doc_id >= $half " +
+      s"UNION ALL SELECT doc_id + 1000000 AS doc_id, 'new' AS lang, " +
+      s"n_chars FROM parquet.`$sfDir/documents.parquet` WHERE doc_id % 7 = 0" +
+      ") s ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED THEN UPDATE SET t.lang = s.lang " +
+      "WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars) " +
+      "VALUES (s.doc_id, s.lang, s.n_chars)")
+    val got = spark.sql(s"SELECT doc_id, lang FROM $cat.corp.t10")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val news = idsOf(docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+      .map(id => (id + 1000000L, "new"))
+    val want = (base.collect().map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, lang) => if (id >= half) (id, "zz") else (id, lang) }
+      .toSeq ++ news).sortBy(_._1)
+    assert(got == want)
   }
 
   test("CALL system.compact / vacuum / history: SQL-callable maintenance") {
