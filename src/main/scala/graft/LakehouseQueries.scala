@@ -319,6 +319,132 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
 
+  /** SQL `UPDATE` under the hash gate — the copy-on-write ROW-LEVEL
+    * machinery end to end ([[graft.sources.GraftRowLevelOperation]]):
+    * a catalog-addressed graft table is range-clustered on
+    * `o_orderkey`, then a key-range UPDATE runs as ONE plain SQL
+    * statement. Spark's RewriteUpdateTable plans the ReplaceData job;
+    * the operation's scan prunes candidates by zone map, and the
+    * in-query require asserts the SELECTIVITY — the update must
+    * archive (rewrite) strictly fewer files than the table holds,
+    * i.e. the untouched key ranges carried into the new version by
+    * reference. The oracle re-derives the updated rows with the same
+    * threshold subquery. */
+  val qSqlUpdate = QueryDef("q_sql_update",
+    (spark, dir) => {
+      val cat = "graft_lake"
+      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = s"$warehouse/sf/$tbl"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("append").save()
+      slice(orders, 1).write.format(fmt).option("path", path)
+        .mode("append").save()
+      // range-cluster into ~8 files so the key-range update is
+      // provably selective (disjoint o_orderkey zone maps per file)
+      GraftMaintenance.compact(spark, path,
+        targetFileBytes = math.max(1L,
+          GraftParquetV2.totalFileBytes(path) / 8),
+        clusterBy = Seq("o_orderkey"))
+      val files = GraftParquetV2.listFiles(path).size
+      val archBefore = graft.sources.GraftTableLog.archivedStatuses(path).size
+      // the lowest ~1/6 of the key range, threshold derived from the
+      // data (deterministic at any SF; integer floor in both engines)
+      val cut = orders.agg(max("o_orderkey")).head.getLong(0) / 6
+      spark.sql(s"UPDATE $cat.sf.$tbl SET " +
+        s"o_totalprice = o_totalprice * 2, o_orderpriority = '9-UPDATED' " +
+        s"WHERE o_orderkey < $cut")
+      val archived =
+        graft.sources.GraftTableLog.archivedStatuses(path).size - archBefore
+      require(archived > 0 && archived < files,
+        s"key-range SQL UPDATE must rewrite a PROPER SUBSET of the " +
+          s"$files clustered files, archived $archived")
+      val head = spark.read.format(fmt).option("path", path).load()
+      head.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"),
+          sum(when(col("o_orderpriority") === "9-UPDATED", 1L)
+            .otherwise(0L)).as("n_updated"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH cut AS (
+           |  SELECT CAST(floor(max(o_orderkey) / 6.0) AS BIGINT) AS k
+           |  FROM orders
+           |), updated AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |         CASE WHEN o_orderkey < (SELECT k FROM cut)
+           |              THEN o_totalprice * 2 ELSE o_totalprice END
+           |           AS o_totalprice,
+           |         CASE WHEN o_orderkey < (SELECT k FROM cut)
+           |              THEN '9-UPDATED' ELSE o_orderpriority END
+           |           AS o_orderpriority
+           |  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+           |)
+           |SELECT o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_price,
+           |       CAST(SUM(CASE WHEN o_orderpriority = '9-UPDATED'
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM updated
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** SQL `MERGE INTO` under the hash gate — Spark's native MERGE
+    * statement planned through the same row-level machinery
+    * (RewriteMergeIntoTable → ReplaceData → candidate-file swap): the
+    * source UPDATES every eighth order (price doubled, binary-exact)
+    * and INSERTS slice 1; the merged head must equal the oracle's
+    * CASE-rewritten union — a lost update, duplicated key, or dropped
+    * insert breaks the hash. Same semantics as the API-level
+    * `q_dsv2_merge`, now reachable as ONE SQL statement. */
+  val qSqlMerge = QueryDef("q_sql_merge",
+    (spark, dir) => {
+      val cat = "graft_lake"
+      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = s"$warehouse/sf/$tbl"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("append").save()
+      val updates = slice(orders, 0)
+        .filter(pmod(col("o_orderkey"), lit(8)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      updates.unionByName(slice(orders, 1))
+        .createOrReplaceTempView("merge_src")
+      spark.sql(s"""MERGE INTO $cat.sf.$tbl t USING merge_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      fingerprint(
+        spark.read.format(fmt).option("path", path).load())
+    },
+    Some("""WITH merged AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |         CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2
+           |              ELSE o_totalprice END AS o_totalprice
+           |  FROM orders WHERE o_orderkey % 4 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderkey % 4 = 1
+           |)
+           |SELECT o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_price,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM merged
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   /** STREAMING FROM A VERSION BOUNDARY under the hash gate
     * ([[graft.sources.GraftMicroBatchStream]]'s `startingVersion`):
     * three appended versions; a stream starting after v1 must drain
@@ -377,5 +503,6 @@ object LakehouseQueries {
 
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
-      qDelete, qUpdate, qMerge, qSqlTimeTravel, qStreamFromVersion)
+      qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
+      qStreamFromVersion)
 }

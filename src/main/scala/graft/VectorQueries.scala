@@ -66,25 +66,117 @@ object VectorQueries {
 
   /** Product-quantization ANN ([[graft.operators.Pq]]): codes-only ADC
     * shortlist (32× vector compression at dim 64 / m 8 / 5-bit codes)
-    * exact-rescored at candidate cardinality. The ADC ordering is a
-    * trained-float kernel — not SQL-mirrorable, so this entry carries
-    * the same rows-only status as `q_ann_lsh_pairs`; every emitted
-    * cosine is EXACT (the rescore), and recall@k against the
-    * brute-force twin is spec-measured, as is retrain determinism. */
+    * exact-rescored at candidate cardinality.
+    *
+    * FULLY ORACLE-CHECKED (r10): the trained codebooks are exported as
+    * a parquet table ([[PqCodebookPath]]) and the oracle REPLAYS the
+    * whole approximate pipeline from them in SQL — per-block argmin
+    * encode (strict-<, code-ascending ties), the query LUT, the
+    * b-ordered ADC fold, 1e-6-rounded shortlist ranking, exact-cosine
+    * rescore — all with the kernels' index-order double accumulation
+    * (ordered list_reduce, the SQ8 oracle's discipline). Deterministic
+    * training ([[graft.operators.Pq.train]]: smallest-id sample,
+    * first-wins Lloyd) makes the exported codebook bit-stable, so the
+    * oracle sees exactly the floats the kernels baked in. */
   val PqM = 8
   val PqKsub = 32
   val PqShortlist = 8 * TopK
+  val PqCodebookPath = "/tmp/graft_pq_codebook.parquet"
+
+  /** Export trained codebooks as (b, c, cv float[]) parquet — the
+    * oracle's view of the model. Fixed absolute path: the oracle SQL
+    * text must name it literally. */
+  private def exportCodebook(spark: org.apache.spark.sql.SparkSession,
+      cb: graft.operators.Pq.Codebooks, path: String): Unit = {
+    import spark.implicits._
+    (for (b <- 0 until cb.m; c <- 0 until cb.ksub)
+      yield (b, c, cb.books(b)(c).toSeq))
+      .toDF("b", "c", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The shared SQL replay of a PQ ADC search given a codebook table:
+    * encode corpus → LUT queries → ordered ADC fold → rounded
+    * shortlist → exact rescore. `vecExpr` selects the encoded vector
+    * (raw embedding for PQ; residual against an assigned centroid for
+    * IVF-PQ callers building on the same CTE names). */
+  private def fold(body: String, n: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  [$body for i in generate_series(1, len($n))]),
+       |  (acc, x) -> acc + x)""".stripMargin
+
   val qAnnPq = QueryDef("q_ann_pq_topk",
     (spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
       val cb = graft.operators.Pq.train(
         emb, "vec_id", "embedding", PqM, PqKsub)
+      exportCodebook(spark, cb, PqCodebookPath)
       graft.operators.Pq.pqTopK(
         emb, emb.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", cb, TopK, PqShortlist)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some(s"""WITH book AS (
+            |  SELECT b, c, cv::DOUBLE[] AS cv
+            |  FROM read_parquet('$PqCodebookPath/*.parquet')
+            |), e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |), blocks AS (SELECT DISTINCT b FROM book
+            |), sub AS (  -- per (vector, block) subvector, 1-based slice
+            |  SELECT e.vec_id, blocks.b,
+            |         e.v[blocks.b * 8 + 1 : blocks.b * 8 + 8] AS s
+            |  FROM e, blocks
+            |), d2 AS (   -- squared L2 to every block centroid
+            |  SELECT sub.vec_id, sub.b, book.c,
+            |         ${fold("(sub.s[i] - book.cv[i]) * (sub.s[i] - book.cv[i])", "sub.s")} AS d
+            |  FROM sub JOIN book ON book.b = sub.b
+            |), enc AS (  -- argmin: strict-<, code-ascending first-wins
+            |  SELECT vec_id, b, c AS code FROM (
+            |    SELECT vec_id, b, c, row_number() OVER (
+            |      PARTITION BY vec_id, b ORDER BY d, c) AS rn
+            |    FROM d2) WHERE rn = 1
+            |), nrm AS (
+            |  SELECT vec_id, sqrt(${fold("v[i] * v[i]", "v")}) AS nrm FROM e
+            |), lut AS (  -- query ADC table: dot(q_block, centroid)
+            |  SELECT s.vec_id AS query_id, s.b, book.c,
+            |         ${fold("s.s[i] * book.cv[i]", "s.s")} AS val
+            |  FROM sub s JOIN book ON book.b = s.b
+            |  WHERE s.vec_id < $NQueries
+            |), adc AS (  -- sum lut[b][codes[b]] in ascending-b order
+            |  SELECT l.query_id, enc.vec_id AS neighbor_id,
+            |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            |           list(l.val ORDER BY enc.b)),
+            |           (acc, x) -> acc + x) AS adc
+            |  FROM enc JOIN lut l ON l.b = enc.b AND l.c = enc.code
+            |  WHERE enc.vec_id <> l.query_id
+            |  GROUP BY l.query_id, enc.vec_id
+            |), scored AS (
+            |  SELECT adc.query_id, adc.neighbor_id,
+            |         CASE WHEN nq.nrm * nc.nrm = 0 THEN CAST(0.0 AS DOUBLE)
+            |              ELSE round(adc.adc / (nq.nrm * nc.nrm), 6)
+            |         END AS approx
+            |  FROM adc
+            |  JOIN nrm nq ON nq.vec_id = adc.query_id
+            |  JOIN nrm nc ON nc.vec_id = adc.neighbor_id
+            |), short AS (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS srn
+            |  FROM scored
+            |), rescored AS (
+            |  SELECT s.query_id, s.neighbor_id,
+            |         ${cosSql("eq.v", "ec.v")} AS cosine
+            |  FROM short s
+            |  JOIN e eq ON eq.vec_id = s.query_id
+            |  JOIN e ec ON ec.vec_id = s.neighbor_id
+            |  WHERE s.srn <= $PqShortlist
+            |), ranked AS (
+            |  SELECT query_id, neighbor_id, cosine,
+            |         CAST(row_number() OVER (PARTITION BY query_id
+            |           ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+            |  FROM rescored
+            |)
+            |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+            |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
   /** IVF-PQ — the COMPOSED production ANN architecture
     * ([[graft.operators.Pq.ivfPqTopK]], FAISS's IndexIVFPQ shape): the
@@ -93,11 +185,19 @@ object VectorQueries {
     * ([[graft.operators.Pq.trainResidual]]) score the survivors at m
     * bytes per vector, and the shortlist is exact-rescored — per-query
     * scan cost is the PRODUCT of the probe fraction and the code
-    * compression, which is what a 100 TB index actually runs. Trained
-    * float kernels (Lloyd + ADC) → rows-only like `q_ann_pq_topk`;
-    * recall vs the brute-force twin and retrain determinism are
-    * spec-measured, and every emitted cosine is exact. */
+    * compression, which is what a 100 TB index actually runs.
+    *
+    * FULLY ORACLE-CHECKED (r10), like `q_ann_pq_topk`: the trained
+    * coarse centroids AND residual codebooks export as parquet, and
+    * the oracle replays everything downstream of training — the
+    * (d2, cid)-argmin cell assignment, float residuals, per-block
+    * encode, per-query nprobe cell ranking ((l2, cid) — TopKAgg's
+    * order), the cell-independent LUT + exact dot(q, c) decomposition,
+    * the b-ordered ADC fold, 1e-6-rounded shortlist, and the exact
+    * rescore. Recall vs the brute-force twin stays spec-measured. */
   val IvfPqNprobe = 4
+  val IvfPqCentsPath = "/tmp/graft_ivfpq_cents.parquet"
+  val IvfPqCodebookPath = "/tmp/graft_ivfpq_codebook.parquet"
   val qAnnIvfPq = QueryDef("q_ann_ivfpq_topk",
     (spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
@@ -105,13 +205,112 @@ object VectorQueries {
         emb, "vec_id", "embedding", IvfClusters, IvfIters)
       val cb = graft.operators.Pq.trainResidual(
         emb, "vec_id", "embedding", cents, PqM, PqKsub)
+      cents.coalesce(1).write.mode("overwrite").parquet(IvfPqCentsPath)
+      exportCodebook(spark, cb, IvfPqCodebookPath)
       val q = emb.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       graft.operators.Pq.ivfPqTopK(
         assigned, cents, q, cb, TopK, IvfPqNprobe, PqShortlist)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some(s"""WITH book AS (
+            |  SELECT b, c, cv::DOUBLE[] AS cv
+            |  FROM read_parquet('$IvfPqCodebookPath/*.parquet')
+            |), cent AS (
+            |  SELECT cid, cv::DOUBLE[] AS cv
+            |  FROM read_parquet('$IvfPqCentsPath/*.parquet')
+            |), e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |), blocks AS (SELECT DISTINCT b FROM book
+            |), assigned AS ( -- (d2, cid)-argmin cell per corpus vector
+            |  SELECT vec_id, cid FROM (
+            |    SELECT e.vec_id, cent.cid, row_number() OVER (
+            |      PARTITION BY e.vec_id ORDER BY
+            |        ${fold("(e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])", "e.v")},
+            |        cent.cid) AS rn
+            |    FROM e, cent) WHERE rn = 1
+            |), resid AS (  -- float residual v - c(v), widened back
+            |  SELECT e.vec_id, a.cid,
+            |         [CAST(CAST(e.v[i] - cent.cv[i] AS FLOAT) AS DOUBLE)
+            |          for i in generate_series(1, len(e.v))] AS r
+            |  FROM e JOIN assigned a ON a.vec_id = e.vec_id
+            |  JOIN cent ON cent.cid = a.cid
+            |), rsub AS (   -- per (vector, block) residual subvector
+            |  SELECT resid.vec_id, resid.cid, blocks.b,
+            |         resid.r[blocks.b * 8 + 1 : blocks.b * 8 + 8] AS s
+            |  FROM resid, blocks
+            |), d2 AS (
+            |  SELECT rsub.vec_id, rsub.cid, rsub.b, book.c,
+            |         ${fold("(rsub.s[i] - book.cv[i]) * (rsub.s[i] - book.cv[i])", "rsub.s")} AS d
+            |  FROM rsub JOIN book ON book.b = rsub.b
+            |), enc AS (    -- residual codes: strict-<, code-ascending
+            |  SELECT vec_id, cid, b, c AS code FROM (
+            |    SELECT vec_id, cid, b, c, row_number() OVER (
+            |      PARTITION BY vec_id, b ORDER BY d, c) AS rn
+            |    FROM d2) WHERE rn = 1
+            |), nrm AS (
+            |  SELECT vec_id, sqrt(${fold("v[i] * v[i]", "v")}) AS nrm FROM e
+            |), probes AS ( -- nprobe nearest cells per query: (l2, cid)
+            |  SELECT query_id, cid FROM (
+            |    SELECT e.vec_id AS query_id, cent.cid, row_number() OVER (
+            |      PARTITION BY e.vec_id ORDER BY
+            |        sqrt(${fold("(e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])", "e.v")}),
+            |        cent.cid) AS rn
+            |    FROM e, cent WHERE e.vec_id < $NQueries)
+            |  WHERE rn <= $IvfPqNprobe
+            |), qsub AS (   -- per (query, block) RAW-query subvector
+            |  SELECT e.vec_id AS query_id, blocks.b,
+            |         e.v[blocks.b * 8 + 1 : blocks.b * 8 + 8] AS s
+            |  FROM e, blocks WHERE e.vec_id < $NQueries
+            |), lut AS (    -- one cell-independent ADC table per query
+            |  SELECT q.query_id, q.b, book.c,
+            |         ${fold("q.s[i] * book.cv[i]", "q.s")} AS val
+            |  FROM qsub q JOIN book ON book.b = q.b
+            |), qdotc AS (  -- exact dot(q, c) per probed cell
+            |  SELECT p.query_id, p.cid,
+            |         ${fold("e.v[i] * cent.cv[i]", "e.v")} AS qc
+            |  FROM probes p
+            |  JOIN e ON e.vec_id = p.query_id
+            |  JOIN cent ON cent.cid = p.cid
+            |), adc AS (    -- sum lut[b][codes[b]] in ascending-b order
+            |  SELECT l.query_id, enc.vec_id AS neighbor_id, enc.cid,
+            |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            |           list(l.val ORDER BY enc.b)),
+            |           (acc, x) -> acc + x) AS adc
+            |  FROM enc
+            |  JOIN probes p ON p.cid = enc.cid
+            |  JOIN lut l ON l.query_id = p.query_id
+            |    AND l.b = enc.b AND l.c = enc.code
+            |  WHERE enc.vec_id <> l.query_id
+            |  GROUP BY l.query_id, enc.vec_id, enc.cid
+            |), scored AS (
+            |  SELECT adc.query_id, adc.neighbor_id,
+            |         CASE WHEN nq.nrm * nc.nrm = 0 THEN CAST(0.0 AS DOUBLE)
+            |              ELSE round((qd.qc + adc.adc) / (nq.nrm * nc.nrm), 6)
+            |         END AS approx
+            |  FROM adc
+            |  JOIN qdotc qd ON qd.query_id = adc.query_id AND qd.cid = adc.cid
+            |  JOIN nrm nq ON nq.vec_id = adc.query_id
+            |  JOIN nrm nc ON nc.vec_id = adc.neighbor_id
+            |), short AS (
+            |  SELECT query_id, neighbor_id, row_number() OVER (
+            |    PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS srn
+            |  FROM scored
+            |), rescored AS (
+            |  SELECT s.query_id, s.neighbor_id,
+            |         ${cosSql("eq.v", "ec.v")} AS cosine
+            |  FROM short s
+            |  JOIN e eq ON eq.vec_id = s.query_id
+            |  JOIN e ec ON ec.vec_id = s.neighbor_id
+            |  WHERE s.srn <= $PqShortlist
+            |), ranked AS (
+            |  SELECT query_id, neighbor_id, cosine,
+            |         CAST(row_number() OVER (PARTITION BY query_id
+            |           ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+            |  FROM rescored
+            |)
+            |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+            |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
   /** SQ8 scalar-quantization ANN ([[graft.operators.Sq]]) — the
     * HASH-CHECKED member of the approximate family: per-dimension

@@ -122,12 +122,16 @@ object Pq {
       norm(col(vecCol)).as("qnorm"))
     // codes-only scoring pass: the broadcast carries luts, the corpus
     // side carries m codes + one norm — no full vector in flight
+    // the approx cosine rounds to 1e-6 BEFORE shortlist ranking — the
+    // same cross-engine tie discipline as the exact rescore (and SQ8):
+    // shortlist membership then never hinges on a final-ulp ordering
+    // a SQL mirror could disagree on
     val approx = enc.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         when(col("qnorm") * col("vnorm") === 0d, 0d)
-          .otherwise(PqAdc(col("codes"), col("lut"), cb.ksub) /
-            (col("qnorm") * col("vnorm"))).as("cosine"))
+          .otherwise(round(PqAdc(col("codes"), col("lut"), cb.ksub) /
+            (col("qnorm") * col("vnorm")), 6)).as("cosine"))
     val cands = Similarity.topKPerQuery(approx, shortlist)
       .select("query_id", "neighbor_id")
     // exact rescore at candidate cardinality — emitted cosines are
@@ -250,12 +254,14 @@ object Pq {
         PqLut(col("qv"), cb.books).as("lut"),
         DotProduct(col("qv"), col("cv")).as("qdotc"),
         norm(col("qv")).as("qnorm"))
+    // 1e-6-rounded approx before shortlist ranking (see [[pqTopK]])
     val approx = enc.join(broadcast(probes), "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         when(col("qnorm") * col("vnorm") === 0d, 0d)
-          .otherwise((col("qdotc") + PqAdc(col("codes"), col("lut"), cb.ksub)) /
-            (col("qnorm") * col("vnorm"))).as("cosine"))
+          .otherwise(round(
+            (col("qdotc") + PqAdc(col("codes"), col("lut"), cb.ksub)) /
+              (col("qnorm") * col("vnorm")), 6)).as("cosine"))
     val cands = Similarity.topKPerQuery(approx, shortlist)
       .select("query_id", "neighbor_id")
     // exact rescore at candidate cardinality — emitted cosines are EXACT
