@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.sources.{GraftMaintenance, GraftParquetV2}
+import graft.sources.{GraftMaintenance, GraftParquetV2, GraftTableLog}
 
 /** The connector's TABLE-FORMAT surface under the DuckDB hash gate
   * ([[graft.sources.GraftTableLog]]): version snapshots + time travel,
@@ -319,6 +319,67 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
 
+  /** ROW-LEVEL CDC FEED under the hash gate ([[graft.sources
+    * .GraftMaintenance.changeFeedRows]]): the table takes two appends,
+    * then a MERGE rewrites one generation (every eighth order's price
+    * doubles, slice 2 inserts). The file-level `changesSince` feed
+    * REFUSES across that rewrite (require-asserted — its soundness
+    * contract); the CDC feed tails THROUGH it: old images of updated
+    * rows come back as deletes, new images and the inserted slice as
+    * inserts, rows carried through the rewrite cancel in the multiset
+    * diff. The oracle reconstructs the exact insert/delete row sets
+    * from `orders`. Cost ∝ changed files — the diff never reads a
+    * file both versions share. */
+  val qChangeFeedCdc = QueryDef("q_change_feed_cdc",
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_cdc")
+      slice(orders, 0).write.format(fmt).option("path", table)
+        .mode("append").save()                                    // v1
+      slice(orders, 1).write.format(fmt).option("path", table)
+        .mode("append").save()                                    // v2
+      val updates = slice(orders, 0)
+        .filter(pmod(col("o_orderkey"), lit(8)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      GraftMaintenance.merge(spark, table,
+        updates.unionByName(slice(orders, 2)), "o_orderkey")      // v3
+      // the append-only feed must refuse across the rewrite — the CDC
+      // feed below is the sound answer where this one cannot be
+      val refused =
+        try { GraftTableLog.changedFiles(table, 2, 3); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("append-only") }
+      require(refused,
+        "file-level changesSince must refuse across a MERGE rewrite")
+      GraftMaintenance.changeFeedRows(spark, table, 2, 3)
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("_change_type", "o_orderstatus")
+    },
+    Some("""WITH up AS (
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderkey % 8 = 0
+           |), changes AS (
+           |  SELECT 'insert' AS _change_type, o_orderkey, o_orderstatus,
+           |         o_totalprice * 2 AS o_totalprice FROM up
+           |  UNION ALL
+           |  SELECT 'insert', o_orderkey, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderkey % 4 = 2
+           |  UNION ALL
+           |  SELECT 'delete', o_orderkey, o_orderstatus, o_totalprice
+           |  FROM up
+           |)
+           |SELECT _change_type, o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_price,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM changes
+           |GROUP BY _change_type, o_orderstatus
+           |ORDER BY _change_type, o_orderstatus""".stripMargin))
+
   /** SQL `UPDATE` under the hash gate — the copy-on-write ROW-LEVEL
     * machinery end to end ([[graft.sources.GraftRowLevelOperation]]):
     * a catalog-addressed graft table is range-clustered on
@@ -504,5 +565,5 @@ object LakehouseQueries {
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
-      qStreamFromVersion)
+      qChangeFeedCdc, qStreamFromVersion)
 }

@@ -248,12 +248,17 @@ class GraftCatalog extends TableCatalog
         Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("retain_last", IntegerType)
-            .defaultValue("1").build()),
+            .defaultValue("1").build(),
+          // time-based retention: versions committed within this many
+          // hours survive regardless of retain_last (< 0 = off)
+          ProcedureParameter.in("retain_hours", DoubleType)
+            .defaultValue("-1.0").build()),
         StructType(Seq(StructField("deleted_files", IntegerType),
           StructField("retained_versions", IntegerType))),
         { in =>
           val p = tablePath(in.getString(0))
-          val deleted = GraftMaintenance.vacuum(p, in.getInt(1))
+          val hours = Some(in.getDouble(2)).filter(_ >= 0)
+          val deleted = GraftMaintenance.vacuum(p, in.getInt(1), hours)
           Seq(new GenericInternalRow(Array[Any](deleted,
             GraftTableLog.versions(p).size)))
         })

@@ -368,19 +368,76 @@ object GraftMaintenance {
       survivors.unionByName(src), partCols)
   }
 
-  /** Reclaim history: keep the newest `retainLast` versions, delete
-    * every ARCHIVED file no retained version references, and drop the
-    * older versions' log entries. Live files are never touched — only
-    * the archive shrinks. Returns the number of data files deleted.
-    * Time travel to a dropped version refuses loudly afterwards (the
-    * version is gone from the log); `retainLast >= 1` always holds the
-    * head version. */
-  def vacuum(table: String, retainLast: Int = 1): Int = {
+  /** ROW-LEVEL CDC feed between two versions — the change feed that
+    * tails THROUGH a rewrite (UPDATE / MERGE / DELETE / compaction),
+    * where the file-level `changesSince` read must refuse: each output
+    * row is a row of version `until` absent from `since` tagged
+    * `_change_type = 'insert'`, or a row of `since` absent from
+    * `until` tagged `'delete'`. An updated row appears twice — its old
+    * image as a delete, its new image as an insert — which is exactly
+    * what a downstream sink needs to replay the mutation.
+    *
+    * Cost ∝ CHANGED FILES, not table size: only the file-set delta's
+    * two sides are read ([[GraftTableLog.cdcFiles]]); a file carried
+    * between versions by reference contributes nothing, and rows
+    * carried THROUGH a rewrite unchanged sit on both sides and cancel
+    * in the multiset diff (`exceptAll` both ways — duplicates
+    * preserved, so a table legitimately holding identical rows diffs
+    * correctly). A compaction that only repacks rows therefore yields
+    * an EMPTY feed — the correct answer, and the measured one
+    * (spec-asserted). */
+  def changeFeedRows(spark: SparkSession, table: String, since: Long,
+      until: Long): DataFrame = {
+    val (added, removed) = GraftTableLog.cdcFiles(table, since, until)
+    val schema = connectorRead(spark, table).schema
+    def readAll(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    val a = readAll(added)
+    val r = readAll(removed)
+    import org.apache.spark.sql.functions.lit
+    a.exceptAll(r).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        r.exceptAll(a).withColumn("_change_type", lit("delete")))
+  }
+
+  /** Reclaim history: keep the newest `retainLast` versions — plus,
+    * when `retainHours` is set, every version committed within that
+    * horizon (commit time = the snapshot file's mtime, the same clock
+    * `TIMESTAMP AS OF` reads) — delete every ARCHIVED file no retained
+    * version references, and drop the older versions' log entries.
+    * The two retention rules UNION (the Delta/Iceberg convention: a
+    * time policy never vacuums the head, a count policy never vacuums
+    * inside the time window). Live files are never touched — only the
+    * archive shrinks. Returns the number of data files deleted. Time
+    * travel to a dropped version refuses loudly afterwards — the
+    * version is gone from the log, and a reader holding a pre-vacuum
+    * pin fails with "neither live nor archived" rather than reading a
+    * silent subset (both spec-asserted); `retainLast >= 1` always
+    * holds the head version. */
+  def vacuum(table: String, retainLast: Int = 1,
+      retainHours: Option[Double] = None): Int = {
     require(retainLast >= 1, "graft vacuum: retainLast must be >= 1")
+    retainHours.foreach(h => require(h >= 0,
+      s"graft vacuum: retainHours must be >= 0, got $h"))
     val all = GraftTableLog.versions(table)
     if (all.isEmpty) return 0
-    val retained = all.takeRight(retainLast)
-    val dropped = all.dropRight(retainLast)
+    val timeRetained: Set[Long] = retainHours match {
+      case None => Set.empty
+      case Some(h) =>
+        val fs = new Path(table).getFileSystem(conf)
+        val horizonMs =
+          System.currentTimeMillis() - (h * 3600 * 1000).toLong
+        all.filter { v =>
+          fs.getFileStatus(GraftTableLog.snapshotPath(table, v))
+            .getModificationTime >= horizonMs
+        }.toSet
+    }
+    val retained = all.filter(v =>
+      timeRetained.contains(v) || all.takeRight(retainLast).contains(v))
+    val dropped = all.filterNot(retained.contains)
     val keepRels: Set[String] = retained.flatMap(v =>
       GraftTableLog.readSnapshot(table, v)._1).toSet
     val root = new Path(table)

@@ -314,6 +314,28 @@ object GraftTableLog {
     out.toMap
   }
 
+  /** The two SIDES of a row-level CDC diff between versions: the
+    * resolved full paths of files(until) \ files(since) (the ADDED
+    * side) and files(since) \ files(until) (the REMOVED side, archive-
+    * resolved). Unlike [[changedFiles]] this is defined ACROSS
+    * rewrites — an UPDATE/MERGE/compaction just puts the rewritten
+    * generation on the removed side and its replacement on the added
+    * side; rows carried through a rewrite unchanged appear on BOTH
+    * sides and cancel in the consumer's multiset diff
+    * ([[GraftMaintenance.changeFeedRows]]), so the row-level feed
+    * stays sound where the file-level feed must refuse. */
+  def cdcFiles(table: String, since: Long, until: Long)
+      : (Seq[String], Seq[String]) = {
+    require(since <= until,
+      s"graft table log: cdc since $since > until $until")
+    val (fromRels, _) = readSnapshot(table, since)
+    val (toRels, _) = readSnapshot(table, until)
+    val fromSet = fromRels.toSet
+    val toSet = toRels.toSet
+    (resolveAll(table, toRels.filterNot(fromSet)),
+      resolveAll(table, fromRels.filterNot(toSet)))
+  }
+
   /** The append delta files(until) \ files(since), with the history
     * check that makes a change feed SOUND: every file of `since` must
     * survive into `until`. */

@@ -200,6 +200,23 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.contains("nope"))
   }
 
+  test("CALL system.vacuum(retain_hours): time-based retention from SQL") {
+    write("t7", 0, "append")
+    write("t7", 1, "overwrite")
+    write("t7", 2, "overwrite")
+    val path = s"$warehouse/corp/t7"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // backdate v1; v2 stays recent — the 24h window must hold it even
+    // though retain_last=1 alone would drop it
+    fs.setTimes(GraftTableLog.snapshotPath(path, 1L), 1000000000000L, -1)
+    val v = spark.sql(s"CALL $cat.system.vacuum(table => 'corp.t7', " +
+      "retain_last => 1, retain_hours => 24.0)").head
+    assert(v.getInt(0) > 0, "the backdated generation must be reclaimed")
+    assert(GraftTableLog.versions(path) == Seq(2L, 3L),
+      "retain_hours must hold the recent v2 beyond retain_last=1")
+  }
+
   test("listTables, rename, drop, and loud refusals") {
     write("t4", 0, "append")
     val listed = spark.sql(s"SHOW TABLES IN $cat.corp").collect()

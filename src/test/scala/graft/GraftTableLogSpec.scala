@@ -401,6 +401,72 @@ class GraftTableLogSpec extends SparkSpec {
     assert(v1.forall(_.isNullAt(2)))
   }
 
+  test("row-level CDC feed: tails through a rewrite; compaction-only diff is empty") {
+    val dir = tmp("cdc")
+    slice(0).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()                                        // v1
+    slice(1).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()                                        // v2
+    // a DELETE rewrites one generation — file-level feed refuses,
+    // CDC yields exactly the deleted rows
+    val cut = ids(read(dir)).apply(ids(read(dir)).size / 2)
+    GraftMaintenance.delete(spark, dir, col("doc_id") < cut)        // v3
+    intercept[IllegalArgumentException](
+      GraftTableLog.changedFiles(dir, 2, 3))
+    val cdc = GraftMaintenance.changeFeedRows(spark, dir, 2, 3)
+    val dels = cdc.filter(col("_change_type") === "delete")
+    val ins = cdc.filter(col("_change_type") === "insert")
+    assert(ids(dels) == ids(docs.filter(
+      pmod(col("doc_id"), lit(4)) < 2 && col("doc_id") < cut)))
+    assert(ins.count() == 0, "a pure DELETE must produce no insert rows")
+    // compaction repacks rows without changing them: CDC must be EMPTY
+    GraftMaintenance.compact(spark, dir)                            // v4
+    assert(GraftMaintenance.changeFeedRows(spark, dir, 3, 4).count() == 0,
+      "a row-preserving compaction must yield an empty CDC feed")
+    // appends show up as pure inserts (the easy direction)
+    slice(2).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()                                        // v5
+    val app = GraftMaintenance.changeFeedRows(spark, dir, 4, 5)
+    assert(app.filter(col("_change_type") === "delete").count() == 0)
+    assert(ids(app) == ids(slice(2)))
+  }
+
+  test("time-based vacuum retention; a pre-vacuum pinned read fails loudly") {
+    val dir = tmp("vac_hours")
+    // overwrite chain: each dropped version OWNS an archived generation
+    // no retained version references, so the vacuum has real work
+    slice(0).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()                                        // v1
+    slice(1).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("overwrite").save()                                     // v2
+    slice(2).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("overwrite").save()                                     // v3
+    slice(3).coalesce(1).write.format(fmt).option("path", dir)
+      .mode("append").save()                                        // v4
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // backdate v1+v2 past any time horizon; v3 stays recent
+    Seq(1L, 2L).foreach(v => fs.setTimes(
+      GraftTableLog.snapshotPath(dir, v), 1000000000000L, -1))      // 2001
+    // a reader pins v2 BEFORE the vacuum (plan built, not collected)
+    val pinned = read(dir, "versionAsOf" -> "2")
+    // retain_last=1 would keep only v4, but the 24h window ALSO holds
+    // v3 (recent commit) — the union rule
+    val deleted = GraftMaintenance.vacuum(dir, retainLast = 1,
+      retainHours = Some(24.0))
+    assert(deleted > 0, "backdated generations must be reclaimed")
+    assert(GraftTableLog.versions(dir) == Seq(3L, 4L),
+      "time window must retain the recent v3 beyond retain_last=1")
+    // v3 must still ANSWER (its files survived the vacuum)
+    assert(ids(read(dir, "versionAsOf" -> "3")) ==
+      ids(docs.filter(pmod(col("doc_id"), lit(4)) === 2)))
+    // the pre-vacuum pin now fails LOUDLY — never a silent subset
+    val e = intercept[Exception](ids(pinned))
+    assert(e.getMessage.contains("not found") ||
+      e.getMessage.contains("vacuumed"),
+      s"expected a loud vacuumed-version refusal, got: ${e.getMessage}")
+  }
+
   test("versionAsOf on a never-versioned table and unknown versions refuse loudly") {
     val dir = tmp("refuse")
     docs.limit(5).write.parquet(dir) // plain spark write: no log
