@@ -152,6 +152,70 @@ object TextQueries {
             |FROM tri t JOIN topbi b ON t.doc_id = b.doc_id
             |ORDER BY t.doc_id""".stripMargin))
 
+  /** The full Gopher REPETITION family ([[graft.text.Repetition]],
+    * Rae et al. 2021 App. A1.1) as a SHUFFLE-FREE per-document sweep:
+    * top-{2,3,4}-gram CHARACTER coverage, duplicated-5-gram weight
+    * fraction, and the keep flag at the Gopher-style thresholds —
+    * computed by sorting each document's own n-gram list and
+    * run-length-folding it with higher-order functions, so the plan
+    * is scan → project with NO exchange (contrast
+    * [[qRepetitionStats]]'s explode → groupBy form, which shuffles a
+    * row per n-gram: at corpus scale the difference between a map job
+    * and the pipeline's largest shuffle). Every fraction is one IEEE
+    * division of exact integers, shipped unrounded; the oracle
+    * recomputes relationally with (count DESC, gram ASC) tie-break —
+    * equal by construction to the fold's first-max-in-sorted-order. */
+  val qGopherQuality = QueryDef("q_gopher_quality",
+    (spark, dir) => graft.text.Repetition.repetitionStats(
+      Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |         length(text) AS nchars
+           |  FROM documents WHERE text IS NOT NULL
+           |), grams AS (
+           |  SELECT doc_id, n.n AS n,
+           |         unnest([array_to_string(toks[i : i + n.n - 1], ' ')
+           |                 for i in generate_series(1, len(toks) - n.n + 1)])
+           |           AS g
+           |  FROM d, (VALUES (2), (3), (4), (5)) AS n(n)
+           |  WHERE len(toks) >= n.n
+           |), cnt AS (
+           |  SELECT doc_id, n, g, count(*) AS c FROM grams
+           |  GROUP BY doc_id, n, g
+           |), top AS (
+           |  -- a once-only top n-gram is no repetition: weight 0
+           |  SELECT doc_id, n,
+           |         CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END AS w
+           |  FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY doc_id, n
+           |      ORDER BY c DESC, g) AS rn FROM cnt) WHERE rn = 1
+           |), dup AS (
+           |  SELECT doc_id,
+           |         COALESCE(SUM(CASE WHEN c > 1 THEN c * length(g) END), 0)
+           |           AS dupw,
+           |         SUM(c * length(g)) AS totw
+           |  FROM cnt WHERE n = 5 GROUP BY doc_id
+           |)
+           |SELECT d.doc_id,
+           |       t2.w / d.nchars AS top2gram_frac,
+           |       t3.w / d.nchars AS top3gram_frac,
+           |       t4.w / d.nchars AS top4gram_frac,
+           |       CASE WHEN dup.totw > 0
+           |            THEN CAST(dup.dupw AS DOUBLE) / dup.totw
+           |       END AS dup5gram_frac,
+           |       COALESCE(t2.w / d.nchars <= 0.20, TRUE)
+           |         AND COALESCE(t3.w / d.nchars <= 0.18, TRUE)
+           |         AND COALESCE(t4.w / d.nchars <= 0.16, TRUE)
+           |         AND COALESCE(CAST(dup.dupw AS DOUBLE) / dup.totw <= 0.15,
+           |                      TRUE) AS keep
+           |FROM d
+           |LEFT JOIN top t2 ON t2.doc_id = d.doc_id AND t2.n = 2
+           |LEFT JOIN top t3 ON t3.doc_id = d.doc_id AND t3.n = 3
+           |LEFT JOIN top t4 ON t4.doc_id = d.doc_id AND t4.n = 4
+           |LEFT JOIN dup ON dup.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
   /** Winnowing k-gram size / window (Schleimer et al. 2003). */
   val WinnowK = 8
   val WinnowW = 8
@@ -1898,6 +1962,7 @@ object TextQueries {
   def all: Seq[QueryDef] = Seq(
     qChunkPassages,
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
+    qGopherQuality,
     qDocFingerprints, qDistinctKmv, qDistinctKmvRollup, qCorpusOverlapKmv,
     qDistinctHll, qDistinctHllRollup,
     qTokenCms, qTokenCmsRollup, qHeavyHitters, qBigramLogProb,
