@@ -216,6 +216,68 @@ object TextQueries {
            |LEFT JOIN dup ON dup.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin))
 
+  /** Quality-classifier feature dim (a power of two, so the signed
+    * Spark `pmod` and the oracle's unsigned `mod` agree: 2⁶⁴ ≡ 0 mod
+    * dim) and the exported-model path (the PQ-codebook convention). */
+  val QcDim = 256
+  val QcWeightsPath = "/tmp/graft_qc_weights.parquet"
+
+  /** TRAINED document-quality classifier under the hash gate
+    * ([[graft.text.QualityClassifier]]): logistic regression over
+    * hashed bag-of-tokens features, trained IN THE ENGINE with
+    * decimal-exact gradient sums (bit-identical weights at any
+    * partitioning — spec-asserted) against a target-language label,
+    * then applied in-plan. The trained weights export as parquet and
+    * the oracle re-derives every document's EXACT margin from them —
+    * FNV token hash, bucket mod, tf features, the decimal-summed
+    * sparse dot product — bit-for-bit; only the sigmoid `score` is
+    * libm-rounded (1e-6), and `keep` decides on the exact margin.
+    * This is the curation stage after the rule-based filters (CCNet /
+    * LLaMA / GPT-3 all run one); the per-iteration cost is two
+    * shuffles at (doc, bucket) sparse cardinality — no dense matrix,
+    * no vector collect. */
+  val qQualityClassifier = QueryDef("q_quality_classifier",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val model = graft.text.QualityClassifier.train(
+        docs.withColumn("y", (col("lang") === "en").cast("double")),
+        "doc_id", "text", "y", dim = QcDim, iters = 8, lr = 4.0)
+      graft.text.QualityClassifier.exportModel(spark, model, QcWeightsPath)
+      graft.text.QualityClassifier.score(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH wt AS (
+            |  SELECT bucket, wv
+            |  FROM read_parquet('$QcWeightsPath/*.parquet')
+            |), d AS (
+            |  SELECT doc_id, string_split(text, ' ') AS toks
+            |  FROM documents WHERE text IS NOT NULL
+            |), tok AS (
+            |  SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM d
+            |), dt AS (
+            |  SELECT DISTINCT tok FROM tok
+            |), hs AS (  -- unsigned fold mod dim == Spark's signed pmod
+            |  SELECT tok, CAST(${fnvFoldSql("tok")} % $QcDim AS BIGINT)
+            |           AS bucket
+            |  FROM dt
+            |), feat AS (
+            |  SELECT t.doc_id, h.bucket,
+            |         CAST(count(*) AS DOUBLE) / any_value(t.n) AS x
+            |  FROM tok t JOIN hs h ON h.tok = t.tok
+            |  GROUP BY t.doc_id, h.bucket
+            |), dot AS (
+            |  SELECT f.doc_id,
+            |         CAST(SUM(CAST(f.x * w.wv AS DECIMAL(38,15)))
+            |              AS DOUBLE)
+            |           + (SELECT wv FROM wt WHERE bucket = -1) AS margin
+            |  FROM feat f JOIN wt w ON w.bucket = f.bucket
+            |  GROUP BY f.doc_id
+            |)
+            |SELECT doc_id, margin,
+            |       round(1.0 / (1.0 + exp(-margin)), 6) AS score,
+            |       margin > 0 AS keep
+            |FROM dot ORDER BY doc_id""".stripMargin))
+
   /** Winnowing k-gram size / window (Schleimer et al. 2003). */
   val WinnowK = 8
   val WinnowW = 8
@@ -1962,7 +2024,7 @@ object TextQueries {
   def all: Seq[QueryDef] = Seq(
     qChunkPassages,
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
-    qGopherQuality,
+    qGopherQuality, qQualityClassifier,
     qDocFingerprints, qDistinctKmv, qDistinctKmvRollup, qCorpusOverlapKmv,
     qDistinctHll, qDistinctHllRollup,
     qTokenCms, qTokenCmsRollup, qHeavyHitters, qBigramLogProb,

@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr.Fingerprint64
+
+/** Trained DOCUMENT-QUALITY CLASSIFIER — the curation stage every
+  * production pre-training pipeline runs after the rule-based filters
+  * (CCNet's wiki-reference classifier, LLaMA's "looks like a
+  * reference" filter, GPT-3's WebText classifier — all public): a
+  * linear model over HASHED bag-of-tokens features, trained in the
+  * engine and applied in-plan.
+  *
+  * Model: logistic regression on `dim` feature buckets,
+  * `bucket(tok) = fnv1a64(tok) mod dim` (the engine's token hash —
+  * SQL-mirrorable), `x_b = count_b / n_tokens` (term frequency).
+  * Training is full-batch gradient descent with DECIMAL-EXACT gradient
+  * aggregation (the moments-family discipline: each per-row
+  * contribution casts to DECIMAL(38,15) before the sum, so the
+  * gradient — and therefore the trained weights — are bit-identical
+  * at ANY partitioning; spec-asserted across repartitionings).
+  * Per-iteration cost: two shuffles at (doc, bucket) sparse-feature
+  * cardinality — never a dense matrix, never a vector collect; the
+  * model itself is `dim` doubles on the driver (model-scale, like the
+  * k-means centroids).
+  *
+  * Scoring emits the exact margin (decimal-summed dot product — the
+  * value the DuckDB oracle reproduces bit-for-bit from the exported
+  * weights), the sigmoid score rounded to 1e-6 (the one
+  * libm-dependent output, per the engine's determinism note), and
+  * `keep = margin > 0` — classification decisions come from the EXACT
+  * margin, never the rounded libm value. */
+object QualityClassifier {
+
+  final case class Model(dim: Int, bias: Double, w: Array[Double])
+
+  /** Sparse hashed features: one row per (doc, bucket) with the
+    * tf value `x = count / n_tokens`. */
+  private def features(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), size(toks).as("n"),
+        explode(toks).as("tok"))
+      .select(col("id"), col("n"),
+        pmod(Fingerprint64(col("tok")), lit(dim.toLong)).as("bucket"))
+      .groupBy("id", "bucket")
+      .agg(first(col("n")).as("n"), count(lit(1)).as("cnt"))
+      .select(col("id"), col("bucket"),
+        (col("cnt").cast("double") / col("n")).as("x"))
+  }
+
+  private def weightsDf(spark: SparkSession, w: Array[Double]): DataFrame = {
+    import spark.implicits._
+    w.zipWithIndex.map { case (v, b) => (b.toLong, v) }
+      .toSeq.toDF("bucket", "wv")
+  }
+
+  /** Decimal-exact partition-order-independent sum of a double term
+    * (the moments discipline). */
+  private def exactSum(term: Column): Column =
+    sum(term.cast("decimal(38,15)")).cast("double")
+
+  /** Full-batch gradient descent. `labelCol` must be 0.0/1.0 doubles;
+    * null-text rows are excluded from training (they carry no
+    * features). */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int = 256, iters: Int = 8,
+      lr: Double = 4.0): Model = {
+    val spark = docs.sparkSession
+    val feats = features(docs, idCol, textCol, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labels = docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), col(labelCol).cast("double").as("y"))
+      val nDocs = labels.count().toDouble
+      require(nDocs > 0, "QualityClassifier.train: empty corpus")
+      var w = new Array[Double](dim)
+      var bias = 0.0
+      var it = 0
+      while (it < iters) {
+        val wdf = weightsDf(spark, w)
+        // margin per doc: decimal-exact sparse dot product + bias
+        val margins = feats.join(broadcast(wdf), "bucket")
+          .groupBy("id")
+          .agg(exactSum(col("x") * col("wv")).as("dot"))
+          .select(col("id"), (col("dot") + lit(bias)).as("m"))
+        // residual p − y per doc (sigmoid is per-row deterministic);
+        // docs whose every bucket has weight 0 still join (dense w)
+        val resid = labels.join(margins, Seq("id"), "left")
+          .select(col("id"),
+            (lit(1.0) / (lit(1.0) + exp(-coalesce(col("m"), lit(bias))))
+              - col("y")).as("r"))
+        // gradient per bucket + bias gradient: decimal-exact sums
+        val grad = feats.join(resid, "id")
+          .groupBy("bucket").agg(exactSum(col("r") * col("x")).as("g"))
+          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+        val gBias = resid.agg(exactSum(col("r"))).head.getDouble(0)
+        w = Array.tabulate(dim)(b =>
+          w(b) - lr * grad.getOrElse(b, 0.0) / nDocs)
+        bias = bias - lr * gBias / nDocs
+        it += 1
+      }
+      Model(dim, bias, w)
+    } finally feats.unpersist(blocking = false)
+  }
+
+  /** In-plan scoring: (id, margin, score, keep). The margin is the
+    * decimal-exact sparse dot + bias (oracle-reproducible); `keep`
+    * decides on the exact margin. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    val feats = features(docs, idCol, textCol, model.dim)
+    val wdf = weightsDf(spark, model.w)
+    feats.join(broadcast(wdf), "bucket")
+      .groupBy("id")
+      .agg(exactSum(col("x") * col("wv")).as("dot"))
+      .select(col("id").as(idCol),
+        (col("dot") + lit(model.bias)).as("margin"))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6))
+      .withColumn("keep", col("margin") > 0)
+  }
+
+  /** Export the trained model as (bucket, wv) parquet — bias rides as
+    * bucket −1 — the oracle's view of the model (the PQ-codebook
+    * convention). */
+  def exportModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    ((-1L, model.bias) +: model.w.zipWithIndex.toSeq
+      .map { case (v, b) => (b.toLong, v) })
+      .toDF("bucket", "wv").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+}
