@@ -216,6 +216,57 @@ object TextQueries {
            |LEFT JOIN dup ON dup.doc_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin))
 
+  /** Per-document SHANNON ENTROPY signals ([[graft.text.Entropy]]):
+    * character- and token-level entropy in bits — the cheap
+    * garbled-text detector (low = repeated-char junk, high =
+    * random/encoded spills). Shuffle-free per-row run-length folds;
+    * each −p·log₂p term rounds to 1e-9 then sums EXACTLY as decimals
+    * (the chi-squared convention), and the exact decimal total ships
+    * UNROUNDED — order-independent, and safe from the .5e-6 final-
+    * rounding ties a grained sum makes likely. */
+  val qCharEntropy = QueryDef("q_char_entropy",
+    (spark, dir) => graft.text.Entropy.entropyStats(
+      Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH d AS (
+           |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+           |), ch AS (
+           |  SELECT doc_id,
+           |         unnest(list_filter(string_split_regex(text, ''),
+           |                            c -> c <> '')) AS s
+           |  FROM d
+           |), chc AS (
+           |  SELECT doc_id, s, count(*) AS c FROM ch GROUP BY doc_id, s
+           |), chn AS (
+           |  SELECT doc_id, SUM(c) AS n FROM chc GROUP BY doc_id
+           |), che AS (
+           |  SELECT c.doc_id,
+           |         -CAST(SUM(CAST(round((c.c / n.n) *
+           |             log2(c.c / n.n), 9) AS DECIMAL(38,12)))
+           |           AS DOUBLE) AS char_entropy
+           |  FROM chc c JOIN chn n USING (doc_id) GROUP BY c.doc_id
+           |), tk AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM d
+           |), tkc AS (
+           |  SELECT doc_id, s, count(*) AS c FROM tk GROUP BY doc_id, s
+           |), tkn AS (
+           |  SELECT doc_id, SUM(c) AS n FROM tkc GROUP BY doc_id
+           |), tke AS (
+           |  SELECT c.doc_id,
+           |         -CAST(SUM(CAST(round((c.c / n.n) *
+           |             log2(c.c / n.n), 9) AS DECIMAL(38,12)))
+           |           AS DOUBLE) AS token_entropy
+           |  FROM tkc c JOIN tkn n USING (doc_id) GROUP BY c.doc_id
+           |)
+           |SELECT d.doc_id, che.char_entropy, tke.token_entropy,
+           |       CAST(length(d.text) AS BIGINT) AS n_chars,
+           |       CAST(len(string_split(d.text, ' ')) AS BIGINT)
+           |         AS n_tokens
+           |FROM d
+           |LEFT JOIN che ON che.doc_id = d.doc_id
+           |LEFT JOIN tke ON tke.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
   /** Quality-classifier feature dim (a power of two, so the signed
     * Spark `pmod` and the oracle's unsigned `mod` agree: 2⁶⁴ ≡ 0 mod
     * dim) and the exported-model path (the PQ-codebook convention). */
@@ -2024,7 +2075,7 @@ object TextQueries {
   def all: Seq[QueryDef] = Seq(
     qChunkPassages,
     qTextStats, qTokenBudget, qLangId, qTokenFreq, qRepetitionStats,
-    qGopherQuality, qQualityClassifier,
+    qGopherQuality, qQualityClassifier, qCharEntropy,
     qDocFingerprints, qDistinctKmv, qDistinctKmvRollup, qCorpusOverlapKmv,
     qDistinctHll, qDistinctHllRollup,
     qTokenCms, qTokenCmsRollup, qHeavyHitters, qBigramLogProb,
