@@ -149,11 +149,58 @@ class GraftCatalog extends TableCatalog
         "(df.write.format(graft)… or INSERT INTO an existing table) — " +
         "CREATE TABLE with no data has no file to carry the schema")
 
+  /** `ALTER TABLE … ADD COLUMN` — the one DDL mutation with clean
+    * semantics under schema-on-write: commit a ZERO-ROW data file
+    * carrying the widened schema as a new version. The catalog's
+    * schema inference ([[schemaFile]]: newest-mtime file carries the
+    * widest view) then reports the new column, existing rows read as
+    * NULL under it (the connector's add-column evolution), and
+    * `VERSION AS OF` a pre-alter version still presents the narrow
+    * schema as written. Only top-level nullable appends are in scope —
+    * drops/renames/type changes would need rewrite semantics the
+    * format deliberately refuses. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is out of scope — add-column " +
-        "evolution happens by writing the widened schema")
+      changes: TableChange*): Table = {
+    val p = existing(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft catalog: ADD COLUMN supports top-level columns only, " +
+            s"got ${add.fieldNames().mkString(".")}")
+        require(add.isNullable,
+          "graft catalog: added columns must be nullable — existing " +
+            "rows have no value for them")
+        require(add.position() == null,
+          "graft catalog: ADD COLUMN appends at the end — FIRST/AFTER " +
+            "positions would reorder a schema that lives in data files")
+        val name = add.fieldNames()(0)
+        val cur = GraftParquetV2.sparkSchema(
+          GraftParquetV2.footerSchema(schemaFile(p)))
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"graft catalog: column $name already exists in $ident")
+        val widened = cur.add(name, add.dataType(), nullable = true)
+        // the schema carrier: an empty parquet committed like any data
+        // file (newest mtime -> it IS the schema source), versioned so
+        // the alter is time-travel-visible like every other commit
+        val writeId = java.util.UUID.randomUUID().toString
+        val carrier = new Path(p, f"part-00000-0-$writeId-schema.parquet")
+        val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+          .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+            .fromPath(carrier, conf))
+          .withType(GraftParquetWrite.messageType(widened))
+          .withCompressionCodec(
+            org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+          .build()
+        w.close() // zero rows: the footer schema is the payload
+        GraftParquetWrite.commitMetadata(p,
+          GraftParquetWrite.rawManifestEntries(p), writeId)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: ALTER TABLE ${other.getClass.getSimpleName} is " +
+          "out of scope — only ADD COLUMN (schema-on-write has no " +
+          "rewrite-free semantics for drops/renames/type changes)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))

@@ -217,6 +217,36 @@ class GraftCatalogSpec extends SparkSpec {
       "retain_hours must hold the recent v2 beyond retain_last=1")
   }
 
+  test("ALTER TABLE ADD COLUMN: schema-carrier version; old rows NULL; travel narrow") {
+    write("t11", 0, "append")
+    val path = s"$warehouse/corp/t11"
+    spark.sql(s"ALTER TABLE $cat.corp.t11 ADD COLUMN score DOUBLE")
+    // the alter committed a version
+    assert(GraftTableLog.versions(path) == Seq(1L, 2L))
+    // head reads under the widened schema, existing rows NULL
+    val head = spark.sql(
+      s"SELECT doc_id, score FROM $cat.corp.t11").collect()
+    assert(head.nonEmpty && head.forall(_.isNullAt(1)))
+    // new rows with the column land and read back
+    spark.sql(s"INSERT INTO $cat.corp.t11 " +
+      s"SELECT doc_id, lang, n_chars, CAST(doc_id AS DOUBLE) / 10 AS score " +
+      s"FROM parquet.`$sfDir/documents.parquet` WHERE doc_id % 3 = 1")
+    val scored = spark.sql(s"SELECT count(*) FROM $cat.corp.t11 " +
+      "WHERE score IS NOT NULL").head.getLong(0)
+    assert(scored == docs.filter(pmod(col("doc_id"), lit(3)) === 1).count())
+    // pre-alter version presents the schema as written (no score)
+    assert(!spark.sql(s"SELECT * FROM $cat.corp.t11 VERSION AS OF 1")
+      .schema.fieldNames.contains("score"))
+    // refusals: duplicate column; non-add changes
+    val e1 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.corp.t11 ADD COLUMN score DOUBLE"))
+    assert(e1.getMessage.contains("already exists"))
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.corp.t11 DROP COLUMN score"))
+    assert(e2.getMessage.contains("out of scope") ||
+      e2.getMessage.contains("DROP"))
+  }
+
   test("listTables, rename, drop, and loud refusals") {
     write("t4", 0, "append")
     val listed = spark.sql(s"SHOW TABLES IN $cat.corp").collect()
