@@ -506,6 +506,39 @@ object LakehouseQueries {
            |FROM merged
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** SQL `CREATE TABLE … AS SELECT` under the hash gate
+    * ([[graft.sources.GraftCatalog.createTable]]): the create half
+    * commits a zero-row schema carrier as v1, the SELECT lands as an
+    * ordinary transactional v2 — one SQL statement births a versioned
+    * graft table whose read-back must fingerprint-match the oracle
+    * recomputing the selection from `orders`. The in-query requires
+    * pin the two-version shape and that the pre-data v1 is itself a
+    * readable (empty) travel target. */
+  val qSqlCtas = QueryDef("q_sql_ctas",
+    (spark, dir) => {
+      val cat = "graft_lake"
+      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = s"$warehouse/sf/$tbl"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_src")
+      spark.sql(s"""CREATE TABLE $cat.sf.$tbl AS
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM orders_src WHERE o_orderkey % 4 IN (0, 1)""")
+      require(GraftTableLog.versions(path) == Seq(1L, 2L),
+        "CTAS must commit carrier v1 + data v2")
+      require(spark.read.format(fmt).option("path", path)
+        .option("versionAsOf", "1").load().count() == 0,
+        "the pre-data carrier version must be a readable empty target")
+      fingerprint(
+        spark.read.format(fmt).option("path", path).load())
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
+
   /** STREAMING FROM A VERSION BOUNDARY under the hash gate
     * ([[graft.sources.GraftMicroBatchStream]]'s `startingVersion`):
     * three appended versions; a stream starting after v1 must drain
@@ -565,5 +598,5 @@ object LakehouseQueries {
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
-      qChangeFeedCdc, qStreamFromVersion)
+      qSqlCtas, qChangeFeedCdc, qStreamFromVersion)
 }

@@ -141,13 +141,53 @@ class GraftCatalog extends TableCatalog
     loadTable(ident, candidates.max.toString)
   }
 
+  /** Write a zero-row parquet whose footer carries `schema`, committed
+    * as a new log version — the SCHEMA CARRIER that makes dataless DDL
+    * (CREATE TABLE, ADD COLUMN) possible under schema-on-write: the
+    * newest-file inference reads the carrier's footer, and the scan
+    * yields its zero rows for free. */
+  private def commitSchemaCarrier(p: String, schema: StructType): Unit = {
+    val writeId = java.util.UUID.randomUUID().toString
+    val carrier = new Path(p, f"part-00000-0-$writeId-schema.parquet")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(carrier, conf))
+      .withType(GraftParquetWrite.messageType(schema))
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    w.close() // zero rows: the footer schema is the payload
+    GraftParquetWrite.commitMetadata(p,
+      GraftParquetWrite.rawManifestEntries(p), writeId)
+  }
+
+  /** `CREATE TABLE` (and the create half of CTAS): commit a zero-row
+    * schema carrier as version 1, so the empty table is immediately
+    * readable under its declared schema and the data write (CTAS's
+    * second half, or any later INSERT/append) is an ordinary
+    * transactional version on top. `PARTITIONED BY` is declined —
+    * graft partitioning is declared per write (`partitionBy` option),
+    * and a catalog-held partition spec would silently diverge from
+    * what writers actually do. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: tables are born by their first write " +
-        "(df.write.format(graft)… or INSERT INTO an existing table) — " +
-        "CREATE TABLE with no data has no file to carry the schema")
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog: CREATE TABLE … PARTITIONED BY is out of scope — " +
+        "declare partitioning per write via the partitionBy option")
+    require(schema.nonEmpty,
+      "graft catalog: CREATE TABLE needs at least one column")
+    val p = pathOf(ident)
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(conf)
+    if (fs.exists(hp))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    GraftParquetWrite.messageType(schema) // validate before any mkdir
+    fs.mkdirs(hp)
+    commitSchemaCarrier(p, schema)
+    new GraftParquetTable(p, schema)
+  }
 
   /** `ALTER TABLE … ADD COLUMN` — the one DDL mutation with clean
     * semantics under schema-on-write: commit a ZERO-ROW data file
@@ -178,22 +218,11 @@ class GraftCatalog extends TableCatalog
           GraftParquetV2.footerSchema(schemaFile(p)))
         require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"graft catalog: column $name already exists in $ident")
-        val widened = cur.add(name, add.dataType(), nullable = true)
-        // the schema carrier: an empty parquet committed like any data
-        // file (newest mtime -> it IS the schema source), versioned so
-        // the alter is time-travel-visible like every other commit
-        val writeId = java.util.UUID.randomUUID().toString
-        val carrier = new Path(p, f"part-00000-0-$writeId-schema.parquet")
-        val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
-          .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
-            .fromPath(carrier, conf))
-          .withType(GraftParquetWrite.messageType(widened))
-          .withCompressionCodec(
-            org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-          .build()
-        w.close() // zero rows: the footer schema is the payload
-        GraftParquetWrite.commitMetadata(p,
-          GraftParquetWrite.rawManifestEntries(p), writeId)
+        // versioned like every other commit, so the alter is
+        // time-travel-visible (newest mtime -> the carrier IS the
+        // schema source)
+        commitSchemaCarrier(p, cur.add(name, add.dataType(),
+          nullable = true))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: ALTER TABLE ${other.getClass.getSimpleName} is " +
           "out of scope — only ADD COLUMN (schema-on-write has no " +

@@ -247,6 +247,35 @@ class GraftCatalogSpec extends SparkSpec {
       e2.getMessage.contains("DROP"))
   }
 
+  test("CREATE TABLE and CTAS: schema-carrier v1, data on top") {
+    val path = s"$warehouse/corp/t12" // touches the lazy catalog conf
+    spark.sql(s"CREATE TABLE $cat.corp.t12 (doc_id BIGINT, lang STRING)")
+    // the empty table is immediately readable under its declared schema
+    assert(spark.sql(s"SELECT * FROM $cat.corp.t12").count() == 0)
+    assert(spark.table(s"$cat.corp.t12").schema.fieldNames.toSeq ==
+      Seq("doc_id", "lang"))
+    assert(GraftTableLog.versions(path) == Seq(1L))
+    spark.sql(s"INSERT INTO $cat.corp.t12 " +
+      s"SELECT doc_id, lang FROM parquet.`$sfDir/documents.parquet` " +
+      "WHERE doc_id % 3 = 0")
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t12") ==
+      idsOf(docs.filter(pmod(col("doc_id"), lit(3)) === 0)))
+    assert(GraftTableLog.versions(path) == Seq(1L, 2L))
+    // CTAS: create + data in one statement
+    spark.sql(s"CREATE TABLE $cat.corp.t13 AS " +
+      s"SELECT doc_id, lang, n_chars FROM " +
+      s"parquet.`$sfDir/documents.parquet` WHERE doc_id % 3 = 2")
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t13") ==
+      idsOf(docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
+    // refusals: duplicate create; PARTITIONED BY
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.corp.t12 (x INT)"))
+    assert(e1.getMessage.toLowerCase.contains("already exists"))
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.corp.t14 (x INT, y INT) PARTITIONED BY (y)"))
+    assert(e2.getMessage.contains("PARTITIONED BY"))
+  }
+
   test("listTables, rename, drop, and loud refusals") {
     write("t4", 0, "append")
     val listed = spark.sql(s"SHOW TABLES IN $cat.corp").collect()
