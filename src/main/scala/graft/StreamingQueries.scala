@@ -887,7 +887,66 @@ object StreamingQueries {
            |       sqrt((n*sxx - sx*sx) / (n*n)) AS stddev_value
            |FROM sums ORDER BY event_type""".stripMargin))
 
+  /** MODEL-IN-STREAM scoring under the hash gate: the trained quality
+    * classifier ([[graft.text.QualityClassifier]]) applied to a
+    * streamed corpus — train batch-side (deterministic, so the weights
+    * equal `q_quality_classifier`'s bit for bit), broadcast the model,
+    * score each micro-batch inside `foreachBatch` (per-batch batch
+    * semantics compose exactly because a file source delivers every
+    * doc once), and the union of batch outputs must hash-match the
+    * all-at-once batch scoring — the oracle re-derives every margin
+    * from the exported weights, exactly as in the batch entry. This is
+    * the production ingest shape: new corpus slices stream in, the
+    * frozen classifier gates them on arrival. */
+  val StreamQcWeightsPath = "/tmp/graft_stream_qc_weights.parquet"
+
+  val qStreamQuality = QueryDef("q_stream_quality_scores",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = graft.core.Tables.documents(spark, dir)
+      val model = graft.text.QualityClassifier.train(
+        docs.withColumn("y",
+          (col("lang") === "en").cast("double")),
+        "doc_id", "text", "y", dim = graft.TextQueries.QcDim,
+        iters = 8, lr = 4.0)
+      graft.text.QualityClassifier.exportModel(
+        spark, model, StreamQcWeightsPath)
+      val batchSchema = spark.read
+        .parquet(s"$dir/documents.parquet").schema
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_qc_ckpt_" +
+        java.util.UUID.randomUUID().toString
+      val src = spark.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val acc = new java.util.concurrent.ConcurrentHashMap[
+        Long, (Double, Double, Boolean)]()
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.text.QualityClassifier
+            .score(batch, "doc_id", "text", model)
+            .collect().foreach { r =>
+              acc.put(r.getLong(0),
+                (r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+            }
+        }
+        .start()
+      try q.awaitTermination() finally {
+        val p = new org.apache.hadoop.fs.Path(ckpt)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      import scala.jdk.CollectionConverters._
+      acc.asScala.toSeq
+        .map { case (id, (m, s, k)) => (id, m, s, k) }
+        .toDF("doc_id", "margin", "score", "keep")
+        .orderBy("doc_id")
+    },
+    Some(graft.TextQueries.classifierOracle(StreamQcWeightsPath)))
+
   def all: Seq[QueryDef] =
     Seq(qStreamTumbling, qStreamLate, qStreamSessions, qStreamNearDup,
-      qStreamSink, qStreamJoin, qStreamEnrich, qStreamPipe, qStreamMoments)
+      qStreamSink, qStreamJoin, qStreamEnrich, qStreamPipe, qStreamMoments,
+      qStreamQuality)
 }

@@ -297,37 +297,45 @@ object TextQueries {
       graft.text.QualityClassifier.score(docs, "doc_id", "text", model)
         .orderBy("doc_id")
     },
-    Some(s"""WITH wt AS (
-            |  SELECT bucket, wv
-            |  FROM read_parquet('$QcWeightsPath/*.parquet')
-            |), d AS (
-            |  SELECT doc_id, string_split(text, ' ') AS toks
-            |  FROM documents WHERE text IS NOT NULL
-            |), tok AS (
-            |  SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM d
-            |), dt AS (
-            |  SELECT DISTINCT tok FROM tok
-            |), hs AS (  -- unsigned fold mod dim == Spark's signed pmod
-            |  SELECT tok, CAST(${fnvFoldSql("tok")} % $QcDim AS BIGINT)
-            |           AS bucket
-            |  FROM dt
-            |), feat AS (
-            |  SELECT t.doc_id, h.bucket,
-            |         CAST(count(*) AS DOUBLE) / any_value(t.n) AS x
-            |  FROM tok t JOIN hs h ON h.tok = t.tok
-            |  GROUP BY t.doc_id, h.bucket
-            |), dot AS (
-            |  SELECT f.doc_id,
-            |         CAST(SUM(CAST(f.x * w.wv AS DECIMAL(38,15)))
-            |              AS DOUBLE)
-            |           + (SELECT wv FROM wt WHERE bucket = -1) AS margin
-            |  FROM feat f JOIN wt w ON w.bucket = f.bucket
-            |  GROUP BY f.doc_id
-            |)
-            |SELECT doc_id, margin,
-            |       round(1.0 / (1.0 + exp(-margin)), 6) AS score,
-            |       margin > 0 AS keep
-            |FROM dot ORDER BY doc_id""".stripMargin))
+    Some(classifierOracle(QcWeightsPath)))
+
+  /** The DuckDB inference replay for a trained classifier exported at
+    * `weightsPath` — shared by the batch entry and the model-in-stream
+    * entry ([[graft.StreamingQueries.qStreamQuality]]); deterministic
+    * training makes both exported models bit-identical, so one SQL
+    * text serves both. */
+  def classifierOracle(weightsPath: String): String =
+    s"""WITH wt AS (
+       |  SELECT bucket, wv
+       |  FROM read_parquet('$weightsPath/*.parquet')
+       |), d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL
+       |), tok AS (
+       |  SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM d
+       |), dt AS (
+       |  SELECT DISTINCT tok FROM tok
+       |), hs AS (  -- unsigned fold mod dim == Spark's signed pmod
+       |  SELECT tok, CAST(${fnvFoldSql("tok")} % $QcDim AS BIGINT)
+       |           AS bucket
+       |  FROM dt
+       |), feat AS (
+       |  SELECT t.doc_id, h.bucket,
+       |         CAST(count(*) AS DOUBLE) / any_value(t.n) AS x
+       |  FROM tok t JOIN hs h ON h.tok = t.tok
+       |  GROUP BY t.doc_id, h.bucket
+       |), dot AS (
+       |  SELECT f.doc_id,
+       |         CAST(SUM(CAST(f.x * w.wv AS DECIMAL(38,15)))
+       |              AS DOUBLE)
+       |           + (SELECT wv FROM wt WHERE bucket = -1) AS margin
+       |  FROM feat f JOIN wt w ON w.bucket = f.bucket
+       |  GROUP BY f.doc_id
+       |)
+       |SELECT doc_id, margin,
+       |       round(1.0 / (1.0 + exp(-margin)), 6) AS score,
+       |       margin > 0 AS keep
+       |FROM dot ORDER BY doc_id""".stripMargin
 
   /** Winnowing k-gram size / window (Schleimer et al. 2003). */
   val WinnowK = 8
