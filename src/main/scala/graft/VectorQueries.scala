@@ -430,12 +430,63 @@ object VectorQueries {
     role = OracleTwin(Seq("q_ann_lsh_pairs")))
 
   /** Approximate top pairs via random-hyperplane LSH, exact-cosine
-    * verified. Not SQL-expressible (signature kernel) → rows-only driver
-    * check; the spec measures recall against [[qEmbedTopPairs]]. */
+    * verified.
+    *
+    * FULLY ORACLE-CHECKED (r10): the hyperplanes are DERIVED — every
+    * component comes from SplitMix64 of (seed, table, bit, dim)
+    * ([[graft.expr.TextHashKernels.planeComponent]]) — so the query
+    * exports them as a parquet table and the oracle replays the WHOLE
+    * search: per-(vector, table, bit) dim-ordered dot-product folds,
+    * sign bits packed into the signature, the (table, sig) bucket
+    * self-join, distinct candidates, exact-cosine verification, and
+    * the deterministic global top-N. The last non-libm rows-only entry
+    * joins the hash gate; recall vs the exact twin stays
+    * spec-measured. */
+  val RpBits = 8
+  val RpTables = 16
+  val RpSeed = 7L
+  val RpPlanesPath = "/tmp/graft_rp_planes.parquet"
   val qAnnLsh = QueryDef("q_ann_lsh_pairs",
-    (spark, dir) => Similarity.lshTopKPairs(
-      Tables.embeddings(spark, dir), "vec_id", "embedding", TopPairs),
-    None)
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      // the planes ARE constants of (seed, table, bit, dim) — exported
+      // so the oracle can score with the exact doubles the kernel uses
+      locally {
+        import spark.implicits._
+        (for (t <- 0 until RpTables; b <- 0 until RpBits) yield
+          (t, b, (0 until dim).map(d => graft.expr.TextHashKernels
+            .planeComponent(RpSeed + t * 1000003L, b, d))))
+          .toDF("tbl", "bit", "comp").coalesce(1)
+          .write.mode("overwrite").parquet(RpPlanesPath)
+      }
+      Similarity.lshTopKPairs(emb, "vec_id", "embedding", TopPairs,
+        RpBits, RpTables, RpSeed)
+    },
+    Some(s"""WITH pl AS (
+            |  SELECT tbl, bit, comp
+            |  FROM read_parquet('$RpPlanesPath/*.parquet')
+            |), e AS (
+            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            |), dots AS (  -- dim-ordered double fold, the kernel's order
+            |  SELECT e.vec_id, pl.tbl, pl.bit,
+            |         ${fold("e.v[i] * pl.comp[i]", "e.v")} AS dot
+            |  FROM e, pl
+            |), sigs AS (  -- bit i set iff dot > 0, packed into a BIGINT
+            |  SELECT vec_id, tbl,
+            |         COALESCE(SUM(CASE WHEN dot > 0
+            |           THEN CAST(1 AS BIGINT) << bit END), 0) AS sig
+            |  FROM dots GROUP BY vec_id, tbl
+            |), cand AS (
+            |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            |  FROM sigs a JOIN sigs b
+            |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+            |)
+            |SELECT c.vec_a, c.vec_b, ${cosSql("ea.v", "eb.v")} AS cosine
+            |FROM cand c
+            |JOIN e ea ON ea.vec_id = c.vec_a
+            |JOIN e eb ON eb.vec_id = c.vec_b
+            |ORDER BY cosine DESC, vec_a, vec_b LIMIT $TopPairs""".stripMargin))
 
   /** IVF-style search: the `label` column plays the role of the coarse
     * quantizer's cluster assignment (in production: argmin centroid,
