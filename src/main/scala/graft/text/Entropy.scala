@@ -62,8 +62,30 @@ object Entropy {
   }
 
   /** (idCol, char_entropy, token_entropy, n_chars, n_tokens) per
-    * non-null-text document. */
+    * non-null-text document.
+    *
+    * Driven by the one-pass [[graft.expr.EntropyStats]] kernel — one
+    * codegen call per document instead of two interpreted sort+fold
+    * evaluations (~15× at sf0.1); bit-identical to
+    * [[entropyStatsComposed]], spec-asserted. */
   def entropyStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.expr.EntropyStats(col(textCol)).as("_ent"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"))
+      .select(col(idCol),
+        col("_ent.char_entropy").as("char_entropy"),
+        col("_ent.token_entropy").as("token_entropy"),
+        col("n_chars"), col("n_tokens"))
+  }
+
+  /** The composed higher-order-function form — the kernel's reference
+    * twin; kept for the differential spec ([[entropyStats]] must
+    * equal this bit-for-bit). */
+  def entropyStatsComposed(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val chars = split(col(textCol), "")
     val toks = split(col(textCol), " ")

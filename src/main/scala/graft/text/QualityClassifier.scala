@@ -68,11 +68,29 @@ object QualityClassifier {
       labelCol: String, dim: Int = 256, iters: Int = 8,
       lr: Double = 4.0): Model = {
     val spark = docs.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val labels0 = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).cast("double").as("y"))
+    // The bias RIDES AS BUCKET −1 with x = 1.0 (every labeled doc has
+    // one): the per-bucket gradient aggregation then delivers the bias
+    // gradient in the SAME job — exactSum(r · 1.0) ≡ exactSum(r)
+    // bit-for-bit — halving the per-iteration action count. Weights
+    // never carry bucket −1, so the margin's inner join drops the
+    // bias rows and the dot product is unchanged.
+    //
+    // Both cached frames are HASH-PARTITIONED BY id up front: the
+    // per-iteration groupBy("id") and both id-joins reuse the cached
+    // partitioning, so an iteration's only exchange is the 256-row
+    // bucket-gradient rollup — at corpus scale the training loop
+    // re-shuffles the sparse features ZERO times after the first
+    // materialization.
     val feats = features(docs, idCol, textCol, dim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .unionByName(labels0.select(col("id"), lit(-1L).as("bucket"),
+        lit(1.0).as("x")))
+      .repartition(col("id"))
+      .persist(lvl)
+    val labels = labels0.repartition(col("id")).persist(lvl)
     try {
-      val labels = docs.filter(col(textCol).isNotNull)
-        .select(col(idCol).as("id"), col(labelCol).cast("double").as("y"))
       val nDocs = labels.count().toDouble
       require(nDocs > 0, "QualityClassifier.train: empty corpus")
       var w = new Array[Double](dim)
@@ -91,18 +109,21 @@ object QualityClassifier {
           .select(col("id"),
             (lit(1.0) / (lit(1.0) + exp(-coalesce(col("m"), lit(bias))))
               - col("y")).as("r"))
-        // gradient per bucket + bias gradient: decimal-exact sums
+        // gradient per bucket — slot −1 IS the bias gradient — in one
+        // decimal-exact job
         val grad = feats.join(resid, "id")
           .groupBy("bucket").agg(exactSum(col("r") * col("x")).as("g"))
           .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-        val gBias = resid.agg(exactSum(col("r"))).head.getDouble(0)
         w = Array.tabulate(dim)(b =>
           w(b) - lr * grad.getOrElse(b, 0.0) / nDocs)
-        bias = bias - lr * gBias / nDocs
+        bias = bias - lr * grad.getOrElse(-1, 0.0) / nDocs
         it += 1
       }
       Model(dim, bias, w)
-    } finally feats.unpersist(blocking = false)
+    } finally {
+      feats.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+    }
   }
 
   /** In-plan scoring: (id, margin, score, keep). The margin is the

@@ -37,6 +37,28 @@ class EntropySpec extends SparkSpec {
     assert(rows(0).getLong(3) == 5L && rows(0).getLong(4) == 2L)
   }
 
+  test("kernel == composed HOF form bit-for-bit on the corpus + edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Seq(
+      1L -> "aabb", 2L -> "aaaa", 3L -> "x y x y", 4L -> "abcd",
+      5L -> "a  b   a", // empty tokens are symbols
+      6L -> "", 7L -> "éé café") // multi-byte chars
+      .toDF("doc_id", "text")
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edges, corpus)) {
+      val fast = Entropy.entropyStats(df, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      val slow = Entropy.entropyStatsComposed(df, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      assert(fast.length == slow.length)
+      fast.zip(slow).foreach { case (f, s) =>
+        assert(f == s, s"kernel/composed divergence:\n  $f\n  $s")
+      }
+    }
+  }
+
   test("the plan is shuffle-free: scan -> project, no Exchange") {
     val df = Entropy.entropyStats(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")

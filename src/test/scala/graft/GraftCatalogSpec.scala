@@ -289,9 +289,10 @@ class GraftCatalogSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM $cat.corp.nope").collect())
     assert(e.getMessage != null)
-    val e2 = intercept[Exception](spark.sql(
-      s"CREATE TABLE $cat.corp.fresh (id BIGINT) USING graft"))
-    assert(e2.getMessage.contains("born by their first write") ||
-      e2.getMessage.contains("CREATE"))
+    // CREATE TABLE is first-class since the CTAS round: a fresh name
+    // is born empty (schema-carrier v1) and immediately queryable
+    spark.sql(s"CREATE TABLE $cat.corp.fresh (id BIGINT) USING graft")
+    assert(spark.sql(s"SELECT * FROM $cat.corp.fresh").count() == 0L)
+    spark.sql(s"DROP TABLE $cat.corp.fresh")
   }
 }

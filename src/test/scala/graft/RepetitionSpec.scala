@@ -57,6 +57,28 @@ class RepetitionSpec extends SparkSpec {
     assert(r.getDouble(4) == dupw.toDouble / totw)
   }
 
+  test("kernel == composed HOF form bit-for-bit on the corpus + edges") {
+    import spark.implicits._
+    val edges = Seq(
+      1L -> "x y x y x y", 2L -> "a b c d e f g h", 3L -> "solo",
+      4L -> "p q r s t p q r s t u",
+      5L -> "a  b   a  b", // runs of spaces -> empty tokens in grams
+      6L -> "", 7L -> "tie a tie b tie a tie b tie")
+      .toDF("doc_id", "text")
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edges, corpus)) {
+      val fast = Repetition.repetitionStats(df, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      val slow = Repetition.repetitionStatsComposed(df, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      assert(fast.length == slow.length)
+      fast.zip(slow).foreach { case (f, s) =>
+        assert(f == s, s"kernel/composed divergence:\n  $f\n  $s")
+      }
+    }
+  }
+
   test("the plan is shuffle-free: scan -> project, no Exchange") {
     val df = Repetition.repetitionStats(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
