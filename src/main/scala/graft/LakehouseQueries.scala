@@ -539,6 +539,54 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
 
+  /** SQL `CREATE TABLE … PARTITIONED BY` under the hash gate
+    * ([[graft.sources.GraftCatalog.createTable]]): the catalog
+    * PERSISTS the identity-partition spec ([[graft.sources
+    * .GraftCatalog.PartSpecFile]]) and every catalog-mediated write
+    * applies it — the INSERT below carries no partitioning option yet
+    * must land every data file in a `lang=` directory (in-query
+    * require), giving listing-level partition pruning to plain SQL
+    * consumers. A `partitionBy` write option contradicting the
+    * declared spec refuses loudly (spec-asserted in GraftCatalogSpec)
+    * — the divergence hazard that made the earlier design decline
+    * PARTITIONED BY outright. The fingerprint groups the two largest
+    * languages through the partitioned read; sums stay in exact
+    * integer algebra. */
+  val qSqlPartitioned = QueryDef("q_sql_partitioned",
+    (spark, dir) => {
+      val cat = "graft_lake"
+      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = s"$warehouse/sf/$tbl"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      spark.sql(s"""CREATE TABLE $cat.sf.$tbl
+        (doc_id BIGINT, lang STRING, n_chars BIGINT)
+        PARTITIONED BY (lang)""")
+      Tables.documents(spark, dir).createOrReplaceTempView("docs_src")
+      spark.sql(s"INSERT INTO $cat.sf.$tbl " +
+        "SELECT doc_id, lang, n_chars FROM docs_src")
+      // the persisted spec drove the layout: every data file beyond
+      // the v1 schema carrier sits under a lang= directory
+      val dataFiles = GraftParquetV2.listFiles(path)
+        .filterNot(_.contains("-schema.parquet"))
+      require(dataFiles.nonEmpty && dataFiles.forall(_.contains("/lang=")),
+        s"catalog-held PARTITIONED BY must drive the INSERT layout: " +
+          s"${dataFiles.take(3).mkString(", ")}")
+      spark.sql(s"""SELECT lang, count(*) AS n_docs,
+          sum(n_chars) AS sum_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM $cat.sf.$tbl WHERE lang IN ('en', 'de')
+        GROUP BY lang ORDER BY lang""")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM documents WHERE lang IN ('en', 'de')
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** STREAMING FROM A VERSION BOUNDARY under the hash gate
     * ([[graft.sources.GraftMicroBatchStream]]'s `startingVersion`):
     * three appended versions; a stream starting after v1 must drain
@@ -598,5 +646,5 @@ object LakehouseQueries {
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
-      qSqlCtas, qChangeFeedCdc, qStreamFromVersion)
+      qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion)
 }

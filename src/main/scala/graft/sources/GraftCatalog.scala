@@ -32,11 +32,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the LAST version whose snapshot commit time is ≤ the timestamp
   * (commit time = the snapshot file's own mtime — the log is the
   * clock). Identifier → path mapping is `warehouse/ns…/table`;
-  * namespaces are directories. CREATE TABLE is deliberately out of
-  * scope (the write path is schema-on-write through the DataFrame
-  * API; a bare CREATE with no data has no file to infer from) —
-  * tables are born by their first write, exactly like the path-based
-  * API. */
+  * namespaces are directories. CREATE TABLE (and CTAS) commits a
+  * zero-row SCHEMA CARRIER as version 1 — schema-on-write kept, the
+  * empty table immediately readable; `PARTITIONED BY` (identity
+  * columns) persists as a table-root sidecar every write route
+  * honors ([[GraftCatalog.PartSpecFile]]). Tables can equally still
+  * be born by their first path-based write. */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
@@ -98,10 +99,14 @@ class GraftCatalog extends TableCatalog
           "a schema"))
   }
 
+  private def partSpecOf(p: String): Seq[String] =
+    GraftCatalog.readPartSpec(p, conf)
+
   override def loadTable(ident: Identifier): Table = {
     val p = existing(ident)
     new GraftParquetTable(p, GraftParquetV2.sparkSchema(
-      GraftParquetV2.footerSchema(schemaFile(p))))
+      GraftParquetV2.footerSchema(schemaFile(p))),
+      tablePartCols = partSpecOf(p))
   }
 
   /** `VERSION AS OF v` — the pinned snapshot's schema comes from its
@@ -120,7 +125,8 @@ class GraftCatalog extends TableCatalog
     val schemaSrc = files.headOption.getOrElse(schemaFile(p))
     new GraftParquetTable(p,
       GraftParquetV2.sparkSchema(GraftParquetV2.footerSchema(schemaSrc)),
-      pinnedTravel = Some(GraftTimeTravel(Some(v), None, None)))
+      pinnedTravel = Some(GraftTimeTravel(Some(v), None, None)),
+      tablePartCols = partSpecOf(p))
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch from Spark): the last
@@ -165,18 +171,39 @@ class GraftCatalog extends TableCatalog
     * schema carrier as version 1, so the empty table is immediately
     * readable under its declared schema and the data write (CTAS's
     * second half, or any later INSERT/append) is an ordinary
-    * transactional version on top. `PARTITIONED BY` is declined —
-    * graft partitioning is declared per write (`partitionBy` option),
-    * and a catalog-held partition spec would silently diverge from
-    * what writers actually do. */
+    * transactional version on top.
+    *
+    * `PARTITIONED BY (col, …)` — IDENTITY columns only — persists as
+    * the table's partition spec ([[PartSpecFile]]): every
+    * catalog-mediated write (SQL INSERT, CTAS data, DataFrame append)
+    * applies it, and a `partitionBy` write option that CONTRADICTS it
+    * refuses loudly in the write builder. That guard is what makes a
+    * catalog-held spec sound — the earlier design declined PARTITIONED
+    * BY precisely because an option-only DDL could silently diverge
+    * from the declared layout. Transform partitioning (bucket/days/…)
+    * stays out of scope: directory names hold raw values, so only
+    * identity has an exact round-trip. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog: CREATE TABLE … PARTITIONED BY is out of scope — " +
-        "declare partitioning per write via the partitionBy option")
+    val partCols: Seq[String] = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames match {
+          case Array(n) => n
+          case other => throw new UnsupportedOperationException(
+            "graft catalog: PARTITIONED BY supports top-level columns " +
+              s"only, got ${other.mkString(".")}")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: PARTITIONED BY transform '$other' is out of " +
+          "scope — only identity columns have an exact directory-name " +
+          "round-trip")
+    }
     require(schema.nonEmpty,
       "graft catalog: CREATE TABLE needs at least one column")
+    require(partCols.size < schema.size,
+      "graft catalog: partitioning on EVERY column leaves no data columns")
+    GraftParquetWrite.validatePartitionCols(schema, partCols)
     val p = pathOf(ident)
     val hp = new Path(p)
     val fs = hp.getFileSystem(conf)
@@ -185,8 +212,15 @@ class GraftCatalog extends TableCatalog
         .TableAlreadyExistsException(ident)
     GraftParquetWrite.messageType(schema) // validate before any mkdir
     fs.mkdirs(hp)
+    if (partCols.nonEmpty) {
+      // exclusive create: racing CREATEs already collide on mkdirs/
+      // carrier; the spec is written once, before any data can land
+      val out = fs.create(new Path(p, GraftCatalog.PartSpecFile), false)
+      try out.write(partCols.mkString(",").getBytes("UTF-8"))
+      finally out.close()
+    }
     commitSchemaCarrier(p, schema)
-    new GraftParquetTable(p, schema)
+    new GraftParquetTable(p, schema, tablePartCols = partCols)
   }
 
   /** `ALTER TABLE … ADD COLUMN` — the one DDL mutation with clean
@@ -352,6 +386,32 @@ class GraftCatalog extends TableCatalog
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure '$other' — " +
           "available: compact, vacuum, history")
+    }
+  }
+}
+
+object GraftCatalog {
+  /** Table-root sidecar holding the CREATE TABLE … PARTITIONED BY
+    * column list (one comma-separated line). Underscore-invisible to
+    * the data lister; travels with RENAME, dies with DROP. The spec
+    * lives with the TABLE, not the catalog — the write builder reads
+    * it on the raw path-based route too, so a partitioned table keeps
+    * its declared layout (and the contradiction guard) no matter how
+    * it is addressed. */
+  val PartSpecFile = "_graft_partition_spec"
+
+  /** The persisted partition spec of the table at `p`; Nil when
+    * unpartitioned (no sidecar). */
+  def readPartSpec(p: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val f = new Path(p, PartSpecFile)
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) Nil
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      finally in.close()
     }
   }
 }

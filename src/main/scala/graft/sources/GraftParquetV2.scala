@@ -75,7 +75,11 @@ class GraftParquetTable(path: String, tableSchema: StructType,
     streamMaxFiles: Option[Int] = None,
     // a catalog-level pin (VERSION/TIMESTAMP AS OF through
     // [[GraftCatalog.loadTable]]); per-scan read options override it
-    pinnedTravel: Option[GraftTimeTravel] = None)
+    pinnedTravel: Option[GraftTimeTravel] = None,
+    // the catalog's persisted CREATE TABLE … PARTITIONED BY spec:
+    // reported via partitioning() and applied to every write (a
+    // contradicting partitionBy option refuses in the write builder)
+    tablePartCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -109,10 +113,17 @@ class GraftParquetTable(path: String, tableSchema: StructType,
       // carries only what landed since (the change feed, live)
       optLong("startingVersion"))
   }
+  /** The catalog-declared identity partitioning, if any — DESCRIBE
+    * and the planner see it; writes apply it via the write builder. */
+  override def partitioning(): Array[Transform] =
+    tablePartCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
   // the write half: append/truncate with transactional ownership of the
   // stats-manifest sidecar — see [[GraftParquetWrite]] for the protocol
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(path, info)
+    new GraftWriteBuilder(path, info, tablePartCols)
 
   /** SQL `DELETE FROM … WHERE …` ([[org.apache.spark.sql.connector
     * .catalog.SupportsDelete]]): delegates to the zone-map-selective

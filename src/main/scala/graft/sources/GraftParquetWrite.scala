@@ -95,7 +95,8 @@ final case class GraftManifestEntry(file: String, column: String,
     minStr: Option[String], maxStr: Option[String],
     nullCount: Option[Long], valueCount: Long)
 
-class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
+class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
+    tablePartCols: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -104,26 +105,32 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
     // write before any task launches, not halfway through a fan-out
     GraftParquetWrite.messageType(info.schema())
     // partition columns via the `partitionBy` WRITE OPTION (comma-
-    // separated, outermost first): the TableProvider path has no
-    // catalog to carry table partitioning, so the option IS the DDL.
+    // separated, outermost first) — on the raw TableProvider path the
+    // option IS the DDL (no catalog to carry table partitioning) — OR
+    // from the catalog's persisted spec (CREATE TABLE … PARTITIONED
+    // BY, carried in `tablePartCols`). An option that CONTRADICTS the
+    // table spec refuses loudly: a silently-divergent layout was the
+    // reason PARTITIONED BY used to be declined outright.
     // Validated here, loudly: unknown columns or types whose directory
     // rendering wouldn't round-trip (floats, binary, timestamps) fail
     // before any task launches. Values land in the directory NAME and
     // ALSO in the data files — the Iceberg convention — so the reader
     // needs no schema surgery and partition pruning is pure listing.
-    val partCols = Option(info.options.get("partitionBy")).toSeq
+    val optCols = Option(info.options.get("partitionBy")).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
-    val partitionable: Set[DataType] =
-      Set(IntegerType, LongType, StringType, BooleanType)
-    partCols.foreach { c =>
-      val f = info.schema().fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft parquet v2 write: partition column '$c' not in schema"))
-      require(partitionable(f.dataType),
-        s"graft parquet v2 write: partition column '$c' has type " +
-          s"${f.dataType} — only int/long/string/boolean values have an " +
-          "exact directory-name round-trip")
-    }
+    // the spec lives with the TABLE (a root sidecar): read it here so
+    // the raw path-based route honors — and cannot contradict — a
+    // catalog-declared layout either
+    val specCols =
+      if (tablePartCols.nonEmpty) tablePartCols
+      else GraftCatalog.readPartSpec(path,
+        new org.apache.hadoop.conf.Configuration())
+    require(optCols.isEmpty || specCols.isEmpty || optCols == specCols,
+      s"graft parquet v2 write: partitionBy option [${optCols.mkString(", ")}] " +
+        s"contradicts the table's declared PARTITIONED BY " +
+        s"[${specCols.mkString(", ")}] — the persisted spec is the DDL")
+    val partCols = if (optCols.nonEmpty) optCols else specCols
+    GraftParquetWrite.validatePartitionCols(info.schema(), partCols)
     require(partCols.size < info.schema().size || partCols.isEmpty,
       "graft parquet v2 write: partitioning on EVERY column leaves no " +
         "data columns")
@@ -410,6 +417,29 @@ object GraftParquetWrite {
   /** Underscore-invisible directory of per-(query, epoch) commit
     * markers — the streaming sink's replay ledger. */
   val EpochDir = "_graft_epochs"
+
+  /** Loud plan-time validation of a partition-column list against the
+    * write schema: the column must exist, and its type must have an
+    * exact directory-name round-trip (floats, binary, timestamps do
+    * not). Shared by the write builder and the catalog's CREATE TABLE
+    * … PARTITIONED BY, so DDL and write agree on what is legal. */
+  def validatePartitionCols(schema: StructType,
+      partCols: Seq[String]): Unit = {
+    val partitionable: Set[DataType] =
+      Set(IntegerType, LongType, StringType, BooleanType)
+    partCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft parquet v2 write: partition column '$c' not in schema"))
+      require(partitionable(f.dataType),
+        s"graft parquet v2 write: partition column '$c' has type " +
+          s"${f.dataType} — only int/long/string/boolean values have an " +
+          "exact directory-name round-trip")
+    }
+    require(partCols.distinct.size == partCols.size,
+      s"graft parquet v2 write: duplicate partition column in " +
+        s"[${partCols.mkString(", ")}]")
+  }
 
   /** StructType → parquet MessageType — the exact inverse of the read
     * side's [[GraftParquetV2.sparkSchema]]/toCatalyst, so a connector

@@ -267,13 +267,64 @@ class GraftCatalogSpec extends SparkSpec {
       s"parquet.`$sfDir/documents.parquet` WHERE doc_id % 3 = 2")
     assert(ids(s"SELECT doc_id FROM $cat.corp.t13") ==
       idsOf(docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
-    // refusals: duplicate create; PARTITIONED BY
+    // refusals: duplicate create; partitioning away every data column
     val e1 = intercept[Exception](spark.sql(
       s"CREATE TABLE $cat.corp.t12 (x INT)"))
     assert(e1.getMessage.toLowerCase.contains("already exists"))
     val e2 = intercept[Exception](spark.sql(
-      s"CREATE TABLE $cat.corp.t14 (x INT, y INT) PARTITIONED BY (y)"))
-    assert(e2.getMessage.contains("PARTITIONED BY"))
+      s"CREATE TABLE $cat.corp.t14 (x INT, y INT) PARTITIONED BY (x, y)"))
+    assert(e2.getMessage.contains("no data columns"))
+  }
+
+  test("CREATE TABLE PARTITIONED BY: catalog-held spec drives INSERT " +
+      "layout; contradicting write option refuses; transforms refuse") {
+    spark.sql(s"CREATE TABLE $cat.corp.t15 " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $cat.corp.t15 " +
+      s"SELECT doc_id, lang, n_chars FROM parquet.`$sfDir/documents.parquet`")
+    // the spec drove the layout: col=value directories, no option given
+    val root = new java.io.File(s"$warehouse/corp/t15")
+    val langDirs = root.listFiles.filter(f =>
+      f.isDirectory && f.getName.startsWith("lang="))
+    assert(langDirs.nonEmpty, "INSERT must land in lang= directories")
+    // exact read-back and a pruned partition read
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t15") == idsOf(docs))
+    val en = docs.filter(col("lang") === "en")
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t15 WHERE lang = 'en'") ==
+      idsOf(en))
+    // DESCRIBE surfaces the declared partitioning
+    val desc = spark.sql(s"DESCRIBE TABLE $cat.corp.t15")
+      .collect().map(_.getString(0))
+    assert(desc.exists(_.contains("Partitioning")) ||
+      desc.exists(_.contains("lang")),
+      s"DESCRIBE must mention the partitioning: ${desc.mkString("|")}")
+    // a write option CONTRADICTING the declared spec refuses loudly
+    val e = intercept[Exception] {
+      docs.limit(1).write.format(fmt)
+        .option("path", s"$warehouse/corp/t15")
+        .option("partitionBy", "doc_id").mode("append").save()
+    }
+    assert(e.getMessage.contains("contradicts"),
+      s"divergent partitionBy must refuse, got: ${e.getMessage}")
+    // an AGREEING option is fine (idempotent declaration)
+    docs.limit(1).write.format(fmt)
+      .option("path", s"$warehouse/corp/t15")
+      .option("partitionBy", "lang").mode("append").save()
+    // non-identity transforms refuse
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.corp.t16 (x BIGINT, y STRING) " +
+        "PARTITIONED BY (bucket(4, x))"))
+    assert(e2.getMessage.contains("identity"),
+      s"bucket transform must refuse, got: ${e2.getMessage}")
+    // partitioned CTAS: create-with-spec then data lands partitioned
+    spark.sql(s"CREATE TABLE $cat.corp.t17 PARTITIONED BY (lang) AS " +
+      s"SELECT doc_id, lang FROM parquet.`$sfDir/documents.parquet` " +
+      "WHERE doc_id < 100")
+    val ctasDirs = new java.io.File(s"$warehouse/corp/t17")
+      .listFiles.filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    assert(ctasDirs.nonEmpty, "CTAS data must land in lang= directories")
+    assert(ids(s"SELECT doc_id FROM $cat.corp.t17") ==
+      idsOf(docs.filter(col("doc_id") < 100)))
   }
 
   test("listTables, rename, drop, and loud refusals") {
