@@ -413,6 +413,124 @@ object VectorQueries {
     },
     Some(exactTopKOracle))
 
+  /** The PERSISTED-index entries' nprobe — strictly less than
+    * [[IvfClusters]], so (unlike the full-probe entry above) the probe
+    * selection, the argmin bucket assignment, and the bucket-join all
+    * MATTER to the result and are each under the hash gate. */
+  val IvfNprobe = 2
+  val IvfIndexPath = "/tmp/graft_ivf_index.parquet"
+  val IvfIngestPath = "/tmp/graft_ivf_ingest.parquet"
+
+  /** The DuckDB replay of a persisted multi-probe IVF search, given
+    * the on-disk index at `indexPath` (the codebook convention — the
+    * trained centroids ARE the model, exported as parquet):
+    * assignment = argmin over the same dim-ordered double fold the
+    * [[graft.expr.NearestCentroidId]] kernel runs (squared L2, ties →
+    * smallest cid); probe ranking replays [[graft.expr.L2Distance]]'s
+    * `sqrt` before ordering (sqrt is IEEE-correctly-rounded, so both
+    * engines see the same double — and ordering by d2 instead could
+    * break a tie the kernel's sqrt collapses); scoring and ranking
+    * reuse the exact-cosine conventions. `corpus` chooses which
+    * vectors the assignment CTE covers — for the incremental entry the
+    * union base ∪ delta equals one uniform re-derivation because
+    * frozen-centroid assignment IS the same argmin the fit's final
+    * pass ran. */
+  private def ivfProbeOracle(indexPath: String): String =
+    s"""WITH cents AS (
+       |  SELECT cid, cv::DOUBLE[] AS cv
+       |  FROM read_parquet('$indexPath/centroids/*.parquet')
+       |), e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), dist AS (
+       |  SELECT e.vec_id, c.cid,
+       |         ${fold("(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])", "e.v")}
+       |           AS d2
+       |  FROM e, cents c
+       |), assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, cid) AS rn FROM dist) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sqrt(d2), cid) AS rn
+       |    FROM dist WHERE vec_id < $NQueries) WHERE rn <= $IvfNprobe
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${cosSql("q.v", "c.v")} AS cosine
+       |  FROM probes p
+       |  JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  JOIN e c ON c.vec_id = a.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** PERSISTED IVF index, probed from disk under the hash gate — the
+    * production amortization shape: train once ([[graft.operators
+    * .KMeans.fit]]), [[graft.operators.KMeans.saveIndex]] the
+    * centroids + cid-PARTITIONED inverted lists, then every later
+    * search loads and probes WITHOUT retraining, scanning only the
+    * nprobe probed directories (partition pruning — the query cost
+    * scales with the probed corpus fraction, not corpus size). First
+    * hash-gated nprobe < k configuration: probe selection, bucket
+    * assignment, and the bucket join each affect the result and the
+    * oracle replays all three from the exported index. */
+  val qAnnIndexProbe = QueryDef("q_ann_index_probe",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val (cents, assigned) = graft.operators.KMeans.fit(
+        emb, "vec_id", "embedding", IvfClusters, IvfIters)
+      graft.operators.KMeans.saveIndex(cents, assigned, IvfIndexPath)
+      // search side: everything below reads ONLY the persisted index
+      val (lc, la) = graft.operators.KMeans.loadIndex(spark, IvfIndexPath)
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.KMeans.ivfTopK(la, lc, q, TopK, nprobe = IvfNprobe)
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfProbeOracle(IvfIndexPath)))
+
+  /** INCREMENTAL index maintenance under the hash gate: the index is
+    * trained on the BASE corpus only, then the delta (¼ of the
+    * vectors) is assigned with the FROZEN centroids ([[graft.operators
+    * .KMeans.assign]] — shuffle-free scan → project) and APPENDED as
+    * new cid-partitioned files — ingest work scales with the delta,
+    * not the corpus (the change-feed-ingest discipline applied to the
+    * vector index). The probe then searches base ∪ delta from disk;
+    * the oracle re-derives every assignment from the exported
+    * base-trained centroids — one uniform argmin covers both halves
+    * precisely because frozen-centroid ingest runs the same kernel as
+    * the fit's final assignment pass. */
+  val qAnnIndexIngest = QueryDef("q_ann_index_ingest",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+      val delta = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+      val (cents, assigned) = graft.operators.KMeans.fit(
+        base, "vec_id", "embedding", IvfClusters, IvfIters)
+      graft.operators.KMeans.saveIndex(cents, assigned, IvfIngestPath)
+      val deltaAssigned = graft.operators.KMeans.assign(
+        delta.select(col("vec_id").cast("long").as("id"),
+          col("embedding").as("v")), cents)
+      deltaAssigned.write.mode("append").partitionBy("cid")
+        .parquet(s"$IvfIngestPath/assignments")
+      val (lc, la) = graft.operators.KMeans.loadIndex(spark, IvfIngestPath)
+      val total = Tables.embeddings(spark, dir).count()
+      require(la.count() == total,
+        s"ingested index must hold the whole corpus ($total vectors)")
+      val q = emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.KMeans.ivfTopK(la, lc, q, TopK, nprobe = IvfNprobe)
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfProbeOracle(IvfIngestPath)))
+
   /** Global top-50 most-similar embedding pairs — exact all-pairs,
     * ORACLE-TWIN role: quadratic by design and guarded
     * (`topPairs.maxExactRows`); the deployable path is the LSH pair
@@ -752,6 +870,7 @@ object VectorQueries {
             |ORDER BY vec_id""".stripMargin))
 
   def all: Seq[QueryDef] = Seq(qAnnTopK, qAnnPq, qAnnIvfPq, qAnnSq8,
-    qEmbedTopPairs, qAnnLsh, qAnnIvf, qAnnIvfKmeans, qDedupEmbedding,
+    qEmbedTopPairs, qAnnLsh, qAnnIvf, qAnnIvfKmeans, qAnnIndexProbe,
+    qAnnIndexIngest, qDedupEmbedding,
     qDedupEmbeddingKeep, qDedupEmbeddingLsh, qSemanticDedup)
 }
