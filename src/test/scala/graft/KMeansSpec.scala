@@ -183,5 +183,13 @@ class KMeansSpec extends SparkSpec {
       plan.contains("cid"), s"no partition pruning in:\n$plan")
     assert(pruned.count() ==
       rows(assigned.filter(col("cid").isin(someCids: _*))).size)
+    // …and ivfTopK ITSELF plants that static filter: its plan over the
+    // loaded index must carry a non-empty cid PartitionFilter (the
+    // probed-fraction cost claim depends on the search path pruning,
+    // not just on manual filters being prunable)
+    val searchPlan = KMeans.ivfTopK(la, lc, q, 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(searchPlan.contains("PartitionFilters: [cid"),
+      s"ivfTopK must prune unprobed buckets at plan time:\n$searchPlan")
   }
 }
