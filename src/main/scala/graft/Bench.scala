@@ -120,6 +120,13 @@ object Bench {
     // absolute floor: sub-0.3s queries jitter past 1.5x on scheduler
     // noise alone; re-timing them is all cost, no signal
     val renoiseFloorS = 0.3
+    // Reference set = each query's best FULL-SWEEP time: the first
+    // `runs` entries of a history line's raw "times" array are the
+    // sweep runs; anything appended after them is a renoise re-timing
+    // taken in ISOLATION (warm caches, no 32-thread sweep contention)
+    // that a full run can never match — r10 proved comparing against
+    // those flags a third of the catalog as phantom suspects
+    // (q_png_pixel_decode "best" 0.64 s vs ~5.5 s in every full run).
     val historyBest: Map[String, Double] = {
       val p = java.nio.file.Paths.get("bench_history.jsonl")
       if (!java.nio.file.Files.exists(p)) Map.empty
@@ -134,13 +141,27 @@ object Bench {
               // same-SF rows only: an sf0.01 best would flag every
               // sf0.1 timing as "slow" and renoise the whole catalog
               if (detail.path("sf").asText("") == sfDir) {
-                val qs = detail.path("queries")
-                scala.jdk.CollectionConverters.IteratorHasAsScala(qs.fields())
-                  .asScala.foreach { e =>
-                    val v = e.getValue.asDouble(-1.0)
-                    if (v > 0 && best.getOrElse(e.getKey, Double.MaxValue) > v)
-                      best(e.getKey) = v
-                  }
+                val lineRuns = detail.path("runs").asInt(3).max(1)
+                val raw = detail.path("times")
+                def fold(name: String, v: Double): Unit =
+                  if (v > 0 && best.getOrElse(name, Double.MaxValue) > v)
+                    best(name) = v
+                if (raw.isObject) {
+                  scala.jdk.CollectionConverters
+                    .IteratorHasAsScala(raw.fields()).asScala.foreach { e =>
+                      val sweep = scala.jdk.CollectionConverters
+                        .IteratorHasAsScala(e.getValue.elements()).asScala
+                        .take(lineRuns).map(_.asDouble(-1.0))
+                        .filter(_ > 0).toSeq
+                      if (sweep.nonEmpty) fold(e.getKey, sweep.min)
+                    }
+                } else {
+                  // legacy line without raw times: the queries map is
+                  // min-including-renoise — better than nothing
+                  scala.jdk.CollectionConverters.IteratorHasAsScala(
+                    detail.path("queries").fields()).asScala.foreach(e =>
+                      fold(e.getKey, e.getValue.asDouble(-1.0)))
+                }
               }
             } catch { case _: Exception => () } // torn/legacy line: skip
           }
@@ -166,7 +187,11 @@ object Bench {
     val renoiseT0 = System.nanoTime()
     def renoiseElapsed = (System.nanoTime() - renoiseT0) / 1e9
     var renoised = 0
-    suspect.takeWhile(_ => renoiseElapsed < renoiseBudgetS).foreach { name =>
+    // iterator, not Seq: takeWhile on a strict Seq evaluates every
+    // predicate up front (all ~t=0, before any re-timing) and the
+    // budget never bites — the r10 ADVICE finding
+    suspect.iterator.takeWhile(_ => renoiseElapsed < renoiseBudgetS)
+      .foreach { name =>
       // load-check between retries: contention poisoned the first
       // attempt; don't burn the retry under the same load
       var waited = 0

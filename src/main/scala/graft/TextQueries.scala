@@ -258,7 +258,19 @@ object TextQueries {
            |           AS DOUBLE) AS token_entropy
            |  FROM tkc c JOIN tkn n USING (doc_id) GROUP BY c.doc_id
            |)
-           |SELECT d.doc_id, che.char_entropy, tke.token_entropy,
+           |SELECT d.doc_id,
+           |       -- empty (non-null) text degenerates to ONE empty symbol
+           |       -- on the engine side (entropy −0.0, the single-symbol
+           |       -- value); the ch CTE above filters empty chars and
+           |       -- would drop the doc to NULL — coalesce to the engine's
+           |       -- answer so the hash gate cannot diverge on empty text
+           |       -- (the token side already agrees: string_split('',' ')
+           |       -- IS the single empty token in both engines)
+           |       COALESCE(che.char_entropy,
+           |                CASE WHEN length(d.text) = 0
+           |                     THEN -CAST(0.0 AS DOUBLE) END)
+           |         AS char_entropy,
+           |       tke.token_entropy,
            |       CAST(length(d.text) AS BIGINT) AS n_chars,
            |       CAST(len(string_split(d.text, ' ')) AS BIGINT)
            |         AS n_tokens
