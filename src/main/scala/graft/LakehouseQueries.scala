@@ -457,6 +457,136 @@ object LakehouseQueries {
            |FROM updated
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** Run `body` with the session's row-level mode pinned to
+    * merge-on-read, restored after — the [[graft.sources
+    * .GraftDeltaOperation]] (positional-delete sidecar) path. */
+  private def withMergeOnRead[T](spark: SparkSession)(body: => T): T = {
+    spark.conf.set(graft.sources.GraftParquetTable.ModeConf, "merge-on-read")
+    try body
+    finally spark.conf.set(
+      graft.sources.GraftParquetTable.ModeConf, "copy-on-write")
+  }
+
+  /** SQL `UPDATE` in MERGE-ON-READ mode under the hash gate
+    * ([[graft.sources.GraftDeltaOperation]]): the same key-range UPDATE
+    * as [[qSqlUpdate]], but `spark.graft.rowLevelMode = merge-on-read`
+    * routes it through Spark's WriteDelta plan — matched rows die by
+    * POSITIONAL DELETE SIDECAR ([[graft.sources.GraftDeletes]]) and
+    * their new images append; NO data file is rewritten or archived
+    * (require-asserted: the pre-update file set survives intact, and at
+    * least one DV sidecar exists). This is the write-amplification fix
+    * a 100 TB point mutation needs: sidecar bytes ∝ changed rows, not
+    * candidate-file bytes. The oracle is the same CASE rewrite as the
+    * COW twin — both modes must produce the identical table. */
+  val qSqlUpdateDv = QueryDef("q_sql_update_dv",
+    (spark, dir) => {
+      val cat = "graft_lake"
+      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = s"$warehouse/sf/$tbl"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("append").save()
+      slice(orders, 1).write.format(fmt).option("path", path)
+        .mode("append").save()
+      GraftMaintenance.compact(spark, path,
+        targetFileBytes = math.max(1L,
+          GraftParquetV2.totalFileBytes(path) / 8),
+        clusterBy = Seq("o_orderkey"))
+      val filesBefore = GraftParquetV2.listFiles(path).toSet
+      val archBefore = GraftTableLog.archivedStatuses(path).size
+      val cut = orders.agg(max("o_orderkey")).head.getLong(0) / 6
+      withMergeOnRead(spark) {
+        spark.sql(s"UPDATE $cat.sf.$tbl SET " +
+          s"o_totalprice = o_totalprice * 2, o_orderpriority = '9-UPDATED' " +
+          s"WHERE o_orderkey < $cut")
+      }
+      require(filesBefore.subsetOf(GraftParquetV2.listFiles(path).toSet),
+        "merge-on-read UPDATE must carry every pre-update data file by " +
+          "reference — a rewrite means the DV path did not engage")
+      require(GraftTableLog.archivedStatuses(path).size == archBefore,
+        "merge-on-read UPDATE must archive nothing")
+      require(graft.sources.GraftDeletes.liveDvFiles(path).nonEmpty,
+        "merge-on-read UPDATE must write a deletion-vector sidecar")
+      val head = spark.read.format(fmt).option("path", path).load()
+      head.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"),
+          sum(when(col("o_orderpriority") === "9-UPDATED", 1L)
+            .otherwise(0L)).as("n_updated"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    qSqlUpdate.oracle)
+
+  /** MOR `DELETE` + time travel + row-level CDC, one gated entry: a
+    * merge-on-read DELETE removes the low key range as a pure sidecar
+    * (no data-file change, require-asserted), time travel to the
+    * pre-delete version must still see EVERY row (the snapshot pins
+    * the DV set as it stood — empty then), and the CDC feed across the
+    * DV version must carry exactly the deleted rows as delete images.
+    * The fingerprint groups the CDC feed; the oracle recomputes the
+    * deleted set from `orders` directly. */
+  val qSqlDeleteDv = QueryDef("q_sql_delete_dv",
+    (spark, dir) => {
+      val cat = "graft_lake"
+      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = s"$warehouse/sf/$tbl"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("append").save()
+      slice(orders, 1).write.format(fmt).option("path", path)
+        .mode("append").save()
+      val vBefore = GraftTableLog.latestVersion(path).get
+      val nBefore = spark.read.format(fmt).option("path", path).load().count()
+      val filesBefore = GraftParquetV2.listFiles(path)
+      val cut = orders.agg(max("o_orderkey")).head.getLong(0) / 6
+      withMergeOnRead(spark) {
+        spark.sql(s"DELETE FROM $cat.sf.$tbl WHERE o_orderkey < $cut")
+      }
+      val vAfter = GraftTableLog.latestVersion(path).get
+      require(GraftParquetV2.listFiles(path) == filesBefore,
+        "merge-on-read DELETE must not touch any data file")
+      require(graft.sources.GraftDeletes.liveDvFiles(path).nonEmpty,
+        "merge-on-read DELETE must write a deletion-vector sidecar")
+      // time travel: the pre-delete snapshot pins an EMPTY DV set
+      require(spark.read.format(fmt).option("path", path)
+        .option("versionAsOf", vBefore.toString).load().count() == nBefore,
+        "pre-delete version must still see every row")
+      // the CDC feed across the DV version: exactly the deleted rows,
+      // all tagged 'delete' — fingerprinted for the oracle
+      GraftMaintenance.changeFeedRows(spark, path, vBefore, vAfter)
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("_change_type", "o_orderstatus")
+    },
+    Some("""WITH cut AS (
+           |  SELECT CAST(floor(max(o_orderkey) / 6.0) AS BIGINT) AS k
+           |  FROM orders
+           |)
+           |SELECT 'delete' AS _change_type, o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_price,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM orders
+           |WHERE o_orderkey % 4 IN (0, 1)
+           |  AND o_orderkey < (SELECT k FROM cut)
+           |GROUP BY o_orderstatus
+           |ORDER BY _change_type, o_orderstatus""".stripMargin))
+
   /** SQL `MERGE INTO` under the hash gate — Spark's native MERGE
     * statement planned through the same row-level machinery
     * (RewriteMergeIntoTable → ReplaceData → candidate-file swap): the
@@ -502,6 +632,73 @@ object LakehouseQueries {
            |SELECT o_orderstatus, count(*) AS n,
            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
            |         AS total_price,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM merged
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** MERGE SCHEMA EVOLUTION under the hash gate ([[graft.sources
+    * .GraftMaintenance.merge]] `mergeSchema=true`): the table holds
+    * slice 0 (five columns); the source UPDATES every eighth order and
+    * INSERTS slice 1, carrying an EXTRA column (`o_clerk`). Without the
+    * flag the merge refuses (require-asserted — silent dropping is the
+    * bug this replaces); with it the table auto-evolves through the ADD
+    * COLUMN carrier path: merged/inserted rows carry their clerk,
+    * untouched rows read NULL under the widened schema. The oracle
+    * re-derives the exact tri-state union — a dropped extra column, a
+    * clerk on an untouched row, or a lost update all break the hash. */
+  val qMergeSchemaEvolution = QueryDef("q_merge_schema_evolution",
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_mse")
+      slice(orders, 0).write.format(fmt).option("path", table)
+        .mode("append").save()
+      // the EXTRA column the table lacks: a derived bigint, so the
+      // oracle recomputes it exactly (the testdata orders table carries
+      // no spare string column to ship)
+      def withBatch(k: Int) = slice(orders, k)
+        .withColumn("o_batchkey", col("o_orderkey") * 10)
+      val updates = withBatch(0)
+        .filter(pmod(col("o_orderkey"), lit(8)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val source = updates.unionByName(withBatch(1))
+      val refused =
+        try { GraftMaintenance.merge(spark, table, source, "o_orderkey")
+          false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("mergeSchema") }
+      require(refused,
+        "merge with an extra source column must refuse without mergeSchema")
+      GraftMaintenance.merge(spark, table, source, "o_orderkey",
+        mergeSchema = true)
+      val head = spark.read.format(fmt).option("path", table).load()
+      require(head.schema.fieldNames.contains("o_batchkey"),
+        "mergeSchema=true must evolve the table schema")
+      head.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"),
+          count(col("o_batchkey")).as("n_extra"),
+          sum(col("o_batchkey")).as("sum_extra"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH merged AS (
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+           |           AS o_totalprice, o_orderkey * 10 AS o_batchkey
+           |  FROM orders WHERE o_orderkey % 8 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice, NULL
+           |  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+           |         o_orderkey * 10
+           |  FROM orders WHERE o_orderkey % 4 = 1
+           |)
+           |SELECT o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_price,
+           |       count(o_batchkey) AS n_extra,
+           |       CAST(sum(o_batchkey) AS BIGINT) AS sum_extra,
            |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
            |FROM merged
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
@@ -646,5 +843,6 @@ object LakehouseQueries {
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
+      qSqlUpdateDv, qSqlDeleteDv, qMergeSchemaEvolution,
       qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion)
 }

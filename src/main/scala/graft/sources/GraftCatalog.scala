@@ -147,25 +147,8 @@ class GraftCatalog extends TableCatalog
     loadTable(ident, candidates.max.toString)
   }
 
-  /** Write a zero-row parquet whose footer carries `schema`, committed
-    * as a new log version — the SCHEMA CARRIER that makes dataless DDL
-    * (CREATE TABLE, ADD COLUMN) possible under schema-on-write: the
-    * newest-file inference reads the carrier's footer, and the scan
-    * yields its zero rows for free. */
-  private def commitSchemaCarrier(p: String, schema: StructType): Unit = {
-    val writeId = java.util.UUID.randomUUID().toString
-    val carrier = new Path(p, f"part-00000-0-$writeId-schema.parquet")
-    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
-        .fromPath(carrier, conf))
-      .withType(GraftParquetWrite.messageType(schema))
-      .withCompressionCodec(
-        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-      .build()
-    w.close() // zero rows: the footer schema is the payload
-    GraftParquetWrite.commitMetadata(p,
-      GraftParquetWrite.rawManifestEntries(p), writeId)
-  }
+  private def commitSchemaCarrier(p: String, schema: StructType): Unit =
+    GraftCatalog.commitSchemaCarrier(p, schema, conf)
 
   /** `CREATE TABLE` (and the create half of CTAS): commit a zero-row
     * schema carrier as version 1, so the empty table is immediately
@@ -219,6 +202,7 @@ class GraftCatalog extends TableCatalog
       try out.write(partCols.mkString(",").getBytes("UTF-8"))
       finally out.close()
     }
+    GraftCatalog.invalidatePartSpec(p) // re-create after DROP: drop stale Nil
     commitSchemaCarrier(p, schema)
     new GraftParquetTable(p, schema, tablePartCols = partCols)
   }
@@ -268,6 +252,7 @@ class GraftCatalog extends TableCatalog
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))
     val fs = p.getFileSystem(conf)
+    GraftCatalog.invalidatePartSpec(pathOf(ident))
     fs.exists(p) && fs.delete(p, true)
   }
 
@@ -281,6 +266,8 @@ class GraftCatalog extends TableCatalog
     fs.mkdirs(dest.getParent)
     require(fs.rename(src, dest),
       s"graft catalog: rename $oldIdent -> $newIdent failed")
+    GraftCatalog.invalidatePartSpec(src.toString)
+    GraftCatalog.invalidatePartSpec(dest.toString)
   }
 
   // ——— MAINTENANCE PROCEDURES (`CALL catalog.system.…`) ———
@@ -391,6 +378,27 @@ class GraftCatalog extends TableCatalog
 }
 
 object GraftCatalog {
+  /** Write a zero-row parquet whose footer carries `schema`, committed
+    * as a new log version — the SCHEMA CARRIER that makes dataless DDL
+    * (CREATE TABLE, ADD COLUMN, and MERGE schema evolution) possible
+    * under schema-on-write: the newest-file inference reads the
+    * carrier's footer, and the scan yields its zero rows for free. */
+  def commitSchemaCarrier(p: String, schema: StructType,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val writeId = java.util.UUID.randomUUID().toString
+    val carrier = new Path(p, f"part-00000-0-$writeId-schema.parquet")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(carrier, conf))
+      .withType(GraftParquetWrite.messageType(schema))
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    w.close() // zero rows: the footer schema is the payload
+    GraftParquetWrite.commitMetadata(p,
+      GraftParquetWrite.rawManifestEntries(p), writeId)
+  }
+
   /** Table-root sidecar holding the CREATE TABLE … PARTITIONED BY
     * column list (one comma-separated line). Underscore-invisible to
     * the data lister; travels with RENAME, dies with DROP. The spec
@@ -400,18 +408,36 @@ object GraftCatalog {
     * it is addressed. */
   val PartSpecFile = "_graft_partition_spec"
 
+  /** Per-JVM cache of the persisted partition spec, keyed by table
+    * root. The spec is a DDL-TIME CONSTANT — written exactly once by
+    * CREATE TABLE (exclusive create, before any data can land) and
+    * never mutated — so caching it is semantics-free within a JVM;
+    * the catalog's own CREATE/DROP/RENAME invalidate their paths
+    * (covering the one legal re-create-after-drop sequence). A
+    * cross-JVM writer re-creating a dropped table at the same path is
+    * outside the cache's view — the same single-writer discipline the
+    * overwrite protocol already assumes. */
+  private val partSpecCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private[sources] def invalidatePartSpec(p: String): Unit =
+    partSpecCache.remove(p)
+
   /** The persisted partition spec of the table at `p`; Nil when
-    * unpartitioned (no sidecar). */
+    * unpartitioned (no sidecar). Cached per JVM (see above) — every
+    * write route consults it, and at one filesystem round-trip per
+    * write the lookups were measurable in write-heavy queries. */
   def readPartSpec(p: String,
-      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
-    val f = new Path(p, PartSpecFile)
-    val fs = f.getFileSystem(conf)
-    if (!fs.exists(f)) Nil
-    else {
-      val in = fs.open(f)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      finally in.close()
-    }
-  }
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] =
+    partSpecCache.computeIfAbsent(p, _ => {
+      val f = new Path(p, PartSpecFile)
+      val fs = f.getFileSystem(conf)
+      if (!fs.exists(f)) Nil
+      else {
+        val in = fs.open(f)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        finally in.close()
+      }
+    })
 }

@@ -30,13 +30,21 @@ object GraftMaintenance {
 
   /** The table's version ledger, ascending. Row counts come from each
     * snapshot's own entries (max per-column value_count per file — the
-    * row count of the file), no data reads. */
+    * row count of the file) MINUS the version's deletion-vector
+    * positions (merge-on-read deletes shrink the row count with no
+    * file change); no data reads — DV files are manifest-scale. */
   def history(table: String): Seq[GraftVersionInfo] =
     GraftTableLog.versions(table).map { v =>
-      val (rels, stats) = GraftTableLog.readSnapshot(table, v)
+      val (rels, dvRels, stats) = GraftTableLog.readSnapshotFull(table, v)
+      val dv =
+        if (dvRels.isEmpty) Map.empty[String, Array[Long]]
+        else GraftDeletes.readPositions(
+          GraftDeletes.resolveDvRels(table, dvRels))
       val counts = rels.map { rel =>
-        stats.get(new Path(rel).getName)
+        val base = new Path(rel).getName
+        stats.get(base)
           .flatMap(_.values.map(_.valueCount).maxOption)
+          .map(_ - dv.getOrElse(base, Array.emptyLongArray).length)
       }
       GraftVersionInfo(v, rels.size,
         if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None)
@@ -120,6 +128,38 @@ object GraftMaintenance {
   private def connectorRead(spark: SparkSession, table: String): DataFrame =
     spark.read.format("graft.sources.GraftParquetTableProvider")
       .option("path", table).load()
+
+  /** Read raw parquet `files` under `schema` with deletion vectors
+    * APPLIED — the DV-aware twin of `spark.read.parquet` for the
+    * maintenance paths that read candidate files directly (COW
+    * delete/update/merge, the CDC feed). Deletes anti-join on
+    * `(_metadata.file_path basename, _metadata.row_index)` — the
+    * built-in source's row ordinal is the same file-absolute position
+    * the DV format stores — with the (driver-small, delete-sized) DV
+    * rows broadcast. Without this, a COW rewrite after a merge-on-read
+    * delete would RESURRECT the deleted rows into the new generation. */
+  private[sources] def readFilesWithDeletes(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, files: Seq[String],
+      dv: Map[String, Array[Long]]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val base = spark.read.schema(schema).parquet(files: _*)
+    val relevant = files.map(f => new Path(f).getName).toSet
+    val hits = dv.filter { case (b, _) => relevant(b) }
+    if (hits.isEmpty) return base
+    import org.apache.spark.sql.functions.{broadcast, element_at, split}
+    import spark.implicits._
+    val del = hits.toSeq
+      .flatMap { case (b, ps) => ps.map(p => (b, p)) }
+      .toDF("_dv_file", "_dv_pos")
+    base
+      .withColumn("_dv_file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+      .join(broadcast(del), Seq("_dv_file", "_dv_pos"), "left_anti")
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
 
   /** Shared selective-rewrite commit: the REWRITTEN rows replace the
     * CANDIDATE files; every other file is untouched — no data read, no
@@ -218,7 +258,8 @@ object GraftMaintenance {
       return GraftTableLog.latestVersion(table).getOrElse(0L)
     val partCols = GraftParquetV2
       .keyedLayout(table, df.schema).map(_._1).getOrElse(Nil)
-    val keep = spark.read.schema(df.schema).parquet(candidates: _*)
+    val keep = readFilesWithDeletes(spark, df.schema, candidates,
+      GraftDeletes.livePositions(table))
       .filter(not(coalesce(condition, lit(false))))
     rewriteCommit(spark, table, candidates, keep, partCols)
   }
@@ -291,7 +332,8 @@ object GraftMaintenance {
       .keyedLayout(table, df.schema).map(_._1).getOrElse(Nil)
     val hit = coalesce(condition, lit(false))
     import org.apache.spark.sql.functions.{assert_true, when}
-    val updated = spark.read.schema(df.schema).parquet(candidates: _*)
+    val updated = readFilesWithDeletes(spark, df.schema, candidates,
+      GraftDeletes.livePositions(table))
       .select(fields.map { f =>
         resolved.get(f.name) match {
           case Some(v) =>
@@ -323,15 +365,46 @@ object GraftMaintenance {
     * other file is carried untouched, so a merge touching one day of a
     * date-clustered 100 TB table rewrites that day's files, not the
     * table. Source keys must be unique and non-null (ambiguous merges
-    * refuse loudly); source columns must cover the table schema. */
+    * refuse loudly); source columns must cover the table schema.
+    *
+    * SCHEMA EVOLUTION: a source column the table lacks REFUSES by
+    * default (the silent-drop alternative loses data the caller
+    * evidently shipped on purpose); under `mergeSchema = true` it
+    * AUTO-EVOLVES through the ADD COLUMN path — a zero-row schema
+    * carrier commits the widened schema first
+    * ([[GraftCatalog.commitSchemaCarrier]]), existing rows read the new
+    * columns as NULL (the connector's add-column semantics), and the
+    * merge proceeds under the widened schema, so merged/inserted rows
+    * carry their values. The Delta `mergeSchema` convention. */
   def merge(spark: SparkSession, table: String, source: DataFrame,
-      keyCol: String): Long = {
-    val df = connectorRead(spark, table)
-    require(df.schema.fieldNames.toSet.subsetOf(
+      keyCol: String, mergeSchema: Boolean = false): Long = {
+    val df0 = connectorRead(spark, table)
+    require(df0.schema.fieldNames.toSet.subsetOf(
       source.schema.fieldNames.toSet),
       s"graft merge: source must carry every table column; missing " +
-        s"${df.schema.fieldNames.filterNot(source.schema.fieldNames.contains)
+        s"${df0.schema.fieldNames.filterNot(source.schema.fieldNames.contains)
           .mkString(",")}")
+    val extras = source.schema.fields
+      .filterNot(f => df0.schema.fieldNames.contains(f.name))
+    require(extras.isEmpty || mergeSchema,
+      s"graft merge: source carries column(s) the table lacks " +
+        s"[${extras.map(_.name).mkString(", ")}] — pass mergeSchema=true " +
+        "to auto-evolve the table schema (ADD COLUMN), or drop them " +
+        "explicitly; silently discarding shipped data is refused")
+    val df =
+      if (extras.isEmpty) df0
+      else {
+        // widen FIRST (a committed, time-travel-visible version of its
+        // own), then read under the widened schema — old files null-fill
+        val widened = org.apache.spark.sql.types.StructType(
+          df0.schema.fields ++
+            extras.map(f => org.apache.spark.sql.types.StructField(
+              f.name, f.dataType, nullable = true)))
+        GraftParquetWrite.messageType(widened) // validate before committing
+        GraftCatalog.commitSchemaCarrier(table, widened, conf)
+        spark.read.format("graft.sources.GraftParquetTableProvider")
+          .schema(widened).option("path", table).load()
+      }
     val src = source.select(df.schema.fieldNames.map(col).toSeq: _*)
     val keyStats = src.agg(
       org.apache.spark.sql.functions.count(lit(1)).as("n"),
@@ -360,7 +433,8 @@ object GraftMaintenance {
         throw new IllegalStateException(
           s"graft merge: append committed but no log version under $table"))
     }
-    val candRows = spark.read.schema(df.schema).parquet(candidates: _*)
+    val candRows = readFilesWithDeletes(spark, df.schema, candidates,
+      GraftDeletes.livePositions(table))
     val survivors = candRows.join(
       src.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .select(df.schema.fieldNames.map(col).toSeq: _*)
@@ -378,7 +452,8 @@ object GraftMaintenance {
     * what a downstream sink needs to replay the mutation.
     *
     * Cost ∝ CHANGED FILES, not table size: only the file-set delta's
-    * two sides are read ([[GraftTableLog.cdcFiles]]); a file carried
+    * two sides are read (snapshot file-set diff, DV-changed files on
+    * both sides); a file carried
     * between versions by reference contributes nothing, and rows
     * carried THROUGH a rewrite unchanged sit on both sides and cancel
     * in the multiset diff (`exceptAll` both ways — duplicates
@@ -388,15 +463,35 @@ object GraftMaintenance {
     * (spec-asserted). */
   def changeFeedRows(spark: SparkSession, table: String, since: Long,
       until: Long): DataFrame = {
-    val (added, removed) = GraftTableLog.cdcFiles(table, since, until)
+    require(since <= until,
+      s"graft change feed: cdc since $since > until $until")
+    val (fromRels, fromDvRels, _) = GraftTableLog.readSnapshotFull(table, since)
+    val (toRels, toDvRels, _) = GraftTableLog.readSnapshotFull(table, until)
+    val dvFrom = GraftDeletes.readPositions(
+      GraftDeletes.resolveDvRels(table, fromDvRels))
+    val dvTo = GraftDeletes.readPositions(
+      GraftDeletes.resolveDvRels(table, toDvRels))
+    val fromSet = fromRels.toSet
+    val toSet = toRels.toSet
+    // a file BOTH versions share still changes when its deletion
+    // vectors differ (a merge-on-read DELETE/UPDATE touched it with no
+    // file-set change): it joins BOTH sides — read under each version's
+    // own DV set — and its surviving rows cancel in the multiset diff,
+    // leaving exactly the newly deleted rows as 'delete' images
+    def baseOf(rel: String): String = new Path(rel).getName
+    val dvChanged = fromRels.filter(toSet).filter { rel =>
+      val b = baseOf(rel)
+      !java.util.Arrays.equals(
+        dvFrom.getOrElse(b, Array.emptyLongArray),
+        dvTo.getOrElse(b, Array.emptyLongArray))
+    }
+    val added = GraftTableLog.resolveAll(table,
+      toRels.filterNot(fromSet) ++ dvChanged)
+    val removed = GraftTableLog.resolveAll(table,
+      fromRels.filterNot(toSet) ++ dvChanged)
     val schema = connectorRead(spark, table).schema
-    def readAll(files: Seq[String]): DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
-    val a = readAll(added)
-    val r = readAll(removed)
+    val a = readFilesWithDeletes(spark, schema, added, dvTo)
+    val r = readFilesWithDeletes(spark, schema, removed, dvFrom)
     import org.apache.spark.sql.functions.lit
     a.exceptAll(r).withColumn("_change_type", lit("insert"))
       .unionByName(
@@ -438,8 +533,13 @@ object GraftMaintenance {
     val retained = all.filter(v =>
       timeRetained.contains(v) || all.takeRight(retainLast).contains(v))
     val dropped = all.filterNot(retained.contains)
-    val keepRels: Set[String] = retained.flatMap(v =>
-      GraftTableLog.readSnapshot(table, v)._1).toSet
+    // keep a retained version's DATA files and its DELETION-VECTOR
+    // sidecars alike — an archived DV a retained snapshot references
+    // must survive, or time travel there would resurrect deleted rows
+    val keepRels: Set[String] = retained.flatMap { v =>
+      val (rels, dvRels, _) = GraftTableLog.readSnapshotFull(table, v)
+      rels ++ dvRels
+    }.toSet
     val root = new Path(table)
     val fs = root.getFileSystem(conf)
     val archRoot = new Path(root, GraftTableLog.ArchiveDir)

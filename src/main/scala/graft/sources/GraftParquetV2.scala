@@ -59,7 +59,8 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftParquetTableProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftParquetV2.sparkSchema(
-      GraftParquetV2.footerSchema(GraftParquetV2.firstFile(GraftParquetV2.path(options))))
+      GraftParquetV2.footerSchema(
+        GraftParquetV2.schemaSourceFile(GraftParquetV2.path(options))))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -69,6 +70,34 @@ class GraftParquetTableProvider extends TableProvider {
       Option(properties.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+/** The connector's METADATA COLUMNS ([[org.apache.spark.sql.connector
+  * .catalog.SupportsMetadataColumns]]): the reading file's full path
+  * and the row's 0-based ordinal WITHIN that file (all rows counted, in
+  * parquet order — the same ordinal the built-in source's
+  * `_metadata.row_index` exposes). Selectable like any column, and the
+  * ROW IDENTITY the merge-on-read row-level operations delete by
+  * ([[GraftDeltaOperation.rowId]] → positional delete sidecars,
+  * [[GraftDeletes]]). */
+object GraftMeta {
+  val FileCol = "_graft_file"
+  val PosCol = "_graft_pos"
+  val names: Set[String] = Set(FileCol, PosCol)
+
+  private final class Col(n: String, dt: DataType)
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = n
+    override def dataType(): DataType = dt
+    override def isNullable: Boolean = false // row identity: never null
+    override def comment(): String = n match {
+      case FileCol => "full path of the file this row was read from"
+      case _ => "0-based row ordinal within the file (all rows, parquet order)"
+    }
+  }
+
+  val columns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new Col(FileCol, StringType), new Col(PosCol, LongType))
 }
 
 class GraftParquetTable(path: String, tableSchema: StructType,
@@ -82,6 +111,7 @@ class GraftParquetTable(path: String, tableSchema: StructType,
     tablePartCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(path != null, "graft parquet v2: 'path' option is required")
   override def name(): String = s"graft_parquet($path)"
@@ -113,6 +143,10 @@ class GraftParquetTable(path: String, tableSchema: StructType,
       // carries only what landed since (the change feed, live)
       optLong("startingVersion"))
   }
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftMeta.columns
+
   /** The catalog-declared identity partitioning, if any — DESCRIBE
     * and the planner see it; writes apply it via the write builder. */
   override def partitioning(): Array[Transform] =
@@ -132,7 +166,7 @@ class GraftParquetTable(path: String, tableSchema: StructType,
     * Accepted only when every filter converts faithfully to a Column
     * — Spark then errors on the rest instead of us guessing. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinnedTravel.isEmpty &&
+    pinnedTravel.isEmpty && !GraftParquetTable.mergeOnRead &&
       filters.forall(GraftFilterToColumn.convert(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -176,8 +210,33 @@ class GraftParquetTable(path: String, tableSchema: StructType,
     require(pinnedTravel.isEmpty,
       "graft parquet v2: row-level " + info.command() +
         " on a time-travel-pinned table")
-    () => new GraftRowLevelOperation(path, tableSchema, info.command())
+    if (GraftParquetTable.mergeOnRead)
+      () => new GraftDeltaOperation(path, tableSchema, info.command())
+    else
+      () => new GraftRowLevelOperation(path, tableSchema, info.command())
   }
+}
+
+object GraftParquetTable {
+  /** Row-level operation mode for SQL UPDATE / DELETE / MERGE INTO —
+    * `copy-on-write` (default: candidate files rewrite wholesale, the
+    * right shape for WIDE mutations) or `merge-on-read` (positional
+    * delete sidecars + appended images, [[GraftDeltaOperation]] — the
+    * right shape for NARROW mutations, where COW's write amplification
+    * is the first thing a 100 TB user hits). Session-scoped, the
+    * Iceberg `write.update.mode` knob re-expressed as a conf:
+    * {{{ SET spark.graft.rowLevelMode = merge-on-read }}} */
+  val ModeConf = "spark.graft.rowLevelMode"
+
+  private[sources] def mergeOnRead: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.conf.get(ModeConf, "copy-on-write")) match {
+      case Some("merge-on-read") => true
+      case Some("copy-on-write") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft parquet v2: $ModeConf must be copy-on-write or " +
+          s"merge-on-read, got '$other'")
+    }
 }
 
 /** Faithful v1-Filter → Column bridge for the SQL DELETE path — only
@@ -471,6 +530,14 @@ case class GraftParquetScan(path: String, required: StructType,
     require(keyedLayout.isEmpty,
       s"graft streaming read: partitioned table at $path is out of the " +
         "streaming source's scope (flat append tables only)")
+    // live deletion vectors mean rows were REMOVED without a file-set
+    // change — an append-only stream cannot retract rows it may already
+    // have emitted; refuse loudly (compact the table to fold the
+    // deletes in, then stream). The admission path re-checks per batch.
+    require(GraftDeletes.liveDvFiles(path).isEmpty,
+      s"graft streaming read: table at $path carries merge-on-read " +
+        "deletion vectors — an append-only stream cannot represent row " +
+        "deletes; compact the table to fold them in first")
     new GraftMicroBatchStream(path, required, pushed, streamMaxFiles,
       streamStartVersion)
   }
@@ -483,27 +550,35 @@ case class GraftParquetScan(path: String, required: StructType,
     * built-in FileScan starts from; no footer reads, so planning cost
     * stays O(files). Row count is left unknown — nothing in the
     * planner needs it badly enough to justify opening footers. */
-  /** The resolved (files, zone maps) this scan reads: the live listing
-    * + live manifest normally; a log snapshot's file set (resolved
+  /** The resolved (files, zone maps, deletion vectors) this scan reads:
+    * the live listing + live manifest + live `_graft_deletes/` set
+    * normally; a log snapshot's file AND DV sets (each resolved
     * live-first, then archive) for `versionAsOf`; the append delta
-    * between two snapshots for `changesSince`. Stats always travel
-    * WITH the file set — pruning an archived file with the live
-    * manifest's entries for a same-named successor would be wrong. */
+    * between two snapshots for `changesSince` (whose soundness check
+    * pins the DV set unchanged, so the delta files are DV-free). Stats
+    * and deletes always travel WITH the file set — pruning an archived
+    * file with the live manifest's entries for a same-named successor,
+    * or applying TODAY's deletes to YESTERDAY's snapshot, would both be
+    * wrong. The DV map is keyed by data-file BASENAME (unique
+    * table-wide) and loaded once per planning — cost ∝ deleted rows. */
   @transient private lazy val readTarget
-      : (Seq[String], Map[String, Map[String, GraftStatsPrune.ColStats]]) =
+      : (Seq[String], Map[String, Map[String, GraftStatsPrune.ColStats]],
+        Map[String, Array[Long]]) =
     travel match {
       case None =>
-        (GraftParquetV2.listFiles(path), GraftParquetV2.loadStatsManifest(path))
+        (GraftParquetV2.listFiles(path), GraftParquetV2.loadStatsManifest(path),
+          GraftDeletes.livePositions(path))
       case Some(GraftTimeTravel(Some(v), _, _)) =>
-        val (rels, stats) = GraftTableLog.readSnapshot(path, v)
-        (GraftTableLog.resolveAll(path, rels), stats)
+        val (rels, dvRels, stats) = GraftTableLog.readSnapshotFull(path, v)
+        (GraftTableLog.resolveAll(path, rels), stats,
+          GraftDeletes.readPositions(GraftDeletes.resolveDvRels(path, dvRels)))
       case Some(GraftTimeTravel(_, Some(since), until)) =>
         val to = until.orElse(GraftTableLog.latestVersion(path)).getOrElse(
           throw new IllegalArgumentException(
             s"graft parquet v2: $path has no version log — changesSince " +
               "needs a connector-written table"))
         val (rels, stats) = GraftTableLog.changedFiles(path, since, to)
-        (GraftTableLog.resolveAll(path, rels), stats)
+        (GraftTableLog.resolveAll(path, rels), stats, Map.empty)
       case Some(other) => throw new IllegalStateException(
         s"unreachable travel spec $other") // GraftTimeTravel.from validated
     }
@@ -559,7 +634,11 @@ case class GraftParquetScan(path: String, required: StructType,
     // scans opt out of runtime filtering entirely.
     if (aggs.isDefined) Array.empty
     else required.fields.collect {
-      case f if GraftFilterEval.comparable(f.dataType) =>
+      // metadata columns (_graft_file/_graft_pos) are synthesized by
+      // the reader, not readable from row values — advertising them
+      // would invite a runtime filter the evaluator cannot resolve
+      case f if GraftFilterEval.comparable(f.dataType) &&
+          !GraftMeta.names(f.name) =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
@@ -682,10 +761,19 @@ case class GraftParquetScan(path: String, required: StructType,
           }
         }
       }
+    // each split carries ITS file's sorted delete positions (usually
+    // empty) — tasks apply them as an ordinal-merge during the row
+    // scan, and a split with deletes demotes the footer-only aggregate
+    // fast path (footer counts include deleted rows)
+    val dv = readTarget._3
+    def deletesOf(f: String): Array[Long] =
+      if (dv.isEmpty) Array.emptyLongArray
+      else dv.getOrElse(new Path(f).getName, Array.emptyLongArray)
     keyedLayout match {
       case Some((_, byFile, _)) =>
-        kept.map(f => GraftKeyedInputPartition(f, byFile(f))).toArray
-      case None => kept.map(GraftInputPartition(_)).toArray
+        kept.map(f => GraftKeyedInputPartition(f, byFile(f), deletesOf(f)))
+          .toArray
+      case None => kept.map(f => GraftInputPartition(f, deletesOf(f))).toArray
     }
   }
 
@@ -817,6 +905,13 @@ class GraftMicroBatchStream(path: String, required: StructType,
       s"graft streaming read: table at $path lost files the stream already " +
         "admitted — the append-only contract is violated (truncate/" +
         "overwrite under a running stream)")
+    // merge-on-read deletes landing under a running stream are the
+    // same contract violation with no file-set signature — one cheap
+    // exists() check per micro-batch catches it
+    require(GraftDeletes.liveDvFiles(path).isEmpty,
+      s"graft streaming read: merge-on-read deletion vectors landed " +
+        s"under a running stream on $path — the append-only contract " +
+        "is violated (rows cannot be retracted)")
     val fresh = all.filterNot(seen)
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
@@ -844,10 +939,16 @@ class GraftMicroBatchStream(path: String, required: StructType,
   override def stop(): Unit = ()
 }
 
-/** One parquet file = one input split, keyed or not. */
-sealed trait GraftFilePartition extends InputPartition { def file: String }
+/** One parquet file = one input split, keyed or not. `deletes` is the
+  * file's SORTED deleted-row ordinals (merge-on-read deletion vectors,
+  * [[GraftDeletes]]) — empty for the overwhelmingly common no-DV case. */
+sealed trait GraftFilePartition extends InputPartition {
+  def file: String
+  def deletes: Array[Long]
+}
 
-case class GraftInputPartition(file: String) extends GraftFilePartition
+case class GraftInputPartition(file: String,
+    deletes: Array[Long] = Array.emptyLongArray) extends GraftFilePartition
 
 /** A split that KNOWS its partition-key values (from its `col=value`
   * directory) — [[org.apache.spark.sql.connector.read.HasPartitionKey]]
@@ -855,7 +956,8 @@ case class GraftInputPartition(file: String) extends GraftFilePartition
   * clustered distributions without an exchange
   * (`spark.sql.sources.v2.bucketing.enabled`). */
 case class GraftKeyedInputPartition(file: String,
-    key: InternalRow) extends GraftFilePartition
+    key: InternalRow,
+    deletes: Array[Long] = Array.emptyLongArray) extends GraftFilePartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -868,19 +970,24 @@ case class GraftPartitionReaderFactory(required: StructType,
     topN: Option[(Seq[GraftSortKey], Int)] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GraftFilePartition].file
+    val fp = partition.asInstanceOf[GraftFilePartition]
+    val file = fp.file
     // runtime filters join the static conjunction here, so they get the
     // same zone-map refutation and row evaluation for free (and their
     // presence correctly demotes an agg reader's footer-only fast path)
     val conj = pushed ++ runtimeHolder.filters
     aggs match {
       case Some(specs) if groupBy.nonEmpty =>
-        new GraftGroupedAggPartitionReader(file, groupBy, specs, conj)
-      case Some(specs) => new GraftAggPartitionReader(file, specs, conj)
+        new GraftGroupedAggPartitionReader(file, groupBy, specs, conj,
+          fp.deletes)
+      case Some(specs) =>
+        new GraftAggPartitionReader(file, specs, conj, fp.deletes)
       case None => topN match {
         case Some((keys, n)) =>
-          new GraftTopNPartitionReader(file, required, conj, keys, n)
-        case None => new GraftPartitionReader(file, required, conj, limit)
+          new GraftTopNPartitionReader(file, required, conj, keys, n,
+            fp.deletes)
+        case None =>
+          new GraftPartitionReader(file, required, conj, limit, fp.deletes)
       }
     }
   }
@@ -896,7 +1003,8 @@ case class GraftPartitionReaderFactory(required: StructType,
   * boundary ties keep either row — sound under the global Sort+Limit
   * Spark retains (partial contract). */
 class GraftTopNPartitionReader(file: String, required: StructType,
-    pushed: Array[Filter], keys: Seq[GraftSortKey], n: Int)
+    pushed: Array[Filter], keys: Seq[GraftSortKey], n: Int,
+    deletes: Array[Long] = Array.emptyLongArray)
     extends PartitionReader[InternalRow] {
   private var iter: Iterator[InternalRow] = _
   private var current: InternalRow = _
@@ -936,7 +1044,7 @@ class GraftTopNPartitionReader(file: String, required: StructType,
         override def compare(a: InternalRow, b: InternalRow): Int =
           -compareRows(a, b)
       })
-    val inner = new GraftPartitionReader(file, required, pushed, -1)
+    val inner = new GraftPartitionReader(file, required, pushed, -1, deletes)
     try {
       while (inner.next()) {
         val row = inner.get() // fresh GenericInternalRow per row — safe to keep
@@ -973,7 +1081,8 @@ class GraftTopNPartitionReader(file: String, required: StructType,
   * built-in path's behavior too: decline happens at type level, not
   * cardinality level, and Spark's final merge is always correct). */
 class GraftGroupedAggPartitionReader(file: String, groupBy: Seq[StructField],
-    specs: Seq[GraftAggSpec], pushed: Array[Filter])
+    specs: Seq[GraftAggSpec], pushed: Array[Filter],
+    deletes: Array[Long] = Array.emptyLongArray)
     extends PartitionReader[InternalRow] {
   private var iter: Iterator[InternalRow] = _
   private var current: InternalRow = _
@@ -990,7 +1099,7 @@ class GraftGroupedAggPartitionReader(file: String, groupBy: Seq[StructField],
     val cols = (groupBy.map(_.name) ++ GraftAggSpec.referenced(specs)).distinct
     val schema = GraftParquetV2.sparkSchema(GraftParquetV2.footerSchema(file))
     val scanSchema = StructType(schema.fields.filter(f => cols.contains(f.name)))
-    val inner = new GraftPartitionReader(file, scanSchema, pushed, -1)
+    val inner = new GraftPartitionReader(file, scanSchema, pushed, -1, deletes)
     val idx = scanSchema.fieldNames.zipWithIndex.toMap
     // columns this file predates read as null (schema evolution) —
     // group keys become null keys, aggregate inputs contribute nothing
@@ -1063,7 +1172,9 @@ class GraftGroupedAggPartitionReader(file: String, groupBy: Seq[StructField],
   *     reader, projecting only aggregate inputs ∪ filter references,
   *     and fold counts/mins/maxes as rows pass. */
 class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter],
+    deletes: Array[Long] = Array.emptyLongArray)
+    extends PartitionReader[InternalRow] {
   private var done = false
   private var result: InternalRow = _
 
@@ -1118,7 +1229,7 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
     val cols = GraftAggSpec.referenced(specs)
     val schema = GraftParquetV2.sparkSchema(GraftParquetV2.footerSchema(file))
     val scanSchema = StructType(schema.fields.filter(f => cols.contains(f.name)))
-    val inner = new GraftPartitionReader(file, scanSchema, pushed, -1)
+    val inner = new GraftPartitionReader(file, scanSchema, pushed, -1, deletes)
     val idx = scanSchema.fieldNames.zipWithIndex.toMap
     // columns this file predates read as null (schema evolution):
     // count(col) sees 0, min/max/sum skip — the aggregate semantics of
@@ -1169,7 +1280,10 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
   override def next(): Boolean = {
     if (done) return false
     val vals =
-      if (pushed.isEmpty) computeFromFooter().getOrElse(computeByScan())
+      // footer stats count DELETED rows too: any deletion vector on
+      // this file demotes the metadata-only fast path to a row scan
+      if (pushed.isEmpty && deletes.isEmpty)
+        computeFromFooter().getOrElse(computeByScan())
       else computeByScan()
     result = new GenericInternalRow(vals)
     done = true
@@ -1189,7 +1303,9 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
   * pushdown) — then three-valued filter evaluation on the surviving
   * rows. The emitted `InternalRow` carries only the required columns. */
 class GraftPartitionReader(file: String, required: StructType,
-    pushed: Array[Filter], limit: Int = -1) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], limit: Int = -1,
+    deletes: Array[Long] = Array.emptyLongArray)
+    extends PartitionReader[InternalRow] {
   private var emitted = 0L
   private val conf = new Configuration()
   private val in = ParquetFileReader.open(
@@ -1210,8 +1326,11 @@ class GraftPartitionReader(file: String, required: StructType,
   // (`supportsExternalMetadata`; inference reads one footer).
   private val (physCols, projection, columnIO, blocks) =
     try {
+      // metadata columns (_graft_file/_graft_pos) are SYNTHESIZED, not
+      // read — they must never reach the parquet projection
       val wanted: Array[String] =
-        (required.fieldNames ++ pushed.flatMap(_.references)).distinct
+        (required.fieldNames.filterNot(GraftMeta.names) ++
+          pushed.flatMap(_.references)).distinct
       val present = wanted.filter(fileSchema.containsField)
       // a scan needing no physical column from this file (COUNT-shaped,
       // or every wanted column missing) still needs one column to drive
@@ -1230,10 +1349,23 @@ class GraftPartitionReader(file: String, required: StructType,
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var recordsLeft = 0L
 
-  // -1 = column absent from this file → null-filled (schema evolution)
+  // -1 = column absent from this file → null-filled (schema evolution);
+  // -2/-3 = synthesized metadata column (file path / row ordinal)
   private val outIdx: Array[Int] =
-    required.fieldNames.map(n => physCols.indexOf(n))
+    required.fieldNames.map {
+      case GraftMeta.FileCol => -2
+      case GraftMeta.PosCol => -3
+      case n => physCols.indexOf(n)
+    }
+  private val filePathUtf8 = UTF8String.fromString(file)
   private var row: Array[Any] = _
+
+  // the row's 0-based ordinal within the FILE (all rows, parquet
+  // order) — advanced per record read AND by the row count of every
+  // pruned group, so it stays the file-absolute position the deletion
+  // vectors and the _graft_pos metadata column are defined on
+  private var ordinal = 0L
+  private var dvPtr = 0 // cursor into the sorted `deletes`
 
   /** Position at the next row group the stats cannot refute; false =
     * file exhausted. Skip/read calls stay 1:1 with the footer's block
@@ -1244,6 +1376,7 @@ class GraftPartitionReader(file: String, required: StructType,
       val b = blocks(blockIdx); blockIdx += 1
       if (pushed.nonEmpty && GraftStatsPrune.provablyEmpty(pushed, b)) {
         in.skipNextRowGroup()
+        ordinal += b.getRowCount // pruned rows still occupy ordinals
         GraftScanTelemetry.skippedGroups.increment()
       } else {
         val pages = in.readNextRowGroup()
@@ -1272,19 +1405,32 @@ class GraftPartitionReader(file: String, required: StructType,
       while (recordsLeft > 0) {
         val g = recordReader.read()
         recordsLeft -= 1
-        val vals = Array.tabulate[Any](physCols.length)(i =>
-          GraftParquetV2.readValue(g, i,
-            projection.getType(i).asPrimitiveType()))
-        def byName(n: String): Any = physCols.indexOf(n) match {
-          case -1 => null // absent from this file: evolved column
-          case i => vals(i)
-        }
-        if (fastIns.forall(ci => ci.keep(byName(ci.attribute))) &&
-            slowFilters.forall(f =>
-              GraftFilterEval.eval(f, byName).contains(true))) {
-          row = outIdx.map(i => if (i < 0) null else vals(i))
-          emitted += 1
-          return true
+        val ord = ordinal
+        ordinal += 1
+        // deletion-vector merge: both streams are ordinal-ascending, so
+        // one monotone cursor decides membership in O(1) amortized
+        while (dvPtr < deletes.length && deletes(dvPtr) < ord) dvPtr += 1
+        val deleted = dvPtr < deletes.length && deletes(dvPtr) == ord
+        if (!deleted) {
+          val vals = Array.tabulate[Any](physCols.length)(i =>
+            GraftParquetV2.readValue(g, i,
+              projection.getType(i).asPrimitiveType()))
+          def byName(n: String): Any = physCols.indexOf(n) match {
+            case -1 => null // absent from this file: evolved column
+            case i => vals(i)
+          }
+          if (fastIns.forall(ci => ci.keep(byName(ci.attribute))) &&
+              slowFilters.forall(f =>
+                GraftFilterEval.eval(f, byName).contains(true))) {
+            row = outIdx.map {
+              case -2 => filePathUtf8
+              case -3 => Long.box(ord)
+              case -1 => null
+              case i => vals(i)
+            }
+            emitted += 1
+            return true
+          }
         }
       }
     }
@@ -1634,6 +1780,20 @@ object GraftParquetV2 {
     val fs = listFiles(path)
     require(fs.nonEmpty, s"graft parquet v2: no parquet files under $path")
     fs.head
+  }
+
+  /** Schema-inference source: the NEWEST-mtime live file (name
+    * tie-break) — add-column evolution (ALTER, MERGE mergeSchema)
+    * writes the WIDENED schema into the newest generation, so the
+    * newest footer carries the widest view. The lexically-first file
+    * could be an old narrow one and would hide evolved columns from
+    * raw path-based reads (the catalog's schemaFile already picked
+    * newest; this aligns the provider). */
+  def schemaSourceFile(path: String): String = {
+    val sts = listFileStatuses(path)
+    require(sts.nonEmpty, s"graft parquet v2: no parquet files under $path")
+    sts.sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .last.getPath.toString
   }
 
   def footerSchema(file: String): MessageType = {

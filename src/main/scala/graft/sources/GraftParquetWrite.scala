@@ -123,8 +123,7 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
     // catalog-declared layout either
     val specCols =
       if (tablePartCols.nonEmpty) tablePartCols
-      else GraftCatalog.readPartSpec(path,
-        new org.apache.hadoop.conf.Configuration())
+      else GraftCatalog.readPartSpec(path, GraftParquetWrite.sessionConf())
     require(optCols.isEmpty || specCols.isEmpty || optCols == specCols,
       s"graft parquet v2 write: partitionBy option [${optCols.mkString(", ")}] " +
         s"contradicts the table's declared PARTITIONED BY " +
@@ -418,6 +417,18 @@ object GraftParquetWrite {
     * markers — the streaming sink's replay ledger. */
   val EpochDir = "_graft_epochs"
 
+  /** DRIVER-side Hadoop configuration: the active session's (so
+    * `spark.hadoop.*` settings — S3 credentials, custom filesystems —
+    * reach the table-format sidecar reads), falling back to a bare
+    * `Configuration` when no session is live (spec helpers, tools).
+    * Executor-side code keeps constructing its own — the task context
+    * carries the job conf there. */
+  def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   /** Loud plan-time validation of a partition-column list against the
     * write schema: the column must exist, and its type must have an
     * exact directory-name round-trip (floats, binary, timestamps do
@@ -618,9 +629,18 @@ object GraftParquetWrite {
         val rels = (try GraftParquetV2.listFiles(path) catch {
           case _: java.io.FileNotFoundException => Nil
         }).map(GraftTableLog.relativize(path, _))
+        // deletion-vector housekeeping rides the commit: archive DV
+        // files whose every referenced data file has left the live set
+        // (a rewrite read through them, so their deletes are
+        // materialized), then record the surviving live DV set in the
+        // snapshot — the version's merge-on-read deletes, pinned
+        val liveBase = rels.map(r => new Path(r).getName).toSet
+        GraftDeletes.archiveFullyStale(path, liveBase)
+        val dvRels = GraftDeletes.liveDvRels(path)
         if (GraftTableLog.latestVersion(path).getOrElse(0L) == v0) {
           try {
-            GraftTableLog.writeSnapshot(path, v0 + 1L, writeId, rels, entries)
+            GraftTableLog.writeSnapshot(path, v0 + 1L, writeId, rels,
+              entries, dvRels)
             committed = true
           } catch {
             case e: java.io.IOException => // claim lost — re-list, retry

@@ -134,7 +134,9 @@ class GraftRowLevelScan(path: String, required: StructType,
 class GraftRowLevelWrite(path: String, schema: StructType,
     op: GraftRowLevelOperation) extends Write with BatchWrite {
   private val writeId = UUID.randomUUID().toString
-  private def conf = new Configuration()
+  // commit/abort run on the DRIVER: use the session's Hadoop conf so
+  // spark.hadoop.* settings reach the swap's filesystem operations
+  private def conf = GraftParquetWrite.sessionConf()
 
   // `col=value` tables rewrite under the same layout — partition values
   // ride in the data files (the write path's Iceberg convention), so

@@ -115,7 +115,11 @@ object GraftTableLog {
   }
 
   /** Write snapshot `version`: every live file's rel path with its
-    * manifest entries (or one bare `present` row when it has none).
+    * manifest entries (or one bare `present` row when it has none),
+    * plus one `kind = "dv"` row per live DELETION-VECTOR sidecar
+    * (`dvRels`, paths under [[GraftDeletes.DeletesDir]]) — the snapshot
+    * pins the exact merge-on-read delete set of the version, so time
+    * travel applies the deletes as they stood then.
     * One parquet file created EXCLUSIVELY at the final name (parquet's
     * default CREATE mode → `fs.create(…, overwrite = false)`): the
     * create is the version CLAIM, so a concurrent commit racing for
@@ -124,7 +128,8 @@ object GraftTableLog {
     * snapshot) leaves an unreadable parquet at the claimed name —
     * [[healTornSnapshot]] lets the next committer reclaim it. */
   def writeSnapshot(table: String, version: Long, writeId: String,
-      relPaths: Seq[String], entries: Seq[GraftManifestEntry]): Unit = {
+      relPaths: Seq[String], entries: Seq[GraftManifestEntry],
+      dvRels: Seq[String] = Nil): Unit = {
     val byBase = entries.groupBy(_.file)
     val mt = GraftParquetWrite.messageType(logSchema)
     val factory = new SimpleGroupFactory(mt)
@@ -141,20 +146,28 @@ object GraftTableLog {
     // delete our own partial before rethrowing, so the caller's retry
     // can re-claim instead of the log carrying an unreadable version
     try {
-      try relPaths.sorted.foreach { rel =>
-        val base = new Path(rel).getName
-        val rows = byBase.getOrElse(base, Nil)
-        if (rows.isEmpty) {
+      try {
+        relPaths.sorted.foreach { rel =>
+          val base = new Path(rel).getName
+          val rows = byBase.getOrElse(base, Nil)
+          if (rows.isEmpty) {
+            val g = factory.newGroup()
+            g.add(0, rel); g.add(1, base); g.add(2, ""); g.add(3, "present")
+            g.add(9, 0L)
+            w.write(g)
+          } else rows.foreach { e =>
+            val g = factory.newGroup()
+            g.add(0, rel); g.add(1, e.file); g.add(2, e.column); g.add(3, e.kind)
+            e.minLong.foreach(g.add(4, _)); e.maxLong.foreach(g.add(5, _))
+            e.minStr.foreach(g.add(6, _)); e.maxStr.foreach(g.add(7, _))
+            e.nullCount.foreach(g.add(8, _)); g.add(9, e.valueCount)
+            w.write(g)
+          }
+        }
+        dvRels.sorted.foreach { rel =>
           val g = factory.newGroup()
-          g.add(0, rel); g.add(1, base); g.add(2, ""); g.add(3, "present")
-          g.add(9, 0L)
-          w.write(g)
-        } else rows.foreach { e =>
-          val g = factory.newGroup()
-          g.add(0, rel); g.add(1, e.file); g.add(2, e.column); g.add(3, e.kind)
-          e.minLong.foreach(g.add(4, _)); e.maxLong.foreach(g.add(5, _))
-          e.minStr.foreach(g.add(6, _)); e.maxStr.foreach(g.add(7, _))
-          e.nullCount.foreach(g.add(8, _)); g.add(9, e.valueCount)
+          g.add(0, rel); g.add(1, new Path(rel).getName)
+          g.add(2, ""); g.add(3, "dv"); g.add(9, 0L)
           w.write(g)
         }
       } finally w.close()
@@ -199,21 +212,40 @@ object GraftTableLog {
     if (ageMs > horizonMs) { fs.delete(p, false); true } else false
   }
 
-  /** Snapshot `version`: (rel paths, basename → column → zone map).
-    * `present` rows contribute a file with no stats — conservatively
-    * scanned, exactly like an unmanifested live file. */
+  /** Snapshot `version`: (DATA rel paths, basename → column → zone
+    * map). `present` rows contribute a file with no stats —
+    * conservatively scanned, exactly like an unmanifested live file.
+    * `dv` rows (deletion-vector sidecars) are NOT data files and are
+    * excluded here — [[readSnapshotDvRels]] returns them. */
   def readSnapshot(table: String, version: Long)
       : (Seq[String], Map[String, Map[String, GraftStatsPrune.ColStats]]) = {
+    val (rels, _, stats) = readSnapshotFull(table, version)
+    (rels, stats)
+  }
+
+  /** The version's deletion-vector rels alone (paths under
+    * [[GraftDeletes.DeletesDir]]) — resolve with
+    * [[GraftDeletes.resolveDvRels]]. */
+  def readSnapshotDvRels(table: String, version: Long): Seq[String] =
+    readSnapshotFull(table, version)._2
+
+  /** Snapshot `version`, all three components: (data rels, DV rels,
+    * basename → column → zone map). */
+  def readSnapshotFull(table: String, version: Long)
+      : (Seq[String], Seq[String],
+        Map[String, Map[String, GraftStatsPrune.ColStats]]) = {
     val f = snapshotFile(table, version)
     val rels = collection.mutable.LinkedHashSet.empty[String]
+    val dvRels = collection.mutable.LinkedHashSet.empty[String]
     val stats = collection.mutable.Map
       .empty[String, collection.mutable.Map[String, GraftStatsPrune.ColStats]]
     val r = new GraftPartitionReader(f.toString, logSchema, Array.empty)
     try while (r.next()) {
       val row = r.get()
-      rels += row.getString(0)
       val kind = row.getString(3)
-      if (kind != "present") {
+      if (kind == "dv") dvRels += row.getString(0)
+      else rels += row.getString(0)
+      if (kind != "present" && kind != "dv") {
         def optLong(i: Int): Option[Long] =
           if (row.isNullAt(i)) None else Some(row.getLong(i))
         def optStr(i: Int): Option[UTF8String] =
@@ -234,7 +266,8 @@ object GraftTableLog {
             row.getLong(9))
       }
     } finally r.close()
-    (rels.toSeq, stats.map { case (k, v) => k -> v.toMap }.toMap)
+    (rels.toSeq, dvRels.toSeq,
+      stats.map { case (k, v) => k -> v.toMap }.toMap)
   }
 
   /** Resolve snapshot rel paths to readable full paths: live table dir
@@ -314,37 +347,22 @@ object GraftTableLog {
     out.toMap
   }
 
-  /** The two SIDES of a row-level CDC diff between versions: the
-    * resolved full paths of files(until) \ files(since) (the ADDED
-    * side) and files(since) \ files(until) (the REMOVED side, archive-
-    * resolved). Unlike [[changedFiles]] this is defined ACROSS
-    * rewrites — an UPDATE/MERGE/compaction just puts the rewritten
-    * generation on the removed side and its replacement on the added
-    * side; rows carried through a rewrite unchanged appear on BOTH
-    * sides and cancel in the consumer's multiset diff
-    * ([[GraftMaintenance.changeFeedRows]]), so the row-level feed
-    * stays sound where the file-level feed must refuse. */
-  def cdcFiles(table: String, since: Long, until: Long)
-      : (Seq[String], Seq[String]) = {
-    require(since <= until,
-      s"graft table log: cdc since $since > until $until")
-    val (fromRels, _) = readSnapshot(table, since)
-    val (toRels, _) = readSnapshot(table, until)
-    val fromSet = fromRels.toSet
-    val toSet = toRels.toSet
-    (resolveAll(table, toRels.filterNot(fromSet)),
-      resolveAll(table, fromRels.filterNot(toSet)))
-  }
-
   /** The append delta files(until) \ files(since), with the history
     * check that makes a change feed SOUND: every file of `since` must
-    * survive into `until`. */
+    * survive into `until`, AND the deletion-vector set must be
+    * unchanged — a merge-on-read delete between the two versions
+    * removes rows with no file-set change at all, which a file-level
+    * delta cannot represent; refused loudly (the row-level CDC feed is
+    * the sound answer there). The delta files themselves are always
+    * DV-free: a DV can only reference files that existed when it was
+    * written, and with the DV set pinned equal those all predate
+    * `since`. */
   def changedFiles(table: String, since: Long, until: Long)
       : (Seq[String], Map[String, Map[String, GraftStatsPrune.ColStats]]) = {
     require(since <= until,
       s"graft table log: changesSince $since > changesUntil $until")
-    val (fromRels, _) = readSnapshot(table, since)
-    val (toRels, toStats) = readSnapshot(table, until)
+    val (fromRels, fromDv, _) = readSnapshotFull(table, since)
+    val (toRels, toDv, toStats) = readSnapshotFull(table, until)
     val fromSet = fromRels.toSet
     val missing = fromRels.filterNot(toRels.toSet)
     require(missing.isEmpty,
@@ -352,6 +370,11 @@ object GraftTableLog {
         s"${missing.size} file(s) of v$since were rewritten (overwrite or " +
         "compaction); an incremental change feed across a rewrite would " +
         s"double-count rows. Re-read versionAsOf=$until instead")
+    require(fromDv.toSet == toDv.toSet,
+      s"graft table log: versions $since→$until are not append-only — " +
+        "the deletion-vector set changed (a merge-on-read DELETE/UPDATE " +
+        "removed rows without a file-set change); use the row-level CDC " +
+        s"feed or re-read versionAsOf=$until instead")
     (toRels.filterNot(fromSet), toStats)
   }
 }
