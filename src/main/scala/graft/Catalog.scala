@@ -120,24 +120,31 @@ object Catalog {
             |ORDER BY station_1, station_2""".stripMargin))
 
   /** Q-dist with the reference-parity WGS-84 geodesic (Karney-grade; geopy
-    * equivalent). Not ANSI-SQL-expressible → rows-only driver check; exact
-    * numerics pinned by unit tests against published geodesic values. */
+    * equivalent). Under the FULL hash gate since round 11: the oracle
+    * replays the exact Vincenty iteration as a DuckDB recursive CTE
+    * ([[GeodesicOracleSql]] — measured cross-engine agreement 2e-12 km),
+    * with both sides rounded to the haversine siblings' 3 dp grain. */
   val qDistGeodesic = QueryDef("q_dist_pairs_geodesic",
     (spark, dir) => StationDistances.pairwise(Tables.stationsById(spark, dir), "id")
+      .select(col("station_1"), col("station_2"),
+        round(col("distance_km"), 3).as("distance_km"))
       .orderBy("station_1", "station_2"),
-    None)
+    Some(GeodesicOracleSql.pairsSql))
 
   /** Neighbor pairs within 15 km (geodesic; the synthetic station grid's
-    * minimum nonzero spacing is ~12.5 km). Rows-only driver check (the
-    * ellipsoidal metric is not SQL-expressible); the radius-rule spec
-    * proves the optimizer rewrite preserves results, and
-    * [[qDistRadiusHaversine]] hash-checks the radius/filter path itself
-    * with the SQL-expressible metric. */
+    * minimum nonzero spacing is ~12.5 km). Hash-gated since round 11 via
+    * the Vincenty-replay oracle ([[GeodesicOracleSql]]); the radius gate
+    * runs on the RAW distance on both sides (nearest pair distances to
+    * 15.0: 13.399 / 15.776 — unflippable at 2e-12 km jitter), outputs
+    * round to 3 dp. The radius-rule spec still proves the optimizer
+    * prefilter rewrite preserves results. */
   val qDistRadius = QueryDef("q_dist_within_radius",
     (spark, dir) => StationDistances.pairsWithinKm(
       Tables.stationsById(spark, dir), "id", 15.0)
+      .select(col("station_1"), col("station_2"),
+        round(col("distance_km"), 3).as("distance_km"))
       .orderBy("station_1", "station_2"),
-    None)
+    Some(GeodesicOracleSql.withinRadiusSql))
 
   /** The radius query with the haversine metric — SQL-expressible, so the
     * radius semantics (rounded-distance threshold, self-pair exclusion)

@@ -736,6 +736,63 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
 
+  /** SQL `ALTER TABLE … RENAME COLUMN` / `DROP COLUMN` under the hash
+    * gate ([[graft.sources.GraftCatalog.alterTable]]): field identity
+    * is the PHYSICAL-NAME CHAIN — data files keep the name of their
+    * era, a rename is one appended ledger line + a zero-row schema
+    * carrier, and readers resolve per file through the alias chain
+    * ([[graft.sources.GraftCatalog.readAliases]]). The query builds a
+    * two-generation table, renames `n_chars → char_count`, DROPS
+    * `source`, appends a post-rename generation (new physical names),
+    * and fingerprints the head through the renamed column — values from
+    * BOTH physical eras must flow into one logical column, with a
+    * pushed filter translating per file. In-query requires pin the
+    * era-correctness: `VERSION AS OF` the pre-rename version still
+    * presents (and reads) the old names. The oracle recomputes from
+    * `documents` under the new names. */
+  val qSqlRenameColumn = QueryDef("q_sql_rename_column",
+    (spark, dir) => {
+      val cat = "graft_lake"
+      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = s"$warehouse/sf/$tbl"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val docs = Tables.documents(spark, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      docs.filter(pmod(col("doc_id"), lit(3)) < 2)
+        .write.format(fmt).option("path", path).mode("append").save()
+      val vPre = GraftTableLog.latestVersion(path).get
+      spark.sql(s"ALTER TABLE $cat.sf.$tbl RENAME COLUMN n_chars TO char_count")
+      spark.sql(s"ALTER TABLE $cat.sf.$tbl DROP COLUMN source")
+      // post-rename generation: written under the NEW physical name
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+        .drop("source").withColumnRenamed("n_chars", "char_count")
+        .write.format(fmt).option("path", path).mode("append").save()
+      // era-correctness: the pre-rename version presents the old names
+      val pre = spark.sql(s"SELECT * FROM $cat.sf.$tbl VERSION AS OF $vPre")
+      require(pre.schema.fieldNames.contains("n_chars") &&
+        pre.schema.fieldNames.contains("source") &&
+        !pre.schema.fieldNames.contains("char_count"),
+        "pre-rename version must present its era's schema")
+      require(pre.filter(col("n_chars").isNull).count() == 0,
+        "pre-rename version must read its values under the old name")
+      // head fingerprint THROUGH the renamed column, pushed filter
+      // included — both physical eras must contribute
+      spark.sql(s"""SELECT lang, count(*) AS n_docs,
+          sum(char_count) AS sum_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM $cat.sf.$tbl WHERE char_count > 64
+        GROUP BY lang ORDER BY lang""")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM documents WHERE n_chars > 64
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** SQL `CREATE TABLE … PARTITIONED BY` under the hash gate
     * ([[graft.sources.GraftCatalog.createTable]]): the catalog
     * PERSISTS the identity-partition spec ([[graft.sources
@@ -843,6 +900,6 @@ object LakehouseQueries {
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
-      qSqlUpdateDv, qSqlDeleteDv, qMergeSchemaEvolution,
+      qSqlUpdateDv, qSqlDeleteDv, qMergeSchemaEvolution, qSqlRenameColumn,
       qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion)
 }

@@ -106,12 +106,16 @@ class GraftCatalog extends TableCatalog
     val p = existing(ident)
     new GraftParquetTable(p, GraftParquetV2.sparkSchema(
       GraftParquetV2.footerSchema(schemaFile(p))),
-      tablePartCols = partSpecOf(p))
+      tablePartCols = partSpecOf(p),
+      aliases = GraftCatalog.readAliases(p, conf))
   }
 
-  /** `VERSION AS OF v` — the pinned snapshot's schema comes from its
-    * OWN first file (an old version predating an add-column evolution
-    * reads under its own narrower schema, as it was written). */
+  /** `VERSION AS OF v` — the pinned snapshot's schema comes from the
+    * NEWEST-mtime file OF THAT VERSION (its era's widest/most-renamed
+    * view: a version after an ADD or RENAME carrier presents the
+    * altered schema; one before it presents the schema as written).
+    * Alias chains ride along — their suffix form resolves the era's
+    * names against still-older files, never forward. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = existing(ident)
     val v = try version.toLong catch {
@@ -122,11 +126,16 @@ class GraftCatalog extends TableCatalog
     val files = GraftTableLog.resolveAll(p, rels)
     // an EMPTY version (post-TRUNCATE) is a legitimate travel target:
     // zero rows under the schema the table carries elsewhere
-    val schemaSrc = files.headOption.getOrElse(schemaFile(p))
+    val fs = new Path(p).getFileSystem(conf)
+    val schemaSrc = files
+      .map(f => fs.getFileStatus(new Path(f)))
+      .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .lastOption.map(_.getPath.toString).getOrElse(schemaFile(p))
     new GraftParquetTable(p,
       GraftParquetV2.sparkSchema(GraftParquetV2.footerSchema(schemaSrc)),
       pinnedTravel = Some(GraftTimeTravel(Some(v), None, None)),
-      tablePartCols = partSpecOf(p))
+      tablePartCols = partSpecOf(p),
+      aliases = GraftCatalog.readAliases(p, conf))
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch from Spark): the last
@@ -207,19 +216,47 @@ class GraftCatalog extends TableCatalog
     new GraftParquetTable(p, schema, tablePartCols = partCols)
   }
 
-  /** `ALTER TABLE … ADD COLUMN` — the one DDL mutation with clean
-    * semantics under schema-on-write: commit a ZERO-ROW data file
-    * carrying the widened schema as a new version. The catalog's
-    * schema inference ([[schemaFile]]: newest-mtime file carries the
-    * widest view) then reports the new column, existing rows read as
-    * NULL under it (the connector's add-column evolution), and
-    * `VERSION AS OF` a pre-alter version still presents the narrow
-    * schema as written. Only top-level nullable appends are in scope —
-    * drops/renames/type changes would need rewrite semantics the
-    * format deliberately refuses. */
+  /** `ALTER TABLE … ADD / RENAME / DROP COLUMN` under schema-on-write.
+    * Every variant commits a ZERO-ROW SCHEMA CARRIER as a new version —
+    * the newest-mtime file then presents the altered schema, and
+    * `VERSION AS OF` a pre-alter version still presents the schema of
+    * its era ([[loadTable(ident,version)]] reads the newest file OF
+    * THAT VERSION).
+    *
+    * FIELD IDENTITY is the column's PHYSICAL-NAME CHAIN: data files
+    * keep the name the column had when they were written; RENAME is a
+    * pure metadata operation appending `old → new` to the table's
+    * rename ledger ([[GraftCatalog.RenamesFile]]), and readers resolve
+    * a logical column to the first chain name a file carries
+    * ([[GraftCatalog.readAliases]]). Identity stays unambiguous because
+    * DDL refuses any name that would COLLIDE with a physical name some
+    * live file still carries — ADD of a previously-used name, RENAME
+    * onto one (the Iceberg field-id guarantee, enforced at DDL time
+    * instead of footer-rewritten ids; a compaction rewrites files under
+    * current names and re-frees the old ones). DROP is a carrier
+    * without the column — old files' values simply become unreachable
+    * (still there for pre-drop time travel). Partition columns never
+    * rename or drop: their names live in directory paths. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val p = existing(ident)
+    def currentSchema = GraftParquetV2.sparkSchema(
+      GraftParquetV2.footerSchema(schemaFile(p)))
+    // physical names any LIVE file still carries — the collision set
+    // for ADD/RENAME targets (footer reads, DDL-time only)
+    def livePhysicalNames: Set[String] =
+      (try GraftParquetV2.listFiles(p) catch {
+        case _: java.io.FileNotFoundException => Nil
+      }).flatMap { f =>
+        import scala.jdk.CollectionConverters._
+        GraftParquetV2.footerSchema(f).getFields.asScala.map(_.getName)
+      }.toSet
+    def refuseCollision(name: String, what: String): Unit =
+      require(!livePhysicalNames.contains(name),
+        s"graft catalog: $what '$name' collides with a physical column " +
+          s"some live data file of $ident still carries — values under " +
+          "that name would leak across field identities; compact the " +
+          "table (rewriting files under current names) first")
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -232,19 +269,56 @@ class GraftCatalog extends TableCatalog
           "graft catalog: ADD COLUMN appends at the end — FIRST/AFTER " +
             "positions would reorder a schema that lives in data files")
         val name = add.fieldNames()(0)
-        val cur = GraftParquetV2.sparkSchema(
-          GraftParquetV2.footerSchema(schemaFile(p)))
+        val cur = currentSchema
         require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"graft catalog: column $name already exists in $ident")
+        refuseCollision(name, "ADD COLUMN")
         // versioned like every other commit, so the alter is
         // time-travel-visible (newest mtime -> the carrier IS the
         // schema source)
         commitSchemaCarrier(p, cur.add(name, add.dataType(),
           nullable = true))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "graft catalog: RENAME COLUMN supports top-level columns " +
+            s"only, got ${ren.fieldNames().mkString(".")}")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        val cur = currentSchema
+        require(cur.fieldNames.contains(from),
+          s"graft catalog: column $from not in $ident " +
+            s"(${cur.fieldNames.mkString(",")})")
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"graft catalog: rename target $to already exists in $ident")
+        require(!GraftMeta.names(to),
+          s"graft catalog: $to is a reserved metadata column name")
+        require(!GraftCatalog.readPartSpec(p, conf).contains(from),
+          s"graft catalog: cannot rename partition column $from — its " +
+            "name lives in every partition directory path")
+        refuseCollision(to, "RENAME COLUMN to")
+        GraftCatalog.appendRename(p, from, to, conf)
+        commitSchemaCarrier(p, StructType(cur.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)))
+      case drop: TableChange.DeleteColumn =>
+        require(drop.fieldNames().length == 1,
+          "graft catalog: DROP COLUMN supports top-level columns " +
+            s"only, got ${drop.fieldNames().mkString(".")}")
+        val name = drop.fieldNames()(0)
+        val cur = currentSchema
+        require(cur.fieldNames.contains(name),
+          s"graft catalog: column $name not in $ident " +
+            s"(${cur.fieldNames.mkString(",")})")
+        require(cur.size > 1,
+          s"graft catalog: cannot drop the last column of $ident")
+        require(!GraftCatalog.readPartSpec(p, conf).contains(name),
+          s"graft catalog: cannot drop partition column $name — its " +
+            "name lives in every partition directory path")
+        commitSchemaCarrier(p,
+          StructType(cur.fields.filterNot(_.name == name)))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: ALTER TABLE ${other.getClass.getSimpleName} is " +
-          "out of scope — only ADD COLUMN (schema-on-write has no " +
-          "rewrite-free semantics for drops/renames/type changes)")
+          "out of scope — ADD/RENAME/DROP COLUMN are supported; type " +
+          "changes would need rewrite semantics the format refuses")
     }
     loadTable(ident)
   }
@@ -253,6 +327,7 @@ class GraftCatalog extends TableCatalog
     val p = new Path(pathOf(ident))
     val fs = p.getFileSystem(conf)
     GraftCatalog.invalidatePartSpec(pathOf(ident))
+    GraftCatalog.invalidateAliases(pathOf(ident))
     fs.exists(p) && fs.delete(p, true)
   }
 
@@ -268,6 +343,8 @@ class GraftCatalog extends TableCatalog
       s"graft catalog: rename $oldIdent -> $newIdent failed")
     GraftCatalog.invalidatePartSpec(src.toString)
     GraftCatalog.invalidatePartSpec(dest.toString)
+    GraftCatalog.invalidateAliases(src.toString)
+    GraftCatalog.invalidateAliases(dest.toString)
   }
 
   // ——— MAINTENANCE PROCEDURES (`CALL catalog.system.…`) ———
@@ -407,6 +484,74 @@ object GraftCatalog {
     * its declared layout (and the contradiction guard) no matter how
     * it is addressed. */
   val PartSpecFile = "_graft_partition_spec"
+
+  /** Table-root RENAME LEDGER: one `old\tnew` line per RENAME COLUMN,
+    * append-ordered — the whole column-mapping story in one tiny
+    * sidecar. Data files keep the physical name of their era; readers
+    * resolve through [[readAliases]]. */
+  val RenamesFile = "_graft_renames"
+
+  private val aliasCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, Seq[String]]]()
+
+  private[sources] def invalidateAliases(p: String): Unit =
+    aliasCache.remove(p)
+
+  /** Append one rename line (read-modify-write of the tiny ledger —
+    * DDL is single-writer like every other metadata mutation). */
+  def appendRename(p: String, from: String, to: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val f = new Path(p, RenamesFile)
+    val fs = f.getFileSystem(conf)
+    val prior =
+      if (!fs.exists(f)) ""
+      else {
+        val in = fs.open(f)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+    val out = fs.create(f, true)
+    try out.write((prior + s"$from\t$to\n").getBytes("UTF-8"))
+    finally out.close()
+    invalidateAliases(p)
+  }
+
+  /** The table's ALIAS MAP: every name a column has EVER had → the
+    * suffix of its physical-name chain from that name backwards,
+    * newest-first — `a→b→c` yields `c→[c,b,a]`, `b→[b,a]`, `a→[a]`.
+    * Readers resolve a (logical) requested name to the FIRST chain
+    * name a file's footer carries; the suffix form keeps
+    * `VERSION AS OF` era-correct (a version pinned in the `b` era
+    * presents `b` and resolves `b` or `a`, never `c` — no post-era
+    * file can be in its snapshot). Names with no rename history are
+    * absent (identity resolution); the common no-renames table gets
+    * an EMPTY map and every fast path is untouched. Cached per JVM,
+    * invalidated by the catalog's own rename DDL. */
+  def readAliases(p: String,
+      conf: org.apache.hadoop.conf.Configuration): Map[String, Seq[String]] =
+    aliasCache.computeIfAbsent(p, _ => {
+      val f = new Path(p, RenamesFile)
+      val fs = f.getFileSystem(conf)
+      if (!fs.exists(f)) Map.empty
+      else {
+        val in = fs.open(f)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList
+          finally in.close()
+        // chains keyed by CURRENT name, newest-first
+        val chains = collection.mutable.LinkedHashMap.empty[String, List[String]]
+        lines.filter(_.nonEmpty).foreach { line =>
+          val Array(from, to) = line.split('\t')
+          val prior = chains.remove(from).getOrElse(List(from))
+          chains(to) = to :: prior
+        }
+        // every suffix is addressable (mid-era names for time travel)
+        chains.values.flatMap { chain =>
+          chain.tails.filter(_.nonEmpty).map(t => t.head -> t.toSeq)
+        }.toMap
+      }
+    })
 
   /** Per-JVM cache of the persisted partition spec, keyed by table
     * root. The spec is a DDL-TIME CONSTANT — written exactly once by

@@ -49,7 +49,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * stay on the COW default — rewriting the files is cheaper than
   * carrying DVs over most of their rows. */
 class GraftDeltaOperation(path: String, tableSchema: StructType,
-    cmd: RowLevelOperation.Command)
+    cmd: RowLevelOperation.Command,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -59,7 +60,7 @@ class GraftDeltaOperation(path: String, tableSchema: StructType,
     * so the command's condition may prune files, row groups, and rows
     * — the opposite of the COW scan's file-granularity contract. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, tableSchema)
+    new GraftScanBuilder(path, tableSchema, aliases = aliases)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {

@@ -140,25 +140,54 @@ object GraftMaintenance {
     * delete would RESURRECT the deleted rows into the new generation. */
   private[sources] def readFilesWithDeletes(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType, files: Seq[String],
-      dv: Map[String, Array[Long]]): DataFrame = {
-    if (files.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val base = spark.read.schema(schema).parquet(files: _*)
-    val relevant = files.map(f => new Path(f).getName).toSet
-    val hits = dv.filter { case (b, _) => relevant(b) }
-    if (hits.isEmpty) return base
-    import org.apache.spark.sql.functions.{broadcast, element_at, split}
-    import spark.implicits._
-    val del = hits.toSeq
-      .flatMap { case (b, ps) => ps.map(p => (b, p)) }
-      .toDF("_dv_file", "_dv_pos")
-    base
-      .withColumn("_dv_file",
-        element_at(split(col("_metadata.file_path"), "/"), -1))
-      .withColumn("_dv_pos", col("_metadata.row_index"))
-      .join(broadcast(del), Seq("_dv_file", "_dv_pos"), "left_anti")
-      .select(schema.fieldNames.map(col).toSeq: _*)
+      dv: Map[String, Array[Long]],
+      aliases: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (files.isEmpty) return empty
+    // one raw read of a file GROUP whose physical names match
+    // `physSchema`, deletes applied
+    def readGroup(physSchema: org.apache.spark.sql.types.StructType,
+        group: Seq[String]): DataFrame = {
+      val base = spark.read.schema(physSchema).parquet(group: _*)
+      val relevant = group.map(f => new Path(f).getName).toSet
+      val hits = dv.filter { case (b, _) => relevant(b) }
+      if (hits.isEmpty) return base
+      import org.apache.spark.sql.functions.{broadcast, element_at, split}
+      import spark.implicits._
+      val del = hits.toSeq
+        .flatMap { case (b, ps) => ps.map(p => (b, p)) }
+        .toDF("_dv_file", "_dv_pos")
+      base
+        .withColumn("_dv_file",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("_dv_pos", col("_metadata.row_index"))
+        .join(broadcast(del), Seq("_dv_file", "_dv_pos"), "left_anti")
+        .select(physSchema.fieldNames.map(col).toSeq: _*)
+    }
+    if (aliases.isEmpty) return readGroup(schema, files)
+    // RENAMED columns: each file carries the physical name of its era —
+    // group the candidates by their per-file resolution of the logical
+    // schema (footer reads, candidate-scale, driver-side; the rewrite
+    // is about to read these files wholesale anyway), read each group
+    // under its physical names, alias back to logical, and union
+    val grouped = files.groupBy { f =>
+      import scala.jdk.CollectionConverters._
+      val phys = GraftParquetV2.footerSchema(f)
+        .getFields.asScala.map(_.getName).toSet
+      schema.fieldNames.toSeq.map(n =>
+        aliases.getOrElse(n, Seq(n)).find(phys.contains).getOrElse(n))
+    }
+    grouped.map { case (physNames, group) =>
+      val physSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.zip(physNames).map { case (fld, pn) =>
+          fld.copy(name = pn)
+        })
+      readGroup(physSchema, group.toSeq)
+        .select(physNames.zip(schema.fieldNames).map { case (pn, ln) =>
+          col(pn).as(ln)
+        }.toSeq: _*)
+    }.reduceOption(_.unionByName(_)).getOrElse(empty)
   }
 
   /** Shared selective-rewrite commit: the REWRITTEN rows replace the
@@ -259,7 +288,8 @@ object GraftMaintenance {
     val partCols = GraftParquetV2
       .keyedLayout(table, df.schema).map(_._1).getOrElse(Nil)
     val keep = readFilesWithDeletes(spark, df.schema, candidates,
-      GraftDeletes.livePositions(table))
+      GraftDeletes.livePositions(table),
+      GraftCatalog.readAliases(table, conf))
       .filter(not(coalesce(condition, lit(false))))
     rewriteCommit(spark, table, candidates, keep, partCols)
   }
@@ -333,7 +363,8 @@ object GraftMaintenance {
     val hit = coalesce(condition, lit(false))
     import org.apache.spark.sql.functions.{assert_true, when}
     val updated = readFilesWithDeletes(spark, df.schema, candidates,
-      GraftDeletes.livePositions(table))
+      GraftDeletes.livePositions(table),
+      GraftCatalog.readAliases(table, conf))
       .select(fields.map { f =>
         resolved.get(f.name) match {
           case Some(v) =>
@@ -434,7 +465,8 @@ object GraftMaintenance {
           s"graft merge: append committed but no log version under $table"))
     }
     val candRows = readFilesWithDeletes(spark, df.schema, candidates,
-      GraftDeletes.livePositions(table))
+      GraftDeletes.livePositions(table),
+      GraftCatalog.readAliases(table, conf))
     val survivors = candRows.join(
       src.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .select(df.schema.fieldNames.map(col).toSeq: _*)
@@ -490,8 +522,9 @@ object GraftMaintenance {
     val removed = GraftTableLog.resolveAll(table,
       fromRels.filterNot(toSet) ++ dvChanged)
     val schema = connectorRead(spark, table).schema
-    val a = readFilesWithDeletes(spark, schema, added, dvTo)
-    val r = readFilesWithDeletes(spark, schema, removed, dvFrom)
+    val al = GraftCatalog.readAliases(table, conf)
+    val a = readFilesWithDeletes(spark, schema, added, dvTo, al)
+    val r = readFilesWithDeletes(spark, schema, removed, dvFrom, al)
     import org.apache.spark.sql.functions.lit
     a.exceptAll(r).withColumn("_change_type", lit("insert"))
       .unionByName(

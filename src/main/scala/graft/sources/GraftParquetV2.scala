@@ -67,7 +67,11 @@ class GraftParquetTableProvider extends TableProvider {
     new GraftParquetTable(properties.get("path"), schema,
       // streaming reader options arrive HERE (the batch path hands them
       // to newScanBuilder instead) — capture the read-rate cap
-      Option(properties.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(properties.get("maxFilesPerTrigger")).map(_.toInt),
+      // the rename ledger rides with the TABLE, so the raw path route
+      // resolves renamed columns exactly like the catalog route
+      aliases = GraftCatalog.readAliases(properties.get("path"),
+        new org.apache.hadoop.conf.Configuration()))
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -108,7 +112,11 @@ class GraftParquetTable(path: String, tableSchema: StructType,
     // the catalog's persisted CREATE TABLE … PARTITIONED BY spec:
     // reported via partitioning() and applied to every write (a
     // contradicting partitionBy option refuses in the write builder)
-    tablePartCols: Seq[String] = Nil)
+    tablePartCols: Seq[String] = Nil,
+    // RENAME COLUMN alias chains ([[GraftCatalog.readAliases]]):
+    // logical name → physical candidates newest-first; empty (the
+    // overwhelmingly common case) keeps every fast path untouched
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -141,7 +149,7 @@ class GraftParquetTable(path: String, tableSchema: StructType,
       // streaming-only: start the stream AFTER snapshot N — its files
       // are pre-seen in the initial offset, so the first micro-batch
       // carries only what landed since (the change feed, live)
-      optLong("startingVersion"))
+      optLong("startingVersion"), aliases)
   }
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
@@ -211,9 +219,11 @@ class GraftParquetTable(path: String, tableSchema: StructType,
       "graft parquet v2: row-level " + info.command() +
         " on a time-travel-pinned table")
     if (GraftParquetTable.mergeOnRead)
-      () => new GraftDeltaOperation(path, tableSchema, info.command())
+      () => new GraftDeltaOperation(path, tableSchema, info.command(),
+        aliases)
     else
-      () => new GraftRowLevelOperation(path, tableSchema, info.command())
+      () => new GraftRowLevelOperation(path, tableSchema, info.command(),
+        aliases)
   }
 }
 
@@ -291,7 +301,8 @@ object GraftTimeTravel {
 class GraftScanBuilder(path: String, tableSchema: StructType,
     streamMaxFiles: Option[Int] = None,
     travel: Option[GraftTimeTravel] = None,
-    streamStartVersion: Option[Long] = None)
+    streamStartVersion: Option[Long] = None,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN
@@ -379,7 +390,12 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case r: NamedReference if r.fieldNames().length == 1 =>
+          // a RENAMED column resolves per-file through the alias chain;
+          // the footer fast paths and per-file partial readers key on
+          // one physical name — decline and let Spark aggregate scan
+          // rows (correct, marginally less pushed; renames are rare)
           Some(r.fieldNames()(0))
+            .filterNot(n => aliases.get(n).exists(_.length > 1))
         case _ => None
       }
     def typed(n: String): Option[DataType] =
@@ -428,7 +444,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
       aggs.map(a => StructType(groupCols ++ GraftAggSpec.schema(a)))
         .getOrElse(required),
       pushed, limit, aggs, groupCols, topN, tableSchema, streamMaxFiles,
-      travel, streamStartVersion)
+      travel, streamStartVersion, aliases = aliases)
 }
 
 /** One pushed sort key (serialized to executors with the reader
@@ -501,7 +517,10 @@ case class GraftParquetScan(path: String, required: StructType,
     // exactly like pushed filters, but NEVER handed to the readers — a
     // candidate file's non-matching rows must survive into the rewrite,
     // so row filtering here would be data loss, not optimization
-    fileOnlyFilters: Array[Filter] = Array.empty)
+    fileOnlyFilters: Array[Filter] = Array.empty,
+    // RENAME COLUMN alias chains: logical → physical candidates,
+    // newest-first ([[GraftCatalog.readAliases]])
+    aliases: Map[String, Seq[String]] = Map.empty)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -748,14 +767,20 @@ case class GraftParquetScan(path: String, required: StructType,
             GraftParquetV2.partitionColStats(path, f, tableSchema)
           if (cols.isEmpty) true // unknown file: always read
           else {
+            // RENAMED columns: this file's manifest rows carry the
+            // physical name of its era — resolve through the alias
+            // chain (identity when no renames; a file carries at most
+            // one chain generation, so headOption is exact)
+            def lookup(n: String): Option[GraftStatsPrune.ColStats] =
+              aliases.getOrElse(n, Seq(n)).flatMap(cols.get).headOption
             def inRefutes(si: GraftFilterEval.SortedIn): Boolean =
-              cols.get(si.attribute).exists { s =>
+              lookup(si.attribute).exists { s =>
                 (s.nullsSet && s.numNulls == s.valueCount) ||
                   (s.min != null && s.max != null &&
                     si.noneInRange(s.min, s.max))
               }
             val refuted = sortedIns.exists(inRefutes) ||
-              GraftStatsPrune.provablyEmptyStats(residue, cols.get)
+              GraftStatsPrune.provablyEmptyStats(residue, lookup)
             if (refuted) GraftScanTelemetry.skippedFiles.increment()
             !refuted
           }
@@ -779,7 +804,7 @@ case class GraftParquetScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftPartitionReaderFactory(required, pushed, limit, aggs, groupBy,
-      runtimeHolder, topN)
+      runtimeHolder, topN, aliases)
 }
 
 /** Mutable carrier for post-planning runtime filters (see
@@ -967,7 +992,8 @@ case class GraftPartitionReaderFactory(required: StructType,
     aggs: Option[Seq[GraftAggSpec]] = None,
     groupBy: Seq[StructField] = Nil,
     runtimeHolder: GraftRuntimeFilterHolder = new GraftRuntimeFilterHolder,
-    topN: Option[(Seq[GraftSortKey], Int)] = None)
+    topN: Option[(Seq[GraftSortKey], Int)] = None,
+    aliases: Map[String, Seq[String]] = Map.empty)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val fp = partition.asInstanceOf[GraftFilePartition]
@@ -979,15 +1005,16 @@ case class GraftPartitionReaderFactory(required: StructType,
     aggs match {
       case Some(specs) if groupBy.nonEmpty =>
         new GraftGroupedAggPartitionReader(file, groupBy, specs, conj,
-          fp.deletes)
+          fp.deletes, aliases)
       case Some(specs) =>
-        new GraftAggPartitionReader(file, specs, conj, fp.deletes)
+        new GraftAggPartitionReader(file, specs, conj, fp.deletes, aliases)
       case None => topN match {
         case Some((keys, n)) =>
           new GraftTopNPartitionReader(file, required, conj, keys, n,
-            fp.deletes)
+            fp.deletes, aliases)
         case None =>
-          new GraftPartitionReader(file, required, conj, limit, fp.deletes)
+          new GraftPartitionReader(file, required, conj, limit, fp.deletes,
+            aliases)
       }
     }
   }
@@ -1004,7 +1031,8 @@ case class GraftPartitionReaderFactory(required: StructType,
   * Spark retains (partial contract). */
 class GraftTopNPartitionReader(file: String, required: StructType,
     pushed: Array[Filter], keys: Seq[GraftSortKey], n: Int,
-    deletes: Array[Long] = Array.emptyLongArray)
+    deletes: Array[Long] = Array.emptyLongArray,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
   private var iter: Iterator[InternalRow] = _
   private var current: InternalRow = _
@@ -1044,7 +1072,8 @@ class GraftTopNPartitionReader(file: String, required: StructType,
         override def compare(a: InternalRow, b: InternalRow): Int =
           -compareRows(a, b)
       })
-    val inner = new GraftPartitionReader(file, required, pushed, -1, deletes)
+    val inner = new GraftPartitionReader(file, required, pushed, -1,
+      deletes, aliases)
     try {
       while (inner.next()) {
         val row = inner.get() // fresh GenericInternalRow per row — safe to keep
@@ -1082,7 +1111,8 @@ class GraftTopNPartitionReader(file: String, required: StructType,
   * cardinality level, and Spark's final merge is always correct). */
 class GraftGroupedAggPartitionReader(file: String, groupBy: Seq[StructField],
     specs: Seq[GraftAggSpec], pushed: Array[Filter],
-    deletes: Array[Long] = Array.emptyLongArray)
+    deletes: Array[Long] = Array.emptyLongArray,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
   private var iter: Iterator[InternalRow] = _
   private var current: InternalRow = _
@@ -1099,7 +1129,10 @@ class GraftGroupedAggPartitionReader(file: String, groupBy: Seq[StructField],
     val cols = (groupBy.map(_.name) ++ GraftAggSpec.referenced(specs)).distinct
     val schema = GraftParquetV2.sparkSchema(GraftParquetV2.footerSchema(file))
     val scanSchema = StructType(schema.fields.filter(f => cols.contains(f.name)))
-    val inner = new GraftPartitionReader(file, scanSchema, pushed, -1, deletes)
+    // aliases matter only for pushed FILTERS here — aggregate/group
+    // columns over renamed fields were declined at pushdown
+    val inner = new GraftPartitionReader(file, scanSchema, pushed, -1,
+      deletes, aliases)
     val idx = scanSchema.fieldNames.zipWithIndex.toMap
     // columns this file predates read as null (schema evolution) —
     // group keys become null keys, aggregate inputs contribute nothing
@@ -1173,7 +1206,8 @@ class GraftGroupedAggPartitionReader(file: String, groupBy: Seq[StructField],
   *     and fold counts/mins/maxes as rows pass. */
 class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
     pushed: Array[Filter],
-    deletes: Array[Long] = Array.emptyLongArray)
+    deletes: Array[Long] = Array.emptyLongArray,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
   private var done = false
   private var result: InternalRow = _
@@ -1229,7 +1263,8 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
     val cols = GraftAggSpec.referenced(specs)
     val schema = GraftParquetV2.sparkSchema(GraftParquetV2.footerSchema(file))
     val scanSchema = StructType(schema.fields.filter(f => cols.contains(f.name)))
-    val inner = new GraftPartitionReader(file, scanSchema, pushed, -1, deletes)
+    val inner = new GraftPartitionReader(file, scanSchema, pushed, -1,
+      deletes, aliases)
     val idx = scanSchema.fieldNames.zipWithIndex.toMap
     // columns this file predates read as null (schema evolution):
     // count(col) sees 0, min/max/sum skip — the aggregate semantics of
@@ -1304,13 +1339,30 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
   * rows. The emitted `InternalRow` carries only the required columns. */
 class GraftPartitionReader(file: String, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
-    deletes: Array[Long] = Array.emptyLongArray)
+    deletes: Array[Long] = Array.emptyLongArray,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
   private var emitted = 0L
   private val conf = new Configuration()
   private val in = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(file), conf))
   private val fileSchema = in.getFooter.getFileMetaData.getSchema
+
+  /** RENAME COLUMN resolution: the requested (logical) name → the
+    * first alias-chain name THIS file's footer carries — files keep
+    * the physical name of their era, the chain maps it back. Identity
+    * when the table has no rename history (empty map). */
+  private def resolve(n: String): String =
+    if (aliases.isEmpty) n
+    else aliases.getOrElse(n, Seq(n)).find(fileSchema.containsField)
+      .getOrElse(n)
+
+  /** The pushed conjunction in THIS FILE's physical namespace — all
+    * downstream machinery (zone-map refutation, three-valued eval,
+    * projection references) then operates on names the footer knows. */
+  private val filters: Array[Filter] =
+    if (aliases.isEmpty) pushed
+    else pushed.map(GraftFilterEval.mapAttributes(_, resolve))
   // Everything between open() and a fully-constructed reader runs under
   // a close-on-throw guard — an unclosed ParquetFileReader per failed
   // task attempt is a file-descriptor leak on a long-running executor.
@@ -1329,8 +1381,8 @@ class GraftPartitionReader(file: String, required: StructType,
       // metadata columns (_graft_file/_graft_pos) are SYNTHESIZED, not
       // read — they must never reach the parquet projection
       val wanted: Array[String] =
-        (required.fieldNames.filterNot(GraftMeta.names) ++
-          pushed.flatMap(_.references)).distinct
+        (required.fieldNames.filterNot(GraftMeta.names).map(resolve) ++
+          filters.flatMap(_.references)).distinct
       val present = wanted.filter(fileSchema.containsField)
       // a scan needing no physical column from this file (COUNT-shaped,
       // or every wanted column missing) still needs one column to drive
@@ -1355,7 +1407,7 @@ class GraftPartitionReader(file: String, required: StructType,
     required.fieldNames.map {
       case GraftMeta.FileCol => -2
       case GraftMeta.PosCol => -3
-      case n => physCols.indexOf(n)
+      case n => physCols.indexOf(resolve(n))
     }
   private val filePathUtf8 = UTF8String.fromString(file)
   private var row: Array[Any] = _
@@ -1374,7 +1426,7 @@ class GraftPartitionReader(file: String, required: StructType,
   private def advanceBlock(): Boolean = {
     while (blockIdx < blocks.length) {
       val b = blocks(blockIdx); blockIdx += 1
-      if (pushed.nonEmpty && GraftStatsPrune.provablyEmpty(pushed, b)) {
+      if (filters.nonEmpty && GraftStatsPrune.provablyEmpty(filters, b)) {
         in.skipNextRowGroup()
         ordinal += b.getRowCount // pruned rows still occupy ordinals
         GraftScanTelemetry.skippedGroups.increment()
@@ -1395,7 +1447,7 @@ class GraftPartitionReader(file: String, required: StructType,
   // through the general three-valued path. Zone-map refutation
   // (advanceBlock) still sees the FULL conjunction — its per-group
   // vs.forall is bounded by group count, not row count.
-  private val (fastIns, slowFilters) = GraftFilterEval.compileIns(pushed)
+  private val (fastIns, slowFilters) = GraftFilterEval.compileIns(filters)
 
   override def next(): Boolean = {
     // pushed limit: stop reading this partition once satisfied — the
@@ -1998,6 +2050,28 @@ object GraftFilterEval {
       case f => slow += f
     }
     (fast.toArray, slow.toArray)
+  }
+
+  /** Rewrite every attribute reference through `m` — the RENAME COLUMN
+    * translation into a file's physical namespace. Shape-preserving;
+    * unknown shapes pass through untouched (supports() gated them). */
+  def mapAttributes(f: Filter, m: String => String): Filter = f match {
+    case EqualTo(a, v) => EqualTo(m(a), v)
+    case EqualNullSafe(a, v) => EqualNullSafe(m(a), v)
+    case GreaterThan(a, v) => GreaterThan(m(a), v)
+    case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(m(a), v)
+    case LessThan(a, v) => LessThan(m(a), v)
+    case LessThanOrEqual(a, v) => LessThanOrEqual(m(a), v)
+    case In(a, vs) => In(m(a), vs)
+    case IsNull(a) => IsNull(m(a))
+    case IsNotNull(a) => IsNotNull(m(a))
+    case And(l, r) => And(mapAttributes(l, m), mapAttributes(r, m))
+    case Or(l, r) => Or(mapAttributes(l, m), mapAttributes(r, m))
+    case Not(c) => Not(mapAttributes(c, m))
+    case StringStartsWith(a, v) => StringStartsWith(m(a), v)
+    case StringEndsWith(a, v) => StringEndsWith(m(a), v)
+    case StringContains(a, v) => StringContains(m(a), v)
+    case other => other
   }
 
   /** Only filters whose every referenced column exists with a supported

@@ -48,7 +48,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * mutation with selective rewrite is what a lakehouse user expects in
   * its place. */
 class GraftRowLevelOperation(path: String, tableSchema: StructType,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    aliases: Map[String, Seq[String]] = Map.empty) extends RowLevelOperation {
 
   /** Candidate files, recorded at scan PLANNING time (driver), consumed
     * by the write's commit (driver) — one instance spans both halves of
@@ -59,7 +60,7 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRowLevelScanBuilder(path, tableSchema, this)
+    new GraftRowLevelScanBuilder(path, tableSchema, this, aliases)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -79,7 +80,8 @@ class GraftRowLevelOperation(path: String, tableSchema: StructType,
   * Spark re-apply the condition per row, which group-level pruning
   * depends on for correctness. */
 class GraftRowLevelScanBuilder(path: String, tableSchema: StructType,
-    op: GraftRowLevelOperation) extends ScanBuilder
+    op: GraftRowLevelOperation,
+    aliases: Map[String, Seq[String]] = Map.empty) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = tableSchema
   private var groupFilters: Array[Filter] = Array.empty
@@ -94,7 +96,8 @@ class GraftRowLevelScanBuilder(path: String, tableSchema: StructType,
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftRowLevelScan(path, required, groupFilters, tableSchema, op)
+    new GraftRowLevelScan(path, required, groupFilters, tableSchema, op,
+      aliases)
 }
 
 /** The row-level read: delegates file planning and reading to
@@ -103,11 +106,12 @@ class GraftRowLevelScanBuilder(path: String, tableSchema: StructType,
   * candidate set on the operation for the commit. */
 class GraftRowLevelScan(path: String, required: StructType,
     groupFilters: Array[Filter], tableSchema: StructType,
-    op: GraftRowLevelOperation) extends Scan with Batch {
+    op: GraftRowLevelOperation,
+    aliases: Map[String, Seq[String]] = Map.empty) extends Scan with Batch {
 
   private val inner = GraftParquetScan(path, required,
     pushed = Array.empty, tableSchema = tableSchema,
-    fileOnlyFilters = groupFilters)
+    fileOnlyFilters = groupFilters, aliases = aliases)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -237,14 +237,15 @@ class GraftCatalogSpec extends SparkSpec {
     // pre-alter version presents the schema as written (no score)
     assert(!spark.sql(s"SELECT * FROM $cat.corp.t11 VERSION AS OF 1")
       .schema.fieldNames.contains("score"))
-    // refusals: duplicate column; non-add changes
+    // refusals: duplicate column; type changes (DROP/RENAME are
+    // supported since round 11 — SchemaEvolutionSpec covers them)
     val e1 = intercept[Exception](spark.sql(
       s"ALTER TABLE $cat.corp.t11 ADD COLUMN score DOUBLE"))
     assert(e1.getMessage.contains("already exists"))
     val e2 = intercept[Exception](spark.sql(
-      s"ALTER TABLE $cat.corp.t11 DROP COLUMN score"))
+      s"ALTER TABLE $cat.corp.t11 ALTER COLUMN score TYPE STRING"))
     assert(e2.getMessage.contains("out of scope") ||
-      e2.getMessage.contains("DROP"))
+      e2.getMessage.contains("TYPE"))
   }
 
   test("CREATE TABLE and CTAS: schema-carrier v1, data on top") {

@@ -58,6 +58,132 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(widenedAt > 1L)
   }
 
+  // ——— RENAME / DROP COLUMN (field identity = physical-name chain) ———
+
+  private val cat = "graft_evo_cat"
+  private lazy val warehouse = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_evo_wh_").toFile.getAbsolutePath
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", d)
+    d
+  }
+
+  private def mkCatTable(name: String): String = {
+    val p = s"$warehouse/corp/$name"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.format(fmt).option("path", p).mode("append").save()
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.format(fmt).option("path", p).mode("append").save()
+    p
+  }
+
+  test("RENAME COLUMN preserves values from pre-rename files; pushdown works") {
+    val p = mkCatTable("r1")
+    val vPre = GraftTableLog.versions(p).max
+    spark.sql(s"ALTER TABLE $cat.corp.r1 RENAME COLUMN n_chars TO char_count")
+    val head = spark.sql(s"SELECT doc_id, char_count FROM $cat.corp.r1")
+    assert(head.schema.fieldNames.toSeq == Seq("doc_id", "char_count"))
+    // values carried from files written under the OLD physical name
+    val expect = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = head.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // filter PUSHDOWN on the renamed column translates per file
+    val cut = expect.values.toSeq.sorted.apply(expect.size / 2)
+    val n = spark.sql(s"SELECT count(*) AS n FROM $cat.corp.r1 " +
+      s"WHERE char_count >= $cut").head.getLong(0)
+    assert(n == expect.values.count(_ >= cut))
+    // VERSION AS OF the pre-rename era presents the OLD name
+    val pre = spark.sql(
+      s"SELECT * FROM $cat.corp.r1 VERSION AS OF $vPre")
+    assert(pre.schema.fieldNames.contains("n_chars"))
+    assert(!pre.schema.fieldNames.contains("char_count"))
+    assert(pre.count() == expect.size)
+    // appends after the rename write the NEW physical name; both
+    // generations read under one logical column
+    docs.limit(4).withColumnRenamed("n_chars", "char_count")
+      .write.format(fmt).option("path", p).mode("append").save()
+    assert(spark.sql(s"SELECT count(char_count) FROM $cat.corp.r1")
+      .head.getLong(0) == expect.size + 4)
+  }
+
+  test("chained renames resolve through the whole alias chain") {
+    val p = mkCatTable("r2")
+    spark.sql(s"ALTER TABLE $cat.corp.r2 RENAME COLUMN n_chars TO a1")
+    spark.sql(s"ALTER TABLE $cat.corp.r2 RENAME COLUMN a1 TO a2")
+    val got = spark.sql(s"SELECT sum(a2) AS s FROM $cat.corp.r2")
+      .head.getLong(0)
+    val expect = docs.agg(sum("n_chars")).head.getLong(0)
+    assert(got == expect)
+    assert(p.nonEmpty)
+  }
+
+  test("DROP COLUMN narrows the schema; re-ADD refused until compaction frees the name") {
+    val p = mkCatTable("d1")
+    spark.sql(s"ALTER TABLE $cat.corp.d1 DROP COLUMN n_chars")
+    val head = spark.sql(s"SELECT * FROM $cat.corp.d1")
+    assert(!head.schema.fieldNames.contains("n_chars"))
+    assert(head.count() == docs.count())
+    // re-adding the name would resurrect old files' values — refused
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.corp.d1 ADD COLUMN n_chars BIGINT"))
+    assert(e.getMessage.contains("compact"))
+    // compaction rewrites files under the current (narrow) schema,
+    // freeing the physical name — the ADD then succeeds, all-null
+    GraftMaintenance.compact(spark, p)
+    spark.sql(s"ALTER TABLE $cat.corp.d1 ADD COLUMN n_chars BIGINT")
+    val re = spark.sql(
+      s"SELECT count(*) AS n, count(n_chars) AS k FROM $cat.corp.d1").head
+    assert(re.getLong(0) == docs.count() && re.getLong(1) == 0L)
+  }
+
+  test("rename refusals: partition columns, live physical collisions, metadata names") {
+    val p = s"$warehouse/corp/r3"
+    spark.sql(s"""CREATE TABLE $cat.corp.r3
+      (doc_id BIGINT, lang STRING, n_chars BIGINT)
+      PARTITIONED BY (lang)""")
+    docs.limit(10).createOrReplaceTempView("evo_src")
+    spark.sql(s"INSERT INTO $cat.corp.r3 SELECT * FROM evo_src")
+    val e1 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.corp.r3 RENAME COLUMN lang TO language"))
+    assert(e1.getMessage.contains("partition"))
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.corp.r3 RENAME COLUMN n_chars TO doc_id"))
+    assert(e2.getMessage.contains("already exists"))
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.corp.r3 RENAME COLUMN n_chars TO _graft_pos"))
+    assert(e3.getMessage.contains("reserved"))
+    assert(p.nonEmpty)
+  }
+
+  test("COW update and MOR delete stay correct across a rename") {
+    val p = mkCatTable("r4")
+    spark.sql(s"ALTER TABLE $cat.corp.r4 RENAME COLUMN n_chars TO cc")
+    // COW update keyed on the RENAMED column: candidates are old-named
+    // files; the grouped logical read must carry their values through
+    GraftMaintenance.update(spark, p,
+      col("doc_id") % 7 === 0, Map("cc" -> (col("cc") + 1000000L)))
+    val expect = docs.collect().map { r =>
+      val id = r.getLong(0)
+      id -> (r.getLong(2) + (if (id % 7 == 0) 1000000L else 0L))
+    }.toMap
+    val got = spark.sql(s"SELECT doc_id, cc FROM $cat.corp.r4")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // MOR delete predicated on the renamed column
+    spark.conf.set(
+      graft.sources.GraftParquetTable.ModeConf, "merge-on-read")
+    try {
+      val cut = expect.values.min
+      spark.sql(s"DELETE FROM $cat.corp.r4 WHERE cc = $cut")
+      val left = spark.sql(s"SELECT count(*) AS n FROM $cat.corp.r4")
+        .head.getLong(0)
+      assert(left == expect.values.count(_ != cut))
+    } finally spark.conf.set(
+      graft.sources.GraftParquetTable.ModeConf, "copy-on-write")
+  }
+
   test("provider schema inference tracks the newest generation") {
     val p = scratch()
     docs.write.format(fmt).option("path", p).mode("append").save()
