@@ -897,9 +897,63 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (1, 2)")))
 
+  /** STREAMING THROUGH THE CATALOG under the hash gate: the source is
+    * `spark.readStream.table("cat.ns.t")` and the sink is
+    * `writeStream.toTable("cat.ns.t2")` — the connector's streaming
+    * halves ([[graft.sources.GraftMicroBatchStream]] /
+    * [[graft.sources.GraftBatchWrite]]'s epoch commits) composed with
+    * NAMED tables instead of paths, so a pipeline can be wired from
+    * identifiers alone. The drain is admission-controlled
+    * (maxFilesPerTrigger=1 → multi-batch, require-asserted via the
+    * sink's epoch count), the sink lands one transactional version per
+    * epoch, and the fingerprint of the SINK table must equal the
+    * oracle recomputing the source slices — a dropped or duplicated
+    * epoch breaks the hash. */
+  val qStreamCatalogTable = QueryDef("q_stream_catalog_table",
+    (spark, dir) => {
+      val cat = "graft_lake"
+      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+      val id = java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcTbl = s"s_$id"
+      val sinkTbl = s"k_$id"
+      val srcPath = s"$warehouse/sf/$srcTbl"
+      val sinkPath = s"$warehouse/sf/$sinkTbl"
+      val ckpt = scratch(spark, "graft_sct_ck")
+      Seq(srcPath, sinkPath).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .deleteOnExit(p)
+      }
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).coalesce(1).write.format(fmt)
+        .option("path", srcPath).mode("append").save()
+      slice(orders, 1).coalesce(1).write.format(fmt)
+        .option("path", srcPath).mode("append").save()
+      val q = spark.readStream
+        .option("maxFilesPerTrigger", "1")
+        .table(s"$cat.sf.$srcTbl")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.sf.$sinkTbl")
+      q.awaitTermination()
+      // two source files under maxFilesPerTrigger=1 → ≥2 epochs, each
+      // a committed version of the SINK table
+      val sinkVersions = GraftTableLog.versions(sinkPath)
+      require(sinkVersions.size >= 2,
+        s"admission control must split the drain into multiple epoch " +
+          s"commits, got versions $sinkVersions")
+      fingerprint(
+        spark.read.format(fmt).option("path", sinkPath).load())
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
       qSqlUpdateDv, qSqlDeleteDv, qMergeSchemaEvolution, qSqlRenameColumn,
-      qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion)
+      qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion,
+      qStreamCatalogTable)
 }

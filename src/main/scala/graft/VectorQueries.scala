@@ -531,6 +531,39 @@ object VectorQueries {
     },
     Some(ivfProbeOracle(IvfIngestPath)))
 
+  val IvfSqlIndexPath = "/tmp/graft_ivf_index_sql.parquet"
+  val IvfSqlQueriesPath = "/tmp/graft_ivf_queries_sql.parquet"
+
+  /** SQL-ADDRESSABLE ANN under the hash gate ([[graft.sources
+    * .GraftCatalog]]'s `ann_probe` procedure): the persisted IVF index
+    * is trained and exported exactly like [[qAnnIndexProbe]], but the
+    * SEARCH runs as one SQL statement —
+    * `CALL graft_lake.system.ann_probe(index_path, queries_path, k,
+    * nprobe)` — so the train-once/probe-from-disk shape is reachable
+    * without a Scala shell (the compact/vacuum/history convention
+    * extended to the vector surface). Same probe kernel underneath
+    * (partition-pruned inverted lists, bounded-heap top-k), same
+    * oracle: the exported-codebook replay must hash-match the
+    * procedure's output exactly. */
+  val qAnnIndexSql = QueryDef("q_ann_index_sql",
+    (spark, dir) => {
+      val cat = "graft_lake"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
+      val emb = Tables.embeddings(spark, dir)
+      val (cents, assigned) = graft.operators.KMeans.fit(
+        emb, "vec_id", "embedding", IvfClusters, IvfIters)
+      graft.operators.KMeans.saveIndex(cents, assigned, IvfSqlIndexPath)
+      emb.filter(col("vec_id") < NQueries).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(IvfSqlQueriesPath)
+      spark.sql(s"CALL $cat.system.ann_probe(" +
+        s"index_path => '$IvfSqlIndexPath', " +
+        s"queries_path => '$IvfSqlQueriesPath', " +
+        s"k => $TopK, nprobe => $IvfNprobe)")
+    },
+    Some(ivfProbeOracle(IvfSqlIndexPath)))
+
   /** Global top-50 most-similar embedding pairs — exact all-pairs,
     * ORACLE-TWIN role: quadratic by design and guarded
     * (`topPairs.maxExactRows`); the deployable path is the LSH pair
@@ -871,6 +904,6 @@ object VectorQueries {
 
   def all: Seq[QueryDef] = Seq(qAnnTopK, qAnnPq, qAnnIvfPq, qAnnSq8,
     qEmbedTopPairs, qAnnLsh, qAnnIvf, qAnnIvfKmeans, qAnnIndexProbe,
-    qAnnIndexIngest, qDedupEmbedding,
+    qAnnIndexIngest, qAnnIndexSql, qDedupEmbedding,
     qDedupEmbeddingKeep, qDedupEmbeddingLsh, qSemanticDedup)
 }

@@ -363,7 +363,7 @@ class GraftCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
-      Array("compact", "vacuum", "history")
+      Array("compact", "vacuum", "history", "ann_probe")
         .map(Identifier.of(SystemNs, _))
     else Array.empty
 
@@ -447,9 +447,56 @@ class GraftCatalog extends TableCatalog
             new GenericInternalRow(Array[Any](h.version, h.files,
               h.rows.map(Long.box).orNull)))
         })
+      // SQL-addressable ANN over a PERSISTED IVF index
+      // ([[graft.operators.KMeans.saveIndex]]'s layout: exported
+      // centroids + cid-partitioned inverted lists) — the round-10
+      // train-once/probe-from-disk shape, reachable without a Scala
+      // shell: `CALL cat.system.ann_probe(index_path => '…',
+      // queries_path => '…', k => 10, nprobe => 2)`. The probe scans
+      // ONLY the nprobe probed cid-directories (plan-time partition
+      // pruning); the result materializes through the procedure's
+      // LocalScan, so it is k × |queries| rows on the driver — the
+      // procedure contract is operator-scale query sets (the same
+      // boundedness as compact/history); pipeline-scale fan-outs use
+      // [[graft.operators.KMeans.ivfTopK]] directly.
+      case "ann_probe" => new GraftProcedure("ann_probe",
+        Array(
+          ProcedureParameter.in("index_path", StringType).build(),
+          ProcedureParameter.in("queries_path", StringType).build(),
+          ProcedureParameter.in("k", IntegerType).defaultValue("10").build(),
+          ProcedureParameter.in("nprobe", IntegerType)
+            .defaultValue("1").build(),
+          ProcedureParameter.in("id_col", StringType)
+            .defaultValue("'vec_id'").build(),
+          ProcedureParameter.in("vec_col", StringType)
+            .defaultValue("'embedding'").build()),
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("rank", IntegerType),
+          StructField("neighbor_id", LongType),
+          StructField("cosine", DoubleType))),
+        { in =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val indexPath = in.getString(0)
+          val queriesPath = in.getString(1)
+          val k = in.getInt(2)
+          val nprobe = in.getInt(3)
+          require(k > 0 && nprobe > 0,
+            "graft ann_probe: k and nprobe must be positive")
+          val (lc, la) = graft.operators.KMeans.loadIndex(spark, indexPath)
+          import org.apache.spark.sql.functions.col
+          val q = spark.read.parquet(queriesPath)
+            .select(col(in.getString(4)).cast("long").as("query_id"),
+              col(in.getString(5)).as("qv"))
+          graft.operators.KMeans.ivfTopK(la, lc, q, k, nprobe)
+            .select(col("query_id").cast("long"), col("rank").cast("int"),
+              col("neighbor_id").cast("long"), col("cosine").cast("double"))
+            .orderBy("query_id", "rank")
+            .collect().toSeq.map(r => new GenericInternalRow(Array[Any](
+              r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))))
+        })
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure '$other' — " +
-          "available: compact, vacuum, history")
+          "available: compact, vacuum, history, ann_probe")
     }
   }
 }
