@@ -636,6 +636,66 @@ object LakehouseQueries {
            |FROM merged
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** SELECTIVE DV FOLDING under the hash gate
+    * ([[graft.sources.GraftMaintenance.rewriteDeletes]] via
+    * `CALL system.rewrite_deletes`): a range-clustered table takes a
+    * merge-on-read key-range DELETE (pure sidecar), then the
+    * maintenance call rewrites ONLY the DV'd files — require-asserted
+    * a PROPER SUBSET of the clustered files, with the sidecar archived
+    * after (the standing-maintenance shape: DV accumulation is
+    * repaired at cost ∝ DV'd files, where full compaction rewrites the
+    * table). The folded head must fingerprint-match the oracle's
+    * complement — a resurrected row or a lost clean file breaks the
+    * hash. */
+  val qSqlRewriteDeletes = QueryDef("q_sql_rewrite_deletes",
+    (spark, dir) => {
+      val cat = "graft_lake"
+      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = s"$warehouse/sf/$tbl"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("append").save()
+      slice(orders, 1).write.format(fmt).option("path", path)
+        .mode("append").save()
+      GraftMaintenance.compact(spark, path,
+        targetFileBytes = math.max(1L,
+          GraftParquetV2.totalFileBytes(path) / 8),
+        clusterBy = Seq("o_orderkey"))
+      val files = GraftParquetV2.listFiles(path).size
+      val cut = orders.agg(max("o_orderkey")).head.getLong(0) / 6
+      withMergeOnRead(spark) {
+        spark.sql(s"DELETE FROM $cat.sf.$tbl WHERE o_orderkey < $cut")
+      }
+      require(graft.sources.GraftDeletes.liveDvFiles(path).nonEmpty,
+        "the MOR delete must land as a sidecar")
+      val res = spark.sql(
+        s"CALL $cat.system.rewrite_deletes(table => 'sf.$tbl')").head
+      require(res.getInt(1) > 0 && res.getInt(1) < files,
+        s"selective fold must rewrite a PROPER SUBSET of $files " +
+          s"clustered files, rewrote ${res.getInt(1)}")
+      require(graft.sources.GraftDeletes.liveDvFiles(path).isEmpty,
+        "the fold must retire the sidecar")
+      fingerprint(
+        spark.read.format(fmt).option("path", path).load())
+    },
+    Some("""WITH cut AS (
+           |  SELECT CAST(floor(max(o_orderkey) / 6.0) AS BIGINT) AS k
+           |  FROM orders
+           |)
+           |SELECT o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_price,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM orders
+           |WHERE o_orderkey % 4 IN (0, 1)
+           |  AND o_orderkey >= (SELECT k FROM cut)
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   /** MERGE SCHEMA EVOLUTION under the hash gate ([[graft.sources
     * .GraftMaintenance.merge]] `mergeSchema=true`): the table holds
     * slice 0 (five columns); the source UPDATES every eighth order and
@@ -953,7 +1013,8 @@ object LakehouseQueries {
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
-      qSqlUpdateDv, qSqlDeleteDv, qMergeSchemaEvolution, qSqlRenameColumn,
+      qSqlUpdateDv, qSqlDeleteDv, qSqlRewriteDeletes,
+      qMergeSchemaEvolution, qSqlRenameColumn,
       qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion,
       qStreamCatalogTable)
 }

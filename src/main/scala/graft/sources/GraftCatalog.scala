@@ -363,8 +363,8 @@ class GraftCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
-      Array("compact", "vacuum", "history", "ann_probe")
-        .map(Identifier.of(SystemNs, _))
+      Array("compact", "vacuum", "history", "ann_probe",
+        "rewrite_deletes").map(Identifier.of(SystemNs, _))
     else Array.empty
 
   private def tablePath(arg: String): String = {
@@ -447,6 +447,24 @@ class GraftCatalog extends TableCatalog
             new GenericInternalRow(Array[Any](h.version, h.files,
               h.rows.map(Long.box).orNull)))
         })
+      // selective deletion-vector folding — rewrite ONLY the DV'd
+      // files (cost ∝ DV'd files, not table size; the Iceberg
+      // rewrite_position_deletes shape)
+      case "rewrite_deletes" => new GraftProcedure("rewrite_deletes",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(StructField("version", LongType),
+          StructField("files_rewritten", IntegerType),
+          StructField("dv_files_folded", IntegerType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val dv = GraftDeletes.livePositions(p)
+          val rewritten = GraftParquetV2.listFiles(p)
+            .count(f => dv.contains(new Path(f).getName))
+          val dvFiles = GraftDeletes.liveDvFiles(p).size
+          val v = GraftMaintenance.rewriteDeletes(
+            org.apache.spark.sql.SparkSession.active, p)
+          Seq(new GenericInternalRow(Array[Any](v, rewritten, dvFiles)))
+        })
       // SQL-addressable ANN over a PERSISTED IVF index
       // ([[graft.operators.KMeans.saveIndex]]'s layout: exported
       // centroids + cid-partitioned inverted lists) — the round-10
@@ -496,7 +514,8 @@ class GraftCatalog extends TableCatalog
         })
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure '$other' — " +
-          "available: compact, vacuum, history, ann_probe")
+          "available: compact, vacuum, history, ann_probe, " +
+          "rewrite_deletes")
     }
   }
 }

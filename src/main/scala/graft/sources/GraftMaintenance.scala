@@ -474,6 +474,31 @@ object GraftMaintenance {
       survivors.unionByName(src), partCols)
   }
 
+  /** Fold MERGE-ON-READ deletes SELECTIVELY: rewrite only the files
+    * that carry deletion-vector references (reading them DV-aware, so
+    * the rewritten generation materializes the deletes), leaving every
+    * clean file untouched — the Iceberg `rewrite_position_deletes`
+    * shape. At 100 TB this is the cheap standing-maintenance answer to
+    * DV accumulation: cost ∝ DV'd files, not table size, where a full
+    * [[compact]] rewrites everything. The commit's DV housekeeping
+    * then archives the now-fully-stale sidecars
+    * ([[GraftDeletes.archiveFullyStale]]), so the read-side ordinal
+    * merge disappears entirely. Returns the new head version (or the
+    * current one when the table carries no deletes — a free no-op). */
+  def rewriteDeletes(spark: SparkSession, table: String): Long = {
+    val dv = GraftDeletes.livePositions(table)
+    if (dv.isEmpty)
+      return GraftTableLog.latestVersion(table).getOrElse(0L)
+    val df = connectorRead(spark, table)
+    val candidates = GraftParquetV2.listFiles(table)
+      .filter(f => dv.contains(new Path(f).getName))
+    val partCols = GraftParquetV2
+      .keyedLayout(table, df.schema).map(_._1).getOrElse(Nil)
+    val clean = readFilesWithDeletes(spark, df.schema, candidates, dv,
+      GraftCatalog.readAliases(table, conf))
+    rewriteCommit(spark, table, candidates, clean, partCols)
+  }
+
   /** ROW-LEVEL CDC feed between two versions — the change feed that
     * tails THROUGH a rewrite (UPDATE / MERGE / DELETE / compaction),
     * where the file-level `changesSince` read must refuse: each output

@@ -245,6 +245,57 @@ class DeletionVectorSpec extends SparkSpec {
       gone.getMessage.contains("not found"))
   }
 
+  test("rewrite_deletes folds DVs selectively - clean files untouched") {
+    val p = mkTable("w1")
+    // target rows of ONE file only: delete ids from the even half
+    // (file 1 holds doc_id % 2 == 0 — written first, coalesced)
+    val evenIds = allIds.filter(_ % 2 == 0).take(2)
+    withMor {
+      spark.sql(s"DELETE FROM $cat.corp.w1 WHERE doc_id IN " +
+        evenIds.mkString("(", ",", ")"))
+    }
+    val dv = GraftDeletes.livePositions(p)
+    assert(dv.size == 1, s"expected deletes on one file, got ${dv.keys}")
+    val filesBefore = GraftParquetV2.listFiles(p)
+    val untouched = filesBefore.filterNot(f =>
+      dv.contains(new org.apache.hadoop.fs.Path(f).getName))
+    val out = spark.sql(
+      s"CALL $cat.system.rewrite_deletes(table => 'corp.w1')").head
+    assert(out.getInt(1) == 1, "exactly the one DV'd file rewrites")
+    assert(out.getInt(2) == 1, "one sidecar folds")
+    // clean files carried by reference; sidecar archived; rows correct
+    val filesAfter = GraftParquetV2.listFiles(p)
+    assert(untouched.forall(filesAfter.contains))
+    assert(!filesAfter.map(f => new org.apache.hadoop.fs.Path(f).getName)
+      .exists(dv.keySet.contains), "the DV'd file must be replaced")
+    assert(GraftDeletes.liveDvFiles(p).isEmpty)
+    assert(liveIds(p) == allIds.filterNot(evenIds.contains))
+    // a second call is a free no-op (no new version)
+    val vNow = GraftTableLog.latestVersion(p).get
+    spark.sql(s"CALL $cat.system.rewrite_deletes(table => 'corp.w1')")
+    assert(GraftTableLog.latestVersion(p).get == vNow)
+  }
+
+  test("MOR delete on a partitioned (col=value) table") {
+    val p = s"$warehouse/corp/p1"
+    docs.write.format(fmt).option("path", p)
+      .option("partitionBy", "lang").mode("append").save()
+    val victim = allIds.head
+    withMor {
+      spark.sql(s"DELETE FROM $cat.corp.p1 WHERE doc_id = $victim")
+    }
+    assert(GraftDeletes.liveDvFiles(p).size == 1)
+    val head = spark.read.format(fmt).option("path", p).load()
+    assert(head.count() == allIds.length - 1)
+    assert(head.filter(col("doc_id") === victim).count() == 0)
+    // partition pruning still composes with the DV merge
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    val one = langs.head
+    val expect = docs.filter(col("lang") === one)
+      .filter(col("doc_id") =!= victim).count()
+    assert(head.filter(col("lang") === one).count() == expect)
+  }
+
   test("streaming read refuses a table with live deletion vectors") {
     val p = mkTable("s1")
     withMor {
