@@ -259,6 +259,64 @@ object ScaleDryRun {
       scanM("manifest_point_miss", col("l_orderkey") === (maxKey + 1))
     }
 
+    // MERGE-ON-READ read-overhead evidence (round 11): the DV ordinal
+    // merge must cost ~nothing on a row scan (it is a monotone cursor
+    // against sorted positions), while the documented demotion of the
+    // footer-only COUNT fast path is the real, bounded price. Build a
+    // graft table, MOR-delete ~1% via SQL, time row scans clean / DV'd
+    // / folded, plus count(*) on both sides of the demotion.
+    if (wanted("dv_overhead")) {
+      import org.apache.spark.sql.functions.{col, length, sum}
+      val fmt = "graft.sources.GraftParquetTableProvider"
+      val wh = java.nio.file.Files.createTempDirectory("graft_dvdry_")
+        .toFile.getAbsolutePath
+      val table = s"$wh/ns/t"
+      spark.conf.set("spark.sql.catalog.graft_dry",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_dry.warehouse", wh)
+      docs.select("doc_id", "lang", "n_chars", "text").repartition(8)
+        .write.format(fmt).option("path", table).mode("append").save()
+      def rowScanSecs(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.format(fmt).option("path", table).load()
+          .agg(sum(length(col("text")))).head.getLong(0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      def countSecs(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.format(fmt).option("path", table).load().count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      section(s"dv_overhead dir=$dir phase=clean") {
+        val warm = rowScanSecs() // page-cache fill rides the first pass
+        val scan = (1 to 3).map(_ => rowScanSecs()).min
+        val cnt = (1 to 3).map(_ => countSecs()).min
+        f"row_scan_s=$scan%.3f count_footer_s=$cnt%.3f warm_s=$warm%.3f"
+      }
+      section(s"dv_overhead dir=$dir phase=mor_delete_1pct") {
+        spark.conf.set(graft.sources.GraftParquetTable.ModeConf,
+          "merge-on-read")
+        try spark.sql("DELETE FROM graft_dry.ns.t WHERE doc_id % 100 = 0")
+        finally spark.conf.set(graft.sources.GraftParquetTable.ModeConf,
+          "copy-on-write")
+        val dv = graft.sources.GraftDeletes.livePositions(table)
+        s"dv_files=${graft.sources.GraftDeletes.liveDvFiles(table).size} " +
+          s"positions=${dv.valuesIterator.map(_.length.toLong).sum}"
+      }
+      section(s"dv_overhead dir=$dir phase=dv_scan") {
+        val scan = (1 to 3).map(_ => rowScanSecs()).min
+        val cnt = (1 to 3).map(_ => countSecs()).min
+        f"row_scan_s=$scan%.3f count_demoted_s=$cnt%.3f"
+      }
+      section(s"dv_overhead dir=$dir phase=folded") {
+        graft.sources.GraftMaintenance.rewriteDeletes(spark, table)
+        val scan = (1 to 3).map(_ => rowScanSecs()).min
+        val cnt = (1 to 3).map(_ => countSecs()).min
+        f"row_scan_s=$scan%.3f count_footer_s=$cnt%.3f " +
+          s"dv_left=${graft.sources.GraftDeletes.liveDvFiles(table).size}"
+      }
+    }
+
     spark.stop()
   }
 }

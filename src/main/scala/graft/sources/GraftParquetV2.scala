@@ -691,7 +691,18 @@ case class GraftParquetScan(path: String, required: StructType,
       (if (groupBy.nonEmpty)
         s", PushedGroupBy: [${groupBy.map(_.name).mkString(", ")}]" else "") +
       (if (runtimeFilters.nonEmpty)
-        s", RuntimeFilters: [${runtimeFilters.mkString(", ")}]" else "")
+        s", RuntimeFilters: [${runtimeFilters.mkString(", ")}]" else "") +
+      // merge-on-read observability: how many files carry deletion
+      // vectors and how many positions apply (computed from the same
+      // planning-time load the splits consume — no extra I/O; guarded
+      // so a torn-down table can still explain itself)
+      (try {
+        if (readTarget._3.nonEmpty)
+          s", DeleteFiles: ${readTarget._3.size}" +
+            s", DeletePositions: ${
+              readTarget._3.valuesIterator.map(_.length.toLong).sum}"
+        else ""
+      } catch { case _: Exception => "" })
 
   // write-time per-file zone maps (when the table was written by
   // Sinks.parquetWithStats): loaded once per scan, consulted on every
