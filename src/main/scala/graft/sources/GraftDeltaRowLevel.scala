@@ -100,9 +100,13 @@ class GraftDeltaWrite(path: String, tableSchema: StructType)
   // driver-side commit/abort: session Hadoop conf, like the COW twin
   private def conf = GraftParquetWrite.sessionConf()
 
-  // `col=value` tables stage inserted images under the same layout
+  // `col=value` tables stage inserted images under the same layout;
+  // a FRESH declared-partitioned table (spec persisted, no data yet)
+  // has no keyed layout to infer — fall back to the DDL spec
   private val partCols: Seq[String] =
-    GraftParquetV2.keyedLayout(path, tableSchema).map(_._1).getOrElse(Nil)
+    GraftParquetV2.keyedLayout(path, tableSchema).map(_._1)
+      .getOrElse(GraftCatalog.readPartSpec(path,
+        GraftParquetWrite.sessionConf()))
 
   override def toBatch: DeltaBatchWrite = this
   override def description(): String =

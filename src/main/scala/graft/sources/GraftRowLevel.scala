@@ -144,9 +144,12 @@ class GraftRowLevelWrite(path: String, schema: StructType,
 
   // `col=value` tables rewrite under the same layout — partition values
   // ride in the data files (the write path's Iceberg convention), so
-  // the writer just needs the column list
+  // the writer just needs the column list; a fresh declared-partitioned
+  // table falls back to the persisted DDL spec
   private val partCols: Seq[String] =
-    GraftParquetV2.keyedLayout(path, schema).map(_._1).getOrElse(Nil)
+    GraftParquetV2.keyedLayout(path, schema).map(_._1)
+      .getOrElse(GraftCatalog.readPartSpec(path,
+        GraftParquetWrite.sessionConf()))
 
   override def toBatch: BatchWrite = this
   override def description(): String =

@@ -296,6 +296,26 @@ class DeletionVectorSpec extends SparkSpec {
     assert(head.filter(col("lang") === one).count() == expect)
   }
 
+  test("MOR UPDATE on a partitioned table routes images into col=value dirs") {
+    val p = s"$warehouse/corp/p2"
+    docs.write.format(fmt).option("path", p)
+      .option("partitionBy", "lang").mode("append").save()
+    val victim = allIds.head
+    withMor {
+      spark.sql(s"UPDATE $cat.corp.p2 SET n_chars = 555 " +
+        s"WHERE doc_id = $victim")
+    }
+    // the appended image file must sit under a lang= directory — a
+    // flat image would break the declared layout (and its partition
+    // value would vanish from directory pruning)
+    val flat = GraftParquetV2.listFiles(p).filterNot(_.contains("/lang="))
+    assert(flat.isEmpty, s"MOR image landed flat: $flat")
+    val head = spark.read.format(fmt).option("path", p).load()
+    assert(head.filter(col("doc_id") === victim)
+      .head.getAs[Long]("n_chars") == 555L)
+    assert(head.count() == allIds.length)
+  }
+
   test("streaming read refuses a table with live deletion vectors") {
     val p = mkTable("s1")
     withMor {
