@@ -60,6 +60,21 @@ object LakehouseQueries {
        |FROM orders WHERE $where
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Catalog registration + a fresh UUID table identity under it:
+    * ("graft_lake", tbl, path) with the table dir reaped at JVM exit —
+    * the shared preamble of every catalog-addressed entry. */
+  private def catalogTable(spark: SparkSession): (String, String, String) = {
+    val cat = "graft_lake"
+    val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = s"$warehouse/sf/$tbl"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    (cat, tbl, path)
+  }
+
   /** TIME TRAVEL: append v1, append v2, OVERWRITE v3 — then read
     * `versionAsOf = 2`. The pinned snapshot must be exactly the first
     * two slices even though the live table holds only the third (the
@@ -292,14 +307,7 @@ object LakehouseQueries {
     * `orders`. */
   val qSqlTimeTravel = QueryDef("q_sql_time_travel",
     (spark, dir) => {
-      val cat = "graft_lake"
-      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
-      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
-      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val path = s"$warehouse/sf/$tbl"
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val (cat, tbl, path) = catalogTable(spark)
       val orders = Tables.orders(spark, dir)
       orders.createOrReplaceTempView("orders_src")
       slice(orders, 0).write.format(fmt).option("path", path)
@@ -393,14 +401,7 @@ object LakehouseQueries {
     * threshold subquery. */
   val qSqlUpdate = QueryDef("q_sql_update",
     (spark, dir) => {
-      val cat = "graft_lake"
-      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
-      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
-      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val path = s"$warehouse/sf/$tbl"
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val (cat, tbl, path) = catalogTable(spark)
       val orders = Tables.orders(spark, dir)
       slice(orders, 0).write.format(fmt).option("path", path)
         .mode("append").save()
@@ -480,14 +481,7 @@ object LakehouseQueries {
     * COW twin — both modes must produce the identical table. */
   val qSqlUpdateDv = QueryDef("q_sql_update_dv",
     (spark, dir) => {
-      val cat = "graft_lake"
-      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
-      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
-      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val path = s"$warehouse/sf/$tbl"
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val (cat, tbl, path) = catalogTable(spark)
       val orders = Tables.orders(spark, dir)
       slice(orders, 0).write.format(fmt).option("path", path)
         .mode("append").save()
@@ -534,14 +528,7 @@ object LakehouseQueries {
     * deleted set from `orders` directly. */
   val qSqlDeleteDv = QueryDef("q_sql_delete_dv",
     (spark, dir) => {
-      val cat = "graft_lake"
-      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
-      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
-      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val path = s"$warehouse/sf/$tbl"
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val (cat, tbl, path) = catalogTable(spark)
       val orders = Tables.orders(spark, dir)
       slice(orders, 0).write.format(fmt).option("path", path)
         .mode("append").save()
@@ -597,14 +584,7 @@ object LakehouseQueries {
     * `q_dsv2_merge`, now reachable as ONE SQL statement. */
   val qSqlMerge = QueryDef("q_sql_merge",
     (spark, dir) => {
-      val cat = "graft_lake"
-      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
-      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
-      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val path = s"$warehouse/sf/$tbl"
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val (cat, tbl, path) = catalogTable(spark)
       val orders = Tables.orders(spark, dir)
       slice(orders, 0).write.format(fmt).option("path", path)
         .mode("append").save()
@@ -649,14 +629,7 @@ object LakehouseQueries {
     * hash. */
   val qSqlRewriteDeletes = QueryDef("q_sql_rewrite_deletes",
     (spark, dir) => {
-      val cat = "graft_lake"
-      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
-      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
-      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val path = s"$warehouse/sf/$tbl"
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val (cat, tbl, path) = catalogTable(spark)
       val orders = Tables.orders(spark, dir)
       slice(orders, 0).write.format(fmt).option("path", path)
         .mode("append").save()
@@ -773,14 +746,7 @@ object LakehouseQueries {
     * readable (empty) travel target. */
   val qSqlCtas = QueryDef("q_sql_ctas",
     (spark, dir) => {
-      val cat = "graft_lake"
-      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
-      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
-      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val path = s"$warehouse/sf/$tbl"
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val (cat, tbl, path) = catalogTable(spark)
       Tables.orders(spark, dir).createOrReplaceTempView("orders_src")
       spark.sql(s"""CREATE TABLE $cat.sf.$tbl AS
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -812,14 +778,7 @@ object LakehouseQueries {
     * `documents` under the new names. */
   val qSqlRenameColumn = QueryDef("q_sql_rename_column",
     (spark, dir) => {
-      val cat = "graft_lake"
-      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
-      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
-      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val path = s"$warehouse/sf/$tbl"
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val (cat, tbl, path) = catalogTable(spark)
       val docs = Tables.documents(spark, dir)
         .select("doc_id", "lang", "source", "n_chars")
       docs.filter(pmod(col("doc_id"), lit(3)) < 2)
@@ -868,14 +827,7 @@ object LakehouseQueries {
     * integer algebra. */
   val qSqlPartitioned = QueryDef("q_sql_partitioned",
     (spark, dir) => {
-      val cat = "graft_lake"
-      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
-      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
-      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
-      val tbl = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val path = s"$warehouse/sf/$tbl"
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      val (cat, tbl, path) = catalogTable(spark)
       spark.sql(s"""CREATE TABLE $cat.sf.$tbl
         (doc_id BIGINT, lang STRING, n_chars BIGINT)
         PARTITIONED BY (lang)""")

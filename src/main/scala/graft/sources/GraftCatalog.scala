@@ -125,10 +125,20 @@ class GraftCatalog extends TableCatalog
     val (rels, _) = GraftTableLog.readSnapshot(p, v)
     val files = GraftTableLog.resolveAll(p, rels)
     // an EMPTY version (post-TRUNCATE) is a legitimate travel target:
-    // zero rows under the schema the table carries elsewhere
-    val fs = new Path(p).getFileSystem(conf)
-    val schemaSrc = files
-      .map(f => fs.getFileStatus(new Path(f)))
+    // zero rows under the schema the table carries elsewhere. The
+    // newest file OF THIS VERSION comes from the two bulk listings the
+    // planner already pays — never one getFileStatus RPC per file,
+    // which would stall a 50k-file snapshot load on an object store
+    // URI-path normalization on BOTH sides: listings come back
+    // scheme-qualified (file:/…) while resolveAll builds plain paths —
+    // a raw string compare would silently match nothing and fall back
+    // to the LIVE newest file, breaking era-correct schemas
+    def norm(x: String): String = new Path(x).toUri.getPath
+    val wanted = files.map(norm).toSet
+    val schemaSrc = ((try GraftParquetV2.listFileStatuses(p) catch {
+      case _: java.io.FileNotFoundException => Nil
+    }) ++ GraftTableLog.archivedStatuses(p))
+      .filter(st => wanted.contains(norm(st.getPath.toString)))
       .sortBy(st => (st.getModificationTime, st.getPath.getName))
       .lastOption.map(_.getPath.toString).getOrElse(schemaFile(p))
     new GraftParquetTable(p,
@@ -242,17 +252,8 @@ class GraftCatalog extends TableCatalog
     val p = existing(ident)
     def currentSchema = GraftParquetV2.sparkSchema(
       GraftParquetV2.footerSchema(schemaFile(p)))
-    // physical names any LIVE file still carries — the collision set
-    // for ADD/RENAME targets (footer reads, DDL-time only)
-    def livePhysicalNames: Set[String] =
-      (try GraftParquetV2.listFiles(p) catch {
-        case _: java.io.FileNotFoundException => Nil
-      }).flatMap { f =>
-        import scala.jdk.CollectionConverters._
-        GraftParquetV2.footerSchema(f).getFields.asScala.map(_.getName)
-      }.toSet
     def refuseCollision(name: String, what: String): Unit =
-      require(!livePhysicalNames.contains(name),
+      require(!GraftCatalog.livePhysicalNames(p).contains(name),
         s"graft catalog: $what '$name' collides with a physical column " +
           s"some live data file of $ident still carries — values under " +
           "that name would leak across field identities; compact the " +
@@ -270,9 +271,7 @@ class GraftCatalog extends TableCatalog
             "positions would reorder a schema that lives in data files")
         val name = add.fieldNames()(0)
         val cur = currentSchema
-        require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
-          s"graft catalog: column $name already exists in $ident")
-        refuseCollision(name, "ADD COLUMN")
+        GraftCatalog.checkAddableColumn(p, name, cur)
         // versioned like every other commit, so the alter is
         // time-travel-visible (newest mtime -> the carrier IS the
         // schema source)
@@ -539,7 +538,8 @@ object GraftCatalog {
       .build()
     w.close() // zero rows: the footer schema is the payload
     GraftParquetWrite.commitMetadata(p,
-      GraftParquetWrite.rawManifestEntries(p), writeId)
+      GraftParquetWrite.rawManifestEntries(p), writeId,
+      dvMaybeStale = false) // a carrier adds one empty file
   }
 
   /** Table-root sidecar holding the CREATE TABLE … PARTITIONED BY
@@ -551,11 +551,49 @@ object GraftCatalog {
     * it is addressed. */
   val PartSpecFile = "_graft_partition_spec"
 
-  /** Table-root RENAME LEDGER: one `old\tnew` line per RENAME COLUMN,
-    * append-ordered — the whole column-mapping story in one tiny
-    * sidecar. Data files keep the physical name of their era; readers
-    * resolve through [[readAliases]]. */
+  /** Table-root RENAME LEDGER: a DIRECTORY of one tiny file per
+    * RENAME COLUMN (`r%06d.rename`, content `old\tnew`), ordered by
+    * name — the whole column-mapping story, with the same
+    * exclusive-create discipline as every other metadata mutation in
+    * the format: each rename CLAIMS its ordinal atomically, nothing is
+    * ever rewritten in place, and a crash mid-rename leaves at worst
+    * an unreferenced claim — never a truncated history (the
+    * read-modify-overwrite it replaces could zero the ledger and
+    * silently null-fill every pre-rename column). Data files keep the
+    * physical name of their era; readers resolve through
+    * [[readAliases]]. */
   val RenamesFile = "_graft_renames"
+
+  /** Physical column names ANY live data file still carries — the
+    * collision set for ADD/RENAME targets (footer reads, DDL-scale). */
+  def livePhysicalNames(p: String): Set[String] =
+    (try GraftParquetV2.listFiles(p) catch {
+      case _: java.io.FileNotFoundException => Nil
+    }).flatMap { f =>
+      import scala.jdk.CollectionConverters._
+      GraftParquetV2.footerSchema(f).getFields.asScala.map(_.getName)
+    }.toSet
+
+  /** Loud validation that `name` is ADDABLE to the table at `p` under
+    * current schema `cur` — shared by ALTER TABLE ADD COLUMN and
+    * [[GraftMaintenance.merge]]'s `mergeSchema=true` evolution, so the
+    * two routes enforce identical field-identity guarantees:
+    * case-insensitive uniqueness, reserved metadata names, and no
+    * collision with a physical name some live file still carries
+    * (values under that name would leak across field identities). */
+  def checkAddableColumn(p: String, name: String,
+      cur: StructType): Unit = {
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"graft catalog: column $name already exists (case-insensitive) " +
+        s"in the table at $p")
+    require(!GraftMeta.names(name),
+      s"graft catalog: $name is a reserved metadata column name")
+    require(!livePhysicalNames(p).contains(name),
+      s"graft catalog: new column '$name' collides with a physical " +
+        s"column some live data file of $p still carries — values under " +
+        "that name would leak across field identities; compact the " +
+        "table (rewriting files under current names) first")
+  }
 
   private val aliasCache = new java.util.concurrent.ConcurrentHashMap[
     String, Map[String, Seq[String]]]()
@@ -563,24 +601,47 @@ object GraftCatalog {
   private[sources] def invalidateAliases(p: String): Unit =
     aliasCache.remove(p)
 
-  /** Append one rename line (read-modify-write of the tiny ledger —
-    * DDL is single-writer like every other metadata mutation). */
+  /** Append one rename as its own EXCLUSIVELY-created ledger entry —
+    * the atomic-claim discipline; a lost claim (concurrent DDL)
+    * retries at the next ordinal. */
   def appendRename(p: String, from: String, to: String,
       conf: org.apache.hadoop.conf.Configuration): Unit = {
-    val f = new Path(p, RenamesFile)
-    val fs = f.getFileSystem(conf)
-    val prior =
-      if (!fs.exists(f)) ""
-      else {
-        val in = fs.open(f)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
+    val dir = new Path(p, RenamesFile)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    var claimed = false
+    var attempt = 0
+    while (!claimed) {
+      val n = fs.listStatus(dir).count(_.getPath.getName.endsWith(".rename"))
+      val entry = new Path(dir, f"r$n%06d.rename")
+      try {
+        val out = fs.create(entry, false) // exclusive: the claim
+        try out.write(s"$from\t$to\n".getBytes("UTF-8"))
+        finally out.close()
+        claimed = true
+      } catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt > 20) throw new IllegalStateException(
+            s"graft catalog: lost the rename-ledger claim 20 times " +
+              s"under $p — giving up", e)
       }
-    val out = fs.create(f, true)
-    try out.write((prior + s"$from\t$to\n").getBytes("UTF-8"))
-    finally out.close()
+    }
     invalidateAliases(p)
   }
+
+  /** The ledger's rename lines in order (name-sorted entries). */
+  private def renameLines(dir: Path,
+      fs: org.apache.hadoop.fs.FileSystem): List[String] =
+    fs.listStatus(dir).toList
+      .filter(_.getPath.getName.endsWith(".rename"))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList.filter(_.nonEmpty)
+        finally in.close()
+      }
 
   /** The table's ALIAS MAP: every name a column has EVER had → the
     * suffix of its physical-name chain from that name backwards,
@@ -600,11 +661,7 @@ object GraftCatalog {
       val fs = f.getFileSystem(conf)
       if (!fs.exists(f)) Map.empty
       else {
-        val in = fs.open(f)
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().toList
-          finally in.close()
+        val lines = renameLines(f, fs)
         // chains keyed by CURRENT name, newest-first
         val chains = collection.mutable.LinkedHashMap.empty[String, List[String]]
         lines.filter(_.nonEmpty).foreach { line =>

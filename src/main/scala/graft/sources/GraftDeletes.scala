@@ -62,7 +62,10 @@ object GraftDeletes {
     StructField("file", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 
-  private def conf = new Configuration()
+  // driver-side sidecar I/O: the session's Hadoop conf, so
+  // spark.hadoop.* settings (object-store credentials) reach the DV
+  // reads exactly like the data reads
+  private def conf = GraftParquetWrite.sessionConf()
 
   private def dvDir(table: String) = new Path(table, DeletesDir)
 
@@ -124,18 +127,26 @@ object GraftDeletes {
     }
   }
 
-  /** Write one DV parquet at `out` from (basename, pos) rows — shared
-    * by the delta writer's task commit (staging) and tests. The rows
-    * need not be sorted; the reader sorts at load. */
-  def writeDvFile(out: Path, rows: Iterator[(String, Long)],
-      hadoopConf: Configuration = conf): Long = {
+  /** THE single construction point for a DV parquet writer (schema +
+    * codec) — the delta writer streams rows through it per task,
+    * [[writeDvFile]] batches; a format change cannot diverge the two. */
+  def openDvWriter(out: Path, hadoopConf: Configuration)
+      : (org.apache.parquet.hadoop.ParquetWriter[
+          org.apache.parquet.example.data.Group], SimpleGroupFactory) = {
     val mt = GraftParquetWrite.messageType(dvSchema)
-    val factory = new SimpleGroupFactory(mt)
     val w = ExampleParquetWriter
       .builder(HadoopOutputFile.fromPath(out, hadoopConf))
       .withType(mt)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
+    (w, new SimpleGroupFactory(mt))
+  }
+
+  /** Write one DV parquet at `out` from (basename, pos) rows. The rows
+    * need not be sorted; the reader sorts at load. */
+  def writeDvFile(out: Path, rows: Iterator[(String, Long)],
+      hadoopConf: Configuration = conf): Long = {
+    val (w, factory) = openDvWriter(out, hadoopConf)
     var n = 0L
     try rows.foreach { case (f, p) =>
       val g = factory.newGroup()

@@ -6,9 +6,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.ParquetWriter
-import org.apache.parquet.hadoop.example.ExampleParquetWriter
-import org.apache.parquet.hadoop.metadata.CompressionCodecName
-import org.apache.parquet.hadoop.util.HadoopOutputFile
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -170,7 +167,8 @@ class GraftDeltaWrite(path: String, tableSchema: StructType)
     //    their own footer stats, and the snapshot pins the grown DV set
     val entries = GraftParquetWrite.rawManifestEntries(path) ++
       msgs.flatMap(_.stats)
-    GraftParquetWrite.commitMetadata(path, entries, writeId)
+    GraftParquetWrite.commitMetadata(path, entries, writeId,
+      dvMaybeStale = false) // adds DVs and images, removes nothing
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -210,15 +208,11 @@ class GraftDeltaWriter(path: String, schema: StructType, writeId: String,
     // keys on (full paths would break across live→archive moves)
     val base = full.substring(full.lastIndexOf('/') + 1)
     if (dvWriter == null) {
-      val mt = GraftParquetWrite.messageType(GraftDeletes.dvSchema)
-      dvFactory = new SimpleGroupFactory(mt)
-      dvWriter = ExampleParquetWriter
-        .builder(HadoopOutputFile.fromPath(
-          new Path(new Path(staging, "_dv"), dvName),
-          new org.apache.hadoop.conf.Configuration()))
-        .withType(mt)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
+      val (w, factory) = GraftDeletes.openDvWriter(
+        new Path(new Path(staging, "_dv"), dvName),
+        new org.apache.hadoop.conf.Configuration())
+      dvWriter = w
+      dvFactory = factory
     }
     val g = dvFactory.newGroup()
     g.add(0, base); g.add(1, pos)

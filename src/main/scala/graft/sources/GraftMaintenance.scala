@@ -422,22 +422,18 @@ object GraftMaintenance {
         s"[${extras.map(_.name).mkString(", ")}] — pass mergeSchema=true " +
         "to auto-evolve the table schema (ADD COLUMN), or drop them " +
         "explicitly; silently discarding shipped data is refused")
-    val df =
-      if (extras.isEmpty) df0
-      else {
-        // widen FIRST (a committed, time-travel-visible version of its
-        // own), then read under the widened schema — old files null-fill
-        val widened = org.apache.spark.sql.types.StructType(
-          df0.schema.fields ++
-            extras.map(f => org.apache.spark.sql.types.StructField(
-              f.name, f.dataType, nullable = true)))
-        GraftParquetWrite.messageType(widened) // validate before committing
-        GraftCatalog.commitSchemaCarrier(table, widened, conf)
-        spark.read.format("graft.sources.GraftParquetTableProvider")
-          .schema(widened).option("path", table).load()
-      }
-    val src = source.select(df.schema.fieldNames.map(col).toSeq: _*)
-    val keyStats = src.agg(
+    // EVERY refusal fires before the schema-widening carrier commits —
+    // a refused merge must not leave a mutated table behind. The new
+    // columns go through the SAME validation as ALTER TABLE ADD COLUMN
+    // (case-insensitive uniqueness, reserved names, live-physical
+    // collision — the field-identity guard a renamed-but-uncompacted
+    // table depends on).
+    extras.foreach(f =>
+      GraftCatalog.checkAddableColumn(table, f.name, df0.schema))
+    require(extras.map(_.name.toLowerCase).distinct.length == extras.length,
+      s"graft merge: case-duplicate new columns " +
+        s"[${extras.map(_.name).mkString(", ")}]")
+    val keyStats = source.agg(
       org.apache.spark.sql.functions.count(lit(1)).as("n"),
       org.apache.spark.sql.functions.count(col(keyCol)).as("nk"),
       org.apache.spark.sql.functions
@@ -449,6 +445,21 @@ object GraftMaintenance {
       s"graft merge: duplicate source keys — ambiguous merge refused")
     if (keyStats.getLong(0) == 0L)
       return GraftTableLog.latestVersion(table).getOrElse(0L)
+    val df =
+      if (extras.isEmpty) df0
+      else {
+        // widen (a committed, time-travel-visible version of its own),
+        // then read under the widened schema — old files null-fill
+        val widened = org.apache.spark.sql.types.StructType(
+          df0.schema.fields ++
+            extras.map(f => org.apache.spark.sql.types.StructField(
+              f.name, f.dataType, nullable = true)))
+        GraftParquetWrite.messageType(widened) // validate before committing
+        GraftCatalog.commitSchemaCarrier(table, widened, conf)
+        spark.read.format("graft.sources.GraftParquetTableProvider")
+          .schema(widened).option("path", table).load()
+      }
+    val src = source.select(df.schema.fieldNames.map(col).toSeq: _*)
     val cond = col(keyCol).between(lit(keyStats.get(3)), lit(keyStats.get(4)))
     val candidates = plannedFiles(df.filter(cond))
     val partCols = GraftParquetV2

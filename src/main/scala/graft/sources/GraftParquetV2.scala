@@ -71,7 +71,7 @@ class GraftParquetTableProvider extends TableProvider {
       // the rename ledger rides with the TABLE, so the raw path route
       // resolves renamed columns exactly like the catalog route
       aliases = GraftCatalog.readAliases(properties.get("path"),
-        new org.apache.hadoop.conf.Configuration()))
+        GraftParquetWrite.sessionConf()))
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -558,7 +558,7 @@ case class GraftParquetScan(path: String, required: StructType,
         "deletion vectors — an append-only stream cannot represent row " +
         "deletes; compact the table to fold them in first")
     new GraftMicroBatchStream(path, required, pushed, streamMaxFiles,
-      streamStartVersion)
+      streamStartVersion, aliases)
   }
 
   /** Planner-visible size: without this, a V2 relation defaults to
@@ -891,7 +891,10 @@ object GraftFileSetOffset {
   * admission control honors `maxFilesPerTrigger`. */
 class GraftMicroBatchStream(path: String, required: StructType,
     pushed: Array[Filter], maxFilesPerTrigger: Option[Int],
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    // RENAME COLUMN alias chains — the stream's readers resolve per
+    // file exactly like batch, or pre-rename files would null-fill
+    aliases: Map[String, Seq[String]] = Map.empty)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def snapshot(): Seq[String] = GraftParquetV2.listFiles(path).sorted
@@ -966,7 +969,7 @@ class GraftMicroBatchStream(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftPartitionReaderFactory(required, pushed, -1, None, Nil,
-      new GraftRuntimeFilterHolder, None)
+      new GraftRuntimeFilterHolder, None, aliases)
 
   override def deserializeOffset(json: String): Offset =
     GraftFileSetOffset.fromJson(json)
@@ -1838,12 +1841,6 @@ object GraftParquetV2 {
     * NO footer reads, so planning stays O(files) cheap at any scale). */
   def totalFileBytes(path: String): Long =
     listFileStatuses(path).map(_.getLen).sum
-
-  def firstFile(path: String): String = {
-    val fs = listFiles(path)
-    require(fs.nonEmpty, s"graft parquet v2: no parquet files under $path")
-    fs.head
-  }
 
   /** Schema-inference source: the NEWEST-mtime live file (name
     * tie-break) — add-column evolution (ALTER, MERGE mergeSchema)

@@ -215,7 +215,8 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     if (committed.nonEmpty) {
       val entries = GraftParquetWrite.rawManifestEntries(path) ++
         committed.flatMap(_._2)
-      GraftParquetWrite.commitMetadata(path, entries, s"$writeId-$epochId")
+      GraftParquetWrite.commitMetadata(path, entries, s"$writeId-$epochId",
+        dvMaybeStale = false) // epoch appends only ADD files
     }
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
@@ -300,7 +301,8 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
       else GraftParquetWrite.rawManifestEntries(path)
         .filterNot(e => deleted.contains(e.file))
     GraftParquetWrite.commitMetadata(path,
-      prior ++ committed.flatMap(_._2), writeId)
+      prior ++ committed.flatMap(_._2), writeId,
+      dvMaybeStale = truncate) // appends only ADD files
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -595,7 +597,14 @@ object GraftParquetWrite {
     * drop-in, a parquetWithStats seed) enter the history at the next
     * commit instead of vanishing from it. */
   def commitMetadata(path: String, entries: Seq[GraftManifestEntry],
-      writeId: String): Unit = {
+      writeId: String,
+      // whether this commit could have STRANDED a deletion-vector
+      // sidecar (it removed files from the live set — overwrite,
+      // COW rewrite, compaction). Pure appends/carriers/delta commits
+      // pass false: staleness is monotone and appends only ADD live
+      // basenames, so re-reading every sidecar per epoch would be
+      // all cost, no signal. Default true = conservative.
+      dvMaybeStale: Boolean = true): Unit = {
     // OPTIMISTIC version claim (concurrent APPENDS commit safely):
     // the snapshot's exclusive create is the claim; a loser re-lists —
     // now seeing the winner's renamed files, which enter its snapshot
@@ -634,8 +643,10 @@ object GraftParquetWrite {
         // (a rewrite read through them, so their deletes are
         // materialized), then record the surviving live DV set in the
         // snapshot — the version's merge-on-read deletes, pinned
-        val liveBase = rels.map(r => new Path(r).getName).toSet
-        GraftDeletes.archiveFullyStale(path, liveBase)
+        if (dvMaybeStale) {
+          val liveBase = rels.map(r => new Path(r).getName).toSet
+          GraftDeletes.archiveFullyStale(path, liveBase)
+        }
         val dvRels = GraftDeletes.liveDvRels(path)
         if (GraftTableLog.latestVersion(path).getOrElse(0L) == v0) {
           try {

@@ -184,6 +184,56 @@ class SchemaEvolutionSpec extends SparkSpec {
       graft.sources.GraftParquetTable.ModeConf, "copy-on-write")
   }
 
+  test("a refused merge leaves NO schema change behind; evolution obeys ADD COLUMN guards") {
+    val p = mkCatTable("m1")
+    spark.sql(s"ALTER TABLE $cat.corp.m1 RENAME COLUMN n_chars TO cc")
+    val versionsBefore = GraftTableLog.versions(p)
+    val schemaBefore = spark.sql(s"SELECT * FROM $cat.corp.m1")
+      .schema.fieldNames.toSeq
+    // (1) duplicate source keys + a new column: the key refusal must
+    // fire BEFORE the widening carrier commits — a failed merge must
+    // not mutate the table (the Delta-atomicity contract)
+    val dup = docs.limit(2).withColumnRenamed("n_chars", "cc")
+      .withColumn("doc_id", lit(1L)).withColumn("fresh", lit(9L))
+    val e1 = intercept[IllegalArgumentException](
+      GraftMaintenance.merge(spark, p, dup, "doc_id", mergeSchema = true))
+    assert(e1.getMessage.contains("duplicate"))
+    assert(GraftTableLog.versions(p) == versionsBefore,
+      "a refused merge must commit nothing")
+    assert(spark.sql(s"SELECT * FROM $cat.corp.m1")
+      .schema.fieldNames.toSeq == schemaBefore)
+    // (2) an evolved column named like a LIVE PHYSICAL column (the
+    // pre-rename n_chars) would leak old values into a new field —
+    // the same guard as ALTER TABLE ADD COLUMN refuses it
+    val leak = docs.limit(2).withColumnRenamed("n_chars", "cc")
+      .withColumn("n_chars", lit(0L))
+    val e2 = intercept[IllegalArgumentException](
+      GraftMaintenance.merge(spark, p, leak, "doc_id", mergeSchema = true))
+    assert(e2.getMessage.contains("compact"))
+    // (3) reserved metadata names refuse too
+    val meta = docs.limit(2).withColumnRenamed("n_chars", "cc")
+      .withColumn("_graft_pos", lit(0L))
+    val e3 = intercept[IllegalArgumentException](
+      GraftMaintenance.merge(spark, p, meta, "doc_id", mergeSchema = true))
+    assert(e3.getMessage.contains("reserved"))
+  }
+
+  test("rename ledger entries are atomic claims - chained renames survive") {
+    val p = mkCatTable("m2")
+    spark.sql(s"ALTER TABLE $cat.corp.m2 RENAME COLUMN n_chars TO a1")
+    spark.sql(s"ALTER TABLE $cat.corp.m2 RENAME COLUMN lang TO l1")
+    // ledger = one exclusively-created file per rename, name-ordered
+    val dir = new org.apache.hadoop.fs.Path(p,
+      graft.sources.GraftCatalog.RenamesFile)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(dir).map(_.getPath.getName).sorted.toSeq
+    assert(entries == Seq("r000000.rename", "r000001.rename"))
+    val got = spark.sql(s"SELECT sum(a1) FROM $cat.corp.m2").head.getLong(0)
+    assert(got == docs.agg(sum("n_chars")).head.getLong(0))
+    assert(spark.sql(s"SELECT count(l1) FROM $cat.corp.m2")
+      .head.getLong(0) == docs.count())
+  }
+
   test("provider schema inference tracks the newest generation") {
     val p = scratch()
     docs.write.format(fmt).option("path", p).mode("append").save()
