@@ -91,7 +91,8 @@ class GraftCatalog extends TableCatalog
     val live = try GraftParquetV2.listFileStatuses(p) catch {
       case _: java.io.FileNotFoundException => Nil
     }
-    (live ++ (if (live.isEmpty) GraftTableLog.archivedStatuses(p) else Nil))
+    (live ++ (if (live.isEmpty) GraftParquetV2.archivedDataStatuses(p)
+      else Nil))
       .sortBy(st => (st.getModificationTime, st.getPath.getName))
       .lastOption.map(_.getPath.toString)
       .getOrElse(throw new IllegalStateException(

@@ -1848,12 +1848,34 @@ object GraftParquetV2 {
     * newest footer carries the widest view. The lexically-first file
     * could be an old narrow one and would hide evolved columns from
     * raw path-based reads (the catalog's schemaFile already picked
-    * newest; this aligns the provider). */
+    * newest; this aligns the provider). An EMPTY head (post-TRUNCATE)
+    * falls back to the newest ARCHIVED file — the table had a schema
+    * once and the archive still holds it, exactly the catalog's rule;
+    * a raw-path read of a truncated table then yields its zero rows
+    * under the schema as truncated instead of refusing. */
   def schemaSourceFile(path: String): String = {
-    val sts = listFileStatuses(path)
-    require(sts.nonEmpty, s"graft parquet v2: no parquet files under $path")
-    sts.sortBy(st => (st.getModificationTime, st.getPath.getName))
-      .last.getPath.toString
+    val live = try listFileStatuses(path) catch {
+      case _: java.io.FileNotFoundException => Nil
+    }
+    (live ++ (if (live.isEmpty) archivedDataStatuses(path) else Nil))
+      .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .lastOption.map(_.getPath.toString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft parquet v2: no parquet files under $path"))
+  }
+
+  /** Archived DATA files only — the archive also holds folded
+    * deletion-vector sidecars under `_graft_deletes/`, whose (file,
+    * pos) schema must never be mistaken for the table's (the
+    * post-truncate schema fallback reads the newest archived file). */
+  private[sources] def archivedDataStatuses(path: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val dvPrefix = GraftDeletes.DeletesDir + "/"
+    GraftTableLog.archivedStatuses(path).filterNot { st =>
+      val archRoot = new Path(new Path(path), GraftTableLog.ArchiveDir)
+      GraftTableLog.relativize(archRoot.toString, st.getPath.toString)
+        .startsWith(dvPrefix)
+    }
   }
 
   def footerSchema(file: String): MessageType = {

@@ -316,6 +316,47 @@ class DeletionVectorSpec extends SparkSpec {
     assert(head.count() == allIds.length)
   }
 
+  test("changesSince ALLOWS appends after a MOR delete (DV set pinned equal)") {
+    val p = mkTable("c2")
+    withMor {
+      spark.sql(s"DELETE FROM $cat.corp.c2 WHERE doc_id = ${allIds.head}")
+    }
+    val vDv = GraftTableLog.latestVersion(p).get
+    docs.limit(0) // no-op guard
+    docs.filter(col("doc_id") < 0).count() // force nothing
+    // an APPEND after the delete: dv sets of (vDv, vDv+1) are equal,
+    // so the file-level feed is sound and carries exactly the new file
+    spark.range(1).select(lit(-7L).as("doc_id"), lit("zz").as("lang"),
+      lit(1L).as("n_chars"))
+      .write.format(fmt).option("path", p).mode("append").save()
+    val vAfter = GraftTableLog.latestVersion(p).get
+    val delta = spark.read.format(fmt).option("path", p)
+      .option("changesSince", vDv.toString)
+      .option("changesUntil", vAfter.toString).load().collect()
+    assert(delta.length == 1 && delta.head.getLong(0) == -7L)
+  }
+
+  test("TRUNCATE folds DVs; pre-truncate time travel still applies them") {
+    val p = mkTable("t1")
+    val victim = allIds.head
+    withMor {
+      spark.sql(s"DELETE FROM $cat.corp.t1 WHERE doc_id = $victim")
+    }
+    val vDv = GraftTableLog.latestVersion(p).get
+    spark.sql(s"TRUNCATE TABLE $cat.corp.t1")
+    // every data file archived -> the sidecar is fully stale and the
+    // truncate commit's GC archives it
+    assert(GraftDeletes.liveDvFiles(p).isEmpty,
+      "truncate must strand-collect the sidecar")
+    assert(spark.read.format(fmt).option("path", p).load().count() == 0)
+    // the DV'd version still reads correctly from the archive,
+    // archived DV applied
+    val pinned = spark.read.format(fmt).option("path", p)
+      .option("versionAsOf", vDv.toString).load()
+    assert(pinned.count() == allIds.length - 1)
+    assert(pinned.filter(col("doc_id") === victim).count() == 0)
+  }
+
   test("streaming read refuses a table with live deletion vectors") {
     val p = mkTable("s1")
     withMor {
