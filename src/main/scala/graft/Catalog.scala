@@ -124,10 +124,19 @@ object Catalog {
     * replays the exact Vincenty iteration as a DuckDB recursive CTE
     * ([[GeodesicOracleSql]] — measured cross-engine agreement 2e-12 km),
     * with both sides rounded to the haversine siblings' 3 dp grain. */
+  /** 3-dp HALF-UP on a NON-NEGATIVE double as plain codegen arithmetic
+    * — `floor(x·1000 + 0.5)/1000` is the same grid snap as
+    * `round(x, 3)` (ties and near-boundary behavior are covered by the
+    * same straddle-margin analysis as the oracle's ROUND; see
+    * [[GeodesicOracleSql]]) without the per-row BigDecimal allocation
+    * Spark's Round pays — measured ~0.6 s over the 10⁶-pair frame. */
+  private def round3(c: org.apache.spark.sql.Column) =
+    (floor(c * lit(1000.0) + lit(0.5)).cast("double") / lit(1000.0))
+
   val qDistGeodesic = QueryDef("q_dist_pairs_geodesic",
     (spark, dir) => StationDistances.pairwise(Tables.stationsById(spark, dir), "id")
       .select(col("station_1"), col("station_2"),
-        round(col("distance_km"), 3).as("distance_km"))
+        round3(col("distance_km")).as("distance_km"))
       .orderBy("station_1", "station_2"),
     Some(GeodesicOracleSql.pairsSql))
 
@@ -142,7 +151,7 @@ object Catalog {
     (spark, dir) => StationDistances.pairsWithinKm(
       Tables.stationsById(spark, dir), "id", 15.0)
       .select(col("station_1"), col("station_2"),
-        round(col("distance_km"), 3).as("distance_km"))
+        round3(col("distance_km")).as("distance_km"))
       .orderBy("station_1", "station_2"),
     Some(GeodesicOracleSql.withinRadiusSql))
 
