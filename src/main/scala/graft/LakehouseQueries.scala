@@ -762,6 +762,47 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
 
+  /** SQL `MERGE … WITH SCHEMA EVOLUTION` under the hash gate: Spark's
+    * NATIVE evolution syntax, gated on the connector advertising
+    * `TableCapability.AUTOMATIC_SCHEMA_EVOLUTION` — the analyzer routes
+    * the source's extra column through the catalog's ALTER TABLE ADD
+    * COLUMN (the SAME guarded path as the Scala API's
+    * `mergeSchema=true`), then plans the row-level merge against the
+    * widened table. Same tri-state oracle as
+    * [[qMergeSchemaEvolution]]: merged/inserted rows carry the new
+    * column, untouched rows read NULL. One SQL statement end to end. */
+  val qSqlMergeEvolution = QueryDef("q_sql_merge_evolution",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("append").save()
+      def withBatch(k: Int) = slice(orders, k)
+        .withColumn("o_batchkey", col("o_orderkey") * 10)
+      val updates = withBatch(0)
+        .filter(pmod(col("o_orderkey"), lit(8)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      updates.unionByName(withBatch(1))
+        .createOrReplaceTempView("mse_src")
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.sf.$tbl t
+        USING mse_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val head = spark.read.format(fmt).option("path", path).load()
+      require(head.schema.fieldNames.contains("o_batchkey"),
+        "WITH SCHEMA EVOLUTION must widen the table")
+      head.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"),
+          count(col("o_batchkey")).as("n_extra"),
+          sum(col("o_batchkey")).as("sum_extra"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    qMergeSchemaEvolution.oracle)
+
   /** SQL `ALTER TABLE … RENAME COLUMN` / `DROP COLUMN` under the hash
     * gate ([[graft.sources.GraftCatalog.alterTable]]): field identity
     * is the PHYSICAL-NAME CHAIN — data files keep the name of their
@@ -966,7 +1007,7 @@ object LakehouseQueries {
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
       qSqlUpdateDv, qSqlDeleteDv, qSqlRewriteDeletes,
-      qMergeSchemaEvolution, qSqlRenameColumn,
+      qMergeSchemaEvolution, qSqlMergeEvolution, qSqlRenameColumn,
       qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion,
       qStreamCatalogTable)
 }

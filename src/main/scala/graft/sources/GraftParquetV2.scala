@@ -127,7 +127,12 @@ class GraftParquetTable(path: String, tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ,
+      // SQL `MERGE … WITH SCHEMA EVOLUTION`: Spark's analyzer then
+      // routes the source's extra columns through the catalog's
+      // alterTable ADD COLUMN — the same guarded path as the Scala
+      // API's mergeSchema=true ([[GraftCatalog.checkAddableColumn]])
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time-travel read options, resolved against the table's version
     // log ([[GraftTableLog]]): `versionAsOf` pins a snapshot;

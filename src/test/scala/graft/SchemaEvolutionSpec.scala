@@ -262,6 +262,36 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(p.nonEmpty)
   }
 
+  test("SQL MERGE WITH SCHEMA EVOLUTION widens via the guarded ADD COLUMN path") {
+    val p = mkCatTable("q1")
+    docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("batch", col("doc_id") * 100)
+      .createOrReplaceTempView("sql_mse_src")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.corp.q1 t
+      USING sql_mse_src s ON t.doc_id = s.doc_id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val head = spark.sql(s"SELECT * FROM $cat.corp.q1")
+    assert(head.schema.fieldNames.contains("batch"))
+    assert(head.count() == docs.count())
+    assert(head.filter(col("batch").isNotNull).count() ==
+      docs.filter(col("doc_id") % 5 === 0).count())
+    // the evolution goes through checkAddableColumn: evolving onto a
+    // name a live file still carries physically (post-rename) refuses
+    // loudly instead of leaking old values
+    spark.sql(s"ALTER TABLE $cat.corp.q1 RENAME COLUMN n_chars TO cc")
+    docs.limit(3).withColumnRenamed("n_chars", "cc")
+      .withColumn("batch", lit(0L)).withColumn("n_chars", lit(1L))
+      .createOrReplaceTempView("sql_mse_leak")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.corp.q1 t
+        USING sql_mse_leak s ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET *"""))
+    assert(e.getMessage.contains("compact"),
+      s"expected the field-identity refusal, got: ${e.getMessage.take(200)}")
+    assert(p.nonEmpty)
+  }
+
   test("provider schema inference tracks the newest generation") {
     val p = scratch()
     docs.write.format(fmt).option("path", p).mode("append").save()
