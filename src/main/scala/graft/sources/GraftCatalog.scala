@@ -364,7 +364,7 @@ class GraftCatalog extends TableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
       Array("compact", "vacuum", "history", "ann_probe",
-        "rewrite_deletes").map(Identifier.of(SystemNs, _))
+        "rewrite_deletes", "detail").map(Identifier.of(SystemNs, _))
     else Array.empty
 
   private def tablePath(arg: String): String = {
@@ -447,6 +447,47 @@ class GraftCatalog extends TableCatalog
             new GenericInternalRow(Array[Any](h.version, h.files,
               h.rows.map(Long.box).orNull)))
         })
+      // one-row operational summary of a table's format state — the
+      // DESCRIBE DETAIL convention: the head version, live file/row
+      // counts, merge-on-read delete volume, rename-ledger depth, and
+      // the declared partition spec, all from metadata (no data reads)
+      case "detail" => new GraftProcedure("detail",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(
+          StructField("version", LongType, nullable = true),
+          StructField("files", IntegerType),
+          StructField("rows", LongType, nullable = true),
+          StructField("dv_files", IntegerType),
+          StructField("dv_positions", LongType),
+          StructField("renames", IntegerType),
+          StructField("partition_spec", StringType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val head = GraftTableLog.latestVersion(p)
+          val hist = GraftMaintenance.history(p)
+          val rows = head.flatMap(v =>
+            hist.find(_.version == v).flatMap(_.rows))
+          val dv = GraftDeletes.livePositions(p)
+          // ledger entries, not alias-map rows: the suffix map holds
+          // every chain suffix, which would overcount chained renames
+          val renames = {
+            val dir = new Path(p, GraftCatalog.RenamesFile)
+            val fs = dir.getFileSystem(new Configuration())
+            if (!fs.exists(dir)) 0
+            else fs.listStatus(dir)
+              .count(_.getPath.getName.endsWith(".rename"))
+          }
+          Seq(new GenericInternalRow(Array[Any](
+            head.map(Long.box).orNull,
+            GraftParquetV2.listFiles(p).size,
+            rows.map(Long.box).orNull,
+            dv.size,
+            dv.valuesIterator.map(_.length.toLong).sum,
+            renames,
+            UTF8String.fromString(
+              GraftCatalog.readPartSpec(p, new Configuration())
+                .mkString(",")))))
+        })
       // selective deletion-vector folding — rewrite ONLY the DV'd
       // files (cost ∝ DV'd files, not table size; the Iceberg
       // rewrite_position_deletes shape)
@@ -515,7 +556,7 @@ class GraftCatalog extends TableCatalog
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure '$other' — " +
           "available: compact, vacuum, history, ann_probe, " +
-          "rewrite_deletes")
+          "rewrite_deletes, detail")
     }
   }
 }

@@ -292,6 +292,36 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(p.nonEmpty)
   }
 
+  test("CALL system.detail reports the table's format state") {
+    val p = mkCatTable("dt1")
+    // pre-DDL: full stats coverage → exact row count
+    val r0 = spark.sql(
+      s"CALL $cat.system.detail(table => 'corp.dt1')").head
+    assert(r0.getLong(0) == GraftTableLog.versions(p).max)
+    assert(r0.getInt(1) == GraftParquetV2.listFiles(p).size)
+    assert(r0.getLong(2) == docs.count())
+    assert(r0.getInt(3) == 0 && r0.getLong(4) == 0L && r0.getInt(5) == 0)
+    spark.sql(s"ALTER TABLE $cat.corp.dt1 RENAME COLUMN n_chars TO cc")
+    spark.sql(s"ALTER TABLE $cat.corp.dt1 RENAME COLUMN cc TO cc2")
+    spark.conf.set(
+      graft.sources.GraftParquetTable.ModeConf, "merge-on-read")
+    try spark.sql(
+      s"DELETE FROM $cat.corp.dt1 WHERE doc_id IN (0, 2)")
+    finally spark.conf.set(
+      graft.sources.GraftParquetTable.ModeConf, "copy-on-write")
+    val r = spark.sql(
+      s"CALL $cat.system.detail(table => 'corp.dt1')").head
+    assert(r.getLong(0) == GraftTableLog.versions(p).max) // version
+    assert(r.getInt(1) == GraftParquetV2.listFiles(p).size) // files
+    // the rename carriers are zero-row files with no manifest stats, so
+    // the exact row count honestly degrades to NULL (history's rule)
+    assert(r.isNullAt(2))
+    assert(r.getInt(3) >= 1) // dv files
+    assert(r.getLong(4) == 2L) // dv positions
+    assert(r.getInt(5) == 2) // renames (chained: still 2 ledger entries)
+    assert(r.getString(6) == "") // no partition spec
+  }
+
   test("provider schema inference tracks the newest generation") {
     val p = scratch()
     docs.write.format(fmt).option("path", p).mode("append").save()
