@@ -357,6 +357,55 @@ class DeletionVectorSpec extends SparkSpec {
     assert(pinned.filter(col("doc_id") === victim).count() == 0)
   }
 
+  test("successive MOR deletes accumulate sidecars; overlapping positions dedupe") {
+    val p = mkTable("acc1")
+    val v1 = allIds(0)
+    val v2 = allIds(1)
+    withMor {
+      spark.sql(s"DELETE FROM $cat.corp.acc1 WHERE doc_id = $v1")
+      spark.sql(s"DELETE FROM $cat.corp.acc1 WHERE doc_id = $v2")
+      // re-deleting an already-deleted row: the scan excludes it, so
+      // the second statement matches nothing — no third sidecar
+      spark.sql(s"DELETE FROM $cat.corp.acc1 WHERE doc_id = $v1")
+    }
+    assert(GraftDeletes.liveDvFiles(p).size == 2,
+      "a no-match MOR delete must commit no sidecar")
+    assert(liveIds(p) == allIds.filterNot(Set(v1, v2)))
+    // even a HAND-WRITTEN duplicate position across sidecars dedupes
+    // at load (the defensive contract readPositions documents)
+    val dv = GraftDeletes.livePositions(p)
+    val (base, ps) = dv.head
+    GraftDeletes.writeDvFile(
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(p, GraftDeletes.DeletesDir),
+        "dv-dup-test.parquet"),
+      Iterator(base -> ps.head))
+    val merged = GraftDeletes.livePositions(p)
+    assert(merged(base).toSeq == merged(base).toSeq.sorted.distinct)
+    assert(spark.read.format(fmt).option("path", p).load().count() ==
+      allIds.length - 2, "duplicate positions must not over-delete")
+  }
+
+  test("snapshot DV pinning: each version applies exactly ITS delete set") {
+    val p = mkTable("pin1")
+    val victims = allIds.take(3)
+    val vBase = GraftTableLog.latestVersion(p).get
+    withMor {
+      victims.foreach(v =>
+        spark.sql(s"DELETE FROM $cat.corp.pin1 WHERE doc_id = $v"))
+    }
+    val head = GraftTableLog.latestVersion(p).get
+    assert(head == vBase + 3)
+    // version k after the base has exactly k deletes applied
+    (0 to 3).foreach { k =>
+      val n = spark.read.format(fmt).option("path", p)
+        .option("versionAsOf", (vBase + k).toString).load().count()
+      assert(n == allIds.length - k,
+        s"version ${vBase + k} must carry exactly $k deletes, saw " +
+          s"${allIds.length - n}")
+    }
+  }
+
   test("streaming read refuses a table with live deletion vectors") {
     val p = mkTable("s1")
     withMor {
