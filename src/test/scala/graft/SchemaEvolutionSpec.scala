@@ -322,6 +322,38 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(r.getString(6) == "") // no partition spec
   }
 
+  test("three-era rename chain: head reads all eras; mid-chain travel resolves backwards only") {
+    val p = s"$warehouse/corp/era1"
+    def gen(k: Int, colName: String) =
+      docs.filter(col("doc_id") % 3 === k)
+        .withColumnRenamed("n_chars", colName).coalesce(1)
+    gen(0, "n_chars").write.format(fmt).option("path", p)
+      .mode("append").save()                                  // era a
+    spark.sql(s"ALTER TABLE $cat.corp.era1 RENAME COLUMN n_chars TO b")
+    gen(1, "b").write.format(fmt).option("path", p)
+      .mode("append").save()                                  // era b
+    val vEraB = GraftTableLog.versions(p).max
+    spark.sql(s"ALTER TABLE $cat.corp.era1 RENAME COLUMN b TO c")
+    gen(2, "c").write.format(fmt).option("path", p)
+      .mode("append").save()                                  // era c
+    // HEAD: one logical column c over three physical generations
+    val expectAll = docs.agg(sum("n_chars")).head.getLong(0)
+    assert(spark.sql(s"SELECT sum(c) FROM $cat.corp.era1")
+      .head.getLong(0) == expectAll)
+    assert(spark.sql(s"SELECT count(c) FROM $cat.corp.era1")
+      .head.getLong(0) == docs.count(), "no era may null-fill")
+    // MID-CHAIN travel: era-b version presents b, resolves b AND a
+    // (the suffix chain b→[b,a]), and never sees era-c files
+    val eraB = spark.sql(s"SELECT * FROM $cat.corp.era1 VERSION AS OF $vEraB")
+    assert(eraB.schema.fieldNames.contains("b") &&
+      !eraB.schema.fieldNames.contains("c"))
+    val expectAB = docs.filter(col("doc_id") % 3 < 2)
+      .agg(sum("n_chars")).head.getLong(0)
+    assert(spark.sql(
+      s"SELECT sum(b) FROM $cat.corp.era1 VERSION AS OF $vEraB")
+      .head.getLong(0) == expectAB)
+  }
+
   test("provider schema inference tracks the newest generation") {
     val p = scratch()
     docs.write.format(fmt).option("path", p).mode("append").save()
