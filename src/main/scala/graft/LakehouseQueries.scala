@@ -1003,11 +1003,106 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
 
+  /** ROLLBACK under the hash gate ([[graft.sources.GraftMaintenance
+    * .rollback]]): the table takes two appends, a merge-on-read SQL
+    * DELETE (a DV sidecar, no file change), then an OVERWRITE — and
+    * `CALL system.rollback` restores the DV version as a NEW head.
+    * The restored head must read exactly "both slices minus the
+    * deleted key range" (DV surgery proven by the hash, not just the
+    * file list), the overwrite and the pre-delete versions must BOTH
+    * remain time-travel-readable (history preserved — in-query
+    * requires), and the rollback itself must have moved files rather
+    * than rewriting them (the restored head's rel set equals the DV
+    * version's — require-asserted). The oracle recomputes the restored
+    * state straight from `orders`. */
+  val qSqlRollback = QueryDef("q_sql_rollback",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("append").save()                                 // v1
+      slice(orders, 1).write.format(fmt).option("path", path)
+        .mode("append").save()                                 // v2
+      val cut = orders.agg(max("o_orderkey")).head.getLong(0) / 6
+      withMergeOnRead(spark) {
+        spark.sql(s"DELETE FROM $cat.sf.$tbl WHERE o_orderkey < $cut")
+      }                                                        // v3: DV
+      val vDv = GraftTableLog.latestVersion(path).get
+      val (dvRels, _) = GraftTableLog.readSnapshot(path, vDv)
+      slice(orders, 2).write.format(fmt).option("path", path)
+        .mode("overwrite").save()                              // v4
+      val headBefore = GraftTableLog.latestVersion(path).get
+      val row = spark.sql(s"CALL $cat.system.rollback(" +
+        s"table => 'sf.$tbl', version => $vDv)").head()
+      require(row.getLong(0) == vDv && row.getLong(1) == headBefore + 1,
+        s"rollback must commit head ${headBefore + 1}, got ${row.getLong(1)}")
+      // renames only: the restored head holds exactly the DV version's
+      // rel paths — no data file was rewritten to restore it
+      val liveNow = GraftParquetV2.listFiles(path)
+        .map(GraftTableLog.relativize(path, _)).toSet
+      require(liveNow == dvRels.toSet,
+        "rollback must restore the DV version's exact file set")
+      // history preserved: the overwrite AND the pre-delete versions
+      // still answer
+      require(spark.read.format(fmt).option("path", path)
+        .option("versionAsOf", (vDv + 0L).toString).load()
+        .count() == spark.read.format(fmt).option("path", path).load()
+        .count(), "restored head must equal the DV version's rows")
+      require(spark.read.format(fmt).option("path", path)
+        .option("versionAsOf", "2").load().count() ==
+        slice(orders, 0).count() + slice(orders, 1).count(),
+        "the pre-delete version must still see every row after rollback")
+      spark.sql(s"""SELECT o_orderstatus, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM $cat.sf.$tbl
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1) AND o_orderkey >= " +
+      "(SELECT CAST(floor(max(o_orderkey) / 6.0) AS BIGINT) FROM orders)")))
+
+  /** NAMED TAGS under the hash gate ([[graft.sources.GraftTableLog]]
+    * refs): a `CALL system.tag` pins the two-slice version as
+    * 'train-set'; an overwrite moves the head past it and a
+    * count-retention vacuum reclaims the UNTAGGED intermediate
+    * generation — but the tag is a RETENTION ROOT, so
+    * `VERSION AS OF 'train-set'` still answers exactly the pinned
+    * slices afterwards (the untagged v1 is require-asserted gone,
+    * proving the vacuum actually ran). This is the durable
+    * "pin the training snapshot" contract at 100 TB. */
+  val qSqlTagTravel = QueryDef("q_sql_tag_travel",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("overwrite").save()                              // v1
+      slice(orders, 0).unionByName(slice(orders, 1)).write.format(fmt)
+        .option("path", path).mode("overwrite").save()         // v2
+      spark.sql(s"CALL $cat.system.tag(table => 'sf.$tbl', " +
+        "name => 'train-set', version => 2)")
+      slice(orders, 2).write.format(fmt).option("path", path)
+        .mode("overwrite").save()                              // v3
+      spark.sql(s"CALL $cat.system.vacuum(table => 'sf.$tbl', " +
+        "retain_last => 1)")
+      require(!GraftTableLog.versions(path).contains(1L),
+        "vacuum must reclaim the untagged generation")
+      require(GraftTableLog.versions(path).contains(2L),
+        "vacuum must retain the tagged generation")
+      spark.sql(s"""SELECT o_orderstatus, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM $cat.sf.$tbl VERSION AS OF 'train-set'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
       qSqlUpdateDv, qSqlDeleteDv, qSqlRewriteDeletes,
       qMergeSchemaEvolution, qSqlMergeEvolution, qSqlRenameColumn,
       qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion,
-      qStreamCatalogTable)
+      qStreamCatalogTable, qSqlRollback, qSqlTagTravel)
 }

@@ -119,10 +119,9 @@ class GraftCatalog extends TableCatalog
     * names against still-older files, never forward. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = existing(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft catalog: VERSION AS OF wants a version number, got '$version'")
-    }
+    // a number pins a version directly; anything else resolves as a
+    // TAG name (`VERSION AS OF 'release-1'`) via the table's refs
+    val v = GraftTableLog.resolveVersionRef(p, version)
     val (rels, _) = GraftTableLog.readSnapshot(p, v)
     val files = GraftTableLog.resolveAll(p, rels)
     // an EMPTY version (post-TRUNCATE) is a legitimate travel target:
@@ -364,7 +363,8 @@ class GraftCatalog extends TableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
       Array("compact", "vacuum", "history", "ann_probe",
-        "rewrite_deletes", "detail").map(Identifier.of(SystemNs, _))
+        "rewrite_deletes", "detail", "rollback", "tag", "drop_tag",
+        "tags").map(Identifier.of(SystemNs, _))
     else Array.empty
 
   private def tablePath(arg: String): String = {
@@ -553,10 +553,69 @@ class GraftCatalog extends TableCatalog
             .collect().toSeq.map(r => new GenericInternalRow(Array[Any](
               r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))))
         })
+      // ROLLBACK: restore the table to `version` as a NEW head commit
+      // (history preserved, pure metadata + renames — no data rewrite;
+      // [[GraftMaintenance.rollback]])
+      case "rollback" => new GraftProcedure("rollback",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", LongType).build()),
+        StructType(Seq(StructField("restored_version", LongType),
+          StructField("new_version", LongType),
+          StructField("files", IntegerType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val target = in.getLong(1)
+          val v = GraftMaintenance.rollback(p, target)
+          Seq(new GenericInternalRow(Array[Any](target, v,
+            GraftParquetV2.listFiles(p).size)))
+        })
+      // TAG: pin a name to a version (default: head). Tagged versions
+      // are vacuum retention roots; `VERSION AS OF 'name'` resolves
+      // them.
+      case "tag" => new GraftProcedure("tag",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", LongType)
+            .defaultValue("-1").build()),
+        StructType(Seq(StructField("name", StringType),
+          StructField("version", LongType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val name = in.getString(1)
+          val v = Some(in.getLong(2)).filter(_ >= 0).getOrElse(
+            GraftTableLog.latestVersion(p).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft tag: ${in.getString(0)} has no committed version")))
+          GraftTableLog.setTag(p, name, v)
+          Seq(new GenericInternalRow(Array[Any](
+            UTF8String.fromString(name), v)))
+        })
+      case "drop_tag" => new GraftProcedure("drop_tag",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("dropped", BooleanType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          Seq(new GenericInternalRow(Array[Any](
+            GraftTableLog.dropTag(p, in.getString(1)))))
+        })
+      case "tags" => new GraftProcedure("tags",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(StructField("name", StringType),
+          StructField("version", LongType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          GraftTableLog.tags(p).map { case (n, v) =>
+            new GenericInternalRow(Array[Any](UTF8String.fromString(n), v))
+          }
+        })
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure '$other' — " +
           "available: compact, vacuum, history, ann_probe, " +
-          "rewrite_deletes, detail")
+          "rewrite_deletes, detail, rollback, tag, drop_tag, tags")
     }
   }
 }

@@ -567,6 +567,88 @@ object GraftMaintenance {
         r.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
 
+  /** ROLLBACK: restore the live table to the exact state of committed
+    * `version` — file set, deletion-vector set, AND zone-map manifest —
+    * as a NEW head commit. History is preserved (the rolled-back
+    * versions stay time-travel-readable until vacuumed), which is what
+    * distinguishes a rollback from rewriting history: an audit trail
+    * survives the undo. Pure metadata + renames — NO data is read or
+    * rewritten, so rolling back a 100 TB table costs O(changed files)
+    * filesystem renames: files the later versions added move to the
+    * archive, files they archived move back live, and the restored
+    * version's own snapshot rows replay into the manifest (pruning
+    * metadata included). A vacuumed target refuses loudly up front
+    * (nothing has moved yet). Returns the new head version.
+    *
+    * Failure compensation: any partial move sequence is undone in
+    * reverse before rethrowing, so the table returns to the pre-
+    * rollback head rather than landing between generations. Single-
+    * writer by contract, like overwrite/compaction. */
+  def rollback(table: String, version: Long): Long = {
+    val head = GraftTableLog.latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft rollback: $table has no version log"))
+    require(version <= head,
+      s"graft rollback: version $version is ahead of head $head")
+    val (wantRels, wantDvRels, _) =
+      GraftTableLog.readSnapshotFull(table, version)
+    // validate EVERY wanted file is still resolvable BEFORE any move —
+    // a vacuumed generation refuses with zero side effects
+    GraftTableLog.resolveAll(table, wantRels ++ wantDvRels)
+    val root = new Path(table)
+    val fs = root.getFileSystem(conf)
+    val liveRels = (try GraftParquetV2.listFiles(table) catch {
+      case _: java.io.FileNotFoundException => Nil
+    }).map(GraftTableLog.relativize(table, _))
+    val liveDvRels = GraftDeletes.liveDvRels(table)
+    val want = wantRels.toSet
+    val wantDv = wantDvRels.toSet
+    val live = liveRels.toSet
+    val liveDv = liveDvRels.toSet
+    val archRoot = new Path(root, GraftTableLog.ArchiveDir)
+    // (src, dest) move ledger for compensation — applied moves only
+    var moved = List.empty[(Path, Path)]
+    def move(src: Path, dest: Path): Unit = {
+      require(!fs.exists(dest),
+        s"graft rollback: move collision at $dest under $table")
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(src, dest),
+        s"graft rollback: rename $src -> $dest failed under $table")
+      moved ::= (src, dest)
+    }
+    try {
+      // 1. archive what the later versions added (live ∖ wanted)
+      (liveRels.filterNot(want) ++ liveDvRels.filterNot(wantDv))
+        .foreach { rel =>
+          move(new Path(root, rel), new Path(archRoot, rel))
+        }
+      // 2. restore what they archived (wanted ∖ live)
+      (wantRels.filterNot(live) ++ wantDvRels.filterNot(liveDv))
+        .foreach { rel =>
+          move(new Path(archRoot, rel), new Path(root, rel))
+        }
+    } catch {
+      case e: Throwable =>
+        moved.foreach { case (src, dest) =>
+          if (!fs.rename(dest, src))
+            System.err.println(s"[graft] rollback compensation FAILED " +
+              s"to restore $src under $table - restore it manually")
+        }
+        throw e
+    }
+    // 3. commit: the restored version's own manifest rows become the
+    //    new head's manifest (zone maps travel with the rollback); the
+    //    snapshot is built from the live listing, which now equals the
+    //    restored file set. DV surgery above was exact — skip the
+    //    staleness rescan.
+    val entries = GraftTableLog.readSnapshotEntries(table, version)
+    GraftParquetWrite.commitMetadata(table, entries,
+      java.util.UUID.randomUUID().toString, dvMaybeStale = false)
+    GraftTableLog.latestVersion(table).getOrElse(
+      throw new IllegalStateException(
+        s"graft rollback: commit left no log version under $table"))
+  }
+
   /** Reclaim history: keep the newest `retainLast` versions — plus,
     * when `retainHours` is set, every version committed within that
     * horizon (commit time = the snapshot file's mtime, the same clock
@@ -599,8 +681,13 @@ object GraftMaintenance {
             .getModificationTime >= horizonMs
         }.toSet
     }
+    // tagged versions are RETENTION ROOTS: a tag pins its snapshot and
+    // every file it references past any count/time policy — vacuum
+    // reclaims them only after drop_tag
+    val tagged = GraftTableLog.tags(table).map(_._2).toSet
     val retained = all.filter(v =>
-      timeRetained.contains(v) || all.takeRight(retainLast).contains(v))
+      timeRetained.contains(v) || tagged.contains(v) ||
+        all.takeRight(retainLast).contains(v))
     val dropped = all.filterNot(retained.contains)
     // keep a retained version's DATA files and its DELETION-VECTOR
     // sidecars alike — an archived DV a retained snapshot references

@@ -145,7 +145,11 @@ class GraftParquetTable(path: String, tableSchema: StructType,
             s"graft parquet v2: option '$k' must be a version number, got '$v'")
         }
       }
-    val travel = GraftTimeTravel.from(optLong("versionAsOf"),
+    // `versionAsOf` additionally accepts a TAG name (a named ref from
+    // `CALL system.tag`) — the same resolver `VERSION AS OF` uses
+    val versionRef = Option(options.get("versionAsOf"))
+      .map(GraftTableLog.resolveVersionRef(path, _))
+    val travel = GraftTimeTravel.from(versionRef,
       optLong("changesSince"), optLong("changesUntil"))
       .orElse(pinnedTravel)
     new GraftScanBuilder(path, tableSchema,

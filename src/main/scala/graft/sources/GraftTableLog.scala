@@ -62,6 +62,7 @@ object GraftTableLog {
 
   val LogDir = "_graft_log"
   val ArchiveDir = "_graft_archive"
+  val RefsDir = "_graft_refs"
 
   /** Snapshot row schema: the manifest schema plus the file's path
     * relative to the table root (partition directories included) —
@@ -269,6 +270,122 @@ object GraftTableLog {
     (rels.toSeq, dvRels.toSeq,
       stats.map { case (k, v) => k -> v.toMap }.toMap)
   }
+
+  /** Snapshot `version`'s manifest rows reconstructed as
+    * [[GraftManifestEntry]]s — the exact zone-map set the version
+    * committed (`present`/`dv` carrier rows excluded, as they carry no
+    * stats). [[GraftMaintenance.rollback]] replays these into the
+    * restored head's manifest, so a rollback recovers not just the
+    * file set but the PRUNING METADATA of the restored version. */
+  def readSnapshotEntries(table: String, version: Long)
+      : Seq[GraftManifestEntry] = {
+    val f = snapshotFile(table, version)
+    val out = collection.mutable.ArrayBuffer.empty[GraftManifestEntry]
+    val r = new GraftPartitionReader(f.toString, logSchema, Array.empty)
+    try while (r.next()) {
+      val row = r.get()
+      val kind = row.getString(3)
+      if (kind != "present" && kind != "dv") {
+        def optLong(i: Int): Option[Long] =
+          if (row.isNullAt(i)) None else Some(row.getLong(i))
+        def optStr(i: Int): Option[String] =
+          if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
+        out += GraftManifestEntry(row.getString(1), row.getString(2), kind,
+          optLong(4), optLong(5), optStr(6), optStr(7), optLong(8),
+          row.getLong(9))
+      }
+    } finally r.close()
+    out.toSeq
+  }
+
+  // ——— NAMED REFS (tags) ———————————————————————————————————————————
+  //
+  // A tag is a human name pinned to a committed version: one tiny file
+  // `_graft_refs/tag.<name>` whose content is the version number.
+  // Tags resolve anywhere a version number does (`VERSION AS OF
+  // 'name'`, the `versionAsOf` read option), and vacuum retains every
+  // tagged version's files — a tag is a RETENTION ROOT, which is what
+  // makes "pin the exact training snapshot" durable at 100 TB: the
+  // data a tag references survives any retainLast/retainHours policy
+  // until the tag is dropped. Creation is an exclusive create (no
+  // silent re-point — drop first), so two writers racing the same tag
+  // name see one winner.
+
+  private val TagNameRe = "[A-Za-z][A-Za-z0-9_.-]{0,127}".r
+
+  private def refsPath(table: String) = new Path(table, RefsDir)
+
+  private def tagPath(table: String, name: String): Path = {
+    require(TagNameRe.pattern.matcher(name).matches(),
+      s"graft table log: invalid tag name '$name' — want " +
+        "[A-Za-z][A-Za-z0-9_.-]{0,127}")
+    new Path(refsPath(table), s"tag.$name")
+  }
+
+  /** Pin `name` to `version` (must be a committed version). Refuses an
+    * existing name — retagging is drop + re-create, never a silent
+    * re-point of a ref someone else may be reading. */
+  def setTag(table: String, name: String, version: Long): Unit = {
+    val p = tagPath(table, name)
+    require(versions(table).contains(version),
+      s"graft table log: cannot tag version $version of $table — " +
+        s"available: ${versions(table).mkString("[", ", ", "]")}")
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p.getParent)
+    val out =
+      try fs.create(p, false) // exclusive — the create IS the claim
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"graft table log: tag '$name' already exists on $table — " +
+              "drop_tag first to re-point it")
+      }
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Remove tag `name`; false when it did not exist. */
+  def dropTag(table: String, name: String): Boolean = {
+    val p = tagPath(table, name)
+    p.getFileSystem(conf).delete(p, false)
+  }
+
+  /** All tags: name → version, name-sorted. */
+  def tags(table: String): Seq[(String, Long)] = {
+    val d = refsPath(table)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("tag."))
+      .map { p =>
+        val name = p.getName.stripPrefix("tag.")
+        val in = fs.open(p)
+        val body =
+          try {
+            val buf = new Array[Byte](64)
+            val n = in.read(buf)
+            new String(buf, 0, math.max(n, 0), "UTF-8").trim
+          } finally in.close()
+        val v = try body.toLong catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"graft table log: tag file ${p.getName} of $table is " +
+              s"corrupt (content '$body' is not a version number)")
+        }
+        name -> v
+      }.sortBy(_._1)
+  }
+
+  /** A version REFERENCE — a number or a tag name — to its version.
+    * The shared resolver behind `VERSION AS OF` and the `versionAsOf`
+    * read option. */
+  def resolveVersionRef(table: String, ref: String): Long =
+    ref.toLongOption.getOrElse {
+      tags(table).collectFirst { case (n, v) if n == ref => v }.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft table log: '$ref' is neither a version number nor a " +
+            s"tag of $table — tags: " +
+            tags(table).map(_._1).mkString("[", ", ", "]")))
+    }
 
   /** Resolve snapshot rel paths to readable full paths: live table dir
     * first, then the archive. A path in neither place means vacuum
