@@ -1098,11 +1098,62 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
 
+  /** BLOOM-SIDECAR FILE SKIPPING ([[graft.sources.GraftBloom]]): the
+    * table is split into two files by o_orderkey PARITY — each file's
+    * [min, max] spans the whole key domain, so zone maps refute no
+    * interior key and a point lookup would read EVERY file of a 100 TB
+    * table. `CALL system.build_bloom` writes per-file membership
+    * sketches; the subsequent 3-key IN probe (the median even keys —
+    * interior by construction) must then bloom-skip the odd-parity
+    * file, require-asserted via scan telemetry before the hash gate
+    * compares the looked-up rows against the oracle's own median-key
+    * replay. */
+  val qBloomPointLookup = QueryDef("q_bloom_point_lookup",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      val base = orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      base.filter(pmod(col("o_orderkey"), lit(2)) === 0).coalesce(1)
+        .write.format(fmt).option("path", path).mode("append").save()
+      base.filter(pmod(col("o_orderkey"), lit(2)) === 1).coalesce(1)
+        .write.format(fmt).option("path", path).mode("append").save()
+      val built = spark.sql(s"CALL $cat.system.build_bloom(" +
+        s"table => 'sf.$tbl', columns => 'o_orderkey')").collect()
+      require(built.head.getInt(1) == 2,
+        "build_bloom must cover both parity files")
+      // the 3 median even keys — interior to the odd file's range, so
+      // only the sidecar can prove the odd file holds none of them
+      // (TakeOrdered + bounded offset: 3 driver rows at any scale)
+      val evens = base.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select("o_orderkey")
+      val mid = evens.count() / 2
+      val probeKeys = evens.orderBy("o_orderkey")
+        .offset((mid - 1).toInt).limit(3).collect().map(_.getLong(0))
+      graft.sources.GraftScanTelemetry.reset()
+      val looked = spark.read.format(fmt).option("path", path).load()
+        .filter(col("o_orderkey").isin(probeKeys.map(Long.box): _*))
+      require(looked.count() == 3, "median probe keys must be unique hits")
+      require(graft.sources.GraftScanTelemetry.bloomSkippedFiles.sum() > 0,
+        "the odd-parity file must be bloom-skipped, not read")
+      fingerprint(looked)
+    },
+    Some("""WITH evens AS (SELECT o_orderkey FROM orders
+           |               WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey),
+           |probes AS (SELECT o_orderkey FROM evens LIMIT 3
+           |           OFFSET (SELECT count(*) // 2 - 1 FROM evens))
+           |SELECT o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_price,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM probes)
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
       qSqlUpdateDv, qSqlDeleteDv, qSqlRewriteDeletes,
       qMergeSchemaEvolution, qSqlMergeEvolution, qSqlRenameColumn,
       qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion,
-      qStreamCatalogTable, qSqlRollback, qSqlTagTravel)
+      qStreamCatalogTable, qSqlRollback, qSqlTagTravel, qBloomPointLookup)
 }

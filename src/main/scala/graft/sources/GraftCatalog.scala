@@ -364,7 +364,7 @@ class GraftCatalog extends TableCatalog
     if (namespace.sameElements(SystemNs))
       Array("compact", "vacuum", "history", "ann_probe",
         "rewrite_deletes", "detail", "rollback", "tag", "drop_tag",
-        "tags").map(Identifier.of(SystemNs, _))
+        "tags", "build_bloom").map(Identifier.of(SystemNs, _))
     else Array.empty
 
   private def tablePath(arg: String): String = {
@@ -612,10 +612,38 @@ class GraftCatalog extends TableCatalog
             new GenericInternalRow(Array[Any](UTF8String.fromString(n), v))
           }
         })
+      // PER-FILE BLOOM SIDECARS for equality file-skipping on high-
+      // cardinality unsorted columns ([[GraftBloom]]): one distributed
+      // build pass, sidecars under `_graft_bloom/`, consumed
+      // automatically by every later scan's planner. Returns one row
+      // per column: how many live files got a sidecar and the total
+      // sidecar bytes — re-run after appends/compaction to re-cover
+      // new files (uncovered files are conservatively read, never
+      // wrongly skipped).
+      case "build_bloom" => new GraftProcedure("build_bloom",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("columns", StringType).build(),
+          ProcedureParameter.in("fpp", DoubleType)
+            .defaultValue("0.01").build()),
+        StructType(Seq(StructField("column", StringType),
+          StructField("files_bloomed", IntegerType),
+          StructField("sidecar_bytes", LongType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val cols = in.getString(1).split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          GraftBloom.build(org.apache.spark.sql.SparkSession.active, p,
+            cols, in.getDouble(2)).map { case (c, n, bytes) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(c), n, bytes))
+          }
+        })
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure '$other' — " +
           "available: compact, vacuum, history, ann_probe, " +
-          "rewrite_deletes, detail, rollback, tag, drop_tag, tags")
+          "rewrite_deletes, detail, rollback, tag, drop_tag, tags, " +
+          "build_bloom")
     }
   }
 }

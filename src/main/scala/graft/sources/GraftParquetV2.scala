@@ -711,6 +711,18 @@ case class GraftParquetScan(path: String, required: StructType,
             s", DeletePositions: ${
               readTarget._3.valuesIterator.map(_.length.toLong).sum}"
         else ""
+      } catch { case _: Exception => "" }) +
+      // bloom-sidecar observability: which equality predicates the
+      // planner will probe against per-file membership sketches (only
+      // when the table actually carries a `_graft_bloom/` dir — same
+      // guarded shape as the DV line)
+      (try {
+        GraftBloom.plannerProbes(path,
+            pushed ++ runtimeFilters ++ fileOnlyFilters) match {
+          case Some(ps) =>
+            s", BloomProbes: [${ps.map(_._1).distinct.mkString(", ")}]"
+          case None => ""
+        }
       } catch { case _: Exception => "" })
 
   // write-time per-file zone maps (when the table was written by
@@ -806,6 +818,23 @@ case class GraftParquetScan(path: String, required: StructType,
           }
         }
       }
+    // BLOOM SIDECARS second: files the zone maps could not kill get
+    // their equality-shaped predicates probed against the per-file
+    // membership sketches ([[GraftBloom]]) — point lookups on a high-
+    // cardinality UNSORTED column, where every file's min/max spans the
+    // domain, prune here or nowhere. No false negatives, so a skip is a
+    // proof; a missing sidecar (post-build append, rewrite, rename) is
+    // conservatively read. Probe cost is O(zone-map survivors), under
+    // an in-JVM sidecar cache; tables without a `_graft_bloom/` dir pay
+    // one existence check.
+    val bloomKept = GraftBloom.plannerProbes(path, conj) match {
+      case None => kept
+      case Some(probeSet) => kept.filter { f =>
+        val refuted = GraftBloom.refutes(path, new Path(f).getName, probeSet)
+        if (refuted) GraftScanTelemetry.bloomSkippedFiles.increment()
+        !refuted
+      }
+    }
     // each split carries ITS file's sorted delete positions (usually
     // empty) — tasks apply them as an ordinal-merge during the row
     // scan, and a split with deletes demotes the footer-only aggregate
@@ -816,9 +845,10 @@ case class GraftParquetScan(path: String, required: StructType,
       else dv.getOrElse(new Path(f).getName, Array.emptyLongArray)
     keyedLayout match {
       case Some((_, byFile, _)) =>
-        kept.map(f => GraftKeyedInputPartition(f, byFile(f), deletesOf(f)))
-          .toArray
-      case None => kept.map(f => GraftInputPartition(f, deletesOf(f))).toArray
+        bloomKept.map(f =>
+          GraftKeyedInputPartition(f, byFile(f), deletesOf(f))).toArray
+      case None =>
+        bloomKept.map(f => GraftInputPartition(f, deletesOf(f))).toArray
     }
   }
 
@@ -1524,8 +1554,12 @@ object GraftScanTelemetry {
   val skippedGroups = new java.util.concurrent.atomic.LongAdder
   /** Whole files dropped at planning by the stats-manifest zone maps. */
   val skippedFiles = new java.util.concurrent.atomic.LongAdder
+  /** Whole files dropped at planning by bloom-sidecar refutation —
+    * files the zone maps could NOT kill ([[GraftBloom]]). */
+  val bloomSkippedFiles = new java.util.concurrent.atomic.LongAdder
   def reset(): Unit = {
     decodedGroups.reset(); skippedGroups.reset(); skippedFiles.reset()
+    bloomSkippedFiles.reset()
   }
 }
 

@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftBloom, GraftParquetTable, GraftParquetV2, GraftScanTelemetry}
+
+/** Per-file bloom-filter sidecars ([[graft.sources.GraftBloom]]):
+  * equality file-skipping for high-cardinality UNSORTED columns that
+  * zone maps cannot prune. Soundness (no false negatives → a skip is a
+  * proof), conservatism (missing/stale sidecars read, never skip
+  * wrongly), the SQL `CALL system.build_bloom` face, and the interplay
+  * with appends, deletes, and the In-list cap.
+  *
+  * Probe values are deliberately INTERIOR to every file's [min, max] —
+  * at the domain edges the zone maps refute first and the bloom path
+  * never runs (that short-circuit is itself the cheapest outcome).
+  * Telemetry asserts use `> 0`: Spark plans input partitions more than
+  * once per query, so absolute counts are a planner implementation
+  * detail (the [[SourcesV2Spec]] zone-map convention). */
+class GraftBloomSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.GraftParquetTableProvider"
+  private val cat = "graft_bloom_spec"
+  private lazy val warehouse = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_bloom_warehouse_").toFile.getAbsolutePath
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", d)
+    d
+  }
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select("doc_id", "lang", "n_chars")
+
+  /** Two-file table split by doc_id PARITY — both files' [min, max]
+    * span (almost) the whole id domain, so zone maps refute no
+    * INTERIOR value: the exact shape where only a membership sketch
+    * skips files. */
+  private def mkTable(name: String): String = {
+    val p = s"$warehouse/corp/$name"
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+      .write.format(fmt).option("path", p).mode("append").save()
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
+      .write.format(fmt).option("path", p).mode("append").save()
+    p
+  }
+
+  private def read(p: String) =
+    spark.read.format(fmt).option("path", p).load()
+
+  /** The MEDIAN even doc_id — even (present only in the even-parity
+    * file) and interior to the odd file's id range, so only the bloom
+    * sidecar can prove the odd file holds nothing. */
+  private lazy val midEven: Long = {
+    val evens = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    evens(evens.length / 2)
+  }
+
+  /** A lang value strictly between the real min and max langs and
+    * absent from the corpus — interior to every file's string zone
+    * map, refutable only by the sidecars. */
+  private lazy val ghostLang: String = {
+    val langs = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(langs.length >= 2, "need a lang range to sit inside")
+    langs.head + "0"
+  }
+
+  private def bloomSkips: Long = GraftScanTelemetry.bloomSkippedFiles.sum()
+
+  test("build writes one sidecar per (live file, column)") {
+    val p = mkTable("b1")
+    val out = GraftBloom.build(spark, p, Seq("doc_id", "lang"))
+    assert(out.map(o => (o._1, o._2)).toSet == Set(("doc_id", 2), ("lang", 2)))
+    assert(out.forall(_._3 > 0L), "sidecar bytes must be reported")
+    val dir = new java.io.File(p, GraftBloom.BloomDir)
+    assert(dir.listFiles().count(_.getName.endsWith(".bloom")) == 4)
+  }
+
+  test("interior point lookup bloom-skips the file the value cannot be in") {
+    val p = mkTable("b2")
+    GraftBloom.build(spark, p, Seq("doc_id"))
+    GraftScanTelemetry.reset()
+    val got = read(p).filter(col("doc_id") === midEven).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(midEven))
+    assert(GraftScanTelemetry.skippedFiles.sum() == 0,
+      "an interior value must be invisible to the zone maps")
+    assert(bloomSkips > 0, "the odd-parity file must be bloom-skipped")
+  }
+
+  test("interior IN-list over one parity bloom-skips the other file") {
+    val p = mkTable("b3")
+    GraftBloom.build(spark, p, Seq("doc_id"))
+    val evens = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val mid = evens.length / 2
+    val probes = evens.slice(mid - 1, mid + 2) // three interior evens
+    GraftScanTelemetry.reset()
+    val got = read(p).filter(col("doc_id").isin(probes.map(Long.box): _*))
+      .count()
+    assert(got == probes.length)
+    assert(bloomSkips > 0)
+  }
+
+  test("interior absent string bloom-skips EVERY file - zero splits, zero rows") {
+    val p = mkTable("b4")
+    GraftBloom.build(spark, p, Seq("lang"))
+    GraftScanTelemetry.reset()
+    assert(read(p).filter(col("lang") === ghostLang).count() == 0)
+    assert(GraftScanTelemetry.skippedFiles.sum() == 0,
+      "ghost lang is inside every file's string zone map")
+    assert(bloomSkips >= 2, "both files must be bloom-refuted")
+    // a real lang present in both files skips nothing and counts exact
+    val real = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).sorted.head
+    GraftScanTelemetry.reset()
+    assert(read(p).filter(col("lang") === real).count() ==
+      docs.filter(col("lang") === real).count())
+    assert(bloomSkips == 0)
+  }
+
+  test("appended file without a sidecar is conservatively read; rebuild re-covers") {
+    val p = mkTable("b5")
+    GraftBloom.build(spark, p, Seq("lang"))
+    // append a third file holding the ghost lang AFTER the build — it
+    // has no sidecar, so a ghost-lang probe must still read it
+    docs.limit(5).withColumn("lang", lit(ghostLang)).coalesce(1)
+      .write.format(fmt).option("path", p).mode("append").save()
+    GraftScanTelemetry.reset()
+    val got = read(p).filter(col("lang") === ghostLang).count()
+    assert(got == 5, "the uncovered appended file must still be read")
+    assert(bloomSkips > 0, "the two covered files are still refuted")
+    // rebuild: the new file's sidecar now PROVES it holds the ghost
+    // lang, and a never-present value refutes all three
+    GraftBloom.build(spark, p, Seq("lang"))
+    assert(read(p).filter(col("lang") === ghostLang).count() == 5)
+    GraftScanTelemetry.reset()
+    assert(read(p).filter(col("lang") === (ghostLang + "0")).count() == 0)
+    assert(bloomSkips >= 3, "all three covered files refute the new ghost")
+  }
+
+  test("In-list beyond MaxProbeValues probes nothing (planner self-bound)") {
+    val p = mkTable("b6")
+    GraftBloom.build(spark, p, Seq("doc_id"))
+    val huge = (0 until GraftBloom.MaxProbeValues + 1)
+      .map(i => -1000L - i) // none present
+    GraftScanTelemetry.reset()
+    assert(read(p).filter(col("doc_id").isin(huge.map(Long.box): _*))
+      .count() == 0)
+    assert(bloomSkips == 0,
+      "an over-cap In-list must skip the bloom probe entirely")
+  }
+
+  test("MOR-deleted row: bloom false positive reads, DV still excludes") {
+    val p = mkTable("b7")
+    GraftBloom.build(spark, p, Seq("doc_id"))
+    spark.conf.set(GraftParquetTable.ModeConf, "merge-on-read")
+    try spark.sql(s"DELETE FROM $cat.corp.b7 WHERE doc_id = $midEven")
+    finally spark.conf.set(GraftParquetTable.ModeConf, "copy-on-write")
+    // the stale sidecar still claims membership → the file is read
+    // (false positive, sound) and the DV drops the row in-scan
+    assert(read(p).filter(col("doc_id") === midEven).count() == 0)
+    assert(read(p).count() == docs.count() - 1)
+  }
+
+  test("CALL system.build_bloom + catalog point lookup end to end") {
+    mkTable("b8")
+    val out = spark.sql(
+      s"CALL $cat.system.build_bloom(table => 'corp.b8', " +
+        "columns => 'doc_id,lang')").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("doc_id", 2), ("lang", 2)))
+    assert(out.forall(_.getLong(2) > 0L))
+    GraftScanTelemetry.reset()
+    val got = spark.sql(
+      s"SELECT doc_id FROM $cat.corp.b8 WHERE doc_id = $midEven").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(midEven))
+    assert(bloomSkips > 0)
+  }
+
+  test("non-bloomable column type and unknown column are refused") {
+    val p = mkTable("b9")
+    val e1 = intercept[IllegalArgumentException](
+      GraftBloom.build(spark, p, Seq("nope")))
+    assert(e1.getMessage.contains("not in table schema"))
+    val p2 = s"$warehouse/corp/b9d"
+    docs.withColumn("score", col("n_chars") * 0.5).coalesce(1)
+      .write.format(fmt).option("path", p2).mode("append").save()
+    val e2 = intercept[IllegalArgumentException](
+      GraftBloom.build(spark, p2, Seq("score")))
+    assert(e2.getMessage.contains("only integral and string"))
+  }
+
+  test("explain surfaces BloomProbes for a bloomed table") {
+    val p = mkTable("b10")
+    GraftBloom.build(spark, p, Seq("doc_id"))
+    val df = read(p).filter(col("doc_id") === midEven)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BloomProbes: [doc_id]"), plan)
+  }
+
+  test("build reaps orphaned sidecars after an overwrite") {
+    val p = mkTable("b11")
+    GraftBloom.build(spark, p, Seq("doc_id"))
+    val dir = new java.io.File(p, GraftBloom.BloomDir)
+    assert(dir.listFiles().count(_.getName.endsWith(".bloom")) == 2)
+    // overwrite with every third doc: ids 0, 3, 6, … — id 1 is
+    // interior to the survivor's range yet absent
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0).coalesce(1)
+      .write.format(fmt).option("path", p).mode("overwrite").save()
+    GraftBloom.build(spark, p, Seq("doc_id"))
+    // the two pre-overwrite sidecars are orphans (their files archived)
+    // and must be reaped; exactly the one live file is covered
+    assert(dir.listFiles().count(_.getName.endsWith(".bloom")) == 1)
+    GraftScanTelemetry.reset()
+    assert(read(p).filter(col("doc_id") === 1L).count() == 0)
+    assert(bloomSkips > 0)
+  }
+}
