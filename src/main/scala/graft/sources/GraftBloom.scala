@@ -22,10 +22,16 @@ import org.apache.spark.util.sketch.BloomFilter
   * `mightContain = false` for every probed value PROVES the file holds
   * none of them — the only thing a skip requires. False positives cost
   * a wasted read, never a wrong row (deleted-but-still-hashed values
-  * likewise: the read re-filters). Files without a sidecar (appended
-  * after the build, rewritten by compaction, or carrying a renamed
-  * column) are conservatively read — the same metadata-may-lag model
-  * as the zone-map manifest, repaired by re-running `build_bloom`.
+  * likewise: the read re-filters). Files without a sidecar (written
+  * before the first build, or carrying a renamed column) are
+  * conservatively read — the same metadata-may-lag model as the
+  * zone-map manifest, repaired by re-running `build_bloom`.
+  * Writes DON'T decay coverage: `build` persists its column list +
+  * fpp as `_graft_bloom_spec` (the root-sidecar-is-the-DDL
+  * convention), and every later connector write — batch append,
+  * INSERT INTO, streaming epoch, compaction's packed files, COW
+  * rewrites, MOR update images — emits exact-size sidecars for its
+  * own staged files task-side ([[buildForStaged]]).
   *
   * Scale posture: the build is ONE distributed pass (values stream
   * into per-file filters inside each task; sidecars are written from
@@ -73,7 +79,7 @@ object GraftBloom {
     * left the live set) are reaped up front. Returns
     * (column → (files bloomed, total sidecar bytes)). */
   def build(spark: SparkSession, table: String, columns: Seq[String],
-      fpp: Double = 0.01): Seq[(String, Int, Long)] = {
+      fpp: Double = 0.01, persist: Boolean = true): Seq[(String, Int, Long)] = {
     require(columns.nonEmpty, "graft build_bloom: no columns given")
     require(fpp > 0 && fpp < 1,
       s"graft build_bloom: fpp must be in (0,1), got $fpp")
@@ -91,6 +97,11 @@ object GraftBloom {
         s"graft build_bloom: column '$c' has type ${f.dataType.sql} — " +
           "only integral and string columns take a bloom sidecar")
     }
+    val exactNames = columns.map(c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)).get.name)
+    // persist the column list + fpp as the table's bloom DDL: every
+    // later connector write maintains sidecars for its own new files
+    if (persist) writeSpec(table, exactNames, fpp)
     val files = try GraftParquetV2.listFiles(table) catch {
       case _: java.io.FileNotFoundException => Nil
     }
@@ -114,8 +125,7 @@ object GraftBloom {
         f -> es.map(_.valueCount).max
       }
     val dirStr = dir(table).toString
-    val exact = columns.map(c =>
-      schema.fields.find(_.name.equalsIgnoreCase(c)).get.name)
+    val exact = exactNames
     // one read of every live file; each logical column coalesces over
     // its alias chain so renamed eras contribute under the current name
     val raw = spark.read.option("mergeSchema", "true")
@@ -266,5 +276,141 @@ object GraftBloom {
     if (ps.isEmpty) None
     else if (!dir(table).getFileSystem(conf).exists(dir(table))) None
     else Some(ps)
+  }
+
+  // ——— WRITE-TIME MAINTENANCE ———
+  //
+  // `build` persists its column list + fpp as `_graft_bloom_spec` (the
+  // same root-sidecar-is-the-DDL convention as PARTITIONED BY); every
+  // later connector write — batch append, INSERT INTO, streaming epoch,
+  // overwrite — reads the spec at plan time and each TASK emits exact-
+  // size sidecars for its own staged files, so point-lookup coverage
+  // never decays and "rebuild after append" disappears. Paths that
+  // bypass the task writer (COW/MOR rewrites, compaction) leave their
+  // new files uncovered-but-conservative until the next build.
+
+  val SpecFile = "_graft_bloom_spec"
+
+  // per-table spec cache (the readPartSpec convention): one tiny read
+  // per JVM, invalidated by writeSpec; a cross-JVM spec change is seen
+  // at the next cache miss, and a stale None only costs coverage,
+  // never correctness
+  private val specCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(Seq[String], Double)]]()
+
+  def writeSpec(table: String, cols: Seq[String], fpp: Double): Unit = {
+    val f = new Path(table, SpecFile)
+    val fs = f.getFileSystem(conf)
+    val tmp = new Path(table,
+      s"_tmp_bloom_spec-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"$fpp\t${cols.mkString(",")}".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(f, false)
+    require(fs.rename(tmp, f),
+      s"graft build_bloom: could not persist spec at $f")
+    specCache.put(table, Some((cols, fpp)))
+  }
+
+  def readSpec(table: String): Option[(Seq[String], Double)] =
+    specCache.computeIfAbsent(table, t => {
+      val f = new Path(t, SpecFile)
+      val fs = f.getFileSystem(conf)
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        val cut = line.indexOf('\t')
+        Some((line.substring(cut + 1).split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq, line.substring(0, cut).toDouble))
+      }
+    })
+
+  /** Exact-size sidecars for one just-written STAGED file — task-side,
+    * page-cache warm (the read-back-rides-the-write pattern the stats
+    * manifest already uses). Reads ONLY the spec columns the file's
+    * footer actually carries as integral/string primitives; sidecars
+    * land at their FINAL `_graft_bloom/` location keyed by the staged
+    * basename (unique table-wide, preserved by the commit rename).
+    * Returns the written sidecar paths so the writer's abort can
+    * delete them; an abandoned sidecar is an orphan the next build
+    * reaps, never a wrong skip. */
+  def buildForStaged(taskConf: Configuration, staged: Path,
+      table: String, cols: Seq[String], fpp: Double): Seq[Path] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType,
+      PrimitiveType}
+    val in = ParquetFileReader.open(
+      HadoopInputFile.fromPath(staged, taskConf))
+    try {
+      val fileSchema = in.getFooter.getFileMetaData.getSchema
+      def primName(c: String) = fileSchema
+        .getType(fileSchema.getFieldIndex(c)).asPrimitiveType()
+      val present = cols.filter { c =>
+        fileSchema.containsField(c) &&
+          fileSchema.getType(fileSchema.getFieldIndex(c)).isPrimitive && {
+            val p = primName(c)
+            p.getPrimitiveTypeName match {
+              case PrimitiveType.PrimitiveTypeName.INT32 |
+                   PrimitiveType.PrimitiveTypeName.INT64 => true
+              case PrimitiveType.PrimitiveTypeName.BINARY =>
+                p.getLogicalTypeAnnotation.isInstanceOf[
+                  LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              case _ => false
+            }
+          }
+      }
+      val rows = in.getRecordCount
+      if (present.isEmpty || rows == 0L) return Nil
+      val proj = new MessageType(fileSchema.getName,
+        present.map(n =>
+          fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+      val kinds: Array[PrimitiveType.PrimitiveTypeName] =
+        present.map(primName(_).getPrimitiveTypeName).toArray
+      val filters = present.map(_ =>
+        BloomFilter.create(math.max(rows, 64L), fpp)).toArray
+      in.setRequestedSchema(proj)
+      val columnIO =
+        new org.apache.parquet.io.ColumnIOFactory().getColumnIO(proj)
+      var pages = in.readNextRowGroup()
+      while (pages != null) {
+        val rr = columnIO.getRecordReader(pages,
+          new org.apache.parquet.example.data.simple.convert
+            .GroupRecordConverter(proj))
+        var i = 0L
+        while (i < pages.getRowCount) {
+          val g = rr.read()
+          var c = 0
+          while (c < kinds.length) {
+            if (g.getFieldRepetitionCount(c) > 0) kinds(c) match {
+              case PrimitiveType.PrimitiveTypeName.INT32 =>
+                filters(c).putLong(g.getInteger(c, 0).toLong)
+              case PrimitiveType.PrimitiveTypeName.INT64 =>
+                filters(c).putLong(g.getLong(c, 0))
+              case _ => filters(c).putString(g.getString(c, 0))
+            }
+            c += 1
+          }
+          i += 1
+        }
+        pages = in.readNextRowGroup()
+      }
+      val tfs = dir(table).getFileSystem(taskConf)
+      tfs.mkdirs(dir(table))
+      val base = staged.getName
+      present.zipWithIndex.map { case (c, ci) =>
+        val tmp = new Path(dir(table),
+          s"_tmp-${java.util.UUID.randomUUID()}.bloom")
+        val out = tfs.create(tmp, true)
+        try filters(ci).writeTo(out) finally out.close()
+        val fin = sidecar(table, base, c)
+        tfs.delete(fin, false)
+        require(tfs.rename(tmp, fin),
+          s"graft bloom write-time: rename failed for $fin")
+        fin
+      }
+    } finally in.close()
   }
 }

@@ -617,9 +617,10 @@ class GraftCatalog extends TableCatalog
       // build pass, sidecars under `_graft_bloom/`, consumed
       // automatically by every later scan's planner. Returns one row
       // per column: how many live files got a sidecar and the total
-      // sidecar bytes — re-run after appends/compaction to re-cover
-      // new files (uncovered files are conservatively read, never
-      // wrongly skipped).
+      // sidecar bytes. Persists the column list as the table's bloom
+      // DDL, so later connector WRITES maintain their own sidecars;
+      // re-run only after compaction/row-level rewrites (uncovered
+      // files are conservatively read, never wrongly skipped).
       case "build_bloom" => new GraftProcedure("build_bloom",
         Array(
           ProcedureParameter.in("table", StringType).build(),

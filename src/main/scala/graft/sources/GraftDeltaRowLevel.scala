@@ -111,7 +111,10 @@ class GraftDeltaWrite(path: String, tableSchema: StructType)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DeltaWriterFactory =
-    GraftDeltaWriterFactory(path, tableSchema, writeId, partCols)
+    GraftDeltaWriterFactory(path, tableSchema, writeId, partCols,
+      // MOR update images are ordinary appends — they maintain bloom
+      // sidecars like any other write (spec resolved driver-side)
+      try GraftBloom.readSpec(path) catch { case _: Exception => None })
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
@@ -178,10 +181,13 @@ class GraftDeltaWrite(path: String, tableSchema: StructType)
 }
 
 case class GraftDeltaWriterFactory(path: String, schema: StructType,
-    writeId: String, partCols: Seq[String]) extends DeltaWriterFactory {
+    writeId: String, partCols: Seq[String],
+    bloomSpec: Option[(Seq[String], Double)] = None)
+    extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(path, schema, writeId, partitionId, taskId, partCols)
+    new GraftDeltaWriter(path, schema, writeId, partitionId, taskId,
+      partCols, bloomSpec)
 }
 
 /** Task half: inserts flow to an ordinary [[GraftDataWriter]]; deletes
@@ -190,10 +196,12 @@ case class GraftDeltaWriterFactory(path: String, schema: StructType,
   * `_graft_pos` ordinals arrive ascending per scanned file, but the DV
   * format doesn't rely on it — the planning-time loader sorts. */
 class GraftDeltaWriter(path: String, schema: StructType, writeId: String,
-    partitionId: Int, taskId: Long, partCols: Seq[String])
+    partitionId: Int, taskId: Long, partCols: Seq[String],
+    bloomSpec: Option[(Seq[String], Double)] = None)
     extends DeltaWriter[InternalRow] {
   private val inner =
-    new GraftDataWriter(path, schema, writeId, partitionId, taskId, partCols)
+    new GraftDataWriter(path, schema, writeId, partitionId, taskId,
+      partCols, bloomSpec)
   private val staging = new Path(path, s"_staging-$writeId")
   private val dvName = f"dv-$partitionId%05d-$taskId-$writeId.parquet"
   private var dvWriter: ParquetWriter[Group] = null

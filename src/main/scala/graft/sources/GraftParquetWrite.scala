@@ -142,14 +142,21 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
     require(!dynamic || partCols.nonEmpty,
       "graft parquet v2 write: partitionOverwriteMode=dynamic needs " +
         "partition columns (partitionBy)")
+    // a persisted bloom spec ([[GraftBloom.SpecFile]]) makes every
+    // write maintain point-lookup sidecars for its own new files;
+    // guarded — a torn/absent spec only costs coverage, never a write
+    val bloomSpec = try GraftBloom.readSpec(path) catch {
+      case _: Exception => None
+    }
     new GraftBatchWrite(path, info.schema(), doTruncate, partCols,
-      dynamic, info.queryId())
+      dynamic, info.queryId(), bloomSpec)
   }
 }
 
 class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     partCols: Seq[String] = Nil, dynamicOverwrite: Boolean = false,
-    queryId: String = "")
+    queryId: String = "",
+    bloomSpec: Option[(Seq[String], Double)] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val writeId = UUID.randomUUID().toString
@@ -164,7 +171,7 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    GraftDataWriterFactory(path, schema, writeId, partCols)
+    GraftDataWriterFactory(path, schema, writeId, partCols, bloomSpec)
 
   // ——— streaming sink: one transactional append per epoch ———
 
@@ -191,7 +198,7 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory =
-    GraftStreamingWriterFactory(path, schema, writeId, partCols)
+    GraftStreamingWriterFactory(path, schema, writeId, partCols, bloomSpec)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -312,25 +319,27 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
 }
 
 case class GraftDataWriterFactory(path: String, schema: StructType,
-    writeId: String, partCols: Seq[String] = Nil)
+    writeId: String, partCols: Seq[String] = Nil,
+    bloomSpec: Option[(Seq[String], Double)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(path, schema, writeId, partitionId, taskId,
-      partCols)
+      partCols, bloomSpec)
 }
 
 /** Streaming twin of [[GraftDataWriterFactory]]: the epoch id joins
   * the write id, so each micro-batch stages (and commits) its own
   * file generation. */
 case class GraftStreamingWriterFactory(path: String, schema: StructType,
-    writeId: String, partCols: Seq[String] = Nil)
+    writeId: String, partCols: Seq[String] = Nil,
+    bloomSpec: Option[(Seq[String], Double)] = None)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(path, schema, s"$writeId-$epochId", partitionId,
-      taskId, partCols)
+      taskId, partCols, bloomSpec)
 }
 
 /** Task-side parquet writer over the Group API (the symmetric twin of
@@ -345,7 +354,8 @@ case class GraftStreamingWriterFactory(path: String, schema: StructType,
   * per-task ordinal so every file in the table stays uniquely named —
   * the manifest keys on basenames. */
 class GraftDataWriter(path: String, schema: StructType, writeId: String,
-    partitionId: Int, taskId: Long, partCols: Seq[String] = Nil)
+    partitionId: Int, taskId: Long, partCols: Seq[String] = Nil,
+    bloomSpec: Option[(Seq[String], Double)] = None)
     extends DataWriter[InternalRow] {
   private val staging = new Path(path, s"_staging-$writeId")
   private val messageType = GraftParquetWrite.messageType(schema)
@@ -390,6 +400,11 @@ class GraftDataWriter(path: String, schema: StructType, writeId: String,
   override def write(row: InternalRow): Unit =
     writerFor(row).write(GraftParquetWrite.toGroup(factory, schema, row))
 
+  // sidecars this task wrote at their FINAL `_graft_bloom/` location
+  // (an aborted task deletes them; an abandoned one is an orphan the
+  // next build reaps — never a wrong skip)
+  private val bloomWritten = collection.mutable.Buffer.empty[Path]
+
   override def commit(): WriterCommitMessage =
     if (writers.isEmpty) GraftCommitMessage(Nil, Nil)
     else {
@@ -398,6 +413,13 @@ class GraftDataWriter(path: String, schema: StructType, writeId: String,
       // new files' column chunk stats exist; same executor, page-cache
       // warm — the manifest I/O rides the write, as in parquetWithStats
       val rels = writers.values.map(_._2).toSeq
+      // write-time bloom maintenance: one warm re-read of the spec
+      // columns per staged file, exact-size sidecars (GraftBloom spec)
+      bloomSpec.foreach { case (cols, fpp) =>
+        val taskConf = new Configuration()
+        rels.foreach(rel => bloomWritten ++= GraftBloom.buildForStaged(
+          taskConf, new Path(staging, rel), path, cols, fpp))
+      }
       GraftCommitMessage(rels, rels.flatMap(rel =>
         GraftParquetWrite.fileStatsEntries(
           new Path(staging, rel).toString)))
@@ -407,6 +429,7 @@ class GraftDataWriter(path: String, schema: StructType, writeId: String,
     if (!closed) { writers.values.foreach(_._1.close()); closed = true }
     val fs = staging.getFileSystem(new Configuration())
     writers.values.foreach(v => fs.delete(new Path(staging, v._2), false))
+    bloomWritten.foreach(p => fs.delete(p, false))
   }
 
   override def close(): Unit =

@@ -158,7 +158,11 @@ class GraftRowLevelWrite(path: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     GraftRowLevelWriterFactory(
-      GraftDataWriterFactory(path, schema, writeId, partCols), schema)
+      GraftDataWriterFactory(path, schema, writeId, partCols,
+        // COW rewrites maintain bloom sidecars too — rewritten files
+        // re-cover at write time instead of decaying to conservative
+        try GraftBloom.readSpec(path) catch { case _: Exception => None }),
+      schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)

@@ -199,6 +199,96 @@ class GraftBloomSpec extends SparkSpec {
     assert(plan.contains("BloomProbes: [doc_id]"), plan)
   }
 
+  test("persisted spec: appends MAINTAIN sidecars - no rebuild needed") {
+    val p = mkTable("b12")
+    GraftBloom.build(spark, p, Seq("lang")) // persists _graft_bloom_spec
+    assert(new java.io.File(p, GraftBloom.SpecFile).exists())
+    // append a file holding the ghost lang; the WRITE itself must
+    // cover it (task-side exact-size sidecar, no build call)
+    docs.limit(5).withColumn("lang", lit(ghostLang)).coalesce(1)
+      .write.format(fmt).option("path", p).mode("append").save()
+    val dir = new java.io.File(p, GraftBloom.BloomDir)
+    assert(dir.listFiles().count(_.getName.endsWith(".bloom")) == 3,
+      "the append must have written its own sidecar")
+    // a never-present value now bloom-refutes ALL THREE files —
+    // including the just-appended one, proving write-time coverage
+    GraftScanTelemetry.reset()
+    assert(read(p).filter(col("lang") === (ghostLang + "0")).count() == 0)
+    assert(bloomSkips >= 3)
+    // and the appended file's own content still answers exactly
+    assert(read(p).filter(col("lang") === ghostLang).count() == 5)
+  }
+
+  test("write-time sidecars size EXACTLY and cover catalog INSERT INTO") {
+    mkTable("b13")
+    spark.sql(s"CALL $cat.system.build_bloom(table => 'corp.b13', " +
+      "columns => 'doc_id')")
+    val nextId = docs.count() * 10
+    spark.sql(s"INSERT INTO $cat.corp.b13 VALUES " +
+      s"($nextId, '$ghostLang', 7)")
+    val p = s"$warehouse/corp/b13"
+    val dir = new java.io.File(p, GraftBloom.BloomDir)
+    assert(dir.listFiles().count(_.getName.endsWith(".bloom")) == 3,
+      "the SQL INSERT must have written its own sidecar")
+    // the single-row file's sidecar is sized for 64 items (the floor),
+    // not a default guess — tiny appends stay tiny
+    val newest = dir.listFiles().filter(_.getName.endsWith(".bloom"))
+      .minBy(_.length())
+    assert(newest.length() < 4096,
+      s"1-row sidecar should be near the 64-item floor, got ${newest.length()}")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $cat.corp.b13 WHERE doc_id = $nextId")
+      .head().getLong(0) == 1L)
+  }
+
+  test("spec column absent from a staged file degrades to no sidecar") {
+    // unit-level: a staged file whose footer lacks the spec column (or
+    // carries it as a non-bloomable primitive) yields NO sidecar — the
+    // conservative-read contract, not a wrong skip and not a crash
+    val p = mkTable("b14")
+    val f = graft.sources.GraftParquetV2.listFiles(p).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fp = new org.apache.hadoop.fs.Path(f)
+    assert(GraftBloom.buildForStaged(conf, fp, p, Seq("nope"), 0.01).isEmpty)
+    // and a real column yields exactly one sidecar at the final spot
+    val made = GraftBloom.buildForStaged(conf, fp, p, Seq("lang"), 0.01)
+    assert(made.size == 1 &&
+      made.head.getName == s"${fp.getName}.lang.bloom")
+  }
+
+  test("compaction and MOR update images re-cover through the write path") {
+    val p = mkTable("b15")
+    GraftBloom.build(spark, p, Seq("lang"))
+    // compaction rewrites everything through the connector writer —
+    // with a persisted spec the PACKED files arrive already covered
+    graft.sources.GraftMaintenance.compact(spark, p)
+    val live = graft.sources.GraftParquetV2.listFiles(p)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    val dir = new java.io.File(p, GraftBloom.BloomDir)
+    val covered = dir.listFiles().map(_.getName)
+      .filter(_.endsWith(".lang.bloom"))
+      .map(_.stripSuffix(".lang.bloom")).toSet
+    assert(live.subsetOf(covered),
+      s"every packed file must carry a sidecar; live=$live covered=$covered")
+    GraftScanTelemetry.reset()
+    assert(read(p).filter(col("lang") === ghostLang).count() == 0)
+    assert(bloomSkips > 0, "packed files bloom-refute the ghost lang")
+    // a MOR UPDATE's appended image file is covered too
+    spark.conf.set(GraftParquetTable.ModeConf, "merge-on-read")
+    try spark.sql(s"UPDATE $cat.corp.b15 SET lang = '$ghostLang' " +
+      s"WHERE doc_id = $midEven")
+    finally spark.conf.set(GraftParquetTable.ModeConf, "copy-on-write")
+    val live2 = graft.sources.GraftParquetV2.listFiles(p)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    val covered2 = dir.listFiles().map(_.getName)
+      .filter(_.endsWith(".lang.bloom"))
+      .map(_.stripSuffix(".lang.bloom")).toSet
+    assert(live2.subsetOf(covered2),
+      "the MOR update's image file must carry a sidecar")
+    assert(read(p).filter(col("lang") === ghostLang)
+      .head().getLong(0) == midEven)
+  }
+
   test("build reaps orphaned sidecars after an overwrite") {
     val p = mkTable("b11")
     GraftBloom.build(spark, p, Seq("doc_id"))
