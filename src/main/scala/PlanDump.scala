@@ -72,6 +72,14 @@ object PlanDump {
       spark.read.format(fmt).option("path", table).load()
         .filter(col("cc") > 100))
 
+    graft.sources.GraftBloom.build(spark, table, Seq("doc_id"))
+    dump("point lookup on a BLOOMED column",
+      "BloomProbes in the scan node: planning probes the per-file " +
+        "sidecars for every equality value on files the zone maps " +
+        "could not refute — refuted files are never scheduled",
+      spark.read.format(fmt).option("path", table).load()
+        .filter(col("doc_id") === 251))
+
     spark.stop()
   }
 }
