@@ -289,6 +289,45 @@ class GraftBloomSpec extends SparkSpec {
       .head().getLong(0) == midEven)
   }
 
+  test("runtime join keys (DPP) bloom-skip fact files zone maps cannot") {
+    // HASH-bucketed fact: every file's id range spans the domain, so
+    // the star-join's runtime In(id, dimKeys) is invisible to zone
+    // maps — only the sidecars can drop whole fact files
+    val p = s"$warehouse/corp/b16"
+    val fact = spark.range(4000L)
+      .select(col("id"), (col("id") * 3).as("v"))
+    (0 until 4).foreach { b =>
+      fact.filter(pmod(hash(col("id")), lit(4)) === b).coalesce(1)
+        .write.format(fmt).option("path", p).mode("append").save()
+    }
+    GraftBloom.build(spark, p, Seq("id"))
+    // dim keys all in ONE hash bucket → three fact files hold none;
+    // the dim carries a SELECTIVE filter (Spark's runtime-filter
+    // injection requires one on the build side)
+    // INTERIOR keys (median stretch of the bucket) so the statically
+    // inferred In — Catalyst propagates the dim filter through the
+    // join — cannot be zone-refuted; only the sidecars prune
+    val bucket0 = fact.filter(pmod(hash(col("id")), lit(4)) === 0)
+      .select("id").orderBy("id").collect().map(_.getLong(0))
+    val keys = bucket0.slice(bucket0.length / 2, bucket0.length / 2 + 5)
+    val dimPath = s"$warehouse/corp/b16_dim"
+    spark.range(4000L).select(col("id").as("fid"),
+        concat(lit("d"), col("id")).as("name"))
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter(col("fid").isin(keys.map(Long.box): _*))
+    GraftScanTelemetry.reset()
+    val j = read(p).join(dim, col("id") === col("fid"))
+      .select("id", "v")
+    val got = j.collect().map(_.getLong(0)).toSet
+    assert(got == keys.toSet)
+    assert(GraftScanTelemetry.skippedFiles.sum() == 0,
+      "interior keys must be invisible to the zone maps")
+    assert(bloomSkips >= 3,
+      "the three keyless fact files must be bloom-skipped from the " +
+        "inferred + runtime join keys")
+  }
+
   test("build reaps orphaned sidecars after an overwrite") {
     val p = mkTable("b11")
     GraftBloom.build(spark, p, Seq("doc_id"))
