@@ -1149,11 +1149,61 @@ object LakehouseQueries {
            |FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM probes)
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** TABLE STATISTICS ([[graft.sources.GraftAnalyze]]): `CALL
+    * system.analyze` runs the one-pass NDV/null/length sweep and the
+    * hash gate replays its EXACT outputs (null counts, string length
+    * moments, row count) per column in DuckDB — the HLL NDVs are
+    * engine-approximate by design, so they stay under an in-query
+    * sanity require (positive, ≤ rows) and the planner-integration
+    * spec. */
+  val qSqlAnalyze = QueryDef("q_sql_analyze",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("append").save()
+      val out = spark.sql(s"CALL $cat.system.analyze(table => 'sf.$tbl')")
+      val rows = out.collect()
+      require(rows.forall(r => r.getLong(1) > 0 &&
+          r.getLong(1) <= (r.getLong(5) * 1.2).toLong + 1),
+        "NDV must be positive and within HLL tolerance of the row count")
+      out.select(col("column").as("col_name"), col("null_count"),
+          col("avg_len"), col("max_len"), col("row_count"))
+        .orderBy("col_name")
+    },
+    Some("""WITH s AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+           |                  o_totalprice, o_orderpriority
+           |           FROM orders WHERE o_orderkey % 4 = 0)
+           |SELECT * FROM (
+           |  SELECT 'o_custkey' AS col_name,
+           |         count(*) - count(o_custkey) AS null_count,
+           |         CAST(-1 AS BIGINT) AS avg_len,
+           |         CAST(-1 AS BIGINT) AS max_len,
+           |         count(*) AS row_count FROM s
+           |  UNION ALL
+           |  SELECT 'o_orderkey', count(*) - count(o_orderkey),
+           |         -1, -1, count(*) FROM s
+           |  UNION ALL
+           |  SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+           |         CAST(ceil(avg(length(o_orderpriority))) AS BIGINT),
+           |         CAST(max(length(o_orderpriority)) AS BIGINT),
+           |         count(*) FROM s
+           |  UNION ALL
+           |  SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           |         CAST(ceil(avg(length(o_orderstatus))) AS BIGINT),
+           |         CAST(max(length(o_orderstatus)) AS BIGINT),
+           |         count(*) FROM s
+           |  UNION ALL
+           |  SELECT 'o_totalprice', count(*) - count(o_totalprice),
+           |         -1, -1, count(*) FROM s
+           |) ORDER BY col_name""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
       qSqlUpdateDv, qSqlDeleteDv, qSqlRewriteDeletes,
       qMergeSchemaEvolution, qSqlMergeEvolution, qSqlRenameColumn,
       qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion,
-      qStreamCatalogTable, qSqlRollback, qSqlTagTravel, qBloomPointLookup)
+      qStreamCatalogTable, qSqlRollback, qSqlTagTravel, qBloomPointLookup,
+      qSqlAnalyze)
 }

@@ -364,7 +364,7 @@ class GraftCatalog extends TableCatalog
     if (namespace.sameElements(SystemNs))
       Array("compact", "vacuum", "history", "ann_probe",
         "rewrite_deletes", "detail", "rollback", "tag", "drop_tag",
-        "tags", "build_bloom").map(Identifier.of(SystemNs, _))
+        "tags", "build_bloom", "analyze").map(Identifier.of(SystemNs, _))
     else Array.empty
 
   private def tablePath(arg: String): String = {
@@ -460,7 +460,10 @@ class GraftCatalog extends TableCatalog
           StructField("dv_files", IntegerType),
           StructField("dv_positions", LongType),
           StructField("renames", IntegerType),
-          StructField("partition_spec", StringType))),
+          StructField("partition_spec", StringType),
+          StructField("analyzed_version", LongType, nullable = true),
+          StructField("bloom_columns", StringType),
+          StructField("bloom_covered_files", IntegerType))),
         { in =>
           val p = tablePath(in.getString(0))
           val head = GraftTableLog.latestVersion(p)
@@ -468,6 +471,23 @@ class GraftCatalog extends TableCatalog
           val rows = head.flatMap(v =>
             hist.find(_.version == v).flatMap(_.rows))
           val dv = GraftDeletes.livePositions(p)
+          val colStats = GraftAnalyze.read(p)
+          val bloomSpec = GraftBloom.readSpec(p)
+          // live files with a sidecar for EVERY spec column — the
+          // point-lookup coverage the next build would top up
+          val bloomCovered = bloomSpec.map { case (cols, _) =>
+            val bdir = new Path(p, GraftBloom.BloomDir)
+            val fs = bdir.getFileSystem(new Configuration())
+            if (!fs.exists(bdir)) 0
+            else {
+              val have = fs.listStatus(bdir)
+                .map(_.getPath.getName).filter(_.endsWith(".bloom")).toSet
+              GraftParquetV2.listFiles(p).count { f =>
+                val base = new Path(f).getName
+                cols.forall(c => have.contains(s"$base.$c.bloom"))
+              }
+            }
+          }.getOrElse(0)
           // ledger entries, not alias-map rows: the suffix map holds
           // every chain suffix, which would overcount chained renames
           val renames = {
@@ -486,7 +506,11 @@ class GraftCatalog extends TableCatalog
             renames,
             UTF8String.fromString(
               GraftCatalog.readPartSpec(p, new Configuration())
-                .mkString(",")))))
+                .mkString(",")),
+            colStats.map(s => Long.box(s.version)).orNull,
+            UTF8String.fromString(
+              bloomSpec.map(_._1.mkString(",")).getOrElse("")),
+            bloomCovered)))
         })
       // selective deletion-vector folding — rewrite ONLY the DV'd
       // files (cost ∝ DV'd files, not table size; the Iceberg
@@ -612,6 +636,30 @@ class GraftCatalog extends TableCatalog
             new GenericInternalRow(Array[Any](UTF8String.fromString(n), v))
           }
         })
+      // TABLE-LEVEL COLUMN STATISTICS ([[GraftAnalyze]]): one
+      // distributed pass (NDV via HLL++, null counts, length moments
+      // + exact row count), persisted as `_graft_colstats` and served
+      // to the planner through DSv2 columnStats — CBO join estimation
+      // sees real NDVs. Standard ANALYZE staleness semantics.
+      case "analyze" => new GraftProcedure("analyze",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(StructField("column", StringType),
+          StructField("ndv", LongType),
+          StructField("null_count", LongType),
+          StructField("avg_len", LongType),
+          StructField("max_len", LongType),
+          StructField("row_count", LongType),
+          StructField("analyzed_version", LongType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val ts = GraftAnalyze.analyze(
+            org.apache.spark.sql.SparkSession.active, p)
+          ts.cols.toSeq.sortBy(_._1).map { case (n, s) =>
+            new GenericInternalRow(Array[Any](UTF8String.fromString(n),
+              s.ndv, s.nullCount, s.avgLen.getOrElse(-1L),
+              s.maxLen.getOrElse(-1L), ts.rows, ts.version))
+          }
+        })
       // PER-FILE BLOOM SIDECARS for equality file-skipping on high-
       // cardinality unsorted columns ([[GraftBloom]]): one distributed
       // build pass, sidecars under `_graft_bloom/`, consumed
@@ -644,7 +692,7 @@ class GraftCatalog extends TableCatalog
         s"graft catalog: unknown procedure '$other' — " +
           "available: compact, vacuum, history, ann_probe, " +
           "rewrite_deletes, detail, rollback, tag, drop_tag, tags, " +
-          "build_bloom")
+          "build_bloom, analyze")
     }
   }
 }

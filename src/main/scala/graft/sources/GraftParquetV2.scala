@@ -627,8 +627,63 @@ case class GraftParquetScan(path: String, required: StructType,
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(onDiskBytes)
+    /** EXACT row count from metadata alone — per-file valueCounts out
+      * of the (version-correct) stats manifest minus the target's DV
+      * positions — reported only for UNFILTERED scans (a pushed
+      * conjunction's selectivity is the planner's to estimate, and an
+      * unmanifested file makes the count unknowable). Join sizing and
+      * CBO estimates then start from truth instead of bytes/row
+      * guesses. */
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty()
+      if (pushed.nonEmpty) java.util.OptionalLong.empty()
+      else try {
+        val (files, stats, dv) = readTarget
+        val perFile = files.map(f =>
+          stats.get(new Path(f).getName)
+            .flatMap(_.valuesIterator.map(_.valueCount).maxOption))
+        if (files.isEmpty || perFile.exists(_.isEmpty))
+          java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(perFile.flatten.sum -
+          dv.valuesIterator.map(_.length.toLong).sum)
+      } catch { case _: Exception => java.util.OptionalLong.empty() }
+    /** ANALYZE output ([[GraftAnalyze]]): per-column NDV / null count /
+      * length moments for the LIVE table, keyed to the scan's required
+      * columns. Live unfiltered scans only — the persisted stats
+      * describe the head, not a snapshot or a filtered subset. These
+      * are planner estimates by contract; staleness costs plan quality,
+      * never correctness. */
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (travel.isEmpty && pushed.isEmpty && aggs.isEmpty) try {
+        GraftAnalyze.read(path).foreach { ts =>
+          required.fieldNames.foreach { n =>
+            ts.cols.get(n).foreach { s =>
+              out.put(
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .column(n),
+                new org.apache.spark.sql.connector.read.colstats
+                    .ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(s.ndv)
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(s.nullCount)
+                  override def avgLen(): java.util.OptionalLong =
+                    s.avgLen.map(java.util.OptionalLong.of)
+                      .getOrElse(java.util.OptionalLong.empty())
+                  override def maxLen(): java.util.OptionalLong =
+                    s.maxLen.map(java.util.OptionalLong.of)
+                      .getOrElse(java.util.OptionalLong.empty())
+                })
+            }
+          }
+        }
+      } catch { case _: Exception => () }
+      out
+    }
   }
 
   /** Runtime filters (Spark's dynamic-pruning machinery): when this scan
