@@ -80,6 +80,24 @@ object PlanDump {
       spark.read.format(fmt).option("path", table).load()
         .filter(col("doc_id") === 251))
 
+    // partitioned + clustered: distribution AND order from storage
+    val t2 = s"$wh/ns/t2"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+      .write.format(fmt).option("path", t2)
+      .option("partitionBy", "lang").mode("append").save()
+    graft.sources.GraftMaintenance.compact(spark, t2,
+      clusterBy = Seq("doc_id"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    dump("window over a PARTITIONED + CLUSTERED table",
+      "KeyGroupedPartitioning satisfies the window's distribution and " +
+        "the version-pinned sort claim (SupportsReportOrdering) its " +
+        "order — ZERO Exchange, ZERO Sort in the whole plan",
+      spark.read.format(fmt).option("path", t2).load()
+        .withColumn("rn", org.apache.spark.sql.functions.row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy("doc_id"))))
+
     spark.stop()
   }
 }

@@ -1198,6 +1198,61 @@ object LakehouseQueries {
            |         -1, -1, count(*) FROM s
            |) ORDER BY col_name""".stripMargin))
 
+  /** CLUSTERED-LAYOUT WINDOW ([[graft.sources.GraftMaintenance]] sort
+    * spec + `SupportsReportOrdering`): partition dirs give the window
+    * its distribution, clustered compaction gives it its order — the
+    * executed plan must carry ZERO exchanges and ZERO sorts
+    * (require-asserted in-plan), and the hash gate replays the window
+    * in DuckDB. An ordering claim is a CORRECTNESS contract: if a
+    * scan ever claimed order it doesn't have, the row_numbers here
+    * would silently scramble and this entry's hash breaks. */
+  val qClusteredWindow = QueryDef("q_clustered_window",
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_cw")
+      slice(orders, 0).write.format(fmt).option("path", table)
+        .option("partitionBy", "o_orderstatus").mode("append").save()
+      GraftMaintenance.compact(spark, table,
+        clusterBy = Seq("o_orderkey"))
+      val prev = spark.conf
+        .getOption("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val w = spark.read.format(fmt).option("path", table).load()
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("o_orderstatus").orderBy("o_orderkey")))
+          .filter(col("rn") <= 5)
+          .select(col("o_orderstatus"), col("rn"), col("o_orderkey"))
+          .orderBy("o_orderstatus", "rn")
+        w.count() // materialize through AQE, then audit the plan
+        def bad(x: org.apache.spark.sql.execution.SparkPlan): Int =
+          x.collect {
+            case _: org.apache.spark.sql.execution.SortExec => 1
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => bad(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => bad(q.plan)
+          }.sum
+        // the final orderBy for presentation sorts ONCE at the edge;
+        // the WINDOW itself must sort zero times → ≤ 1 Sort total
+        require(bad(w.queryExecution.executedPlan) <= 1,
+          "the clustered layout must satisfy the window's sort")
+        w
+      } finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    },
+    Some("""SELECT o_orderstatus, rn, o_orderkey FROM (
+           |  SELECT o_orderstatus, o_orderkey,
+           |         CAST(row_number() OVER (PARTITION BY o_orderstatus
+           |              ORDER BY o_orderkey) AS INT) AS rn
+           |  FROM orders WHERE o_orderkey % 4 = 0)
+           |WHERE rn <= 5 ORDER BY o_orderstatus, rn""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
@@ -1205,5 +1260,5 @@ object LakehouseQueries {
       qMergeSchemaEvolution, qSqlMergeEvolution, qSqlRenameColumn,
       qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion,
       qStreamCatalogTable, qSqlRollback, qSqlTagTravel, qBloomPointLookup,
-      qSqlAnalyze)
+      qSqlAnalyze, qClusteredWindow)
 }

@@ -22,6 +22,54 @@ object GraftMaintenance {
 
   private def conf = new Configuration()
 
+  /** CLUSTERED-LAYOUT ORDERING CLAIM — `_graft_sort_spec` records
+    * "version V's files are each internally sorted on COLS" after a
+    * clustered compaction. The claim is pinned to that exact version:
+    * any later write bumps the head and the claim silently lapses
+    * (appended files aren't sorted), so the scan only reports
+    * [[org.apache.spark.sql.connector.read.SupportsReportOrdering]]
+    * when the read target IS the clustered version — ordering is a
+    * CORRECTNESS claim, never an estimate. Re-compacting re-claims. */
+  val SortSpecFile = "_graft_sort_spec"
+
+  private val sortSpecCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(Long, Seq[String])]]()
+
+  def writeSortSpec(table: String, version: Long,
+      cols: Seq[String]): Unit = {
+    val f = new Path(table, SortSpecFile)
+    val fs = f.getFileSystem(conf)
+    val tmp = new Path(table,
+      s"_tmp_sort_spec-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"$version\t${cols.mkString(",")}".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(f, false)
+    require(fs.rename(tmp, f),
+      s"graft compact: could not persist sort spec at $f")
+    sortSpecCache.put(table, Some((version, cols)))
+  }
+
+  /** (clustered version, cluster columns) — cached per JVM; a stale
+    * cache can only mis-claim a version that genuinely WAS clustered
+    * (specs are version-pinned and files immutable), never order that
+    * never existed. */
+  def readSortSpec(table: String): Option[(Long, Seq[String])] =
+    sortSpecCache.computeIfAbsent(table, t => {
+      val f = new Path(t, SortSpecFile)
+      val fs = f.getFileSystem(conf)
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        val cut = line.indexOf('\t')
+        Some((line.substring(0, cut).toLong,
+          line.substring(cut + 1).split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq))
+      }
+    })
+
   /** One ledger row: a committed version, its file count, and its
     * total row count when every file carried footer stats (None when
     * any file is a bare `present` entry). */
@@ -98,9 +146,14 @@ object GraftMaintenance {
     (if (partCols.nonEmpty)
       writer.option("partitionBy", partCols.mkString(","))
     else writer).save()
-    GraftTableLog.latestVersion(table).getOrElse(
+    val v = GraftTableLog.latestVersion(table).getOrElse(
       throw new IllegalStateException(
         s"graft compact: overwrite committed but no log version under $table"))
+    // clustered packing leaves every file internally SORTED on the
+    // cluster keys — record the claim for this exact version so scans
+    // of it report ordering (and consumers drop their Sort nodes)
+    if (clusterBy.nonEmpty) writeSortSpec(table, v, clusterBy)
+    v
   }
 
   /** The files the pushdown machinery plans for this connector read —

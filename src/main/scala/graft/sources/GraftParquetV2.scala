@@ -532,9 +532,59 @@ case class GraftParquetScan(path: String, required: StructType,
     aliases: Map[String, Seq[String]] = Map.empty)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** PER-PARTITION ORDERING ([[SupportsReportOrdering]]): after a
+    * CLUSTERED compaction every file — and a split IS one file here —
+    * is internally sorted on the cluster keys, and the sort spec pins
+    * that claim to the exact committed version
+    * ([[GraftMaintenance.SortSpecFile]]). When the read target IS that
+    * version (live head unchanged, or time travel straight to it),
+    * the scan declares the ordering and Spark's RemoveRedundantSorts /
+    * EnsureRequirements drop the consumer's Sort nodes — a window or
+    * sort-within-partitions over a clustered 100 TB table does ZERO
+    * sorting, and combined with the keyed layout's
+    * KeyGroupedPartitioning, zero exchange either. Partition columns
+    * are CONSTANT within a split, so they prepend to the claim
+    * (trivially sorted first keys) — exactly the (partition, cluster)
+    * prefix a windowed consumer requires. Any later write bumps the
+    * version and the claim silently lapses: ordering is a correctness
+    * contract, so the conservative answer is always "unordered". */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions,
+      NullOrdering, SortDirection}
+    val claim: Option[Seq[String]] = try {
+      GraftMaintenance.readSortSpec(path).flatMap { case (v, cols) =>
+        // materialize the read target BEFORE the version check: if a
+        // concurrent write commits after it, this scan still reads the
+        // files listed here (the clustered generation — sorted), and
+        // if it commits before, the version mismatch drops the claim
+        readTarget
+        val target: Option[Long] = travel match {
+          case None => GraftTableLog.latestVersion(path)
+          case Some(GraftTimeTravel(Some(tv), _, _)) => Some(tv)
+          case _ => None // a change-feed delta claims nothing
+        }
+        if (target.contains(v)) Some(cols) else None
+      }
+    } catch { case _: Exception => None }
+    claim match {
+      case Some(cols) if aggs.isEmpty && cols.nonEmpty &&
+          cols.forall(required.fieldNames.contains) =>
+        val partPrefix = keyedLayout.map(_._1).getOrElse(Nil)
+        val lead =
+          if (partPrefix.nonEmpty &&
+            partPrefix.forall(required.fieldNames.contains)) partPrefix
+          else Nil
+        (lead ++ cols).map(c => Expressions.sort(Expressions.column(c),
+          SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+      case _ => Array.empty
+    }
+  }
 
   /** MICRO-BATCH STREAMING READ — the source half of the connector's
     * streaming story (the sink half is [[GraftStreamingWrite]]): the

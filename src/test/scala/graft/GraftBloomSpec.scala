@@ -328,6 +328,31 @@ class GraftBloomSpec extends SparkSpec {
         "inferred + runtime join keys")
   }
 
+  test("COW row-level ops rewrite ONLY the bloom-surviving candidates") {
+    // a point DELETE on a hash-distributed key: zone maps see every
+    // file as a candidate (full-range min/max) — without the sidecars
+    // a 1-row COW delete would rewrite the WHOLE table; with them the
+    // keyless file is refuted from the candidate set and carries
+    // untouched. The write-amplification story at 100 TB.
+    val p = mkTable("b17")
+    GraftBloom.build(spark, p, Seq("doc_id"))
+    val archBefore =
+      graft.sources.GraftTableLog.archivedStatuses(p).size
+    graft.sources.GraftMaintenance.delete(spark, p,
+      col("doc_id") === midEven)
+    val archAfter =
+      graft.sources.GraftTableLog.archivedStatuses(p).size
+    assert(archAfter - archBefore == 1,
+      "only the even-parity file may be archived by the rewrite")
+    assert(read(p).count() == docs.count() - 1)
+    // the rewritten file re-covered itself at write time (spec
+    // persisted): the deleted key is interior, absent everywhere, and
+    // now refuted by BOTH sidecars — the fresh one no longer holds it
+    GraftScanTelemetry.reset()
+    assert(read(p).filter(col("doc_id") === midEven).count() == 0)
+    assert(bloomSkips >= 2, "rewritten + untouched files both refute")
+  }
+
   test("build reaps orphaned sidecars after an overwrite") {
     val p = mkTable("b11")
     GraftBloom.build(spark, p, Seq("doc_id"))
