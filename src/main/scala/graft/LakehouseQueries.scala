@@ -1253,6 +1253,48 @@ object LakehouseQueries {
            |  FROM orders WHERE o_orderkey % 4 = 0)
            |WHERE rn <= 5 ORDER BY o_orderstatus, rn""".stripMargin))
 
+  /** CHECK CONSTRAINTS ([[graft.sources.GraftConstraints]]): add a
+    * writer-enforced contract, prove a violating batch refuses and
+    * commits NOTHING (require-asserted), then hash-match the surviving
+    * table — the oracle replays "only the valid batches landed". */
+  val qSqlConstraints = QueryDef("q_sql_constraints",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("append").save()
+      val added = spark.sql(s"CALL $cat.system.add_constraint(" +
+        s"table => 'sf.$tbl', name => 'price_positive', " +
+        "expression => 'o_totalprice > 0')").head()
+      require(added.getLong(1) > 0, "backlog validation must count rows")
+      // a valid batch commits
+      slice(orders, 1).write.format(fmt).option("path", path)
+        .mode("append").save()
+      // a violating batch refuses BY NAME and commits nothing
+      val before = spark.read.format(fmt).option("path", path)
+        .load().count()
+      val refused = try {
+        slice(orders, 2).withColumn("o_totalprice",
+            lit(-1.0).cast(slice(orders, 2).schema("o_totalprice").dataType))
+          .write.format(fmt).option("path", path).mode("append").save()
+        false
+      } catch {
+        case e: Exception =>
+          def chain(t: Throwable): String =
+            Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+              .map(x => Option(x.getMessage).getOrElse("")).mkString("|")
+          require(chain(e).contains("price_positive"),
+            s"refusal must name the constraint: ${chain(e).take(200)}")
+          true
+      }
+      require(refused, "the violating batch must be refused")
+      val after = spark.read.format(fmt).option("path", path).load()
+      require(after.count() == before,
+        "a refused write must commit nothing")
+      fingerprint(after)
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
@@ -1260,5 +1302,5 @@ object LakehouseQueries {
       qMergeSchemaEvolution, qSqlMergeEvolution, qSqlRenameColumn,
       qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion,
       qStreamCatalogTable, qSqlRollback, qSqlTagTravel, qBloomPointLookup,
-      qSqlAnalyze, qClusteredWindow)
+      qSqlAnalyze, qClusteredWindow, qSqlConstraints)
 }

@@ -295,6 +295,10 @@ class GraftCatalog extends TableCatalog
           s"graft catalog: cannot rename partition column $from — its " +
             "name lives in every partition directory path")
         refuseCollision(to, "RENAME COLUMN to")
+        // a CHECK constraint referencing the column must be dropped
+        // first — enforcement can never silently lapse
+        GraftConstraints.refuseIfReferenced(
+          org.apache.spark.sql.SparkSession.active, p, from, cur)
         GraftCatalog.appendRename(p, from, to, conf)
         commitSchemaCarrier(p, StructType(cur.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f)))
@@ -312,6 +316,8 @@ class GraftCatalog extends TableCatalog
         require(!GraftCatalog.readPartSpec(p, conf).contains(name),
           s"graft catalog: cannot drop partition column $name — its " +
             "name lives in every partition directory path")
+        GraftConstraints.refuseIfReferenced(
+          org.apache.spark.sql.SparkSession.active, p, name, cur)
         commitSchemaCarrier(p,
           StructType(cur.fields.filterNot(_.name == name)))
       case other => throw new UnsupportedOperationException(
@@ -364,7 +370,8 @@ class GraftCatalog extends TableCatalog
     if (namespace.sameElements(SystemNs))
       Array("compact", "vacuum", "history", "ann_probe",
         "rewrite_deletes", "detail", "rollback", "tag", "drop_tag",
-        "tags", "build_bloom", "analyze").map(Identifier.of(SystemNs, _))
+        "tags", "build_bloom", "analyze", "add_constraint",
+        "drop_constraint", "constraints").map(Identifier.of(SystemNs, _))
     else Array.empty
 
   private def tablePath(arg: String): String = {
@@ -660,6 +667,45 @@ class GraftCatalog extends TableCatalog
               s.maxLen.getOrElse(-1L), ts.rows, ts.version))
           }
         })
+      // CHECK CONSTRAINTS ([[GraftConstraints]]): add validates the
+      // expression AND the existing rows (one scan, refused with the
+      // violation count otherwise), then every write route enforces it
+      // per row; drop removes it; constraints lists them.
+      case "add_constraint" => new GraftProcedure("add_constraint",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("expression", StringType).build()),
+        StructType(Seq(StructField("name", StringType),
+          StructField("rows_validated", LongType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val n = GraftConstraints.add(
+            org.apache.spark.sql.SparkSession.active, p,
+            in.getString(1), in.getString(2))
+          Seq(new GenericInternalRow(Array[Any](
+            UTF8String.fromString(in.getString(1)), n)))
+        })
+      case "drop_constraint" => new GraftProcedure("drop_constraint",
+        Array(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("dropped", StringType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          GraftConstraints.drop(p, in.getString(1))
+          Seq(new GenericInternalRow(Array[Any](
+            UTF8String.fromString(in.getString(1)))))
+        })
+      case "constraints" => new GraftProcedure("constraints",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(StructField("name", StringType),
+          StructField("expression", StringType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          GraftConstraints.read(p).map { case (n, e) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(n), UTF8String.fromString(e)))
+          }
+        })
       // PER-FILE BLOOM SIDECARS for equality file-skipping on high-
       // cardinality unsorted columns ([[GraftBloom]]): one distributed
       // build pass, sidecars under `_graft_bloom/`, consumed
@@ -692,7 +738,8 @@ class GraftCatalog extends TableCatalog
         s"graft catalog: unknown procedure '$other' — " +
           "available: compact, vacuum, history, ann_probe, " +
           "rewrite_deletes, detail, rollback, tag, drop_tag, tags, " +
-          "build_bloom, analyze")
+          "build_bloom, analyze, add_constraint, drop_constraint, " +
+          "constraints")
     }
   }
 }

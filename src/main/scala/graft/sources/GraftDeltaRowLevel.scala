@@ -114,7 +114,10 @@ class GraftDeltaWrite(path: String, tableSchema: StructType)
     GraftDeltaWriterFactory(path, tableSchema, writeId, partCols,
       // MOR update images are ordinary appends — they maintain bloom
       // sidecars like any other write (spec resolved driver-side)
-      try GraftBloom.readSpec(path) catch { case _: Exception => None })
+      try GraftBloom.readSpec(path) catch { case _: Exception => None },
+      // CHECK constraints apply to MOR update images too
+      GraftConstraints.boundFor(
+        org.apache.spark.sql.SparkSession.active, path, tableSchema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
@@ -182,12 +185,14 @@ class GraftDeltaWrite(path: String, tableSchema: StructType)
 
 case class GraftDeltaWriterFactory(path: String, schema: StructType,
     writeId: String, partCols: Seq[String],
-    bloomSpec: Option[(Seq[String], Double)] = None)
+    bloomSpec: Option[(Seq[String], Double)] = None,
+    constraints: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[InternalRow] =
     new GraftDeltaWriter(path, schema, writeId, partitionId, taskId,
-      partCols, bloomSpec)
+      partCols, bloomSpec, constraints)
 }
 
 /** Task half: inserts flow to an ordinary [[GraftDataWriter]]; deletes
@@ -197,11 +202,13 @@ case class GraftDeltaWriterFactory(path: String, schema: StructType,
   * format doesn't rely on it — the planning-time loader sorts. */
 class GraftDeltaWriter(path: String, schema: StructType, writeId: String,
     partitionId: Int, taskId: Long, partCols: Seq[String],
-    bloomSpec: Option[(Seq[String], Double)] = None)
+    bloomSpec: Option[(Seq[String], Double)] = None,
+    constraints: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DeltaWriter[InternalRow] {
   private val inner =
     new GraftDataWriter(path, schema, writeId, partitionId, taskId,
-      partCols, bloomSpec)
+      partCols, bloomSpec, constraints)
   private val staging = new Path(path, s"_staging-$writeId")
   private val dvName = f"dv-$partitionId%05d-$taskId-$writeId.parquet"
   private var dvWriter: ParquetWriter[Group] = null

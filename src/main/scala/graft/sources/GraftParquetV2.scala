@@ -685,7 +685,11 @@ case class GraftParquetScan(path: String, required: StructType,
       * CBO estimates then start from truth instead of bytes/row
       * guesses. */
     override def numRows(): java.util.OptionalLong =
-      if (pushed.nonEmpty) java.util.OptionalLong.empty()
+      // a pushed conjunction's selectivity is unknowable here, and a
+      // pushed AGGREGATE emits group rows, not table rows — both opt
+      // out rather than overstate
+      if (pushed.nonEmpty || aggs.isDefined)
+        java.util.OptionalLong.empty()
       else try {
         val (files, stats, dv) = readTarget
         val perFile = files.map(f =>
@@ -693,8 +697,15 @@ case class GraftParquetScan(path: String, required: StructType,
             .flatMap(_.valuesIterator.map(_.valueCount).maxOption))
         if (files.isEmpty || perFile.exists(_.isEmpty))
           java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(perFile.flatten.sum -
-          dv.valuesIterator.map(_.length.toLong).sum)
+        else {
+          val exact = perFile.flatten.sum -
+            dv.valuesIterator.map(_.length.toLong).sum
+          // a pushed LIMIT caps the emitted rows (partial contract:
+          // per-file heaps emit at most `limit` each, the retained
+          // global limit trims the rest — `exact` stays the bound)
+          java.util.OptionalLong.of(
+            if (limit >= 0) math.min(exact, limit.toLong) else exact)
+        }
       } catch { case _: Exception => java.util.OptionalLong.empty() }
     /** ANALYZE output ([[GraftAnalyze]]): per-column NDV / null count /
       * length moments for the LIVE table, keyed to the scan's required

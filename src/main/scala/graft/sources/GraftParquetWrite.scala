@@ -148,15 +148,22 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
     val bloomSpec = try GraftBloom.readSpec(path) catch {
       case _: Exception => None
     }
+    // CHECK constraints bind to the write schema HERE — a write that
+    // cannot enforce one (missing column, unparseable) refuses before
+    // any task launches, never silently skips ([[GraftConstraints]])
+    val constraints = GraftConstraints.boundFor(
+      org.apache.spark.sql.SparkSession.active, path, info.schema())
     new GraftBatchWrite(path, info.schema(), doTruncate, partCols,
-      dynamic, info.queryId(), bloomSpec)
+      dynamic, info.queryId(), bloomSpec, constraints)
   }
 }
 
 class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     partCols: Seq[String] = Nil, dynamicOverwrite: Boolean = false,
     queryId: String = "",
-    bloomSpec: Option[(Seq[String], Double)] = None)
+    bloomSpec: Option[(Seq[String], Double)] = None,
+    constraints: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val writeId = UUID.randomUUID().toString
@@ -171,7 +178,8 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    GraftDataWriterFactory(path, schema, writeId, partCols, bloomSpec)
+    GraftDataWriterFactory(path, schema, writeId, partCols, bloomSpec,
+      constraints)
 
   // ——— streaming sink: one transactional append per epoch ———
 
@@ -198,7 +206,8 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory =
-    GraftStreamingWriterFactory(path, schema, writeId, partCols, bloomSpec)
+    GraftStreamingWriterFactory(path, schema, writeId, partCols,
+      bloomSpec, constraints)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -320,12 +329,14 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
 
 case class GraftDataWriterFactory(path: String, schema: StructType,
     writeId: String, partCols: Seq[String] = Nil,
-    bloomSpec: Option[(Seq[String], Double)] = None)
+    bloomSpec: Option[(Seq[String], Double)] = None,
+    constraints: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(path, schema, writeId, partitionId, taskId,
-      partCols, bloomSpec)
+      partCols, bloomSpec, constraints)
 }
 
 /** Streaming twin of [[GraftDataWriterFactory]]: the epoch id joins
@@ -333,13 +344,15 @@ case class GraftDataWriterFactory(path: String, schema: StructType,
   * file generation. */
 case class GraftStreamingWriterFactory(path: String, schema: StructType,
     writeId: String, partCols: Seq[String] = Nil,
-    bloomSpec: Option[(Seq[String], Double)] = None)
+    bloomSpec: Option[(Seq[String], Double)] = None,
+    constraints: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(path, schema, s"$writeId-$epochId", partitionId,
-      taskId, partCols, bloomSpec)
+      taskId, partCols, bloomSpec, constraints)
 }
 
 /** Task-side parquet writer over the Group API (the symmetric twin of
@@ -355,8 +368,20 @@ case class GraftStreamingWriterFactory(path: String, schema: StructType,
   * the manifest keys on basenames. */
 class GraftDataWriter(path: String, schema: StructType, writeId: String,
     partitionId: Int, taskId: Long, partCols: Seq[String] = Nil,
-    bloomSpec: Option[(Seq[String], Double)] = None)
+    bloomSpec: Option[(Seq[String], Double)] = None,
+    constraints: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DataWriter[InternalRow] {
+  // CHECK enforcement: one codegen\'d predicate per constraint,
+  // compiled once per task from the plan-time-bound expression
+  // (null already passes — the binder wrapped `IS NULL OR expr`)
+  private lazy val checks: Array[(String,
+      org.apache.spark.sql.catalyst.expressions.BasePredicate)] =
+    constraints.map { case (n, e) =>
+      val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+      p.initialize(partitionId)
+      (n, p)
+    }.toArray
   private val staging = new Path(path, s"_staging-$writeId")
   private val messageType = GraftParquetWrite.messageType(schema)
   private val factory = new SimpleGroupFactory(messageType)
@@ -397,8 +422,18 @@ class GraftDataWriter(path: String, schema: StructType, writeId: String,
     })._1
   }
 
-  override def write(row: InternalRow): Unit =
+  override def write(row: InternalRow): Unit = {
+    var ci = 0
+    while (ci < checks.length) {
+      if (!checks(ci)._2.eval(row))
+        throw new IllegalArgumentException(
+          s"graft constraint \'${checks(ci)._1}\' violated by row " +
+            row.toSeq(schema).mkString("[", ", ", "]") +
+            s" — write refused (DROP the constraint or fix the data)")
+      ci += 1
+    }
     writerFor(row).write(GraftParquetWrite.toGroup(factory, schema, row))
+  }
 
   // sidecars this task wrote at their FINAL `_graft_bloom/` location
   // (an aborted task deletes them; an abandoned one is an orphan the

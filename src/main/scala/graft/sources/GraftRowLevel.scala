@@ -161,7 +161,11 @@ class GraftRowLevelWrite(path: String, schema: StructType,
       GraftDataWriterFactory(path, schema, writeId, partCols,
         // COW rewrites maintain bloom sidecars too — rewritten files
         // re-cover at write time instead of decaying to conservative
-        try GraftBloom.readSpec(path) catch { case _: Exception => None }),
+        try GraftBloom.readSpec(path) catch { case _: Exception => None },
+        // CHECK constraints apply to rewritten rows: an UPDATE that
+        // SETs a violating value refuses here
+        GraftConstraints.boundFor(
+          org.apache.spark.sql.SparkSession.active, path, schema)),
       schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

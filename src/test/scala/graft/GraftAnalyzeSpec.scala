@@ -72,6 +72,10 @@ class GraftAnalyzeSpec extends SparkSpec {
       .queryExecution.optimizedPlan.stats
     assert(stF.rowCount.isEmpty || stF.rowCount.exists(_ < BigInt(n)),
       "a pushed filter must not claim the full table's row count")
+    // a pushed LIMIT caps the claim
+    val stL = read(p).limit(5).queryExecution.optimizedPlan.stats
+    assert(stL.rowCount.forall(_ <= BigInt(5)),
+      s"a pushed limit must cap the row count: ${stL.rowCount}")
   }
 
   test("detail surfaces analyzed version, bloom spec and coverage") {
