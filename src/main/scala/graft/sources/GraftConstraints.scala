@@ -32,24 +32,25 @@ object GraftConstraints {
 
   private def conf = GraftParquetWrite.sessionConf()
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(String, String)]]()
-
-  def read(table: String): Seq[(String, String)] =
-    cache.computeIfAbsent(table, t => {
-      val f = new Path(t, ConstraintsFile)
-      val fs = f.getFileSystem(conf)
-      if (!fs.exists(f)) Nil
-      else {
-        val in = fs.open(f)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString finally in.close()
-        body.split('\n').filter(_.nonEmpty).toSeq.map { l =>
-          val cut = l.indexOf('\t')
-          (l.substring(0, cut), l.substring(cut + 1))
-        }
+  /** Deliberately UNCACHED — unlike the bloom/sort/colstats sidecars
+    * (where staleness costs only coverage or plan quality), a stale
+    * EMPTY read here would let another JVM write unchecked rows. Reads
+    * happen once per write PLANNING (not per scan), so the one tiny
+    * file read is negligible next to the write it guards. */
+  def read(table: String): Seq[(String, String)] = {
+    val f = new Path(table, ConstraintsFile)
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) Nil
+    else {
+      val in = fs.open(f)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      body.split('\n').filter(_.nonEmpty).toSeq.map { l =>
+        val cut = l.indexOf('\t')
+        (l.substring(0, cut), l.substring(cut + 1))
       }
-    })
+    }
+  }
 
   private def write(table: String, cs: Seq[(String, String)]): Unit = {
     val f = new Path(table, ConstraintsFile)
@@ -63,7 +64,6 @@ object GraftConstraints {
     fs.delete(f, false)
     require(fs.rename(tmp, f),
       s"graft constraints: could not persist at $f")
-    cache.put(table, cs)
   }
 
   /** Parse + analyze `exprSql` against `schema` through the session's
