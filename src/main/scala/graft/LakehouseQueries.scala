@@ -1295,6 +1295,35 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
 
+  /** METADATA TABLES ([[graft.sources.GraftMetadataTables]]): the
+    * version ledger as an ordinary SQL relation — three appends, then
+    * `SELECT version, files, row_count FROM t.history`, whose row
+    * counts the oracle re-derives from the slices themselves. A log
+    * that lost a version, misattributed a file, or miscounted rows
+    * breaks the hash. */
+  val qSqlMetadataTables = QueryDef("q_sql_metadata_tables",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      (0 to 2).foreach(k => slice(orders, k).coalesce(1).write.format(fmt)
+        .option("path", path).mode("append").save())
+      spark.sql(
+        s"""SELECT version, CAST(files AS INT) AS files, row_count
+           |FROM $cat.sf.$tbl.history ORDER BY version""".stripMargin)
+    },
+    Some("""WITH c AS (SELECT
+           |  (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 0) AS c0,
+           |  (SELECT count(*) FROM orders
+           |   WHERE o_orderkey % 4 IN (0, 1)) AS c01,
+           |  (SELECT count(*) FROM orders
+           |   WHERE o_orderkey % 4 IN (0, 1, 2)) AS c012)
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS INT) AS files,
+           |         c0 AS row_count FROM c
+           |  UNION ALL SELECT 2, 2, c01 FROM c
+           |  UNION ALL SELECT 3, 3, c012 FROM c
+           |) ORDER BY version""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
@@ -1302,5 +1331,5 @@ object LakehouseQueries {
       qMergeSchemaEvolution, qSqlMergeEvolution, qSqlRenameColumn,
       qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion,
       qStreamCatalogTable, qSqlRollback, qSqlTagTravel, qBloomPointLookup,
-      qSqlAnalyze, qClusteredWindow, qSqlConstraints)
+      qSqlAnalyze, qClusteredWindow, qSqlConstraints, qSqlMetadataTables)
 }

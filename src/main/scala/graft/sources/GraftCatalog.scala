@@ -104,6 +104,21 @@ class GraftCatalog extends TableCatalog
     GraftCatalog.readPartSpec(p, conf)
 
   override def loadTable(ident: Identifier): Table = {
+    // METADATA TABLES: `ns.t.history` resolves here as namespace
+    // [ns, t] + name `history` — served ONLY when that full path is
+    // not a real table while the parent is (a real table named
+    // `history` always wins; no shadowing)
+    val hp = new Path(pathOf(ident))
+    if (!hp.getFileSystem(conf).exists(hp) &&
+        ident.namespace().nonEmpty &&
+        GraftMetadataTables.names(ident.name().toLowerCase)) {
+      val parent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      val pp = new Path(pathOf(parent))
+      if (pp.getFileSystem(conf).exists(pp))
+        return GraftMetadataTables.table(pathOf(parent),
+          ident.name().toLowerCase)
+    }
     val p = existing(ident)
     new GraftParquetTable(p, GraftParquetV2.sparkSchema(
       GraftParquetV2.footerSchema(schemaFile(p))),
