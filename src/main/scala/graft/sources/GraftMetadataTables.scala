@@ -17,6 +17,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   SELECT version, files, row_count FROM cat.ns.t.history
   *   SELECT file, bytes, row_count, dv_positions FROM cat.ns.t.files
   *   SELECT name, version FROM cat.ns.t.tags
+  *   SELECT name, expression FROM cat.ns.t.constraints
   * }}}
   *
   * Resolution: `cat.ns.t.history` parses as namespace [ns, t] + name
@@ -30,7 +31,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * no data file is opened. */
 object GraftMetadataTables {
 
-  val names: Set[String] = Set("history", "files", "tags")
+  val names: Set[String] = Set("history", "files", "tags", "constraints")
 
   def table(parentPath: String, kind: String): Table =
     new GraftMetaTable(parentPath, kind)
@@ -54,6 +55,9 @@ private final class GraftMetaTable(path: String, kind: String)
     case "tags" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    case "constraints" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("expression", StringType, nullable = false)))
     case other => throw new IllegalStateException(
       s"unreachable metadata table kind $other")
   }
@@ -98,6 +102,10 @@ private final class GraftMetaScan(path: String, kind: String,
     case "tags" =>
       GraftTableLog.tags(path).toSeq.sortBy(_._1).map { case (n, v) =>
         Array[Any](UTF8String.fromString(n), v)
+      }.toArray
+    case "constraints" =>
+      GraftConstraints.read(path).sortBy(_._1).map { case (n, e) =>
+        Array[Any](UTF8String.fromString(n), UTF8String.fromString(e))
       }.toArray
     case other => throw new IllegalStateException(
       s"unreachable metadata table kind $other")

@@ -48,6 +48,13 @@ class MetadataTablesSpec extends SparkSpec {
     assert(tags.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("train", 1L)))
 
+    spark.sql(s"CALL $cat.system.add_constraint(table => 'corp.m1', " +
+      "name => 'chars_pos', expression => 'n_chars >= 0')")
+    val cks = spark.sql(
+      s"SELECT name, expression FROM $cat.corp.m1.constraints").collect()
+    assert(cks.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("chars_pos", "n_chars >= 0")))
+
     // composable: join files against history in one statement
     val joined = spark.sql(
       s"""SELECT h.version, count(f.file) AS n
