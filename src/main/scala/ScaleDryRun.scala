@@ -301,7 +301,7 @@ object ScaleDryRun {
           "copy-on-write")
         val dv = graft.sources.GraftDeletes.livePositions(table)
         s"dv_files=${graft.sources.GraftDeletes.liveDvFiles(table).size} " +
-          s"positions=${dv.valuesIterator.map(_.length.toLong).sum}"
+          s"positions=${dv.valuesIterator.map(_.cardinality).sum}"
       }
       section(s"dv_overhead dir=$dir phase=dv_scan") {
         val scan = (1 to 3).map(_ => rowScanSecs()).min

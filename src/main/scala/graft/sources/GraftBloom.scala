@@ -127,8 +127,24 @@ object GraftBloom {
     val dirStr = dir(table).toString
     val exact = exactNames
     // one read of every live file; each logical column coalesces over
-    // its alias chain so renamed eras contribute under the current name
-    val raw = spark.read.option("mergeSchema", "true")
+    // its alias chain so renamed eras contribute under the current name.
+    // The read runs in a CHILD session whose split sizing guarantees
+    // ONE WHOLE FILE PER SPLIT (maxPartitionBytes huge so no file is
+    // ever cut, openCostInBytes huge so no two files pack together):
+    // a file split across tasks would otherwise yield two sidecars
+    // racing a rename, the survivor having hashed only ITS split's
+    // values — a PARTIAL filter whose false negatives wrongly skip the
+    // file. One-file-one-task also gives the build per-file parallelism
+    // for free. The child session shares the SparkContext (and the
+    // builder-time confs — shuffle partitions etc.) but not the two
+    // split knobs, which stay untouched for concurrent queries.
+    val buildSession = spark.newSession()
+    buildSession.conf.set("spark.sql.files.maxPartitionBytes",
+      (1L << 42).toString) // 4 TiB — beyond any sane single file
+    buildSession.conf.set("spark.sql.files.openCostInBytes",
+      (1L << 42).toString)
+    val shippedConf = GraftSerConf.session()
+    val raw = buildSession.read.option("mergeSchema", "true")
       .parquet(files: _*)
     val rawCols = raw.schema.fieldNames.toSet
     val selected = exact.map { c =>
@@ -137,12 +153,15 @@ object GraftBloom {
         s"graft build_bloom: column '$c' absent from every live file")
       coalesce(chain.map(col): _*).as(c)
     }
-    import spark.implicits._
+    import buildSession.implicits._
     val written = raw
       .select(input_file_name().as("_graft_file") +: selected: _*)
       .mapPartitions { it =>
-        // executor-local: stream rows into per-(file,column) filters
-        val taskConf = new Configuration() // task-side FS handle
+        // executor-local: stream rows into per-(file,column) filters;
+        // sidecar I/O uses the SHIPPED session conf — a bare task-side
+        // Configuration would drop spark.hadoop.* (object-store
+        // credentials, custom filesystems)
+        val taskConf = shippedConf.value
         val blooms = collection.mutable
           .Map.empty[(String, String), BloomFilter]
         val nCols = exact.length
@@ -183,15 +202,24 @@ object GraftBloom {
         }
       }.collect() // (column, basename, bytes) — one row per sidecar
     cache.synchronized(cache.clear()) // fresh sidecars invalidate probes
-    // a file can emit one sidecar per task that touched it (multi-split
-    // files): last rename wins, but it saw only ITS split's values.
-    // Connector-written files are single-split at these sizes; guard
-    // loudly rather than skip wrongly.
+    // Backstop only — the build session's split sizing above makes a
+    // multi-split file impossible, so a dup here means the sizing
+    // contract broke. Crucially the cleanup runs BEFORE the throw:
+    // every sidecar THIS build renamed in is deleted, so no partial
+    // filter (hashed from one split's values — false negatives, wrong
+    // skips) can survive the failure as live metadata.
     val dup = written.groupBy(w => (w._1, w._2)).find(_._2.length > 1)
-    require(dup.isEmpty,
-      s"graft build_bloom: file ${dup.get._1._2} spanned multiple tasks " +
-        "— its per-task blooms would each be partial; compact it below " +
-        "one split first")
+    if (dup.isDefined) {
+      written.foreach { case (c, base, _) =>
+        fs.delete(sidecar(table, base, c), false)
+      }
+      cache.synchronized(cache.clear())
+      throw new IllegalStateException(
+        s"graft build_bloom: file ${dup.get._1._2} spanned multiple " +
+          "tasks despite single-split sizing — all sidecars from this " +
+          "build were deleted (none partial survives); affected files " +
+          "fall back to conservative reads until a rebuild")
+    }
     exact.map { c =>
       val mine = written.filter(_._1 == c)
       (c, mine.length, mine.map(_._3).sum)

@@ -54,7 +54,7 @@ class GraftCatalog extends TableCatalog
 
   override def name(): String = catalogName
 
-  private def conf = new Configuration()
+  private def conf = GraftParquetWrite.sessionConf()
 
   private def pathOf(ident: Identifier): String =
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
@@ -386,7 +386,8 @@ class GraftCatalog extends TableCatalog
       Array("compact", "vacuum", "history", "ann_probe",
         "rewrite_deletes", "detail", "rollback", "tag", "drop_tag",
         "tags", "build_bloom", "analyze", "add_constraint",
-        "drop_constraint", "constraints").map(Identifier.of(SystemNs, _))
+        "drop_constraint", "constraints", "remove_orphan_files",
+        "set_partition_spec").map(Identifier.of(SystemNs, _))
     else Array.empty
 
   private def tablePath(arg: String): String = {
@@ -499,7 +500,7 @@ class GraftCatalog extends TableCatalog
           // point-lookup coverage the next build would top up
           val bloomCovered = bloomSpec.map { case (cols, _) =>
             val bdir = new Path(p, GraftBloom.BloomDir)
-            val fs = bdir.getFileSystem(new Configuration())
+            val fs = bdir.getFileSystem(conf)
             if (!fs.exists(bdir)) 0
             else {
               val have = fs.listStatus(bdir)
@@ -514,7 +515,7 @@ class GraftCatalog extends TableCatalog
           // every chain suffix, which would overcount chained renames
           val renames = {
             val dir = new Path(p, GraftCatalog.RenamesFile)
-            val fs = dir.getFileSystem(new Configuration())
+            val fs = dir.getFileSystem(conf)
             if (!fs.exists(dir)) 0
             else fs.listStatus(dir)
               .count(_.getPath.getName.endsWith(".rename"))
@@ -524,10 +525,10 @@ class GraftCatalog extends TableCatalog
             GraftParquetV2.listFiles(p).size,
             rows.map(Long.box).orNull,
             dv.size,
-            dv.valuesIterator.map(_.length.toLong).sum,
+            dv.valuesIterator.map(_.cardinality).sum,
             renames,
             UTF8String.fromString(
-              GraftCatalog.readPartSpec(p, new Configuration())
+              GraftCatalog.readPartSpec(p, GraftParquetWrite.sessionConf())
                 .mkString(",")),
             colStats.map(s => Long.box(s.version)).orNull,
             UTF8String.fromString(
@@ -749,12 +750,66 @@ class GraftCatalog extends TableCatalog
               UTF8String.fromString(c), n, bytes))
           }
         })
+      // debris reclamation — see [[GraftMaintenance.removeOrphans]]:
+      // crashed writers' staging trees and tmp sidecar drafts, aged
+      // past the horizon; one row per reclaimed entry
+      case "remove_orphan_files" => new GraftProcedure(
+        "remove_orphan_files",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("older_than_hours", DoubleType)
+            .defaultValue("24.0").build()),
+        StructType(Seq(StructField("kind", StringType),
+          StructField("name", StringType),
+          StructField("bytes", LongType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          GraftMaintenance.removeOrphans(p, in.getDouble(1)).map {
+            case (k, n, b) =>
+              new GenericInternalRow(Array[Any](UTF8String.fromString(k),
+                UTF8String.fromString(n), b))
+          }
+        })
+      // partition-spec EVOLUTION — see
+      // [[GraftCatalog.writePartSpecEvolved]]: the persisted spec
+      // changes for FUTURE writes; existing files keep (and stay
+      // prunable under) their own directory layout; compact migrates
+      case "set_partition_spec" => new GraftProcedure(
+        "set_partition_spec",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          // comma-separated column list; '' = unpartition future writes
+          ProcedureParameter.in("partition_by", StringType).build()),
+        StructType(Seq(StructField("previous_spec", StringType),
+          StructField("new_spec", StringType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val cols = Option(in.getString(1)).map(_.trim)
+            .filter(_.nonEmpty).toSeq
+            .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+          val cur = GraftParquetV2.sparkSchema(
+            GraftParquetV2.footerSchema(schemaFile(p)))
+          if (cols.nonEmpty) {
+            GraftParquetWrite.validatePartitionCols(cur, cols)
+            require(cols.size < cur.size,
+              "graft set_partition_spec: partitioning on EVERY column " +
+                "leaves no data columns")
+          }
+          val prev = GraftCatalog.readPartSpec(p, conf)
+          GraftCatalog.writePartSpecEvolved(p, cols, conf)
+          // a schema carrier marks the DDL as a versioned commit —
+          // auditable in t.history, and any stale ordering claim lapses
+          GraftCatalog.commitSchemaCarrier(p, cur, conf)
+          Seq(new GenericInternalRow(Array[Any](
+            UTF8String.fromString(prev.mkString(",")),
+            UTF8String.fromString(cols.mkString(",")))))
+        })
       case other => throw new IllegalArgumentException(
         s"graft catalog: unknown procedure '$other' — " +
           "available: compact, vacuum, history, ann_probe, " +
           "rewrite_deletes, detail, rollback, tag, drop_tag, tags, " +
           "build_bloom, analyze, add_constraint, drop_constraint, " +
-          "constraints")
+          "constraints, remove_orphan_files, set_partition_spec")
     }
   }
 }
@@ -790,6 +845,50 @@ object GraftCatalog {
     * its declared layout (and the contradiction guard) no matter how
     * it is addressed. */
   val PartSpecFile = "_graft_partition_spec"
+
+  /** The table's EFFECTIVE partition columns for any rewrite or
+    * maintenance write: the persisted DDL spec WINS — partition-spec
+    * EVOLUTION can make the observed directory layout stale, and a
+    * rewrite that routed by the old observed layout would contradict
+    * the declared one (the write builder's guard would refuse it). A
+    * spec-less table falls back to its observed uniform layout; flat
+    * or mixed tables write flat. */
+  def effectivePartCols(path: String,
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val spec = readPartSpec(path, GraftParquetWrite.sessionConf())
+    if (spec.nonEmpty) spec
+    else GraftParquetV2.keyedLayout(path, schema).map(_._1).getOrElse(Nil)
+  }
+
+  /** Partition-spec EVOLUTION (`CALL system.set_partition_spec`): swap
+    * the persisted spec sidecar for FUTURE writes. Existing files keep
+    * their directory layout — per-file pruning reads each file's OWN
+    * `col=value` path, so old-spec files stay exactly as prunable as
+    * they were (the Iceberg per-file-spec model, directory-encoded);
+    * `keyedLayout` degrades to None on the mixed table, lapsing the
+    * keyed-partitioning/ordering claims conservatively. A later
+    * `compact` migrates everything to the new layout (its write routes
+    * by [[effectivePartCols]] = the new spec). Empty cols = the table
+    * becomes unpartitioned for future writes. Single-writer DDL, like
+    * every other metadata mutation: the in-JVM spec cache invalidates
+    * here; a cross-JVM writer converges at its next cache miss. */
+  def writePartSpecEvolved(p: String, cols: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val f = new Path(p, PartSpecFile)
+    val fs = f.getFileSystem(conf)
+    if (cols.isEmpty) fs.delete(f, false)
+    else {
+      val tmp = new Path(p,
+        s"_tmp_partspec-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(cols.mkString(",").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(f, false)
+      require(fs.rename(tmp, f),
+        s"graft set_partition_spec: could not persist at $f")
+    }
+    invalidatePartSpec(p)
+  }
 
   /** Table-root RENAME LEDGER: a DIRECTORY of one tiny file per
     * RENAME COLUMN (`r%06d.rename`, content `old\tnew`), ordered by

@@ -47,6 +47,14 @@ object GraftConstraints {
         .mkString finally in.close()
       body.split('\n').filter(_.nonEmpty).toSeq.map { l =>
         val cut = l.indexOf('\t')
+        // loud, named failure on a malformed line — silently returning
+        // garbage (or the old substring(0, -1) crash at EVERY write
+        // planning) would brick the table's write path with no pointer
+        // at the cause
+        if (cut < 0) throw new IllegalStateException(
+          s"graft constraints: malformed line (no name\\texpr " +
+            s"separator) in sidecar $f: '$l' — the file was edited " +
+            "outside add()/drop(); repair or delete it")
         (l.substring(0, cut), l.substring(cut + 1))
       }
     }
@@ -133,6 +141,15 @@ object GraftConstraints {
       exprSql: String): Long = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"graft constraint: invalid name '$name'")
+    // the sidecar is newline-separated, tab-split: a raw newline or tab
+    // in the expression TEXT would corrupt it (and brick every later
+    // write planning). Refused rather than escaped — SQL already gives
+    // single-line spellings for both (the '\n'/'\t' character escapes
+    // inside string literals), so nothing is inexpressible.
+    require(!exprSql.exists(c => c == '\n' || c == '\r' || c == '\t'),
+      s"graft constraint: expression text contains a literal newline/" +
+        "tab — write it on one line (use the \\n/\\t escapes inside " +
+        "string literals)")
     val existing = read(table)
     require(!existing.exists(_._1.equalsIgnoreCase(name)),
       s"graft constraint: '$name' already exists on $table")

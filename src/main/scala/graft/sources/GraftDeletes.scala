@@ -87,10 +87,14 @@ object GraftDeletes {
   def liveDvRels(table: String): Seq[String] =
     liveDvFiles(table).map(GraftTableLog.relativize(table, _))
 
-  /** Read DV files into basename → SORTED, DEDUPED positions. Runs on
-    * the driver at scan planning (or in maintenance paths); cost ∝
-    * deleted rows, never table size. */
-  def readPositions(dvFiles: Seq[String]): Map[String, Array[Long]] = {
+  /** Read DV files into basename → COMPRESSED position set
+    * ([[GraftDvBitmap]] — roaring-style containers, ~1 bit per row
+    * spanned instead of 8 bytes per delete). Runs on the driver at
+    * scan planning (or in maintenance paths); transient build cost ∝
+    * deleted rows, retained cost the compressed form — tens of
+    * millions of deletes hold megabytes, not gigabytes, of planning
+    * state, and ship into task closures at the same ratio. */
+  def readPositions(dvFiles: Seq[String]): Map[String, GraftDvBitmap] = {
     if (dvFiles.isEmpty) return Map.empty
     val acc = collection.mutable.Map
       .empty[String, collection.mutable.ArrayBuffer[Long]]
@@ -102,11 +106,12 @@ object GraftDeletes {
           collection.mutable.ArrayBuffer.empty[Long]) += row.getLong(1)
       } finally r.close()
     }
-    acc.map { case (k, v) => k -> v.toArray.sorted.distinct }.toMap
+    acc.map { case (k, v) =>
+      k -> GraftDvBitmap.fromUnsorted(v.toArray) }.toMap
   }
 
   /** The live table's merged DV map — the scan's planning input. */
-  def livePositions(table: String): Map[String, Array[Long]] =
+  def livePositions(table: String): Map[String, GraftDvBitmap] =
     readPositions(liveDvFiles(table))
 
   /** Resolve snapshot DV rels to readable full paths: live

@@ -101,9 +101,7 @@ class GraftDeltaWrite(path: String, tableSchema: StructType)
   // a FRESH declared-partitioned table (spec persisted, no data yet)
   // has no keyed layout to infer — fall back to the DDL spec
   private val partCols: Seq[String] =
-    GraftParquetV2.keyedLayout(path, tableSchema).map(_._1)
-      .getOrElse(GraftCatalog.readPartSpec(path,
-        GraftParquetWrite.sessionConf()))
+    GraftCatalog.effectivePartCols(path, tableSchema)
 
   override def toBatch: DeltaBatchWrite = this
   override def description(): String =

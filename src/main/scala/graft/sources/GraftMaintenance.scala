@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, not}
   * files) deletes, no data reads. */
 object GraftMaintenance {
 
-  private def conf = new Configuration()
+  private def conf = GraftParquetWrite.sessionConf()
 
   /** CLUSTERED-LAYOUT ORDERING CLAIM — `_graft_sort_spec` records
     * "version V's files are each internally sorted on COLS" after a
@@ -85,14 +85,14 @@ object GraftMaintenance {
     GraftTableLog.versions(table).map { v =>
       val (rels, dvRels, stats) = GraftTableLog.readSnapshotFull(table, v)
       val dv =
-        if (dvRels.isEmpty) Map.empty[String, Array[Long]]
+        if (dvRels.isEmpty) Map.empty[String, GraftDvBitmap]
         else GraftDeletes.readPositions(
           GraftDeletes.resolveDvRels(table, dvRels))
       val counts = rels.map { rel =>
         val base = new Path(rel).getName
         stats.get(base)
           .flatMap(_.values.map(_.valueCount).maxOption)
-          .map(_ - dv.getOrElse(base, Array.emptyLongArray).length)
+          .map(_ - dv.get(base).map(_.cardinality).getOrElse(0L))
       }
       GraftVersionInfo(v, rels.size,
         if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None)
@@ -119,8 +119,7 @@ object GraftMaintenance {
       .min(Int.MaxValue).toInt
     val df = spark.read.format("graft.sources.GraftParquetTableProvider")
       .option("path", table).load()
-    val partCols = GraftParquetV2
-      .keyedLayout(table, df.schema).map(_._1).getOrElse(Nil)
+    val partCols = GraftCatalog.effectivePartCols(table, df.schema)
     require(clusterBy.forall(df.schema.fieldNames.contains),
       s"graft compact: clusterBy ${clusterBy.mkString(",")} not all in " +
         s"schema ${df.schema.fieldNames.mkString(",")}")
@@ -193,7 +192,7 @@ object GraftMaintenance {
     * delete would RESURRECT the deleted rows into the new generation. */
   private[sources] def readFilesWithDeletes(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType, files: Seq[String],
-      dv: Map[String, Array[Long]],
+      dv: Map[String, GraftDvBitmap],
       aliases: Map[String, Seq[String]] = Map.empty): DataFrame = {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -209,7 +208,7 @@ object GraftMaintenance {
       import org.apache.spark.sql.functions.{broadcast, element_at, split}
       import spark.implicits._
       val del = hits.toSeq
-        .flatMap { case (b, ps) => ps.map(p => (b, p)) }
+        .flatMap { case (b, ps) => ps.iterator.map(p => (b, p)) }
         .toDF("_dv_file", "_dv_pos")
       base
         .withColumn("_dv_file",
@@ -338,8 +337,7 @@ object GraftMaintenance {
     val candidates = plannedFiles(df.filter(condition))
     if (candidates.isEmpty)
       return GraftTableLog.latestVersion(table).getOrElse(0L)
-    val partCols = GraftParquetV2
-      .keyedLayout(table, df.schema).map(_._1).getOrElse(Nil)
+    val partCols = GraftCatalog.effectivePartCols(table, df.schema)
     val keep = readFilesWithDeletes(spark, df.schema, candidates,
       GraftDeletes.livePositions(table),
       GraftCatalog.readAliases(table, conf))
@@ -411,8 +409,7 @@ object GraftMaintenance {
     val candidates = plannedFiles(df.filter(condition))
     if (candidates.isEmpty)
       return GraftTableLog.latestVersion(table).getOrElse(0L)
-    val partCols = GraftParquetV2
-      .keyedLayout(table, df.schema).map(_._1).getOrElse(Nil)
+    val partCols = GraftCatalog.effectivePartCols(table, df.schema)
     val hit = coalesce(condition, lit(false))
     import org.apache.spark.sql.functions.{assert_true, when}
     val updated = readFilesWithDeletes(spark, df.schema, candidates,
@@ -515,8 +512,7 @@ object GraftMaintenance {
     val src = source.select(df.schema.fieldNames.map(col).toSeq: _*)
     val cond = col(keyCol).between(lit(keyStats.get(3)), lit(keyStats.get(4)))
     val candidates = plannedFiles(df.filter(cond))
-    val partCols = GraftParquetV2
-      .keyedLayout(table, df.schema).map(_._1).getOrElse(Nil)
+    val partCols = GraftCatalog.effectivePartCols(table, df.schema)
     if (candidates.isEmpty) {
       // provably no matching keys anywhere: a pure insert — one
       // ordinary transactional append
@@ -556,8 +552,7 @@ object GraftMaintenance {
     val df = connectorRead(spark, table)
     val candidates = GraftParquetV2.listFiles(table)
       .filter(f => dv.contains(new Path(f).getName))
-    val partCols = GraftParquetV2
-      .keyedLayout(table, df.schema).map(_._1).getOrElse(Nil)
+    val partCols = GraftCatalog.effectivePartCols(table, df.schema)
     val clean = readFilesWithDeletes(spark, df.schema, candidates, dv,
       GraftCatalog.readAliases(table, conf))
     rewriteCommit(spark, table, candidates, clean, partCols)
@@ -602,9 +597,8 @@ object GraftMaintenance {
     def baseOf(rel: String): String = new Path(rel).getName
     val dvChanged = fromRels.filter(toSet).filter { rel =>
       val b = baseOf(rel)
-      !java.util.Arrays.equals(
-        dvFrom.getOrElse(b, Array.emptyLongArray),
-        dvTo.getOrElse(b, Array.emptyLongArray))
+      dvFrom.getOrElse(b, GraftDvBitmap.empty) !=
+        dvTo.getOrElse(b, GraftDvBitmap.empty)
     }
     val added = GraftTableLog.resolveAll(table,
       toRels.filterNot(fromSet) ++ dvChanged)
@@ -778,5 +772,64 @@ object GraftMaintenance {
       if (fs.exists(p)) fs.delete(p, false)
     }
     deleted
+  }
+
+  /** ORPHANED WRITE-DEBRIS RECLAMATION (the Iceberg
+    * `remove_orphan_files` shape): a JVM that dies mid-write leaves
+    * `_staging-<writeId>/` trees, manifest-swap `.tmp-` directories,
+    * and `_tmp_*` sidecar drafts that NOTHING else ever reclaims —
+    * abort() cleans them only in-process, and vacuum walks only the
+    * archive. All of it is underscore-prefixed (invisible to live
+    * scans — correctness never depended on this), but at 100 TB an
+    * abandoned staging tree is real storage leakage, so this is the
+    * standing answer: delete every known debris shape whose NEWEST
+    * recursive mtime predates `olderThanHours` (a LIVE writer's
+    * staging tree is being written right now — its mtimes are fresh,
+    * so the default 24 h horizon can never race an in-flight commit).
+    *
+    * Deliberately NOT touched: the log, the archive (vacuum's job),
+    * live sidecars (stats/bloom/spec/constraints), epoch markers (the
+    * streaming sink's replay ledger — tiny, and deleting one would
+    * re-append its epoch on recovery), and of course data files.
+    * Returns (kind, name, bytes) per reclaimed entry. */
+  def removeOrphans(table: String, olderThanHours: Double = 24.0)
+      : Seq[(String, String, Long)] = {
+    require(olderThanHours >= 0,
+      s"graft remove_orphans: olderThanHours must be >= 0, got " +
+        olderThanHours)
+    val root = new Path(table)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
+    val horizonMs = System.currentTimeMillis() -
+      (olderThanHours * 3600 * 1000).toLong
+    def newestMtime(p: Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +: fs.listStatus(p).toSeq
+        .map(s => newestMtime(s.getPath))).max
+    }
+    val out = collection.mutable.Buffer.empty[(String, String, Long)]
+    def reap(p: Path, kind: String): Unit =
+      if (newestMtime(p) < horizonMs) {
+        val bytes = fs.getContentSummary(p).getLength
+        require(fs.delete(p, true),
+          s"graft remove_orphans: delete failed for $p")
+        out += ((kind, p.getName, bytes))
+      }
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_staging-"))
+        reap(st.getPath, "staging")
+      else if (n.startsWith(s"${GraftParquetV2.StatsSidecar}.tmp-"))
+        reap(st.getPath, "manifest_tmp")
+      else if (n.startsWith("_tmp_"))
+        reap(st.getPath, "sidecar_tmp")
+    }
+    val bloomDir = new Path(root, GraftBloom.BloomDir)
+    if (fs.exists(bloomDir)) fs.listStatus(bloomDir).foreach { st =>
+      if (st.getPath.getName.startsWith("_tmp-"))
+        reap(st.getPath, "bloom_tmp")
+    }
+    out.toSeq.sortBy(r => (r._1, r._2))
   }
 }

@@ -18,6 +18,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   SELECT file, bytes, row_count, dv_positions FROM cat.ns.t.files
   *   SELECT name, version FROM cat.ns.t.tags
   *   SELECT name, expression FROM cat.ns.t.constraints
+  *   SELECT dv_file, referenced_files, positions FROM cat.ns.t.deletes
   * }}}
   *
   * Resolution: `cat.ns.t.history` parses as namespace [ns, t] + name
@@ -31,7 +32,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * no data file is opened. */
 object GraftMetadataTables {
 
-  val names: Set[String] = Set("history", "files", "tags", "constraints")
+  val names: Set[String] =
+    Set("history", "files", "tags", "constraints", "deletes")
 
   def table(parentPath: String, kind: String): Table =
     new GraftMetaTable(parentPath, kind)
@@ -58,6 +60,13 @@ private final class GraftMetaTable(path: String, kind: String)
     case "constraints" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("expression", StringType, nullable = false)))
+    // merge-on-read DV volume per SIDECAR — the standing-maintenance
+    // telemetry: positions climbing here is the signal to CALL
+    // system.rewrite_deletes (fold cost ∝ the referenced files)
+    case "deletes" => StructType(Seq(
+      StructField("dv_file", StringType, nullable = false),
+      StructField("referenced_files", IntegerType, nullable = false),
+      StructField("positions", LongType, nullable = false)))
     case other => throw new IllegalStateException(
       s"unreachable metadata table kind $other")
   }
@@ -97,7 +106,7 @@ private final class GraftMetaScan(path: String, kind: String,
       sizes.toSeq.sortBy(_._1).map { case (base, bytes) =>
         Array[Any](UTF8String.fromString(base), bytes,
           rowCounts.get(base).map(Long.box).orNull,
-          dv.get(base).map(_.length.toLong).getOrElse(0L))
+          dv.get(base).map(_.cardinality).getOrElse(0L))
       }.toArray
     case "tags" =>
       GraftTableLog.tags(path).toSeq.sortBy(_._1).map { case (n, v) =>
@@ -106,6 +115,19 @@ private final class GraftMetaScan(path: String, kind: String,
     case "constraints" =>
       GraftConstraints.read(path).sortBy(_._1).map { case (n, e) =>
         Array[Any](UTF8String.fromString(n), UTF8String.fromString(e))
+      }.toArray
+    case "deletes" =>
+      GraftDeletes.liveDvFiles(path).map { f =>
+        val refs = collection.mutable.Set.empty[String]
+        var n = 0L
+        val r = new GraftPartitionReader(f, GraftDeletes.dvSchema,
+          Array.empty)
+        try while (r.next()) { refs += r.get().getString(0); n += 1 }
+        finally r.close()
+        Array[Any](
+          UTF8String.fromString(
+            new org.apache.hadoop.fs.Path(f).getName),
+          refs.size, n)
       }.toArray
     case other => throw new IllegalStateException(
       s"unreachable metadata table kind $other")

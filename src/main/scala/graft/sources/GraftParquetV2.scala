@@ -573,7 +573,13 @@ case class GraftParquetScan(path: String, required: StructType,
       }
     } catch { case _: Exception => None }
     claim match {
-      case Some(cols) if aggs.isEmpty && cols.nonEmpty &&
+      // topN.isEmpty is load-bearing: a pushed TopN drains its heap
+      // WORST-FIRST (explicitly unsorted — sound only because Spark's
+      // retained global Sort re-orders), so claiming per-partition
+      // ordering alongside it would let RemoveRedundantSorts elide
+      // exactly the Sort that restores order. A pushed plain LIMIT
+      // preserves scan order and may keep the claim.
+      case Some(cols) if aggs.isEmpty && topN.isEmpty && cols.nonEmpty &&
           cols.forall(required.fieldNames.contains) =>
         val partPrefix = keyedLayout.map(_._1).getOrElse(Nil)
         val lead =
@@ -641,7 +647,7 @@ case class GraftParquetScan(path: String, required: StructType,
     * table-wide) and loaded once per planning — cost ∝ deleted rows. */
   @transient private lazy val readTarget
       : (Seq[String], Map[String, Map[String, GraftStatsPrune.ColStats]],
-        Map[String, Array[Long]]) =
+        Map[String, GraftDvBitmap]) =
     travel match {
       case None =>
         (GraftParquetV2.listFiles(path), GraftParquetV2.loadStatsManifest(path),
@@ -699,12 +705,18 @@ case class GraftParquetScan(path: String, required: StructType,
           java.util.OptionalLong.empty()
         else {
           val exact = perFile.flatten.sum -
-            dv.valuesIterator.map(_.length.toLong).sum
-          // a pushed LIMIT caps the emitted rows (partial contract:
-          // per-file heaps emit at most `limit` each, the retained
-          // global limit trims the rest — `exact` stays the bound)
+            dv.valuesIterator.map(_.cardinality).sum
+          // a pushed LIMIT is PARTIAL by contract — each of the
+          // target's files may emit up to `limit` rows (the retained
+          // global limit trims the rest ABOVE this scan), so the
+          // honest bound here is limit × fileCount, not limit: the
+          // tighter number would understate the scan's output by the
+          // file count and could mislead CBO into an oversized
+          // broadcast
           java.util.OptionalLong.of(
-            if (limit >= 0) math.min(exact, limit.toLong) else exact)
+            if (limit >= 0)
+              math.min(exact, limit.toLong * math.max(files.length, 1))
+            else exact)
         }
       } catch { case _: Exception => java.util.OptionalLong.empty() }
     /** ANALYZE output ([[GraftAnalyze]]): per-column NDV / null count /
@@ -825,7 +837,7 @@ case class GraftParquetScan(path: String, required: StructType,
         if (readTarget._3.nonEmpty)
           s", DeleteFiles: ${readTarget._3.size}" +
             s", DeletePositions: ${
-              readTarget._3.valuesIterator.map(_.length.toLong).sum}"
+              readTarget._3.valuesIterator.map(_.cardinality).sum}"
         else ""
       } catch { case _: Exception => "" }) +
       // bloom-sidecar observability: which equality predicates the
@@ -956,9 +968,9 @@ case class GraftParquetScan(path: String, required: StructType,
     // scan, and a split with deletes demotes the footer-only aggregate
     // fast path (footer counts include deleted rows)
     val dv = readTarget._3
-    def deletesOf(f: String): Array[Long] =
-      if (dv.isEmpty) Array.emptyLongArray
-      else dv.getOrElse(new Path(f).getName, Array.emptyLongArray)
+    def deletesOf(f: String): GraftDvBitmap =
+      if (dv.isEmpty) GraftDvBitmap.empty
+      else dv.getOrElse(new Path(f).getName, GraftDvBitmap.empty)
     keyedLayout match {
       case Some((_, byFile, _)) =>
         bloomKept.map(f =>
@@ -1138,11 +1150,11 @@ class GraftMicroBatchStream(path: String, required: StructType,
   * [[GraftDeletes]]) — empty for the overwhelmingly common no-DV case. */
 sealed trait GraftFilePartition extends InputPartition {
   def file: String
-  def deletes: Array[Long]
+  def deletes: GraftDvBitmap
 }
 
 case class GraftInputPartition(file: String,
-    deletes: Array[Long] = Array.emptyLongArray) extends GraftFilePartition
+    deletes: GraftDvBitmap = GraftDvBitmap.empty) extends GraftFilePartition
 
 /** A split that KNOWS its partition-key values (from its `col=value`
   * directory) — [[org.apache.spark.sql.connector.read.HasPartitionKey]]
@@ -1151,7 +1163,7 @@ case class GraftInputPartition(file: String,
   * (`spark.sql.sources.v2.bucketing.enabled`). */
 case class GraftKeyedInputPartition(file: String,
     key: InternalRow,
-    deletes: Array[Long] = Array.emptyLongArray) extends GraftFilePartition
+    deletes: GraftDvBitmap = GraftDvBitmap.empty) extends GraftFilePartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -1162,7 +1174,10 @@ case class GraftPartitionReaderFactory(required: StructType,
     groupBy: Seq[StructField] = Nil,
     runtimeHolder: GraftRuntimeFilterHolder = new GraftRuntimeFilterHolder,
     topN: Option[(Seq[GraftSortKey], Int)] = None,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    // the DRIVER session's Hadoop conf (factories are built at plan
+    // time), shipped so task-side file I/O keeps spark.hadoop.*
+    serConf: GraftSerConf = GraftSerConf.session())
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val fp = partition.asInstanceOf[GraftFilePartition]
@@ -1171,19 +1186,21 @@ case class GraftPartitionReaderFactory(required: StructType,
     // same zone-map refutation and row evaluation for free (and their
     // presence correctly demotes an agg reader's footer-only fast path)
     val conj = pushed ++ runtimeHolder.filters
+    val hc = serConf.value
     aggs match {
       case Some(specs) if groupBy.nonEmpty =>
         new GraftGroupedAggPartitionReader(file, groupBy, specs, conj,
-          fp.deletes, aliases)
+          fp.deletes, aliases, hc)
       case Some(specs) =>
-        new GraftAggPartitionReader(file, specs, conj, fp.deletes, aliases)
+        new GraftAggPartitionReader(file, specs, conj, fp.deletes, aliases,
+          hc)
       case None => topN match {
         case Some((keys, n)) =>
           new GraftTopNPartitionReader(file, required, conj, keys, n,
-            fp.deletes, aliases)
+            fp.deletes, aliases, hc)
         case None =>
           new GraftPartitionReader(file, required, conj, limit, fp.deletes,
-            aliases)
+            aliases, hc)
       }
     }
   }
@@ -1200,8 +1217,9 @@ case class GraftPartitionReaderFactory(required: StructType,
   * Spark retains (partial contract). */
 class GraftTopNPartitionReader(file: String, required: StructType,
     pushed: Array[Filter], keys: Seq[GraftSortKey], n: Int,
-    deletes: Array[Long] = Array.emptyLongArray,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    deletes: GraftDvBitmap = GraftDvBitmap.empty,
+    aliases: Map[String, Seq[String]] = Map.empty,
+    hadoopConf: Configuration = GraftParquetWrite.sessionConf())
     extends PartitionReader[InternalRow] {
   private var iter: Iterator[InternalRow] = _
   private var current: InternalRow = _
@@ -1242,7 +1260,7 @@ class GraftTopNPartitionReader(file: String, required: StructType,
           -compareRows(a, b)
       })
     val inner = new GraftPartitionReader(file, required, pushed, -1,
-      deletes, aliases)
+      deletes, aliases, hadoopConf)
     try {
       while (inner.next()) {
         val row = inner.get() // fresh GenericInternalRow per row — safe to keep
@@ -1280,8 +1298,9 @@ class GraftTopNPartitionReader(file: String, required: StructType,
   * cardinality level, and Spark's final merge is always correct). */
 class GraftGroupedAggPartitionReader(file: String, groupBy: Seq[StructField],
     specs: Seq[GraftAggSpec], pushed: Array[Filter],
-    deletes: Array[Long] = Array.emptyLongArray,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    deletes: GraftDvBitmap = GraftDvBitmap.empty,
+    aliases: Map[String, Seq[String]] = Map.empty,
+    hadoopConf: Configuration = GraftParquetWrite.sessionConf())
     extends PartitionReader[InternalRow] {
   private var iter: Iterator[InternalRow] = _
   private var current: InternalRow = _
@@ -1296,12 +1315,13 @@ class GraftGroupedAggPartitionReader(file: String, groupBy: Seq[StructField],
 
   private def compute(): Iterator[InternalRow] = {
     val cols = (groupBy.map(_.name) ++ GraftAggSpec.referenced(specs)).distinct
-    val schema = GraftParquetV2.sparkSchema(GraftParquetV2.footerSchema(file))
+    val schema = GraftParquetV2.sparkSchema(
+      GraftParquetV2.footerSchema(file, hadoopConf))
     val scanSchema = StructType(schema.fields.filter(f => cols.contains(f.name)))
     // aliases matter only for pushed FILTERS here — aggregate/group
     // columns over renamed fields were declined at pushdown
     val inner = new GraftPartitionReader(file, scanSchema, pushed, -1,
-      deletes, aliases)
+      deletes, aliases, hadoopConf)
     val idx = scanSchema.fieldNames.zipWithIndex.toMap
     // columns this file predates read as null (schema evolution) —
     // group keys become null keys, aggregate inputs contribute nothing
@@ -1375,15 +1395,16 @@ class GraftGroupedAggPartitionReader(file: String, groupBy: Seq[StructField],
   *     and fold counts/mins/maxes as rows pass. */
 class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
     pushed: Array[Filter],
-    deletes: Array[Long] = Array.emptyLongArray,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    deletes: GraftDvBitmap = GraftDvBitmap.empty,
+    aliases: Map[String, Seq[String]] = Map.empty,
+    hadoopConf: Configuration = GraftParquetWrite.sessionConf())
     extends PartitionReader[InternalRow] {
   private var done = false
   private var result: InternalRow = _
 
   private def computeFromFooter(): Option[Array[Any]] = {
     val in = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+      HadoopInputFile.fromPath(new Path(file), hadoopConf))
     try {
       val blocks = in.getFooter.getBlocks.asScala.toSeq
       val rowCount = blocks.map(_.getRowCount).sum
@@ -1430,10 +1451,11 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
 
   private def computeByScan(): Array[Any] = {
     val cols = GraftAggSpec.referenced(specs)
-    val schema = GraftParquetV2.sparkSchema(GraftParquetV2.footerSchema(file))
+    val schema = GraftParquetV2.sparkSchema(
+      GraftParquetV2.footerSchema(file, hadoopConf))
     val scanSchema = StructType(schema.fields.filter(f => cols.contains(f.name)))
     val inner = new GraftPartitionReader(file, scanSchema, pushed, -1,
-      deletes, aliases)
+      deletes, aliases, hadoopConf)
     val idx = scanSchema.fieldNames.zipWithIndex.toMap
     // columns this file predates read as null (schema evolution):
     // count(col) sees 0, min/max/sum skip — the aggregate semantics of
@@ -1508,11 +1530,12 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
   * rows. The emitted `InternalRow` carries only the required columns. */
 class GraftPartitionReader(file: String, required: StructType,
     pushed: Array[Filter], limit: Int = -1,
-    deletes: Array[Long] = Array.emptyLongArray,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    deletes: GraftDvBitmap = GraftDvBitmap.empty,
+    aliases: Map[String, Seq[String]] = Map.empty,
+    hadoopConf: Configuration = GraftParquetWrite.sessionConf())
     extends PartitionReader[InternalRow] {
   private var emitted = 0L
-  private val conf = new Configuration()
+  private val conf = hadoopConf
   private val in = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(file), conf))
   private val fileSchema = in.getFooter.getFileMetaData.getSchema
@@ -1586,7 +1609,6 @@ class GraftPartitionReader(file: String, required: StructType,
   // pruned group, so it stays the file-absolute position the deletion
   // vectors and the _graft_pos metadata column are defined on
   private var ordinal = 0L
-  private var dvPtr = 0 // cursor into the sorted `deletes`
 
   /** Position at the next row group the stats cannot refute; false =
     * file exhausted. Skip/read calls stay 1:1 with the footer's block
@@ -1628,10 +1650,9 @@ class GraftPartitionReader(file: String, required: StructType,
         recordsLeft -= 1
         val ord = ordinal
         ordinal += 1
-        // deletion-vector merge: both streams are ordinal-ascending, so
-        // one monotone cursor decides membership in O(1) amortized
-        while (dvPtr < deletes.length && deletes(dvPtr) < ord) dvPtr += 1
-        val deleted = dvPtr < deletes.length && deletes(dvPtr) == ord
+        // deletion-vector membership: one O(1) container probe per
+        // ordinal against the compressed bitmap (GraftDvBitmap)
+        val deleted = !deletes.isEmpty && deletes.contains(ord)
         if (!deleted) {
           val vals = Array.tabulate[Any](physCols.length)(i =>
             GraftParquetV2.readValue(g, i,
@@ -1833,7 +1854,7 @@ object GraftParquetV2 {
   private[sources] def listFileStatuses(path: String)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(GraftParquetWrite.sessionConf())
     val root = fs.getFileStatus(p)
     if (!root.isDirectory) return Seq(root)
     val out = collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
@@ -1960,7 +1981,7 @@ object GraftParquetV2 {
   def loadStatsManifest(path: String)
       : Map[String, Map[String, GraftStatsPrune.ColStats]] = {
     val sidecar = new Path(s"$path/$StatsSidecar")
-    val fs = sidecar.getFileSystem(new Configuration())
+    val fs = sidecar.getFileSystem(GraftParquetWrite.sessionConf())
     if (!fs.exists(sidecar)) return Map.empty
     val parts = fs.listStatus(sidecar).toSeq.map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
@@ -2037,9 +2058,11 @@ object GraftParquetV2 {
     }
   }
 
-  def footerSchema(file: String): MessageType = {
+  def footerSchema(file: String,
+      hadoopConf: Configuration = GraftParquetWrite.sessionConf())
+      : MessageType = {
     val in = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+      HadoopInputFile.fromPath(new Path(file), hadoopConf))
     try in.getFooter.getFileMetaData.getSchema finally in.close()
   }
 

@@ -179,7 +179,7 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     GraftDataWriterFactory(path, schema, writeId, partCols, bloomSpec,
-      constraints)
+      constraints, GraftSerConf.session())
 
   // ——— streaming sink: one transactional append per epoch ———
 
@@ -207,11 +207,11 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
       : org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory =
     GraftStreamingWriterFactory(path, schema, writeId, partCols,
-      bloomSpec, constraints)
+      bloomSpec, constraints, GraftSerConf.session())
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(GraftParquetWrite.sessionConf())
     val staging = new Path(path, s"_staging-$writeId-$epochId")
     val marker = new Path(
       new Path(path, GraftParquetWrite.EpochDir), s"$queryId-$epochId")
@@ -240,12 +240,12 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(GraftParquetWrite.sessionConf())
     fs.delete(new Path(path, s"_staging-$writeId-$epochId"), true)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(GraftParquetWrite.sessionConf())
     val staging = new Path(path, s"_staging-$writeId")
     val committed = messages.collect {
       case GraftCommitMessage(fsq, stats) if fsq.nonEmpty => (fsq, stats)
@@ -322,7 +322,7 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(GraftParquetWrite.sessionConf())
     fs.delete(new Path(path, s"_staging-$writeId"), true)
   }
 }
@@ -331,12 +331,15 @@ case class GraftDataWriterFactory(path: String, schema: StructType,
     writeId: String, partCols: Seq[String] = Nil,
     bloomSpec: Option[(Seq[String], Double)] = None,
     constraints: Seq[(String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    // the driver session's Hadoop conf, shipped so TASK-side file and
+    // sidecar I/O keeps spark.hadoop.* (object-store credentials)
+    serConf: GraftSerConf = GraftSerConf.session())
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriter(path, schema, writeId, partitionId, taskId,
-      partCols, bloomSpec, constraints)
+      partCols, bloomSpec, constraints, serConf)
 }
 
 /** Streaming twin of [[GraftDataWriterFactory]]: the epoch id joins
@@ -346,13 +349,14 @@ case class GraftStreamingWriterFactory(path: String, schema: StructType,
     writeId: String, partCols: Seq[String] = Nil,
     bloomSpec: Option[(Seq[String], Double)] = None,
     constraints: Seq[(String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    serConf: GraftSerConf = GraftSerConf.session())
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(path, schema, s"$writeId-$epochId", partitionId,
-      taskId, partCols, bloomSpec, constraints)
+      taskId, partCols, bloomSpec, constraints, serConf)
 }
 
 /** Task-side parquet writer over the Group API (the symmetric twin of
@@ -370,8 +374,13 @@ class GraftDataWriter(path: String, schema: StructType, writeId: String,
     partitionId: Int, taskId: Long, partCols: Seq[String] = Nil,
     bloomSpec: Option[(Seq[String], Double)] = None,
     constraints: Seq[(String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    serConf: GraftSerConf = GraftSerConf.session())
     extends DataWriter[InternalRow] {
+  // every task-side filesystem touch (data files, footer read-back,
+  // bloom sidecars, abort cleanup) goes through the SHIPPED driver
+  // conf, never a bare Configuration
+  private lazy val taskConf: Configuration = serConf.value
   // CHECK enforcement: one codegen\'d predicate per constraint,
   // compiled once per task from the plan-time-bound expression
   // (null already passes — the binder wrapped `IS NULL OR expr`)
@@ -414,7 +423,7 @@ class GraftDataWriter(path: String, schema: StructType, writeId: String,
       val rel = if (relDir.isEmpty) fileName else s"$relDir/$fileName"
       val w = ExampleParquetWriter
         .builder(HadoopOutputFile.fromPath(
-          new Path(staging, rel), new Configuration()))
+          new Path(staging, rel), taskConf))
         .withType(messageType)
         .withCompressionCodec(CompressionCodecName.SNAPPY)
         .build()
@@ -451,18 +460,17 @@ class GraftDataWriter(path: String, schema: StructType, writeId: String,
       // write-time bloom maintenance: one warm re-read of the spec
       // columns per staged file, exact-size sidecars (GraftBloom spec)
       bloomSpec.foreach { case (cols, fpp) =>
-        val taskConf = new Configuration()
         rels.foreach(rel => bloomWritten ++= GraftBloom.buildForStaged(
           taskConf, new Path(staging, rel), path, cols, fpp))
       }
       GraftCommitMessage(rels, rels.flatMap(rel =>
         GraftParquetWrite.fileStatsEntries(
-          new Path(staging, rel).toString)))
+          new Path(staging, rel).toString, taskConf)))
     }
 
   override def abort(): Unit = {
     if (!closed) { writers.values.foreach(_._1.close()); closed = true }
-    val fs = staging.getFileSystem(new Configuration())
+    val fs = staging.getFileSystem(taskConf)
     writers.values.foreach(v => fs.delete(new Path(staging, v._2), false))
     bloomWritten.foreach(p => fs.delete(p, false))
   }
@@ -582,12 +590,14 @@ object GraftParquetWrite {
     * The `file` key is the BASENAME: staged files keep their name when
     * renamed into the table directory, so entries computed in staging
     * stay valid after commit. */
-  def fileStatsEntries(file: String): Seq[GraftManifestEntry] = {
+  def fileStatsEntries(file: String,
+      hadoopConf: Configuration = sessionConf())
+      : Seq[GraftManifestEntry] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.spark.unsafe.types.UTF8String
     val in = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+      HadoopInputFile.fromPath(new Path(file), hadoopConf))
     try {
       val blocks = in.getFooter.getBlocks.asScala.toSeq
       val fileSchema = in.getFooter.getFileMetaData.getSchema
@@ -736,7 +746,7 @@ object GraftParquetWrite {
     * unknown-file rule). */
   def rawManifestEntries(path: String): Seq[GraftManifestEntry] = {
     val sidecar = new Path(s"$path/${GraftParquetV2.StatsSidecar}")
-    val fs = sidecar.getFileSystem(new Configuration())
+    val fs = sidecar.getFileSystem(sessionConf())
     if (!fs.exists(sidecar)) return Nil
     val parts = fs.listStatus(sidecar).toSeq.map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
@@ -785,7 +795,7 @@ object GraftParquetWrite {
 
   private def replaceManifestLocked(path: String,
       entries: Seq[GraftManifestEntry], writeId: String): Unit = {
-    val conf = new Configuration()
+    val conf = sessionConf()
     val table = new Path(path)
     val fs = table.getFileSystem(conf)
     val tmp = new Path(table,

@@ -147,9 +147,7 @@ class GraftRowLevelWrite(path: String, schema: StructType,
   // the writer just needs the column list; a fresh declared-partitioned
   // table falls back to the persisted DDL spec
   private val partCols: Seq[String] =
-    GraftParquetV2.keyedLayout(path, schema).map(_._1)
-      .getOrElse(GraftCatalog.readPartSpec(path,
-        GraftParquetWrite.sessionConf()))
+    GraftCatalog.effectivePartCols(path, schema)
 
   override def toBatch: BatchWrite = this
   override def description(): String =

@@ -71,7 +71,7 @@ object GraftTableLog {
   val logSchema: StructType = StructType(
     StructField("rel_path", StringType) +: GraftParquetV2.manifestSchema.fields)
 
-  private def conf = new Configuration()
+  private def conf = GraftParquetWrite.sessionConf()
 
   private def logPath(table: String) = new Path(table, LogDir)
 

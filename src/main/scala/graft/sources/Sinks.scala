@@ -59,9 +59,10 @@ object Sinks {
     // stats rules AND the sidecar writer are the connector write path's
     // ([[GraftParquetWrite]]): one implementation of each, so
     // sink-written and connector-written manifests can never drift.
+    val shipped = GraftSerConf.session() // tasks keep spark.hadoop.*
     val entries = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .flatMap(GraftParquetWrite.fileStatsEntries)
+      .flatMap(f => GraftParquetWrite.fileStatsEntries(f, shipped.value))
       .collect().toSeq
     GraftParquetWrite.replaceManifest(path, entries,
       java.util.UUID.randomUUID().toString)

@@ -63,7 +63,7 @@ class DeletionVectorSpec extends SparkSpec {
     val dvs = GraftDeletes.liveDvFiles(p)
     assert(dvs.size == 1, s"expected one DV sidecar, got $dvs")
     val positions = GraftDeletes.readPositions(dvs)
-    assert(positions.values.map(_.length).sum == 1)
+    assert(positions.values.map(_.cardinality).sum == 1L)
     // the committed version pins the DV set
     val head = GraftTableLog.latestVersion(p).get
     assert(GraftTableLog.readSnapshotDvRels(p, head).size == 1)
@@ -379,9 +379,10 @@ class DeletionVectorSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(p, GraftDeletes.DeletesDir),
         "dv-dup-test.parquet"),
-      Iterator(base -> ps.head))
+      Iterator(base -> ps.iterator.next()))
     val merged = GraftDeletes.livePositions(p)
-    assert(merged(base).toSeq == merged(base).toSeq.sorted.distinct)
+    val mergedSeq = merged(base).iterator.toSeq
+    assert(mergedSeq == mergedSeq.sorted.distinct)
     assert(spark.read.format(fmt).option("path", p).load().count() ==
       allIds.length - 2, "duplicate positions must not over-delete")
   }

@@ -370,4 +370,48 @@ class GraftBloomSpec extends SparkSpec {
     assert(read(p).filter(col("doc_id") === 1L).count() == 0)
     assert(bloomSkips > 0)
   }
+
+  /** Files larger than the session's split size used to shatter the
+    * build read across tasks — each task renamed in a sidecar hashed
+    * from only ITS split's values, and the last-rename survivor was a
+    * PARTIAL filter whose false negatives silently skipped live rows.
+    * The build now reads in a child session sized one-file-one-split,
+    * so a hostile parent conf (here: 4 KB splits, far below the data
+    * files) must neither fail the build nor corrupt a single probe. */
+  test("build is immune to tiny session split sizes (no partial sidecars)") {
+    val p = mkTable("b18")
+    val prevMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      // sanity: the parent session WOULD split these files
+      assert(spark.read.parquet(GraftParquetV2.listFiles(p): _*)
+        .rdd.getNumPartitions > 2,
+        "precondition: parent split conf shatters the files")
+      val out = GraftBloom.build(spark, p, Seq("doc_id", "lang"))
+      assert(out.forall(_._2 == 2),
+        s"every column covers both files: $out")
+    } finally {
+      prevMax.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+        spark.conf.set("spark.sql.files.maxPartitionBytes", _))
+      prevCost.fold(spark.conf.unset("spark.sql.files.openCostInBytes"))(
+        spark.conf.set("spark.sql.files.openCostInBytes", _))
+    }
+    // no false negatives anywhere: every live doc_id still returns its
+    // row through the bloomed point-lookup path
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val sample = ids.sorted.grouped(math.max(1, ids.length / 16))
+      .map(_.head).toSeq
+    sample.foreach { id =>
+      assert(read(p).filter(col("doc_id") === id).count() == 1,
+        s"doc_id=$id wrongly bloom-skipped — partial sidecar")
+    }
+    // and the sketch still refutes: the median EVEN id is interior to
+    // the odd file's zone map, so only a complete bloom sidecar proves
+    // the odd file holds nothing — one row back, one file skipped
+    GraftScanTelemetry.reset()
+    assert(read(p).filter(col("doc_id") === midEven).count() == 1)
+    assert(bloomSkips > 0)
+  }
 }

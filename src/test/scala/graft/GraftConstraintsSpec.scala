@@ -134,6 +134,50 @@ class GraftConstraintsSpec extends SparkSpec {
       GraftConstraints.drop(p, "never_there"))
   }
 
+  /** The sidecar is newline-separated and tab-split: expression TEXT
+    * carrying either character would corrupt it and brick EVERY later
+    * write planning (read() runs uncached per write). add() refuses
+    * the characters up front; a hand-mangled sidecar fails read() with
+    * a named, actionable error instead of a substring crash. */
+  test("multi-line/tab expression text refuses; malformed sidecar fails loudly") {
+    val p = mkTable("c7")
+    intercept[IllegalArgumentException](
+      GraftConstraints.add(spark, p, "ck_nl", "n_chars >= 0\n  AND n_chars < 10"))
+    intercept[IllegalArgumentException](
+      GraftConstraints.add(spark, p, "ck_tab", "n_chars\t>= 0"))
+    // the SQL escape spelling still expresses tab/newline CONTENT
+    GraftConstraints.add(spark, p, "ck_esc", "lang != 'a\\tb'")
+    assert(GraftConstraints.read(p).map(_._1) == Seq("ck_esc"))
+    // valid writes still pass through the surviving constraint
+    docs.limit(1).withColumn("doc_id", col("doc_id") + 50000L)
+      .coalesce(1).write.format(fmt).option("path", p)
+      .mode("append").save()
+    // a hand-corrupted sidecar (no tab separator) fails by NAME at the
+    // next write planning, pointing at the file
+    // through the Hadoop FS (not raw NIO) so the local filesystem's
+    // .crc checksum sidecar tracks the corruption instead of masking
+    // the parse error behind a ChecksumException
+    val hf = new org.apache.hadoop.fs.Path(p,
+      GraftConstraints.ConstraintsFile)
+    val hfs = hf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(hf, true)
+    try out.write("broken line without separator".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[Exception] {
+      docs.limit(1).coalesce(1).write.format(fmt).option("path", p)
+        .mode("append").save()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(rootMsg(e).contains("malformed line"), rootMsg(e).take(300))
+    // repair restores writability
+    hfs.delete(hf, false)
+    docs.limit(1).withColumn("doc_id", col("doc_id") + 60000L)
+      .coalesce(1).write.format(fmt).option("path", p)
+      .mode("append").save()
+  }
+
   test("streaming epochs enforce constraints too") {
     val p = mkTable("c6")
     GraftConstraints.add(spark, p, "chars_pos", "n_chars >= 0")

@@ -147,6 +147,38 @@ class ReportOrderingSpec extends SparkSpec {
     }
   }
 
+  /** A pushed TopN drains its per-file heap WORST-FIRST (sound only
+    * because Spark's retained global Sort re-orders) — so the scan must
+    * NEVER simultaneously claim per-partition ordering: the claim would
+    * let RemoveRedundantSorts elide exactly the Sort that restores
+    * order. The plain scan on the same clustered table keeps the claim
+    * (guarding the other direction — the fix must not lapse it). */
+  test("pushed TopN drops the ordering claim; plain scans keep it") {
+    val p = mkClustered("s5")
+    def scanOf(df: DataFrame) = {
+      val plans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.scan
+      }
+      assert(plans.nonEmpty, "expected a BatchScanExec in the plan")
+      plans.head.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsReportOrdering]
+    }
+    val topN = read(p).orderBy("event_id").limit(5)
+    assert(topN.queryExecution.toString.contains("event_id"),
+      "sanity: the query references the sort key")
+    assert(scanOf(topN).outputOrdering().isEmpty,
+      "a scan with a pushed TopN must not claim sorted output")
+    val plain = read(p).select("event_id")
+    assert(scanOf(plain).outputOrdering().nonEmpty,
+      "the clustered table's plain scan keeps its ordering claim")
+    // end-to-end: the TopN result equals the true ascending head
+    val expected = read(p).select("event_id").collect()
+      .map(_.getLong(0)).sorted.take(5).toSeq
+    assert(topN.select("event_id").collect().map(_.getLong(0)).toSeq
+      == expected)
+  }
+
   test("ordered results are identical with and without the claim") {
     val p = mkClustered("s4")
     val claimed = read(p).sortWithinPartitions("event_id")
