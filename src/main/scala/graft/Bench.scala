@@ -127,6 +127,12 @@ object Bench {
     // that a full run can never match — r10 proved comparing against
     // those flags a third of the catalog as phantom suspects
     // (q_png_pixel_decode "best" 0.64 s vs ~5.5 s in every full run).
+    // ERA GATE (r12): only lines whose catalog size is comparable to
+    // today's (≥ 80%) contribute — a best taken when the sweep held
+    // 120 queries ran under far less CPU contention than a 190-query
+    // sweep ever will, and r11's two residual "still_slow" phantoms
+    // (q_dedup_jaccard best 1.43 s from a 158-query-era line vs a
+    // 2.0–2.2 s full-run range today) were exactly this era drift.
     val historyBest: Map[String, Double] = {
       val p = java.nio.file.Paths.get("bench_history.jsonl")
       if (!java.nio.file.Files.exists(p)) Map.empty
@@ -140,7 +146,10 @@ object Bench {
               val detail = om.readTree(line).path("detail")
               // same-SF rows only: an sf0.01 best would flag every
               // sf0.1 timing as "slow" and renoise the whole catalog
-              if (detail.path("sf").asText("") == sfDir) {
+              val lineSize = detail.path("times").size().max(
+                detail.path("queries").size())
+              if (detail.path("sf").asText("") == sfDir &&
+                  lineSize >= (allTimes.size * 8) / 10) {
                 val lineRuns = detail.path("runs").asInt(3).max(1)
                 val raw = detail.path("times")
                 def fold(name: String, v: Double): Unit =

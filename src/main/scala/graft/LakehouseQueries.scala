@@ -1324,6 +1324,121 @@ object LakehouseQueries {
            |  UNION ALL SELECT 3, 3, c012 FROM c
            |) ORDER BY version""".stripMargin))
 
+  /** ORPHAN RECLAMATION (`CALL system.remove_orphan_files`,
+    * [[graft.sources.GraftMaintenance.removeOrphans]]): plant the
+    * debris shapes a crashed writer leaves (a staging tree, a
+    * manifest-swap tmp dir, a sidecar draft, a bloom tmp), reclaim at
+    * a zero-hour horizon, and hash the LIVE table after — in-query
+    * requires pin the reclaimed kinds, the idempotent second pass, and
+    * that the live stats manifest survived; the hash proves not one
+    * data row moved. */
+  val qSqlRemoveOrphans = QueryDef("q_sql_remove_orphans",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).coalesce(1).write.format(fmt)
+        .option("path", path).mode("append").save()
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def touch(rel: String): Unit = {
+        val f = new org.apache.hadoop.fs.Path(path, rel)
+        fs.mkdirs(f.getParent)
+        val out = fs.create(f, true)
+        try out.write("debris".getBytes("UTF-8")) finally out.close()
+      }
+      touch("_staging-dead/part-00000-dead.parquet")
+      touch(s"${GraftParquetV2.StatsSidecar}.tmp-dead/part-00000.parquet")
+      touch("_tmp_colstats-dead")
+      touch("_graft_bloom/_tmp-dead.bloom")
+      Thread.sleep(20) // debris mtimes strictly before the horizon
+      val reclaimed = spark.sql(
+        s"CALL $cat.system.remove_orphan_files(table => 'sf.$tbl', " +
+          "older_than_hours => 0.0D)").collect()
+      require(reclaimed.map(_.getString(0)).sorted.toSeq ==
+        Seq("bloom_tmp", "manifest_tmp", "sidecar_tmp", "staging"),
+        s"unexpected reclamation ${reclaimed.mkString(",")}")
+      require(spark.sql(
+        s"CALL $cat.system.remove_orphan_files(table => 'sf.$tbl', " +
+          "older_than_hours => 0.0D)").count() == 0,
+        "a second pass must find nothing")
+      require(fs.exists(new org.apache.hadoop.fs.Path(path,
+        GraftParquetV2.StatsSidecar)),
+        "the LIVE stats manifest must survive reclamation")
+      fingerprint(spark.read.format(fmt).option("path", path).load())
+    },
+    Some(fingerprintSql("o_orderkey % 4 = 0")))
+
+  /** PARTITION-SPEC EVOLUTION (`CALL system.set_partition_spec`): a
+    * flat generation, then the spec evolves to `o_orderstatus`, a
+    * second append routes under `o_orderstatus=…` while the flat file
+    * stays (per-file layout — both remain readable and prunable), and
+    * `compact` migrates everything to the declared layout. In-query
+    * requires pin the mixed layout and the migration; the hash proves
+    * the evolution + migration moved every row and invented none. */
+  val qSqlPartitionEvolution = QueryDef("q_sql_partition_evolution",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).coalesce(1).write.format(fmt)
+        .option("path", path).mode("append").save()
+      val out = spark.sql(s"CALL $cat.system.set_partition_spec(" +
+        s"table => 'sf.$tbl', partition_by => 'o_orderstatus')").head()
+      require(out.getString(0) == "" && out.getString(1) == "o_orderstatus")
+      slice(orders, 1).coalesce(1).write.format(fmt)
+        .option("path", path).mode("append").save()
+      val mixed = GraftParquetV2.listFiles(path)
+        .map(f => GraftParquetV2.partitionSpec(path, f))
+      require(mixed.exists(_.isEmpty) &&
+        mixed.exists(_.map(_._1) == Seq("o_orderstatus")),
+        "evolution must leave old files flat and route new ones")
+      spark.sql(s"CALL $cat.system.compact(table => 'sf.$tbl')")
+      val after = GraftParquetV2.listFiles(path)
+        .map(f => GraftParquetV2.partitionSpec(path, f))
+      require(after.nonEmpty &&
+        after.forall(_.map(_._1) == Seq("o_orderstatus")),
+        "compact must migrate every file to the declared layout")
+      fingerprint(spark.read.format(fmt).option("path", path).load())
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
+
+  /** DV TELEMETRY (`SELECT … FROM t.deletes`,
+    * [[graft.sources.GraftMetadataTables]]): a merge-on-read DELETE
+    * stages one positional sidecar; the metadata relation reports its
+    * volume — the standing signal an operator watches to schedule
+    * `rewrite_deletes`. The oracle recomputes the deleted-position
+    * count straight from `orders`, so a sidecar that dropped or
+    * double-counted a position breaks the hash. */
+  val qSqlDvTelemetry = QueryDef("q_sql_dv_telemetry",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).coalesce(1).write.format(fmt)
+        .option("path", path).mode("append").save()
+      spark.conf.set(graft.sources.GraftParquetTable.ModeConf,
+        "merge-on-read")
+      // keys ≡ 8 (mod 100) are all ≡ 0 (mod 4): every match sits in
+      // slice 0, so the oracle can recount them from `orders` alone
+      try spark.sql(s"DELETE FROM $cat.sf.$tbl " +
+        "WHERE o_orderkey % 100 = 8")
+      finally spark.conf.set(graft.sources.GraftParquetTable.ModeConf,
+        "copy-on-write")
+      spark.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS dv_files,
+           |       CAST(coalesce(sum(referenced_files), 0) AS BIGINT)
+           |         AS refs,
+           |       CAST(coalesce(sum(positions), 0) AS BIGINT)
+           |         AS positions
+           |FROM $cat.sf.$tbl.deletes""".stripMargin)
+    },
+    Some("""WITH d AS (SELECT count(*) AS cnt FROM orders
+           |           WHERE o_orderkey % 4 = 0 AND o_orderkey % 100 = 8)
+           |SELECT CAST(CASE WHEN cnt > 0 THEN 1 ELSE 0 END AS BIGINT)
+           |         AS dv_files,
+           |       CAST(CASE WHEN cnt > 0 THEN 1 ELSE 0 END AS BIGINT)
+           |         AS refs,
+           |       CAST(cnt AS BIGINT) AS positions
+           |FROM d""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
@@ -1331,5 +1446,6 @@ object LakehouseQueries {
       qMergeSchemaEvolution, qSqlMergeEvolution, qSqlRenameColumn,
       qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion,
       qStreamCatalogTable, qSqlRollback, qSqlTagTravel, qBloomPointLookup,
-      qSqlAnalyze, qClusteredWindow, qSqlConstraints, qSqlMetadataTables)
+      qSqlAnalyze, qClusteredWindow, qSqlConstraints, qSqlMetadataTables,
+      qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry)
 }

@@ -1940,11 +1940,26 @@ object GraftParquetV2 {
     }
     if (files.isEmpty) return None
     val specs = files.map(f => f -> partitionSpec(root, f))
-    val cols = specs.head._2.map(_._1)
+    // ZERO-ROW SCHEMA CARRIERS (DDL commits: CREATE TABLE, ALTER,
+    // partition-spec evolution) sit FLAT at the table root. They hold
+    // no rows, so ANY key claim over them is vacuously true — exclude
+    // them from the uniformity check and key them under the all-null
+    // group, or every catalog-declared partitioned table would stay
+    // "mixed" (losing its KeyGroupedPartitioning and ordering claims)
+    // until its first compaction. Both conditions are required: the
+    // name suffix is the connector's own carrier convention, and the
+    // footer row count PROVES emptiness for a foreign same-named
+    // drop-in (one cached footer read per carrier per JVM).
+    val (carriers, dataSpecs) = specs.partition { case (f, sp) =>
+      sp.isEmpty && new Path(f).getName.endsWith("-schema.parquet") &&
+        verifiedZeroRows(f)
+    }
+    if (dataSpecs.isEmpty) return None
+    val cols = dataSpecs.head._2.map(_._1)
     if (cols.isEmpty) return None
-    if (!specs.forall(_._2.map(_._1) == cols)) return None
+    if (!dataSpecs.forall(_._2.map(_._1) == cols)) return None
     if (!cols.forall(c => schema.fieldNames.contains(c))) return None
-    val rows = specs.map { case (f, sp) =>
+    val rows = dataSpecs.map { case (f, sp) =>
       val vals = sp.map { case (c, raw) =>
         if (raw == HiveDefaultPartition) null
         else catalystPartValue(
@@ -1952,11 +1967,33 @@ object GraftParquetV2 {
           .getOrElse(return None)
       }
       f -> InternalRow.fromSeq(vals)
+    } ++ carriers.map { case (f, _) =>
+      f -> InternalRow.fromSeq(cols.map(_ => null))
     }
-    // key count over the RAW spec strings — InternalRow has no
-    // structural equality to count on
-    Some((cols, rows.toMap, specs.map(_._2).distinct.size))
+    // key count over RAW spec strings — InternalRow has no structural
+    // equality to count on; a carrier's all-null key canonicalizes to
+    // the all-default spec so it only counts when genuinely new
+    val dataKeys = dataSpecs.map(_._2).distinct
+    val nullKey = cols.map(c => c -> HiveDefaultPartition)
+    val nKeys = (dataKeys ++
+      (if (carriers.nonEmpty) Seq(nullKey) else Nil)).distinct.size
+    Some((cols, rows.toMap, nKeys))
   }
+
+  // carrier-emptiness proofs, cached per JVM (files are immutable and
+  // UUID-named — a basename never changes its row count)
+  private val zeroRowCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def verifiedZeroRows(file: String): Boolean =
+    zeroRowCache.computeIfAbsent(file, f => {
+      try {
+        val in = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new Path(f), GraftParquetWrite.sessionConf()))
+        try java.lang.Boolean.valueOf(in.getRecordCount == 0L)
+        finally in.close()
+      } catch { case _: Exception => java.lang.Boolean.FALSE }
+    })
 
   /** Sidecar directory name for the write-time per-file zone-map
     * manifest ([[Sinks.parquetWithStats]]); the leading underscore

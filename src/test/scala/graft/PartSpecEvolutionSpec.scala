@@ -123,6 +123,66 @@ class PartSpecEvolutionSpec extends SparkSpec {
     assert(read(p).count() == 20)
   }
 
+  /** DDL-declared tables carry a flat zero-row SCHEMA CARRIER at the
+    * root; a carrier must not make the table "mixed" — it holds no
+    * rows, so the keyed-layout claim (KeyGroupedPartitioning → zero
+    * exchange for partition-key grouping) stays up from the FIRST
+    * insert, not only after a compaction. */
+  test("schema carriers do not lapse the keyed-layout claim") {
+    warehouse
+    val p = s"$warehouse/corp/e6"
+    spark.sql(s"CREATE TABLE $cat.corp.e6 " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "USING graft PARTITIONED BY (lang)")
+    docs.limit(30).write.insertInto(s"$cat.corp.e6")
+    // the carrier is there AND the claim holds
+    val files = GraftParquetV2.listFiles(p)
+    assert(files.exists(_.endsWith("-schema.parquet")),
+      "precondition: the zero-row carrier is part of the live listing")
+    val layout = GraftParquetV2.keyedLayout(p, read(p).schema)
+    assert(layout.isDefined, "the carrier must not void the layout")
+    assert(layout.get._1 == Seq("lang"))
+    // a partition-key aggregation plans with ZERO exchange
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      def walk(x: org.apache.spark.sql.execution.SparkPlan): Int =
+        x.collect {
+          case _: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeLike => 1
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => walk(q.plan)
+        }.sum
+      walk(df.queryExecution.executedPlan)
+    }
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // a WINDOW keyed on the partition column needs ClusteredDistribution
+      // on lang — satisfied straight from storage when the claim holds
+      // (a groupBy would not show it: aggregate PUSHDOWN rewrites the
+      // scan output and deliberately drops the claim)
+      import org.apache.spark.sql.expressions.Window
+      val w = read(p).withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy("doc_id")))
+      val got = w.collect()
+      assert(got.length == 30)
+      val byLang = got.groupBy(_.getString(1))
+      byLang.values.foreach { rs =>
+        val sorted = rs.sortBy(_.getLong(0))
+        assert(sorted.zipWithIndex.forall { case (r, i) =>
+          r.getAs[Int]("rn") == i + 1 }, "window numbering must be exact")
+      }
+      assert(exchanges(w) == 0,
+        s"keyed layout must satisfy the window:\n${w.queryExecution}")
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("refusals: unknown column, non-roundtrip type, every column") {
     warehouse
     val p = s"$warehouse/corp/e5"
