@@ -1439,6 +1439,71 @@ object LakehouseQueries {
            |       CAST(cnt AS BIGINT) AS positions
            |FROM d""".stripMargin))
 
+  /** STORAGE-PARTITIONED JOIN (`SupportsReportPartitioning` +
+    * Spark's v2 bucketing): fact and dimension both land under the
+    * SAME `o_orderstatus=…` layout, so the join key IS the partition
+    * key on both sides and the join plans with ZERO exchanges — the
+    * co-located fact×dim shape a 100 TB star query wants (shuffle
+    * volume: none, vs re-hashing the fact table every query). The
+    * in-query require pins the plan shape (broadcast disabled so the
+    * zero can only come from the layout); the hash proves the
+    * exchange-free join returns exactly the rows a plain join does. */
+  val qSpjColocatedJoin = QueryDef("q_spj_colocated_join",
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+      val fact = scratch(spark, "graft_spj_fact")
+      val dim = scratch(spark, "graft_spj_dim")
+      slice(orders, 0).write.format(fmt).option("path", fact)
+        .option("partitionBy", "o_orderstatus").mode("append").save()
+      slice(orders, 0).groupBy("o_orderstatus")
+        .agg(max(col("o_totalprice")).as("max_price"))
+        .write.format(fmt).option("path", dim)
+        .option("partitionBy", "o_orderstatus").mode("append").save()
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        def read(p: String) =
+          spark.read.format(fmt).option("path", p).load()
+        val joined = read(fact).join(read(dim), "o_orderstatus")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("max_price"))
+        def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+          p.collect {
+            case _: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeLike => 1
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => shuffles(q.plan)
+          }.sum
+        // force execution under the pinned confs, then assert the shape
+        val rows = joined.collect()
+        require(rows.nonEmpty, "spj join returned no rows")
+        require(shuffles(joined.queryExecution.executedPlan) == 0,
+          s"co-partitioned join must not shuffle:\n${joined.queryExecution}")
+        // hand the driver an exchange-free-verified LOCAL result — the
+        // confs are restored below, so re-planning later must not race
+        val out = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), joined.schema)
+        out
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    },
+    Some("""SELECT o.o_orderkey AS o_orderkey,
+           |       o.o_orderstatus AS o_orderstatus,
+           |       d.max_price AS max_price
+           |FROM orders o
+           |JOIN (SELECT o_orderstatus, max(o_totalprice) AS max_price
+           |      FROM orders WHERE o_orderkey % 4 = 0
+           |      GROUP BY o_orderstatus) d
+           |  ON o.o_orderstatus = d.o_orderstatus
+           |WHERE o.o_orderkey % 4 = 0""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
@@ -1447,5 +1512,6 @@ object LakehouseQueries {
       qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion,
       qStreamCatalogTable, qSqlRollback, qSqlTagTravel, qBloomPointLookup,
       qSqlAnalyze, qClusteredWindow, qSqlConstraints, qSqlMetadataTables,
-      qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry)
+      qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry,
+      qSpjColocatedJoin)
 }
