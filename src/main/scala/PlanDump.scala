@@ -98,6 +98,25 @@ object PlanDump {
           .over(org.apache.spark.sql.expressions.Window
             .partitionBy("lang").orderBy("doc_id"))))
 
+    // co-partitioned fact × dim: the storage-partitioned join
+    val t3 = s"$wh/ns/t3"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+      .groupBy("lang").agg(org.apache.spark.sql.functions
+        .max(col("n_chars")).as("max_chars"))
+      .write.format(fmt).option("path", t3)
+      .option("partitionBy", "lang").mode("append").save()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    dump("co-partitioned fact JOIN dim (storage-partitioned join)",
+      "both sides report KeyGroupedPartitioning on the join key, so " +
+        "the join plans with ZERO Exchange on either side (broadcast " +
+        "disabled to prove the zero comes from the LAYOUT) — the " +
+        "co-located fact×dim shape that re-hashes nothing at 100 TB",
+      spark.read.format(fmt).option("path", t2).load()
+        .join(spark.read.format(fmt).option("path", t3).load(), "lang")
+        .select("doc_id", "max_chars"))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     spark.stop()
   }
 }

@@ -277,8 +277,11 @@ object Bench {
     // bench_result.json is overwritten every run, which forced past
     // judges to reconstruct like-for-like comparisons by hand — so ALSO
     // append each run (stamped) to a history log the next round can diff
-    // per-query directly
-    java.nio.file.Files.writeString(
+    // per-query directly. ONLY-filtered diagnostic runs stay OUT of the
+    // ledger: an isolated warm re-timing is not reference material (the
+    // r12 era gate would exclude it anyway — keep the file clean at the
+    // source).
+    if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_history.jsonl"),
       s"""{"at":"${java.time.Instant.now()}",""" +
         s""""detail":${detail.stripLineEnd}}""" + "\n",

@@ -1504,6 +1504,48 @@ object LakehouseQueries {
            |  ON o.o_orderstatus = d.o_orderstatus
            |WHERE o.o_orderkey % 4 = 0""".stripMargin))
 
+  /** INCREMENTAL RE-CLUSTERING (`CALL system.recluster`,
+    * [[graft.sources.GraftMaintenance.recluster]]): a clustered table
+    * takes two appends (which lapse its ordering claim), recluster
+    * rewrites ONLY those tail files and re-pins the claim — the
+    * in-query requires pin the tail-only cost (exactly the appended
+    * files rewritten; the clustered generation's files untouched) and
+    * the re-pinned claim; the hash proves the rewrite moved every row
+    * of all three slices and invented none. */
+  val qSqlRecluster = QueryDef("q_sql_recluster",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).coalesce(1).write.format(fmt)
+        .option("path", path).mode("append").save()
+      spark.sql(s"CALL $cat.system.compact(table => 'sf.$tbl', " +
+        "cluster_by => 'o_orderkey')")
+      val clusteredFiles = GraftParquetV2.listFiles(path)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+      // two appends lapse the whole-table ordering claim
+      slice(orders, 1).coalesce(1).write.format(fmt)
+        .option("path", path).mode("append").save()
+      slice(orders, 2).coalesce(1).write.format(fmt)
+        .option("path", path).mode("append").save()
+      val out = spark.sql(s"CALL $cat.system.recluster(" +
+        s"table => 'sf.$tbl')").head()
+      require(out.getInt(1) == 2,
+        s"recluster must rewrite exactly the 2 appended files, " +
+          s"got ${out.getInt(1)}")
+      // the clustered generation's files were NOT rewritten (cost ∝ tail)
+      val after = GraftParquetV2.listFiles(path)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+      require(clusteredFiles.subsetOf(after),
+        "the already-clustered files must survive recluster untouched")
+      // the ordering claim re-pinned at the new head
+      val spec = GraftMaintenance.readSortSpec(path)
+      require(spec.exists(_._1 == out.getLong(0)) &&
+        spec.exists(_._2 == Seq("o_orderkey")),
+        s"claim must re-pin at version ${out.getLong(0)}, got $spec")
+      fingerprint(spark.read.format(fmt).option("path", path).load())
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1, 2)")))
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
@@ -1513,5 +1555,5 @@ object LakehouseQueries {
       qStreamCatalogTable, qSqlRollback, qSqlTagTravel, qBloomPointLookup,
       qSqlAnalyze, qClusteredWindow, qSqlConstraints, qSqlMetadataTables,
       qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry,
-      qSpjColocatedJoin)
+      qSpjColocatedJoin, qSqlRecluster)
 }

@@ -387,7 +387,7 @@ class GraftCatalog extends TableCatalog
         "rewrite_deletes", "detail", "rollback", "tag", "drop_tag",
         "tags", "build_bloom", "analyze", "add_constraint",
         "drop_constraint", "constraints", "remove_orphan_files",
-        "set_partition_spec").map(Identifier.of(SystemNs, _))
+        "set_partition_spec", "recluster").map(Identifier.of(SystemNs, _))
     else Array.empty
 
   private def tablePath(arg: String): String = {
@@ -770,6 +770,22 @@ class GraftCatalog extends TableCatalog
                 UTF8String.fromString(n), b))
           }
         })
+      // incremental re-clustering — see [[GraftMaintenance.recluster]]:
+      // rewrite ONLY the files appended since the last clustered
+      // version, then re-pin the table's ordering claim (cost ∝ tail)
+      case "recluster" => new GraftProcedure("recluster",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_file_bytes", LongType)
+            .defaultValue((128L * 1024 * 1024).toString).build()),
+        StructType(Seq(StructField("version", LongType),
+          StructField("tail_files_rewritten", IntegerType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val (v, nTail) = GraftMaintenance.recluster(
+            org.apache.spark.sql.SparkSession.active, p, in.getLong(1))
+          Seq(new GenericInternalRow(Array[Any](v, nTail)))
+        })
       // partition-spec EVOLUTION — see
       // [[GraftCatalog.writePartSpecEvolved]]: the persisted spec
       // changes for FUTURE writes; existing files keep (and stay
@@ -809,7 +825,8 @@ class GraftCatalog extends TableCatalog
           "available: compact, vacuum, history, ann_probe, " +
           "rewrite_deletes, detail, rollback, tag, drop_tag, tags, " +
           "build_bloom, analyze, add_constraint, drop_constraint, " +
-          "constraints, remove_orphan_files, set_partition_spec")
+          "constraints, remove_orphan_files, set_partition_spec, " +
+          "recluster")
     }
   }
 }

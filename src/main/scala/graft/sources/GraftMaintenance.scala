@@ -774,6 +774,80 @@ object GraftMaintenance {
     deleted
   }
 
+  /** INCREMENTAL RE-CLUSTERING (the Delta incremental-OPTIMIZE shape):
+    * restore the table's ordering claim by rewriting ONLY the files
+    * appended since the last clustered version — cost ∝ the TAIL, not
+    * the table. A clustered compaction pins "version V's files are
+    * each internally sorted on COLS" ([[SortSpecFile]]); any append
+    * lapses the claim for the WHOLE table, and at 100 TB a full
+    * re-compaction per append cycle is not an answer. Files are
+    * immutable, so V's files that are STILL LIVE are still sorted —
+    * only the live files OUTSIDE V's snapshot (appends, COW/MOR
+    * rewrite outputs) need sorting. They are read DV-aware, range-
+    * partitioned + sorted on the cluster columns, swapped in via the
+    * compensating [[rewriteCommit]], and the claim re-pins at the new
+    * head. An overwritten table degenerates gracefully: every live
+    * file is tail, and recluster equals a full clustered compaction.
+    * Returns (new head version, tail files rewritten) — (head, 0) is
+    * the free no-op when the claim already covers the live set. */
+  def recluster(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Int) = {
+    require(targetFileBytes > 0,
+      "graft recluster: targetFileBytes must be > 0")
+    val (v0, cols) = readSortSpec(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft recluster: no sort spec under $table — run " +
+          "compact(clusterBy = …) once to establish the clustered order"))
+    val v0Base: Set[String] =
+      try GraftTableLog.readSnapshotFull(table, v0)._1
+        .map(r => new Path(r).getName).toSet
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"graft recluster: clustered version $v0 of $table is not " +
+            "readable (vacuumed?) — re-compact with clusterBy instead", e)
+      }
+    val live = GraftParquetV2.listFiles(table)
+    // zero-row SCHEMA CARRIERS are vacuously sorted AND load-bearing
+    // (the newest carrier is a DDL's schema source): never rewrite
+    // them — archiving a post-ALTER carrier would silently revert the
+    // table's schema to the data files' older era
+    val tail = live.filterNot(f => v0Base.contains(new Path(f).getName))
+      .filterNot(f => new Path(f).getName.endsWith("-schema.parquet") &&
+        GraftParquetV2.verifiedZeroRows(f))
+    val head = GraftTableLog.latestVersion(table).getOrElse(v0)
+    if (tail.isEmpty) {
+      // the live set IS (a subset of) the clustered generation: every
+      // file is sorted — re-pin the claim at the current head so scans
+      // of it report ordering again (a metadata-only repair)
+      if (head != v0) writeSortSpec(table, head, cols)
+      return (head, 0)
+    }
+    val df = connectorRead(spark, table)
+    require(cols.forall(df.schema.fieldNames.contains),
+      s"graft recluster: cluster columns ${cols.mkString(",")} not all " +
+        s"in schema ${df.schema.fieldNames.mkString(",")}")
+    val partCols = GraftCatalog.effectivePartCols(table, df.schema)
+    val tailBase = tail.map(f => new Path(f).getName).toSet
+    val tailBytes = (try GraftParquetV2.listFileStatuses(table) catch {
+      case _: java.io.FileNotFoundException => Nil
+    }).filter(st => tailBase.contains(st.getPath.getName))
+      .map(_.getLen).sum
+    val n = math.max(1L,
+      (tailBytes + targetFileBytes - 1) / targetFileBytes)
+      .min(Int.MaxValue).toInt
+    import org.apache.spark.sql.functions.col
+    val sorted = readFilesWithDeletes(spark, df.schema, tail,
+      GraftDeletes.livePositions(table),
+      GraftCatalog.readAliases(table, conf))
+      .repartitionByRange(n, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    val v = rewriteCommit(spark, table, tail, sorted, partCols)
+    // every live file is now sorted on COLS: V's survivors by
+    // immutability, the tail by this rewrite — re-pin the claim
+    writeSortSpec(table, v, cols)
+    (v, tail.size)
+  }
+
   /** ORPHANED WRITE-DEBRIS RECLAMATION (the Iceberg
     * `remove_orphan_files` shape): a JVM that dies mid-write leaves
     * `_staging-<writeId>/` trees, manifest-swap `.tmp-` directories,

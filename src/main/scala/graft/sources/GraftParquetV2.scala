@@ -608,12 +608,6 @@ case class GraftParquetScan(path: String, required: StructType,
       "graft streaming read: versionAsOf/changesSince are batch read " +
         "modes — a stream tails the LIVE table (its offsets already " +
         "pin exactly which files each micro-batch saw)")
-    // partitioned (col=value) layouts carry partition columns in the
-    // DIRECTORY, which the flat streaming splits would silently drop —
-    // refuse rather than emit rows missing a column's values
-    require(keyedLayout.isEmpty,
-      s"graft streaming read: partitioned table at $path is out of the " +
-        "streaming source's scope (flat append tables only)")
     // live deletion vectors mean rows were REMOVED without a file-set
     // change — an append-only stream cannot retract rows it may already
     // have emitted; refuse loudly (compact the table to fold the
@@ -622,8 +616,17 @@ case class GraftParquetScan(path: String, required: StructType,
       s"graft streaming read: table at $path carries merge-on-read " +
         "deletion vectors — an append-only stream cannot represent row " +
         "deletes; compact the table to fold them in first")
+    // PARTITIONED tables stream too (round 12): the connector writes
+    // partition values INTO the data files (the Iceberg convention),
+    // so the stream's flat splits emit them correctly. The guard moves
+    // from "refuse any col=value layout" to a PER-FILE FOOTER PROOF at
+    // admission ([[GraftMicroBatchStream.latestOffset]]): a foreign
+    // Hive-style drop-in whose values live ONLY in the directory name
+    // would null-fill — each admitted file must physically carry every
+    // partition column, or the stream refuses naming the file.
+    val streamPartCols = GraftCatalog.effectivePartCols(path, tableSchema)
     new GraftMicroBatchStream(path, required, pushed, streamMaxFiles,
-      streamStartVersion, aliases)
+      streamStartVersion, aliases, streamPartCols)
   }
 
   /** Planner-visible size: without this, a V2 relation defaults to
@@ -1061,7 +1064,11 @@ class GraftMicroBatchStream(path: String, required: StructType,
     startingVersion: Option[Long] = None,
     // RENAME COLUMN alias chains — the stream's readers resolve per
     // file exactly like batch, or pre-rename files would null-fill
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    // declared partition columns: every admitted file must PROVE it
+    // carries them in its footer (values ride in the data files on
+    // every connector write; a directory-only foreign file refuses)
+    partCols: Seq[String] = Nil)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def snapshot(): Seq[String] = GraftParquetV2.listFiles(path).sorted
@@ -1122,6 +1129,20 @@ class GraftMicroBatchStream(path: String, required: StructType,
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
+    }
+    // partitioned-table admission: one footer read per NEW file, once
+    // per file over the stream's lifetime (offsets are monotone) —
+    // the flat splits below emit partition values from the file
+    // itself, so a file that does not carry them must refuse HERE,
+    // loudly, not null-fill downstream
+    if (partCols.nonEmpty) admitted.foreach { f =>
+      val fileSchema = GraftParquetV2.footerSchema(f)
+      val missing = partCols.filterNot(fileSchema.containsField)
+      require(missing.isEmpty,
+        s"graft streaming read: file $f does not carry partition " +
+          s"column(s) ${missing.mkString(", ")} in its data (a foreign " +
+          "directory-only layout?) — the stream would null-fill them; " +
+          "rewrite the file with the connector (compact) first")
     }
     GraftFileSetOffset((seen.toSeq ++ admitted).sorted)
   }
@@ -1985,7 +2006,7 @@ object GraftParquetV2 {
   private val zeroRowCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private def verifiedZeroRows(file: String): Boolean =
+  private[sources] def verifiedZeroRows(file: String): Boolean =
     zeroRowCache.computeIfAbsent(file, f => {
       try {
         val in = ParquetFileReader.open(HadoopInputFile.fromPath(

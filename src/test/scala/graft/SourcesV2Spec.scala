@@ -787,31 +787,37 @@ class SourcesV2Spec extends SparkSpec {
         else Option(t.getMessage).toSeq ++ messages(t.getCause)
       assert(messages(err).exists(_.contains("append-only")),
         s"expected the append-only refusal, got: $err")
-      // partitioned (col=value) tables are out of the streaming scope:
-      // their partition columns live in directories the flat streaming
-      // splits would silently drop — refuse, don't guess
+      // partitioned (col=value) tables STREAM since round 12: the
+      // connector writes partition values INTO the data files, so the
+      // flat streaming splits emit them correctly (per-file footer
+      // proof at admission; PartitionedStreamSpec holds the full story)
       val pTable = s"/tmp/graft_stream_src_part_$run"
       (0 until 6).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "part")
         .write.format("graft.sources.GraftParquetTableProvider")
         .option("path", pTable).option("partitionBy", "part")
         .mode("append").save()
-      val pErr = intercept[Exception] {
-        val q = spark.readStream
-          .format("graft.sources.GraftParquetTableProvider")
-          .option("path", pTable)
-          .schema(org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("part",
-              org.apache.spark.sql.types.StringType))))
-          .load()
-          .writeStream.option("checkpointLocation", pTable + "_ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (_: DataFrame, _: Long) => () }.start()
-        q.awaitTermination()
-      }
-      assert(messages(pErr).exists(_.contains("flat append tables only")),
-        s"expected the partitioned-table refusal, got: $pErr")
+      val pGot = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Long, String)]()
+      val pq = spark.readStream
+        .format("graft.sources.GraftParquetTableProvider")
+        .option("path", pTable)
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("part",
+            org.apache.spark.sql.types.StringType))))
+        .load()
+        .writeStream.option("checkpointLocation", pTable + "_ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            pGot.add((r.getLong(0), r.getString(1)))); ()
+        }.start()
+      pq.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      assert(pGot.asScala.toSet ==
+        (0 until 6).map(i => (i.toLong, s"p${i % 2}")).toSet,
+        s"partitioned stream must emit exact partition values, got $pGot")
       val pfs = new org.apache.hadoop.fs.Path(pTable)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       pfs.delete(new org.apache.hadoop.fs.Path(pTable), true)

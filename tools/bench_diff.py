@@ -30,12 +30,26 @@ def load_runs(path, sf_filter):
             d = r["detail"]
             if sf_filter and sf_filter not in str(d.get("sf", "")):
                 continue
+            # sweep-only per-query mins: the first `runs` entries of the
+            # raw times array are the full-sweep timings; anything after
+            # them is an isolated warm renoise re-timing a full run can
+            # never match (the same rule Bench.scala's historyBest uses)
+            n_runs = max(1, int(d.get("runs", 3)))
+            raw = d.get("times") or {}
+            if raw:
+                queries = {}
+                for q, ts in raw.items():
+                    sweep = [t for t in ts[:n_runs] if t and t > 0]
+                    if sweep:
+                        queries[q] = min(sweep)
+            else:
+                queries = d.get("queries", {})
             runs.append({
                 "at": r["at"],
                 "sf": d.get("sf"),
                 "load": d.get("load", r.get("load")),
                 "total": d.get("value"),
-                "queries": d.get("queries", {}),
+                "queries": queries,
             })
     return runs
 
@@ -53,8 +67,27 @@ def main():
         print(f"need >=2 runs at sf~'{args.sf}' to diff; have {len(runs)}")
         return 0
 
-    latest = runs[-1]
-    priors = runs[:-1]
+    # anchor on the last FULL-catalog run: an ONLY-filtered diagnostic
+    # line (or a torn partial run) must not masquerade as "the latest"
+    full_size = max(len(r["queries"]) for r in runs)
+    latest = [r for r in runs if len(r["queries"]) >= full_size * 8 // 10][-1]
+    priors = runs[:runs.index(latest)]
+    if not priors:
+        print("no priors before the latest full run; nothing to diff")
+        return 0
+    # ERA GATE (mirrors Bench.scala): only priors whose catalog size is
+    # comparable to the latest's (>= 80%) are a fair reference — a best
+    # taken when the sweep held 120 queries ran under far less CPU
+    # contention than a 190-query sweep ever will
+    era_floor = len(latest["queries"]) * 8 // 10
+    dropped = [r for r in priors if len(r["queries"]) < era_floor]
+    priors = [r for r in priors if len(r["queries"]) >= era_floor]
+    if dropped:
+        print(f"era gate: {len(dropped)} prior run(s) below "
+              f"{era_floor} queries excluded from the reference set")
+    if not priors:
+        print("no comparable-era priors; nothing to diff")
+        return 0
     if args.baseline_at:
         priors = [r for r in runs if r["at"].startswith(args.baseline_at)]
         if not priors:
