@@ -945,8 +945,62 @@ object StreamingQueries {
     },
     Some(graft.TextQueries.classifierOracle(StreamQcWeightsPath)))
 
+  /** PARTITIONED table as a STREAMING SOURCE, under the hash gate
+    * (round 12): a `o_orderstatus=…` graft table streams through the
+    * connector source with `maxFilesPerTrigger = 1` (one micro-batch
+    * per partition file — the per-file footer-proof admission path runs
+    * for every one), lands in a memory sink, and is aggregated BY THE
+    * PARTITION COLUMN — values the flat splits could only have carried
+    * from inside the data files (the Iceberg write convention). The
+    * oracle recomputes the aggregate straight from `orders`; a dropped
+    * partition file, a null-filled partition value, or a double-
+    * admitted batch breaks the hash. */
+  val qStreamPartitionedSource = QueryDef("q_stream_partitioned_source",
+    (spark, dir) => {
+      val fmt = "graft.sources.GraftParquetTableProvider"
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      val run = java.util.UUID.randomUUID().toString.replace("-", "")
+      val tmp = sys.props("java.io.tmpdir")
+      val table = s"$tmp/graft_stream_part_$run"
+      val ckpt = s"$tmp/graft_stream_part_ckpt_$run"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+      orders.coalesce(1).write.format(fmt).option("path", table)
+        .option("partitionBy", "o_orderstatus").mode("append").save()
+      try {
+        val q = spark.readStream.format(fmt).option("path", table)
+          .option("maxFilesPerTrigger", 1)
+          .schema(orders.schema).load()
+          .writeStream.format("memory").queryName(s"part_src_$run")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(s"part_src_$run")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_price"),
+            min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .orderBy("o_orderstatus")
+      } finally {
+        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(table))
+      }
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_price,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM orders WHERE o_orderkey % 4 = 0
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qStreamTumbling, qStreamLate, qStreamSessions, qStreamNearDup,
       qStreamSink, qStreamJoin, qStreamEnrich, qStreamPipe, qStreamMoments,
-      qStreamQuality)
+      qStreamQuality, qStreamPartitionedSource)
 }
