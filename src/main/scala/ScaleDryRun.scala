@@ -317,6 +317,41 @@ object ScaleDryRun {
       }
     }
 
+    // INCREMENTAL RE-CLUSTERING cost ∝ tail: cluster the corpus once,
+    // append a ~5% tail, and price recluster (tail-only) against a full
+    // clustered re-compaction of the same table — the claim is that the
+    // ratio tracks the tail fraction, not the table.
+    if (wanted("recluster_cost")) {
+      val fmt = "graft.sources.GraftParquetTableProvider"
+      val table = s"${sys.props("java.io.tmpdir")}/graft_dry_recluster_" +
+        java.util.UUID.randomUUID().toString
+      val hp = new org.apache.hadoop.fs.Path(table)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .deleteOnExit(hp)
+      val base = docs.select("doc_id", "lang", "n_chars", "text")
+      base.write.format(fmt).option("path", table)
+        .mode("append").save()
+      graft.sources.GraftMaintenance.compact(spark, table,
+        targetFileBytes = graft.sources.GraftParquetV2
+          .totalFileBytes(table) / 8, clusterBy = Seq("doc_id"))
+      import org.apache.spark.sql.functions.col
+      val nRows = base.count()
+      base.limit((nRows / 20).toInt.max(1)) // ~5% tail
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .coalesce(1).write.format(fmt).option("path", table)
+        .mode("append").save()
+      section(s"recluster_cost dir=$dir phase=tail_only") {
+        val (v, n) = graft.sources.GraftMaintenance.recluster(spark, table)
+        s"version=$v tail_files=$n"
+      }
+      section(s"recluster_cost dir=$dir phase=full_recompact") {
+        val v = graft.sources.GraftMaintenance.compact(spark, table,
+          targetFileBytes = graft.sources.GraftParquetV2
+            .totalFileBytes(table) / 8, clusterBy = Seq("doc_id"))
+        s"version=$v"
+      }
+    }
+
     spark.stop()
   }
 }

@@ -489,13 +489,32 @@ object GraftParquetWrite {
     * `spark.hadoop.*` settings — S3 credentials, custom filesystems —
     * reach the table-format sidecar reads), falling back to a bare
     * `Configuration` when no session is live (spec helpers, tools).
-    * Executor-side code keeps constructing its own — the task context
-    * carries the job conf there. */
+    * CACHED per session: `newHadoopConf()` copies ~a thousand entries,
+    * and the table format calls this dozens of times per query
+    * planning — uncached it was a measurable fixed cost on sub-second
+    * queries. The cached conf is shared and treated READ-ONLY by every
+    * caller (readers, filesystem lookups, GraftSerConf capture);
+    * `spark.hadoop.*` values set at runtime AFTER a session's first
+    * table-format use need a new session to take effect — the same
+    * builder-time contract Hadoop confs have across Spark's own file
+    * sources. Executor-side code receives the shipped [[GraftSerConf]]
+    * instead — the task context carries no active session. */
+  private val sessionConfCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession, Configuration]()
+
   def sessionConf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      case Some(s) => sessionConfCache.synchronized {
+        var c = sessionConfCache.get(s)
+        if (c == null) {
+          c = s.sessionState.newHadoopConf()
+          sessionConfCache.put(s, c)
+        }
+        c
+      }
+      case None => new Configuration()
+    }
 
   /** Loud plan-time validation of a partition-column list against the
     * write schema: the column must exist, and its type must have an
