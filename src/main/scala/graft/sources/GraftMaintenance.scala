@@ -898,6 +898,8 @@ object GraftMaintenance {
         reap(st.getPath, "manifest_tmp")
       else if (n.startsWith("_tmp_"))
         reap(st.getPath, "sidecar_tmp")
+      else if (n.startsWith("_rewrite-")) // crashed rewriteCommit scratch
+        reap(st.getPath, "rewrite_tmp")
     }
     val bloomDir = new Path(root, GraftBloom.BloomDir)
     if (fs.exists(bloomDir)) fs.listStatus(bloomDir).foreach { st =>

@@ -47,6 +47,7 @@ class OrphanFilesSpec extends SparkSpec {
     touch("_tmp_bloom_spec-dead")
     touch("_tmp_constraints-dead")
     touch(s"${GraftBloom.BloomDir}/_tmp-dead.bloom")
+    touch("_rewrite-dead/part-00000-dead.parquet") // crashed rewriteCommit
   }
 
   test("aged debris reclaims; data, sidecars, log, archive untouched") {
@@ -61,8 +62,8 @@ class OrphanFilesSpec extends SparkSpec {
     Thread.sleep(20) // mtimes strictly before the zero-hour horizon
     val reclaimed = GraftMaintenance.removeOrphans(p, olderThanHours = 0.0)
     assert(reclaimed.map(_._1).sorted ==
-      Seq("bloom_tmp", "manifest_tmp", "sidecar_tmp", "sidecar_tmp",
-        "staging"),
+      Seq("bloom_tmp", "manifest_tmp", "rewrite_tmp", "sidecar_tmp",
+        "sidecar_tmp", "staging"),
       s"got $reclaimed")
     assert(reclaimed.forall(_._3 > 0L), "reclaimed bytes reported")
     val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -91,7 +92,7 @@ class OrphanFilesSpec extends SparkSpec {
     assert(fs.exists(new Path(p, "_staging-dead-write")))
     // and a later aged pass reclaims it
     Thread.sleep(20)
-    assert(GraftMaintenance.removeOrphans(p, 0.0).size == 5)
+    assert(GraftMaintenance.removeOrphans(p, 0.0).size == 6)
   }
 
   test("CALL system.remove_orphan_files end to end") {
@@ -101,9 +102,10 @@ class OrphanFilesSpec extends SparkSpec {
     Thread.sleep(20)
     val rows = spark.sql(s"CALL $cat.system.remove_orphan_files(" +
       "table => 'corp.o3', older_than_hours => 0.0D)").collect()
-    assert(rows.length == 5)
+    assert(rows.length == 6)
     assert(rows.map(_.getString(0)).toSet ==
-      Set("staging", "manifest_tmp", "sidecar_tmp", "bloom_tmp"))
+      Set("staging", "manifest_tmp", "sidecar_tmp", "bloom_tmp",
+        "rewrite_tmp"))
     assert(rows.forall(_.getLong(2) > 0L))
     // a clean table returns zero rows
     assert(spark.sql(s"CALL $cat.system.remove_orphan_files(" +
