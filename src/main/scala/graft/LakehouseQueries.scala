@@ -1546,6 +1546,28 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (0, 1, 2)")))
 
+  /** PARTITIONS metadata relation (`SELECT … FROM t.partitions`,
+    * [[graft.sources.GraftMetadataTables]]): the per-partition-value
+    * rollup an operator sizes maintenance with — one coalesced write
+    * per status gives exactly one file per partition, so file counts
+    * AND row counts are oracle-derivable straight from `orders`. */
+  val qSqlMetadataPartitions = QueryDef("q_sql_metadata_partitions",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).coalesce(1).write.format(fmt)
+        .option("path", path).option("partitionBy", "o_orderstatus")
+        .mode("append").save()
+      spark.sql(
+        s"""SELECT partition, CAST(files AS INT) AS files, row_count
+           |FROM $cat.sf.$tbl.partitions ORDER BY partition""".stripMargin)
+    },
+    Some("""SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+           |       CAST(1 AS INT) AS files,
+           |       count(*) AS row_count
+           |FROM orders WHERE o_orderkey % 4 = 0
+           |GROUP BY o_orderstatus ORDER BY partition""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
@@ -1555,5 +1577,5 @@ object LakehouseQueries {
       qStreamCatalogTable, qSqlRollback, qSqlTagTravel, qBloomPointLookup,
       qSqlAnalyze, qClusteredWindow, qSqlConstraints, qSqlMetadataTables,
       qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry,
-      qSpjColocatedJoin, qSqlRecluster)
+      qSpjColocatedJoin, qSqlRecluster, qSqlMetadataPartitions)
 }

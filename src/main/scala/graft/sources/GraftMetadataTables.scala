@@ -19,6 +19,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   SELECT name, version FROM cat.ns.t.tags
   *   SELECT name, expression FROM cat.ns.t.constraints
   *   SELECT dv_file, referenced_files, positions FROM cat.ns.t.deletes
+  *   SELECT partition, files, row_count FROM cat.ns.t.partitions
   * }}}
   *
   * Resolution: `cat.ns.t.history` parses as namespace [ns, t] + name
@@ -33,7 +34,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object GraftMetadataTables {
 
   val names: Set[String] =
-    Set("history", "files", "tags", "constraints", "deletes")
+    Set("history", "files", "tags", "constraints", "deletes",
+      "partitions")
 
   def table(parentPath: String, kind: String): Table =
     new GraftMetaTable(parentPath, kind)
@@ -67,6 +69,15 @@ private final class GraftMetaTable(path: String, kind: String)
       StructField("dv_file", StringType, nullable = false),
       StructField("referenced_files", IntegerType, nullable = false),
       StructField("positions", LongType, nullable = false)))
+    // per PARTITION VALUE rollup (the Iceberg partitions table):
+    // `partition` is the file's col=value/... relative directory ("" for
+    // flat files); row_count nulls when any file lacks manifest stats
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = true),
+      StructField("dv_positions", LongType, nullable = false)))
     case other => throw new IllegalStateException(
       s"unreachable metadata table kind $other")
   }
@@ -116,6 +127,41 @@ private final class GraftMetaScan(path: String, kind: String,
       GraftConstraints.read(path).sortBy(_._1).map { case (n, e) =>
         Array[Any](UTF8String.fromString(n), UTF8String.fromString(e))
       }.toArray
+    case "partitions" =>
+      val rowCounts: Map[String, Long] = GraftParquetWrite
+        .rawManifestEntries(path)
+        .groupBy(_.file).map { case (f, es) =>
+          f -> es.map(_.valueCount).max
+        }
+      val dv = GraftDeletes.livePositions(path)
+      val stats = try GraftParquetV2.listFileStatuses(path) catch {
+        case _: java.io.FileNotFoundException => Nil
+      }
+      stats
+        // zero-row schema carriers are DDL metadata, not a partition
+        .filterNot(st =>
+          st.getPath.getName.endsWith("-schema.parquet") &&
+            GraftParquetV2.verifiedZeroRows(st.getPath.toString))
+        .map { st =>
+          val dirSpec = GraftParquetV2
+            .partitionSpec(path, st.getPath.toString)
+            .map { case (c, v) => s"$c=$v" }.mkString("/")
+          (dirSpec, st)
+        }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (part, sts) =>
+          val bases = sts.map(_._2.getPath.getName)
+          val counts = bases.map(rowCounts.get)
+          val rows =
+            if (counts.forall(_.isDefined)) {
+              val deleted = bases
+                .flatMap(b => dv.get(b).map(_.cardinality)).sum
+              Long.box(counts.flatten.sum - deleted)
+            } else null
+          Array[Any](UTF8String.fromString(part), sts.size,
+            sts.map(_._2.getLen).sum, rows,
+            bases.flatMap(b => dv.get(b).map(_.cardinality)).sum)
+        }.toArray
     case "deletes" =>
       GraftDeletes.liveDvFiles(path).map { f =>
         val refs = collection.mutable.Set.empty[String]

@@ -79,6 +79,39 @@ class MetadataTablesSpec extends SparkSpec {
     assert(head.getLong(0) == docs.count() - 3)
   }
 
+  test("t.partitions: per-value rollup; DVs shrink row_count; flat files group under ''") {
+    val p = s"$warehouse/corp/m4"
+    // one flat file + a partitioned generation
+    docs.limit(10).coalesce(1).write.format(fmt).option("path", p)
+      .mode("append").save()
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 10)
+      .limit(30).coalesce(1).write.format(fmt).option("path", p)
+      .option("partitionBy", "lang").mode("append").save()
+    val rows = spark.sql(s"SELECT partition, files, bytes, row_count, " +
+      s"dv_positions FROM $cat.corp.m4.partitions ORDER BY partition")
+      .collect()
+    val byPart = rows.map(r => r.getString(0) ->
+      (r.getInt(1), r.getLong(3), r.getLong(4))).toMap
+    assert(byPart.contains(""), "flat files group under ''")
+    assert(byPart("")._2 == 10L)
+    val langs = docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") >= 10).limit(30)
+      .groupBy("lang").count().collect()
+      .map(r => s"lang=${r.getString(0)}" -> r.getLong(1)).toMap
+    langs.foreach { case (part, n) =>
+      assert(byPart.get(part).exists(_._2 == n),
+        s"$part expected $n rows, got ${byPart.get(part)}")
+    }
+    assert(rows.forall(_.getLong(2) > 0L), "bytes reported")
+    // a MOR delete in the flat file shrinks ITS partition's row_count
+    spark.conf.set(GraftParquetTable.ModeConf, "merge-on-read")
+    try spark.sql(s"DELETE FROM $cat.corp.m4 WHERE doc_id = 1")
+    finally spark.conf.set(GraftParquetTable.ModeConf, "copy-on-write")
+    val after = spark.sql(s"SELECT row_count, dv_positions FROM " +
+      s"$cat.corp.m4.partitions WHERE partition = ''").head()
+    assert(after.getLong(0) == 9L && after.getLong(1) == 1L)
+  }
+
   test("a REAL table named 'history' wins over the metadata table") {
     val p = s"$warehouse/corp/m3"
     docs.limit(5).coalesce(1).write.format(fmt).option("path", p)
