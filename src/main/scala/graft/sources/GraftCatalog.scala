@@ -758,13 +758,17 @@ class GraftCatalog extends TableCatalog
         Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("older_than_hours", DoubleType)
-            .defaultValue("24.0").build()),
+            .defaultValue("24.0").build(),
+          // dry_run => true reports without deleting (look first)
+          ProcedureParameter.in("dry_run", BooleanType)
+            .defaultValue("false").build()),
         StructType(Seq(StructField("kind", StringType),
           StructField("name", StringType),
           StructField("bytes", LongType))),
         { in =>
           val p = tablePath(in.getString(0))
-          GraftMaintenance.removeOrphans(p, in.getDouble(1)).map {
+          GraftMaintenance.removeOrphans(p, in.getDouble(1),
+            in.getBoolean(2)).map {
             case (k, n, b) =>
               new GenericInternalRow(Array[Any](UTF8String.fromString(k),
                 UTF8String.fromString(n), b))

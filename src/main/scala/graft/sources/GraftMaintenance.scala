@@ -865,9 +865,12 @@ object GraftMaintenance {
     * live sidecars (stats/bloom/spec/constraints), epoch markers (the
     * streaming sink's replay ledger — tiny, and deleting one would
     * re-append its epoch on recovery), and of course data files.
-    * Returns (kind, name, bytes) per reclaimed entry. */
-  def removeOrphans(table: String, olderThanHours: Double = 24.0)
-      : Seq[(String, String, Long)] = {
+    * Returns (kind, name, bytes) per reclaimed entry. `dryRun = true`
+    * REPORTS the same rows without deleting anything — the look-first
+    * mode an operator runs before the first reclamation on a table
+    * whose writers they don't fully know. */
+  def removeOrphans(table: String, olderThanHours: Double = 24.0,
+      dryRun: Boolean = false): Seq[(String, String, Long)] = {
     require(olderThanHours >= 0,
       s"graft remove_orphans: olderThanHours must be >= 0, got " +
         olderThanHours)
@@ -886,7 +889,7 @@ object GraftMaintenance {
     def reap(p: Path, kind: String): Unit =
       if (newestMtime(p) < horizonMs) {
         val bytes = fs.getContentSummary(p).getLength
-        require(fs.delete(p, true),
+        if (!dryRun) require(fs.delete(p, true),
           s"graft remove_orphans: delete failed for $p")
         out += ((kind, p.getName, bytes))
       }

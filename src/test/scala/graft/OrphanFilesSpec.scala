@@ -100,6 +100,13 @@ class OrphanFilesSpec extends SparkSpec {
     mkTable("o3")
     plantDebris(s"$warehouse/corp/o3")
     Thread.sleep(20)
+    // dry_run reports the same rows and deletes NOTHING
+    val dry = spark.sql(s"CALL $cat.system.remove_orphan_files(" +
+      "table => 'corp.o3', older_than_hours => 0.0D, " +
+      "dry_run => true)").collect()
+    assert(dry.length == 6)
+    assert(new java.io.File(s"$warehouse/corp/o3/_staging-dead-write")
+      .exists(), "dry_run must not delete")
     val rows = spark.sql(s"CALL $cat.system.remove_orphan_files(" +
       "table => 'corp.o3', older_than_hours => 0.0D)").collect()
     assert(rows.length == 6)
