@@ -148,8 +148,12 @@ object Bench {
               // sf0.1 timing as "slow" and renoise the whole catalog
               val lineSize = detail.path("times").size().max(
                 detail.path("queries").size())
+              // gate against the FULL catalog size, not the possibly
+              // SPARK_GRAFT_BENCH_ONLY-filtered allTimes: a 3-query
+              // diagnostic run must not re-admit every old-era line
+              // (the phantom-best drift this gate exists to exclude)
               if (detail.path("sf").asText("") == sfDir &&
-                  lineSize >= (allTimes.size * 8) / 10) {
+                  lineSize >= (SparkEntry.queries.size * 8) / 10) {
                 val lineRuns = detail.path("runs").asInt(3).max(1)
                 val raw = detail.path("times")
                 def fold(name: String, v: Double): Unit =

@@ -899,13 +899,30 @@ object GraftCatalog {
     val fs = f.getFileSystem(conf)
     if (cols.isEmpty) fs.delete(f, false)
     else {
+      val bytes = cols.mkString(",").getBytes("UTF-8")
       val tmp = new Path(p,
         s"_tmp_partspec-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
-      try out.write(cols.mkString(",").getBytes("UTF-8"))
+      try out.write(bytes)
       finally out.close()
-      fs.delete(f, false)
-      require(fs.rename(tmp, f),
+      // Swap order matters: the OLD spec is only removed once the new
+      // one is durably staged, and a failed rename falls back to a
+      // direct overwrite-create so the table is never left spec-less
+      // (delete-then-require(rename) could strand it unpartitioned).
+      var done = fs.rename(tmp, f) // succeeds where rename-over works
+      var attempts = 0
+      while (!done && attempts < 3) {
+        fs.delete(f, false)
+        done = fs.rename(tmp, f)
+        attempts += 1
+      }
+      if (!done) { // last resort: write the spec in place
+        val o2 = fs.create(f, true)
+        try o2.write(bytes)
+        finally o2.close()
+        fs.delete(tmp, false)
+      }
+      require(fs.exists(f),
         s"graft set_partition_spec: could not persist at $f")
     }
     invalidatePartSpec(p)

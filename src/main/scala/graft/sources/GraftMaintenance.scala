@@ -879,19 +879,34 @@ object GraftMaintenance {
     if (!fs.exists(root)) return Nil
     val horizonMs = System.currentTimeMillis() -
       (olderThanHours * 3600 * 1000).toLong
-    def newestMtime(p: Path): Long = {
-      val st = fs.getFileStatus(p)
-      if (!st.isDirectory) st.getModificationTime
-      else (st.getModificationTime +: fs.listStatus(p).toSeq
-        .map(s => newestMtime(s.getPath))).max
-    }
+    // An entry can vanish between listing and inspection — a concurrent
+    // remove_orphans on the same table, or an aborting writer cleaning
+    // its own staging. "Already gone" is SUCCESS for a reclamation, not
+    // failure: skip the entry, never abort the whole procedure.
+    def newestMtime(p: Path): Option[Long] =
+      try {
+        val st = fs.getFileStatus(p)
+        if (!st.isDirectory) Some(st.getModificationTime)
+        else {
+          val kids = fs.listStatus(p).toSeq.flatMap(s =>
+            newestMtime(s.getPath))
+          Some((st.getModificationTime +: kids).max)
+        }
+      } catch {
+        case _: java.io.FileNotFoundException => None
+      }
     val out = collection.mutable.Buffer.empty[(String, String, Long)]
     def reap(p: Path, kind: String): Unit =
-      if (newestMtime(p) < horizonMs) {
-        val bytes = fs.getContentSummary(p).getLength
-        if (!dryRun) require(fs.delete(p, true),
-          s"graft remove_orphans: delete failed for $p")
-        out += ((kind, p.getName, bytes))
+      if (newestMtime(p).exists(_ < horizonMs)) {
+        try {
+          val bytes = fs.getContentSummary(p).getLength
+          // delete-returning-false = path no longer exists (HDFS/local
+          // contract): a concurrent reaper won the race — count nothing
+          if (dryRun || fs.delete(p, true))
+            out += ((kind, p.getName, bytes))
+        } catch {
+          case _: java.io.FileNotFoundException => () // lost the race
+        }
       }
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName

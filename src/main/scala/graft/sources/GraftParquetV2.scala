@@ -2006,15 +2006,30 @@ object GraftParquetV2 {
   private val zeroRowCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private[sources] def verifiedZeroRows(file: String): Boolean =
-    zeroRowCache.computeIfAbsent(file, f => {
+  private[sources] def verifiedZeroRows(file: String): Boolean = {
+    val cached = zeroRowCache.get(file)
+    if (cached != null) cached.booleanValue()
+    else {
+      // cache only SUCCESSFUL footer reads: a transient IO error must
+      // not permanently demote the table to 'mixed' layout (losing
+      // KeyGroupedPartitioning/ordering claims for the JVM lifetime) —
+      // answer false for THIS planning pass, loudly, and re-probe next
       try {
         val in = ParquetFileReader.open(HadoopInputFile.fromPath(
-          new Path(f), GraftParquetWrite.sessionConf()))
-        try java.lang.Boolean.valueOf(in.getRecordCount == 0L)
-        finally in.close()
-      } catch { case _: Exception => java.lang.Boolean.FALSE }
-    })
+          new Path(file), GraftParquetWrite.sessionConf()))
+        val zero = try in.getRecordCount == 0L finally in.close()
+        zeroRowCache.put(file, java.lang.Boolean.valueOf(zero))
+        zero
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft] schema-carrier probe failed for $file " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}) - " +
+              "treating as non-empty for this plan only (not cached)")
+          false
+      }
+    }
+  }
 
   /** Sidecar directory name for the write-time per-file zone-map
     * manifest ([[Sinks.parquetWithStats]]); the leading underscore

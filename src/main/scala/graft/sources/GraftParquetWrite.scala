@@ -498,7 +498,16 @@ object GraftParquetWrite {
     * table-format use need a new session to take effect — the same
     * builder-time contract Hadoop confs have across Spark's own file
     * sources. Executor-side code receives the shipped [[GraftSerConf]]
-    * instead — the task context carries no active session. */
+    * instead — the task context carries no active session.
+    *
+    * Writer-construction safety: `ExampleParquetWriter.build()` calls
+    * `GroupWriteSupport.setSchema(conf)`, but on parquet 1.16 that conf
+    * is the builder's OWN fresh `HadoopParquetConfiguration` (allocated
+    * in `ParquetWriter.Builder.build()` when `withConf` is unset; the
+    * conf inside `HadoopOutputFile` is used for filesystem access only)
+    * — so metadata-writer construction never writes through to this
+    * shared instance. Pinned by [[graft.SessionConfIsolationSpec]]
+    * against parquet upgrades. */
   private val sessionConfCache = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession, Configuration]()
 
