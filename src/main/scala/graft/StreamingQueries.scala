@@ -999,8 +999,130 @@ object StreamingQueries {
            |FROM orders WHERE o_orderkey % 4 = 0
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** STREAMING CDC APPLY under the hash gate ([[graft.streaming.CdcApply]])
+    * — the canonical lakehouse ingestion pattern and the scale-safe
+    * replacement for driver-map result drains: a keyed update stream
+    * (op ∈ I/U/D, absolute values, a seq ordinal) arrives as three
+    * pinned micro-batches and is MERGE'd into a graft catalog table
+    * once per batch, each application claiming an epoch marker.
+    *
+    * The three batches exercise the full op surface IN ORDER (order is
+    * load-bearing — b3 updates rows b2 inserted, and deletes rows b1
+    * updated): b1 updates every 8th seeded key (price ×2), b2 inserts
+    * the disjoint slice-1 keys, b3 deletes every 16th seeded key AND
+    * updates every 8th slice-1 key (price ×3). b3 also carries TWO CDC
+    * rows for each deleted key (a stale update at seq 3, the delete at
+    * seq 4) so last-writer-wins compaction is on the hook, not just
+    * the merge. After the drain, the LAST batch is re-applied verbatim
+    * (the restart-replay simulation): the epoch marker must make it a
+    * no-op — require-asserted on both the skip and the table version
+    * count. The merged head must equal the oracle's CASE-rewritten
+    * union; a lost epoch, double-applied insert, resurrected delete,
+    * or wrong-order LWW pick breaks the hash. */
+  val qStreamCdcApply = QueryDef("q_stream_cdc_apply",
+    (spark, dir) => {
+      val fmt = "graft.sources.GraftParquetTableProvider"
+      val cat = "graft_lake"
+      val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+      val run = java.util.UUID.randomUUID().toString.replace("-", "")
+      val tbl = s"t_cdc_$run"
+      val path = s"$warehouse/sf/$tbl"
+      val tmp = sys.props("java.io.tmpdir")
+      val cdcDir = s"$tmp/graft_cdc_in_$run"
+      val ckpt = s"$tmp/graft_cdc_ckpt_$run"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      def slice(k: Int) =
+        orders.filter(pmod(col("o_orderkey"), lit(4)) === k)
+      def cdc(df: DataFrame, op: String, seq: Int): DataFrame =
+        df.withColumn("op", lit(op)).withColumn("seq", lit(seq.toLong))
+      val b1 = cdc(slice(0).filter(pmod(col("o_orderkey"), lit(8)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), "U", 1)
+      val b2 = cdc(slice(1), "I", 2)
+      val b3 = cdc(slice(0).filter(pmod(col("o_orderkey"), lit(16)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 9), "U", 3)
+        .unionByName(cdc(
+          slice(0).filter(pmod(col("o_orderkey"), lit(16)) === 0), "D", 4))
+        .unionByName(cdc(
+          slice(1).filter(pmod(col("o_orderkey"), lit(8)) === 1)
+            .withColumn("o_totalprice", col("o_totalprice") * 3), "U", 5))
+      def stage(name: String, df: DataFrame, mtimeMs: Long): Unit = {
+        val scratch = new org.apache.hadoop.fs.Path(s"$cdcDir/_st_$name")
+        df.coalesce(1).write.parquet(scratch.toString)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$scratch/part-*.parquet"))(0).getPath
+        val dest = new org.apache.hadoop.fs.Path(s"$cdcDir/$name.parquet")
+        require(fs.rename(part, dest), s"cdc stage rename failed: $name")
+        fs.delete(scratch, true)
+        fs.setTimes(dest, mtimeMs, -1)
+      }
+      try {
+        slice(0).coalesce(2).write.format(fmt).option("path", path)
+          .mode("append").save()
+        stage("b1", b1, 1000000L)
+        stage("b2", b2, 2000000L)
+        stage("b3", b3, 3000000L)
+        val src = spark.readStream.schema(b1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(cdcDir)
+        val q = graft.streaming.CdcApply.sink(spark, src,
+            s"$cat.sf.$tbl", path, s"cdc_$run", "o_orderkey", "op",
+            "seq", Seq("o_orderstatus", "o_totalprice"))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // RESTART-REPLAY: redeliver the last epoch verbatim (what a
+        // recovery does when the foreachBatch commit wasn't yet
+        // checkpointed) — the marker must make it a metadata no-op
+        val versionsBefore =
+          graft.sources.GraftTableLog.versions(path).size
+        val replayed = graft.streaming.CdcApply.applyBatch(spark,
+          s"$cat.sf.$tbl", path,
+          spark.read.parquet(s"$cdcDir/b3.parquet"), s"cdc_$run", 2L,
+          "o_orderkey", "op", "seq", Seq("o_orderstatus", "o_totalprice"))
+        require(!replayed,
+          "cdc apply: epoch marker failed to dedupe a replayed batch")
+        require(graft.sources.GraftTableLog.versions(path).size
+            == versionsBefore,
+          "cdc apply: replayed batch churned a table version")
+        spark.read.format(fmt).option("path", path).load()
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_price"),
+            min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .orderBy("o_orderstatus")
+      } finally {
+        fs.delete(new org.apache.hadoop.fs.Path(cdcDir), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(path))
+      }
+    },
+    Some("""WITH merged AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |         CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2
+           |              ELSE o_totalprice END AS o_totalprice
+           |  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 16 <> 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_orderstatus,
+           |         CASE WHEN o_orderkey % 8 = 1 THEN o_totalprice * 3
+           |              ELSE o_totalprice END AS o_totalprice
+           |  FROM orders WHERE o_orderkey % 4 = 1
+           |)
+           |SELECT o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_price,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM merged
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qStreamTumbling, qStreamLate, qStreamSessions, qStreamNearDup,
       qStreamSink, qStreamJoin, qStreamEnrich, qStreamPipe, qStreamMoments,
-      qStreamQuality, qStreamPartitionedSource)
+      qStreamQuality, qStreamPartitionedSource, qStreamCdcApply)
 }
