@@ -32,6 +32,22 @@ object AnalyzeCostDryRun {
         f"analyze_s=${timings.min}%.2f sidecar_bytes=$sidecarBytes " +
         s"ndv_orderkey=${ts.cols("l_orderkey").ndv} " +
         s"ndv_linestatus=${ts.cols("l_linestatus").ndv}")
+      // round-13: histogram mode — prices the opt-in second pass (bin
+      // bounds piggyback pass 1; pass 2 is one conditional-NDV agg)
+      val hTimings = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        GraftAnalyze.analyze(spark, t,
+          Seq("l_orderkey", "l_partkey", "l_quantity"), 32)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val hts = GraftAnalyze.read(t).get
+      val hBytes = new java.io.File(t, GraftAnalyze.StatsFile).length()
+      println(f"SCALEROW sf=$sf HIST cols=3 bins=32 " +
+        f"analyze_s=${hTimings.min}%.2f sidecar_bytes=$hBytes " +
+        s"orderkey_range_bins=${
+          hts.hists("l_orderkey").bins.count(b => b.hi > b.lo)} " +
+        s"quantity_point_bins=${
+          hts.hists("l_quantity").bins.count(b => b.hi == b.lo)}")
       val p = new org.apache.hadoop.fs.Path(t)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }

@@ -1165,7 +1165,8 @@ object LakehouseQueries {
       val out = spark.sql(s"CALL $cat.system.analyze(table => 'sf.$tbl')")
       val rows = out.collect()
       require(rows.forall(r => r.getLong(1) > 0 &&
-          r.getLong(1) <= (r.getLong(5) * 1.2).toLong + 1),
+          r.getLong(1) <=
+            (r.getLong(r.fieldIndex("row_count")) * 1.2).toLong + 1),
         "NDV must be positive and within HLL tolerance of the row count")
       out.select(col("column").as("col_name"), col("null_count"),
           col("avg_len"), col("max_len"), col("row_count"))

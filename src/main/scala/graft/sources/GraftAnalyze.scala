@@ -34,12 +34,25 @@ object GraftAnalyze {
 
   /** One column's persisted stats; avg/max length only for
     * string/binary (other types have fixed widths the planner already
-    * knows). */
+    * knows); min/max (double space) only for numeric columns — they
+    * feed catalyst's value-interval checks, without which join
+    * estimation can't even prove two key ranges intersect. */
   final case class ColStat(ndv: Long, nullCount: Long,
-      avgLen: Option[Long], maxLen: Option[Long])
+      avgLen: Option[Long], maxLen: Option[Long],
+      min: Option[Double] = None, max: Option[Double] = None)
+
+  /** One equi-height histogram bin: value range + its distinct count.
+    * A skewed key produces runs of POINT bins (lo == hi == the hot
+    * value, ndv 1) — exactly what join estimation needs to price the
+    * hot key honestly. */
+  final case class HistBin(lo: Double, hi: Double, ndv: Long)
+
+  /** Equi-height histogram: every bin holds ~`height` rows. */
+  final case class ColHist(height: Double, bins: Seq[HistBin])
 
   final case class TableStats(rows: Long, version: Long,
-      cols: Map[String, ColStat])
+      cols: Map[String, ColStat],
+      hists: Map[String, ColHist] = Map.empty)
 
   // per-table cache (the readPartSpec convention): invalidated by
   // analyze() in this JVM; cross-JVM refresh at the next miss — stale
@@ -56,8 +69,29 @@ object GraftAnalyze {
     case _ => false
   }
 
-  /** Run the pass, persist the sidecar, return the stats. */
-  def analyze(spark: SparkSession, table: String): TableStats = {
+  /** Numeric types an equi-height histogram is computable over (bounds
+    * live in double space, Spark's own ANALYZE convention). */
+  private def histogramable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Run the pass, persist the sidecar, return the stats.
+    *
+    * `histogramCols` (opt-in, the Spark ANALYZE convention — histograms
+    * cost a second aggregate pass) adds per-column EQUI-HEIGHT
+    * histograms: pass 1 piggybacks `percentile_approx` (mergeable
+    * QuantileSummaries — one shuffle-free partial per task) for the
+    * `histogramBins + 1` bin bounds; pass 2 computes per-bin NDV with
+    * one conditional `approx_count_distinct` per RANGE bin in a single
+    * aggregate (POINT bins — lo == hi, the skewed-key shape — are ndv 1
+    * by construction and cost nothing). Join estimation then prices a
+    * hot key by its own bins instead of averaging it away into
+    * rows/NDV. */
+  def analyze(spark: SparkSession, table: String,
+      histogramCols: Seq[String] = Nil,
+      histogramBins: Int = 32): TableStats = {
     val df = spark.read.format("graft.sources.GraftParquetTableProvider")
       .option("path", table).load()
     val cols = df.schema.fields.filter(f => analyzable(f.dataType)).toSeq
@@ -71,11 +105,71 @@ object GraftAnalyze {
           case StringType | BinaryType =>
             Seq(avg(length(c)).as(s"al__${f.name}"),
               max(length(c)).as(s"ml__${f.name}"))
+          case dt if histogramable(dt) =>
+            Seq(min(c).cast(DoubleType).as(s"mn__${f.name}"),
+              max(c).cast(DoubleType).as(s"mx__${f.name}"))
           case _ => Nil
         })
     }
-    val row = df.agg(count(lit(1)).as("rows__"), aggs: _*).head()
+    require(histogramBins >= 2 && histogramBins <= 1024,
+      s"graft analyze: histogram_bins must be in [2, 1024], got " +
+        histogramBins)
+    val histCols = histogramCols.map { n =>
+      val f = df.schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft analyze: histogram column '$n' not in " +
+            df.schema.fieldNames.mkString("[", ", ", "]")))
+      require(histogramable(f.dataType),
+        s"graft analyze: histogram column '$n' has non-numeric type " +
+          s"${f.dataType.simpleString}")
+      f
+    }
+    val probs = (0 to histogramBins)
+      .map(_.toDouble / histogramBins).toArray
+    val histAggs = histCols.map { f =>
+      percentile_approx(col(f.name).cast(DoubleType),
+        lit(probs), lit(10000)).as(s"hb__${f.name}")
+    }
+    val row = df.agg(count(lit(1)).as("rows__"), aggs ++ histAggs: _*)
+      .head()
     val rows = row.getLong(row.fieldIndex("rows__"))
+    // pass 2 (histogram columns only): per-RANGE-bin NDV, one
+    // conditional sketch per bin, all in a single aggregate row
+    val hists: Map[String, ColHist] = if (histCols.isEmpty) Map.empty
+    else {
+      val bounds: Map[String, Array[Double]] = histCols.flatMap { f =>
+        val at = row.fieldIndex(s"hb__${f.name}")
+        if (row.isNullAt(at)) None // all-null column: no histogram
+        else Some(f.name -> row.getSeq[Double](at).toArray)
+      }.toMap
+      val ndvAggs = bounds.toSeq.sortBy(_._1).flatMap { case (n, bs) =>
+        val c = col(n).cast(DoubleType)
+        (0 until histogramBins).flatMap { i =>
+          val (lo, hi) = (bs(i), bs(i + 1))
+          if (lo >= hi) None // point bin: ndv 1 by construction
+          else Some(approx_count_distinct(
+            // bin 0 is closed [lo, hi]; every later bin (lo, hi] — lo
+            // is always covered by the bin (point or range) before it
+            when(if (i == 0) c >= lo && c <= hi
+                 else c > lo && c <= hi, c)).as(s"nv__${n}__$i"))
+        }
+      }
+      val ndvRow =
+        if (ndvAggs.isEmpty) null
+        else df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+      bounds.map { case (n, bs) =>
+        val nulls = rows -
+          row.getLong(row.fieldIndex(s"nn__$n"))
+        val height = (rows - nulls).toDouble / histogramBins
+        val bins = (0 until histogramBins).map { i =>
+          val (lo, hi) = (bs(i), bs(i + 1))
+          if (lo >= hi) HistBin(lo, lo.max(hi), 1L)
+          else HistBin(lo, hi, math.max(1L,
+            ndvRow.getLong(ndvRow.fieldIndex(s"nv__${n}__$i"))))
+        }
+        n -> ColHist(height, bins)
+      }
+    }
     val stats = cols.map { f =>
       val lens = f.dataType match {
         case StringType | BinaryType if rows > 0 =>
@@ -86,24 +180,42 @@ object GraftAnalyze {
             if (row.isNullAt(ml)) None else Some(row.getInt(ml).toLong))
         case _ => (None, None)
       }
+      val (mn, mx) = f.dataType match {
+        case dt if histogramable(dt) && rows > 0 =>
+          val a = row.fieldIndex(s"mn__${f.name}")
+          val b = row.fieldIndex(s"mx__${f.name}")
+          (if (row.isNullAt(a)) None else Some(row.getDouble(a)),
+            if (row.isNullAt(b)) None else Some(row.getDouble(b)))
+        case _ => (None, None)
+      }
       f.name -> ColStat(
         row.getLong(row.fieldIndex(s"ndv__${f.name}")),
         rows - row.getLong(row.fieldIndex(s"nn__${f.name}")),
-        lens._1, lens._2)
+        lens._1, lens._2, mn, mx)
     }
     val version = GraftTableLog.latestVersion(table).getOrElse(-1L)
-    val out = TableStats(rows, version, stats.toMap)
+    val out = TableStats(rows, version, stats.toMap, hists)
     val f = new Path(table, StatsFile)
     val fs = f.getFileSystem(conf)
     val tmp = new Path(table,
       s"_tmp_colstats-${java.util.UUID.randomUUID()}")
     val o = fs.create(tmp, true)
     try {
-      val body = (s"rows\t$rows\tversion\t$version" +:
-        stats.map { case (n, s) =>
+      // header carries ncols since histograms joined the format: the
+      // next `ncols` lines are column stats (5 fields), the rest are
+      // histogram lines (3 fields: name, height, lo:hi:ndv|…); a
+      // legacy 4-field header means every tail line is a column
+      val body = ((s"rows\t$rows\tversion\t$version" +
+          s"\tncols\t${stats.size}") +:
+        (stats.map { case (n, s) =>
           s"$n\t${s.ndv}\t${s.nullCount}\t${s.avgLen.getOrElse(-1L)}" +
-            s"\t${s.maxLen.getOrElse(-1L)}"
-        }).mkString("\n")
+            s"\t${s.maxLen.getOrElse(-1L)}" +
+            s"\t${s.min.map(_.toString).getOrElse("-")}" +
+            s"\t${s.max.map(_.toString).getOrElse("-")}"
+        } ++ hists.toSeq.sortBy(_._1).map { case (n, h) =>
+          s"$n\t${h.height}\t" + h.bins.map(b =>
+            s"${b.lo}:${b.hi}:${b.ndv}").mkString("|")
+        })).mkString("\n")
       o.write(body.getBytes("UTF-8"))
     } finally o.close()
     fs.delete(f, false)
@@ -123,13 +235,26 @@ object GraftAnalyze {
         val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
           .mkString.split('\n').toSeq finally in.close()
         val head = lines.head.split('\t')
-        val cols = lines.tail.filter(_.nonEmpty).map { l =>
+        val tail = lines.tail.filter(_.nonEmpty)
+        val ncols = // legacy 4-field header: every tail line is a column
+          if (head.length >= 6) head(5).toInt else tail.size
+        val cols = tail.take(ncols).map { l =>
           val p = l.split('\t')
           p(0) -> ColStat(p(1).toLong, p(2).toLong,
             Some(p(3).toLong).filter(_ >= 0),
-            Some(p(4).toLong).filter(_ >= 0))
+            Some(p(4).toLong).filter(_ >= 0),
+            if (p.length > 6 && p(5) != "-") Some(p(5).toDouble) else None,
+            if (p.length > 6 && p(6) != "-") Some(p(6).toDouble) else None)
         }
-        Some(TableStats(head(1).toLong, head(3).toLong, cols.toMap))
+        val hists = tail.drop(ncols).map { l =>
+          val p = l.split('\t')
+          p(0) -> ColHist(p(1).toDouble, p(2).split('|').toSeq.map { b =>
+            val q = b.split(':')
+            HistBin(q(0).toDouble, q(1).toDouble, q(2).toLong)
+          })
+        }
+        Some(TableStats(head(1).toLong, head(3).toLong, cols.toMap,
+          hists.toMap))
       }
     })
 }

@@ -665,22 +665,37 @@ class GraftCatalog extends TableCatalog
       // to the planner through DSv2 columnStats — CBO join estimation
       // sees real NDVs. Standard ANALYZE staleness semantics.
       case "analyze" => new GraftProcedure("analyze",
-        Array(ProcedureParameter.in("table", StringType).build()),
+        Array(ProcedureParameter.in("table", StringType).build(),
+          // comma-separated numeric columns to build EQUI-HEIGHT
+          // histograms for (opt-in — costs a second aggregate pass;
+          // the Spark ANALYZE ... FOR COLUMNS convention)
+          ProcedureParameter.in("histogram_columns", StringType)
+            .defaultValue("''").build(),
+          ProcedureParameter.in("histogram_bins", IntegerType)
+            .defaultValue("32").build()),
         StructType(Seq(StructField("column", StringType),
           StructField("ndv", LongType),
           StructField("null_count", LongType),
           StructField("avg_len", LongType),
           StructField("max_len", LongType),
+          StructField("histogram_bins", IntegerType),
           StructField("row_count", LongType),
           StructField("analyzed_version", LongType))),
         { in =>
           val p = tablePath(in.getString(0))
+          val hcols =
+            if (in.isNullAt(1)) Nil
+            else in.getString(1).split(',').map(_.trim)
+              .filter(_.nonEmpty).toSeq
           val ts = GraftAnalyze.analyze(
-            org.apache.spark.sql.SparkSession.active, p)
+            org.apache.spark.sql.SparkSession.active, p, hcols,
+            if (in.isNullAt(2)) 32 else in.getInt(2))
           ts.cols.toSeq.sortBy(_._1).map { case (n, s) =>
             new GenericInternalRow(Array[Any](UTF8String.fromString(n),
               s.ndv, s.nullCount, s.avgLen.getOrElse(-1L),
-              s.maxLen.getOrElse(-1L), ts.rows, ts.version))
+              s.maxLen.getOrElse(-1L),
+              ts.hists.get(n).map(_.bins.size).getOrElse(0),
+              ts.rows, ts.version))
           }
         })
       // CHECK CONSTRAINTS ([[GraftConstraints]]): add validates the

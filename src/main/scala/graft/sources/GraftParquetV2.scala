@@ -686,6 +686,20 @@ case class GraftParquetScan(path: String, required: StructType,
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(onDiskBytes)
+    /** Pushed `IsNotNull`s on columns ANALYZE proved null-free have
+      * selectivity EXACTLY 1 — a scan filtered only by those is
+      * unfiltered for statistics purposes. This matters because every
+      * equi-join pushes IsNotNull on its keys; without this, joining
+      * is precisely what turns the stats off. */
+    private def effectivelyUnfiltered: Boolean =
+      pushed.isEmpty || {
+        lazy val ts = GraftAnalyze.read(path)
+        travel.isEmpty && pushed.forall {
+          case org.apache.spark.sql.sources.IsNotNull(c) =>
+            ts.exists(_.cols.get(c).exists(_.nullCount == 0L))
+          case _ => false
+        }
+      }
     /** EXACT row count from metadata alone — per-file valueCounts out
       * of the (version-correct) stats manifest minus the target's DV
       * positions — reported only for UNFILTERED scans (a pushed
@@ -694,10 +708,11 @@ case class GraftParquetScan(path: String, required: StructType,
       * CBO estimates then start from truth instead of bytes/row
       * guesses. */
     override def numRows(): java.util.OptionalLong =
-      // a pushed conjunction's selectivity is unknowable here, and a
+      // a pushed conjunction's selectivity is unknowable here (except
+      // proven-no-op IsNotNulls, see effectivelyUnfiltered), and a
       // pushed AGGREGATE emits group rows, not table rows — both opt
       // out rather than overstate
-      if (pushed.nonEmpty || aggs.isDefined)
+      if (!effectivelyUnfiltered || aggs.isDefined)
         java.util.OptionalLong.empty()
       else try {
         val (files, stats, dv) = readTarget
@@ -734,7 +749,7 @@ case class GraftParquetScan(path: String, required: StructType,
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      if (travel.isEmpty && pushed.isEmpty && aggs.isEmpty) try {
+      if (travel.isEmpty && effectivelyUnfiltered && aggs.isEmpty) try {
         GraftAnalyze.read(path).foreach { ts =>
           required.fieldNames.foreach { n =>
             ts.cols.get(n).foreach { s =>
@@ -743,6 +758,34 @@ case class GraftParquetScan(path: String, required: StructType,
                   .column(n),
                 new org.apache.spark.sql.connector.read.colstats
                     .ColumnStatistics {
+                  /** ANALYZE min/max live in double space; box back to
+                    * the column's JVM type (estimation re-derives the
+                    * double via toString) — non-integral/floating
+                    * types opt out rather than misrepresent. */
+                  private def boxed(v: Double)
+                      : java.util.Optional[Object] =
+                    required.fields.find(_.name == n)
+                      .map(_.dataType) match {
+                      case Some(ByteType) => java.util.Optional.of(
+                        java.lang.Byte.valueOf(v.toByte))
+                      case Some(ShortType) => java.util.Optional.of(
+                        java.lang.Short.valueOf(v.toShort))
+                      case Some(IntegerType) => java.util.Optional.of(
+                        java.lang.Integer.valueOf(v.toInt))
+                      case Some(LongType) => java.util.Optional.of(
+                        java.lang.Long.valueOf(v.toLong))
+                      case Some(FloatType) => java.util.Optional.of(
+                        java.lang.Float.valueOf(v.toFloat))
+                      case Some(DoubleType) => java.util.Optional.of(
+                        java.lang.Double.valueOf(v))
+                      case _ => java.util.Optional.empty()
+                    }
+                  override def min(): java.util.Optional[Object] =
+                    s.min.map(boxed)
+                      .getOrElse(java.util.Optional.empty())
+                  override def max(): java.util.Optional[Object] =
+                    s.max.map(boxed)
+                      .getOrElse(java.util.Optional.empty())
                   override def distinctCount(): java.util.OptionalLong =
                     java.util.OptionalLong.of(s.ndv)
                   override def nullCount(): java.util.OptionalLong =
@@ -753,6 +796,33 @@ case class GraftParquetScan(path: String, required: StructType,
                   override def maxLen(): java.util.OptionalLong =
                     s.maxLen.map(java.util.OptionalLong.of)
                       .getOrElse(java.util.OptionalLong.empty())
+                  /** Equi-height histogram when ANALYZE computed one
+                    * (`histogram_columns`) — `transformV2Stats` folds
+                    * it into the catalyst ColumnStat, so join
+                    * estimation prices skewed keys by their own bins
+                    * instead of rows/NDV averaging. */
+                  override def histogram(): java.util.Optional[
+                      org.apache.spark.sql.connector.read.colstats
+                        .Histogram] =
+                    ts.hists.get(n) match {
+                      case None => java.util.Optional.empty()
+                      case Some(h) => java.util.Optional.of(
+                        new org.apache.spark.sql.connector.read.colstats
+                            .Histogram {
+                          override def height(): Double = h.height
+                          override def bins(): Array[
+                              org.apache.spark.sql.connector.read
+                                .colstats.HistogramBin] =
+                            h.bins.map { b =>
+                              new org.apache.spark.sql.connector.read
+                                  .colstats.HistogramBin {
+                                override def lo(): Double = b.lo
+                                override def hi(): Double = b.hi
+                                override def ndv(): Long = b.ndv
+                              }
+                            }.toArray
+                        })
+                    }
                 })
             }
           }

@@ -104,7 +104,8 @@ class GraftAnalyzeSpec extends SparkSpec {
       s"CALL $cat.system.analyze(table => 'corp.a3')").collect()
     assert(out.map(_.getString(0)).toSet ==
       Set("doc_id", "lang", "n_chars"))
-    assert(out.forall(_.getLong(5) == docs.count())) // row_count column
+    assert(out.forall(r =>
+      r.getLong(r.fieldIndex("row_count")) == docs.count()))
     val p = s"$warehouse/corp/a3"
     val withCbo = read(p).queryExecution.optimizedPlan.stats
     val attr = withCbo.attributeStats.find(_._1.name == "lang")
