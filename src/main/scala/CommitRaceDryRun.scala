@@ -1,3 +1,5 @@
+package graft
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -11,7 +13,7 @@ import org.apache.spark.sql.functions._
   * 4-thread in-JVM linearization; this tool is the cross-JVM version
   * the spec cannot reach.
   *
-  * `runMain CommitRaceDryRun` — spawns two child JVMs (same classpath)
+  * `runMain graft.CommitRaceDryRun` — spawns two child JVMs (same classpath)
   * that each run N appends against one table, then validates:
   *   - versions are DENSE 1..2N (every commit claimed a unique number,
   *     no number skipped, no torn snapshot left behind);
@@ -46,13 +48,26 @@ object CommitRaceDryRun {
   }
 
   private def drive(): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(race(spark, 6))
+    spark.stop()
+  }
+
+  /** Spawn two child JVMs doing `n` transactional appends each against
+    * one fresh table, then validate linearization; returns the RACE
+    * summary line. Shared by the dry-run main and CommitRaceSpec (the
+    * per-round `sbt test` form of this evidence — `Test / fork` gives
+    * the spec a real java.class.path to hand the children). */
+  def race(spark: SparkSession, n: Int): String = {
     val table = s"/tmp/commit_race_${java.util.UUID.randomUUID()}"
-    val n = 6
     val cp = System.getProperty("java.class.path")
     val javaBin = System.getProperty("java.home") + "/bin/java"
     def spawn(tag: String): Process =
       new ProcessBuilder(javaBin, "-Xmx1g", "-cp", cp,
-        "CommitRaceDryRun", "child", table, tag, n.toString)
+        "graft.CommitRaceDryRun", "child", table, tag, n.toString)
         .inheritIO().start()
     val t0 = System.nanoTime()
     val a = spawn("a")
@@ -62,11 +77,6 @@ object CommitRaceDryRun {
     val wall = (System.nanoTime() - t0) / 1e9
     require(ea == 0 && eb == 0,
       s"child writers must exit clean, got a=$ea b=$eb")
-
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
     // 1. dense version numbers: every commit claimed a unique number
     val versions = graft.sources.GraftTableLog.versions(table)
     require(versions == (1L to (2 * n).toLong),
@@ -102,10 +112,10 @@ object CommitRaceDryRun {
     }
     require(prev == 2 * n * RowsPerAppend,
       s"final version must hold every append, got $prev")
-    println(f"RACE ok=true writers=2 appends_each=$n versions=${versions.size} " +
-      f"rows=${head.count()} wall_s=$wall%.1f")
+    val line = f"RACE ok=true writers=2 appends_each=$n " +
+      f"versions=${versions.size} rows=${head.count()} wall_s=$wall%.1f"
     val p = new org.apache.hadoop.fs.Path(table)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    spark.stop()
+    line
   }
 }
