@@ -89,6 +89,10 @@ object Bench {
         .queryExecution.toRdd.count()
     }
     val loadStart = loadAvg()
+    // 1-min load sampled after every timed run (sweep + renoise),
+    // parallel to the raw times — see run_loads in the detail file
+    val runLoads = collection.mutable.LinkedHashMap
+      .empty[String, collection.mutable.Buffer[Double]]
     val allTimes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -99,9 +103,18 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
+        val w = (System.nanoTime() - t0) / 1e9
+        // per-run load attribution (r13): r12's 72 s max_spread was one
+        // q_stream_quality_scores run at 78 s (min 6.4) with a second
+        // query spiking the SAME sweep pass — a contention burst the T0
+        // gate can't see. Recording the 1-min load beside each run lets
+        // a stalled run carry its own evidence instead of demanding a
+        // quiet-host re-run to adjudicate.
+        runLoads.getOrElseUpdate(name,
+          collection.mutable.Buffer.empty[Double]) += loadAvg()
         // contract: -1 marks a failed query; a normal-looking elapsed
         // time must never disguise a failure
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) w else -1.0
       }
       name -> times
     }
@@ -215,7 +228,10 @@ object Bench {
       val extra = (1 to renoiseRuns).map { _ =>
         val t0 = System.nanoTime()
         try { queryFns(name)(spark, sfDir).queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
+          val w = (System.nanoTime() - t0) / 1e9
+          runLoads.getOrElseUpdate(name,
+            collection.mutable.Buffer.empty[Double]) += loadAvg()
+          w
         } catch { case _: Throwable => Double.MaxValue }
       }.filter(_ < Double.MaxValue)
       if (extra.nonEmpty) timesByName(name) = timesByName(name) ++ extra
@@ -272,10 +288,18 @@ object Bench {
     val rawTimes = timesByName.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(t => math.rint(t * 1e6) / 1e6).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-run 1-min load, parallel to "times": a stalled run self-
+    // attributes (its own row shows the contention burst) instead of
+    // demanding a quiet-host re-run to adjudicate
+    val rawLoads = timesByName.keys.map { k =>
+      "\"" + k + "\":" + runLoads.getOrElse(k,
+          collection.mutable.Buffer.empty[Double])
+        .map(l => math.rint(l * 100) / 100).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":${failed.mkString("[", ",", "]")},$tail,""" +
-        s""""times":$rawTimes}""" + "\n"
+        s""""times":$rawTimes,"run_loads":$rawLoads}""" + "\n"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), detail)
     // bench_result.json is overwritten every run, which forced past

@@ -369,12 +369,37 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
   /** Accept what the reader can faithfully evaluate; everything else
     * comes back to Spark as a residual. A pushed filter is a PROMISE —
     * Spark will not re-check it — so acceptance is driven by
-    * [[GraftFilterEval.supports]], never optimism. */
+    * [[GraftFilterEval.supports]], never optimism.
+    *
+    * `spark.graft.dpp.selectiveResiduals` (default off): ALSO return
+    * equality-shaped filters as residuals, still pushed. Spark's
+    * dynamic partition pruning detects a prunable join side ONLY by a
+    * logical `Filter` node with a likely-selective condition — full
+    * consumption makes a selectively-filtered graft DIM invisible to
+    * DPP, so the FACT side never receives runtime join keys in
+    * broadcast-free (storage-partitioned) plans. The residual costs a
+    * re-check of already-filtered rows AND blocks filter+aggregate
+    * full pushdown on the same scan (Spark only pushes aggregates
+    * under empty post-scan filters) — which is why it is opt-in for
+    * star-join workloads rather than the default. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) =
       filters.partition(GraftFilterEval.supports(_, tableSchema))
     pushed = ok
-    residual
+    val dppResiduals =
+      if (!org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.dpp.selectiveResiduals", "false")
+          .toBoolean) Array.empty[Filter]
+      else ok.filter {
+        case _: org.apache.spark.sql.sources.EqualTo |
+             _: org.apache.spark.sql.sources.EqualNullSafe |
+             _: org.apache.spark.sql.sources.In |
+             _: org.apache.spark.sql.sources.StringStartsWith |
+             _: org.apache.spark.sql.sources.StringEndsWith |
+             _: org.apache.spark.sql.sources.StringContains => true
+        case _ => false
+      }
+    residual ++ dppResiduals
   }
   override def pushedFilters(): Array[Filter] = pushed
 
