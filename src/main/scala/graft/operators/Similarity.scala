@@ -57,19 +57,201 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // ——— blocked exact all-pairs kernel ———
+  //
+  // The join form of exact all-pairs (`a.join(broadcast(b), a < b)` with
+  // a codegen'd CosineSim) pays ~1.2 µs/pair of nested-loop-join row
+  // materialization around a 64-dim dot product that costs nanoseconds —
+  // the r13 sf1 sweep measured the BNLJ at 244 s for 2×10⁸ pairs. These
+  // kernels broadcast the corpus ONCE as primitive arrays (ids
+  // ascending, row-major floats, per-vector squared norms) and sweep it
+  // with tight double-accumulation loops in mapPartitions; only the ids
+  // shuffle. Arithmetic is IDENTICAL to [[graft.expr.CosineSim]]'s
+  // kernel — same float→double widening, same ascending-i accumulation;
+  // the squared-norm accumulator never interacts with the dot
+  // accumulator, so hoisting it per-vector is bit-exact. All rounding /
+  // thresholding / ordering stays in DataFrame land (the kernels
+  // pre-filter with a raw margin strictly wider than round-to-6dp can
+  // move a value), so oracle semantics are unchanged.
+
+  /** (ids ascending, row-major floats, squared norms, dim). */
+  private type CorpusMat = (Array[Long], Array[Float], Array[Double], Int)
+
+  private def integralId(vectors: DataFrame, idCol: String): Boolean =
+    vectors.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  private def corpusMatrix(vectors: DataFrame, idCol: String,
+      vecCol: String): CorpusMat = {
+    val rows = vectors
+      .select(col(idCol).cast(org.apache.spark.sql.types.LongType),
+        col(vecCol))
+      .collect().sortBy(_.getLong(0))
+    val n = rows.length
+    val dim = if (n == 0) 0 else {
+      require(!rows(0).isNullAt(1),
+        s"exact pairs: null $vecCol row — corrupt embedding corpus")
+      rows(0).getSeq[Any](1).length
+    }
+    val ids = new Array[Long](n)
+    val flat = new Array[Float](n * dim)
+    val norms = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val r = rows(k)
+      require(!r.isNullAt(1),
+        s"exact pairs: null $vecCol row — corrupt embedding corpus")
+      val s = r.getSeq[Any](1)
+      require(s.length == dim,
+        s"vector dimension mismatch: $dim vs ${s.length}")
+      ids(k) = r.getLong(0)
+      require(k == 0 || ids(k) > ids(k - 1),
+        s"exact pairs: duplicate $idCol ${ids(k)} — ids must be unique")
+      var i = 0; var na = 0.0
+      val it = s.iterator
+      while (it.hasNext) {
+        val e = it.next()
+        require(e != null,
+          s"null vector element at index $i — corrupt embedding row")
+        val x = e.asInstanceOf[Float]
+        flat(k * dim + i) = x
+        val xd = x.toDouble
+        na += xd * xd
+        i += 1
+      }
+      norms(k) = na
+      k += 1
+    }
+    (ids, flat, norms, dim)
+  }
+
+  /** cosine(a, b) over the flat matrix — [[graft.expr.CosineSim]]'s
+    * arithmetic exactly. */
+  private def cosineAt(flat: Array[Float], norms: Array[Double],
+      dim: Int, a: Int, b: Int): Double = {
+    val oa = a * dim; val ob = b * dim
+    var dot = 0.0; var i = 0
+    while (i < dim) {
+      dot += flat(oa + i).toDouble * flat(ob + i).toDouble
+      i += 1
+    }
+    if (norms(a) == 0.0 || norms(b) == 0.0) 0.0
+    else dot / (math.sqrt(norms(a)) * math.sqrt(norms(b)))
+  }
+
+  /** All pairs (a < b) with RAW cosine ≥ `rawCutoff`, as
+    * (vec_a, vec_b, cosine) with UNROUNDED cosine — callers round and
+    * threshold in DataFrame land. Distribution: ids spread across
+    * `defaultParallelism` tasks; each task sweeps its ids against the
+    * broadcast matrix (j strictly after a's rank, so each unordered
+    * pair is produced exactly once, matching `vec_a < vec_b`). */
+  private def sweepPairs(vectors: DataFrame, idCol: String,
+      vecCol: String, rawCutoff: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      corpusMatrix(vectors, idCol, vecCol))
+    vectors.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val (ids, flat, norms, dim) = bc.value
+        it.flatMap { idA =>
+          val a = java.util.Arrays.binarySearch(ids, idA)
+          (a + 1 until ids.length).iterator.flatMap { b =>
+            val c = cosineAt(flat, norms, dim, a, b)
+            if (c >= rawCutoff) Iterator.single((idA, ids(b), c))
+            else Iterator.empty
+          }
+        }
+      }
+      .toDF("vec_a", "vec_b", "cosine")
+  }
+
+  /** Per-partition top candidates under the FINAL (rounded desc, ids)
+    * order: pass 1 finds the partition's N-th largest raw cosine, pass
+    * 2 emits everything within the rounding margin of it — a provable
+    * superset of the partition's rounded top-N (round-to-6dp moves a
+    * value by ≤ 5e-7, so a raw gap > 1e-6 forces a strict rounded
+    * order), and any global top-N pair is in its own partition's
+    * top-N. Compute doubles; the sweep is the cheap part now. */
+  private def sweepTopPairs(vectors: DataFrame, idCol: String,
+      vecCol: String, topN: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      corpusMatrix(vectors, idCol, vecCol))
+    vectors.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val (ids, flat, norms, dim) = bc.value
+        val mine = it.toArray
+    // pass 1: the partition's N-th largest raw cosine (min-heap of N)
+        val heap = new java.util.PriorityQueue[java.lang.Double](
+          math.max(topN, 1))
+        var count = 0L
+        mine.foreach { idA =>
+          val a = java.util.Arrays.binarySearch(ids, idA)
+          var b = a + 1
+          while (b < ids.length) {
+            val c = cosineAt(flat, norms, dim, a, b)
+            count += 1
+            if (heap.size < topN) heap.add(c)
+            else if (c > heap.peek()) { heap.poll(); heap.add(c) }
+            b += 1
+          }
+        }
+        val cutoff =
+          if (count <= topN) Double.NegativeInfinity
+          else heap.peek().doubleValue() - 2e-6
+        // pass 2: emit the margin superset
+        mine.iterator.flatMap { idA =>
+          val a = java.util.Arrays.binarySearch(ids, idA)
+          (a + 1 until ids.length).iterator.flatMap { b =>
+            val c = cosineAt(flat, norms, dim, a, b)
+            if (c >= cutoff) Iterator.single((idA, ids(b), c))
+            else Iterator.empty
+          }
+        }
+      }
+      .toDF("vec_a", "vec_b", "cosine")
+  }
+
   /** Global top-N most-similar pairs (a < b) by cosine — the embedding
     * near-dup surface. Exact; O(n²) pair generation, so appropriate for
-    * corpora that fit a broadcast (dimension-table scale). For larger
-    * corpora use [[lshTopKPairs]]. */
+    * corpora that fit a broadcast (dimension-table scale) — guarded
+    * like [[thresholdPairs]]. For larger corpora use [[lshTopKPairs]]. */
   def topPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      topN: Int): DataFrame = {
-    val a = vectors.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
-    val b = vectors.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(CosineSim(col("va"), col("vb")), 6).as("cosine"))
-      .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
-      .limit(topN)
+      topN: Int, maxExactRows: Long = 50000L): DataFrame = {
+    val probe =
+      if (maxExactRows >= Int.MaxValue.toLong - 1) Int.MaxValue
+      else (maxExactRows + 1).toInt
+    val n = vectors.select(col(idCol)).limit(probe).count()
+    require(n <= maxExactRows,
+      s"topPairs: corpus has > $maxExactRows rows — exact all-pairs is " +
+        "O(n^2). Use lshTopKPairs past broadcast scale (or raise " +
+        "maxExactRows deliberately).")
+    val t = vectors.schema(idCol).dataType
+    if (n > 0 && integralId(vectors, idCol))
+      sweepTopPairs(vectors, idCol, vecCol, topN)
+        .select(col("vec_a").cast(t).as("vec_a"),
+          col("vec_b").cast(t).as("vec_b"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
+        .limit(topN)
+    else { // non-integral ids (or empty): the generic join form
+      val a = vectors.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+      val b = vectors.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(CosineSim(col("va"), col("vb")), 6).as("cosine"))
+        .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
+        .limit(topN)
+    }
   }
 
   /** All pairs (a < b) with cosine ≥ `minCosine` — the evidence edges for
@@ -98,12 +280,23 @@ object Similarity {
         "broadcasts every vector and generates O(n^2) pairs. Use " +
         "lshThresholdPairs / cosineDedup(useLsh = true) past broadcast scale " +
         "(or raise maxExactRows deliberately).")
-    val a = vectors.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
-    val b = vectors.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(CosineSim(col("va"), col("vb")), 6).as("cosine"))
-      .filter(col("cosine") >= minCosine)
+    if (n > 0 && integralId(vectors, idCol)) {
+      // blocked kernel; raw pre-filter 1e-6 below the threshold (wider
+      // than round-to-6dp can move a value), exact round+filter here
+      val t = vectors.schema(idCol).dataType
+      sweepPairs(vectors, idCol, vecCol, minCosine - 1e-6)
+        .select(col("vec_a").cast(t).as("vec_a"),
+          col("vec_b").cast(t).as("vec_b"),
+          round(col("cosine"), 6).as("cosine"))
+        .filter(col("cosine") >= minCosine)
+    } else {
+      val a = vectors.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+      val b = vectors.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(CosineSim(col("va"), col("vb")), 6).as("cosine"))
+        .filter(col("cosine") >= minCosine)
+    }
   }
 
   /** [[thresholdPairs]] at scale: candidates from random-hyperplane LSH
