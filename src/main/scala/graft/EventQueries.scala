@@ -237,6 +237,53 @@ object EventQueries {
             |  ON g.user_id = e.user_id AND g.ts >= e.ts
             |ORDER BY g.user_id, grid_ts""".stripMargin))
 
+  /** Slowly-changing-dimension TYPE 2 build from a change log (the
+    * warehouse-ingestion sibling of [[qUpsertLatest]]'s SCD1): each
+    * user's event stream is compacted to its CHANGE POINTS of
+    * `event_type`, and every change point becomes one versioned history
+    * row with a `[valid_from_us, valid_to_us)` validity interval —
+    * `valid_to_us` NULL on the open (current) version. Two window
+    * passes, both partitioned by user: lag to flag changes, then
+    * lead/row_number over the surviving change rows — no self-join, so
+    * the cost is two shuffles on user_id regardless of history depth.
+    * Scale: per-user state is window-local (sort within partition);
+    * output is change-point-sized, not event-sized. */
+  val qScd2 = QueryDef("q_scd2_history",
+    (spark, dir) => {
+      val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = events(spark, dir)
+        .withColumn("prev_type", lag("event_type", 1).over(wAll))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val wChg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      changes
+        .withColumn("version_no", row_number().over(wChg))
+        .withColumn("valid_from_us", col("ts"))
+        .withColumn("valid_to_us", lead("ts", 1).over(wChg))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select("user_id", "version_no", "event_type",
+          "valid_from_us", "valid_to_us", "is_current")
+        .orderBy("user_id", "version_no")
+    },
+    Some("""WITH ordered AS (
+           |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           |         lag(event_type) OVER (PARTITION BY user_id
+           |                               ORDER BY epoch_us(ts), event_id) AS prev_type
+           |  FROM events
+           |), changes AS (
+           |  SELECT user_id, event_id, event_type, ts_us FROM ordered
+           |  WHERE prev_type IS NULL OR prev_type <> event_type
+           |)
+           |SELECT user_id,
+           |       CAST(row_number() OVER w AS INT) AS version_no,
+           |       event_type,
+           |       ts_us AS valid_from_us,
+           |       lead(ts_us) OVER w AS valid_to_us,
+           |       lead(ts_us) OVER w IS NULL AS is_current
+           |FROM changes
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+           |ORDER BY user_id, version_no""".stripMargin))
+
   def all: Seq[QueryDef] = Seq(qSessions, qTop3PerType, qUserPivot, qJsonExtract,
-    qInterarrival, qMovingAvg, qUpsertLatest, qResampleFfill)
+    qInterarrival, qMovingAvg, qUpsertLatest, qResampleFfill, qScd2)
 }

@@ -83,5 +83,41 @@ object JoinQueries {
            |WHERE o.o_orderpriority = '1-URGENT'
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(qAsOf, qDistinctUsers, qBloomPrune)
+  /** Salted skewed join, oracle-gated for semantics: rides (the skewed
+    * fact — a hot station concentrates one shuffle key) joined to the
+    * station registry through [[graft.operators.Joins.saltedJoin]], so
+    * the shuffle key becomes (station, salt) and one hot station spreads
+    * over `salts` reducers. The oracle runs the PLAIN join — the gate is
+    * exactly the property that makes salting deployable at 100 TB: it
+    * must be invisible in the result. (SaltedJoinSpec pins the plan
+    * shape — replicated small side, composite shuffle key — under
+    * broadcast disabled; here with broadcast on, Catalyst may broadcast
+    * the replicated registry, which is equally correct.) */
+  val qSaltedJoin = QueryDef("q_skew_salted_join",
+    (spark, dir) => {
+      val rides = Tables.rides(spark, dir)
+      val stations = Tables.stationsById(spark, dir)
+        .withColumnRenamed("id", "start_station_id")
+      graft.operators.Joins.saltedJoin(rides, stations,
+          keys = Seq("start_station_id"), salts = 8,
+          saltSource = col("end_station_id"))
+        .groupBy("start_station_id")
+        .agg(count(lit(1)).as("n_rides"),
+          // raw double: both engines derive latitude with the same IEEE
+          // expression tree (stationsSql lockstep), proven bit-identical
+          // by q_stream_enrich_stations — rounding would only add a
+          // rounding-mode divergence surface
+          max(col("latitude")).as("station_lat"))
+        .orderBy("start_station_id")
+    },
+    Some(s"""WITH ${Catalog.ridesSql},
+            |${Catalog.stationsSql}
+            |SELECT r.start_station_id,
+            |       CAST(count(*) AS BIGINT) AS n_rides,
+            |       MAX(s.latitude) AS station_lat
+            |FROM rides r JOIN stations s ON s.id = r.start_station_id
+            |GROUP BY r.start_station_id
+            |ORDER BY r.start_station_id""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(qAsOf, qDistinctUsers, qBloomPrune, qSaltedJoin)
 }

@@ -1121,8 +1121,109 @@ object StreamingQueries {
            |FROM merged
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** STREAMING EXACT DEDUPLICATION under the hash gate — the streaming
+    * face of `q_dedup_exact` and the one stateful shape the gated
+    * family didn't yet cover: `dropDuplicatesWithinWatermark` keyed on
+    * a 64-bit record fingerprint, its state store holding one 8-byte
+    * key per record inside the watermark horizon (the property that
+    * makes streaming dedup deployable at 100 TB — state is bounded by
+    * the horizon, never by the corpus).
+    *
+    * Three pinned micro-batches with CROSS-BATCH verbatim
+    * redeliveries — b2 re-delivers half of b1's docs, b3 half of
+    * b2's — so the dedup STATE STORE, not within-batch distinct, is
+    * load-bearing: a b2 redelivery can only be dropped against state
+    * remembered from b1. Each batch carries its own arrival timestamp
+    * (10 min apart, inside the 1 h delay), the watermark advances
+    * batch-wise, and nothing is late — eviction semantics belong to
+    * the MemoryStream specs; this entry pins the dedup RESULT.
+    * Survivors append to a graft table via the transactional streaming
+    * sink (epoch commits — the scale-safe drain, no driver map), and
+    * the table read back must aggregate to exactly the distinct
+    * document set: a dropped first-arrival, a surviving redelivery, or
+    * a lost epoch drifts a count/sum and breaks the hash. */
+  val qStreamExactDedup = QueryDef("q_stream_exact_dedup",
+    (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val run = java.util.UUID.randomUUID().toString
+      val tmp = sys.props("java.io.tmpdir")
+      val ingest = s"$tmp/graft_sdedup_in_$run"
+      val table = s"$tmp/graft_sdedup_out_$run"
+      val ckpt = s"$tmp/graft_sdedup_ckpt_$run"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(ingest).getFileSystem(conf)
+      // per-batch arrival time BAKED into the staged file: the
+      // watermark clock is the stream's own event-time column, 10 min
+      // between batches against a 1 h dedup horizon
+      def stage(name: String, df: DataFrame, arrivalUs: Long,
+          mtimeMs: Long): Unit = {
+        val scratch = new org.apache.hadoop.fs.Path(s"$ingest/_st_$name")
+        df.withColumn("arrival_us", lit(arrivalUs))
+          .coalesce(1).write.parquet(scratch.toString)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$scratch/part-*.parquet"))(0).getPath
+        val dest = new org.apache.hadoop.fs.Path(s"$ingest/$name.parquet")
+        require(fs.rename(part, dest), s"dedup stage rename failed: $name")
+        fs.delete(scratch, true)
+        fs.setTimes(dest, mtimeMs, -1)
+      }
+      try {
+        val m3 = pmod(col("doc_id"), lit(3))
+        val m6 = pmod(col("doc_id"), lit(6))
+        val hourUs = 3600L * 1000000
+        val tenMinUs = 600L * 1000000
+        stage("b1", docs.filter(m3 === 0), hourUs, 1000000L)
+        stage("b2", docs.filter(m3 === 1)
+          .unionByName(docs.filter(m6 === 0)), // redelivers half of b1
+          hourUs + tenMinUs, 2000000L)
+        stage("b3", docs.filter(m3 === 2)
+          .unionByName(docs.filter(m6 === 1)), // redelivers half of b2
+          hourUs + 2 * tenMinUs, 3000000L)
+        val srcSchema = docs.withColumn("arrival_us", lit(0L)).schema
+        val src = spark.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", 1).parquet(ingest)
+        val deduped = src
+          .withColumn("fp", xxhash64(col("doc_id"), col("text")))
+          .withColumn("arrival_ts", timestamp_micros(col("arrival_us")))
+          .withWatermark("arrival_ts", "1 hour")
+          .dropDuplicatesWithinWatermark("fp")
+          .select("doc_id", "lang", "n_chars")
+        val q = deduped.writeStream
+          .format("graft.sources.GraftParquetTableProvider")
+          .option("path", table)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // three non-empty micro-batches => three epoch commits; fewer
+        // means the drain coalesced and cross-batch state went untested
+        val nVersions = graft.sources.GraftTableLog.versions(table).size
+        require(nVersions >= 3,
+          s"stream dedup: expected >= 3 epoch commits, got $nVersions")
+        spark.read.format("graft.sources.GraftParquetTableProvider")
+          .option("path", table).load()
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_doc_id"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      } finally {
+        fs.delete(new org.apache.hadoop.fs.Path(ingest), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(table))
+      }
+    },
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM documents
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   def all: Seq[QueryDef] =
     Seq(qStreamTumbling, qStreamLate, qStreamSessions, qStreamNearDup,
       qStreamSink, qStreamJoin, qStreamEnrich, qStreamPipe, qStreamMoments,
-      qStreamQuality, qStreamPartitionedSource, qStreamCdcApply)
+      qStreamQuality, qStreamPartitionedSource, qStreamCdcApply,
+      qStreamExactDedup)
 }

@@ -122,6 +122,40 @@ class StreamingSpec extends SparkSpec {
     assert(texts == Seq("other text", "same text"))
   }
 
+  test("streamingDedup: cross-batch state drops redeliveries; " +
+      "eviction re-admits past the horizon (state stays bounded)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def at(s: String) = Timestamp.valueOf(s)
+
+    val stream = MemoryStream[Doc]
+    val q = StreamingRoutes
+      .streamingDedup(stream.toDF(), "ts", "text", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("deduped_x")
+      .outputMode("append").start()
+    def drain(docs: Doc*): Unit = { stream.addData(docs: _*); q.processAllAvailable() }
+    try {
+      // batch 1 seeds the state; batch 2's verbatim redelivery (5 min
+      // later, inside the 10 min horizon) can only drop against state
+      // REMEMBERED from batch 1 — within-batch distinct can't see it
+      drain(Doc(at("2024-01-01 10:00:00"), "dup"))
+      drain(Doc(at("2024-01-01 10:05:00"), "dup"),
+        Doc(at("2024-01-01 10:05:00"), "fresh"))
+      // batch 3 advances the watermark to 10:50 — "dup"'s entry
+      // (event time 10:00 + 10 min horizon) is now evictable, which is
+      // the 100 TB property: state is horizon-bounded, not corpus-bounded
+      drain(Doc(at("2024-01-01 11:00:00"), "advance"))
+      // batch 4: the SAME content re-arrives past the horizon — it must
+      // be re-admitted (dedup-within-watermark, not global dedup)
+      drain(Doc(at("2024-01-01 11:01:00"), "dup"))
+    } finally q.stop()
+
+    val texts = spark.table("deduped_x").select("text")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(texts == Seq("advance", "dup", "dup", "fresh"),
+      s"got $texts — expected one in-horizon drop and one post-eviction re-admit")
+  }
+
   test("joinWithin: stream-stream time-bounded join equals the batch join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
