@@ -85,6 +85,9 @@ object MultimodalQueries {
         .select(col("doc_id").as("media_id"),
           Multimodal.pngWidth(col("doc_id")).as("w"),
           Multimodal.pngHeight(col("doc_id")).as("h"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int, Int)]
       val media = dims.mapPartitions(_.map { case (id, w, h) =>
         // both scanline layouts on real data: even ids Adam7-interlaced,
@@ -145,6 +148,9 @@ object MultimodalQueries {
         .select(col("doc_id").as("media_id"),
           Multimodal.pngWidth(col("doc_id")).as("w"),
           Multimodal.pngHeight(col("doc_id")).as("h"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int, Int)]
       dims.mapPartitions(_.map { case (id, w, h) =>
         val png = graft.operators.Png.encodeRgb(w, h, id)
@@ -222,6 +228,9 @@ object MultimodalQueries {
         .select(col("doc_id").as("media_id"),
           Multimodal.pngWidth(col("doc_id")).as("w"),
           Multimodal.pngHeight(col("doc_id")).as("h"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int, Int)]
       dims.mapPartitions(_.map { case (id, w, h) =>
         val s = graft.operators.Bmp.pixelStats(
@@ -274,6 +283,9 @@ object MultimodalQueries {
         .select(col("doc_id").as("media_id"),
           Multimodal.pngWidth(col("doc_id")).as("w"),
           Multimodal.pngHeight(col("doc_id")).as("h"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int, Int)]
       dims.mapPartitions(_.map { case (id, w, h) =>
         val bytes = graft.operators.Gif.encodeGray(w, h,
@@ -328,6 +340,9 @@ object MultimodalQueries {
         .select(col("doc_id").as("media_id"),
           Multimodal.pngWidth(col("doc_id")).as("w"),
           Multimodal.pngHeight(col("doc_id")).as("h"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int, Int)]
       dims.mapPartitions(_.map { case (id, w, h) =>
         val bytes = graft.operators.Jpeg.encodeGrayBlocks(w, h,
@@ -383,6 +398,9 @@ object MultimodalQueries {
         .select(col("doc_id").as("media_id"),
           Multimodal.pngWidth(col("doc_id")).as("w"),
           Multimodal.pngHeight(col("doc_id")).as("h"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int, Int)]
       dims.mapPartitions(_.map { case (id, w, h) =>
         val bytes = graft.operators.Jpeg.encodeGrayProgressiveBlocks(w, h,
@@ -439,6 +457,9 @@ object MultimodalQueries {
         .select(col("doc_id").as("media_id"),
           Multimodal.pngWidth(col("doc_id")).as("w"),
           Multimodal.pngHeight(col("doc_id")).as("h"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int, Int)]
       dims.mapPartitions(_.map { case (id, w, h) =>
         val sampling = if (id % 2 == 0) 0x11 else 0x22
@@ -512,6 +533,9 @@ object MultimodalQueries {
         .filter(pmod(col("doc_id"), lit(3)) === 1) // the audio-modality ids
         .select(col("doc_id").as("media_id"),
           (pmod(col("doc_id"), lit(4000)) + 500).cast("int").as("n"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int)]
       val media = dims.mapPartitions(_.map { case (id, n) =>
         (id, graft.operators.Wav.encodePcm16(n, 16000, id))
@@ -559,6 +583,9 @@ object MultimodalQueries {
         .filter(pmod(col("doc_id"), lit(3)) === 1) // the audio-modality ids
         .select(col("doc_id").as("media_id"),
           (pmod(col("doc_id"), lit(4000)) + 500).cast("int").as("n"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int)]
       dims.mapPartitions(_.map { case (id, n) =>
         val wav = graft.operators.Wav.encodePcm16(n, 16000, id)
@@ -633,6 +660,9 @@ object MultimodalQueries {
         .filter(pmod(col("doc_id"), lit(3)) === 1) // the audio-modality ids
         .select(col("doc_id").as("media_id"),
           (pmod(col("doc_id"), lit(4000)) + 500).cast("int").as("n"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int)]
       dims.mapPartitions(_.map { case (id, n) =>
         val bytes = graft.operators.Wav.encodeG711(n, 8000, id,
@@ -706,6 +736,9 @@ object MultimodalQueries {
         .filter(pmod(col("doc_id"), lit(3)) === 1) // the audio-modality ids
         .select(col("doc_id").as("media_id"),
           (pmod(col("doc_id"), lit(4000)) + 500).cast("int").as("n"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int)]
       dims.mapPartitions(_.map { case (id, n) =>
         val bytes = graft.operators.Wav.encodeImaAdpcm(n, 8000, id)
@@ -783,6 +816,9 @@ object MultimodalQueries {
         .filter(pmod(col("doc_id"), lit(3)) === 1) // the audio-modality ids
         .select(col("doc_id").as("media_id"),
           (pmod(col("doc_id"), lit(4000)) + 500).cast("int").as("n"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int)]
       dims.mapPartitions(_.map { case (id, n) =>
         val bytes = graft.operators.Wav.encodePcm16(n, 16000, id)
@@ -831,6 +867,9 @@ object MultimodalQueries {
           (pmod(col("doc_id"), lit(56)) + 8).cast("int").as("w"),
           (pmod(col("doc_id") * 7, lit(56)) + 8).cast("int").as("h"),
           (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("nf"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int, Int, Int)]
       dims.mapPartitions(_.flatMap { case (id, w, h, nf) =>
         val avi = graft.operators.Avi.encode(w, h, nf, id)
@@ -900,6 +939,9 @@ object MultimodalQueries {
           (pmod(col("doc_id"), lit(56)) + 8).cast("int").as("w"),
           (pmod(col("doc_id") * 7, lit(56)) + 8).cast("int").as("h"),
           (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("nf"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int, Int, Int)]
       dims.mapPartitions(_.flatMap { case (id, w, h, nf) =>
         val sampling = if (id % 2 == 0) 0x11 else 0x22
@@ -982,6 +1024,9 @@ object MultimodalQueries {
         .select(col("doc_id").as("media_id"),
           Multimodal.pngWidth(col("doc_id")).as("w"),
           Multimodal.pngHeight(col("doc_id")).as("h"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int, Int)]
       dims.mapPartitions(_.map { case (id, w, h) =>
         val il = id % 2 == 0
@@ -1049,6 +1094,9 @@ object MultimodalQueries {
           (pmod(col("doc_id") * 7, lit(56)) + 8).cast("int").as("h"),
           (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("nf"),
           (pmod(col("doc_id"), lit(7)) * 20 + 40).cast("int").as("spf"))
+        // codec parallelism follows MEDIA COUNT, not input bytes — the
+        // id-scale dims scan is one small-file partition (SCALE.md r13)
+        .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
         .as[(Long, Int, Int, Int, Int)]
       dims.mapPartitions(_.map { case (id, w, h, nf, spf) =>
         val avi = graft.operators.Avi.encodeAv(w, h, nf, id,

@@ -611,8 +611,11 @@ object VectorQueries {
           .toDF("tbl", "bit", "comp").coalesce(1)
           .write.mode("overwrite").parquet(RpPlanesPath)
       }
+      // failOnOverflow: completion IS the zero-overflow certificate —
+      // the k-bounded bucket cap never engaged, so the unbounded oracle
+      // replay below sees exactly the same candidate stream
       Similarity.lshTopKPairs(emb, "vec_id", "embedding", TopPairs,
-        RpBits, RpTables, RpSeed)
+        RpBits, RpTables, RpSeed, failOnOverflow = true)
     },
     Some(s"""WITH pl AS (
             |  SELECT tbl, bit, comp
@@ -780,8 +783,11 @@ object VectorQueries {
               (lit(1.0) + ((i % 7) - 3).cast("double") / 100.0))
               .cast("float")).as("embedding"),
           col("label"))
+      // failOnOverflow: the hash gate needs the UNBOUNDED candidate
+      // stream — completion proves the k-bounded cap never engaged
       Similarity.cosineDedup(emb.unionByName(plants),
-          "vec_id", "embedding", NearDupCosine, useLsh = true)
+          "vec_id", "embedding", NearDupCosine, useLsh = true,
+          failOnOverflow = true)
         .select("vec_id", "label")
         .orderBy("vec_id")
     },

@@ -307,9 +307,11 @@ object Similarity {
     * Candidate generation shuffles 8-byte ids, never vectors. */
   def lshThresholdPairs(vectors: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, nBits: Int = 8, tables: Int = 16,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L, maxBucket: Int = Dedup.DefaultMaxBucket,
+      failOnOverflow: Boolean = false): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    lshCandidates(vectors, idCol, vecCol, nBits, tables, seed)
+    lshCandidates(vectors, idCol, vecCol, nBits, tables, seed,
+        maxBucket, failOnOverflow = failOnOverflow)
       .join(v.select(col("id").as("vec_a"), col("v").as("va")), "vec_a")
       .join(v.select(col("id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
@@ -329,9 +331,12 @@ object Similarity {
   def cosineDedup(vectors: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, useLsh: Boolean = false, nBits: Int = 8,
       tables: Int = 16, seed: Long = 7L, maxIter: Int = 20,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Boolean = false,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      failOnOverflow: Boolean = false): DataFrame = {
     val pairs =
-      (if (useLsh) lshThresholdPairs(vectors, idCol, vecCol, minCosine, nBits, tables, seed)
+      (if (useLsh) lshThresholdPairs(vectors, idCol, vecCol, minCosine,
+          nBits, tables, seed, maxBucket, failOnOverflow)
        else thresholdPairs(vectors, idCol, vecCol, minCosine))
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val drops = Dedup.duplicateClusters(pairs, maxIter, reliableCheckpoint)
@@ -406,30 +411,62 @@ object Similarity {
     * Signatures are plain longs: candidate generation is an equi-self-join
     * keyed on (table, sig) — an 8-byte shuffle key, never the vectors. */
   def lshCandidates(vectors: DataFrame, idCol: String, vecCol: String,
-      nBits: Int = 8, tables: Int = 16, seed: Long = 7L): DataFrame = {
+      nBits: Int = 8, tables: Int = 16, seed: Long = 7L,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      metricName: String = "graft_emb_lsh",
+      failOnOverflow: Boolean = false): DataFrame = {
     val sigs = vectors.select(col(idCol).as("id"),
       array((0 until tables).map(t =>
         RandomProjectionSig(col(vecCol), nBits, seed + t * 1000003L)): _*)
         .as("sigs"))
     val buckets = sigs.select(col("id"),
       posexplode(col("sigs")).as(Seq("table", "sig")))
-    // candidates carry ONLY the 8-byte ids through join + distinct; the
-    // vectors are re-joined by the verifier — at scale this keeps the
-    // bucket shuffle and dedup shuffle payload-free
-    buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+    // group each (table, sig) bucket and emit its member pairs — the
+    // same K-BOUNDED bucket-membership shape as the MinHash path
+    // ([[Dedup.minhashCandidates]]): signatures are computed once, the
+    // only shuffle moves (table, sig, id) triples, and membership per
+    // bucket is capped at `maxBucket` (smallest ids, deterministic)
+    // with overflow COUNTED (observe metric) or LOUD (failOnOverflow).
+    // The bound is the 100 TB defense against self-similar corpora:
+    // the round-13 sf1 probe measured candidates growing 100.7x on 10x
+    // vectors because every vector's jittered replicas share buckets —
+    // work that is honest for the data but must saturate at a cap, not
+    // at executor memory (SCALE.md round 13).
+    val aggregated = buckets.groupBy("table", "sig")
+      .agg(TopKAgg(negate(col("id").cast("double")), col("id"), maxBucket)
+          .as("top"),
+        count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+      .withColumn("ids", expr("transform(top, e -> e.payload)"))
+      .observe(metricName,
+        sum(when(col("n_members") > maxBucket, 1L).otherwise(0L))
+          .as("overflowed_buckets"))
+    val grouped =
+      if (failOnOverflow)
+        aggregated.filter(assert_true(col("n_members") <= lit(maxBucket),
+          concat(lit(s"graft: embedding-LSH bucket exceeded maxBucket=" +
+            s"$maxBucket (n_members="), col("n_members"),
+            lit("); raise maxBucket, add tables/bits, or dedup exact " +
+              "first"))).isNull)
+      else aggregated
+    grouped
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("i"), col("a"), posexplode(col("ids")).as(Seq("j", "b")))
+      .filter(col("i") < col("j"))
+      .select(least(col("a"), col("b")).as("vec_a"),
+        greatest(col("a"), col("b")).as("vec_b"))
       .distinct()
   }
 
   /** Approximate global top-N pairs: LSH candidates verified with exact
     * cosine. Same output shape as [[topPairs]]; recall measured in specs. */
   def lshTopKPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      topN: Int, nBits: Int = 8, tables: Int = 16, seed: Long = 7L): DataFrame = {
+      topN: Int, nBits: Int = 8, tables: Int = 16, seed: Long = 7L,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      failOnOverflow: Boolean = false): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    lshCandidates(vectors, idCol, vecCol, nBits, tables, seed)
+    lshCandidates(vectors, idCol, vecCol, nBits, tables, seed,
+        maxBucket, failOnOverflow = failOnOverflow)
       .join(v.select(col("id").as("vec_a"), col("v").as("va")), "vec_a")
       .join(v.select(col("id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),

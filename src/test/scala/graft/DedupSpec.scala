@@ -414,6 +414,37 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh == (0L until 40L).toSet)
   }
 
+  test("embedding-LSH bucket bound: cap keeps smallest ids, " +
+      "overflow observed silently by default, loud under failOnOverflow") {
+    import spark.implicits._
+    // ten IDENTICAL vectors: one bucket per table, membership 10 — the
+    // degenerate self-similar shape the round-13 sf1 probe measured
+    // (jittered replicas sharing every signature)
+    val same = (0L until 10L).map(i => (i, Array.fill(16)(1.0f)))
+      .toDF("vec_id", "embedding")
+    // unbounded (default 4096): all 45 pairs
+    assert(Similarity.lshCandidates(same, "vec_id", "embedding").count()
+      == 45L)
+    // capped at 4: the smallest 4 ids per bucket -> exactly C(4,2)
+    // pairs among ids {0,1,2,3}, deterministically, in every table
+    val capped = rows(Similarity.lshCandidates(same, "vec_id", "embedding",
+        maxBucket = 4))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == (for (a <- 0L until 4L; b <- (a + 1) until 4L)
+      yield (a, b)).toSet, s"capped candidates: $capped")
+    // loud mode: the same overflow must throw, naming the knob
+    val e = intercept[Exception] {
+      Similarity.lshCandidates(same, "vec_id", "embedding",
+        maxBucket = 4, failOnOverflow = true).count()
+    }
+    assert(e.getMessage.contains("maxBucket"),
+      s"overflow must name the bound: ${e.getMessage}")
+    // the gated catalog configuration: failOnOverflow completes on the
+    // planted corpus (completion IS the zero-overflow certificate)
+    assert(Similarity.lshTopKPairs(plantedVectors, "vec_id", "embedding",
+      10, failOnOverflow = true).count() == 10L)
+  }
+
   test("cosineDedup on a corpus with no pairs above threshold keeps everything") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     assert(Similarity.cosineDedup(e, "vec_id", "embedding", 0.95).count() ==
