@@ -21,15 +21,19 @@ object EmbLshScaleDryRun {
       else Seq("/root/testdata/sf0.1", "/tmp/sf1")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val explain = sys.env.contains("EMBLSH_EXPLAIN")
     import graft.VectorQueries.{RpBits, RpTables, RpSeed, TopPairs}
     for (dir <- dirs) {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = emb.count()
       val t0 = System.nanoTime()
-      val cands = graft.operators.Similarity.lshCandidates(
-        emb, "vec_id", "embedding", RpBits, RpTables, RpSeed).count()
+      val candsDf = graft.operators.Similarity.lshCandidates(
+        emb, "vec_id", "embedding", RpBits, RpTables, RpSeed)
+      if (explain) candsDf.explain("formatted")
+      val cands = candsDf.count()
       val tCand = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       graft.operators.Similarity.lshTopKPairs(

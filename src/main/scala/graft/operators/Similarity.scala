@@ -309,7 +309,15 @@ object Similarity {
       minCosine: Double, nBits: Int = 8, tables: Int = 16,
       seed: Long = 7L, maxBucket: Int = Dedup.DefaultMaxBucket,
       failOnOverflow: Boolean = false): DataFrame = {
+    // shuffle_hash with the VECTOR side as build: the candidate stream
+    // is the provably-bigger side (pairs ≥ rows) and its size estimate
+    // after the aggregate/explode chain undersells reality — at 50x the
+    // planner broadcast an 8.6 GB candidate hash relation off that
+    // estimate (SCALE.md round 13). Pinning SHJ shuffles ids only and
+    // builds per-partition maps from the corpus side, which a cluster
+    // can always hold once partitioned.
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .hint("shuffle_hash")
     lshCandidates(vectors, idCol, vecCol, nBits, tables, seed,
         maxBucket, failOnOverflow = failOnOverflow)
       .join(v.select(col("id").as("vec_a"), col("v").as("va")), "vec_a")
@@ -464,7 +472,9 @@ object Similarity {
       topN: Int, nBits: Int = 8, tables: Int = 16, seed: Long = 7L,
       maxBucket: Int = Dedup.DefaultMaxBucket,
       failOnOverflow: Boolean = false): DataFrame = {
+    // same SHJ pinning as [[lshThresholdPairs]] — see the note there
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .hint("shuffle_hash")
     lshCandidates(vectors, idCol, vecCol, nBits, tables, seed,
         maxBucket, failOnOverflow = failOnOverflow)
       .join(v.select(col("id").as("vec_a"), col("v").as("va")), "vec_a")
