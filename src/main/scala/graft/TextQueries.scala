@@ -558,6 +558,45 @@ object TextQueries {
       .orderBy("doc_a", "doc_b"),
     Some(jaccardOracle))
 
+  /** CHARACTER-LEVEL near-dup refinement — edit distance over the
+    * near-dup candidate stream: the dedup family member the
+    * shingle/sketch metrics can't express (OCR noise, typo-level
+    * variants, and small in-place edits move Levenshtein far less than
+    * token-set metrics). Blocking reuses the PROVEN minhash-LSH
+    * candidates (k-bounded buckets, failOnOverflow certificate);
+    * verification is `levenshtein(a, b) ≤ ceil(0.25 × max(len))` —
+    * both engines implement the classic unit-cost DP, so the integer
+    * distance is bit-identical. At 100 TB the O(L²) DP runs only on
+    * the bucket-blocked candidate stream, never all pairs. Oracle:
+    * the exact-Jaccard replay of the candidate set (banding recall
+    * ≈ 1 on this corpus — the [[qDedupMinhash]] argument) with the
+    * same Levenshtein filter. */
+  val MaxEditFrac = 0.25
+  val qDedupEditDist = QueryDef("q_dedup_editdist",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        ShingleN, MinJaccard, failOnOverflow = true)
+      val t = docs.select(col("doc_id"), col("text"))
+      pairs
+        .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
+        .filter(col("edit_dist") <=
+          ceil(greatest(length(col("ta")), length(col("tb"))) * MaxEditFrac))
+        .select("doc_a", "doc_b", "edit_dist")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $jaccardCtes
+            |SELECT p.doc_a, p.doc_b,
+            |       CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+            |FROM dup_pairs p
+            |JOIN documents a ON a.doc_id = p.doc_a
+            |JOIN documents b ON b.doc_id = p.doc_b
+            |WHERE levenshtein(a.text, b.text)
+            |      <= ceil(greatest(length(a.text), length(b.text)) * $MaxEditFrac)
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
   /** Near-dup clusters: connected components over the LSH pairs, one row
     * per cluster with the keeper (min id) and member count. Oracle:
     * transitive closure via recursive CTE over the same pair set. */
@@ -2100,6 +2139,7 @@ object TextQueries {
     qDistinctHll, qDistinctHllRollup,
     qTokenCms, qTokenCmsRollup, qHeavyHitters, qBigramLogProb,
     qDedupExact, qDedupIncremental, qDedupJaccard, qDedupMinhash,
+    qDedupEditDist,
     qDedupClusters, qDedupSimhash, qDedupContainment, qDedupContainmentKeep,
     qTrainingPrep, qNormalizeRedact, qDecontaminate, qUnigramLogProb,
     qDecontaminateContainment, qBoilerplateLines, qBoilerplateIncremental,

@@ -445,6 +445,36 @@ class DedupSpec extends SparkSpec {
       10, failOnOverflow = true).count() == 10L)
   }
 
+  test("q_dedup_editdist: every pair is a blocked candidate with a " +
+      "true unit-cost distance under the length-scaled bound") {
+    import org.apache.spark.sql.functions.{ceil, col, greatest, length => len}
+    val out = TextQueries.qDedupEditDist.run(spark, sfDir).cache()
+    val cands = Dedup.minhashLshPairs(
+      graft.core.Tables.documents(spark, sfDir), "doc_id", "text",
+      TextQueries.ShingleN, TextQueries.MinJaccard,
+      // distinct observe name: this plan joins the entry's plan, and
+      // Spark rejects two CollectMetrics with the same name per query
+      metricName = "graft_minhash_lsh_editdist_spec",
+      failOnOverflow = true)
+      .select("doc_a", "doc_b")
+    // blocked: output ⊆ candidate stream (left_anti must be empty)
+    assert(out.join(cands, Seq("doc_a", "doc_b"), "left_anti").count() == 0L)
+    // bound holds row-wise against re-derived lengths
+    val t = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val checked = out
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+    assert(checked.filter(col("edit_dist") >
+      ceil(greatest(len(col("ta")), len(col("tb"))) *
+        TextQueries.MaxEditFrac)).count() == 0L)
+    // the distance column IS Levenshtein (recompute and compare)
+    assert(checked.filter(col("edit_dist") =!=
+      org.apache.spark.sql.functions.levenshtein(col("ta"), col("tb")))
+      .count() == 0L)
+    assert(out.count() > 0L, "planted near-dups must survive the bound")
+  }
+
   test("cosineDedup on a corpus with no pairs above threshold keeps everything") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     assert(Similarity.cosineDedup(e, "vec_id", "embedding", 0.95).count() ==
