@@ -579,8 +579,23 @@ object TextQueries {
         ShingleN, MinJaccard, failOnOverflow = true)
       val t = docs.select(col("doc_id"), col("text"))
       pairs
-        .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
-        .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        // the candidate stream is byte-tiny but each pair costs an
+        // O(L²) DP. Two optimizer behaviors conspire to serialize it:
+        // AQE coalesces the byte-small join exchanges to ONE partition,
+        // and Catalyst sinks the levenshtein projection/filter BELOW a
+        // post-join repartition to shuffle fewer bytes — both optimize
+        // bytes, not CPU (the multimodal codec lesson, SCALE.md r13).
+        // So: explicit-count repartition of the PAIRS (AQE-preserved),
+        // then BROADCAST text joins — no exchange above the spread, and
+        // the DP's inputs don't exist below it, so it cannot sink.
+        // (When the corpus outgrows broadcast, its join partitions are
+        // byte-big and AQE keeps them parallel anyway.)
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("doc_a"), col("doc_b"))
+        .join(broadcast(t.select(col("doc_id").as("doc_a"),
+          col("text").as("ta"))), "doc_a")
+        .join(broadcast(t.select(col("doc_id").as("doc_b"),
+          col("text").as("tb"))), "doc_b")
         .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
         .filter(col("edit_dist") <=
           ceil(greatest(length(col("ta")), length(col("tb"))) * MaxEditFrac))

@@ -89,11 +89,24 @@ object Dedup {
     batch.join(freshIds, Seq(idCol), "left_semi")
   }
 
+  /** CPU-heavy text kernels (shingling, the 128-hash MinHash signature,
+    * SimHash, winnowing) must not inherit the SCAN's partitioning: a
+    * corpus small in BYTES arrives as 1-2 file partitions (a single
+    * parquet row group is one task no matter what maxPartitionBytes
+    * says), and the kernel serializes onto as many cores — the round-13
+    * sf1 sweep measured the minhash signature stage running 2 tasks ×
+    * 27 s on a 32-core host. Spreading the raw (id, text) rows costs one
+    * byte-cheap shuffle and lets kernel parallelism follow CORES, not
+    * file bytes; on a real many-file corpus the scan already has more
+    * partitions than this and the rebalance is a near-no-op. */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
   /** Exploded inverted index: one (id, shingle) row per distinct shingle
     * per doc. */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
+    spread(docs).select(col(idCol).as("id"),
       explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
 
   /** All document pairs (a < b) with shingle-Jaccard ≥ minJaccard, exact.
@@ -159,7 +172,7 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket,
       metricName: String = "graft_minhash_lsh",
       failOnOverflow: Boolean = false): DataFrame = {
-    val sigs = docs.select(col(idCol).cast("long").as("id"),
+    val sigs = spread(docs).select(col(idCol).cast("long").as("id"),
       LshBands(MinHashSig(TextAnalysis.shingles(col(textCol), n), k, seed), bands)
         .as("bandkeys"))
     val buckets = sigs.select(col("id"),
@@ -209,8 +222,15 @@ object Dedup {
       failOnOverflow: Boolean = false): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, n, k, bands, seed,
       maxBucket, metricName, failOnOverflow)
-    val sets = docs.select(col(idCol).cast("long").as("id"),
+    // shuffle_hash on the shingle-set side: the sets table is one row
+    // per DOCUMENT carrying its full shingle array — corpus-sized, so a
+    // broadcast of it scales with the corpus (the sf1 plan built two
+    // ~11 s single-task broadcast stages of it). SHJ shuffles candidate
+    // ids against it and builds per-partition maps — scale-safe both
+    // sides (the embedding-LSH lesson, SCALE.md r13).
+    val sets = spread(docs).select(col(idCol).cast("long").as("id"),
       TextAnalysis.shingles(col(textCol), n).as("sh"))
+      .hint("shuffle_hash")
     cands
       .join(sets.withColumnRenamed("id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sets.withColumnRenamed("id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -257,14 +277,15 @@ object Dedup {
     // side's membership per bucket (the probe/eval side is small by
     // role). With failOnOverflow the cap engaging is a loud failure, the
     // required mode on oracle-checked paths (the oracle is exhaustive).
-    def buckets(df: DataFrame, side: String) = df
+    def buckets(df: DataFrame, side: String) = spread(df)
       .select(col(idCol).cast("long").as(side),
         LshBands(MinHashSig(TextAnalysis.shingles(col(textCol), n), k, seed), bands)
           .as("bk"))
       .select(col(side), posexplode(col("bk")).as(Seq("band", "key")))
-    def sets(df: DataFrame, side: String, sh: String) = df
+    def sets(df: DataFrame, side: String, sh: String) = spread(df)
       .select(col(idCol).cast("long").as(side),
         TextAnalysis.shingles(col(textCol), n).as(sh))
+      .hint("shuffle_hash") // corpus-sized shingle table — never broadcast
     val tAgg = buckets(train, "train_id").groupBy("band", "key")
       .agg(TopKAgg(negate(col("train_id").cast("double")), col("train_id"),
         maxBucket).as("top"), count(lit(1)).as("n_members"))
@@ -505,7 +526,7 @@ object Dedup {
     // blocks are reclaimed by the ContextCleaner when the plan is
     // GC'd, unlike `persist`, whose CacheManager entry would leak one
     // cached copy per invocation for the session lifetime.
-    val index = docs.select(col(idCol).cast("long").as("id"),
+    val index = spread(docs).select(col(idCol).cast("long").as("id"),
       explode(graft.expr.WinnowSketch(col(textCol), k, w)).as("fp"))
     val fps = if (reliableCheckpoint) index.checkpoint()
       else index.localCheckpoint()
@@ -583,7 +604,7 @@ object Dedup {
     require(spanTokens >= 2,
       s"dropDuplicatedSpans: spanTokens must be >= 2, got $spanTokens")
     require(maxDf >= 1, s"dropDuplicatedSpans: maxDf must be >= 1, got $maxDf")
-    val toks = docs
+    val toks = spread(docs)
       .filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
         .as(Seq("pos", "tok")))
@@ -594,7 +615,7 @@ object Dedup {
     // element_at form, which runs interpreted and measured ~10× slower
     // here). fingerprint64 of the space-joined gram is the 8-byte
     // shuffle key (the oracle re-derives from raw grams).
-    val grams = docs
+    val grams = spread(docs)
       .filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(
         graft.expr.PositionalShinglesExpr(col(textCol), spanTokens))
@@ -661,7 +682,7 @@ object Dedup {
       s"crossCorpusContainment: minShared must be >= 1, got $minShared")
     def persist(df: DataFrame) =
       if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
-    def idx(df: DataFrame, side: String) = df.select(
+    def idx(df: DataFrame, side: String) = spread(df).select(
       col(idCol).cast("long").as(side),
       explode(graft.expr.WinnowSketch(col(textCol), k, w)).as("fp"))
     // both indexes feed two consumers (df cap / sizes, then the join) —
@@ -688,7 +709,7 @@ object Dedup {
 
   /** Per-doc 64-bit SimHash (token multiset, occurrence-weighted). */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
+    spread(docs).select(col(idCol).as("id"),
       SimHash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
 
   /** Near-dup pairs with hamming(simhash_a, simhash_b) ≤ maxHamming.
