@@ -2148,6 +2148,26 @@ object GraftParquetV2 {
     * rows). */
   def loadStatsManifest(path: String)
       : Map[String, Map[String, GraftStatsPrune.ColStats]] = {
+    // read-race tolerance, same contract as
+    // [[GraftParquetWrite.rawManifestEntries]]: a concurrent writer's
+    // sidecar swap between our listing and our open must degrade this
+    // ADVISORY pruning input to "no stats" (conservative scan), never
+    // fail planning. One retry sees a settled swap in the common case.
+    var attempt = 0
+    while (attempt < 3) {
+      try return loadStatsManifestOnce(path)
+      catch { case e: Exception =>
+        attempt += 1
+        System.err.println(s"[graft] stats-manifest read raced a swap " +
+          s"under $path (attempt $attempt): ${e.getMessage}")
+        Thread.sleep(50L * attempt)
+      }
+    }
+    Map.empty
+  }
+
+  private def loadStatsManifestOnce(path: String)
+      : Map[String, Map[String, GraftStatsPrune.ColStats]] = {
     val sidecar = new Path(s"$path/$StatsSidecar")
     val fs = sidecar.getFileSystem(GraftParquetWrite.sessionConf())
     if (!fs.exists(sidecar)) return Map.empty

@@ -773,6 +773,35 @@ object GraftParquetWrite {
     * files stay conservatively scanned — see planInputPartitions'
     * unknown-file rule). */
   def rawManifestEntries(path: String): Seq[GraftManifestEntry] = {
+    // READ-RACE TOLERANCE (round-13 CommitRaceSpec catch): a concurrent
+    // writer swaps the live sidecar between our listing and our open —
+    // the reader can hit a vanished part, or a stat/open pair that
+    // straddles the swap and reads garbage where a parquet footer
+    // should be. The sidecar is ADVISORY: a commit must never fail on
+    // it. Retry the whole read (a fresh listing sees a settled swap);
+    // still racing after that, degrade to "no manifest" — the append
+    // bootstraps a manifest covering its own files and everything else
+    // is conservatively scanned (the documented unknown-file rule).
+    var attempt = 0
+    while (true) {
+      try return rawManifestEntriesOnce(path)
+      catch {
+        case e: Exception if attempt < 3 =>
+          attempt += 1
+          System.err.println(s"[graft] manifest read raced a concurrent " +
+            s"swap under $path (attempt $attempt): ${e.getMessage}")
+          Thread.sleep(50L * attempt)
+        case e: Exception =>
+          System.err.println(s"[graft] manifest read still racing under " +
+            s"$path - degrading to no-manifest (conservative scans) " +
+            s"for this commit: ${e.getMessage}")
+          return Nil
+      }
+    }
+    Nil // unreachable
+  }
+
+  private def rawManifestEntriesOnce(path: String): Seq[GraftManifestEntry] = {
     val sidecar = new Path(s"$path/${GraftParquetV2.StatsSidecar}")
     val fs = sidecar.getFileSystem(sessionConf())
     if (!fs.exists(sidecar)) return Nil
@@ -850,6 +879,20 @@ object GraftParquetWrite {
     while (!swapped && attempt < 5) {
       fs.delete(live, true)
       swapped = fs.rename(tmp, live)
+      // MERGE HAZARD (round-13 race spec): if a cross-JVM writer
+      // re-created `live` between our delete and rename, Hadoop's local
+      // rename does NOT fail — it moves `tmp` INSIDE `live` as a child
+      // directory. Underscore-prefixed children are invisible to
+      // readers (no correctness hole), but our manifest would be
+      // silently absent; detect the nest, pull our tmp back out, and
+      // go around the loop again.
+      if (swapped) {
+        val nested = new Path(live, tmp.getName)
+        if (fs.exists(nested)) {
+          swapped = false
+          if (!fs.rename(nested, tmp)) fs.delete(nested, true)
+        }
+      }
       attempt += 1
     }
     if (!swapped) {
