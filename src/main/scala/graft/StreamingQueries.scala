@@ -33,26 +33,33 @@ object StreamingQueries {
   /** Tumbling 1-hour event counts + decimal-exact value sums, computed
     * BY THE STREAMING ENGINE: file-source readStream over the same
     * events parquet, watermark + `window()` aggregation (a real keyed
-    * state store), update-mode foreachBatch upserting each emitted
-    * (window, event_type) aggregate into a driver-side map, AvailableNow
-    * trigger to drain the source, then the final map as the result.
-    * Upsert-latest makes the result independent of how the source splits
-    * micro-batches: each batch re-emits the groups it changed, and the last
-    * emission per key IS that key's final aggregate (decimal partial
-    * sums in state are order-exact). The oracle is the SAME SQL as the
-    * batch twin `q_events_tumbling_1h` minus nothing — if the streaming
-    * state store dropped, duplicated, or mis-windowed one event, the
-    * hash breaks.
+    * state store), update-mode emissions MERGE-upserted per epoch into
+    * a graft catalog table ([[graft.streaming.TableDrain]] — the
+    * CdcApply drain generalized to composite keys), AvailableNow
+    * trigger to drain the source, then a relational READBACK of the
+    * table as the result. Upsert-latest makes the result independent
+    * of how the source splits micro-batches: each batch re-emits the
+    * groups it changed, and the last emission per key IS that key's
+    * final aggregate (decimal partial sums in state are order-exact).
+    * The oracle is the SAME SQL as the batch twin
+    * `q_events_tumbling_1h` minus nothing — if the streaming state
+    * store dropped, duplicated, or mis-windowed one event, or the
+    * drain lost an epoch, the hash breaks.
     *
-    * Scale note: what crosses to the driver is the AGGREGATE state
-    * (windows × event types), model-scale by construction — the same
-    * cardinality any streaming sink would publish; rows never collect. */
+    * Scale note (the round-14 migration off the driver-map drain):
+    * per-batch state lives in the TABLE — one MERGE per epoch, scoped
+    * by candidate-file pruning to touched keys; the driver holds only
+    * the epoch-marker check, whatever the window × key cardinality. */
   val qStreamTumbling = QueryDef("q_stream_tumbling_1h",
     (spark, dir) => {
-      import spark.implicits._
       val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_" +
-        java.util.UUID.randomUUID().toString
+      val (cat, warehouse) =
+        graft.streaming.TableDrain.ensureCatalog(spark)
+      val run = java.util.UUID.randomUUID().toString.replace("-", "")
+      val tbl = s"t_tumb_$run"
+      val target = s"$cat.sf.$tbl"
+      val path = s"$warehouse/sf/$tbl"
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_ckpt_$run"
       // the file stream source wants a DIRECTORY; glob-filter it down to
       // the events table (the other tables in the sf dir stay invisible)
       val src = spark.readStream.schema(batchSchema)
@@ -75,30 +82,24 @@ object StreamingQueries {
         .select(unix_micros(col("window.start")).as("window_start"),
           col("event_type"), col("n"),
           col("total_value_dec").cast("double").as("total_value"))
-      val acc = new java.util.concurrent.ConcurrentHashMap[
-        (Long, String), (Long, Double)]()
-      val q = agg.writeStream
+      graft.streaming.TableDrain.create(spark, target, agg.schema)
+      val q = graft.streaming.TableDrain.upsertSink(spark, agg, target,
+          path, s"tumb_$run", Seq("window_start", "event_type"),
+          Seq("n", "total_value"))
         .outputMode("update")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.collect().foreach { r =>
-            acc.put((r.getLong(0), r.getString(1)),
-              (r.getLong(2), r.getDouble(3)))
-          }
-        }
         .start()
       try q.awaitTermination() finally {
         // checkpoint state is per-run scratch — the query result is the
-        // drained map, not a resumable stream
+        // drained table, not a resumable stream
         val p = new org.apache.hadoop.fs.Path(ckpt)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        // the result is a lazy scan of the drain table: reap at exit
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(path))
       }
-      import scala.jdk.CollectionConverters._
-      acc.asScala.toSeq
-        .map { case ((w, t), (n, v)) => (w, t, n, v) }
-        .toDF("window_start", "event_type", "n", "total_value")
+      graft.streaming.TableDrain.read(spark, path)
         .orderBy("window_start", "event_type")
     },
     // identical mirror to the batch twin q_events_tumbling_1h: the
@@ -150,9 +151,13 @@ object StreamingQueries {
     * rows. */
   private[graft] def lateDrain(spark: org.apache.spark.sql.SparkSession,
       dir: String, delay: String): DataFrame = {
-      import spark.implicits._
       val ev = spark.read.parquet(s"$dir/events.parquet")
       val run = java.util.UUID.randomUUID().toString
+      val runId = run.replace("-", "")
+      val (cat, warehouse) = graft.streaming.TableDrain.ensureCatalog(spark)
+      val tbl = s"t_late_$runId"
+      val target = s"$cat.sf.$tbl"
+      val drainPath = s"$warehouse/sf/$tbl"
       val tmp = sys.props("java.io.tmpdir")
       val ingest = s"$tmp/graft_stream_late_$run"
       val ckpt = s"$tmp/graft_stream_late_ckpt_$run"
@@ -193,28 +198,24 @@ object StreamingQueries {
           .select(unix_micros(col("window.start")).as("window_start"),
             col("event_type"), col("n"),
             col("total_value_dec").cast("double").as("total_value"))
-        val acc = new java.util.concurrent.ConcurrentHashMap[
-          (Long, String), (Long, Double)]()
-        val q = agg.writeStream
+        // update-mode emissions MERGE-upserted per epoch into a graft
+        // table (TableDrain) — the late-data filter's effect lands in
+        // the table, never in a driver map
+        graft.streaming.TableDrain.create(spark, target, agg.schema)
+        val q = graft.streaming.TableDrain.upsertSink(spark, agg, target,
+            drainPath, s"late_$runId", Seq("window_start", "event_type"),
+            Seq("n", "total_value"))
           .outputMode("update")
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.collect().foreach { r =>
-              acc.put((r.getLong(0), r.getString(1)),
-                (r.getLong(2), r.getDouble(3)))
-            }
-          }
           .start()
         q.awaitTermination()
-        import scala.jdk.CollectionConverters._
-        acc.asScala.toSeq
-          .map { case ((w, t), (n, v)) => (w, t, n, v) }
-          .toDF("window_start", "event_type", "n", "total_value")
+        graft.streaming.TableDrain.read(spark, drainPath)
           .orderBy("window_start", "event_type")
       } finally {
         fs.delete(new org.apache.hadoop.fs.Path(ingest), true)
         fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(drainPath))
       }
   }
 
@@ -289,40 +290,32 @@ object StreamingQueries {
           .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast("decimal(28,10)")).as("tv_dec"))
-          .select(unix_micros(col("session_window.start")).as("session_start"),
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start"),
             unix_micros(col("session_window.end")).as("session_end"),
-            col("user_id"), col("n_events"),
+            col("n_events"),
             col("tv_dec").cast("double").as("total_value"))
-        val acc = new java.util.concurrent.ConcurrentHashMap[
-          (Long, Long), (Long, Long, Double)]()
         // session windows reject update mode (merging invalidates
         // emitted keys); COMPLETE re-emits the whole session state per
-        // batch, so clearing before each batch leaves exactly the
-        // final state — split-invariant, making the single-file
-        // staging belt-and-braces rather than load-bearing
-        val q = agg.writeStream
+        // batch, so each epoch truncate-overwrites the drain table and
+        // the LAST overwrite is exactly the final state — split-
+        // invariant, making the single-file staging belt-and-braces
+        // rather than load-bearing. Replays overwrite with identical
+        // content; the driver holds nothing (TableDrain, round 14).
+        val table = s"$tmp/graft_stream_sess_tbl_$run"
+        val q = graft.streaming.TableDrain.overwriteSink(table)(agg)
           .outputMode("complete")
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val rows = batch.collect()
-            acc.clear()
-            rows.foreach { r =>
-              acc.put((r.getLong(2), r.getLong(0)),
-                (r.getLong(1), r.getLong(3), r.getDouble(4)))
-            }
-          }
           .start()
         q.awaitTermination()
-        import scala.jdk.CollectionConverters._
-        acc.asScala.toSeq
-          .map { case ((u, s), (e, n, v)) => (u, s, e, n, v) }
-          .toDF("user_id", "session_start", "session_end", "n_events",
-            "total_value")
+        graft.streaming.TableDrain.read(spark, table)
           .orderBy("user_id", "session_start")
       } finally {
         fs.delete(new org.apache.hadoop.fs.Path(ingest), true)
         fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(
+          s"$tmp/graft_stream_sess_tbl_$run"))
       }
     },
     // gaps-and-islands sessionization: break at inter-arrival >= 2 h,
@@ -373,10 +366,11 @@ object StreamingQueries {
     * engages at test scale (the production cap story lives with the
     * operator); recall ≥ the batch path's 1 − 5e-8.
     *
-    * Scale note: what crosses to the driver is the CANDIDATE PAIR ids
-    * (near-dup cardinality, not corpus cardinality) — the same rows
-    * any at-ingest dedup alarm would publish; verification runs as a
-    * distributed join at candidate cardinality. */
+    * Scale note: candidate pairs land in a graft TABLE through the
+    * transactional streaming sink (nothing crosses the driver at any
+    * cardinality — round-14 TableDrain migration); verification runs
+    * as a distributed join at candidate cardinality over the
+    * readback. */
   val qStreamNearDup = QueryDef("q_stream_neardup_pairs",
     (spark, dir) => {
       import spark.implicits._
@@ -389,25 +383,29 @@ object StreamingQueries {
       val cands = graft.streaming.StreamingNearDup.candidatePairs(
         src, "doc_id", "text", TextQueries.ShingleN,
         minEstJaccard = 0.03, maxBucket = 1 << 20)
-      val acc = java.util.concurrent.ConcurrentHashMap
-        .newKeySet[(Long, Long)]()
+      // candidates land in a graft table through the transactional
+      // streaming sink (epoch commits) — the at-ingest dedup-alarm
+      // table any downstream consumer would read; the driver holds
+      // nothing (TableDrain migration, round 14). The readback
+      // dedupes, restoring the former driver-set's SET semantics (a
+      // pair can legitimately surface via several shared buckets).
+      val table = s"${sys.props("java.io.tmpdir")}/graft_stream_nd_tbl_" +
+        java.util.UUID.randomUUID().toString
       val q = cands.writeStream
+        .format("graft.sources.GraftParquetTableProvider")
+        .option("path", table)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[
-            graft.streaming.StreamingNearDup.Candidate], _: Long) =>
-            batch.collect().foreach(c => acc.add((c.doc_a, c.doc_b)))
-        }
         .start()
       try q.awaitTermination() finally {
         val p = new org.apache.hadoop.fs.Path(ckpt)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
+        val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fsys.delete(p, true)
+        fsys.deleteOnExit(new org.apache.hadoop.fs.Path(table))
       }
-      import scala.jdk.CollectionConverters._
-      val pairs = acc.asScala.toSeq.toDF("doc_a", "doc_b")
+      val pairs = graft.streaming.TableDrain.read(spark, table)
+        .select("doc_a", "doc_b").distinct()
       // exact-verify stage — identical arithmetic to Dedup
       // .minhashLshPairs' verification join, at candidate cardinality
       val sets = graft.core.Tables.documents(spark, dir)
@@ -527,9 +525,10 @@ object StreamingQueries {
     * state-CLEANUP semantics belong to the MemoryStream specs where
     * arrival order is explicit; the oracle row pins the join result.
     *
-    * Scale note: what crosses to the driver is the matched-pair set —
-    * the join's actual output, the cardinality any sink would write;
-    * rows never collect before the join. */
+    * Scale note: the matched-pair set lands in a graft TABLE through
+    * the transactional streaming sink (nothing crosses the driver at
+    * any match cardinality — round-14 TableDrain migration); rows
+    * never collect before or after the join. */
   val qStreamJoin = QueryDef("q_stream_join_error_purchase",
     (spark, dir) => {
       import spark.implicits._
@@ -579,27 +578,26 @@ object StreamingQueries {
         .select(col("error_id"), col("purchase_id"), col("user_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("e_ts")))
             .as("gap_us"))
-      val acc = java.util.concurrent.ConcurrentHashMap
-        .newKeySet[(Long, Long, Long, Long)]()
+      // matches land in a graft table through the transactional
+      // streaming sink — append-mode inner-join output, one row per
+      // match, epoch-committed; the driver holds nothing (TableDrain
+      // migration, round 14). A double emission from the symmetric
+      // state store would now FAIL the hash instead of being silently
+      // absorbed by a driver set — a strictly stronger gate.
+      val table = s"$tmp/graft_stream_join_tbl_$run"
       val q = joined.writeStream
+        .format("graft.sources.GraftParquetTableProvider")
+        .option("path", table)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.collect().foreach { r =>
-            acc.add((r.getLong(0), r.getLong(1), r.getLong(2),
-              r.getLong(3))); ()
-          }
-        }
         .start()
       try q.awaitTermination() finally {
         fs.delete(new org.apache.hadoop.fs.Path(ingest), true)
         fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(table))
       }
-      import scala.jdk.CollectionConverters._
-      acc.asScala.toSeq
-        .map { case (e, pch, u, g) => (e, pch, u, g) }
-        .toDF("error_id", "purchase_id", "user_id", "gap_us")
+      graft.streaming.TableDrain.read(spark, table)
         .orderBy("error_id", "purchase_id")
     },
     Some("""WITH e AS (
@@ -630,10 +628,14 @@ object StreamingQueries {
     * row drifts a count or a latitude and breaks the hash. */
   val qStreamEnrich = QueryDef("q_stream_enrich_stations",
     (spark, dir) => {
-      import spark.implicits._
       val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_enrich_ckpt_" +
-        java.util.UUID.randomUUID().toString
+      val (cat, warehouse) = graft.streaming.TableDrain.ensureCatalog(spark)
+      val run = java.util.UUID.randomUUID().toString.replace("-", "")
+      val tbl = s"t_enrich_$run"
+      val target = s"$cat.sf.$tbl"
+      val path = s"$warehouse/sf/$tbl"
+      val ckpt =
+        s"${sys.props("java.io.tmpdir")}/graft_stream_enrich_ckpt_$run"
       val stations = graft.core.Tables.stationsById(spark, dir)
         .select(col("id"), col("latitude"))
       val nStations = stations.count()
@@ -648,29 +650,25 @@ object StreamingQueries {
           sum(col("value").cast("decimal(28,10)")).as("tv_dec"))
         .select(col("sid"), col("latitude"), col("n"),
           col("tv_dec").cast("double").as("total_value"))
-      val acc = new java.util.concurrent.ConcurrentHashMap[
-        Long, (Double, Long, Double)]()
-      val q = agg.writeStream
+      // update-mode emissions MERGE-upserted per epoch into a graft
+      // table keyed by sid (TableDrain, round 14) — the unwindowed
+      // keyed state's latest aggregates live in the table, not a
+      // driver map
+      graft.streaming.TableDrain.create(spark, target, agg.schema)
+      val q = graft.streaming.TableDrain.upsertSink(spark, agg, target,
+          path, s"enrich_$run", Seq("sid"),
+          Seq("latitude", "n", "total_value"))
         .outputMode("update")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.collect().foreach { r =>
-            acc.put(r.getLong(0),
-              (r.getDouble(1), r.getLong(2), r.getDouble(3)))
-          }
-        }
         .start()
       try q.awaitTermination() finally {
         val p = new org.apache.hadoop.fs.Path(ckpt)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
+        val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fsys.delete(p, true)
+        fsys.deleteOnExit(new org.apache.hadoop.fs.Path(path))
       }
-      import scala.jdk.CollectionConverters._
-      acc.asScala.toSeq
-        .map { case (sid, (lat, n, tv)) => (sid, lat, n, tv) }
-        .toDF("sid", "latitude", "n", "total_value")
-        .orderBy("sid")
+      graft.streaming.TableDrain.read(spark, path).orderBy("sid")
     },
     Some(s"""WITH ${graft.Catalog.stationsSql},
             |e AS (
@@ -738,50 +736,65 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         qIn.awaitTermination()
-        // leg 2: connector STREAMING SOURCE → drained aggregate state
+        // leg 2: connector STREAMING SOURCE → per-batch DISTRIBUTED
+        // partials (count, decimal Σv, min, max per event type),
+        // MERGE-upserted into a PARTIALS TABLE keyed by (event_type,
+        // epoch) — replay re-sets the same values, so the drain is
+        // idempotent where a plain per-batch append would double-count
+        // (TableDrain migration, round 14; decimals ride as strings —
+        // an exact textual round-trip through the connector's
+        // primitive-only write schema). The final result re-aggregates
+        // the partials RELATIONALLY: decimal sums are exact and
+        // associative, so the total is bit-identical to a batch pass
+        // whatever the admission split — the same claim the former
+        // driver-side BigDecimal merge made, now with no driver state.
         val src = spark.readStream
           .format("graft.sources.GraftParquetTableProvider")
           .option("path", table)
           .option("maxFilesPerTrigger", "2")
           .schema(ev.schema)
           .load()
-        val acc = collection.mutable.Map.empty[
-          String, (Long, java.math.BigDecimal, Long, Long)]
-        var batches = 0
-        val qOut = src.writeStream
+        val (cat, warehouse) =
+          graft.streaming.TableDrain.ensureCatalog(spark)
+        val runId = run.replace("-", "")
+        val pt = s"t_pipe_part_$runId"
+        val ptTarget = s"$cat.sf.$pt"
+        val ptPath = s"$warehouse/sf/$pt"
+        def partialize(batch: DataFrame, bid: Long): DataFrame =
+          batch.groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(28,10)")).cast("string")
+                .as("tv"),
+              min("event_id").as("mn"), max("event_id").as("mx"))
+            .withColumn("epoch", lit(bid))
+        graft.streaming.TableDrain.create(spark, ptTarget,
+          partialize(ev.limit(0), 0L).schema)
+        val qOut = graft.streaming.TableDrain.upsertSink(spark, src,
+            ptTarget, ptPath, s"pipe_$runId", Seq("event_type", "epoch"),
+            Seq("n", "tv", "mn", "mx"), transform = partialize)
           .option("checkpointLocation", ckptOut)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val partials = batch.groupBy("event_type")
-              .agg(count(lit(1)).as("n"),
-                sum(col("value").cast("decimal(28,10)")).as("tv"),
-                min("event_id").as("mn"), max("event_id").as("mx"))
-              .collect()
-            acc.synchronized {
-              batches += 1
-              partials.foreach { r =>
-                val (n0, tv0, mn0, mx0) = acc.getOrElse(r.getString(0),
-                  (0L, java.math.BigDecimal.ZERO, Long.MaxValue, Long.MinValue))
-                acc(r.getString(0)) = (n0 + r.getLong(1),
-                  tv0.add(Option(r.getDecimal(2))
-                    .getOrElse(java.math.BigDecimal.ZERO)),
-                  math.min(mn0, r.getLong(3)), math.max(mx0, r.getLong(4)))
-              }
-            }
-          }
           .start()
         qOut.awaitTermination()
-        require(batches >= 2,
-          s"the source leg must drain in multiple batches, got $batches")
-        acc.toSeq
-          .map { case (t, (n, tv, mn, mx)) => (t, n, tv.doubleValue, mn, mx) }
-          .toDF("event_type", "n", "total_value", "min_id", "max_id")
+        val partials = graft.streaming.TableDrain.read(spark, ptPath)
+        val nEpochs = partials.select("epoch").distinct().count()
+        require(nEpochs >= 2,
+          s"the source leg must drain in multiple batches, got $nEpochs")
+        partials.groupBy("event_type")
+          .agg(sum("n").as("n"),
+            sum(col("tv").cast("decimal(38,10)")).cast("double")
+              .as("total_value"),
+            min("mn").as("min_id"), max("mx").as("max_id"))
           .orderBy("event_type")
       } finally {
         fs.delete(new org.apache.hadoop.fs.Path(ingest), true)
         fs.delete(new org.apache.hadoop.fs.Path(table), true)
         fs.delete(new org.apache.hadoop.fs.Path(ckptIn), true)
         fs.delete(new org.apache.hadoop.fs.Path(ckptOut), true)
+        // the result is a lazy scan of the partials table: reap at exit
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(
+          s"${sys.props("java.io.tmpdir")}/graft_warehouse/sf/" +
+            s"t_pipe_part_${run.replace("-", "")}"))
       }
     },
     Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -794,13 +807,16 @@ object StreamingQueries {
   /** STREAMING MOMENTS under the hash gate — the exact-power-sum
     * surface ([[graft.operators.Moments]]) proven stream ≡ batch the
     * strong way: each micro-batch contributes DECIMAL-EXACT per-type
-    * partials (count, Σv, Σv²), the driver merges them with BigDecimal
-    * addition (exact — so the totals are bit-identical to a batch pass
-    * no matter how admission control slices the files), and the final
-    * mean/stddev run the shared IEEE formula tree over the merged
-    * sums. Spark's own streaming float aggregates could not make this
-    * claim: their merge ORDER depends on the batch split. Multi-batch
-    * drain is require-asserted (maxFilesPerTrigger=2 over 3 files). */
+    * partials (count, Σv, Σv²) MERGE-upserted into a partials TABLE
+    * keyed by (event_type, epoch), and the final result re-aggregates
+    * them relationally — decimal addition is exact and associative, so
+    * the totals are bit-identical to a batch pass no matter how
+    * admission control slices the files, with no driver-side state
+    * (TableDrain, round 14) — then runs the shared IEEE formula tree
+    * over the merged sums. Spark's own streaming float aggregates
+    * could not make this claim: their merge ORDER depends on the batch
+    * split. Multi-batch drain is require-asserted (maxFilesPerTrigger=2
+    * over 3 files → ≥2 distinct epochs in the partials table). */
   val qStreamMoments = QueryDef("q_stream_moments",
     (spark, dir) => {
       import spark.implicits._
@@ -825,51 +841,63 @@ object StreamingQueries {
           .schema(ev.schema)
           .load()
         val v = col("value").cast("decimal(12,2)")
-        val acc = collection.mutable.Map.empty[
-          String, (Long, java.math.BigDecimal, java.math.BigDecimal)]
-        var batches = 0
-        val q = src.writeStream
+        // per-batch DISTRIBUTED decimal partials (count, Σv, Σv²) per
+        // event type, MERGE-upserted into a partials table keyed by
+        // (event_type, epoch) — the TableDrain migration (round 14):
+        // decimal sums are exact and associative, so re-aggregating
+        // the partials relationally is bit-identical to the former
+        // driver-side BigDecimal merge, for any admission split, with
+        // no driver state. Decimals ride as strings (exact textual
+        // round-trip through the connector's primitive write schema);
+        // count(v), not count(*): n must count exactly the values the
+        // sums saw, or an all-NULL slice would skew the mean.
+        val (cat, warehouse) =
+          graft.streaming.TableDrain.ensureCatalog(spark)
+        val pt = s"t_mom_part_${run.replace("-", "")}"
+        val ptTarget = s"$cat.sf.$pt"
+        val ptPath = s"$warehouse/sf/$pt"
+        def partialize(batch: DataFrame, bid: Long): DataFrame =
+          batch.groupBy("event_type")
+            .agg(count(v).as("cnt"),
+              sum(v).cast("string").as("sv"),
+              sum(v * v).cast("string").as("svv"))
+            .withColumn("epoch", lit(bid))
+        graft.streaming.TableDrain.create(spark, ptTarget,
+          partialize(ev.limit(0), 0L).schema)
+        val q = graft.streaming.TableDrain.upsertSink(spark, src,
+            ptTarget, ptPath, s"mom_${run.replace("-", "")}",
+            Seq("event_type", "epoch"), Seq("cnt", "sv", "svv"),
+            transform = partialize)
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            // count(v), not count(*): n must count exactly the values
-            // the sums saw, or an all-NULL slice would skew the mean
-            val partials = batch.groupBy("event_type")
-              .agg(count(v).as("cnt"),
-                sum(v).as("sv"),
-                sum(v * v).as("svv"))
-              .collect()
-            acc.synchronized {
-              batches += 1
-              partials.foreach { r =>
-                val (n0, s0, q0) = acc.getOrElse(r.getString(0),
-                  (0L, java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO))
-                // all-NULL group in a batch: sums are NULL, count 0 —
-                // the established accumulator null guard
-                acc(r.getString(0)) = (n0 + r.getLong(1),
-                  s0.add(Option(r.getDecimal(2))
-                    .getOrElse(java.math.BigDecimal.ZERO)),
-                  q0.add(Option(r.getDecimal(3))
-                    .getOrElse(java.math.BigDecimal.ZERO)))
-              }
-            }
-            ()
-          }
           .start()
         q.awaitTermination()
-        require(batches >= 2,
-          s"maxFilesPerTrigger=2 over 3 files must split the drain, got $batches")
-        acc.toSeq.filter(_._2._1 > 0L).map { case (t, (cnt, svD, svvD)) =>
-          // the shared IEEE tree over exact totals — mirrors the oracle
-          val n = cnt.toDouble
-          val sx = svD.doubleValue
-          val sxx = svvD.doubleValue
-          (t, cnt, sx / n, math.sqrt((n * sxx - sx * sx) / (n * n)))
-        }.toDF("event_type", "n_events", "mean_value", "stddev_value")
+        val partials = graft.streaming.TableDrain.read(spark, ptPath)
+        val nEpochs = partials.select("epoch").distinct().count()
+        require(nEpochs >= 2,
+          s"maxFilesPerTrigger=2 over 3 files must split the drain, got $nEpochs")
+        val totals = partials.groupBy("event_type")
+          .agg(sum("cnt").as("cnt"),
+            // sv is decimal(22,2), svv decimal(35,4) per batch — 38
+            // digits of headroom cover both sums exactly
+            sum(col("sv").cast("decimal(38,2)")).as("svd"),
+            sum(col("svv").cast("decimal(38,4)")).as("svvd"))
+          .filter(col("cnt") > 0)
+        // the shared IEEE tree over exact totals — mirrors the oracle
+        val nD = col("cnt").cast("double")
+        val sx = col("svd").cast("double")
+        val sxx = col("svvd").cast("double")
+        totals.select(col("event_type"), col("cnt").as("n_events"),
+            (sx / nD).as("mean_value"),
+            sqrt((nD * sxx - sx * sx) / (nD * nD)).as("stddev_value"))
           .orderBy("event_type")
       } finally {
         fs.delete(new org.apache.hadoop.fs.Path(table), true)
         fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        // the result is a lazy scan of the partials table: reap at exit
+        fs.deleteOnExit(new org.apache.hadoop.fs.Path(
+          s"${sys.props("java.io.tmpdir")}/graft_warehouse/sf/" +
+            s"t_mom_part_${run.replace("-", "")}"))
       }
     },
     Some("""WITH sums AS (
@@ -913,35 +941,38 @@ object StreamingQueries {
         spark, model, StreamQcWeightsPath)
       val batchSchema = spark.read
         .parquet(s"$dir/documents.parquet").schema
-      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_qc_ckpt_" +
-        java.util.UUID.randomUUID().toString
+      val (cat, warehouse) = graft.streaming.TableDrain.ensureCatalog(spark)
+      val run = java.util.UUID.randomUUID().toString.replace("-", "")
+      val tbl = s"t_qc_$run"
+      val target = s"$cat.sf.$tbl"
+      val path = s"$warehouse/sf/$tbl"
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stream_qc_ckpt_$run"
       val src = spark.readStream.schema(batchSchema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
-      val acc = new java.util.concurrent.ConcurrentHashMap[
-        Long, (Double, Double, Boolean)]()
-      val q = src.writeStream
+      // per-batch scoring (batch semantics inside foreachBatch — the
+      // per-batch gate the production ingest runs), MERGE-upserted by
+      // doc_id into a graft table: the scored corpus lives in the
+      // TABLE at corpus cardinality, the driver holds only the epoch
+      // marker (TableDrain migration, round 14 — this entry was the
+      // largest driver-map drain, per-document rows)
+      def scoreBatch(batch: DataFrame, bid: Long): DataFrame =
+        graft.text.QualityClassifier.score(batch, "doc_id", "text", model)
+      graft.streaming.TableDrain.create(spark, target,
+        scoreBatch(docs.limit(0), 0L).schema)
+      val q = graft.streaming.TableDrain.upsertSink(spark, src, target,
+          path, s"qc_$run", Seq("doc_id"), Seq("margin", "score", "keep"),
+          transform = scoreBatch)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.text.QualityClassifier
-            .score(batch, "doc_id", "text", model)
-            .collect().foreach { r =>
-              acc.put(r.getLong(0),
-                (r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
-            }
-        }
         .start()
       try q.awaitTermination() finally {
         val p = new org.apache.hadoop.fs.Path(ckpt)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
+        val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fsys.delete(p, true)
+        fsys.deleteOnExit(new org.apache.hadoop.fs.Path(path))
       }
-      import scala.jdk.CollectionConverters._
-      acc.asScala.toSeq
-        .map { case (id, (m, s, k)) => (id, m, s, k) }
-        .toDF("doc_id", "margin", "score", "keep")
-        .orderBy("doc_id")
+      graft.streaming.TableDrain.read(spark, path).orderBy("doc_id")
     },
     Some(graft.TextQueries.classifierOracle(StreamQcWeightsPath)))
 

@@ -578,6 +578,19 @@ object TextQueries {
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         ShingleN, MinJaccard, failOnOverflow = true)
       val t = docs.select(col("doc_id"), col("text"))
+      // A broadcast HINT does not degrade when the corpus outgrows the
+      // driver — Spark honors it up to the hard relation limit and then
+      // the query dies (the very cliff the r13 sf5 probe measured in
+      // lshThresholdPairs). So the text side broadcasts ONLY while its
+      // Catalyst size estimate (file-size based for parquet scans) is
+      // comfortably small; past that it degrades to SHUFFLE_HASH — an
+      // id+text shuffle, linear in the corpus, no side ever built on
+      // the driver.
+      val textSmall = t.queryExecution.optimizedPlan.stats.sizeInBytes
+        .toLong <= (1L << 30)
+      def textSide(d: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame =
+        if (textSmall) broadcast(d) else d.hint("shuffle_hash")
       pairs
         // the candidate stream is byte-tiny but each pair costs an
         // O(L²) DP. Two optimizer behaviors conspire to serialize it:
@@ -586,15 +599,15 @@ object TextQueries {
         // post-join repartition to shuffle fewer bytes — both optimize
         // bytes, not CPU (the multimodal codec lesson, SCALE.md r13).
         // So: explicit-count repartition of the PAIRS (AQE-preserved),
-        // then BROADCAST text joins — no exchange above the spread, and
-        // the DP's inputs don't exist below it, so it cannot sink.
-        // (When the corpus outgrows broadcast, its join partitions are
-        // byte-big and AQE keeps them parallel anyway.)
+        // then size-guarded broadcast text joins — no exchange above
+        // the spread, and the DP's inputs don't exist below it, so it
+        // cannot sink. (On the shuffle_hash fallback the join exchanges
+        // are byte-big and AQE keeps them parallel anyway.)
         .repartition(spark.sparkContext.defaultParallelism,
           col("doc_a"), col("doc_b"))
-        .join(broadcast(t.select(col("doc_id").as("doc_a"),
+        .join(textSide(t.select(col("doc_id").as("doc_a"),
           col("text").as("ta"))), "doc_a")
-        .join(broadcast(t.select(col("doc_id").as("doc_b"),
+        .join(textSide(t.select(col("doc_id").as("doc_b"),
           col("text").as("tb"))), "doc_b")
         .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
         .filter(col("edit_dist") <=

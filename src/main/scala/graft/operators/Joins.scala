@@ -26,8 +26,12 @@ object Joins {
     */
   def saltedJoin(skewed: DataFrame, modest: DataFrame, keys: Seq[String],
       salts: Int, saltSource: Column, joinType: String = "inner"): DataFrame = {
+    // coalesce: a NULL saltSource must land in bucket 0, not produce a
+    // NULL _salt that silently drops the row from the inner join —
+    // salting has to be invisible relative to the plain join
     val salted = skewed.withColumn("_salt",
-      pmod(graft.expr.Fingerprint64(saltSource.cast("string")), lit(salts)).cast("int"))
+      pmod(coalesce(graft.expr.Fingerprint64(saltSource.cast("string")),
+        lit(0L)), lit(salts)).cast("int"))
     val replicated = modest.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")

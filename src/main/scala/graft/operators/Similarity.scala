@@ -304,7 +304,9 @@ object Similarity {
     * threshold regime (near-dup, minCosine ≳ 0.9) where bucket collision
     * probability for true pairs is high and buckets stay small; recall
     * for cosine ≥ .9 at the defaults is ≈ 99.6% (see [[lshCandidates]]).
-    * Candidate generation shuffles 8-byte ids, never vectors. */
+    * Candidate generation shuffles 8-byte ids, never vectors. Inherits
+    * [[lshCandidates]]' BUCKET CAP: buckets beyond `maxBucket` drop
+    * candidates silently unless `failOnOverflow` — see the note there. */
   def lshThresholdPairs(vectors: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, nBits: Int = 8, tables: Int = 16,
       seed: Long = 7L, maxBucket: Int = Dedup.DefaultMaxBucket,
@@ -417,7 +419,20 @@ object Similarity {
     * 1−(1−p)^tables. Defaults 8 bits × 16 tables: cosine ≥ .9 (θ≤26°) →
     * recall ≈ 99.6%; the moderate-similarity tail (cos ≈ .6) still ≈ 60%.
     * Signatures are plain longs: candidate generation is an equi-self-join
-    * keyed on (table, sig) — an 8-byte shuffle key, never the vectors. */
+    * keyed on (table, sig) — an 8-byte shuffle key, never the vectors.
+    *
+    * BUCKET CAP (round 13 — a contract change from the earlier
+    * exhaustive behavior): each (table, sig) bucket's membership is
+    * capped at `maxBucket` (default [[Dedup.DefaultMaxBucket]] = 4096,
+    * smallest ids kept, deterministic). On a self-similar corpus a
+    * mega-bucket's pairs beyond the cap are SILENTLY DROPPED — recall
+    * loss is visible only through the `metricName` observe metric
+    * (`overflowed_buckets`) unless `failOnOverflow = true`, which turns
+    * cap engagement into a loud failure. Callers of this and the
+    * derived [[lshThresholdPairs]]/[[lshTopKPairs]] that need the old
+    * exhaustive semantics must raise `maxBucket` or set
+    * `failOnOverflow`; the default favors bounded work at 100 TB over
+    * silent OOM on corpora where every vector shares a bucket. */
   def lshCandidates(vectors: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 8, tables: Int = 16, seed: Long = 7L,
       maxBucket: Int = Dedup.DefaultMaxBucket,
@@ -467,7 +482,10 @@ object Similarity {
   }
 
   /** Approximate global top-N pairs: LSH candidates verified with exact
-    * cosine. Same output shape as [[topPairs]]; recall measured in specs. */
+    * cosine. Same output shape as [[topPairs]]; recall measured in specs.
+    * Inherits [[lshCandidates]]' BUCKET CAP: buckets beyond `maxBucket`
+    * drop candidates silently unless `failOnOverflow` — see the note
+    * there. */
   def lshTopKPairs(vectors: DataFrame, idCol: String, vecCol: String,
       topN: Int, nBits: Int = 8, tables: Int = 16, seed: Long = 7L,
       maxBucket: Int = Dedup.DefaultMaxBucket,

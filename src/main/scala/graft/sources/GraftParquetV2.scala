@@ -2153,10 +2153,16 @@ object GraftParquetV2 {
     // sidecar swap between our listing and our open must degrade this
     // ADVISORY pruning input to "no stats" (conservative scan), never
     // fail planning. One retry sees a settled swap in the common case.
+    // Only race-shaped failures degrade (vanished part / truncated
+    // stream / torn footer — [[GraftParquetWrite
+    // .raceShapedManifestFailure]]); a decode bug or persistent
+    // corruption throws so the defect surfaces instead of pruning
+    // silently turning off forever.
     var attempt = 0
     while (attempt < 3) {
       try return loadStatsManifestOnce(path)
-      catch { case e: Exception =>
+      catch { case e: Exception
+          if GraftParquetWrite.raceShapedManifestFailure(e) =>
         attempt += 1
         System.err.println(s"[graft] stats-manifest read raced a swap " +
           s"under $path (attempt $attempt): ${e.getMessage}")

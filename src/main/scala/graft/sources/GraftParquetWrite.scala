@@ -782,16 +782,20 @@ object GraftParquetWrite {
     // still racing after that, degrade to "no manifest" — the append
     // bootstraps a manifest covering its own files and everything else
     // is conservatively scanned (the documented unknown-file rule).
+    // Only RACE-SHAPED failures take this path (vanished file,
+    // truncated stream, torn footer): persistent corruption or a code
+    // bug (schema drift, decode error) must THROW, not silently turn
+    // pruning off forever behind a stderr line.
     var attempt = 0
     while (true) {
       try return rawManifestEntriesOnce(path)
       catch {
-        case e: Exception if attempt < 3 =>
+        case e: Exception if raceShapedManifestFailure(e) && attempt < 3 =>
           attempt += 1
           System.err.println(s"[graft] manifest read raced a concurrent " +
             s"swap under $path (attempt $attempt): ${e.getMessage}")
           Thread.sleep(50L * attempt)
-        case e: Exception =>
+        case e: Exception if raceShapedManifestFailure(e) =>
           System.err.println(s"[graft] manifest read still racing under " +
             s"$path - degrading to no-manifest (conservative scans) " +
             s"for this commit: ${e.getMessage}")
@@ -799,6 +803,30 @@ object GraftParquetWrite {
       }
     }
     Nil // unreachable
+  }
+
+  /** True iff `e` looks like a concurrent-swap race on the advisory
+    * stats sidecar — a vanished part file, a truncated stream, or a
+    * torn parquet footer — the only failures the manifest readers may
+    * retry-then-degrade on. Anything else (decode bug, schema drift,
+    * persistent corruption) is a real defect and must propagate. */
+  def raceShapedManifestFailure(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 8) {
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case _: java.io.EOFException => return true
+        case other =>
+          val m = Option(other.getMessage).getOrElse("")
+          if (m.contains("magic number") ||
+              m.contains("is not a Parquet file") ||
+              m.contains("does not exist")) return true
+      }
+      t = t.getCause
+      depth += 1
+    }
+    false
   }
 
   private def rawManifestEntriesOnce(path: String): Seq[GraftManifestEntry] = {
@@ -875,8 +903,9 @@ object GraftParquetWrite {
     } finally w.close()
     val live = new Path(table, GraftParquetV2.StatsSidecar)
     var swapped = false
+    var tmpLost = false
     var attempt = 0
-    while (!swapped && attempt < 5) {
+    while (!swapped && !tmpLost && attempt < 5) {
       fs.delete(live, true)
       swapped = fs.rename(tmp, live)
       // MERGE HAZARD (round-13 race spec): if a cross-JVM writer
@@ -890,7 +919,14 @@ object GraftParquetWrite {
         val nested = new Path(live, tmp.getName)
         if (fs.exists(nested)) {
           swapped = false
-          if (!fs.rename(nested, tmp)) fs.delete(nested, true)
+          if (!fs.rename(nested, tmp)) {
+            // our tmp is unrecoverable: another loop iteration would
+            // delete the OTHER writer's committed sidecar with nothing
+            // left to swap in — strictly worse than losing the race.
+            // Clean the nest and take the degrade path immediately.
+            fs.delete(nested, true)
+            tmpLost = true
+          }
         }
       }
       attempt += 1

@@ -94,6 +94,26 @@ class JoinsSpec extends SparkSpec {
     assert(plain.size == 101)
   }
 
+  test("saltedJoin: NULL saltSource rows land in bucket 0, not dropped") {
+    // the 'salting must be invisible' invariant on a NULLABLE salt
+    // column: a null fingerprint must coalesce to bucket 0, or the
+    // inner join on (_salt) silently drops the row vs the plain join
+    val skewSchema = StructType(Seq(StructField("k", LongType, false),
+      StructField("id", LongType, true)))
+    val dimSchema = StructType(Seq(StructField("k", LongType, false),
+      StructField("name", StringType, false)))
+    val skewRows = Seq(Row(7L, null), Row(7L, 1L), Row(1L, null))
+    val skewed = Sources.inMemory(spark, skewRows, skewSchema)
+    val dim = Sources.inMemory(spark,
+      Seq(Row(7L, "hot"), Row(1L, "a")), dimSchema)
+    val plain = rows(skewed.join(dim, Seq("k")))
+      .map(r => (r.getLong(0), r.get(1), r.getString(2))).toSet
+    val salted = rows(Joins.saltedJoin(skewed, dim, Seq("k"), 8, col("id")))
+      .map(r => (r.getLong(0), r.get(1), r.getString(2))).toSet
+    assert(salted == plain)
+    assert(plain.size == 3)
+  }
+
   test("AQE skew-join splits the hot key that saltedJoin handles manually") {
     // The engine's two answers to join skew must agree: Joins.saltedJoin
     // (explicit salting) and AQE's runtime skew split. Deliberately skew a
