@@ -762,6 +762,64 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
 
+  /** BRANCHES under the hash gate ([[graft.sources.GraftTableLog]]
+    * branch refs + [[graft.sources.GraftMaintenance.fastForward]]) —
+    * the write-audit-publish lifecycle Iceberg calls WAP, end to end
+    * in one entry: seed main, fork a branch at head, append to the
+    * branch TWICE through the `branch` write option (two global
+    * versions, the ref re-pointing each time — main's live listing
+    * never sees the invisible `_branch_exp/` lineage), read the branch
+    * via `VERSION AS OF 'exp'`, prove main is bit-identical to its
+    * pre-branch fingerprint, then `CALL system.fast_forward` to adopt
+    * the branch (legal precisely because main never advanced) and
+    * fingerprint the merged head against the oracle recomputing the
+    * three slices from `orders`. A leaked branch file into main, a
+    * lost branch commit, a wrong ref re-point, or an adoption that
+    * dropped/duplicated a file all drift the final fingerprint. */
+  val qSqlBranch = QueryDef("q_sql_branch",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("append").save()                                  // main v1
+      val mainBefore = fingerprint(
+        spark.read.format(fmt).option("path", path).load()).collect().toSeq
+      spark.sql(s"CALL $cat.system.create_branch(" +
+        s"table => 'sf.$tbl', name => 'exp')")
+      slice(orders, 1).write.format(fmt).option("path", path)
+        .option("branch", "exp").mode("append").save()          // exp v2
+      slice(orders, 2).write.format(fmt).option("path", path)
+        .option("branch", "exp").mode("append").save()          // exp v3
+      val (head, base) = GraftTableLog.readBranch(path, "exp").getOrElse(
+        throw new IllegalStateException("branch 'exp' vanished"))
+      require(base == 1L && head == 3L,
+        s"two branch appends must re-point exp to v3 (got $head/$base)")
+      require(fingerprint(spark.read.format(fmt).option("path", path)
+          .load()).collect().toSeq == mainBefore,
+        "branch writes must leave main bit-identical")
+      // the branch view through the ordinary time-travel path
+      val expRows = spark.read.format(fmt).option("path", path)
+        .option("versionAsOf", "exp").load().count()
+      val wantRows = spark.read.format(fmt).option("path", path).load()
+        .count() + slice(orders, 1).count() + slice(orders, 2).count()
+      require(expRows == wantRows,
+        s"VERSION AS OF 'exp' must see main + both branch appends " +
+          s"($expRows vs $wantRows)")
+      val ff = spark.sql(s"CALL $cat.system.fast_forward(" +
+        s"table => 'sf.$tbl', name => 'exp')").head()
+      require(ff.getInt(1) >= 2,
+        s"fast_forward must adopt the branch files, got ${ff.getInt(1)}")
+      require(GraftTableLog.branches(path).isEmpty,
+        "fast_forward must drop the adopted ref")
+      // branch-era versions stay time-travelable after adoption (the
+      // moved files resolve by basename)
+      require(spark.read.format(fmt).option("path", path)
+          .option("versionAsOf", "2").load().count() > 0,
+        "the intermediate branch version must stay readable post-adopt")
+      fingerprint(spark.read.format(fmt).option("path", path).load())
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1, 2)")))
+
   /** SQL `MERGE … WITH SCHEMA EVOLUTION` under the hash gate: Spark's
     * NATIVE evolution syntax, gated on the connector advertising
     * `TableCapability.AUTOMATIC_SCHEMA_EVOLUTION` — the analyzer routes
@@ -1574,7 +1632,8 @@ object LakehouseQueries {
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
       qSqlUpdateDv, qSqlDeleteDv, qSqlRewriteDeletes,
       qMergeSchemaEvolution, qSqlMergeEvolution, qSqlRenameColumn,
-      qSqlCtas, qSqlPartitioned, qChangeFeedCdc, qStreamFromVersion,
+      qSqlCtas, qSqlBranch, qSqlPartitioned, qChangeFeedCdc,
+      qStreamFromVersion,
       qStreamCatalogTable, qSqlRollback, qSqlTagTravel, qBloomPointLookup,
       qSqlAnalyze, qClusteredWindow, qSqlConstraints, qSqlMetadataTables,
       qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry,

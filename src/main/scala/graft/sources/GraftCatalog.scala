@@ -385,7 +385,8 @@ class GraftCatalog extends TableCatalog
     if (namespace.sameElements(SystemNs))
       Array("compact", "vacuum", "history", "ann_probe",
         "rewrite_deletes", "detail", "rollback", "tag", "drop_tag",
-        "tags", "build_bloom", "analyze", "add_constraint",
+        "tags", "create_branch", "drop_branch", "branches",
+        "fast_forward", "build_bloom", "analyze", "add_constraint",
         "drop_constraint", "constraints", "remove_orphan_files",
         "set_partition_spec", "recluster").map(Identifier.of(SystemNs, _))
     else Array.empty
@@ -659,6 +660,66 @@ class GraftCatalog extends TableCatalog
             new GenericInternalRow(Array[Any](UTF8String.fromString(n), v))
           }
         })
+      // BRANCHES ([[GraftTableLog]] branch refs): fork a writable
+      // lineage at a version (default: head), append to it via the
+      // `branch` write option, read it via `VERSION AS OF '<name>'`,
+      // adopt it with fast_forward (legal only while main is
+      // unchanged), or drop it (lineage files archive — still
+      // time-travelable until vacuum).
+      case "create_branch" => new GraftProcedure("create_branch",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", LongType)
+            .defaultValue("-1").build()),
+        StructType(Seq(StructField("name", StringType),
+          StructField("version", LongType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val name = in.getString(1)
+          val v = Some(in.getLong(2)).filter(_ >= 0).getOrElse(
+            GraftTableLog.latestVersion(p).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft create_branch: ${in.getString(0)} has no " +
+                  "committed version")))
+          GraftTableLog.createBranch(p, name, v)
+          Seq(new GenericInternalRow(Array[Any](
+            UTF8String.fromString(name), v)))
+        })
+      case "drop_branch" => new GraftProcedure("drop_branch",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("dropped", BooleanType),
+          StructField("files_archived", IntegerType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val n = GraftMaintenance.dropBranch(p, in.getString(1))
+          Seq(new GenericInternalRow(Array[Any](n >= 0, math.max(n, 0))))
+        })
+      case "branches" => new GraftProcedure("branches",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(StructField("name", StringType),
+          StructField("head", LongType),
+          StructField("base", LongType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          GraftTableLog.branches(p).map { case (n, h, b) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(n), h, b))
+          }
+        })
+      case "fast_forward" => new GraftProcedure("fast_forward",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("new_version", LongType),
+          StructField("files_adopted", IntegerType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val (v, n) = GraftMaintenance.fastForward(p, in.getString(1))
+          Seq(new GenericInternalRow(Array[Any](v, n)))
+        })
       // TABLE-LEVEL COLUMN STATISTICS ([[GraftAnalyze]]): one
       // distributed pass (NDV via HLL++, null counts, length moments
       // + exact row count), persisted as `_graft_colstats` and served
@@ -843,6 +904,7 @@ class GraftCatalog extends TableCatalog
         s"graft catalog: unknown procedure '$other' — " +
           "available: compact, vacuum, history, ann_probe, " +
           "rewrite_deletes, detail, rollback, tag, drop_tag, tags, " +
+          "create_branch, drop_branch, branches, fast_forward, " +
           "build_bloom, analyze, add_constraint, drop_constraint, " +
           "constraints, remove_orphan_files, set_partition_spec, " +
           "recluster")

@@ -639,6 +639,12 @@ object GraftMaintenance {
       s"graft rollback: version $version is ahead of head $head")
     val (wantRels, wantDvRels, _) =
       GraftTableLog.readSnapshotFull(table, version)
+    // a branch-owned version's files live outside the main lineage —
+    // restoring them as the head would leave invisible `_branch_*`
+    // paths squatting under main's listing rules
+    require(wantRels.forall(!_.startsWith("_branch_")),
+      s"graft rollback: version $version of $table belongs to a branch " +
+        "lineage — read it via VERSION AS OF, or fast_forward the branch")
     // validate EVERY wanted file is still resolvable BEFORE any move —
     // a vacuumed generation refuses with zero side effects
     GraftTableLog.resolveAll(table, wantRels ++ wantDvRels)
@@ -696,6 +702,96 @@ object GraftMaintenance {
         s"graft rollback: commit left no log version under $table"))
   }
 
+  /** FAST-FORWARD a branch into main — the git condition made exact in
+    * state space: legal only while main's CURRENT file set equals the
+    * branch's BASE snapshot (main unchanged since the fork; a diverged
+    * main refuses — re-create the branch and replay). Adoption is the
+    * visibility flip: every branch-added file renames from the
+    * invisible `_branch_<name>/` lineage dir into the table root under
+    * its basename (unique by writeId construction), one main snapshot
+    * commits the adopted set with the branch's pruning entries riding
+    * into the live manifest, and the ref drops. Branch-era versions
+    * stay time-travelable: [[GraftTableLog.resolveAll]] resolves their
+    * `_branch_*` rels to the moved basenames. At object-store scale
+    * the flip would be a manifest swap instead of N renames — the
+    * local-FS rename is the honest single-filesystem equivalent.
+    * Returns (new main version, files adopted). */
+  def fastForward(table: String, branch: String): (Long, Int) = {
+    val (head, base) = GraftTableLog.readBranch(table, branch).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft fast_forward: branch '$branch' does not exist on $table"))
+    val liveRels = (try GraftParquetV2.listFiles(table) catch {
+      case _: java.io.FileNotFoundException => Nil
+    }).map(GraftTableLog.relativize(table, _)).toSet
+    val (baseRels, _, _) = GraftTableLog.readSnapshotFull(table, base)
+    require(liveRels == baseRels.toSet,
+      s"graft fast_forward: main advanced since branch '$branch' forked " +
+        s"at version $base of $table — fast-forward is only legal while " +
+        "main is unchanged; create a fresh branch and replay instead")
+    val (headRels, _, _) = GraftTableLog.readSnapshotFull(table, head)
+    val adopted = headRels.filterNot(baseRels.toSet)
+    require(adopted.forall(_.startsWith(s"_branch_$branch/")),
+      s"graft fast_forward: branch '$branch' head carries files outside " +
+        s"its own lineage dir under $table — refusing a corrupt ref")
+    val root = new Path(table)
+    val fs = root.getFileSystem(conf)
+    if (adopted.isEmpty) { // nothing to adopt: drop the ref, done
+      GraftTableLog.dropBranchRef(table, branch)
+      fs.delete(new Path(root, s"_branch_$branch"), true)
+      return (GraftTableLog.latestVersion(table).getOrElse(base), 0)
+    }
+    // the visibility flip — validated collision-free BEFORE any move
+    adopted.foreach { rel =>
+      val dest = new Path(root, new Path(rel).getName)
+      require(!fs.exists(dest),
+        s"graft fast_forward: basename collision at $dest under $table")
+    }
+    adopted.foreach { rel =>
+      require(fs.rename(new Path(root, rel),
+        new Path(root, new Path(rel).getName)),
+        s"graft fast_forward: rename failed for $rel under $table")
+    }
+    fs.delete(new Path(root, s"_branch_$branch"), true)
+    // one main commit: the live listing now equals base + adopted; the
+    // branch head's manifest rows (keyed by basename — unchanged by
+    // the move) ride into the new head so pruning survives adoption
+    val entries = GraftTableLog.readSnapshotEntries(table, head)
+    GraftParquetWrite.commitMetadata(table, entries,
+      s"ff-$branch-${java.util.UUID.randomUUID().toString}",
+      dvMaybeStale = false)
+    GraftTableLog.dropBranchRef(table, branch)
+    val v = GraftTableLog.latestVersion(table).getOrElse(
+      throw new IllegalStateException(
+        s"graft fast_forward: commit left no log version under $table"))
+    (v, adopted.size)
+  }
+
+  /** DROP a branch: the ref goes away and its unmerged lineage files
+    * ARCHIVE (rel structure preserved), so branch-era versions remain
+    * time-travelable until vacuum reclaims them — the tag-drop
+    * retention story applied to a lineage. Returns files archived; -1
+    * when the branch did not exist. */
+  def dropBranch(table: String, branch: String): Int = {
+    if (GraftTableLog.readBranch(table, branch).isEmpty) return -1
+    val root = new Path(table)
+    val fs = root.getFileSystem(conf)
+    val dir = new Path(root, s"_branch_$branch")
+    var archived = 0
+    if (fs.exists(dir)) {
+      def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) {
+          GraftTableLog.archiveFile(table, st.getPath.toString)
+          archived += 1
+        }
+      }
+      walk(dir)
+      fs.delete(dir, true)
+    }
+    GraftTableLog.dropBranchRef(table, branch)
+    archived
+  }
+
   /** Reclaim history: keep the newest `retainLast` versions — plus,
     * when `retainHours` is set, every version committed within that
     * horizon (commit time = the snapshot file's mtime, the same clock
@@ -730,8 +826,11 @@ object GraftMaintenance {
     }
     // tagged versions are RETENTION ROOTS: a tag pins its snapshot and
     // every file it references past any count/time policy — vacuum
-    // reclaims them only after drop_tag
-    val tagged = GraftTableLog.tags(table).map(_._2).toSet
+    // reclaims them only after drop_tag. Branch HEADS and BASES pin
+    // the same way: a live branch must stay readable (head) and
+    // fast-forwardable (base) whatever main does in the meantime
+    val tagged = GraftTableLog.tags(table).map(_._2).toSet ++
+      GraftTableLog.branches(table).flatMap(b => Seq(b._2, b._3))
     val retained = all.filter(v =>
       timeRetained.contains(v) || tagged.contains(v) ||
         all.takeRight(retainLast).contains(v))

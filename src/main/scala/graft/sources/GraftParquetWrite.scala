@@ -153,8 +153,27 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
     // any task launches, never silently skips ([[GraftConstraints]])
     val constraints = GraftConstraints.boundFor(
       org.apache.spark.sql.SparkSession.active, path, info.schema())
+    // the `branch` WRITE OPTION routes this append onto a named branch
+    // ([[GraftTableLog]] branches): files land under the invisible
+    // `_branch_<name>/` dir, the commit claims a global version whose
+    // snapshot extends the BRANCH head, and main stays untouched.
+    // Append-only and flat (no partition dirs) — overwrite semantics
+    // and layout evolution belong to main, not an experiment lineage.
+    val branch = Option(info.options.get("branch")).map(_.trim)
+      .filter(_.nonEmpty)
+    branch.foreach { b =>
+      require(!doTruncate,
+        "graft parquet v2 write: branch writes are append-only — " +
+          "overwrite a branch by drop_branch + re-create")
+      require(partCols.isEmpty,
+        "graft parquet v2 write: branch writes do not take partition " +
+          "columns — partition layout is a main-lineage property")
+      require(GraftTableLog.readBranch(path, b).isDefined,
+        s"graft parquet v2 write: branch '$b' does not exist on $path " +
+          "— CALL system.create_branch first")
+    }
     new GraftBatchWrite(path, info.schema(), doTruncate, partCols,
-      dynamic, info.queryId(), bloomSpec, constraints)
+      dynamic, info.queryId(), bloomSpec, constraints, branch)
   }
 }
 
@@ -163,7 +182,8 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     queryId: String = "",
     bloomSpec: Option[(Seq[String], Double)] = None,
     constraints: Seq[(String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    branch: Option[String] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val writeId = UUID.randomUUID().toString
@@ -200,6 +220,9 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     require(!truncate && !dynamicOverwrite,
       "graft parquet v2 streaming sink is append-only — complete/" +
         "truncate output modes are not supported")
+    require(branch.isEmpty,
+      "graft parquet v2 streaming sink does not take the branch " +
+        "option — stream to main, or foreachBatch a branch append")
     this
   }
 
@@ -249,6 +272,29 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     val staging = new Path(path, s"_staging-$writeId")
     val committed = messages.collect {
       case GraftCommitMessage(fsq, stats) if fsq.nonEmpty => (fsq, stats)
+    }
+    branch.foreach { b =>
+      // BRANCH COMMIT: files rename into the invisible `_branch_<b>/`
+      // lineage dir (main listings never see them), the snapshot
+      // extends the BRANCH head's file set under a global version
+      // number, and the ref re-points. The live stats sidecar is NOT
+      // touched: it prunes MAIN scans, and branch files must stay out
+      // of it — branch reads prune via their snapshot's own entries.
+      val relPrefix = s"_branch_$b/$writeId"
+      committed.foreach { case (fsq, _) =>
+        fsq.foreach { f =>
+          val dest = new Path(path, s"$relPrefix/$f")
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(new Path(staging, f), dest),
+            s"graft parquet v2 branch commit: rename failed for $f")
+        }
+      }
+      fs.delete(staging, true)
+      if (committed.nonEmpty)
+        GraftParquetWrite.commitBranchMetadata(path, b,
+          committed.flatMap(_._1).map(f => s"$relPrefix/$f").toSeq,
+          committed.flatMap(_._2).toSeq, writeId)
+      return
     }
     // TRUNCATE deletes the old generation BEFORE renaming the new one
     // in: a reader racing the commit sees a shrinking-then-growing table
@@ -766,6 +812,44 @@ object GraftParquetWrite {
     }
     replaceManifest(path, entries, writeId)
   }
+
+  /** Commit a BRANCH append: claim the next GLOBAL version with a
+    * snapshot = the branch head's file set + `newRels`, then re-point
+    * the branch ref. The main lineage is untouched — main commits list
+    * live files only, and `_branch_*` dirs are invisible to listings,
+    * so concurrent main appends and branch appends interleave safely
+    * under the shared claim loop. */
+  def commitBranchMetadata(path: String, branch: String,
+      newRels: Seq[String], newEntries: Seq[GraftManifestEntry],
+      writeId: String): Unit =
+    manifestLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      val (head, _) = GraftTableLog.readBranch(path, branch).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft parquet v2 write: branch '$branch' vanished under " +
+            s"$path mid-commit"))
+      val (headRels, headDvRels, _) =
+        GraftTableLog.readSnapshotFull(path, head)
+      val headEntries = GraftTableLog.readSnapshotEntries(path, head)
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        GraftTableLog.latestVersion(path)
+          .foreach(GraftTableLog.healTornSnapshot(path, _))
+        val v0 = GraftTableLog.latestVersion(path).getOrElse(0L)
+        try {
+          GraftTableLog.writeSnapshot(path, v0 + 1L, writeId,
+            headRels ++ newRels, headEntries ++ newEntries, headDvRels)
+          GraftTableLog.updateBranchHead(path, branch, v0 + 1L)
+          committed = true
+        } catch {
+          case e: java.io.IOException => // claim lost — retry next number
+            attempt += 1
+            if (attempt > 50) throw new IllegalStateException(
+              s"graft parquet v2 branch write: lost the version-claim " +
+                s"race 50 times under $path — giving up", e)
+        }
+      }
+    }
 
   /** The live sidecar's rows, undecoded — what an APPEND must carry
     * forward. Missing sidecar → Nil (the append then bootstraps a

@@ -330,6 +330,9 @@ object GraftTableLog {
     require(versions(table).contains(version),
       s"graft table log: cannot tag version $version of $table — " +
         s"available: ${versions(table).mkString("[", ", ", "]")}")
+    require(readBranch(table, name).isEmpty,
+      s"graft table log: '$name' already names a branch on $table — " +
+        "refs share one namespace so VERSION AS OF stays unambiguous")
     val fs = p.getFileSystem(conf)
     fs.mkdirs(p.getParent)
     val out =
@@ -375,17 +378,136 @@ object GraftTableLog {
       }.sortBy(_._1)
   }
 
-  /** A version REFERENCE — a number or a tag name — to its version.
-    * The shared resolver behind `VERSION AS OF` and the `versionAsOf`
-    * read option. */
+  /** A version REFERENCE — a number, a tag name, or a branch name — to
+    * its version (a branch resolves to its HEAD). The shared resolver
+    * behind `VERSION AS OF` and the `versionAsOf` read option. */
   def resolveVersionRef(table: String, ref: String): Long =
     ref.toLongOption.getOrElse {
-      tags(table).collectFirst { case (n, v) if n == ref => v }.getOrElse(
-        throw new IllegalArgumentException(
-          s"graft table log: '$ref' is neither a version number nor a " +
-            s"tag of $table — tags: " +
-            tags(table).map(_._1).mkString("[", ", ", "]")))
+      tags(table).collectFirst { case (n, v) if n == ref => v }
+        .orElse(readBranch(table, ref).map(_._1))
+        .getOrElse(
+          throw new IllegalArgumentException(
+            s"graft table log: '$ref' is neither a version number, a " +
+              s"tag, nor a branch of $table — tags: " +
+              tags(table).map(_._1).mkString("[", ", ", "]") +
+              ", branches: " +
+              branches(table).map(_._1).mkString("[", ", ", "]")))
     }
+
+  // ——— BRANCHES ——————————————————————————————————————————————————————
+  //
+  // A branch is a RE-POINTABLE ref (`_graft_refs/branch.<name>`,
+  // content "head\nbase") plus an invisible data lineage: files a
+  // branch write commits live under `_branch_<name>/` inside the table
+  // root — an underscore directory the main listing never sees, so
+  // MAIN readers are untouched at zero planning cost. Branch commits
+  // claim GLOBAL version numbers in the one snapshot log (the Iceberg
+  // convention: all snapshots in one metadata history, refs select
+  // lineages); a branch commit's snapshot = its parent BRANCH head's
+  // file set + the new files, so `VERSION AS OF '<branch>'` reads the
+  // branch state through the ordinary time-travel path. Fast-forward
+  // ([[GraftMaintenance.fastForward]]) adopts the branch into main by
+  // renaming its files into the table root (the visibility flip — at
+  // object-store scale this would be a manifest flip instead) and
+  // committing one main snapshot. Branch HEADS are vacuum retention
+  // roots, like tags. Writers: one writer per branch (the ref update
+  // is delete+rename, same single-writer contract overwrites carry).
+
+  /** Branch ref file. Shares the tag namespace grammar. */
+  private def branchPath(table: String, name: String): Path = {
+    require(TagNameRe.pattern.matcher(name).matches(),
+      s"graft table log: invalid branch name '$name' — want " +
+        "[A-Za-z][A-Za-z0-9_.-]{0,127}")
+    new Path(refsPath(table), s"branch.$name")
+  }
+
+  /** Fork `name` at `version` (must be committed). Exclusive create —
+    * re-pointing an existing branch is a branch WRITE or drop+create,
+    * never a silent move. */
+  def createBranch(table: String, name: String, version: Long): Unit = {
+    val p = branchPath(table, name)
+    require(versions(table).contains(version),
+      s"graft table log: cannot branch at version $version of $table — " +
+        s"available: ${versions(table).mkString("[", ", ", "]")}")
+    require(!tags(table).exists(_._1 == name),
+      s"graft table log: '$name' already names a tag on $table — " +
+        "refs share one namespace so VERSION AS OF stays unambiguous")
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p.getParent)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"graft table log: branch '$name' already exists on $table")
+      }
+    try out.write(s"$version\n$version".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (head, base) of branch `name`; None when it does not exist. A
+    * read racing a head update (delete+rename window) retries once. */
+  def readBranch(table: String, name: String): Option[(Long, Long)] = {
+    if (!TagNameRe.pattern.matcher(name).matches()) return None
+    val p = branchPath(table, name)
+    val fs = p.getFileSystem(conf)
+    def once(): Option[(Long, Long)] = {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val body =
+        try {
+          val buf = new Array[Byte](128)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0), "UTF-8").trim
+        } finally in.close()
+      body.split('\n').map(_.trim) match {
+        case Array(h, b) => Some((h.toLong, b.toLong))
+        case other => throw new IllegalStateException(
+          s"graft table log: branch file branch.$name of $table is " +
+            s"corrupt (content '$body')")
+      }
+    }
+    try once() catch {
+      case _: Exception => // mid-update window: settle, then retry once
+        Thread.sleep(50L)
+        once()
+    }
+  }
+
+  /** Re-point branch `name`'s head after a branch commit (base
+    * unchanged). Single writer per branch by contract. */
+  def updateBranchHead(table: String, name: String, newHead: Long): Unit = {
+    val (_, base) = readBranch(table, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft table log: branch '$name' does not exist on $table"))
+    val p = branchPath(table, name)
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(p.getParent, s"branch.$name.tmp-$newHead")
+    val out = fs.create(tmp, true)
+    try out.write(s"$newHead\n$base".getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"graft table log: branch head update failed for '$name' on $table")
+  }
+
+  /** Drop the ref only (fast-forward already moved the data). */
+  def dropBranchRef(table: String, name: String): Boolean = {
+    val p = branchPath(table, name)
+    p.getFileSystem(conf).delete(p, false)
+  }
+
+  /** All branches: (name, head, base), name-sorted. */
+  def branches(table: String): Seq[(String, Long, Long)] = {
+    val d = refsPath(table)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("branch.") && !n.contains(".tmp-"))
+      .map(_.stripPrefix("branch."))
+      .sorted
+      .flatMap(n => readBranch(table, n).map { case (h, b) => (n, h, b) })
+  }
 
   /** Resolve snapshot rel paths to readable full paths: live table dir
     * first, then the archive. A path in neither place means vacuum
@@ -400,7 +522,23 @@ object GraftTableLog {
       .map(st => relativize(archRoot.toString, st.getPath.toString)).toSet
     relPaths.map { rel =>
       if (live.contains(rel)) new Path(root, rel).toString
+      // branch-owned rels (`_branch_<name>/…`) are invisible to the
+      // live listing by design — probe them directly; after a
+      // fast-forward the file moved to the table root under its
+      // basename (still the same bytes), and after drop_branch it sits
+      // archived under its branch rel
+      else if (rel.startsWith("_branch_") &&
+          fs.exists(new Path(root, rel)))
+        new Path(root, rel).toString
       else if (archived.contains(rel)) new Path(archRoot, rel).toString
+      else if (rel.startsWith("_branch_") && {
+          val base = new Path(rel).getName
+          live.contains(base) || archived.contains(base)
+        }) {
+        val base = new Path(rel).getName
+        if (live.contains(base)) new Path(root, base).toString
+        else new Path(archRoot, base).toString
+      }
       else throw new IllegalStateException(
         s"graft table log: file $rel of the requested version is neither " +
           s"live nor archived under $table — the version was vacuumed")
