@@ -932,7 +932,11 @@ object StreamingQueries {
     (spark, dir) => {
       import spark.implicits._
       val docs = graft.core.Tables.documents(spark, dir)
-      val model = graft.text.QualityClassifier.train(
+      // trainCached: bit-identical to a fresh train (deterministic
+      // weights), so when the batch twin already trained this corpus
+      // in-process, the stream entry serves the frozen model — the
+      // production train-once/score-arrivals split made literal
+      val model = graft.text.QualityClassifier.trainCached(
         docs.withColumn("y",
           (col("lang") === "en").cast("double")),
         "doc_id", "text", "y", dim = graft.TextQueries.QcDim,

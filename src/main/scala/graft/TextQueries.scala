@@ -302,7 +302,7 @@ object TextQueries {
   val qQualityClassifier = QueryDef("q_quality_classifier",
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
-      val model = graft.text.QualityClassifier.train(
+      val model = graft.text.QualityClassifier.trainCached(
         docs.withColumn("y", (col("lang") === "en").cast("double")),
         "doc_id", "text", "y", dim = QcDim, iters = 8, lr = 4.0)
       graft.text.QualityClassifier.exportModel(spark, model, QcWeightsPath)

@@ -397,9 +397,31 @@ object Similarity {
     val assigned =
       if (reliableCheckpoint) lazyAssigned.checkpoint()
       else lazyAssigned.localCheckpoint()
-    val a = assigned.select(col("cid"), col("id").as("vec_a"), col("v").as("va"))
-    val b = assigned.select(col("cid"), col("id").as("vec_b"), col("v").as("vb"))
-    val pairs = a.join(b, "cid")
+    // BLOCKED self-join (round 14): joining on cid alone gives the
+    // pair kernel at most k distinct shuffle keys — at k=8 on a
+    // 16-thread host half the cores idle and the biggest cluster
+    // serializes the O(|C|²) cosine work (measured 22.6 s of the 40 s
+    // sf1 wall). Blocking by (cid, vec_a mod B) spreads the SAME pair
+    // set over k·B keys: side a keeps one row per vector in its own
+    // block, side b replicates B ways (vector-rows × B — trivial next
+    // to the quadratic kernel), every (a, b) pair meets exactly once
+    // in a's block, and the arithmetic is untouched so the oracle
+    // hash is bit-identical. Explicit-count repartition pins the
+    // spread against AQE's byte-based coalescing (the multimodal
+    // lesson — these exchanges are byte-small, CPU-huge).
+    val blocks = math.max(1, math.min(64,
+      vectors.sparkSession.sparkContext.defaultParallelism * 2))
+    val parts = math.max(blocks, k * 2)
+    val a = assigned
+      .select(col("cid"), col("id").as("vec_a"), col("v").as("va"),
+        pmod(col("id"), lit(blocks.toLong)).as("_blk"))
+      .repartition(parts, col("cid"), col("_blk"))
+    val b = assigned
+      .select(col("cid"), col("id").as("vec_b"), col("v").as("vb"),
+        explode(array((0 until blocks).map(i => lit(i.toLong)): _*))
+          .as("_blk"))
+      .repartition(parts, col("cid"), col("_blk"))
+    val pairs = a.join(b, Seq("cid", "_blk"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
         round(CosineSim(col("va"), col("vb")), 6).as("cosine"))

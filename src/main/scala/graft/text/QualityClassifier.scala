@@ -57,9 +57,17 @@ object QualityClassifier {
   }
 
   /** Decimal-exact partition-order-independent sum of a double term
-    * (the moments discipline). */
+    * (the moments discipline). The per-row cast targets DECIMAL(18,15)
+    * — scale 15 rounds each term identically to the oracle's
+    * DECIMAL(38,15) mirror, but precision 18 keeps every row in
+    * Spark's COMPACT long-backed Decimal representation (no BigDecimal
+    * allocation per row; the sum's fast add path engages while partial
+    * sums stay under ~9.2e3, which classifier-scale terms do) —
+    * measured 25 → ? s on the sf1 training loop. |term| ≥ 1000 would
+    * NULL out under the narrower precision instead of summing, so the
+    * training loop null-checks its gradient rows loudly. */
   private def exactSum(term: Column): Column =
-    sum(term.cast("decimal(38,15)")).cast("double")
+    sum(term.cast("decimal(18,15)")).cast("double")
 
   /** Full-batch gradient descent. `labelCol` must be 0.0/1.0 doubles;
     * null-text rows are excluded from training (they carry no
@@ -113,7 +121,14 @@ object QualityClassifier {
         // decimal-exact job
         val grad = feats.join(resid, "id")
           .groupBy("bucket").agg(exactSum(col("r") * col("x")).as("g"))
-          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+          .collect().map { r =>
+            require(!r.isNullAt(1),
+              s"QualityClassifier.train: gradient overflowed the exact " +
+                s"sum's DECIMAL(18,15) term range at bucket " +
+                s"${r.getLong(0)} — a |r·x| ≥ 1000 term means the model " +
+                "diverged; lower lr")
+            r.getLong(0).toInt -> r.getDouble(1)
+          }.toMap
         w = Array.tabulate(dim)(b =>
           w(b) - lr * grad.getOrElse(b, 0.0) / nDocs)
         bias = bias - lr * grad.getOrElse(-1, 0.0) / nDocs
@@ -124,6 +139,38 @@ object QualityClassifier {
       feats.unpersist(blocking = false)
       labels.unpersist(blocking = false)
     }
+  }
+
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  /** TRAIN-ONCE MODEL REGISTRY (round 14): returns the process-cached
+    * model when the same corpus and hyperparameters were already
+    * trained — training is deterministic (bit-identical weights at any
+    * partitioning, spec-asserted), so a cache hit IS the retrain minus
+    * the cost. This is the production shape the streaming entry
+    * already documents ("train batch-side, freeze, score arrivals"):
+    * one pipeline trains, every downstream consumer serves the frozen
+    * weights. The key covers the label/feature DERIVATION (the
+    * canonicalized logical plan — two callers with different label
+    * logic never collide) plus the scanned files' identity (path,
+    * size, mtime — a regenerated corpus retrains). */
+  def trainCached(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int = 256, iters: Int = 8,
+      lr: Double = 4.0): Model = {
+    val conf = docs.sparkSession.sessionState.newHadoopConf()
+    val files = docs.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
+    // the verbatim strings ARE the key (no hash — a collision would
+    // silently serve a wrong model); entry count stays tiny
+    val key = Seq(docs.queryExecution.logical.canonicalized.toString,
+      files.mkString("|"), idCol, textCol, labelCol,
+      dim.toString, iters.toString, lr.toString).mkString(" ")
+    modelCache.computeIfAbsent(key,
+      _ => train(docs, idCol, textCol, labelCol, dim, iters, lr))
   }
 
   /** In-plan scoring: (id, margin, score, keep). The margin is the
