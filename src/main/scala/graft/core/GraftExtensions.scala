@@ -11,6 +11,7 @@ import graft.expr._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.GeodesicRadiusRule)
+    e.injectOptimizerRule(_ => graft.plans.CompositeKeyJoinRule)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     def info(name: String) = new ExpressionInfo("graft", name)
@@ -184,6 +185,11 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.GeodesicRadiusRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.GeodesicRadiusRule
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.CompositeKeyJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.CompositeKeyJoinRule
     val reg = spark.sessionState.functionRegistry
     functions.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")

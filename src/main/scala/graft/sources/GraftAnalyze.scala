@@ -52,7 +52,15 @@ object GraftAnalyze {
 
   final case class TableStats(rows: Long, version: Long,
       cols: Map[String, ColStat],
-      hists: Map[String, ColHist] = Map.empty)
+      hists: Map[String, ColHist] = Map.empty,
+      // COMPOSITE-KEY NDVs (round 14): per declared key set (column
+      // names, order-normalized), the approx distinct count of the
+      // TUPLE — what join estimation needs for correlated composite
+      // keys, where the per-column NDV product (Spark's independence
+      // assumption) overprices distinctness and underprices the join
+      // output. Served to the planner by
+      // [[graft.plans.CompositeKeyJoinRule]].
+      keyNdv: Map[Seq[String], Long] = Map.empty)
 
   // per-table cache (the readPartSpec convention): invalidated by
   // analyze() in this JVM; cross-JVM refresh at the next miss — stale
@@ -91,7 +99,8 @@ object GraftAnalyze {
     * rows/NDV. */
   def analyze(spark: SparkSession, table: String,
       histogramCols: Seq[String] = Nil,
-      histogramBins: Int = 32): TableStats = {
+      histogramBins: Int = 32,
+      keySets: Seq[Seq[String]] = Nil): TableStats = {
     val df = spark.read.format("graft.sources.GraftParquetTableProvider")
       .option("path", table).load()
     val cols = df.schema.fields.filter(f => analyzable(f.dataType)).toSeq
@@ -124,13 +133,27 @@ object GraftAnalyze {
           s"${f.dataType.simpleString}")
       f
     }
+    val normKeySets = keySets.map { ks =>
+      require(ks.size >= 2,
+        s"graft analyze: a key set needs >= 2 columns, got $ks " +
+          "(single-column NDV is already collected)")
+      ks.foreach { n => require(df.schema.fieldNames.contains(n),
+        s"graft analyze: key-set column '$n' not in " +
+          df.schema.fieldNames.mkString("[", ", ", "]")) }
+      ks.sorted
+    }.distinct
+    // tuple NDV piggybacks pass 1: one HLL++ sketch over the struct
+    val keyAggs = normKeySets.zipWithIndex.map { case (ks, i) =>
+      approx_count_distinct(struct(ks.map(col): _*)).as(s"kndv__$i")
+    }
     val probs = (0 to histogramBins)
       .map(_.toDouble / histogramBins).toArray
     val histAggs = histCols.map { f =>
       percentile_approx(col(f.name).cast(DoubleType),
         lit(probs), lit(10000)).as(s"hb__${f.name}")
     }
-    val row = df.agg(count(lit(1)).as("rows__"), aggs ++ histAggs: _*)
+    val row = df.agg(count(lit(1)).as("rows__"),
+        aggs ++ histAggs ++ keyAggs: _*)
       .head()
     val rows = row.getLong(row.fieldIndex("rows__"))
     // pass 2 (histogram columns only): per-RANGE-bin NDV, one
@@ -193,8 +216,11 @@ object GraftAnalyze {
         rows - row.getLong(row.fieldIndex(s"nn__${f.name}")),
         lens._1, lens._2, mn, mx)
     }
+    val keyNdv: Map[Seq[String], Long] = normKeySets.zipWithIndex.map {
+      case (ks, i) => ks -> row.getLong(row.fieldIndex(s"kndv__$i"))
+    }.toMap
     val version = GraftTableLog.latestVersion(table).getOrElse(-1L)
-    val out = TableStats(rows, version, stats.toMap, hists)
+    val out = TableStats(rows, version, stats.toMap, hists, keyNdv)
     val f = new Path(table, StatsFile)
     val fs = f.getFileSystem(conf)
     val tmp = new Path(table,
@@ -205,8 +231,10 @@ object GraftAnalyze {
       // next `ncols` lines are column stats (5 fields), the rest are
       // histogram lines (3 fields: name, height, lo:hi:ndv|…); a
       // legacy 4-field header means every tail line is a column
+      // nkeys rides the header so the reader can split hist lines
+      // from key-set lines (legacy headers imply nkeys 0)
       val body = ((s"rows\t$rows\tversion\t$version" +
-          s"\tncols\t${stats.size}") +:
+          s"\tncols\t${stats.size}\tnkeys\t${keyNdv.size}") +:
         (stats.map { case (n, s) =>
           s"$n\t${s.ndv}\t${s.nullCount}\t${s.avgLen.getOrElse(-1L)}" +
             s"\t${s.maxLen.getOrElse(-1L)}" +
@@ -215,6 +243,8 @@ object GraftAnalyze {
         } ++ hists.toSeq.sortBy(_._1).map { case (n, h) =>
           s"$n\t${h.height}\t" + h.bins.map(b =>
             s"${b.lo}:${b.hi}:${b.ndv}").mkString("|")
+        } ++ keyNdv.toSeq.sortBy(_._1.mkString(",")).map { case (ks, v) =>
+          s"${ks.mkString(",")}\t$v"
         })).mkString("\n")
       o.write(body.getBytes("UTF-8"))
     } finally o.close()
@@ -238,6 +268,7 @@ object GraftAnalyze {
         val tail = lines.tail.filter(_.nonEmpty)
         val ncols = // legacy 4-field header: every tail line is a column
           if (head.length >= 6) head(5).toInt else tail.size
+        val nkeys = if (head.length >= 8) head(7).toInt else 0
         val cols = tail.take(ncols).map { l =>
           val p = l.split('\t')
           p(0) -> ColStat(p(1).toLong, p(2).toLong,
@@ -246,15 +277,19 @@ object GraftAnalyze {
             if (p.length > 6 && p(5) != "-") Some(p(5).toDouble) else None,
             if (p.length > 6 && p(6) != "-") Some(p(6).toDouble) else None)
         }
-        val hists = tail.drop(ncols).map { l =>
+        val hists = tail.slice(ncols, tail.size - nkeys).map { l =>
           val p = l.split('\t')
           p(0) -> ColHist(p(1).toDouble, p(2).split('|').toSeq.map { b =>
             val q = b.split(':')
             HistBin(q(0).toDouble, q(1).toDouble, q(2).toLong)
           })
         }
+        val keyNdv = tail.takeRight(nkeys).map { l =>
+          val p = l.split('\t')
+          p(0).split(',').toSeq -> p(1).toLong
+        }
         Some(TableStats(head(1).toLong, head(3).toLong, cols.toMap,
-          hists.toMap))
+          hists.toMap, keyNdv.toMap))
       }
     })
 }

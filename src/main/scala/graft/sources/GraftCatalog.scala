@@ -733,7 +733,15 @@ class GraftCatalog extends TableCatalog
           ProcedureParameter.in("histogram_columns", StringType)
             .defaultValue("''").build(),
           ProcedureParameter.in("histogram_bins", IntegerType)
-            .defaultValue("32").build()),
+            .defaultValue("32").build(),
+          // DECLARED COMPOSITE KEY SETS (round 14): semicolon-separated
+          // sets of comma-separated columns ('a,b;x,y'). Each set gets
+          // a TUPLE NDV sketch in the same pass, persisted and served
+          // to join estimation by CompositeKeyJoinRule — the channel
+          // per-column stats cannot express (correlated keys defeat
+          // the NDV-product independence assumption).
+          ProcedureParameter.in("key_sets", StringType)
+            .defaultValue("''").build()),
         StructType(Seq(StructField("column", StringType),
           StructField("ndv", LongType),
           StructField("null_count", LongType),
@@ -748,15 +756,27 @@ class GraftCatalog extends TableCatalog
             if (in.isNullAt(1)) Nil
             else in.getString(1).split(',').map(_.trim)
               .filter(_.nonEmpty).toSeq
+          val keySets =
+            if (in.isNullAt(3)) Nil
+            else in.getString(3).split(';').map(_.trim).filter(_.nonEmpty)
+              .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+              .toSeq
           val ts = GraftAnalyze.analyze(
             org.apache.spark.sql.SparkSession.active, p, hcols,
-            if (in.isNullAt(2)) 32 else in.getInt(2))
+            if (in.isNullAt(2)) 32 else in.getInt(2), keySets)
           ts.cols.toSeq.sortBy(_._1).map { case (n, s) =>
             new GenericInternalRow(Array[Any](UTF8String.fromString(n),
               s.ndv, s.nullCount, s.avgLen.getOrElse(-1L),
               s.maxLen.getOrElse(-1L),
               ts.hists.get(n).map(_.bins.size).getOrElse(0),
               ts.rows, ts.version))
+          } ++ ts.keyNdv.toSeq.sortBy(_._1.mkString(",")).map {
+            case (ks, v) =>
+              // key-set rows ride the same shape: column = the comma-
+              // joined set, ndv = the TUPLE ndv, lengths/hist vacant
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(ks.mkString(",")), v, -1L, -1L,
+                -1L, 0, ts.rows, ts.version))
           }
         })
       // CHECK CONSTRAINTS ([[GraftConstraints]]): add validates the

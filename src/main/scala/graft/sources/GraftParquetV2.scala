@@ -122,6 +122,9 @@ class GraftParquetTable(path: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(path != null, "graft parquet v2: 'path' option is required")
+  /** Table root — read by [[graft.plans.CompositeKeyJoinRule]] to look
+    * up this table's persisted ANALYZE stats at planning time. */
+  def tablePath: String = path
   override def name(): String = s"graft_parquet($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
