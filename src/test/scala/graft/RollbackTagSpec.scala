@@ -181,7 +181,8 @@ class RollbackTagSpec extends SparkSpec {
     val unknown = intercept[IllegalArgumentException] {
       GraftTableLog.resolveVersionRef(path, "nope")
     }
-    assert(unknown.getMessage.contains("neither a version number nor a tag"))
+    assert(unknown.getMessage.contains(
+      "neither a version number, a tag, nor a branch"))
     // invalid names refused up front
     intercept[IllegalArgumentException] {
       GraftTableLog.setTag(path, "9starts-with-digit", 1L)
