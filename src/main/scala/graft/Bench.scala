@@ -156,8 +156,12 @@ object Bench {
     // this. So bests fold from only the LAST `eraLines` qualifying
     // full-sweep lines (size- and SF-gated as before): stale eras age
     // out of the ledger as newer sweeps land.
+    // 3 lines: min-fold across a window is noise-robust (a noisy line
+    // never RAISES a best), and a deliberate floor shift — this round
+    // moved four streaming entries onto the table-sink drain — ages
+    // out after three sweeps instead of five
     val eraLines =
-      sys.env.getOrElse("SPARK_GRAFT_ERA_LINES", "5").toInt.max(1)
+      sys.env.getOrElse("SPARK_GRAFT_ERA_LINES", "3").toInt.max(1)
     val historyBest: Map[String, Double] = {
       val p = java.nio.file.Paths.get("bench_history.jsonl")
       if (!java.nio.file.Files.exists(p)) Map.empty
