@@ -159,8 +159,16 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
     // snapshot extends the BRANCH head, and main stays untouched.
     // Append-only and flat (no partition dirs) — overwrite semantics
     // and layout evolution belong to main, not an experiment lineage.
+    // SQL routes (INSERT INTO through the catalog) cannot pass write
+    // options, so the SESSION CONF `spark.graft.branch` is the WAP
+    // knob (the Iceberg `spark.wap.branch` convention): set it and
+    // every graft write in the session lands on that branch until
+    // unset. The explicit option wins over the conf.
     val branch = Option(info.options.get("branch")).map(_.trim)
       .filter(_.nonEmpty)
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption("spark.graft.branch"))
+        .map(_.trim).filter(_.nonEmpty))
     branch.foreach { b =>
       require(!doTruncate,
         "graft parquet v2 write: branch writes are append-only — " +

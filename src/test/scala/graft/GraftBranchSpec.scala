@@ -131,6 +131,30 @@ class GraftBranchSpec extends SparkSpec {
     assert(spark.read.format(fmt).option("path", t).load().count() == 10)
   }
 
+  test("spark.graft.branch routes SQL INSERT INTO onto the branch " +
+      "(the WAP session knob); main stays untouched") {
+    val (cat, warehouse) = graft.streaming.TableDrain.ensureCatalog(spark)
+    val tbl = "t_wap_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = s"$warehouse/sf/$tbl"
+    spark.sql(s"CREATE TABLE $cat.sf.$tbl (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.sf.$tbl VALUES (1, 10), (2, 20)")
+    GraftTableLog.createBranch(path, "wap",
+      GraftTableLog.latestVersion(path).get)
+    spark.conf.set("spark.graft.branch", "wap")
+    try spark.sql(s"INSERT INTO $cat.sf.$tbl VALUES (3, 30)")
+    finally spark.conf.unset("spark.graft.branch")
+    // main: only the pre-branch rows; the branch: all three
+    assert(spark.sql(s"SELECT count(*) FROM $cat.sf.$tbl")
+      .head().getLong(0) == 2L)
+    assert(spark.read.format(fmt).option("path", path)
+      .option("versionAsOf", "wap").load().count() == 3L)
+    val (_, n) = GraftMaintenance.fastForward(path, "wap")
+    assert(n >= 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.sf.$tbl")
+      .head().getLong(0) == 3L)
+  }
+
   test("empty-branch fast_forward drops the ref without a commit") {
     val t = seeded()
     GraftTableLog.createBranch(t, "noop", 1L)
