@@ -192,6 +192,15 @@ class GraftParquetTable(path: String, tableSchema: StructType,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(pinnedTravel.isEmpty,
       "graft parquet v2: DELETE on a time-travel-pinned table")
+    // WAP guard — same contract as newRowLevelOperationBuilder: a
+    // metadata-only DELETE (or TRUNCATE, which routes here) mutates
+    // MAIN; refuse while the session's branch knob is set
+    require(org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption("spark.graft.branch"))
+        .forall(_.trim.isEmpty),
+      "graft parquet v2: DELETE/TRUNCATE while spark.graft.branch is " +
+        "set would mutate MAIN, not the branch — branches are " +
+        "append-only; unset the conf first")
     val spark = org.apache.spark.sql.SparkSession.active
     val converted = filters.map(f => GraftFilterToColumn.convert(f)
       .getOrElse(throw new UnsupportedOperationException(
@@ -230,6 +239,16 @@ class GraftParquetTable(path: String, tableSchema: StructType,
     require(pinnedTravel.isEmpty,
       "graft parquet v2: row-level " + info.command() +
         " on a time-travel-pinned table")
+    // WAP guard: row-level operations mutate MAIN (they bypass the
+    // branch-routing append builder), so running one while the WAP
+    // session knob points at a branch would silently mutate the wrong
+    // lineage — refuse loudly instead (branches are append-only)
+    require(org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption("spark.graft.branch"))
+        .forall(_.trim.isEmpty),
+      "graft parquet v2: row-level " + info.command() + " while " +
+        "spark.graft.branch is set would mutate MAIN, not the branch " +
+        "— branches are append-only; unset the conf first")
     if (GraftParquetTable.mergeOnRead)
       () => new GraftDeltaOperation(path, tableSchema, info.command(),
         aliases)

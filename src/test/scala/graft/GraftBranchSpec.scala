@@ -155,6 +155,35 @@ class GraftBranchSpec extends SparkSpec {
       .head().getLong(0) == 3L)
   }
 
+  test("row-level ops refuse while spark.graft.branch is set — a WAP " +
+      "session must not silently mutate main") {
+    val (cat, warehouse) = graft.streaming.TableDrain.ensureCatalog(spark)
+    val tbl = "t_wapg_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = s"$warehouse/sf/$tbl"
+    spark.sql(s"CREATE TABLE $cat.sf.$tbl (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.sf.$tbl VALUES (1, 10), (2, 20)")
+    GraftTableLog.createBranch(path, "wap",
+      GraftTableLog.latestVersion(path).get)
+    spark.conf.set("spark.graft.branch", "wap")
+    try {
+      val del = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.sf.$tbl WHERE k = 1")
+      }
+      assert(del.getMessage.contains("spark.graft.branch"))
+      val upd = intercept[Exception] {
+        spark.sql(s"UPDATE $cat.sf.$tbl SET v = 0 WHERE k = 1")
+      }
+      assert(upd.getMessage.contains("spark.graft.branch"))
+    } finally spark.conf.unset("spark.graft.branch")
+    // main untouched by the refusals; ops work again once unset
+    assert(spark.sql(s"SELECT count(*) FROM $cat.sf.$tbl")
+      .head().getLong(0) == 2L)
+    spark.sql(s"DELETE FROM $cat.sf.$tbl WHERE k = 1")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.sf.$tbl")
+      .head().getLong(0) == 1L)
+  }
+
   test("empty-branch fast_forward drops the ref without a commit") {
     val t = seeded()
     GraftTableLog.createBranch(t, "noop", 1L)
