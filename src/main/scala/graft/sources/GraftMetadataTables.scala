@@ -17,6 +17,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   SELECT version, files, row_count FROM cat.ns.t.history
   *   SELECT file, bytes, row_count, dv_positions FROM cat.ns.t.files
   *   SELECT name, version FROM cat.ns.t.tags
+  *   SELECT name, type, version, base FROM cat.ns.t.refs
   *   SELECT name, expression FROM cat.ns.t.constraints
   *   SELECT dv_file, referenced_files, positions FROM cat.ns.t.deletes
   *   SELECT partition, files, row_count FROM cat.ns.t.partitions
@@ -34,7 +35,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object GraftMetadataTables {
 
   val names: Set[String] =
-    Set("history", "files", "tags", "constraints", "deletes",
+    Set("history", "files", "tags", "refs", "constraints", "deletes",
       "partitions")
 
   def table(parentPath: String, kind: String): Table =
@@ -59,6 +60,14 @@ private final class GraftMetaTable(path: String, kind: String)
     case "tags" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    // the full refs view (round 14): tags AND branches in one
+    // relation — `version` is a tag's pin or a branch's HEAD, `base`
+    // is the branch fork point (null for tags)
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("base", LongType, nullable = true)))
     case "constraints" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("expression", StringType, nullable = false)))
@@ -122,6 +131,15 @@ private final class GraftMetaScan(path: String, kind: String,
     case "tags" =>
       GraftTableLog.tags(path).toSeq.sortBy(_._1).map { case (n, v) =>
         Array[Any](UTF8String.fromString(n), v)
+      }.toArray
+    case "refs" =>
+      (GraftTableLog.tags(path).map { case (n, v) =>
+        (n, "tag", v, null: Any)
+      } ++ GraftTableLog.branches(path).map { case (n, h, b) =>
+        (n, "branch", h, Long.box(b): Any)
+      }).sortBy(r => (r._1, r._2)).map { case (n, t, v, b) =>
+        Array[Any](UTF8String.fromString(n), UTF8String.fromString(t),
+          v, b)
       }.toArray
     case "constraints" =>
       GraftConstraints.read(path).sortBy(_._1).map { case (n, e) =>

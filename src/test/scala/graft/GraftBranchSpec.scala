@@ -184,6 +184,24 @@ class GraftBranchSpec extends SparkSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("the .refs metadata table lists tags and branches as one relation") {
+    val (cat, warehouse) = graft.streaming.TableDrain.ensureCatalog(spark)
+    val tbl = "t_refs_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = s"$warehouse/sf/$tbl"
+    spark.sql(s"CREATE TABLE $cat.sf.$tbl (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.sf.$tbl VALUES (1)")
+    GraftTableLog.setTag(path, "pin", 1L)
+    GraftTableLog.createBranch(path, "exp", 2L)
+    rows(1, 9).write.format(fmt).option("path", path)
+      .option("branch", "exp").mode("append").save() // head -> 3
+    val got = spark.sql(
+      s"SELECT name, type, version, base FROM $cat.sf.$tbl.refs")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq(("exp", "branch", 3L, 2L), ("pin", "tag", 1L, -1L)))
+  }
+
   test("empty-branch fast_forward drops the ref without a commit") {
     val t = seeded()
     GraftTableLog.createBranch(t, "noop", 1L)
