@@ -63,12 +63,11 @@ object CommitRaceDryRun {
     * the spec a real java.class.path to hand the children). */
   def race(spark: SparkSession, n: Int): String = {
     val table = s"/tmp/commit_race_${java.util.UUID.randomUUID()}"
-    val cp = System.getProperty("java.class.path")
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    def spawn(tag: String): Process =
-      new ProcessBuilder(javaBin, "-Xmx1g", "-cp", cp,
-        "graft.CommitRaceDryRun", "child", table, tag, n.toString)
-        .inheritIO().start()
+    // children run with the parent's module options and their output
+    // captured per-child (RaceHarness) — a dead child's stack lands in
+    // the failure message, not scattered into sbt stdout
+    def spawn(tag: String): Process = RaceHarness.spawn(
+      "graft.CommitRaceDryRun", table, tag, Seq(n.toString))
     val t0 = System.nanoTime()
     val a = spawn("a")
     val b = spawn("b")
@@ -76,7 +75,8 @@ object CommitRaceDryRun {
     val eb = b.waitFor()
     val wall = (System.nanoTime() - t0) / 1e9
     require(ea == 0 && eb == 0,
-      s"child writers must exit clean, got a=$ea b=$eb")
+      s"child writers must exit clean, got a=$ea b=$eb\n" +
+        s"${RaceHarness.tail(table, "a")}\n${RaceHarness.tail(table, "b")}")
     // 1. dense version numbers: every commit claimed a unique number
     val versions = graft.sources.GraftTableLog.versions(table)
     require(versions == (1L to (2 * n).toLong),
@@ -116,6 +116,8 @@ object CommitRaceDryRun {
       f"versions=${versions.size} rows=${head.count()} wall_s=$wall%.1f"
     val p = new org.apache.hadoop.fs.Path(table)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Seq("a", "b").foreach(t => // kept on failure
+      RaceHarness.childLog(table, t).delete())
     line
   }
 }

@@ -586,8 +586,11 @@ object TextQueries {
       // comfortably small; past that it degrades to SHUFFLE_HASH — an
       // id+text shuffle, linear in the corpus, no side ever built on
       // the driver.
-      val textSmall = t.queryExecution.optimizedPlan.stats.sizeInBytes
-        .toLong <= (1L << 30)
+      // compare in BigInt space: Catalyst size estimates can exceed
+      // Long.MaxValue, and a .toLong wrap-to-negative would read as
+      // "small" — the exact cliff this guard exists to avoid
+      val textSmall = t.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(1L << 30)
       def textSide(d: org.apache.spark.sql.DataFrame)
           : org.apache.spark.sql.DataFrame =
         if (textSmall) broadcast(d) else d.hint("shuffle_hash")

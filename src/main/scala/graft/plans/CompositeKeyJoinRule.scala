@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
   EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo,
-  Join, JoinHint, LogicalPlan, NO_BROADCAST_HASH, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter,
+  HintInfo, Join, JoinHint, LogicalPlan, NO_BROADCAST_HASH, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{
   DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -61,7 +61,17 @@ object CompositeKeyJoinRule extends Rule[LogicalPlan] {
 
   /** Strategy pin for `side` iff it contains a declared composite-key
     * join whose honest output size disagrees with the planner's
-    * estimate of the side. */
+    * estimate of the side.
+    *
+    * The BROADCAST pin additionally requires the priced join to BOUND
+    * the side: it must be the side root, or reachable from it through
+    * row-preserving/reducing nodes only (Project/Filter). Any
+    * row-multiplying operator in between (Generate/explode, Expand,
+    * Union, grouping sets) makes the side arbitrarily larger than the
+    * priced join, and a forced broadcast there could OOM the driver —
+    * exactly the "can only under-trigger, never OOM" guarantee this
+    * guard preserves. NO_BROADCAST_HASH carries no such risk (it only
+    * forbids a broadcast), so it keeps the anywhere-in-subtree match. */
   private def pin(side: LogicalPlan, existing: Option[HintInfo],
       threshold: Long): Option[HintInfo] = {
     val honest = side.collectFirst {
@@ -74,12 +84,28 @@ object CompositeKeyJoinRule extends Rule[LogicalPlan] {
         Some(existing.getOrElse(HintInfo())
           .copy(strategy = Some(NO_BROADCAST_HASH)))
       case Some(hb) if hb * 2 <= BigInt(threshold) &&
-          side.stats.sizeInBytes > BigInt(threshold) =>
+          side.stats.sizeInBytes > BigInt(threshold) &&
+          pricedJoinBoundsSide(side) =>
         // the planner would shuffle a side the tuple NDV proves tiny
         Some(existing.getOrElse(HintInfo())
           .copy(strategy = Some(BROADCAST)))
       case _ => existing
     }
+  }
+
+  /** True iff the first honest-priceable composite-key join sits at
+    * the side root below only Project/Filter nodes — the condition
+    * under which its honest output size upper-bounds the side's. */
+  private def pricedJoinBoundsSide(side: LogicalPlan): Boolean = {
+    @scala.annotation.tailrec
+    def descend(p: LogicalPlan): Boolean = p match {
+      case j @ Join(il, ir, Inner, Some(cond), _)
+          if honestBytes(j, il, ir, cond).isDefined => true
+      case prj: Project => descend(prj.child)
+      case f: Filter => descend(f.child)
+      case _ => false
+    }
+    descend(side)
   }
 
   /** Honest output size of a composite-key equi-join, from declared

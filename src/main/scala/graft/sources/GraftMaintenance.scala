@@ -746,10 +746,34 @@ object GraftMaintenance {
       require(!fs.exists(dest),
         s"graft fast_forward: basename collision at $dest under $table")
     }
-    adopted.foreach { rel =>
-      require(fs.rename(new Path(root, rel),
-        new Path(root, new Path(rel).getName)),
-        s"graft fast_forward: rename failed for $rel under $table")
+    // Adoption is N renames + one commit with NO multi-file atomicity
+    // (single-filesystem rename is the honest local equivalent of an
+    // object-store manifest flip, which WOULD be atomic). A failed
+    // rename mid-loop must not leave already-moved files in the table
+    // root unmanifested — main readers conservatively scan the root, so
+    // partial branch data would become visible with no rollback. On
+    // failure: best-effort rename the moved prefix BACK into the
+    // lineage dir, then rethrow. Remaining crash window: a process
+    // death between the last rename and commitMetadata below — same
+    // window every multi-file local-FS committer carries; the
+    // basenames are writeId-unique so a re-run's collision check
+    // detects the leftovers explicitly rather than double-adopting.
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      adopted.foreach { rel =>
+        require(fs.rename(new Path(root, rel),
+          new Path(root, new Path(rel).getName)),
+          s"graft fast_forward: rename failed for $rel under $table")
+        moved += rel
+      }
+    } catch {
+      case e: Throwable =>
+        moved.reverseIterator.foreach { rel =>
+          try fs.rename(new Path(root, new Path(rel).getName),
+            new Path(root, rel))
+          catch { case _: Exception => () } // best-effort unwind
+        }
+        throw e
     }
     fs.delete(new Path(root, s"_branch_$branch"), true)
     // one main commit: the live listing now equals base + adopted; the

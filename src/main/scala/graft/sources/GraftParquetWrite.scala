@@ -831,30 +831,48 @@ object GraftParquetWrite {
       newRels: Seq[String], newEntries: Seq[GraftManifestEntry],
       writeId: String): Unit =
     manifestLocks.computeIfAbsent(path, _ => new Object).synchronized {
-      val (head, _) = GraftTableLog.readBranch(path, branch).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft parquet v2 write: branch '$branch' vanished under " +
-            s"$path mid-commit"))
-      val (headRels, headDvRels, _) =
-        GraftTableLog.readSnapshotFull(path, head)
-      val headEntries = GraftTableLog.readSnapshotEntries(path, head)
       var attempt = 0
       var committed = false
       while (!committed) {
-        GraftTableLog.latestVersion(path)
-          .foreach(GraftTableLog.healTornSnapshot(path, _))
-        val v0 = GraftTableLog.latestVersion(path).getOrElse(0L)
-        try {
-          GraftTableLog.writeSnapshot(path, v0 + 1L, writeId,
-            headRels ++ newRels, headEntries ++ newEntries, headDvRels)
-          GraftTableLog.updateBranchHead(path, branch, v0 + 1L)
-          committed = true
-        } catch {
-          case e: java.io.IOException => // claim lost — retry next number
-            attempt += 1
-            if (attempt > 50) throw new IllegalStateException(
-              s"graft parquet v2 branch write: lost the version-claim " +
-                s"race 50 times under $path — giving up", e)
+        // read the CURRENT head and build on it — on a lost CAS below
+        // this loop re-reads, so a concurrent branch writer's files are
+        // carried forward instead of silently dropped from the lineage
+        val (head, _) = GraftTableLog.readBranch(path, branch).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft parquet v2 write: branch '$branch' vanished under " +
+              s"$path mid-commit"))
+        val (headRels, headDvRels, _) =
+          GraftTableLog.readSnapshotFull(path, head)
+        val headEntries = GraftTableLog.readSnapshotEntries(path, head)
+        // claim a global version for head's file set + ours
+        var v = -1L
+        while (v < 0) {
+          GraftTableLog.latestVersion(path)
+            .foreach(GraftTableLog.healTornSnapshot(path, _))
+          val v0 = GraftTableLog.latestVersion(path).getOrElse(0L)
+          try {
+            GraftTableLog.writeSnapshot(path, v0 + 1L, writeId,
+              headRels ++ newRels, headEntries ++ newEntries, headDvRels)
+            v = v0 + 1L
+          } catch {
+            case e: java.io.IOException => // claim lost — retry next number
+              attempt += 1
+              if (attempt > 50) throw new IllegalStateException(
+                s"graft parquet v2 branch write: lost the version-claim " +
+                  s"race 50 times under $path — giving up", e)
+          }
+        }
+        // CAS the ref: succeeds only if the head we built on is still
+        // the head. A lost CAS orphans snapshot v (a readable version
+        // no ref ever pointed at — vacuum reclaims it with the other
+        // unreferenced generations) and the loop rebuilds on the moved
+        // head; data files are new-named so nothing is double-counted.
+        committed = GraftTableLog.casBranchHead(path, branch, head, v)
+        if (!committed) {
+          attempt += 1
+          if (attempt > 50) throw new IllegalStateException(
+            s"graft parquet v2 branch write: lost the branch-head CAS " +
+              s"50 times on '$branch' under $path — giving up")
         }
       }
     }
@@ -898,10 +916,24 @@ object GraftParquetWrite {
   }
 
   /** True iff `e` looks like a concurrent-swap race on the advisory
-    * stats sidecar — a vanished part file, a truncated stream, or a
-    * torn parquet footer — the only failures the manifest readers may
-    * retry-then-degrade on. Anything else (decode bug, schema drift,
-    * persistent corruption) is a real defect and must propagate. */
+    * stats sidecar — a vanished part file, a truncated stream, a torn
+    * parquet footer, or a torn PAGE mid-stream — the only failures the
+    * manifest readers may retry-then-degrade on. Anything else (decode
+    * bug, schema drift, persistent corruption) is a real defect and
+    * must propagate.
+    *
+    * The torn-page shape (round 15 — the CommitRaceSpec flake's actual
+    * stack, captured by the child-log harness): a reader streaming
+    * sidecar pages while a cross-JVM writer swaps the sidecar under it
+    * dies inside parquet's thrift decode with
+    * "can not read class org.apache.parquet.format.PageHeader: …"
+    * (truncated/garbage page bytes — e.g. "Required field
+    * 'definition_level_encoding' was not present", "Socket is closed
+    * by peer"). It is the mid-file sibling of the torn-footer shape
+    * already matched, and the retry's FRESH listing reads the settled
+    * winner. At-rest page corruption would exhaust the 3 retries and
+    * degrade loudly to conservative scans — for ADVISORY pruning
+    * metadata that trade is correct; data files never take this path. */
   def raceShapedManifestFailure(e: Throwable): Boolean = {
     var t: Throwable = e
     var depth = 0
@@ -913,7 +945,9 @@ object GraftParquetWrite {
           val m = Option(other.getMessage).getOrElse("")
           if (m.contains("magic number") ||
               m.contains("is not a Parquet file") ||
-              m.contains("does not exist")) return true
+              m.contains("does not exist") ||
+              m.contains("can not read class org.apache.parquet.format"))
+            return true
       }
       t = t.getCause
       depth += 1

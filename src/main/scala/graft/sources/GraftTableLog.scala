@@ -208,9 +208,19 @@ object GraftTableLog {
     val horizonMs =
       sys.props.get("graft.log.healHorizonMs").map(_.toLong)
         .getOrElse(600000L) // 10 min
-    val ageMs = System.currentTimeMillis() - fs.getFileStatus(p)
-      .getModificationTime
-    if (ageMs > horizonMs) { fs.delete(p, false); true } else false
+    // the unreadable file can VANISH between the exists() above and
+    // this stat — a crashed cross-JVM writer's own error handler
+    // deletes its partial snapshot. A vanished file means the number
+    // is free again: report reclaimable, never throw.
+    val st = try Some(fs.getFileStatus(p)) catch {
+      case _: java.io.FileNotFoundException => None
+    }
+    st match {
+      case None => true
+      case Some(s) =>
+        val ageMs = System.currentTimeMillis() - s.getModificationTime
+        if (ageMs > horizonMs) { fs.delete(p, false); true } else false
+    }
   }
 
   /** Snapshot `version`: (DATA rel paths, basename → column → zone
@@ -353,6 +363,24 @@ object GraftTableLog {
     p.getFileSystem(conf).delete(p, false)
   }
 
+  /** Read a ref file's whole body. InputStream.read may legally
+    * return fewer bytes than available (non-local filesystems), so a
+    * single read() can parse a TRUNCATED ref as corrupt — loop to EOF. */
+  private def readRefBody(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream(128)
+      val buf = new Array[Byte](256)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      new String(out.toByteArray, "UTF-8").trim
+    } finally in.close()
+  }
+
   /** All tags: name → version, name-sorted. */
   def tags(table: String): Seq[(String, Long)] = {
     val d = refsPath(table)
@@ -362,13 +390,7 @@ object GraftTableLog {
       .filter(_.getName.startsWith("tag."))
       .map { p =>
         val name = p.getName.stripPrefix("tag.")
-        val in = fs.open(p)
-        val body =
-          try {
-            val buf = new Array[Byte](64)
-            val n = in.read(buf)
-            new String(buf, 0, math.max(n, 0), "UTF-8").trim
-          } finally in.close()
+        val body = readRefBody(fs, p)
         val v = try body.toLong catch {
           case _: NumberFormatException => throw new IllegalStateException(
             s"graft table log: tag file ${p.getName} of $table is " +
@@ -396,42 +418,127 @@ object GraftTableLog {
 
   // ——— BRANCHES ——————————————————————————————————————————————————————
   //
-  // A branch is a RE-POINTABLE ref (`_graft_refs/branch.<name>`,
-  // content "head\nbase") plus an invisible data lineage: files a
-  // branch write commits live under `_branch_<name>/` inside the table
-  // root — an underscore directory the main listing never sees, so
-  // MAIN readers are untouched at zero planning cost. Branch commits
-  // claim GLOBAL version numbers in the one snapshot log (the Iceberg
-  // convention: all snapshots in one metadata history, refs select
-  // lineages); a branch commit's snapshot = its parent BRANCH head's
-  // file set + the new files, so `VERSION AS OF '<branch>'` reads the
-  // branch state through the ordinary time-travel path. Fast-forward
-  // ([[GraftMaintenance.fastForward]]) adopts the branch into main by
-  // renaming its files into the table root (the visibility flip — at
-  // object-store scale this would be a manifest flip instead) and
-  // committing one main snapshot. Branch HEADS are vacuum retention
-  // roots, like tags. Writers: one writer per branch (the ref update
-  // is delete+rename, same single-writer contract overwrites carry).
+  // A branch is a RE-POINTABLE ref plus an invisible data lineage:
+  // files a branch write commits live under `_branch_<name>/` inside
+  // the table root — an underscore directory the main listing never
+  // sees, so MAIN readers are untouched at zero planning cost. Branch
+  // commits claim GLOBAL version numbers in the one snapshot log (the
+  // Iceberg convention: all snapshots in one metadata history, refs
+  // select lineages); a branch commit's snapshot = its parent BRANCH
+  // head's file set + the new files, so `VERSION AS OF '<branch>'`
+  // reads the branch state through the ordinary time-travel path.
+  // Fast-forward ([[GraftMaintenance.fastForward]]) adopts the branch
+  // into main by renaming its files into the table root (the
+  // visibility flip — at object-store scale this would be a manifest
+  // flip instead) and committing one main snapshot. Branch HEADS are
+  // vacuum retention roots, like tags.
+  //
+  // CONCURRENCY (round 15): the ref is SEQUENCED — branch state lives
+  // in immutable-once-written files `branch.<name>.<seq%010d>` (body
+  // "head\nbase"); the CURRENT state is the highest seq. A head update
+  // is the exclusive CREATE of seq+1 — the same no-overwrite-create
+  // primitive the main log's version claim trusts — so two writers
+  // racing one branch see one winner and one
+  // FileAlreadyExistsException; the loser re-reads the moved head and
+  // REBUILDS its commit on top of it ([[GraftParquetWrite
+  // .commitBranchMetadata]]'s retry), exactly the main lineage's
+  // optimistic discipline. Superseded seq files are deleted
+  // best-effort after a successful claim; readers always take the
+  // highest PARSEABLE seq, so a torn body (a claimer mid-write) serves
+  // the prior committed state until the claim completes — and an AGED
+  // torn claim (a crashed writer) heals like a torn snapshot does.
 
-  /** Branch ref file. Shares the tag namespace grammar. */
-  private def branchPath(table: String, name: String): Path = {
+  private val BranchSeqRe = """^branch\.(.+)\.(\d{10})$""".r
+
+  private def branchSeqPath(table: String, name: String, seq: Long): Path = {
     require(TagNameRe.pattern.matcher(name).matches(),
       s"graft table log: invalid branch name '$name' — want " +
         "[A-Za-z][A-Za-z0-9_.-]{0,127}")
-    new Path(refsPath(table), s"branch.$name")
+    new Path(refsPath(table), f"branch.$name.$seq%010d")
+  }
+
+  /** Committed seq numbers of branch `name`, ascending. */
+  private def branchSeqs(table: String, name: String): Seq[Long] = {
+    val d = refsPath(table)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).toSeq.map(_.getPath.getName).collect {
+      case BranchSeqRe(n, s) if n == name => s.toLong
+    }.sorted
+  }
+
+  /** (seq, head, base) of branch `name` — the highest PARSEABLE seq.
+    * A torn max-seq body (claimer mid-write) settles and retries once,
+    * then falls back to the prior seq (the last committed state);
+    * aged-torn claims (crashed writers) are healed like torn
+    * snapshots, so the branch never bricks. */
+  private def readBranchState(table: String, name: String)
+      : Option[(Long, Long, Long)] = {
+    if (!TagNameRe.pattern.matcher(name).matches()) return None
+    val fs = refsPath(table).getFileSystem(conf)
+    def parse(body: String): Option[(Long, Long)] =
+      body.split('\n').map(_.trim) match {
+        case Array(h, b) =>
+          try Some((h.toLong, b.toLong))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    def bodyOf(seq: Long): Option[String] =
+      try Some(readRefBody(fs, branchSeqPath(table, name, seq)))
+      catch { case _: java.io.FileNotFoundException => None }
+    var cand = branchSeqs(table, name)
+    var fallbacks = 0
+    while (cand.nonEmpty && fallbacks < 64) {
+      val seq = cand.last
+      bodyOf(seq).map(b => (b, parse(b))) match {
+        case Some((_, Some((h, b)))) => return Some((seq, h, b))
+        case None =>
+          // vanished between list and read: superseded-and-cleaned, or
+          // dropped — a fresh listing settles which
+          cand = branchSeqs(table, name)
+          if (cand.lastOption.contains(seq)) return None
+        case Some((_, None)) =>
+          // torn body — a claimer created the file but its write has
+          // not landed. Settle briefly and re-read; still torn → serve
+          // the PRIOR committed seq (the claim has not happened yet).
+          // An aged torn claim is a crashed writer: heal it so the seq
+          // number frees up (same horizon discipline as
+          // healTornSnapshot).
+          Thread.sleep(50L)
+          bodyOf(seq).flatMap(parse) match {
+            case Some((h, b)) => return Some((seq, h, b))
+            case None =>
+              val p = branchSeqPath(table, name, seq)
+              val horizonMs =
+                sys.props.get("graft.log.healHorizonMs").map(_.toLong)
+                  .getOrElse(600000L)
+              val aged = (try Some(fs.getFileStatus(p)) catch {
+                case _: java.io.FileNotFoundException => None
+              }).forall(st => System.currentTimeMillis() -
+                st.getModificationTime > horizonMs)
+              if (aged) { try fs.delete(p, false)
+                catch { case _: Exception => () } }
+              cand = cand.init
+              fallbacks += 1
+          }
+      }
+    }
+    None
   }
 
   /** Fork `name` at `version` (must be committed). Exclusive create —
     * re-pointing an existing branch is a branch WRITE or drop+create,
     * never a silent move. */
   def createBranch(table: String, name: String, version: Long): Unit = {
-    val p = branchPath(table, name)
     require(versions(table).contains(version),
       s"graft table log: cannot branch at version $version of $table — " +
         s"available: ${versions(table).mkString("[", ", ", "]")}")
     require(!tags(table).exists(_._1 == name),
       s"graft table log: '$name' already names a tag on $table — " +
         "refs share one namespace so VERSION AS OF stays unambiguous")
+    require(branchSeqs(table, name).isEmpty,
+      s"graft table log: branch '$name' already exists on $table")
+    val p = branchSeqPath(table, name, 0L)
     val fs = p.getFileSystem(conf)
     fs.mkdirs(p.getParent)
     val out =
@@ -446,55 +553,48 @@ object GraftTableLog {
     finally out.close()
   }
 
-  /** (head, base) of branch `name`; None when it does not exist. A
-    * read racing a head update (delete+rename window) retries once. */
-  def readBranch(table: String, name: String): Option[(Long, Long)] = {
-    if (!TagNameRe.pattern.matcher(name).matches()) return None
-    val p = branchPath(table, name)
-    val fs = p.getFileSystem(conf)
-    def once(): Option[(Long, Long)] = {
-      if (!fs.exists(p)) return None
-      val in = fs.open(p)
-      val body =
-        try {
-          val buf = new Array[Byte](128)
-          val n = in.read(buf)
-          new String(buf, 0, math.max(n, 0), "UTF-8").trim
-        } finally in.close()
-      body.split('\n').map(_.trim) match {
-        case Array(h, b) => Some((h.toLong, b.toLong))
-        case other => throw new IllegalStateException(
-          s"graft table log: branch file branch.$name of $table is " +
-            s"corrupt (content '$body')")
-      }
-    }
-    try once() catch {
-      case _: Exception => // mid-update window: settle, then retry once
-        Thread.sleep(50L)
-        once()
-    }
-  }
+  /** (head, base) of branch `name`; None when it does not exist. */
+  def readBranch(table: String, name: String): Option[(Long, Long)] =
+    readBranchState(table, name).map { case (_, h, b) => (h, b) }
 
-  /** Re-point branch `name`'s head after a branch commit (base
-    * unchanged). Single writer per branch by contract. */
-  def updateBranchHead(table: String, name: String, newHead: Long): Unit = {
-    val (_, base) = readBranch(table, name).getOrElse(
+  /** COMPARE-AND-SWAP the branch head: re-point `name` to `newHead`
+    * iff its current head is still `expectedHead`. The swap is the
+    * exclusive create of the next seq file — atomic claim, no
+    * delete+rename window — so a concurrent writer's commit can never
+    * be silently overwritten. Returns false when the head moved or the
+    * claim lost; the caller re-reads and rebuilds on the fresh head. */
+  def casBranchHead(table: String, name: String, expectedHead: Long,
+      newHead: Long): Boolean = {
+    val (seq, head, base) = readBranchState(table, name).getOrElse(
       throw new IllegalArgumentException(
         s"graft table log: branch '$name' does not exist on $table"))
-    val p = branchPath(table, name)
+    if (head != expectedHead) return false
+    val p = branchSeqPath(table, name, seq + 1)
     val fs = p.getFileSystem(conf)
-    val tmp = new Path(p.getParent, s"branch.$name.tmp-$newHead")
-    val out = fs.create(tmp, true)
-    try out.write(s"$newHead\n$base".getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p),
-      s"graft table log: branch head update failed for '$name' on $table")
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.io.IOException => return false // claim lost
+      }
+    try out.write(s"$newHead\n$base".getBytes("UTF-8"))
+    finally out.close()
+    // best-effort cleanup of the superseded state (each winner reaps
+    // its predecessor; stragglers are harmless — readers take max)
+    try fs.delete(branchSeqPath(table, name, seq), false)
+    catch { case _: Exception => () }
+    true
   }
 
   /** Drop the ref only (fast-forward already moved the data). */
   def dropBranchRef(table: String, name: String): Boolean = {
-    val p = branchPath(table, name)
-    p.getFileSystem(conf).delete(p, false)
+    val fs = refsPath(table).getFileSystem(conf)
+    val seqs = branchSeqs(table, name)
+    seqs.reverse.foreach { s =>
+      try fs.delete(branchSeqPath(table, name, s), false)
+      catch { case _: Exception => () }
+    }
+    seqs.nonEmpty
   }
 
   /** All branches: (name, head, base), name-sorted. */
@@ -502,10 +602,9 @@ object GraftTableLog {
     val d = refsPath(table)
     val fs = d.getFileSystem(conf)
     if (!fs.exists(d)) return Nil
-    fs.listStatus(d).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("branch.") && !n.contains(".tmp-"))
-      .map(_.stripPrefix("branch."))
-      .sorted
+    fs.listStatus(d).toSeq.map(_.getPath.getName).collect {
+      case BranchSeqRe(n, _) => n
+    }.distinct.sorted
       .flatMap(n => readBranch(table, n).map { case (h, b) => (n, h, b) })
   }
 

@@ -62,12 +62,22 @@ object QualityClassifier {
     * DECIMAL(38,15) mirror, but precision 18 keeps every row in
     * Spark's COMPACT long-backed Decimal representation (no BigDecimal
     * allocation per row; the sum's fast add path engages while partial
-    * sums stay under ~9.2e3, which classifier-scale terms do) —
-    * measured 25 → ? s on the sf1 training loop. |term| ≥ 1000 would
-    * NULL out under the narrower precision instead of summing, so the
-    * training loop null-checks its gradient rows loudly. */
-  private def exactSum(term: Column): Column =
-    sum(term.cast("decimal(18,15)")).cast("double")
+    * sums stay under ~9.2e3, which classifier-scale terms do).
+    *
+    * SAFETY: a term with |value| ≥ 1000 NULLs under the narrow
+    * precision and Spark's sum() silently SKIPS nulls — a PARTIAL
+    * overflow would drop terms and produce wrong weights with no
+    * error. So the sum rides with an overflow counter and an in-plan
+    * assert_true that fires on the FIRST overflowed term, whether or
+    * not the whole group overflowed. */
+  private def exactSum(term: Column): Column = {
+    val dec = term.cast("decimal(18,15)")
+    val ovf = sum(when(term.isNotNull && dec.isNull, 1L).otherwise(0L))
+    when(assert_true(ovf === 0, lit(
+      "QualityClassifier exact sum: a |term| >= 1000 overflowed " +
+        "DECIMAL(18,15) — the model diverged; lower lr")).isNull,
+      sum(dec).cast("double"))
+  }
 
   /** Full-batch gradient descent. `labelCol` must be 0.0/1.0 doubles;
     * null-text rows are excluded from training (they carry no
