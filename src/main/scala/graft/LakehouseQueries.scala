@@ -820,6 +820,84 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (0, 1, 2)")))
 
+  /** SQL `ALTER TABLE … ALTER COLUMN … TYPE` — TYPE WIDENING (round
+    * 15), the remaining Iceberg-v2 schema-evolution member after
+    * add/rename/drop: int→bigint is a LOSSLESS up-cast, so the alter
+    * is one zero-row schema carrier ([[graft.sources.GraftCatalog
+    * .alterTable]]) and NO rewrite — pre-widening files keep their
+    * INT32 physical type forever and every reader up-casts their
+    * values at read time ([[graft.sources.GraftAggSpec.widenValue]]),
+    * exactly how RENAME leaves files under their era's physical name.
+    * The query: gen-1 under `o_weight INT`, widen to BIGINT (a
+    * narrowing attempt must refuse), gen-2 appends values BEYOND int
+    * range, then one filtered aggregate spans both eras — a missed
+    * up-cast class-casts, a wrong zone-map compare mis-prunes, and
+    * either drifts the hash. Time travel to the pre-widening version
+    * must still present the schema of its era. */
+  val qSqlWidenColumn = QueryDef("q_sql_widen_column",
+    (spark, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0)
+        .withColumn("o_weight", col("o_custkey").cast("int"))
+        .write.format(fmt).option("path", path).mode("append").save()
+      require(spark.table(s"$cat.sf.$tbl").schema("o_weight")
+          .dataType == IntegerType,
+        "gen-1 must land o_weight as INT")
+      spark.sql(
+        s"ALTER TABLE $cat.sf.$tbl ALTER COLUMN o_weight TYPE bigint")
+      val narrowRefused =
+        try {
+          spark.sql(
+            s"ALTER TABLE $cat.sf.$tbl ALTER COLUMN o_weight TYPE int")
+          false
+        } catch { case _: Exception => true }
+      require(narrowRefused, "narrowing bigint → int must refuse")
+      slice(orders, 1)
+        .withColumn("o_weight", col("o_custkey") + lit(3000000000L))
+        .write.format(fmt).option("path", path).mode("append").save()
+      val head = spark.table(s"$cat.sf.$tbl")
+      require(head.schema("o_weight").dataType == LongType,
+        "the widened table must present o_weight as BIGINT")
+      // pre-widening versions read as written on the CATALOG route
+      // (loadTable(ident, version) presents the schema of the era);
+      // the raw-path versionAsOf option presents the LIVE schema with
+      // era data — its narrow values must up-cast losslessly
+      require(spark.sql(s"SELECT * FROM $cat.sf.$tbl VERSION AS OF 1")
+          .schema("o_weight").dataType == IntegerType,
+        "VERSION AS OF the pre-widening commit must present INT")
+      val rawV1 = spark.read.format(fmt).option("path", path)
+        .option("versionAsOf", "1").load()
+      require(rawV1.schema("o_weight").dataType == LongType &&
+          rawV1.agg(max("o_weight")).head().getLong(0) < 3000000000L,
+        "raw-path v1 must present the live schema over era data")
+      head.filter(col("o_weight") > 100)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_weight")).as("sum_w"),
+          min(col("o_weight")).as("min_w"),
+          max(col("o_weight")).as("max_w"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+           |       CAST(sum(o_weight) AS BIGINT) AS sum_w,
+           |       min(o_weight) AS min_w, max(o_weight) AS max_w,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM (
+           |  SELECT o_orderstatus, o_orderkey,
+           |         CAST(CAST(o_custkey AS INT) AS BIGINT) AS o_weight
+           |  FROM orders WHERE o_orderkey % 4 = 0
+           |  UNION ALL
+           |  SELECT o_orderstatus, o_orderkey,
+           |         o_custkey + 3000000000 AS o_weight
+           |  FROM orders WHERE o_orderkey % 4 = 1
+           |)
+           |WHERE o_weight > 100
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   /** SQL `MERGE … WITH SCHEMA EVOLUTION` under the hash gate: Spark's
     * NATIVE evolution syntax, gated on the connector advertising
     * `TableCapability.AUTOMATIC_SCHEMA_EVOLUTION` — the analyzer routes
@@ -1632,7 +1710,8 @@ object LakehouseQueries {
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
       qSqlUpdateDv, qSqlDeleteDv, qSqlRewriteDeletes,
       qMergeSchemaEvolution, qSqlMergeEvolution, qSqlRenameColumn,
-      qSqlCtas, qSqlBranch, qSqlPartitioned, qChangeFeedCdc,
+      qSqlCtas, qSqlBranch, qSqlWidenColumn, qSqlPartitioned,
+      qChangeFeedCdc,
       qStreamFromVersion,
       qStreamCatalogTable, qSqlRollback, qSqlTagTravel, qBloomPointLookup,
       qSqlAnalyze, qClusteredWindow, qSqlConstraints, qSqlMetadataTables,

@@ -7,7 +7,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType,
+  IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The SQL face of the graft table format: a DataSource V2
@@ -335,10 +336,46 @@ class GraftCatalog extends TableCatalog
           org.apache.spark.sql.SparkSession.active, p, name, cur)
         commitSchemaCarrier(p,
           StructType(cur.fields.filterNot(_.name == name)))
+      case upd: TableChange.UpdateColumnType =>
+        // TYPE WIDENING (round 15) — the remaining Iceberg-v2 schema
+        // evolution member: int→long and float→double are LOSSLESS
+        // up-casts, so no rewrite is needed — the carrier declares the
+        // wide type and readers up-cast each file's narrow physical
+        // values at read time ([[GraftAggSpec.widenValue]]; data files
+        // keep the physical width of their era forever, exactly like
+        // they keep their era's physical NAME under RENAME). Anything
+        // lossy (narrowing, cross-family changes) is refused — that
+        // WOULD need rewrite semantics the format refuses.
+        require(upd.fieldNames().length == 1,
+          "graft catalog: ALTER COLUMN TYPE supports top-level columns " +
+            s"only, got ${upd.fieldNames().mkString(".")}")
+        val name = upd.fieldNames()(0)
+        val cur = currentSchema
+        require(cur.fieldNames.contains(name),
+          s"graft catalog: column $name not in $ident " +
+            s"(${cur.fieldNames.mkString(",")})")
+        val from = cur(name).dataType
+        val to = upd.newDataType()
+        def losslessWidening(f: DataType, t: DataType): Boolean =
+          (f, t) match {
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case _ => false
+          }
+        require(losslessWidening(from, to),
+          s"graft catalog: ALTER COLUMN TYPE ${from.simpleString} → " +
+            s"${to.simpleString} is not a lossless widening — only " +
+            "int→bigint and float→double evolve in place; anything " +
+            "else would need rewrite semantics the format refuses")
+        require(!GraftCatalog.readPartSpec(p, conf).contains(name),
+          s"graft catalog: cannot widen partition column $name — its " +
+            "values live untyped in every partition directory path")
+        commitSchemaCarrier(p, StructType(cur.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f)))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: ALTER TABLE ${other.getClass.getSimpleName} is " +
-          "out of scope — ADD/RENAME/DROP COLUMN are supported; type " +
-          "changes would need rewrite semantics the format refuses")
+          "out of scope — ADD/RENAME/DROP COLUMN and lossless " +
+          "ALTER COLUMN TYPE widening are supported")
     }
     loadTable(ident)
   }

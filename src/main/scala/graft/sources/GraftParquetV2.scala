@@ -550,6 +550,22 @@ object GraftAggSpec {
       case other => throw new IllegalStateException(s"unreachable min/max type $other")
     }
   }
+
+  /** Lossless up-cast of a file-era NARROW value to the table's widened
+    * type — TYPE-WIDENING schema evolution (`ALTER COLUMN … TYPE`,
+    * int→long / float→double): files written before the widening keep
+    * their narrow physical type forever; every reader that emits raw
+    * values into a Spark row must pass them through here so the row
+    * carries exactly the type the table schema declares. Identity for
+    * everything already at the declared width. */
+  def widenValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (i: java.lang.Integer, LongType) =>
+      java.lang.Long.valueOf(i.longValue())
+    case (f: java.lang.Float, DoubleType) =>
+      java.lang.Double.valueOf(f.doubleValue())
+    case _ => v
+  }
 }
 
 case class GraftParquetScan(path: String, required: StructType,
@@ -1503,11 +1519,20 @@ class GraftGroupedAggPartitionReader(file: String, groupBy: Seq[StructField],
       val aggVals = specs.map {
         case GraftAggSpec.CountStar => acc.count: Any
         case GraftAggSpec.CountCol(n) => acc.colCount(n): Any
-        case GraftAggSpec.MinCol(n, _) => acc.mins.getOrElse(n, null)
-        case GraftAggSpec.MaxCol(n, _) => acc.maxs.getOrElse(n, null)
+        // min/max keep the file-era object — widen to the spec's
+        // declared type (type-widening evolution: an INT32-era extreme
+        // under a now-LongType column must emit as Long)
+        case GraftAggSpec.MinCol(n, dt) =>
+          GraftAggSpec.widenValue(acc.mins.getOrElse(n, null), dt)
+        case GraftAggSpec.MaxCol(n, dt) =>
+          GraftAggSpec.widenValue(acc.maxs.getOrElse(n, null), dt)
         case GraftAggSpec.SumCol(n) => acc.sums.get(n).map(Long.box).orNull
       }
-      new GenericInternalRow((key ++ aggVals).toArray)
+      // group keys read at the FILE's width — emit at the table's
+      val keyVals = key.zip(groupBy).map { case (v, f) =>
+        GraftAggSpec.widenValue(v, f.dataType)
+      }
+      new GenericInternalRow((keyVals ++ aggVals).toArray)
     }
   }
 
@@ -1576,8 +1601,13 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
           if (cs.exists(c => c.isEmpty || c.get.getStatistics == null ||
               !c.get.getStatistics.isNumNullsSet)) None
           else Some(rowCount - cs.flatten.map(_.getStatistics.getNumNulls).sum: Any)
-        case GraftAggSpec.MinCol(n, dt) => statExtreme(n, dt, isMin = true)
-        case GraftAggSpec.MaxCol(n, dt) => statExtreme(n, dt, isMin = false)
+        // footer stats carry the FILE-era width — widen to the spec's
+        case GraftAggSpec.MinCol(n, dt) =>
+          statExtreme(n, dt, isMin = true)
+            .map(GraftAggSpec.widenValue(_, dt))
+        case GraftAggSpec.MaxCol(n, dt) =>
+          statExtreme(n, dt, isMin = false)
+            .map(GraftAggSpec.widenValue(_, dt))
         case _: GraftAggSpec.SumCol => None // no footer answer for sums
       }
       if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get).toArray)
@@ -1635,8 +1665,11 @@ class GraftAggPartitionReader(file: String, specs: Seq[GraftAggSpec],
     specs.map {
       case GraftAggSpec.CountStar => count: Any
       case GraftAggSpec.CountCol(n) => colCount(n): Any
-      case GraftAggSpec.MinCol(n, _) => mins.getOrElse(n, null)
-      case GraftAggSpec.MaxCol(n, _) => maxs.getOrElse(n, null)
+      // scan values carry the FILE-era width — widen to the spec's
+      case GraftAggSpec.MinCol(n, dt) =>
+        GraftAggSpec.widenValue(mins.getOrElse(n, null), dt)
+      case GraftAggSpec.MaxCol(n, dt) =>
+        GraftAggSpec.widenValue(maxs.getOrElse(n, null), dt)
       case GraftAggSpec.SumCol(n) => sums.get(n).map(Long.box).orNull
     }.toArray
   }
@@ -1739,6 +1772,35 @@ class GraftPartitionReader(file: String, required: StructType,
       case GraftMeta.PosCol => -3
       case n => physCols.indexOf(resolve(n))
     }
+
+  // TYPE-WIDENING evolution: per-required-field up-cast when THIS file
+  // stores the column at a narrower physical width than the table now
+  // declares (INT32 under a LongType column, FLOAT under DoubleType) —
+  // files keep the physical type of their era; the emitted row must
+  // carry the declared one or downstream getLong/getDouble class-casts
+  // die. Identity when widths already match; filter evaluation stays on
+  // the narrow values (GraftFilterEval.cmp and the In-set keys widen
+  // integrals/floats internally, so mixed-width compares are exact).
+  private val widen: Array[Any => Any] =
+    required.fields.zipWithIndex.map { case (f, j) =>
+      val id: Any => Any = identity
+      if (outIdx(j) < 0) id
+      else {
+        import PrimitiveType.PrimitiveTypeName._
+        val pt = projection.getType(outIdx(j)).asPrimitiveType()
+        (pt.getPrimitiveTypeName, f.dataType) match {
+          case (INT32, LongType) => (v: Any) =>
+            if (v == null) null
+            else java.lang.Long.valueOf(
+              v.asInstanceOf[java.lang.Integer].longValue())
+          case (FLOAT, DoubleType) => (v: Any) =>
+            if (v == null) null
+            else java.lang.Double.valueOf(
+              v.asInstanceOf[java.lang.Float].doubleValue())
+          case _ => id
+        }
+      }
+    }
   private val filePathUtf8 = UTF8String.fromString(file)
   private var row: Array[Any] = _
 
@@ -1802,12 +1864,12 @@ class GraftPartitionReader(file: String, required: StructType,
           if (fastIns.forall(ci => ci.keep(byName(ci.attribute))) &&
               slowFilters.forall(f =>
                 GraftFilterEval.eval(f, byName).contains(true))) {
-            row = outIdx.map {
+            row = Array.tabulate[Any](outIdx.length)(j => outIdx(j) match {
               case -2 => filePathUtf8
               case -3 => Long.box(ord)
               case -1 => null
-              case i => vals(i)
-            }
+              case i => widen(j)(vals(i))
+            })
             emitted += 1
             return true
           }
