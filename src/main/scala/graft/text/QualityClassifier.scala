@@ -154,6 +154,13 @@ object QualityClassifier {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, Model]()
 
+  /** Drop every cached model. The bench's COLD-TRAIN lane calls this
+    * before each timed run so first-train cost is a tracked, era-gated
+    * metric of its own — without it, min-of-N reports only the warm
+    * serve path and a training-kernel regression cannot flag (the
+    * round-14 verdict's protocol hole). */
+  def clearModelCache(): Unit = modelCache.clear()
+
   /** TRAIN-ONCE MODEL REGISTRY (round 14): returns the process-cached
     * model when the same corpus and hyperparameters were already
     * trained — training is deterministic (bit-identical weights at any
