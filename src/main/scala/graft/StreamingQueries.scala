@@ -17,11 +17,31 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object StreamingQueries {
 
+  /** Run `body` with the session's shuffle-partition count — the knob
+    * that sizes a streaming job's STATE partitions (pinned into the
+    * checkpoint at the first batch) — set to `n`, restored after.
+    * State partitions must scale with STATE SIZE, not the host's CPU
+    * count: the round-15 [[graft.JoinDrainDryRun]] A/B measured the
+    * CPU-sized default (32) paying 2.5x the wall of a state-sized 8 on
+    * identical results — HDFSBackedStateStore snapshot/delta
+    * maintenance is pure per-instance fixed cost × partitions ×
+    * batches × stores-per-operator, and a symmetric join carries FOUR
+    * stores per partition. Production sizes this per streaming job
+    * (each job owns its checkpoint); these entries do the same. At
+    * real scale the same reasoning raises it: size to state volume. */
+  private def withStatePartitions[T](spark: org.apache.spark.sql
+      .SparkSession, n: Int)(body: => T): T = {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   /** `events.ts`, whatever the parquet encodes, as a proper
     * TimestampType column for the streaming window machinery — the
     * TIMESTAMP twin of [[graft.core.Tables.eventsMicros]] (same three
     * encodings, same UTC-pinned session contract). */
-  private def tsAsTimestamp(df: DataFrame): org.apache.spark.sql.Column =
+  private[graft] def tsAsTimestamp(df: DataFrame): org.apache.spark.sql.Column =
     df.schema("ts").dataType match {
       case LongType         => timestamp_micros(expr("ts div 1000L"))
       case TimestampNTZType => col("ts").cast(TimestampType)
@@ -585,17 +605,24 @@ object StreamingQueries {
       // state store would now FAIL the hash instead of being silently
       // absorbed by a driver set — a strictly stronger gate.
       val table = s"$tmp/graft_stream_join_tbl_$run"
-      val q = joined.writeStream
-        .format("graft.sources.GraftParquetTableProvider")
-        .option("path", table)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally {
-        fs.delete(new org.apache.hadoop.fs.Path(ingest), true)
-        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
-        fs.deleteOnExit(new org.apache.hadoop.fs.Path(table))
+      // state partitions sized to the STATE, not the host CPU count
+      // (r15 JoinDrainDryRun: 32 partitions × 4 stores × batches of
+      // HDFSBackedStateStore maintenance cost 2.5x the wall of 8 on
+      // identical results) — the per-job sizing every production
+      // deployment does through its own session conf
+      withStatePartitions(spark, 8) {
+        val q = joined.writeStream
+          .format("graft.sources.GraftParquetTableProvider")
+          .option("path", table)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally {
+          fs.delete(new org.apache.hadoop.fs.Path(ingest), true)
+          fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+          fs.deleteOnExit(new org.apache.hadoop.fs.Path(table))
+        }
       }
       graft.streaming.TableDrain.read(spark, table)
         .orderBy("error_id", "purchase_id")
@@ -1261,4 +1288,19 @@ object StreamingQueries {
       qStreamSink, qStreamJoin, qStreamEnrich, qStreamPipe, qStreamMoments,
       qStreamQuality, qStreamPartitionedSource, qStreamCdcApply,
       qStreamExactDedup)
+      // fixed-cost-dominated streaming entries run with STATE-SIZED
+      // shuffle partitions (see withStatePartitions): their stateful
+      // exchanges and drain-table writes plan under 8 partitions, while
+      // the returned DataFrame (the drained-table readback) is LAZY and
+      // materializes after the conf is restored — batch-side plans keep
+      // the session's CPU-sized parallelism. CPU-BOUND state kernels
+      // are excluded: q_stream_neardup_pairs' minhash/bucket kernel and
+      // q_stream_quality_scores' scoring are wall-bound by per-row
+      // state WORK, not per-instance store maintenance — shrinking
+      // their partitions would serialize real CPU (the r13 multimodal
+      // lesson in streaming form); they keep the CPU-sized default.
+      .map(q =>
+        if (q.name == "q_stream_neardup_pairs" ||
+            q.name == "q_stream_quality_scores") q
+        else q.copy(run = (s, d) => withStatePartitions(s, 8)(q.run(s, d))))
 }
