@@ -941,6 +941,14 @@ object GraftParquetWrite {
       t match {
         case _: java.io.FileNotFoundException => return true
         case _: java.io.EOFException => return true
+        // mid-swap CRC mismatch (round 15, the stress harness's second
+        // captured shape): ChecksumFileSystem's delete+rename swap moves
+        // the data part and its .crc sidecar non-atomically, so a reader
+        // straddling the swap can verify new bytes against the old
+        // checksum and die at footer open. Same advisory-metadata
+        // contract as the torn page: retry sees the settled winner;
+        // persistent mismatch degrades loudly to conservative scans.
+        case _: org.apache.hadoop.fs.ChecksumException => return true
         case other =>
           val m = Option(other.getMessage).getOrElse("")
           if (m.contains("magic number") ||
