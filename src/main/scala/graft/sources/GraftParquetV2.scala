@@ -1781,10 +1781,13 @@ class GraftPartitionReader(file: String, required: StructType,
   // die. Identity when widths already match; filter evaluation stays on
   // the narrow values (GraftFilterEval.cmp and the In-set keys widen
   // integrals/floats internally, so mixed-width compares are exact).
+  // null = no conversion for this field (the overwhelmingly common
+  // case) — the hot loop pays ONE null check per cell, never a
+  // megamorphic Function1 dispatch (the r15 sf1 re-times caught a
+  // measurable scan tax from an unconditional per-cell widen(j)(v))
   private val widen: Array[Any => Any] =
     required.fields.zipWithIndex.map { case (f, j) =>
-      val id: Any => Any = identity
-      if (outIdx(j) < 0) id
+      if (outIdx(j) < 0) null
       else {
         import PrimitiveType.PrimitiveTypeName._
         val pt = projection.getType(outIdx(j)).asPrimitiveType()
@@ -1797,7 +1800,7 @@ class GraftPartitionReader(file: String, required: StructType,
             if (v == null) null
             else java.lang.Double.valueOf(
               v.asInstanceOf[java.lang.Float].doubleValue())
-          case _ => id
+          case _ => null
         }
       }
     }
@@ -1868,7 +1871,9 @@ class GraftPartitionReader(file: String, required: StructType,
               case -2 => filePathUtf8
               case -3 => Long.box(ord)
               case -1 => null
-              case i => widen(j)(vals(i))
+              case i =>
+                val w = widen(j)
+                if (w == null) vals(i) else w(vals(i))
             })
             emitted += 1
             return true
