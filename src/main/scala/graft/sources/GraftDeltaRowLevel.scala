@@ -129,6 +129,33 @@ class GraftDeltaWrite(path: String, tableSchema: StructType)
       fs.delete(staging, true)
       return
     }
+    // The whole physical commit runs under the table's rewrite lock
+    // ([[GraftConflicts]]): the staged DVs reference data files BY
+    // BASENAME, and a COW rewrite/compaction racing this commit could
+    // archive a referenced file — the DV would land pointing at a dead
+    // basename and its deletes would be silently inert (a lost MOR
+    // delete) while the inserted images still landed (duplicated
+    // rows). Under the lock, validate every referenced basename is
+    // still live; a conflict refuses (retryable) with staging cleaned
+    // and the table untouched.
+    GraftConflicts.withRewriteLock(path) {
+    if (dvNames.nonEmpty) {
+      val refs = GraftDeletes.readPositions(
+        dvNames.map(n => new Path(staging, s"_dv/$n").toString).toSeq)
+        .keySet
+      val live = (try GraftParquetV2.listFiles(path) catch {
+        case _: java.io.FileNotFoundException => Nil
+      }).map(f => new Path(f).getName).toSet
+      val gone = refs.diff(live)
+      if (gone.nonEmpty) {
+        fs.delete(staging, true)
+        throw new GraftConcurrentWriteException(
+          s"graft delta commit conflict under $path: ${gone.size} " +
+            s"file(s) this row-level operation read were replaced by a " +
+            s"concurrent rewrite [${gone.take(3).mkString(", ")}] — " +
+            "re-run the operation against the new head")
+      }
+    }
     // 1. DV files in FIRST (shrink): a racing reader sees deleted rows
     //    vanish before their replacement images appear — the overwrite
     //    protocol's shrink-then-grow rule; the union (old row + new
@@ -173,6 +200,7 @@ class GraftDeltaWrite(path: String, tableSchema: StructType)
       msgs.flatMap(_.stats)
     GraftParquetWrite.commitMetadata(path, entries, writeId,
       dvMaybeStale = false) // adds DVs and images, removes nothing
+    } // withRewriteLock
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -114,6 +114,12 @@ object GraftMaintenance {
       targetFileBytes: Long = 128L * 1024 * 1024,
       clusterBy: Seq[String] = Nil): Long = {
     require(targetFileBytes > 0, "graft compact: targetFileBytes must be > 0")
+    // compact READS the table it overwrites: a commit landing between
+    // this capture and the overwrite's commit would be truncated away
+    // — a lost update. The read version rides a write option down to
+    // the overwrite commit, which validates it under the rewrite lock
+    // ([[GraftConflicts]]) and refuses (retryable) if the head moved.
+    val read = GraftConflicts.captureRead(table)
     val totalBytes = GraftParquetV2.totalFileBytes(table)
     val n = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
       .min(Int.MaxValue).toInt
@@ -141,6 +147,7 @@ object GraftMaintenance {
     val writer = packed.write
       .format("graft.sources.GraftParquetTableProvider")
       .option("path", table)
+      .option("conflictReadVersion", read.version.toString)
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
     (if (partCols.nonEmpty)
       writer.option("partitionBy", partCols.mkString(","))
@@ -247,21 +254,52 @@ object GraftMaintenance {
     * data written, just carried into the new version. Visibility for a
     * racing reader is the overwrite protocol's shrink-then-grow (the
     * candidates archive before the rewritten files rename in), never
-    * a duplicated-rows union. */
+    * a duplicated-rows union.
+    *
+    * CONCURRENCY ([[GraftConflicts]]): the expensive compute (the
+    * scratch write, which reads the still-live candidates) runs
+    * UNLOCKED so disjoint rewrites overlap their Spark jobs; the
+    * physical shrink-then-grow window and the metadata commit run
+    * under the table's cross-JVM rewrite lock, where the operation's
+    * read snapshot (`read`, captured before it planned) is validated
+    * against the head — a stale read refuses with a retryable
+    * [[GraftConcurrentWriteException]] and the table untouched.
+    * `serializable = true` (MERGE) refuses on ANY head movement;
+    * the default snapshot level refuses only when a concurrent commit
+    * removed a candidate or changed merge-on-read deletes touching
+    * one. */
   private def rewriteCommit(spark: SparkSession, table: String,
       candidates: Seq[String], rewritten: DataFrame,
-      partCols: Seq[String]): Long = {
+      partCols: Seq[String], read: GraftConflicts.RewriteReadState,
+      serializable: Boolean = false): Long = {
     val root = new Path(table)
     val fs = root.getFileSystem(conf)
     val tmp = s"$table/_rewrite-${java.util.UUID.randomUUID()}"
     try {
       // 1. write the rewritten rows to an invisible scratch graft table
-      //    (the job READS the candidate files — they are still live)
+      //    (the job READS the candidate files — they are still live).
+      //    A concurrent rewrite that archives a candidate mid-job fails
+      //    this read — retype the failure as the conflict it is
       val w = rewritten.write
         .format("graft.sources.GraftParquetTableProvider")
         .option("path", tmp).mode(org.apache.spark.sql.SaveMode.Append)
-      (if (partCols.nonEmpty) w.option("partitionBy", partCols.mkString(","))
-      else w).save()
+      try {
+        (if (partCols.nonEmpty)
+          w.option("partitionBy", partCols.mkString(","))
+        else w).save()
+      } catch {
+        case e: Throwable =>
+          val vanished = candidates.filterNot(f =>
+            try fs.exists(new Path(f)) catch { case _: Exception => true })
+          if (vanished.nonEmpty) throw new GraftConcurrentWriteException(
+            s"graft rewrite conflict under $table: ${vanished.size} " +
+              s"candidate file(s) vanished mid-read (a concurrent " +
+              "rewrite committed) — re-plan against the new head and " +
+              "retry", e)
+          else throw e
+      }
+      GraftConflicts.withRewriteLock(table) {
+      GraftConflicts.validateRewrite(table, read, candidates, serializable)
       // 2. candidates out (shrink) …
       var archived = List.empty[String] // rels, for compensation
       def unarchive(): Unit = archived.foreach { rel =>
@@ -318,6 +356,7 @@ object GraftMaintenance {
       GraftTableLog.latestVersion(table).getOrElse(
         throw new IllegalStateException(
           s"graft rewrite: commit left no log version under $table"))
+      } // withRewriteLock
     } finally fs.delete(new Path(tmp), true)
   }
 
@@ -333,6 +372,7 @@ object GraftMaintenance {
     * the new head version (or the current one when no file could
     * match — a provable no-op). */
   def delete(spark: SparkSession, table: String, condition: Column): Long = {
+    val read = GraftConflicts.captureRead(table)
     val df = connectorRead(spark, table)
     val candidates = plannedFiles(df.filter(condition))
     if (candidates.isEmpty)
@@ -342,7 +382,7 @@ object GraftMaintenance {
       GraftDeletes.livePositions(table),
       GraftCatalog.readAliases(table, conf))
       .filter(not(coalesce(condition, lit(false))))
-    rewriteCommit(spark, table, candidates, keep, partCols)
+    rewriteCommit(spark, table, candidates, keep, partCols, read)
   }
 
   /** ROW-LEVEL UPDATE with zone-map-selective rewrite: only the files
@@ -370,6 +410,7 @@ object GraftMaintenance {
   def update(spark: SparkSession, table: String, condition: Column,
       assignments: Map[String, Column]): Long = {
     require(assignments.nonEmpty, "graft update: no SET assignments")
+    val read = GraftConflicts.captureRead(table)
     val df = connectorRead(spark, table)
     val fields = df.schema.fields
     // resolve SET targets the way the analyzer would: case-insensitive
@@ -435,7 +476,7 @@ object GraftMaintenance {
           case None => col(f.name)
         }
       }.toSeq: _*)
-    rewriteCommit(spark, table, candidates, updated, partCols)
+    rewriteCommit(spark, table, candidates, updated, partCols, read)
   }
 
   /** MERGE (upsert) with key-range-selective rewrite: source rows
@@ -510,16 +551,31 @@ object GraftMaintenance {
           .schema(widened).option("path", table).load()
       }
     val src = source.select(df.schema.fieldNames.map(col).toSeq: _*)
+    // the read snapshot the matched/not-matched decisions derive from
+    // — captured AFTER the schema carrier (our own commit must not
+    // self-conflict), BEFORE planning. MERGE validates SERIALIZABLE:
+    // its insert-vs-replace split read the whole table (zone maps +
+    // candidate rows), so ANY concurrent commit invalidates it.
+    val read = GraftConflicts.captureRead(table)
     val cond = col(keyCol).between(lit(keyStats.get(3)), lit(keyStats.get(4)))
     val candidates = plannedFiles(df.filter(cond))
     val partCols = GraftCatalog.effectivePartCols(table, df.schema)
     if (candidates.isEmpty) {
       // provably no matching keys anywhere: a pure insert — one
-      // ordinary transactional append
-      val w = src.write.format("graft.sources.GraftParquetTableProvider")
-        .option("path", table).mode(org.apache.spark.sql.SaveMode.Append)
-      (if (partCols.nonEmpty) w.option("partitionBy", partCols.mkString(","))
-      else w).save()
+      // ordinary transactional append. The "no key anywhere" proof
+      // came from the read snapshot's zone maps, so it too must
+      // revalidate: a concurrent commit may have added the key. The
+      // lock is held across the append — a pure-insert merge racing a
+      // rewrite serializes; correctness over overlap on this path.
+      GraftConflicts.withRewriteLock(table) {
+        GraftConflicts.validateRewrite(table, read, Nil,
+          serializable = true)
+        val w = src.write.format("graft.sources.GraftParquetTableProvider")
+          .option("path", table).mode(org.apache.spark.sql.SaveMode.Append)
+        (if (partCols.nonEmpty)
+          w.option("partitionBy", partCols.mkString(","))
+        else w).save()
+      }
       return GraftTableLog.latestVersion(table).getOrElse(
         throw new IllegalStateException(
           s"graft merge: append committed but no log version under $table"))
@@ -531,7 +587,7 @@ object GraftMaintenance {
       src.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .select(df.schema.fieldNames.map(col).toSeq: _*)
     rewriteCommit(spark, table, candidates,
-      survivors.unionByName(src), partCols)
+      survivors.unionByName(src), partCols, read, serializable = true)
   }
 
   /** Fold MERGE-ON-READ deletes SELECTIVELY: rewrite only the files
@@ -546,6 +602,7 @@ object GraftMaintenance {
     * merge disappears entirely. Returns the new head version (or the
     * current one when the table carries no deletes — a free no-op). */
   def rewriteDeletes(spark: SparkSession, table: String): Long = {
+    val read = GraftConflicts.captureRead(table)
     val dv = GraftDeletes.livePositions(table)
     if (dv.isEmpty)
       return GraftTableLog.latestVersion(table).getOrElse(0L)
@@ -555,7 +612,7 @@ object GraftMaintenance {
     val partCols = GraftCatalog.effectivePartCols(table, df.schema)
     val clean = readFilesWithDeletes(spark, df.schema, candidates, dv,
       GraftCatalog.readAliases(table, conf))
-    rewriteCommit(spark, table, candidates, clean, partCols)
+    rewriteCommit(spark, table, candidates, clean, partCols, read)
   }
 
   /** ROW-LEVEL CDC feed between two versions — the change feed that
@@ -735,16 +792,29 @@ object GraftMaintenance {
         s"its own lineage dir under $table — refusing a corrupt ref")
     val root = new Path(table)
     val fs = root.getFileSystem(conf)
-    if (adopted.isEmpty) { // nothing to adopt: drop the ref, done
-      GraftTableLog.dropBranchRef(table, branch)
-      fs.delete(new Path(root, s"_branch_$branch"), true)
-      return (GraftTableLog.latestVersion(table).getOrElse(base), 0)
-    }
     // the visibility flip — validated collision-free BEFORE any move
     adopted.foreach { rel =>
       val dest = new Path(root, new Path(rel).getName)
       require(!fs.exists(dest),
         s"graft fast_forward: basename collision at $dest under $table")
+    }
+    // FENCE (every validation passed; nothing moved yet): atomically
+    // retire the ref iff the head is still the one whose files we are
+    // about to adopt ([[GraftTableLog.casDropBranch]]). A branch
+    // commit that CASes the head between our read and this fence wins
+    // the seq claim — we refuse (retryable, table and branch
+    // untouched) instead of deleting its just-committed files; a
+    // commit arriving AFTER the fence fails loudly with "branch does
+    // not exist". This closes the lost-committed-write window the
+    // old read-once-then-delete sequence carried.
+    val fenceSeq = GraftTableLog.casDropBranch(table, branch, head)
+      .getOrElse(throw new GraftConcurrentWriteException(
+        s"graft fast_forward: branch '$branch' advanced under $table " +
+          "while fast-forward validated — retry to adopt the new head"))
+    if (adopted.isEmpty) { // nothing to adopt: reap the ref, done
+      GraftTableLog.dropBranchRef(table, branch)
+      fs.delete(new Path(root, s"_branch_$branch"), true)
+      return (GraftTableLog.latestVersion(table).getOrElse(base), 0)
     }
     // Adoption is N renames + one commit with NO multi-file atomicity
     // (single-filesystem rename is the honest local equivalent of an
@@ -773,6 +843,9 @@ object GraftMaintenance {
             new Path(root, rel))
           catch { case _: Exception => () } // best-effort unwind
         }
+        // lift the fence: the kept predecessor seq becomes the head
+        // again, so the branch survives a failed adoption intact
+        GraftTableLog.undropBranch(table, branch, fenceSeq)
         throw e
     }
     fs.delete(new Path(root, s"_branch_$branch"), true)
@@ -917,6 +990,7 @@ object GraftMaintenance {
       targetFileBytes: Long = 128L * 1024 * 1024): (Long, Int) = {
     require(targetFileBytes > 0,
       "graft recluster: targetFileBytes must be > 0")
+    val read = GraftConflicts.captureRead(table)
     val (v0, cols) = readSortSpec(table).getOrElse(
       throw new IllegalArgumentException(
         s"graft recluster: no sort spec under $table — run " +
@@ -964,7 +1038,7 @@ object GraftMaintenance {
       GraftCatalog.readAliases(table, conf))
       .repartitionByRange(n, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
-    val v = rewriteCommit(spark, table, tail, sorted, partCols)
+    val v = rewriteCommit(spark, table, tail, sorted, partCols, read)
     // every live file is now sorted on COLS: V's survivors by
     // immutability, the tail by this rewrite — re-pin the claim
     writeSortSpec(table, v, cols)

@@ -180,8 +180,17 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
         s"graft parquet v2 write: branch '$b' does not exist on $path " +
           "— CALL system.create_branch first")
     }
+    // `conflictReadVersion` (internal, set by [[GraftMaintenance
+    // .compact]]): the head version the overwriting job READ — the
+    // commit validates it under the rewrite lock and refuses
+    // (retryable) if a concurrent commit moved the table, instead of
+    // truncating the concurrent write away. Absent for user
+    // overwrites, whose semantics are "replace whatever is there".
+    val conflictReadVersion =
+      Option(info.options.get("conflictReadVersion")).map(_.toLong)
     new GraftBatchWrite(path, info.schema(), doTruncate, partCols,
-      dynamic, info.queryId(), bloomSpec, constraints, branch)
+      dynamic, info.queryId(), bloomSpec, constraints, branch,
+      conflictReadVersion)
   }
 }
 
@@ -191,7 +200,8 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     bloomSpec: Option[(Seq[String], Double)] = None,
     constraints: Seq[(String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    conflictReadVersion: Option[Long] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val writeId = UUID.randomUUID().toString
@@ -308,7 +318,26 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // in: a reader racing the commit sees a shrinking-then-growing table
     // (incomplete — the documented mid-overwrite window) but never the
     // UNION of both generations, which would be duplicated rows — wrong
-    // rather than merely partial
+    // rather than merely partial.
+    //
+    // CONCURRENCY: a truncating commit runs under the table's rewrite
+    // lock ([[GraftConflicts]]) — its shrink-then-grow window must not
+    // interleave with a row-level rewrite's. A SELF-READING overwrite
+    // (compact — `conflictReadVersion` set) additionally validates its
+    // read version under the lock: if a concurrent commit moved the
+    // head, truncating would silently discard that commit, so it
+    // refuses with a retryable conflict instead. A plain user
+    // overwrite carries no read version — replacing whatever is there
+    // IS its semantics.
+    def truncatingCommit(): Unit = {
+    conflictReadVersion.foreach { rv =>
+      val head = GraftTableLog.latestVersion(path).getOrElse(0L)
+      if (head != rv) throw new GraftConcurrentWriteException(
+        s"graft compact conflict under $path: the compaction read " +
+          s"version $rv but a concurrent commit moved the head to " +
+          s"$head — committing would truncate that write away; retry " +
+          "the compaction against the new head")
+    }
     // basenames of files this commit deletes — their manifest rows
     // must not be carried forward
     var deleted = Set.empty[String]
@@ -373,6 +402,9 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     GraftParquetWrite.commitMetadata(path,
       prior ++ committed.flatMap(_._2), writeId,
       dvMaybeStale = truncate) // appends only ADD files
+    } // truncatingCommit
+    if (truncate) GraftConflicts.withRewriteLock(path)(truncatingCommit())
+    else truncatingCommit()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -872,7 +904,14 @@ object GraftParquetWrite {
           attempt += 1
           if (attempt > 50) throw new IllegalStateException(
             s"graft parquet v2 branch write: lost the branch-head CAS " +
-              s"50 times on '$branch' under $path — giving up")
+              s"50 times on '$branch' under $path — giving up " +
+              "(environmental create failures now rethrow from " +
+              "casBranchHead directly, so 50 losses means real " +
+              "sustained contention)")
+          // brief backoff: a TORN successor (a crashed claimer's empty
+          // seq file) heals on the ref horizon (~5 s) — spinning 50
+          // dry CAS attempts must not exhaust before it can
+          Thread.sleep(100L)
         }
       }
     }

@@ -483,6 +483,11 @@ object GraftTableLog {
           catch { case _: NumberFormatException => None }
         case _ => None
       }
+    // a TOMBSTONE claim (head < 0, [[casDropBranch]]) is the fence a
+    // fast-forward plants before adopting files: the branch reads as
+    // nonexistent from that seq on, so a late writer's CAS fails
+    // loudly instead of committing onto a lineage being dismantled
+    def tombstoned(hb: (Long, Long)): Boolean = hb._1 < 0L
     def bodyOf(seq: Long): Option[String] =
       try Some(readRefBody(fs, branchSeqPath(table, name, seq)))
       catch { case _: java.io.FileNotFoundException => None }
@@ -491,7 +496,8 @@ object GraftTableLog {
     while (cand.nonEmpty && fallbacks < 64) {
       val seq = cand.last
       bodyOf(seq).map(b => (b, parse(b))) match {
-        case Some((_, Some((h, b)))) => return Some((seq, h, b))
+        case Some((_, Some((h, b)))) =>
+          return if (tombstoned((h, b))) None else Some((seq, h, b))
         case None =>
           // vanished between list and read: superseded-and-cleaned, or
           // dropped — a fresh listing settles which
@@ -502,16 +508,20 @@ object GraftTableLog {
           // not landed. Settle briefly and re-read; still torn → serve
           // the PRIOR committed seq (the claim has not happened yet).
           // An aged torn claim is a crashed writer: heal it so the seq
-          // number frees up (same horizon discipline as
-          // healTornSnapshot).
+          // number frees up. Ref bodies are ~20 bytes — the horizon is
+          // its own, much shorter knob (default 5 s) rather than the
+          // snapshot heal horizon: a torn ref blocks EVERY writer's
+          // CAS at seq+1, and no plausible in-flight 20-byte write
+          // takes longer than seconds.
           Thread.sleep(50L)
           bodyOf(seq).flatMap(parse) match {
-            case Some((h, b)) => return Some((seq, h, b))
+            case Some((h, b)) =>
+              return if (tombstoned((h, b))) None else Some((seq, h, b))
             case None =>
               val p = branchSeqPath(table, name, seq)
               val horizonMs =
-                sys.props.get("graft.log.healHorizonMs").map(_.toLong)
-                  .getOrElse(600000L)
+                sys.props.get("graft.log.refHealHorizonMs").map(_.toLong)
+                  .getOrElse(5000L)
               val aged = (try Some(fs.getFileStatus(p)) catch {
                 case _: java.io.FileNotFoundException => None
               }).forall(st => System.currentTimeMillis() -
@@ -574,8 +584,17 @@ object GraftTableLog {
     val out =
       try fs.create(p, false)
       catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.io.IOException => return false // claim lost
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          return false // claim lost
+        case e: java.io.IOException =>
+          // local FS throws PLAIN IOException for an existing file —
+          // disambiguate by existence: file there = claim genuinely
+          // lost; not there = an environmental failure (permissions,
+          // disk full) that must SURFACE with its diagnostic, not be
+          // reported as "lost the CAS 50 times"
+          if (try fs.exists(p) catch { case _: Exception => false })
+            return false
+          else throw e
       }
     try out.write(s"$newHead\n$base".getBytes("UTF-8"))
     finally out.close()
@@ -584,6 +603,51 @@ object GraftTableLog {
     try fs.delete(branchSeqPath(table, name, seq), false)
     catch { case _: Exception => () }
     true
+  }
+
+  /** COMPARE-AND-DROP: atomically retire branch `name` iff its head is
+    * still `expectedHead`, by claiming the next seq file with a
+    * TOMBSTONE body (head = -1) — the same exclusive-create discipline
+    * as [[casBranchHead]], so exactly one of a concurrent branch
+    * commit and this drop wins. From the tombstone on the branch reads
+    * as nonexistent: a late writer's CAS fails loudly with "does not
+    * exist" instead of committing onto a lineage being dismantled —
+    * the fence [[GraftMaintenance.fastForward]] plants BEFORE moving
+    * any files. Returns the tombstone seq (delete that file via
+    * [[undropBranch]] to restore the branch on a failed adoption), or
+    * None when the head moved / the claim lost — the caller refuses
+    * and retries. The superseded seq file is deliberately KEPT until
+    * [[dropBranchRef]] reaps everything: it is the restore point. */
+  def casDropBranch(table: String, name: String,
+      expectedHead: Long): Option[Long] = {
+    val (seq, head, _) = readBranchState(table, name).getOrElse(
+      return None)
+    if (head != expectedHead) return None
+    val p = branchSeqPath(table, name, seq + 1)
+    val fs = p.getFileSystem(conf)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          return None
+        case e: java.io.IOException =>
+          if (try fs.exists(p) catch { case _: Exception => false })
+            return None
+          else throw e
+      }
+    try out.write("-1\n-1".getBytes("UTF-8"))
+    finally out.close()
+    Some(seq + 1)
+  }
+
+  /** Undo a [[casDropBranch]] fence after a FAILED adoption: delete
+    * the tombstone seq so the kept predecessor becomes the head again.
+    * Only legal while the caller still owns the tombstone (nothing
+    * else writes a retired branch's refs). */
+  def undropBranch(table: String, name: String, tombstoneSeq: Long): Unit = {
+    val p = branchSeqPath(table, name, tombstoneSeq)
+    try p.getFileSystem(conf).delete(p, false)
+    catch { case _: Exception => () }
   }
 
   /** Drop the ref only (fast-forward already moved the data). */

