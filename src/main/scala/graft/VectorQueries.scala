@@ -590,56 +590,90 @@ object VectorQueries {
     * search: per-(vector, table, bit) dim-ordered dot-product folds,
     * sign bits packed into the signature, the (table, sig) bucket
     * self-join, distinct candidates, exact-cosine verification, and
-    * the deterministic global top-N. The last non-libm rows-only entry
-    * joins the hash gate; recall vs the exact twin stays
-    * spec-measured. */
+    * the deterministic global top-N.
+    *
+    * GATED SHAPE = THE CAPPED ONE (r16): the configuration under the
+    * hash gate carries the k-bounded bucket cap
+    * ([[GateMaxBucket]] smallest ids per (table, sig) bucket — the
+    * production defense against self-similar corpora, where uncapped
+    * candidate volume grew 275× on 50× data at sf5), and the oracle
+    * replays the SAME cap via a per-bucket id-ordered row_number. At
+    * the gated SFs no bucket reaches the cap, so the certified output
+    * equals the exhaustive one; at replica-heavy scale the cap bounds
+    * work per bucket at C(cap,2) pairs instead of melting. The
+    * exhaustive form (failOnOverflow) stays spec-pinned
+    * (DedupSpec "gated capped LSH configs"); recall vs the exact twin
+    * stays spec-measured. */
   val RpBits = 8
   val RpTables = 16
   val RpSeed = 7L
+  /** The gated entries' production bucket cap: small enough that a
+    * replica-heavy megabucket's pair work saturates at C(512,2) ≈ 131k
+    * candidates, large enough that the honest gated corpora (≤ sf0.1)
+    * never reach it — certified by the spec's cap-is-no-op check. */
+  val GateMaxBucket = 512
   val RpPlanesPath = "/tmp/graft_rp_planes.parquet"
+
+  /** DuckDB replay of the K-BOUNDED hyperplane-LSH candidate stream
+    * over corpus CTE/table `src` (columns vec_id, embedding), planes at
+    * `planesPath`: dim-ordered dot folds → packed sign signatures →
+    * id-ordered bucket membership capped at [[GateMaxBucket]] (the
+    * TopKAgg smallest-ids rule, mirrored as a row_number) → distinct
+    * within-bucket pairs. Ends in `cand(vec_a, vec_b)`; defines
+    * ev/pl/dots/sigs/members on the way (names chosen not to collide
+    * with the closure CTEs). */
+  private def lshCandCtes(src: String, planesPath: String): String =
+    s"""pl AS (
+       |  SELECT tbl, bit, comp
+       |  FROM read_parquet('$planesPath/*.parquet')
+       |), ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM $src
+       |), dots AS (  -- dim-ordered double fold, the kernel's order
+       |  SELECT ev.vec_id, pl.tbl, pl.bit,
+       |         ${fold("ev.v[i] * pl.comp[i]", "ev.v")} AS dot
+       |  FROM ev, pl
+       |), sigs AS (  -- bit i set iff dot > 0, packed into a BIGINT
+       |  SELECT vec_id, tbl,
+       |         COALESCE(SUM(CASE WHEN dot > 0
+       |           THEN CAST(1 AS BIGINT) << bit END), 0) AS sig
+       |  FROM dots GROUP BY vec_id, tbl
+       |), members AS (  -- k-bounded membership: cap smallest ids kept
+       |  SELECT vec_id, tbl, sig,
+       |         row_number() OVER (PARTITION BY tbl, sig
+       |           ORDER BY vec_id) AS rn
+       |  FROM sigs
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM members a JOIN members b
+       |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  WHERE a.rn <= $GateMaxBucket AND b.rn <= $GateMaxBucket
+       |)""".stripMargin
+
+  /** Export the derived hyperplanes for `dim` to `path` — the constants
+    * of (seed, table, bit, dim) the oracle scores with. */
+  private def exportPlanes(spark: org.apache.spark.sql.SparkSession,
+      dim: Int, path: String): Unit = {
+    import spark.implicits._
+    (for (t <- 0 until RpTables; b <- 0 until RpBits) yield
+      (t, b, (0 until dim).map(d => graft.expr.TextHashKernels
+        .planeComponent(RpSeed + t * 1000003L, b, d))))
+      .toDF("tbl", "bit", "comp").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
   val qAnnLsh = QueryDef("q_ann_lsh_pairs",
     (spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
       val dim = emb.select(size(col("embedding"))).head.getInt(0)
-      // the planes ARE constants of (seed, table, bit, dim) — exported
-      // so the oracle can score with the exact doubles the kernel uses
-      locally {
-        import spark.implicits._
-        (for (t <- 0 until RpTables; b <- 0 until RpBits) yield
-          (t, b, (0 until dim).map(d => graft.expr.TextHashKernels
-            .planeComponent(RpSeed + t * 1000003L, b, d))))
-          .toDF("tbl", "bit", "comp").coalesce(1)
-          .write.mode("overwrite").parquet(RpPlanesPath)
-      }
-      // failOnOverflow: completion IS the zero-overflow certificate —
-      // the k-bounded bucket cap never engaged, so the unbounded oracle
-      // replay below sees exactly the same candidate stream
+      exportPlanes(spark, dim, RpPlanesPath)
       Similarity.lshTopKPairs(emb, "vec_id", "embedding", TopPairs,
-        RpBits, RpTables, RpSeed, failOnOverflow = true)
+        RpBits, RpTables, RpSeed, maxBucket = GateMaxBucket)
     },
-    Some(s"""WITH pl AS (
-            |  SELECT tbl, bit, comp
-            |  FROM read_parquet('$RpPlanesPath/*.parquet')
-            |), e AS (
-            |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            |), dots AS (  -- dim-ordered double fold, the kernel's order
-            |  SELECT e.vec_id, pl.tbl, pl.bit,
-            |         ${fold("e.v[i] * pl.comp[i]", "e.v")} AS dot
-            |  FROM e, pl
-            |), sigs AS (  -- bit i set iff dot > 0, packed into a BIGINT
-            |  SELECT vec_id, tbl,
-            |         COALESCE(SUM(CASE WHEN dot > 0
-            |           THEN CAST(1 AS BIGINT) << bit END), 0) AS sig
-            |  FROM dots GROUP BY vec_id, tbl
-            |), cand AS (
-            |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-            |  FROM sigs a JOIN sigs b
-            |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
-            |)
+    Some(s"""WITH ${lshCandCtes("embeddings", RpPlanesPath)}
             |SELECT c.vec_a, c.vec_b, ${cosSql("ea.v", "eb.v")} AS cosine
             |FROM cand c
-            |JOIN e ea ON ea.vec_id = c.vec_a
-            |JOIN e eb ON eb.vec_id = c.vec_b
+            |JOIN ev ea ON ea.vec_id = c.vec_a
+            |JOIN ev eb ON eb.vec_id = c.vec_b
             |ORDER BY cosine DESC, vec_a, vec_b LIMIT $TopPairs""".stripMargin))
 
   /** IVF-style search: the `label` column plays the role of the coarse
@@ -762,15 +796,26 @@ object VectorQueries {
     * (element i scaled by 1 + ((i mod 7) − 3)/100, i.e. ±3% — cosine vs
     * the original ≈ .9995) at vec_id + [[PlantOffset]]. Dedup at
     * θ ≥ [[NearDupCosine]] over the augmented corpus must then drop
-    * exactly the planted copies — and the oracle RE-DERIVES that from
-    * exact all-pairs cosine + recursive closure, so a single missed LSH
-    * bucket (recall failure), a false merge, or a wrong keeper all
-    * hash-mismatch. Jitter arithmetic is pinned to IEEE double ops with
-    * a final float cast, bit-reproducible in DuckDB's indexed
-    * `list_transform` mirror. */
+    * exactly the planted copies. Jitter arithmetic is pinned to IEEE
+    * double ops with a final float cast, bit-reproducible in DuckDB's
+    * indexed `list_transform` mirror.
+    *
+    * GATED SHAPE = THE CAPPED ONE (r16, same move as
+    * [[qAnnLsh]]): the configuration under the hash gate carries the
+    * k-bounded bucket cap ([[GateMaxBucket]]), and the oracle replays
+    * the WHOLE capped pipeline — exported hyperplanes, packed
+    * signatures, id-ordered capped bucket membership, candidate pairs,
+    * exact-cosine verification at θ, recursive closure, keepers — so a
+    * missed bucket, a wrong cap rule, a false merge, or a wrong keeper
+    * all hash-mismatch. At the gated SFs no bucket reaches the cap
+    * (spec-certified), so the planted-copy contract is unchanged; at
+    * replica-heavy scale the cap bounds candidate work instead of
+    * growing 67× on 50× data (the r15 sf5 finding). The exhaustive
+    * form stays spec-pinned. */
   val NearDupCosine = 0.9
   val PlantN = 40
   val PlantOffset = 1000000L
+  val DedupPlanesPath = "/tmp/graft_rp_planes_dedup.parquet"
 
   val qDedupEmbeddingLsh = QueryDef("q_dedup_embedding_lsh",
     (spark, dir) => {
@@ -783,11 +828,12 @@ object VectorQueries {
               (lit(1.0) + ((i % 7) - 3).cast("double") / 100.0))
               .cast("float")).as("embedding"),
           col("label"))
-      // failOnOverflow: the hash gate needs the UNBOUNDED candidate
-      // stream — completion proves the k-bounded cap never engaged
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      exportPlanes(spark, dim, DedupPlanesPath)
       Similarity.cosineDedup(emb.unionByName(plants),
           "vec_id", "embedding", NearDupCosine, useLsh = true,
-          failOnOverflow = true)
+          nBits = RpBits, tables = RpTables, seed = RpSeed,
+          maxBucket = GateMaxBucket)
         .select("vec_id", "label")
         .orderBy("vec_id")
     },
@@ -801,7 +847,24 @@ object VectorQueries {
             |                AS FLOAT)) AS embedding,
             |         label
             |  FROM embeddings WHERE vec_id < $PlantN
-            |), ${cosineClosureCtes("corpus", NearDupCosine)}
+            |), ${lshCandCtes("corpus", DedupPlanesPath)},
+            |dup_pairs AS (  -- capped candidates, exact-cosine verified
+            |  SELECT c.vec_a, c.vec_b
+            |  FROM cand c
+            |  JOIN ev ea ON ea.vec_id = c.vec_a
+            |  JOIN ev eb ON eb.vec_id = c.vec_b
+            |  WHERE ${cosSql("ea.v", "eb.v")} >= $NearDupCosine
+            |), edges AS (
+            |  SELECT vec_a AS src, vec_b AS dst FROM dup_pairs
+            |  UNION SELECT vec_b, vec_a FROM dup_pairs
+            |), reach(src, dst) AS (
+            |  SELECT src, dst FROM edges
+            |  UNION
+            |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+            |), labels AS (
+            |  SELECT src AS vec_id, LEAST(src, min(dst)) AS cluster
+            |  FROM reach GROUP BY src
+            |)
             |SELECT vec_id, label FROM corpus
             |WHERE vec_id NOT IN
             |  (SELECT vec_id FROM labels WHERE cluster <> vec_id)

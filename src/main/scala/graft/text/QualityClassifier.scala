@@ -182,10 +182,16 @@ object QualityClassifier {
       s"$f:${st.getLen}:${st.getModificationTime}"
     }
     // the verbatim strings ARE the key (no hash — a collision would
-    // silently serve a wrong model); entry count stays tiny
+    // silently serve a wrong model); entry count stays tiny. Parts are
+    // LENGTH-PREFIXED and joined on an ESCAPED control char — a raw
+    // separator byte in source made grep treat this file as binary and
+    // silently drop it from every text sweep (r15 hygiene finding);
+    // the length prefix keeps the key collision-proof even if a part
+    // ever contained the separator itself.
     val key = Seq(docs.queryExecution.logical.canonicalized.toString,
       files.mkString("|"), idCol, textCol, labelCol,
-      dim.toString, iters.toString, lr.toString).mkString(" ")
+      dim.toString, iters.toString, lr.toString)
+      .map(part => s"${part.length}:$part").mkString("\u0001")
     modelCache.computeIfAbsent(key,
       _ => train(docs, idCol, textCol, labelCol, dim, iters, lr))
   }

@@ -439,10 +439,27 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxBucket"),
       s"overflow must name the bound: ${e.getMessage}")
-    // the gated catalog configuration: failOnOverflow completes on the
-    // planted corpus (completion IS the zero-overflow certificate)
+    // the exhaustive configuration still completes on the planted
+    // corpus (completion IS the zero-overflow certificate) — kept as
+    // the SPEC-pinned form now that the catalog gates the capped shape
     assert(Similarity.lshTopKPairs(plantedVectors, "vec_id", "embedding",
       10, failOnOverflow = true).count() == 10L)
+  }
+
+  test("gated capped LSH shapes: the cap is a no-op at gated SFs — " +
+      "capped output equals the exhaustive form exactly") {
+    // r16: q_ann_lsh_pairs / q_dedup_embedding_lsh gate the CAPPED
+    // configuration (GateMaxBucket smallest ids per bucket — the
+    // production defense against replica-heavy corpora). This is the
+    // certificate that at spec/gate scale no bucket reaches the cap,
+    // so the capped entry certifies the same answer the exhaustive
+    // (spec-only) form produces.
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def pairs(mb: Int, loud: Boolean) = rows(Similarity.lshTopKPairs(
+      e, "vec_id", "embedding", 50, maxBucket = mb, failOnOverflow = loud))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(VectorQueries.GateMaxBucket, loud = false) ==
+      pairs(graft.operators.Dedup.DefaultMaxBucket, loud = true))
   }
 
   test("q_dedup_editdist: every pair is a blocked candidate with a " +
