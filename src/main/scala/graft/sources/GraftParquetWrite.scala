@@ -795,6 +795,7 @@ object GraftParquetWrite {
     // Overwrites remain single-writer by contract: two concurrent
     // truncates archive independently and the survivors' union is NOT
     // a generation either intended (same as before this loop).
+    GraftFsContract.requireAtomicCommitFs(path)
     manifestLocks.computeIfAbsent(path, _ => new Object).synchronized {
       var attempt = 0
       var committed = false
@@ -863,6 +864,7 @@ object GraftParquetWrite {
       newRels: Seq[String], newEntries: Seq[GraftManifestEntry],
       writeId: String): Unit =
     manifestLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      GraftFsContract.requireAtomicCommitFs(path)
       var attempt = 0
       var committed = false
       while (!committed) {

@@ -1,5 +1,10 @@
 #!/usr/bin/env python3
-"""Round-over-round sf1 drift report with a mandatory re-time list.
+"""Round-over-round bench drift report with a mandatory re-time list.
+
+SF-AGNOSTIC (r16): takes any two bench JSON files at the SAME scale
+factor — the per-round protocol for sf1 AND the sf5 point (the r15
+verdict's ask: sf5 numbers enter SCALE.md only after runs=2 or the
+flagged drifts get isolated re-times through this list).
 
 The r14 verdict's protocol hole: a runs=1 sf1 sweep shipped >20% drifts
 (the ANN index family) un-adjudicated — nobody re-timed them, so sweep
