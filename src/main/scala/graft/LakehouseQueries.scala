@@ -1724,6 +1724,65 @@ object LakehouseQueries {
            |FROM orders WHERE o_orderkey % 4 = 0
            |GROUP BY o_orderstatus ORDER BY partition""".stripMargin))
 
+  /** REWRITE CONFLICT DETECTION under the hash gate
+    * ([[graft.sources.GraftConflicts]], r16): the snapshot-isolation
+    * lost update, reproduced deterministically and REFUSED in-plan.
+    * Slice 0 commits v1; a compaction's read state is captured at v1;
+    * slice 1 commits v2 (the "concurrent" append the compaction never
+    * saw); the stale compaction — `conflictReadVersion = 1` riding the
+    * overwrite, exactly what [[graft.sources.GraftMaintenance.compact]]
+    * plumbs — must throw the retryable
+    * [[graft.sources.GraftConcurrentWriteException]] with the table
+    * UNTOUCHED (head still v2, both slices live, require-asserted);
+    * the retry (a fresh compact, re-planned at the current head) then
+    * commits, and the hash gate compares the survivor state against
+    * the oracle recomputing both slices from `orders` — a conflict
+    * that silently truncated the concurrent append, a refusal that
+    * damaged the table, or a retry that lost rows all drift the
+    * fingerprint. The cross-JVM form of the same race is
+    * RewriteRaceSpec (MERGE vs MERGE, MERGE vs compact). */
+  val qRewriteConflict = QueryDef("q_rewrite_conflict",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("append").save()                                  // v1
+      val read = graft.sources.GraftConflicts.captureRead(path)
+      slice(orders, 1).write.format(fmt).option("path", path)
+        .mode("append").save()                                  // v2
+      val stale = intercept {
+        spark.read.format(fmt).option("path", path).load()
+          .repartition(2)
+          .write.format(fmt).option("path", path)
+          .option("conflictReadVersion", read.version.toString)
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+      }
+      require(stale.exists(isConflict),
+        s"stale compaction must refuse with a retryable conflict, got " +
+          s"${stale.map(_.toString)}")
+      require(GraftTableLog.latestVersion(path).contains(2L),
+        "a refused rewrite must leave the head untouched")
+      require(spark.read.format(fmt).option("path", path).load().count()
+        == slice(orders, 0).count() + slice(orders, 1).count(),
+        "a refused rewrite must not lose or duplicate rows")
+      // the retry re-plans at the current head and commits cleanly
+      graft.sources.GraftMaintenance.compact(spark, path)
+      require(GraftTableLog.latestVersion(path).contains(3L),
+        "the retried compaction must claim the next version")
+      fingerprint(spark.read.format(fmt).option("path", path).load())
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
+
+  /** The thrown exception, if `body` throws; walks nothing. */
+  private def intercept(body: => Unit): Option[Throwable] =
+    try { body; None } catch { case e: Throwable => Some(e) }
+
+  /** Is a [[graft.sources.GraftConcurrentWriteException]] anywhere in
+    * the cause chain? (Spark wraps commit exceptions.) */
+  private def isConflict(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(_.isInstanceOf[graft.sources.GraftConcurrentWriteException])
+
   def all: Seq[QueryDef] =
     Seq(qTimeTravel, qChangeFeed, qCompaction, qChangeFeedIngest,
       qDelete, qUpdate, qMerge, qSqlTimeTravel, qSqlUpdate, qSqlMerge,
@@ -1735,5 +1794,6 @@ object LakehouseQueries {
       qStreamCatalogTable, qSqlRollback, qSqlTagTravel, qBloomPointLookup,
       qSqlAnalyze, qClusteredWindow, qSqlConstraints, qSqlMetadataTables,
       qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry,
-      qSpjColocatedJoin, qSqlRecluster, qSqlMetadataPartitions)
+      qSpjColocatedJoin, qSqlRecluster, qSqlMetadataPartitions,
+      qRewriteConflict)
 }
