@@ -43,6 +43,7 @@ object StateStoreAbDryRun {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val leverOnly = args.lift(1).contains("lever")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -52,7 +53,8 @@ object StateStoreAbDryRun {
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.GraftSession.adopt(spark)
     spark.read.parquet(s"$sfDir/events.parquet").count() // warm
-    Entries.foreach(name => println(ab(spark, sfDir, name)))
+    if (!leverOnly)
+      Entries.foreach(name => println(ab(spark, sfDir, name)))
     // the r15 state-partition LEVER under RocksDB: the symmetric join
     // (4 stores per partition — the shape the lever was derived on)
     // across providers × {CPU-sized 32, state-sized 8} partitions
