@@ -1773,6 +1773,89 @@ object LakehouseQueries {
     },
     Some(fingerprintSql("o_orderkey % 4 IN (0, 1)")))
 
+  /** INCREMENTAL MATERIALIZED VIEW under the hash gate
+    * ([[graft.sources.GraftMv]], r16): a grouped aggregate (count /
+    * count-col / decimal-exact sum / avg / min / max over
+    * o_orderpriority) maintained across the WHOLE writer alphabet —
+    * append (insert-only delta: arithmetic fold + least/greatest
+    * extrema merge), COW DELETE (delete images: affected groups
+    * rebuild semi-join-pruned from the head), MERGE (update = delete +
+    * insert images, plus fresh inserts and the reinsert-of-a-deleted-
+    * key upsert edge), and a compaction whose repack-only change feed
+    * must fold as a WATERMARK-ONLY no-op (require-asserted: the MV
+    * version must not move while the watermark does). Every refresh
+    * reads the CHANGE FEED between watermarks — cost ∝ changed files,
+    * never the table — and the final contents must hash-match the
+    * oracle recomputing the same aggregate from scratch over the final
+    * logical state: a double-applied delta, a lost delete, a stale
+    * extremum surviving a delete, or a watermark that slipped a
+    * version all drift it. Crash/concurrency discipline (state-CAS,
+    * orphaned-version invisibility, heal-from-definition) is
+    * GraftMvSpec's territory. */
+  val qMvIncremental = QueryDef("q_mv_incremental",
+    (spark, dir) => {
+      import graft.sources.{GraftMv, MvAgg}
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_mvsrc")
+      val mv = scratch(spark, "graft_mvst")
+      slice(orders, 0).write.format(fmt).option("path", table)
+        .mode("append").save()                                  // v1
+      GraftMv.create(spark, mv, table, Seq("o_orderpriority"), Seq(
+        MvAgg("count", "*", "cnt"),
+        MvAgg("count", "o_custkey", "n_cust"),
+        MvAgg("sum", "o_totalprice", "total_price"),
+        MvAgg("avg", "o_totalprice", "avg_price"),
+        MvAgg("min", "o_orderkey", "min_key"),
+        MvAgg("max", "o_orderkey", "max_key")))
+      slice(orders, 1).write.format(fmt).option("path", table)
+        .mode("append").save()                                  // v2
+      GraftMv.refresh(spark, mv)
+      GraftMaintenance.delete(spark, table,
+        col("o_totalprice") < lit(50000.0))                     // v3
+      GraftMv.refresh(spark, mv)
+      val updates = slice(orders, 0)
+        .filter(pmod(col("o_orderkey"), lit(8)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      GraftMaintenance.merge(spark, table,
+        updates.unionByName(slice(orders, 2)), "o_orderkey")    // v4
+      GraftMv.refresh(spark, mv)
+      val before = GraftMv.latestState(mv).get
+      GraftMaintenance.compact(spark, table)                    // v5
+      GraftMv.refresh(spark, mv)
+      val after = GraftMv.latestState(mv).get
+      require(after._3 == before._3 && after._2 > before._2,
+        s"a repack-only compaction must advance the watermark without " +
+          s"rewriting the view (state $before -> $after)")
+      GraftMv.read(spark, mv).orderBy("o_orderpriority")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+           |  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+           |), after_del AS (
+           |  SELECT * FROM base
+           |  WHERE NOT coalesce(o_totalprice < 50000.0, FALSE)
+           |), source AS (
+           |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+           |         o_orderpriority
+           |  FROM orders WHERE o_orderkey % 8 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+           |  FROM orders WHERE o_orderkey % 4 = 2
+           |), final AS (
+           |  SELECT * FROM after_del
+           |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+           |  UNION ALL SELECT * FROM source
+           |)
+           |SELECT o_orderpriority, count(*) AS cnt,
+           |       count(o_custkey) AS n_cust,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           |         AS total_price,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           |         / count(o_totalprice) AS avg_price,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM final GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
   /** The thrown exception, if `body` throws; walks nothing. */
   private def intercept(body: => Unit): Option[Throwable] =
     try { body; None } catch { case e: Throwable => Some(e) }
@@ -1795,5 +1878,5 @@ object LakehouseQueries {
       qSqlAnalyze, qClusteredWindow, qSqlConstraints, qSqlMetadataTables,
       qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry,
       qSpjColocatedJoin, qSqlRecluster, qSqlMetadataPartitions,
-      qRewriteConflict)
+      qRewriteConflict, qMvIncremental)
 }

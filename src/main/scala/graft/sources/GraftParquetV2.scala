@@ -2389,6 +2389,8 @@ object GraftParquetV2 {
           case TimeUnit.MILLIS | TimeUnit.MICROS => TimestampType
           case _ => unsupported() // NANOS: see Tables.eventsMicros
         }
+        case d: DecimalLogicalTypeAnnotation =>
+          DecimalType(d.getPrecision, d.getScale)
         case _ => LongType
       }
       case DOUBLE => DoubleType
@@ -2396,6 +2398,8 @@ object GraftParquetV2 {
       case BOOLEAN => BooleanType
       case BINARY => p.getLogicalTypeAnnotation match {
         case _: StringLogicalTypeAnnotation => StringType
+        case d: DecimalLogicalTypeAnnotation =>
+          DecimalType(d.getPrecision, d.getScale)
         case _ => BinaryType
       }
       case _ => unsupported()
@@ -2415,16 +2419,27 @@ object GraftParquetV2 {
         p.getLogicalTypeAnnotation match {
           case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
               if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            // v IS the unscaled value (the write side's toUnscaledLong)
+            org.apache.spark.sql.types.Decimal
+              .createUnsafe(v, d.getPrecision, d.getScale)
           case _ => v
         }
       case DOUBLE => g.getDouble(idx, 0)
       case FLOAT => g.getFloat(idx, 0)
       case BOOLEAN => g.getBoolean(idx, 0)
-      case BINARY =>
-        if (p.getLogicalTypeAnnotation
-            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation])
+      case BINARY => p.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
           UTF8String.fromString(g.getString(idx, 0))
-        else g.getBinary(idx, 0).getBytes
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          // big-endian unscaled bytes (two's complement), parquet spec
+          org.apache.spark.sql.types.Decimal(
+            BigDecimal(new java.math.BigDecimal(
+              new java.math.BigInteger(g.getBinary(idx, 0).getBytes),
+              d.getScale)),
+            d.getPrecision, d.getScale)
+        case _ => g.getBinary(idx, 0).getBytes
+      }
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
   }

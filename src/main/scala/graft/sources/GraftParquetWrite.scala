@@ -659,6 +659,17 @@ object GraftParquetWrite {
         case StringType => prim(PrimitiveTypeName.BINARY,
           LogicalTypeAnnotation.stringType())
         case BinaryType => prim(PrimitiveTypeName.BINARY)
+        // decimals: INT64-backed while the unscaled value fits a long
+        // (parquet's compact encoding), BINARY big-endian-unscaled
+        // above — the standard DECIMAL logical type either way, so
+        // external readers (DuckDB, spark.read.parquet) see real
+        // decimals, not raw integers
+        case d: DecimalType if d.precision <= 18 =>
+          prim(PrimitiveTypeName.INT64,
+            LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case d: DecimalType =>
+          prim(PrimitiveTypeName.BINARY,
+            LogicalTypeAnnotation.decimalType(d.scale, d.precision))
         case other => throw new IllegalArgumentException(
           s"graft parquet v2 write: unsupported column type $other for " +
             s"'${f.name}' — use Sinks.parquet for nested/exotic schemas")
@@ -686,6 +697,11 @@ object GraftParquetWrite {
           Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
         case BinaryType => g.add(i,
           Binary.fromConstantByteArray(row.getBinary(i)))
+        case d: DecimalType =>
+          val dec = row.getDecimal(i, d.precision, d.scale)
+          if (d.precision <= 18) g.add(i, dec.toUnscaledLong)
+          else g.add(i, Binary.fromConstantByteArray(
+            dec.toJavaBigDecimal.unscaledValue().toByteArray))
         case other => throw new IllegalStateException(
           s"unreachable write type $other") // messageType() already threw
       }
@@ -721,6 +737,15 @@ object GraftParquetWrite {
           fileSchema.getType(fileSchema.getFieldIndex(cn))
             .getLogicalTypeAnnotation
             .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      // an INT64-backed DECIMAL's footer extremes come back as plain
+      // Longs in UNSCALED space — classifying them "long" would hand
+      // the refutation engine bounds in the wrong value space, so
+      // decimals stay null-count-only like floats
+      def decimalAnnotated(cn: String): Boolean =
+        fileSchema.containsField(cn) &&
+          fileSchema.getType(fileSchema.getFieldIndex(cn))
+            .getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
       val colNames = blocks.headOption.toSeq
         .flatMap(_.getColumns.asScala.map(_.getPath.toDotString)).distinct
       colNames.map { cn =>
@@ -745,7 +770,8 @@ object GraftParquetWrite {
             Option[Long], Option[String], Option[String]) =
           if (!boundsOk || withVals.isEmpty) ("other", None, None, None, None)
           else extremes.head match {
-            case _: java.lang.Integer | _: java.lang.Long =>
+            case _: java.lang.Integer | _: java.lang.Long
+                if !decimalAnnotated(cn) =>
               val ls = extremes.map(_.asInstanceOf[Number].longValue())
               ("long", Some(ls.min), Some(ls.max), None, None)
             case _: java.lang.Boolean =>
