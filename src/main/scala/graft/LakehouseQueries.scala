@@ -1856,6 +1856,54 @@ object LakehouseQueries {
            |FROM final GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
 
+  /** The MV surface as a SQL citizen (`CALL system.create_mv` /
+    * `refresh_mv`, [[graft.sources.GraftCatalog.loadProcedure]]): the
+    * same maintenance discipline as compact/vacuum — an operator needs
+    * no Scala shell to define or refresh a standing aggregate. The
+    * entry drives create via CALL, mutates the source (append +
+    * delete), refreshes via CALL, require-asserts the returned
+    * watermark pins the source head, and hash-gates the served
+    * contents against the oracle's from-scratch recompute. */
+  val qSqlMvRefresh = QueryDef("q_sql_mv_refresh",
+    (spark, dir) => {
+      import graft.sources.GraftMv
+      val (cat, tbl, path) = catalogTable(spark)
+      val mvPath = path + "_mv"
+      val mp = new org.apache.hadoop.fs.Path(mvPath)
+      mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .deleteOnExit(mp)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).write.format(fmt).option("path", path)
+        .mode("append").save()
+      spark.sql(s"CALL $cat.system.create_mv(view => 'sf.${tbl}_mv', " +
+        s"source => 'sf.$tbl', group_by => 'o_orderstatus', " +
+        "aggs => 'count:*:n,sum:o_totalprice:total_price," +
+        "avg:o_totalprice:avg_price,min:o_orderkey:min_key," +
+        "max:o_orderkey:max_key')")
+      slice(orders, 1).write.format(fmt).option("path", path)
+        .mode("append").save()
+      GraftMaintenance.delete(spark, path,
+        col("o_totalprice") < lit(150000.0))
+      val out = spark.sql(
+        s"CALL $cat.system.refresh_mv(view => 'sf.${tbl}_mv')").head()
+      require(out.getLong(1) == GraftTableLog.latestVersion(path).get,
+        s"refresh_mv must watermark at the source head, got $out")
+      GraftMv.read(spark, mvPath).orderBy("o_orderstatus")
+    },
+    Some("""WITH final AS (
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+           |    AND NOT coalesce(o_totalprice < 150000.0, FALSE)
+           |)
+           |SELECT o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           |         AS total_price,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           |         / count(o_totalprice) AS avg_price,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM final GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin))
+
   /** The thrown exception, if `body` throws; walks nothing. */
   private def intercept(body: => Unit): Option[Throwable] =
     try { body; None } catch { case e: Throwable => Some(e) }
@@ -1878,5 +1926,5 @@ object LakehouseQueries {
       qSqlAnalyze, qClusteredWindow, qSqlConstraints, qSqlMetadataTables,
       qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry,
       qSpjColocatedJoin, qSqlRecluster, qSqlMetadataPartitions,
-      qRewriteConflict, qMvIncremental)
+      qRewriteConflict, qMvIncremental, qSqlMvRefresh)
 }

@@ -425,7 +425,8 @@ class GraftCatalog extends TableCatalog
         "tags", "create_branch", "drop_branch", "branches",
         "fast_forward", "build_bloom", "analyze", "add_constraint",
         "drop_constraint", "constraints", "remove_orphan_files",
-        "set_partition_spec", "recluster").map(Identifier.of(SystemNs, _))
+        "set_partition_spec", "recluster", "create_mv", "refresh_mv")
+        .map(Identifier.of(SystemNs, _))
     else Array.empty
 
   private def tablePath(arg: String): String = {
@@ -922,6 +923,55 @@ class GraftCatalog extends TableCatalog
           val (v, nTail) = GraftMaintenance.recluster(
             org.apache.spark.sql.SparkSession.active, p, in.getLong(1))
           Seq(new GenericInternalRow(Array[Any](v, nTail)))
+        })
+      // INCREMENTAL MATERIALIZED VIEWS ([[GraftMv]]) as SQL citizens:
+      // define once, then refresh folds the source's change feed —
+      // cost ∝ changed files, never the table. `aggs` is a
+      // comma-separated `func:col:alias` list (count/sum/avg/min/max;
+      // col `*` for row count). The view materializes as a graft table
+      // at the view identifier's warehouse path; read its CURRENT
+      // contents via `VERSION AS OF` the returned view_version (raw
+      // head reads may see a crashed refresh's orphan — the recorded
+      // version is the committed state).
+      case "create_mv" => new GraftProcedure("create_mv",
+        Array(
+          ProcedureParameter.in("view", StringType).build(),
+          ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("group_by", StringType).build(),
+          ProcedureParameter.in("aggs", StringType).build()),
+        StructType(Seq(StructField("view_version", LongType),
+          StructField("source_version", LongType))),
+        { in =>
+          val vp = in.getString(0).split('.')
+          val viewPath = pathOf(Identifier.of(vp.dropRight(1), vp.last))
+          val srcPath = tablePath(in.getString(1))
+          val groupCols = in.getString(2).split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          val aggs = in.getString(3).split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq.map { s =>
+              s.split(':') match {
+                case Array(f, c, a) => MvAgg(f.trim, c.trim, a.trim)
+                case _ => throw new IllegalArgumentException(
+                  s"graft create_mv: agg '$s' must be func:col:alias")
+              }
+            }
+          val v = GraftMv.create(
+            org.apache.spark.sql.SparkSession.active,
+            viewPath, srcPath, groupCols, aggs)
+          val srcV = GraftMv.latestState(viewPath).map(_._2).getOrElse(-1L)
+          Seq(new GenericInternalRow(Array[Any](v, srcV)))
+        })
+      case "refresh_mv" => new GraftProcedure("refresh_mv",
+        Array(ProcedureParameter.in("view", StringType).build()),
+        StructType(Seq(StructField("view_version", LongType),
+          StructField("source_version", LongType))),
+        { in =>
+          val vp = in.getString(0).split('.')
+          val viewPath = existing(Identifier.of(vp.dropRight(1), vp.last))
+          val v = GraftMv.refresh(
+            org.apache.spark.sql.SparkSession.active, viewPath)
+          val srcV = GraftMv.latestState(viewPath).map(_._2).getOrElse(-1L)
+          Seq(new GenericInternalRow(Array[Any](v, srcV)))
         })
       // partition-spec EVOLUTION — see
       // [[GraftCatalog.writePartSpecEvolved]]: the persisted spec

@@ -234,6 +234,37 @@ class GraftMvSpec extends SparkSpec {
       Seq("lang"), Seq(MvAgg("count", "*", "n"))))
   }
 
+  test("CALL create_mv/refresh_mv drive the same state from SQL") {
+    val cat = "graft_mv_sql"
+    val warehouse = tmp("wh")
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    val src = s"$warehouse/ns/src"
+    append(src, slice(0))
+    val created = spark.sql(s"CALL $cat.system.create_mv(" +
+      "view => 'ns.v', source => 'ns.src', group_by => 'lang', " +
+      "aggs => 'count:*:n,sum:n_chars:chars,min:doc_id:lo')").head()
+    assert(created.getLong(1) == 1L, "watermark must be the source head")
+    append(src, slice(1))
+    val refreshed = spark.sql(
+      s"CALL $cat.system.refresh_mv(view => 'ns.v')").head()
+    assert(refreshed.getLong(1) == 2L)
+    val got = GraftMv.read(spark, s"$warehouse/ns/v")
+      .orderBy("lang").collect().toSeq
+    val exp = spark.read.format(fmt).option("path", src).load()
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast("decimal(38,0)")).cast("long").as("chars"),
+        min("doc_id").as("lo"))
+      .orderBy("lang").collect().toSeq
+    assert(got == exp)
+    // the view itself is a catalog table: VERSION AS OF the returned
+    // view_version reads the committed state relation
+    val pinned = spark.sql(s"SELECT count(*) FROM $cat.ns.v " +
+      s"VERSION AS OF ${refreshed.getLong(0)}").head().getLong(0)
+    assert(pinned == exp.size)
+  }
+
   test("decimal columns round-trip through the connector (INT64 + BINARY)") {
     import spark.implicits._
     val dir = tmp("dec")
