@@ -1856,6 +1856,47 @@ object LakehouseQueries {
            |FROM final GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
 
+  /** The MERGE-MODE state engine under the same hash gate as
+    * [[qMvIncremental]] ([[graft.sources.GraftMv]] `stateMerge = true`):
+    * the identical writer alphabet and oracle, but refreshes UPSERT
+    * touched groups by the synthetic length-prefixed key and DELETE
+    * vanished ones instead of overwriting the |groups|-sized state —
+    * the high-cardinality-MV regime (state-write cost ∝ touched
+    * groups; the state table lays out range-clustered on the key so
+    * the upsert's zone-map candidate selection prunes). Same final
+    * contents through a different state-update engine — the qEasy /
+    * qHard shared-oracle precedent. */
+  val qMvMergeState = QueryDef("q_mv_merge_state",
+    (spark, dir) => {
+      import graft.sources.{GraftMv, MvAgg}
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_mvsrc2")
+      val mv = scratch(spark, "graft_mvst2")
+      slice(orders, 0).write.format(fmt).option("path", table)
+        .mode("append").save()
+      GraftMv.create(spark, mv, table, Seq("o_orderpriority"), Seq(
+        MvAgg("count", "*", "cnt"),
+        MvAgg("count", "o_custkey", "n_cust"),
+        MvAgg("sum", "o_totalprice", "total_price"),
+        MvAgg("avg", "o_totalprice", "avg_price"),
+        MvAgg("min", "o_orderkey", "min_key"),
+        MvAgg("max", "o_orderkey", "max_key")), stateMerge = true)
+      slice(orders, 1).write.format(fmt).option("path", table)
+        .mode("append").save()
+      GraftMv.refresh(spark, mv)
+      GraftMaintenance.delete(spark, table,
+        col("o_totalprice") < lit(50000.0))
+      GraftMv.refresh(spark, mv)
+      val updates = slice(orders, 0)
+        .filter(pmod(col("o_orderkey"), lit(8)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      GraftMaintenance.merge(spark, table,
+        updates.unionByName(slice(orders, 2)), "o_orderkey")
+      GraftMv.refresh(spark, mv)
+      GraftMv.read(spark, mv).orderBy("o_orderpriority")
+    },
+    qMvIncremental.oracle)
+
   /** The MV surface as a SQL citizen (`CALL system.create_mv` /
     * `refresh_mv`, [[graft.sources.GraftCatalog.loadProcedure]]): the
     * same maintenance discipline as compact/vacuum — an operator needs
@@ -1926,5 +1967,5 @@ object LakehouseQueries {
       qSqlAnalyze, qClusteredWindow, qSqlConstraints, qSqlMetadataTables,
       qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry,
       qSpjColocatedJoin, qSqlRecluster, qSqlMetadataPartitions,
-      qRewriteConflict, qMvIncremental, qSqlMvRefresh)
+      qRewriteConflict, qMvIncremental, qMvMergeState, qSqlMvRefresh)
 }

@@ -68,8 +68,15 @@ object GraftMv {
 
   private val MvDir = "_graft_mv"
   private val RowsCol = "_mv_rows"
+  private val KeyCol = "_mv_key"
   private def conf = GraftParquetWrite.sessionConf()
   private val fmt = "graft.sources.GraftParquetTableProvider"
+
+  /** How many vanished groups a merge-mode refresh will DELETE by key
+    * list before falling back to a full state overwrite (the key list
+    * is driver-collected). */
+  private def mergeDeleteCap: Int =
+    sys.props.get("graft.mv.mergeDeleteCap").map(_.toInt).getOrElse(10000)
 
   private def defPath(mv: String) = new Path(new Path(mv, MvDir), "def")
   private def statePath(mv: String, seq: Long) =
@@ -84,7 +91,7 @@ object GraftMv {
     * names are restricted to identifier characters at [[create]] so the
     * `:`/`,` separators can never collide with content. */
   private def writeDef(mv: String, src: String, groupCols: Seq[String],
-      aggs: Seq[MvAgg]): Unit = {
+      aggs: Seq[MvAgg], stateMerge: Boolean): Unit = {
     val p = defPath(mv)
     val fs = p.getFileSystem(conf)
     fs.mkdirs(p.getParent)
@@ -97,12 +104,13 @@ object GraftMv {
             s"graft mv: a view is already defined at $mv")
       }
     val body = (s"src=$src" +: s"group=${groupCols.mkString(",")}" +:
+      s"statemode=${if (stateMerge) "merge" else "overwrite"}" +:
       aggs.map(a => s"agg=${a.func}:${a.col}:${a.alias}")).mkString("\n")
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
-  /** (source table, group cols, aggs) of the view at `mv`. */
-  def readDef(mv: String): (String, Seq[String], Seq[MvAgg]) = {
+  /** (source table, group cols, aggs, merge-mode?) of the view at `mv`. */
+  def readDef(mv: String): (String, Seq[String], Seq[MvAgg], Boolean) = {
     val p = defPath(mv)
     val fs = p.getFileSystem(conf)
     val body =
@@ -134,7 +142,8 @@ object GraftMv {
           s"graft mv: torn definition at $mv")
       }
     }
-    (src, group, aggs)
+    val merge = lines.exists(_ == "statemode=merge")
+    (src, group, aggs, merge)
   }
 
   /** Latest committed (seq, source version, MV version), or None when
@@ -285,6 +294,32 @@ object GraftMv {
       }
     }
 
+  /** Deterministic single-column group key for merge-mode state
+    * upserts ([[GraftMaintenance.merge]] keys on ONE column): each
+    * group value length-prefixed — unambiguous for any content, no
+    * separator byte to collide with — with an explicit NULL marker. */
+  private def keyExpr(groupCols: Seq[String]): Column =
+    concat(groupCols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, lit("N")).otherwise(
+        concat(lit("V"), length(s).cast("string"), lit(":"), s))
+    }: _*)
+
+  /** Merge-mode state lays out RANGE-CLUSTERED on the key so later
+    * upserts' zone-map candidate selection prunes to the touched files
+    * — unsorted state would make every file a merge candidate. File
+    * count follows AQE's byte-sized shuffle targets (grows with state;
+    * a tiny state correctly collapses to one file) unless
+    * `graft.mv.statePartitions` pins an explicit count (specs pin it
+    * to exercise multi-file pruning at fixture scale). */
+  private def clustered(st: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val keyed = st.withColumn(KeyCol, keyExpr(groupCols))
+    (sys.props.get("graft.mv.statePartitions").map(_.toInt) match {
+      case Some(n) => keyed.repartitionByRange(n, col(KeyCol))
+      case None => keyed.repartitionByRange(col(KeyCol))
+    }).sortWithinPartitions(KeyCol)
+  }
+
   // -------------------------------------------------------------------
   // API
   // -------------------------------------------------------------------
@@ -297,9 +332,20 @@ object GraftMv {
     * file's exclusive create is the creation commit point; a crash
     * before the first state record leaves a definition the next
     * [[refresh]] HEALS by full recompute. Returns the MV version
-    * holding the initial state. */
+    * holding the initial state.
+    *
+    * `stateMerge = true` switches refresh to MERGE-mode state updates:
+    * instead of overwriting the |groups|-sized state table per refresh,
+    * touched groups upsert by a synthetic length-prefixed key column
+    * and vanished groups delete by key — state-write cost ∝ TOUCHED
+    * groups, the high-cardinality-MV regime (a 100M-group state must
+    * not rewrite per refresh). Requires head == recorded version at
+    * entry (any crashed refresh's orphan commit heals via one full
+    * overwrite first); falls back to overwrite when the vanished-key
+    * list exceeds `graft.mv.mergeDeleteCap`. */
   def create(spark: SparkSession, mv: String, src: String,
-      groupCols: Seq[String], aggs: Seq[MvAgg]): Long = {
+      groupCols: Seq[String], aggs: Seq[MvAgg],
+      stateMerge: Boolean = false): Long = {
     require(groupCols.nonEmpty, "graft mv: at least one group column")
     require(aggs.nonEmpty, "graft mv: at least one aggregate")
     val srcV = GraftTableLog.latestVersion(src).getOrElse(
@@ -325,20 +371,22 @@ object GraftMv {
     val aliases = aggs.map(_.alias)
     require(aliases.distinct == aliases &&
         aliases.forall(a => !groupCols.contains(a) && a != RowsCol &&
-          !a.contains("__")),
+          a != KeyCol && !a.contains("__")),
       "graft mv: aliases must be unique, distinct from group columns, " +
-        s"not '$RowsCol', and free of '__' (reserved for state columns)")
-    writeDef(mv, src, groupCols, aggs)
-    healToState(spark, mv, src, groupCols, aggs, srcV)
+        s"not '$RowsCol'/'$KeyCol', and free of '__' (reserved)")
+    writeDef(mv, src, groupCols, aggs, stateMerge)
+    healToState(spark, mv, src, groupCols, aggs, srcV, stateMerge)
   }
 
   /** Full recompute of source version `srcV` committed as MV data + a
     * state record — create's body and refresh's heal path. */
   private def healToState(spark: SparkSession, mv: String, src: String,
-      groupCols: Seq[String], aggs: Seq[MvAgg], srcV: Long): Long = {
+      groupCols: Seq[String], aggs: Seq[MvAgg], srcV: Long,
+      withKey: Boolean): Long = {
     val base = spark.read.format(fmt).option("path", src)
       .option("versionAsOf", srcV.toString).load()
-    fullState(base, groupCols, aggs)
+    val st = fullState(base, groupCols, aggs)
+    (if (withKey) clustered(st, groupCols) else st)
       .write.format(fmt).option("path", mv)
       .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
     val mvV = GraftTableLog.latestVersion(mv).getOrElse(
@@ -356,14 +404,15 @@ object GraftMv {
     * source head equals the watermark). Safe to call concurrently and
     * to re-run after any crash — see the class doc's commit protocol. */
   def refresh(spark: SparkSession, mv: String): Long = {
-    val (src, groupCols, aggs) = readDef(mv)
+    val (src, groupCols, aggs, stateMerge) = readDef(mv)
     val srcHead = GraftTableLog.latestVersion(src).getOrElse(
       throw new IllegalStateException(
         s"graft mv: source $src of $mv has lost its version log"))
     val st = latestState(mv) match {
       case None =>
         // creation crashed between definition and first state record
-        return healToState(spark, mv, src, groupCols, aggs, srcHead)
+        return healToState(spark, mv, src, groupCols, aggs, srcHead,
+          stateMerge)
       case Some(s) => s
     }
     val (seq, srcV0, mvV0) = st
@@ -394,7 +443,10 @@ object GraftMv {
         .as(name)
     val merged = j.select(keyCols ++ Seq(
       add(RowsCol),
-      coalesce(col("d._mv_del"), lit(0)).as("_mv_del")) ++
+      coalesce(col("d._mv_del"), lit(0)).as("_mv_del"),
+      // the delta side always aggregates a non-null signed row count,
+      // so d-presence marks exactly the groups this delta touched
+      col(s"d.$RowsCol").isNotNull.as("_mv_touched")) ++
       aggs.flatMap { a =>
         a.func match {
           case "count" => Seq(add(a.alias))
@@ -418,14 +470,15 @@ object GraftMv {
     // min/max cannot un-see a deleted extremum: groups a DELETE image
     // touched rebuild from the head, pruned to exactly those keys
     val needRebuild = hasMinMax(aggs)
-    val sCols = stateCols(aggs)
-    val kept =
-      if (!needRebuild)
-        merged.filter(col(RowsCol) > 0)
-          .select((groupCols ++ sCols).map(col): _*)
+    val sCols = (groupCols ++ stateCols(aggs)) :+ "_mv_touched"
+    // the new full state, touched-flagged (rebuilt groups are touched
+    // by construction — only delete images send a group to rebuild)
+    val kept = {
+      val keepClean = merged.filter(col(RowsCol) > 0 &&
+          (if (needRebuild) col("_mv_del") === 0 else lit(true)))
+        .select(sCols.map(col): _*)
+      if (!needRebuild) keepClean
       else {
-        val clean = merged.filter(col("_mv_del") === 0 && col(RowsCol) > 0)
-          .select((groupCols ++ sCols).map(col): _*)
         val keys = merged.filter(col("_mv_del") === 1)
           .select(groupCols.map(col): _*).distinct().alias("k")
         val base = spark.read.format(fmt).option("path", src)
@@ -434,14 +487,49 @@ object GraftMv {
           .reduce(_ && _)
         val rebuilt = fullState(
           base.join(broadcast(keys), kOn, "left_semi"), groupCols, aggs)
-          .select((groupCols ++ sCols).map(col): _*)
-        clean.unionByName(rebuilt)
+          .withColumn("_mv_touched", lit(true))
+          .select(sCols.map(col): _*)
+        keepClean.unionByName(rebuilt)
       }
-    kept.write.format(fmt).option("path", mv)
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    }
+    def overwriteCommit(): Unit = {
+      val out = kept.drop("_mv_touched")
+      (if (stateMerge) clustered(out, groupCols) else out)
+        .write.format(fmt).option("path", mv)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    }
+    if (!stateMerge) overwriteCommit()
+    else {
+      // MERGE-mode: upsert only the touched survivors, delete vanished
+      // keys — state-write cost ∝ touched groups. The merge mutates the
+      // RAW head, so it is only sound when the head IS the recorded
+      // state (an orphaned crashed commit on top would make the base
+      // unknowable: a group it dropped that this delta never touches
+      // would stay lost). Orphan detected → one healing overwrite.
+      val headNow = GraftTableLog.latestVersion(mv)
+      if (!headNow.contains(mvV0)) overwriteCommit()
+      else {
+        val upserts = kept.filter(col("_mv_touched"))
+          .drop("_mv_touched").withColumn(KeyCol, keyExpr(groupCols))
+        val touchedKeys = merged.filter(col("_mv_touched"))
+          .select(keyExpr(groupCols).as(KeyCol))
+        // vanished = touched groups with no surviving state row
+        val cap = mergeDeleteCap
+        val vanished = touchedKeys.except(upserts.select(KeyCol))
+          .limit(cap + 1).collect().map(_.getString(0)).toSeq
+        if (vanished.size > cap) overwriteCommit()
+        else {
+          if (vanished.nonEmpty)
+            GraftMaintenance.delete(spark, mv,
+              col(KeyCol).isin(vanished: _*))
+          if (!upserts.isEmpty)
+            GraftMaintenance.merge(spark, mv, upserts, KeyCol)
+        }
+      }
+    }
     val mvV = GraftTableLog.latestVersion(mv).getOrElse(
       throw new IllegalStateException(
-        s"graft mv: state overwrite committed but no log under $mv"))
+        s"graft mv: state commit landed but no log under $mv"))
     if (!claimState(mv, seq + 1, srcHead, mvV))
       // a concurrent refresh won the CAS: our data version is orphaned
       // by construction (no reader pins it); the winner's state governs
@@ -454,7 +542,7 @@ object GraftMv {
     * record's version, never the raw head, so a crashed or CAS-losing
     * refresh's orphan commit is invisible. */
   def read(spark: SparkSession, mv: String): DataFrame = {
-    val (src, groupCols, aggs) = readDef(mv)
+    val (src, groupCols, aggs, _) = readDef(mv)
     val (_, _, mvV) = latestState(mv).getOrElse(
       throw new IllegalStateException(
         s"graft mv: $mv has a definition but no committed state — " +

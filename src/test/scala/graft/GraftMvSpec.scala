@@ -234,6 +234,57 @@ class GraftMvSpec extends SparkSpec {
       Seq("lang"), Seq(MvAgg("count", "*", "n"))))
   }
 
+  test("merge-mode refresh: full lifecycle parity, untouched files survive") {
+    val src = tmp("mm"); val mv = tmp("mm_mv")
+    append(src, slice(0)); append(src, slice(1))
+    // pin the range-cluster partition count: at fixture scale AQE
+    // correctly collapses the tiny state to one file, which would make
+    // the untouched-files assertion below vacuous
+    sys.props("graft.mv.statePartitions") = "4"
+    try {
+    GraftMv.create(spark, mv, src, Seq("lang"), aggs, stateMerge = true)
+    assert(served(mv) == recompute(src))
+    val filesBefore = graft.sources.GraftParquetV2.listFiles(mv).toSet
+    assert(filesBefore.size > 1, "range-clustered state must span files")
+    // touch ONE group: all docs of one lang get +1 char via merge
+    val lang0 = spark.read.format(fmt).option("path", src).load()
+      .select("lang").na.drop().limit(1).collect().head.getString(0)
+    val upd = spark.read.format(fmt).option("path", src).load()
+      .filter(col("lang") === lit(lang0))
+      .withColumn("n_chars", col("n_chars") + 1)
+    GraftMaintenance.merge(spark, src, upd, "doc_id")
+    GraftMv.refresh(spark, mv)
+    assert(served(mv) == recompute(src))
+    val filesAfter = graft.sources.GraftParquetV2.listFiles(mv).toSet
+    assert(filesBefore.intersect(filesAfter).nonEmpty,
+      "a one-group refresh must not rewrite the whole state table")
+    // delete path (min/max rebuild) and group-vanish under merge mode
+    GraftMaintenance.delete(spark, src, col("lang") === lit(lang0))
+    GraftMv.refresh(spark, mv)
+    assert(served(mv) == recompute(src))
+    assert(!GraftMv.read(spark, mv).collect()
+      .exists(_.getString(0) == lang0), "vanished group must delete")
+    // insert-only lap
+    append(src, slice(2))
+    GraftMv.refresh(spark, mv)
+    assert(served(mv) == recompute(src))
+    } finally sys.props.remove("graft.mv.statePartitions")
+  }
+
+  test("merge-mode heals an orphaned head by one full overwrite") {
+    val src = tmp("mmo"); val mv = tmp("mmo_mv")
+    append(src, slice(0))
+    GraftMv.create(spark, mv, src, Seq("lang"), aggs, stateMerge = true)
+    val good = served(mv)
+    // orphan: raw head commit no state record points at
+    GraftMv.stateSnapshot(spark, mv).limit(1)
+      .write.format(fmt).option("path", mv).mode("overwrite").save()
+    assert(served(mv) == good)
+    append(src, slice(1))
+    GraftMv.refresh(spark, mv) // must NOT merge onto the orphan
+    assert(served(mv) == recompute(src))
+  }
+
   test("CALL create_mv/refresh_mv drive the same state from SQL") {
     val cat = "graft_mv_sql"
     val warehouse = tmp("wh")
