@@ -1897,6 +1897,54 @@ object LakehouseQueries {
     },
     qMvIncremental.oracle)
 
+  /** CONTINUOUS MV maintenance under the hash gate
+    * ([[graft.sources.GraftMv.refreshStream]]): the refresh schedule is
+    * a Structured Streaming query over the source table — micro-batches
+    * are commit signals, `AvailableNow` drains to a fixed point — and
+    * the final MV must hash-match a from-scratch recompute of every
+    * appended slice. The entry also proves the DRAIN INVARIANT the
+    * stream exists to provide: after termination the recorded watermark
+    * equals the source head (a refresh the stream failed to fire would
+    * leave it behind and break the hash too). */
+  val qMvStreamRefresh = QueryDef("q_mv_stream_refresh",
+    (spark, dir) => {
+      import graft.sources.{GraftMv, MvAgg}
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_mvsrc4")
+      val mv = scratch(spark, "graft_mvss")
+      val ckpt = scratch(spark, "graft_mvss_ck")
+      slice(orders, 0).write.format(fmt).option("path", table)
+        .mode("append").save()                                  // v1
+      GraftMv.create(spark, mv, table, Seq("o_orderpriority"), Seq(
+        MvAgg("count", "*", "cnt"),
+        MvAgg("count", "o_custkey", "n_cust"),
+        MvAgg("sum", "o_totalprice", "total_price"),
+        MvAgg("avg", "o_totalprice", "avg_price"),
+        MvAgg("min", "o_orderkey", "min_key"),
+        MvAgg("max", "o_orderkey", "max_key")))
+      slice(orders, 1).write.format(fmt).option("path", table)
+        .mode("append").save()                                  // v2
+      slice(orders, 2).write.format(fmt).option("path", table)
+        .mode("append").save()                                  // v3
+      GraftMv.refreshStream(spark, mv, ckpt).awaitTermination()
+      val (_, srcV, _) = GraftMv.latestState(mv).get
+      val head = graft.sources.GraftTableLog.latestVersion(table).get
+      require(srcV == head,
+        s"drained stream must leave the watermark at the source head " +
+          s"(watermark $srcV, head $head)")
+      GraftMv.read(spark, mv).orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS cnt,
+           |       count(o_custkey) AS n_cust,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           |         AS total_price,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           |         / count(o_totalprice) AS avg_price,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
   /** The MV surface as a SQL citizen (`CALL system.create_mv` /
     * `refresh_mv`, [[graft.sources.GraftCatalog.loadProcedure]]): the
     * same maintenance discipline as compact/vacuum — an operator needs
@@ -1967,5 +2015,6 @@ object LakehouseQueries {
       qSqlAnalyze, qClusteredWindow, qSqlConstraints, qSqlMetadataTables,
       qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry,
       qSpjColocatedJoin, qSqlRecluster, qSqlMetadataPartitions,
-      qRewriteConflict, qMvIncremental, qMvMergeState, qSqlMvRefresh)
+      qRewriteConflict, qMvIncremental, qMvMergeState, qMvStreamRefresh,
+      qSqlMvRefresh)
 }

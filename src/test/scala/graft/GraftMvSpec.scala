@@ -271,6 +271,25 @@ class GraftMvSpec extends SparkSpec {
     } finally sys.props.remove("graft.mv.statePartitions")
   }
 
+  test("refreshStream drains appends to the head; checkpoint restarts no-op") {
+    val src = tmp("rs"); val mv = tmp("rs_mv"); val ck = tmp("rs_ck")
+    append(src, slice(0))
+    GraftMv.create(spark, mv, src, Seq("lang"), aggs)
+    append(src, slice(1)); append(src, slice(2))
+    GraftMv.refreshStream(spark, mv, ck).awaitTermination()
+    assert(served(mv) == recompute(src))
+    val st0 = GraftMv.latestState(mv).get
+    assert(st0._2 == GraftTableLog.latestVersion(src).get,
+      "drained watermark must equal the source head")
+    // same checkpoint, nothing new: no batch fires, state untouched
+    GraftMv.refreshStream(spark, mv, ck).awaitTermination()
+    assert(GraftMv.latestState(mv).get == st0)
+    // appends landing after a restart fold in from the checkpoint
+    append(src, slice(3))
+    GraftMv.refreshStream(spark, mv, ck).awaitTermination()
+    assert(served(mv) == recompute(src))
+  }
+
   test("merge-mode heals an orphaned head by one full overwrite") {
     val src = tmp("mmo"); val mv = tmp("mmo_mv")
     append(src, slice(0))
