@@ -1897,6 +1897,121 @@ object LakehouseQueries {
     },
     qMvIncremental.oracle)
 
+  /** DuckDB replay of [[graft.sources.GraftMv]]'s `hll` state over a
+    * prior CTE `src(g, v)` (group key, VARCHAR value): FNV-1a64 →
+    * SplitMix64 → register grid → the pinned integer-scaled harmonic
+    * estimate — the [[TextQueries.qDistinctHll]] spelling, factored for
+    * MV oracles. Emits CTEs ending in `hest(g, est)`; groups absent
+    * from `src` (all-NULL values) estimate via the caller's
+    * `coalesce(est, 0.0)` (an empty sketch estimates 0). */
+  private def mvHllReplaySql: String = {
+    val p = graft.sources.GraftMv.HllStateP
+    val m = 1 << p
+    val wBits = 64 - p
+    val mask = (1L << wBits) - 1L
+    val rhoMax = wBits + 1
+    s"""pw(e, v) AS (
+       |  SELECT 0, CAST(1 AS HUGEINT)
+       |  UNION ALL SELECT e + 1, v * 2 FROM pw WHERE e < 66
+       |), hs AS (
+       |  SELECT g, CAST(${TextQueries.fnvFoldSql("v")} AS UBIGINT) AS z
+       |  FROM src
+       |), ${TextQueries.splitmixUbCtesSql("hs", "g", "hsm")},
+       |rv AS (
+       |  SELECT g, CAST(z >> $wBits AS BIGINT) AS j,
+       |         $rhoMax - length(ltrim(bin(z & CAST('$mask' AS UBIGINT)), '0'))
+       |           AS rho
+       |  FROM hsmd
+       |), regsx AS (
+       |  SELECT g, j, max(rho) AS mj FROM rv GROUP BY g, j
+       |), grid AS (
+       |  SELECT gg.g, r.range AS j
+       |  FROM (SELECT DISTINCT g FROM src) gg CROSS JOIN range($m) r
+       |), allr AS (
+       |  SELECT grid.g, grid.j, coalesce(regsx.mj, 0) AS mj
+       |  FROM grid LEFT JOIN regsx
+       |    ON grid.g = regsx.g AND grid.j = regsx.j
+       |), sums AS (
+       |  SELECT allr.g, sum(pw.v) AS ssum,
+       |         sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS vz
+       |  FROM allr JOIN pw ON pw.e = 66 - allr.mj
+       |  GROUP BY allr.g
+       |), hest AS (
+       |  SELECT g,
+       |    CASE WHEN e <= 2.5 * $m.0 AND vz > 0
+       |         THEN $m.0 * round(ln($m.0 / vz), 6) ELSE e END AS est
+       |  FROM (
+       |    SELECT g,
+       |      0.7213 / (1.0 + 1.079 / CAST($m AS DOUBLE)) * $m.0 * $m.0 /
+       |      (CAST(ssum AS DOUBLE) / 73786976294838206464.0) AS e, vz
+       |    FROM sums) raw
+       |)""".stripMargin
+  }
+
+  /** APPROXIMATE-DISTINCT MV state under the hash gate: `hll(o_custkey)`
+    * keeps one 2^[[graft.sources.GraftMv.HllStateP]]-byte register
+    * array per group — folded by register-wise max on inserts
+    * (mergeable ⇒ bit-identical to recompute), rebuilt per touched
+    * group on deletes (sketches cannot un-see) — and [[read]] serves
+    * the pinned estimate. The oracle rebuilds the registers from the
+    * same FNV→SplitMix chain over the FINAL table contents and
+    * reproduces the estimate BIT-FOR-BIT after the full writer
+    * alphabet, so a wrong fold, a skipped rebuild, or a drifted
+    * estimate all hash-mismatch. The 100 TB point: per-group NDV stays
+    * current at delta cost — no COUNT(DISTINCT) recount over the
+    * table, ever. */
+  val qMvHllDistinct = QueryDef("q_mv_hll_distinct",
+    (spark, dir) => {
+      import graft.sources.{GraftMv, MvAgg}
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_mvsrc5")
+      val mv = scratch(spark, "graft_mvhll")
+      slice(orders, 0).write.format(fmt).option("path", table)
+        .mode("append").save()
+      GraftMv.create(spark, mv, table, Seq("o_orderpriority"), Seq(
+        MvAgg("count", "*", "cnt"),
+        MvAgg("hll", "o_custkey", "nd_cust")))
+      slice(orders, 1).write.format(fmt).option("path", table)
+        .mode("append").save()
+      GraftMv.refresh(spark, mv)
+      GraftMaintenance.delete(spark, table,
+        col("o_totalprice") < lit(50000.0))
+      GraftMv.refresh(spark, mv)
+      val updates = slice(orders, 0)
+        .filter(pmod(col("o_orderkey"), lit(8)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      GraftMaintenance.merge(spark, table,
+        updates.unionByName(slice(orders, 2)), "o_orderkey")
+      GraftMv.refresh(spark, mv)
+      GraftMv.read(spark, mv).orderBy("o_orderpriority")
+    },
+    Some(s"""WITH RECURSIVE base AS (
+            |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            |  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+            |), after_del AS (
+            |  SELECT * FROM base
+            |  WHERE NOT coalesce(o_totalprice < 50000.0, FALSE)
+            |), source AS (
+            |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+            |         o_orderpriority
+            |  FROM orders WHERE o_orderkey % 8 = 0
+            |  UNION ALL
+            |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            |  FROM orders WHERE o_orderkey % 4 = 2
+            |), final AS (
+            |  SELECT * FROM after_del
+            |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+            |  UNION ALL SELECT * FROM source
+            |), src AS (
+            |  SELECT o_orderpriority AS g, CAST(o_custkey AS VARCHAR) AS v
+            |  FROM final WHERE o_custkey IS NOT NULL
+            |), $mvHllReplaySql
+            |SELECT f.o_orderpriority, f.cnt, coalesce(h.est, 0.0) AS nd_cust
+            |FROM (SELECT o_orderpriority, count(*) AS cnt
+            |      FROM final GROUP BY o_orderpriority) f
+            |LEFT JOIN hest h ON h.g = f.o_orderpriority
+            |ORDER BY f.o_orderpriority""".stripMargin))
+
   /** CONTINUOUS MV maintenance under the hash gate
     * ([[graft.sources.GraftMv.refreshStream]]): the refresh schedule is
     * a Structured Streaming query over the source table — micro-batches
@@ -2016,5 +2131,5 @@ object LakehouseQueries {
       qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry,
       qSpjColocatedJoin, qSqlRecluster, qSqlMetadataPartitions,
       qRewriteConflict, qMvIncremental, qMvMergeState, qMvStreamRefresh,
-      qSqlMvRefresh)
+      qMvHllDistinct, qSqlMvRefresh)
 }

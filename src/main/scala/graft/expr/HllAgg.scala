@@ -220,6 +220,47 @@ case class HllMergeAgg(
   override def prettyName: String = "hll_merge"
 }
 
+/** `hll_merge2(a binary, b binary) -> binary` — PAIRWISE register-wise
+  * max: the scalar join-fold face of [[HllMergeAgg]], for folding a
+  * state row against a delta row (incremental MV refresh) where the two
+  * sketches meet as columns of one joined row, not as a group of rows.
+  * Null handling is the caller's (wrap in `when(isNull, other)`);
+  * mismatched widths refuse loudly like [[HllMergeAgg]]. */
+case class HllMerge2(
+    left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hll_merge2 requires two BINARY hll_sketch inputs, got ${l.sql}, ${r.sql}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    require(x.length == y.length,
+      s"hll_merge2: sketch widths ${x.length} != ${y.length} — " +
+        "mixing sketches of different p corrupts estimates")
+    val out = new Array[Byte](x.length)
+    var j = 0
+    while (j < x.length) {
+      out(j) = if (x(j) >= y(j)) x(j) else y(j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HllMerge2 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "hll_merge2"
+}
+
 /** `hll_estimate(sketch binary) -> double` — the pinned HLL estimate
   * over a stored register array; p is inferred from the sketch width
   * (always a power of two by construction). Interpreted eval is
@@ -339,5 +380,7 @@ object HllAgg {
     toCol(HllSketchAgg(toExpr(hash), p).toAggregateExpression())
   def mergeSketches(sk: Column, p: Int): Column =
     toCol(HllMergeAgg(toExpr(sk), p).toAggregateExpression())
+  def merge2(a: Column, b: Column): Column =
+    toCol(HllMerge2(toExpr(a), toExpr(b)))
   def estimate(sk: Column): Column = toCol(HllEstimate(toExpr(sk)))
 }

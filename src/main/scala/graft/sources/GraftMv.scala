@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** One aggregate of a materialized-view definition. `func` is one of
-  * `count` / `sum` / `avg` / `min` / `max`; `col` is a source column
-  * (`*` allowed for `count`); `alias` names the output column. */
+  * `count` / `sum` / `avg` / `min` / `max` / `hll` (approximate
+  * distinct count — HyperLogLog sketch state, served as the estimate);
+  * `col` is a source column (`*` allowed for `count`); `alias` names
+  * the output column. */
 final case class MvAgg(func: String, col: String, alias: String)
 
 /** INCREMENTALLY-MAINTAINED MATERIALIZED VIEWS over graft tables — the
@@ -28,6 +30,8 @@ final case class MvAgg(func: String, col: String, alias: String)
   * to CHANGED FILES — and folds it into the state:
   *   - count / sum / avg fold arithmetically: insert images add,
   *     delete images subtract (an updated row is one of each);
+  *   - hll sketches fold by register-wise max on insert-only groups —
+  *     mergeability makes the folded state BIT-IDENTICAL to recompute;
   *   - min / max fold directly on insert-only groups (`least` /
   *     `greatest`); a group that saw any DELETE image is recomputed
   *     from the source head, SEMI-JOIN-pruned to exactly the affected
@@ -218,6 +222,21 @@ object GraftMv {
       case _ => DecimalType(38, 0)
     }
 
+  /** Register-count exponent for `hll` MV state: m = 2^10 = 1024
+    * registers per group (~3.3% relative error), the engine's standard
+    * oracle-replayable grain (`TextQueries.HllP`). The hash chain is
+    * the pinned mirrorable one — FNV-1a64 of the value CAST TO STRING,
+    * SplitMix64-finalized inside the sketch — so a DuckDB oracle
+    * rebuilds the registers bit-for-bit. */
+  val HllStateP = 10
+
+  /** The pinned hll hash chain. String cast first: the sketch hashes
+    * the value's canonical decimal/text form, which both engines spell
+    * identically for strings and integers (fractional columns are the
+    * entry author's cross-engine concern). */
+  private def hllHash(c: String): Column =
+    graft.expr.Fingerprint64(col(c).cast("string"))
+
   /** Full-recompute state aggregation — the create path, the
     * affected-group rebuild path, and the parity check in specs all
     * share this one definition. */
@@ -237,6 +256,9 @@ object GraftMv {
             count(col(a.col)).as(a.alias + "__cnt"))
         case "min" => Seq(min(col(a.col)).as(a.alias))
         case "max" => Seq(max(col(a.col)).as(a.alias))
+        case "hll" =>
+          Seq(graft.expr.HllAgg.sketch(hllHash(a.col), HllStateP)
+            .as(a.alias))
       }
     }
 
@@ -246,8 +268,11 @@ object GraftMv {
     df.groupBy(groupCols.map(col): _*).agg(as.head, as.tail: _*)
   }
 
-  private def hasMinMax(aggs: Seq[MvAgg]): Boolean =
-    aggs.exists(a => a.func == "min" || a.func == "max")
+  /** Aggregates whose state cannot un-see a deleted row (extrema and
+    * register-max sketches): any DELETE image sends the touched groups
+    * to the pruned rebuild-from-head path. */
+  private def rebuildsOnDelete(aggs: Seq[MvAgg]): Boolean =
+    aggs.exists(a => a.func == "min" || a.func == "max" || a.func == "hll")
 
   /** Delta aggregation over change-feed images: one output row per
     * touched group, carrying signed arithmetic deltas and the
@@ -280,6 +305,10 @@ object GraftMv {
                 .as(a.alias + "__cnt"))
           case "min" => Seq(min(when(ins, col(a.col))).as(a.alias))
           case "max" => Seq(max(when(ins, col(a.col))).as(a.alias))
+          // insert-image sketch only; delete-touched groups rebuild
+          case "hll" =>
+            Seq(graft.expr.HllAgg.sketch(
+              when(ins, hllHash(a.col)), HllStateP).as(a.alias))
         }
       }
   }
@@ -356,17 +385,21 @@ object GraftMv {
     groupCols.foreach(c => require(names.contains(c),
       s"graft mv: group column '$c' not in source schema"))
     aggs.foreach { a =>
-      require(Set("count", "sum", "avg", "min", "max")(a.func),
-        s"graft mv: unsupported aggregate '${a.func}' (count/sum/avg/min/max)")
+      require(Set("count", "sum", "avg", "min", "max", "hll")(a.func),
+        s"graft mv: unsupported aggregate '${a.func}' " +
+          "(count/sum/avg/min/max/hll)")
       require(a.col == "*" || names.contains(a.col),
         s"graft mv: aggregate column '${a.col}' not in source schema")
       require(a.col == "*" || Ident.pattern.matcher(a.col).matches(),
         s"graft mv: aggregate column '${a.col}' must be a plain identifier")
       require(Ident.pattern.matcher(a.alias).matches(),
         s"graft mv: alias '${a.alias}' must be a plain identifier")
-      if (a.func != "count" && a.func != "min" && a.func != "max")
+      if (a.func == "sum" || a.func == "avg")
         require(schema(a.col).dataType.isInstanceOf[NumericType],
           s"graft mv: ${a.func}(${a.col}) needs a numeric column")
+      if (a.func == "hll")
+        require(a.col != "*",
+          s"graft mv: hll needs a concrete column, not '*'")
     }
     val aliases = aggs.map(_.alias)
     require(aliases.distinct == aliases &&
@@ -465,11 +498,19 @@ object GraftMv {
             Seq(least(col(s"c.${a.alias}"), col(s"d.${a.alias}")).as(a.alias))
           case "max" =>
             Seq(greatest(col(s"c.${a.alias}"), col(s"d.${a.alias}")).as(a.alias))
+          case "hll" =>
+            // register-wise max of state ⊔ insert-image sketch; absent
+            // side coalesces (register max over sketches of disjoint
+            // row sets ≡ sketch of the union, so insert-only folds are
+            // BIT-IDENTICAL to recompute)
+            val s0 = col(s"c.${a.alias}"); val d0 = col(s"d.${a.alias}")
+            Seq(when(s0.isNull, d0).when(d0.isNull, s0)
+              .otherwise(graft.expr.HllAgg.merge2(s0, d0)).as(a.alias))
         }
       }: _*)
-    // min/max cannot un-see a deleted extremum: groups a DELETE image
+    // min/max/hll cannot un-see a deleted row: groups a DELETE image
     // touched rebuild from the head, pruned to exactly those keys
-    val needRebuild = hasMinMax(aggs)
+    val needRebuild = rebuildsOnDelete(aggs)
     val sCols = (groupCols ++ stateCols(aggs)) :+ "_mv_touched"
     // the new full state, touched-flagged (rebuilt groups are touched
     // by construction — only delete images send a group to rebuild)
@@ -563,6 +604,8 @@ object GraftMv {
           when(col(a.alias + "__cnt") > 0,
             col(a.alias + "__sum").cast("double") / col(a.alias + "__cnt"))
             .otherwise(lit(null)).as(a.alias)
+        case "hll" =>
+          graft.expr.HllAgg.estimate(col(a.alias)).as(a.alias)
       }
     }: _*)
   }

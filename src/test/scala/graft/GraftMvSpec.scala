@@ -271,6 +271,39 @@ class GraftMvSpec extends SparkSpec {
     } finally sys.props.remove("graft.mv.statePartitions")
   }
 
+  test("hll state folds incrementally on inserts, rebuilds on deletes") {
+    val src = tmp("hll"); val mv = tmp("hll_mv")
+    // parity oracle: direct HllAgg estimate over the current source —
+    // folded sketch state must serve the IDENTICAL estimate (register
+    // max over disjoint parts ≡ sketch of the union)
+    def expect(): Seq[Row] =
+      spark.read.format(fmt).option("path", src).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          graft.expr.HllAgg(graft.expr.Fingerprint64(
+            col("source").cast("string")), GraftMv.HllStateP).as("nd_src"))
+        .orderBy("lang").collect().toSeq
+    append(src, slice(0))
+    GraftMv.create(spark, mv, src, Seq("lang"), Seq(
+      MvAgg("count", "*", "n"), MvAgg("hll", "source", "nd_src")))
+    assert(served(mv) == expect())
+    append(src, slice(1))                       // insert-only fold
+    GraftMv.refresh(spark, mv)
+    assert(served(mv) == expect())
+    val lang0 = spark.read.format(fmt).option("path", src).load()
+      .select("lang").na.drop().limit(1).collect().head.getString(0)
+    GraftMaintenance.delete(spark, src,        // delete → group rebuild
+      col("lang") === lit(lang0) && pmod(col("doc_id"), lit(2)) === 0)
+    GraftMv.refresh(spark, mv)
+    assert(served(mv) == expect())
+    val upd = spark.read.format(fmt).option("path", src).load()
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("source", concat(col("source"), lit("_u")))
+    GraftMaintenance.merge(spark, src, upd, "doc_id")  // update images
+    GraftMv.refresh(spark, mv)
+    assert(served(mv) == expect())
+  }
+
   test("refreshStream drains appends to the head; checkpoint restarts no-op") {
     val src = tmp("rs"); val mv = tmp("rs_mv"); val ck = tmp("rs_ck")
     append(src, slice(0))
