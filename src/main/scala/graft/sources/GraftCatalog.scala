@@ -938,7 +938,11 @@ class GraftCatalog extends TableCatalog
           ProcedureParameter.in("view", StringType).build(),
           ProcedureParameter.in("source", StringType).build(),
           ProcedureParameter.in("group_by", StringType).build(),
-          ProcedureParameter.in("aggs", StringType).build()),
+          ProcedureParameter.in("aggs", StringType).build(),
+          // merge-mode state updates (GraftMv.create stateMerge):
+          // upsert touched groups instead of overwriting the state
+          ProcedureParameter.in("state_merge", BooleanType)
+            .defaultValue("false").build()),
         StructType(Seq(StructField("view_version", LongType),
           StructField("source_version", LongType))),
         { in =>
@@ -957,7 +961,8 @@ class GraftCatalog extends TableCatalog
             }
           val v = GraftMv.create(
             org.apache.spark.sql.SparkSession.active,
-            viewPath, srcPath, groupCols, aggs)
+            viewPath, srcPath, groupCols, aggs,
+            stateMerge = in.getBoolean(4))
           val srcV = GraftMv.latestState(viewPath).map(_._2).getOrElse(-1L)
           Seq(new GenericInternalRow(Array[Any](v, srcV)))
         })

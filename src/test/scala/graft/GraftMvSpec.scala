@@ -366,6 +366,23 @@ class GraftMvSpec extends SparkSpec {
     val pinned = spark.sql(s"SELECT count(*) FROM $cat.ns.v " +
       s"VERSION AS OF ${refreshed.getLong(0)}").head().getLong(0)
     assert(pinned == exp.size)
+    // merge-mode + hll reach SQL too: state_merge flag, hll agg spec
+    spark.sql(s"CALL $cat.system.create_mv(" +
+      "view => 'ns.v2', source => 'ns.src', group_by => 'lang', " +
+      "aggs => 'count:*:n,hll:source:nd_src', state_merge => true)")
+    append(src, slice(2))
+    spark.sql(s"CALL $cat.system.refresh_mv(view => 'ns.v2')")
+    val (_, _, _, merge) = GraftMv.readDef(s"$warehouse/ns/v2")
+    assert(merge, "state_merge => true must persist in the definition")
+    val got2 = GraftMv.read(spark, s"$warehouse/ns/v2")
+      .orderBy("lang").collect().toSeq
+    val exp2 = spark.read.format(fmt).option("path", src).load()
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        graft.expr.HllAgg(graft.expr.Fingerprint64(
+          col("source").cast("string")), GraftMv.HllStateP).as("nd_src"))
+      .orderBy("lang").collect().toSeq
+    assert(got2 == exp2)
   }
 
   test("decimal columns round-trip through the connector (INT64 + BINARY)") {
