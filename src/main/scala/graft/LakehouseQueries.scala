@@ -2014,13 +2014,17 @@ object LakehouseQueries {
 
   /** CONTINUOUS MV maintenance under the hash gate
     * ([[graft.sources.GraftMv.refreshStream]]): the refresh schedule is
-    * a Structured Streaming query over the source table — micro-batches
-    * are commit signals, `AvailableNow` drains to a fixed point — and
-    * the final MV must hash-match a from-scratch recompute of every
-    * appended slice. The entry also proves the DRAIN INVARIANT the
-    * stream exists to provide: after termination the recorded watermark
-    * equals the source head (a refresh the stream failed to fire would
-    * leave it behind and break the hash too). */
+    * a Structured Streaming query over the source's VERSION FEED
+    * ([[graft.sources.GraftVersionFeed]] — commit signals, no
+    * append-only restriction), so the stream-driven MV follows the
+    * FULL writer alphabet: append, COW delete, MERGE with a
+    * reinsert-of-deleted-key edge — the same alphabet and oracle as
+    * [[qMvIncremental]], but with every refresh fired by the stream
+    * (one `AvailableNow` drain folds the whole multi-version span).
+    * Also proves the DRAIN INVARIANT the stream exists to provide:
+    * after termination the recorded watermark equals the source head
+    * (a refresh the stream failed to fire would leave it behind and
+    * break the hash too). */
   val qMvStreamRefresh = QueryDef("q_mv_stream_refresh",
     (spark, dir) => {
       import graft.sources.{GraftMv, MvAgg}
@@ -2039,8 +2043,13 @@ object LakehouseQueries {
         MvAgg("max", "o_orderkey", "max_key")))
       slice(orders, 1).write.format(fmt).option("path", table)
         .mode("append").save()                                  // v2
-      slice(orders, 2).write.format(fmt).option("path", table)
-        .mode("append").save()                                  // v3
+      GraftMaintenance.delete(spark, table,
+        col("o_totalprice") < lit(50000.0))                     // v3
+      val updates = slice(orders, 0)
+        .filter(pmod(col("o_orderkey"), lit(8)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      GraftMaintenance.merge(spark, table,
+        updates.unionByName(slice(orders, 2)), "o_orderkey")    // v4
       GraftMv.refreshStream(spark, mv, ckpt).awaitTermination()
       val (_, srcV, _) = GraftMv.latestState(mv).get
       val head = graft.sources.GraftTableLog.latestVersion(table).get
@@ -2049,16 +2058,81 @@ object LakehouseQueries {
           s"(watermark $srcV, head $head)")
       GraftMv.read(spark, mv).orderBy("o_orderpriority")
     },
-    Some("""SELECT o_orderpriority, count(*) AS cnt,
-           |       count(o_custkey) AS n_cust,
-           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-           |         AS total_price,
-           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-           |         / count(o_totalprice) AS avg_price,
-           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-           |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
-           |GROUP BY o_orderpriority
-           |ORDER BY o_orderpriority""".stripMargin))
+    qMvIncremental.oracle)
+
+  /** The VERSION FEED itself under the hash gate
+    * ([[graft.sources.GraftVersionFeed]]): stream the commit log of a
+    * table driven through the full writer alphabet and the emitted
+    * `(version, n_rows)` sequence must match DuckDB re-deriving each
+    * version's live row count from the writer arithmetic — a missed
+    * commit, a duplicated signal, or a wrong manifest/DV row count all
+    * hash-mismatch. Admission control is require-asserted
+    * (`maxVersionsPerTrigger=2` over 4 versions must split the drain);
+    * the feed is metadata-only, so the DELETE and MERGE commits that
+    * would refuse under the row-stream's append-only contract flow as
+    * ordinary signals here. */
+  val qStreamVersionFeed = QueryDef("q_stream_version_feed",
+    (spark, dir) => {
+      import spark.implicits._
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_vfeed")
+      val ckpt = scratch(spark, "graft_vfeed_ck")
+      slice(orders, 0).write.format(fmt).option("path", table)
+        .mode("append").save()                                  // v1
+      slice(orders, 1).write.format(fmt).option("path", table)
+        .mode("append").save()                                  // v2
+      GraftMaintenance.delete(spark, table,
+        col("o_totalprice") < lit(50000.0))                     // v3
+      val updates = slice(orders, 0)
+        .filter(pmod(col("o_orderkey"), lit(8)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      GraftMaintenance.merge(spark, table,
+        updates.unionByName(slice(orders, 2)), "o_orderkey")    // v4
+      val acc = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var batches = 0
+      val q = spark.readStream.format(fmt).option("path", table)
+        .option(graft.sources.GraftVersionFeed.OptionKey, "true")
+        .option(graft.sources.GraftVersionFeed.MaxPerTriggerKey, "2")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select("version", "n_rows").collect()
+          acc.synchronized {
+            batches += 1
+            rows.foreach(r => acc += ((r.getLong(0), r.getLong(1))))
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+      require(batches >= 2,
+        s"maxVersionsPerTrigger=2 over 4 versions must split the " +
+          s"drain, got $batches batch(es)")
+      acc.sortBy(_._1).toSeq.toDF("version", "n_rows")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, o_totalprice
+           |  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+           |), after_del AS (
+           |  SELECT * FROM base
+           |  WHERE NOT coalesce(o_totalprice < 50000.0, FALSE)
+           |), source AS (
+           |  SELECT o_orderkey FROM orders WHERE o_orderkey % 8 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 2
+           |), final AS (
+           |  SELECT o_orderkey FROM after_del
+           |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+           |  UNION ALL SELECT o_orderkey FROM source
+           |)
+           |SELECT CAST(1 AS BIGINT) AS version,
+           |       (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 0)
+           |         AS n_rows
+           |UNION ALL SELECT 2, (SELECT count(*) FROM base)
+           |UNION ALL SELECT 3, (SELECT count(*) FROM after_del)
+           |UNION ALL SELECT 4, (SELECT count(*) FROM final)
+           |ORDER BY version""".stripMargin))
 
   /** The MV surface as a SQL citizen (`CALL system.create_mv` /
     * `refresh_mv`, [[graft.sources.GraftCatalog.loadProcedure]]): the
@@ -2131,5 +2205,5 @@ object LakehouseQueries {
       qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry,
       qSpjColocatedJoin, qSqlRecluster, qSqlMetadataPartitions,
       qRewriteConflict, qMvIncremental, qMvMergeState, qMvStreamRefresh,
-      qMvHllDistinct, qSqlMvRefresh)
+      qMvHllDistinct, qStreamVersionFeed, qSqlMvRefresh)
 }

@@ -619,33 +619,29 @@ object GraftMv {
       .option("versionAsOf", mvV.toString).load()
   }
 
-  /** CONTINUOUS MV maintenance over an append-only source: a Structured
-    * Streaming query on the source table whose micro-batches act as
-    * COMMIT SIGNALS — each batch fires one [[refresh]]. Correctness
-    * never rides on batch boundaries: refresh reads the change feed
-    * itself under the state CAS, so a duplicate fire is a watermark
-    * no-op, a crashed batch re-fires idempotently on restart, and a
-    * concurrent manual refresh just wins or loses the CAS. The batch
-    * DataFrame is deliberately never acted on (the signal is free — no
-    * file is read twice; refresh pulls exactly the feed it needs). What
-    * the stream layer contributes is what the refresh protocol lacks:
-    * trigger discipline (`AvailableNow` drains to a fixed point and
-    * terminates; a processing-time trigger polls a live table) and
-    * checkpointed restart.
-    *
-    * The table stream's APPEND-ONLY contract applies: a row-level
-    * rewrite (delete/merge/compact) under a running stream fails the
-    * source loudly — that regime belongs to on-demand [[refresh]] /
-    * `CALL system.refresh_mv`. This split mirrors the 100 TB
-    * deployment: ingest-append fact tables refresh continuously;
-    * rewrite-heavy dimensions refresh behind their maintenance jobs. */
+  /** CONTINUOUS MV maintenance: a Structured Streaming query over the
+    * source table's VERSION FEED ([[GraftVersionFeed]] — one metadata
+    * row per commit, no append-only restriction) whose micro-batches
+    * act as COMMIT SIGNALS — each batch fires one [[refresh]], so the
+    * MV follows the source through the FULL writer alphabet (appends,
+    * COW deletes, MERGE, compaction) continuously. Correctness never
+    * rides on batch boundaries: refresh reads the change feed itself
+    * under the state CAS, so a duplicate fire is a watermark no-op, a
+    * crashed batch re-fires idempotently on restart, and a concurrent
+    * manual refresh just wins or loses the CAS. The batch DataFrame is
+    * deliberately never acted on (the signal costs one manifest read;
+    * refresh pulls exactly the feed it needs). What the stream layer
+    * contributes is what the refresh protocol lacks: trigger discipline
+    * (`AvailableNow` drains to a fixed point and terminates; a
+    * processing-time trigger polls a live table) and checkpointed
+    * restart. */
   def refreshStream(spark: SparkSession, mv: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val (src, _, _, _) = readDef(mv)
-    val schema = spark.read.format(fmt).option("path", src).load().schema
-    spark.readStream.format(fmt).option("path", src).schema(schema).load()
+    spark.readStream.format(fmt).option("path", src)
+      .option(GraftVersionFeed.OptionKey, "true").load()
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -58,13 +58,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftParquetTableProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftParquetV2.sparkSchema(
+    if (GraftVersionFeed.requested(options)) GraftVersionFeed.schema
+    else GraftParquetV2.sparkSchema(
       GraftParquetV2.footerSchema(
         GraftParquetV2.schemaSourceFile(GraftParquetV2.path(options))))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftParquetTable(properties.get("path"), schema,
+    if (GraftVersionFeed.requested(properties))
+      new GraftVersionFeedTable(properties.get("path"),
+        Option(properties.get(GraftVersionFeed.FromKey))
+          .map(_.toLong).getOrElse(0L),
+        Option(properties.get(GraftVersionFeed.MaxPerTriggerKey))
+          .map(_.toInt))
+    else new GraftParquetTable(properties.get("path"), schema,
       // streaming reader options arrive HERE (the batch path hands them
       // to newScanBuilder instead) — capture the read-rate cap
       Option(properties.get("maxFilesPerTrigger")).map(_.toInt),

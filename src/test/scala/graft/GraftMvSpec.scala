@@ -317,7 +317,11 @@ class GraftMvSpec extends SparkSpec {
     // same checkpoint, nothing new: no batch fires, state untouched
     GraftMv.refreshStream(spark, mv, ck).awaitTermination()
     assert(GraftMv.latestState(mv).get == st0)
-    // appends landing after a restart fold in from the checkpoint
+    // a ROW-LEVEL REWRITE commit flows as an ordinary version-feed
+    // signal (the row stream's append-only contract would refuse here)
+    val lang0 = spark.read.format(fmt).option("path", src).load()
+      .select("lang").na.drop().limit(1).collect().head.getString(0)
+    GraftMaintenance.delete(spark, src, col("lang") === lit(lang0))
     append(src, slice(3))
     GraftMv.refreshStream(spark, mv, ck).awaitTermination()
     assert(served(mv) == recompute(src))
