@@ -2142,6 +2142,50 @@ object LakehouseQueries {
     * delete), refreshes via CALL, require-asserts the returned
     * watermark pins the source head, and hash-gates the served
     * contents against the oracle's from-scratch recompute. */
+  /** INCREMENTAL COMPACTION under the hash gate
+    * (`CALL system.compact_small_files`,
+    * [[GraftMaintenance.compactSmallFiles]]): a bulk generation plus a
+    * small-file tail; the CALL must pack ONLY the tail — the
+    * right-sized bulk file surviving BY BASENAME is require-asserted
+    * (the 100 TB property: maintenance cost ∝ the ingest residue, not
+    * the table), a second CALL is a provable no-op at the same
+    * version, and the fingerprint of the packed table must equal the
+    * oracle recomputing the appended slices — a lost or duplicated
+    * row in the rewrite breaks the hash. */
+  val qSqlCompactSmall = QueryDef("q_sql_compact_small",
+    (spark, dir) => {
+      val (cat, tbl, path) = catalogTable(spark)
+      val orders = Tables.orders(spark, dir)
+      slice(orders, 0).unionByName(slice(orders, 1)).coalesce(1)
+        .write.format(fmt).option("path", path).mode("append").save()
+      (0 until 3).foreach { k =>
+        slice(orders, 2)
+          .filter(pmod(col("o_orderkey"), lit(12)) === k * 4 + 2)
+          .coalesce(1)
+          .write.format(fmt).option("path", path).mode("append").save()
+      }
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sized = graft.sources.GraftParquetV2.listFiles(path)
+        .map(f => f -> fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(f)).getLen)
+      val (big, bigLen) = sized.maxBy(_._2)
+      val r1 = spark.sql(s"CALL $cat.system.compact_small_files(" +
+        s"table => 'sf.$tbl', target_file_bytes => ${bigLen + 1})").head()
+      val after = graft.sources.GraftParquetV2.listFiles(path)
+      require(after.contains(big),
+        s"the right-sized bulk file must survive the rewrite by name")
+      require(r1.getInt(2) < r1.getInt(1),
+        s"the tail must pack: $r1")
+      val r2 = spark.sql(s"CALL $cat.system.compact_small_files(" +
+        s"table => 'sf.$tbl', target_file_bytes => ${bigLen + 1})").head()
+      require(r2.getLong(0) == r1.getLong(0),
+        s"nothing left to pack: second call must no-op at the same " +
+          s"version ($r1 vs $r2)")
+      fingerprint(spark.read.format(fmt).option("path", path).load())
+    },
+    Some(fingerprintSql("o_orderkey % 4 IN (0, 1, 2)")))
+
   val qSqlMvRefresh = QueryDef("q_sql_mv_refresh",
     (spark, dir) => {
       import graft.sources.GraftMv
@@ -2205,5 +2249,5 @@ object LakehouseQueries {
       qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry,
       qSpjColocatedJoin, qSqlRecluster, qSqlMetadataPartitions,
       qRewriteConflict, qMvIncremental, qMvMergeState, qMvStreamRefresh,
-      qMvHllDistinct, qStreamVersionFeed, qSqlMvRefresh)
+      qMvHllDistinct, qStreamVersionFeed, qSqlCompactSmall, qSqlMvRefresh)
 }

@@ -420,7 +420,8 @@ class GraftCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
-      Array("compact", "vacuum", "history", "ann_probe",
+      Array("compact", "compact_small_files", "vacuum", "history",
+        "ann_probe",
         "rewrite_deletes", "detail", "rollback", "tag", "drop_tag",
         "tags", "create_branch", "drop_branch", "branches",
         "fast_forward", "build_bloom", "analyze", "add_constraint",
@@ -477,6 +478,28 @@ class GraftCatalog extends TableCatalog
           val v = GraftMaintenance.compact(
             org.apache.spark.sql.SparkSession.active, p,
             in.getLong(1), cluster)
+          Seq(new GenericInternalRow(Array[Any](v, before,
+            GraftParquetV2.listFiles(p).size)))
+        })
+      // incremental compaction: pack only the small-file tail, per
+      // partition directory — see [[GraftMaintenance.compactSmallFiles]]
+      case "compact_small_files" => new GraftProcedure(
+        "compact_small_files",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_file_bytes", LongType)
+            .defaultValue((128L * 1024 * 1024).toString).build(),
+          ProcedureParameter.in("min_input_files", IntegerType)
+            .defaultValue("2").build()),
+        StructType(Seq(StructField("version", LongType),
+          StructField("files_before", IntegerType),
+          StructField("files_after", IntegerType))),
+        { in =>
+          val p = tablePath(in.getString(0))
+          val before = GraftParquetV2.listFiles(p).size
+          val v = GraftMaintenance.compactSmallFiles(
+            org.apache.spark.sql.SparkSession.active, p,
+            in.getLong(1), in.getInt(2))
           Seq(new GenericInternalRow(Array[Any](v, before,
             GraftParquetV2.listFiles(p).size)))
         })

@@ -162,6 +162,74 @@ object GraftMaintenance {
     v
   }
 
+  /** INCREMENTAL COMPACTION — the maintenance shape that survives
+    * 100 TB: bin-pack ONLY the small-file tail instead of rewriting
+    * the table. Candidates are live files under ¾ of
+    * `targetFileBytes`, grouped by PARTITION DIRECTORY (packing never
+    * merges rows across `col=value` directories — that would break the
+    * pruning layout); a group packs only when it has at least
+    * `minInputFiles` candidates (a lone small file has nothing to
+    * gain). The candidates are read DV-aware ([[readFilesWithDeletes]]
+    * — a packed rewrite after a merge-on-read delete must not
+    * resurrect rows), re-packed to ~target-sized files, and committed
+    * through [[rewriteCommit]]: right-sized files are NEVER read,
+    * moved, or rewritten, the commit validates the candidates are
+    * still live (concurrent-rewrite refusal, retryable), and the
+    * replaced generation archives for time travel.
+    *
+    * Cost ∝ the small-file tail (the daily-ingest residue), not the
+    * table — a nightly run over a 100 TB table whose day added 2 000
+    * small files reads and writes that day's bytes only. The
+    * whole-table [[compact]] remains the layout-reset tool (and the
+    * clustered/Z-order path). Returns the new head version, or the
+    * current one when nothing qualifies (a provable no-op). */
+  def compactSmallFiles(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minInputFiles: Int = 2): Long = {
+    require(targetFileBytes > 0,
+      "graft compactSmallFiles: targetFileBytes must be > 0")
+    require(minInputFiles >= 2,
+      "graft compactSmallFiles: minInputFiles must be >= 2 (packing " +
+        "one file is a rewrite with nothing to gain)")
+    val read = GraftConflicts.captureRead(table)
+    val root = new Path(table)
+    val fs = root.getFileSystem(conf)
+    val threshold = targetFileBytes * 3 / 4
+    val sized = GraftParquetV2.listFiles(table)
+      .map(f => f -> fs.getFileStatus(new Path(f)).getLen)
+    // partition-dir bin groups, keyed by the file's parent relative to
+    // the table root ("" for unpartitioned)
+    def dirKey(f: String): String =
+      Option(new Path(GraftTableLog.relativize(table, f)).getParent)
+        .map(_.toString).getOrElse("")
+    val candidates = sized.filter(_._2 < threshold)
+      .groupBy { case (f, _) => dirKey(f) }
+      .filter { case (_, g) => g.size >= minInputFiles }
+      .values.flatten.toSeq
+    if (candidates.isEmpty)
+      return GraftTableLog.latestVersion(table).getOrElse(0L)
+    val files = candidates.map(_._1)
+    val smallBytes = candidates.map(_._2).sum
+    val n = math.max(1L,
+      (smallBytes + targetFileBytes - 1) / targetFileBytes)
+      .min(Int.MaxValue).toInt
+    val df = connectorRead(spark, table)
+    val partCols = GraftCatalog.effectivePartCols(table, df.schema)
+    val rows = readFilesWithDeletes(spark, df.schema, files,
+      GraftDeletes.livePositions(table),
+      GraftCatalog.readAliases(table, conf))
+    import org.apache.spark.sql.functions.col
+    // hash on the partition columns: each partition's small rows land
+    // in ONE task → one packed file per partition directory (a
+    // partition whose small tail exceeds the target packs to a single
+    // over-target file — still bounded by that partition's tail, and
+    // the next whole-partition compact resets layout)
+    val packed =
+      if (partCols.nonEmpty) rows.repartition(n, partCols.map(col): _*)
+      else rows.repartition(n)
+    rewriteCommit(spark, table, files, packed, partCols, read)
+  }
+
   /** The files the pushdown machinery plans for this connector read —
     * i.e. the files whose zone maps / partition values could NOT
     * refute the DataFrame's filters. Unsupported predicates push
