@@ -2142,6 +2142,90 @@ object LakehouseQueries {
     * delete), refreshes via CALL, require-asserts the returned
     * watermark pins the source head, and hash-gates the served
     * contents against the oracle's from-scratch recompute. */
+  /** CONTINUOUS CDC TAILING under the hash gate
+    * ([[graft.sources.GraftCdc.stream]]): the version feed drives
+    * per-commit change-image materialization into a SINK graft table,
+    * exactly-once (each batch's append carries a txnId the sink
+    * de-duplicates on replay). The source walks the full writer
+    * alphabet — append, append, COW delete, MERGE — and the sink's
+    * stamped `(_commit_version, _change_type)` image sets must match
+    * DuckDB re-deriving every commit's images from the writer
+    * arithmetic: a missed commit, a netted-out intermediate state (the
+    * per-commit discipline — a span diff would lose the
+    * insert-then-delete row), a duplicated batch, or a wrong image all
+    * hash-mismatch. Admission (`maxVersionsPerTrigger=2` over 4
+    * versions) must split the drain: require-asserted as exactly two
+    * sink commits; a checkpoint-restart drain must add nothing. */
+  val qStreamCdcFeed = QueryDef("q_stream_cdc_feed",
+    (spark, dir) => {
+      val orders = Tables.orders(spark, dir)
+      val table = scratch(spark, "graft_cdcsrc")
+      val sink = scratch(spark, "graft_cdcsink")
+      val ckpt = scratch(spark, "graft_cdc_ck")
+      slice(orders, 0).write.format(fmt).option("path", table)
+        .mode("append").save()                                  // v1
+      slice(orders, 1).write.format(fmt).option("path", table)
+        .mode("append").save()                                  // v2
+      GraftMaintenance.delete(spark, table,
+        col("o_totalprice") < lit(50000.0))                     // v3
+      val updates = slice(orders, 0)
+        .filter(pmod(col("o_orderkey"), lit(8)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      GraftMaintenance.merge(spark, table,
+        updates.unionByName(slice(orders, 2)), "o_orderkey")    // v4
+      graft.sources.GraftCdc.stream(spark, table, sink, ckpt,
+        maxVersionsPerTrigger = Some(2)).awaitTermination()
+      require(GraftTableLog.versions(sink).size == 2,
+        "maxVersionsPerTrigger=2 over 4 versions must drain as " +
+          "exactly 2 sink commits, got " +
+          GraftTableLog.versions(sink).mkString(","))
+      // a restart on the drained checkpoint must add NOTHING
+      graft.sources.GraftCdc.stream(spark, table, sink, ckpt,
+        maxVersionsPerTrigger = Some(2)).awaitTermination()
+      require(GraftTableLog.versions(sink).size == 2,
+        "a drained checkpoint restart must not re-append")
+      spark.read.format(fmt).option("path", sink).load()
+        .groupBy("_commit_version", "_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("_commit_version", "_change_type", "o_orderstatus")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+           |), images AS (
+           |  SELECT 1 AS _commit_version, 'insert' AS _change_type,
+           |         o_orderkey, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderkey % 4 = 0
+           |  UNION ALL
+           |  SELECT 2, 'insert', o_orderkey, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderkey % 4 = 1
+           |  UNION ALL
+           |  SELECT 3, 'delete', o_orderkey, o_orderstatus, o_totalprice
+           |  FROM base WHERE coalesce(o_totalprice < 50000.0, FALSE)
+           |  UNION ALL
+           |  SELECT 4, 'delete', o_orderkey, o_orderstatus, o_totalprice
+           |  FROM base WHERE NOT coalesce(o_totalprice < 50000.0, FALSE)
+           |    AND o_orderkey % 8 = 0
+           |  UNION ALL
+           |  SELECT 4, 'insert', o_orderkey, o_orderstatus,
+           |         o_totalprice * 2
+           |  FROM base WHERE o_orderkey % 8 = 0
+           |  UNION ALL
+           |  SELECT 4, 'insert', o_orderkey, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderkey % 4 = 2
+           |)
+           |SELECT CAST(_commit_version AS BIGINT) AS _commit_version,
+           |       _change_type, o_orderstatus, count(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |         AS total_price,
+           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM images
+           |GROUP BY _commit_version, _change_type, o_orderstatus
+           |ORDER BY _commit_version, _change_type, o_orderstatus""".stripMargin))
+
   /** INCREMENTAL COMPACTION under the hash gate
     * (`CALL system.compact_small_files`,
     * [[GraftMaintenance.compactSmallFiles]]): a bulk generation plus a
@@ -2249,5 +2333,6 @@ object LakehouseQueries {
       qSqlRemoveOrphans, qSqlPartitionEvolution, qSqlDvTelemetry,
       qSpjColocatedJoin, qSqlRecluster, qSqlMetadataPartitions,
       qRewriteConflict, qMvIncremental, qMvMergeState, qMvStreamRefresh,
-      qMvHllDistinct, qStreamVersionFeed, qSqlCompactSmall, qSqlMvRefresh)
+      qMvHllDistinct, qStreamVersionFeed, qStreamCdcFeed, qSqlCompactSmall,
+      qSqlMvRefresh)
 }

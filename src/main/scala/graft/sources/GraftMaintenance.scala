@@ -706,7 +706,15 @@ object GraftMaintenance {
       until: Long): DataFrame = {
     require(since <= until,
       s"graft change feed: cdc since $since > until $until")
-    val (fromRels, fromDvRels, _) = GraftTableLog.readSnapshotFull(table, since)
+    // since = 0 is the empty pre-table snapshot (versions start at 1):
+    // the feed from 0 is every row of `until` as an insert image —
+    // the full-history base case the CDC tail starts from
+    val (fromRels, fromDvRels) =
+      if (since == 0) (Seq.empty[String], Seq.empty[String])
+      else {
+        val (r, d, _) = GraftTableLog.readSnapshotFull(table, since)
+        (r, d)
+      }
     val (toRels, toDvRels, _) = GraftTableLog.readSnapshotFull(table, until)
     val dvFrom = GraftDeletes.readPositions(
       GraftDeletes.resolveDvRels(table, fromDvRels))

@@ -188,9 +188,28 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
     // overwrites, whose semantics are "replace whatever is there".
     val conflictReadVersion =
       Option(info.options.get("conflictReadVersion")).map(_.toLong)
+    // `txnId`: idempotent-append marker (the Delta txnAppId:txnVersion
+    // discipline, one string) — a batch append carrying a txnId the
+    // table has already committed becomes a NO-OP instead of a
+    // duplicate. This is how foreachBatch writers get exactly-once:
+    // option("txnId", s"$app-$batchId") — a replayed batch (failure
+    // recovery re-runs the last uncommitted one) re-arrives with the
+    // same id and is dropped at commit. Plain appends only: overwrite
+    // semantics are "replace what is there" (replay-safe already) and
+    // branch lineages have their own sequenced CAS.
+    val txnId = Option(info.options.get("txnId")).map(_.trim)
+      .filter(_.nonEmpty)
+    txnId.foreach { t =>
+      require(t.matches("[A-Za-z0-9._-]{1,200}"),
+        s"graft parquet v2 write: txnId '$t' must match " +
+          "[A-Za-z0-9._-]{1,200} (it names a marker file)")
+      require(!doTruncate && branch.isEmpty,
+        "graft parquet v2 write: txnId is an APPEND idempotence " +
+          "marker — overwrite and branch writes do not take it")
+    }
     new GraftBatchWrite(path, info.schema(), doTruncate, partCols,
       dynamic, info.queryId(), bloomSpec, constraints, branch,
-      conflictReadVersion)
+      conflictReadVersion, txnId)
   }
 }
 
@@ -201,7 +220,8 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     constraints: Seq[(String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
     branch: Option[String] = None,
-    conflictReadVersion: Option[Long] = None)
+    conflictReadVersion: Option[Long] = None,
+    txnId: Option[String] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val writeId = UUID.randomUUID().toString
@@ -288,6 +308,17 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(GraftParquetWrite.sessionConf())
     val staging = new Path(path, s"_staging-$writeId")
+    // idempotent-append guard: this txnId already committed → replay,
+    // drop the staged files instead of duplicating the append. Marker
+    // discipline mirrors the streaming epoch markers (created AFTER
+    // the manifest commit): a crash between commit and marker re-runs
+    // the append — at-least-once across crashes, exactly-once within
+    // a run and across foreachBatch replays.
+    val txnMarker = txnId.map(t =>
+      new Path(new Path(path, GraftParquetWrite.EpochDir), s"txn-$t"))
+    txnMarker.foreach { m =>
+      if (fs.exists(m)) { fs.delete(staging, true); return }
+    }
     val committed = messages.collect {
       case GraftCommitMessage(fsq, stats) if fsq.nonEmpty => (fsq, stats)
     }
@@ -405,6 +436,10 @@ class GraftBatchWrite(path: String, schema: StructType, truncate: Boolean,
     } // truncatingCommit
     if (truncate) GraftConflicts.withRewriteLock(path)(truncatingCommit())
     else truncatingCommit()
+    txnMarker.foreach { m =>
+      fs.mkdirs(m.getParent)
+      fs.create(m, true).close()
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
