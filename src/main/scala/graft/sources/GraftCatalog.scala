@@ -426,7 +426,8 @@ class GraftCatalog extends TableCatalog
         "tags", "create_branch", "drop_branch", "branches",
         "fast_forward", "build_bloom", "analyze", "add_constraint",
         "drop_constraint", "constraints", "remove_orphan_files",
-        "set_partition_spec", "recluster", "create_mv", "refresh_mv")
+        "set_partition_spec", "recluster", "create_mv", "refresh_mv",
+        "drop_mv")
         .map(Identifier.of(SystemNs, _))
     else Array.empty
 
@@ -988,6 +989,15 @@ class GraftCatalog extends TableCatalog
             stateMerge = in.getBoolean(4))
           val srcV = GraftMv.latestState(viewPath).map(_._2).getOrElse(-1L)
           Seq(new GenericInternalRow(Array[Any](v, srcV)))
+        })
+      case "drop_mv" => new GraftProcedure("drop_mv",
+        Array(ProcedureParameter.in("view", StringType).build()),
+        StructType(Seq(StructField("dropped", BooleanType))),
+        { in =>
+          val vp = in.getString(0).split('.')
+          val viewPath = existing(Identifier.of(vp.dropRight(1), vp.last))
+          GraftMv.drop(viewPath)
+          Seq(new GenericInternalRow(Array[Any](true)))
         })
       case "refresh_mv" => new GraftProcedure("refresh_mv",
         Array(ProcedureParameter.in("view", StringType).build()),

@@ -619,6 +619,19 @@ object GraftMv {
       .option("versionAsOf", mvV.toString).load()
   }
 
+  /** Drop the view: definition, state records, and the state table —
+    * the whole MV directory. Refuses for a path that holds no committed
+    * MV definition (the guard against deleting an ordinary table by
+    * mistake). A refresh racing the drop loses harmlessly: its state
+    * CAS has no `_graft_mv` directory left to land in and fails
+    * loudly rather than resurrecting the view. */
+  def drop(mv: String): Unit = {
+    readDef(mv) // throws unless a committed definition exists
+    val p = new Path(mv)
+    val fs = p.getFileSystem(conf)
+    require(fs.delete(p, true), s"graft mv: failed to delete $mv")
+  }
+
   /** CONTINUOUS MV maintenance: a Structured Streaming query over the
     * source table's VERSION FEED ([[GraftVersionFeed]] — one metadata
     * row per commit, no append-only restriction) whose micro-batches

@@ -387,6 +387,17 @@ class GraftMvSpec extends SparkSpec {
           col("source").cast("string")), GraftMv.HllStateP).as("nd_src"))
       .orderBy("lang").collect().toSeq
     assert(got2 == exp2)
+    // drop_mv removes the view whole; refresh then refuses; the name
+    // is reusable (create's exclusive-create sees a clean slate)
+    assert(spark.sql(s"CALL $cat.system.drop_mv(view => 'ns.v2')")
+      .head().getBoolean(0))
+    assert(intercept[Exception] {
+      spark.sql(s"CALL $cat.system.refresh_mv(view => 'ns.v2')")
+    }.getMessage != null)
+    spark.sql(s"CALL $cat.system.create_mv(" +
+      "view => 'ns.v2', source => 'ns.src', group_by => 'lang', " +
+      "aggs => 'count:*:n')")
+    assert(GraftMv.read(spark, s"$warehouse/ns/v2").count() > 0)
   }
 
   test("decimal columns round-trip through the connector (INT64 + BINARY)") {
