@@ -84,6 +84,81 @@ object MvScaleDryRun {
           .delete(hp, true)
       }
     }
+
+    // ----- phase 2: HIGH-CARDINALITY state, overwrite vs merge mode -----
+    // Group by l_orderkey itself (~n/4 groups — the state table is
+    // 25% of the source). The delta is the workload merge-mode exists
+    // for: NEW KEYS ARRIVING AT THE TOP of the key range (time-ordered
+    // ingest) and an OLD LOW BAND RETIRING — touched groups cluster in
+    // keyspace, so the range-clustered state's zone maps prune the
+    // upsert to the hot band. Overwrite mode rewrites the whole
+    // |groups|-sized state per refresh regardless.
+    // pin the merge-mode state to 24 range files: at these SFs the
+    // whole state fits one AQE-sized file, which would hide the
+    // pruning the measurement exists to show — a real 100M-group
+    // state spans many files naturally
+    sys.props("graft.mv.statePartitions") = "24"
+    for ((sf, dir) <- dirs) {
+      val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val maxKey = rows.agg(max("l_orderkey")).head().getLong(0)
+      val top = (maxKey * 0.99).toLong    // top-1%: the arriving keys
+      // retiring band sized INSIDE graft.mv.mergeDeleteCap (10k): a
+      // bigger retire correctly falls back to the recompute heal (the
+      // cap exists to bound the keyed-delete literal list) — that
+      // path is spec-covered, this measures the keyed regime
+      val low = 8000L
+      for (mode <- Seq(false, true)) {
+        val table = s"/tmp/mv_hc_src_${sf}_${java.util.UUID.randomUUID()}"
+        val mv = s"/tmp/mv_hc_mv_${sf}_${java.util.UUID.randomUUID()}"
+        val seed = rows.filter(col("l_orderkey") <= top)
+        seed.write.format(fmt).option("path", table).mode("append").save()
+        GraftMaintenance.compact(spark, table,
+          targetFileBytes =
+            graft.sources.GraftParquetV2.totalFileBytes(table) / 24,
+          clusterBy = Seq("l_orderkey"))
+        GraftMv.create(spark, mv, table, Seq("l_orderkey"), Seq(
+          MvAgg("count", "*", "n"),
+          MvAgg("sum", "l_extendedprice", "revenue"),
+          MvAgg("avg", "l_quantity", "avg_qty")), stateMerge = mode)
+        val grp = GraftMv.read(spark, mv).count()
+        // state bytes WRITTEN by a lap = new files in the head vs the
+        // pre-lap file set — the write-amplification metric (the
+        // cluster-resource cost a wall-clock number hides at small SF)
+        def stateFiles(): Map[String, Long] = {
+          val fs = new org.apache.hadoop.fs.Path(mv)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          graft.sources.GraftParquetV2.listFiles(mv).map(f =>
+            f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+            .toMap
+        }
+        def lap(body: => Unit): (Double, Long) = {
+          val before = stateFiles().keySet
+          val t = System.nanoTime()
+          body
+          val sec = (System.nanoTime() - t) / 1e9
+          val wrote = stateFiles().filterNot(kv => before(kv._1))
+            .values.sum
+          (sec, wrote)
+        }
+        // lap 1: the top-band append (new keys)
+        rows.filter(col("l_orderkey") > top)
+          .write.format(fmt).option("path", table).mode("append").save()
+        val (tIns, bIns) = lap(GraftMv.refresh(spark, mv))
+        // lap 2: the low band retires (groups vanish entirely)
+        GraftMaintenance.delete(spark, table, col("l_orderkey") < lit(low))
+        val (tDel, bDel) = lap(GraftMv.refresh(spark, mv))
+        println(f"MVHC sf=$sf mode=${if (mode) "merge" else "overwrite"} " +
+          f"mv_groups=$grp refresh_topband_s=$tIns%.2f " +
+          f"topband_state_mb=${bIns / 1e6}%.1f " +
+          f"refresh_retire_s=$tDel%.2f retire_state_mb=${bDel / 1e6}%.1f")
+        for (p <- Seq(table, mv)) {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -465,8 +465,39 @@ object GraftMv {
     val das = deltaAggs(schema, aggs)
     val d = delta.groupBy(groupCols.map(col): _*).agg(das.head, das.tail: _*)
       .alias("d")
-    val cur = spark.read.format(fmt).option("path", mv)
-      .option("versionAsOf", mvV0.toString).load().alias("c")
+    // MERGE-MODE engine decision, made BEFORE the fold plan is built:
+    // the merge mutates the RAW head, so it is only sound when the
+    // head IS the recorded state (an orphaned crashed commit on top
+    // would make the base unknowable) — otherwise one healing
+    // overwrite. When merging, the delta aggregate (touched-group-
+    // sized) is PERSISTED — the fold plan has three consumers
+    // (vanished detection, emptiness, the merge itself) and must not
+    // re-run the change-feed diff per consumer — and the state read
+    // is PRUNED to the touched key RANGE: the state lays out range-
+    // clustered on the key, so a band-shaped delta (the time-ordered
+    // ingest this mode targets) prunes to the hot band's files via
+    // zone maps. A scattered delta widens the range back to a full
+    // read — write cost stays touched-group-bounded either way, and
+    // rows outside the delta inside the range fold to untouched and
+    // are never written.
+    val doMerge = stateMerge &&
+      GraftTableLog.latestVersion(mv).contains(mvV0)
+    if (doMerge)
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyRange: Option[(String, String)] =
+      if (!doMerge) None
+      else {
+        val r = d.select(min(keyExpr(groupCols)).as("lo"),
+          max(keyExpr(groupCols)).as("hi")).head()
+        Some((r.getString(0), r.getString(1)))
+      }
+    val cur0 = spark.read.format(fmt).option("path", mv)
+      .option("versionAsOf", mvV0.toString).load()
+    val cur = (keyRange match {
+      case Some((lo, hi)) =>
+        cur0.filter(col(KeyCol) >= lit(lo) && col(KeyCol) <= lit(hi))
+      case None => cur0
+    }).alias("c")
     // FULL OUTER on null-safe group equality: NULL is a group key
     val on = groupCols.map(c => col(s"c.$c") <=> col(s"d.$c")).reduce(_ && _)
     val j = cur.join(d, on, "full_outer")
@@ -539,35 +570,48 @@ object GraftMv {
         .write.format(fmt).option("path", mv)
         .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
     }
-    if (!stateMerge) overwriteCommit()
-    else {
+    if (!doMerge) overwriteCommit()
+    else try {
       // MERGE-mode: upsert only the touched survivors, delete vanished
-      // keys — state-write cost ∝ touched groups. The merge mutates the
-      // RAW head, so it is only sound when the head IS the recorded
-      // state (an orphaned crashed commit on top would make the base
-      // unknowable: a group it dropped that this delta never touches
-      // would stay lost). Orphan detected → one healing overwrite.
-      val headNow = GraftTableLog.latestVersion(mv)
-      if (!headNow.contains(mvV0)) overwriteCommit()
-      else {
-        val upserts = kept.filter(col("_mv_touched"))
-          .drop("_mv_touched").withColumn(KeyCol, keyExpr(groupCols))
-        val touchedKeys = merged.filter(col("_mv_touched"))
-          .select(keyExpr(groupCols).as(KeyCol))
+      // keys — state READ pruned to the touched key range above, state
+      // WRITE ∝ touched groups. `kept` is touched-group-sized here
+      // (cur was pruned, d is the delta), so persisting it lets its
+      // three consumers share one execution of the fold.
+      val upserts = kept.filter(col("_mv_touched"))
+        .drop("_mv_touched").withColumn(KeyCol, keyExpr(groupCols))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val touchedKeys = d.select(keyExpr(groupCols).as(KeyCol))
         // vanished = touched groups with no surviving state row
         val cap = mergeDeleteCap
         val vanished = touchedKeys.except(upserts.select(KeyCol))
           .limit(cap + 1).collect().map(_.getString(0)).toSeq
-        if (vanished.size > cap) overwriteCommit()
+        if (vanished.size > cap) {
+          // the vanished set outgrew the keyed-delete plan. `kept` is
+          // RANGE-PRUNED here and cannot serve a whole-state
+          // overwrite (it would drop every out-of-range group) — heal
+          // by full recompute of the source head instead
+          clustered(fullState(spark.read.format(fmt).option("path", src)
+            .option("versionAsOf", srcHead.toString).load(),
+            groupCols, aggs), groupCols)
+            .write.format(fmt).option("path", mv)
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+        }
         else {
           if (vanished.nonEmpty)
+            // the range conjunct is what PRUNES: zone maps refute
+            // whole state files against [min, max] (a many-literal IN
+            // alone defeats file-level refutation), the IN then
+            // refines rows inside the surviving band
             GraftMaintenance.delete(spark, mv,
-              col(KeyCol).isin(vanished: _*))
+              col(KeyCol) >= lit(vanished.min) &&
+                col(KeyCol) <= lit(vanished.max) &&
+                col(KeyCol).isin(vanished: _*))
           if (!upserts.isEmpty)
             GraftMaintenance.merge(spark, mv, upserts, KeyCol)
         }
-      }
-    }
+      } finally upserts.unpersist(false)
+    } finally d.unpersist(false)
     val mvV = GraftTableLog.latestVersion(mv).getOrElse(
       throw new IllegalStateException(
         s"graft mv: state commit landed but no log under $mv"))

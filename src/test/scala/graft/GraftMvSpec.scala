@@ -327,6 +327,30 @@ class GraftMvSpec extends SparkSpec {
     assert(served(mv) == recompute(src))
   }
 
+  test("merge-mode cap overflow heals by full recompute, never a pruned overwrite") {
+    val src = tmp("cap"); val mv = tmp("cap_mv")
+    append(src, slice(0)); append(src, slice(1))
+    sys.props("graft.mv.statePartitions") = "4"
+    sys.props("graft.mv.mergeDeleteCap") = "1"
+    try {
+      GraftMv.create(spark, mv, src, Seq("lang"), aggs, stateMerge = true)
+      // retire SEVERAL whole groups: vanished keys > cap=1 → the
+      // overflow path must recompute the WHOLE state (a kept-based
+      // overwrite would drop every untouched out-of-range group)
+      val langs = spark.read.format(fmt).option("path", src).load()
+        .select("lang").na.drop().distinct().limit(3).collect()
+        .map(_.getString(0)).toSeq
+      assert(langs.size >= 2, "fixture needs several groups")
+      GraftMaintenance.delete(spark, src, col("lang").isin(langs: _*))
+      GraftMv.refresh(spark, mv)
+      assert(served(mv) == recompute(src),
+        "untouched groups must survive the overflow heal")
+    } finally {
+      sys.props.remove("graft.mv.statePartitions")
+      sys.props.remove("graft.mv.mergeDeleteCap")
+    }
+  }
+
   test("merge-mode heals an orphaned head by one full overwrite") {
     val src = tmp("mmo"); val mv = tmp("mmo_mv")
     append(src, slice(0))
