@@ -1214,7 +1214,7 @@ object GraftCatalog {
       val n = fs.listStatus(dir).count(_.getPath.getName.endsWith(".rename"))
       val entry = new Path(dir, f"r$n%06d.rename")
       try {
-        val out = fs.create(entry, false) // exclusive: the claim
+        val out = GraftFsContract.exclusiveCreate(fs, entry) // the claim
         try out.write(s"$from\t$to\n".getBytes("UTF-8"))
         finally out.close()
         claimed = true

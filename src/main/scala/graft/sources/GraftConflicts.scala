@@ -103,7 +103,7 @@ object GraftConflicts {
     var held = false
     while (!held) {
       val out =
-        try Some(fs.create(p, false))
+        try Some(GraftFsContract.exclusiveCreate(fs, p))
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                _: java.io.IOException => None

@@ -61,4 +61,51 @@ object GraftFsContract {
           "Iceberg catalog discipline).")
     }
   }
+
+  private def isLocal(fs: org.apache.hadoop.fs.FileSystem): Boolean =
+    fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+
+  /** Claim `p` by TRUE O_EXCL create when it lives on the local
+    * filesystem; returns false (no claim attempted) elsewhere.
+    *
+    * Why: Hadoop's LOCAL `create(path, overwrite = false)` is
+    * check-then-act — two JVMs can both pass the exists check and
+    * silently overwrite each other's claim. Observed in the wild: a
+    * full-suite CommitRaceSpec run where six appends produced FIVE
+    * versions with both writers exiting clean — one snapshot claim
+    * was silently eaten by the other's. java.nio `createFile` is
+    * O_EXCL at the syscall level, so exactly one of N concurrent
+    * claimers wins and the losers get FileAlreadyExistsException (an
+    * IOException — the same signal the claim loops already retry on).
+    * Cluster filesystems don't take this path: their metadata service
+    * arbitrates `create(…, false)` atomically. */
+  def claimLocalExclusive(p: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val fs = p.getFileSystem(conf)
+    if (!isLocal(fs)) return false
+    val local = java.nio.file.Paths.get(p.toUri.getPath)
+    if (local.getParent != null)
+      java.nio.file.Files.createDirectories(local.getParent)
+    java.nio.file.Files.createFile(local) // O_EXCL — throws on loss
+    true
+  }
+
+  /** Exclusive create with a cross-process-atomic claim on every
+    * filesystem: local paths claim via [[claimLocalExclusive]] then
+    * reopen the (now owned) file for writing; cluster filesystems use
+    * the connector's own atomic `create(…, false)`. Drop-in for the
+    * claim sites that previously called `fs.create(p, false)` —
+    * throws the same FileAlreadyExistsException/IOException family on
+    * a lost claim. */
+  def exclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    if (isLocal(fs)) {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      if (local.getParent != null)
+        java.nio.file.Files.createDirectories(local.getParent)
+      java.nio.file.Files.createFile(local) // O_EXCL — throws on loss
+      fs.create(p, true) // overwrite the zero-byte file we own
+    } else fs.create(p, false)
 }

@@ -100,7 +100,7 @@ object GraftMv {
     val fs = p.getFileSystem(conf)
     fs.mkdirs(p.getParent)
     val out =
-      try fs.create(p, false)
+      try GraftFsContract.exclusiveCreate(fs, p)
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
              _: java.io.IOException =>
@@ -189,7 +189,7 @@ object GraftMv {
     val fs = p.getFileSystem(conf)
     fs.mkdirs(p.getParent)
     val out =
-      try fs.create(p, false)
+      try GraftFsContract.exclusiveCreate(fs, p)
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           return false

@@ -121,13 +121,20 @@ object GraftTableLog {
     * (`dvRels`, paths under [[GraftDeletes.DeletesDir]]) — the snapshot
     * pins the exact merge-on-read delete set of the version, so time
     * travel applies the deletes as they stood then.
-    * One parquet file created EXCLUSIVELY at the final name (parquet's
-    * default CREATE mode → `fs.create(…, overwrite = false)`): the
+    * One parquet file created EXCLUSIVELY at the final name: the
     * create is the version CLAIM, so a concurrent commit racing for
     * the same number throws FileAlreadyExistsException here and the
-    * caller retries at the next number. A torn write (crash mid-
-    * snapshot) leaves an unreadable parquet at the claimed name —
-    * [[healTornSnapshot]] lets the next committer reclaim it. */
+    * caller retries at the next number. On the LOCAL filesystem the
+    * claim is a java.nio O_EXCL create of the final name first
+    * ([[GraftFsContract.claimLocalExclusive]] — Hadoop's local
+    * `create(…, false)` is check-then-act across JVMs, and two
+    * committers could silently eat each other's claim; observed as a
+    * six-appends-five-versions CommitRaceSpec failure) with the
+    * parquet writer then opening the owned file in OVERWRITE mode;
+    * cluster filesystems keep parquet's default CREATE mode, which
+    * their metadata service arbitrates atomically. A torn write
+    * (crash mid-snapshot) leaves an unreadable parquet at the claimed
+    * name — [[healTornSnapshot]] lets the next committer reclaim it. */
   def writeSnapshot(table: String, version: Long, writeId: String,
       relPaths: Seq[String], entries: Seq[GraftManifestEntry],
       dvRels: Seq[String] = Nil): Unit = {
@@ -135,11 +142,16 @@ object GraftTableLog {
     val mt = GraftParquetWrite.messageType(logSchema)
     val factory = new SimpleGroupFactory(mt)
     val out = snapshotPath(table, version)
-    // the CREATE below is the claim — a collision throws before any
-    // byte is written and propagates to the caller's retry loop
+    // the claim — a collision throws before any byte is written and
+    // propagates to the caller's retry loop
+    val preClaimed = GraftFsContract.claimLocalExclusive(out, conf)
     val w = ExampleParquetWriter
       .builder(HadoopOutputFile.fromPath(out, conf))
       .withType(mt)
+      .withWriteMode(
+        if (preClaimed)
+          org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE
+        else org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
     // once the claim SUCCEEDED, a mid-write failure (disk full, FS
@@ -346,7 +358,7 @@ object GraftTableLog {
     val fs = p.getFileSystem(conf)
     fs.mkdirs(p.getParent)
     val out =
-      try fs.create(p, false) // exclusive — the create IS the claim
+      try GraftFsContract.exclusiveCreate(fs, p) // atomic claim
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
              _: java.io.IOException =>
@@ -552,7 +564,7 @@ object GraftTableLog {
     val fs = p.getFileSystem(conf)
     fs.mkdirs(p.getParent)
     val out =
-      try fs.create(p, false)
+      try GraftFsContract.exclusiveCreate(fs, p)
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
              _: java.io.IOException =>
@@ -582,7 +594,7 @@ object GraftTableLog {
     val p = branchSeqPath(table, name, seq + 1)
     val fs = p.getFileSystem(conf)
     val out =
-      try fs.create(p, false)
+      try GraftFsContract.exclusiveCreate(fs, p)
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           return false // claim lost
@@ -626,7 +638,7 @@ object GraftTableLog {
     val p = branchSeqPath(table, name, seq + 1)
     val fs = p.getFileSystem(conf)
     val out =
-      try fs.create(p, false)
+      try GraftFsContract.exclusiveCreate(fs, p)
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           return None
