@@ -51,5 +51,34 @@ object GraftSession {
   def adopt(spark: SparkSession): Unit = {
     GraftExtensions.registerFunctions(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // r16 OPTIMIZATION: let AQE re-plan (and in particular coalesce)
+    // CACHED plans too. Off by default, a persisted DataFrame keeps
+    // every exchange at the static spark.sql.shuffle.partitions width,
+    // so each consumer of a small cached intermediate (the MV delta
+    // fold, classifier feature cache, k-means corpus cache) pays a
+    // cores-wide task launch per action — measured 36→93-task jobs over
+    // 5 rows of MV state at sf0.1. Coalesced hash partitioning still
+    // satisfies ClusteredDistribution (SPARK-32056), so keyed caches
+    // (QualityClassifier's id-partitioned features) keep their
+    // zero-exchange iteration loops; partition counts stay byte-sized
+    // via AQE's advisory target, i.e. scale-adaptive, not tuned to
+    // local core count.
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    // r16 OPTIMIZATION: coalesce shuffle partitions toward the BYTE
+    // target, not the core count. With the default parallelismFirst=true
+    // AQE only coalesces down to defaultParallelism using the 1 MB
+    // minPartitionSize, so every metadata-scale shuffle (MV folds,
+    // change-feed diffs, state upserts) still launched ~cores tasks over
+    // kilobytes — measured 13-15-task exceptAll stages over a 2 MB feed
+    // at sf0.1. False = partitions sized by advisoryPartitionSizeInBytes
+    // (64 MB default): scale-adaptive (a 100 GB shuffle still gets
+    // ~1600 partitions), and the guide's §2.2 "fewer, larger reduce
+    // partitions" discipline. CPU-dense kernels that need
+    // partition-count parallelism over byte-small input (codecs, O(L²)
+    // verifies) already pin explicit repartition counts, which AQE
+    // never coalesces.
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
   }
 }

@@ -455,42 +455,55 @@ object GraftMv {
         s"watermark $srcV0 — the source was rolled back or vacuumed; " +
         "drop and re-create the view")
     val delta = GraftMaintenance.changeFeedRows(spark, src, srcV0, srcHead)
-    if (delta.isEmpty) {
-      // repack-only rewrites (compaction/recluster) — watermark advance
-      if (!claimState(mv, seq + 1, srcHead, mvV0))
-        return latestState(mv).map(_._3).getOrElse(mvV0)
-      return mvV0
-    }
     val schema = spark.read.format(fmt).option("path", src).load().schema
     val das = deltaAggs(schema, aggs)
+    // The delta AGGREGATE (touched-group-sized, ≪ the row-level feed) is
+    // PERSISTED in every mode (r16 optimization round): the refresh has
+    // up to four consumers of the feed — the emptiness check, the fold
+    // plan's write, the rebuild-key broadcast, merge-mode's vanished
+    // detection — and each used to re-run the change-feed multiset diff
+    // (two exceptAll shuffles over row images) from scratch; measured at
+    // sf0.1 that was 2 full feed executions per overwrite refresh and 3+
+    // in merge mode. Aggregating FIRST also means the one feed execution
+    // shuffles group-sized partials, not row images.
     val d = delta.groupBy(groupCols.map(col): _*).agg(das.head, das.tail: _*)
       .alias("d")
+    d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // MERGE-MODE engine decision, made BEFORE the fold plan is built:
     // the merge mutates the RAW head, so it is only sound when the
     // head IS the recorded state (an orphaned crashed commit on top
     // would make the base unknowable) — otherwise one healing
-    // overwrite. When merging, the delta aggregate (touched-group-
-    // sized) is PERSISTED — the fold plan has three consumers
-    // (vanished detection, emptiness, the merge itself) and must not
-    // re-run the change-feed diff per consumer — and the state read
-    // is PRUNED to the touched key RANGE: the state lays out range-
-    // clustered on the key, so a band-shaped delta (the time-ordered
-    // ingest this mode targets) prunes to the hot band's files via
-    // zone maps. A scattered delta widens the range back to a full
-    // read — write cost stays touched-group-bounded either way, and
-    // rows outside the delta inside the range fold to untouched and
-    // are never written.
+    // overwrite. When merging, the state read is PRUNED to the touched
+    // key RANGE: the state lays out range-clustered on the key, so a
+    // band-shaped delta (the time-ordered ingest this mode targets)
+    // prunes to the hot band's files via zone maps. A scattered delta
+    // widens the range back to a full read — write cost stays
+    // touched-group-bounded either way, and rows outside the delta
+    // inside the range fold to untouched and are never written.
     val doMerge = stateMerge &&
       GraftTableLog.latestVersion(mv).contains(mvV0)
-    if (doMerge)
-      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keyRange: Option[(String, String)] =
-      if (!doMerge) None
+    // ONE action covers both the emptiness check and (merge mode) the
+    // touched-group count + key range — these were three separate
+    // driver actions over the same cached aggregate (r16 optimization
+    // round). delta empty ⇔ its group-aggregate is empty, so the count
+    // serves the repack-only check (compaction/recluster — watermark
+    // advance without touching the view).
+    val (dCount, keyRange) =
+      if (!doMerge) (if (d.isEmpty) 0L else -1L, None)
       else {
-        val r = d.select(min(keyExpr(groupCols)).as("lo"),
+        val r = d.select(count(lit(1)).as("n"),
+          min(keyExpr(groupCols)).as("lo"),
           max(keyExpr(groupCols)).as("hi")).head()
-        Some((r.getString(0), r.getString(1)))
+        (r.getLong(0),
+          if (r.getLong(0) == 0L) None
+          else Some((r.getString(1), r.getString(2))))
       }
+    if (dCount == 0L) {
+      if (!claimState(mv, seq + 1, srcHead, mvV0))
+        return latestState(mv).map(_._3).getOrElse(mvV0)
+      return mvV0
+    }
     val cur0 = spark.read.format(fmt).option("path", mv)
       .option("versionAsOf", mvV0.toString).load()
     val cur = (keyRange match {
@@ -571,7 +584,7 @@ object GraftMv {
         .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
     }
     if (!doMerge) overwriteCommit()
-    else try {
+    else {
       // MERGE-mode: upsert only the touched survivors, delete vanished
       // keys — state READ pruned to the touched key range above, state
       // WRITE ∝ touched groups. `kept` is touched-group-sized here
@@ -607,11 +620,14 @@ object GraftMv {
               col(KeyCol) >= lit(vanished.min) &&
                 col(KeyCol) <= lit(vanished.max) &&
                 col(KeyCol).isin(vanished: _*))
-          if (!upserts.isEmpty)
+          // every touched group either survives (one upsert row) or
+          // vanished, so |upserts| = dCount − |vanished| — no separate
+          // isEmpty action over the cache needed (r16 optimization)
+          if (dCount > vanished.size)
             GraftMaintenance.merge(spark, mv, upserts, KeyCol)
         }
       } finally upserts.unpersist(false)
-    } finally d.unpersist(false)
+    }
     val mvV = GraftTableLog.latestVersion(mv).getOrElse(
       throw new IllegalStateException(
         s"graft mv: state commit landed but no log under $mv"))
@@ -620,6 +636,7 @@ object GraftMv {
       // by construction (no reader pins it); the winner's state governs
       return latestState(mv).map(_._3).getOrElse(mvV0)
     mvV
+    } finally d.unpersist(false)
   }
 
   /** The view's CURRENT contents — the committed state projected to the
