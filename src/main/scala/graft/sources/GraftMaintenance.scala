@@ -567,7 +567,25 @@ object GraftMaintenance {
     * merge proceeds under the widened schema, so merged/inserted rows
     * carry their values. The Delta `mergeSchema` convention. */
   def merge(spark: SparkSession, table: String, source: DataFrame,
-      keyCol: String, mergeSchema: Boolean = false): Long = {
+      keyCol: String, mergeSchema: Boolean = false): Long =
+    mergeImpl(spark, table, source, keyCol, mergeSchema, None)
+
+  /** [[merge]] with the source-key audit pass SKIPPED: `keyRange` is
+    * the caller-proven (lo, hi) of a NON-EMPTY source whose keys the
+    * caller already knows to be unique and non-null (GraftMv's state
+    * upserts: one row per group by construction, range from the same
+    * aggregate that sized the delta). The public [[merge]] keeps its
+    * audit — this exists so an internal caller that has ALREADY paid
+    * for the facts does not pay a second driver action per refresh to
+    * re-prove them (r16 optimization round). */
+  private[sources] def mergeTrustedKeys(spark: SparkSession, table: String,
+      source: DataFrame, keyCol: String, keyRange: (Any, Any)): Long =
+    mergeImpl(spark, table, source, keyCol, mergeSchema = false,
+      Some(keyRange))
+
+  private def mergeImpl(spark: SparkSession, table: String,
+      source: DataFrame, keyCol: String, mergeSchema: Boolean,
+      trustedKeyRange: Option[(Any, Any)]): Long = {
     val df0 = connectorRead(spark, table)
     require(df0.schema.fieldNames.toSet.subsetOf(
       source.schema.fieldNames.toSet),
@@ -592,18 +610,21 @@ object GraftMaintenance {
     require(extras.map(_.name.toLowerCase).distinct.length == extras.length,
       s"graft merge: case-duplicate new columns " +
         s"[${extras.map(_.name).mkString(", ")}]")
-    val keyStats = source.agg(
-      org.apache.spark.sql.functions.count(lit(1)).as("n"),
-      org.apache.spark.sql.functions.count(col(keyCol)).as("nk"),
-      org.apache.spark.sql.functions
-        .countDistinct(col(keyCol)).as("nd"),
-      min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi")).head()
-    require(keyStats.getLong(0) == keyStats.getLong(1),
-      s"graft merge: null merge keys in the source")
-    require(keyStats.getLong(1) == keyStats.getLong(2),
-      s"graft merge: duplicate source keys — ambiguous merge refused")
-    if (keyStats.getLong(0) == 0L)
-      return GraftTableLog.latestVersion(table).getOrElse(0L)
+    val (keyLo, keyHi) = trustedKeyRange.getOrElse {
+      val keyStats = source.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.count(col(keyCol)).as("nk"),
+        org.apache.spark.sql.functions
+          .countDistinct(col(keyCol)).as("nd"),
+        min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi")).head()
+      require(keyStats.getLong(0) == keyStats.getLong(1),
+        s"graft merge: null merge keys in the source")
+      require(keyStats.getLong(1) == keyStats.getLong(2),
+        s"graft merge: duplicate source keys — ambiguous merge refused")
+      if (keyStats.getLong(0) == 0L)
+        return GraftTableLog.latestVersion(table).getOrElse(0L)
+      (keyStats.get(3), keyStats.get(4))
+    }
     val df =
       if (extras.isEmpty) df0
       else {
@@ -625,7 +646,7 @@ object GraftMaintenance {
     // its insert-vs-replace split read the whole table (zone maps +
     // candidate rows), so ANY concurrent commit invalidates it.
     val read = GraftConflicts.captureRead(table)
-    val cond = col(keyCol).between(lit(keyStats.get(3)), lit(keyStats.get(4)))
+    val cond = col(keyCol).between(lit(keyLo), lit(keyHi))
     val candidates = plannedFiles(df.filter(cond))
     val partCols = GraftCatalog.effectivePartCols(table, df.schema)
     if (candidates.isEmpty) {
@@ -742,7 +763,17 @@ object GraftMaintenance {
     val a = readFilesWithDeletes(spark, schema, added, dvTo, al)
     val r = readFilesWithDeletes(spark, schema, removed, dvFrom, al)
     import org.apache.spark.sql.functions.lit
-    a.exceptAll(r).withColumn("_change_type", lit("insert"))
+    // The file sets are known DRIVER-SIDE, so the one-sided spans skip
+    // the multiset diff entirely (r16 optimization round): a span that
+    // only ADDED files (pure appends — every ingest commit, and the
+    // most common MV refresh delta) is its added rows as insert images
+    // verbatim, and a span that only REMOVED files is all deletes; the
+    // two-sided exceptAll (two full-width shuffles each way) is only
+    // needed when a rewrite carried rows across the span and common
+    // rows must cancel.
+    if (removed.isEmpty) a.withColumn("_change_type", lit("insert"))
+    else if (added.isEmpty) r.withColumn("_change_type", lit("delete"))
+    else a.exceptAll(r).withColumn("_change_type", lit("insert"))
       .unionByName(
         r.exceptAll(a).withColumn("_change_type", lit("delete")))
   }

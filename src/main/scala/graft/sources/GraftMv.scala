@@ -622,9 +622,13 @@ object GraftMv {
                 col(KeyCol).isin(vanished: _*))
           // every touched group either survives (one upsert row) or
           // vanished, so |upserts| = dCount − |vanished| — no separate
-          // isEmpty action over the cache needed (r16 optimization)
+          // isEmpty action over the cache needed; and the upsert keys
+          // are unique/non-null BY CONSTRUCTION (one row per group)
+          // with their range already in hand from the delta head, so
+          // the merge skips its source-key audit action too (r16)
           if (dCount > vanished.size)
-            GraftMaintenance.merge(spark, mv, upserts, KeyCol)
+            GraftMaintenance.mergeTrustedKeys(spark, mv, upserts, KeyCol,
+              (keyRange.get._1, keyRange.get._2))
         }
       } finally upserts.unpersist(false)
     }
