@@ -25,6 +25,43 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Rows per shuffle partition inside the iterative loops — ~4M 24-byte
+    * edge/rank rows ≈ the guide's 100 MB-order reduce partitions. The
+    * loop width is derived from the MEASURED edge count (never from the
+    * core count), so a model-scale graph iterates at width 1-2 while a
+    * 10^10-edge graph keeps full parallelism. */
+  private val LoopRowsPerPartition = 4000000L
+
+  /** Run `body` with spark.sql.shuffle.partitions scoped to `n` — the
+    * [[graft.StreamingQueries]] withStatePartitions discipline, applied
+    * to iterative graph loops (r16 optimization round): every iteration
+    * pays per-partition fixed cost (task launch, AQE stage bookkeeping)
+    * × exchanges × rounds, and the static core-sized width was pure
+    * overhead at model scale — 87 jobs × 32-wide exchanges over
+    * kilobyte frames for 10 pagerank iterations at sf0.1. */
+  /** Row cap under which the rank/frontier side of an iteration join is
+    * BROADCAST (guide §3.1 — pick the strategy deliberately): node-state
+    * frames are 16-byte rows, so the default 2M rows ≈ 64 MB built
+    * relation, well under the 8 GB/512M-row broadcast cap. Gated on the
+    * MEASURED node/frontier count, never an estimate — checkpointed
+    * frames carry no size statistics, so the planner would otherwise
+    * sort-merge every iteration, re-sorting the (big) edge relation per
+    * round for a join whose other side is model-scale. Overridable via
+    * -Dgraft.graph.broadcastRows for clusters with tight driver memory. */
+  private def broadcastRows: Long =
+    sys.props.get("graft.graph.broadcastRows").map(_.toLong)
+      .getOrElse(2000000L)
+
+  private def withLoopShufflePartitions[T](
+      spark: org.apache.spark.sql.SparkSession, rows: Long)(body: => T): T = {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val n = math.max(1L,
+      math.min(before.toLong, rows / LoopRowsPerPartition + 1)).toString
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   /** Canonical undirected edge set: (u < v), self-loops dropped,
     * duplicates collapsed. */
   private def canonical(edges: DataFrame, src: Column, dst: Column): DataFrame =
@@ -153,12 +190,23 @@ object Graphs {
     val hasDangling = danglingNodes.limit(1).count() > 0
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     var iter = 0
+    // node-state frames (pr / contrib / dangling) broadcast below the
+    // row cap: the edge relation then never re-shuffles or re-sorts
+    // inside the loop, and each iteration is map-side join + one
+    // grouped-sum exchange. Decimal accumulation keeps ranks
+    // bit-identical under either strategy.
+    val small = n <= broadcastRows
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // loop shuffle width from the measured edge count (e is already
+    // checkpointed, so the count reads materialized partitions);
+    // decimal accumulation keeps ranks bit-identical at ANY width
+    withLoopShufflePartitions(edges.sparkSession, e.count()) {
     while (iter < iters) {
-      val contrib = e.join(pr, col("src") === col("node"))
+      val contrib = e.join(maybeB(pr), col("src") === col("node"))
         .select(col("dst").as("node"),
           (col("pr") / col("od").cast("double")).cast("decimal(28,12)").as("q"))
         .groupBy("node").agg(sum("q").cast("double").as("s"))
-      val base = nodes.join(contrib, Seq("node"), "left")
+      val base = nodes.join(maybeB(contrib), Seq("node"), "left")
       val next =
         if (!hasDangling)
           base.select(col("node"),
@@ -169,7 +217,7 @@ object Graphs {
           // iteration's single job instead of a blocking .head() probe.
           // `dm / n` is the same double division the driver-side scalar
           // performed, so ranks stay bit-identical.
-          val dm = pr.join(danglingNodes, "node")
+          val dm = pr.join(maybeB(danglingNodes), "node")
             .agg(coalesce(sum(col("pr").cast("decimal(28,12)")).cast("double"),
               lit(0.0)).as("dm"))
           base.crossJoin(broadcast(dm))
@@ -181,6 +229,7 @@ object Graphs {
       pr = persist(next)
       iter += 1
     }
+    } // withLoopShufflePartitions
     pr
   }
 
@@ -222,14 +271,25 @@ object Graphs {
     hops += dist
     var frontier = dist
     var hop = 0
-    while (hop < maxHops && frontier.limit(1).count() > 0) {
+    // the emptiness probe reads the persisted frontier either way, so a
+    // full count() costs the same job as limit(1) — and the exact size
+    // gates the broadcast decision below (guide §3.1): a sub-cap
+    // frontier broadcasts into the expansion join, so the adjacency
+    // (the big side at scale) is never shuffled or sorted per hop
+    var frontierRows = 1L
+    // loop shuffle width from the measured (checkpointed) adjacency size
+    val out = withLoopShufflePartitions(spark, adj.count()) {
+    while (hop < maxHops && frontierRows > 0) {
       hop += 1
-      val next = persist(frontier
+      val f = if (frontierRows <= broadcastRows) broadcast(frontier)
+        else frontier
+      val next = persist(f
         .join(adj, col("node") === col("a"))
         .select(col("b").as("node")).distinct()
         .join(dist.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop)))
       hops += next
+      frontierRows = next.count()
       dist = dist.unionByName(next)
       frontier = next
     }
@@ -237,7 +297,8 @@ object Graphs {
     // O(nodes) 12-byte-row copy), then release the adjacency and every
     // per-hop block — without this, repeated calls in a long session
     // accumulate block-manager storage for the whole loop history.
-    val out = persist(dist)
+    persist(dist)
+    }
     (adj +: hops).foreach(_.unpersist(blocking = false))
     out
   }
@@ -299,16 +360,25 @@ object Graphs {
     var frontier = dist
     var round = 0
     var converged = false
+    // exact frontier size per round: same job as the old limit(1)
+    // emptiness probe, and it gates the broadcast decision (see
+    // bfsDistances)
+    var frontierRows = 1L
+    // loop shuffle width from the measured (checkpointed) adjacency size
+    withLoopShufflePartitions(spark, adj.count()) {
     while (!converged && round < maxRounds) {
       round += 1
-      val cand = frontier.join(adj, col("node") === col("a"))
+      val f = if (frontierRows <= broadcastRows) broadcast(frontier)
+        else frontier
+      val cand = f.join(adj, col("node") === col("a"))
         .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
         .groupBy("node").agg(min("nd").as("nd"))
       val improved = persist(cand.join(dist, Seq("node"), "left")
         .filter(col("dist").isNull || col("nd") < col("dist"))
         .select(col("node"), col("nd").as("dist")))
       scratch += improved
-      if (improved.limit(1).count() == 0L) converged = true
+      frontierRows = improved.count()
+      if (frontierRows == 0L) converged = true
       else {
         // min-merge: a node can appear in both (improved wins by min) —
         // the per-round O(settled) copy weighted paths inherently pay
@@ -319,6 +389,7 @@ object Graphs {
         frontier = improved
       }
     }
+    } // withLoopShufflePartitions
     require(converged,
       s"ssspDistances: not converged after $maxRounds rounds — raise " +
         "maxRounds (weighted diameter exceeds the budget) or check the graph")
