@@ -102,12 +102,22 @@ object QualityClassifier {
     // bucket-gradient rollup — at corpus scale the training loop
     // re-shuffles the sparse features ZERO times after the first
     // materialization.
+    // PINNED partition count (r16 optimization round): with the
+    // session's cached-plan AQE flag on, an unpinned repartition(col)
+    // lets AQE coalesce this cache by bytes — but the training loop's
+    // per-iteration cost is CPU over the sparse features, not bytes,
+    // and the coalesce serialized the gradient work (cold lane
+    // 6.3 -> 7.5 s at sf0.1). An explicit count is never resized, so
+    // the cache keeps both its id-clustering AND its core-wide
+    // parallelism — the same work-count-not-byte-count rule as the
+    // r13 codec kernels.
+    val trainParts = docs.sparkSession.sparkContext.defaultParallelism
     val feats = features(docs, idCol, textCol, dim)
       .unionByName(labels0.select(col("id"), lit(-1L).as("bucket"),
         lit(1.0).as("x")))
-      .repartition(col("id"))
+      .repartition(trainParts, col("id"))
       .persist(lvl)
-    val labels = labels0.repartition(col("id")).persist(lvl)
+    val labels = labels0.repartition(trainParts, col("id")).persist(lvl)
     try {
       val nDocs = labels.count().toDouble
       require(nDocs > 0, "QualityClassifier.train: empty corpus")
