@@ -18,6 +18,11 @@ object R16PlanDump {
   def main(args: Array[String]): Unit = {
     val tag = args.headOption.getOrElse("after")
     val outDir = args.drop(1).headOption.getOrElse("plans/r16")
+    // optional 3rd arg: comma-separated filter so a later change set can
+    // re-dump ONLY its touched plans without overwriting earlier ones
+    val onlyF: Option[Set[String]] =
+      args.drop(2).headOption.map(_.split(',').toSet)
+    def wanted(name: String): Boolean = onlyF.forall(_.contains(name))
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -40,12 +45,15 @@ object R16PlanDump {
     for (n <- Seq("q_mv_incremental", "q_mv_merge_state",
         "q_mv_hll_distinct", "q_mv_stream_refresh", "q_sql_mv_refresh",
         "q_stream_cdc_feed", "q_pagerank_stations", "q_bfs_stations",
-        "q_sssp_weighted")) {
+        "q_sssp_weighted", "q_training_data_prep", "q_change_feed_cdc")
+        if wanted(n)) {
       try write(n, fmt(graft.SparkEntry.queries(n)(spark, dir)))
       catch { case e: Exception =>
         write(n, s"DUMP FAILED: ${e.getMessage}") }
     }
 
+    if (wanted("changefeed_append_span") ||
+        wanted("changefeed_rewrite_span")) {
     // ——— mechanism: change-feed span plans ———
     val fmtSrc = "graft.sources.GraftParquetTableProvider"
     val t = s"${sys.props("java.io.tmpdir")}/r16plan_${java.util.UUID.randomUUID()}"
@@ -56,19 +64,23 @@ object R16PlanDump {
       .write.format(fmtSrc).option("path", t).mode("append").save() // v1
     orders.filter(pmod(col("o_orderkey"), lit(4)) === 1)
       .write.format(fmtSrc).option("path", t).mode("append").save() // v2
-    write("changefeed_append_span",
-      "// feed over an append-only span (v1 -> v2): files were only ADDED\n" +
-        fmt(graft.sources.GraftMaintenance.changeFeedRows(spark, t, 1, 2)))
+    if (wanted("changefeed_append_span"))
+      write("changefeed_append_span",
+        "// feed over an append-only span (v1 -> v2): files were only ADDED\n" +
+          fmt(graft.sources.GraftMaintenance.changeFeedRows(spark, t, 1, 2)))
     graft.sources.GraftMaintenance.delete(spark, t,
       col("o_totalprice") < lit(50000.0))                          // v3
-    write("changefeed_rewrite_span",
-      "// feed over a rewrite span (v2 -> v3): files added AND removed,\n" +
-        "// the two-sided multiset diff is required and unchanged\n" +
-        fmt(graft.sources.GraftMaintenance.changeFeedRows(spark, t, 2, 3)))
+    if (wanted("changefeed_rewrite_span"))
+      write("changefeed_rewrite_span",
+        "// feed over a rewrite span (v2 -> v3): files added AND removed,\n" +
+          "// the two-sided multiset diff is required\n" +
+          fmt(graft.sources.GraftMaintenance.changeFeedRows(spark, t, 2, 3)))
     org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(t), true)
+    }
 
+    if (wanted("pagerank_iteration")) {
     // ——— mechanism: one pagerank iteration (replicated loop body) ———
     val rides = graft.core.Tables.rides(spark, dir)
     val e0 = rides
@@ -99,6 +111,7 @@ object R16PlanDump {
       s"// one power iteration over the checkpointed edge/rank frames\n" +
         s"// (n=$n nodes; broadcast gate ${if (useB) "ON" else "OFF"})\n" +
         fmt(base))
+    }
     spark.stop()
   }
 }

@@ -671,7 +671,19 @@ object TextQueries {
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
       val qualityPass = docs.filter(qualityScore(col("text")) >= MinQuality)
+      // exactKeep feeds THREE full evaluations — the LSH signature pass
+      // and the shingle-set verify pass inside minhashLshPairs, plus the
+      // survivor anti-join — and each re-ran the scan + the qualityScore
+      // kernel + the fingerprint dedup from scratch (r16 optimization
+      // round, guide §1.2/§5). A LAZY localCheckpoint materializes it
+      // once (during the cluster loop's first job) and the other two
+      // consumers read blocks; lazy+fresh-RDD-per-invocation means no
+      // CacheManager entry outlives the query (the duplicateClusters
+      // persistence discipline). Projected to the two consumed columns
+      // first so the blocks never carry the unused lang/source/n_chars.
       val exactKeep = Dedup.exactDedup(qualityPass, "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(eager = false)
       val pairs = Dedup.minhashLshPairs(exactKeep, "doc_id", "text", ShingleN, MinJaccard,
         failOnOverflow = true)
       val dupDrops = Dedup.duplicateClusters(pairs)

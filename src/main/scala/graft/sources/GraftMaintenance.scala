@@ -762,20 +762,48 @@ object GraftMaintenance {
     val al = GraftCatalog.readAliases(table, conf)
     val a = readFilesWithDeletes(spark, schema, added, dvTo, al)
     val r = readFilesWithDeletes(spark, schema, removed, dvFrom, al)
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{abs, array_repeat, col, explode,
+      lit, sum, when}
     // The file sets are known DRIVER-SIDE, so the one-sided spans skip
     // the multiset diff entirely (r16 optimization round): a span that
     // only ADDED files (pure appends — every ingest commit, and the
     // most common MV refresh delta) is its added rows as insert images
     // verbatim, and a span that only REMOVED files is all deletes; the
-    // two-sided exceptAll (two full-width shuffles each way) is only
-    // needed when a rewrite carried rows across the span and common
-    // rows must cancel.
+    // two-sided multiset diff is only needed when a rewrite carried
+    // rows across the span and common rows must cancel.
     if (removed.isEmpty) a.withColumn("_change_type", lit("insert"))
     else if (added.isEmpty) r.withColumn("_change_type", lit("delete"))
-    else a.exceptAll(r).withColumn("_change_type", lit("insert"))
-      .unionByName(
-        r.exceptAll(a).withColumn("_change_type", lit("delete")))
+    else {
+      // ONE signed-count aggregation yields BOTH diff directions (r16
+      // optimization round): Catalyst rewrites each `exceptAll` into
+      // union(+1/−1) → aggregate → replicate-rows (RewriteExceptAll),
+      // so the previous two-call form ran that machinery twice — every
+      // added AND removed file scanned and its full row images
+      // shuffled TWICE, for one feed. Summing signs once gives insert
+      // images (n > 0) and delete images (n < 0) from a single
+      // aggregation over a single scan of each side; row-for-row
+      // identical output (group-by and exceptAll share null-safe,
+      // NaN/−0.0-normalized key equality — both plan the same
+      // Aggregate over all columns).
+      val sign = "__graft_cf_sign" // "__" is reserved (GraftMv contract)
+      val n = "__graft_cf_n"
+      val outCols = a.columns.toSeq
+      val counted = a.withColumn(sign, lit(1L))
+        .unionByName(r.withColumn(sign, lit(-1L)))
+        .groupBy(outCols.map(col): _*)
+        .agg(sum(col(sign)).as(n))
+        .filter(col(n) =!= 0L)
+      // |n| copies per image: multiplicity = how many byte-identical
+      // full rows the span added minus removed — O(1) for real tables,
+      // so the repeat array stays tiny (exceptAll's ReplicateRows
+      // generator streams instead, but it is not exposed to the
+      // DataFrame layer)
+      counted
+        .withColumn("_change_type",
+          when(col(n) > 0L, lit("insert")).otherwise(lit("delete")))
+        .withColumn(n, explode(array_repeat(lit(1), abs(col(n)).cast("int"))))
+        .select((outCols :+ "_change_type").map(col): _*)
+    }
   }
 
   /** ROLLBACK: restore the live table to the exact state of committed
